@@ -1,0 +1,96 @@
+package graft.core
+
+import java.io.IOException
+import java.net.URI
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
+
+/** Key-addressed object storage over any Hadoop FileSystem.
+  *
+  * Replaces the reference's OCI client (ref: OCIClient.kt): `file://` for
+  * local runs; s3a/abfs/gcs connectors on a cluster via the same API. All
+  * operations are point operations on exact paths — the distributed write
+  * path lives in [[DatalakePublishService]] (foreachPartition, one
+  * FileSystem handle per partition, mirroring the reference's
+  * one-dedicated-client-per-batch amortization,
+  * ref: DatalakePublishService.kt:63,104).
+  *
+  * Semantics preserved (SURVEY.md §7.4):
+  *  - get: missing object -> None (404 -> null, ref: OCIClient.kt:182-187);
+  *    other IO errors propagate.
+  *  - put: one retry after a fixed delay on IO failure, then false
+  *    (ref: OCIClient.kt:139-161 — single retry, 5 s).
+  *  - exists: HEAD-equivalent (ref: OCIClient.kt:231-247).
+  */
+class LakeStorage(val root: String, conf: Configuration, retryDelayMs: Long = 5000L)
+    extends Serializable {
+
+  @transient private lazy val fs: FileSystem =
+    FileSystem.get(new URI(root), conf)
+
+  private def path(fileName: String): Path = new Path(root, fileName)
+
+  /** Write a document; true on success, single delayed retry on IO failure. */
+  def put(fileName: String, data: String): Boolean =
+    LakeStorage.putWith(fs, path(fileName), data, retryDelayMs)
+
+  /** Point read; None when missing (the reference's 404->null). */
+  def get(fileName: String): Option[String] = {
+    val p = path(fileName)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(new String(in.readAllBytes(), UTF_8))
+      finally in.close()
+    }
+  }
+
+  def exists(fileName: String): Boolean = fs.exists(path(fileName))
+
+  def status(fileName: String): Option[FileStatus] =
+    if (fs.exists(path(fileName))) Some(fs.getFileStatus(path(fileName))) else None
+
+  /** Recursive listing of object names relative to the root (test/tooling
+    * surface; at scale prefer partition-pruned reads over full listings). */
+  def listRecursive(prefix: String = ""): Seq[String] = {
+    val base = if (prefix.isEmpty) new Path(root) else path(prefix)
+    if (!fs.exists(base)) return Seq.empty
+    val it = fs.listFiles(base, true)
+    val rootUri = fs.makeQualified(new Path(root)).toUri.getPath
+    val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (it.hasNext) {
+      val st = it.next()
+      val full = st.getPath.toUri.getPath
+      buf += full.stripPrefix(rootUri).stripPrefix("/")
+    }
+    buf.toSeq
+  }
+
+  def delete(fileName: String): Boolean = fs.delete(path(fileName), true)
+}
+
+object LakeStorage {
+  /** Shared by driver-side puts and executor-side foreachPartition writers. */
+  def putWith(fs: FileSystem, p: Path, data: String, retryDelayMs: Long): Boolean = {
+    def attempt(): Boolean = {
+      val out = fs.create(p, true)
+      try { out.write(data.getBytes(UTF_8)); true }
+      finally out.close()
+    }
+    try attempt()
+    catch {
+      case _: IOException =>
+        // Reference: exactly one retry after a fixed delay, only for
+        // transient failures (OCIClient.kt:148-158). Hadoop FS surfaces
+        // transient store errors as IOException.
+        Thread.sleep(retryDelayMs)
+        try attempt()
+        catch { case _: IOException => false }
+    }
+  }
+
+  def openFor(root: String): FileSystem =
+    FileSystem.get(new URI(root), new Configuration())
+}

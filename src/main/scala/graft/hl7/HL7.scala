@@ -1,0 +1,44 @@
+package graft.hl7
+
+import java.util.regex.Pattern
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.udf
+
+/** HL7v2 MSH-9 (message type/event) extraction
+  * (ref: hl7/HL7Utils.kt:11-40, algorithm preserved exactly):
+  *
+  *   1. locate "MSH"; separator1 = char at msh+3, separator2 = char at msh+4;
+  *   2. split the WHOLE message by separator1 with limit 10, require >= 10
+  *      fields; MSH-9 is field index 8;
+  *   3. require length == 7 with separator2 at index 3 ("MDM^T02");
+  *   4. split by separator2 -> (type, event).
+  *
+  * Any malformed input -> None (the reference returns an empty list).
+  */
+object HL7 {
+
+  def msh9(message: String): Option[(String, String)] = {
+    if (message == null) return None
+    val mshIdx = message.indexOf("MSH")
+    if (mshIdx < 0 || message.length < mshIdx + 5) return None
+    val sep1 = message.charAt(mshIdx + 3)
+    val sep2 = message.charAt(mshIdx + 4)
+    val fields = message.split(Pattern.quote(sep1.toString), 10)
+    if (fields.length < 10) return None
+    val f = fields(8)
+    if (f.length == 7 && f.indexOf(sep2) == 3) {
+      val parts = f.split(Pattern.quote(sep2.toString))
+      Some((parts(0), parts(1)))
+    } else None
+  }
+
+  /** Scalar UDF surface: hl7_msh9(msg) -> struct(msg_type, msg_event),
+    * null when malformed. Registered per-session; promote to a codegen'd
+    * Catalyst Expression only if profiling shows it hot (SURVEY.md §4.3).
+    */
+  val msh9Udf = udf((message: String) => msh9(message))
+
+  def register(spark: SparkSession): Unit =
+    spark.udf.register("hl7_msh9", msh9Udf)
+}
