@@ -13,7 +13,12 @@ object SparkEntry {
 
   private val modules: Seq[QueryModule] = Seq(
     RelationalQueries,
-    LakeQueries
+    LakeQueries,
+    TextQueries,
+    VectorQueries,
+    JoinQueries,
+    MultimodalQueries,
+    StreamingQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of join: for each left row, the most recent right row with
+  * rightTime <= leftTime, per key (SURVEY.md §2 Part B "as-of join" — one of
+  * the two Part B operators with no single Spark built-in).
+  *
+  * Implementation: union both sides tagged, sort within each key by
+  * (time, side), and carry the last-seen right row forward with
+  * `last(_, ignoreNulls = true)` over an unbounded-preceding window. This is
+  * a single shuffle on the key (the same partitioning a sort-merge join
+  * would need) and never materializes the O(left x right) range join —
+  * the standard scalable formulation.
+  *
+  * Right-side ties on (key, time) resolve to the largest tie-break id,
+  * matching "latest row wins".
+  */
+object AsOfJoin {
+
+  /** left:  (key, ltime, left cols...)
+    * right: (key, rtime, valueCols...)
+    * Output: left row + valueCols of the as-of match (null when no right row
+    * precedes the left row).
+    */
+  def asOf(left: DataFrame, right: DataFrame, key: String,
+           leftTime: String, rightTime: String,
+           valueCols: Seq[String],
+           rightTieBreak: Option[String] = None): DataFrame = {
+    val l = left.withColumn("_t", col(leftTime)).withColumn("_side", lit(1))
+      .withColumn("_tid", lit(null).cast("long"))
+    val r = right.withColumn("_t", col(rightTime)).withColumn("_side", lit(0))
+      .withColumn("_tid", rightTieBreak.map(col(_).cast("long")).getOrElse(lit(0L)))
+    val unioned = l.unionByName(
+      r.select((Seq(col(key), col("_t"), col("_side"), col("_tid")) ++ valueCols.map(col)): _*),
+      allowMissingColumns = true)
+    // right rows sort before left rows at equal _t, so an exactly-equal
+    // timestamp matches (as-of <= semantics); equal-time right rows are
+    // ordered by the tie-break id so "latest wins" is deterministic
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("_t"), col("_side"), col("_tid").asc_nulls_last)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = valueCols.foldLeft(unioned) { (df, c) =>
+      df.withColumn(s"asof_$c", last(col(c), ignoreNulls = true).over(w))
+    }
+    carried.filter(col("_side") === 1)
+      .drop((Seq("_t", "_side", "_tid") ++ valueCols): _*)
+  }
+}

@@ -1,0 +1,97 @@
+package graft.operators
+
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.expressions.{Aggregator, Window}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (SURVEY.md §2 Part B
+  * "Similarity search"): brute-force cosine top-k as the exact baseline and
+  * an IVF (inverted-file) variant as the 100 TB scale path.
+  *
+  * Scale design: brute force broadcasts the (small) query set and scans the
+  * corpus once — a map-only plan with a per-group top-k window, no shuffle
+  * of the corpus. IVF prunes the scan to `nprobe` clusters: centroid
+  * assignment is a broadcast join against K centroids, and the probe only
+  * reads the matching clusters (partition-prunable when the corpus is
+  * written bucketed/partitioned by cluster id).
+  */
+object Similarity {
+
+  /** Exact brute-force cosine top-k: for each query vector, the k nearest
+    * corpus vectors. Ties broken deterministically by corpus id. */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val scored = corpus.crossJoin(broadcast(queries))
+      .withColumn("cosine", round(cosineSimilarity(col("q_vec"), col("vec")), 6))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("id"), col("cosine"))
+  }
+
+  /** Per-group element-wise mean of float-array vectors (typed Aggregator —
+    * the custom-agg slot reserved in SURVEY.md §2 Part B). */
+  class VectorMean(dim: Int) extends Aggregator[Array[Float], (Array[Double], Long), Array[Double]] {
+    override def zero: (Array[Double], Long) = (Array.fill(dim)(0.0), 0L)
+    override def reduce(b: (Array[Double], Long), a: Array[Float]): (Array[Double], Long) = {
+      var i = 0
+      while (i < dim) { b._1(i) += a(i); i += 1 }
+      (b._1, b._2 + 1)
+    }
+    override def merge(x: (Array[Double], Long), y: (Array[Double], Long)): (Array[Double], Long) = {
+      var i = 0
+      while (i < dim) { x._1(i) += y._1(i); i += 1 }
+      (x._1, x._2 + y._2)
+    }
+    override def finish(r: (Array[Double], Long)): Array[Double] =
+      if (r._2 == 0) r._1 else r._1.map(_ / r._2)
+    override def bufferEncoder: Encoder[(Array[Double], Long)] =
+      Encoders.product[(Array[Double], Long)]
+    override def outputEncoder: Encoder[Array[Double]] = ExpressionEncoderHelp.doubleArray
+  }
+
+  /** Cluster centroids as the element-wise mean per cluster column. Uses
+    * Spark's partial aggregation (posexplode + two-level groupBy is shuffle
+    * -heavy; the Aggregator reduces map-side). */
+  def centroids(vecs: DataFrame, clusterCol: String, vecCol: String, dim: Int): DataFrame = {
+    val agg = udaf(new VectorMean(dim), ExpressionEncoderHelp.floatArray)
+    vecs.groupBy(col(clusterCol).as("cluster"))
+      .agg(agg(col(vecCol)).as("centroid"))
+  }
+
+  /** IVF top-k: assign every corpus vector to its nearest centroid, then for
+    * each query search only the `nprobe` closest clusters exhaustively.
+    * Deterministic given the centroid set; approximate vs. brute force only
+    * through cluster pruning. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, cents: DataFrame,
+              k: Int, nprobe: Int): DataFrame = {
+    // corpus -> nearest centroid (broadcast join against K centroids)
+    val wAssign = Window.partitionBy(col("id")).orderBy(col("c_cos").desc, col("cluster"))
+    val assigned = corpus.crossJoin(broadcast(cents))
+      .withColumn("c_cos", cosineSimilarity(col("vec"), col("centroid")))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("id"), col("vec"), col("cluster"))
+    // query -> nprobe nearest centroids
+    val wProbe = Window.partitionBy(col("q_id")).orderBy(col("q_cos").desc, col("cluster"))
+    val probes = queries.crossJoin(broadcast(cents))
+      .withColumn("q_cos", cosineSimilarity(col("q_vec"), col("centroid")))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= nprobe)
+      .select(col("q_id"), col("q_vec"), col("cluster"))
+    // exact search within probed clusters only
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("id"))
+    assigned.join(broadcast(probes), Seq("cluster"))
+      .withColumn("cosine", round(cosineSimilarity(col("q_vec"), col("vec")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("id"), col("cosine"))
+  }
+}
+
+private object ExpressionEncoderHelp {
+  import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+  val doubleArray: Encoder[Array[Double]] = ExpressionEncoder[Array[Double]]()
+  val floatArray: Encoder[Array[Float]] = ExpressionEncoder[Array[Float]]()
+}

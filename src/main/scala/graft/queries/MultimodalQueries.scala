@@ -1,0 +1,88 @@
+package graft.queries
+
+import graft.core.Tables
+import graft.operators.Multimodal
+import org.apache.spark.sql.functions._
+
+/** Multimodal binary-column plumbing (SURVEY.md §2 Part B "Multimodal
+  * columns"): opaque binary payloads + typed metadata, base64 round-trips,
+  * and the distributed decode stub. Document text stands in for media bytes
+  * (no codec libraries in this environment — see Multimodal.DecodeStub).
+  */
+object MultimodalQueries extends QueryModule {
+
+  override val queries: Map[String, Q] = Map(
+    // --- binary payload + metadata + base64 round-trip ---
+    "qm01_binary_payload" -> { (s, d) =>
+      Tables.documents(s, d)
+        .filter(col("doc_id") < 100)
+        .select(col("doc_id"),
+          col("text").cast("binary").as("payload"))
+        .select(
+          col("doc_id"),
+          length(col("payload")).as("n_bytes"),
+          // Spark's base64 emits RFC-2045 76-char line chunks; strip them to
+          // the canonical unchunked form (what DuckDB/java.util.Base64 emit)
+          regexp_replace(base64(col("payload")), "[\\r\\n]", "").as("b64"),
+          sha2(col("payload"), 256).as("sha256_hex"),
+          (unbase64(base64(col("payload"))) === col("payload")).as("roundtrip_ok"))
+        .orderBy("doc_id")
+    },
+
+    // --- distributed decode stub over typed media rows (mapPartitions:
+    //     schema/batching/partitioning real, codec deterministic-fake) ---
+    "qm02_decode_stub" -> { (s, d) =>
+      import s.implicits._
+      val media = Multimodal.withBinaryPayload(
+          Tables.documents(s, d).filter(col("doc_id") < 100),
+          "doc_id", "text", "text/plain")
+        .as[Multimodal.MediaRow]
+      Multimodal.decodeAll(s, media)
+        .toDF()
+        .select(col("media_id"), col("width"), col("height"), col("n_frames"),
+          round(col("mean_byte"), 4).as("mean_byte"))
+        .orderBy("media_id")
+    },
+
+    // --- frame-sampling stub (explode shape of frame extraction) ---
+    "qm03_frame_sample" -> { (s, d) =>
+      import s.implicits._
+      val media = Multimodal.withBinaryPayload(
+          Tables.documents(s, d).filter(col("doc_id") < 20),
+          "doc_id", "text", "video/fake")
+        .as[Multimodal.MediaRow]
+      Multimodal.sampleFrames(s, media, stride = 16)
+        .groupBy("media_id")
+        .agg(count(lit(1)).as("n_frames"),
+          round(avg(col("frame_byte")), 4).as("avg_frame_byte"))
+        .orderBy("media_id")
+    }
+  )
+
+  override val oracle: Map[String, String] = Map(
+    "qm01_binary_payload" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+           base64(encode(text)) AS b64, sha256(text) AS sha256_hex,
+           true AS roundtrip_ok
+         FROM documents WHERE doc_id < 100 ORDER BY doc_id""",
+
+    "qm02_decode_stub" ->
+      """SELECT doc_id AS media_id,
+           CAST(1 + (ascii(substr(text,1,1))*256 + ascii(substr(text,2,1))) % 1024 AS INTEGER) AS width,
+           CAST(1 + (ascii(substr(text,3,1))*256 + ascii(substr(text,4,1))) % 1024 AS INTEGER) AS height,
+           CAST(1 + length(text)//64 AS INTEGER) AS n_frames,
+           round(list_aggregate(list_transform(generate_series(1, length(text)),
+             i -> ascii(substr(text, CAST(i AS INTEGER), 1))), 'sum')*1.0 / length(text), 4) AS mean_byte
+         FROM documents WHERE doc_id < 100 ORDER BY media_id""",
+
+    "qm03_frame_sample" ->
+      """SELECT doc_id AS media_id,
+           count(*) AS n_frames,
+           round(avg(b), 4) AS avg_frame_byte
+         FROM (SELECT doc_id,
+                 unnest(list_transform(generate_series(1, length(text), 16),
+                   i -> ascii(substr(text, CAST(i AS INTEGER), 1)))) AS b
+               FROM documents WHERE doc_id < 20)
+         GROUP BY doc_id ORDER BY media_id"""
+  )
+}

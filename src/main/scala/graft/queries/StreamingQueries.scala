@@ -1,0 +1,128 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface over the `events` table (SURVEY.md §2
+  * Part B "Streaming"): tumbling/sliding windows, session windows,
+  * watermarked stateful dedup.
+  *
+  * Each query runs a real streaming job (file source -> transforms ->
+  * memory sink, driven to completion with processAllAvailable) and returns
+  * the sink table — so the driver's batch-style verify exercises the actual
+  * streaming machinery. Oracles replay the window semantics in batch SQL
+  * (time_bucket / sessionization via lag+cumsum).
+  */
+object StreamingQueries extends QueryModule {
+
+  /** events.parquet holds ts as TIMESTAMP(NANOS): stream-read it as raw
+    * longs (nanosAsLong) and convert to micros, mirroring Tables.events. */
+  private val rawSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType)) :+ StructField("props", StringType))
+
+  private def eventStream(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.readStream.schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet") // file source needs a dir
+      .parquet(d)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Run `stream` to completion into a memory sink and return the result. */
+  private def runToMemory(s: SparkSession, stream: DataFrame, name: String,
+                          mode: String): DataFrame = {
+    val q = stream.writeStream.outputMode(mode)
+      .format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(name)
+  }
+
+  override val queries: Map[String, Q] = Map(
+    // --- tumbling window aggregation ---
+    "qs01_tumbling_window" -> { (s, d) =>
+      val agg = eventStream(s, d)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
+      runToMemory(s, agg, "qs01_out", "complete")
+        .select(col("window.start").as("window_start"), col("event_type"),
+          col("n"), col("total_value"))
+        .orderBy("window_start", "event_type")
+    },
+
+    // --- sliding window aggregation (1 h window, 30 min slide) ---
+    "qs02_sliding_window" -> { (s, d) =>
+      val agg = eventStream(s, d)
+        .filter(col("event_type") === "purchase")
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
+      runToMemory(s, agg, "qs02_out", "complete")
+        .select(col("window.start").as("window_start"), col("n"), col("total_value"))
+        .orderBy("window_start")
+    },
+
+    // --- session windows (30 min gap) per user ---
+    "qs03_session_window" -> { (s, d) =>
+      val agg = eventStream(s, d)
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+      runToMemory(s, agg, "qs03_out", "complete")
+        .select(col("user_id"), col("session_window.start").as("session_start"),
+          col("n_events"))
+        .orderBy("user_id", "session_start")
+    },
+
+    // --- watermarked stateful dedup: duplicate the stream, dedup by key ---
+    "qs04_stream_dedup" -> { (s, d) =>
+      val base = eventStream(s, d)
+      val doubled = base.union(base) // every event arrives twice
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark("event_id")
+      val deduped = runToMemory(s, doubled, "qs04_out", "append")
+      deduped.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), countDistinct(col("event_id")).as("n_distinct"))
+        .orderBy("event_type")
+    }
+  )
+
+  override val oracle: Map[String, String] = Map(
+    "qs01_tumbling_window" ->
+      """SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS window_start,
+           event_type, count(*) AS n, round(sum(value), 2) AS total_value
+         FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""",
+
+    "qs02_sliding_window" ->
+      """SELECT window_start, count(*) AS n, round(sum(value), 2) AS total_value
+         FROM (SELECT CAST(ts AS TIMESTAMP) AS tsx, value,
+                 unnest([time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP)),
+                         time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP)) - INTERVAL '30 minutes']) AS window_start
+               FROM events WHERE event_type = 'purchase')
+         WHERE tsx >= window_start AND tsx < window_start + INTERVAL '1 hour'
+         GROUP BY window_start ORDER BY window_start""",
+
+    "qs03_session_window" ->
+      """WITH ordered AS (
+           SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+             CASE WHEN CAST(ts AS TIMESTAMP) - lag(CAST(ts AS TIMESTAMP), 1, TIMESTAMP '1970-01-01')
+                    OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS new_session
+           FROM events),
+         sessions AS (
+           SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+           FROM ordered)
+         SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+         FROM sessions GROUP BY user_id, session_id
+         ORDER BY user_id, session_start""",
+
+    "qs04_stream_dedup" ->
+      """SELECT event_type, count(DISTINCT event_id) AS n,
+           count(DISTINCT event_id) AS n_distinct
+         FROM events GROUP BY event_type ORDER BY event_type"""
+  )
+}

@@ -1,0 +1,217 @@
+package graft.queries
+
+import graft.core.Tables
+import graft.functions.TextFunctions._
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+
+/** Text analysis + deduplication over the `documents` table (SURVEY.md §2
+  * Part B "Text analysis" / "Dedup"). qd04 (SimHash) has no SQL oracle —
+  * its output depends on xxhash64 — and is spec-verified instead
+  * (DedupSpec); everything else is DuckDB-checked with identical formulas
+  * on both sides.
+  */
+object TextQueries extends QueryModule {
+
+  override val queries: Map[String, Q] = Map(
+    // --- token statistics (tokenize + counting) ---
+    "qt01_token_stats" -> { (s, d) =>
+      Tables.documents(s, d)
+        .withColumn("t", tokens(col("text")))
+        .select(
+          col("doc_id"),
+          size(col("t")).as("n_tokens"),
+          size(array_distinct(col("t"))).as("n_distinct"),
+          round(
+            aggregate(col("t"), lit(0L), (acc, x) => acc + length(x)).cast("double") /
+              size(col("t")).cast("double"), 4).as("avg_tok_len"))
+        .orderBy("doc_id")
+    },
+
+    // --- language-ID via stopword-ratio heuristic ---
+    "qt02_langid_stopwords" -> { (s, d) =>
+      import s.implicits._
+      val stop = TextQueries.stopwords.toDF("cand_lang", "word")
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      val totals = toks.groupBy("doc_id").agg(count(lit(1)).as("n_tok"))
+      val matched = toks.join(broadcast(stop), col("tok") === col("word"))
+        .groupBy("doc_id", "cand_lang").agg(count(lit(1)).as("n_hit"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy(col("ratio_raw").desc, col("cand_lang"))
+      matched.join(totals, "doc_id")
+        .withColumn("ratio_raw", col("n_hit").cast("double") / col("n_tok"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("cand_lang").as("pred_lang"),
+          round(col("ratio_raw"), 4).as("ratio"))
+        .orderBy("doc_id")
+    },
+
+    // --- quality scoring (length/type-token-ratio heuristics) ---
+    "qt03_quality_score" -> { (s, d) =>
+      Tables.documents(s, d)
+        .withColumn("t", tokens(col("text")))
+        .select(
+          col("doc_id"),
+          col("n_chars"),
+          size(col("t")).as("n_tokens"),
+          round(typeTokenRatio(col("t")), 4).as("ttr"),
+          round(least(lit(1.0), size(col("t")).cast("double") / 100.0) *
+            typeTokenRatio(col("t")), 4).as("quality"))
+        .orderBy("doc_id")
+    },
+
+    // --- corpus-level n-gram frequency (top-20 bigrams) ---
+    "qt04_top_bigrams" -> { (s, d) =>
+      Tables.documents(s, d)
+        .select(explode(ngrams(tokens(col("text")), 2)).as("bigram"))
+        .groupBy("bigram")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("bigram"))
+        .limit(20)
+    },
+
+    // --- document fingerprinting: md5 / sha256 / winnowing-min ---
+    "qt05_fingerprints" -> { (s, d) =>
+      Tables.documents(s, d)
+        .filter(col("doc_id") < 50)
+        .select(
+          col("doc_id"),
+          md5Fingerprint(col("text")).as("md5_fp"),
+          sha256Fingerprint(col("text")).as("sha256_fp"),
+          winnowMin(col("text"), 8).as("winnow_fp"))
+        .orderBy("doc_id")
+    },
+
+    // --- exact dedup by key (dropDuplicates w/ deterministic survivor) ---
+    "qd01_dedup_exact" -> { (s, d) =>
+      Dedup.exactByKey(Tables.documents(s, d), "doc_id", Seq("lang", "source"))
+        .orderBy("lang", "source")
+    },
+
+    // --- exact n-gram Jaccard near-dup pairs ---
+    "qd02_dedup_jaccard" -> { (s, d) =>
+      Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",
+          n = 3, threshold = 0.8)
+        .orderBy("d1", "d2")
+    },
+
+    // --- MinHash + banded LSH with exact verification (the scale path;
+    //     detected pairs all have jaccard >= 0.9, where 16x4-band recall
+    //     is 1 - 4e-8, so the exact-Jaccard oracle is stable) ---
+    "qd03_dedup_minhash_lsh" -> { (s, d) =>
+      Dedup.minhashLshPairs(Tables.documents(s, d), "doc_id", "text",
+          n = 3, threshold = 0.8)
+        .orderBy("d1", "d2")
+    },
+
+    // --- SimHash near-dup (hash-seeded: rows-only check + DedupSpec) ---
+    "qd04_dedup_simhash" -> { (s, d) =>
+      Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text", maxDistance = 3)
+        .orderBy("d1", "d2")
+    },
+
+    // --- embedding-cosine near-dup pairs ---
+    "qd05_dedup_embedding" -> { (s, d) =>
+      val vecs = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"))
+      Dedup.embeddingCosinePairs(vecs, "vec_id", "embedding", threshold = 0.45)
+        .orderBy("d1", "d2")
+    }
+  )
+
+  /** Small per-language stopword profiles (classic function-word lists). */
+  val stopwords: Seq[(String, String)] = Seq(
+    "en" -> "the", "en" -> "a", "en" -> "of", "en" -> "and", "en" -> "to",
+    "es" -> "el", "es" -> "la", "es" -> "de", "es" -> "y", "es" -> "que",
+    "de" -> "der", "de" -> "die", "de" -> "und", "de" -> "ist", "de" -> "von",
+    "fr" -> "le", "fr" -> "la", "fr" -> "et", "fr" -> "les", "fr" -> "des")
+
+  private val stopwordValues = stopwords
+    .map { case (l, w) => s"('$l','$w')" }.mkString(", ")
+
+  private val shingleCte =
+    """toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+      sh AS (SELECT DISTINCT doc_id,
+             unnest(list_transform(generate_series(1, len(t)-2),
+                    i -> t[i]||' '||t[i+1]||' '||t[i+2])) AS s
+             FROM toks WHERE len(t) >= 3),
+      sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+      pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)"""
+
+  private val jaccardSql =
+    s"""WITH $shingleCte
+       SELECT d1, d2, round(inter*1.0/(s1.n_sh + s2.n_sh - inter), 4) AS jaccard
+       FROM pairs p JOIN sizes s1 ON p.d1 = s1.doc_id JOIN sizes s2 ON p.d2 = s2.doc_id
+       WHERE inter*1.0/(s1.n_sh + s2.n_sh - inter) >= 0.8
+       ORDER BY d1, d2"""
+
+  override val oracle: Map[String, String] = Map(
+    "qt01_token_stats" ->
+      """SELECT doc_id, CAST(len(t) AS INTEGER) AS n_tokens,
+           CAST(len(list_distinct(t)) AS INTEGER) AS n_distinct,
+           round(list_aggregate(list_transform(t, x -> length(x)), 'sum')*1.0 / len(t), 4) AS avg_tok_len
+         FROM (SELECT doc_id, string_split(text,' ') AS t FROM documents)
+         ORDER BY doc_id""",
+
+    "qt02_langid_stopwords" ->
+      s"""WITH stop(cand_lang, word) AS (SELECT * FROM (VALUES $stopwordValues)),
+         toks AS (SELECT doc_id, unnest(string_split(text,' ')) AS tok FROM documents),
+         totals AS (SELECT doc_id, count(*) AS n_tok FROM toks GROUP BY doc_id),
+         matched AS (SELECT doc_id, cand_lang, count(*) AS n_hit
+                     FROM toks JOIN stop ON tok = word GROUP BY doc_id, cand_lang)
+         SELECT doc_id, cand_lang AS pred_lang, ratio FROM (
+           SELECT m.doc_id, m.cand_lang,
+             round(m.n_hit*1.0 / t.n_tok, 4) AS ratio,
+             row_number() OVER (PARTITION BY m.doc_id
+               ORDER BY m.n_hit*1.0 / t.n_tok DESC, m.cand_lang) AS rn
+           FROM matched m JOIN totals t ON m.doc_id = t.doc_id)
+         WHERE rn = 1 ORDER BY doc_id""",
+
+    "qt03_quality_score" ->
+      """SELECT doc_id, n_chars, CAST(len(t) AS INTEGER) AS n_tokens,
+           round(len(list_distinct(t))*1.0 / len(t), 4) AS ttr,
+           round(least(1.0, len(t)/100.0) * (len(list_distinct(t))*1.0/len(t)), 4) AS quality
+         FROM (SELECT doc_id, n_chars, string_split(text,' ') AS t FROM documents)
+         ORDER BY doc_id""",
+
+    "qt04_top_bigrams" ->
+      """SELECT bigram, count(*) AS cnt FROM (
+           SELECT unnest(list_transform(generate_series(1, len(t)-1),
+                  i -> t[i]||' '||t[i+1])) AS bigram
+           FROM (SELECT string_split(text,' ') AS t FROM documents)
+           WHERE len(t) >= 2)
+         GROUP BY bigram ORDER BY cnt DESC, bigram LIMIT 20""",
+
+    "qt05_fingerprints" ->
+      """SELECT doc_id, md5(text) AS md5_fp, sha256(text) AS sha256_fp,
+           CASE WHEN length(text) < 8 THEN md5(text)
+                ELSE list_aggregate(list_transform(
+                       generate_series(1, length(text)-7),
+                       i -> md5(substr(text, CAST(i AS INTEGER), 8))), 'min')
+           END AS winnow_fp
+         FROM documents WHERE doc_id < 50 ORDER BY doc_id""",
+
+    "qd01_dedup_exact" ->
+      """SELECT lang, source, min(doc_id) AS keep_id, count(*) AS n_dups
+         FROM documents GROUP BY lang, source ORDER BY lang, source""",
+
+    "qd02_dedup_jaccard" -> jaccardSql,
+
+    "qd03_dedup_minhash_lsh" -> jaccardSql,
+
+    // qd04_dedup_simhash: intentionally no oracle (xxhash64-seeded)
+
+    "qd05_dedup_embedding" ->
+      """SELECT a.vec_id AS d1, b.vec_id AS d2,
+           round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(b.embedding AS DOUBLE[])) >= 0.45
+         ORDER BY d1, d2"""
+  )
+}

@@ -1,0 +1,109 @@
+package graft.queries
+
+import graft.core.Tables
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (SURVEY.md §2 Part B):
+  * brute-force cosine top-k (exact baseline) and IVF-pruned ANN (scale
+  * path). Both DuckDB-checked — the IVF oracle recomputes label centroids
+  * with a generated 64-term element-wise average and replays the same
+  * assignment/probe/search logic in SQL.
+  */
+object VectorQueries extends QueryModule {
+
+  private val dim = 64
+  private val k = 10
+  private val nprobe = 2
+
+  override val queries: Map[String, Q] = Map(
+    // --- exact brute-force top-k (map-only: broadcast queries, scan corpus
+    //     once, per-query top-k window) ---
+    "qv01_cosine_topk" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+      Similarity.bruteForceTopK(queries, corpus, k)
+        .orderBy("q_id", "rank")
+    },
+
+    // --- IVF ANN: label-mean centroids (typed VectorMean Aggregator),
+    //     nearest-centroid assignment, nprobe-cluster exact search ---
+    "qv02_ivf_ann" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val cents = Similarity.centroids(
+        emb.select(col("label"), col("embedding")), "label", "embedding", dim)
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+      Similarity.ivfTopK(queries, corpus, cents, k = 5, nprobe = nprobe)
+        .orderBy("q_id", "rank")
+    },
+
+    // --- per-cluster vector stats (centroid norms via the Aggregator) ---
+    "qv03_centroid_norms" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val cents = Similarity.centroids(
+        emb.select(col("label"), col("embedding")), "label", "embedding", dim)
+      cents.select(
+          col("cluster").as("label"),
+          round(graft.functions.VectorFunctions.l2Norm(col("centroid")), 6).as("centroid_norm"))
+        .orderBy("label")
+    }
+  )
+
+  /** DuckDB centroid: element-wise mean as an explicit 64-term list. */
+  private val centroidList: String =
+    (1 to dim).map(i => s"sum(CAST(embedding[$i] AS DOUBLE))/count(*)").mkString("[", ", ", "]")
+
+  private val centroidCte =
+    s"cent AS (SELECT label AS cluster, $centroidList AS centroid FROM embeddings GROUP BY label)"
+
+  override val oracle: Map[String, String] = Map(
+    "qv01_cosine_topk" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+                     FROM embeddings WHERE vec_id < 5),
+          c AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+          SELECT q_id, CAST(rank AS INTEGER) AS rank, id, cosine FROM (
+            SELECT q_id, id,
+              round(list_cosine_similarity(qv, v), 6) AS cosine,
+              row_number() OVER (PARTITION BY q_id
+                ORDER BY round(list_cosine_similarity(qv, v), 6) DESC, id) AS rank
+            FROM q CROSS JOIN c)
+          WHERE rank <= $k ORDER BY q_id, rank""",
+
+    "qv02_ivf_ann" ->
+      s"""WITH $centroidCte,
+          assigned AS (
+            SELECT id, v, cluster FROM (
+              SELECT c.vec_id AS id, CAST(c.embedding AS DOUBLE[]) AS v, ct.cluster,
+                row_number() OVER (PARTITION BY c.vec_id
+                  ORDER BY list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), ct.centroid) DESC,
+                           ct.cluster) AS rn
+              FROM embeddings c CROSS JOIN cent ct)
+            WHERE rn = 1),
+          probes AS (
+            SELECT q_id, qv, cluster FROM (
+              SELECT q.vec_id AS q_id, CAST(q.embedding AS DOUBLE[]) AS qv, ct.cluster,
+                row_number() OVER (PARTITION BY q.vec_id
+                  ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), ct.centroid) DESC,
+                           ct.cluster) AS rn
+              FROM embeddings q CROSS JOIN cent ct
+              WHERE q.vec_id < 5)
+            WHERE rn <= $nprobe)
+          SELECT q_id, CAST(rank AS INTEGER) AS rank, id, cosine FROM (
+            SELECT p.q_id, a.id,
+              round(list_cosine_similarity(p.qv, a.v), 6) AS cosine,
+              row_number() OVER (PARTITION BY p.q_id
+                ORDER BY round(list_cosine_similarity(p.qv, a.v), 6) DESC, a.id) AS rank
+            FROM probes p JOIN assigned a ON p.cluster = a.cluster)
+          WHERE rank <= 5 ORDER BY q_id, rank""",
+
+    "qv03_centroid_norms" ->
+      s"""WITH $centroidCte
+          SELECT cluster AS label,
+            round(sqrt(list_aggregate(list_transform(centroid, x -> x*x), 'sum')), 6) AS centroid_norm
+          FROM cent ORDER BY label"""
+  )
+}

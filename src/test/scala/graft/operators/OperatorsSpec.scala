@@ -1,0 +1,127 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import graft.queries.TextQueries
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Operator-level specs: crafted-input semantics for as-of/range joins and
+  * the dedup family properties the DuckDB oracle cannot check (hash-seeded
+  * LSH/SimHash recall). */
+class OperatorsSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+  private val sf = "/root/testdata/sf0.001"
+
+  test("asOf: matches latest right <= left, equal-ts matches, ties by id") {
+    val left = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00")),
+      (2L, 10L, ts("2024-01-01 09:00:00")), // before any right row
+      (3L, 20L, ts("2024-01-01 12:00:00"))
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (10L, ts("2024-01-01 09:30:00"), 100L, 1.0),
+      (10L, ts("2024-01-01 10:00:00"), 101L, 2.0), // equal ts -> matches
+      (10L, ts("2024-01-01 10:00:00"), 102L, 3.0), // tie: higher id wins
+      (20L, ts("2024-01-01 11:00:00"), 103L, 4.0)
+    ).toDF("user_id", "rts", "rid", "rvalue")
+    val got = AsOfJoin.asOf(left, right, "user_id", "ts", "rts",
+        Seq("rvalue"), rightTieBreak = Some("rid"))
+      .select("event_id", "asof_rvalue").as[(Long, Option[Double])]
+      .collect().toMap
+    assert(got(1L) === Some(3.0)) // equal-ts, highest rid
+    assert(got(2L) === None)      // nothing precedes
+    assert(got(3L) === Some(4.0))
+  }
+
+  test("range join: [t, t+win) boundary semantics across bucket edges") {
+    val l = Seq((1L, ts("2024-01-01 10:00:00"))).toDF("l_id", "l_ts")
+    val r = Seq(
+      (10L, ts("2024-01-01 09:59:59")), // before -> excluded
+      (11L, ts("2024-01-01 10:00:00")), // inclusive start
+      (12L, ts("2024-01-01 10:04:30")), // next bucket, inside
+      (13L, ts("2024-01-01 10:05:00")), // exclusive end
+      (14L, ts("2024-01-01 10:07:00"))  // after -> excluded
+    ).toDF("r_id", "r_ts")
+    val got = RangeJoin.timeWindowJoin(l, r, "l_ts", "r_ts", 300L)
+      .select("r_id").as[Long].collect().sorted
+    assert(got === Array(11L, 12L))
+  }
+
+  test("LSH candidates contain every exact-Jaccard pair (recall check)") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text", 3, 0.8)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "fixture should contain planted near-dups")
+    assert(lsh === exact)
+  }
+
+  test("stop-shingle cap never invents pairs") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val uncapped = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    val capped = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8,
+        maxShingleDocFreq = Some(50))
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    assert(capped.subsetOf(uncapped))
+  }
+
+  test("simhash: identical docs at distance 0; pairs are id-ordered") {
+    val docs = Seq(
+      (1L, "spark join filter window batch stream"),
+      (2L, "spark join filter window batch stream"), // identical
+      (3L, "completely different words entirely here now")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", 3)
+      .select("d1", "d2", "hamming").as[(Long, Long, Int)].collect()
+    assert(pairs.toSeq === Seq((1L, 2L, 0)))
+  }
+
+  test("brute-force top-k: rank 1 of a corpus vector is itself") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val top1 = Similarity.bruteForceTopK(queries, corpus, 1)
+      .select("q_id", "id").as[(Long, Long)].collect().toMap
+    assert(top1 === Map(0L -> 0L, 1L -> 1L, 2L -> 2L))
+  }
+
+  test("IVF with nprobe=K equals brute force") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val cents = Similarity.centroids(
+      emb.select(col("label"), col("embedding")), "label", "embedding", 64)
+    val queries = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val brute = Similarity.bruteForceTopK(queries, corpus, 5)
+      .select("q_id", "rank", "id").as[(Long, Int, Long)].collect().toSet
+    val ivfAll = Similarity.ivfTopK(queries, corpus, cents, 5, nprobe = 10)
+      .select("q_id", "rank", "id").as[(Long, Int, Long)].collect().toSet
+    assert(ivfAll === brute)
+  }
+
+  test("decode stub is deterministic and dimension-bounded") {
+    val media = Seq(
+      Multimodal.MediaRow(1L, "hello world frame data".getBytes("UTF-8"), "text/plain"),
+      Multimodal.MediaRow(2L, Array.emptyByteArray, "text/plain"))
+    val ds = spark.createDataset(media)
+    val out = Multimodal.decodeAll(spark, ds).collect().sortBy(_.media_id)
+    assert(out.length === 2)
+    assert(out(0) === Multimodal.DecodeStub.decode(media.head)) // deterministic
+    assert(out.forall(d => d.width >= 1 && d.width <= 1024))
+    assert(out(1).mean_byte === 0.0)
+  }
+}
