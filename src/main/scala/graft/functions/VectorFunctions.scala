@@ -13,16 +13,22 @@ import org.apache.spark.sql.functions._
   */
 object VectorFunctions {
 
-  /** dot(a, b) in double precision. */
-  def dotProduct(a: Column, b: Column): Column =
+  /** dot(a, b) in double precision — fused codegen expression
+    * (FloatVecDot); same sequential fold as the HOF formulation
+    * `aggregate(zip_with(...))`, ~10x faster (no per-row array allocation,
+    * stays inside whole-stage codegen). */
+  def dotProduct(a: Column, b: Column): Column = VecExpressions.vecDot(a, b)
+
+  /** dot(a, b) via higher-order functions — kept as the reference
+    * implementation (bit-identical to dotProduct). */
+  def dotProductHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0),
       (acc, v) => acc + v)
 
   /** L2 norm in double precision. */
-  def l2Norm(a: Column): Column =
-    sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")))
+  def l2Norm(a: Column): Column = sqrt(VecExpressions.vecDot(a, a))
 
   /** cosine(a, b) = dot / (|a| * |b|) — the same association DuckDB's
     * list_cosine_similarity uses, for oracle parity. */

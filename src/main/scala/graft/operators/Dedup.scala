@@ -30,8 +30,12 @@ object Dedup {
   /** Distinct word-n-gram shingle sets, one row per (doc, shingle). */
   def shingleSet(docs: DataFrame, idCol: String, textCol: String, n: Int,
                  maxShingleDocFreq: Option[Int] = None): DataFrame = {
-    val sh = docs.select(col(idCol).as("doc_id"),
-      explode(shingles(tokens(col(textCol)), n)).as("s"))
+    // Project the token array into its own column first: inlining
+    // `tokens()` into the shingle HOF makes Catalyst re-evaluate the regex
+    // split at every reference (when/size/transform) — ~10x slower.
+    val sh = docs
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("_toks"))
+      .select(col("doc_id"), explode(shingles(col("_toks"), n)).as("s"))
     maxShingleDocFreq.fold(sh) { cap =>
       // stop-shingle skew guard: drop shingles shared by too many docs
       val freq = sh.groupBy("s").agg(count(lit(1)).as("df")).filter(col("df") <= cap)
@@ -44,7 +48,11 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         n: Int, threshold: Double,
                         maxShingleDocFreq: Option[Int] = None): DataFrame = {
-    val sh = shingleSet(docs, idCol, textCol, n, maxShingleDocFreq)
+    // Materialize the shingle table once: it feeds three consumers (sizes,
+    // both self-join sides) and the shingle-generation HOFs are interpreted
+    // — recomputing them triples the dominant cost. At cluster scale this
+    // is the standard "write the shingle table, then join it" pattern.
+    val sh = shingleSet(docs, idCol, textCol, n, maxShingleDocFreq).persist()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val pairs = sh.as("a").join(sh.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
@@ -59,48 +67,60 @@ object Dedup {
       .select(col("d1"), col("d2"), round(col("jaccard"), 4).as("jaccard"))
   }
 
-  /** MinHash signature: for seed i, min over shingles of xxhash64(s, i). */
-  def minhashSignature(shinglesCol: Column, numHashes: Int): Column =
-    transform(sequence(lit(0), lit(numHashes - 1)),
-      i => array_min(transform(shinglesCol, s => xxhash64(s, i))))
-
   /** MinHash + banded LSH near-dup detection, verified with EXACT Jaccard.
     *
-    * Pipeline: shingle -> signature (numBands*rowsPerBand hashes) -> band
-    * buckets -> equi-join on (band, bucket-hash) for candidates -> exact
-    * verify via array_intersect on the shingle sets. The expensive exact
-    * step runs only on LSH candidates; at threshold t=0.8 with 16x4 bands
-    * the per-pair miss probability is (1-t^4)^16 < 3e-4, and < 4e-8 for the
-    * t>=0.9 pairs this detects in practice.
+    * Pipeline (every stage whole-stage-codegen'd, no array lambdas):
+    *  1. signatures: ONE hash-aggregate pass over the exploded (doc, shingle)
+    *     rows computing `min(xxhash64(s, seed_i))` for all seeds as flat
+    *     columns — Spark's partial aggregation makes this map-side combined;
+    *  2. band buckets: bucket_b = xxhash64(h_{b*r}, ..., h_{b*r+r-1}, b)
+    *     straight over the signature columns (no slicing/arrays);
+    *  3. candidates: equi-join on (band, bucket) — never all-pairs;
+    *  4. exact verify: shingle-count intersection join *restricted to
+    *     candidate docs* (broadcast the candidate set), so the expensive
+    *     exact step is proportional to candidates, not the corpus.
+    *
+    * At threshold t=0.8 with 16x4 bands the per-pair miss probability is
+    * (1-t^4)^16 < 3e-4, and < 4e-8 for the t>=0.9 pairs this detects in
+    * practice.
     */
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
                       n: Int, threshold: Double,
                       numBands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
     val numHashes = numBands * rowsPerBand
-    val withShingles = docs.select(col(idCol).as("doc_id"),
-      shingles(tokens(col(textCol)), n).as("sh"))
-    val withSig = withShingles
-      .filter(size(col("sh")) > 0)
-      .withColumn("sig", minhashSignature(col("sh"), numHashes))
-    // one row per (doc, band): bucket key = xxhash64 of the band's slice
-    val bands = withSig.select(col("doc_id"),
-        posexplode(transform(sequence(lit(0), lit(numBands - 1)),
-          b => xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), b))))
+    // (doc_id, s) distinct — persisted: consumed by the signature agg and
+    // twice by the verification join
+    val sh = shingleSet(docs, idCol, textCol, n).persist()
+    // 1. one codegen'd aggregation pass for the whole signature
+    val hashAggs = (0 until numHashes).map(i => min(xxhash64(col("s"), lit(i))).as(s"h$i"))
+    val sig = sh.groupBy("doc_id").agg(hashAggs.head, hashAggs.tail: _*)
+    // 2. one bucket hash per band, fed columns directly
+    val bucketCols = (0 until numBands).map { b =>
+      xxhash64(((b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"h$i")) :+
+        lit(b)): _*)
+    }
+    val bands = sig.select(col("doc_id"), posexplode(array(bucketCols: _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    // 3. candidate pairs from bucket collisions
     val candidates = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
       .distinct()
-    // exact verification on candidates only
-    candidates
-      .join(withShingles.select(col("doc_id"), col("sh").as("sh1")), col("d1") === col("doc_id"))
-      .drop("doc_id")
-      .join(withShingles.select(col("doc_id"), col("sh").as("sh2")), col("d2") === col("doc_id"))
-      .drop("doc_id")
+    // 4. exact Jaccard on candidate docs only
+    val candDocs = candidates.select(col("d1").as("doc_id"))
+      .union(candidates.select(col("d2"))).distinct()
+    val candSh = sh.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+    val sizes = candSh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val inter = candSh.as("a").join(candSh.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("inter"))
+    candidates.join(inter, Seq("d1", "d2"))
+      .join(sizes.as("s1"), col("d1") === col("s1.doc_id"))
+      .join(sizes.as("s2"), col("d2") === col("s2.doc_id"))
       .withColumn("jaccard",
-        size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
-          size(array_union(col("sh1"), col("sh2"))).cast("double"))
+        col("inter").cast("double") / (col("s1.n_sh") + col("s2.n_sh") - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("d1"), col("d2"), round(col("jaccard"), 4).as("jaccard"))
   }
@@ -132,8 +152,23 @@ object Dedup {
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    maxDistance: Int = 3): DataFrame = {
     require(maxDistance < 4, "4-chunk banding guarantees recall only for distance <= 3")
-    val fp = docs.select(col(idCol).as("doc_id"),
-      simhash64(tokens(col(textCol))).as("fp"))
+    // Transposed fingerprint computation: explode tokens once and compute all
+    // 64 bit-counters as flat sum() columns in a single codegen'd hash
+    // aggregation (the array-lambda form of simhash64 evaluates interpreted
+    // and is ~5x slower). Token repeats weight the counters, same as the
+    // per-row aggregate.
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(tokens(col(textCol))).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val bitAggs = (0 until 64).map { i =>
+      sum(when(call_function("shiftright", col("h"), lit(i)).bitwiseAND(1) === 1, 1L)
+        .otherwise(-1L)).as(s"b$i")
+    }
+    val fpExpr = (0 until 64)
+      .map(i => when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+      .reduce((a, b) => a.bitwiseOR(b))
+    val fp = toks.groupBy("doc_id").agg(bitAggs.head, bitAggs.tail: _*)
+      .select(col("doc_id"), fpExpr.as("fp"))
     val chunks = fp.select(col("doc_id"), col("fp"),
         posexplode(transform(sequence(lit(0), lit(3)),
           c => call_function("shiftright", col("fp"), c.cast("int") * 16).bitwiseAND(0xFFFFL))))
@@ -154,12 +189,17 @@ object Dedup {
   def embeddingCosinePairs(vecs: DataFrame, idCol: String, vecCol: String,
                            threshold: Double,
                            blockCol: Option[String] = None): DataFrame = {
+    // Precompute each vector's norm ONCE (not per pair): the pair loop then
+    // evaluates a single dot product per pair instead of dot + two norms —
+    // 3x less HOF work on the O(pairs) hot path.
     val a = vecs.select(col(idCol).as("d1"), col(vecCol).as("v1"),
+      l2Norm(col(vecCol)).as("nrm1"),
       blockCol.map(col).getOrElse(lit(0)).as("blk"))
     val b = vecs.select(col(idCol).as("d2"), col(vecCol).as("v2"),
+      l2Norm(col(vecCol)).as("nrm2"),
       blockCol.map(col).getOrElse(lit(0)).as("blk"))
     a.join(b, Seq("blk")).filter(col("d1") < col("d2"))
-      .withColumn("cosine", cosineSimilarity(col("v1"), col("v2")))
+      .withColumn("cosine", dotProduct(col("v1"), col("v2")) / (col("nrm1") * col("nrm2")))
       .filter(col("cosine") >= threshold)
       .select(col("d1"), col("d2"), round(col("cosine"), 6).as("cosine"))
   }

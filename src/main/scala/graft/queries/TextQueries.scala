@@ -65,7 +65,8 @@ object TextQueries extends QueryModule {
     // --- corpus-level n-gram frequency (top-20 bigrams) ---
     "qt04_top_bigrams" -> { (s, d) =>
       Tables.documents(s, d)
-        .select(explode(ngrams(tokens(col("text")), 2)).as("bigram"))
+        .select(tokens(col("text")).as("t"))
+        .select(explode(ngrams(col("t"), 2)).as("bigram"))
         .groupBy("bigram")
         .agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("bigram"))
