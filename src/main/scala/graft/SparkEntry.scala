@@ -18,7 +18,8 @@ object SparkEntry {
     VectorQueries,
     JoinQueries,
     MultimodalQueries,
-    StreamingQueries
+    StreamingQueries,
+    CoverageQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -23,6 +23,12 @@ import org.apache.hadoop.conf.Configuration
 class DatalakeRetrieveService(cfg: LakeConfig) {
 
   private val storage = new LakeStorage(cfg.root, new Configuration(), cfg.retryDelayMs)
+  private lazy val registry =
+    new LakeStorage(cfg.resolvedRegistryRoot, new Configuration(), cfg.retryDelayMs)
+
+  /** Read a config/manifest object from the secondary registry store
+    * (ref: OCIClient.kt:78-80 `getObjectFromINFX`). */
+  def getObjectFromRegistry(fileName: String): Option[String] = registry.get(fileName)
 
   /** Batch keyed lookup; missing keys are absent from the result. */
   def retrieveBinaryData(urls: Seq[URI]): Map[URI, BinaryDoc] =

@@ -36,6 +36,21 @@ class LakeStorage(val root: String, conf: Configuration, retryDelayMs: Long = 50
   def put(fileName: String, data: String): Boolean =
     LakeStorage.putWith(fs, path(fileName), data, retryDelayMs)
 
+  /** Byte-stream upload (the reference's InputStream variant,
+    * ref: OCIClient.kt:101-137). */
+  def putBytes(fileName: String, data: Array[Byte]): Boolean = {
+    def attempt(): Boolean = {
+      val out = fs.create(path(fileName), true)
+      try { out.write(data); true } finally out.close()
+    }
+    try attempt()
+    catch {
+      case _: IOException =>
+        Thread.sleep(retryDelayMs)
+        try attempt() catch { case _: IOException => false }
+    }
+  }
+
   /** Point read; None when missing (the reference's 404->null). */
   def get(fileName: String): Option[String] = {
     val p = path(fileName)

@@ -31,5 +31,11 @@ final case class LakeConfig(
     namespace: String = "namespace",
     bucket: String = "datalake",
     registryBucket: String = "infx-shared",
+    /** Secondary root for registry/manifest reads (the reference's
+      * `infx-shared` bucket, ref: OCIClient.kt:39-40,78-80). Defaults to a
+      * sibling of `root`. */
+    registryRoot: Option[String] = None,
     publishPoolMax: Int = 10,
-    retryDelayMs: Long = 5000L)
+    retryDelayMs: Long = 5000L) {
+  def resolvedRegistryRoot: String = registryRoot.getOrElse(s"$root-registry")
+}

@@ -1,0 +1,215 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import graft.core.Tables
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Coverage closure for the remaining SURVEY.md §2 Part B rows: CSV/JSON
+  * scans, partitioned batch sink with pruned read-back, right joins,
+  * secondary aggregate family (bool_and/bool_or, first/last, collect_set,
+  * ntile), approximate aggregates, map functions, null-safe equality.
+  */
+object CoverageQueries extends QueryModule {
+
+  override val queries: Map[String, Q] = Map(
+    // --- CSV sink + schema'd CSV scan round-trip ---
+    "qc08_csv_roundtrip" -> { (s, d) =>
+      val out = Files.createTempDirectory("graft_csv_").toString
+      Tables.nation(s, d).orderBy("n_nationkey")
+        .write.mode("overwrite").option("header", "true").csv(out)
+      val schema = StructType(Seq(
+        StructField("n_nationkey", IntegerType),
+        StructField("n_name", StringType),
+        StructField("n_regionkey", IntegerType)))
+      s.read.schema(schema).option("header", "true").csv(out)
+        .groupBy("n_regionkey")
+        .agg(count(lit(1)).as("n"), min("n_name").as("first_name"))
+        .orderBy("n_regionkey")
+    },
+
+    // --- JSON scan with explicit schema + corrupt-record column ---
+    "qc09_json_scan" -> { (s, d) =>
+      val out = Files.createTempDirectory("graft_json_").toString
+      import s.implicits._
+      Seq(
+        """{"id":"a","n":1}""",
+        """{"id":"b","n":2}""",
+        """not json at all""",
+        """{"id":"c","n":null}""").toDF("value")
+        .coalesce(1).write.mode("overwrite").text(out)
+      val schema = StructType(Seq(
+        StructField("id", StringType), StructField("n", LongType),
+        StructField("_corrupt", StringType)))
+      s.read.schema(schema)
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .json(out)
+        .select(col("id"), col("n"), col("_corrupt").isNotNull.as("is_corrupt"))
+        .orderBy(col("id").asc_nulls_last)
+    },
+
+    // --- partitioned batch write + partition-pruned scan-back ---
+    "qc10_partitioned_write" -> { (s, d) =>
+      val out = Files.createTempDirectory("graft_part_").toString
+      Tables.orders(s, d)
+        .withColumn("yr", year(col("o_orderdate")))
+        .write.mode("overwrite").partitionBy("yr").parquet(out)
+      // the filter on the partition column prunes directories at planning
+      s.read.parquet(out)
+        .filter(col("yr") === 1996)
+        .agg(count(lit(1)).as("n_1996"),
+          round(sum("o_totalprice"), 2).as("total_1996"))
+    },
+
+    // --- right outer join ---
+    "q25_right_join" -> { (s, d) =>
+      val jumbo = Tables.orders(s, d).filter(col("o_totalprice") > 400000)
+      val cust = Tables.customer(s, d)
+      jumbo.join(cust, jumbo("o_custkey") === cust("c_custkey"), "right")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("n_jumbo"))
+        .filter(col("n_jumbo") > 0)
+        .orderBy("c_custkey")
+    },
+
+    // --- secondary aggregates: bool_and/bool_or (A10), first/last over
+    //     sorted input, collect_set, ntile window ---
+    "q26_misc_aggs" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          expr("bool_and(l_quantity > 0)").as("all_positive"),
+          expr("bool_or(l_discount >= 0.09)").as("any_high_discount"),
+          min_by(col("l_orderkey"), struct(col("l_shipdate"), col("l_orderkey"))).as("earliest_order"),
+          max_by(col("l_orderkey"), struct(col("l_shipdate"), col("l_orderkey"))).as("latest_order"),
+          array_join(array_sort(collect_set(col("l_linestatus"))), ",").as("statuses"))
+        .orderBy("l_returnflag")
+    },
+
+    "q27_ntile_window" -> { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      Tables.customer(s, d)
+        .withColumn("quartile", ntile(4).over(w))
+        .groupBy("quartile")
+        .agg(count(lit(1)).as("n"),
+          round(min("c_acctbal"), 2).as("min_bal"),
+          round(max("c_acctbal"), 2).as("max_bal"))
+        .orderBy("quartile")
+    },
+
+    // --- approximate aggregates (HLL++/quantile sketch): rows-only check;
+    //     accuracy asserted in ApproxSpec against exact values ---
+    "q28_approx_aggs" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("approx_median"))
+        .orderBy("l_returnflag")
+    },
+
+    // --- map construction / extraction / explode ---
+    "q29_map_funcs" -> { (s, d) =>
+      Tables.part(s, d)
+        .filter(col("p_partkey") <= 100)
+        .withColumn("attrs", map(
+          lit("brand"), col("p_brand"),
+          lit("type"), col("p_type")))
+        .select(col("p_partkey"),
+          element_at(col("attrs"), "brand").as("brand"),
+          map_keys(col("attrs")).getItem(0).as("first_key"),
+          size(col("attrs")).as("n_attrs"))
+        .orderBy("p_partkey")
+    },
+
+    // --- null-safe equality (<=>) ---
+    "q30_null_safe_eq" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+        .withColumn("maybe_val",
+          when(col("event_type") === "error", col("value")))
+      ev.as("a").join(ev.as("b"),
+          col("a.user_id") === col("b.user_id") &&
+          col("a.maybe_val") <=> col("b.maybe_val") &&
+          col("a.event_id") < col("b.event_id"))
+        .filter(col("a.event_id") < 100)
+        .groupBy(col("a.event_id").as("event_id"))
+        .agg(count(lit(1)).as("n_null_safe_matches"))
+        .orderBy("event_id")
+    }
+  )
+
+  override val oracle: Map[String, String] = Map(
+    "qc08_csv_roundtrip" ->
+      """SELECT n_regionkey, count(*) AS n, min(n_name) AS first_name
+         FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""",
+
+    "qc09_json_scan" ->
+      """SELECT * FROM (VALUES
+         ('a', CAST(1 AS BIGINT), false),
+         ('b', 2, false),
+         ('c', NULL, false),
+         (CAST(NULL AS VARCHAR), NULL, true)) t(id, n, is_corrupt)
+         ORDER BY id NULLS LAST""",
+
+    "qc10_partitioned_write" ->
+      """SELECT count(*) AS n_1996, round(sum(o_totalprice),2) AS total_1996
+         FROM orders WHERE year(o_orderdate) = 1996""",
+
+    "q25_right_join" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_jumbo
+         FROM (SELECT * FROM orders WHERE o_totalprice > 400000) o
+         RIGHT JOIN customer ON o.o_custkey = c_custkey
+         GROUP BY c_custkey HAVING count(o_orderkey) > 0
+         ORDER BY c_custkey""",
+
+    "q26_misc_aggs" ->
+      """WITH agg AS (
+           SELECT l_returnflag,
+             bool_and(l_quantity > 0) AS all_positive,
+             bool_or(l_discount >= 0.09) AS any_high_discount,
+             array_to_string(list_sort(list_distinct(list(l_linestatus))), ',') AS statuses
+           FROM lineitem GROUP BY l_returnflag),
+         ranked AS (
+           SELECT l_returnflag, l_orderkey,
+             row_number() OVER (PARTITION BY l_returnflag
+               ORDER BY l_shipdate, l_orderkey) AS rn_min,
+             row_number() OVER (PARTITION BY l_returnflag
+               ORDER BY l_shipdate DESC, l_orderkey DESC) AS rn_max
+           FROM lineitem),
+         mn AS (SELECT l_returnflag, l_orderkey AS earliest_order FROM ranked WHERE rn_min = 1),
+         mx AS (SELECT l_returnflag, l_orderkey AS latest_order FROM ranked WHERE rn_max = 1)
+         SELECT agg.l_returnflag, all_positive, any_high_discount,
+           earliest_order, latest_order, statuses
+         FROM agg JOIN mn USING (l_returnflag) JOIN mx USING (l_returnflag)
+         ORDER BY l_returnflag""",
+
+    "q27_ntile_window" ->
+      """SELECT quartile, count(*) AS n, round(min(c_acctbal),2) AS min_bal,
+           round(max(c_acctbal),2) AS max_bal
+         FROM (SELECT c_acctbal,
+                 CAST(ntile(4) OVER (ORDER BY c_acctbal DESC, c_custkey) AS INTEGER) AS quartile
+               FROM customer)
+         GROUP BY quartile ORDER BY quartile""",
+
+    // q28_approx_aggs: intentionally no oracle (sketch implementations
+    // differ across engines); accuracy bounded in ApproxSpec
+
+    "q29_map_funcs" ->
+      """SELECT p_partkey, p_brand AS brand, 'brand' AS first_key,
+           CAST(2 AS INTEGER) AS n_attrs
+         FROM part WHERE p_partkey <= 100 ORDER BY p_partkey""",
+
+    "q30_null_safe_eq" ->
+      """WITH ev AS (SELECT event_id, user_id,
+             CASE WHEN event_type = 'error' THEN value END AS maybe_val
+           FROM events)
+         SELECT a.event_id, count(*) AS n_null_safe_matches
+         FROM ev a JOIN ev b ON a.user_id = b.user_id
+           AND a.maybe_val IS NOT DISTINCT FROM b.maybe_val
+           AND a.event_id < b.event_id
+         WHERE a.event_id < 100
+         GROUP BY a.event_id ORDER BY a.event_id"""
+  )
+}

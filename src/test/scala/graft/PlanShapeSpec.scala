@@ -1,0 +1,81 @@
+package graft
+
+import graft.core.Tables
+import graft.operators.RangeJoin
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan shape assertions: the 100 TB posture is only real if the
+  * plans are right — filters reach the parquet scan, dimension joins
+  * broadcast, the range join never degrades to a nested-loop product, and
+  * the hot vector kernel stays inside whole-stage codegen. */
+class PlanShapeSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("filter + projection are pushed into the parquet scan (q01)") {
+    val p = plan(SparkEntry.queries("q01_pricing_summary")(spark, sf))
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"missing pushed filter:\n$p")
+    // column pruning: the scan must not read l_orderkey/l_partkey/l_suppkey
+    assert(p.contains("ReadSchema") && !p.contains("l_partkey"),
+      s"scan reads pruned columns:\n$p")
+  }
+
+  test("star-join dimensions broadcast (q07)") {
+    val p = plan(SparkEntry.queries("q07_regional_revenue")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join:\n$p")
+  }
+
+  test("bucketed range join plans as a hash/sort-merge join, never BNLJ") {
+    val ev = Tables.events(spark, sf)
+    val l = ev.filter(col("event_type") === "signup")
+      .select(col("event_id").as("l_id"), col("ts").as("l_ts"))
+    val r = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("r_id"), col("ts").as("r_ts"))
+    val p = plan(RangeJoin.timeWindowJoin(l, r, "l_ts", "r_ts", 600L))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"range join degraded to a product:\n$p")
+  }
+
+  test("semi/anti joins plan as joins, not subquery re-scans") {
+    val p4 = plan(SparkEntry.queries("q04_semi_join")(spark, sf))
+    assert(p4.contains("LeftSemi"), s"no left-semi join:\n$p4")
+    val p5 = plan(SparkEntry.queries("q05_anti_join")(spark, sf))
+    assert(p5.contains("LeftAnti"), s"no left-anti join:\n$p5")
+  }
+
+  test("fused vector dot stays inside whole-stage codegen") {
+    val emb = Tables.embeddings(spark, sf).limit(10)
+    val df = emb.select(graft.functions.VectorFunctions
+      .dotProduct(col("embedding"), col("embedding")).as("d"))
+    val p = plan(df)
+    // "*(n)" prefixes mark WholeStageCodegen spans in the compact plan string
+    assert(p.contains("*(1) Project [floatvecdot"), s"no codegen span:\n$p")
+    // and the HOF chain it replaced must NOT be in the plan
+    assert(!p.toLowerCase.contains("lambdafunction"), s"lambda in hot path:\n$p")
+  }
+
+  test("partition-pruned scan reads only matching partition dirs (qc10 shape)") {
+    val out = java.nio.file.Files.createTempDirectory("graft_prune_").toString
+    Tables.orders(spark, sf)
+      .withColumn("yr", year(col("o_orderdate")))
+      .write.mode("overwrite").partitionBy("yr").parquet(out)
+    val df = spark.read.parquet(out).filter(col("yr") === 1996)
+    val p = plan(df)
+    // after partition pruning the scan's partition count must be 1
+    val scanLine = p.linesIterator.find(_.contains("FileScan")).getOrElse("")
+    assert(!p.contains("PartitionFilters: []"), s"no partition filters applied:\n$scanLine")
+  }
+}

@@ -119,6 +119,33 @@ class LakeRoundtripSpec extends AnyFunSuite {
       Some("""{"url":"https://src.example/x","time":"1990-01-03T10:15:30","body":"the body"}"""))
   }
 
+  test("registry (secondary bucket) reads resolve against their own root") {
+    val (_, cfg) = freshLake()
+    val reg = new LakeStorage(cfg.resolvedRegistryRoot, new Configuration())
+    reg.put("manifest.json", """{"version":3}""")
+    val ret = new DatalakeRetrieveService(cfg)
+    assert(ret.getObjectFromRegistry("manifest.json") === Some("""{"version":3}"""))
+    assert(ret.getObjectFromRegistry("missing.json") === None)
+    // registry objects are NOT visible through the primary root
+    assert(ret.getObjectBody("manifest.json") === None)
+  }
+
+  test("put retries once then returns false on persistent IO failure (A21)") {
+    val (root, cfg) = freshLake()
+    val storage = new LakeStorage(root, new Configuration(), retryDelayMs = 0L)
+    // make the parent path a FILE so create() throws IOException
+    assert(storage.put("blocker", "x"))
+    val t0 = System.nanoTime()
+    assert(!storage.put("blocker/child.json", "y"))
+    assert((System.nanoTime() - t0) / 1e9 < 5.0) // retryDelayMs honored (0)
+    // status/metadata fetch (A24)
+    assert(storage.status("blocker").exists(_.getLen === 1))
+    assert(storage.status("nope") === None)
+    // byte-stream variant (A20)
+    assert(storage.putBytes("bin.dat", Array[Byte](1, 2, 3)))
+    assert(storage.status("bin.dat").exists(_.getLen === 3))
+  }
+
   test("LakeReader prunes by tenant and recovers partition columns") {
     val (_, cfg) = freshLake()
     def pub(tenant: String, day: Int, ids: Seq[String]): Unit =
