@@ -124,6 +124,30 @@ object CoverageQueries extends QueryModule {
         .orderBy("p_partkey")
     },
 
+    // --- SQL front door: same Catalyst plan via spark.sql over temp views ---
+    "q31_sql_frontdoor" -> { (s, d) =>
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem_v")
+      Tables.orders(s, d).createOrReplaceTempView("orders_v")
+      s.sql("""
+        SELECT o_orderpriority, count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS total
+        FROM orders_v
+        WHERE EXISTS (SELECT 1 FROM lineitem_v
+                      WHERE l_orderkey = o_orderkey AND l_quantity >= 45)
+        GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+    },
+
+    // --- engine functions callable from SQL (vec_dot/cosine_sim registry) ---
+    "q32_sql_vector_funcs" -> { (s, d) =>
+      graft.functions.GraftFunctions.registerAll(s)
+      Tables.embeddings(s, d).createOrReplaceTempView("emb_v")
+      s.sql("""
+        SELECT a.vec_id, round(cosine_sim(a.embedding, b.embedding), 6) AS cos_to_0,
+               round(vec_norm(a.embedding), 6) AS nrm
+        FROM emb_v a JOIN emb_v b ON b.vec_id = 0
+        WHERE a.vec_id < 100 ORDER BY a.vec_id""")
+    },
+
     // --- null-safe equality (<=>) ---
     "q30_null_safe_eq" -> { (s, d) =>
       val ev = Tables.events(s, d)
@@ -200,6 +224,23 @@ object CoverageQueries extends QueryModule {
       """SELECT p_partkey, p_brand AS brand, 'brand' AS first_key,
            CAST(2 AS INTEGER) AS n_attrs
          FROM part WHERE p_partkey <= 100 ORDER BY p_partkey""",
+
+    "q31_sql_frontdoor" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total
+         FROM orders
+         WHERE EXISTS (SELECT 1 FROM lineitem
+                       WHERE l_orderkey = o_orderkey AND l_quantity >= 45)
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    "q32_sql_vector_funcs" ->
+      """SELECT a.vec_id,
+           round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 6) AS cos_to_0,
+           round(sqrt(list_aggregate(list_transform(CAST(a.embedding AS DOUBLE[]),
+                 x -> x*x), 'sum')), 6) AS nrm
+         FROM embeddings a JOIN embeddings b ON b.vec_id = 0
+         WHERE a.vec_id < 100 ORDER BY a.vec_id""",
 
     "q30_null_safe_eq" ->
       """WITH ev AS (SELECT event_id, user_id,

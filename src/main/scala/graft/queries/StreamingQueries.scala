@@ -76,6 +76,26 @@ object StreamingQueries extends QueryModule {
         .orderBy("user_id", "session_start")
     },
 
+    // --- foreachBatch file sink with checkpoint: the production streaming
+    //     write path (stream -> batch writer per micro-batch) ---
+    "qs05_foreach_batch_sink" -> { (s, d) =>
+      val outDir = java.nio.file.Files.createTempDirectory("graft_fb_out_").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_fb_ck_").toString
+      val q = eventStream(s, d)
+        .select("event_id", "event_type", "value")
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.write.mode("append").parquet(outDir)
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      s.read.parquet(outDir)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
+        .orderBy("event_type")
+    },
+
     // --- watermarked stateful dedup: duplicate the stream, dedup by key ---
     "qs04_stream_dedup" -> { (s, d) =>
       val base = eventStream(s, d)
@@ -119,6 +139,10 @@ object StreamingQueries extends QueryModule {
          SELECT user_id, min(ts) AS session_start, count(*) AS n_events
          FROM sessions GROUP BY user_id, session_id
          ORDER BY user_id, session_start""",
+
+    "qs05_foreach_batch_sink" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value
+         FROM events GROUP BY event_type ORDER BY event_type""",
 
     "qs04_stream_dedup" ->
       """SELECT event_type, count(DISTINCT event_id) AS n,
