@@ -148,6 +148,69 @@ object CoverageQueries extends QueryModule {
         WHERE a.vec_id < 100 ORDER BY a.vec_id""")
     },
 
+    // --- window frames: RANGE BETWEEN (value-based) + lead ---
+    "q33_range_frame" -> { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+      Tables.orders(s, d)
+        .filter(col("o_custkey") < 50)
+        .withColumn("near_sum",
+          round(sum(col("o_totalprice")).over(w.rangeBetween(-100, 0)), 2))
+        .withColumn("next_key", lead(col("o_orderkey"), 1).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))))
+        .select(col("o_custkey"), col("o_orderkey"), col("near_sum"), col("next_key"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+
+    // --- set operations with bag semantics: INTERSECT ALL / EXCEPT ALL ---
+    "q34_setops_all" -> { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      val a = li.filter(col("l_quantity") >= 25).select("l_orderkey")
+      val b = li.filter(col("l_discount") >= 0.05).select("l_orderkey")
+      val ia = a.intersectAll(b).groupBy("l_orderkey").agg(count(lit(1)).as("n"))
+        .withColumn("op", lit("intersect_all"))
+      val ea = a.exceptAll(b).groupBy("l_orderkey").agg(count(lit(1)).as("n"))
+        .withColumn("op", lit("except_all"))
+      ia.unionByName(ea).orderBy("op", "l_orderkey")
+    },
+
+    // --- array function family: slice / contains / HOF filter / sort ---
+    "q35_array_funcs" -> { (s, d) =>
+      Tables.documents(s, d)
+        .filter(col("doc_id") < 50)
+        .select(col("doc_id"),
+          graft.functions.TextFunctions.tokens(col("text")).as("t"))
+        .select(
+          col("doc_id"),
+          array_join(slice(col("t"), 1, 3), " ").as("head3"),
+          array_contains(col("t"), "spark").as("has_spark"),
+          size(filter(col("t"), x => length(x) > 5)).as("n_long_tokens"),
+          element_at(array_sort(array_distinct(col("t"))), 1).as("first_alpha"),
+          reverse(array_sort(array_distinct(col("t")))).getItem(0).as("last_alpha"))
+        .orderBy("doc_id")
+    },
+
+    // --- TF-IDF-lite: top term per document by tf * ln(N/df) ---
+    "q36_tfidf" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val n = docs.count()
+      val toks = docs.select(col("doc_id"),
+        explode(graft.functions.TextFunctions.tokens(col("text"))).as("term"))
+      val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val df_ = toks.select("doc_id", "term").distinct()
+        .groupBy("term").agg(count(lit(1)).as("df"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy(col("score_raw").desc, col("term"))
+      tf.join(broadcast(df_), "term")
+        .withColumn("score_raw", col("tf") * log(lit(n.toDouble) / col("df")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1 && col("doc_id") < 100)
+        .select(col("doc_id"), col("term").as("top_term"),
+          round(col("score_raw"), 6).as("tfidf"))
+        .orderBy("doc_id")
+    },
+
     // --- null-safe equality (<=>) ---
     "q30_null_safe_eq" -> { (s, d) =>
       val ev = Tables.events(s, d)
@@ -241,6 +304,47 @@ object CoverageQueries extends QueryModule {
                  x -> x*x), 'sum')), 6) AS nrm
          FROM embeddings a JOIN embeddings b ON b.vec_id = 0
          WHERE a.vec_id < 100 ORDER BY a.vec_id""",
+
+    "q33_range_frame" ->
+      """SELECT o_custkey, o_orderkey,
+           round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+             RANGE BETWEEN 100 PRECEDING AND CURRENT ROW), 2) AS near_sum,
+           lead(o_orderkey, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS next_key
+         FROM orders WHERE o_custkey < 50
+         ORDER BY o_custkey, o_orderkey""",
+
+    "q34_setops_all" ->
+      """WITH a AS (SELECT l_orderkey FROM lineitem WHERE l_quantity >= 25),
+         b AS (SELECT l_orderkey FROM lineitem WHERE l_discount >= 0.05)
+         SELECT l_orderkey, n, op FROM (
+           SELECT l_orderkey, count(*) AS n, 'intersect_all' AS op
+           FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b) GROUP BY l_orderkey
+           UNION ALL
+           SELECT l_orderkey, count(*) AS n, 'except_all' AS op
+           FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b) GROUP BY l_orderkey)
+         ORDER BY op, l_orderkey""",
+
+    "q35_array_funcs" ->
+      """SELECT doc_id,
+           array_to_string(t[1:3], ' ') AS head3,
+           list_contains(t, 'spark') AS has_spark,
+           CAST(len(list_filter(t, x -> length(x) > 5)) AS INTEGER) AS n_long_tokens,
+           list_sort(list_distinct(t))[1] AS first_alpha,
+           list_reverse_sort(list_distinct(t))[1] AS last_alpha
+         FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+         WHERE doc_id < 50 ORDER BY doc_id""",
+
+    "q36_tfidf" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+         df AS (SELECT term, count(*) AS df FROM (SELECT DISTINCT doc_id, term FROM toks) GROUP BY term),
+         n AS (SELECT count(*) AS n FROM documents)
+         SELECT doc_id, term AS top_term, round(score_raw, 6) AS tfidf FROM (
+           SELECT tf.doc_id, tf.term, tf.tf * ln(n.n*1.0 / df.df) AS score_raw,
+             row_number() OVER (PARTITION BY tf.doc_id
+               ORDER BY tf.tf * ln(n.n*1.0 / df.df) DESC, tf.term) AS rn
+           FROM tf JOIN df USING (term) CROSS JOIN n)
+         WHERE rn = 1 AND doc_id < 100 ORDER BY doc_id""",
 
     "q30_null_safe_eq" ->
       """WITH ev AS (SELECT event_id, user_id,
