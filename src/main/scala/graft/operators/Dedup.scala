@@ -93,7 +93,8 @@ object Dedup {
     val sh = shingleSet(docs, idCol, textCol, n).persist()
     // 1. one codegen'd aggregation pass for the whole signature
     val hashAggs = (0 until numHashes).map(i => min(xxhash64(col("s"), lit(i))).as(s"h$i"))
-    val sig = sh.groupBy("doc_id").agg(hashAggs.head, hashAggs.tail: _*)
+    // persisted: both sides of the band self-join consume the signatures
+    val sig = sh.groupBy("doc_id").agg(hashAggs.head, hashAggs.tail: _*).persist()
     // 2. one bucket hash per band, fed columns directly
     val bucketCols = (0 until numBands).map { b =>
       xxhash64(((b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"h$i")) :+
