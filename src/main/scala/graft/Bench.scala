@@ -28,12 +28,17 @@ object Bench {
     // plans, so every query's spark.read.parquet of the same path serves
     // from memory, the serving condition of a warmed cluster cache tier.
     if (sys.env.getOrElse("SPARK_GRAFT_CACHE", "1") == "1") {
-      graft.core.Tables.names.foreach { t =>
+      // events needs its nanos conversion path (plain load rejects ns parquet)
+      graft.core.Tables.names.filterNot(_ == "events").foreach { t =>
         try graft.core.Tables.load(spark, sfDir, t).cache().count()
-        catch { case _: Throwable => () }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] warm-cache of $t failed: ${e.getMessage}")
+        }
       }
       try graft.core.Tables.events(spark, sfDir).cache().count()
-      catch { case _: Throwable => () }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] warm-cache of events failed: ${e.getMessage}")
+      }
     }
 
     def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {

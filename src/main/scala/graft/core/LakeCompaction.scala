@@ -27,8 +27,15 @@ object LakeCompaction {
     val tmp = new org.apache.hadoop.fs.Path(dir + "__compacting")
     spark.read.parquet(dir).coalesce(nOut)
       .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    fs.delete(path, true)
-    fs.rename(tmp, path)
+    // Hadoop delete/rename signal failure via booleans, not exceptions —
+    // a swallowed failed rename after a successful delete would silently
+    // drop the partition. Fail loudly instead; the compacted copy stays in
+    // the __compacting dir for manual recovery.
+    if (!fs.delete(path, true))
+      throw new IllegalStateException(s"compaction: failed to delete $path")
+    if (!fs.rename(tmp, path))
+      throw new IllegalStateException(
+        s"compaction: failed to move $tmp into place; data preserved at $tmp")
     val after = fs.listStatus(path).filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
     (before.length.toLong, after.length.toLong)
   }

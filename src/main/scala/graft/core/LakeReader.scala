@@ -40,7 +40,9 @@ object LakeReader {
     if (files.isEmpty) {
       return emptyResult(spark, bodySchema)
     }
-    val raw = spark.read.text(files: _*)
+    // wholetext: one row per OBJECT (the publish contract is one document
+    // per file) — line-based reading would shred pretty-printed JSON bodies
+    val raw = spark.read.option("wholetext", "true").text(files: _*)
       .withColumnRenamed("value", "body")
       .withColumn("_path", input_file_name())
       .withColumn("fhir_tenant_id",

@@ -28,15 +28,22 @@ case class FloatVecDot(left: Expression, right: Expression) extends BinaryExpres
       s"vec_dot expects array<float|double>, got $other")
   }
 
+  // Null/length semantics match the HOF reference (aggregate(zip_with)):
+  // mismatched lengths or any null element -> null result. zip_with pads the
+  // shorter array with nulls, which null-propagates through * and +.
+  override def nullable: Boolean = true
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
     val lf = elemIsFloat(left)
     val rf = elemIsFloat(right)
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
       val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
       acc += xv * yv
@@ -48,17 +55,31 @@ case class FloatVecDot(left: Expression, right: Expression) extends BinaryExpres
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val lGet = if (elemIsFloat(left)) "getFloat" else "getDouble"
     val rGet = if (elemIsFloat(right)) "getFloat" else "getDouble"
+    // element null-checks only generated when the array types admit nulls —
+    // the common containsNull=false case stays a tight branch-free loop
+    val mayHaveNulls = Seq(left, right).exists(_.dataType match {
+      case ArrayType(_, n) => n
+      case _ => true
+    })
     nullSafeCodeGen(ctx, ev, (x, y) => {
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
+      val nullCheck = if (mayHaveNulls)
+        s"if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }"
+      else ""
       s"""
-         |int $n = Math.min($x.numElements(), $y.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += (double)$x.$lGet($i) * (double)$y.$rGet($i);
+         |if ($x.numElements() != $y.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $x.numElements();
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullCheck
+         |    $acc += (double)$x.$lGet($i) * (double)$y.$rGet($i);
+         |  }
+         |  ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
   }

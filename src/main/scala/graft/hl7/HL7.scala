@@ -28,7 +28,10 @@ object HL7 {
     if (fields.length < 10) return None
     val f = fields(8)
     if (f.length == 7 && f.indexOf(sep2) == 3) {
-      val parts = f.split(Pattern.quote(sep2.toString))
+      // limit = -1 keeps trailing empty components (Kotlin's split never
+      // drops them; Java's default split does) — "MDM^^^^" must yield
+      // ("MDM", "") and not crash
+      val parts = f.split(Pattern.quote(sep2.toString), -1)
       Some((parts(0), parts(1)))
     } else None
   }

@@ -42,10 +42,17 @@ object AsOfJoin {
     val w = Window.partitionBy(col(key))
       .orderBy(col("_t"), col("_side"), col("_tid").asc_nulls_last)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = valueCols.foldLeft(unioned) { (df, c) =>
-      df.withColumn(s"asof_$c", last(col(c), ignoreNulls = true).over(w))
-    }
-    carried.filter(col("_side") === 1)
-      .drop((Seq("_t", "_side", "_tid") ++ valueCols): _*)
+    // Carry the whole right ROW as one struct (null for left rows): carrying
+    // each value column independently with last(ignoreNulls) would stitch
+    // fields from DIFFERENT right rows whenever the most recent right row
+    // holds a null in one column — the as-of match must be atomic.
+    val packed = unioned.withColumn("_vals",
+      when(col("_side") === 0, struct(valueCols.map(col): _*)))
+    val carried = packed
+      .withColumn("_asof", last(col("_vals"), ignoreNulls = true).over(w))
+    valueCols.foldLeft(carried.filter(col("_side") === 1)) { (df, c) =>
+        df.withColumn(s"asof_$c", col(s"_asof.$c"))
+      }
+      .drop((Seq("_t", "_side", "_tid", "_vals", "_asof") ++ valueCols): _*)
   }
 }

@@ -16,7 +16,7 @@ object CoverageQueries extends QueryModule {
   override val queries: Map[String, Q] = Map(
     // --- CSV sink + schema'd CSV scan round-trip ---
     "qc08_csv_roundtrip" -> { (s, d) =>
-      val out = Files.createTempDirectory("graft_csv_").toString
+      val out = graft.core.TempDirs.create("graft_csv_")
       Tables.nation(s, d).orderBy("n_nationkey")
         .write.mode("overwrite").option("header", "true").csv(out)
       val schema = StructType(Seq(
@@ -31,7 +31,7 @@ object CoverageQueries extends QueryModule {
 
     // --- JSON scan with explicit schema + corrupt-record column ---
     "qc09_json_scan" -> { (s, d) =>
-      val out = Files.createTempDirectory("graft_json_").toString
+      val out = graft.core.TempDirs.create("graft_json_")
       import s.implicits._
       Seq(
         """{"id":"a","n":1}""",
@@ -51,7 +51,7 @@ object CoverageQueries extends QueryModule {
 
     // --- partitioned batch write + partition-pruned scan-back ---
     "qc10_partitioned_write" -> { (s, d) =>
-      val out = Files.createTempDirectory("graft_part_").toString
+      val out = graft.core.TempDirs.create("graft_part_")
       Tables.orders(s, d)
         .withColumn("yr", year(col("o_orderdate")))
         .write.mode("overwrite").partitionBy("yr").parquet(out)

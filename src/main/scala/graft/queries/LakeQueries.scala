@@ -20,7 +20,7 @@ import org.apache.spark.sql.functions._
 object LakeQueries extends QueryModule {
 
   private def tempLake(): String =
-    "file://" + Files.createTempDirectory("graft_lake_").toString
+    "file://" + graft.core.TempDirs.create("graft_lake_")
 
   private def cfg(root: String) = LakeConfig(root = root, retryDelayMs = 0L)
 

@@ -143,21 +143,23 @@ object RelationalQueries extends QueryModule {
     },
 
     // --- rollup (hierarchical grouping sets) ---
+    // Expressed through the SQL front door: the DataFrame rollup-after-join
+    // trips Spark 4.1's DetectAmbiguousSelfJoin false positive (rollup's
+    // Expand duplicates grouping attributes carrying dataset-id tags);
+    // SQL-resolved plans carry no dataset-id metadata, so no unsafe
+    // session-wide conf override is needed.
     "q10_rollup_region_nation" -> { (s, d) =>
-      // Spark 4.1's DetectAmbiguousSelfJoin false-positives on rollup's
-      // Expand duplicating grouping attributes after a join; no self-join
-      // exists in this plan, so disable the check for this query.
-      s.conf.set("spark.sql.analyzer.failAmbiguousSelfJoin", "false")
-      val nation = Tables.nation(s, d)
-      val region = Tables.region(s, d)
-      val cust = Tables.customer(s, d)
-      cust.join(broadcast(nation), cust("c_nationkey") === nation("n_nationkey"))
-        .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
-        .select("r_name", "n_name", "c_acctbal")
-        .rollup("r_name", "n_name")
-        .agg(count(lit(1)).as("n_customers"), round(sum("c_acctbal"), 2).as("total_bal"))
-        .na.fill("ALL", Seq("r_name", "n_name"))
-        .orderBy("r_name", "n_name")
+      Tables.customer(s, d).createOrReplaceTempView("q10_customer")
+      Tables.nation(s, d).createOrReplaceTempView("q10_nation")
+      Tables.region(s, d).createOrReplaceTempView("q10_region")
+      s.sql("""
+        SELECT coalesce(r_name, 'ALL') AS r_name, coalesce(n_name, 'ALL') AS n_name,
+               count(*) AS n_customers, round(sum(c_acctbal), 2) AS total_bal
+        FROM q10_customer
+        JOIN q10_nation ON c_nationkey = n_nationkey
+        JOIN q10_region ON n_regionkey = r_regionkey
+        GROUP BY ROLLUP (r_name, n_name)
+        ORDER BY coalesce(r_name, 'ALL'), coalesce(n_name, 'ALL')""")
     },
 
     // --- cube (all grouping sets) ---

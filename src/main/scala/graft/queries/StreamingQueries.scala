@@ -79,18 +79,20 @@ object StreamingQueries extends QueryModule {
     // --- foreachBatch file sink with checkpoint: the production streaming
     //     write path (stream -> batch writer per micro-batch) ---
     "qs05_foreach_batch_sink" -> { (s, d) =>
-      val outDir = java.nio.file.Files.createTempDirectory("graft_fb_out_").toString
-      val ckpt = java.nio.file.Files.createTempDirectory("graft_fb_ck_").toString
+      val outDir = graft.core.TempDirs.create("graft_fb_out_")
+      val ckpt = graft.core.TempDirs.create("graft_fb_ck_")
       val q = eventStream(s, d)
         .select("event_id", "event_type", "value")
         .writeStream
         .option("checkpointLocation", ckpt)
-        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-          batch.write.mode("append").parquet(outDir)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+          // batchId-keyed overwrite = idempotent under micro-batch retries
+          // (blind append would double-write a retried batch)
+          batch.write.mode("overwrite").parquet(s"$outDir/batch_$batchId")
         }
         .start()
       try q.processAllAvailable() finally q.stop()
-      s.read.parquet(outDir)
+      s.read.parquet(s"$outDir/batch_*")
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
         .orderBy("event_type")

@@ -23,8 +23,16 @@ class BucketingSpec extends AnyFunSuite {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
     try {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
-      spark.sql("DROP TABLE IF EXISTS li_bucketed")
-      spark.sql("DROP TABLE IF EXISTS ord_bucketed")
+      Seq("li_bucketed", "ord_bucketed").foreach { t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+        // the in-memory catalog of a fresh JVM doesn't know about leftover
+        // managed-table dirs from previous runs — remove them on disk
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete(): Unit
+        }
+        rm(new java.io.File(s"spark-warehouse/$t"))
+      }
       Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
         .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
         .mode("overwrite").saveAsTable("li_bucketed")

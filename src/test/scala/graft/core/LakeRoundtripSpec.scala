@@ -146,6 +146,16 @@ class LakeRoundtripSpec extends AnyFunSuite {
     assert(storage.status("bin.dat").exists(_.getLen === 3))
   }
 
+  test("LakeReader preserves multi-line (pretty-printed) document bodies") {
+    val (_, cfg) = freshLake()
+    val pretty = "{\n  \"resourceType\": \"Patient\",\n  \"id\": \"p1\"\n}"
+    new DatalakePublishService(cfg, clock = jan3_1990)
+      .publishFhirR4(spark, "t1", Seq(FhirEnvelope("Patient", "p1", pretty)))
+    val rows = LakeReader.readFhir(spark, cfg, "Patient").select("body").collect()
+    assert(rows.length === 1, "one row per OBJECT, not per line")
+    assert(rows.head.getString(0) === pretty)
+  }
+
   test("LakeReader prunes by tenant and recovers partition columns") {
     val (_, cfg) = freshLake()
     def pub(tenant: String, day: Int, ids: Seq[String]): Unit =

@@ -42,6 +42,13 @@ class FunctionsSpec extends AnyFunSuite {
     val mixed = Seq((Array(1.0f, 2.0f), Array(2.0, 3.0))).toDF("a", "b")
     assert(mixed.select(VectorFunctions.dotProduct(col("a"), col("b")))
       .head().getDouble(0) === 8.0)
+    // mismatched lengths -> null (zip_with pads with null and propagates)
+    val mm = Seq((Array(1.0f, 2.0f, 3.0f), Array(1.0f))).toDF("a", "b")
+    assert(mm.select(VectorFunctions.dotProduct(col("a"), col("b"))).head().isNullAt(0))
+    // null element -> null, matching the HOF reference
+    val ne = Seq((Array[java.lang.Float](1.0f, null), Array[java.lang.Float](1.0f, 2.0f)))
+      .toDF("a", "b")
+    assert(ne.select(VectorFunctions.dotProduct(col("a"), col("b"))).head().isNullAt(0))
   }
 
   test("approx_count_distinct within 5% of exact (q28 backing)") {

@@ -23,6 +23,11 @@ class HL7Spec extends AnyFunSuite {
     assert(HL7.msh9(null) === None)
   }
 
+  test("trailing empty components survive (Kotlin split parity): MDM^^^^") {
+    // length 7, '^' first at index 3, everything after empty -> ("MDM", "")
+    assert(HL7.msh9("MSH|^~\\&|a|b|c|d|e||MDM^^^^|x|T|2.7") === Some(("MDM", "")))
+  }
+
   test("MSH mid-string is honored (indexOf semantics)") {
     val msg = "garbage MSH|^~\\&|a|b|c|d|e||XYZ^Q99|f|g|h"
     assert(HL7.msh9(msg) === Some(("XYZ", "Q99")))

@@ -44,6 +44,19 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(3L) === Some(4.0))
   }
 
+  test("asOf match is atomic: null field in the latest right row stays null") {
+    val left = Seq((1L, 10L, ts("2024-01-01 12:00:00"))).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (10L, ts("2024-01-01 10:00:00"), 100L, Some(5.0)),
+      (10L, ts("2024-01-01 11:00:00"), 101L, Option.empty[Double]) // latest, null value
+    ).toDF("user_id", "rts", "rid", "rvalue")
+    val row = AsOfJoin.asOf(left, right, "user_id", "ts", "rts",
+        Seq("rts", "rvalue"), Some("rid"))
+      .select("asof_rts", "asof_rvalue").head()
+    assert(row.getTimestamp(0) === ts("2024-01-01 11:00:00"))
+    assert(row.isNullAt(1), "must NOT stitch rvalue=5.0 from the older row")
+  }
+
   test("range join: [t, t+win) boundary semantics across bucket edges") {
     val l = Seq((1L, ts("2024-01-01 10:00:00"))).toDF("l_id", "l_ts")
     val r = Seq(
