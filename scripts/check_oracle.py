@@ -22,11 +22,11 @@ def canon(rows, cols):
         rr = []
         for i in order:
             v = r[i]
-            if isinstance(v, float):
-                if math.isnan(v):
-                    v = "NaN"
-                else:
-                    v = round(v, 9)
+            # floats compared BIT-EXACT: every query rounds identically on
+            # both engines with matching fold order, so no tolerance is
+            # needed — and the driver's hash compare gets none either
+            if isinstance(v, float) and math.isnan(v):
+                v = "NaN"
             rr.append(repr(v))
         out.append(tuple(rr))
     out.sort()
