@@ -211,6 +211,31 @@ object CoverageQueries extends QueryModule {
         .orderBy("doc_id")
     },
 
+    // --- explicit GROUPING SETS (beyond rollup/cube) ---
+    "q37_grouping_sets" -> { (s, d) =>
+      Tables.lineitem(s, d).createOrReplaceTempView("q37_lineitem")
+      s.sql("""
+        SELECT coalesce(l_returnflag, 'ALL') AS flag,
+               coalesce(l_linestatus, 'ALL') AS status,
+               count(*) AS n, round(sum(l_extendedprice), 2) AS total
+        FROM q37_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        ORDER BY flag, status""")
+    },
+
+    // --- JSON family closure: to_json / json_tuple ---
+    "q38_json_advanced" -> { (s, d) =>
+      Tables.events(s, d)
+        .filter(col("event_id") < 200)
+        .select(col("event_id"), col("event_type"), col("props"))
+        .select(
+          col("event_id"),
+          to_json(struct(col("event_id").as("id"), col("event_type").as("t"))).as("packed"),
+          json_tuple(col("props"), "k").as("k_str"))
+        .withColumn("k", col("k_str").cast("bigint")).drop("k_str")
+        .orderBy("event_id")
+    },
+
     // --- null-safe equality (<=>) ---
     "q30_null_safe_eq" -> { (s, d) =>
       val ev = Tables.events(s, d)
@@ -345,6 +370,20 @@ object CoverageQueries extends QueryModule {
                ORDER BY tf.tf * ln(n.n*1.0 / df.df) DESC, tf.term) AS rn
            FROM tf JOIN df USING (term) CROSS JOIN n)
          WHERE rn = 1 AND doc_id < 100 ORDER BY doc_id""",
+
+    "q37_grouping_sets" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+           coalesce(l_linestatus, 'ALL') AS status,
+           count(*) AS n, round(sum(l_extendedprice), 2) AS total
+         FROM lineitem
+         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+         ORDER BY flag, status""",
+
+    "q38_json_advanced" ->
+      """SELECT event_id,
+           '{"id":' || event_id || ',"t":"' || event_type || '"}' AS packed,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+         FROM events WHERE event_id < 200 ORDER BY event_id""",
 
     "q30_null_safe_eq" ->
       """WITH ev AS (SELECT event_id, user_id,
