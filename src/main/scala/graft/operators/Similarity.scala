@@ -19,15 +19,49 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** Exact brute-force cosine top-k: for each query vector, the k nearest
-    * corpus vectors. Ties broken deterministically by corpus id. */
+    * corpus vectors. Ties broken deterministically by corpus id.
+    *
+    * Selection runs through [[TopKByScore]], a bounded-heap typed Aggregator:
+    * Spark's partial aggregation keeps only k candidates per (query,
+    * partition) on the map side and merges k-lists in the reduce — no
+    * shuffle of the full scored cross product and no per-group sort, unlike
+    * the window/row_number formulation (which shuffles and sorts ALL corpus
+    * rows per query). At 100 TB corpus scale that is the difference between
+    * shuffling k rows per query per partition and shuffling the corpus.
+    */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
     val scored = corpus.crossJoin(broadcast(queries))
       .withColumn("cosine", round(cosineSimilarity(col("q_vec"), col("vec")), 6))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("id"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("rank"), col("id"), col("cosine"))
+    val topk = udaf(new TopKByScore(k), ExpressionEncoderHelp.scored)
+    scored.groupBy(col("q_id"))
+      .agg(topk(col("id"), col("cosine")).as("top"))
+      .select(col("q_id"), posexplode(col("top")))
+      .select(col("q_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.id").as("id"), col("col.score").as("cosine"))
+  }
+
+  /** One scored candidate: (id, score). */
+  case class Scored(id: Long, score: Double)
+
+  /** Bounded top-k selection by (score desc, id asc) — identical ordering to
+    * `row_number over (order by score desc, id)`, but with map-side partial
+    * aggregation and O(k) state per group. */
+  class TopKByScore(k: Int) extends Aggregator[Scored, Seq[Scored], Seq[Scored]] {
+    private def better(a: Scored, b: Scored): Boolean =
+      a.score > b.score || (a.score == b.score && a.id < b.id)
+    private def trim(s: Seq[Scored]): Seq[Scored] =
+      s.sortWith(better).take(k)
+    override def zero: Seq[Scored] = Vector.empty
+    override def reduce(buf: Seq[Scored], a: Scored): Seq[Scored] = {
+      // fast reject: buffer full and candidate worse than current cutoff
+      if (buf.length >= k && better(buf.last, a)) buf else trim(buf :+ a)
+    }
+    override def merge(x: Seq[Scored], y: Seq[Scored]): Seq[Scored] = trim(x ++ y)
+    override def finish(r: Seq[Scored]): Seq[Scored] = trim(r)
+    override def bufferEncoder: Encoder[Seq[Scored]] = ExpressionEncoderHelp.scoredSeq
+    override def outputEncoder: Encoder[Seq[Scored]] = ExpressionEncoderHelp.scoredSeq
   }
 
   /** Per-group element-wise mean of float-array vectors (typed Aggregator —
@@ -94,4 +128,6 @@ private object ExpressionEncoderHelp {
   import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
   val doubleArray: Encoder[Array[Double]] = ExpressionEncoder[Array[Double]]()
   val floatArray: Encoder[Array[Float]] = ExpressionEncoder[Array[Float]]()
+  val scoredSeq: Encoder[Seq[Similarity.Scored]] = ExpressionEncoder[Seq[Similarity.Scored]]()
+  val scored: Encoder[Similarity.Scored] = ExpressionEncoder[Similarity.Scored]()
 }
