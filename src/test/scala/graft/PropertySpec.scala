@@ -1,0 +1,86 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.core.{LakeConfig, LakePath}
+import graft.operators.{RangeJoin, Similarity}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Randomized equivalence properties: composite operators must agree with
+  * their naive reference formulations on arbitrary inputs, not just the
+  * driver fixtures. */
+class PropertySpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+  import spark.implicits._
+
+  private def check(p: Prop, n: Int = 100): Unit = {
+    val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(n), p)
+    assert(r.passed, r.status.toString)
+  }
+
+  test("property: URL codec round-trips single-segment object names") {
+    val cfg = LakeConfig(root = "file:///x", namespace = "ns", bucket = "bkt")
+    val name = Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString)
+    check(Prop.forAll(name) { n =>
+      LakePath.bucketAndFile(LakePath.fullUrl(cfg, n)).contains(("bkt", n))
+    })
+  }
+
+  test("property: multi-segment names truncate to the first segment") {
+    val cfg = LakeConfig(root = "file:///x", bucket = "bkt")
+    val seg = Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString)
+    val multi = for { a <- seg; b <- seg } yield (a, s"$a/$b")
+    check(Prop.forAll(multi) { case (head, full) =>
+      LakePath.bucketAndFile(LakePath.fullUrl(cfg, full)).contains(("bkt", head))
+    })
+  }
+
+  test("bucketed range join == naive theta join on random timestamps") {
+    val rnd = new scala.util.Random(42)
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val left = (1 to 300).map(i => (i.toLong, new Timestamp(base + rnd.nextInt(3600_000))))
+      .toDF("l_id", "l_ts")
+    val right = (1 to 300).map(i => (i.toLong, new Timestamp(base + rnd.nextInt(3600_000))))
+      .toDF("r_id", "r_ts")
+    val win = 137L // deliberately not aligned to anything
+    val bucketed = RangeJoin.timeWindowJoin(left, right, "l_ts", "r_ts", win)
+      .select("l_id", "r_id").as[(Long, Long)].collect().toSet
+    val naive = left.join(right,
+        col("r_ts") >= col("l_ts") &&
+        col("r_ts") < col("l_ts") + expr(s"INTERVAL $win SECONDS"))
+      .select("l_id", "r_id").as[(Long, Long)].collect().toSet
+    assert(bucketed === naive)
+    assert(naive.nonEmpty)
+  }
+
+  test("TopKByScore aggregator == window row_number on random scores w/ ties") {
+    val rnd = new scala.util.Random(7)
+    // coarse scores force plenty of ties -> exercises the (score, id) order
+    val scored = (1 to 2000).map(i =>
+      (i % 13L, i.toLong, (rnd.nextInt(10) / 10.0)))
+      .toDF("q_id", "id", "cosine")
+    val topk = udaf(new Similarity.TopKByScore(5),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Similarity.Scored]())
+    val viaAgg = scored.groupBy(col("q_id"))
+      .agg(topk(col("id"), col("cosine")).as("top"))
+      .select(col("q_id"), posexplode(col("top")))
+      .select(col("q_id"), (col("pos") + 1).as("rank"), col("col.id").as("id"))
+      .as[(Long, Long, Long)].collect().toSet
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("id"))
+    val viaWindow = scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("rank").cast("long"), col("id"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(viaAgg === viaWindow)
+  }
+}
