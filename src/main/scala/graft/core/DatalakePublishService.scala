@@ -81,8 +81,10 @@ class DatalakePublishService(
 
   /** Publish Binary payloads under ehr/Binary/fhir_tenant_id=<t>/<id>.json
     * (no date partition; "Binary" not lowercased, ref :100-120,148-153).
-    * No empty-input short-circuit, matching the reference (empty batch just
-    * uploads nothing). */
+    * Empty input returns without any storage interaction — the reference has
+    * no explicit short-circuit but its empty pool run uploads nothing, so
+    * this is behaviorally equivalent (and required here: `reduce` on an
+    * empty Dataset throws). */
   def publishBinaryData(spark: SparkSession, tenantId: String, binaries: Seq[(String, String)]): Unit = {
     if (binaries.isEmpty) return
     import spark.implicits._

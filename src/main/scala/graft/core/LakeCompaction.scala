@@ -9,9 +9,12 @@ import org.apache.spark.sql.{SaveMode, SparkSession}
   * The one-document-per-object publish pattern (ref write amplification:
   * 1 object per resource, BASELINE.md) produces small-file storms at scale.
   * Compaction rewrites a partition subtree into ~targetFileBytes parquet
-  * files: read -> coalesce to ceil(bytes/target) -> atomic swap via
-  * temp-dir rename. Run per partition (tenant/date) so reads stay pruned
-  * and the rewrite parallelizes across partitions.
+  * files: read -> coalesce to ceil(bytes/target) -> swap via paired renames
+  * (old aside, then compacted into place — the no-data window is just the
+  * instant between the two renames, and a crash leaves the old data
+  * recoverable in the __gc dir; NOT atomic on stores without atomic rename).
+  * Run per partition (tenant/date) so reads stay pruned and the rewrite
+  * parallelizes across partitions.
   */
 object LakeCompaction {
 
@@ -28,14 +31,24 @@ object LakeCompaction {
     spark.read.parquet(dir).coalesce(nOut)
       .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     // Hadoop delete/rename signal failure via booleans, not exceptions —
-    // a swallowed failed rename after a successful delete would silently
-    // drop the partition. Fail loudly instead; the compacted copy stays in
-    // the __compacting dir for manual recovery.
-    if (!fs.delete(path, true))
-      throw new IllegalStateException(s"compaction: failed to delete $path")
-    if (!fs.rename(tmp, path))
+    // fail loudly on each step. Rename the old dir ASIDE first (rather than
+    // delete-then-rename): a crash mid-swap then strands nothing — the old
+    // data survives in __gc and the compacted copy in __compacting — and the
+    // directory-absent window for concurrent readers shrinks to the gap
+    // between the two renames.
+    val gc = new org.apache.hadoop.fs.Path(dir + "__gc")
+    if (fs.exists(gc) && !fs.delete(gc, true))
+      throw new IllegalStateException(s"compaction: failed to clear stale $gc")
+    if (!fs.rename(path, gc))
       throw new IllegalStateException(
-        s"compaction: failed to move $tmp into place; data preserved at $tmp")
+        s"compaction: failed to move $path aside; compacted copy preserved at $tmp")
+    if (!fs.rename(tmp, path)) {
+      fs.rename(gc, path) // roll back: restore the original directory
+      throw new IllegalStateException(
+        s"compaction: failed to move $tmp into place; original restored, data preserved at $tmp")
+    }
+    if (!fs.delete(gc, true))
+      throw new IllegalStateException(s"compaction: swap done but failed to delete $gc")
     val after = fs.listStatus(path).filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
     (before.length.toLong, after.length.toLong)
   }

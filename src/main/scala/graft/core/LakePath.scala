@@ -41,7 +41,10 @@ object LakePath {
     * ref: OCIClient.kt:196-203).
     */
   def bucketAndFile(url: URI): Option[(String, String)] = {
-    val path = Option(url.getPath).getOrElse("")
+    // Raw (undecoded) path: the reference splits the encoded URI path, so an
+    // object name like a%2Fb.json stays one segment rather than decoding to
+    // a/b.json and truncating to "a" (ref: OCIClient.kt:252-256).
+    val path = Option(url.getRawPath).getOrElse("")
     val segs = path.split("/").drop(1) // leading '/' yields an empty seg 0
     if (segs.length >= 6 && segs(0) == "n" && segs(2) == "b" && segs(4) == "o")
       Some((segs(3), segs(5)))

@@ -52,19 +52,27 @@ object Dedup {
     // both self-join sides) and the shingle-generation HOFs are interpreted
     // — recomputing them triples the dominant cost. At cluster scale this
     // is the standard "write the shingle table, then join it" pattern.
+    // The cache is scoped to this call: the (small, above-threshold) pair
+    // result is materialized eagerly via localCheckpoint, which truncates
+    // lineage so the returned frame no longer references the cached
+    // intermediate, and the shingle table is unpersisted before returning
+    // (a long-lived session would otherwise accumulate cached blocks).
     val sh = shingleSet(docs, idCol, textCol, n, maxShingleDocFreq).persist()
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val pairs = sh.as("a").join(sh.as("b"),
-        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-      .agg(count(lit(1)).as("inter"))
-    pairs
-      .join(sizes.as("s1"), col("d1") === col("s1.doc_id"))
-      .join(sizes.as("s2"), col("d2") === col("s2.doc_id"))
-      .withColumn("jaccard",
-        col("inter").cast("double") / (col("s1.n_sh") + col("s2.n_sh") - col("inter")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("d1"), col("d2"), round(col("jaccard"), 4).as("jaccard"))
+    try {
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+      val pairs = sh.as("a").join(sh.as("b"),
+          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .agg(count(lit(1)).as("inter"))
+      pairs
+        .join(sizes.as("s1"), col("d1") === col("s1.doc_id"))
+        .join(sizes.as("s2"), col("d2") === col("s2.doc_id"))
+        .withColumn("jaccard",
+          col("inter").cast("double") / (col("s1.n_sh") + col("s2.n_sh") - col("inter")))
+        .filter(col("jaccard") >= threshold)
+        .select(col("d1"), col("d2"), round(col("jaccard"), 4).as("jaccard"))
+        .localCheckpoint()
+    } finally sh.unpersist()
   }
 
   /** MinHash + banded LSH near-dup detection, verified with EXACT Jaccard.
@@ -89,41 +97,46 @@ object Dedup {
                       numBands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
     val numHashes = numBands * rowsPerBand
     // (doc_id, s) distinct — persisted: consumed by the signature agg and
-    // twice by the verification join
+    // twice by the verification join. Both caches are scoped to this call:
+    // the final pair result is materialized via localCheckpoint and the
+    // intermediates unpersisted before returning (see ngramJaccardPairs).
     val sh = shingleSet(docs, idCol, textCol, n).persist()
     // 1. one codegen'd aggregation pass for the whole signature
     val hashAggs = (0 until numHashes).map(i => min(xxhash64(col("s"), lit(i))).as(s"h$i"))
     // persisted: both sides of the band self-join consume the signatures
     val sig = sh.groupBy("doc_id").agg(hashAggs.head, hashAggs.tail: _*).persist()
-    // 2. one bucket hash per band, fed columns directly
-    val bucketCols = (0 until numBands).map { b =>
-      xxhash64(((b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"h$i")) :+
-        lit(b)): _*)
-    }
-    val bands = sig.select(col("doc_id"), posexplode(array(bucketCols: _*)))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-    // 3. candidate pairs from bucket collisions
-    val candidates = bands.as("x").join(bands.as("y"),
-        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
-      .distinct()
-    // 4. exact Jaccard on candidate docs only
-    val candDocs = candidates.select(col("d1").as("doc_id"))
-      .union(candidates.select(col("d2"))).distinct()
-    val candSh = sh.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
-    val sizes = candSh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val inter = candSh.as("a").join(candSh.as("b"),
-        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-      .agg(count(lit(1)).as("inter"))
-    candidates.join(inter, Seq("d1", "d2"))
-      .join(sizes.as("s1"), col("d1") === col("s1.doc_id"))
-      .join(sizes.as("s2"), col("d2") === col("s2.doc_id"))
-      .withColumn("jaccard",
-        col("inter").cast("double") / (col("s1.n_sh") + col("s2.n_sh") - col("inter")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("d1"), col("d2"), round(col("jaccard"), 4).as("jaccard"))
+    try {
+      // 2. one bucket hash per band, fed columns directly
+      val bucketCols = (0 until numBands).map { b =>
+        xxhash64(((b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"h$i")) :+
+          lit(b)): _*)
+      }
+      val bands = sig.select(col("doc_id"), posexplode(array(bucketCols: _*)))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+      // 3. candidate pairs from bucket collisions
+      val candidates = bands.as("x").join(bands.as("y"),
+          col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+        .distinct()
+      // 4. exact Jaccard on candidate docs only
+      val candDocs = candidates.select(col("d1").as("doc_id"))
+        .union(candidates.select(col("d2"))).distinct()
+      val candSh = sh.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+      val sizes = candSh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+      val inter = candSh.as("a").join(candSh.as("b"),
+          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .agg(count(lit(1)).as("inter"))
+      candidates.join(inter, Seq("d1", "d2"))
+        .join(sizes.as("s1"), col("d1") === col("s1.doc_id"))
+        .join(sizes.as("s2"), col("d2") === col("s2.doc_id"))
+        .withColumn("jaccard",
+          col("inter").cast("double") / (col("s1.n_sh") + col("s2.n_sh") - col("inter")))
+        .filter(col("jaccard") >= threshold)
+        .select(col("d1"), col("d2"), round(col("jaccard"), 4).as("jaccard"))
+        .localCheckpoint()
+    } finally { sig.unpersist(); sh.unpersist() }
   }
 
   /** 64-bit SimHash fingerprint of a token array: bit k is the sign of the

@@ -49,8 +49,13 @@ object Similarity {
     * `row_number over (order by score desc, id)`, but with map-side partial
     * aggregation and O(k) state per group. */
   class TopKByScore(k: Int) extends Aggregator[Scored, Seq[Scored], Seq[Scored]] {
-    private def better(a: Scored, b: Scored): Boolean =
-      a.score > b.score || (a.score == b.score && a.id < b.id)
+    // java.lang.Double.compare gives a total order (NaN largest), matching
+    // Spark's sort semantics where NaN orders after +Inf — plain >/== would
+    // make NaN rows rank nondeterministically under sortWith.
+    private def better(a: Scored, b: Scored): Boolean = {
+      val c = java.lang.Double.compare(a.score, b.score)
+      c > 0 || (c == 0 && a.id < b.id)
+    }
     private def trim(s: Seq[Scored]): Seq[Scored] =
       s.sortWith(better).take(k)
     override def zero: Seq[Scored] = Vector.empty

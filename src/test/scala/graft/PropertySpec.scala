@@ -45,6 +45,32 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("percent-encoded object names stay one (encoded) segment") {
+    // ref parses the raw URI path: a%2Fb.json must NOT decode to a/b.json
+    // and truncate to "a" (OCIClient.getBucketAndFilenameFromURI semantics)
+    val cfg = LakeConfig(root = "file:///x", namespace = "ns", bucket = "bkt")
+    assert(LakePath.bucketAndFile(LakePath.fullUrl(cfg, "a%2Fb.json"))
+      .contains(("bkt", "a%2Fb.json")))
+  }
+
+  test("TopKByScore ranks NaN scores first, matching Spark NaN-largest sort") {
+    val scored = Seq((1L, 10L, Double.NaN), (1L, 11L, 0.9), (1L, 12L, 0.8),
+      (1L, 13L, Double.NaN)).toDF("q_id", "id", "cosine")
+    val topk = udaf(new Similarity.TopKByScore(3),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Similarity.Scored]())
+    val viaAgg = scored.groupBy(col("q_id"))
+      .agg(topk(col("id"), col("cosine")).as("top"))
+      .select(posexplode(col("top"))).select(col("col.id"))
+      .as[Long].collect().toSeq
+    // Spark orders NaN as largest: window formulation yields 10, 13, 11
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("id"))
+    val viaWindow = scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3).orderBy("rank").select(col("id"))
+      .as[Long].collect().toSeq
+    assert(viaAgg === viaWindow)
+    assert(viaAgg === Seq(10L, 13L, 11L))
+  }
+
   test("bucketed range join == naive theta join on random timestamps") {
     val rnd = new scala.util.Random(42)
     val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
