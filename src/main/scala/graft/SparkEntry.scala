@@ -19,7 +19,8 @@ object SparkEntry {
     JoinQueries,
     MultimodalQueries,
     StreamingQueries,
-    CoverageQueries
+    CoverageQueries,
+    AdvancedQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

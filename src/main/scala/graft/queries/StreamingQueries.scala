@@ -98,6 +98,30 @@ object StreamingQueries extends QueryModule {
         .orderBy("event_type")
     },
 
+    // --- stream-stream inner join with event-time range condition: clicks
+    //     within 10 minutes before a purchase by the same user. Watermarks
+    //     bound the join state on both sides (the 100 TB requirement for an
+    //     unbounded stream join); inner join emits every match eagerly, so
+    //     the result equals the batch join and is oracle-checkable. ---
+    "qs06_stream_stream_join" -> { (s, d) =>
+      val purchases = eventStream(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+      val clicks = eventStream(s, d)
+        .filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+        .withWatermark("c_ts", "1 hour")
+      val joined = purchases.join(clicks,
+        col("user_id") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 10 MINUTES") &&
+        col("c_ts") <= col("p_ts"))
+      runToMemory(s, joined, "qs06_out", "append")
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("user_id")
+    },
+
     // --- watermarked stateful dedup: duplicate the stream, dedup by key ---
     "qs04_stream_dedup" -> { (s, d) =>
       val base = eventStream(s, d)
@@ -145,6 +169,17 @@ object StreamingQueries extends QueryModule {
     "qs05_foreach_batch_sink" ->
       """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value
          FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "qs06_stream_stream_join" ->
+      """WITH p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS p_ts
+             FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS c_ts
+             FROM events WHERE event_type = 'click')
+         SELECT p.user_id, count(*) AS n_pairs
+         FROM p JOIN c ON p.user_id = c.user_id
+           AND c.c_ts >= p.p_ts - INTERVAL '10 minutes'
+           AND c.c_ts <= p.p_ts
+         GROUP BY p.user_id ORDER BY p.user_id""",
 
     "qs04_stream_dedup" ->
       """SELECT event_type, count(DISTINCT event_id) AS n,

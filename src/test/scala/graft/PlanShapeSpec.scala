@@ -56,6 +56,27 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p5.contains("LeftAnti"), s"no left-anti join:\n$p5")
   }
 
+  test("subqueries decorrelate into joins (no per-row re-scans)") {
+    // IN / NOT IN -> semi / anti hash joins
+    val p40 = plan(SparkEntry.queries("q40_in_subquery")(spark, sf))
+    assert(p40.contains("LeftSemi") && p40.contains("LeftAnti"),
+      s"IN/NOT IN did not decorrelate:\n$p40")
+    // correlated scalar count -> aggregate + (outer) equi join
+    val p41 = plan(SparkEntry.queries("q41_correlated_count")(spark, sf))
+    assert(!p41.contains("ScalarSubquery") &&
+      (p41.contains("SortMergeJoin") || p41.contains("HashJoin")),
+      s"correlated scalar subquery not decorrelated:\n$p41")
+  }
+
+  test("bucketed-table join is exchange-free on both sides (q44)") {
+    val df = SparkEntry.queries("q44_bucketed_join")(spark, sf)
+    val p = plan(df)
+    val joinSection = p.linesIterator.dropWhile(!_.contains("SortMergeJoin")).mkString("\n")
+    assert(p.contains("SortMergeJoin"), s"bucketed join not SMJ:\n$p")
+    assert(!joinSection.contains("Exchange hashpartitioning"),
+      s"bucketed join still shuffles its inputs:\n$p")
+  }
+
   test("fused vector dot stays inside whole-stage codegen") {
     val emb = Tables.embeddings(spark, sf).limit(10)
     val df = emb.select(graft.functions.VectorFunctions

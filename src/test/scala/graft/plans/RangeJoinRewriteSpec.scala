@@ -1,0 +1,84 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The optimizer rewrite must (a) keep results identical to the naive theta
+  * join on arbitrary data — including empty and null intervals — and
+  * (b) actually remove the nested-loop join from the physical plan. */
+class RangeJoinRewriteSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+  import spark.implicits._
+
+  private def withRule[T](binSize: Long)(f: => T): T = {
+    RangeJoinRewrite.install(spark, binSize)
+    try f
+    finally spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations.filterNot(_.isInstanceOf[RangeJoinRewrite])
+  }
+
+  private val rnd = new scala.util.Random(11)
+  private val points = (1 to 500).map(i => (i.toLong, rnd.nextLong() % 10000L)).toDF("p_id", "p")
+  private val intervals = (1 to 200).map { i =>
+    val lo = rnd.nextLong() % 10000L
+    // mix of regular, empty (hi <= lo) and degenerate intervals
+    val hi = lo + (rnd.nextInt(400) - 100)
+    (i.toLong, lo, hi)
+  }.toDF("w_id", "lo", "hi")
+
+  test("rewrite == naive theta join, incl. empty intervals and both orders") {
+    points.createOrReplaceTempView("pts")
+    intervals.createOrReplaceTempView("wins")
+    val q =
+      """SELECT p_id, w_id FROM pts JOIN wins ON p >= lo AND p < hi"""
+    val qFlipped = // point side on the right, bounds written mirrored
+      """SELECT p_id, w_id FROM wins JOIN pts ON lo <= p AND hi > p"""
+    val naive = spark.sql(q).as[(Long, Long)].collect().toSet
+    assert(naive.nonEmpty)
+    withRule(binSize = 137) {
+      assert(spark.sql(q).as[(Long, Long)].collect().toSet === naive)
+      assert(spark.sql(qFlipped).as[(Long, Long)].collect().toSet === naive)
+    }
+  }
+
+  test("null points and null bounds match nothing, same as naive") {
+    val p = Seq((1L, Some(5L)), (2L, None)).toDF("p_id", "p")
+    val w = Seq((10L, Some(0L), Some(10L)), (11L, None, Some(10L)),
+      (12L, Some(0L), None)).toDF("w_id", "lo", "hi")
+    val cond = col("p") >= col("lo") && col("p") < col("hi")
+    val naive = p.join(w, cond).select("p_id", "w_id").as[(Long, Long)].collect().toSet
+    val rewritten = withRule(binSize = 4) {
+      p.join(w, cond).select("p_id", "w_id").as[(Long, Long)].collect().toSet
+    }
+    assert(rewritten === naive)
+    assert(naive === Set((1L, 10L)))
+  }
+
+  test("physical plan: nested-loop join replaced by an equi join") {
+    val cond = col("p") >= col("lo") && col("p") < col("hi")
+    val before = points.join(intervals, cond).queryExecution.executedPlan.toString
+    assert(before.contains("BroadcastNestedLoopJoin") || before.contains("CartesianProduct"))
+    withRule(binSize = 137) {
+      val after = points.join(intervals, cond).queryExecution.executedPlan.toString
+      assert(!after.contains("BroadcastNestedLoopJoin") && !after.contains("CartesianProduct"),
+        s"rewrite did not fire:\n$after")
+    }
+  }
+
+  test("joins with an existing equi key are left untouched") {
+    val a = Seq((1L, 2L)).toDF("k", "v")
+    val b = Seq((1L, 0L, 5L)).toDF("k2", "lo", "hi")
+    withRule(binSize = 10) {
+      val plan = a.join(b, col("k") === col("k2") && col("v") >= col("lo") &&
+        col("v") < col("hi")).queryExecution.optimizedPlan.toString
+      assert(!plan.contains("_graft_bucket"))
+    }
+  }
+}
