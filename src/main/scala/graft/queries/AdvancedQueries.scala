@@ -104,6 +104,68 @@ object AdvancedQueries extends QueryModule {
         .orderBy("o_orderpriority")
     },
 
+    // --- analytic windows with IGNORE NULLS (gap-fill / last-observation-
+    //     carried-forward, the standard time-series pattern) ---
+    "q46_ignore_nulls" -> { (s, d) =>
+      Tables.events(s, d).createOrReplaceTempView("q46_events")
+      s.sql("""
+        SELECT event_id, user_id,
+          round(last_value(CASE WHEN event_type = 'purchase' THEN value END) IGNORE NULLS
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS last_purchase
+        FROM q46_events
+        WHERE user_id < 20
+        ORDER BY user_id, event_id""")
+    },
+
+    // --- distribution ranks: percent_rank / cume_dist ---
+    "q47_rank_distribution" -> { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("c_acctbal"), col("c_custkey"))
+      Tables.customer(s, d)
+        .withColumn("pr", round(percent_rank().over(w), 6))
+        .withColumn("cd", round(cume_dist().over(w), 6))
+        .filter(col("c_custkey") <= 200)
+        .select("c_custkey", "pr", "cd")
+        .orderBy("c_custkey")
+    },
+
+    // --- regexp family: extract / extract_all / replace ---
+    "q48_regexp_family" -> { (s, d) =>
+      Tables.documents(s, d)
+        .filter(col("doc_id") < 100)
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("text"), lit("[a-z]+ing\\b"), lit(0))).as("n_ing"),
+          regexp_extract(col("text"), "^(\\w+) (\\w+)", 2).as("second_word"),
+          regexp_replace(substring(col("text"), 1, 40), "[aeiou]", "_").as("devoweled"))
+        .orderBy("doc_id")
+    },
+
+    // --- robust statistics aggregates: exact median, sample stddev, corr ---
+    "q49_stats_aggs" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          round(median(col("l_quantity")), 4).as("med_qty"),
+          round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+          round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("qty_price_corr"))
+        .orderBy("l_returnflag")
+    },
+
+    // --- salted skew join: deterministic salt spreads a hot key over
+    //     saltFactor reducers; result identical to the plain join ---
+    "qk01_salted_join" -> { (s, d) =>
+      val facts = Tables.orders(s, d)
+        .select(col("o_custkey").as("custkey"), col("o_totalprice"))
+      val dim = Tables.customer(s, d)
+        .select(col("c_custkey").as("custkey"), col("c_mktsegment"))
+      graft.operators.SkewJoin.saltedJoin(facts, dim, "custkey", saltFactor = 8)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum("o_totalprice"), 2).as("total"))
+        .orderBy("c_mktsegment")
+    },
+
     // --- interval join through the SQL front door, auto-rewritten by the
     //     RangeJoinRewrite optimizer rule into a bucketed equi-join ---
     "q45_range_join_rule" -> { (s, d) =>
@@ -165,6 +227,43 @@ object AdvancedQueries extends QueryModule {
            round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    "q46_ignore_nulls" ->
+      """SELECT event_id, user_id,
+           round(last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS last_purchase
+         FROM events
+         WHERE user_id < 20
+         ORDER BY user_id, event_id""",
+
+    "q47_rank_distribution" ->
+      """SELECT c_custkey, pr, cd FROM (
+           SELECT c_custkey,
+             round(percent_rank() OVER (ORDER BY c_acctbal, c_custkey), 6) AS pr,
+             round(cume_dist() OVER (ORDER BY c_acctbal, c_custkey), 6) AS cd
+           FROM customer)
+         WHERE c_custkey <= 200 ORDER BY c_custkey""",
+
+    "q48_regexp_family" ->
+      """SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[a-z]+ing\b')) AS INTEGER) AS n_ing,
+           regexp_extract(text, '^(\w+) (\w+)', 2) AS second_word,
+           regexp_replace(substr(text, 1, 40), '[aeiou]', '_', 'g') AS devoweled
+         FROM documents WHERE doc_id < 100 ORDER BY doc_id""",
+
+    "q49_stats_aggs" ->
+      """SELECT l_returnflag,
+           round(median(l_quantity), 4) AS med_qty,
+           round(stddev_samp(l_quantity), 4) AS sd_qty,
+           round(corr(l_quantity, l_extendedprice), 4) AS qty_price_corr
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "qk01_salted_join" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
 
     "q45_range_join_rule" ->
       """WITH e AS (SELECT user_id,

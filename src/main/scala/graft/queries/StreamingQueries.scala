@@ -122,6 +122,34 @@ object StreamingQueries extends QueryModule {
         .orderBy("user_id")
     },
 
+    // --- arbitrary stateful processing: flatMapGroupsWithState keeps a
+    //     running (n_events, n_purchases) per user and emits the totals as
+    //     each micro-batch updates them. The state survives across batches
+    //     (GroupState), which is the building block every custom streaming
+    //     accumulator at scale reduces to. ---
+    "qs07_flat_map_groups_state" -> { (s, d) =>
+      import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+      import s.implicits._
+      val ds = eventStream(s, d)
+        .selectExpr("user_id", "event_type").as[(Long, String)]
+      val updated = ds.groupByKey(_._1)
+        .flatMapGroupsWithState[(Long, Long), (Long, Long, Long)](
+          OutputMode.Append, GroupStateTimeout.NoTimeout) {
+          (uid: Long, it: Iterator[(Long, String)], state: GroupState[(Long, Long)]) =>
+            var (n, p) = state.getOption.getOrElse((0L, 0L))
+            it.foreach { case (_, t) => n += 1; if (t == "purchase") p += 1 }
+            state.update((n, p))
+            Iterator((uid, n, p))
+        }
+        .toDF("user_id", "n_events", "n_purchases")
+      runToMemory(s, updated, "qs07_out", "append")
+        // the last emitted row per user is the final state (single-file
+        // source => one batch, but keep the reduction batch-count-agnostic)
+        .groupBy("user_id")
+        .agg(max("n_events").as("n_events"), max("n_purchases").as("n_purchases"))
+        .orderBy("user_id")
+    },
+
     // --- watermarked stateful dedup: duplicate the stream, dedup by key ---
     "qs04_stream_dedup" -> { (s, d) =>
       val base = eventStream(s, d)
@@ -180,6 +208,11 @@ object StreamingQueries extends QueryModule {
            AND c.c_ts >= p.p_ts - INTERVAL '10 minutes'
            AND c.c_ts <= p.p_ts
          GROUP BY p.user_id ORDER BY p.user_id""",
+
+    "qs07_flat_map_groups_state" ->
+      """SELECT user_id, count(*) AS n_events,
+           count(*) FILTER (WHERE event_type = 'purchase') AS n_purchases
+         FROM events GROUP BY user_id ORDER BY user_id""",
 
     "qs04_stream_dedup" ->
       """SELECT event_type, count(DISTINCT event_id) AS n,
