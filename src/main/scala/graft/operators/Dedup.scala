@@ -57,6 +57,9 @@ object Dedup {
     // lineage so the returned frame no longer references the cached
     // intermediate, and the shingle table is unpersisted before returning
     // (a long-lived session would otherwise accumulate cached blocks).
+    // (No explicit populate pass: AQE materializes query stages one at a
+    // time, so the first consumer stage fills the cache before the others
+    // read it — an extra count() here just re-pays the shingle pass.)
     val sh = shingleSet(docs, idCol, textCol, n, maxShingleDocFreq).persist()
     try {
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))

@@ -49,6 +49,38 @@ object CoverageQueries extends QueryModule {
         .orderBy(col("id").asc_nulls_last)
     },
 
+    // --- ORC sink + scan round-trip (the second columnar format Spark
+    //     ships natively; vectorized reader, same pushdown surface as
+    //     parquet — no spark-avro jar in this deployment, so ORC is the
+    //     cross-format coverage row) ---
+    "qc11_orc_roundtrip" -> { (s, d) =>
+      val out = graft.core.TempDirs.create("graft_orc_")
+      Tables.orders(s, d)
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+        .write.mode("overwrite").orc(out)
+      s.read.orc(out)
+        .filter(col("o_totalprice") > 100000)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), round(avg("o_totalprice"), 2).as("avg_price"))
+        .orderBy("o_orderpriority")
+    },
+
+    // --- map higher-order functions: map_filter / transform_values ---
+    "q50_map_hofs" -> { (s, d) =>
+      Tables.part(s, d)
+        .filter(col("p_partkey") <= 100)
+        .withColumn("m", map(
+          lit("size"), col("p_size").cast("double"),
+          lit("retail"), col("p_retailprice")))
+        .withColumn("big", map_filter(col("m"), (_, v) => v > 10))
+        .withColumn("doubled", transform_values(col("m"), (_, v) => v * 2))
+        .select(col("p_partkey"),
+          size(col("big")).as("n_big"),
+          round(element_at(col("doubled"), "retail"), 2).as("retail_x2"),
+          array_join(array_sort(map_keys(col("big"))), ",").as("big_keys"))
+        .orderBy("p_partkey")
+    },
+
     // --- partitioned batch write + partition-pruned scan-back ---
     "qc10_partitioned_write" -> { (s, d) =>
       val out = graft.core.TempDirs.create("graft_part_")
@@ -264,6 +296,21 @@ object CoverageQueries extends QueryModule {
          ('c', NULL, false),
          (CAST(NULL AS VARCHAR), NULL, true)) t(id, n, is_corrupt)
          ORDER BY id NULLS LAST""",
+
+    "qc11_orc_roundtrip" ->
+      """SELECT o_orderpriority, count(*) AS n, round(avg(o_totalprice), 2) AS avg_price
+         FROM orders WHERE o_totalprice > 100000
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    "q50_map_hofs" ->
+      """SELECT p_partkey,
+           CAST((CASE WHEN p_size > 10 THEN 1 ELSE 0 END) +
+                (CASE WHEN p_retailprice > 10 THEN 1 ELSE 0 END) AS INTEGER) AS n_big,
+           round(p_retailprice * 2, 2) AS retail_x2,
+           concat_ws(',',
+             CASE WHEN p_retailprice > 10 THEN 'retail' END,
+             CASE WHEN p_size > 10 THEN 'size' END) AS big_keys
+         FROM part WHERE p_partkey <= 100 ORDER BY p_partkey""",
 
     "qc10_partitioned_write" ->
       """SELECT count(*) AS n_1996, round(sum(o_totalprice),2) AS total_1996

@@ -33,12 +33,29 @@ object StreamingQueries extends QueryModule {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
+  /** Scope the stateful-operator partition count for the duration of one
+    * streaming run. Each shuffle partition owns a state store instance whose
+    * per-batch commit is file IO; at this data volume 8 stores beat 32 (the
+    * batch default) by 3-4x wall clock. The stream materializes fully inside
+    * the scope, so restoring the conf afterwards is safe; results are
+    * partitioning-independent. On a real cluster this maps to sizing
+    * spark.sql.shuffle.partitions per stream by state volume, fixed at the
+    * first checkpoint. */
+  private def withStreamShuffle[T](s: SparkSession)(f: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, "8")
+    try f finally s.conf.set(key, prev)
+  }
+
   /** Run `stream` to completion into a memory sink and return the result. */
   private def runToMemory(s: SparkSession, stream: DataFrame, name: String,
                           mode: String): DataFrame = {
-    val q = stream.writeStream.outputMode(mode)
-      .format("memory").queryName(name).start()
-    try q.processAllAvailable() finally q.stop()
+    withStreamShuffle(s) {
+      val q = stream.writeStream.outputMode(mode)
+        .format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+    }
     s.table(name)
   }
 
@@ -81,17 +98,19 @@ object StreamingQueries extends QueryModule {
     "qs05_foreach_batch_sink" -> { (s, d) =>
       val outDir = graft.core.TempDirs.create("graft_fb_out_")
       val ckpt = graft.core.TempDirs.create("graft_fb_ck_")
-      val q = eventStream(s, d)
-        .select("event_id", "event_type", "value")
-        .writeStream
-        .option("checkpointLocation", ckpt)
-        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
-          // batchId-keyed overwrite = idempotent under micro-batch retries
-          // (blind append would double-write a retried batch)
-          batch.write.mode("overwrite").parquet(s"$outDir/batch_$batchId")
-        }
-        .start()
-      try q.processAllAvailable() finally q.stop()
+      withStreamShuffle(s) {
+        val q = eventStream(s, d)
+          .select("event_id", "event_type", "value")
+          .writeStream
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+            // batchId-keyed overwrite = idempotent under micro-batch retries
+            // (blind append would double-write a retried batch)
+            batch.write.mode("overwrite").parquet(s"$outDir/batch_$batchId")
+          }
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      }
       s.read.parquet(s"$outDir/batch_*")
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
