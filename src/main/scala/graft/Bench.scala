@@ -50,7 +50,10 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t = try {
         once(fn) // warmup
-        math.min(once(fn), once(fn))
+        // best-of-3: min is the most contention-resistant steady-state
+        // estimator on a shared box (one GC pause or page-cache miss can
+        // double a single run)
+        Seq(once(fn), once(fn), once(fn)).min
       } catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
         -1.0

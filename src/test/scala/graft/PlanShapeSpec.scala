@@ -77,6 +77,12 @@ class PlanShapeSpec extends AnyFunSuite {
       s"bucketed join still shuffles its inputs:\n$p")
   }
 
+  test("q45 SQL interval join is rewritten away from nested-loop (rule fires)") {
+    val p = plan(SparkEntry.queries("q45_range_join_rule")(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"RangeJoinRewrite did not fire on q45:\n$p")
+  }
+
   test("fused vector dot stays inside whole-stage codegen") {
     val emb = Tables.embeddings(spark, sf).limit(10)
     val df = emb.select(graft.functions.VectorFunctions
