@@ -68,6 +68,21 @@ object Multimodal {
     }
   }
 
+  /** Resize planning: fit (width, height) within maxDim preserving aspect
+    * ratio, integer arithmetic only. The byte-level rescale would live in
+    * the stubbed codec; the dimension plan is pure column math and stays
+    * inside whole-stage codegen (functions, not UDFs). */
+  def resizeDims(decoded: DataFrame, maxDim: Int): DataFrame = {
+    val m = greatest(col("width"), col("height"))
+    def fit(side: org.apache.spark.sql.Column) =
+      when(m > maxDim,
+        greatest(lit(1), floor(side.cast("double") * maxDim / m).cast("int")))
+        .otherwise(side).cast("int")
+    decoded
+      .withColumn("out_w", fit(col("width")))
+      .withColumn("out_h", fit(col("height")))
+  }
+
   /** Frame sampling stub: every `stride`-th byte as a "frame" id — keeps the
     * explode/repartition shape of real frame extraction. */
   def sampleFrames(spark: SparkSession, media: Dataset[MediaRow], stride: Int): DataFrame = {

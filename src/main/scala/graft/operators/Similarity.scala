@@ -99,6 +99,27 @@ object Similarity {
       .agg(agg(col(vecCol)).as("centroid"))
   }
 
+  /** Sign-LSH (random-hyperplane) bucket assignment: bit i of the bucket id
+    * is the sign of dot(vec, hyperplane_i). Vectors within a small angle
+    * land in the same bucket with high probability, so ANN probing reduces
+    * to an equi-join on bucket — the other scale path next to IVF (here the
+    * hyperplanes are data-derived so the oracle can replay them; production
+    * would draw Gaussian hyperplanes from a fixed seed).
+    *
+    * hyper: (h_id: Int in [0, 63], h_vec: Array[Float]); broadcast —
+    * the corpus is scanned exactly once (crossJoin is corpus x numPlanes
+    * rows map-side, reduced back to one row per vector by the sum).
+    */
+  def signLshBuckets(vecs: DataFrame, idCol: String, vecCol: String,
+                     hyper: DataFrame): DataFrame =
+    vecs.select(col(idCol), col(vecCol))
+      .crossJoin(broadcast(hyper))
+      .withColumn("_dot", dotProduct(col(vecCol), col("h_vec")))
+      .groupBy(col(idCol))
+      .agg(sum(when(col("_dot") > 0,
+          call_function("shiftleft", lit(1L), col("h_id").cast("int")))
+        .otherwise(0L)).as("bucket"))
+
   /** IVF top-k: assign every corpus vector to its nearest centroid, then for
     * each query search only the `nprobe` closest clusters exhaustively.
     * Deterministic given the centroid set; approximate vs. brute force only

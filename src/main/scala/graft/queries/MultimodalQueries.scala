@@ -44,6 +44,20 @@ object MultimodalQueries extends QueryModule {
         .orderBy("media_id")
     },
 
+    // --- resize planning on decoded dims (aspect-fit within 256; the byte
+    //     rescale would be the codec's job, the dimension math is pure
+    //     codegen'd column arithmetic) ---
+    "qm04_resize_stub" -> { (s, d) =>
+      import s.implicits._
+      val media = Multimodal.withBinaryPayload(
+          Tables.documents(s, d).filter(col("doc_id") < 100),
+          "doc_id", "text", "image/fake")
+        .as[Multimodal.MediaRow]
+      Multimodal.resizeDims(Multimodal.decodeAll(s, media).toDF(), maxDim = 256)
+        .select(col("media_id"), col("width"), col("height"), col("out_w"), col("out_h"))
+        .orderBy("media_id")
+    },
+
     // --- frame-sampling stub (explode shape of frame extraction) ---
     "qm03_frame_sample" -> { (s, d) =>
       import s.implicits._
@@ -74,6 +88,21 @@ object MultimodalQueries extends QueryModule {
            round(list_aggregate(list_transform(generate_series(1, length(text)),
              i -> ascii(substr(text, CAST(i AS INTEGER), 1))), 'sum')*1.0 / length(text), 4) AS mean_byte
          FROM documents WHERE doc_id < 100 ORDER BY media_id""",
+
+    "qm04_resize_stub" ->
+      """WITH dec AS (
+           SELECT doc_id AS media_id,
+             CAST(1 + (ascii(substr(text,1,1))*256 + ascii(substr(text,2,1))) % 1024 AS INTEGER) AS width,
+             CAST(1 + (ascii(substr(text,3,1))*256 + ascii(substr(text,4,1))) % 1024 AS INTEGER) AS height
+           FROM documents WHERE doc_id < 100)
+         SELECT media_id, width, height,
+           CAST(CASE WHEN greatest(width, height) > 256
+                THEN greatest(1, CAST(floor(width * 256.0 / greatest(width, height)) AS INTEGER))
+                ELSE width END AS INTEGER) AS out_w,
+           CAST(CASE WHEN greatest(width, height) > 256
+                THEN greatest(1, CAST(floor(height * 256.0 / greatest(width, height)) AS INTEGER))
+                ELSE height END AS INTEGER) AS out_h
+         FROM dec ORDER BY media_id""",
 
     "qm03_frame_sample" ->
       """SELECT doc_id AS media_id,

@@ -73,6 +73,20 @@ object TextQueries extends QueryModule {
         .limit(20)
     },
 
+    // --- BPE-ish regex tokenization: alpha runs / digit runs / single
+    //     punctuation, the pre-merge segmentation a byte-pair tokenizer
+    //     starts from (whitespace tokenization is qt01) ---
+    "qt06_bpe_tokens" -> { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)).as("toks"))
+        .select(col("doc_id"),
+          size(col("toks")).as("n_subtokens"),
+          size(array_distinct(col("toks"))).as("n_unique"),
+          element_at(array_sort(array_distinct(col("toks"))), 1).as("first_tok"))
+        .orderBy("doc_id")
+    },
+
     // --- document fingerprinting: md5 / sha256 / winnowing-min ---
     "qt05_fingerprints" -> { (s, d) =>
       Tables.documents(s, d)
@@ -186,6 +200,16 @@ object TextQueries extends QueryModule {
            FROM (SELECT string_split(text,' ') AS t FROM documents)
            WHERE len(t) >= 2)
          GROUP BY bigram ORDER BY cnt DESC, bigram LIMIT 20""",
+
+    "qt06_bpe_tokens" ->
+      """SELECT doc_id,
+           CAST(len(t) AS INTEGER) AS n_subtokens,
+           CAST(len(list_distinct(t)) AS INTEGER) AS n_unique,
+           list_sort(list_distinct(t))[1] AS first_tok
+         FROM (SELECT doc_id,
+                 regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]') AS t
+               FROM documents)
+         ORDER BY doc_id""",
 
     "qt05_fingerprints" ->
       """SELECT doc_id, md5(text) AS md5_fp, sha256(text) AS sha256_fp,

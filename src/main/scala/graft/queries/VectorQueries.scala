@@ -41,6 +41,29 @@ object VectorQueries extends QueryModule {
         .orderBy("q_id", "rank")
     },
 
+    // --- sign-LSH bucketed ANN: 8 data-derived hyperplanes -> 256 buckets;
+    //     probe = equi-join on bucket, exact cosine rank within bucket ---
+    "qv04_lsh_ann" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val hyper = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("int").as("h_id"), col("embedding").as("h_vec"))
+      val buckets = Similarity.signLshBuckets(
+        emb.select(col("vec_id"), col("embedding")), "vec_id", "embedding", hyper)
+      val withB = emb.join(buckets, "vec_id")
+      val q = withB.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"), col("bucket"))
+      val c = withB.select(col("vec_id").as("id"), col("embedding").as("vec"), col("bucket"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("q_id").orderBy(col("cosine").desc, col("id"))
+      c.join(broadcast(q), Seq("bucket"))
+        .withColumn("cosine",
+          round(graft.functions.VectorFunctions.cosineSimilarity(col("q_vec"), col("vec")), 6))
+        .withColumn("rank", row_number().over(w).cast("int"))
+        .filter(col("rank") <= 3)
+        .select("q_id", "rank", "id", "cosine")
+        .orderBy("q_id", "rank")
+    },
+
     // --- per-cluster vector stats (centroid norms via the Aggregator) ---
     "qv03_centroid_norms" -> { (s, d) =>
       val emb = Tables.embeddings(s, d)
@@ -99,6 +122,25 @@ object VectorQueries extends QueryModule {
                 ORDER BY round(list_cosine_similarity(p.qv, a.v), 6) DESC, a.id) AS rank
             FROM probes p JOIN assigned a ON p.cluster = a.cluster)
           WHERE rank <= 5 ORDER BY q_id, rank""",
+
+    "qv04_lsh_ann" ->
+      """WITH h AS (SELECT CAST(vec_id AS INTEGER) AS h_id,
+                      CAST(embedding AS DOUBLE[]) AS hv
+                    FROM embeddings WHERE vec_id < 8),
+          b AS (SELECT e.vec_id,
+                  CAST(sum(CASE WHEN list_dot_product(CAST(e.embedding AS DOUBLE[]), h.hv) > 0
+                                THEN CAST(power(2, h.h_id) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+                FROM embeddings e CROSS JOIN h GROUP BY e.vec_id),
+          wb AS (SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v, b.bucket
+                 FROM embeddings e JOIN b ON e.vec_id = b.vec_id)
+          SELECT q_id, CAST(rank AS INTEGER) AS rank, id, cosine FROM (
+            SELECT q.vec_id AS q_id, c.vec_id AS id,
+              round(list_cosine_similarity(q.v, c.v), 6) AS cosine,
+              row_number() OVER (PARTITION BY q.vec_id
+                ORDER BY round(list_cosine_similarity(q.v, c.v), 6) DESC, c.vec_id) AS rank
+            FROM wb q JOIN wb c ON q.bucket = c.bucket
+            WHERE q.vec_id < 5)
+          WHERE rank <= 3 ORDER BY q_id, rank""",
 
     "qv03_centroid_norms" ->
       s"""WITH $centroidCte
