@@ -2,8 +2,8 @@ package graft.hl7
 
 import java.util.regex.Pattern
 
-import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions.udf
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** HL7v2 MSH-9 (message type/event) extraction
   * (ref: hl7/HL7Utils.kt:11-40, algorithm preserved exactly):
@@ -37,11 +37,32 @@ object HL7 {
   }
 
   /** Scalar UDF surface: hl7_msh9(msg) -> struct(msg_type, msg_event),
-    * null when malformed. Registered per-session; promote to a codegen'd
-    * Catalyst Expression only if profiling shows it hot (SURVEY.md §4.3).
-    */
+    * null when malformed. Registered per-session. */
   val msh9Udf = udf((message: String) => msh9(message))
 
   def register(spark: SparkSession): Unit =
     spark.udf.register("hl7_msh9", msh9Udf)
+
+  /** Native column implementation of the same algorithm — pure built-in
+    * expressions (locate/substr/split/when), so MSH-9 extraction over a
+    * large HL7 corpus stays inside whole-stage codegen instead of paying
+    * the ScalaUDF serialization boundary per row ("functions, not UDFs").
+    *
+    * Positions are 1-based (SQL); the reference's 0-based charAt(mshIdx+3)
+    * is substr(m+3, 1) here. `get()` (0-based, null on out-of-bounds) is
+    * used instead of element_at, which throws under ANSI mode.
+    * Equivalence with [[msh9]]/[[msh9Udf]] is property-tested in HL7Spec.
+    */
+  def msh9Native(msg: Column): Column = {
+    val m = locate("MSH", msg) // 1-based; 0 = absent; null msg -> null
+    val sep1 = substr(msg, m + 3, lit(1))
+    val sep2 = substr(msg, m + 4, lit(1))
+    def rxQuote(c: Column) = concat(lit("\\Q"), c, lit("\\E"))
+    val fields = split(msg, rxQuote(sep1), lit(10))
+    val f = get(fields, lit(8)) // MSH-9, null when < 9 fields
+    val parts = split(f, rxQuote(sep2), lit(-1))
+    val ok = m >= 1 && length(msg) >= m + 4 && size(fields) >= 10 &&
+      length(f) === 7 && call_function("instr", f, sep2) === 4
+    when(ok, struct(get(parts, lit(0)).as("msg_type"), get(parts, lit(1)).as("msg_event")))
+  }
 }

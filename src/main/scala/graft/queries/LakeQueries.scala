@@ -164,6 +164,19 @@ object LakeQueries extends QueryModule {
         .withColumn("m", call_udf("hl7_msh9", col("message")))
         .select(col("case_id"), col("m._1").as("msg_type"), col("m._2").as("msg_event"))
         .orderBy("case_id")
+    },
+
+    // --- A23 again through the pure-expression path: same algorithm as
+    //     native locate/substr/split columns, no UDF boundary — the form
+    //     that stays inside whole-stage codegen on a large HL7 corpus
+    //     (equivalence with the UDF property-tested in HL7Spec) ---
+    "qh02_hl7_native" -> { (s, _) =>
+      import s.implicits._
+      HL7Corpus.cases.toDF("case_id", "message")
+        .withColumn("m", HL7.msh9Native(col("message")))
+        .select(col("case_id"), col("m.msg_type").as("msg_type"),
+          col("m.msg_event").as("msg_event"))
+        .orderBy("case_id")
     }
   )
 
@@ -219,6 +232,14 @@ object LakeQueries extends QueryModule {
          ORDER BY "check"""",
 
     "qh01_hl7_msh9" ->
+      """SELECT * FROM (VALUES
+         (1, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)),
+         (2, NULL, NULL), (3, NULL, NULL), (4, NULL, NULL),
+         (5, NULL, NULL), (6, NULL, NULL), (7, NULL, NULL),
+         (8, 'MDM', 'T02')) t(case_id, msg_type, msg_event)
+         ORDER BY case_id""",
+
+    "qh02_hl7_native" ->
       """SELECT * FROM (VALUES
          (1, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)),
          (2, NULL, NULL), (3, NULL, NULL), (4, NULL, NULL),

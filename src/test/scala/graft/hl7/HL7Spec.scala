@@ -62,4 +62,39 @@ class HL7Spec extends AnyFunSuite {
       (t, e, s"MSH|^~\\&|a|b|c|d|e||$t^$e|rest|x|y")
     check(Prop.forAll(good) { case (t, e, s) => HL7.msh9(s).contains((t, e)) })
   }
+
+  test("native expression pipeline == JVM/UDF implementation on random input") {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val rnd = new scala.util.Random(99)
+    val seps = "|^~&#!".toCharArray
+    // adversarial mix: corpus cases, random printable noise, near-valid
+    // messages with random separators and random MSH offsets
+    val msgs: Seq[String] = HL7Corpus.cases.map(_._2) ++
+      (1 to 300).map(_ => rnd.alphanumeric.take(rnd.nextInt(40)).mkString) ++
+      (1 to 300).map { _ =>
+        val s1 = seps(rnd.nextInt(seps.length)); val s2 = seps(rnd.nextInt(seps.length))
+        val pre = if (rnd.nextBoolean()) "junk " else ""
+        val f9 = rnd.alphanumeric.take(rnd.nextInt(9)).mkString
+        pre + s"MSH$s1$s2~\\&" + (1 to 8).map(_ => s1).mkString + f9 +
+          s1 + "rest" + s1 + "x"
+      }
+    val df = msgs.zipWithIndex.map { case (m, i) => (i.toLong, m) }.toDF("id", "msg")
+    val native = df.select(col("id"), HL7.msh9Native(col("msg")).as("m"))
+      .select(col("id"), col("m.msg_type"), col("m.msg_event"))
+      .as[(Long, Option[String], Option[String])].collect()
+      .map { case (k, t, e) => k -> ((t, e)) }.toMap
+    msgs.zipWithIndex.foreach { case (m, i) =>
+      val expect = HL7.msh9(m) match {
+        case Some((t, e)) => (Some(t), Some(e))
+        case None         => (None, None)
+      }
+      assert(native(i.toLong) === expect, s"mismatch on: <$m>")
+    }
+  }
 }
