@@ -165,6 +165,20 @@ object AdvancedQueries extends QueryModule {
         .orderBy("l_returnflag")
     },
 
+    // --- bitwise aggregates + ANSI-safe arithmetic (try_divide returns
+    //     null on /0 instead of failing the job under ANSI mode) ---
+    "q51_bitwise_try" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          bit_and(col("l_orderkey")).as("key_band"),
+          bit_or(col("l_orderkey")).as("key_bor"),
+          bit_xor(col("l_orderkey")).as("key_bxor"),
+          round(sum(try_divide(col("l_extendedprice"), col("l_quantity") - 30)), 2)
+            .as("sum_safe_ratio"))
+        .orderBy("l_returnflag")
+    },
+
     // --- salted skew join: deterministic salt spreads a hot key over
     //     saltFactor reducers; result identical to the plain join ---
     "qk01_salted_join" -> { (s, d) =>
@@ -270,6 +284,15 @@ object AdvancedQueries extends QueryModule {
            round(median(l_quantity), 4) AS med_qty,
            round(stddev_samp(l_quantity), 4) AS sd_qty,
            round(corr(l_quantity, l_extendedprice), 4) AS qty_price_corr
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "q51_bitwise_try" ->
+      """SELECT l_returnflag,
+           bit_and(l_orderkey) AS key_band,
+           bit_or(l_orderkey) AS key_bor,
+           bit_xor(l_orderkey) AS key_bxor,
+           round(sum(CASE WHEN l_quantity = 30 THEN NULL
+                          ELSE l_extendedprice / (l_quantity - 30) END), 2) AS sum_safe_ratio
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
 
     "qk01_salted_join" ->
