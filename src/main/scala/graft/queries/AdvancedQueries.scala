@@ -165,6 +165,29 @@ object AdvancedQueries extends QueryModule {
         .orderBy("l_returnflag")
     },
 
+    // --- batch sessionization: lag + gap flag + running sum, the batch
+    //     twin of the streaming session_window (qs03) — same 30-minute gap
+    //     rule, so the two paths are mutually checkable ---
+    "q52_batch_sessionize" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val byUser = Window.partitionBy("user_id").orderBy("ts")
+      val run = Window.partitionBy("user_id").orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .select(col("user_id"), col("ts"))
+        .withColumn("gap_s",
+          col("ts").cast("long") - lag(col("ts").cast("long"), 1).over(byUser))
+        .withColumn("new_session",
+          when(col("gap_s").isNull || col("gap_s") >= 1800, 1).otherwise(0))
+        .withColumn("session_id", sum(col("new_session")).over(run))
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_sessions"),
+          max(col("n_events")).as("max_session_events"))
+        .orderBy("user_id")
+    },
+
     // --- bitwise aggregates + ANSI-safe arithmetic (try_divide returns
     //     null on /0 instead of failing the job under ANSI mode) ---
     "q51_bitwise_try" -> { (s, d) =>
@@ -285,6 +308,28 @@ object AdvancedQueries extends QueryModule {
            round(stddev_samp(l_quantity), 4) AS sd_qty,
            round(corr(l_quantity, l_extendedprice), 4) AS qty_price_corr
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "q52_batch_sessionize" ->
+      """WITH e AS (
+           SELECT user_id, CAST(ts AS TIMESTAMP) AS tsx,
+             CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS sec
+           FROM events),
+         g AS (
+           SELECT user_id, tsx, sec,
+             CASE WHEN lag(sec) OVER w IS NULL OR sec - lag(sec) OVER w >= 1800
+                  THEN 1 ELSE 0 END AS new_session
+           FROM e
+           WINDOW w AS (PARTITION BY user_id ORDER BY tsx)),
+         sess AS (
+           SELECT user_id,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY tsx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+           FROM g),
+         per AS (SELECT user_id, session_id, count(*) AS n_events
+                 FROM sess GROUP BY user_id, session_id)
+         SELECT user_id, count(*) AS n_sessions,
+           max(n_events) AS max_session_events
+         FROM per GROUP BY user_id ORDER BY user_id""",
 
     "q51_bitwise_try" ->
       """SELECT l_returnflag,

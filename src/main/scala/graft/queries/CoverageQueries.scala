@@ -81,6 +81,22 @@ object CoverageQueries extends QueryModule {
         .orderBy("p_partkey")
     },
 
+    // --- small-file compaction (the OPTIMIZE/rewrite-files maintenance
+    //     action): 20-file partition -> single target-sized file, rows
+    //     preserved, swap via paired renames ---
+    "qc12_compaction" -> { (s, d) =>
+      import s.implicits._
+      val dir = graft.core.TempDirs.create("graft_comp_")
+      val docs = Tables.documents(s, d)
+      val rowsBefore = docs.count()
+      docs.repartition(20).write.mode("overwrite").parquet(dir)
+      val (nBefore, nAfter) = graft.core.LakeCompaction.compactParquet(
+        s, dir, targetFileBytes = 512L * 1024 * 1024)
+      val rowsAfter = s.read.parquet(dir).count()
+      Seq((nBefore >= 20L, nAfter < nBefore, rowsAfter == rowsBefore))
+        .toDF("many_small_before", "fewer_after", "rows_preserved")
+    },
+
     // --- partitioned batch write + partition-pruned scan-back ---
     "qc10_partitioned_write" -> { (s, d) =>
       val out = graft.core.TempDirs.create("graft_part_")
@@ -301,6 +317,10 @@ object CoverageQueries extends QueryModule {
       """SELECT o_orderpriority, count(*) AS n, round(avg(o_totalprice), 2) AS avg_price
          FROM orders WHERE o_totalprice > 100000
          GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    "qc12_compaction" ->
+      """SELECT true AS many_small_before, true AS fewer_after,
+         true AS rows_preserved""",
 
     "q50_map_hofs" ->
       """SELECT p_partkey,
