@@ -72,6 +72,20 @@ class RangeJoinRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("property: equivalence holds across random bin sizes") {
+    val cond = col("p") >= col("lo") && col("p") < col("hi")
+    val naive = points.join(intervals, cond)
+      .select("p_id", "w_id").as[(Long, Long)].collect().toSet
+    // bin sizes spanning smaller-than-interval, comparable, and much larger
+    for (bin <- Seq(1L, 7L, 64L, 100L, 999L, 100000L)) {
+      val got = withRule(binSize = bin) {
+        points.join(intervals, cond).select("p_id", "w_id")
+          .as[(Long, Long)].collect().toSet
+      }
+      assert(got === naive, s"mismatch at binSize=$bin")
+    }
+  }
+
   test("joins with an existing equi key are left untouched") {
     val a = Seq((1L, 2L)).toDF("k", "v")
     val b = Seq((1L, 0L, 5L)).toDF("k2", "lo", "hi")
