@@ -43,9 +43,12 @@ object LakeCompaction {
       throw new IllegalStateException(
         s"compaction: failed to move $path aside; compacted copy preserved at $tmp")
     if (!fs.rename(tmp, path)) {
-      fs.rename(gc, path) // roll back: restore the original directory
+      val rolledBack = fs.rename(gc, path) // roll back: restore the original
       throw new IllegalStateException(
-        s"compaction: failed to move $tmp into place; original restored, data preserved at $tmp")
+        if (rolledBack)
+          s"compaction: failed to move $tmp into place; original restored, compacted data preserved at $tmp"
+        else
+          s"compaction: failed to move $tmp into place AND rollback failed — partition dir absent; original preserved at $gc, compacted at $tmp")
     }
     if (!fs.delete(gc, true))
       throw new IllegalStateException(s"compaction: swap done but failed to delete $gc")

@@ -44,24 +44,26 @@ object Dedup {
   }
 
   /** Exact n-gram Jaccard similarity for every pair sharing >= 1 shingle.
-    * jaccard = |A ∩ B| / (|A| + |B| - |A ∩ B|). */
+    * jaccard = |A ∩ B| / (|A| + |B| - |A ∩ B|).
+    *
+    * With `materialize = true` (default) the shingle table — consumed by
+    * three operators (sizes, both self-join sides), with interpreted HOF
+    * generation — is persisted for the duration of the call, the small
+    * above-threshold pair result is computed eagerly via localCheckpoint,
+    * and the cache is released before returning (no cached-block
+    * accumulation in a long-lived session; AQE materializes stages one at
+    * a time, so the first consumer fills the cache for the rest).
+    * Tradeoff: localCheckpoint blocks are executor-local and unreplicated —
+    * on executor loss the truncated lineage cannot recompute them; rerun
+    * the operator. Pass `materialize = false` for a fully lazy,
+    * lineage-complete, composable plan (shingles recomputed per consumer)
+    * and manage caching yourself — the right choice when writing the
+    * result straight to storage on a cluster. */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         n: Int, threshold: Double,
-                        maxShingleDocFreq: Option[Int] = None): DataFrame = {
-    // Materialize the shingle table once: it feeds three consumers (sizes,
-    // both self-join sides) and the shingle-generation HOFs are interpreted
-    // — recomputing them triples the dominant cost. At cluster scale this
-    // is the standard "write the shingle table, then join it" pattern.
-    // The cache is scoped to this call: the (small, above-threshold) pair
-    // result is materialized eagerly via localCheckpoint, which truncates
-    // lineage so the returned frame no longer references the cached
-    // intermediate, and the shingle table is unpersisted before returning
-    // (a long-lived session would otherwise accumulate cached blocks).
-    // (No explicit populate pass: AQE materializes query stages one at a
-    // time, so the first consumer stage fills the cache before the others
-    // read it — an extra count() here just re-pays the shingle pass.)
-    val sh = shingleSet(docs, idCol, textCol, n, maxShingleDocFreq).persist()
-    try {
+                        maxShingleDocFreq: Option[Int] = None,
+                        materialize: Boolean = true): DataFrame = {
+    def result(sh: DataFrame): DataFrame = {
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
       val pairs = sh.as("a").join(sh.as("b"),
           col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
@@ -74,8 +76,14 @@ object Dedup {
           col("inter").cast("double") / (col("s1.n_sh") + col("s2.n_sh") - col("inter")))
         .filter(col("jaccard") >= threshold)
         .select(col("d1"), col("d2"), round(col("jaccard"), 4).as("jaccard"))
-        .localCheckpoint()
-    } finally sh.unpersist()
+    }
+    val shPlan = shingleSet(docs, idCol, textCol, n, maxShingleDocFreq)
+    if (!materialize) result(shPlan)
+    else {
+      val sh = shPlan.persist()
+      try result(sh).localCheckpoint()
+      finally sh.unpersist()
+    }
   }
 
   /** MinHash + banded LSH near-dup detection, verified with EXACT Jaccard.
@@ -97,17 +105,21 @@ object Dedup {
     */
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
                       n: Int, threshold: Double,
-                      numBands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+                      numBands: Int = 16, rowsPerBand: Int = 4,
+                      materialize: Boolean = true): DataFrame = {
     val numHashes = numBands * rowsPerBand
-    // (doc_id, s) distinct — persisted: consumed by the signature agg and
-    // twice by the verification join. Both caches are scoped to this call:
-    // the final pair result is materialized via localCheckpoint and the
-    // intermediates unpersisted before returning (see ngramJaccardPairs).
-    val sh = shingleSet(docs, idCol, textCol, n).persist()
+    // (doc_id, s) distinct — consumed by the signature agg and twice by the
+    // verification join. With materialize=true both intermediates are
+    // persisted for the call, the pair result localCheckpoint'ed and the
+    // caches released; see ngramJaccardPairs for the tradeoff and the
+    // materialize=false (fully lazy) alternative.
+    val shPlan = shingleSet(docs, idCol, textCol, n)
+    val sh = if (materialize) shPlan.persist() else shPlan
     // 1. one codegen'd aggregation pass for the whole signature
     val hashAggs = (0 until numHashes).map(i => min(xxhash64(col("s"), lit(i))).as(s"h$i"))
-    // persisted: both sides of the band self-join consume the signatures
-    val sig = sh.groupBy("doc_id").agg(hashAggs.head, hashAggs.tail: _*).persist()
+    // both sides of the band self-join consume the signatures
+    val sigPlan = sh.groupBy("doc_id").agg(hashAggs.head, hashAggs.tail: _*)
+    val sig = if (materialize) sigPlan.persist() else sigPlan
     try {
       // 2. one bucket hash per band, fed columns directly
       val bucketCols = (0 until numBands).map { b =>
@@ -137,9 +149,11 @@ object Dedup {
         .withColumn("jaccard",
           col("inter").cast("double") / (col("s1.n_sh") + col("s2.n_sh") - col("inter")))
         .filter(col("jaccard") >= threshold)
-        .select(col("d1"), col("d2"), round(col("jaccard"), 4).as("jaccard"))
-        .localCheckpoint()
-    } finally { sig.unpersist(); sh.unpersist() }
+        .select(col("d1"), col("d2"), round(col("jaccard"), 4).as("jaccard")) match {
+        case out if materialize => out.localCheckpoint()
+        case out                => out
+      }
+    } finally if (materialize) { sig.unpersist(); sh.unpersist() }
   }
 
   /** 64-bit SimHash fingerprint of a token array: bit k is the sign of the

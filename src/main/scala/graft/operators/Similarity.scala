@@ -49,11 +49,14 @@ object Similarity {
     * `row_number over (order by score desc, id)`, but with map-side partial
     * aggregation and O(k) state per group. */
   class TopKByScore(k: Int) extends Aggregator[Scored, Seq[Scored], Seq[Scored]] {
-    // java.lang.Double.compare gives a total order (NaN largest), matching
-    // Spark's sort semantics where NaN orders after +Inf — plain >/== would
-    // make NaN rows rank nondeterministically under sortWith.
+    // Exactly Spark's SQLOrderingUtil.compareDoubles semantics: primitive
+    // == first (so -0.0 ties with 0.0, as SQL sort treats them), then
+    // java.lang.Double.compare for the total order (NaN largest). Plain
+    // >/== alone would make NaN rows rank nondeterministically under
+    // sortWith; Double.compare alone would rank 0.0 above -0.0, diverging
+    // from the row_number window formulation this aggregator mirrors.
     private def better(a: Scored, b: Scored): Boolean = {
-      val c = java.lang.Double.compare(a.score, b.score)
+      val c = if (a.score == b.score) 0 else java.lang.Double.compare(a.score, b.score)
       c > 0 || (c == 0 && a.id < b.id)
     }
     private def trim(s: Seq[Scored]): Seq[Scored] =

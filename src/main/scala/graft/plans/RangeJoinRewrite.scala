@@ -43,6 +43,14 @@ import org.apache.spark.sql.types.LongType
   *     the rule a no-op on its own output, so the fixed-point batch
   *     terminates).
   *
+  * Sizing note: each interval row expands to one generated row per covered
+  * bucket (~width/binSize). Pick binSize on the order of the typical
+  * interval width — the same contract as the bin size in commercial
+  * range-join hints. A binSize orders of magnitude below the widest
+  * interval multiplies that row's fan-out accordingly (pathological case:
+  * a near-Long-range interval would try to materialize a giant sequence
+  * array), so the rule is opt-in per session rather than globally on.
+  *
   * Register per session (idempotent):
   * {{{ RangeJoinRewrite.install(spark, binSize = 600) }}}
   */
@@ -104,10 +112,18 @@ case class RangeJoinRewrite(binSize: Long) extends Rule[LogicalPlan] {
       val pointProj = Project(pointPlan.output :+ pBucket, pointPlan)
 
       // Sequence is TimeZoneAwareExpression: it only resolves with a
-      // timeZoneId, even over plain longs
+      // timeZoneId, even over plain longs.
+      // hi == Long.MinValue would overflow Subtract(hi, 1) (which THROWS
+      // under ANSI); such an interval is empty anyway, so use hi unadjusted
+      // there — the descending sequence it produces joins nothing after the
+      // residual filter.
+      val hiMinusOne = If(
+        LessThanOrEqual(hi, Literal(Long.MinValue, LongType)),
+        hi,
+        Subtract(hi, Literal(1L, LongType)))
       val seqExpr = Sequence(
         IntegralDivide(lo, bin),
-        IntegralDivide(Subtract(hi, Literal(1L, LongType)), bin),
+        IntegralDivide(hiMinusOne, bin),
         None,
         Some(conf.sessionLocalTimeZone))
       val bucketAttr = AttributeReference("_graft_bucket", LongType, nullable = true)()

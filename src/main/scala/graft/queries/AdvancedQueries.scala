@@ -94,23 +94,29 @@ object AdvancedQueries extends QueryModule {
       // every subsequent run: that is the actual production pattern — the
       // one-time bucket shuffle is amortized across all later co-located
       // joins, which is the whole point of bucketing at 100 TB.
+      // Table names carry the dataset-dir fingerprint: a session that
+      // alternates between sf dirs gets distinct table pairs instead of
+      // silently reading the other dir's buckets.
+      val tag = java.lang.Long.toHexString(
+        scala.util.hashing.MurmurHash3.stringHash(d) & 0xffffffffL)
+      val (liTable, ordTable) = (s"q44_li_bucketed_$tag", s"q44_ord_bucketed_$tag")
       AdvancedQueries.synchronized {
         if (!bucketedFor.contains((s, d))) {
           val liPath = graft.core.TempDirs.create("graft_bk_li_")
           val ordPath = graft.core.TempDirs.create("graft_bk_ord_")
           Tables.lineitem(s, d).select("l_orderkey", "l_extendedprice", "l_discount")
             .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-            .option("path", liPath).mode("overwrite").saveAsTable("q44_li_bucketed")
+            .option("path", liPath).mode("overwrite").saveAsTable(liTable)
           Tables.orders(s, d).select("o_orderkey", "o_orderpriority")
             .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-            .option("path", ordPath).mode("overwrite").saveAsTable("q44_ord_bucketed")
+            .option("path", ordPath).mode("overwrite").saveAsTable(ordTable)
           bucketedFor += ((s, d))
         }
       }
       // MERGE hint pins sort-merge (vs broadcast) so the exchange-free
       // bucketed path is what actually runs, independent of size estimates
-      s.table("q44_li_bucketed").hint("merge")
-        .join(s.table("q44_ord_bucketed"), col("l_orderkey") === col("o_orderkey"))
+      s.table(liTable).hint("merge")
+        .join(s.table(ordTable), col("l_orderkey") === col("o_orderkey"))
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n_lines"),
           round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
@@ -217,7 +223,12 @@ object AdvancedQueries extends QueryModule {
     },
 
     // --- interval join through the SQL front door, auto-rewritten by the
-    //     RangeJoinRewrite optimizer rule into a bucketed equi-join ---
+    //     RangeJoinRewrite optimizer rule into a bucketed equi-join.
+    //     The rule stays installed for the session (the returned plan is
+    //     optimized lazily, after this function returns); that is safe
+    //     here because it only fires on inner joins with ZERO equi
+    //     conjuncts and a long-typed point-in-interval condition — audited:
+    //     no other registry query has that shape ---
     "q45_range_join_rule" -> { (s, d) =>
       graft.plans.RangeJoinRewrite.install(s, binSize = 600L)
       Tables.events(s, d)

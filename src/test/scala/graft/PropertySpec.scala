@@ -71,7 +71,29 @@ class PropertySpec extends AnyFunSuite {
     assert(viaAgg === Seq(10L, 13L, 11L))
   }
 
+  test("TopKByScore treats -0.0 and 0.0 as ties, matching SQL sort") {
+    // Spark sort (SQLOrderingUtil.compareDoubles) ties signed zeros, so the
+    // id tiebreak decides; raw Double.compare would rank 0.0 above -0.0
+    val scored = Seq((1L, 10L, -0.0), (1L, 11L, 0.0)).toDF("q_id", "id", "cosine")
+    val topk = udaf(new Similarity.TopKByScore(1),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Similarity.Scored]())
+    val viaAgg = scored.groupBy(col("q_id"))
+      .agg(topk(col("id"), col("cosine")).as("top"))
+      .select(posexplode(col("top"))).select(col("col.id"))
+      .as[Long].collect().toSeq
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("id"))
+    val viaWindow = scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") === 1).select(col("id")).as[Long].collect().toSeq
+    assert(viaAgg === viaWindow)
+    assert(viaAgg === Seq(10L))
+  }
+
   test("bucketed range join == naive theta join on random timestamps") {
+    // another suite sharing this session may have installed the
+    // RangeJoinRewrite rule; strip it so the naive side really is naive
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations
+        .filterNot(_.isInstanceOf[graft.plans.RangeJoinRewrite])
     val rnd = new scala.util.Random(42)
     val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
     val left = (1 to 300).map(i => (i.toLong, new Timestamp(base + rnd.nextInt(3600_000))))
