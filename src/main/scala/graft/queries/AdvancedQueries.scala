@@ -171,6 +171,27 @@ object AdvancedQueries extends QueryModule {
         .orderBy("l_returnflag")
     },
 
+    // --- keyed upsert (MERGE INTO semantics on plain parquet): updated
+    //     rows win on key collision, inserts appended, untouched rows kept
+    //     via anti join ---
+    "q53_upsert_merge" -> { (s, d) =>
+      val cust = Tables.customer(s, d)
+        .select("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      val upd = cust.filter(col("c_custkey") % 7 === 0)
+        .withColumn("c_acctbal", round(col("c_acctbal") + 1000, 2))
+        .withColumn("c_mktsegment", lit("UPDATED"))
+      val ins = Tables.region(s, d).select(
+        (col("r_regionkey").cast("long") + 900000).as("c_custkey"),
+        concat(lit("NEW-"), col("r_name")).as("c_name"),
+        lit(0).cast("int").as("c_nationkey"),
+        lit(0.0).as("c_acctbal"),
+        lit("NEWSEG").as("c_mktsegment"))
+      graft.operators.Upsert.upsert(cust, upd.unionByName(ins), Seq("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), round(sum("c_acctbal"), 2).as("total_bal"))
+        .orderBy("c_mktsegment")
+    },
+
     // --- batch sessionization: lag + gap flag + running sum, the batch
     //     twin of the streaming session_window (qs03) — same 30-minute gap
     //     rule, so the two paths are mutually checkable ---
@@ -319,6 +340,26 @@ object AdvancedQueries extends QueryModule {
            round(stddev_samp(l_quantity), 4) AS sd_qty,
            round(corr(l_quantity, l_extendedprice), 4) AS qty_price_corr
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "q53_upsert_merge" ->
+      """WITH upd AS (
+           SELECT c_custkey, c_name, c_nationkey,
+             round(c_acctbal + 1000, 2) AS c_acctbal, 'UPDATED' AS c_mktsegment
+           FROM customer WHERE c_custkey % 7 = 0),
+         ins AS (
+           SELECT CAST(r_regionkey AS BIGINT) + 900000 AS c_custkey,
+             'NEW-' || r_name AS c_name, CAST(0 AS INTEGER) AS c_nationkey,
+             CAST(0.0 AS DOUBLE) AS c_acctbal, 'NEWSEG' AS c_mktsegment
+           FROM region),
+         updates AS (SELECT * FROM upd UNION ALL SELECT * FROM ins),
+         merged AS (
+           SELECT * FROM updates
+           UNION ALL
+           SELECT c.c_custkey, c.c_name, c.c_nationkey, c.c_acctbal, c.c_mktsegment
+           FROM customer c
+           WHERE NOT EXISTS (SELECT 1 FROM updates u WHERE u.c_custkey = c.c_custkey))
+         SELECT c_mktsegment, count(*) AS n, round(sum(c_acctbal), 2) AS total_bal
+         FROM merged GROUP BY c_mktsegment ORDER BY c_mktsegment""",
 
     "q52_batch_sessionize" ->
       """WITH e AS (
