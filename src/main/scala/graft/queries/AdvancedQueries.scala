@@ -192,6 +192,25 @@ object AdvancedQueries extends QueryModule {
         .orderBy("c_mktsegment")
     },
 
+    // --- SCD type-2 history: each change closes the open version and
+    //     appends a new one (valid_from/valid_to tracking) ---
+    "q54_scd2_history" -> { (s, d) =>
+      val current = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment"),
+          lit("2020-01-01").as("valid_from"),
+          lit(null).cast("string").as("valid_to"))
+      val changes = Tables.customer(s, d)
+        .filter(col("c_custkey") % 5 === 0)
+        .select(col("c_custkey"), lit("MOVED").as("c_mktsegment"),
+          lit("2024-06-01").as("chg_ts"))
+      graft.operators.Scd2.applyChanges(current, changes, Seq("c_custkey"), "chg_ts")
+        .groupBy("c_mktsegment", "valid_to")
+        .agg(count(lit(1)).as("n"))
+        .select(col("c_mktsegment"), coalesce(col("valid_to"), lit("open")).as("until"),
+          col("n"))
+        .orderBy("c_mktsegment", "until")
+    },
+
     // --- batch sessionization: lag + gap flag + running sum, the batch
     //     twin of the streaming session_window (qs03) — same 30-minute gap
     //     rule, so the two paths are mutually checkable ---
@@ -340,6 +359,22 @@ object AdvancedQueries extends QueryModule {
            round(stddev_samp(l_quantity), 4) AS sd_qty,
            round(corr(l_quantity, l_extendedprice), 4) AS qty_price_corr
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "q54_scd2_history" ->
+      """WITH closed AS (
+           SELECT c_mktsegment, '2024-06-01' AS until, count(*) AS n
+           FROM customer WHERE c_custkey % 5 = 0 GROUP BY c_mktsegment),
+         untouched AS (
+           SELECT c_mktsegment, 'open' AS until, count(*) AS n
+           FROM customer WHERE c_custkey % 5 <> 0 GROUP BY c_mktsegment),
+         moved AS (
+           SELECT 'MOVED' AS c_mktsegment, 'open' AS until, count(*) AS n
+           FROM customer WHERE c_custkey % 5 = 0)
+         SELECT c_mktsegment, until, n FROM (
+           SELECT * FROM closed UNION ALL
+           SELECT * FROM untouched UNION ALL
+           SELECT * FROM moved)
+         ORDER BY c_mktsegment, until""",
 
     "q53_upsert_merge" ->
       """WITH upd AS (
