@@ -192,6 +192,23 @@ object AdvancedQueries extends QueryModule {
         .orderBy("c_mktsegment")
     },
 
+    // --- blocked fuzzy match: levenshtein pairs within a prefix block —
+    //     the edit-distance member of the dedup family (blocking keeps it
+    //     off the all-pairs cliff, same discipline as LSH/banding) ---
+    "q55_fuzzy_match" -> { (s, d) =>
+      val c = Tables.customer(s, d)
+        .filter(col("c_custkey") <= 1500)
+        .select(col("c_custkey"), col("c_name"),
+          substring(col("c_name"), 1, 16).as("blk"))
+      c.as("a").join(c.as("b"),
+          col("a.blk") === col("b.blk") && col("a.c_custkey") < col("b.c_custkey"))
+        .withColumn("dist", levenshtein(col("a.c_name"), col("b.c_name")))
+        .filter(col("dist") <= 2)
+        .groupBy("dist")
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("dist")
+    },
+
     // --- SCD type-2 history: each change closes the open version and
     //     appends a new one (valid_from/valid_to tracking) ---
     "q54_scd2_history" -> { (s, d) =>
@@ -359,6 +376,15 @@ object AdvancedQueries extends QueryModule {
            round(stddev_samp(l_quantity), 4) AS sd_qty,
            round(corr(l_quantity, l_extendedprice), 4) AS qty_price_corr
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "q55_fuzzy_match" ->
+      """WITH c AS (SELECT c_custkey, c_name, substr(c_name, 1, 16) AS blk
+                    FROM customer WHERE c_custkey <= 1500)
+         SELECT CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS dist,
+           count(*) AS n_pairs
+         FROM c a JOIN c b ON a.blk = b.blk AND a.c_custkey < b.c_custkey
+         WHERE levenshtein(a.c_name, b.c_name) <= 2
+         GROUP BY 1 ORDER BY 1""",
 
     "q54_scd2_history" ->
       """WITH closed AS (
