@@ -156,6 +156,49 @@ object Dedup {
     } finally if (materialize) { sig.unpersist(); sh.unpersist() }
   }
 
+  /** Connected components over a near-dup pair list — the clustering step
+    * that turns pairwise matches into dedup groups with a canonical
+    * survivor (the minimum doc id doubles as the cluster id).
+    *
+    * Min-label propagation (the Pregel/GraphX pattern on DataFrames): each
+    * node starts labeled with itself; every iteration each node takes the
+    * minimum of its own and its neighbors' labels; converged when no label
+    * changes. Iterations needed = the longest shortest-path inside any
+    * component — for near-dup clusters (small cliques/chains) a handful.
+    * Each iteration is one distributed join+agg; the iterate is
+    * localCheckpoint'ed so the plan does not deepen exponentially across
+    * iterations (the standard requirement of iterative DataFrame
+    * algorithms).
+    *
+    * Input pairs (d1, d2) are undirected; only docs appearing in some pair
+    * are labeled (singletons are their own trivial cluster — union them in
+    * from the corpus if needed).
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
+      .union(pairs.select(col("d2").as("src"), col("d1").as("dst")))
+      .distinct().localCheckpoint()
+    var labels = edges.select(col("src").as("v")).distinct()
+      .withColumn("label", col("v")).localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val neighborLabels = edges.join(labels, edges("dst") === labels("v"))
+        .select(edges("src").as("v"), col("label"))
+      val next = labels.union(neighborLabels)
+        .groupBy("v").agg(min("label").as("label"))
+        .localCheckpoint()
+      val changed = next.as("n")
+        .join(labels.as("o"), col("n.v") === col("o.v"))
+        .filter(col("n.label") =!= col("o.label"))
+        .limit(1).count()
+      labels = next
+      converged = changed == 0L
+      i += 1
+    }
+    labels.select(col("v").as("doc_id"), col("label").as("cluster_id"))
+  }
+
   /** 64-bit SimHash fingerprint of a token array: bit k is the sign of the
     * sum over tokens of +-1 depending on bit k of xxhash64(token). */
   def simhash64(toks: Column): Column = {

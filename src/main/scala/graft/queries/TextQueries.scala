@@ -121,6 +121,17 @@ object TextQueries extends QueryModule {
         .orderBy("d1", "d2")
     },
 
+    // --- dedup clustering: LSH pairs -> connected components -> cluster
+    //     sizes (min doc id = cluster id = canonical survivor) ---
+    "qd06_dedup_clusters" -> { (s, d) =>
+      val pairs = Dedup.minhashLshPairs(Tables.documents(s, d), "doc_id", "text",
+        n = 3, threshold = 0.8)
+      Dedup.connectedComponents(pairs)
+        .groupBy("cluster_id")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("cluster_id")
+    },
+
     // --- SimHash near-dup (hash-seeded: rows-only check + DedupSpec) ---
     "qd04_dedup_simhash" -> { (s, d) =>
       Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text", maxDistance = 3)
@@ -227,6 +238,23 @@ object TextQueries extends QueryModule {
     "qd02_dedup_jaccard" -> jaccardSql,
 
     "qd03_dedup_minhash_lsh" -> jaccardSql,
+
+    "qd06_dedup_clusters" ->
+      s"""WITH RECURSIVE $shingleCte,
+         jp AS (SELECT d1, d2
+                FROM pairs p JOIN sizes s1 ON p.d1 = s1.doc_id
+                             JOIN sizes s2 ON p.d2 = s2.doc_id
+                WHERE inter*1.0/(s1.n_sh + s2.n_sh - inter) >= 0.8),
+         edges AS (SELECT d1 AS src, d2 AS dst FROM jp
+                   UNION SELECT d2, d1 FROM jp),
+         nodes AS (SELECT DISTINCT src AS v FROM edges),
+         reach(v, label) AS (
+           SELECT v, v FROM nodes
+           UNION
+           SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.v),
+         comp AS (SELECT v, min(label) AS cid FROM reach GROUP BY v)
+         SELECT cid AS cluster_id, count(*) AS n_docs
+         FROM comp GROUP BY cid ORDER BY cluster_id""",
 
     // qd04_dedup_simhash: intentionally no oracle (xxhash64-seeded)
 

@@ -102,6 +102,19 @@ class OperatorsSpec extends AnyFunSuite {
     assert(pairs.toSeq === Seq((1L, 2L, 0)))
   }
 
+  test("connected components: labels propagate along chains, not just edges") {
+    // path 1-2-3-4 plus isolated pair 8-9: min label must travel 3 hops
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (8L, 9L)).toDF("d1", "d2")
+    val comp = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(comp === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 8L -> 8L, 9L -> 8L))
+  }
+
+  test("connected components: empty pair set yields empty labeling") {
+    val pairs = Seq.empty[(Long, Long)].toDF("d1", "d2")
+    assert(Dedup.connectedComponents(pairs).count() === 0)
+  }
+
   test("brute-force top-k: rank 1 of a corpus vector is itself") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val queries = emb.filter(col("vec_id") < 3)
