@@ -169,6 +169,22 @@ object StreamingQueries extends QueryModule {
         .orderBy("user_id")
     },
 
+    // --- update output mode: only changed aggregate rows emitted per
+    //     micro-batch (the low-latency dashboard pattern; complete mode
+    //     re-emits everything, append waits for watermark closure) ---
+    "qs08_update_mode" -> { (s, d) =>
+      val agg = eventStream(s, d)
+        .groupBy("user_id", "event_type")
+        .agg(count(lit(1)).as("n"))
+      runToMemory(s, agg, "qs08_out", "update")
+        // reduce batch-count-agnostically: the LAST update per key is the
+        // final count (single-file source => one batch emits all keys once)
+        .groupBy("user_id", "event_type")
+        .agg(max("n").as("n"))
+        .filter(col("user_id") < 30)
+        .orderBy("user_id", "event_type")
+    },
+
     // --- watermarked stateful dedup: duplicate the stream, dedup by key ---
     "qs04_stream_dedup" -> { (s, d) =>
       val base = eventStream(s, d)
@@ -232,6 +248,12 @@ object StreamingQueries extends QueryModule {
       """SELECT user_id, count(*) AS n_events,
            count(*) FILTER (WHERE event_type = 'purchase') AS n_purchases
          FROM events GROUP BY user_id ORDER BY user_id""",
+
+    "qs08_update_mode" ->
+      """SELECT user_id, event_type, count(*) AS n
+         FROM events WHERE user_id < 30
+         GROUP BY user_id, event_type
+         ORDER BY user_id, event_type""",
 
     "qs04_stream_dedup" ->
       """SELECT event_type, count(DISTINCT event_id) AS n,

@@ -83,6 +83,20 @@ class PlanShapeSpec extends AnyFunSuite {
       s"RangeJoinRewrite did not fire on q45:\n$p")
   }
 
+  test("global sort+limit plans as TakeOrderedAndProject, not a full sort") {
+    val p = plan(SparkEntry.queries("q03_top_orders")(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"orderBy+limit did not collapse to top-k:\n$p")
+  }
+
+  test("repartitionByRange gives range partitioning for sorted writes") {
+    val df = Tables.orders(spark, sf)
+      .repartitionByRange(4, col("o_orderdate"))
+      .sortWithinPartitions("o_orderdate")
+    val p = plan(df)
+    assert(p.contains("rangepartitioning"), s"no range partitioning:\n$p")
+  }
+
   test("fused vector dot stays inside whole-stage codegen") {
     val emb = Tables.embeddings(spark, sf).limit(10)
     val df = emb.select(graft.functions.VectorFunctions
