@@ -175,28 +175,38 @@ object Dedup {
     * from the corpus if needed).
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
-      .union(pairs.select(col("d2").as("src"), col("d1").as("dst")))
-      .distinct().localCheckpoint()
-    var labels = edges.select(col("src").as("v")).distinct()
-      .withColumn("label", col("v")).localCheckpoint()
-    var converged = false
-    var i = 0
-    while (!converged && i < maxIter) {
-      val neighborLabels = edges.join(labels, edges("dst") === labels("v"))
-        .select(edges("src").as("v"), col("label"))
-      val next = labels.union(neighborLabels)
-        .groupBy("v").agg(min("label").as("label"))
-        .localCheckpoint()
-      val changed = next.as("n")
-        .join(labels.as("o"), col("n.v") === col("o.v"))
-        .filter(col("n.label") =!= col("o.label"))
-        .limit(1).count()
-      labels = next
-      converged = changed == 0L
-      i += 1
-    }
-    labels.select(col("v").as("doc_id"), col("label").as("cluster_id"))
+    // The pair graph is small by construction (near-dup pairs << corpus),
+    // but each iteration is 2 shuffling jobs: scope the shuffle partition
+    // count down for the loop so per-iteration fixed cost doesn't dominate.
+    // Safe because everything inside is eager (localCheckpoint + count).
+    val spark = pairs.sparkSession
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "8")
+    try {
+      val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
+        .union(pairs.select(col("d2").as("src"), col("d1").as("dst")))
+        .distinct().localCheckpoint()
+      var labels = edges.select(col("src").as("v")).distinct()
+        .withColumn("label", col("v")).localCheckpoint()
+      var converged = false
+      var i = 0
+      while (!converged && i < maxIter) {
+        val neighborLabels = edges.join(labels, edges("dst") === labels("v"))
+          .select(edges("src").as("v"), col("label"))
+        val next = labels.union(neighborLabels)
+          .groupBy("v").agg(min("label").as("label"))
+          .localCheckpoint()
+        val changed = next.as("n")
+          .join(labels.as("o"), col("n.v") === col("o.v"))
+          .filter(col("n.label") =!= col("o.label"))
+          .limit(1).count()
+        labels = next
+        converged = changed == 0L
+        i += 1
+      }
+      labels.select(col("v").as("doc_id"), col("label").as("cluster_id"))
+    } finally spark.conf.set(key, prev)
   }
 
   /** 64-bit SimHash fingerprint of a token array: bit k is the sign of the
