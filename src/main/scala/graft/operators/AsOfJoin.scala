@@ -24,11 +24,18 @@ object AsOfJoin {
     * right: (key, rtime, valueCols...)
     * Output: left row + valueCols of the as-of match (null when no right row
     * precedes the left row).
+    *
+    * `toleranceSeconds` (pandas merge_asof semantics): when set, a match
+    * older than the tolerance is discarded — the row survives with null
+    * values, exactly as if no right row preceded it. The age comparison
+    * uses truncated epoch seconds on both timestamps (cast-to-long), which
+    * any SQL replay must mirror.
     */
   def asOf(left: DataFrame, right: DataFrame, key: String,
            leftTime: String, rightTime: String,
            valueCols: Seq[String],
-           rightTieBreak: Option[String] = None): DataFrame = {
+           rightTieBreak: Option[String] = None,
+           toleranceSeconds: Option[Long] = None): DataFrame = {
     val l = left.withColumn("_t", col(leftTime)).withColumn("_side", lit(1))
       .withColumn("_tid", lit(null).cast("long"))
     val r = right.withColumn("_t", col(rightTime)).withColumn("_side", lit(0))
@@ -46,12 +53,20 @@ object AsOfJoin {
     // each value column independently with last(ignoreNulls) would stitch
     // fields from DIFFERENT right rows whenever the most recent right row
     // holds a null in one column — the as-of match must be atomic.
+    // the match's own time rides along as _rt so a tolerance can age it
     val packed = unioned.withColumn("_vals",
-      when(col("_side") === 0, struct(valueCols.map(col): _*)))
+      when(col("_side") === 0,
+        struct((col("_t").as("_rt") +: valueCols.map(col)): _*)))
     val carried = packed
       .withColumn("_asof", last(col("_vals"), ignoreNulls = true).over(w))
+    val inTolerance = toleranceSeconds match {
+      case Some(tol) =>
+        col("_asof").isNotNull &&
+          (col("_t").cast("long") - col("_asof._rt").cast("long")) <= tol
+      case None => col("_asof").isNotNull
+    }
     valueCols.foldLeft(carried.filter(col("_side") === 1)) { (df, c) =>
-        df.withColumn(s"asof_$c", col(s"_asof.$c"))
+        df.withColumn(s"asof_$c", when(inTolerance, col(s"_asof.$c")))
       }
       .drop((Seq("_t", "_side", "_tid", "_vals", "_asof") ++ valueCols): _*)
   }

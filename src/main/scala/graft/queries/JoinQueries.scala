@@ -31,6 +31,24 @@ object JoinQueries extends QueryModule {
         .orderBy("event_id")
     },
 
+    // --- as-of with tolerance (pandas merge_asof semantics): matches older
+    //     than 10 minutes are discarded, the left row survives with nulls ---
+    "q56_asof_tolerance" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("rts"),
+          col("event_id").as("rid"), col("value").as("rvalue"))
+      AsOfJoin.asOf(purchases, clicks, key = "user_id",
+          leftTime = "ts", rightTime = "rts",
+          valueCols = Seq("rvalue"), rightTieBreak = Some("rid"),
+          toleranceSeconds = Some(600L))
+        .select(col("event_id"),
+          round(col("asof_rvalue"), 2).as("recent_click_value"))
+        .orderBy("event_id")
+    },
+
     // --- range join: all (signup, purchase) pairs with the purchase in
     //     [signup_ts, signup_ts + 10 min) — bucketed equi-join, not BNLJ ---
     "q24_range_join" -> { (s, d) =>
@@ -56,6 +74,18 @@ object JoinQueries extends QueryModule {
             ORDER BY e.ts DESC, e.event_id DESC LIMIT 1) AS last_error_ts,
            (SELECT round(e.value, 2) FROM e WHERE e.user_id = p.user_id AND e.ts <= p.ts
             ORDER BY e.ts DESC, e.event_id DESC LIMIT 1) AS last_error_value
+         FROM p ORDER BY p.event_id""",
+
+    "q56_asof_tolerance" ->
+      """WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+                    FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+               FROM events WHERE event_type = 'click')
+         SELECT p.event_id,
+           (SELECT round(c.value, 2) FROM c
+            WHERE c.user_id = p.user_id AND c.ts <= p.ts
+              AND floor(epoch(p.ts)) - floor(epoch(c.ts)) <= 600
+            ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) AS recent_click_value
          FROM p ORDER BY p.event_id""",
 
     "q24_range_join" ->

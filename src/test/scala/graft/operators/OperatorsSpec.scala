@@ -102,6 +102,22 @@ class OperatorsSpec extends AnyFunSuite {
     assert(pairs.toSeq === Seq((1L, 2L, 0)))
   }
 
+  test("asOf tolerance: stale matches null out, boundary-age matches survive") {
+    import java.sql.Timestamp
+    val left = Seq(
+      (1L, 10L, Timestamp.valueOf("2024-01-01 10:00:00")),  // match 5 min old
+      (2L, 10L, Timestamp.valueOf("2024-01-01 11:00:00")),  // match 65 min old
+      (3L, 10L, Timestamp.valueOf("2024-01-01 10:05:00")))  // exactly at tolerance
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq((10L, Timestamp.valueOf("2024-01-01 09:55:00"), 7L, 1.5))
+      .toDF("user_id", "rts", "rid", "rvalue")
+    val got = AsOfJoin.asOf(left, right, "user_id", "ts", "rts",
+        Seq("rvalue"), Some("rid"), toleranceSeconds = Some(600L))
+      .select("event_id", "asof_rvalue")
+      .as[(Long, Option[Double])].collect().toMap
+    assert(got === Map(1L -> Some(1.5), 2L -> None, 3L -> Some(1.5)))
+  }
+
   test("connected components: labels propagate along chains, not just edges") {
     // path 1-2-3-4 plus isolated pair 8-9: min label must travel 3 hops
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (8L, 9L)).toDF("d1", "d2")
