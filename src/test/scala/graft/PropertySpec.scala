@@ -111,6 +111,28 @@ class PropertySpec extends AnyFunSuite {
     assert(naive.nonEmpty)
   }
 
+  test("asOf (union+window) == naive greatest-preceding lookup on random data") {
+    import java.sql.Timestamp
+    import graft.operators.AsOfJoin
+    val rnd = new scala.util.Random(23)
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    // coarse timestamps force plenty of exact-tie collisions
+    def t() = new Timestamp(base + rnd.nextInt(200) * 60000L)
+    val left = (1 to 400).map(i => (i.toLong, i % 7L, t())).toDF("l_id", "k", "lt")
+    val right = (1 to 300).map(i => (i.toLong, i % 7L, t(), rnd.nextInt(100).toDouble))
+      .toDF("rid", "k", "rt", "v")
+    val got = AsOfJoin.asOf(left, right, "k", "lt", "rt", Seq("v"), Some("rid"))
+      .select("l_id", "asof_v").as[(Long, Option[Double])].collect().toMap
+    // naive reference: per left row, the max-(rt, rid) preceding right row
+    val rightRows = right.as[(Long, Long, Timestamp, Double)].collect()
+    left.as[(Long, Long, Timestamp)].collect().foreach { case (lId, k, lt) =>
+      val candidates = rightRows.filter(r => r._2 == k && !r._3.after(lt))
+      val expect = if (candidates.isEmpty) None
+        else Some(candidates.maxBy(r => (r._3.getTime, r._1))._4)
+      assert(got(lId) === expect, s"l_id=$lId")
+    }
+  }
+
   test("TopKByScore aggregator == window row_number on random scores w/ ties") {
     val rnd = new scala.util.Random(7)
     // coarse scores force plenty of ties -> exercises the (score, id) order
