@@ -99,6 +99,40 @@ object TextQueries extends QueryModule {
         .orderBy("doc_id")
     },
 
+    // --- deterministic train/val/test split: the last md5 hex nibble of
+    //     the id buckets rows 12/2/2 (75/12.5/12.5%) — reproducible across
+    //     runs, engines and cluster sizes, unlike rand()-based splits ---
+    "qt07_hash_split" -> { (s, d) =>
+      val nib = substring(md5(col("doc_id").cast("string")), 32, 1)
+      Tables.documents(s, d)
+        .withColumn("split",
+          when(nib.isin("c", "d"), "val")
+            .when(nib.isin("e", "f"), "test")
+            .otherwise("train"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("lang")).as("n_langs"),
+          sum(col("n_chars")).as("total_chars"))
+        .orderBy("split")
+    },
+
+    // --- context-window packing: greedy sequential fill of 4096-token
+    //     budgets via running token cumsum (the standard LLM pretraining
+    //     packing; pack id = floor((cumsum - own) / budget)) ---
+    "qt08_token_packing" -> { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy("doc_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      Tables.documents(s, d)
+        .withColumn("n_tok", size(tokens(col("text"))))
+        .withColumn("cum", sum(col("n_tok")).over(w))
+        .withColumn("pack_id", floor((col("cum") - col("n_tok")) / 4096).cast("long"))
+        .groupBy("pack_id")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("pack_tokens"))
+        .orderBy("pack_id")
+    },
+
     // --- exact dedup by key (dropDuplicates w/ deterministic survivor) ---
     "qd01_dedup_exact" -> { (s, d) =>
       Dedup.exactByKey(Tables.documents(s, d), "doc_id", Seq("lang", "source"))
@@ -234,6 +268,28 @@ object TextQueries extends QueryModule {
     "qd01_dedup_exact" ->
       """SELECT lang, source, min(doc_id) AS keep_id, count(*) AS n_dups
          FROM documents GROUP BY lang, source ORDER BY lang, source""",
+
+    "qt07_hash_split" ->
+      """SELECT split, count(*) AS n_docs,
+           count(DISTINCT lang) AS n_langs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+         FROM (SELECT *,
+             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 32, 1) IN ('c','d') THEN 'val'
+                  WHEN substr(md5(CAST(doc_id AS VARCHAR)), 32, 1) IN ('e','f') THEN 'test'
+                  ELSE 'train' END AS split
+           FROM documents)
+         GROUP BY split ORDER BY split""",
+
+    "qt08_token_packing" ->
+      """WITH t AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+                    FROM documents),
+         c AS (SELECT doc_id, n_tok,
+             sum(n_tok) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           FROM t)
+         SELECT CAST(floor((cum - n_tok) / 4096.0) AS BIGINT) AS pack_id,
+           count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS pack_tokens
+         FROM c GROUP BY 1 ORDER BY pack_id""",
 
     "qd02_dedup_jaccard" -> jaccardSql,
 
