@@ -117,17 +117,13 @@ object TextQueries extends QueryModule {
     },
 
     // --- context-window packing: greedy sequential fill of 4096-token
-    //     budgets via running token cumsum (the standard LLM pretraining
-    //     packing; pack id = floor((cumsum - own) / budget)) ---
+    //     budgets via a DISTRIBUTED prefix sum (two-phase: per-range-
+    //     partition running sums + broadcast partition offsets — a global
+    //     no-partition window would funnel the corpus through one task) ---
     "qt08_token_packing" -> { (s, d) =>
-      val w = org.apache.spark.sql.expressions.Window
-        .orderBy("doc_id")
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-          org.apache.spark.sql.expressions.Window.currentRow)
-      Tables.documents(s, d)
-        .withColumn("n_tok", size(tokens(col("text"))))
-        .withColumn("cum", sum(col("n_tok")).over(w))
-        .withColumn("pack_id", floor((col("cum") - col("n_tok")) / 4096).cast("long"))
+      val docs = Tables.documents(s, d)
+        .withColumn("n_tok", size(tokens(col("text"))).cast("long"))
+      graft.operators.Packing.packBudget(docs, "doc_id", "n_tok", budget = 4096L)
         .groupBy("pack_id")
         .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("pack_tokens"))
         .orderBy("pack_id")

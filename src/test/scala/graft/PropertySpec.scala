@@ -133,6 +133,30 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("distributed prefix-sum packing == naive global-window cumsum") {
+    import graft.operators.Packing
+    val rnd = new scala.util.Random(31)
+    val df = (1 to 5000).map(i => (i.toLong, (1 + rnd.nextInt(500)).toLong))
+      .toDF("id", "w")
+    val got = Packing.packBudget(df, "id", "w", budget = 1000L, numPartitions = 7)
+      .select("id", "cum", "pack_id").as[(Long, Long, Long)].collect()
+      .map { case (id, c, p) => id -> ((c, p)) }.toMap
+    // naive reference: driver-side running sum in id order
+    val weights = df.orderBy("id").as[(Long, Long)].collect()
+    var cum = 0L
+    weights.foreach { case (id, w) =>
+      cum += w
+      val (gcum, gpack) = got(id)
+      assert(gcum === cum, s"cum mismatch at id=$id")
+      assert(gpack === (cum - w) / 1000L, s"pack mismatch at id=$id")
+    }
+    // the running-sum window must be partition-local (parallel), not global
+    val plan = Packing.packBudget(df, "id", "w", 1000L, 7)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("windowspecdefinition(_pid"),
+      s"prefix sum not partition-local:\n$plan")
+  }
+
   test("TopKByScore aggregator == window row_number on random scores w/ ties") {
     val rnd = new scala.util.Random(7)
     // coarse scores force plenty of ties -> exercises the (score, id) order
