@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{DataType, LongType, TimestampType}
 
 /** Catalyst optimizer rule: rewrite a pure interval (theta) join into a
   * bucketed equi-join.
@@ -100,11 +100,18 @@ case class RangeJoinRewrite(binSize: Long) extends Rule[LogicalPlan] {
       (p1, lo) <- lowers
       (p2, hi) <- uppers
       if p1.semanticEquals(p2)
-      if Seq(p1, lo, hi).forall(e => e.dataType == LongType && e.deterministic)
+      if Seq(p1, lo, hi).forall(e => supportedType(e.dataType) && e.deterministic)
       pointIsLeft <- side(p1, lo, hi, left, right)
     } yield (p1, lo, hi, pointIsLeft)
 
-    candidates.headOption.map { case (point, lo, hi, pointIsLeft) =>
+    candidates.headOption.map { case (point0, lo0, hi0, pointIsLeft) =>
+      // Timestamps bucket through their epoch-seconds cast (monotonic, so
+      // the covering-range argument holds unchanged); the residual original
+      // condition still compares full-precision values.
+      def asLong(e: Expression): Expression =
+        if (e.dataType == LongType) e
+        else Cast(e, LongType, Some(conf.sessionLocalTimeZone))
+      val (point, lo, hi) = (asLong(point0), asLong(lo0), asLong(hi0))
       val bin = Literal(binSize, LongType)
       val (pointPlan, intervalPlan) = if (pointIsLeft) (left, right) else (right, left)
 
@@ -113,17 +120,15 @@ case class RangeJoinRewrite(binSize: Long) extends Rule[LogicalPlan] {
 
       // Sequence is TimeZoneAwareExpression: it only resolves with a
       // timeZoneId, even over plain longs.
-      // hi == Long.MinValue would overflow Subtract(hi, 1) (which THROWS
-      // under ANSI); such an interval is empty anyway, so use hi unadjusted
-      // there — the descending sequence it produces joins nothing after the
-      // residual filter.
-      val hiMinusOne = If(
-        LessThanOrEqual(hi, Literal(Long.MinValue, LongType)),
-        hi,
-        Subtract(hi, Literal(1L, LongType)))
+      // The stop bucket uses hi UNadjusted even though hi is exclusive:
+      // subtracting 1 would under-cover coarser-granularity buckets (a
+      // timestamp point < hi inside hi's own second lands one bucket past
+      // floor((hi_sec-1)/bin)), risks ANSI overflow at Long.MinValue, and
+      // saves at most one spurious bucket per interval — which the residual
+      // original condition removes anyway.
       val seqExpr = Sequence(
         IntegralDivide(lo, bin),
-        IntegralDivide(hiMinusOne, bin),
+        IntegralDivide(hi, bin),
         None,
         Some(conf.sessionLocalTimeZone))
       val bucketAttr = AttributeReference("_graft_bucket", LongType, nullable = true)()
@@ -136,6 +141,12 @@ case class RangeJoinRewrite(binSize: Long) extends Rule[LogicalPlan] {
       Project(j.output, Join(nl, nr, Inner, Some(newCond), j.hint))
     }
   }
+
+  /** LongType buckets directly; TimestampType through its epoch-seconds
+    * cast. (The comparison operators guarantee all three expressions share
+    * a type after analyzer coercion.) */
+  private def supportedType(t: DataType): Boolean =
+    t == LongType || t == TimestampType
 
   /** Some(true) if point comes from left and bounds from right; Some(false)
     * for the mirror; None if the split is ambiguous. */

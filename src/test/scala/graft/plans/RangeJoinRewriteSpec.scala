@@ -86,6 +86,32 @@ class RangeJoinRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("timestamp intervals rewrite too, incl. sub-second points near hi") {
+    import java.sql.Timestamp
+    val rnd = new scala.util.Random(13)
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    // sub-second jitter specifically exercises the hi-unadjusted stop
+    // bucket (a point < hi inside hi's own second must still match)
+    val pts = (1 to 300).map(i =>
+      (i.toLong, new Timestamp(base + rnd.nextInt(3600_000))))
+      .toDF("p_id", "pt")
+    val wins = (1 to 120).map { i =>
+      val lo = base + rnd.nextInt(3600_000)
+      (i.toLong, new Timestamp(lo), new Timestamp(lo + rnd.nextInt(120_000)))
+    }.toDF("w_id", "wlo", "whi")
+    val cond = col("pt") >= col("wlo") && col("pt") < col("whi")
+    val naive = pts.join(wins, cond).select("p_id", "w_id")
+      .as[(Long, Long)].collect().toSet
+    assert(naive.nonEmpty)
+    withRule(binSize = 60) {
+      val df = pts.join(wins, cond)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+        s"timestamp rewrite did not fire:\n$plan")
+      assert(df.select("p_id", "w_id").as[(Long, Long)].collect().toSet === naive)
+    }
+  }
+
   test("joins with an existing equi key are left untouched") {
     val a = Seq((1L, 2L)).toDF("k", "v")
     val b = Seq((1L, 0L, 5L)).toDF("k2", "lo", "hi")
