@@ -18,6 +18,11 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // let AQE coalesce post-shuffle partitions even when the plan is
+      // cached/persisted (the dedup operators persist small intermediates;
+      // without this, every one of their shuffles keeps all 32 partitions
+      // and per-task fixed cost dominates the small candidate stages)
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -43,11 +48,21 @@ object Bench {
 
     def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      fn(spark, sfDir).count()
+      // Force FULL evaluation of the executed plan. A plain .count() lets
+      // Catalyst prune every unreferenced projection and drop unused sorts,
+      // so expression-only queries would be measured as a row count over
+      // cached parquet instead of their real work. toRdd materializes every
+      // output row of the optimized physical plan (AQE included) without
+      // collecting to the driver.
+      fn(spark, sfDir).queryExecution.toRdd.count()
       (System.nanoTime() - t0) / 1e9
     }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // SPARK_GRAFT_FILTER: optional name-substring filter for local iteration
+    // (the driver leaves it unset and benches everything)
+    val nameFilter = sys.env.getOrElse("SPARK_GRAFT_FILTER", "")
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(_._1.contains(nameFilter)).map { case (name, fn) =>
       val t = try {
         once(fn) // warmup
         // best-of-3: min is the most contention-resistant steady-state

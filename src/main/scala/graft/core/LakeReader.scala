@@ -49,7 +49,12 @@ object LakeReader {
         regexp_extract(col("_path"), "fhir_tenant_id=([^/]+)", 1))
       .withColumn("_date", regexp_extract(col("_path"), "_date=([^/]+)", 1))
       .drop("_path")
-    bodySchema.fold(raw)(s => raw.withColumn("doc", from_json(col("body"), s)))
+    // PERMISSIVE + corrupt-record column: a structurally broken document
+    // parses to a struct with only FhirSchemas.CorruptCol set (the raw
+    // text) instead of failing the scan or silently nulling — include the
+    // column in the schema (FhirSchemas.readSchema) to capture it
+    bodySchema.fold(raw)(s => raw.withColumn("doc", from_json(col("body"), s,
+      Map("columnNameOfCorruptRecord" -> FhirSchemas.CorruptCol))))
   }
 
   private def emptyResult(spark: SparkSession, bodySchema: Option[StructType]): DataFrame = {

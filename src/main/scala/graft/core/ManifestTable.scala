@@ -1,0 +1,133 @@
+package graft.core
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Manifest-committed table versions: the minimal transaction-log pattern
+  * (the core of what Delta/Iceberg provide, on plain parquet — no
+  * table-format jars ship in this environment, BASELINE.json:6).
+  *
+  * Layout:
+  * {{{
+  *   dir/v=1/part-*.parquet     version data directories
+  *   dir/v=2/part-*.parquet
+  *   dir/_commit_00000000000000000001   commit markers (empty files)
+  *   dir/_commit_00000000000000000002
+  * }}}
+  *
+  * A version becomes visible through ONE atomic object creation: the commit
+  * marker, written only after its data directory is complete. Readers list
+  * the markers, take the max, and read that version's directory — so a
+  * reader concurrent with a rewrite sees either the old or the new version,
+  * never a missing or half-written directory (the reader-visible window of
+  * rename-swap compaction, LakeCompaction.compactParquet, is gone). A crash
+  * between data write and marker leaves an invisible orphan directory that
+  * [[vacuum]] removes.
+  *
+  * Works on any Hadoop FileSystem including object stores (PUT is atomic;
+  * no rename anywhere). Concurrent WRITERS are not arbitrated (last marker
+  * wins) — single-writer/many-reader, the reference's publish model.
+  * [[vacuum]] keeps the previous version as a grace window for in-flight
+  * readers; schedule it accordingly.
+  */
+object ManifestTable {
+
+  private val MarkerPrefix = "_commit_"
+
+  private def marker(n: Long): String = f"${MarkerPrefix}$n%020d"
+
+  def versionDir(dir: String, n: Long): String = s"$dir/v=$n"
+
+  /** Highest committed version, if any. */
+  def currentVersion(dir: String): Option[Long] = {
+    val fs = LakeStorage.openFor(dir)
+    val base = new Path(dir)
+    if (!fs.exists(base)) return None
+    val versions = fs.listStatus(base).iterator
+      .map(_.getPath.getName)
+      .filter(_.startsWith(MarkerPrefix))
+      .map(_.stripPrefix(MarkerPrefix).toLong)
+    if (versions.isEmpty) None else Some(versions.max)
+  }
+
+  /** Write `df` as the next version and commit it. Returns the version. */
+  def write(df: DataFrame, dir: String): Long = {
+    val next = currentVersion(dir).getOrElse(0L) + 1
+    df.write.mode(SaveMode.Overwrite).parquet(versionDir(dir, next))
+    commit(dir, next)
+    next
+  }
+
+  /** Read the current committed version. */
+  def read(spark: SparkSession, dir: String): DataFrame = {
+    val v = currentVersion(dir).getOrElse(
+      throw new IllegalStateException(s"no committed version under $dir"))
+    spark.read.parquet(versionDir(dir, v))
+  }
+
+  /** Rewrite the current version into ~targetFileBytes files as a NEW
+    * committed version (the OPTIMIZE/rewrite-files action without the
+    * rename-swap window). Returns (filesBefore, filesAfter). */
+  def compact(spark: SparkSession, dir: String,
+              targetFileBytes: Long = 128L * 1024 * 1024): (Long, Long) = {
+    val fs = LakeStorage.openFor(dir)
+    val cur = currentVersion(dir).getOrElse(
+      throw new IllegalStateException(s"no committed version under $dir"))
+    val curPath = new Path(versionDir(dir, cur))
+    val files = fs.listStatus(curPath)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    val totalBytes = files.map(_.getLen).sum
+    val nOut = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
+    val next = cur + 1
+    spark.read.parquet(curPath.toString).coalesce(nOut)
+      .write.mode(SaveMode.Overwrite).parquet(versionDir(dir, next))
+    commit(dir, next)
+    val after = fs.listStatus(new Path(versionDir(dir, next)))
+      .count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    (files.length.toLong, after.toLong)
+  }
+
+  /** Delete uncommitted orphan directories and committed versions older
+    * than the `keep` most recent (keep >= 2 leaves a grace version for
+    * readers that resolved the manifest just before a commit). Returns the
+    * number of directories removed. */
+  def vacuum(dir: String, keep: Int = 2): Int = {
+    require(keep >= 1, "must keep at least the current version")
+    val fs = LakeStorage.openFor(dir)
+    val base = new Path(dir)
+    if (!fs.exists(base)) return 0
+    val committed = fs.listStatus(base)
+      .map(_.getPath.getName)
+      .filter(_.startsWith(MarkerPrefix))
+      .map(_.stripPrefix(MarkerPrefix).toLong)
+      .sorted
+    if (committed.isEmpty) return 0
+    val cutoff = committed.takeRight(keep).head
+    var removed = 0
+    fs.listStatus(base).foreach { st =>
+      val name = st.getPath.getName
+      if (st.isDirectory && name.startsWith("v=")) {
+        val v = name.stripPrefix("v=").toLong
+        // orphans (no marker) below the current version are dead too
+        val dead = v < cutoff || (!committed.contains(v) && v < committed.last)
+        if (dead) {
+          if (!fs.delete(st.getPath, true))
+            throw new IllegalStateException(s"vacuum: failed to delete ${st.getPath}")
+          removed += 1
+        }
+      } else if (name.startsWith(MarkerPrefix) &&
+                 name.stripPrefix(MarkerPrefix).toLong < cutoff) {
+        fs.delete(st.getPath, false); ()
+      }
+    }
+    removed
+  }
+
+  private def commit(dir: String, n: Long): Unit = {
+    val fs = LakeStorage.openFor(dir)
+    val p = new Path(dir, marker(n))
+    val out = fs.create(p, false) // fail if the version was already committed
+    out.close()
+  }
+}

@@ -27,9 +27,11 @@ object AsOfJoin {
     *
     * `toleranceSeconds` (pandas merge_asof semantics): when set, a match
     * older than the tolerance is discarded — the row survives with null
-    * values, exactly as if no right row preceded it. The age comparison
-    * uses truncated epoch seconds on both timestamps (cast-to-long), which
-    * any SQL replay must mirror.
+    * values, exactly as if no right row preceded it. The age comparison is
+    * FULL timestamp precision (microseconds): a match 600.000001 s old
+    * fails a 600 s tolerance. Requires both time columns to be
+    * TimestampType when a tolerance is set; any SQL replay must compare
+    * epoch microseconds (e.g. DuckDB `epoch_us(lt) - epoch_us(rt)`).
     */
   def asOf(left: DataFrame, right: DataFrame, key: String,
            leftTime: String, rightTime: String,
@@ -62,7 +64,7 @@ object AsOfJoin {
     val inTolerance = toleranceSeconds match {
       case Some(tol) =>
         col("_asof").isNotNull &&
-          (col("_t").cast("long") - col("_asof._rt").cast("long")) <= tol
+          (unix_micros(col("_t")) - unix_micros(col("_asof._rt"))) <= tol * 1000000L
       case None => col("_asof").isNotNull
     }
     valueCols.foldLeft(carried.filter(col("_side") === 1)) { (df, c) =>

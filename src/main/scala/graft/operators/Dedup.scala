@@ -115,10 +115,16 @@ object Dedup {
     // materialize=false (fully lazy) alternative.
     val shPlan = shingleSet(docs, idCol, textCol, n)
     val sh = if (materialize) shPlan.persist() else shPlan
-    // 1. one codegen'd aggregation pass for the whole signature
-    val hashAggs = (0 until numHashes).map(i => min(xxhash64(col("s"), lit(i))).as(s"h$i"))
+    // 1. one codegen'd aggregation pass for the whole signature. The
+    // variable-length shingle string is hashed ONCE to a long; the 64 seeded
+    // family members then hash the fixed 12-byte (long, seed) pair — ~2x
+    // less hashing work per row than 64 string hashes, same family quality
+    // (xxhash64 over a hash is still uniform), and the LSH recall argument
+    // is seed-agnostic: the exact-Jaccard verify step fixes the output.
+    val hashAggs = (0 until numHashes).map(i => min(xxhash64(col("_h"), lit(i))).as(s"h$i"))
     // both sides of the band self-join consume the signatures
-    val sigPlan = sh.groupBy("doc_id").agg(hashAggs.head, hashAggs.tail: _*)
+    val sigPlan = sh.withColumn("_h", xxhash64(col("s")))
+      .groupBy("doc_id").agg(hashAggs.head, hashAggs.tail: _*)
     val sig = if (materialize) sigPlan.persist() else sigPlan
     try {
       // 2. one bucket hash per band, fed columns directly
@@ -176,9 +182,12 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     // The pair graph is small by construction (near-dup pairs << corpus),
-    // but each iteration is 2 shuffling jobs: scope the shuffle partition
+    // but each iteration is a shuffling job: scope the shuffle partition
     // count down for the loop so per-iteration fixed cost doesn't dominate.
     // Safe because everything inside is eager (localCheckpoint + count).
+    // NOTE: the conf set/restore assumes single-threaded use of the session
+    // while this runs — concurrent queries on the same session would race on
+    // the shared shuffle-partition conf (use spark.newSession() to isolate).
     val spark = pairs.sparkSession
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
@@ -189,22 +198,31 @@ object Dedup {
         .distinct().localCheckpoint()
       var labels = edges.select(col("src").as("v")).distinct()
         .withColumn("label", col("v")).localCheckpoint()
+      val labelType = labels.schema("label").dataType
       var converged = false
       var i = 0
       while (!converged && i < maxIter) {
+        // Change detection rides THROUGH the label-update aggregation: each
+        // node's current label is carried as `_old` (max ignores the nulls
+        // on neighbor rows; every v has exactly one self row), so detecting
+        // convergence is a scan of the already-checkpointed result — not a
+        // second shuffling join of new-vs-old labels per iteration.
         val neighborLabels = edges.join(labels, edges("dst") === labels("v"))
-          .select(edges("src").as("v"), col("label"))
-        val next = labels.union(neighborLabels)
-          .groupBy("v").agg(min("label").as("label"))
+          .select(edges("src").as("v"), col("label"),
+            lit(null).cast(labelType).as("_old"))
+        val self = labels.select(col("v"), col("label"), col("label").as("_old"))
+        val next = self.unionByName(neighborLabels)
+          .groupBy("v").agg(min("label").as("label"), max("_old").as("_old"))
           .localCheckpoint()
-        val changed = next.as("n")
-          .join(labels.as("o"), col("n.v") === col("o.v"))
-          .filter(col("n.label") =!= col("o.label"))
-          .limit(1).count()
-        labels = next
-        converged = changed == 0L
+        converged = next.filter(col("label") =!= col("_old")).limit(1).count() == 0L
+        labels = next.select("v", "label")
         i += 1
       }
+      if (!converged)
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"connectedComponents: maxIter=$maxIter reached before convergence — " +
+            "a component with internal diameter > maxIter is split into " +
+            "multiple cluster ids; raise maxIter")
       labels.select(col("v").as("doc_id"), col("label").as("cluster_id"))
     } finally spark.conf.set(key, prev)
   }
@@ -234,7 +252,8 @@ object Dedup {
     * least one exact chunk (pigeonhole), so candidates come from an
     * equi-join on (chunk index, chunk value) — never all-pairs. */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
-                   maxDistance: Int = 3): DataFrame = {
+                   maxDistance: Int = 3,
+                   materialize: Boolean = true): DataFrame = {
     require(maxDistance < 4, "4-chunk banding guarantees recall only for distance <= 3")
     // Transposed fingerprint computation: explode tokens once and compute all
     // 64 bit-counters as flat sum() columns in a single codegen'd hash
@@ -251,25 +270,84 @@ object Dedup {
     val fpExpr = (0 until 64)
       .map(i => when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
       .reduce((a, b) => a.bitwiseOR(b))
-    val fp = toks.groupBy("doc_id").agg(bitAggs.head, bitAggs.tail: _*)
+    // Both sides of the chunk self-join consume the fingerprints; without
+    // materialization the whole tokenize+explode+64-column aggregation runs
+    // TWICE (once per join side). Same scoped persist/localCheckpoint
+    // pattern and materialize=false escape hatch as the other operators.
+    val fpPlan = toks.groupBy("doc_id").agg(bitAggs.head, bitAggs.tail: _*)
       .select(col("doc_id"), fpExpr.as("fp"))
-    val chunks = fp.select(col("doc_id"), col("fp"),
-        posexplode(transform(sequence(lit(0), lit(3)),
-          c => call_function("shiftright", col("fp"), c.cast("int") * 16).bitwiseAND(0xFFFFL))))
-      .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "ck")
-    chunks.as("x").join(chunks.as("y"),
-        col("x.chunk") === col("y.chunk") && col("x.ck") === col("y.ck") &&
+    val fp = if (materialize) fpPlan.persist() else fpPlan
+    try {
+      val chunks = fp.select(col("doc_id"), col("fp"),
+          posexplode(transform(sequence(lit(0), lit(3)),
+            c => call_function("shiftright", col("fp"), c.cast("int") * 16).bitwiseAND(0xFFFFL))))
+        .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "ck")
+      // filter on hamming BEFORE distinct: a pair colliding in k chunks
+      // appears k times, and deduplicating only the surviving (<= maxDistance)
+      // pairs keeps the distinct's shuffle proportional to real near-dups,
+      // not to all chunk collisions
+      val out = chunks.as("x").join(chunks.as("y"),
+          col("x.chunk") === col("y.chunk") && col("x.ck") === col("y.ck") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
+          hamming64(col("x.fp"), col("y.fp")).as("hamming"))
+        .filter(col("hamming") <= maxDistance)
+        .distinct()
+      if (materialize) out.localCheckpoint() else out
+    } finally if (materialize) fp.unpersist()
+  }
+
+  /** Embedding near-dup via banded sign-LSH blocking — the 100 TB shape:
+    * candidate pairs come from an equi-join on (band, bucket), never from an
+    * all-pairs self-join, and the exact cosine verify touches only
+    * candidates.
+    *
+    * `hyper` is a small broadcastable hyperplane table
+    * (h_id: Int in [0, numBands*planesPerBand), h_vec: Array[Float]);
+    * band b uses planes [b*planesPerBand, (b+1)*planesPerBand) and its
+    * bucket packs the per-plane dot-product signs into planesPerBand bits.
+    * Two vectors collide in a band with probability (1 - theta/pi)^r
+    * (theta = their angle, r = planesPerBand), so more/narrower bands raise
+    * recall and fewer/wider bands raise precision — the sign-LSH analogue of
+    * MinHash banding. A pair is emitted once no matter how many bands it
+    * collides in (distinct on candidates before the verify).
+    */
+  def embeddingLshPairs(vecs: DataFrame, idCol: String, vecCol: String,
+                        hyper: DataFrame, numBands: Int, planesPerBand: Int,
+                        threshold: Double): DataFrame = {
+    // per-(vector, band) bucket: corpus scanned once, crossJoin is a
+    // broadcast fan-out of numBands*planesPerBand rows per vector reduced
+    // straight back down by the aggregation (map-side combined)
+    val buckets = vecs.select(col(idCol).as("doc_id"), col(vecCol).as("v"))
+      .crossJoin(broadcast(hyper))
+      .withColumn("_dot", dotProduct(col("v"), col("h_vec")))
+      .withColumn("band", (col("h_id") / lit(planesPerBand)).cast("int"))
+      .groupBy(col("doc_id"), col("band"))
+      .agg(sum(when(col("_dot") > 0,
+          call_function("shiftleft", lit(1L), (col("h_id") % planesPerBand).cast("int")))
+        .otherwise(0L)).as("bucket"))
+    val candidates = buckets.as("x").join(buckets.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
-        hamming64(col("x.fp"), col("y.fp")).as("hamming"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
       .distinct()
-      .filter(col("hamming") <= maxDistance)
+    // exact verify restricted to candidates; each vector's norm computed
+    // once on the corpus side, not per pair
+    val withV = vecs.select(col(idCol).as("id"), col(vecCol).as("v"),
+      l2Norm(col(vecCol)).as("nrm"))
+    candidates
+      .join(withV.as("a"), col("d1") === col("a.id"))
+      .join(withV.as("b"), col("d2") === col("b.id"))
+      .withColumn("cosine",
+        dotProduct(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")))
+      .filter(col("cosine") >= threshold)
+      .select(col("d1"), col("d2"), round(col("cosine"), 6).as("cosine"))
   }
 
   /** Embedding near-dup: pairs with cosine >= threshold. Blocked by an
     * optional blocking column (e.g. a coarse cluster id) so the pair join
     * is never a full cross product at scale; None = all-pairs (small/test
-    * scale only). */
+    * scale only — [[embeddingLshPairs]] is the production path). */
   def embeddingCosinePairs(vecs: DataFrame, idCol: String, vecCol: String,
                            threshold: Double,
                            blockCol: Option[String] = None): DataFrame = {

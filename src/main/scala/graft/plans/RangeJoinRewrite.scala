@@ -5,7 +5,8 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{DataType, LongType, TimestampType}
+import org.apache.spark.sql.catalyst.trees.TreeNodeTag
+import org.apache.spark.sql.types.{DataType, DoubleType, LongType, TimestampType}
 
 /** Catalyst optimizer rule: rewrite a pure interval (theta) join into a
   * bucketed equi-join.
@@ -46,20 +47,28 @@ import org.apache.spark.sql.types.{DataType, LongType, TimestampType}
   * Sizing note: each interval row expands to one generated row per covered
   * bucket (~width/binSize). Pick binSize on the order of the typical
   * interval width — the same contract as the bin size in commercial
-  * range-join hints. A binSize orders of magnitude below the widest
-  * interval multiplies that row's fan-out accordingly (pathological case:
-  * a near-Long-range interval would try to materialize a giant sequence
-  * array), so the rule is opt-in per session rather than globally on.
+  * range-join hints. The rewrite is fan-out-guarded: interval rows that
+  * can never match (lo >= hi, compared at full precision) are filtered out
+  * before the Generate, and rows whose bucket fan-out would exceed
+  * `maxFanout` are routed to a theta-join fallback branch instead of
+  * materializing a giant sequence array — so a pathological interval
+  * (near-Long-range width, or binSize orders of magnitude too small)
+  * degrades to the original slow-but-correct nested-loop for THOSE rows
+  * only, never to a runtime failure. The fallback join is tagged so the
+  * fixed-point optimizer batch does not re-rewrite its own output.
   *
   * Register per session (idempotent):
   * {{{ RangeJoinRewrite.install(spark, binSize = 600) }}}
   */
-case class RangeJoinRewrite(binSize: Long) extends Rule[LogicalPlan] {
+case class RangeJoinRewrite(binSize: Long, maxFanout: Long = 4096L)
+    extends Rule[LogicalPlan] {
   require(binSize > 0, "binSize must be positive")
+  require(maxFanout > 0, "maxFanout must be positive")
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case j @ Join(left, right, Inner, Some(cond), _)
-        if j.resolved && cond.deterministic && !hasEquiKey(cond, left, right) =>
+        if j.resolved && cond.deterministic && !hasEquiKey(cond, left, right) &&
+          j.getTagValue(RangeJoinRewrite.skipTag).isEmpty =>
       rewrite(j, left, right, cond).getOrElse(j)
   }
 
@@ -115,6 +124,23 @@ case class RangeJoinRewrite(binSize: Long) extends Rule[LogicalPlan] {
       val bin = Literal(binSize, LongType)
       val (pointPlan, intervalPlan) = if (pointIsLeft) (left, right) else (right, left)
 
+      // Fan-out guards on the interval side:
+      //  - nonEmpty: lo < hi at FULL precision (an interval with lo >= hi
+      //    can never satisfy point >= lo AND point < hi, and an inverted
+      //    one would explode into a long DESCENDING bucket sequence). Must
+      //    compare the original expressions, not the seconds-truncated
+      //    longs: a sub-second timestamp interval truncates to lo == hi but
+      //    still matches points.
+      //  - bounded: estimated bucket span <= maxFanout, computed in DOUBLE
+      //    so near-Long-range widths cannot ANSI-overflow the guard itself.
+      //  NULL bounds make both guards NULL -> the row is dropped from both
+      //  branches, same no-match outcome as the theta join.
+      val nonEmpty = LessThan(lo0, hi0)
+      val bounded = LessThanOrEqual(
+        Subtract(Cast(hi, DoubleType), Cast(lo, DoubleType)),
+        Literal(binSize.toDouble * maxFanout.toDouble, DoubleType))
+      val bucketable = Filter(And(nonEmpty, bounded), intervalPlan)
+
       val pBucket = Alias(IntegralDivide(point, bin), "_graft_bucket_p")()
       val pointProj = Project(pointPlan.output :+ pBucket, pointPlan)
 
@@ -133,12 +159,23 @@ case class RangeJoinRewrite(binSize: Long) extends Rule[LogicalPlan] {
         Some(conf.sessionLocalTimeZone))
       val bucketAttr = AttributeReference("_graft_bucket", LongType, nullable = true)()
       val gen = Generate(Explode(seqExpr), unrequiredChildIndex = Nil, outer = false,
-        qualifier = None, generatorOutput = Seq(bucketAttr), child = intervalPlan)
+        qualifier = None, generatorOutput = Seq(bucketAttr), child = bucketable)
 
       val newCond = And(EqualTo(pBucket.toAttribute, bucketAttr), cond)
       val (nl, nr) = if (pointIsLeft) (pointProj, gen) else (gen, pointProj)
-      // restore the original output (drop the helper bucket columns)
-      Project(j.output, Join(nl, nr, Inner, Some(newCond), j.hint))
+      val bucketed = Project(j.output, Join(nl, nr, Inner, Some(newCond), j.hint))
+
+      // Overflow branch: interval rows too wide to bucket keep the original
+      // slow-but-correct theta join (few rows by construction — each would
+      // have generated > maxFanout rows instead). Tagged so the fixed-point
+      // optimizer batch doesn't recursively rewrite its own fallback.
+      val wide = Filter(And(nonEmpty, Not(bounded)), intervalPlan)
+      val (fl, fr) = if (pointIsLeft) (pointPlan, wide) else (wide, pointPlan)
+      val fallback = Join(fl, fr, Inner, Some(cond), j.hint)
+      fallback.setTagValue(RangeJoinRewrite.skipTag, ())
+      val fallbackProj = Project(j.output, fallback)
+
+      Union(Seq(bucketed, fallbackProj))
     }
   }
 
@@ -164,11 +201,16 @@ case class RangeJoinRewrite(binSize: Long) extends Rule[LogicalPlan] {
 }
 
 object RangeJoinRewrite {
+  /** Marks the wide-interval fallback join so the fixed-point optimizer
+    * batch never re-rewrites the rule's own output (tags survive makeCopy/
+    * withNewChildren, so later rules touching the join keep the mark). */
+  private[plans] val skipTag = TreeNodeTag[Unit]("graft.rangeJoinRewrite.skip")
+
   /** Install the rule into a session's experimental optimizer batch
     * (idempotent: replaces any previously installed instance). */
-  def install(spark: SparkSession, binSize: Long): Unit = {
+  def install(spark: SparkSession, binSize: Long, maxFanout: Long = 4096L): Unit = {
     val others = spark.experimental.extraOptimizations
       .filterNot(_.isInstanceOf[RangeJoinRewrite])
-    spark.experimental.extraOptimizations = others :+ RangeJoinRewrite(binSize)
+    spark.experimental.extraOptimizations = others :+ RangeJoinRewrite(binSize, maxFanout)
   }
 }

@@ -84,7 +84,7 @@ object JoinQueries extends QueryModule {
          SELECT p.event_id,
            (SELECT round(c.value, 2) FROM c
             WHERE c.user_id = p.user_id AND c.ts <= p.ts
-              AND floor(epoch(p.ts)) - floor(epoch(c.ts)) <= 600
+              AND epoch_us(p.ts) - epoch_us(c.ts) <= 600000000
             ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) AS recent_click_value
          FROM p ORDER BY p.event_id""",
 

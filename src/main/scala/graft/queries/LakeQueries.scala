@@ -155,6 +155,38 @@ object LakeQueries extends QueryModule {
         ("empty_input", emptyMsg)).toDF("check", "result").orderBy("check")
     },
 
+    // --- §1.3/§7.5: nested FHIR schema-on-read — publish realistic nested
+    //     Patient documents (identifier/name arrays), read back through the
+    //     per-resource-type StructType (FhirSchemas.patient) with a
+    //     corrupt-record column, extract nested fields. Drift cases: p2 has
+    //     no identifiers/names (missing -> null), p3 carries an unknown
+    //     field (ignored), bad1 is malformed (lands in _corrupt, scan
+    //     survives) ---
+    "qc13_fhir_nested_read" -> { (s, _) =>
+      val root = tempLake()
+      val svc = new DatalakePublishService(cfg(root), clock = fixedDate)
+      svc.publishFhirR4(s, "tenantN", Seq(
+        FhirEnvelope("Patient", "p1", FhirNestedDocs.p1),
+        FhirEnvelope("Patient", "p2", FhirNestedDocs.p2),
+        FhirEnvelope("Patient", "p3", FhirNestedDocs.p3),
+        FhirEnvelope("Patient", "bad1", FhirNestedDocs.bad)))
+      val doc = col("doc")
+      val name0 = get(doc.getField("name"), lit(0))
+      LakeReader.readFhir(s, cfg(root), "Patient", tenant = Some("tenantN"),
+          bodySchema = Some(FhirSchemas.readSchema("Patient")))
+        .select(
+          doc.getField("id").as("id"),
+          doc.getField("active").as("active"),
+          doc.getField("birthDate").as("birth_date"),
+          get(doc.getField("identifier"), lit(0)).getField("value").as("mrn"),
+          name0.getField("family").as("family"),
+          when(name0.getField("given").isNull, lit(null).cast("int"))
+            .otherwise(size(name0.getField("given"))).as("n_given"),
+          array_join(name0.getField("given"), " ").as("given_all"),
+          doc.getField(FhirSchemas.CorruptCol).isNotNull.as("is_corrupt"))
+        .orderBy(col("id").asc_nulls_last)
+    },
+
     // --- A23: HL7 MSH-9 extraction, 8-case corpus ported verbatim
     //     (hl7/HL7UtilsTest.kt:7-106; FIXTURES.md §3) ---
     "qh01_hl7_msh9" -> { (s, _) =>
@@ -181,6 +213,22 @@ object LakeQueries extends QueryModule {
   )
 
   override val oracle: Map[String, String] = Map(
+    "qc13_fhir_nested_read" ->
+      s"""WITH docs(j) AS (VALUES
+           ('${FhirNestedDocs.p1}'), ('${FhirNestedDocs.p2}'), ('${FhirNestedDocs.p3}'))
+         SELECT json_extract_string(j, '$$.id') AS id,
+           CAST(json_extract(j, '$$.active') AS BOOLEAN) AS active,
+           json_extract_string(j, '$$.birthDate') AS birth_date,
+           json_extract_string(j, '$$.identifier[0].value') AS mrn,
+           json_extract_string(j, '$$.name[0].family') AS family,
+           CAST(len(CAST(json_extract(j, '$$.name[0].given') AS VARCHAR[])) AS INTEGER) AS n_given,
+           array_to_string(CAST(json_extract(j, '$$.name[0].given') AS VARCHAR[]), ' ') AS given_all,
+           false AS is_corrupt
+         FROM docs
+         UNION ALL
+         SELECT NULL, NULL, NULL, NULL, NULL, NULL, NULL, true
+         ORDER BY id NULLS LAST""",
+
     "qc01_publish_fhir_paths" ->
       """SELECT * FROM (VALUES
          ('ehr/location/fhir_tenant_id=mockTenant/_date=1990-01-03/abc.json'),
@@ -247,6 +295,22 @@ object LakeQueries extends QueryModule {
          (8, 'MDM', 'T02')) t(case_id, msg_type, msg_event)
          ORDER BY case_id"""
   )
+}
+
+/** Fixed nested FHIR Patient documents for qc13 (shared verbatim with the
+  * DuckDB oracle, which re-extracts the same fields with JSON functions —
+  * so the check exercises real extraction on both engines, not a golden
+  * table). JSON contains no single quotes, so SQL-literal splicing is safe. */
+object FhirNestedDocs {
+  val p1: String =
+    """{"resourceType":"Patient","id":"p1","active":true,"birthDate":"1980-02-01","identifier":[{"system":"urn:mrn","value":"MRN-001"},{"system":"urn:ssn","value":"S-1"}],"name":[{"use":"official","family":"Smith","given":["Jan","Q"]},{"use":"nickname","family":null,"given":["Janny"]}]}"""
+  /** Drift: everything optional missing. */
+  val p2: String = """{"resourceType":"Patient","id":"p2"}"""
+  /** Drift: unknown extra field (ignored by schema-on-read). */
+  val p3: String =
+    """{"resourceType":"Patient","id":"p3","active":false,"birthDate":"1999-12-31","futureField":{"x":1},"identifier":[{"system":"urn:mrn","value":"MRN-003"}],"name":[{"use":"official","family":"Okafor","given":["Ada"]}]}"""
+  /** Structurally broken document: must land in the corrupt column. */
+  val bad: String = """{"resourceType":"Patient","id":"bad1","name":[{"""
 }
 
 /** The reference's HL7 test corpus (hl7/HL7UtilsTest.kt:7-106), verbatim. */

@@ -168,11 +168,18 @@ object TextQueries extends QueryModule {
         .orderBy("d1", "d2")
     },
 
-    // --- embedding-cosine near-dup pairs ---
+    // --- embedding-cosine near-dup pairs, banded-sign-LSH blocked: the
+    //     pair join is an equi-join on (band, bucket) — 4 bands x 4
+    //     hyperplanes (data-derived, vec_id 0..15, so DuckDB replays the
+    //     identical bucketing; production would draw seeded Gaussians) —
+    //     never an all-pairs self cross-product ---
     "qd05_dedup_embedding" -> { (s, d) =>
-      val vecs = Tables.embeddings(s, d)
-        .select(col("vec_id"), col("embedding"))
-      Dedup.embeddingCosinePairs(vecs, "vec_id", "embedding", threshold = 0.45)
+      val emb = Tables.embeddings(s, d)
+      val hyper = emb.filter(col("vec_id") < 16)
+        .select(col("vec_id").cast("int").as("h_id"), col("embedding").as("h_vec"))
+      Dedup.embeddingLshPairs(
+          emb.select(col("vec_id"), col("embedding")), "vec_id", "embedding",
+          hyper, numBands = 4, planesPerBand = 4, threshold = 0.45)
         .orderBy("d1", "d2")
     }
   )
@@ -311,12 +318,23 @@ object TextQueries extends QueryModule {
     // qd04_dedup_simhash: intentionally no oracle (xxhash64-seeded)
 
     "qd05_dedup_embedding" ->
-      """SELECT a.vec_id AS d1, b.vec_id AS d2,
+      """WITH h AS (SELECT CAST(vec_id AS INTEGER) AS h_id,
+                      CAST(embedding AS DOUBLE[]) AS hv
+                    FROM embeddings WHERE vec_id < 16),
+         b AS (SELECT e.vec_id AS doc_id, CAST(h.h_id // 4 AS INTEGER) AS band,
+                 CAST(sum(CASE WHEN list_dot_product(CAST(e.embedding AS DOUBLE[]), h.hv) > 0
+                               THEN CAST(power(2, h.h_id % 4) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+               FROM embeddings e CROSS JOIN h GROUP BY 1, 2),
+         cand AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+                  FROM b x JOIN b y
+                  ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id)
+         SELECT d1, d2,
            round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                        CAST(b.embedding AS DOUBLE[])), 6) AS cosine
-         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+                                        CAST(c.embedding AS DOUBLE[])), 6) AS cosine
+         FROM cand JOIN embeddings a ON cand.d1 = a.vec_id
+                   JOIN embeddings c ON cand.d2 = c.vec_id
          WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                      CAST(b.embedding AS DOUBLE[])) >= 0.45
+                                      CAST(c.embedding AS DOUBLE[])) >= 0.45
          ORDER BY d1, d2"""
   )
 }

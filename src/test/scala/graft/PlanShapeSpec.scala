@@ -79,8 +79,13 @@ class PlanShapeSpec extends AnyFunSuite {
 
   test("q45 SQL interval join is rewritten away from nested-loop (rule fires)") {
     val p = plan(SparkEntry.queries("q45_range_join_rule")(spark, sf))
-    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
-      s"RangeJoinRewrite did not fire on q45:\n$p")
+    // the hot path must be the bucketed equi join; the only nested-loop
+    // allowed is the fan-out-guarded wide-interval fallback branch (filtered
+    // to ~zero rows, collapsed by AQE at runtime)
+    assert(p.contains("_graft_bucket"), s"RangeJoinRewrite did not fire on q45:\n$p")
+    val nBnlj = "BroadcastNestedLoopJoin".r.findAllMatchIn(p).length
+    assert(nBnlj <= 1 && !p.contains("CartesianProduct"),
+      s"q45 has an unguarded nested-loop path:\n$p")
   }
 
   test("global sort+limit plans as TakeOrderedAndProject, not a full sort") {

@@ -118,6 +118,23 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got === Map(1L -> Some(1.5), 2L -> None, 3L -> Some(1.5)))
   }
 
+  test("asOf tolerance is full microsecond precision, not truncated seconds") {
+    // right row at 09:59:59.999999; left rows 1.000001 s and exactly 1 s
+    // later. Under truncated-seconds arithmetic both ages collapse to <= 1 s
+    // and both match; at micros precision the first is 1000002 us > 1 s.
+    val left = Seq(
+      (1L, 10L, Timestamp.valueOf("2024-01-01 10:00:01.000001")), // 1.000002 s old
+      (2L, 10L, Timestamp.valueOf("2024-01-01 10:00:00.999999"))) // exactly 1 s old
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq((10L, Timestamp.valueOf("2024-01-01 09:59:59.999999"), 7L, 2.5))
+      .toDF("user_id", "rts", "rid", "rvalue")
+    val got = AsOfJoin.asOf(left, right, "user_id", "ts", "rts",
+        Seq("rvalue"), Some("rid"), toleranceSeconds = Some(1L))
+      .select("event_id", "asof_rvalue")
+      .as[(Long, Option[Double])].collect().toMap
+    assert(got === Map(1L -> None, 2L -> Some(2.5)))
+  }
+
   test("connected components: labels propagate along chains, not just edges") {
     // path 1-2-3-4 plus isolated pair 8-9: min label must travel 3 hops
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (8L, 9L)).toDF("d1", "d2")

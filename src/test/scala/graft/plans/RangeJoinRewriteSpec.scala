@@ -67,8 +67,13 @@ class RangeJoinRewriteSpec extends AnyFunSuite {
     assert(before.contains("BroadcastNestedLoopJoin") || before.contains("CartesianProduct"))
     withRule(binSize = 137) {
       val after = points.join(intervals, cond).queryExecution.executedPlan.toString
-      assert(!after.contains("BroadcastNestedLoopJoin") && !after.contains("CartesianProduct"),
-        s"rewrite did not fire:\n$after")
+      // bucketed equi join on the hot path; the single remaining nested-loop
+      // is the fan-out-guarded fallback branch (filtered to rows whose
+      // bucket span exceeds maxFanout — none here)
+      assert(after.contains("_graft_bucket"), s"rewrite did not fire:\n$after")
+      val nBnlj = "BroadcastNestedLoopJoin".r.findAllMatchIn(after).length
+      assert(nBnlj <= 1 && !after.contains("CartesianProduct"),
+        s"unguarded nested-loop path:\n$after")
     }
   }
 
@@ -106,9 +111,64 @@ class RangeJoinRewriteSpec extends AnyFunSuite {
     withRule(binSize = 60) {
       val df = pts.join(wins, cond)
       val plan = df.queryExecution.executedPlan.toString
-      assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
-        s"timestamp rewrite did not fire:\n$plan")
+      assert(plan.contains("_graft_bucket"), s"timestamp rewrite did not fire:\n$plan")
+      val nBnlj = "BroadcastNestedLoopJoin".r.findAllMatchIn(plan).length
+      assert(nBnlj <= 1 && !plan.contains("CartesianProduct"),
+        s"unguarded nested-loop path:\n$plan")
       assert(df.select("p_id", "w_id").as[(Long, Long)].collect().toSet === naive)
+    }
+  }
+
+  test("pathological intervals: giant width and inverted bounds neither fail nor mismatch") {
+    // One near-Long-range interval (fan-out would be ~Long.MaxValue/bin
+    // buckets — materializing that sequence must NOT be attempted), one
+    // severely inverted interval (lo >> hi would be a long descending
+    // sequence), plus normal ones. The guard must route the wide row to the
+    // theta fallback and drop the inverted row, with results identical to
+    // the naive join.
+    val p = Seq((1L, 5L), (2L, 500L), (3L, -100000L)).toDF("p_id", "p")
+    val w = Seq(
+      (10L, Long.MinValue + 10, Long.MaxValue - 10), // giant: matches all
+      (11L, 9000000L, -9000000L),                    // inverted: matches none
+      (12L, 0L, 10L),                                // normal: matches p=5
+      (13L, 400L, 600L)                              // normal: matches p=500
+    ).toDF("w_id", "lo", "hi")
+    val cond = col("p") >= col("lo") && col("p") < col("hi")
+    val naive = p.join(w, cond).select("p_id", "w_id").as[(Long, Long)].collect().toSet
+    withRule(binSize = 10) {
+      val got = p.join(w, cond).select("p_id", "w_id").as[(Long, Long)].collect().toSet
+      assert(got === naive)
+      assert(got === Set((1L, 10L), (2L, 10L), (3L, 10L), (1L, 12L), (2L, 13L)))
+    }
+  }
+
+  test("fallback branch is not re-rewritten by the fixed-point batch") {
+    val p = Seq((1L, 5L)).toDF("p_id", "p")
+    val w = Seq((10L, Long.MinValue + 10, Long.MaxValue - 10)).toDF("w_id", "lo", "hi")
+    val cond = col("p") >= col("lo") && col("p") < col("hi")
+    withRule(binSize = 10) {
+      val optimized = p.join(w, cond).queryExecution.optimizedPlan
+      // exactly one bucketed branch and one fallback: a runaway fixed-point
+      // recursion would nest unions / multiply Generate nodes
+      val unions = optimized.collect { case u: org.apache.spark.sql.catalyst.plans.logical.Union => u }
+      val gens = optimized.collect { case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g }
+      assert(unions.size == 1, s"expected 1 Union, plan:\n$optimized")
+      assert(gens.size == 1, s"expected 1 Generate, plan:\n$optimized")
+    }
+  }
+
+  test("sub-second timestamp interval (lo == hi after seconds truncation) still matches") {
+    import java.sql.Timestamp
+    // interval [12:00:00.200, 12:00:00.800) — truncates to lo_sec == hi_sec;
+    // the never-match filter must compare full precision or this pair is lost
+    val pts = Seq((1L, Timestamp.valueOf("2024-01-01 12:00:00.5"))).toDF("p_id", "pt")
+    val wins = Seq((10L,
+      Timestamp.valueOf("2024-01-01 12:00:00.2"),
+      Timestamp.valueOf("2024-01-01 12:00:00.8"))).toDF("w_id", "wlo", "whi")
+    val cond = col("pt") >= col("wlo") && col("pt") < col("whi")
+    withRule(binSize = 60) {
+      val got = pts.join(wins, cond).select("p_id", "w_id").as[(Long, Long)].collect().toSet
+      assert(got === Set((1L, 10L)))
     }
   }
 
