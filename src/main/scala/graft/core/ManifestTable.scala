@@ -25,11 +25,16 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * between data write and marker leaves an invisible orphan directory that
   * [[vacuum]] removes.
   *
-  * Works on any Hadoop FileSystem including object stores (PUT is atomic;
-  * no rename anywhere). Concurrent WRITERS are not arbitrated (last marker
-  * wins) — single-writer/many-reader, the reference's publish model.
-  * [[vacuum]] keeps the previous version as a grace window for in-flight
-  * readers; schedule it accordingly.
+  * Works on any Hadoop FileSystem including object stores (no rename
+  * anywhere; a marker appears to readers all-or-nothing). The concurrency
+  * model is SINGLE-writer/many-reader — the reference's publish model.
+  * Concurrent writers are NOT arbitrated: `create(overwrite = false)` is
+  * atomic on HDFS/local but check-then-act on S3A-style object stores, so
+  * duplicate-commit detection there is best-effort only (two racing writers
+  * can both "commit" the same version number; last PUT wins). A store with
+  * conditional-PUT (If-None-Match) would close that hole — out of scope for
+  * the single-writer model. [[vacuum]] keeps the previous version as a
+  * grace window for in-flight readers; schedule it accordingly.
   */
 object ManifestTable {
 
@@ -39,6 +44,13 @@ object ManifestTable {
 
   def versionDir(dir: String, n: Long): String = s"$dir/v=$n"
 
+  /** Parse a name of the form `prefix<long>`; None for foreign files that
+    * merely share the prefix (a stray `v=2_tmp` or `_commit_x` must not
+    * crash manifest resolution or vacuum). */
+  private def parseSuffix(name: String, prefix: String): Option[Long] =
+    if (!name.startsWith(prefix)) None
+    else scala.util.Try(name.stripPrefix(prefix).toLong).toOption
+
   /** Highest committed version, if any. */
   def currentVersion(dir: String): Option[Long] = {
     val fs = LakeStorage.openFor(dir)
@@ -46,8 +58,7 @@ object ManifestTable {
     if (!fs.exists(base)) return None
     val versions = fs.listStatus(base).iterator
       .map(_.getPath.getName)
-      .filter(_.startsWith(MarkerPrefix))
-      .map(_.stripPrefix(MarkerPrefix).toLong)
+      .flatMap(parseSuffix(_, MarkerPrefix))
     if (versions.isEmpty) None else Some(versions.max)
   }
 
@@ -99,16 +110,14 @@ object ManifestTable {
     if (!fs.exists(base)) return 0
     val committed = fs.listStatus(base)
       .map(_.getPath.getName)
-      .filter(_.startsWith(MarkerPrefix))
-      .map(_.stripPrefix(MarkerPrefix).toLong)
+      .flatMap(parseSuffix(_, MarkerPrefix))
       .sorted
     if (committed.isEmpty) return 0
     val cutoff = committed.takeRight(keep).head
     var removed = 0
     fs.listStatus(base).foreach { st =>
       val name = st.getPath.getName
-      if (st.isDirectory && name.startsWith("v=")) {
-        val v = name.stripPrefix("v=").toLong
+      if (st.isDirectory) parseSuffix(name, "v=").foreach { v =>
         // orphans (no marker) below the current version are dead too
         val dead = v < cutoff || (!committed.contains(v) && v < committed.last)
         if (dead) {
@@ -116,9 +125,9 @@ object ManifestTable {
             throw new IllegalStateException(s"vacuum: failed to delete ${st.getPath}")
           removed += 1
         }
-      } else if (name.startsWith(MarkerPrefix) &&
-                 name.stripPrefix(MarkerPrefix).toLong < cutoff) {
-        fs.delete(st.getPath, false); ()
+      }
+      else parseSuffix(name, MarkerPrefix).foreach { v =>
+        if (v < cutoff) { fs.delete(st.getPath, false); () }
       }
     }
     removed
@@ -127,7 +136,10 @@ object ManifestTable {
   private def commit(dir: String, n: Long): Unit = {
     val fs = LakeStorage.openFor(dir)
     val p = new Path(dir, marker(n))
-    val out = fs.create(p, false) // fail if the version was already committed
+    // overwrite=false fails a duplicate commit on filesystems with atomic
+    // create (HDFS/local); on S3A it is check-then-act, i.e. best-effort
+    // only — see the class doc's single-writer model
+    val out = fs.create(p, false)
     out.close()
   }
 }

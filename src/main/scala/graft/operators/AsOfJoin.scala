@@ -27,11 +27,13 @@ object AsOfJoin {
     *
     * `toleranceSeconds` (pandas merge_asof semantics): when set, a match
     * older than the tolerance is discarded — the row survives with null
-    * values, exactly as if no right row preceded it. The age comparison is
-    * FULL timestamp precision (microseconds): a match 600.000001 s old
-    * fails a 600 s tolerance. Requires both time columns to be
-    * TimestampType when a tolerance is set; any SQL replay must compare
-    * epoch microseconds (e.g. DuckDB `epoch_us(lt) - epoch_us(rt)`).
+    * values, exactly as if no right row preceded it. For TimestampType time
+    * columns the age comparison is FULL timestamp precision (microseconds):
+    * a match 600.000001 s old fails a 600 s tolerance; any SQL replay must
+    * compare epoch microseconds (e.g. DuckDB `epoch_us(lt) - epoch_us(rt)`).
+    * Integral (Long/Int) time columns are treated as epoch SECONDS and
+    * compared with plain long arithmetic. Other time column types reject
+    * with an analysis-time error when a tolerance is set.
     */
   def asOf(left: DataFrame, right: DataFrame, key: String,
            leftTime: String, rightTime: String,
@@ -63,8 +65,17 @@ object AsOfJoin {
       .withColumn("_asof", last(col("_vals"), ignoreNulls = true).over(w))
     val inTolerance = toleranceSeconds match {
       case Some(tol) =>
-        col("_asof").isNotNull &&
-          (unix_micros(col("_t")) - unix_micros(col("_asof._rt"))) <= tol * 1000000L
+        import org.apache.spark.sql.types.{IntegerType, LongType, TimestampType}
+        val age = unioned.schema("_t").dataType match {
+          case TimestampType =>
+            (unix_micros(col("_t")) - unix_micros(col("_asof._rt"))) <= tol * 1000000L
+          case LongType | IntegerType => // epoch seconds, plain arithmetic
+            (col("_t").cast("long") - col("_asof._rt").cast("long")) <= tol
+          case other => throw new IllegalArgumentException(
+            s"asOf toleranceSeconds requires TimestampType or integral epoch-second " +
+              s"time columns; got $other for '$leftTime'/'$rightTime'")
+        }
+        col("_asof").isNotNull && age
       case None => col("_asof").isNotNull
     }
     valueCols.foldLeft(carried.filter(col("_side") === 1)) { (df, c) =>

@@ -97,6 +97,27 @@ object CoverageQueries extends QueryModule {
         .toDF("many_small_before", "fewer_after", "rows_preserved")
     },
 
+    // --- manifest-committed table versions (the minimal transaction-log
+    //     pattern over plain parquet, core/ManifestTable): two writes, a
+    //     compacting rewrite as a THIRD committed version (no reader-visible
+    //     swap window), vacuum with a grace version. Values are structural
+    //     (version numbers, file counts, vacuum count) plus the live row
+    //     count read back through the manifest ---
+    "qc14_manifest_table" -> { (s, d) =>
+      import s.implicits._
+      val dir = graft.core.TempDirs.create("graft_manifest_")
+      val docs = Tables.documents(s, d)
+      val v1 = graft.core.ManifestTable.write(docs.filter(col("doc_id") < 100).repartition(4), dir)
+      val v2 = graft.core.ManifestTable.write(docs.repartition(12), dir)
+      val (filesBefore, filesAfter) = graft.core.ManifestTable.compact(s, dir)
+      val removed = graft.core.ManifestTable.vacuum(dir, keep = 2)
+      val current = graft.core.ManifestTable.currentVersion(dir).getOrElse(-1L)
+      val rows = graft.core.ManifestTable.read(s, dir).count()
+      Seq((v1, v2, current, filesBefore, filesAfter <= 2L, removed.toLong, rows))
+        .toDF("v1", "v2", "current_version", "files_before", "compacted_fewer",
+          "vacuum_removed", "rows_current")
+    },
+
     // --- partitioned batch write + partition-pruned scan-back ---
     "qc10_partitioned_write" -> { (s, d) =>
       val out = graft.core.TempDirs.create("graft_part_")
@@ -321,6 +342,14 @@ object CoverageQueries extends QueryModule {
     "qc12_compaction" ->
       """SELECT true AS many_small_before, true AS fewer_after,
          true AS rows_preserved""",
+
+    "qc14_manifest_table" ->
+      """SELECT CAST(1 AS BIGINT) AS v1, CAST(2 AS BIGINT) AS v2,
+         CAST(3 AS BIGINT) AS current_version,
+         CAST(12 AS BIGINT) AS files_before,
+         true AS compacted_fewer,
+         CAST(1 AS BIGINT) AS vacuum_removed,
+         (SELECT count(*) FROM documents) AS rows_current""",
 
     "q50_map_hofs" ->
       """SELECT p_partkey,

@@ -135,6 +135,32 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got === Map(1L -> None, 2L -> Some(2.5)))
   }
 
+  test("asOf tolerance on LongType epoch-second time columns uses long arithmetic") {
+    // regression: the micros-precision path hard-required TimestampType,
+    // silently breaking callers with epoch-second long columns
+    val left = Seq(
+      (1L, 10L, 1000L),  // match 300 s old
+      (2L, 10L, 4000L),  // match 3300 s old -> stale
+      (3L, 10L, 1300L))  // exactly at tolerance
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq((10L, 700L, 7L, 1.5)).toDF("user_id", "rts", "rid", "rvalue")
+    val got = AsOfJoin.asOf(left, right, "user_id", "ts", "rts",
+        Seq("rvalue"), Some("rid"), toleranceSeconds = Some(600L))
+      .select("event_id", "asof_rvalue")
+      .as[(Long, Option[Double])].collect().toMap
+    assert(got === Map(1L -> Some(1.5), 2L -> None, 3L -> Some(1.5)))
+  }
+
+  test("asOf tolerance on an unsupported time type rejects with a clear error") {
+    val left = Seq((1L, 10L, "2024-01-01")).toDF("event_id", "user_id", "ts")
+    val right = Seq((10L, "2023-12-31", 7L, 1.5)).toDF("user_id", "rts", "rid", "rvalue")
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin.asOf(left, right, "user_id", "ts", "rts",
+        Seq("rvalue"), Some("rid"), toleranceSeconds = Some(600L))
+    }
+    assert(e.getMessage.contains("TimestampType or integral"))
+  }
+
   test("connected components: labels propagate along chains, not just edges") {
     // path 1-2-3-4 plus isolated pair 8-9: min label must travel 3 hops
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (8L, 9L)).toDF("d1", "d2")
