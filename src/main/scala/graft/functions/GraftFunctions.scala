@@ -23,6 +23,10 @@ object GraftFunctions {
       exprs => org.apache.spark.sql.catalyst.expressions.Sqrt(
         FloatVecDot(exprs.head, exprs.head)),
       "built-in")
+    // ngrams_table(text, n) -> TABLE(pos INT, ngram STRING): SQL-callable
+    // table function (custom Generator; LATERAL VIEW / SELECT-list)
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "ngrams_table", exprs => NGramsGenerator(exprs(0), exprs(1)), "built-in")
     // cosine_sim(a, b) -> double, same association as VectorFunctions
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_sim",

@@ -56,6 +56,13 @@ import org.apache.spark.sql.types.{DataType, DoubleType, LongType, TimestampType
   * degrades to the original slow-but-correct nested-loop for THOSE rows
   * only, never to a runtime failure. The fallback join is tagged so the
   * fixed-point optimizer batch does not re-rewrite its own output.
+  * The fallback branch exists in EVERY rewritten plan (whether any row
+  * exceeds maxFanout is runtime data); with AQE enabled (Spark's default)
+  * the usual empty wide-side collapses via empty-relation propagation at
+  * runtime, so the branch's steady-state cost is one filter pass over the
+  * interval side (measured: q45 in isolation ~0.2 s of its 0.8 s total at
+  * sf0.1). Without AQE the nested-loop join over an empty side still
+  * executes its point-side scan — keep AQE on.
   *
   * Register per session (idempotent):
   * {{{ RangeJoinRewrite.install(spark, binSize = 600) }}}

@@ -217,6 +217,19 @@ object CoverageQueries extends QueryModule {
         WHERE a.vec_id < 100 ORDER BY a.vec_id""")
     },
 
+    // --- SQL-callable TABLE function (custom Catalyst Generator planned as
+    //     Generate, streaming one row per n-gram): the UDTF surface. 4-grams
+    //     so the result is disjoint from qt04's native-transform bigrams ---
+    "qg01_sql_table_function" -> { (s, d) =>
+      graft.functions.GraftFunctions.registerAll(s)
+      Tables.documents(s, d).createOrReplaceTempView("docs_v")
+      s.sql("""
+        SELECT ngram, count(*) AS cnt, min(doc_id) AS first_doc,
+               CAST(min(pos) AS INT) AS min_pos
+        FROM docs_v LATERAL VIEW ngrams_table(text, 4) g AS pos, ngram
+        GROUP BY ngram ORDER BY cnt DESC, ngram LIMIT 20""")
+    },
+
     // --- window frames: RANGE BETWEEN (value-based) + lead ---
     "q33_range_frame" -> { (s, d) =>
       val w = org.apache.spark.sql.expressions.Window
@@ -342,6 +355,17 @@ object CoverageQueries extends QueryModule {
     "qc12_compaction" ->
       """SELECT true AS many_small_before, true AS fewer_after,
          true AS rows_preserved""",
+
+    "qg01_sql_table_function" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+         g AS (SELECT doc_id,
+                 unnest(list_transform(generate_series(1, len(t)-3),
+                   i -> {'pos': i-1,
+                         'ngram': t[i]||' '||t[i+1]||' '||t[i+2]||' '||t[i+3]})) AS s
+               FROM t WHERE len(t) >= 4)
+         SELECT s.ngram AS ngram, count(*) AS cnt, min(doc_id) AS first_doc,
+           CAST(min(s.pos) AS INTEGER) AS min_pos
+         FROM g GROUP BY 1 ORDER BY cnt DESC, ngram LIMIT 20""",
 
     "qc14_manifest_table" ->
       """SELECT CAST(1 AS BIGINT) AS v1, CAST(2 AS BIGINT) AS v2,

@@ -51,6 +51,52 @@ class FunctionsSpec extends AnyFunSuite {
     assert(ne.select(VectorFunctions.dotProduct(col("a"), col("b"))).head().isNullAt(0))
   }
 
+  test("ngrams_table generator: rows, positions, and edge cases from SQL") {
+    import spark.implicits._
+    GraftFunctions.registerAll(spark)
+    Seq(
+      (1L, "a b c d"),
+      (2L, "x y"),          // shorter than n -> zero rows
+      (3L, null.asInstanceOf[String]), // null -> zero rows
+      (4L, "only"),
+      (5L, "p q r")
+    ).toDF("doc_id", "text").createOrReplaceTempView("ngt_docs")
+    val got = spark.sql(
+      """SELECT doc_id, g.pos, g.ngram
+         FROM ngt_docs LATERAL VIEW ngrams_table(text, 3) g AS pos, ngram
+         ORDER BY doc_id, pos""")
+      .as[(Long, Int, String)].collect().toSeq
+    assert(got === Seq(
+      (1L, 0, "a b c"), (1L, 1, "b c d"), (5L, 0, "p q r")))
+  }
+
+  test("ngrams_table matches the explode(ngrams(tokens)) composition on real docs") {
+    GraftFunctions.registerAll(spark)
+    Tables.documents(spark, sf).createOrReplaceTempView("ngt_real")
+    val viaGenerator = spark.sql(
+      """SELECT doc_id, g.ngram FROM ngt_real
+         LATERAL VIEW ngrams_table(text, 3) g AS pos, ngram""")
+    val viaArrays = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        explode(TextFunctions.ngrams(TextFunctions.tokens(col("text")), 3)).as("ngram"))
+    assert(viaGenerator.exceptAll(viaArrays).count() === 0)
+    assert(viaArrays.exceptAll(viaGenerator).count() === 0)
+  }
+
+  test("ngrams_table rejects a non-literal n at analysis") {
+    GraftFunctions.registerAll(spark)
+    import spark.implicits._
+    Seq((1L, "a b c", 2)).toDF("doc_id", "text", "k")
+      .createOrReplaceTempView("ngt_bad")
+    val e = intercept[Exception] {
+      spark.sql(
+        """SELECT g.ngram FROM ngt_bad
+           LATERAL VIEW ngrams_table(text, k) g AS pos, ngram""").collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("ngrams_table") ||
+      e.getMessage.toLowerCase.contains("foldable"))
+  }
+
   test("approx_count_distinct within 5% of exact (q28 backing)") {
     val li = Tables.lineitem(spark, sf)
     val exact = li.select(countDistinct(col("l_partkey"))).head().getLong(0)
