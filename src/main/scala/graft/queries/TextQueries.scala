@@ -129,6 +129,60 @@ object TextQueries extends QueryModule {
         .orderBy("pack_id")
     },
 
+    // --- repetition-based quality filter (the C4/Gopher family of
+    //     intra-document repetition signals): duplicate-trigram fraction
+    //     and most-frequent-token fraction, with a keep verdict. All
+    //     ratios are integer-count rationals -> bit-exact vs the oracle ---
+    "qt09_repetition_filter" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val tc = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      val perDoc = tc.groupBy("doc_id")
+        .agg(sum("c").as("n_tokens"), max("c").as("top_c"))
+      // token array projected before the n-gram HOF (perf lesson: inlined
+      // exprs recompute the split per reference)
+      val tri = docs.select(col("doc_id"), tokens(col("text")).as("t"))
+        .filter(size(col("t")) >= 3)
+        .select(col("doc_id"), ngrams(col("t"), 3).as("g3"))
+        .select(col("doc_id"), size(col("g3")).as("total3"),
+          size(array_distinct(col("g3"))).as("dist3"))
+      perDoc.join(tri, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"),
+          round(coalesce(
+            lit(1.0) - col("dist3").cast("double") / col("total3").cast("double"),
+            lit(0.0)), 4).as("dup_trigram_frac"),
+          round(col("top_c").cast("double") / col("n_tokens").cast("double"), 4)
+            .as("top_tok_frac"))
+        .withColumn("keep",
+          col("dup_trigram_frac") < 0.2 && col("top_tok_frac") < 0.1)
+        .orderBy("doc_id")
+    },
+
+    // --- corpus-vocabulary coverage scoring: the global-frequency side of
+    //     LM data quality (rare/OOV-heavy docs score low). The token->
+    //     corpus-frequency join is a plain equi-join — at 100 TB the vocab
+    //     (with long-tail typos) can exceed broadcast size, so the planner/
+    //     AQE picks broadcast vs shuffle by actual size; all scores are
+    //     integer rationals (exact oracle parity) ---
+    "qt10_vocab_coverage" -> { (s, d) =>
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      val freq = toks.groupBy("tok").agg(count(lit(1)).as("cf"))
+      toks.join(freq, Seq("tok"))
+        .groupBy("doc_id").agg(
+          count(lit(1)).as("n_tokens"),
+          sum(when(col("cf") < 5, 1L).otherwise(0L)).as("n_oov"),
+          min("cf").as("min_cf"),
+          sum("cf").as("sum_cf"))
+        .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+          round(col("n_oov").cast("double") / col("n_tokens").cast("double"), 4)
+            .as("oov_rate"),
+          col("min_cf"),
+          round(col("sum_cf").cast("double") / col("n_tokens").cast("double"), 4)
+            .as("avg_cf"))
+        .orderBy("doc_id")
+    },
+
     // --- exact dedup by key (dropDuplicates w/ deterministic survivor) ---
     "qd01_dedup_exact" -> { (s, d) =>
       Dedup.exactByKey(Tables.documents(s, d), "doc_id", Seq("lang", "source"))
@@ -293,6 +347,43 @@ object TextQueries extends QueryModule {
          SELECT CAST(floor((cum - n_tok) / 4096.0) AS BIGINT) AS pack_id,
            count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS pack_tokens
          FROM c GROUP BY 1 ORDER BY pack_id""",
+
+    "qt09_repetition_filter" ->
+      """WITH tc AS (SELECT doc_id, tok, count(*) AS c
+                     FROM (SELECT doc_id, unnest(string_split(text,' ')) AS tok
+                           FROM documents)
+                     GROUP BY doc_id, tok),
+         per_doc AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+                       CAST(max(c) AS BIGINT) AS top_c
+                     FROM tc GROUP BY doc_id),
+         tri AS (SELECT doc_id,
+                   CAST(len(g3) AS INTEGER) AS total3,
+                   CAST(len(list_distinct(g3)) AS INTEGER) AS dist3
+                 FROM (SELECT doc_id,
+                         list_transform(generate_series(1, len(t)-2),
+                           i -> t[i]||' '||t[i+1]||' '||t[i+2]) AS g3
+                       FROM (SELECT doc_id, string_split(text,' ') AS t
+                             FROM documents)
+                       WHERE len(t) >= 3))
+         SELECT p.doc_id, p.n_tokens,
+           round(coalesce(1.0 - dist3*1.0/total3, 0.0), 4) AS dup_trigram_frac,
+           round(top_c*1.0/n_tokens, 4) AS top_tok_frac,
+           (round(coalesce(1.0 - dist3*1.0/total3, 0.0), 4) < 0.2 AND
+            round(top_c*1.0/n_tokens, 4) < 0.1) AS keep
+         FROM per_doc p LEFT JOIN tri USING (doc_id)
+         ORDER BY doc_id""",
+
+    "qt10_vocab_coverage" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text,' ')) AS tok
+                       FROM documents),
+         freq AS (SELECT tok, count(*) AS cf FROM toks GROUP BY tok)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN cf < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+           round(sum(CASE WHEN cf < 5 THEN 1 ELSE 0 END)*1.0/count(*), 4) AS oov_rate,
+           min(cf) AS min_cf,
+           round(sum(cf)*1.0/count(*), 4) AS avg_cf
+         FROM toks JOIN freq USING (tok)
+         GROUP BY doc_id ORDER BY doc_id""",
 
     "qd02_dedup_jaccard" -> jaccardSql,
 
