@@ -279,6 +279,23 @@ object AdvancedQueries extends QueryModule {
         .orderBy("c_mktsegment")
     },
 
+    // --- mergeable HLL sketches (Apache DataSketches via Spark 4 built-ins):
+    //     build per-(flag, shipdate) PARTIAL sketches, then union-merge to
+    //     per-flag distinct estimates — the pre-aggregated sketch-table
+    //     pattern that lets a 100 TB corpus answer distinct-count queries
+    //     from a tiny sketch table instead of rescanning raw data. Sketch
+    //     bytes are implementation-seeded -> no SQL oracle; the estimate is
+    //     accuracy-bounded against exact distinct in FunctionsSpec ---
+    "q57_hll_sketch" -> { (s, d) =>
+      val daily = Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"), col("l_shipdate"))
+        .agg(hll_sketch_agg(col("l_partkey")).as("sk"))
+      daily.groupBy("l_returnflag")
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_parts"),
+          count(lit(1)).as("n_partial_sketches"))
+        .orderBy("l_returnflag")
+    },
+
     // --- interval join through the SQL front door, auto-rewritten by the
     //     RangeJoinRewrite optimizer rule into a bucketed equi-join.
     //     The rule stays installed for the session (the returned plan is

@@ -97,6 +97,24 @@ class FunctionsSpec extends AnyFunSuite {
       e.getMessage.toLowerCase.contains("foldable"))
   }
 
+  test("HLL sketch union of daily partials within 2% of exact distinct (q57 backing)") {
+    val li = Tables.lineitem(spark, sf)
+    val exact = li.groupBy("l_returnflag")
+      .agg(countDistinct(col("l_partkey")).as("exact"))
+    val merged = li.groupBy(col("l_returnflag"), col("l_shipdate"))
+      .agg(hll_sketch_agg(col("l_partkey")).as("sk"))
+      .groupBy("l_returnflag")
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx"))
+    val joined = exact.join(merged, "l_returnflag")
+      .select(col("exact").cast("double"), col("approx").cast("double"))
+      .collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val (e, a) = (r.getDouble(0), r.getDouble(1))
+      assert(math.abs(a - e) / e < 0.02, s"exact=$e approx=$a")
+    }
+  }
+
   test("approx_count_distinct within 5% of exact (q28 backing)") {
     val li = Tables.lineitem(spark, sf)
     val exact = li.select(countDistinct(col("l_partkey"))).head().getLong(0)
