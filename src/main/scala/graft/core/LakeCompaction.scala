@@ -15,6 +15,12 @@ import org.apache.spark.sql.{SaveMode, SparkSession}
   * recoverable in the __gc dir; NOT atomic on stores without atomic rename).
   * Run per partition (tenant/date) so reads stay pruned and the rewrite
   * parallelizes across partitions.
+  *
+  * A reader concurrent with the swap can catch the instant between the two
+  * renames and fail. For in-place compaction under live readers use
+  * [[ManifestTable.compact]] instead: versions become visible through one
+  * marker creation, so a concurrent reader always resolves a complete
+  * directory (property-tested in ManifestTableSpec).
   */
 object LakeCompaction {
 
