@@ -296,6 +296,29 @@ object AdvancedQueries extends QueryModule {
         .orderBy("l_returnflag")
     },
 
+    // --- theta sketches: approximate DISTINCT SET OPERATIONS (union /
+    //     intersection across segments — the audience-overlap pattern; HLL
+    //     can only union). lgNomEntries=16 ON BOTH the per-group sketches
+    //     AND the union (theta_union's own lgMaxK defaults to 12 and would
+    //     silently downsample exact inputs) keeps everything in EXACT mode
+    //     up to ~64k distinct keys per pair, so at gate scale (sf0.01:
+    //     ~2k parts, sf0.1: ~20k) the estimates are exactly the true
+    //     counts and the query is DuckDB-oracle-checkable; beyond the
+    //     nominal size it degrades gracefully to ~1-2% estimation error
+    //     (the 100 TB mode — FunctionsSpec bounds it) ---
+    "q58_theta_setops" -> { (s, d) =>
+      Tables.lineitem(s, d).createOrReplaceTempView("li_theta")
+      s.sql("""
+        WITH sk AS (SELECT l_returnflag AS flag,
+                      theta_sketch_agg(l_partkey, 16) AS sk
+                    FROM li_theta GROUP BY l_returnflag)
+        SELECT a.flag AS flag_a, b.flag AS flag_b,
+          theta_sketch_estimate(theta_union(a.sk, b.sk, 16)) AS union_parts,
+          theta_sketch_estimate(theta_intersection(a.sk, b.sk)) AS inter_parts
+        FROM sk a JOIN sk b ON a.flag < b.flag
+        ORDER BY flag_a, flag_b""")
+    },
+
     // --- interval join through the SQL front door, auto-rewritten by the
     //     RangeJoinRewrite optimizer rule into a bucketed equi-join.
     //     The rule stays installed for the session (the returned plan is
@@ -319,6 +342,21 @@ object AdvancedQueries extends QueryModule {
   )
 
   override val oracle: Map[String, String] = Map(
+    // exact-mode envelope: valid while per-pair distinct l_partkey <= 2^16
+    // (holds at every gate SF; see the q58 comment)
+    "q58_theta_setops" ->
+      """WITH s AS (SELECT DISTINCT l_returnflag AS flag, l_partkey AS pk
+                    FROM lineitem),
+         flags AS (SELECT DISTINCT flag FROM s)
+         SELECT a.flag AS flag_a, b.flag AS flag_b,
+           CAST((SELECT count(DISTINCT pk) FROM s
+                 WHERE flag = a.flag OR flag = b.flag) AS BIGINT) AS union_parts,
+           CAST((SELECT count(*) FROM s x JOIN s y
+                 ON x.pk = y.pk AND x.flag = a.flag AND y.flag = b.flag)
+                AS BIGINT) AS inter_parts
+         FROM flags a JOIN flags b ON a.flag < b.flag
+         ORDER BY flag_a, flag_b""",
+
     "q39_scalar_subquery" ->
       """SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
          FROM orders

@@ -115,6 +115,26 @@ class FunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("theta sketch: exact below nominal entries; bounded error above (q58 backing)") {
+    val li = Tables.lineitem(spark, sf)
+    li.createOrReplaceTempView("li_theta_spec")
+    // exact mode: lgK=16 nominal 65536 >> distinct partkeys at sf0.001
+    val exactMode = spark.sql(
+      """SELECT theta_sketch_estimate(theta_sketch_agg(l_partkey, 16)) AS est,
+                count(DISTINCT l_partkey) AS exact
+         FROM li_theta_spec""").head()
+    assert(exactMode.getLong(0) === exactMode.getLong(1))
+    // estimation mode: lgK=5 (32 nominal) on ~200 distinct -> sampling; the
+    // estimate must still land within the sketch's error envelope (~20% at
+    // this tiny k; real deployments size k for ~1%)
+    val estMode = spark.sql(
+      """SELECT theta_sketch_estimate(theta_sketch_agg(l_partkey, 5)) AS est,
+                count(DISTINCT l_partkey) AS exact
+         FROM li_theta_spec""").head()
+    val (est, exact) = (estMode.getLong(0).toDouble, estMode.getLong(1).toDouble)
+    assert(math.abs(est - exact) / exact < 0.25, s"exact=$exact est=$est")
+  }
+
   test("approx_count_distinct within 5% of exact (q28 backing)") {
     val li = Tables.lineitem(spark, sf)
     val exact = li.select(countDistinct(col("l_partkey"))).head().getLong(0)
