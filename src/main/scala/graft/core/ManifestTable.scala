@@ -52,15 +52,7 @@ object ManifestTable {
     else scala.util.Try(name.stripPrefix(prefix).toLong).toOption
 
   /** Highest committed version, if any. */
-  def currentVersion(dir: String): Option[Long] = {
-    val fs = LakeStorage.openFor(dir)
-    val base = new Path(dir)
-    if (!fs.exists(base)) return None
-    val versions = fs.listStatus(base).iterator
-      .map(_.getPath.getName)
-      .flatMap(parseSuffix(_, MarkerPrefix))
-    if (versions.isEmpty) None else Some(versions.max)
-  }
+  def currentVersion(dir: String): Option[Long] = allVersions(dir).lastOption
 
   /** Write `df` as the next version and commit it. Returns the version. */
   def write(df: DataFrame, dir: String): Long = {
@@ -70,11 +62,32 @@ object ManifestTable {
     next
   }
 
-  /** Read the current committed version. */
-  def read(spark: SparkSession, dir: String): DataFrame = {
-    val v = currentVersion(dir).getOrElse(
-      throw new IllegalStateException(s"no committed version under $dir"))
+  /** Read the current committed version, or a specific one (time travel —
+    * any version not yet vacuumed stays readable; an uncommitted or
+    * vacuumed version rejects rather than resolving to a partial dir). */
+  def read(spark: SparkSession, dir: String, asOfVersion: Option[Long] = None): DataFrame = {
+    val committed = allVersions(dir)
+    if (committed.isEmpty)
+      throw new IllegalStateException(s"no committed version under $dir")
+    val v = asOfVersion match {
+      case None => committed.max
+      case Some(req) =>
+        if (!committed.contains(req)) throw new IllegalStateException(
+          s"version $req is not committed under $dir (committed: ${committed.mkString(",")})")
+        req
+    }
     spark.read.parquet(versionDir(dir, v))
+  }
+
+  /** All committed versions still present (ascending). */
+  def allVersions(dir: String): Seq[Long] = {
+    val fs = LakeStorage.openFor(dir)
+    val base = new Path(dir)
+    if (!fs.exists(base)) return Seq.empty
+    fs.listStatus(base).iterator
+      .map(_.getPath.getName)
+      .flatMap(parseSuffix(_, MarkerPrefix))
+      .toSeq.sorted
   }
 
   /** Rewrite the current version into ~targetFileBytes files as a NEW

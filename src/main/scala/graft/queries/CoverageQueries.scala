@@ -110,12 +110,14 @@ object CoverageQueries extends QueryModule {
       val v1 = graft.core.ManifestTable.write(docs.filter(col("doc_id") < 100).repartition(4), dir)
       val v2 = graft.core.ManifestTable.write(docs.repartition(12), dir)
       val (filesBefore, filesAfter) = graft.core.ManifestTable.compact(s, dir)
+      // time travel: the first committed version stays readable pre-vacuum
+      val rowsV1 = graft.core.ManifestTable.read(s, dir, asOfVersion = Some(v1)).count()
       val removed = graft.core.ManifestTable.vacuum(dir, keep = 2)
       val current = graft.core.ManifestTable.currentVersion(dir).getOrElse(-1L)
       val rows = graft.core.ManifestTable.read(s, dir).count()
-      Seq((v1, v2, current, filesBefore, filesAfter <= 2L, removed.toLong, rows))
+      Seq((v1, v2, current, filesBefore, filesAfter <= 2L, removed.toLong, rows, rowsV1))
         .toDF("v1", "v2", "current_version", "files_before", "compacted_fewer",
-          "vacuum_removed", "rows_current")
+          "vacuum_removed", "rows_current", "rows_v1_asof")
     },
 
     // --- partitioned batch write + partition-pruned scan-back ---
@@ -373,7 +375,8 @@ object CoverageQueries extends QueryModule {
          CAST(12 AS BIGINT) AS files_before,
          true AS compacted_fewer,
          CAST(1 AS BIGINT) AS vacuum_removed,
-         (SELECT count(*) FROM documents) AS rows_current""",
+         (SELECT count(*) FROM documents) AS rows_current,
+         (SELECT count(*) FROM documents WHERE doc_id < 100) AS rows_v1_asof""",
 
     "q50_map_hofs" ->
       """SELECT p_partkey,

@@ -44,6 +44,24 @@ class ManifestTableSpec extends AnyFunSuite {
     assert(ManifestTable.read(spark, dir).count() === 25L)
   }
 
+  test("time travel: any unvacuumed committed version stays readable; others reject") {
+    val dir = freshDir()
+    ManifestTable.write(df(10), dir)
+    ManifestTable.write(df(25), dir)
+    ManifestTable.write(df(40), dir)
+    assert(ManifestTable.allVersions(dir) === Seq(1L, 2L, 3L))
+    assert(ManifestTable.read(spark, dir, Some(1L)).count() === 10L)
+    assert(ManifestTable.read(spark, dir, Some(2L)).count() === 25L)
+    assert(ManifestTable.read(spark, dir).count() === 40L)
+    // uncommitted orphan must reject, not resolve to a partial directory
+    df(99).write.parquet(ManifestTable.versionDir(dir, 4L))
+    intercept[IllegalStateException](ManifestTable.read(spark, dir, Some(4L)))
+    // vacuumed-away version rejects too (marker removed with the data)
+    ManifestTable.vacuum(dir, keep = 2)
+    intercept[IllegalStateException](ManifestTable.read(spark, dir, Some(1L)))
+    assert(ManifestTable.read(spark, dir, Some(2L)).count() === 25L)
+  }
+
   test("an uncommitted data directory is invisible to readers") {
     val dir = freshDir()
     ManifestTable.write(df(10), dir)
