@@ -296,6 +296,28 @@ object AdvancedQueries extends QueryModule {
         .orderBy("l_returnflag")
     },
 
+    // --- ordered funnel analysis: first view -> first click AT-OR-AFTER
+    //     that view -> first purchase at-or-after that click, per user;
+    //     output is users surviving each stage. Three keyed aggregations
+    //     co-partitioned on user_id (no window over the full event stream,
+    //     no per-user collect) — the scalable funnel shape ---
+    "qa01_funnel" -> { (s, d) =>
+      val ev = Tables.events(s, d).select(col("user_id"), col("event_type"), col("ts"))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts").as("t_view"))
+      val c = ev.filter(col("event_type") === "click").join(v, "user_id")
+        .filter(col("ts") >= col("t_view"))
+        .groupBy("user_id").agg(min("ts").as("t_click"))
+      val p = ev.filter(col("event_type") === "purchase").join(c, "user_id")
+        .filter(col("ts") >= col("t_click"))
+        .groupBy("user_id").agg(min("ts").as("t_purchase"))
+      v.select(lit("1_view").as("stage"), col("user_id"))
+        .unionByName(c.select(lit("2_click").as("stage"), col("user_id")))
+        .unionByName(p.select(lit("3_purchase").as("stage"), col("user_id")))
+        .groupBy("stage").agg(count(lit(1)).as("n_users"))
+        .orderBy("stage")
+    },
+
     // --- theta sketches: approximate DISTINCT SET OPERATIONS (union /
     //     intersection across segments — the audience-overlap pattern; HLL
     //     can only union). lgNomEntries=16 ON BOTH the per-group sketches
@@ -342,6 +364,21 @@ object AdvancedQueries extends QueryModule {
   )
 
   override val oracle: Map[String, String] = Map(
+    "qa01_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+                    FROM events),
+         v AS (SELECT user_id, min(ts) AS t_view FROM e
+               WHERE event_type = 'view' GROUP BY user_id),
+         c AS (SELECT e.user_id, min(e.ts) AS t_click FROM e JOIN v USING (user_id)
+               WHERE event_type = 'click' AND e.ts >= v.t_view GROUP BY e.user_id),
+         p AS (SELECT e.user_id, min(e.ts) AS t_purchase FROM e JOIN c USING (user_id)
+               WHERE event_type = 'purchase' AND e.ts >= c.t_click GROUP BY e.user_id)
+         SELECT stage, count(*) AS n_users FROM (
+           SELECT '1_view' AS stage, user_id FROM v
+           UNION ALL SELECT '2_click', user_id FROM c
+           UNION ALL SELECT '3_purchase', user_id FROM p)
+         GROUP BY stage ORDER BY stage""",
+
     // exact-mode envelope: valid while per-pair distinct l_partkey <= 2^16
     // (holds at every gate SF; see the q58 comment)
     "q58_theta_setops" ->

@@ -185,6 +185,36 @@ object StreamingQueries extends QueryModule {
         .orderBy("user_id", "event_type")
     },
 
+    // --- MULTI-micro-batch incremental processing: the source is split
+    //     into 4 files and throttled to one file per trigger, so the
+    //     aggregation state must accumulate ACROSS batches (every other
+    //     stream here is single-batch). Complete mode emits the final
+    //     totals; multi_batch asserts the throttle actually produced >= 4
+    //     batches. This is the shape of steady-state incremental ingest:
+    //     bounded per-batch work against long-lived state. ---
+    "qs09_multi_batch" -> { (s, d) =>
+      val splitDir = graft.core.TempDirs.create("graft_msrc_")
+      graft.core.Tables.events(s, d).repartition(4)
+        .write.mode("overwrite").parquet(splitDir)
+      val schema = s.read.parquet(splitDir).schema
+      val agg = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(splitDir)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
+      var batches = 0L
+      withStreamShuffle(s) {
+        val q = agg.writeStream.outputMode("complete")
+          .format("memory").queryName("qs09_out").start()
+        try {
+          q.processAllAvailable()
+          batches = q.recentProgress.map(_.batchId).max + 1
+        } finally q.stop()
+      }
+      s.table("qs09_out")
+        .withColumn("multi_batch", lit(batches >= 4L))
+        .orderBy("event_type")
+    },
+
     // --- watermarked stateful dedup: duplicate the stream, dedup by key ---
     "qs04_stream_dedup" -> { (s, d) =>
       val base = eventStream(s, d)
@@ -254,6 +284,11 @@ object StreamingQueries extends QueryModule {
          FROM events WHERE user_id < 30
          GROUP BY user_id, event_type
          ORDER BY user_id, event_type""",
+
+    "qs09_multi_batch" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value,
+           true AS multi_batch
+         FROM events GROUP BY event_type ORDER BY event_type""",
 
     "qs04_stream_dedup" ->
       """SELECT event_type, count(DISTINCT event_id) AS n,
