@@ -97,4 +97,39 @@ class StreamingSpec extends AnyFunSuite {
       assert(n === 2L) // the duplicate id=1 was suppressed
     } finally q.stop()
   }
+
+  test("RocksDB state store: stateful agg across batches matches the default provider") {
+    // The large-state production path: HDFSBackedStateStore keeps every
+    // key's state on the executor heap — a 100 TB corpus's dedup/session
+    // state does not fit. RocksDBStateStoreProvider spills to local disk
+    // with bounded memory; results must be identical.
+    import spark.implicits._
+
+    def runCounts(provider: Option[String], sinkName: String): Map[Long, Long] = {
+      val fresh = spark.newSession()
+      provider.foreach(p =>
+        fresh.conf.set("spark.sql.streaming.stateStore.providerClass", p))
+      implicit val freshCtx: org.apache.spark.sql.SQLContext = fresh.sqlContext
+      val input = MemoryStream[(Long, Long)]
+      val agg = input.toDF().toDF("k", "v")
+        .groupBy("k").agg(sum("v").as("total"))
+      val q = agg.writeStream.outputMode(OutputMode.Complete)
+        .format("memory").queryName(sinkName).start()
+      try {
+        // three separate batches so state genuinely persists/merges
+        input.addData((1L, 10L), (2L, 20L)); q.processAllAvailable()
+        input.addData((1L, 5L), (3L, 7L)); q.processAllAvailable()
+        input.addData((2L, 1L), (3L, 2L), (1L, 1L)); q.processAllAvailable()
+        fresh.table(sinkName).as[(Long, Long)].collect().toMap
+      } finally q.stop()
+    }
+
+    val rocks = runCounts(
+      Some("org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"),
+      "rocks_out")
+    val default = runCounts(None, "default_out")
+    val expected = Map(1L -> 16L, 2L -> 21L, 3L -> 9L)
+    assert(rocks === expected)
+    assert(default === expected)
+  }
 }
