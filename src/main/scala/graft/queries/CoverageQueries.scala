@@ -120,6 +120,23 @@ object CoverageQueries extends QueryModule {
           "vacuum_removed", "rows_current", "rows_v1_asof")
     },
 
+    // --- schema evolution on read (mergeSchema): a later batch adds a
+    //     column; the merged scan unions the schemas and nulls the column
+    //     for old files — the lake's schema-drift-over-time contract ---
+    "qc15_schema_merge" -> { (s, d) =>
+      val out = graft.core.TempDirs.create("graft_sm_")
+      val nation = Tables.nation(s, d)
+      nation.select("n_nationkey", "n_name")
+        .write.mode("overwrite").parquet(s"$out/batch=1")
+      nation.select("n_nationkey", "n_name", "n_regionkey")
+        .write.mode("overwrite").parquet(s"$out/batch=2")
+      val merged = s.read.option("mergeSchema", "true").parquet(out)
+      merged.agg(
+        count(lit(1)).as("n_rows"),
+        count(col("n_regionkey")).as("n_with_region"),
+        lit(merged.columns.length).as("n_cols"))
+    },
+
     // --- partitioned batch write + partition-pruned scan-back ---
     "qc10_partitioned_write" -> { (s, d) =>
       val out = graft.core.TempDirs.create("graft_part_")
@@ -368,6 +385,11 @@ object CoverageQueries extends QueryModule {
          SELECT s.ngram AS ngram, count(*) AS cnt, min(doc_id) AS first_doc,
            CAST(min(s.pos) AS INTEGER) AS min_pos
          FROM g GROUP BY 1 ORDER BY cnt DESC, ngram LIMIT 20""",
+
+    "qc15_schema_merge" ->
+      """SELECT CAST(2 * (SELECT count(*) FROM nation) AS BIGINT) AS n_rows,
+         (SELECT count(*) FROM nation) AS n_with_region,
+         4 AS n_cols""",
 
     "qc14_manifest_table" ->
       """SELECT CAST(1 AS BIGINT) AS v1, CAST(2 AS BIGINT) AS v2,

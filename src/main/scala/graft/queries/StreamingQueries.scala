@@ -215,6 +215,22 @@ object StreamingQueries extends QueryModule {
         .orderBy("event_type")
     },
 
+    // --- stream-static enrichment join: the streaming side joins a static
+    //     dimension table per micro-batch (no state, no watermark needed —
+    //     the static side is re-resolved each batch; Catalyst broadcasts
+    //     it below the threshold). The canonical ingest-enrichment shape. ---
+    "qs10_stream_static_join" -> { (s, d) =>
+      val dim = graft.core.Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val agg = eventStream(s, d)
+        .filter(col("event_type") === "purchase")
+        .join(dim, col("user_id") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
+      runToMemory(s, agg, "qs10_out", "complete")
+        .orderBy("c_mktsegment")
+    },
+
     // --- watermarked stateful dedup: duplicate the stream, dedup by key ---
     "qs04_stream_dedup" -> { (s, d) =>
       val base = eventStream(s, d)
@@ -289,6 +305,12 @@ object StreamingQueries extends QueryModule {
       """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value,
            true AS multi_batch
          FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "qs10_stream_static_join" ->
+      """SELECT c_mktsegment, count(*) AS n, round(sum(value), 2) AS total_value
+         FROM events JOIN customer ON user_id = c_custkey
+         WHERE event_type = 'purchase'
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
 
     "qs04_stream_dedup" ->
       """SELECT event_type, count(DISTINCT event_id) AS n,
