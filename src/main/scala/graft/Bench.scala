@@ -61,20 +61,30 @@ object Bench {
     // SPARK_GRAFT_FILTER: optional name-substring filter for local iteration
     // (the driver leaves it unset and benches everything)
     val nameFilter = sys.env.getOrElse("SPARK_GRAFT_FILTER", "")
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter(_._1.contains(nameFilter)).map { case (name, fn) =>
-      val t = try {
-        once(fn) // warmup
-        // best-of-3: min is the most contention-resistant steady-state
-        // estimator on a shared box (one GC pause or page-cache miss can
-        // double a single run)
-        Seq(once(fn), once(fn), once(fn)).min
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(_._1.contains(nameFilter))
+    // Best-of-3 with INTERLEAVED rounds: run the whole suite once as warmup
+    // (JIT + codegen + file-index warm, unrecorded), then three full
+    // recorded passes, keeping each query's minimum. Interleaving separates
+    // a query's three measurements by the length of a full pass, so a
+    // minutes-long interference window on a shared box (observed: a
+    // co-tenant burst turning a 5 s stream query into 61 s) can no longer
+    // cover every measurement of the same query — back-to-back repeats
+    // have no such protection. min is the steady-state estimator.
+    val times = scala.collection.mutable.Map.empty[String, Double]
+    val failed = scala.collection.mutable.Set.empty[String]
+    for (round <- 0 to 3; (name, fn) <- selected if !failed(name)) {
+      try {
+        val t = once(fn)
+        if (round > 0)
+          times(name) = math.min(times.getOrElse(name, Double.MaxValue), t)
       } catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        -1.0
+        System.err.println(s"[bench] $name failed (round $round): ${e.getMessage}")
+        failed += name
+        times(name) = -1.0
       }
-      name -> t
     }
+    val results = selected.map { case (name, _) => name -> times(name) }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
