@@ -183,6 +183,51 @@ object TextQueries extends QueryModule {
         .orderBy("doc_id")
     },
 
+    // --- the END-TO-END training-data pipeline as ONE composed query:
+    //     exact dedup (md5 fingerprint, min-id survivor) -> near-dup
+    //     removal (MinHash LSH pairs, drop the higher id of each pair) ->
+    //     repetition quality filter (qt09 criteria) -> deterministic hash
+    //     split (qt07 buckets) -> per-split doc/token totals. Every stage
+    //     is the scale-shaped operator the standalone queries use; the
+    //     DuckDB oracle replays the whole chain ---
+    "qp01_training_pipeline" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      // 1. exact dedup on content fingerprint
+      val exactKeep = docs.groupBy(md5(col("text").cast("binary")).as("fp"))
+        .agg(min("doc_id").as("doc_id")).select("doc_id")
+      val uniq = docs.join(exactKeep, Seq("doc_id"), "left_semi")
+      // 2. near-dup removal: drop the higher id of every LSH-verified pair
+      val drops = Dedup.minhashLshPairs(uniq, "doc_id", "text", n = 3, threshold = 0.8)
+        .select(col("d2").as("doc_id")).distinct()
+      val kept = uniq.join(drops, Seq("doc_id"), "left_anti")
+      // 3. repetition quality filter (qt09 keep criteria)
+      val tc = kept.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      val stats = tc.groupBy("doc_id")
+        .agg(sum("c").as("n_tokens"), max("c").as("top_c"))
+      val tri = kept.select(col("doc_id"), tokens(col("text")).as("t"))
+        .filter(size(col("t")) >= 3)
+        .select(col("doc_id"), ngrams(col("t"), 3).as("g3"))
+        .select(col("doc_id"), size(col("g3")).as("total3"),
+          size(array_distinct(col("g3"))).as("dist3"))
+      val quality = stats.join(tri, Seq("doc_id"), "left")
+        .filter(
+          round(coalesce(lit(1.0) - col("dist3").cast("double") / col("total3").cast("double"),
+            lit(0.0)), 4) < 0.2 &&
+          round(col("top_c").cast("double") / col("n_tokens").cast("double"), 4) < 0.1)
+        .select("doc_id", "n_tokens")
+      // 4. deterministic split + totals
+      val nib = substring(md5(col("doc_id").cast("string")), 32, 1)
+      quality
+        .withColumn("split",
+          when(nib.isin("c", "d"), "val")
+            .when(nib.isin("e", "f"), "test")
+            .otherwise("train"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("total_tokens"))
+        .orderBy("split")
+    },
+
     // --- exact dedup by key (dropDuplicates w/ deterministic survivor) ---
     "qd01_dedup_exact" -> { (s, d) =>
       Dedup.exactByKey(Tables.documents(s, d), "doc_id", Seq("lang", "source"))
@@ -347,6 +392,54 @@ object TextQueries extends QueryModule {
          SELECT CAST(floor((cum - n_tok) / 4096.0) AS BIGINT) AS pack_id,
            count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS pack_tokens
          FROM c GROUP BY 1 ORDER BY pack_id""",
+
+    "qp01_training_pipeline" ->
+      """WITH uniq AS (
+           SELECT d.* FROM documents d
+           JOIN (SELECT md5(text) AS fp, min(doc_id) AS doc_id
+                 FROM documents GROUP BY md5(text)) k
+             ON d.doc_id = k.doc_id),
+         toksq AS (SELECT doc_id, string_split(text,' ') AS t FROM uniq),
+         shp AS (SELECT DISTINCT doc_id,
+                   unnest(list_transform(generate_series(1, len(t)-2),
+                     i -> t[i]||' '||t[i+1]||' '||t[i+2])) AS s
+                 FROM toksq WHERE len(t) >= 3),
+         sizesp AS (SELECT doc_id, count(*) AS n_sh FROM shp GROUP BY doc_id),
+         pairsp AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+                    FROM shp a JOIN shp b ON a.s = b.s AND a.doc_id < b.doc_id
+                    GROUP BY 1, 2),
+         jp AS (SELECT d1, d2 FROM pairsp p
+                JOIN sizesp s1 ON p.d1 = s1.doc_id
+                JOIN sizesp s2 ON p.d2 = s2.doc_id
+                WHERE inter*1.0/(s1.n_sh + s2.n_sh - inter) >= 0.8),
+         kept AS (SELECT * FROM uniq
+                  WHERE doc_id NOT IN (SELECT d2 FROM jp)),
+         tc AS (SELECT doc_id, tok, count(*) AS c
+                FROM (SELECT doc_id, unnest(string_split(text,' ')) AS tok
+                      FROM kept)
+                GROUP BY doc_id, tok),
+         stats AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+                     CAST(max(c) AS BIGINT) AS top_c
+                   FROM tc GROUP BY doc_id),
+         tri AS (SELECT doc_id, CAST(len(g3) AS INTEGER) AS total3,
+                   CAST(len(list_distinct(g3)) AS INTEGER) AS dist3
+                 FROM (SELECT doc_id,
+                         list_transform(generate_series(1, len(t)-2),
+                           i -> t[i]||' '||t[i+1]||' '||t[i+2]) AS g3
+                       FROM (SELECT doc_id, string_split(text,' ') AS t
+                             FROM kept)
+                       WHERE len(t) >= 3)),
+         quality AS (SELECT s.doc_id, s.n_tokens
+                     FROM stats s LEFT JOIN tri USING (doc_id)
+                     WHERE round(coalesce(1.0 - dist3*1.0/total3, 0.0), 4) < 0.2
+                       AND round(top_c*1.0/n_tokens, 4) < 0.1)
+         SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 32, 1)
+                       IN ('c','d') THEN 'val'
+                     WHEN substr(md5(CAST(doc_id AS VARCHAR)), 32, 1)
+                       IN ('e','f') THEN 'test'
+                     ELSE 'train' END AS split,
+           count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+         FROM quality GROUP BY 1 ORDER BY split""",
 
     "qt09_repetition_filter" ->
       """WITH tc AS (SELECT doc_id, tok, count(*) AS c
