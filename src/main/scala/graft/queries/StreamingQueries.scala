@@ -215,6 +215,24 @@ object StreamingQueries extends QueryModule {
         .orderBy("event_type")
     },
 
+    // --- session windows in APPEND mode: only sessions the watermark has
+    //     closed are emitted; open sessions stay in state. With a
+    //     single-file source the final watermark is DETERMINISTIC
+    //     (max event time of the one data batch - 1 h, applied by the
+    //     no-data finalization batch), so the emitted set is exactly the
+    //     sessions ending at least 1 h before the stream's max event time —
+    //     which the oracle replays in batch SQL. (Complete-mode twin: qs03.)
+    "qs11_session_append" -> { (s, d) =>
+      val agg = eventStream(s, d)
+        .withWatermark("ts", "1 hour")
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+      runToMemory(s, agg, "qs11_out", "append")
+        .select(col("user_id"), col("session_window.start").as("session_start"),
+          col("session_window.end").as("session_end"), col("n_events"))
+        .orderBy("user_id", "session_start")
+    },
+
     // --- stream-static enrichment join: the streaming side joins a static
     //     dimension table per micro-batch (no state, no watermark needed —
     //     the static side is re-resolved each batch; Catalyst broadcasts
@@ -305,6 +323,30 @@ object StreamingQueries extends QueryModule {
       """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value,
            true AS multi_batch
          FROM events GROUP BY event_type ORDER BY event_type""",
+
+    // emission boundary: a session ending EXACTLY at the watermark is
+    // emitted (probed with a MemoryStream boundary case -> <=, not <)
+    "qs11_session_append" ->
+      """WITH ordered AS (
+           SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+             CASE WHEN CAST(ts AS TIMESTAMP) - lag(CAST(ts AS TIMESTAMP), 1, TIMESTAMP '1970-01-01')
+                    OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS new_session
+           FROM events),
+         sessions AS (
+           SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+           FROM ordered),
+         agg AS (SELECT user_id, min(ts) AS session_start,
+                   max(ts) + INTERVAL '30 minutes' AS session_end,
+                   count(*) AS n_events
+                 FROM sessions GROUP BY user_id, session_id),
+         wm AS (SELECT max(CAST(ts AS TIMESTAMP)) - INTERVAL '1 hour' AS w
+                FROM events)
+         SELECT user_id, session_start, session_end, n_events
+         FROM agg, wm WHERE session_end <= w
+         ORDER BY user_id, session_start""",
 
     "qs10_stream_static_join" ->
       """SELECT c_mktsegment, count(*) AS n, round(sum(value), 2) AS total_value

@@ -98,6 +98,30 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("session append mode emits a session ending EXACTLY at the watermark (<= boundary)") {
+    // qs11's oracle encodes session_end <= watermark; this is the probe
+    // that established <= over < — keep it as the regression guard
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long)]
+    val agg = input.toDF().toDF("ts", "uid")
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("uid"))
+      .agg(count(lit(1)).as("n"))
+    val q = agg.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("sb_out").start()
+    try {
+      // session A: one event at 10:00 -> end 10:30
+      input.addData((ts("2024-01-01 10:00:00"), 1L)); q.processAllAvailable()
+      // next event advances the watermark to exactly 10:30
+      input.addData((ts("2024-01-01 11:30:00"), 2L)); q.processAllAvailable()
+      val emitted = spark.table("sb_out")
+        .select(col("uid"), col("session_window.end").cast("string"))
+        .as[(Long, String)].collect().toSeq
+      assert(emitted === Seq((1L, "2024-01-01 10:30:00")))
+    } finally q.stop()
+  }
+
   test("RocksDB state store: stateful agg across batches matches the default provider") {
     // The large-state production path: HDFSBackedStateStore keeps every
     // key's state on the executor heap — a 100 TB corpus's dedup/session
