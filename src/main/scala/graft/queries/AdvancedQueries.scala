@@ -296,6 +296,21 @@ object AdvancedQueries extends QueryModule {
         .orderBy("l_returnflag")
     },
 
+    // --- exact heavy hitters: per-partition Misra-Gries candidates (at
+    //     most `capacity` rows leave each partition), then exact counts of
+    //     candidates only — identical output to a full groupBy-count-filter
+    //     but without shuffling every token occurrence. The MG guarantee
+    //     (minFrac > 1/(capacity+1)) makes the result partition-invariant
+    //     and therefore oracle-checkable despite the order-dependent
+    //     candidate phase ---
+    "q60_heavy_hitters" -> { (s, d) =>
+      val toks = Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("item"))
+      graft.operators.HeavyHitters.exact(toks, "item", minFrac = 0.001, capacity = 4096)
+        .withColumnRenamed("item", "token")
+        .orderBy(desc("cnt"), asc("token"))
+    },
+
     // --- ordered funnel analysis: first view -> first click AT-OR-AFTER
     //     that view -> first purchase at-or-after that click, per user;
     //     output is users surviving each stage. Three keyed aggregations
@@ -393,6 +408,18 @@ object AdvancedQueries extends QueryModule {
                 AS BIGINT) AS inter_parts
          FROM flags a JOIN flags b ON a.flag < b.flag
          ORDER BY flag_a, flag_b""",
+
+    // exact by construction (MG is only the candidate phase), so the naive
+    // groupBy-count-filter IS the oracle; threshold = ceil(minFrac * n)
+    // computed in double on both sides
+    "q60_heavy_hitters" ->
+      """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS token
+                       FROM documents)
+         SELECT token, CAST(count(*) AS BIGINT) AS cnt
+         FROM toks
+         GROUP BY token
+         HAVING count(*) >= ceil(0.001 * (SELECT count(*) FROM toks))
+         ORDER BY cnt DESC, token""",
 
     "q39_scalar_subquery" ->
       """SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice

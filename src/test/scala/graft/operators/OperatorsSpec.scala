@@ -198,6 +198,43 @@ class OperatorsSpec extends AnyFunSuite {
     assert(ivfAll === brute)
   }
 
+  test("misra-gries: guarantee holds on adversarial local streams") {
+    // heavy item arrives FIRST, then a flood of distinct items forces
+    // maximal decrements — the worst case for counter eviction
+    val heavy = Seq.fill(200)("hh")
+    val noise = (1 to 1800).map(i => s"n$i")
+    val stream = heavy ++ noise // heavy freq 0.1 of n=2000
+    for (cap <- Seq(15, 63)) { // both >> 1/0.1 guarantee boundary
+      val kept = HeavyHitters.misraGries(stream.iterator, cap).toSet
+      assert(kept.contains("hh"), s"MG(cap=$cap) evicted a 10% item")
+      assert(kept.size <= cap)
+    }
+  }
+
+  test("exact heavy hitters == naive groupBy-count-filter on skewed data") {
+    // zipf-ish: item i appears 1000/i times; threshold fraction picks a
+    // stable prefix regardless of partitioning
+    val rows = (1 to 50).flatMap(i => Seq.fill(1000 / i)(s"w$i"))
+    val df = spark.createDataset(
+      scala.util.Random.shuffle(rows))(org.apache.spark.sql.Encoders.STRING)
+      .repartition(7).toDF("item")
+    val n = rows.size
+    val minFrac = 0.01
+    val got = HeavyHitters.exact(df, "item", minFrac, capacity = 256)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val threshold = math.ceil(minFrac * n).toLong
+    val want = rows.groupBy(identity).view.mapValues(_.size.toLong)
+      .filter(_._2 >= threshold).toSet
+    assert(got === want)
+  }
+
+  test("heavy hitters rejects a threshold below the MG guarantee") {
+    val df = Seq("a", "b").toDF("item")
+    intercept[IllegalArgumentException] {
+      HeavyHitters.exact(df, "item", minFrac = 0.0001, capacity = 100)
+    }
+  }
+
   test("decode stub is deterministic and dimension-bounded") {
     val media = Seq(
       Multimodal.MediaRow(1L, "hello world frame data".getBytes("UTF-8"), "text/plain"),
