@@ -365,4 +365,33 @@ object Dedup {
       .filter(col("cosine") >= threshold)
       .select(col("d1"), col("d2"), round(col("cosine"), 6).as("cosine"))
   }
+
+  /** Benchmark decontamination: training docs sharing at least one word
+    * n-gram shingle with an eval/benchmark corpus, with the evidence
+    * (distinct shared shingles, distinct eval docs hit) — the
+    * train/test-overlap scrub every LLM data pipeline runs before
+    * training.
+    *
+    * Shape at scale: both sides reduce to distinct (doc, shingle) rows and
+    * meet in ONE equi-join on the shingle — never a doc×doc product. The
+    * eval side is benchmarks (tiny vs a 100 TB corpus), so AQE broadcasts
+    * it and the train corpus is never shuffled; the per-train-doc
+    * aggregation then touches only matching rows. `maxShingleDocFreq`
+    * (applied to the TRAIN side) is the usual stop-shingle skew guard —
+    * at default None the match is exact, which is what the oracle checks.
+    *
+    * Returns (doc_id, n_shared_shingles, n_eval_docs) for contaminated
+    * train docs only; anti-join the result against the corpus to drop
+    * them, or threshold on the counts for a softer policy. */
+  def decontaminate(train: DataFrame, eval: DataFrame, idCol: String,
+                    textCol: String, n: Int,
+                    maxShingleDocFreq: Option[Int] = None): DataFrame = {
+    val trainSh = shingleSet(train, idCol, textCol, n, maxShingleDocFreq)
+    val evalSh = shingleSet(eval, idCol, textCol, n)
+      .select(col("doc_id").as("eval_id"), col("s"))
+    trainSh.join(evalSh, "s")
+      .groupBy("doc_id")
+      .agg(countDistinct(col("s")).as("n_shared_shingles"),
+        countDistinct(col("eval_id")).as("n_eval_docs"))
+  }
 }

@@ -183,6 +183,30 @@ object TextQueries extends QueryModule {
         .orderBy("doc_id")
     },
 
+    // --- PII redaction: regex masking of emails/phones with per-doc
+    //     match counts. The corpus text is synthetic-clean, so both
+    //     engines append identical deterministic PII built from doc_id —
+    //     what matters is the redaction plumbing (pure codegen'd
+    //     regexp_replace/regexp_count, no UDFs) staying exact. Patterns
+    //     stay in the Java-regex/RE2 common subset so both engines match
+    //     identical spans ---
+    "qt11_pii_redact" -> { (s, d) =>
+      val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+      val phoneRe = "\\b555-[0-9]{4}\\b"
+      Tables.documents(s, d)
+        .withColumn("raw", concat(
+          substring(col("text"), 1, 40),
+          lit(" contact u"), col("doc_id").cast("string"),
+          lit("@example.com or call 555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+        .select(col("doc_id"),
+          regexp_count(col("raw"), lit(emailRe)).as("n_emails"),
+          regexp_count(col("raw"), lit(phoneRe)).as("n_phones"),
+          regexp_replace(regexp_replace(col("raw"), emailRe, "<EMAIL>"),
+            phoneRe, "<PHONE>").as("redacted"))
+        .orderBy("doc_id")
+    },
+
     // --- the END-TO-END training-data pipeline as ONE composed query:
     //     exact dedup (md5 fingerprint, min-id survivor) -> near-dup
     //     removal (MinHash LSH pairs, drop the higher id of each pair) ->
@@ -265,6 +289,18 @@ object TextQueries extends QueryModule {
     "qd04_dedup_simhash" -> { (s, d) =>
       Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text", maxDistance = 3)
         .orderBy("d1", "d2")
+    },
+
+    // --- benchmark decontamination: train docs sharing any 3-gram shingle
+    //     with the (hash-split) eval slice — one equi-join on the shingle,
+    //     eval side broadcast-sized, train corpus never shuffled ---
+    "qd07_decontaminate" -> { (s, d) =>
+      val nib = substring(md5(col("doc_id").cast("string")), 32, 1)
+      val docs = Tables.documents(s, d).withColumn("is_eval", nib.isin("e", "f"))
+      Dedup.decontaminate(
+          docs.filter(!col("is_eval")), docs.filter(col("is_eval")),
+          "doc_id", "text", n = 3)
+        .orderBy("doc_id")
     },
 
     // --- embedding-cosine near-dup pairs, banded-sign-LSH blocked: the
@@ -478,6 +514,22 @@ object TextQueries extends QueryModule {
          FROM toks JOIN freq USING (tok)
          GROUP BY doc_id ORDER BY doc_id""",
 
+    // raw PII text constructed identically from doc_id on both sides;
+    // single-quoted RE2 literals, 'g' flag = Spark's replace-all default
+    "qt11_pii_redact" ->
+      """WITH raw AS (SELECT doc_id,
+             substr(text, 1, 40) || ' contact u' || CAST(doc_id AS VARCHAR)
+               || '@example.com or call 555-'
+               || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS raw
+           FROM documents)
+         SELECT doc_id,
+           CAST(len(regexp_extract_all(raw, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS INTEGER) AS n_emails,
+           CAST(len(regexp_extract_all(raw, '\b555-[0-9]{4}\b')) AS INTEGER) AS n_phones,
+           regexp_replace(
+             regexp_replace(raw, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+             '\b555-[0-9]{4}\b', '<PHONE>', 'g') AS redacted
+         FROM raw ORDER BY doc_id""",
+
     "qd02_dedup_jaccard" -> jaccardSql,
 
     "qd03_dedup_minhash_lsh" -> jaccardSql,
@@ -500,6 +552,22 @@ object TextQueries extends QueryModule {
          FROM comp GROUP BY cid ORDER BY cluster_id""",
 
     // qd04_dedup_simhash: intentionally no oracle (xxhash64-seeded)
+
+    "qd07_decontaminate" ->
+      """WITH sp AS (SELECT doc_id, text,
+             substr(md5(CAST(doc_id AS VARCHAR)), 32, 1) IN ('e','f') AS is_eval
+           FROM documents),
+         toks AS (SELECT doc_id, is_eval, string_split(text,' ') AS t FROM sp),
+         sh AS (SELECT DISTINCT doc_id, is_eval,
+             unnest(list_transform(generate_series(1, len(t)-2),
+                    i -> t[i]||' '||t[i+1]||' '||t[i+2])) AS s
+           FROM toks WHERE len(t) >= 3)
+         SELECT tr.doc_id,
+           CAST(count(DISTINCT tr.s) AS BIGINT) AS n_shared_shingles,
+           CAST(count(DISTINCT ev.doc_id) AS BIGINT) AS n_eval_docs
+         FROM sh tr JOIN sh ev ON tr.s = ev.s
+         WHERE NOT tr.is_eval AND ev.is_eval
+         GROUP BY tr.doc_id ORDER BY tr.doc_id""",
 
     "qd05_dedup_embedding" ->
       """WITH h AS (SELECT CAST(vec_id AS INTEGER) AS h_id,
