@@ -85,4 +85,59 @@ class ClusteringSpec extends AnyFunSuite {
       s"expected >90% of rows pruned on clustered layout: $clusteredRows of $total")
     assert(clusteredRows >= matching)
   }
+
+  test("zorder2 interleaves bits correctly and preserves locality") {
+    import graft.functions.ZOrder.zorder2
+    import spark.implicits._
+    val rows = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 1L), (0xffffffffL, 0L))
+      .toDF("a", "b")
+      .select(zorder2(col("a"), col("b")).as("z")).as[Long].collect()
+    // a -> even bits, b -> odd bits
+    assert(rows(0) === 0L)
+    assert(rows(1) === 1L)              // a=0b1          -> bit 0
+    assert(rows(2) === 2L)              // b=0b1          -> bit 1
+    assert(rows(3) === 0b111L)          // a=0b11, b=0b1  -> bits 0,2 + 1
+    assert(rows(4) === 0x5555555555555555L) // all 32 a-bits -> even positions
+  }
+
+  test("z-order clustering prunes row groups on BOTH dimensions") {
+    // linear sort answers only its leading column; the interleaved key
+    // gives every row group a narrow box in (date, partkey) space
+    import graft.functions.ZOrder.zorder2
+    val base = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey"),
+        datediff(to_date(col("l_shipdate")), lit("1992-01-01")).as("ship_day"))
+    val total = base.count()
+
+    def write(df: org.apache.spark.sql.DataFrame, sortCol: org.apache.spark.sql.Column) = {
+      val dir = Files.createTempDirectory("graft_zorder_").toString
+      df.sort(sortCol).coalesce(1)
+        .write.option("parquet.block.size", 64 * 1024)
+        .mode("overwrite").parquet(dir)
+      dir
+    }
+    val linearDir = write(base, col("ship_day"))
+    val zorderDir = write(base, zorder2(col("ship_day"), col("l_partkey")))
+
+    def dayScan(dir: String) = spark.read.parquet(dir)
+      .filter(col("ship_day").between(1100, 1130)) // ~one month
+    def partScan(dir: String) = spark.read.parquet(dir)
+      .filter(col("l_partkey").between(100, 160))
+    // same answers from both layouts
+    assert(dayScan(linearDir).count() === dayScan(zorderDir).count())
+    assert(partScan(linearDir).count() === partScan(zorderDir).count())
+
+    // leading-column filter: both layouts prune (z-order somewhat coarser)
+    assert(scanOutputRows(dayScan(linearDir)) < total / 10)
+    assert(scanOutputRows(dayScan(zorderDir)) < total / 2,
+      "z-order lost all locality on dimension 1")
+    // second-dimension filter: linear layout reads ~everything, z-order
+    // skips the row groups whose partkey box misses the range
+    val linearPart = scanOutputRows(partScan(linearDir))
+    val zorderPart = scanOutputRows(partScan(zorderDir))
+    assert(linearPart > total / 2,
+      s"expected ~no pruning on linear layout's 2nd dim: $linearPart of $total")
+    assert(zorderPart < linearPart / 2,
+      s"z-order pruned only $linearPart -> $zorderPart of $total")
+  }
 }

@@ -113,6 +113,35 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.toLowerCase.contains("lambdafunction"), s"lambda in hot path:\n$p")
   }
 
+  test("runtime bloom filter prunes the big side of a selective shuffle join") {
+    // Spark's runtime row-level filtering: a selective filter on one join
+    // side injects a bloom filter into the OTHER side's scan, cutting the
+    // shuffled volume — the 100 TB lever when neither side broadcasts.
+    // Local thresholds are sized for clusters, so lower them for the assert.
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold"
+    ).map(k => k -> conf.getOption(k))
+    try {
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force shuffle join
+      val li = Tables.lineitem(spark, sf)
+      val ord = Tables.orders(spark, sf).filter(col("o_totalprice") > 400000)
+      val joined = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority").count()
+      val p = joined.queryExecution.optimizedPlan.toString
+      assert(p.contains("bloom_filter") || p.contains("BloomFilter"),
+        s"no runtime bloom filter injected:\n$p")
+      assert(joined.count() > 0)
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None)    => conf.unset(k)
+    }
+  }
+
   test("partition-pruned scan reads only matching partition dirs (qc10 shape)") {
     val out = java.nio.file.Files.createTempDirectory("graft_prune_").toString
     Tables.orders(spark, sf)
