@@ -333,6 +333,22 @@ object AdvancedQueries extends QueryModule {
         .orderBy("stage")
     },
 
+    // --- weekly retention cohorts: cohort = first active ISO week, then
+    //     distinct (user, week) activity joined back to the cohort —
+    //     two keyed aggregations + one equi-join co-partitioned on
+    //     user_id, no window over the event stream ---
+    "qa02_retention" -> { (s, d) =>
+      val weekly = Tables.events(s, d)
+        .select(col("user_id"), date_trunc("week", col("ts")).cast("date").as("wk"))
+        .distinct()
+      val cohort = weekly.groupBy("user_id").agg(min("wk").as("cohort_week"))
+      weekly.join(cohort, "user_id")
+        .withColumn("week_n", (datediff(col("wk"), col("cohort_week")) / 7).cast("int"))
+        .groupBy("cohort_week", "week_n")
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy("cohort_week", "week_n")
+    },
+
     // --- theta sketches: approximate DISTINCT SET OPERATIONS (union /
     //     intersection across segments — the audience-overlap pattern; HLL
     //     can only union). lgNomEntries=16 ON BOTH the per-group sketches
@@ -420,6 +436,19 @@ object AdvancedQueries extends QueryModule {
          GROUP BY token
          HAVING count(*) >= ceil(0.001 * (SELECT count(*) FROM toks))
          ORDER BY cnt DESC, token""",
+
+    // both engines truncate weeks to ISO Monday; day diff / 7 in integer
+    "qa02_retention" ->
+      """WITH weekly AS (SELECT DISTINCT user_id,
+             CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS wk
+           FROM events),
+         cohort AS (SELECT user_id, min(wk) AS cohort_week
+                    FROM weekly GROUP BY user_id)
+         SELECT cohort_week,
+           CAST(date_diff('day', cohort_week, wk) / 7 AS INTEGER) AS week_n,
+           CAST(count(DISTINCT w.user_id) AS BIGINT) AS n_users
+         FROM weekly w JOIN cohort c ON w.user_id = c.user_id
+         GROUP BY 1, 2 ORDER BY cohort_week, week_n""",
 
     "q39_scalar_subquery" ->
       """SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice

@@ -28,6 +28,20 @@ object PhysicalQueries extends QueryModule {
       top.select(col("o_custkey"), col("o_orderkey"),
           round(col("o_totalprice"), 2).as("o_totalprice"))
         .orderBy("o_custkey", "o_orderkey")
+    },
+
+    // --- deterministic per-group eval sampling: k docs per language in
+    //     md5(doc_id) order — reproducible across runs/engines/cluster
+    //     sizes (unlike rand()), and served by the same heap operator, so
+    //     the "sample k per stratum" pipeline step never sorts a stratum ---
+    "qt12_eval_sample" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .select(col("lang"), col("doc_id"),
+          md5(col("doc_id").cast("string")).as("h"))
+      TopKPerGroup(docs, groupCols = Seq("lang"),
+          orderKeys = Seq(("h", true), ("doc_id", true)), k = 5)
+        .select("lang", "doc_id")
+        .orderBy("lang", "doc_id")
     }
   )
 
@@ -39,6 +53,15 @@ object PhysicalQueries extends QueryModule {
                                     ORDER BY o_totalprice DESC, o_orderkey) AS rn
                FROM orders)
          WHERE rn <= 3
-         ORDER BY o_custkey, o_orderkey"""
+         ORDER BY o_custkey, o_orderkey""",
+
+    "qt12_eval_sample" ->
+      """SELECT lang, doc_id
+         FROM (SELECT lang, doc_id,
+                 row_number() OVER (PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+               FROM documents)
+         WHERE rn <= 5
+         ORDER BY lang, doc_id"""
   )
 }
