@@ -2,6 +2,7 @@ package graft.core
 
 import org.apache.hadoop.conf.Configuration
 import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.functions.col
 
 /** Bronze compaction (the north-star's OPTIMIZE/rewrite-files action,
   * BASELINE.json:7, on plain parquet since no table-format jars ship here).
@@ -25,17 +26,32 @@ import org.apache.spark.sql.{SaveMode, SparkSession}
 object LakeCompaction {
 
   /** Compact one directory of small files into parquet. Returns
-    * (filesBefore, filesAfter). */
+    * (filesBefore, filesAfter).
+    *
+    * `clusterBy` (the OPTIMIZE ... ZORDER-BY analogue) range-partitions and
+    * sorts the rewrite on the given columns — for multi-dimension
+    * clustering pass a computed key column (see
+    * [[graft.functions.ZOrder.zorder2]]) materialized by the writer — so
+    * every output file covers a narrow value range and selective reads
+    * prune whole files/row groups (measured in ClusteringSpec). Costs one
+    * shuffle of the partition being compacted, which is the price of
+    * clustering in any table format; empty = plain coalesce (no shuffle,
+    * layout preserved). */
   def compactParquet(spark: SparkSession, dir: String,
-                     targetFileBytes: Long = 128L * 1024 * 1024): (Long, Long) = {
+                     targetFileBytes: Long = 128L * 1024 * 1024,
+                     clusterBy: Seq[String] = Nil): (Long, Long) = {
     val fs = LakeStorage.openFor(dir)
     val path = new org.apache.hadoop.fs.Path(dir)
     val before = fs.listStatus(path).filter(_.isFile)
     val totalBytes = before.map(_.getLen).sum
     val nOut = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
     val tmp = new org.apache.hadoop.fs.Path(dir + "__compacting")
-    spark.read.parquet(dir).coalesce(nOut)
-      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    val df = spark.read.parquet(dir)
+    val rewritten =
+      if (clusterBy.isEmpty) df.coalesce(nOut)
+      else df.repartitionByRange(nOut, clusterBy.map(col): _*)
+        .sortWithinPartitions(clusterBy.map(col): _*)
+    rewritten.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     // Hadoop delete/rename signal failure via booleans, not exceptions —
     // fail loudly on each step. Rename the old dir ASIDE first (rather than
     // delete-then-rename): a crash mid-swap then strands nothing — the old

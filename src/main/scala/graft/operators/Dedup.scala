@@ -162,6 +162,74 @@ object Dedup {
     } finally if (materialize) { sig.unpersist(); sh.unpersist() }
   }
 
+  /** (doc_id, band, bucket) LSH index rows for a distinct (doc_id, s)
+    * shingle table — the same signature/banding algebra as
+    * [[minhashLshPairs]] (kept inline there to persist the signature
+    * stage across its self-join), packaged as the index table a
+    * production pipeline PERSISTS so each incremental batch hashes only
+    * itself (see [[minhashLshPairsAgainst]]). */
+  private def bandBuckets(sh: DataFrame, numBands: Int, rowsPerBand: Int): DataFrame = {
+    val numHashes = numBands * rowsPerBand
+    val hashAggs = (0 until numHashes).map(i => min(xxhash64(col("_h"), lit(i))).as(s"h$i"))
+    val sig = sh.withColumn("_h", xxhash64(col("s")))
+      .groupBy("doc_id").agg(hashAggs.head, hashAggs.tail: _*)
+    val bucketCols = (0 until numBands).map { b =>
+      xxhash64(((b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"h$i")) :+
+        lit(b)): _*)
+    }
+    sig.select(col("doc_id"), posexplode(array(bucketCols: _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+  }
+
+  /** Incremental (delta-vs-corpus) MinHash LSH dedup: near-dup pairs
+    * BETWEEN a new batch and an existing corpus, with exact-Jaccard
+    * verification — the production shape for continuously-ingested
+    * training data, where the corpus signature index is computed once
+    * (and in steady state read from storage) and each delta only hashes
+    * itself:
+    *
+    *  - candidates come from an equi-join of the delta's (band, bucket)
+    *    rows against the corpus index — cost scales with the DELTA, not
+    *    the corpus;
+    *  - the exact verify re-shingles only candidate docs from each side
+    *    (broadcast candidate-id semi-joins), so the corpus text is
+    *    touched only for docs that might match.
+    *
+    * Returns (corpus_id, delta_id, jaccard >= threshold). Intra-delta
+    * duplicates are [[minhashLshPairs]] on the delta alone; id spaces must
+    * be disjoint. Same banding/recall contract as [[minhashLshPairs]].
+    */
+  def minhashLshPairsAgainst(corpus: DataFrame, delta: DataFrame,
+                             idCol: String, textCol: String,
+                             n: Int, threshold: Double,
+                             numBands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+    val corpusSh = shingleSet(corpus, idCol, textCol, n)
+    val deltaSh = shingleSet(delta, idCol, textCol, n)
+    val candidates = bandBuckets(corpusSh, numBands, rowsPerBand).as("x")
+      .join(bandBuckets(deltaSh, numBands, rowsPerBand).as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket"))
+      .select(col("x.doc_id").as("corpus_id"), col("y.doc_id").as("delta_id"))
+      .distinct()
+    val candCo = corpusSh.join(
+      broadcast(candidates.select(col("corpus_id").as("doc_id")).distinct()),
+      Seq("doc_id"), "left_semi")
+    val candDe = deltaSh.join(
+      broadcast(candidates.select(col("delta_id").as("doc_id")).distinct()),
+      Seq("doc_id"), "left_semi")
+    val sizesCo = candCo.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val sizesDe = candDe.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val inter = candCo.as("a").join(candDe.as("b"), col("a.s") === col("b.s"))
+      .groupBy(col("a.doc_id").as("corpus_id"), col("b.doc_id").as("delta_id"))
+      .agg(count(lit(1)).as("inter"))
+    candidates.join(inter, Seq("corpus_id", "delta_id"))
+      .join(sizesCo.as("s1"), col("corpus_id") === col("s1.doc_id"))
+      .join(sizesDe.as("s2"), col("delta_id") === col("s2.doc_id"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("s1.n_sh") + col("s2.n_sh") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("corpus_id"), col("delta_id"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
   /** Connected components over a near-dup pair list — the clustering step
     * that turns pairwise matches into dedup groups with a canonical
     * survivor (the minimum doc id doubles as the cluster id).

@@ -291,6 +291,20 @@ object TextQueries extends QueryModule {
         .orderBy("d1", "d2")
     },
 
+    // --- incremental dedup: near-dup pairs between a NEW BATCH (25% of
+    //     doc ids) and the standing corpus — candidates from the delta's
+    //     buckets probing the corpus LSH index, exact verify on candidate
+    //     docs only; cost scales with the delta, not the corpus. Same
+    //     >=0.9-pair recall argument as qd03, so exact cross-split
+    //     Jaccard is the oracle ---
+    "qd08_incremental_dedup" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      Dedup.minhashLshPairsAgainst(
+          docs.filter(col("doc_id") % 4 =!= 3), docs.filter(col("doc_id") % 4 === 3),
+          "doc_id", "text", n = 3, threshold = 0.8)
+        .orderBy("corpus_id", "delta_id")
+    },
+
     // --- benchmark decontamination: train docs sharing any 3-gram shingle
     //     with the (hash-split) eval slice — one equi-join on the shingle,
     //     eval side broadcast-sized, train corpus never shuffled ---
@@ -552,6 +566,20 @@ object TextQueries extends QueryModule {
          FROM comp GROUP BY cid ORDER BY cluster_id""",
 
     // qd04_dedup_simhash: intentionally no oracle (xxhash64-seeded)
+
+    "qd08_incremental_dedup" ->
+      s"""WITH $shingleCte,
+         co AS (SELECT doc_id, s FROM sh WHERE doc_id % 4 != 3),
+         de AS (SELECT doc_id, s FROM sh WHERE doc_id % 4 = 3),
+         xp AS (SELECT co.doc_id AS corpus_id, de.doc_id AS delta_id,
+                  count(*) AS inter
+                FROM co JOIN de ON co.s = de.s GROUP BY 1, 2)
+         SELECT corpus_id, delta_id,
+           round(inter*1.0/(s1.n_sh + s2.n_sh - inter), 4) AS jaccard
+         FROM xp p JOIN sizes s1 ON p.corpus_id = s1.doc_id
+                   JOIN sizes s2 ON p.delta_id = s2.doc_id
+         WHERE inter*1.0/(s1.n_sh + s2.n_sh - inter) >= 0.8
+         ORDER BY corpus_id, delta_id""",
 
     "qd07_decontaminate" ->
       """WITH sp AS (SELECT doc_id, text,

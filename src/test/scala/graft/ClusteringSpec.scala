@@ -140,4 +140,40 @@ class ClusteringSpec extends AnyFunSuite {
     assert(zorderPart < linearPart / 2,
       s"z-order pruned only $linearPart -> $zorderPart of $total")
   }
+
+  test("clustered compaction = OPTIMIZE: fewer files AND prunable layout") {
+    import graft.core.LakeCompaction
+    // simulate the small-file storm: many tiny unclustered files
+    val base = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), to_date(col("l_shipdate")).as("ship_date"))
+    val total = base.count()
+    def freshStorm(): String = {
+      val dir = Files.createTempDirectory("graft_storm_").toString
+      base.repartition(64).write.mode("overwrite").parquet(dir)
+      dir
+    }
+
+    val plainDir = freshStorm()
+    val (beforeP, afterP) = LakeCompaction.compactParquet(
+      spark, plainDir, targetFileBytes = 64 * 1024)
+    val clusteredDir = freshStorm()
+    val (_, afterC) = LakeCompaction.compactParquet(
+      spark, clusteredDir, targetFileBytes = 64 * 1024,
+      clusterBy = Seq("ship_date"))
+    assert(beforeP > afterP, s"compaction did not shrink files: $beforeP -> $afterP")
+
+    def monthScan(dir: String) = spark.read.parquet(dir)
+      .filter(col("ship_date").between(
+        lit(java.sql.Date.valueOf("1995-02-01")),
+        lit(java.sql.Date.valueOf("1995-02-28"))))
+    assert(monthScan(plainDir).count() === monthScan(clusteredDir).count())
+    val plainRows = scanOutputRows(monthScan(plainDir))
+    val clusteredRows = scanOutputRows(monthScan(clusteredDir))
+    // plain coalesce keeps every output file spanning the full date range;
+    // cluster-by gives each file a narrow range -> the scan skips most rows
+    assert(afterC > 1, s"need multiple output files to show pruning: $afterC")
+    assert(plainRows > total / 2, s"unexpected pruning on plain compaction: $plainRows")
+    assert(clusteredRows < total / 4,
+      s"clustered compaction did not enable pruning: $clusteredRows of $total")
+  }
 }

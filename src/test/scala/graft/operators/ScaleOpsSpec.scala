@@ -56,6 +56,60 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(math.abs(afterSum - beforeSum) < 1e-6)
   }
 
+  test("AQE splits a skewed join partition at runtime (skew=true in plan)") {
+    // the runtime complement to saltedJoin: AQE detects the oversized
+    // post-shuffle partition and splits it into parallel sub-joins with
+    // no query rewrite. Local thresholds sized down from cluster defaults.
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.adaptive.forceOptimizeSkewedJoin",
+      "spark.sql.autoBroadcastJoinThreshold"
+    ).map(k => k -> conf.getOption(k))
+    try {
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1KB")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      import spark.implicits._
+      // one hot key dominating the shuffle + a spread of cold keys
+      val left = ((1 to 50000).map(i => ("hot", i.toLong)) ++
+        (1 to 500).map(i => (s"k$i", i.toLong))).toDF("k", "v")
+      val right = (("hot" +: (1 to 500).map(i => s"k$i")).map(k => (k, s"dim_$k")))
+        .toDF("k", "label")
+      val joined = left.join(right, "k").groupBy("label").count()
+      // execute THIS QueryExecution (df.count() would spawn its own) so the
+      // adaptive plan finalizes and carries the runtime skew annotation
+      assert(joined.queryExecution.toRdd.count() === 501)
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"), s"AQE did not mark the skewed join:\n$p")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None)    => conf.unset(k)
+    }
+  }
+
+  test("observe(): in-flight data-quality metrics without a second scan") {
+    // the monitoring hook a pipeline attaches to every stage: row counts /
+    // sums ride along with the action instead of re-running the query
+    val obs = new org.apache.spark.sql.Observation("stage_metrics")
+    val df = Tables.lineitem(spark, sf)
+      .observe(obs, count(lit(1)).as("rows_seen"),
+        sum(col("l_quantity")).as("qty_sum"),
+        count(when(col("l_quantity").isNull, 1)).as("null_qty"))
+      .filter(col("l_quantity") > 0)
+    val kept = df.count()
+    val m = obs.get
+    assert(m("rows_seen").asInstanceOf[Long] >= kept)
+    assert(m("null_qty") === 0L)
+    val direct = Tables.lineitem(spark, sf).agg(sum("l_quantity")).head().getDouble(0)
+    assert(math.abs(m("qty_sum").asInstanceOf[Double] - direct) < 1e-6)
+  }
+
   test("SQL registry: vec_dot/cosine_sim/vec_norm/hl7_msh9 callable from SQL") {
     GraftFunctions.registerAll(spark)
     import spark.implicits._
