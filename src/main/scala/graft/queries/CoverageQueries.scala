@@ -29,6 +29,24 @@ object CoverageQueries extends QueryModule {
         .orderBy("n_regionkey")
     },
 
+    // --- custom DataSource V2 scan (graft.sources.KeyedLogSource): a
+    //     format Spark does not know, read through the connector API with
+    //     per-file splits, column pruning and key-filter pushdown (plan
+    //     evidence in DataSourceSpec); fixture derived from documents so
+    //     DuckDB oracles the same aggregate from the original table ---
+    "qc16_custom_source" -> { (s, d) =>
+      val out = graft.core.TempDirs.create("graft_klog_")
+      Tables.documents(s, d)
+        .select(concat_ws("\t", col("lang"), col("doc_id"), col("n_chars")).as("value"))
+        .repartition(4)
+        .write.mode("overwrite").text(out)
+      s.read.format("graft.sources.KeyedLogSource").load(out)
+        .filter(col("key").isin("en", "de"))
+        .groupBy("key")
+        .agg(count(lit(1)).as("n_docs"), sum("metric").as("total_chars"))
+        .orderBy("key")
+    },
+
     // --- JSON scan with explicit schema + corrupt-record column ---
     "qc09_json_scan" -> { (s, d) =>
       val out = graft.core.TempDirs.create("graft_json_")
@@ -357,6 +375,12 @@ object CoverageQueries extends QueryModule {
     "qc08_csv_roundtrip" ->
       """SELECT n_regionkey, count(*) AS n, min(n_name) AS first_name
          FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""",
+
+    "qc16_custom_source" ->
+      """SELECT lang AS key, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+         FROM documents WHERE lang IN ('en', 'de')
+         GROUP BY lang ORDER BY key""",
 
     "qc09_json_scan" ->
       """SELECT * FROM (VALUES

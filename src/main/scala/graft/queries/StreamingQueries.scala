@@ -215,6 +215,45 @@ object StreamingQueries extends QueryModule {
         .orderBy("event_type")
     },
 
+    // --- checkpoint recovery / exactly-once restart: run a stateful
+    //     aggregation over an initial file set, STOP the query, append new
+    //     files, then START A NEW QUERY on the same checkpoint — the
+    //     restarted stream restores its state and processes only the new
+    //     files (batch ids continue, asserted in the `resumed` column),
+    //     and the final complete-mode state equals the batch aggregate
+    //     over ALL data, which is the oracle. This is the operational
+    //     contract that makes a 100 TB ingest stream restartable. ---
+    "qs12_checkpoint_recovery" -> { (s, d) =>
+      val srcDir = graft.core.TempDirs.create("graft_ckptsrc_")
+      val ckpt = graft.core.TempDirs.create("graft_ckpt_")
+      val ev = graft.core.Tables.events(s, d)
+      ev.filter(col("user_id") % 2 === 0).repartition(2)
+        .write.mode("append").parquet(srcDir)
+      val schema = s.read.parquet(srcDir).schema
+      def start() = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "2").parquet(srcDir)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
+        .writeStream.outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .format("memory").queryName("qs12_out").start()
+      var resumed = false
+      withStreamShuffle(s) {
+        val q1 = start()
+        val lastBatch1 = try { q1.processAllAvailable()
+          q1.recentProgress.map(_.batchId).max } finally q1.stop()
+        ev.filter(col("user_id") % 2 === 1).repartition(2)
+          .write.mode("append").parquet(srcDir)
+        val q2 = start()
+        try { q2.processAllAvailable()
+          resumed = q2.recentProgress.map(_.batchId).min > lastBatch1
+        } finally q2.stop()
+      }
+      s.table("qs12_out")
+        .withColumn("resumed", lit(resumed))
+        .orderBy("event_type")
+    },
+
     // --- session windows in APPEND mode: only sessions the watermark has
     //     closed are emitted; open sessions stay in state. With a
     //     single-file source the final watermark is DETERMINISTIC
@@ -322,6 +361,11 @@ object StreamingQueries extends QueryModule {
     "qs09_multi_batch" ->
       """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value,
            true AS multi_batch
+         FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "qs12_checkpoint_recovery" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value,
+           true AS resumed
          FROM events GROUP BY event_type ORDER BY event_type""",
 
     // emission boundary: a session ending EXACTLY at the watermark is

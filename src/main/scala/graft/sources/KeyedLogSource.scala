@@ -1,0 +1,157 @@
+package graft.sources
+
+import java.util.{Map => JMap}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.{EqualTo, Filter, In, IsNotNull}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 reader for the tab-separated "keyed log" format
+  * (`key \t seq \t metric` per line) — the custom-connector rung of the
+  * extension ladder (SURVEY §4.3): when a format Spark does not know holds
+  * the data, a TableProvider brings it into the engine WITH the scan-level
+  * optimizations the built-ins enjoy:
+  *
+  *  - column pruning: [[SupportsPushDownRequiredColumns]] — the reader
+  *    materializes only requested fields (a `select(key)` never parses or
+  *    allocates seq/metric);
+  *  - filter pushdown: [[SupportsPushDownFilters]] — `key = v` / `key IN`
+  *    / IsNotNull evaluate inside the per-file reader before a row is
+  *    built. Pushed filters are also RETURNED as residuals, so Spark
+  *    re-applies them post-scan — pushdown is an optimization, never a
+  *    correctness dependency (the DSv2 contract built-ins follow);
+  *  - split planning: one [[InputPartition]] per file — parallelism scales
+  *    with the file count exactly like the built-in file sources, and a
+  *    driver never reads data.
+  *
+  * Malformed lines (wrong arity, non-numeric longs) surface as null
+  * fields, mirroring the CSV source's permissive mode.
+  *
+  * Usage: `spark.read.format("graft.sources.KeyedLogSource").load(dir)`
+  * (class-name registration — no service-loader file needed).
+  */
+class KeyedLogSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    KeyedLogSource.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: JMap[String, String]): Table =
+    new KeyedLogTable(properties.get("path"))
+  override def supportsExternalMetadata(): Boolean = false
+}
+
+object KeyedLogSource {
+  val schema: StructType = StructType(Seq(
+    StructField("key", StringType),
+    StructField("seq", LongType),
+    StructField("metric", LongType)))
+}
+
+class KeyedLogTable(path: String) extends Table with SupportsRead {
+  override def name(): String = s"keyed_log($path)"
+  override def schema(): StructType = KeyedLogSource.schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new KeyedLogScanBuilder(Option(options.get("path")).getOrElse(path))
+}
+
+class KeyedLogScanBuilder(path: String) extends ScanBuilder
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+  private var required: StructType = KeyedLogSource.schema
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  /** Accept key-column predicates; return EVERYTHING as residual (Spark
+    * re-applies, keeping pushdown purely an optimization). */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter {
+      case EqualTo("key", _: String) => true
+      case In("key", _)              => true
+      case IsNotNull("key")          => true
+      case _                         => false
+    }
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = KeyedLogScan(path, required, pushed)
+}
+
+case class KeyedLogScan(path: String, required: StructType,
+                        pushed: Array[Filter]) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"KeyedLogScan path=$path, ReadSchema: ${required.simpleString}, " +
+      s"PushedFilters: [${pushed.mkString(", ")}]"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    fs.listStatus(p).filter(s => s.isFile && !s.getPath.getName.startsWith("_")
+        && !s.getPath.getName.startsWith("."))
+      .map(s => KeyedLogPartition(s.getPath.toString): InputPartition)
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    KeyedLogReaderFactory(required, pushed)
+}
+
+case class KeyedLogPartition(file: String) extends InputPartition
+
+case class KeyedLogReaderFactory(required: StructType,
+                                 pushed: Array[Filter]) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new KeyedLogReader(partition.asInstanceOf[KeyedLogPartition].file, required, pushed)
+}
+
+class KeyedLogReader(file: String, required: StructType,
+                     pushed: Array[Filter]) extends PartitionReader[InternalRow] {
+  private val fs = new Path(file).getFileSystem(new org.apache.hadoop.conf.Configuration())
+  private val in = new java.io.BufferedReader(
+    new java.io.InputStreamReader(fs.open(new Path(file)), "UTF-8"))
+  private var row: InternalRow = _
+
+  // evaluate pushed key predicates against the parsed key (null key only
+  // passes when no predicate mentions the column)
+  private def keyPasses(key: String): Boolean = pushed.forall {
+    case EqualTo("key", v: String) => key != null && key == v
+    case In("key", vs)             => key != null && vs.contains(key)
+    case IsNotNull("key")          => key != null
+    case _                         => true
+  }
+
+  private def toLong(s: String): Any =
+    try java.lang.Long.parseLong(s.trim) catch { case _: NumberFormatException => null }
+
+  override def next(): Boolean = {
+    var line = in.readLine()
+    while (line != null) {
+      val parts = line.split("\t", -1)
+      val key = if (parts.nonEmpty && parts(0).nonEmpty) parts(0) else null
+      if (keyPasses(key)) {
+        // build ONLY the pruned columns, in the order Spark asked for
+        val values = required.fields.map(_.name match {
+          case "key"    => if (key == null) null else UTF8String.fromString(key)
+          case "seq"    => if (parts.length > 1) toLong(parts(1)) else null
+          case "metric" => if (parts.length > 2) toLong(parts(2)) else null
+        })
+        row = InternalRow.fromSeq(values.toIndexedSeq)
+        return true
+      }
+      line = in.readLine()
+    }
+    false
+  }
+  override def get(): InternalRow = row
+  override def close(): Unit = in.close()
+}

@@ -1,0 +1,87 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources.{EqualTo, IsNotNull}
+import org.apache.spark.sql.types.StructType
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The custom DSv2 source must parse correctly (incl. malformed lines),
+  * prune columns, push key filters into the per-file reader, and split one
+  * partition per file. */
+class DataSourceSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  private def fixture(): String = {
+    val dir = Files.createTempDirectory("graft_klog_spec_").toString
+    Files.write(java.nio.file.Paths.get(dir, "a.log"),
+      "en\t1\t100\nde\t2\t200\nen\t3\t300\nbad-line\nfr\tx\t400\n".getBytes("UTF-8"))
+    Files.write(java.nio.file.Paths.get(dir, "b.log"),
+      "en\t4\t50\n\t5\t60\n".getBytes("UTF-8"))
+    dir
+  }
+
+  private def read(dir: String) =
+    spark.read.format("graft.sources.KeyedLogSource").load(dir)
+
+  test("parses rows; malformed fields surface as nulls (permissive)") {
+    val rows = read(fixture()).collect()
+      .map(r => (r.getAs[String]("key"), Option(r.getAs[Any]("seq")),
+        Option(r.getAs[Any]("metric")))).toSet
+    assert(rows === Set(
+      ("en", Some(1L), Some(100L)), ("de", Some(2L), Some(200L)),
+      ("en", Some(3L), Some(300L)),
+      ("bad-line", None, None),         // missing fields -> nulls
+      ("fr", None, Some(400L)),         // non-numeric seq -> null
+      ("en", Some(4L), Some(50L)), (null, Some(5L), Some(60L))))
+  }
+
+  test("filter + projection reach the scan (plan evidence) and match") {
+    val df = read(fixture()).filter(col("key") === "en").select("key", "metric")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("KeyedLogScan"), s"custom scan missing from plan:\n$p")
+    assert(p.contains("PushedFilters: [EqualTo(key,en)") ||
+      p.contains("PushedFilters: [IsNotNull(key), EqualTo(key,en)"),
+      s"key filter not pushed:\n$p")
+    assert(p.contains("struct<key:string,metric:bigint>"),
+      s"columns not pruned to (key, metric):\n$p")
+    assert(df.agg(sum("metric")).head().getLong(0) === 450L)
+  }
+
+  test("one input partition per file; pushed filter prunes inside the reader") {
+    val dir = fixture()
+    val scan = KeyedLogScan(dir, KeyedLogSource.schema, Array(EqualTo("key", "en")))
+    val parts = scan.planInputPartitions()
+    assert(parts.length === 2)
+    val factory = scan.createReaderFactory()
+    val emitted = parts.flatMap { part =>
+      val r = factory.createReader(part)
+      try Iterator.continually(r.next()).takeWhile(identity).map(_ => r.get().copy()).toArray
+      finally r.close()
+    }
+    // only 'en' rows ever leave the reader — pre-Spark-filter row count
+    assert(emitted.length === 3)
+  }
+
+  test("null keys only pass when no key predicate is pushed") {
+    val dir = fixture()
+    def countWith(filters: Array[org.apache.spark.sql.sources.Filter]) = {
+      val scan = KeyedLogScan(dir, new StructType().add("key", "string"), filters)
+      val factory = scan.createReaderFactory()
+      scan.planInputPartitions().map { p =>
+        val r = factory.createReader(p)
+        try Iterator.continually(r.next()).takeWhile(identity).size finally r.close()
+      }.sum
+    }
+    assert(countWith(Array.empty) === 7)
+    assert(countWith(Array(IsNotNull("key"))) === 6)
+  }
+}
