@@ -47,6 +47,24 @@ object CoverageQueries extends QueryModule {
         .orderBy("key")
     },
 
+    // --- custom DSv2 SINK + source round-trip: write through the staged
+    //     task-commit protocol (temp rename visible on commit), read back
+    //     through the connector, aggregate — oracled from the original
+    //     table, so any loss/duplication in the commit path fails the hash ---
+    "qc17_custom_sink_roundtrip" -> { (s, d) =>
+      val out = graft.core.TempDirs.create("graft_klogw_")
+      Tables.documents(s, d)
+        .select(col("lang").as("key"), col("doc_id").cast("long").as("seq"),
+          col("n_chars").cast("long").as("metric"))
+        .repartition(4)
+        .write.format("graft.sources.KeyedLogSource").mode("append").save(out)
+      s.read.format("graft.sources.KeyedLogSource").load(out)
+        .groupBy("key")
+        .agg(count(lit(1)).as("n_docs"), sum("metric").as("total_chars"),
+          min("seq").as("first_doc"))
+        .orderBy("key")
+    },
+
     // --- JSON scan with explicit schema + corrupt-record column ---
     "qc09_json_scan" -> { (s, d) =>
       val out = graft.core.TempDirs.create("graft_json_")
@@ -381,6 +399,12 @@ object CoverageQueries extends QueryModule {
            CAST(sum(n_chars) AS BIGINT) AS total_chars
          FROM documents WHERE lang IN ('en', 'de')
          GROUP BY lang ORDER BY key""",
+
+    "qc17_custom_sink_roundtrip" ->
+      """SELECT lang AS key, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           min(doc_id) AS first_doc
+         FROM documents GROUP BY lang ORDER BY key""",
 
     "qc09_json_scan" ->
       """SELECT * FROM (VALUES

@@ -6,9 +6,10 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.sources.{EqualTo, Filter, In, IsNotNull}
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -35,8 +36,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * Malformed lines (wrong arity, non-numeric longs) surface as null
   * fields, mirroring the CSV source's permissive mode.
   *
-  * Usage: `spark.read.format("graft.sources.KeyedLogSource").load(dir)`
-  * (class-name registration — no service-loader file needed).
+  * The write side ([[KeyedLogBatchWrite]]) implements the DSv2 commit
+  * protocol: per-task staged temp files renamed visible on task commit,
+  * deleted on abort — speculative or retried tasks never leave partial
+  * output visible (DataSourceSpec simulates both).
+  *
+  * Usage: `spark.read.format("graft.sources.KeyedLogSource").load(dir)` /
+  * `df.write.format(...).mode("append").save(dir)` (class-name
+  * registration — no service-loader file needed).
   */
 class KeyedLogSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
@@ -54,13 +61,79 @@ object KeyedLogSource {
     StructField("metric", LongType)))
 }
 
-class KeyedLogTable(path: String) extends Table with SupportsRead {
+class KeyedLogTable(path: String) extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"keyed_log($path)"
   override def schema(): StructType = KeyedLogSource.schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new KeyedLogScanBuilder(Option(options.get("path")).getOrElse(path))
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(info.schema().fieldNames.sameElements(KeyedLogSource.schema.fieldNames),
+      s"keyed_log write schema must be (key, seq, metric); got ${info.schema().simpleString}")
+    new WriteBuilder {
+      override def build(): Write = new Write {
+        override def toBatch: BatchWrite =
+          KeyedLogBatchWrite(Option(info.options.get("path")).getOrElse(path),
+            info.queryId())
+      }
+    }
+  }
+}
+
+/** Task-commit protocol of the sink: each task streams lines to a hidden
+  * `.tmp-` file and RENAMES it visible on task commit (named by queryId +
+  * partition + task attempt, so a retried attempt never collides with a
+  * zombie's temp file); abort deletes the temp. Readers ignore dot-files,
+  * so partial output from failed attempts is never visible — the same
+  * visibility contract as the built-in file sinks' staging commit. Job
+  * commit is a no-op (files became visible at task commit; fine for an
+  * append-only log sink), job abort removes committed files by name. */
+case class KeyedLogBatchWrite(path: String, queryId: String) extends BatchWrite {
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    KeyedLogWriterFactory(path, queryId)
+  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = new Path(path).getFileSystem(new org.apache.hadoop.conf.Configuration())
+    messages.foreach {
+      case KeyedLogCommit(name) => fs.delete(new Path(path, name), false)
+      case _                    => ()
+    }
+  }
+}
+
+case class KeyedLogCommit(fileName: String) extends WriterCommitMessage
+
+case class KeyedLogWriterFactory(path: String, queryId: String) extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new KeyedLogWriter(path, s"$queryId-$partitionId-$taskId")
+}
+
+class KeyedLogWriter(dir: String, suffix: String) extends DataWriter[InternalRow] {
+  private val fs = new Path(dir).getFileSystem(new org.apache.hadoop.conf.Configuration())
+  private val tmpName = s".tmp-$suffix"
+  private val finalName = s"part-$suffix.log"
+  private val out = new java.io.BufferedWriter(
+    new java.io.OutputStreamWriter(fs.create(new Path(dir, tmpName), true), "UTF-8"))
+
+  override def write(row: InternalRow): Unit = {
+    val key = if (row.isNullAt(0)) "" else row.getUTF8String(0).toString
+    val seq = if (row.isNullAt(1)) "" else row.getLong(1).toString
+    val metric = if (row.isNullAt(2)) "" else row.getLong(2).toString
+    out.write(key); out.write('\t'); out.write(seq); out.write('\t')
+    out.write(metric); out.write('\n')
+  }
+  override def commit(): WriterCommitMessage = {
+    out.close()
+    if (!fs.rename(new Path(dir, tmpName), new Path(dir, finalName)))
+      throw new java.io.IOException(s"keyed_log: task commit rename failed for $tmpName")
+    KeyedLogCommit(finalName)
+  }
+  override def abort(): Unit = {
+    try out.close() catch { case _: java.io.IOException => () }
+    fs.delete(new Path(dir, tmpName), false)
+  }
+  override def close(): Unit = ()
 }
 
 class KeyedLogScanBuilder(path: String) extends ScanBuilder

@@ -71,6 +71,38 @@ class DataSourceSpec extends AnyFunSuite {
     assert(emitted.length === 3)
   }
 
+  test("v2 sink round-trip: write through the commit protocol, read back") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_klog_w_").toString
+    val df = Seq(("en", 1L, 10L), ("de", 2L, 20L), ("en", 3L, 30L))
+      .toDF("key", "seq", "metric").repartition(2)
+    df.write.format("graft.sources.KeyedLogSource").mode("append").save(dir)
+    val back = read(dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(back === Set(("en", 1L, 10L), ("de", 2L, 20L), ("en", 3L, 30L)))
+    // append again: new task files land next to the old ones
+    df.write.format("graft.sources.KeyedLogSource").mode("append").save(dir)
+    assert(read(dir).count() === 6)
+  }
+
+  test("aborted write task leaves nothing visible (staged temp cleanup)") {
+    val dir = Files.createTempDirectory("graft_klog_abort_").toString
+    val writer = KeyedLogWriterFactory(dir, "q1").createWriter(0, 7L)
+    writer.write(org.apache.spark.sql.catalyst.InternalRow(
+      org.apache.spark.unsafe.types.UTF8String.fromString("en"), 1L, 10L))
+    writer.abort()
+    assert(read(dir).count() === 0)          // reader sees no rows
+    assert(new java.io.File(dir).listFiles().forall(!_.getName.startsWith(".tmp")),
+      "aborted temp file not cleaned up")
+    // an uncommitted (still-staged) writer is also invisible to readers
+    val w2 = KeyedLogWriterFactory(dir, "q2").createWriter(1, 8L)
+    w2.write(org.apache.spark.sql.catalyst.InternalRow(
+      org.apache.spark.unsafe.types.UTF8String.fromString("de"), 2L, 20L))
+    assert(read(dir).count() === 0)
+    assert(w2.commit().isInstanceOf[KeyedLogCommit])
+    assert(read(dir).count() === 1)          // visible only after task commit
+  }
+
   test("null keys only pass when no key predicate is pushed") {
     val dir = fixture()
     def countWith(filters: Array[org.apache.spark.sql.sources.Filter]) = {
