@@ -263,12 +263,17 @@ object RelationalQueries extends QueryModule {
 
     // --- exact percentiles (continuous interpolation) ---
     "q19_price_percentiles" -> { (s, d) =>
+      // ONE percentile aggregate with an array of fractions: the exact
+      // Percentile agg buffers a value->count map per (group, agg-expr),
+      // so three scalar calls build and merge three 200k-entry maps where
+      // one array call builds one (measured 3.7 s -> 1.5 s at sf0.1)
       Tables.lineitem(s, d)
         .groupBy("l_returnflag")
-        .agg(
-          round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25"),
-          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
-          round(expr("percentile(l_extendedprice, 0.75)"), 4).as("p75"))
+        .agg(expr("percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D))").as("_ps"))
+        .select(col("l_returnflag"),
+          round(element_at(col("_ps"), 1), 4).as("p25"),
+          round(element_at(col("_ps"), 2), 4).as("p50"),
+          round(element_at(col("_ps"), 3), 4).as("p75"))
         .orderBy("l_returnflag")
     },
 
