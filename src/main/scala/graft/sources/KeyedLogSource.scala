@@ -10,6 +10,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Tabl
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.sources.{EqualTo, Filter, In, IsNotNull}
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -65,7 +66,8 @@ class KeyedLogTable(path: String) extends Table with SupportsRead with SupportsW
   override def name(): String = s"keyed_log($path)"
   override def schema(): StructType = KeyedLogSource.schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.STREAMING_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new KeyedLogScanBuilder(Option(options.get("path")).getOrElse(path))
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
@@ -75,6 +77,9 @@ class KeyedLogTable(path: String) extends Table with SupportsRead with SupportsW
       override def build(): Write = new Write {
         override def toBatch: BatchWrite =
           KeyedLogBatchWrite(Option(info.options.get("path")).getOrElse(path),
+            info.queryId())
+        override def toStreaming: StreamingWrite =
+          KeyedLogStreamingWrite(Option(info.options.get("path")).getOrElse(path),
             info.queryId())
       }
     }
@@ -104,6 +109,35 @@ case class KeyedLogBatchWrite(path: String, queryId: String) extends BatchWrite 
 
 case class KeyedLogCommit(fileName: String) extends WriterCommitMessage
 
+/** Streaming (micro-batch) sink: same staged-rename task commit, with the
+  * epoch id baked into the file name — a RETRIED epoch regenerates the
+  * same names and replaces its own files (writer truncates on create,
+  * rename replaces), so replays after a failure between sink commit and
+  * offset-log write are idempotent: at-least-once delivery becomes
+  * exactly-once output, the same deterministic-naming contract the
+  * built-in file sink implements via its manifest. */
+case class KeyedLogStreamingWrite(path: String, queryId: String) extends StreamingWrite {
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    KeyedLogStreamingWriterFactory(path, queryId)
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val fs = new Path(path).getFileSystem(new org.apache.hadoop.conf.Configuration())
+    messages.foreach {
+      case KeyedLogCommit(name) => fs.delete(new Path(path, name), false)
+      case _                    => ()
+    }
+  }
+}
+
+case class KeyedLogStreamingWriterFactory(path: String, queryId: String)
+    extends StreamingDataWriterFactory {
+  // taskId deliberately NOT in the name: epoch+partition identifies the
+  // output unit, so a retried task replaces rather than duplicates
+  override def createWriter(partitionId: Int, taskId: Long,
+                            epochId: Long): DataWriter[InternalRow] =
+    new KeyedLogWriter(path, s"$queryId-e$epochId-$partitionId")
+}
+
 case class KeyedLogWriterFactory(path: String, queryId: String) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new KeyedLogWriter(path, s"$queryId-$partitionId-$taskId")
@@ -125,7 +159,11 @@ class KeyedLogWriter(dir: String, suffix: String) extends DataWriter[InternalRow
   }
   override def commit(): WriterCommitMessage = {
     out.close()
-    if (!fs.rename(new Path(dir, tmpName), new Path(dir, finalName)))
+    val dest = new Path(dir, finalName)
+    // replace-on-retry: a replayed epoch/attempt regenerates the same name
+    if (fs.exists(dest) && !fs.delete(dest, false))
+      throw new java.io.IOException(s"keyed_log: could not replace $finalName")
+    if (!fs.rename(new Path(dir, tmpName), dest))
       throw new java.io.IOException(s"keyed_log: task commit rename failed for $tmpName")
     KeyedLogCommit(finalName)
   }

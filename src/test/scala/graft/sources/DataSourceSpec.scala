@@ -103,6 +103,39 @@ class DataSourceSpec extends AnyFunSuite {
     assert(read(dir).count() === 1)          // visible only after task commit
   }
 
+  test("streaming sink: per-epoch files, idempotent on epoch replay") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_klog_stream_").toString
+    val ckpt = Files.createTempDirectory("graft_klog_ckpt_").toString
+    import spark.implicits.{localSeqToDatasetHolder => _, _}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val source = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(String, Long, Long)]
+    source.addData(("en", 1L, 10L), ("de", 2L, 20L))
+    val q = source.toDF().toDF("key", "seq", "metric")
+      .writeStream.format("graft.sources.KeyedLogSource")
+      .option("checkpointLocation", ckpt).option("path", dir)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      source.addData(("en", 3L, 30L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = read(dir).collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(rows === Set(("en", 1L), ("de", 2L), ("en", 3L)))
+    // epoch replay idempotence: re-running an epoch's writer with the same
+    // (epoch, partition) name REPLACES its file instead of duplicating rows
+    val files = new java.io.File(dir).listFiles().map(_.getName).filter(_.endsWith(".log"))
+    val factory = KeyedLogStreamingWriterFactory(dir, files.head.stripPrefix("part-")
+      .split("-e")(0))
+    val replay = factory.createWriter(0, 99L, 0L)
+    replay.write(org.apache.spark.sql.catalyst.InternalRow(
+      org.apache.spark.unsafe.types.UTF8String.fromString("fr"), 9L, 90L))
+    replay.commit()
+    val after = new java.io.File(dir).listFiles().map(_.getName).filter(_.endsWith(".log"))
+    assert(after.length === files.length, s"replay duplicated a file: ${after.toSeq}")
+  }
+
   test("null keys only pass when no key predicate is pushed") {
     val dir = fixture()
     def countWith(filters: Array[org.apache.spark.sql.sources.Filter]) = {
