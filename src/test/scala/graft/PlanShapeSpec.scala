@@ -142,6 +142,28 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("dynamic partition pruning: dim filter prunes fact partitions at runtime") {
+    // star-join shape: the fact scan's partition filter comes from the
+    // DIMENSION side's filter result (a runtime subquery), so only fact
+    // partitions with surviving join keys are read — the partition-level
+    // twin of the runtime bloom filter, and the reason partitioned fact
+    // layouts win at 100 TB even when the predicate is on the dimension.
+    val factDir = java.nio.file.Files.createTempDirectory("graft_dpp_fact_").toString
+    Tables.orders(spark, sf)
+      .withColumn("yr", year(col("o_orderdate")))
+      .write.mode("overwrite").partitionBy("yr").parquet(factDir)
+    val dim = Tables.orders(spark, sf)
+      .select(col("o_orderkey").as("d_key"), year(col("o_orderdate")).as("d_yr"))
+      .filter(col("d_key") < 5) // few keys -> few years survive
+      .distinct()
+    val fact = spark.read.parquet(factDir)
+    val joined = fact.join(broadcast(dim), fact("yr") === dim("d_yr"))
+      .groupBy("yr").count()
+    val p = joined.queryExecution.executedPlan.toString
+    assert(p.contains("dynamicpruning"), s"no DPP subquery in partition filters:\n$p")
+    assert(joined.count() > 0)
+  }
+
   test("partition-pruned scan reads only matching partition dirs (qc10 shape)") {
     val out = java.nio.file.Files.createTempDirectory("graft_prune_").toString
     Tables.orders(spark, sf)
