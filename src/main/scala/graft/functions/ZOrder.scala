@@ -16,10 +16,13 @@ import org.apache.spark.sql.functions._
   */
 object ZOrder {
 
-  /** Spread the low 32 bits of `c` to the even bit positions of a long
-    * (classic magic-mask Morton dilation). */
+  /** Spread the low 31 bits of `c` to the even bit positions of a long
+    * (classic magic-mask Morton dilation). 31, not 32: with 32-bit
+    * dilation the partner dimension's top bit would land in the long's
+    * SIGN bit, making half the z-address space sort before the other half
+    * and silently destroying clustering. 31+31 bits fill bits 0..61. */
   private def spread(c: Column): Column = {
-    val m0 = c.bitwiseAND(lit(0xffffffffL))
+    val m0 = c.bitwiseAND(lit(0x7fffffffL))
     val m1 = m0.bitwiseOR(shiftleft(m0, 16)).bitwiseAND(lit(0x0000ffff0000ffffL))
     val m2 = m1.bitwiseOR(shiftleft(m1, 8)).bitwiseAND(lit(0x00ff00ff00ff00ffL))
     val m3 = m2.bitwiseOR(shiftleft(m2, 4)).bitwiseAND(lit(0x0f0f0f0f0f0f0f0fL))
@@ -27,10 +30,11 @@ object ZOrder {
     m4.bitwiseOR(shiftleft(m4, 1)).bitwiseAND(lit(0x5555555555555555L))
   }
 
-  /** Interleaved 2-D z-address of two NON-NEGATIVE int-range columns
-    * (values above 2^32-1 wrap: pre-scale real domains — ranks, epoch
-    * days, bucket ids — into int range first, as ZORDER implementations
-    * do). `a` takes the even bits, `b` the odd. */
+  /** Interleaved 2-D z-address of two columns in [0, 2^31) — values
+    * outside wrap via masking, so pre-scale real domains (ranks, epoch
+    * days, bucket ids) into range first, as ZORDER implementations do.
+    * `a` takes the even bits, `b` the odd; the result is always
+    * non-negative, so a plain ascending sort is a z-order walk. */
   def zorder2(a: Column, b: Column): Column =
     spread(a.cast("long")).bitwiseOR(shiftleft(spread(b.cast("long")), 1))
 }

@@ -202,32 +202,46 @@ object Dedup {
   def minhashLshPairsAgainst(corpus: DataFrame, delta: DataFrame,
                              idCol: String, textCol: String,
                              n: Int, threshold: Double,
-                             numBands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
-    val corpusSh = shingleSet(corpus, idCol, textCol, n)
-    val deltaSh = shingleSet(delta, idCol, textCol, n)
-    val candidates = bandBuckets(corpusSh, numBands, rowsPerBand).as("x")
-      .join(bandBuckets(deltaSh, numBands, rowsPerBand).as("y"),
-        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket"))
-      .select(col("x.doc_id").as("corpus_id"), col("y.doc_id").as("delta_id"))
-      .distinct()
-    val candCo = corpusSh.join(
-      broadcast(candidates.select(col("corpus_id").as("doc_id")).distinct()),
-      Seq("doc_id"), "left_semi")
-    val candDe = deltaSh.join(
-      broadcast(candidates.select(col("delta_id").as("doc_id")).distinct()),
-      Seq("doc_id"), "left_semi")
-    val sizesCo = candCo.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val sizesDe = candDe.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val inter = candCo.as("a").join(candDe.as("b"), col("a.s") === col("b.s"))
-      .groupBy(col("a.doc_id").as("corpus_id"), col("b.doc_id").as("delta_id"))
-      .agg(count(lit(1)).as("inter"))
-    candidates.join(inter, Seq("corpus_id", "delta_id"))
-      .join(sizesCo.as("s1"), col("corpus_id") === col("s1.doc_id"))
-      .join(sizesDe.as("s2"), col("delta_id") === col("s2.doc_id"))
-      .withColumn("jaccard",
-        col("inter").cast("double") / (col("s1.n_sh") + col("s2.n_sh") - col("inter")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("corpus_id"), col("delta_id"), round(col("jaccard"), 4).as("jaccard"))
+                             numBands: Int = 16, rowsPerBand: Int = 4,
+                             materialize: Boolean = true): DataFrame = {
+    // both shingle tables feed two consumers each (buckets + verify) and
+    // `candidates` feeds three joins — scope-persist them so the corpus
+    // tokenize/signature lineage runs ONCE per call, not once per
+    // consumer (same pattern + tradeoff as minhashLshPairs; pass
+    // materialize=false for the fully lazy composable plan)
+    val corpusShP = shingleSet(corpus, idCol, textCol, n)
+    val deltaShP = shingleSet(delta, idCol, textCol, n)
+    val corpusSh = if (materialize) corpusShP.persist() else corpusShP
+    val deltaSh = if (materialize) deltaShP.persist() else deltaShP
+    try {
+      val candidatesP = bandBuckets(corpusSh, numBands, rowsPerBand).as("x")
+        .join(bandBuckets(deltaSh, numBands, rowsPerBand).as("y"),
+          col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket"))
+        .select(col("x.doc_id").as("corpus_id"), col("y.doc_id").as("delta_id"))
+        .distinct()
+      val candidates = if (materialize) candidatesP.persist() else candidatesP
+      try {
+        val candCo = corpusSh.join(
+          broadcast(candidates.select(col("corpus_id").as("doc_id")).distinct()),
+          Seq("doc_id"), "left_semi")
+        val candDe = deltaSh.join(
+          broadcast(candidates.select(col("delta_id").as("doc_id")).distinct()),
+          Seq("doc_id"), "left_semi")
+        val sizesCo = candCo.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+        val sizesDe = candDe.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+        val inter = candCo.as("a").join(candDe.as("b"), col("a.s") === col("b.s"))
+          .groupBy(col("a.doc_id").as("corpus_id"), col("b.doc_id").as("delta_id"))
+          .agg(count(lit(1)).as("inter"))
+        val out = candidates.join(inter, Seq("corpus_id", "delta_id"))
+          .join(sizesCo.as("s1"), col("corpus_id") === col("s1.doc_id"))
+          .join(sizesDe.as("s2"), col("delta_id") === col("s2.doc_id"))
+          .withColumn("jaccard",
+            col("inter").cast("double") / (col("s1.n_sh") + col("s2.n_sh") - col("inter")))
+          .filter(col("jaccard") >= threshold)
+          .select(col("corpus_id"), col("delta_id"), round(col("jaccard"), 4).as("jaccard"))
+        if (materialize) out.localCheckpoint() else out
+      } finally if (materialize) candidates.unpersist()
+    } finally if (materialize) { corpusSh.unpersist(); deltaSh.unpersist() }
   }
 
   /** Connected components over a near-dup pair list — the clustering step

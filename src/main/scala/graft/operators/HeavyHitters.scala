@@ -68,14 +68,29 @@ object HeavyHitters {
     val items: Dataset[String] =
       df.select(col(itemCol).cast("string")).filter(col(itemCol).isNotNull).as[String]
     val cap = capacity
-    val candidates = items
-      .mapPartitions(it => misraGries(it, cap))
-      .toDF("item").distinct()
-    val n = items.count()
-    val threshold = math.ceil(minFrac * n).toLong
-    items.toDF("item")
-      .join(broadcast(candidates), "item")
-      .groupBy("item").agg(count(lit(1)).as("cnt"))
-      .filter(col("cnt") >= threshold)
+    // ONE pass over the corpus produces both the MG candidates AND the
+    // total count: each partition appends a (null, n_p) marker row to its
+    // <= capacity candidate rows. The tiny summary is cached, n and the
+    // candidate set derived from it, and the candidates localCheckpoint'ed
+    // so the final verify join cannot re-trigger the corpus scan once the
+    // cache is released — 2 corpus reads total (candidates + verify), the
+    // algorithm's minimum.
+    val summary = items.mapPartitions { it =>
+      var np = 0L
+      val counted = it.map { x => np += 1; x }
+      val kept = misraGries(counted, cap).toArray // exhausts `counted` first
+      kept.iterator.map(i => (i, 0L)) ++ Iterator((null: String, np))
+    }.toDF("item", "np").persist()
+    try {
+      val n = summary.filter(col("item").isNull)
+        .agg(coalesce(sum("np"), lit(0L))).head().getLong(0)
+      val threshold = math.ceil(minFrac * n).toLong
+      val candidates = summary.filter(col("item").isNotNull)
+        .select("item").distinct().localCheckpoint()
+      items.toDF("item")
+        .join(broadcast(candidates), "item")
+        .groupBy("item").agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") >= threshold)
+    } finally summary.unpersist()
   }
 }

@@ -95,11 +95,12 @@ class KeyedLogTable(path: String) extends Table with SupportsRead with SupportsW
   * commit is a no-op (files became visible at task commit; fine for an
   * append-only log sink), job abort removes committed files by name. */
 case class KeyedLogBatchWrite(path: String, queryId: String) extends BatchWrite {
+  private val conf = KeyedLogConf.capture()
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    KeyedLogWriterFactory(path, queryId)
+    KeyedLogWriterFactory(path, queryId, conf)
   override def commit(messages: Array[WriterCommitMessage]): Unit = ()
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
-    val fs = new Path(path).getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val fs = new Path(path).getFileSystem(conf.value)
     messages.foreach {
       case KeyedLogCommit(name) => fs.delete(new Path(path, name), false)
       case _                    => ()
@@ -109,19 +110,33 @@ case class KeyedLogBatchWrite(path: String, queryId: String) extends BatchWrite 
 
 case class KeyedLogCommit(fileName: String) extends WriterCommitMessage
 
+/** Hadoop-conf propagation: DSv2 plan nodes are built on the driver, so
+  * capture the SESSION's Hadoop conf there (carrying `spark.hadoop.*`
+  * overrides — s3a credentials, HA nameservices) and ship it to tasks;
+  * a bare `new Configuration()` on an executor would see only
+  * classpath defaults. */
+private[sources] object KeyedLogConf {
+  def capture(): org.apache.spark.util.SerializableConfiguration =
+    new org.apache.spark.util.SerializableConfiguration(
+      org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
+}
+
 /** Streaming (micro-batch) sink: same staged-rename task commit, with the
-  * epoch id baked into the file name — a RETRIED epoch regenerates the
-  * same names and replaces its own files (writer truncates on create,
-  * rename replaces), so replays after a failure between sink commit and
-  * offset-log write are idempotent: at-least-once delivery becomes
-  * exactly-once output, the same deterministic-naming contract the
-  * built-in file sink implements via its manifest. */
+  * epoch id baked into the FINAL file name — a RETRIED epoch regenerates
+  * the same names and replaces its own files, so replays after a failure
+  * between sink commit and offset-log write are idempotent: at-least-once
+  * delivery becomes exactly-once output, the deterministic-naming contract
+  * the built-in file sink implements via its manifest. The STAGING name
+  * still carries the task id, so two live attempts of one (epoch,
+  * partition) — speculation, zombie tasks — never write the same temp
+  * file; last-committer-wins on the shared final name. */
 case class KeyedLogStreamingWrite(path: String, queryId: String) extends StreamingWrite {
+  private val conf = KeyedLogConf.capture()
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
-    KeyedLogStreamingWriterFactory(path, queryId)
+    KeyedLogStreamingWriterFactory(path, queryId, conf)
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
-    val fs = new Path(path).getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val fs = new Path(path).getFileSystem(conf.value)
     messages.foreach {
       case KeyedLogCommit(name) => fs.delete(new Path(path, name), false)
       case _                    => ()
@@ -129,29 +144,39 @@ case class KeyedLogStreamingWrite(path: String, queryId: String) extends Streami
   }
 }
 
-case class KeyedLogStreamingWriterFactory(path: String, queryId: String)
+case class KeyedLogStreamingWriterFactory(path: String, queryId: String,
+    conf: org.apache.spark.util.SerializableConfiguration)
     extends StreamingDataWriterFactory {
-  // taskId deliberately NOT in the name: epoch+partition identifies the
-  // output unit, so a retried task replaces rather than duplicates
   override def createWriter(partitionId: Int, taskId: Long,
                             epochId: Long): DataWriter[InternalRow] =
-    new KeyedLogWriter(path, s"$queryId-e$epochId-$partitionId")
+    new KeyedLogWriter(path,
+      tmpName = s".tmp-$queryId-e$epochId-$partitionId-t$taskId",
+      finalName = s"part-$queryId-e$epochId-$partitionId.log",
+      conf = conf)
 }
 
-case class KeyedLogWriterFactory(path: String, queryId: String) extends DataWriterFactory {
+case class KeyedLogWriterFactory(path: String, queryId: String,
+    conf: org.apache.spark.util.SerializableConfiguration) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new KeyedLogWriter(path, s"$queryId-$partitionId-$taskId")
+    new KeyedLogWriter(path,
+      tmpName = s".tmp-$queryId-$partitionId-$taskId",
+      finalName = s"part-$queryId-$partitionId-$taskId.log",
+      conf = conf)
 }
 
-class KeyedLogWriter(dir: String, suffix: String) extends DataWriter[InternalRow] {
-  private val fs = new Path(dir).getFileSystem(new org.apache.hadoop.conf.Configuration())
-  private val tmpName = s".tmp-$suffix"
-  private val finalName = s"part-$suffix.log"
+class KeyedLogWriter(dir: String, tmpName: String, finalName: String,
+    conf: org.apache.spark.util.SerializableConfiguration) extends DataWriter[InternalRow] {
+  private val fs = new Path(dir).getFileSystem(conf.value)
   private val out = new java.io.BufferedWriter(
     new java.io.OutputStreamWriter(fs.create(new Path(dir, tmpName), true), "UTF-8"))
 
   override def write(row: InternalRow): Unit = {
     val key = if (row.isNullAt(0)) "" else row.getUTF8String(0).toString
+    // empty-string keys are not representable (the reader maps an empty
+    // first field back to null, as the null key is written) — reject
+    // loudly instead of silently migrating rows to the null group
+    require(row.isNullAt(0) || key.nonEmpty,
+      "keyed_log: empty-string keys are not representable; use null or a sentinel")
     val seq = if (row.isNullAt(1)) "" else row.getLong(1).toString
     val metric = if (row.isNullAt(2)) "" else row.getLong(2).toString
     out.write(key); out.write('\t'); out.write(seq); out.write('\t')
@@ -206,28 +231,31 @@ case class KeyedLogScan(path: String, required: StructType,
     s"KeyedLogScan path=$path, ReadSchema: ${required.simpleString}, " +
       s"PushedFilters: [${pushed.mkString(", ")}]"
 
+  // captured lazily on the driver (both callers below run there)
+  @transient private lazy val conf = KeyedLogConf.capture()
+
   override def planInputPartitions(): Array[InputPartition] = {
     val p = new Path(path)
-    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val fs = p.getFileSystem(conf.value)
     fs.listStatus(p).filter(s => s.isFile && !s.getPath.getName.startsWith("_")
         && !s.getPath.getName.startsWith("."))
       .map(s => KeyedLogPartition(s.getPath.toString): InputPartition)
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    KeyedLogReaderFactory(required, pushed)
+    KeyedLogReaderFactory(required, pushed, conf)
 }
 
 case class KeyedLogPartition(file: String) extends InputPartition
 
-case class KeyedLogReaderFactory(required: StructType,
-                                 pushed: Array[Filter]) extends PartitionReaderFactory {
+case class KeyedLogReaderFactory(required: StructType, pushed: Array[Filter],
+    conf: org.apache.spark.util.SerializableConfiguration) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new KeyedLogReader(partition.asInstanceOf[KeyedLogPartition].file, required, pushed)
+    new KeyedLogReader(partition.asInstanceOf[KeyedLogPartition].file, required, pushed, conf)
 }
 
-class KeyedLogReader(file: String, required: StructType,
-                     pushed: Array[Filter]) extends PartitionReader[InternalRow] {
-  private val fs = new Path(file).getFileSystem(new org.apache.hadoop.conf.Configuration())
+class KeyedLogReader(file: String, required: StructType, pushed: Array[Filter],
+    conf: org.apache.spark.util.SerializableConfiguration) extends PartitionReader[InternalRow] {
+  private val fs = new Path(file).getFileSystem(conf.value)
   private val in = new java.io.BufferedReader(
     new java.io.InputStreamReader(fs.open(new Path(file)), "UTF-8"))
   private var row: InternalRow = _

@@ -89,7 +89,8 @@ class ClusteringSpec extends AnyFunSuite {
   test("zorder2 interleaves bits correctly and preserves locality") {
     import graft.functions.ZOrder.zorder2
     import spark.implicits._
-    val rows = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 1L), (0xffffffffL, 0L))
+    val rows = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 1L),
+        (0x7fffffffL, 0L), (0x7fffffffL, 0x7fffffffL))
       .toDF("a", "b")
       .select(zorder2(col("a"), col("b")).as("z")).as[Long].collect()
     // a -> even bits, b -> odd bits
@@ -97,7 +98,10 @@ class ClusteringSpec extends AnyFunSuite {
     assert(rows(1) === 1L)              // a=0b1          -> bit 0
     assert(rows(2) === 2L)              // b=0b1          -> bit 1
     assert(rows(3) === 0b111L)          // a=0b11, b=0b1  -> bits 0,2 + 1
-    assert(rows(4) === 0x5555555555555555L) // all 32 a-bits -> even positions
+    assert(rows(4) === 0x1555555555555555L) // all 31 a-bits -> even positions
+    // the z-address NEVER sets the sign bit: max domain fills bits 0..61,
+    // so a plain ascending sort walks the z-curve
+    assert(rows(5) === 0x3fffffffffffffffL && rows.forall(_ >= 0L))
   }
 
   test("z-order clustering prunes row groups on BOTH dimensions") {

@@ -58,6 +58,7 @@ class DataSourceSpec extends AnyFunSuite {
 
   test("one input partition per file; pushed filter prunes inside the reader") {
     val dir = fixture()
+    val _ = spark.sparkContext // ensure an active session for conf capture
     val scan = KeyedLogScan(dir, KeyedLogSource.schema, Array(EqualTo("key", "en")))
     val parts = scan.planInputPartitions()
     assert(parts.length === 2)
@@ -69,6 +70,17 @@ class DataSourceSpec extends AnyFunSuite {
     }
     // only 'en' rows ever leave the reader — pre-Spark-filter row count
     assert(emitted.length === 3)
+  }
+
+  test("empty-string keys are rejected at write, not silently nulled on read") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_klog_empty_").toString
+    val err = intercept[org.apache.spark.SparkException] {
+      Seq(("", 1L, 10L)).toDF("key", "seq", "metric")
+        .write.format("graft.sources.KeyedLogSource").mode("append").save(dir)
+    }
+    assert(err.getMessage.contains("empty-string keys") ||
+      Option(err.getCause).exists(_.getMessage.contains("empty-string keys")))
   }
 
   test("v2 sink round-trip: write through the commit protocol, read back") {
@@ -87,7 +99,8 @@ class DataSourceSpec extends AnyFunSuite {
 
   test("aborted write task leaves nothing visible (staged temp cleanup)") {
     val dir = Files.createTempDirectory("graft_klog_abort_").toString
-    val writer = KeyedLogWriterFactory(dir, "q1").createWriter(0, 7L)
+    val _ = spark.sparkContext
+    val writer = KeyedLogWriterFactory(dir, "q1", KeyedLogConf.capture()).createWriter(0, 7L)
     writer.write(org.apache.spark.sql.catalyst.InternalRow(
       org.apache.spark.unsafe.types.UTF8String.fromString("en"), 1L, 10L))
     writer.abort()
@@ -95,7 +108,7 @@ class DataSourceSpec extends AnyFunSuite {
     assert(new java.io.File(dir).listFiles().forall(!_.getName.startsWith(".tmp")),
       "aborted temp file not cleaned up")
     // an uncommitted (still-staged) writer is also invisible to readers
-    val w2 = KeyedLogWriterFactory(dir, "q2").createWriter(1, 8L)
+    val w2 = KeyedLogWriterFactory(dir, "q2", KeyedLogConf.capture()).createWriter(1, 8L)
     w2.write(org.apache.spark.sql.catalyst.InternalRow(
       org.apache.spark.unsafe.types.UTF8String.fromString("de"), 2L, 20L))
     assert(read(dir).count() === 0)
@@ -124,10 +137,18 @@ class DataSourceSpec extends AnyFunSuite {
     val rows = read(dir).collect().map(r => (r.getString(0), r.getLong(1))).toSet
     assert(rows === Set(("en", 1L), ("de", 2L), ("en", 3L)))
     // epoch replay idempotence: re-running an epoch's writer with the same
-    // (epoch, partition) name REPLACES its file instead of duplicating rows
+    // (epoch, partition) FINAL name REPLACES its file instead of
+    // duplicating rows, even from a different task attempt. Parse the
+    // query id off the suffix-anchored -e<epoch>-<partition>.log tail (a
+    // prefix split on "-e" would truncate UUIDs containing that substring).
     val files = new java.io.File(dir).listFiles().map(_.getName).filter(_.endsWith(".log"))
-    val factory = KeyedLogStreamingWriterFactory(dir, files.head.stripPrefix("part-")
-      .split("-e")(0))
+    val qid = files.head match {
+      case s if s.startsWith("part-") =>
+        "-e\\d+-\\d+\\.log$".r.findFirstMatchIn(s)
+          .map(m => s.substring("part-".length, m.start))
+          .getOrElse(fail(s"unexpected sink file name: $s"))
+    }
+    val factory = KeyedLogStreamingWriterFactory(dir, qid, KeyedLogConf.capture())
     val replay = factory.createWriter(0, 99L, 0L)
     replay.write(org.apache.spark.sql.catalyst.InternalRow(
       org.apache.spark.unsafe.types.UTF8String.fromString("fr"), 9L, 90L))
