@@ -254,6 +254,30 @@ object StreamingQueries extends QueryModule {
         .orderBy("event_type")
     },
 
+    // --- streaming FROM the custom DSv2 connector: two file waves land in
+    //     the keyed-log dir; the source's offset (= seen-file set) makes
+    //     each micro-batch read exactly the new files, and the stateful
+    //     aggregate over both batches must equal the batch aggregate over
+    //     the original table — the oracle. ---
+    "qs13_custom_source_stream" -> { (s, d) =>
+      val out = graft.core.TempDirs.create("graft_klogstream_")
+      def wave(parity: Int): Unit = graft.core.Tables.documents(s, d)
+        .filter(col("doc_id") % 2 === parity)
+        .select(concat_ws("\t", col("lang"), col("doc_id"), col("n_chars")).as("value"))
+        .repartition(2).write.mode("append").text(out)
+      wave(0)
+      withStreamShuffle(s) {
+        val q = s.readStream.format("graft.sources.KeyedLogSource").load(out)
+          .groupBy("key")
+          .agg(count(lit(1)).as("n_docs"), sum("metric").as("total_chars"))
+          .writeStream.outputMode("complete")
+          .format("memory").queryName("qs13_out").start()
+        try { q.processAllAvailable(); wave(1); q.processAllAvailable() }
+        finally q.stop()
+      }
+      s.table("qs13_out").orderBy("key")
+    },
+
     // --- session windows in APPEND mode: only sessions the watermark has
     //     closed are emitted; open sessions stay in state. With a
     //     single-file source the final watermark is DETERMINISTIC
@@ -367,6 +391,11 @@ object StreamingQueries extends QueryModule {
       """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value,
            true AS resumed
          FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "qs13_custom_source_stream" ->
+      """SELECT lang AS key, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+         FROM documents GROUP BY lang ORDER BY key""",
 
     // emission boundary: a session ending EXACTLY at the watermark is
     // emitted (probed with a MemoryStream boundary case -> <=, not <)

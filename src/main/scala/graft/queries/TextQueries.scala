@@ -207,6 +207,30 @@ object TextQueries extends QueryModule {
         .orderBy("doc_id")
     },
 
+    // --- document chunking: overlapping token windows (size 64, stride
+    //     48) — the context-window preprocessing step for training/RAG.
+    //     One generate-starts + posexplode + slice pass, all codegen'd
+    //     array ops over the projected token column (no per-chunk UDF, no
+    //     re-tokenization per chunk); chunk text is fingerprinted so the
+    //     oracle compares content without hauling full text through the
+    //     hash comparison ---
+    "qt13_chunking" -> { (s, d) =>
+      val size = 64
+      val stride = 48
+      Tables.documents(s, d)
+        .select(col("doc_id"), tokens(col("text")).as("t"))
+        .withColumn("n", org.apache.spark.sql.functions.size(col("t")))
+        .filter(col("n") > 0)
+        .select(col("doc_id"), col("t"), col("n"),
+          posexplode(sequence(lit(0), col("n") - 1, lit(stride))))
+        .withColumnRenamed("pos", "chunk_idx").withColumnRenamed("col", "start")
+        .select(col("doc_id"), col("chunk_idx"), col("start"),
+          least(lit(size), col("n") - col("start")).as("chunk_tokens"),
+          md5(concat_ws(" ", slice(col("t"), col("start") + 1, lit(size)))
+            .cast("binary")).as("chunk_fp"))
+        .orderBy("doc_id", "chunk_idx")
+    },
+
     // --- the END-TO-END training-data pipeline as ONE composed query:
     //     exact dedup (md5 fingerprint, min-id survivor) -> near-dup
     //     removal (MinHash LSH pairs, drop the higher id of each pair) ->
@@ -543,6 +567,19 @@ object TextQueries extends QueryModule {
              regexp_replace(raw, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
              '\b555-[0-9]{4}\b', '<PHONE>', 'g') AS redacted
          FROM raw ORDER BY doc_id""",
+
+    // DuckDB list slices are 1-based inclusive: t[a+1 : a+64] = 64 tokens
+    "qt13_chunking" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS t,
+             CAST(len(string_split(text, ' ')) AS INTEGER) AS n
+           FROM documents),
+         st AS (SELECT doc_id, t, n,
+             CAST(unnest(generate_series(0, n - 1, 48)) AS INTEGER) AS start
+           FROM t WHERE n > 0)
+         SELECT doc_id, CAST(start / 48 AS INTEGER) AS chunk_idx, start,
+           least(64, n - start) AS chunk_tokens,
+           md5(array_to_string(t[start + 1 : start + 64], ' ')) AS chunk_fp
+         FROM st ORDER BY doc_id, chunk_idx""",
 
     "qd02_dedup_jaccard" -> jaccardSql,
 

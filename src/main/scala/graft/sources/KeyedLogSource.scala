@@ -9,6 +9,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.sources.{EqualTo, Filter, In, IsNotNull}
@@ -67,7 +68,7 @@ class KeyedLogTable(path: String) extends Table with SupportsRead with SupportsW
   override def schema(): StructType = KeyedLogSource.schema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.STREAMING_WRITE)
+      TableCapability.MICRO_BATCH_READ, TableCapability.STREAMING_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new KeyedLogScanBuilder(Option(options.get("path")).getOrElse(path))
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
@@ -243,6 +244,55 @@ case class KeyedLogScan(path: String, required: StructType,
   }
   override def createReaderFactory(): PartitionReaderFactory =
     KeyedLogReaderFactory(required, pushed, conf)
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new KeyedLogMicroBatchStream(path, required, pushed, conf)
+}
+
+/** Streaming (micro-batch) SOURCE: the offset is the set of files already
+  * processed; each batch reads exactly the files that appeared since —
+  * the same files-as-log contract as Spark's file stream source, with the
+  * connector's column pruning and key-filter pushdown applying per batch.
+  * The offset serializes the full (sorted) file-name list, which is fine
+  * at demo scale; a production connector compacts this into a ledger the
+  * way FileStreamSource's metadata log does. Files must be immutable once
+  * visible (the sink's staged-rename commit guarantees exactly that). */
+class KeyedLogMicroBatchStream(path: String, required: StructType,
+    pushed: Array[Filter],
+    conf: org.apache.spark.util.SerializableConfiguration) extends MicroBatchStream {
+
+  private def listFiles(): Array[String] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf.value)
+    if (!fs.exists(p)) Array.empty
+    else fs.listStatus(p).filter(s => s.isFile && !s.getPath.getName.startsWith("_")
+        && !s.getPath.getName.startsWith("."))
+      .map(_.getPath.toString).sorted
+  }
+
+  override def initialOffset(): Offset = KeyedLogOffset(Seq.empty)
+  override def latestOffset(): Offset = KeyedLogOffset(listFiles().toSeq)
+  override def deserializeOffset(json: String): Offset = KeyedLogOffset.fromJson(json)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val seen = start.asInstanceOf[KeyedLogOffset].files.toSet
+    end.asInstanceOf[KeyedLogOffset].files
+      .filterNot(seen).map(f => KeyedLogPartition(f): InputPartition).toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    KeyedLogReaderFactory(required, pushed, conf)
+}
+
+case class KeyedLogOffset(files: Seq[String]) extends Offset {
+  // file paths cannot contain newlines; a line-per-name encoding
+  // round-trips without a JSON library
+  override def json(): String = files.mkString("\n")
+}
+object KeyedLogOffset {
+  def fromJson(s: String): KeyedLogOffset =
+    KeyedLogOffset(if (s.isEmpty) Seq.empty else s.split("\n").toSeq)
 }
 
 case class KeyedLogPartition(file: String) extends InputPartition

@@ -157,6 +157,31 @@ class DataSourceSpec extends AnyFunSuite {
     assert(after.length === files.length, s"replay duplicated a file: ${after.toSeq}")
   }
 
+  test("streaming source: each micro-batch reads exactly the new files") {
+    val dir = Files.createTempDirectory("graft_klog_src_").toString
+    val ckpt = Files.createTempDirectory("graft_klog_src_ckpt_").toString
+    Files.write(java.nio.file.Paths.get(dir, "a.log"),
+      "en\t1\t100\nde\t2\t200\n".getBytes("UTF-8"))
+    val q = spark.readStream.format("graft.sources.KeyedLogSource").load(dir)
+      .groupBy("key").agg(sum("metric").as("total"))
+      .writeStream.outputMode("complete")
+      .option("checkpointLocation", ckpt)
+      .format("memory").queryName("klog_stream").start()
+    try {
+      q.processAllAvailable()
+      Files.write(java.nio.file.Paths.get(dir, "b.log"),
+        "en\t3\t300\nfr\t4\t400\n".getBytes("UTF-8"))
+      q.processAllAvailable()
+      val state = spark.table("klog_stream").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toMap
+      assert(state === Map("en" -> 400L, "de" -> 200L, "fr" -> 400L))
+      // the second data batch ingested ONLY b.log's rows (offset = seen set)
+      val dataBatches = q.recentProgress.filter(_.numInputRows > 0)
+      assert(dataBatches.map(_.numInputRows).toSeq === Seq(2L, 2L),
+        s"batches read wrong row counts: ${q.recentProgress.map(_.numInputRows).toSeq}")
+    } finally q.stop()
+  }
+
   test("null keys only pass when no key predicate is pushed") {
     val dir = fixture()
     def countWith(filters: Array[org.apache.spark.sql.sources.Filter]) = {
