@@ -8,6 +8,8 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.NamedReference
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min, Sum}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.connector.write._
@@ -33,7 +35,11 @@ import org.apache.spark.unsafe.types.UTF8String
   *    correctness dependency (the DSv2 contract built-ins follow);
   *  - split planning: one [[InputPartition]] per file — parallelism scales
   *    with the file count exactly like the built-in file sources, and a
-  *    driver never reads data.
+  *    driver never reads data;
+  *  - PARTIAL aggregate pushdown: [[SupportsPushDownAggregates]] — an
+  *    unfiltered COUNT/SUM/MIN/MAX group-by-key collapses to one
+  *    pre-aggregated row per (group, file) inside the reader, and Spark
+  *    merges the partials (the parquet-style scan-side win).
   *
   * Malformed lines (wrong arity, non-numeric longs) surface as null
   * fields, mirroring the CSV source's permissive mode.
@@ -201,9 +207,11 @@ class KeyedLogWriter(dir: String, tmpName: String, finalName: String,
 }
 
 class KeyedLogScanBuilder(path: String) extends ScanBuilder
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
   private var required: StructType = KeyedLogSource.schema
   private var pushed: Array[Filter] = Array.empty
+  private var agg: Option[KeyedLogAgg] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -221,16 +229,69 @@ class KeyedLogScanBuilder(path: String) extends ScanBuilder
   }
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = KeyedLogScan(path, required, pushed)
+  /** PARTIAL aggregate pushdown (supportCompletePushDown stays false):
+    * each file's reader emits one pre-aggregated row per group and Spark
+    * plans the final merge (sum of counts/sums, min of mins, max of
+    * maxes) — the scan ships G rows per file instead of every line, the
+    * biggest scan-side lever a connector has. Spark only attempts this
+    * when no post-scan filters remain; since this builder reports every
+    * filter as residual, aggregate pushdown applies exactly to
+    * unfiltered aggregation shapes. */
+  override def pushAggregation(aggregation: Aggregation): Boolean = {
+    def fieldOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+      e match {
+        case f: NamedReference if f.fieldNames.length == 1 => Some(f.fieldNames.head)
+        case _                                             => None
+      }
+    val longCols = Set("seq", "metric")
+    val groupByKey = aggregation.groupByExpressions match {
+      case Array() => false
+      case Array(f: NamedReference) if f.fieldNames.sameElements(Array("key")) => true
+      case _ => return false
+    }
+    val ops = aggregation.aggregateExpressions.toSeq.map {
+      case _: CountStar => KeyedLogAgg.CountStarOp
+      case c: Count if !c.isDistinct =>
+        fieldOf(c.column).map(KeyedLogAgg.CountOp).getOrElse(return false)
+      case s: Sum if !s.isDistinct =>
+        fieldOf(s.column).filter(longCols).map(KeyedLogAgg.SumOp).getOrElse(return false)
+      case m: Min =>
+        fieldOf(m.column).filter(longCols).map(KeyedLogAgg.MinOp).getOrElse(return false)
+      case m: Max =>
+        fieldOf(m.column).filter(longCols).map(KeyedLogAgg.MaxOp).getOrElse(return false)
+      case _ => return false
+    }
+    val fields = (if (groupByKey) Seq(StructField("key", StringType)) else Nil) ++
+      ops.zipWithIndex.map { case (_, i) => StructField(s"agg_$i", LongType) }
+    agg = Some(KeyedLogAgg(groupByKey, ops, StructType(fields)))
+    true
+  }
+
+  override def build(): Scan =
+    KeyedLogScan(path, agg.map(_.schema).getOrElse(required), pushed, agg)
+}
+
+/** Pushed-aggregation spec shipped to the per-file readers. */
+case class KeyedLogAgg(groupByKey: Boolean, ops: Seq[KeyedLogAgg.AggOp],
+                       schema: StructType)
+object KeyedLogAgg {
+  sealed trait AggOp extends Serializable
+  case object CountStarOp extends AggOp { override def toString = "COUNT(*)" }
+  case class CountOp(field: String) extends AggOp { override def toString = s"COUNT($field)" }
+  case class SumOp(field: String) extends AggOp { override def toString = s"SUM($field)" }
+  case class MinOp(field: String) extends AggOp { override def toString = s"MIN($field)" }
+  case class MaxOp(field: String) extends AggOp { override def toString = s"MAX($field)" }
 }
 
 case class KeyedLogScan(path: String, required: StructType,
-                        pushed: Array[Filter]) extends Scan with Batch {
+                        pushed: Array[Filter],
+                        agg: Option[KeyedLogAgg] = None) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"KeyedLogScan path=$path, ReadSchema: ${required.simpleString}, " +
-      s"PushedFilters: [${pushed.mkString(", ")}]"
+      s"PushedFilters: [${pushed.mkString(", ")}]" +
+      agg.map(a => s", PushedAggregates: [${a.ops.mkString(", ")}]").getOrElse("")
 
   // captured lazily on the driver (both callers below run there)
   @transient private lazy val conf = KeyedLogConf.capture()
@@ -243,7 +304,7 @@ case class KeyedLogScan(path: String, required: StructType,
       .map(s => KeyedLogPartition(s.getPath.toString): InputPartition)
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    KeyedLogReaderFactory(required, pushed, conf)
+    KeyedLogReaderFactory(required, pushed, conf, agg)
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new KeyedLogMicroBatchStream(path, required, pushed, conf)
@@ -298,9 +359,90 @@ object KeyedLogOffset {
 case class KeyedLogPartition(file: String) extends InputPartition
 
 case class KeyedLogReaderFactory(required: StructType, pushed: Array[Filter],
-    conf: org.apache.spark.util.SerializableConfiguration) extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new KeyedLogReader(partition.asInstanceOf[KeyedLogPartition].file, required, pushed, conf)
+    conf: org.apache.spark.util.SerializableConfiguration,
+    agg: Option[KeyedLogAgg] = None) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val file = partition.asInstanceOf[KeyedLogPartition].file
+    agg match {
+      case Some(a) => new KeyedLogAggReader(file, a, pushed, conf)
+      case None    => new KeyedLogReader(file, required, pushed, conf)
+    }
+  }
+}
+
+/** Per-file pre-aggregation: one pass over the lines builds a per-group
+  * accumulator table and emits one PARTIAL row per group; Spark's final
+  * aggregate merges partials across files. Null-group and all-null-sum
+  * semantics mirror Spark's (null keys form a group; SUM/MIN/MAX of no
+  * non-null values is null; counts are 0-based). */
+class KeyedLogAggReader(file: String, agg: KeyedLogAgg, pushed: Array[Filter],
+    conf: org.apache.spark.util.SerializableConfiguration) extends PartitionReader[InternalRow] {
+  import KeyedLogAgg._
+
+  private var out: Iterator[InternalRow] = _
+  private var row: InternalRow = _
+
+  private def fieldValue(op: String, key: String, seq: Any, metric: Any): Any = op match {
+    case "key" => key
+    case "seq" => seq
+    case "metric" => metric
+  }
+
+  private def compute(): Iterator[InternalRow] = {
+    val inner = new KeyedLogReader(file, KeyedLogSource.schema, pushed, conf)
+    // per group: per-op (value, seen) accumulators
+    val groups = new java.util.LinkedHashMap[String, Array[Array[Long]]]()
+    try {
+      while (inner.next()) {
+        val r = inner.get()
+        val key = if (r.isNullAt(0)) null else r.getUTF8String(0).toString
+        val seq: Any = if (r.isNullAt(1)) null else r.getLong(1)
+        val metric: Any = if (r.isNullAt(2)) null else r.getLong(2)
+        val gk = if (agg.groupByKey) key else ""
+        var accs = groups.get(gk)
+        if (accs == null) {
+          accs = agg.ops.map(_ => Array(0L, 0L)).toArray // (value, seen)
+          groups.put(gk, accs)
+        }
+        agg.ops.zipWithIndex.foreach { case (op, i) =>
+          val acc = accs(i)
+          op match {
+            case CountStarOp => acc(0) += 1; acc(1) = 1
+            case CountOp(f) => if (fieldValue(f, key, seq, metric) != null) { acc(0) += 1; acc(1) = 1 }
+            case SumOp(f) => fieldValue(f, key, seq, metric) match {
+              case v: Long => acc(0) += v; acc(1) = 1
+              case _       => ()
+            }
+            case MinOp(f) => fieldValue(f, key, seq, metric) match {
+              case v: Long => if (acc(1) == 0 || v < acc(0)) acc(0) = v; acc(1) = 1
+              case _       => ()
+            }
+            case MaxOp(f) => fieldValue(f, key, seq, metric) match {
+              case v: Long => if (acc(1) == 0 || v > acc(0)) acc(0) = v; acc(1) = 1
+              case _       => ()
+            }
+          }
+        }
+      }
+    } finally inner.close()
+    import scala.jdk.CollectionConverters._
+    groups.entrySet().iterator().asScala.map { e =>
+      val groupVals: Seq[Any] = if (agg.groupByKey)
+        Seq(if (e.getKey == null) null else UTF8String.fromString(e.getKey)) else Nil
+      val aggVals: Seq[Any] = agg.ops.zip(e.getValue.toSeq).map {
+        case (CountStarOp | _: CountOp, acc) => acc(0)
+        case (_, acc)                        => if (acc(1) == 0) null else acc(0)
+      }
+      InternalRow.fromSeq(groupVals ++ aggVals)
+    }
+  }
+
+  override def next(): Boolean = {
+    if (out == null) out = compute()
+    if (out.hasNext) { row = out.next(); true } else false
+  }
+  override def get(): InternalRow = row
+  override def close(): Unit = ()
 }
 
 class KeyedLogReader(file: String, required: StructType, pushed: Array[Filter],

@@ -182,6 +182,34 @@ class DataSourceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("aggregate pushdown: scan emits per-file partials, results exact") {
+    val dir = fixture()
+    val df = read(dir).groupBy("key")
+      .agg(expr("count(*)").as("n"), sum("metric").as("total"),
+        min("seq").as("lo"), max("seq").as("hi"))
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("PushedAggregates: [COUNT(*)"),
+      s"aggregation not pushed into the scan:\n$p")
+    val got = df.collect()
+      .map(r => (Option(r.getAs[String]("key")),
+        r.getLong(1), Option(r.getAs[Any]("total")), Option(r.getAs[Any]("lo")),
+        Option(r.getAs[Any]("hi")))).toSet
+    // groups merged across BOTH files; null key is a group; fr's seq is
+    // null in every row -> its min/max are null while count stays 1
+    assert(got === Set(
+      (Some("en"), 3L, Some(450L), Some(1L), Some(4L)),
+      (Some("de"), 1L, Some(200L), Some(2L), Some(2L)),
+      (Some("bad-line"), 1L, None, None, None),
+      (Some("fr"), 1L, Some(400L), None, None),
+      (None, 1L, Some(60L), Some(5L), Some(5L))))
+    // a filtered query keeps the residual filter -> falls back to the
+    // row-level scan (no pushed aggregates in the plan), same answer path
+    val filtered = read(dir).filter(col("key") === "en")
+      .groupBy("key").agg(sum("metric").as("total"))
+    assert(!filtered.queryExecution.executedPlan.toString.contains("PushedAggregates"))
+    assert(filtered.head().getLong(1) === 450L)
+  }
+
   test("null keys only pass when no key predicate is pushed") {
     val dir = fixture()
     def countWith(filters: Array[org.apache.spark.sql.sources.Filter]) = {
