@@ -164,6 +164,36 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(joined.count() > 0)
   }
 
+  test("CBO: ANALYZE TABLE statistics reach the optimizer and size joins") {
+    // catalog statistics are how a 100 TB warehouse avoids guessing: after
+    // ANALYZE, the optimizer knows exact row counts (visible in plan
+    // stats) and sizes the join strategy from them instead of file sizes
+    val saved = spark.conf.getOption("spark.sql.cbo.enabled")
+    try {
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      spark.sql("DROP TABLE IF EXISTS cbo_nation")
+      // external table in a temp location (keeps the repo's default
+      // warehouse dir out of the picture entirely)
+      val loc = java.nio.file.Files.createTempDirectory("graft_cbo_tbl_").toString
+      Tables.nation(spark, sf).write.mode("overwrite")
+        .option("path", loc).saveAsTable("cbo_nation")
+      spark.sql("ANALYZE TABLE cbo_nation COMPUTE STATISTICS FOR ALL COLUMNS")
+      val expected = spark.table("cbo_nation").count()
+      val stats = spark.table("cbo_nation").queryExecution.optimizedPlan.stats
+      assert(stats.rowCount.contains(BigInt(expected)),
+        s"ANALYZE stats not visible to the optimizer: ${stats.rowCount}")
+      // column-level stats present (distinct counts drive join reorder)
+      val colStats = spark.sql("DESCRIBE EXTENDED cbo_nation n_nationkey")
+        .collect().map(r => (r.getString(0), r.getString(1))).toMap
+      assert(colStats.get("distinct_count").exists(_.toLong > 0),
+        s"no column stats after ANALYZE: $colStats")
+      spark.sql("DROP TABLE cbo_nation")
+    } finally saved match {
+      case Some(v) => spark.conf.set("spark.sql.cbo.enabled", v)
+      case None    => spark.conf.unset("spark.sql.cbo.enabled")
+    }
+  }
+
   test("partition-pruned scan reads only matching partition dirs (qc10 shape)") {
     val out = java.nio.file.Files.createTempDirectory("graft_prune_").toString
     Tables.orders(spark, sf)
