@@ -177,4 +177,52 @@ class PropertySpec extends AnyFunSuite {
       .as[(Long, Long, Long)].collect().toSet
     assert(viaAgg === viaWindow)
   }
+
+  test("property: TopKPerGroup physical operator == window row_number on random data") {
+    // random multisets with heavy duplicate values (ties broken by id),
+    // nullable group keys, random k and partitioning
+    val rows = Gen.listOfN(200, for {
+      g <- Gen.oneOf(Gen.choose(0, 5).map(Option(_)), Gen.const(Option.empty[Int]))
+      v <- Gen.choose(0, 9) // few distinct values -> constant tie pressure
+    } yield (g, v))
+    val params = for { r <- rows; k <- Gen.choose(1, 7); p <- Gen.choose(1, 6) }
+      yield (r, k, p)
+    check(Prop.forAll(params) { case (data, k, parts) =>
+      val df = data.zipWithIndex
+        .map { case ((g, v), i) =>
+          (g.map(x => java.lang.Long.valueOf(x.toLong)).orNull, v.toLong, i.toLong) }
+        .toDF("g", "v", "id").repartition(parts)
+      val got = graft.plans.TopKPerGroup(df, Seq("g"),
+          Seq(("v", false), ("id", true)), k)
+        .select("g", "v", "id").collect()
+        .map(r => (Option(r.get(0)), r.getLong(1), r.getLong(2))).toSet
+      val w = Window.partitionBy(col("g")).orderBy(col("v").desc, col("id"))
+      val want = df.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+        .select("g", "v", "id").collect()
+        .map(r => (Option(r.get(0)), r.getLong(1), r.getLong(2))).toSet
+      got == want
+    }, n = 25)
+  }
+
+  test("property: exact heavy hitters == naive count-filter on random corpora") {
+    // random zipf-ish corpora with random partitioning; MG guarantee keeps
+    // the verified result partition-invariant and exact
+    val params = for {
+      nWords <- Gen.choose(5, 40)
+      reps <- Gen.listOfN(nWords, Gen.choose(1, 120))
+      parts <- Gen.choose(1, 8)
+    } yield (reps, parts)
+    check(Prop.forAll(params) { case (reps, parts) =>
+      val rows = reps.zipWithIndex.flatMap { case (r, i) => List.fill(r)(s"w$i") }
+      val n = rows.size
+      val minFrac = 0.05
+      val df = scala.util.Random.shuffle(rows).toDF("item").repartition(parts)
+      val got = graft.operators.HeavyHitters.exact(df, "item", minFrac, capacity = 64)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      val threshold = math.ceil(minFrac * n).toLong
+      val want = rows.groupBy(identity).view.mapValues(_.size.toLong)
+        .filter(_._2 >= threshold).toSet
+      got == want
+    }, n = 20)
+  }
 }
