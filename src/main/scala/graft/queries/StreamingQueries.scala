@@ -278,6 +278,37 @@ object StreamingQueries extends QueryModule {
       s.table("qs13_out").orderBy("key")
     },
 
+    // --- streaming END-TO-END pipeline through the custom connector:
+    //     event stream -> watermarked stateful dedup -> stream-static
+    //     dim enrichment -> DSv2 streaming SINK (staged epoch commit) ->
+    //     DSv2 batch read-back with aggregate pushdown. Every stage is
+    //     the scale-shaped operator; the oracle replays the whole chain
+    //     in batch SQL, so loss/duplication anywhere in it fails the
+    //     hash. (Batch twin of the same composition idea: qp01.) ---
+    "qp02_streaming_pipeline" -> { (s, d) =>
+      val out = graft.core.TempDirs.create("graft_qp02_")
+      val dim = graft.core.Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val enriched = eventStream(s, d)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicates("event_id")
+        .filter(col("event_type") === "purchase")
+        .join(dim, col("user_id") === col("c_custkey"))
+        .select(col("c_mktsegment").as("key"), col("event_id").as("seq"),
+          col("user_id").as("metric"))
+      withStreamShuffle(s) {
+        val q = enriched.writeStream.outputMode("append")
+          .format("graft.sources.KeyedLogSource")
+          .option("checkpointLocation", graft.core.TempDirs.create("graft_qp02_ckpt_"))
+          .option("path", out).start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      s.read.format("graft.sources.KeyedLogSource").load(out)
+        .groupBy("key")
+        .agg(count(lit(1)).as("n_events"), sum("metric").as("sum_user_ids"))
+        .orderBy("key")
+    },
+
     // --- session windows in APPEND mode: only sessions the watermark has
     //     closed are emitted; open sessions stay in state. With a
     //     single-file source the final watermark is DETERMINISTIC
@@ -391,6 +422,15 @@ object StreamingQueries extends QueryModule {
       """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value,
            true AS resumed
          FROM events GROUP BY event_type ORDER BY event_type""",
+
+    // event_id is unique in the driver data, so the stream's stateful
+    // dedup is an identity the batch replay can omit
+    "qp02_streaming_pipeline" ->
+      """SELECT c_mktsegment AS key, count(*) AS n_events,
+           CAST(sum(user_id) AS BIGINT) AS sum_user_ids
+         FROM events JOIN customer ON user_id = c_custkey
+         WHERE event_type = 'purchase'
+         GROUP BY 1 ORDER BY key""",
 
     "qs13_custom_source_stream" ->
       """SELECT lang AS key, count(*) AS n_docs,
