@@ -67,6 +67,29 @@ object KeyedLogSource {
     StructField("key", StringType),
     StructField("seq", LongType),
     StructField("metric", LongType)))
+
+  /** Visible data files under `path` (hidden/_staging names excluded) —
+    * the shared listing for batch split planning and streaming offsets. */
+  private[sources] def listDataFiles(
+      path: String, conf: org.apache.spark.util.SerializableConfiguration): Array[String] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf.value)
+    if (!fs.exists(p)) Array.empty
+    else fs.listStatus(p).filter(s => s.isFile && !s.getPath.getName.startsWith("_")
+        && !s.getPath.getName.startsWith("."))
+      .map(_.getPath.toString).sorted
+  }
+
+  /** Shared job-abort cleanup for the batch and streaming sinks. */
+  private[sources] def deleteCommitted(
+      path: String, conf: org.apache.spark.util.SerializableConfiguration,
+      messages: Array[WriterCommitMessage]): Unit = {
+    val fs = new Path(path).getFileSystem(conf.value)
+    messages.foreach {
+      case KeyedLogCommit(name) => fs.delete(new Path(path, name), false)
+      case _                    => ()
+    }
+  }
 }
 
 class KeyedLogTable(path: String) extends Table with SupportsRead with SupportsWrite {
@@ -106,13 +129,8 @@ case class KeyedLogBatchWrite(path: String, queryId: String) extends BatchWrite 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     KeyedLogWriterFactory(path, queryId, conf)
   override def commit(messages: Array[WriterCommitMessage]): Unit = ()
-  override def abort(messages: Array[WriterCommitMessage]): Unit = {
-    val fs = new Path(path).getFileSystem(conf.value)
-    messages.foreach {
-      case KeyedLogCommit(name) => fs.delete(new Path(path, name), false)
-      case _                    => ()
-    }
-  }
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    KeyedLogSource.deleteCommitted(path, conf, messages)
 }
 
 case class KeyedLogCommit(fileName: String) extends WriterCommitMessage
@@ -142,13 +160,8 @@ case class KeyedLogStreamingWrite(path: String, queryId: String) extends Streami
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
     KeyedLogStreamingWriterFactory(path, queryId, conf)
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
-  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
-    val fs = new Path(path).getFileSystem(conf.value)
-    messages.foreach {
-      case KeyedLogCommit(name) => fs.delete(new Path(path, name), false)
-      case _                    => ()
-    }
-  }
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    KeyedLogSource.deleteCommitted(path, conf, messages)
 }
 
 case class KeyedLogStreamingWriterFactory(path: String, queryId: String,
@@ -296,13 +309,9 @@ case class KeyedLogScan(path: String, required: StructType,
   // captured lazily on the driver (both callers below run there)
   @transient private lazy val conf = KeyedLogConf.capture()
 
-  override def planInputPartitions(): Array[InputPartition] = {
-    val p = new Path(path)
-    val fs = p.getFileSystem(conf.value)
-    fs.listStatus(p).filter(s => s.isFile && !s.getPath.getName.startsWith("_")
-        && !s.getPath.getName.startsWith("."))
-      .map(s => KeyedLogPartition(s.getPath.toString): InputPartition)
-  }
+  override def planInputPartitions(): Array[InputPartition] =
+    KeyedLogSource.listDataFiles(path, conf)
+      .map(f => KeyedLogPartition(f): InputPartition)
   override def createReaderFactory(): PartitionReaderFactory =
     KeyedLogReaderFactory(required, pushed, conf, agg)
 
@@ -322,17 +331,9 @@ class KeyedLogMicroBatchStream(path: String, required: StructType,
     pushed: Array[Filter],
     conf: org.apache.spark.util.SerializableConfiguration) extends MicroBatchStream {
 
-  private def listFiles(): Array[String] = {
-    val p = new Path(path)
-    val fs = p.getFileSystem(conf.value)
-    if (!fs.exists(p)) Array.empty
-    else fs.listStatus(p).filter(s => s.isFile && !s.getPath.getName.startsWith("_")
-        && !s.getPath.getName.startsWith("."))
-      .map(_.getPath.toString).sorted
-  }
-
   override def initialOffset(): Offset = KeyedLogOffset(Seq.empty)
-  override def latestOffset(): Offset = KeyedLogOffset(listFiles().toSeq)
+  override def latestOffset(): Offset =
+    KeyedLogOffset(KeyedLogSource.listDataFiles(path, conf).toSeq)
   override def deserializeOffset(json: String): Offset = KeyedLogOffset.fromJson(json)
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
@@ -390,6 +391,7 @@ class KeyedLogAggReader(file: String, agg: KeyedLogAgg, pushed: Array[Filter],
 
   private def compute(): Iterator[InternalRow] = {
     val inner = new KeyedLogReader(file, KeyedLogSource.schema, pushed, conf)
+    val opsArr = agg.ops.toArray // hoisted: the zip below runs per LINE
     // per group: per-op (value, seen) accumulators
     val groups = new java.util.LinkedHashMap[String, Array[Array[Long]]]()
     try {
@@ -401,10 +403,12 @@ class KeyedLogAggReader(file: String, agg: KeyedLogAgg, pushed: Array[Filter],
         val gk = if (agg.groupByKey) key else ""
         var accs = groups.get(gk)
         if (accs == null) {
-          accs = agg.ops.map(_ => Array(0L, 0L)).toArray // (value, seen)
+          accs = opsArr.map(_ => Array(0L, 0L)) // (value, seen)
           groups.put(gk, accs)
         }
-        agg.ops.zipWithIndex.foreach { case (op, i) =>
+        var i = 0
+        while (i < opsArr.length) {
+          val op = opsArr(i)
           val acc = accs(i)
           op match {
             case CountStarOp => acc(0) += 1; acc(1) = 1
@@ -422,10 +426,10 @@ class KeyedLogAggReader(file: String, agg: KeyedLogAgg, pushed: Array[Filter],
               case _       => ()
             }
           }
+          i += 1
         }
       }
     } finally inner.close()
-    import scala.jdk.CollectionConverters._
     groups.entrySet().iterator().asScala.map { e =>
       val groupVals: Seq[Any] = if (agg.groupByKey)
         Seq(if (e.getKey == null) null else UTF8String.fromString(e.getKey)) else Nil
@@ -450,6 +454,7 @@ class KeyedLogReader(file: String, required: StructType, pushed: Array[Filter],
   private val fs = new Path(file).getFileSystem(conf.value)
   private val in = new java.io.BufferedReader(
     new java.io.InputStreamReader(fs.open(new Path(file)), "UTF-8"))
+  private val fieldNames = required.fields.map(_.name) // hoisted off the per-row path
   private var row: InternalRow = _
 
   // evaluate pushed key predicates against the parsed key (null key only
@@ -471,11 +476,11 @@ class KeyedLogReader(file: String, required: StructType, pushed: Array[Filter],
       val key = if (parts.nonEmpty && parts(0).nonEmpty) parts(0) else null
       if (keyPasses(key)) {
         // build ONLY the pruned columns, in the order Spark asked for
-        val values = required.fields.map(_.name match {
+        val values = fieldNames.map {
           case "key"    => if (key == null) null else UTF8String.fromString(key)
           case "seq"    => if (parts.length > 1) toLong(parts(1)) else null
           case "metric" => if (parts.length > 2) toLong(parts(2)) else null
-        })
+        }
         row = InternalRow.fromSeq(values.toIndexedSeq)
         return true
       }

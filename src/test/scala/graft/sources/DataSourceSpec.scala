@@ -120,7 +120,6 @@ class DataSourceSpec extends AnyFunSuite {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_klog_stream_").toString
     val ckpt = Files.createTempDirectory("graft_klog_ckpt_").toString
-    import spark.implicits.{localSeqToDatasetHolder => _, _}
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val source = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[(String, Long, Long)]
