@@ -58,6 +58,29 @@ object MultimodalQueries extends QueryModule {
         .orderBy("media_id")
     },
 
+    // --- per-modality inference batch shaping: route media by content
+    //     type, then greedily fill fixed byte budgets per type with the
+    //     distributed prefix-sum packer (qt08's operator on a second
+    //     modality) — the batch-assembly step in front of GPU decode.
+    //     Each type packs independently (the per-type calls are each
+    //     fully distributed; types are a small constant) ---
+    "qm05_media_batching" -> { (s, d) =>
+      val types = Seq("audio", "image", "video")
+      val media = Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars").cast("long").as("n_bytes"),
+          element_at(array(types.map(lit): _*),
+            (col("doc_id") % 3).cast("int") + 1).as("media_type"))
+      types.map { t =>
+        graft.operators.Packing.packBudget(
+            media.filter(col("media_type") === t), "doc_id", "n_bytes",
+            budget = 4096L)
+          .withColumn("media_type", lit(t))
+      }.reduce(_.unionByName(_))
+        .groupBy("media_type", "pack_id")
+        .agg(count(lit(1)).as("n_items"), sum("n_bytes").as("batch_bytes"))
+        .orderBy("media_type", "pack_id")
+    },
+
     // --- frame-sampling stub (explode shape of frame extraction) ---
     "qm03_frame_sample" -> { (s, d) =>
       import s.implicits._
@@ -103,6 +126,19 @@ object MultimodalQueries extends QueryModule {
                 THEN greatest(1, CAST(floor(height * 256.0 / greatest(width, height)) AS INTEGER))
                 ELSE height END AS INTEGER) AS out_h
          FROM dec ORDER BY media_id""",
+
+    "qm05_media_batching" ->
+      """WITH m AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS n_bytes,
+             ['audio','image','video'][CAST(doc_id % 3 AS INTEGER) + 1] AS media_type
+           FROM documents),
+         c AS (SELECT media_type, doc_id, n_bytes,
+             sum(n_bytes) OVER (PARTITION BY media_type ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           FROM m)
+         SELECT media_type,
+           CAST(floor((cum - n_bytes) / 4096.0) AS BIGINT) AS pack_id,
+           count(*) AS n_items, CAST(sum(n_bytes) AS BIGINT) AS batch_bytes
+         FROM c GROUP BY 1, 2 ORDER BY media_type, pack_id""",
 
     "qm03_frame_sample" ->
       """SELECT doc_id AS media_id,
