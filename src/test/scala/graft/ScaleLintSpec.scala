@@ -22,10 +22,12 @@ class ScaleLintSpec extends AnyFunSuite {
 
   /** Queries whose global window is semantically required and documented:
     * ntile/percent_rank/cume_dist are global-rank statistics by definition,
-    * and qt08's packing offsets window runs over one row PER PARTITION
-    * (the tiny phase-2 frame of the distributed prefix sum). */
+    * and the packing queries' offsets window (qt08 tokens, qm05 media
+    * batches) runs over one row PER PARTITION — the tiny phase-2 frame of
+    * the distributed prefix sum. */
   private val allowedGlobal = Set(
-    "q27_ntile_window", "q47_rank_distribution", "qt08_token_packing")
+    "q27_ntile_window", "q47_rank_distribution", "qt08_token_packing",
+    "qm05_media_batching")
 
   /** Batch queries that build lazily (or with cheap side effects) at
     * sf0.001; lake/streaming modules execute real jobs in their builders
