@@ -37,9 +37,15 @@ object Dedup {
       .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("_toks"))
       .select(col("doc_id"), explode(shingles(col("_toks"), n)).as("s"))
     maxShingleDocFreq.fold(sh) { cap =>
-      // stop-shingle skew guard: drop shingles shared by too many docs
-      val freq = sh.groupBy("s").agg(count(lit(1)).as("df")).filter(col("df") <= cap)
-      sh.join(broadcast(freq.select("s")), Seq("s"), "left_semi")
+      // stop-shingle skew guard: drop shingles shared by too many docs.
+      // Broadcast the FREQUENT set (df > cap) and anti-join: frequent
+      // shingles are heavy hitters — few by definition (at most n_rows/cap)
+      // — so the broadcast stays small at any corpus size, whereas the kept
+      // set is essentially the whole shingle vocabulary and could never be
+      // broadcast at 100 TB.
+      val frequent = sh.groupBy("s").agg(count(lit(1)).as("df"))
+        .filter(col("df") > cap)
+      sh.join(broadcast(frequent.select("s")), Seq("s"), "left_anti")
     }
   }
 
@@ -266,18 +272,20 @@ object Dedup {
     // The pair graph is small by construction (near-dup pairs << corpus),
     // but each iteration is a shuffling job: scope the shuffle partition
     // count down for the loop so per-iteration fixed cost doesn't dominate.
-    // Safe because everything inside is eager (localCheckpoint + count).
-    // NOTE: the conf set/restore assumes single-threaded use of the session
-    // while this runs — concurrent queries on the same session would race on
-    // the shared shuffle-partition conf (use spark.newSession() to isolate).
-    val spark = pairs.sparkSession
-    val key = "spark.sql.shuffle.partitions"
-    val prev = spark.conf.get(key)
-    spark.conf.set(key, "8")
-    try {
-      val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
+    // The override lives on a PRIVATE cloned session (newSession shares the
+    // SparkContext/cache but clones the SQL conf), so concurrent queries on
+    // the caller's session never observe it — no shared-conf race. The
+    // eager edge list is re-homed into the clone via its checkpointed RDD
+    // (cheap: the graph is small), and the result is re-homed back the same
+    // way so the caller gets a DataFrame of its own session.
+    val caller = pairs.sparkSession
+    val iso = caller.newSession()
+    iso.conf.set("spark.sql.shuffle.partitions", "8")
+    locally {
+      val edges0 = pairs.select(col("d1").as("src"), col("d2").as("dst"))
         .union(pairs.select(col("d2").as("src"), col("d1").as("dst")))
         .distinct().localCheckpoint()
+      val edges = iso.createDataFrame(edges0.rdd, edges0.schema)
       var labels = edges.select(col("src").as("v")).distinct()
         .withColumn("label", col("v")).localCheckpoint()
       val labelType = labels.schema("label").dataType
@@ -305,8 +313,10 @@ object Dedup {
           s"connectedComponents: maxIter=$maxIter reached before convergence — " +
             "a component with internal diameter > maxIter is split into " +
             "multiple cluster ids; raise maxIter")
-      labels.select(col("v").as("doc_id"), col("label").as("cluster_id"))
-    } finally spark.conf.set(key, prev)
+      val out = labels.select(col("v").as("doc_id"), col("label").as("cluster_id"))
+      // re-home the (checkpointed, small) result into the caller's session
+      caller.createDataFrame(out.rdd, out.schema)
+    }
   }
 
   /** 64-bit SimHash fingerprint of a token array: bit k is the sign of the
@@ -329,10 +339,11 @@ object Dedup {
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** SimHash near-dup pairs with hamming distance <= maxDistance (< 16),
-    * banded into 4 x 16-bit chunks: any pair at distance <= 3 shares at
+  /** SimHash near-dup pairs with hamming distance <= maxDistance (< 4):
+    * with 4 x 16-bit chunk banding, any pair at distance <= 3 shares at
     * least one exact chunk (pigeonhole), so candidates come from an
-    * equi-join on (chunk index, chunk value) — never all-pairs. */
+    * equi-join on (chunk index, chunk value) — never all-pairs. For larger
+    * distances, band into more chunks (d <= c-1 needs c chunks). */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    maxDistance: Int = 3,
                    materialize: Boolean = true): DataFrame = {
@@ -426,22 +437,23 @@ object Dedup {
       .select(col("d1"), col("d2"), round(col("cosine"), 6).as("cosine"))
   }
 
-  /** Embedding near-dup: pairs with cosine >= threshold. Blocked by an
-    * optional blocking column (e.g. a coarse cluster id) so the pair join
-    * is never a full cross product at scale; None = all-pairs (small/test
-    * scale only — [[embeddingLshPairs]] is the production path). */
+  /** Embedding near-dup: pairs with cosine >= threshold, blocked by a
+    * REQUIRED blocking column (e.g. a coarse cluster id) — pairs are
+    * compared only within a block, so the join is never a full cross
+    * product. The blocking column is mandatory by design: an all-pairs
+    * default was a footgun at scale. For unblocked corpora use
+    * [[embeddingLshPairs]] (the LSH bands ARE the blocking), or derive a
+    * coarse block first (e.g. [[graft.operators.Similarity]] centroids). */
   def embeddingCosinePairs(vecs: DataFrame, idCol: String, vecCol: String,
                            threshold: Double,
-                           blockCol: Option[String] = None): DataFrame = {
+                           blockCol: String): DataFrame = {
     // Precompute each vector's norm ONCE (not per pair): the pair loop then
     // evaluates a single dot product per pair instead of dot + two norms —
     // 3x less HOF work on the O(pairs) hot path.
     val a = vecs.select(col(idCol).as("d1"), col(vecCol).as("v1"),
-      l2Norm(col(vecCol)).as("nrm1"),
-      blockCol.map(col).getOrElse(lit(0)).as("blk"))
+      l2Norm(col(vecCol)).as("nrm1"), col(blockCol).as("blk"))
     val b = vecs.select(col(idCol).as("d2"), col(vecCol).as("v2"),
-      l2Norm(col(vecCol)).as("nrm2"),
-      blockCol.map(col).getOrElse(lit(0)).as("blk"))
+      l2Norm(col(vecCol)).as("nrm2"), col(blockCol).as("blk"))
     a.join(b, Seq("blk")).filter(col("d1") < col("d2"))
       .withColumn("cosine", dotProduct(col("v1"), col("v2")) / (col("nrm1") * col("nrm2")))
       .filter(col("cosine") >= threshold)

@@ -117,13 +117,17 @@ class KeyedLogTable(path: String) extends Table with SupportsRead with SupportsW
 }
 
 /** Task-commit protocol of the sink: each task streams lines to a hidden
-  * `.tmp-` file and RENAMES it visible on task commit (named by queryId +
-  * partition + task attempt, so a retried attempt never collides with a
-  * zombie's temp file); abort deletes the temp. Readers ignore dot-files,
-  * so partial output from failed attempts is never visible — the same
-  * visibility contract as the built-in file sinks' staging commit. Job
-  * commit is a no-op (files became visible at task commit; fine for an
-  * append-only log sink), job abort removes committed files by name. */
+  * `.tmp-` file (named by queryId + partition + task attempt, so a retried
+  * attempt never collides with a zombie's temp file) and RENAMES it to a
+  * DETERMINISTIC per-(queryId, partition) final name on task commit —
+  * replace-on-retry, like the streaming writer. A task that dies after its
+  * rename but before reporting success is re-attempted; the retry commits
+  * the SAME final name and replaces the orphan, so no duplicate rows
+  * survive (the idempotence the task-id-qualified names of an earlier
+  * revision lacked). Abort deletes the temp; readers ignore dot-files, so
+  * partial output from failed attempts is never visible. Job commit is a
+  * no-op (files became visible at task commit; fine for an append-only log
+  * sink), job abort removes committed files by name. */
 case class KeyedLogBatchWrite(path: String, queryId: String) extends BatchWrite {
   private val conf = KeyedLogConf.capture()
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
@@ -180,7 +184,7 @@ case class KeyedLogWriterFactory(path: String, queryId: String,
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new KeyedLogWriter(path,
       tmpName = s".tmp-$queryId-$partitionId-$taskId",
-      finalName = s"part-$queryId-$partitionId-$taskId.log",
+      finalName = s"part-$queryId-$partitionId.log",
       conf = conf)
 }
 
@@ -347,14 +351,33 @@ class KeyedLogMicroBatchStream(path: String, required: StructType,
     KeyedLogReaderFactory(required, pushed, conf)
 }
 
+/** Offset = the set of files already processed. The encoding MUST be a
+  * single line: Spark's OffsetSeqLog stores each source's offset on one
+  * line of the checkpoint offset file, so an embedded newline would split
+  * one offset into several bogus ones on restart. A compact JSON array
+  * (json4s, already on Spark's classpath) keeps it one line and escapes
+  * any path character. */
 case class KeyedLogOffset(files: Seq[String]) extends Offset {
-  // file paths cannot contain newlines; a line-per-name encoding
-  // round-trips without a JSON library
-  override def json(): String = files.mkString("\n")
+  override def json(): String = {
+    import org.json4s.JsonDSL._
+    org.json4s.jackson.JsonMethods.compact(
+      org.json4s.jackson.JsonMethods.render(files))
+  }
 }
 object KeyedLogOffset {
-  def fromJson(s: String): KeyedLogOffset =
-    KeyedLogOffset(if (s.isEmpty) Seq.empty else s.split("\n").toSeq)
+  def fromJson(s: String): KeyedLogOffset = {
+    if (s.isEmpty) return KeyedLogOffset(Seq.empty)
+    val parsed = org.json4s.jackson.JsonMethods.parse(s) match {
+      case org.json4s.JArray(items) => items.map {
+        case org.json4s.JString(f) => f
+        case other => throw new IllegalArgumentException(
+          s"keyed_log offset: expected string element, got $other")
+      }
+      case other => throw new IllegalArgumentException(
+        s"keyed_log offset: expected JSON array, got $other")
+    }
+    KeyedLogOffset(parsed)
+  }
 }
 
 case class KeyedLogPartition(file: String) extends InputPartition

@@ -222,4 +222,55 @@ class DataSourceSpec extends AnyFunSuite {
     assert(countWith(Array.empty) === 7)
     assert(countWith(Array(IsNotNull("key"))) === 6)
   }
+
+  test("offset is one line of JSON and round-trips any file list") {
+    // OffsetSeqLog stores each source's offset on ONE line of the
+    // checkpoint file: an embedded newline would shear a multi-file offset
+    // into bogus extra offsets on restart.
+    val files = Seq("/d/a.log", "/d/b.log", "/d/weird \"name\".log")
+    val json = KeyedLogOffset(files).json()
+    assert(!json.contains("\n"), s"offset JSON must be single-line: $json")
+    assert(KeyedLogOffset.fromJson(json).files === files)
+    assert(KeyedLogOffset.fromJson(KeyedLogOffset(Seq.empty).json()).files.isEmpty)
+  }
+
+  test("checkpointed restart resumes from a multi-file offset") {
+    val dir = Files.createTempDirectory("graft_klog_restart_").toString
+    val ckpt = Files.createTempDirectory("graft_klog_restart_ckpt_").toString
+    // two files BEFORE the first run, so the committed offset holds >1 file
+    Files.write(java.nio.file.Paths.get(dir, "a.log"), "en\t1\t10\n".getBytes("UTF-8"))
+    Files.write(java.nio.file.Paths.get(dir, "b.log"), "de\t2\t20\n".getBytes("UTF-8"))
+    val out = Files.createTempDirectory("graft_klog_restart_out_").toString
+    def run(): Unit = {
+      val q = spark.readStream.format("graft.sources.KeyedLogSource").load(dir)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt).option("path", out)
+        .format("parquet").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run()
+    // restart: deserializeOffset must parse the 2-file offset as ONE offset
+    Files.write(java.nio.file.Paths.get(dir, "c.log"), "fr\t3\t30\n".getBytes("UTF-8"))
+    run()
+    val rows = spark.read.parquet(out).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(rows.sorted === Seq(("de", 2L), ("en", 1L), ("fr", 3L)),
+      s"restart re-read or dropped files: $rows")
+  }
+
+  test("batch task retry commits the same final name — no duplicate rows") {
+    val dir = Files.createTempDirectory("graft_klog_retry_").toString
+    val _ = spark.sparkContext
+    def attempt(taskId: Long): Unit = {
+      val w = KeyedLogWriterFactory(dir, "q9", KeyedLogConf.capture())
+        .createWriter(0, taskId)
+      w.write(org.apache.spark.sql.catalyst.InternalRow(
+        org.apache.spark.unsafe.types.UTF8String.fromString("en"), 1L, 10L))
+      w.commit()
+    }
+    attempt(7L)   // original attempt commits, then dies before reporting
+    attempt(8L)   // retry must REPLACE, not add a second file
+    assert(new java.io.File(dir).listFiles().count(_.getName.endsWith(".log")) === 1)
+    assert(read(dir).count() === 1)
+  }
 }
