@@ -1,0 +1,255 @@
+package graft.catalog
+
+import java.util.{Map => JMap}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.core.LakeStorage
+import graft.sources.{KeyedLogSource, KeyedLogTable}
+
+/** SQL catalog for the engine's own table formats — the front door that
+  * makes [[graft.core.ManifestTable]] roots and keyed-log directories
+  * NAMED tables a SQL user can reach without touching the Scala API
+  * (the reference names its storage for users the same way,
+  * ref OCIClient.kt:39-44 bucket config):
+  *
+  * {{{
+  *   spark.sql.catalog.graft      = graft.catalog.GraftCatalog
+  *   spark.sql.catalog.graft.root = s3a://bucket/warehouse    (or file:/...)
+  *
+  *   CREATE NAMESPACE graft.db;
+  *   CREATE TABLE graft.db.docs (id BIGINT, text STRING) USING manifest;
+  *   INSERT INTO graft.db.docs SELECT ...;            -- append = new version
+  *   INSERT OVERWRITE graft.db.docs SELECT ...;       -- snapshot replace
+  *   SELECT * FROM graft.db.docs VERSION AS OF 1;     -- time travel
+  *   CREATE TABLE graft.db.logs (key STRING, seq BIGINT, metric BIGINT)
+  *     USING keyedlog;
+  * }}}
+  *
+  * Layout: `root/<namespace>/<table>/` holds a `_graft_table.json`
+  * descriptor (provider, declared schema, optional external location) next
+  * to the table data. `LOCATION` registers an EXISTING manifest root or
+  * keyed-log dir as a table without moving data. Namespaces are one level
+  * (the warehouse-subdirectory model); `CREATE TABLE AS SELECT` works via
+  * Spark's create-then-append path.
+  *
+  * Reads of manifest tables delegate to the built-in parquet DSv2 scan
+  * over the snapshot's manifest file list — full predicate
+  * pushdown/column pruning/vectorization for free; writes go through the
+  * manifest's optimistic commit ([[graft.core.ManifestTable.append]]).
+  * Keyed-log tables reuse [[graft.sources.KeyedLogTable]] wholesale —
+  * same pushdown, same staged-commit write path as the
+  * `spark.read.format(...)` route.
+  */
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
+
+  import GraftCatalog._
+
+  private var catalogName: String = _
+  private var root: String = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    root = Option(options.get("root")).getOrElse(
+      throw new IllegalArgumentException(
+        s"catalog $name needs spark.sql.catalog.$name.root"))
+  }
+  override def name(): String = catalogName
+
+  private def fs = LakeStorage.openFor(root)
+
+  private def nsDir(namespace: Array[String]): String = {
+    require(namespace.length <= 1,
+      s"catalog $catalogName supports one namespace level, got ${namespace.mkString(".")}")
+    (root +: namespace).mkString("/")
+  }
+  private def tableDir(ident: Identifier): String =
+    s"${nsDir(ident.namespace())}/${ident.name()}"
+
+  // ---- tables ----
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val p = new Path(nsDir(namespace))
+    if (!fs.exists(p)) throw new NoSuchNamespaceException(namespace)
+    fs.listStatus(p)
+      .filter(s => s.isDirectory && fs.exists(new Path(s.getPath, MetaFile)))
+      .map(s => Identifier.of(namespace, s.getPath.getName))
+  }
+
+  override def loadTable(ident: Identifier): Table = tableFor(ident, asOf = None)
+
+  /** `VERSION AS OF` time travel (manifest tables only). */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val v = scala.util.Try(version.toLong).getOrElse(
+      throw new IllegalArgumentException(
+        s"$catalogName: VERSION AS OF wants a numeric manifest version, got '$version'"))
+    tableFor(ident, asOf = Some(v)) match {
+      case t: ManifestSparkTable => t
+      case _ => throw new UnsupportedOperationException(
+        s"${ident.name()}: only manifest tables support VERSION AS OF")
+    }
+  }
+
+  private def tableFor(ident: Identifier, asOf: Option[Long]): Table = {
+    val dir = tableDir(ident)
+    val meta = readMeta(dir).getOrElse(throw new NoSuchTableException(ident))
+    val dataDir = meta.location.getOrElse(dir)
+    meta.provider match {
+      case "keyedlog" => new KeyedLogTable(dataDir)
+      case "manifest" => new ManifestSparkTable(dataDir, meta.schema, asOf)
+      case other => throw new IllegalStateException(
+        s"table ${ident.name()}: unknown provider '$other' in $dir/$MetaFile")
+    }
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: JMap[String, String]): Table = {
+    require(partitions.isEmpty,
+      s"catalog $catalogName tables do not support PARTITIONED BY")
+    val ns = ident.namespace()
+    if (ns.nonEmpty && !fs.exists(new Path(nsDir(ns))))
+      throw new NoSuchNamespaceException(ns)
+    val provider =
+      Option(properties.get(TableCatalog.PROP_PROVIDER)).map(_.toLowerCase).getOrElse("manifest")
+    require(provider == "manifest" || provider == "keyedlog",
+      s"catalog $catalogName supports USING manifest | keyedlog, got '$provider'")
+    if (provider == "keyedlog" && schema.nonEmpty)
+      require(schema.map(f => (f.name, f.dataType)) ==
+          KeyedLogSource.schema.map(f => (f.name, f.dataType)),
+        s"keyedlog tables have the fixed schema ${KeyedLogSource.schema.simpleString}")
+    if (provider == "manifest")
+      require(schema.nonEmpty, "manifest tables need a declared schema (or use CTAS)")
+    val location = Option(properties.get(TableCatalog.PROP_LOCATION))
+    val dir = tableDir(ident)
+    val declared = if (provider == "keyedlog") KeyedLogSource.schema else schema
+    if (!writeMeta(dir, TableMeta(provider, declared, location)))
+      throw new TableAlreadyExistsException((ident.namespace() :+ ident.name()).toSeq)
+    tableFor(ident, asOf = None)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      s"catalog $catalogName does not support ALTER TABLE (schema is fixed at create)")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val dir = new Path(tableDir(ident))
+    if (!fs.exists(new Path(dir, MetaFile))) false
+    else fs.delete(dir, true)
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    val from = new Path(tableDir(oldIdent))
+    if (!fs.exists(new Path(from, MetaFile))) throw new NoSuchTableException(oldIdent)
+    val to = new Path(tableDir(newIdent))
+    if (fs.exists(to))
+      throw new TableAlreadyExistsException((newIdent.namespace() :+ newIdent.name()).toSeq)
+    if (!fs.rename(from, to))
+      throw new IllegalStateException(s"rename $from -> $to failed")
+  }
+
+  // ---- namespaces ----
+
+  override def listNamespaces(): Array[Array[String]] = {
+    val p = new Path(root)
+    if (!fs.exists(p)) return Array.empty
+    fs.listStatus(p)
+      .filter(s => s.isDirectory && !fs.exists(new Path(s.getPath, MetaFile)))
+      .map(s => Array(s.getPath.getName))
+  }
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces()
+    else if (fs.exists(new Path(nsDir(namespace)))) Array.empty // one level only
+    else throw new NoSuchNamespaceException(namespace)
+
+  override def loadNamespaceMetadata(namespace: Array[String]): JMap[String, String] =
+    if (namespace.isEmpty || fs.exists(new Path(nsDir(namespace))))
+      java.util.Collections.emptyMap()
+    else throw new NoSuchNamespaceException(namespace)
+
+  override def createNamespace(namespace: Array[String],
+                               metadata: JMap[String, String]): Unit = {
+    val p = new Path(nsDir(namespace))
+    if (fs.exists(p)) throw new NamespaceAlreadyExistsException(namespace)
+    fs.mkdirs(p)
+  }
+
+  override def alterNamespace(namespace: Array[String], changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException(
+      s"catalog $catalogName namespaces carry no mutable metadata")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    val p = new Path(nsDir(namespace))
+    if (!fs.exists(p)) false
+    else {
+      if (!cascade && fs.listStatus(p).nonEmpty)
+        throw new IllegalStateException(
+          s"namespace ${namespace.mkString(".")} is not empty (use CASCADE)")
+      fs.delete(p, true)
+    }
+  }
+
+  // ---- descriptor I/O ----
+
+  private def readMeta(dir: String): Option[TableMeta] = {
+    val p = new Path(dir, MetaFile)
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    val text = try {
+      val bytes = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, bytes, 8192, false)
+      new String(bytes.toByteArray, "UTF-8")
+    } finally in.close()
+    val m = org.json4s.jackson.JsonMethods.parse(text)
+    def str(k: String): Option[String] = m \ k match {
+      case org.json4s.JString(s) => Some(s)
+      case _                     => None
+    }
+    Some(TableMeta(
+      provider = str("provider").getOrElse(
+        throw new IllegalStateException(s"$p: missing provider")),
+      schema = DataType.fromJson(str("schema").getOrElse(
+        throw new IllegalStateException(s"$p: missing schema"))).asInstanceOf[StructType],
+      location = str("location")))
+  }
+
+  /** Create-if-absent of the descriptor — the same atomic-create commit as
+    * the manifest markers, so two racing CREATE TABLEs resolve to one
+    * winner. False if the table already exists. */
+  private def writeMeta(dir: String, meta: TableMeta): Boolean = {
+    val d = new Path(dir)
+    if (!fs.exists(d)) fs.mkdirs(d)
+    val p = new Path(dir, MetaFile)
+    import org.json4s.JsonDSL._
+    val json = org.json4s.jackson.JsonMethods.compact(
+      org.json4s.jackson.JsonMethods.render(
+        ("provider" -> meta.provider) ~ ("schema" -> meta.schema.json) ~
+          ("location" -> meta.location)))
+    val out = try fs.create(p, false) catch {
+      case _: java.io.IOException => return false
+    }
+    try { out.write(json.getBytes("UTF-8")); true } finally out.close()
+  }
+}
+
+object GraftCatalog {
+  private[catalog] val MetaFile = "_graft_table.json"
+  private[catalog] case class TableMeta(provider: String, schema: StructType,
+                                        location: Option[String])
+
+  /** Register this catalog on a session under `name` rooted at `root`.
+    * (Conf-only registration — the first SQL reference instantiates it.) */
+  def register(spark: SparkSession, name: String, root: String): Unit = {
+    spark.conf.set(s"spark.sql.catalog.$name", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$name.root", root)
+  }
+}

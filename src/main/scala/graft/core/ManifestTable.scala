@@ -1,83 +1,66 @@
 package graft.core
 
-import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 
-/** Manifest-committed table versions: the minimal transaction-log pattern
-  * (the core of what Delta/Iceberg provide, on plain parquet — no
-  * table-format jars ship in this environment, BASELINE.json:6).
+/** File-manifest-committed table versions: the transaction-log pattern at
+  * the heart of Delta/Iceberg, on plain parquet (no table-format jars ship
+  * in this environment, BASELINE.json:6).
   *
   * Layout:
   * {{{
-  *   dir/v=1/part-*.parquet     version data directories
-  *   dir/v=2/part-*.parquet
-  *   dir/_commit_00000000000000000001   commit markers (empty files)
+  *   dir/d-<writeId>/part-*.parquet         data-file pools, one per write
+  *   dir/_commit_00000000000000000001       manifest: JSON file list
   *   dir/_commit_00000000000000000002
   * }}}
   *
-  * A version becomes visible through ONE atomic object creation: the commit
-  * marker, written only after its data directory is complete. Readers list
-  * the markers, take the max, and read that version's directory — so a
-  * reader concurrent with a rewrite sees either the old or the new version,
-  * never a missing or half-written directory (the reader-visible window of
-  * rename-swap compaction, LakeCompaction.compactParquet, is gone). A crash
-  * between data write and marker leaves an invisible orphan directory that
-  * [[vacuum]] removes.
+  * Each commit marker IS the manifest: a single-line JSON array of the
+  * data-file paths (relative to `dir`) that make up that version's
+  * snapshot. A version becomes visible through ONE atomic object creation
+  * (`create(overwrite = false)` of its marker), written only after every
+  * data file it references is fully written — so a reader concurrent with
+  * any writer sees either the old or the new version, never a missing or
+  * half-written file. A crash before the marker leaves an invisible orphan
+  * pool that [[vacuum]] removes.
   *
-  * Works on any Hadoop FileSystem including object stores (no rename
-  * anywhere; a marker appears to readers all-or-nothing). The concurrency
-  * model is SINGLE-writer/many-reader — the reference's publish model.
-  * Concurrent writers are NOT arbitrated: `create(overwrite = false)` is
-  * atomic on HDFS/local but check-then-act on S3A-style object stores, so
-  * duplicate-commit detection there is best-effort only (two racing writers
-  * can both "commit" the same version number; last PUT wins). A store with
-  * conditional-PUT (If-None-Match) would close that hole — out of scope for
-  * the single-writer model. [[vacuum]] keeps the previous version as a
-  * grace window for in-flight readers; schedule it accordingly.
+  * Because the manifest lists files (rather than naming a directory),
+  * [[append]] commits ONLY its delta files and re-lists the base — an
+  * append to a 100 TB table writes the new rows and one small marker,
+  * never rewriting existing data. [[compact]] rewrites the current files
+  * into fewer and commits a manifest referencing only the rewrite.
+  *
+  * Concurrency is OPTIMISTIC, Delta-style: every commit targets version
+  * `current + 1`; losing the race to another writer (marker already
+  * exists) re-reads the new current version, REBASES, and retries:
+  *  - [[write]] (snapshot replace) is independent of the base — a retry
+  *    just bumps the version number;
+  *  - [[append]] re-reads the base manifest and re-unions its delta;
+  *  - [[compact]] re-adds files appended since the snapshot it rewrote,
+  *    and ABORTS if a concurrent writer replaced/removed files it
+  *    compacted (the rewrite is stale — rerun it).
+  * On HDFS/local filesystems `create(overwrite = false)` is atomic, so
+  * the loop is a correct lock-free protocol; on S3A-style object stores
+  * without conditional PUT it is check-then-act and the protocol is
+  * best-effort (a store with If-None-Match closes that hole). [[vacuum]]
+  * keeps the previous `keep - 1` versions as a grace window for in-flight
+  * readers; schedule it accordingly.
   */
 object ManifestTable {
 
   private val MarkerPrefix = "_commit_"
+  private val DataDirPrefix = "d-"
 
   private def marker(n: Long): String = f"${MarkerPrefix}$n%020d"
 
-  def versionDir(dir: String, n: Long): String = s"$dir/v=$n"
-
   /** Parse a name of the form `prefix<long>`; None for foreign files that
-    * merely share the prefix (a stray `v=2_tmp` or `_commit_x` must not
-    * crash manifest resolution or vacuum). */
+    * merely share the prefix (a stray `_commit_x` must not crash manifest
+    * resolution or vacuum). */
   private def parseSuffix(name: String, prefix: String): Option[Long] =
     if (!name.startsWith(prefix)) None
     else scala.util.Try(name.stripPrefix(prefix).toLong).toOption
 
   /** Highest committed version, if any. */
   def currentVersion(dir: String): Option[Long] = allVersions(dir).lastOption
-
-  /** Write `df` as the next version and commit it. Returns the version. */
-  def write(df: DataFrame, dir: String): Long = {
-    val next = currentVersion(dir).getOrElse(0L) + 1
-    df.write.mode(SaveMode.Overwrite).parquet(versionDir(dir, next))
-    commit(dir, next)
-    next
-  }
-
-  /** Read the current committed version, or a specific one (time travel —
-    * any version not yet vacuumed stays readable; an uncommitted or
-    * vacuumed version rejects rather than resolving to a partial dir). */
-  def read(spark: SparkSession, dir: String, asOfVersion: Option[Long] = None): DataFrame = {
-    val committed = allVersions(dir)
-    if (committed.isEmpty)
-      throw new IllegalStateException(s"no committed version under $dir")
-    val v = asOfVersion match {
-      case None => committed.max
-      case Some(req) =>
-        if (!committed.contains(req)) throw new IllegalStateException(
-          s"version $req is not committed under $dir (committed: ${committed.mkString(",")})")
-        req
-    }
-    spark.read.parquet(versionDir(dir, v))
-  }
 
   /** All committed versions still present (ascending). */
   def allVersions(dir: String): Seq[Long] = {
@@ -90,69 +73,177 @@ object ManifestTable {
       .toSeq.sorted
   }
 
-  /** Rewrite the current version into ~targetFileBytes files as a NEW
-    * committed version (the OPTIMIZE/rewrite-files action without the
-    * rename-swap window). Returns (filesBefore, filesAfter). */
+  /** The data files (relative paths) of a committed version. */
+  def manifest(dir: String, version: Long): Seq[String] = {
+    val fs = LakeStorage.openFor(dir)
+    val p = new Path(dir, marker(version))
+    val in = fs.open(p)
+    val text = try {
+      val bytes = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, bytes, 8192, false)
+      new String(bytes.toByteArray, "UTF-8")
+    } finally in.close()
+    org.json4s.jackson.JsonMethods.parse(text) match {
+      case org.json4s.JArray(items) => items.map {
+        case org.json4s.JString(f) => f
+        case other => throw new IllegalStateException(
+          s"corrupt manifest ${p}: non-string element $other")
+      }
+      case other => throw new IllegalStateException(
+        s"corrupt manifest ${p}: expected JSON array, got $other")
+    }
+  }
+
+  /** Write `df` as a NEW SNAPSHOT (replacing the table contents) and
+    * commit it. Returns the committed version. */
+  def write(df: DataFrame, dir: String): Long = {
+    val files = writePool(df, dir)
+    commitLoop(dir) { _ => Some(files) }
+  }
+
+  /** Append `df` to the table: writes ONLY the delta files and commits a
+    * manifest of base ∪ delta — existing data is re-listed, never
+    * rewritten. Returns the committed version. */
+  def append(df: DataFrame, dir: String): Long = {
+    val delta = writePool(df, dir)
+    commitLoop(dir) { base => Some(base.map(manifest(dir, _)).getOrElse(Seq.empty) ++ delta) }
+  }
+
+  /** Read the current committed version, or a specific one (time travel —
+    * any version not yet vacuumed stays readable; an uncommitted or
+    * vacuumed version rejects rather than resolving to partial data). */
+  def read(spark: SparkSession, dir: String, asOfVersion: Option[Long] = None): DataFrame = {
+    val committed = allVersions(dir)
+    if (committed.isEmpty)
+      throw new IllegalStateException(s"no committed version under $dir")
+    val v = asOfVersion match {
+      case None => committed.max
+      case Some(req) =>
+        if (!committed.contains(req)) throw new IllegalStateException(
+          s"version $req is not committed under $dir (committed: ${committed.mkString(",")})")
+        req
+    }
+    val files = manifest(dir, v)
+    if (files.isEmpty)
+      throw new IllegalStateException(
+        s"version $v of $dir is an empty snapshot — no schema to read " +
+          "(the catalog layer serves empty tables from their declared schema)")
+    spark.read.parquet(files.map(f => s"$dir/$f"): _*)
+  }
+
+  /** Rewrite the current snapshot into ~targetFileBytes files as a NEW
+    * committed version. If a concurrent [[append]] commits while the
+    * rewrite runs, its files are carried over into the compacted manifest
+    * (rebase); if a concurrent [[write]]/[[compact]] replaced files this
+    * rewrite read, the compaction is stale and aborts — rerun it.
+    * Returns (filesBefore, filesAfter). */
   def compact(spark: SparkSession, dir: String,
               targetFileBytes: Long = 128L * 1024 * 1024): (Long, Long) = {
     val fs = LakeStorage.openFor(dir)
-    val cur = currentVersion(dir).getOrElse(
+    val snapVersion = currentVersion(dir).getOrElse(
       throw new IllegalStateException(s"no committed version under $dir"))
-    val curPath = new Path(versionDir(dir, cur))
-    val files = fs.listStatus(curPath)
-      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-    val totalBytes = files.map(_.getLen).sum
+    val snapFiles = manifest(dir, snapVersion)
+    if (snapFiles.isEmpty) return (0L, 0L)
+    val totalBytes = snapFiles.map(f => fs.getFileStatus(new Path(dir, f)).getLen).sum
     val nOut = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
-    val next = cur + 1
-    spark.read.parquet(curPath.toString).coalesce(nOut)
-      .write.mode(SaveMode.Overwrite).parquet(versionDir(dir, next))
-    commit(dir, next)
-    val after = fs.listStatus(new Path(versionDir(dir, next)))
-      .count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-    (files.length.toLong, after.toLong)
+    val compacted = writePool(
+      spark.read.parquet(snapFiles.map(f => s"$dir/$f"): _*).coalesce(nOut), dir)
+    val snapSet = snapFiles.toSet
+    commitLoop(dir) { base =>
+      val baseFiles = base.map(manifest(dir, _)).getOrElse(Seq.empty)
+      if (base.contains(snapVersion)) Some(compacted)
+      else if (snapSet.subsetOf(baseFiles.toSet))
+        // concurrent appends since our snapshot: carry their files over
+        Some(compacted ++ baseFiles.filterNot(snapSet))
+      else None // our snapshot's files were replaced — stale rewrite
+    }
+    (snapFiles.length.toLong, compacted.length.toLong)
   }
 
-  /** Delete uncommitted orphan directories and committed versions older
-    * than the `keep` most recent (keep >= 2 leaves a grace version for
-    * readers that resolved the manifest just before a commit). Returns the
-    * number of directories removed. */
+  /** Delete commit markers older than the `keep` most recent, and any
+    * data-pool directory none of whose files is referenced by a surviving
+    * manifest (covers both expired versions and crashed-writer orphans).
+    * `keep >= 2` leaves a grace version for readers that resolved the
+    * manifest just before a commit. Returns the number of pool
+    * directories removed. */
   def vacuum(dir: String, keep: Int = 2): Int = {
     require(keep >= 1, "must keep at least the current version")
     val fs = LakeStorage.openFor(dir)
     val base = new Path(dir)
     if (!fs.exists(base)) return 0
-    val committed = fs.listStatus(base)
-      .map(_.getPath.getName)
-      .flatMap(parseSuffix(_, MarkerPrefix))
-      .sorted
+    val committed = allVersions(dir)
     if (committed.isEmpty) return 0
-    val cutoff = committed.takeRight(keep).head
+    val kept = committed.takeRight(keep)
+    val cutoff = kept.head
+    // pool dirs referenced by any kept manifest (first path segment)
+    val referenced: Set[String] =
+      kept.flatMap(v => manifest(dir, v).map(_.split("/", 2).head)).toSet
     var removed = 0
     fs.listStatus(base).foreach { st =>
       val name = st.getPath.getName
-      if (st.isDirectory) parseSuffix(name, "v=").foreach { v =>
-        // orphans (no marker) below the current version are dead too
-        val dead = v < cutoff || (!committed.contains(v) && v < committed.last)
-        if (dead) {
-          if (!fs.delete(st.getPath, true))
-            throw new IllegalStateException(s"vacuum: failed to delete ${st.getPath}")
-          removed += 1
-        }
-      }
-      else parseSuffix(name, MarkerPrefix).foreach { v =>
+      if (st.isDirectory && name.startsWith(DataDirPrefix) && !referenced.contains(name)) {
+        if (!fs.delete(st.getPath, true))
+          throw new IllegalStateException(s"vacuum: failed to delete ${st.getPath}")
+        removed += 1
+      } else parseSuffix(name, MarkerPrefix).foreach { v =>
         if (v < cutoff) { fs.delete(st.getPath, false); () }
       }
     }
     removed
   }
 
-  private def commit(dir: String, n: Long): Unit = {
+  /** Write `df`'s files into a fresh uniquely-named pool directory and
+    * return their dir-relative paths. The pool is invisible until some
+    * manifest references it. */
+  private def writePool(df: DataFrame, dir: String): Seq[String] = {
+    val poolName = DataDirPrefix + java.util.UUID.randomUUID().toString
+    val poolPath = s"$dir/$poolName"
+    df.write.mode(SaveMode.Overwrite).parquet(poolPath)
     val fs = LakeStorage.openFor(dir)
+    fs.listStatus(new Path(poolPath))
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(s => s"$poolName/${s.getPath.getName}")
+      .toSeq.sorted
+  }
+
+  /** Optimistic commit: compute the manifest against the current version
+    * and try to create marker `current + 1`; if another writer won the
+    * race, re-read and rebase. `files(base)` returning None aborts (the
+    * rebase found the attempt stale). Returns the committed version. */
+  private def commitLoop(dir: String, maxRetries: Int = 20)(
+      files: Option[Long] => Option[Seq[String]]): Long = {
+    val fs = LakeStorage.openFor(dir)
+    val basePath = new Path(dir)
+    if (!fs.exists(basePath)) fs.mkdirs(basePath)
+    var attempt = 0
+    while (attempt <= maxRetries) {
+      val base = currentVersion(dir)
+      val next = base.getOrElse(0L) + 1
+      files(base) match {
+        case None => throw new java.util.ConcurrentModificationException(
+          s"commit to $dir aborted: the files this attempt rewrote were " +
+            "replaced by a concurrent writer (stale rewrite) — rerun")
+        case Some(list) =>
+          if (tryCommit(fs, dir, next, list)) return next
+      }
+      attempt += 1
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"commit to $dir failed after $maxRetries rebase attempts — " +
+        "writer contention too high")
+  }
+
+  /** One atomic commit attempt: create-if-absent of the marker holding the
+    * manifest JSON. False if another writer owns this version number. */
+  private def tryCommit(fs: org.apache.hadoop.fs.FileSystem, dir: String,
+                        n: Long, files: Seq[String]): Boolean = {
     val p = new Path(dir, marker(n))
-    // overwrite=false fails a duplicate commit on filesystems with atomic
-    // create (HDFS/local); on S3A it is check-then-act, i.e. best-effort
-    // only — see the class doc's single-writer model
-    val out = fs.create(p, false)
-    out.close()
+    val json = org.json4s.jackson.JsonMethods.compact(
+      org.json4s.jackson.JsonMethods.render(org.json4s.JArray(
+        files.map(org.json4s.JString(_)).toList)))
+    val out = try fs.create(p, false) catch {
+      case _: java.io.IOException => return false // marker exists: lost the race
+    }
+    try { out.write(json.getBytes("UTF-8")); true } finally out.close()
   }
 }

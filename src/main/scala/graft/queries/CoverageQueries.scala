@@ -156,6 +156,38 @@ object CoverageQueries extends QueryModule {
           "vacuum_removed", "rows_current", "rows_v1_asof")
     },
 
+    // --- SQL catalog front door (catalog/GraftCatalog): the manifest and
+    //     keyedlog formats as NAMED tables — CREATE NAMESPACE/TABLE USING,
+    //     INSERT INTO (append = new manifest version), VERSION AS OF time
+    //     travel, and filter-pushed keyedlog reads, all through spark.sql.
+    //     The catalog instance caches its root on first use, so register
+    //     once per session and DROP/recreate the tables per run ---
+    "qc18_sql_catalog" -> { (s, d) =>
+      if (s.conf.getOption("spark.sql.catalog.graft_cat").isEmpty)
+        graft.catalog.GraftCatalog.register(s, "graft_cat",
+          graft.core.TempDirs.create("graft_cat_root_"))
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.db")
+      s.sql("DROP TABLE IF EXISTS graft_cat.db.docs")
+      s.sql("DROP TABLE IF EXISTS graft_cat.db.logs")
+      Tables.documents(s, d).createOrReplaceTempView("qc18_documents")
+      s.sql("CREATE TABLE graft_cat.db.docs (doc_id BIGINT, lang STRING) USING manifest")
+      s.sql("INSERT INTO graft_cat.db.docs " +
+        "SELECT doc_id, lang FROM qc18_documents WHERE doc_id < 100")   // v1
+      s.sql("INSERT INTO graft_cat.db.docs " +
+        "SELECT doc_id, lang FROM qc18_documents WHERE doc_id >= 100")  // v2
+      s.sql("CREATE TABLE graft_cat.db.logs " +
+        "(key STRING, seq BIGINT, metric BIGINT) USING keyedlog")
+      s.sql("INSERT INTO graft_cat.db.logs " +
+        "SELECT lang, doc_id, n_chars FROM qc18_documents")
+      s.sql("""
+        SELECT
+          (SELECT count(*) FROM graft_cat.db.docs VERSION AS OF 1) AS rows_v1,
+          (SELECT count(*) FROM graft_cat.db.docs) AS rows_current,
+          (SELECT count(DISTINCT lang) FROM graft_cat.db.docs VERSION AS OF 2) AS langs_v2,
+          (SELECT sum(metric) FROM graft_cat.db.logs WHERE key = 'en') AS en_metric_sum,
+          (SELECT count(*) FROM graft_cat.db.logs) AS klog_rows""")
+    },
+
     // --- schema evolution on read (mergeSchema): a later batch adds a
     //     column; the merged scan unions the schemas and nulls the column
     //     for old files — the lake's schema-drift-over-time contract ---
@@ -433,6 +465,15 @@ object CoverageQueries extends QueryModule {
          SELECT s.ngram AS ngram, count(*) AS cnt, min(doc_id) AS first_doc,
            CAST(min(s.pos) AS INTEGER) AS min_pos
          FROM g GROUP BY 1 ORDER BY cnt DESC, ngram LIMIT 20""",
+
+    "qc18_sql_catalog" ->
+      """SELECT
+           (SELECT count(*) FROM documents WHERE doc_id < 100) AS rows_v1,
+           (SELECT count(*) FROM documents) AS rows_current,
+           (SELECT count(DISTINCT lang) FROM documents) AS langs_v2,
+           CAST((SELECT sum(n_chars) FROM documents WHERE lang = 'en') AS BIGINT)
+             AS en_metric_sum,
+           (SELECT count(*) FROM documents) AS klog_rows""",
 
     "qc15_schema_merge" ->
       """SELECT CAST(2 * (SELECT count(*) FROM nation) AS BIGINT) AS n_rows,

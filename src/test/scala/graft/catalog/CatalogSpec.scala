@@ -1,0 +1,121 @@
+package graft.catalog
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.ManifestTable
+
+/** The SQL front door: CREATE/DROP/RENAME/SHOW through [[GraftCatalog]],
+  * INSERT INTO/OVERWRITE + VERSION AS OF on manifest tables, keyedlog
+  * tables readable and writable by name, LOCATION registration of
+  * pre-existing data, and plan evidence that catalog reads keep the
+  * built-in parquet scan (pushdown intact). */
+class CatalogSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    GraftCatalog.register(s, "g", root)
+    s
+  }
+  private lazy val root =
+    "file://" + Files.createTempDirectory("graft_catalog_").toString
+
+  private def ensureDb(): Unit =
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS g.db")
+
+  test("namespace + manifest table DDL round-trip with versioned inserts") {
+    ensureDb()
+    spark.sql("CREATE TABLE g.db.t (id BIGINT, v STRING) USING manifest")
+    // empty table: declared schema, zero rows
+    val empty = spark.sql("SELECT * FROM g.db.t")
+    assert(empty.schema.map(_.name) === Seq("id", "v"))
+    assert(empty.count() === 0L)
+    spark.sql("INSERT INTO g.db.t VALUES (1, 'a'), (2, 'b')")          // v1
+    spark.sql("INSERT INTO g.db.t SELECT id + 10, v FROM g.db.t")      // v2 append
+    assert(spark.sql("SELECT count(*) FROM g.db.t").head().getLong(0) === 4L)
+    assert(spark.sql("SELECT count(*) FROM g.db.t VERSION AS OF 1").head().getLong(0) === 2L)
+    spark.sql("INSERT OVERWRITE g.db.t VALUES (9, 'z')")               // v3 replace
+    assert(spark.sql("SELECT count(*) FROM g.db.t").head().getLong(0) === 1L)
+    assert(spark.sql("SELECT count(*) FROM g.db.t VERSION AS OF 2").head().getLong(0) === 4L)
+    // SHOW surfaces
+    assert(spark.sql("SHOW NAMESPACES IN g").collect().map(_.getString(0)).contains("db"))
+    assert(spark.sql("SHOW TABLES IN g.db").collect().map(_.getString(1)).contains("t"))
+  }
+
+  test("catalog reads go through the parquet scan with pushdown intact") {
+    ensureDb()
+    spark.sql("CREATE TABLE g.db.pushdown (id BIGINT, v STRING) USING manifest")
+    spark.sql("INSERT INTO g.db.pushdown SELECT id, CAST(id AS STRING) FROM range(100)")
+    val df = spark.sql("SELECT id FROM g.db.pushdown WHERE id = 7")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("id"), s"no pushdown:\n$plan")
+    assert(plan.contains("ReadSchema: struct<id:bigint>"), s"no pruning:\n$plan")
+    assert(df.collect().map(_.getLong(0)).toSeq === Seq(7L))
+  }
+
+  test("CTAS creates a manifest table from the query schema") {
+    ensureDb()
+    spark.sql("CREATE TABLE g.db.ctas USING manifest AS SELECT id, id * 2 AS dbl FROM range(10)")
+    assert(spark.sql("SELECT sum(dbl) FROM g.db.ctas").head().getLong(0) === 90L)
+    assert(spark.table("g.db.ctas").schema.map(_.name) === Seq("id", "dbl"))
+  }
+
+  test("keyedlog tables are named, insertable, and filter-pushed via SQL") {
+    ensureDb()
+    spark.sql("CREATE TABLE g.db.logs (key STRING, seq BIGINT, metric BIGINT) USING keyedlog")
+    spark.sql("INSERT INTO g.db.logs VALUES ('en', 1, 10), ('de', 2, 20), ('en', 3, 30)")
+    assert(spark.sql("SELECT sum(metric) FROM g.db.logs WHERE key = 'en'")
+      .head().getLong(0) === 40L)
+    val plan = spark.sql("SELECT metric FROM g.db.logs WHERE key = 'en'")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("KeyedLogScan"), s"keyedlog scan missing:\n$plan")
+    assert(plan.contains("EqualTo(key,en)"), s"key filter not pushed:\n$plan")
+    // schema is fixed
+    intercept[Exception](
+      spark.sql("CREATE TABLE g.db.badlogs (x INT) USING keyedlog"))
+  }
+
+  test("LOCATION registers existing manifest data without moving it") {
+    ensureDb()
+    import spark.implicits._
+    val external = "file://" + Files.createTempDirectory("graft_cat_ext_").toString
+    ManifestTable.write(Seq((1L, "x"), (2L, "y")).toDF("id", "v"), external)
+    spark.sql(
+      s"CREATE TABLE g.db.ext (id BIGINT, v STRING) USING manifest LOCATION '$external'")
+    assert(spark.sql("SELECT count(*) FROM g.db.ext").head().getLong(0) === 2L)
+    spark.sql("INSERT INTO g.db.ext VALUES (3, 'z')")
+    assert(ManifestTable.read(spark, external).count() === 3L,
+      "insert through the catalog must land in the external manifest root")
+  }
+
+  test("DROP, RENAME, and error contracts") {
+    ensureDb()
+    spark.sql("CREATE TABLE g.db.tmp (id BIGINT) USING manifest")
+    spark.sql("INSERT INTO g.db.tmp VALUES (1)")
+    spark.sql("ALTER TABLE g.db.tmp RENAME TO db.tmp2")
+    assert(spark.sql("SELECT count(*) FROM g.db.tmp2").head().getLong(0) === 1L)
+    intercept[Exception](spark.table("g.db.tmp").collect())
+    spark.sql("DROP TABLE g.db.tmp2")
+    assert(!spark.sql("SHOW TABLES IN g.db").collect().map(_.getString(1)).contains("tmp2"))
+    // duplicate create rejects; IF NOT EXISTS tolerates
+    spark.sql("CREATE TABLE g.db.dup (id BIGINT) USING manifest")
+    intercept[Exception](spark.sql("CREATE TABLE g.db.dup (id BIGINT) USING manifest"))
+    spark.sql("CREATE TABLE IF NOT EXISTS g.db.dup (id BIGINT) USING manifest")
+    // VERSION AS OF on keyedlog rejects
+    spark.sql("CREATE TABLE g.db.vlog (key STRING, seq BIGINT, metric BIGINT) USING keyedlog")
+    intercept[Exception](spark.sql("SELECT * FROM g.db.vlog VERSION AS OF 1").collect())
+    // writes to a time-travel view reject
+    spark.sql("CREATE TABLE g.db.tt (id BIGINT) USING manifest")
+    spark.sql("INSERT INTO g.db.tt VALUES (1)")
+    intercept[Exception](
+      spark.sql("INSERT INTO g.db.tt VERSION AS OF 1 VALUES (2)"))
+  }
+}

@@ -3,16 +3,15 @@ package graft.core
 import java.nio.file.Files
 import java.util.concurrent.atomic.AtomicReference
 
-import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Manifest-committed table versions: commit visibility, vacuum keep-window
-  * and orphan removal, compact round-trip, and — the property the manifest
-  * exists for — a reader loop concurrent with compaction never observing a
-  * missing or half-written directory (the rename-swap window of
-  * LakeCompaction.compactParquet that ManifestTable removes). */
+/** File-manifest-committed table versions: commit visibility, append
+  * without rewrite, optimistic multi-writer commits, vacuum keep-window
+  * and orphan removal, compact round-trip (incl. rebase over a concurrent
+  * append), and — the property the manifest exists for — a reader loop
+  * concurrent with compaction never observing missing or partial data. */
 class ManifestTableSpec extends AnyFunSuite {
 
   private lazy val spark = SparkSession.builder()
@@ -30,6 +29,14 @@ class ManifestTableSpec extends AnyFunSuite {
     (1 to n).map(i => (i.toLong, s"row$i")).toDF("id", "v").repartition(parts)
   }
 
+  /** An orphan data pool: parquet written into a `d-` dir with no manifest
+    * referencing it — what a writer crash before commit leaves behind. */
+  private def writeOrphanPool(dir: String, n: Int): String = {
+    val pool = s"$dir/d-orphan-probe-$n"
+    df(n).write.parquet(pool)
+    pool
+  }
+
   test("no committed version: currentVersion None, read throws") {
     val dir = freshDir()
     assert(ManifestTable.currentVersion(dir).isEmpty)
@@ -44,6 +51,18 @@ class ManifestTableSpec extends AnyFunSuite {
     assert(ManifestTable.read(spark, dir).count() === 25L)
   }
 
+  test("append commits only delta files; base files are re-listed, not rewritten") {
+    val dir = freshDir()
+    ManifestTable.write(df(10), dir)
+    val v1Files = ManifestTable.manifest(dir, 1L).toSet
+    assert(ManifestTable.append(df(5), dir) === 2L)
+    val v2Files = ManifestTable.manifest(dir, 2L).toSet
+    assert(v1Files.subsetOf(v2Files), "append must re-list the base files")
+    assert((v2Files -- v1Files).nonEmpty, "append must add its delta files")
+    assert(ManifestTable.read(spark, dir).count() === 15L)
+    assert(ManifestTable.read(spark, dir, Some(1L)).count() === 10L)
+  }
+
   test("time travel: any unvacuumed committed version stays readable; others reject") {
     val dir = freshDir()
     ManifestTable.write(df(10), dir)
@@ -53,8 +72,8 @@ class ManifestTableSpec extends AnyFunSuite {
     assert(ManifestTable.read(spark, dir, Some(1L)).count() === 10L)
     assert(ManifestTable.read(spark, dir, Some(2L)).count() === 25L)
     assert(ManifestTable.read(spark, dir).count() === 40L)
-    // uncommitted orphan must reject, not resolve to a partial directory
-    df(99).write.parquet(ManifestTable.versionDir(dir, 4L))
+    // an uncommitted version number must reject, not resolve to anything
+    writeOrphanPool(dir, 99)
     intercept[IllegalStateException](ManifestTable.read(spark, dir, Some(4L)))
     // vacuumed-away version rejects too (marker removed with the data)
     ManifestTable.vacuum(dir, keep = 2)
@@ -62,11 +81,11 @@ class ManifestTableSpec extends AnyFunSuite {
     assert(ManifestTable.read(spark, dir, Some(2L)).count() === 25L)
   }
 
-  test("an uncommitted data directory is invisible to readers") {
+  test("an unreferenced data pool is invisible to readers") {
     val dir = freshDir()
     ManifestTable.write(df(10), dir)
-    // simulate a crash between data write and marker: v=2 data, no marker
-    df(99).write.parquet(ManifestTable.versionDir(dir, 2L))
+    // simulate a crash between data write and marker
+    writeOrphanPool(dir, 99)
     assert(ManifestTable.currentVersion(dir) === Some(1L))
     assert(ManifestTable.read(spark, dir).count() === 10L)
   }
@@ -81,42 +100,23 @@ class ManifestTableSpec extends AnyFunSuite {
     assert(ManifestTable.read(spark, dir).count() === 200L)
   }
 
-  test("vacuum removes old versions and uncommitted orphans, keeps the grace window") {
+  test("vacuum removes expired versions and crash orphans, keeps the grace window") {
     val dir = freshDir()
     ManifestTable.write(df(10), dir)  // v1
     ManifestTable.write(df(20), dir)  // v2
     ManifestTable.write(df(30), dir)  // v3
-    // crash orphan BELOW the current version (no marker for v between commits
-    // cannot happen under single-writer, but a leftover failed write can)
+    val orphan = writeOrphanPool(dir, 5)
     val fs = LakeStorage.openFor(dir)
-    df(5).write.parquet(ManifestTable.versionDir(dir, 2L) + "_tmp_orphan_probe")
+    val v2Pool = new Path(dir, ManifestTable.manifest(dir, 2L).head).getParent
+    val v3Pool = new Path(dir, ManifestTable.manifest(dir, 3L).head).getParent
     val removed = ManifestTable.vacuum(dir, keep = 2)
-    assert(removed === 1) // v1 gone; v2 kept as grace; v3 current
-    assert(!fs.exists(new Path(ManifestTable.versionDir(dir, 1L))))
-    assert(fs.exists(new Path(ManifestTable.versionDir(dir, 2L))))
-    assert(fs.exists(new Path(ManifestTable.versionDir(dir, 3L))))
+    assert(removed === 2) // v1's pool + the orphan pool; v2 grace; v3 current
+    assert(!fs.exists(new Path(orphan)))
+    assert(fs.exists(v2Pool))
+    assert(fs.exists(v3Pool))
     assert(ManifestTable.read(spark, dir).count() === 30L)
     // marker below the keep-window is gone too
-    assert(ManifestTable.currentVersion(dir) === Some(3L))
-  }
-
-  test("vacuum removes an invisible crash-orphan version directory") {
-    val dir = freshDir()
-    ManifestTable.write(df(10), dir)            // v1 committed
-    df(99).write.parquet(ManifestTable.versionDir(dir, 2L)) // orphan, no marker
-    ManifestTable.write(df(20), dir)            // writer retries -> v2 marker?
-    // NOTE: write() picks next = current+1 = 2, overwriting the orphan —
-    // which is exactly the recovery a retrying single writer performs
-    assert(ManifestTable.currentVersion(dir) === Some(2L))
-    assert(ManifestTable.read(spark, dir).count() === 20L)
-    // an orphan ABOVE the current version (crash after data, before marker)
-    df(7).write.parquet(ManifestTable.versionDir(dir, 3L))
-    assert(ManifestTable.read(spark, dir).count() === 20L) // still invisible
-    val removed = ManifestTable.vacuum(dir, keep = 1)
-    // v1 below keep-window removed; v=3 orphan is NOT below the current
-    // version so it is retained for the retrying writer to overwrite
-    assert(removed === 1)
-    assert(ManifestTable.read(spark, dir).count() === 20L)
+    assert(ManifestTable.allVersions(dir) === Seq(2L, 3L))
   }
 
   test("vacuum(keep=1) after repeated compaction leaves only the current version") {
@@ -129,7 +129,50 @@ class ManifestTableSpec extends AnyFunSuite {
     assert(ManifestTable.read(spark, dir).count() === 50L)
   }
 
-  test("reader loop concurrent with compaction never sees a missing or partial version") {
+  test("two interleaved appenders commit sequential versions, no data loss") {
+    val dir = freshDir()
+    ManifestTable.write(df(10), dir) // v1: rows 1..10
+    val failure = new AtomicReference[Throwable](null)
+    val threads = (0 until 2).map { t =>
+      new Thread(() => {
+        try (1 to 5).foreach { _ => ManifestTable.append(df(3), dir) }
+        catch { case x: Throwable => failure.compareAndSet(null, x) }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join(60000))
+    assert(failure.get() === null, s"appender failed: ${failure.get()}")
+    // 10 appends of 3 rows each on top of 10: every committed append kept
+    assert(ManifestTable.currentVersion(dir) === Some(11L))
+    assert(ManifestTable.allVersions(dir) === (1L to 11L))
+    assert(ManifestTable.read(spark, dir).count() === 10L + 10L * 3L)
+  }
+
+  test("compact rebases over a concurrent append instead of dropping it") {
+    val dir = freshDir()
+    ManifestTable.write(df(100, parts = 8), dir) // v1
+    // interleave: start a compaction-like rewrite of v1, then append, then
+    // let the compaction commit — its manifest must carry the appended files
+    val appended = ManifestTable.append(df(7), dir) // v2 lands "during" compact
+    assert(appended === 2L)
+    // compact reads current (v2: 107 rows) — to exercise the REBASE path we
+    // call the internals the way a racing compactor would: compact() itself
+    // re-reads before committing, so race it with a real thread.
+    val raceDir = freshDir()
+    ManifestTable.write(df(100, parts = 8), raceDir)
+    val appender = new Thread(() => {
+      (1 to 5).foreach { _ => ManifestTable.append(df(2), raceDir) }
+    })
+    appender.start()
+    val compactor = new Thread(() => {
+      (1 to 3).foreach { _ => ManifestTable.compact(spark, raceDir) }
+    })
+    compactor.start()
+    appender.join(60000); compactor.join(60000)
+    assert(ManifestTable.read(spark, raceDir).count() === 100L + 5L * 2L,
+      "a compaction commit dropped a concurrently appended file")
+  }
+
+  test("reader loop concurrent with compaction never sees missing or partial data") {
     val dir = freshDir()
     ManifestTable.write(df(300, parts = 12), dir)
     val failure = new AtomicReference[Throwable](null)
@@ -148,7 +191,7 @@ class ManifestTableSpec extends AnyFunSuite {
     try {
       // compact repeatedly while the reader hammers; also vacuum with a
       // grace version so a reader that resolved the manifest just before a
-      // commit still finds its directory
+      // commit still finds its files
       (1 to 3).foreach { _ =>
         ManifestTable.compact(spark, dir)
         ManifestTable.vacuum(dir, keep = 2)
