@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.functions.VectorFunctions._
 import org.apache.spark.sql.{DataFrame, Encoder, Encoders}
-import org.apache.spark.sql.expressions.{Aggregator, Window}
+import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 
 /** Similarity search over embedding columns (SURVEY.md §2 Part B
@@ -126,30 +126,44 @@ object Similarity {
   /** IVF top-k: assign every corpus vector to its nearest centroid, then for
     * each query search only the `nprobe` closest clusters exhaustively.
     * Deterministic given the centroid set; approximate vs. brute force only
-    * through cluster pruning. */
+    * through cluster pruning.
+    *
+    * Every selection step — corpus→centroid top-1, query→nprobe probes, the
+    * final per-query top-k — runs through the bounded-heap [[TopKByScore]]
+    * aggregator, NOT `row_number` windows: a window formulation full-sorts
+    * each group's candidate set (every corpus vector's K centroid scores;
+    * every member of a hot cluster per query probing it), while the heap
+    * keeps O(k) state per group with map-side partial aggregation. Ordering
+    * semantics are identical (score desc, id asc; see TopKByScore), so the
+    * output matches the window formulation bit-for-bit. */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, cents: DataFrame,
               k: Int, nprobe: Int): DataFrame = {
-    // corpus -> nearest centroid (broadcast join against K centroids)
-    val wAssign = Window.partitionBy(col("id")).orderBy(col("c_cos").desc, col("cluster"))
+    val top1 = udaf(new TopKByScore(1), ExpressionEncoderHelp.scored)
+    val topProbe = udaf(new TopKByScore(nprobe), ExpressionEncoderHelp.scored)
+    val topK = udaf(new TopKByScore(k), ExpressionEncoderHelp.scored)
+    // corpus -> nearest centroid (broadcast join against K centroids;
+    // heap-select top-1, carrying the vector through the aggregate)
     val assigned = corpus.crossJoin(broadcast(cents))
       .withColumn("c_cos", cosineSimilarity(col("vec"), col("centroid")))
-      .withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1)
-      .select(col("id"), col("vec"), col("cluster"))
+      .groupBy(col("id"))
+      .agg(top1(col("cluster").cast("long"), col("c_cos")).as("top"),
+        first(col("vec")).as("vec"))
+      .select(col("id"), col("vec"), element_at(col("top"), 1).getField("id").as("cluster"))
     // query -> nprobe nearest centroids
-    val wProbe = Window.partitionBy(col("q_id")).orderBy(col("q_cos").desc, col("cluster"))
     val probes = queries.crossJoin(broadcast(cents))
       .withColumn("q_cos", cosineSimilarity(col("q_vec"), col("centroid")))
-      .withColumn("rn", row_number().over(wProbe))
-      .filter(col("rn") <= nprobe)
-      .select(col("q_id"), col("q_vec"), col("cluster"))
+      .groupBy(col("q_id"))
+      .agg(topProbe(col("cluster").cast("long"), col("q_cos")).as("top"),
+        first(col("q_vec")).as("q_vec"))
+      .select(col("q_id"), col("q_vec"), explode(col("top").getField("id")).as("cluster"))
     // exact search within probed clusters only
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("id"))
     assigned.join(broadcast(probes), Seq("cluster"))
       .withColumn("cosine", round(cosineSimilarity(col("q_vec"), col("vec")), 6))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("rank"), col("id"), col("cosine"))
+      .groupBy(col("q_id"))
+      .agg(topK(col("id"), col("cosine")).as("top"))
+      .select(col("q_id"), posexplode(col("top")))
+      .select(col("q_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.id").as("id"), col("col.score").as("cosine"))
   }
 }
 

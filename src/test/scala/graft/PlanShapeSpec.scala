@@ -194,6 +194,19 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("ivfTopK has no Window or Sort anywhere (heap selection end to end)") {
+    val p = plan(SparkEntry.queries("qv02_ivf_ann")(spark, sf))
+    // every selection (assignment top-1, probe top-n, final top-k) must be
+    // a bounded-heap aggregate; the final .orderBy of the gate query is the
+    // presentation sort, which plans as TakeOrdered/Sort over <= q*k rows —
+    // so assert no WINDOW node and no sort UPSTREAM of the last aggregate
+    assert(!p.contains("Window"), s"window selection survived in ivfTopK:\n$p")
+    val lastAgg = p.lastIndexOf("ObjectHashAggregate")
+    assert(lastAgg >= 0, s"heap aggregate missing from plan:\n$p")
+    assert(!p.substring(lastAgg).contains("Sort "),
+      s"sort upstream of the selection aggregates:\n$p")
+  }
+
   test("partition-pruned scan reads only matching partition dirs (qc10 shape)") {
     val out = java.nio.file.Files.createTempDirectory("graft_prune_").toString
     Tables.orders(spark, sf)
