@@ -102,12 +102,40 @@ object Similarity {
       .agg(agg(col(vecCol)).as("centroid"))
   }
 
+  /** Deterministic seeded pseudo-Gaussian hyperplanes for sign-LSH,
+    * independent of the data distribution (the production property
+    * data-derived planes lack: a skewed corpus cannot bias the cuts, and
+    * the planes never change as data arrives).
+    *
+    * Component (p, j) comes from a MINSTD LCG seeded by (plane, dim) and an
+    * Irwin-Hall(3) sum mapped to [-1.5, 1.5) — approximately Gaussian by
+    * the central limit theorem, which is all sign-LSH needs (direction
+    * symmetry). Every step is exact 64-bit integer arithmetic (all values
+    * < 2^48) followed by one IEEE division and subtraction, so ANY engine
+    * replays the planes bit-for-bit from the formula alone — the DuckDB
+    * oracle regenerates them in SQL with no data dependency. */
+  def seededHyperplanes(spark: org.apache.spark.sql.SparkSession,
+                        numPlanes: Int, dim: Int,
+                        seed: Long = 9369319L): DataFrame = {
+    val m = 2147483647L // 2^31 - 1 (MINSTD modulus)
+    def lcg(x: org.apache.spark.sql.Column) = (x * lit(48271L)) % lit(m)
+    spark.range(numPlanes.toLong).select(
+      col("id").cast("int").as("h_id"),
+      transform(sequence(lit(0), lit(dim - 1)), j => {
+        val s0 = (col("id") * lit(131071L) + j.cast("long") * lit(524287L) +
+          lit(seed)) % lit(m)
+        val s1 = lcg(s0)
+        val s2 = lcg(s1)
+        val s3 = lcg(s2)
+        (s1 + s2 + s3).cast("double") / lit(m.toDouble) - lit(1.5)
+      }).as("h_vec"))
+  }
+
   /** Sign-LSH (random-hyperplane) bucket assignment: bit i of the bucket id
     * is the sign of dot(vec, hyperplane_i). Vectors within a small angle
     * land in the same bucket with high probability, so ANN probing reduces
-    * to an equi-join on bucket — the other scale path next to IVF (here the
-    * hyperplanes are data-derived so the oracle can replay them; production
-    * would draw Gaussian hyperplanes from a fixed seed).
+    * to an equi-join on bucket — the other scale path next to IVF (draw
+    * `hyper` from [[seededHyperplanes]] for data-independent cuts).
     *
     * hyper: (h_id: Int in [0, 63], h_vec: Array[Float]); broadcast —
     * the corpus is scanned exactly once (crossJoin is corpus x numPlanes

@@ -343,13 +343,12 @@ object TextQueries extends QueryModule {
 
     // --- embedding-cosine near-dup pairs, banded-sign-LSH blocked: the
     //     pair join is an equi-join on (band, bucket) — 4 bands x 4
-    //     hyperplanes (data-derived, vec_id 0..15, so DuckDB replays the
-    //     identical bucketing; production would draw seeded Gaussians) —
-    //     never an all-pairs self cross-product ---
+    //     SEEDED pseudo-Gaussian hyperplanes (data-independent; the oracle
+    //     regenerates them from the same integer-LCG formula) — never an
+    //     all-pairs self cross-product ---
     "qd05_dedup_embedding" -> { (s, d) =>
       val emb = Tables.embeddings(s, d)
-      val hyper = emb.filter(col("vec_id") < 16)
-        .select(col("vec_id").cast("int").as("h_id"), col("embedding").as("h_vec"))
+      val hyper = graft.operators.Similarity.seededHyperplanes(s, numPlanes = 16, dim = 64)
       Dedup.embeddingLshPairs(
           emb.select(col("vec_id"), col("embedding")), "vec_id", "embedding",
           hyper, numBands = 4, planesPerBand = 4, threshold = 0.45)
@@ -635,9 +634,7 @@ object TextQueries extends QueryModule {
          GROUP BY tr.doc_id ORDER BY tr.doc_id""",
 
     "qd05_dedup_embedding" ->
-      """WITH h AS (SELECT CAST(vec_id AS INTEGER) AS h_id,
-                      CAST(embedding AS DOUBLE[]) AS hv
-                    FROM embeddings WHERE vec_id < 16),
+      s"""WITH ${VectorQueries.seededPlanesCte(numPlanes = 16, dim = 64)},
          b AS (SELECT e.vec_id AS doc_id, CAST(h.h_id // 4 AS INTEGER) AS band,
                  CAST(sum(CASE WHEN list_dot_product(CAST(e.embedding AS DOUBLE[]), h.hv) > 0
                                THEN CAST(power(2, h.h_id % 4) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket

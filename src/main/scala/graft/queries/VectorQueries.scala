@@ -16,6 +16,23 @@ object VectorQueries extends QueryModule {
   private val k = 10
   private val nprobe = 2
 
+  /** DuckDB CTE fragment regenerating [[Similarity.seededHyperplanes]] as
+    * `h(h_id, hv DOUBLE[])` — same MINSTD LCG + Irwin-Hall(3) formula,
+    * exact integer steps + one IEEE division, so the planes match Spark's
+    * bit-for-bit with no data dependency. */
+  private[queries] def seededPlanesCte(numPlanes: Int, dim: Int): String =
+    s"""_hp AS (SELECT p, j,
+            ((p*131071 + j*524287 + 9369319) % 2147483647) * 48271 % 2147483647 AS s1
+          FROM generate_series(0, ${numPlanes - 1}) t(p),
+               generate_series(0, ${dim - 1}) u(j)),
+        _hp2 AS (SELECT p, j, s1,
+            s1*48271%2147483647 AS s2,
+            s1*48271%2147483647*48271%2147483647 AS s3
+          FROM _hp),
+        h AS (SELECT CAST(p AS INTEGER) AS h_id,
+            list(CAST(s1+s2+s3 AS DOUBLE)/2147483647.0 - 1.5 ORDER BY j) AS hv
+          FROM _hp2 GROUP BY p)"""
+
   override val queries: Map[String, Q] = Map(
     // --- exact brute-force top-k (map-only: broadcast queries, scan corpus
     //     once, per-query top-k window) ---
@@ -41,12 +58,13 @@ object VectorQueries extends QueryModule {
         .orderBy("q_id", "rank")
     },
 
-    // --- sign-LSH bucketed ANN: 8 data-derived hyperplanes -> 256 buckets;
-    //     probe = equi-join on bucket, exact cosine rank within bucket ---
+    // --- sign-LSH bucketed ANN: 8 seeded pseudo-Gaussian hyperplanes ->
+    //     256 buckets (data-independent cuts, replayed by the oracle from
+    //     the same integer-LCG formula); probe = equi-join on bucket,
+    //     exact cosine rank within bucket ---
     "qv04_lsh_ann" -> { (s, d) =>
       val emb = Tables.embeddings(s, d)
-      val hyper = emb.filter(col("vec_id") < 8)
-        .select(col("vec_id").cast("int").as("h_id"), col("embedding").as("h_vec"))
+      val hyper = Similarity.seededHyperplanes(s, numPlanes = 8, dim = dim)
       val buckets = Similarity.signLshBuckets(
         emb.select(col("vec_id"), col("embedding")), "vec_id", "embedding", hyper)
       val withB = emb.join(buckets, "vec_id")
@@ -124,9 +142,7 @@ object VectorQueries extends QueryModule {
           WHERE rank <= 5 ORDER BY q_id, rank""",
 
     "qv04_lsh_ann" ->
-      """WITH h AS (SELECT CAST(vec_id AS INTEGER) AS h_id,
-                      CAST(embedding AS DOUBLE[]) AS hv
-                    FROM embeddings WHERE vec_id < 8),
+      s"""WITH ${seededPlanesCte(numPlanes = 8, dim = 64)},
           b AS (SELECT e.vec_id,
                   CAST(sum(CASE WHEN list_dot_product(CAST(e.embedding AS DOUBLE[]), h.hv) > 0
                                 THEN CAST(power(2, h.h_id) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket

@@ -235,6 +235,32 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("seeded hyperplanes: deterministic, data-free, roughly centered") {
+    val h1 = Similarity.seededHyperplanes(spark, numPlanes = 8, dim = 64).collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1)))
+    val h2 = Similarity.seededHyperplanes(spark, numPlanes = 8, dim = 64).collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1)))
+    assert(h1.toSeq === h2.toSeq, "same seed must give identical planes")
+    val vals = h1.flatMap(_._2)
+    assert(vals.length === 8 * 64)
+    assert(vals.forall(v => v >= -1.5 && v < 1.5))
+    val mean = vals.sum / vals.length
+    assert(math.abs(mean) < 0.1, s"plane components should center near 0, mean=$mean")
+    // every plane distinct (no degenerate LCG collapse)
+    assert(h1.map(_._2).distinct.length === 8)
+  }
+
+  test("embedding cosine pairs respect the required blocking column") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f), "a"), (2L, Array(1.0f, 0.01f), "a"),
+      (3L, Array(1.0f, 0.0f), "b")) // identical to 1 but in another block
+      .toDF("id", "vec", "blk")
+    val pairs = Dedup.embeddingCosinePairs(vecs, "id", "vec", 0.9, blockCol = "blk")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 2L)), "cross-block pairs must not be compared")
+  }
+
   test("decode stub is deterministic and dimension-bounded") {
     val media = Seq(
       Multimodal.MediaRow(1L, "hello world frame data".getBytes("UTF-8"), "text/plain"),
