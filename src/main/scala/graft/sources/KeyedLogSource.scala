@@ -392,6 +392,109 @@ case class KeyedLogReaderFactory(required: StructType, pushed: Array[Filter],
       case None    => new KeyedLogReader(file, required, pushed, conf)
     }
   }
+
+  /** Plain scans deliver ColumnarBatches (parquet-style vectorized hand-off
+    * into whole-stage codegen); aggregate-pushdown scans emit a handful of
+    * partial rows per file, where batching buys nothing. */
+  override def supportColumnarReads(partition: InputPartition): Boolean = agg.isEmpty
+  override def createColumnarReader(partition: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+    new KeyedLogColumnarReader(
+      partition.asInstanceOf[KeyedLogPartition].file, required, pushed, conf)
+}
+
+/** Vectorized reader: parses lines straight into on-heap column vectors,
+  * one [[org.apache.spark.sql.vectorized.ColumnarBatch]] per `batchSize`
+  * rows. Spark consumes the batch columnar (ColumnarToRow fuses into
+  * whole-stage codegen), which removes the per-row InternalRow allocation
+  * and virtual next()/get() calls of the row reader — the same reason the
+  * built-in parquet scan is vectorized. Parsing, key-filter pushdown, and
+  * null semantics are shared with [[KeyedLogReader]] via [[KeyedLogLines]].
+  */
+class KeyedLogColumnarReader(file: String, required: StructType,
+    pushed: Array[Filter], conf: org.apache.spark.util.SerializableConfiguration,
+    batchSize: Int = 4096)
+    extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+  import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+  import org.apache.spark.sql.vectorized.ColumnarBatch
+
+  private val lines = new KeyedLogLines(file, pushed, conf)
+  private val fieldNames = required.fields.map(_.name)
+  private val vectors = OnHeapColumnVector.allocateColumns(batchSize, required)
+  private val batch = new ColumnarBatch(vectors.asInstanceOf[Array[org.apache.spark.sql.vectorized.ColumnVector]])
+
+  override def next(): Boolean = {
+    var i = 0
+    while (i < vectors.length) { vectors(i).reset(); i += 1 }
+    var n = 0
+    while (n < batchSize && lines.advance()) {
+      var c = 0
+      while (c < fieldNames.length) {
+        val v = vectors(c)
+        fieldNames(c) match {
+          case "key" =>
+            val k = lines.key
+            if (k == null) v.putNull(n)
+            else { val b = k.getBytes("UTF-8"); v.putByteArray(n, b, 0, b.length) }
+          case "seq" =>
+            if (lines.seqIsNull) v.putNull(n) else v.putLong(n, lines.seq)
+          case "metric" =>
+            if (lines.metricIsNull) v.putNull(n) else v.putLong(n, lines.metric)
+        }
+        c += 1
+      }
+      n += 1
+    }
+    batch.setNumRows(n)
+    n > 0
+  }
+  override def get(): ColumnarBatch = batch
+  override def close(): Unit = { lines.close(); batch.close() }
+}
+
+/** Shared line scanner for the row and columnar readers: reads, splits,
+  * applies pushed key predicates, and exposes the current row's parsed
+  * fields. `advance()` positions on the next passing line. */
+private[sources] class KeyedLogLines(file: String, pushed: Array[Filter],
+    conf: org.apache.spark.util.SerializableConfiguration) {
+  private val fs = new Path(file).getFileSystem(conf.value)
+  private val in = new java.io.BufferedReader(
+    new java.io.InputStreamReader(fs.open(new Path(file)), "UTF-8"))
+
+  var key: String = _
+  var seq: Long = _
+  var seqIsNull: Boolean = true
+  var metric: Long = _
+  var metricIsNull: Boolean = true
+
+  private def keyPasses(k: String): Boolean = pushed.forall {
+    case EqualTo("key", v: String) => k != null && k == v
+    case In("key", vs)             => k != null && vs.contains(k)
+    case IsNotNull("key")          => k != null
+    case _                         => true
+  }
+
+  def advance(): Boolean = {
+    var line = in.readLine()
+    while (line != null) {
+      val parts = line.split("\t", -1)
+      val k = if (parts.nonEmpty && parts(0).nonEmpty) parts(0) else null
+      if (keyPasses(k)) {
+        key = k
+        seqIsNull = true; metricIsNull = true
+        if (parts.length > 1) try {
+          seq = java.lang.Long.parseLong(parts(1).trim); seqIsNull = false
+        } catch { case _: NumberFormatException => () }
+        if (parts.length > 2) try {
+          metric = java.lang.Long.parseLong(parts(2).trim); metricIsNull = false
+        } catch { case _: NumberFormatException => () }
+        return true
+      }
+      line = in.readLine()
+    }
+    false
+  }
+  def close(): Unit = in.close()
 }
 
 /** Per-file pre-aggregation: one pass over the lines builds a per-group
@@ -474,43 +577,21 @@ class KeyedLogAggReader(file: String, agg: KeyedLogAgg, pushed: Array[Filter],
 
 class KeyedLogReader(file: String, required: StructType, pushed: Array[Filter],
     conf: org.apache.spark.util.SerializableConfiguration) extends PartitionReader[InternalRow] {
-  private val fs = new Path(file).getFileSystem(conf.value)
-  private val in = new java.io.BufferedReader(
-    new java.io.InputStreamReader(fs.open(new Path(file)), "UTF-8"))
+  private val lines = new KeyedLogLines(file, pushed, conf)
   private val fieldNames = required.fields.map(_.name) // hoisted off the per-row path
   private var row: InternalRow = _
 
-  // evaluate pushed key predicates against the parsed key (null key only
-  // passes when no predicate mentions the column)
-  private def keyPasses(key: String): Boolean = pushed.forall {
-    case EqualTo("key", v: String) => key != null && key == v
-    case In("key", vs)             => key != null && vs.contains(key)
-    case IsNotNull("key")          => key != null
-    case _                         => true
-  }
-
-  private def toLong(s: String): Any =
-    try java.lang.Long.parseLong(s.trim) catch { case _: NumberFormatException => null }
-
   override def next(): Boolean = {
-    var line = in.readLine()
-    while (line != null) {
-      val parts = line.split("\t", -1)
-      val key = if (parts.nonEmpty && parts(0).nonEmpty) parts(0) else null
-      if (keyPasses(key)) {
-        // build ONLY the pruned columns, in the order Spark asked for
-        val values = fieldNames.map {
-          case "key"    => if (key == null) null else UTF8String.fromString(key)
-          case "seq"    => if (parts.length > 1) toLong(parts(1)) else null
-          case "metric" => if (parts.length > 2) toLong(parts(2)) else null
-        }
-        row = InternalRow.fromSeq(values.toIndexedSeq)
-        return true
-      }
-      line = in.readLine()
+    if (!lines.advance()) return false
+    // build ONLY the pruned columns, in the order Spark asked for
+    val values = fieldNames.map {
+      case "key"    => if (lines.key == null) null else UTF8String.fromString(lines.key)
+      case "seq"    => if (lines.seqIsNull) null else lines.seq
+      case "metric" => if (lines.metricIsNull) null else lines.metric
     }
-    false
+    row = InternalRow.fromSeq(values.toIndexedSeq)
+    true
   }
   override def get(): InternalRow = row
-  override def close(): Unit = in.close()
+  override def close(): Unit = lines.close()
 }

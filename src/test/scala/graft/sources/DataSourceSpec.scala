@@ -258,6 +258,36 @@ class DataSourceSpec extends AnyFunSuite {
       s"restart re-read or dropped files: $rows")
   }
 
+  test("plain scans are columnar (vectorized batches), agg-pushdown scans are not") {
+    val dir = fixture()
+    val plain = read(dir).filter(col("key") === "en")
+    val plainPlan = plain.queryExecution.executedPlan
+    assert(plainPlan.toString.contains("ColumnarToRow"),
+      s"plain scan not vectorized:\n$plainPlan")
+    // columnar and row readers agree bit-for-bit (same parser underneath)
+    assert(plain.collect().map(r => (r.getString(0), Option(r.get(1)), Option(r.get(2)))).toSet
+      === Set(("en", Some(1L), Some(100L)), ("en", Some(3L), Some(300L)),
+        ("en", Some(4L), Some(50L))))
+    // aggregate pushdown emits a few partial rows per file — row-based
+    val agg = read(dir).groupBy("key").count()
+    val aggPlan = agg.queryExecution.executedPlan.toString
+    assert(aggPlan.contains("PushedAggregates"), s"agg not pushed:\n$aggPlan")
+  }
+
+  test("columnar batches handle nulls and >1 batch of rows") {
+    val dir = Files.createTempDirectory("graft_klog_col_").toString
+    val sb = new StringBuilder
+    (1 to 10000).foreach { i =>
+      if (i % 1000 == 0) sb.append(s"\t$i\t\n")        // null key + null metric
+      else sb.append(s"k${i % 7}\t$i\t${i * 2}\n")
+    }
+    Files.write(java.nio.file.Paths.get(dir, "big.log"), sb.toString.getBytes("UTF-8"))
+    val df = read(dir)
+    assert(df.count() === 10000L)
+    assert(df.filter(col("key").isNull).count() === 10L)
+    assert(df.agg(sum("seq")).head().getLong(0) === (1L to 10000L).sum)
+  }
+
   test("batch task retry commits the same final name — no duplicate rows") {
     val dir = Files.createTempDirectory("graft_klog_retry_").toString
     val _ = spark.sparkContext
