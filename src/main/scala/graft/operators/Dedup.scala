@@ -168,12 +168,21 @@ object Dedup {
     } finally if (materialize) { sig.unpersist(); sh.unpersist() }
   }
 
+  /** The persistable LSH index of a corpus: one (doc_id, band, bucket) row
+    * per document per band — the same signature/banding algebra as
+    * [[minhashLshPairs]]. A production pipeline computes this ONCE, writes
+    * it as a [[graft.core.ManifestTable]] version, and has every
+    * incremental batch probe the stored index
+    * ([[minhashLshPairsAgainstIndex]]): the corpus text is re-read only
+    * for verification candidates, never re-shingled wholesale. */
+  def lshIndex(docs: DataFrame, idCol: String, textCol: String, n: Int,
+               numBands: Int = 16, rowsPerBand: Int = 4): DataFrame =
+    bandBuckets(shingleSet(docs, idCol, textCol, n), numBands, rowsPerBand)
+
   /** (doc_id, band, bucket) LSH index rows for a distinct (doc_id, s)
-    * shingle table — the same signature/banding algebra as
-    * [[minhashLshPairs]] (kept inline there to persist the signature
-    * stage across its self-join), packaged as the index table a
-    * production pipeline PERSISTS so each incremental batch hashes only
-    * itself (see [[minhashLshPairsAgainst]]). */
+    * shingle table — the banding core of [[lshIndex]] (kept separate so
+    * [[minhashLshPairs]] can persist the signature stage across its
+    * self-join). */
   private def bandBuckets(sh: DataFrame, numBands: Int, rowsPerBand: Int): DataFrame = {
     val numHashes = numBands * rowsPerBand
     val hashAggs = (0 until numHashes).map(i => min(xxhash64(col("_h"), lit(i))).as(s"h$i"))
@@ -209,27 +218,47 @@ object Dedup {
                              idCol: String, textCol: String,
                              n: Int, threshold: Double,
                              numBands: Int = 16, rowsPerBand: Int = 4,
-                             materialize: Boolean = true): DataFrame = {
-    // both shingle tables feed two consumers each (buckets + verify) and
-    // `candidates` feeds three joins — scope-persist them so the corpus
-    // tokenize/signature lineage runs ONCE per call, not once per
-    // consumer (same pattern + tradeoff as minhashLshPairs; pass
-    // materialize=false for the fully lazy composable plan)
-    val corpusShP = shingleSet(corpus, idCol, textCol, n)
+                             materialize: Boolean = true): DataFrame =
+    // one-shot form: compute the corpus index inline. Steady state
+    // persists lshIndex(...) once (e.g. a ManifestTable version) and calls
+    // minhashLshPairsAgainstIndex so no batch ever re-shingles the corpus.
+    minhashLshPairsAgainstIndex(corpus,
+      lshIndex(corpus, idCol, textCol, n, numBands, rowsPerBand), delta,
+      idCol, textCol, n, threshold, numBands, rowsPerBand, materialize)
+
+  /** [[minhashLshPairsAgainst]] against a PRE-BUILT corpus index (the
+    * stored-index steady state): candidates come from the delta's bands
+    * probing `corpusIndex` — the corpus is never re-shingled for banding —
+    * and the exact-Jaccard verify re-shingles only CANDIDATE docs from
+    * each side (the candidate-id semi-join runs against the raw docs
+    * BEFORE tokenization, so the work is proportional to candidates, not
+    * corpus size). `corpusIndex` must be (doc_id, band, bucket) built by
+    * [[lshIndex]] with the same (n, numBands, rowsPerBand). */
+  def minhashLshPairsAgainstIndex(corpus: DataFrame, corpusIndex: DataFrame,
+                                  delta: DataFrame,
+                                  idCol: String, textCol: String,
+                                  n: Int, threshold: Double,
+                                  numBands: Int = 16, rowsPerBand: Int = 4,
+                                  materialize: Boolean = true): DataFrame = {
+    // the delta shingles feed banding + verify; candidates feed three
+    // joins — scope-persist both (see ngramJaccardPairs for the tradeoff
+    // and the materialize=false fully-lazy alternative)
     val deltaShP = shingleSet(delta, idCol, textCol, n)
-    val corpusSh = if (materialize) corpusShP.persist() else corpusShP
     val deltaSh = if (materialize) deltaShP.persist() else deltaShP
     try {
-      val candidatesP = bandBuckets(corpusSh, numBands, rowsPerBand).as("x")
+      val candidatesP = corpusIndex.as("x")
         .join(bandBuckets(deltaSh, numBands, rowsPerBand).as("y"),
           col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket"))
         .select(col("x.doc_id").as("corpus_id"), col("y.doc_id").as("delta_id"))
         .distinct()
       val candidates = if (materialize) candidatesP.persist() else candidatesP
       try {
-        val candCo = corpusSh.join(
-          broadcast(candidates.select(col("corpus_id").as("doc_id")).distinct()),
-          Seq("doc_id"), "left_semi")
+        // corpus text is touched only for candidate docs: semi-join the RAW
+        // docs first, shingle after — the full corpus is never re-tokenized
+        val corpusCandDocs = corpus.join(
+          broadcast(candidates.select(col("corpus_id").as(idCol)).distinct()),
+          Seq(idCol), "left_semi")
+        val candCo = shingleSet(corpusCandDocs, idCol, textCol, n)
         val candDe = deltaSh.join(
           broadcast(candidates.select(col("delta_id").as("doc_id")).distinct()),
           Seq("doc_id"), "left_semi")
@@ -247,7 +276,7 @@ object Dedup {
           .select(col("corpus_id"), col("delta_id"), round(col("jaccard"), 4).as("jaccard"))
         if (materialize) out.localCheckpoint() else out
       } finally if (materialize) candidates.unpersist()
-    } finally if (materialize) { corpusSh.unpersist(); deltaSh.unpersist() }
+    } finally if (materialize) deltaSh.unpersist()
   }
 
   /** Connected components over a near-dup pair list — the clustering step

@@ -329,6 +329,26 @@ object TextQueries extends QueryModule {
         .orderBy("corpus_id", "delta_id")
     },
 
+    // --- stored-index incremental dedup: batch 1 WRITES the corpus LSH
+    //     index as a ManifestTable version; batch 2 READS it back and
+    //     probes it with the delta — the plan provably never re-shingles
+    //     the corpus (asserted in OperatorsSpec), the steady-state shape
+    //     of continuously ingested training data ---
+    "qd09_index_dedup" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val corpus = docs.filter(col("doc_id") % 5 =!= 4)
+      val delta = docs.filter(col("doc_id") % 5 === 4)
+      val idxDir = graft.core.TempDirs.create("graft_lshidx_")
+      // batch 1: build + persist the index (one committed version)
+      graft.core.ManifestTable.write(
+        Dedup.lshIndex(corpus, "doc_id", "text", n = 3), idxDir)
+      // batch 2: read the stored index, probe with the delta
+      val idx = graft.core.ManifestTable.read(s, idxDir)
+      Dedup.minhashLshPairsAgainstIndex(corpus, idx, delta,
+          "doc_id", "text", n = 3, threshold = 0.8)
+        .orderBy("corpus_id", "delta_id")
+    },
+
     // --- benchmark decontamination: train docs sharing any 3-gram shingle
     //     with the (hash-split) eval slice — one equi-join on the shingle,
     //     eval side broadcast-sized, train corpus never shuffled ---
@@ -607,6 +627,20 @@ object TextQueries extends QueryModule {
       s"""WITH $shingleCte,
          co AS (SELECT doc_id, s FROM sh WHERE doc_id % 4 != 3),
          de AS (SELECT doc_id, s FROM sh WHERE doc_id % 4 = 3),
+         xp AS (SELECT co.doc_id AS corpus_id, de.doc_id AS delta_id,
+                  count(*) AS inter
+                FROM co JOIN de ON co.s = de.s GROUP BY 1, 2)
+         SELECT corpus_id, delta_id,
+           round(inter*1.0/(s1.n_sh + s2.n_sh - inter), 4) AS jaccard
+         FROM xp p JOIN sizes s1 ON p.corpus_id = s1.doc_id
+                   JOIN sizes s2 ON p.delta_id = s2.doc_id
+         WHERE inter*1.0/(s1.n_sh + s2.n_sh - inter) >= 0.8
+         ORDER BY corpus_id, delta_id""",
+
+    "qd09_index_dedup" ->
+      s"""WITH $shingleCte,
+         co AS (SELECT doc_id, s FROM sh WHERE doc_id % 5 != 4),
+         de AS (SELECT doc_id, s FROM sh WHERE doc_id % 5 = 4),
          xp AS (SELECT co.doc_id AS corpus_id, de.doc_id AS delta_id,
                   count(*) AS inter
                 FROM co JOIN de ON co.s = de.s GROUP BY 1, 2)

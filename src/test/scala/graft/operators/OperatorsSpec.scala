@@ -81,6 +81,56 @@ class OperatorsSpec extends AnyFunSuite {
     assert(lsh === exact)
   }
 
+  test("stored-index dedup: same pairs as one-shot; corpus never re-shingled") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val corpus = docs.filter(col("doc_id") % 5 =!= 4)
+    val delta = docs.filter(col("doc_id") % 5 === 4)
+    val idxDir = "file://" + java.nio.file.Files
+      .createTempDirectory("graft_lshidx_spec_").toString
+    graft.core.ManifestTable.write(
+      Dedup.lshIndex(corpus, "doc_id", "text", 3), idxDir)
+    val idx = graft.core.ManifestTable.read(spark, idxDir)
+    val viaIndex = Dedup.minhashLshPairsAgainstIndex(
+      corpus, idx, delta, "doc_id", "text", 3, 0.8)
+    val oneShot = Dedup.minhashLshPairsAgainst(
+      corpus, delta, "doc_id", "text", 3, 0.8)
+    assert(viaIndex.collect().toSet === oneShot.collect().toSet)
+    // plan proof: with an in-memory delta, every minhash signature
+    // aggregation in the plan must sit over the delta (LocalRelation) —
+    // if the corpus were re-shingled for banding, a 64-hash Aggregate
+    // whose subtree scans documents.parquet would appear. (The lazy plan
+    // replicates the delta agg once per join branch; all copies are
+    // delta-side.) materialize=false keeps the plan inspectable.
+    val deltaLocal = Seq((900001L, "spark join filter window batch stream"))
+      .toDF("doc_id", "text")
+    val lazyPlan = Dedup.minhashLshPairsAgainstIndex(
+      corpus, idx, deltaLocal, "doc_id", "text", 3, 0.8, materialize = false)
+      .queryExecution.optimizedPlan
+    val sigAggNodes = lazyPlan.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate
+          if a.aggregateExpressions.map(_.toString)
+            .count(_.contains("min(xxhash64")) >= 64 => a
+    }
+    assert(sigAggNodes.nonEmpty, "signature aggregation missing entirely")
+    def scansFile(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+                  marker: String): Boolean =
+      p.collectLeaves().exists {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          l.relation match {
+            case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              fs.location.rootPaths.exists(_.toString.contains(marker))
+            case _ => false
+          }
+        case _ => false
+      }
+    val corpusSigAggs = sigAggNodes.filter(scansFile(_, "documents.parquet"))
+    assert(corpusSigAggs.isEmpty,
+      "the corpus was re-shingled for banding — the stored index must be the only source")
+    // and the index is read from its stored parquet files, not recomputed
+    assert(scansFile(lazyPlan, "graft_lshidx_spec_"),
+      "plan does not scan the stored index")
+  }
+
   test("stop-shingle cap never invents pairs") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val uncapped = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8)
