@@ -98,6 +98,22 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     }
   }
 
+  /** `TIMESTAMP AS OF` time travel: resolves to the latest version whose
+    * commit-marker mtime is at or before the timestamp (micros since
+    * epoch, per the TableCatalog contract). */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    val dir = tableDir(ident)
+    val meta = readMeta(dir).getOrElse(throw new NoSuchTableException(ident))
+    val dataDir = meta.location.getOrElse(dir)
+    if (meta.provider != "manifest") throw new UnsupportedOperationException(
+      s"${ident.name()}: only manifest tables support TIMESTAMP AS OF")
+    val v = graft.core.ManifestTable
+      .versionAsOfTimestamp(dataDir, timestampMicros / 1000L)
+      .getOrElse(throw new IllegalStateException(
+        s"${ident.name()}: no version committed at or before the requested timestamp"))
+    new ManifestSparkTable(dataDir, meta.schema, Some(v))
+  }
+
   private def tableFor(ident: Identifier, asOf: Option[Long]): Table = {
     val dir = tableDir(ident)
     val meta = readMeta(dir).getOrElse(throw new NoSuchTableException(ident))

@@ -62,6 +62,19 @@ object ManifestTable {
   /** Highest committed version, if any. */
   def currentVersion(dir: String): Option[Long] = allVersions(dir).lastOption
 
+  /** Latest version committed at or before `tsMillis` (marker modification
+    * time — the commit instant on any Hadoop filesystem). None if the
+    * table has no version that old. */
+  def versionAsOfTimestamp(dir: String, tsMillis: Long): Option[Long] = {
+    val fs = LakeStorage.openFor(dir)
+    val base = new Path(dir)
+    if (!fs.exists(base)) return None
+    fs.listStatus(base).iterator
+      .flatMap(s => parseSuffix(s.getPath.getName, MarkerPrefix)
+        .filter(_ => s.getModificationTime <= tsMillis))
+      .reduceOption(_ max _)
+  }
+
   /** All committed versions still present (ascending). */
   def allVersions(dir: String): Seq[Long] = {
     val fs = LakeStorage.openFor(dir)

@@ -433,6 +433,14 @@ object Dedup {
     * recall and fewer/wider bands raise precision — the sign-LSH analogue of
     * MinHash banding. A pair is emitted once no matter how many bands it
     * collides in (distinct on candidates before the verify).
+    *
+    * SIZE planesPerBand WITH THE CORPUS: a band has 2^r buckets, and random
+    * (non-near-dup) vectors spread roughly uniformly over them, so expected
+    * random collisions per band are ~n^2 / 2^(r+1). Keep r >= log2(n) + c
+    * (c ~ 2-4) and the candidate set stays linear in n plus the true
+    * near-dup pairs; r fixed while n grows 10x turns the bucket join
+    * quadratic (measured: 20k vectors at r=4 -> 75 s of candidate blowup,
+    * r=14 -> 6 s). r < 64 (bucket bits pack into a long).
     */
   def embeddingLshPairs(vecs: DataFrame, idCol: String, vecCol: String,
                         hyper: DataFrame, numBands: Int, planesPerBand: Int,

@@ -104,13 +104,32 @@ class KeyedLogTable(path: String) extends Table with SupportsRead with SupportsW
     require(info.schema().fieldNames.sameElements(KeyedLogSource.schema.fieldNames),
       s"keyed_log write schema must be (key, seq, metric); got ${info.schema().simpleString}")
     new WriteBuilder {
-      override def build(): Write = new Write {
-        override def toBatch: BatchWrite =
-          KeyedLogBatchWrite(Option(info.options.get("path")).getOrElse(path),
-            info.queryId())
-        override def toStreaming: StreamingWrite =
-          KeyedLogStreamingWrite(Option(info.options.get("path")).getOrElse(path),
-            info.queryId())
+      override def build(): Write = {
+        val dest = Option(info.options.get("path")).getOrElse(path)
+        // opt-in clustered write (`.option("clusterByKey", true)`): the
+        // write DECLARES its required distribution/ordering and Spark
+        // plans the exchange + sort — each output file then holds sorted
+        // runs of few keys (point-lookup and compaction friendly). Opt-in
+        // because forcing a shuffle on every log append is the wrong
+        // default for an append-mostly sink.
+        if (info.options.getBoolean("clusterByKey", false))
+          new Write with RequiresDistributionAndOrdering {
+            import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+            import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder => V2SortOrder}
+            override def requiredDistribution: Distribution =
+              Distributions.clustered(Array(Expressions.identity("key")))
+            override def requiredOrdering: Array[V2SortOrder] = Array(
+              Expressions.sort(Expressions.identity("key"), SortDirection.ASCENDING),
+              Expressions.sort(Expressions.identity("seq"), SortDirection.ASCENDING))
+            override def toBatch: BatchWrite = KeyedLogBatchWrite(dest, info.queryId())
+            override def toStreaming: StreamingWrite =
+              KeyedLogStreamingWrite(dest, info.queryId())
+          }
+        else new Write {
+          override def toBatch: BatchWrite = KeyedLogBatchWrite(dest, info.queryId())
+          override def toStreaming: StreamingWrite =
+            KeyedLogStreamingWrite(dest, info.queryId())
+        }
       }
     }
   }

@@ -96,6 +96,24 @@ class CatalogSpec extends AnyFunSuite {
       "insert through the catalog must land in the external manifest root")
   }
 
+  test("TIMESTAMP AS OF resolves the version committed at that instant") {
+    ensureDb()
+    spark.sql("CREATE TABLE g.db.ts (id BIGINT) USING manifest")
+    spark.sql("INSERT INTO g.db.ts VALUES (1)")                 // v1
+    Thread.sleep(1100)                                          // mtime granularity
+    val between = java.time.Instant.ofEpochMilli(System.currentTimeMillis()).toString
+    Thread.sleep(1100)
+    spark.sql("INSERT INTO g.db.ts VALUES (2), (3)")            // v2
+    assert(spark.sql("SELECT count(*) FROM g.db.ts").head().getLong(0) === 3L)
+    val asOf = spark.sql(
+      s"SELECT count(*) FROM g.db.ts TIMESTAMP AS OF '$between'")
+    assert(asOf.head().getLong(0) === 1L,
+      "timestamp between the commits must resolve to v1")
+    // before any commit: clear error
+    intercept[Exception](
+      spark.sql("SELECT * FROM g.db.ts TIMESTAMP AS OF '1970-01-02 00:00:00'").collect())
+  }
+
   test("DROP, RENAME, and error contracts") {
     ensureDb()
     spark.sql("CREATE TABLE g.db.tmp (id BIGINT) USING manifest")

@@ -288,6 +288,33 @@ class DataSourceSpec extends AnyFunSuite {
     assert(df.agg(sum("seq")).head().getLong(0) === (1L to 10000L).sum)
   }
 
+  test("clusterByKey write declares distribution: one file per key cluster") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_klog_clust_").toString
+    val df = (1 to 100).map(i => (s"k${i % 5}", i.toLong, i.toLong * 2))
+      .toDF("key", "seq", "metric").repartition(8) // deliberately scattered
+    df.write.format("graft.sources.KeyedLogSource")
+      .option("clusterByKey", "true").mode("append").save(dir)
+    // the declared distribution makes Spark cluster rows by key before the
+    // write: every key's rows land in exactly one file, sorted by seq
+    val fileOfKey = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".log")).flatMap { f =>
+        scala.io.Source.fromFile(f, "UTF-8").getLines()
+          .map(l => (l.split("\t")(0), f.getName)).toList
+      }
+    val filesPerKey = fileOfKey.groupBy(_._1).map { case (k, v) =>
+      (k, v.map(_._2).distinct.length) }
+    assert(filesPerKey.values.forall(_ === 1),
+      s"keys split across files despite clusterByKey: $filesPerKey")
+    // in-file ordering honors the declared sort (key asc, seq asc)
+    new java.io.File(dir).listFiles().filter(_.getName.endsWith(".log")).foreach { f =>
+      val rows = scala.io.Source.fromFile(f, "UTF-8").getLines()
+        .map { l => val p = l.split("\t"); (p(0), p(1).toLong) }.toList
+      assert(rows === rows.sorted, s"rows not sorted in ${f.getName}")
+    }
+    assert(read(dir).count() === 100L)
+  }
+
   test("batch task retry commits the same final name — no duplicate rows") {
     val dir = Files.createTempDirectory("graft_klog_retry_").toString
     val _ = spark.sparkContext
