@@ -321,13 +321,32 @@ object KeyedLogAgg {
 
 case class KeyedLogScan(path: String, required: StructType,
                         pushed: Array[Filter],
-                        agg: Option[KeyedLogAgg] = None) extends Scan with Batch {
+                        agg: Option[KeyedLogAgg] = None) extends Scan with Batch
+    with SupportsRuntimeFiltering {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"KeyedLogScan path=$path, ReadSchema: ${required.simpleString}, " +
       s"PushedFilters: [${pushed.mkString(", ")}]" +
       agg.map(a => s", PushedAggregates: [${a.ops.mkString(", ")}]").getOrElse("")
+
+  /** Runtime (join-time) filtering: when this scan feeds a join whose other
+    * side is selective, Spark executes the build side first and hands the
+    * observed key set here as an `In` filter — the DSv2 mechanism behind
+    * dynamic file/partition pruning in the lake formats. The keys merge
+    * into the reader-level pushdown, so pruning happens inside the per-file
+    * readers before any row is built; like static pushdown it is an
+    * optimization only (Spark still applies the join). */
+  @transient private var runtimeFilters: Array[Filter] = Array.empty
+  override def filterAttributes(): Array[NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.column("key"))
+  override def filter(filters: Array[Filter]): Unit =
+    runtimeFilters = filters.filter {
+      case EqualTo("key", _: String) => true
+      case In("key", _)              => true
+      case IsNotNull("key")          => true
+      case _                         => false
+    }
 
   // captured lazily on the driver (both callers below run there)
   @transient private lazy val conf = KeyedLogConf.capture()
@@ -336,7 +355,7 @@ case class KeyedLogScan(path: String, required: StructType,
     KeyedLogSource.listDataFiles(path, conf)
       .map(f => KeyedLogPartition(f): InputPartition)
   override def createReaderFactory(): PartitionReaderFactory =
-    KeyedLogReaderFactory(required, pushed, conf, agg)
+    KeyedLogReaderFactory(required, pushed ++ runtimeFilters, conf, agg)
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new KeyedLogMicroBatchStream(path, required, pushed, conf)

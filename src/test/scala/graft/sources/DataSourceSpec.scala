@@ -315,6 +315,25 @@ class DataSourceSpec extends AnyFunSuite {
     assert(read(dir).count() === 100L)
   }
 
+  test("runtime (join-key) filtering reaches the scan") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_klog_rf_").toString
+    val sb = new StringBuilder
+    (1 to 5000).foreach(i => sb.append(s"k${i % 50}\t$i\t${i * 2}\n"))
+    Files.write(java.nio.file.Paths.get(dir, "a.log"), sb.toString.getBytes("UTF-8"))
+    // the pruning side needs a SELECTIVE predicate over a real scan for the
+    // planner to consider injecting the runtime filter
+    val dimDir = Files.createTempDirectory("graft_klog_rf_dim_").toString
+    (0 until 50).map(i => (s"k$i", s"l$i")).toDF("key", "label")
+      .write.mode("overwrite").parquet(dimDir)
+    val dim = spark.read.parquet(dimDir).filter(col("label").isin("l7", "l9"))
+    val joined = read(dir).join(dim, Seq("key"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("RuntimeFilters: [dynamicpruning"),
+      s"no runtime filter planned on the v2 scan:\n$plan")
+    assert(joined.count() === 200L) // 2 keys x 100 rows each
+  }
+
   test("batch task retry commits the same final name — no duplicate rows") {
     val dir = Files.createTempDirectory("graft_klog_retry_").toString
     val _ = spark.sparkContext
