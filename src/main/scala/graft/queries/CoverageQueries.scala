@@ -188,6 +188,44 @@ object CoverageQueries extends QueryModule {
           (SELECT count(*) FROM graft_cat.db.logs) AS klog_rows""")
     },
 
+    // --- clustered connector write: the sink DECLARES required
+    //     distribution+ordering (RequiresDistributionAndOrdering), Spark
+    //     plans the exchange/sort, files hold disjoint sorted key runs;
+    //     read back through the connector and aggregate ---
+    "qc19_clustered_write" -> { (s, d) =>
+      val dir = graft.core.TempDirs.create("graft_klog_cl_")
+      Tables.documents(s, d)
+        .select(col("lang").as("key"), col("doc_id").as("seq"),
+          col("n_chars").as("metric"))
+        .write.format("graft.sources.KeyedLogSource")
+        .option("clusterByKey", "true").mode("append").save(dir)
+      s.read.format("graft.sources.KeyedLogSource").load(dir)
+        .groupBy("key")
+        .agg(sum("metric").as("total_chars"), count(lit(1)).as("n_docs"))
+        .orderBy("key")
+    },
+
+    // --- runtime join-key filtering through the connector: a selective
+    //     dim side hands its observed keys to the scan at execution time
+    //     (SupportsRuntimeFiltering; plan shape pinned in DataSourceSpec) ---
+    "qc20_runtime_filter_join" -> { (s, d) =>
+      val dir = graft.core.TempDirs.create("graft_klog_rf_")
+      val docs = Tables.documents(s, d)
+      docs.select(col("lang").as("key"), col("doc_id").as("seq"),
+          col("n_chars").as("metric"))
+        .write.format("graft.sources.KeyedLogSource").mode("append").save(dir)
+      val dimDir = graft.core.TempDirs.create("graft_klog_rf_dim_")
+      docs.select(col("lang").as("key")).distinct()
+        .withColumn("w", length(col("key")).cast("long"))
+        .write.mode("overwrite").parquet(dimDir)
+      val dim = s.read.parquet(dimDir).filter(col("key").isin("en", "de"))
+      s.read.format("graft.sources.KeyedLogSource").load(dir)
+        .join(dim, Seq("key"))
+        .groupBy("key")
+        .agg(sum("metric").as("total_chars"), max("w").as("w"))
+        .orderBy("key")
+    },
+
     // --- schema evolution on read (mergeSchema): a later batch adds a
     //     column; the merged scan unions the schemas and nulls the column
     //     for old files — the lake's schema-drift-over-time contract ---
@@ -465,6 +503,17 @@ object CoverageQueries extends QueryModule {
          SELECT s.ngram AS ngram, count(*) AS cnt, min(doc_id) AS first_doc,
            CAST(min(s.pos) AS INTEGER) AS min_pos
          FROM g GROUP BY 1 ORDER BY cnt DESC, ngram LIMIT 20""",
+
+    "qc19_clustered_write" ->
+      """SELECT lang AS key, CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           count(*) AS n_docs
+         FROM documents GROUP BY 1 ORDER BY 1""",
+
+    "qc20_runtime_filter_join" ->
+      """SELECT lang AS key, CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(len(lang) AS BIGINT) AS w
+         FROM documents WHERE lang IN ('en', 'de')
+         GROUP BY lang ORDER BY 1""",
 
     "qc18_sql_catalog" ->
       """SELECT
