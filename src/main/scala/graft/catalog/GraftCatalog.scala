@@ -49,7 +49,8 @@ import graft.sources.{KeyedLogSource, KeyedLogTable}
   * same pushdown, same staged-commit write path as the
   * `spark.read.format(...)` route.
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with StagingTableCatalog {
 
   import GraftCatalog._
 
@@ -150,6 +151,80 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     if (!writeMeta(dir, TableMeta(provider, declared, location)))
       throw new TableAlreadyExistsException((ident.namespace() :+ ident.name()).toSeq)
     tableFor(ident, asOf = None)
+  }
+
+  // ---- atomic CTAS / RTAS (StagingTableCatalog) ----
+  //
+  // Spark writes the query result INTO the staged table first and only
+  // then asks for the commit; the descriptor (what makes a table visible
+  // to loadTable) is written in commitStagedChanges, so a failed CTAS
+  // never leaves a half-created table — readers see the old state (or no
+  // table) until the atomic descriptor/manifest commit.
+
+  override def stageCreate(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: JMap[String, String]): StagedTable = {
+    if (tableExists(ident))
+      throw new TableAlreadyExistsException((ident.namespace() :+ ident.name()).toSeq)
+    stagedTable(ident, schema, partitions, properties, replace = false)
+  }
+
+  override def stageReplace(ident: Identifier, schema: StructType,
+                            partitions: Array[Transform],
+                            properties: JMap[String, String]): StagedTable = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    stagedTable(ident, schema, partitions, properties, replace = true)
+  }
+
+  override def stageCreateOrReplace(ident: Identifier, schema: StructType,
+                                    partitions: Array[Transform],
+                                    properties: JMap[String, String]): StagedTable =
+    stagedTable(ident, schema, partitions, properties, replace = true)
+
+  private def stagedTable(ident: Identifier, schema: StructType,
+                          partitions: Array[Transform],
+                          properties: JMap[String, String],
+                          replace: Boolean): StagedTable = {
+    require(partitions.isEmpty,
+      s"catalog $catalogName tables do not support PARTITIONED BY")
+    val ns = ident.namespace()
+    if (ns.nonEmpty && !fs.exists(new Path(nsDir(ns))))
+      throw new NoSuchNamespaceException(ns)
+    val provider =
+      Option(properties.get(TableCatalog.PROP_PROVIDER)).map(_.toLowerCase).getOrElse("manifest")
+    require(provider == "manifest",
+      s"staged (atomic) CTAS supports USING manifest; got '$provider'")
+    val location = Option(properties.get(TableCatalog.PROP_LOCATION))
+    val dir = tableDir(ident)
+    new GraftStagedTable(this, ident, dir,
+      TableMeta(provider, schema, location), replace)
+  }
+
+  private[catalog] def commitStaged(ident: Identifier, dir: String,
+                                    meta: TableMeta, files: Seq[String],
+                                    replace: Boolean): Unit = {
+    val dataDir = meta.location.getOrElse(dir)
+    if (!writeMeta(dir, meta)) {
+      if (!replace)
+        throw new TableAlreadyExistsException((ident.namespace() :+ ident.name()).toSeq)
+      // replace: refresh the descriptor (schema may differ), keep history
+      fs.delete(new Path(dir, MetaFile), false)
+      if (!writeMeta(dir, meta))
+        throw new IllegalStateException(s"could not replace descriptor under $dir")
+    }
+    graft.core.ManifestTable.commitStagedSnapshot(dataDir, files)
+    ()
+  }
+
+  private[catalog] def abortStaged(dir: String, meta: TableMeta,
+                                   files: Seq[String]): Unit = {
+    val dataDir = meta.location.getOrElse(dir)
+    // drop the staged pools; the table dir itself only goes if we never
+    // published a descriptor (a replace keeps the existing table intact)
+    files.map(_.split("/", 2).head).distinct.foreach { pool =>
+      fs.delete(new Path(dataDir, pool), true); ()
+    }
+    if (!fs.exists(new Path(dir, MetaFile))) { fs.delete(new Path(dir), true); () }
   }
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table =

@@ -109,18 +109,31 @@ object ManifestTable {
 
   /** Write `df` as a NEW SNAPSHOT (replacing the table contents) and
     * commit it. Returns the committed version. */
-  def write(df: DataFrame, dir: String): Long = {
-    val files = writePool(df, dir)
-    commitLoop(dir) { _ => Some(files) }
-  }
+  def write(df: DataFrame, dir: String): Long =
+    commitStagedSnapshot(dir, stagePool(df, dir))
 
   /** Append `df` to the table: writes ONLY the delta files and commits a
     * manifest of base ∪ delta — existing data is re-listed, never
     * rewritten. Returns the committed version. */
-  def append(df: DataFrame, dir: String): Long = {
-    val delta = writePool(df, dir)
-    commitLoop(dir) { base => Some(base.map(manifest(dir, _)).getOrElse(Seq.empty) ++ delta) }
-  }
+  def append(df: DataFrame, dir: String): Long =
+    commitStagedAppend(dir, stagePool(df, dir))
+
+  /** Stage `df` as an UNCOMMITTED data pool (invisible to every reader
+    * until some manifest references it) and return the staged file list —
+    * the two-phase half of [[write]]/[[append]] for callers that must
+    * defer the commit (e.g. the catalog's atomic CTAS). Abandoned pools
+    * are [[vacuum]] fodder. */
+  def stagePool(df: DataFrame, dir: String): Seq[String] = writePool(df, dir)
+
+  /** Commit previously staged files as a replacing snapshot. */
+  def commitStagedSnapshot(dir: String, files: Seq[String]): Long =
+    commitLoop(dir) { _ => Some(files) }
+
+  /** Commit previously staged files as an append (base re-listed). */
+  def commitStagedAppend(dir: String, files: Seq[String]): Long =
+    commitLoop(dir) { base =>
+      Some(base.map(manifest(dir, _)).getOrElse(Seq.empty) ++ files)
+    }
 
   /** Read the current committed version, or a specific one (time travel —
     * any version not yet vacuumed stays readable; an uncommitted or

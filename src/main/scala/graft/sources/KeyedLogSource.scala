@@ -322,9 +322,26 @@ object KeyedLogAgg {
 case class KeyedLogScan(path: String, required: StructType,
                         pushed: Array[Filter],
                         agg: Option[KeyedLogAgg] = None) extends Scan with Batch
-    with SupportsRuntimeFiltering {
+    with SupportsRuntimeFiltering with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  /** Size statistics from the file listing — without them Spark assumes
+    * `defaultSizeInBytes` (effectively infinite) for a DSv2 scan, so a
+    * small keyed-log table would never be chosen as the broadcast side of
+    * a join. Sizes are the on-disk bytes of the visible files (an upper
+    * bound on the scan after pruning/pushdown — conservative, like the
+    * built-in file sources before filter estimation). */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val bytes: Long = {
+      val fs = new Path(path).getFileSystem(conf.value)
+      KeyedLogSource.listDataFiles(path, conf)
+        .map(f => fs.getFileStatus(new Path(f)).getLen).sum
+    }
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(bytes)
+    override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
+  }
   override def description(): String =
     s"KeyedLogScan path=$path, ReadSchema: ${required.simpleString}, " +
       s"PushedFilters: [${pushed.mkString(", ")}]" +

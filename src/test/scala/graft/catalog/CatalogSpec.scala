@@ -96,6 +96,33 @@ class CatalogSpec extends AnyFunSuite {
       "insert through the catalog must land in the external manifest root")
   }
 
+  test("CTAS is atomic: a failing query leaves no table behind") {
+    ensureDb()
+    intercept[Exception](spark.sql(
+      "CREATE TABLE g.db.ctas_fail USING manifest AS " +
+        "SELECT id, assert_true(id < 5, 'boom') AS chk FROM range(10)"))
+    assert(!spark.sql("SHOW TABLES IN g.db").collect()
+      .map(_.getString(1)).contains("ctas_fail"),
+      "failed CTAS must not publish a table")
+    intercept[Exception](spark.table("g.db.ctas_fail").collect())
+  }
+
+  test("REPLACE TABLE AS SELECT swaps contents atomically, keeps history") {
+    ensureDb()
+    spark.sql("CREATE TABLE g.db.rtas USING manifest AS SELECT id FROM range(5)")
+    assert(spark.sql("SELECT count(*) FROM g.db.rtas").head().getLong(0) === 5L)
+    spark.sql("REPLACE TABLE g.db.rtas USING manifest AS SELECT id * 10 AS id2 FROM range(3)")
+    assert(spark.table("g.db.rtas").schema.map(_.name) === Seq("id2"))
+    assert(spark.sql("SELECT count(*) FROM g.db.rtas").head().getLong(0) === 3L)
+    // pre-replace snapshot still reachable by version (manifest history)
+    assert(spark.sql("SELECT count(*) FROM g.db.rtas VERSION AS OF 1").head().getLong(0) === 5L)
+    // CREATE OR REPLACE works on both existing and missing tables
+    spark.sql("CREATE OR REPLACE TABLE g.db.rtas USING manifest AS SELECT 1 AS one")
+    assert(spark.sql("SELECT count(*) FROM g.db.rtas").head().getLong(0) === 1L)
+    spark.sql("CREATE OR REPLACE TABLE g.db.rtas2 USING manifest AS SELECT 2 AS two")
+    assert(spark.sql("SELECT two FROM g.db.rtas2").head().getInt(0) === 2)
+  }
+
   test("TIMESTAMP AS OF resolves the version committed at that instant") {
     ensureDb()
     spark.sql("CREATE TABLE g.db.ts (id BIGINT) USING manifest")

@@ -315,6 +315,18 @@ class DataSourceSpec extends AnyFunSuite {
     assert(read(dir).count() === 100L)
   }
 
+  test("scan reports size statistics: a small keyed-log table broadcasts") {
+    import spark.implicits._
+    val dir = fixture() // a few hundred bytes
+    val big = (1 to 50000).map(i => (s"${if (i % 3 == 0) "en" else "de"}", i.toLong))
+      .toDF("key", "x")
+    val joined = big.join(read(dir).select("key", "metric"), Seq("key"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"small connector table not broadcast (no size stats reaching the planner?):\n$plan")
+    assert(joined.count() > 0)
+  }
+
   test("runtime (join-key) filtering reaches the scan") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_klog_rf_").toString
