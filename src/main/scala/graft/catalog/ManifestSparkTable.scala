@@ -1,13 +1,15 @@
 package graft.catalog
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.connector.catalog.{MetadataColumn, SupportsDelete, SupportsMetadataColumns, SupportsRead, SupportsRowLevelOperations, SupportsWrite, Table, TableCapability}
 import org.apache.spark.sql.connector.read.ScanBuilder
-import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, RowLevelOperationBuilder, RowLevelOperationInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
-import org.apache.spark.sql.sources.InsertableRelation
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.functions.{coalesce, col, lit, not}
+import org.apache.spark.sql.sources
+import org.apache.spark.sql.sources.{Filter, InsertableRelation}
+import org.apache.spark.sql.types.{DataType, StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import graft.core.ManifestTable
@@ -34,7 +36,9 @@ import graft.core.ManifestTable
   */
 class ManifestSparkTable(dir: String, declared: StructType,
                          asOf: Option[Long]) extends Table
-    with SupportsRead with SupportsWrite {
+    with SupportsRead with SupportsWrite
+    with SupportsRowLevelOperations with SupportsDelete
+    with SupportsMetadataColumns {
 
   override def name(): String =
     s"manifest($dir${asOf.map(v => s"@v$v").getOrElse("")})"
@@ -57,10 +61,58 @@ class ManifestSparkTable(dir: String, declared: StructType,
   }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    ParquetTable(name(), SparkSession.active, options, snapshotPaths,
-      userSpecifiedSchema = Some(declared),
-      fallbackFileFormat = classOf[ParquetFileFormat])
-      .newScanBuilder(options)
+    new ManifestScanBuilder(
+      ParquetTable(name(), SparkSession.active, options, snapshotPaths,
+        userSpecifiedSchema = Some(declared),
+        fallbackFileFormat = classOf[ParquetFileFormat]),
+      options)
+
+  // ---- row-level DML ----
+
+  override def metadataColumns(): Array[MetadataColumn] =
+    Array(ManifestSparkTable.FileMetadataColumn)
+
+  /** SQL UPDATE / MERGE INTO (and non-translatable DELETEs): group-based
+    * copy-on-write rewrite at file granularity — see
+    * [[ManifestRowLevelOperation]]. */
+  override def newRowLevelOperationBuilder(info: RowLevelOperationInfo): RowLevelOperationBuilder = {
+    require(asOf.isEmpty, s"cannot run DML against the time-travel view ${name()}")
+    () => new ManifestRowLevelOperation(dir, declared, info.command)
+  }
+
+  /** DELETE fast path (Spark's metadata-only delete, also TRUNCATE TABLE):
+    * when the whole condition translates to source filters, skip the
+    * group-based plan — find the files holding matching rows, rewrite
+    * ONLY those with the matches filtered out, and commit
+    * `manifest - affected + rewritten`. Untouched files are re-listed,
+    * never read. An empty filter array means delete-everything: commit an
+    * empty snapshot without scanning anything. */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    asOf.isEmpty && filters.forall(ManifestSparkTable.filterToColumn(_).isDefined)
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    require(asOf.isEmpty, s"cannot DELETE from the time-travel view ${name()}")
+    val snap = snapshotPaths
+    if (snap.isEmpty) return
+    if (filters.isEmpty) { // TRUNCATE / DELETE FROM t: empty snapshot
+      ManifestTable.commitStagedSnapshot(dir, Seq.empty)
+      return
+    }
+    val spark = SparkSession.active
+    val cond = filters.map(f => ManifestSparkTable.filterToColumn(f).getOrElse(
+      throw new IllegalStateException(s"canDeleteWhere admitted untranslatable $f")))
+      .reduce(_ && _)
+    val affected = spark.read.parquet(snap: _*)
+      .filter(cond).select(col("_metadata.file_path")).distinct()
+      .collect().map(r => ManifestRowLevelOperation.relName(r.getString(0)))
+      .toSeq.sorted
+    if (affected.isEmpty) return
+    val survivors = spark.read.parquet(affected.map(f => s"$dir/$f"): _*)
+      .filter(not(coalesce(cond, lit(false)))) // DELETE drops only cond=TRUE rows
+    val added = ManifestTable.stagePool(survivors, dir)
+    ManifestTable.commitRewrite(dir, removed = affected, added = added)
+    ()
+  }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(asOf.isEmpty, s"cannot write to the time-travel view ${name()}")
@@ -78,5 +130,48 @@ class ManifestSparkTable(dir: String, declared: StructType,
           }
       }
     }
+  }
+}
+
+object ManifestSparkTable {
+
+  /** `_file`: the dir-relative data file a row lives in — the DML group
+    * identity (what runtime group filtering prunes on), also SELECTable
+    * through the row-level scan. */
+  object FileMetadataColumn extends MetadataColumn {
+    override def name(): String = ManifestRowLevelOperation.FileCol
+    override def dataType(): DataType = StringType
+    override def isNullable: Boolean = false
+    override def comment(): String = "dir-relative data file holding the row"
+  }
+
+  /** Translate a v1 source filter into a Column predicate with identical
+    * match semantics (a row "matches" only when the predicate is TRUE —
+    * nulls never match, same as the Filter contract). None marks the one
+    * we cannot express, which fails canDeleteWhere and routes the DELETE
+    * through the group-based plan instead. */
+  private[catalog] def filterToColumn(f: Filter): Option[Column] = f match {
+    case sources.EqualTo(a, v)            => Some(col(a) === lit(v))
+    case sources.EqualNullSafe(a, v)      => Some(col(a) <=> lit(v))
+    case sources.GreaterThan(a, v)        => Some(col(a) > lit(v))
+    case sources.GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+    case sources.LessThan(a, v)           => Some(col(a) < lit(v))
+    case sources.LessThanOrEqual(a, v)    => Some(col(a) <= lit(v))
+    case sources.In(a, vs)                => Some(col(a).isin(vs.toIndexedSeq: _*))
+    case sources.IsNull(a)                => Some(col(a).isNull)
+    case sources.IsNotNull(a)             => Some(col(a).isNotNull)
+    case sources.StringStartsWith(a, v)   => Some(col(a).startsWith(v))
+    case sources.StringEndsWith(a, v)     => Some(col(a).endsWith(v))
+    case sources.StringContains(a, v)     => Some(col(a).contains(v))
+    case sources.AlwaysTrue()             => Some(lit(true))
+    case sources.AlwaysFalse()            => Some(lit(false))
+    case sources.And(l, r) =>
+      for (lc <- filterToColumn(l); rc <- filterToColumn(r)) yield lc && rc
+    case sources.Or(l, r) =>
+      for (lc <- filterToColumn(l); rc <- filterToColumn(r)) yield lc || rc
+    case sources.Not(c) =>
+      // Filter-Not matches when the child does NOT match (child not TRUE)
+      filterToColumn(c).map(cc => not(coalesce(cc, lit(false))))
+    case _ => None
   }
 }

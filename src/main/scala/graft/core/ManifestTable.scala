@@ -135,6 +135,24 @@ object ManifestTable {
       Some(base.map(manifest(dir, _)).getOrElse(Seq.empty) ++ files)
     }
 
+  /** Commit a FILE-LEVEL REWRITE: the new manifest is the current one
+    * minus `removed` plus `added` — the copy-on-write commit behind
+    * row-level DML (DELETE/UPDATE/MERGE rewrite only the files that hold
+    * affected rows; every other file is re-listed untouched). Rebase
+    * rules mirror [[compact]]: files appended concurrently are carried
+    * over (they hold rows this rewrite never read, so write-serializable
+    * isolation allows them); if a concurrent writer replaced or removed
+    * any file in `removed`, this rewrite read stale data and the commit
+    * ABORTS with `ConcurrentModificationException` — rerun the DML. */
+  def commitRewrite(dir: String, removed: Seq[String], added: Seq[String]): Long = {
+    val rm = removed.toSet
+    commitLoop(dir) { base =>
+      val baseFiles = base.map(manifest(dir, _)).getOrElse(Seq.empty)
+      if (rm.subsetOf(baseFiles.toSet)) Some(baseFiles.filterNot(rm) ++ added)
+      else None // a removed file vanished: concurrent rewrite beat us
+    }
+  }
+
   /** Read the current committed version, or a specific one (time travel —
     * any version not yet vacuumed stays readable; an uncommitted or
     * vacuumed version rejects rather than resolving to partial data). */

@@ -226,6 +226,38 @@ object CoverageQueries extends QueryModule {
         .orderBy("key")
     },
 
+    // --- SQL row-level DML (catalog/ManifestRowLevel): DELETE via the
+    //     filter-translated fast path AND the group-based ReplaceData
+    //     plan, UPDATE with runtime group filtering, and a full MERGE
+    //     INTO (matched update + not-matched insert) — all copy-on-write
+    //     manifest commits that rewrite only files holding affected rows ---
+    "qc21_sql_dml" -> { (s, d) =>
+      if (s.conf.getOption("spark.sql.catalog.graft_cat").isEmpty)
+        graft.catalog.GraftCatalog.register(s, "graft_cat",
+          graft.core.TempDirs.create("graft_cat_root_"))
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.db")
+      s.sql("DROP TABLE IF EXISTS graft_cat.db.dml")
+      Tables.documents(s, d).createOrReplaceTempView("qc21_documents")
+      s.sql("CREATE TABLE graft_cat.db.dml " +
+        "(doc_id BIGINT, lang STRING, n_chars BIGINT) USING manifest")
+      // two pools so the DML has multiple file groups to prune between
+      s.sql("INSERT INTO graft_cat.db.dml SELECT doc_id, lang, n_chars " +
+        "FROM qc21_documents WHERE doc_id % 2 = 0")
+      s.sql("INSERT INTO graft_cat.db.dml SELECT doc_id, lang, n_chars " +
+        "FROM qc21_documents WHERE doc_id % 2 = 1")
+      s.sql("DELETE FROM graft_cat.db.dml WHERE lang = 'zh'") // fast path
+      s.sql("DELETE FROM graft_cat.db.dml WHERE doc_id % 10 = 3") // group-based
+      s.sql("UPDATE graft_cat.db.dml SET n_chars = n_chars + 1000 WHERE lang = 'en'")
+      s.sql("""MERGE INTO graft_cat.db.dml t
+        USING (SELECT doc_id, n_chars FROM qc21_documents WHERE doc_id % 100 = 0) s
+        ON t.doc_id = s.doc_id
+        WHEN MATCHED THEN UPDATE SET n_chars = t.n_chars + s.n_chars
+        WHEN NOT MATCHED THEN
+          INSERT (doc_id, lang, n_chars) VALUES (s.doc_id + 1000000, 'xx', s.n_chars)""")
+      s.sql("SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars " +
+        "FROM graft_cat.db.dml GROUP BY lang ORDER BY lang")
+    },
+
     // --- schema evolution on read (mergeSchema): a later batch adds a
     //     column; the merged scan unions the schemas and nulls the column
     //     for old files — the lake's schema-drift-over-time contract ---
@@ -523,6 +555,26 @@ object CoverageQueries extends QueryModule {
            CAST((SELECT sum(n_chars) FROM documents WHERE lang = 'en') AS BIGINT)
              AS en_metric_sum,
            (SELECT count(*) FROM documents) AS klog_rows""",
+
+    "qc21_sql_dml" ->
+      """WITH base AS (SELECT doc_id, lang, n_chars FROM documents),
+         after_del AS (
+           SELECT * FROM base WHERE lang <> 'zh' AND doc_id % 10 <> 3),
+         after_upd AS (
+           SELECT doc_id, lang,
+             CASE WHEN lang = 'en' THEN n_chars + 1000 ELSE n_chars END AS n_chars
+           FROM after_del),
+         src AS (SELECT doc_id, n_chars FROM documents WHERE doc_id % 100 = 0),
+         merged AS (
+           SELECT t.doc_id, t.lang, t.n_chars + coalesce(s.n_chars, 0) AS n_chars
+           FROM after_upd t LEFT JOIN src s ON t.doc_id = s.doc_id),
+         inserted AS (
+           SELECT s.doc_id + 1000000 AS doc_id, 'xx' AS lang, s.n_chars
+           FROM src s LEFT JOIN after_upd t ON t.doc_id = s.doc_id
+           WHERE t.doc_id IS NULL),
+         final AS (SELECT * FROM merged UNION ALL SELECT * FROM inserted)
+         SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+         FROM final GROUP BY lang ORDER BY lang""",
 
     "qc15_schema_merge" ->
       """SELECT CAST(2 * (SELECT count(*) FROM nation) AS BIGINT) AS n_rows,
