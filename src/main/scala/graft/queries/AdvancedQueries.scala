@@ -279,6 +279,38 @@ object AdvancedQueries extends QueryModule {
         .orderBy("c_mktsegment")
     },
 
+    // --- storage-partitioned reads (sources/KeyedLogSource): two dirs
+    //     clustered by key report KeyGroupedPartitioning, so BOTH key
+    //     aggregations and the join between them plan with ZERO exchanges
+    //     — the connector analogue of bucketed tables (plan shape pinned
+    //     in DataSourceSpec; here the end-to-end result goes through the
+    //     oracle). Child session: key-grouped reads are opt-in via
+    //     spark.sql.sources.v2.bucketing.enabled ---
+    "qk02_storage_partitioned" -> { (s0, d) =>
+      val s = s0.newSession()
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val facts = graft.core.TempDirs.create("graft_spj_f_")
+      val dims = graft.core.TempDirs.create("graft_spj_d_")
+      val docs = Tables.documents(s, d)
+      docs.select(col("lang").as("key"), col("doc_id").as("seq"),
+          col("n_chars").as("metric"))
+        .write.format("graft.sources.KeyedLogSource")
+        .option("clusterByKey", "true").mode("append").save(facts)
+      docs.filter(col("doc_id") % 3 === 0)
+        .select(col("lang").as("key"), col("doc_id").as("seq"),
+          col("n_chars").as("metric"))
+        .write.format("graft.sources.KeyedLogSource")
+        .option("clusterByKey", "true").mode("append").save(dims)
+      def load(dir: String) =
+        s.read.format("graft.sources.KeyedLogSource").load(dir)
+      load(facts).groupBy("key")
+        .agg(sum("metric").as("total_chars"), count(lit(1)).as("n_docs"))
+        .join(load(dims).groupBy("key")
+          .agg(sum("metric").as("sample_chars")), Seq("key"))
+        .orderBy("key")
+    },
+
     // --- mergeable HLL sketches (Apache DataSketches via Spark 4 built-ins):
     //     build per-(flag, shipdate) PARTIAL sketches, then union-merge to
     //     per-flag distinct estimates — the pre-aggregated sketch-table
@@ -606,6 +638,14 @@ object AdvancedQueries extends QueryModule {
            round(sum(o_totalprice), 2) AS total
          FROM orders JOIN customer ON o_custkey = c_custkey
          GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+
+    "qk02_storage_partitioned" ->
+      """WITH f AS (SELECT lang AS key, CAST(sum(n_chars) AS BIGINT) AS total_chars,
+             count(*) AS n_docs FROM documents GROUP BY 1),
+         smp AS (SELECT lang AS key, CAST(sum(n_chars) AS BIGINT) AS sample_chars
+             FROM documents WHERE doc_id % 3 = 0 GROUP BY 1)
+         SELECT f.key AS key, f.total_chars, f.n_docs, smp.sample_chars
+         FROM f JOIN smp ON f.key = smp.key ORDER BY key""",
 
     "q45_range_join_rule" ->
       """WITH e AS (SELECT user_id,

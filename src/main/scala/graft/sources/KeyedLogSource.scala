@@ -86,10 +86,28 @@ object KeyedLogSource {
       messages: Array[WriterCommitMessage]): Unit = {
     val fs = new Path(path).getFileSystem(conf.value)
     messages.foreach {
-      case KeyedLogCommit(name) => fs.delete(new Path(path, name), false)
-      case _                    => ()
+      case KeyedLogCommit(names) =>
+        names.foreach(n => fs.delete(new Path(path, n), false))
+      case _ => ()
     }
   }
+
+  /** The key a clustered-write file holds, parsed from its name
+    * (`...-K=<urlencoded>.log`; empty encoding = the null key). None for a
+    * plain (non-clustered) data file. `=` cannot appear in the URL
+    * encoding, so the marker is unambiguous. */
+  private[sources] def keyOfFile(name: String): Option[Option[String]] = {
+    val i = name.lastIndexOf("-K=")
+    if (i < 0 || !name.endsWith(".log")) None
+    else {
+      val enc = name.substring(i + 3, name.length - 4)
+      Some(if (enc.isEmpty) None
+           else Some(java.net.URLDecoder.decode(enc, "UTF-8")))
+    }
+  }
+
+  private[sources] def encKey(key: String): String =
+    if (key == null) "" else java.net.URLEncoder.encode(key, "UTF-8")
 }
 
 class KeyedLogTable(path: String) extends Table with SupportsRead with SupportsWrite {
@@ -121,7 +139,8 @@ class KeyedLogTable(path: String) extends Table with SupportsRead with SupportsW
             override def requiredOrdering: Array[V2SortOrder] = Array(
               Expressions.sort(Expressions.identity("key"), SortDirection.ASCENDING),
               Expressions.sort(Expressions.identity("seq"), SortDirection.ASCENDING))
-            override def toBatch: BatchWrite = KeyedLogBatchWrite(dest, info.queryId())
+            override def toBatch: BatchWrite =
+              KeyedLogBatchWrite(dest, info.queryId(), clustered = true)
             override def toStreaming: StreamingWrite =
               KeyedLogStreamingWrite(dest, info.queryId())
           }
@@ -147,16 +166,18 @@ class KeyedLogTable(path: String) extends Table with SupportsRead with SupportsW
   * partial output from failed attempts is never visible. Job commit is a
   * no-op (files became visible at task commit; fine for an append-only log
   * sink), job abort removes committed files by name. */
-case class KeyedLogBatchWrite(path: String, queryId: String) extends BatchWrite {
+case class KeyedLogBatchWrite(path: String, queryId: String,
+                              clustered: Boolean = false) extends BatchWrite {
   private val conf = KeyedLogConf.capture()
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    KeyedLogWriterFactory(path, queryId, conf)
+    if (clustered) KeyedLogClusteredWriterFactory(path, queryId, conf)
+    else KeyedLogWriterFactory(path, queryId, conf)
   override def commit(messages: Array[WriterCommitMessage]): Unit = ()
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     KeyedLogSource.deleteCommitted(path, conf, messages)
 }
 
-case class KeyedLogCommit(fileName: String) extends WriterCommitMessage
+case class KeyedLogCommit(fileNames: Seq[String]) extends WriterCommitMessage
 
 /** Hadoop-conf propagation: DSv2 plan nodes are built on the driver, so
   * capture the SESSION's Hadoop conf there (carrying `spark.hadoop.*`
@@ -233,12 +254,91 @@ class KeyedLogWriter(dir: String, tmpName: String, finalName: String,
       throw new java.io.IOException(s"keyed_log: could not replace $finalName")
     if (!fs.rename(new Path(dir, tmpName), dest))
       throw new java.io.IOException(s"keyed_log: task commit rename failed for $tmpName")
-    KeyedLogCommit(finalName)
+    KeyedLogCommit(Seq(finalName))
   }
   override def abort(): Unit = {
     try out.close() catch { case _: java.io.IOException => () }
     fs.delete(new Path(dir, tmpName), false)
   }
+  override def close(): Unit = ()
+}
+
+case class KeyedLogClusteredWriterFactory(path: String, queryId: String,
+    conf: org.apache.spark.util.SerializableConfiguration) extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new KeyedLogClusteredWriter(path, queryId, partitionId, taskId, conf)
+}
+
+/** Clustered-write task: rows arrive clustered by key and sorted
+  * (key asc, seq asc — the Write's declared distribution/ordering), so the
+  * writer streams each key run into its OWN file, named
+  * `part-<queryId>-<partitionId>-K=<urlencoded key>.log` (empty encoding =
+  * null key). One file per key per write is what lets the scan report
+  * [[org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning]]
+  * and Spark drop the shuffle from key aggregations and joins over
+  * clustered dirs (storage-partitioned reads). Key cardinality bounds the
+  * file count, so cluster on modest-cardinality keys (tenant, source,
+  * language) — the default unclustered sink remains right for
+  * high-cardinality appends.
+  *
+  * The same staged-rename commit as [[KeyedLogWriter]]: per-key temp files
+  * carry the attempt id, final names are attempt-independent, so a retry
+  * replaces its predecessor's files and a mid-commit crash re-renames the
+  * same names — no duplicates, nothing partial visible. */
+class KeyedLogClusteredWriter(dir: String, queryId: String, partitionId: Int,
+    taskId: Long, conf: org.apache.spark.util.SerializableConfiguration)
+    extends DataWriter[InternalRow] {
+
+  private val fs = new Path(dir).getFileSystem(conf.value)
+  private var out: java.io.BufferedWriter = _
+  private var currentKey: String = _
+  private var started = false
+  private val seen = scala.collection.mutable.HashSet.empty[String]
+  private val staged = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+
+  private def roll(key: String): Unit = {
+    if (out != null) out.close()
+    val enc = KeyedLogSource.encKey(key)
+    require(seen.add(enc),
+      "keyed_log clustered write saw a key run twice — input not sorted by key " +
+        "(the declared ordering was not honored)")
+    val tmp = s".tmp-$queryId-$partitionId-t$taskId-K=$enc"
+    staged += ((tmp, s"part-$queryId-$partitionId-K=$enc.log"))
+    out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+      fs.create(new Path(dir, tmp), true), "UTF-8"))
+    currentKey = key
+    started = true
+  }
+
+  override def write(row: InternalRow): Unit = {
+    val key = if (row.isNullAt(0)) null else row.getUTF8String(0).toString
+    require(key == null || key.nonEmpty,
+      "keyed_log: empty-string keys are not representable; use null or a sentinel")
+    if (!started || !java.util.Objects.equals(key, currentKey)) roll(key)
+    val seq = if (row.isNullAt(1)) "" else row.getLong(1).toString
+    val metric = if (row.isNullAt(2)) "" else row.getLong(2).toString
+    out.write(if (key == null) "" else key)
+    out.write('\t'); out.write(seq); out.write('\t'); out.write(metric)
+    out.write('\n')
+  }
+
+  override def commit(): WriterCommitMessage = {
+    if (out != null) out.close()
+    staged.foreach { case (tmp, fin) =>
+      val dest = new Path(dir, fin)
+      if (fs.exists(dest) && !fs.delete(dest, false))
+        throw new java.io.IOException(s"keyed_log: could not replace $fin")
+      if (!fs.rename(new Path(dir, tmp), dest))
+        throw new java.io.IOException(s"keyed_log: task commit rename failed for $tmp")
+    }
+    KeyedLogCommit(staged.map(_._2).toSeq)
+  }
+
+  override def abort(): Unit = {
+    if (out != null) try out.close() catch { case _: java.io.IOException => () }
+    staged.foreach { case (tmp, _) => fs.delete(new Path(dir, tmp), false) }
+  }
+
   override def close(): Unit = ()
 }
 
@@ -285,6 +385,14 @@ class KeyedLogScanBuilder(path: String) extends ScanBuilder
       case Array(f: NamedReference) if f.fieldNames.sameElements(Array("key")) => true
       case _ => return false
     }
+    // With storage-partitioned reads available for this dir, a key
+    // aggregation is better served by the key-grouped scan: Spark's
+    // partial agg then needs NO shuffle at all, which beats per-file
+    // pre-aggregation followed by an exchange. (Also load-bearing:
+    // aggregate pushdown re-ids the scan relation output, after which
+    // V2ScanPartitioningAndOrdering cannot attach the reported
+    // partitioning.)
+    if (groupByKey && keyGroupedReadPossible) return false
     val ops = aggregation.aggregateExpressions.toSeq.map {
       case _: CountStar => KeyedLogAgg.CountStarOp
       case c: Count if !c.isDistinct =>
@@ -301,6 +409,19 @@ class KeyedLogScanBuilder(path: String) extends ScanBuilder
       ops.zipWithIndex.map { case (_, i) => StructField(s"agg_$i", LongType) }
     agg = Some(KeyedLogAgg(groupByKey, ops, StructType(fields)))
     true
+  }
+
+  /** True when the scan over this dir can report key-grouped partitioning:
+    * storage-partitioned reads enabled and every data file carries a
+    * clustered-write key tag. */
+  private def keyGroupedReadPossible: Boolean = {
+    val enabled = org.apache.spark.sql.internal.SQLConf.get
+      .getConfString("spark.sql.sources.v2.bucketing.enabled", "false") == "true"
+    enabled && {
+      val files = KeyedLogSource.listDataFiles(path, KeyedLogConf.capture())
+      files.nonEmpty &&
+        files.forall(f => KeyedLogSource.keyOfFile(new Path(f).getName).isDefined)
+    }
   }
 
   override def build(): Scan =
@@ -322,9 +443,57 @@ object KeyedLogAgg {
 case class KeyedLogScan(path: String, required: StructType,
                         pushed: Array[Filter],
                         agg: Option[KeyedLogAgg] = None) extends Scan with Batch
-    with SupportsRuntimeFiltering with SupportsReportStatistics {
+    with SupportsRuntimeFiltering with SupportsReportStatistics
+    with SupportsReportPartitioning {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  // one listing per scan: partition reporting and split planning must
+  // agree on the same file set even if writers race the query
+  @transient private lazy val allFiles: Array[String] =
+    KeyedLogSource.listDataFiles(path, conf)
+
+  /** Per-key file groups of a FULLY CLUSTERED dir (every data file named
+    * by the clustered writer), sorted null-key-first — None when any
+    * plain file is present or storage-partitioned reads are disabled
+    * (`spark.sql.sources.v2.bucketing.enabled`, Spark's gate for
+    * key-grouped scans; grouping shrinks parallelism to the key count, so
+    * it must only happen when the planner can pay it back by dropping
+    * shuffles). The "key" column must survive pruning — a scan whose
+    * output lacks the key has nothing to report a partitioning over. */
+  @transient private lazy val keyGroups: Option[Seq[(String, Seq[String])]] = {
+    // SQLConf.get is bound to the session PLANNING this scan (active's conf
+    // would be wrong for a newSession() that was never made active)
+    val enabled = org.apache.spark.sql.internal.SQLConf.get
+      .getConfString("spark.sql.sources.v2.bucketing.enabled", "false") == "true"
+    if (!enabled || allFiles.isEmpty || !required.fieldNames.contains("key")) None
+    else {
+      val parsed = allFiles.toSeq.map(f =>
+        (f, KeyedLogSource.keyOfFile(new Path(f).getName)))
+      if (parsed.exists(_._2.isEmpty)) None
+      else Some(parsed
+        .groupBy(_._2.get.orNull)
+        .map { case (k, fs) => (k, fs.map(_._1).sorted) }
+        .toSeq
+        .sortWith((a, b) => a._1 == null || (b._1 != null && a._1 < b._1)))
+    }
+  }
+
+  /** Storage-partitioned reads: a fully clustered dir has all rows of a
+    * key in one file group, so the scan reports
+    * `KeyGroupedPartitioning(identity(key))` and Spark elides the shuffle
+    * under key aggregations and co-clustered joins (the connector
+    * analogue of bucketed tables / Iceberg's SPJ). */
+  override def outputPartitioning(): org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    keyGroups match {
+      case Some(groups) =>
+        new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+          Array(org.apache.spark.sql.connector.expressions.Expressions.identity("key")),
+          groups.size)
+      case None =>
+        new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(
+          allFiles.length)
+    }
 
   /** Size statistics from the file listing — without them Spark assumes
     * `defaultSizeInBytes` (effectively infinite) for a DSv2 scan, so a
@@ -335,8 +504,7 @@ case class KeyedLogScan(path: String, required: StructType,
   override def estimateStatistics(): Statistics = new Statistics {
     private val bytes: Long = {
       val fs = new Path(path).getFileSystem(conf.value)
-      KeyedLogSource.listDataFiles(path, conf)
-        .map(f => fs.getFileStatus(new Path(f)).getLen).sum
+      allFiles.map(f => fs.getFileStatus(new Path(f)).getLen).sum
     }
     override def sizeInBytes(): java.util.OptionalLong =
       java.util.OptionalLong.of(bytes)
@@ -369,8 +537,12 @@ case class KeyedLogScan(path: String, required: StructType,
   @transient private lazy val conf = KeyedLogConf.capture()
 
   override def planInputPartitions(): Array[InputPartition] =
-    KeyedLogSource.listDataFiles(path, conf)
-      .map(f => KeyedLogPartition(f): InputPartition)
+    keyGroups match {
+      case Some(groups) => groups.map { case (k, fs) =>
+        KeyedLogKeyedPartition(fs, k): InputPartition
+      }.toArray
+      case None => allFiles.map(f => KeyedLogPartition(Seq(f)): InputPartition)
+    }
   override def createReaderFactory(): PartitionReaderFactory =
     KeyedLogReaderFactory(required, pushed ++ runtimeFilters, conf, agg)
 
@@ -400,7 +572,7 @@ class KeyedLogMicroBatchStream(path: String, required: StructType,
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val seen = start.asInstanceOf[KeyedLogOffset].files.toSet
     end.asInstanceOf[KeyedLogOffset].files
-      .filterNot(seen).map(f => KeyedLogPartition(f): InputPartition).toArray
+      .filterNot(seen).map(f => KeyedLogPartition(Seq(f)): InputPartition).toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
     KeyedLogReaderFactory(required, pushed, conf)
@@ -435,16 +607,35 @@ object KeyedLogOffset {
   }
 }
 
-case class KeyedLogPartition(file: String) extends InputPartition
+case class KeyedLogPartition(files: Seq[String]) extends InputPartition
+
+/** One key's whole file group of a clustered dir. Reporting the key here
+  * ([[HasPartitionKey]]) is what upgrades the scan's partitioning to
+  * KeyGroupedPartitioning — Spark aligns partitions of co-clustered scans
+  * by these values for storage-partitioned joins. */
+case class KeyedLogKeyedPartition(files: Seq[String], keyOrNull: String)
+    extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    InternalRow(if (keyOrNull == null) null else UTF8String.fromString(keyOrNull))
+}
+
+object KeyedLogPartition {
+  private[sources] def filesOf(partition: InputPartition): Seq[String] =
+    partition match {
+      case KeyedLogPartition(fs)         => fs
+      case KeyedLogKeyedPartition(fs, _) => fs
+      case other => throw new IllegalStateException(s"not a keyed_log split: $other")
+    }
+}
 
 case class KeyedLogReaderFactory(required: StructType, pushed: Array[Filter],
     conf: org.apache.spark.util.SerializableConfiguration,
     agg: Option[KeyedLogAgg] = None) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val file = partition.asInstanceOf[KeyedLogPartition].file
+    val files = KeyedLogPartition.filesOf(partition)
     agg match {
-      case Some(a) => new KeyedLogAggReader(file, a, pushed, conf)
-      case None    => new KeyedLogReader(file, required, pushed, conf)
+      case Some(a) => new KeyedLogAggReader(files, a, pushed, conf)
+      case None    => new KeyedLogReader(files, required, pushed, conf)
     }
   }
 
@@ -455,7 +646,7 @@ case class KeyedLogReaderFactory(required: StructType, pushed: Array[Filter],
   override def createColumnarReader(partition: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
     new KeyedLogColumnarReader(
-      partition.asInstanceOf[KeyedLogPartition].file, required, pushed, conf)
+      KeyedLogPartition.filesOf(partition), required, pushed, conf)
 }
 
 /** Vectorized reader: parses lines straight into on-heap column vectors,
@@ -466,14 +657,14 @@ case class KeyedLogReaderFactory(required: StructType, pushed: Array[Filter],
   * built-in parquet scan is vectorized. Parsing, key-filter pushdown, and
   * null semantics are shared with [[KeyedLogReader]] via [[KeyedLogLines]].
   */
-class KeyedLogColumnarReader(file: String, required: StructType,
+class KeyedLogColumnarReader(files: Seq[String], required: StructType,
     pushed: Array[Filter], conf: org.apache.spark.util.SerializableConfiguration,
     batchSize: Int = 4096)
     extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
   import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
   import org.apache.spark.sql.vectorized.ColumnarBatch
 
-  private val lines = new KeyedLogLines(file, pushed, conf)
+  private val lines = new KeyedLogLines(files, pushed, conf)
   private val fieldNames = required.fields.map(_.name)
   private val vectors = OnHeapColumnVector.allocateColumns(batchSize, required)
   private val batch = new ColumnarBatch(vectors.asInstanceOf[Array[org.apache.spark.sql.vectorized.ColumnVector]])
@@ -507,14 +698,14 @@ class KeyedLogColumnarReader(file: String, required: StructType,
   override def close(): Unit = { lines.close(); batch.close() }
 }
 
-/** Shared line scanner for the row and columnar readers: reads, splits,
-  * applies pushed key predicates, and exposes the current row's parsed
-  * fields. `advance()` positions on the next passing line. */
-private[sources] class KeyedLogLines(file: String, pushed: Array[Filter],
+/** Shared line scanner for the row and columnar readers: reads the split's
+  * files in order, splits lines, applies pushed key predicates, and
+  * exposes the current row's parsed fields. `advance()` positions on the
+  * next passing line (across file boundaries). */
+private[sources] class KeyedLogLines(files: Seq[String], pushed: Array[Filter],
     conf: org.apache.spark.util.SerializableConfiguration) {
-  private val fs = new Path(file).getFileSystem(conf.value)
-  private val in = new java.io.BufferedReader(
-    new java.io.InputStreamReader(fs.open(new Path(file)), "UTF-8"))
+  private val fileIt = files.iterator
+  private var in: java.io.BufferedReader = _
 
   var key: String = _
   var seq: Long = _
@@ -530,26 +721,34 @@ private[sources] class KeyedLogLines(file: String, pushed: Array[Filter],
   }
 
   def advance(): Boolean = {
-    var line = in.readLine()
-    while (line != null) {
-      val parts = line.split("\t", -1)
-      val k = if (parts.nonEmpty && parts(0).nonEmpty) parts(0) else null
-      if (keyPasses(k)) {
-        key = k
-        seqIsNull = true; metricIsNull = true
-        if (parts.length > 1) try {
-          seq = java.lang.Long.parseLong(parts(1).trim); seqIsNull = false
-        } catch { case _: NumberFormatException => () }
-        if (parts.length > 2) try {
-          metric = java.lang.Long.parseLong(parts(2).trim); metricIsNull = false
-        } catch { case _: NumberFormatException => () }
-        return true
+    while (true) {
+      if (in == null) {
+        if (!fileIt.hasNext) return false
+        val f = fileIt.next()
+        in = new java.io.BufferedReader(new java.io.InputStreamReader(
+          new Path(f).getFileSystem(conf.value).open(new Path(f)), "UTF-8"))
       }
-      line = in.readLine()
+      val line = in.readLine()
+      if (line == null) { in.close(); in = null }
+      else {
+        val parts = line.split("\t", -1)
+        val k = if (parts.nonEmpty && parts(0).nonEmpty) parts(0) else null
+        if (keyPasses(k)) {
+          key = k
+          seqIsNull = true; metricIsNull = true
+          if (parts.length > 1) try {
+            seq = java.lang.Long.parseLong(parts(1).trim); seqIsNull = false
+          } catch { case _: NumberFormatException => () }
+          if (parts.length > 2) try {
+            metric = java.lang.Long.parseLong(parts(2).trim); metricIsNull = false
+          } catch { case _: NumberFormatException => () }
+          return true
+        }
+      }
     }
-    false
+    false // unreachable
   }
-  def close(): Unit = in.close()
+  def close(): Unit = if (in != null) in.close()
 }
 
 /** Per-file pre-aggregation: one pass over the lines builds a per-group
@@ -557,7 +756,7 @@ private[sources] class KeyedLogLines(file: String, pushed: Array[Filter],
   * aggregate merges partials across files. Null-group and all-null-sum
   * semantics mirror Spark's (null keys form a group; SUM/MIN/MAX of no
   * non-null values is null; counts are 0-based). */
-class KeyedLogAggReader(file: String, agg: KeyedLogAgg, pushed: Array[Filter],
+class KeyedLogAggReader(files: Seq[String], agg: KeyedLogAgg, pushed: Array[Filter],
     conf: org.apache.spark.util.SerializableConfiguration) extends PartitionReader[InternalRow] {
   import KeyedLogAgg._
 
@@ -571,7 +770,7 @@ class KeyedLogAggReader(file: String, agg: KeyedLogAgg, pushed: Array[Filter],
   }
 
   private def compute(): Iterator[InternalRow] = {
-    val inner = new KeyedLogReader(file, KeyedLogSource.schema, pushed, conf)
+    val inner = new KeyedLogReader(files, KeyedLogSource.schema, pushed, conf)
     val opsArr = agg.ops.toArray // hoisted: the zip below runs per LINE
     // per group: per-op (value, seen) accumulators
     val groups = new java.util.LinkedHashMap[String, Array[Array[Long]]]()
@@ -630,9 +829,9 @@ class KeyedLogAggReader(file: String, agg: KeyedLogAgg, pushed: Array[Filter],
   override def close(): Unit = ()
 }
 
-class KeyedLogReader(file: String, required: StructType, pushed: Array[Filter],
+class KeyedLogReader(files: Seq[String], required: StructType, pushed: Array[Filter],
     conf: org.apache.spark.util.SerializableConfiguration) extends PartitionReader[InternalRow] {
-  private val lines = new KeyedLogLines(file, pushed, conf)
+  private val lines = new KeyedLogLines(files, pushed, conf)
   private val fieldNames = required.fields.map(_.name) // hoisted off the per-row path
   private var row: InternalRow = _
 

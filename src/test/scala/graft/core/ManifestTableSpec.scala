@@ -190,11 +190,15 @@ class ManifestTableSpec extends AnyFunSuite {
     reader.start()
     try {
       // compact repeatedly while the reader hammers; also vacuum with a
-      // grace version so a reader that resolved the manifest just before a
-      // commit still finds its files
+      // grace window so a reader that resolved the manifest just before a
+      // commit still finds its files. keep=3 (two grace versions): the
+      // window must cover the SLOWEST in-flight read — under a fully
+      // loaded test JVM a reader can be descheduled across one whole
+      // compact+vacuum cycle, which keep=2 does not survive (the same
+      // sizing rule production retention follows)
       (1 to 3).foreach { _ =>
         ManifestTable.compact(spark, dir)
-        ManifestTable.vacuum(dir, keep = 2)
+        ManifestTable.vacuum(dir, keep = 3)
       }
     } finally {
       stop = true

@@ -361,4 +361,91 @@ class DataSourceSpec extends AnyFunSuite {
     assert(new java.io.File(dir).listFiles().count(_.getName.endsWith(".log")) === 1)
     assert(read(dir).count() === 1)
   }
+
+  /** Session with storage-partitioned (key-grouped) reads enabled. */
+  private def spjSession(): SparkSession = {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    s
+  }
+
+  private def writeClustered(s: SparkSession, rows: Seq[(String, Long, Long)]): String = {
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft_klog_spj_").toString
+    rows.toDF("key", "seq", "metric").repartition(8)
+      .write.format("graft.sources.KeyedLogSource")
+      .option("clusterByKey", "true").mode("append").save(dir)
+    dir
+  }
+
+  test("clustered dir reports key-grouped partitioning: groupBy(key) plans no shuffle") {
+    val s = spjSession()
+    val dir = writeClustered(s,
+      (1 to 100).map(i => (s"k${i % 5}", i.toLong, i.toLong)) ++
+        Seq((null.asInstanceOf[String], 999L, 7L)))
+    val agg = s.read.format("graft.sources.KeyedLogSource").load(dir)
+      .groupBy("key").agg(sum("metric").as("total"))
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"key aggregation over a clustered dir must not shuffle:\n$plan")
+    val totals = agg.collect().map(r => (r.getAs[String]("key"), r.getLong(1))).toMap
+    assert(totals(null) === 7L)
+    assert(totals("k1") === (1 to 100).filter(_ % 5 == 1).sum.toLong)
+    // without the bucketing flag the same dir scans per-file (parallelism
+    // first) and the aggregation shuffles as usual
+    val plain = read(dir).groupBy("key").agg(sum("metric")).queryExecution
+      .executedPlan.toString
+    assert(plain.contains("Exchange"), s"flag off must keep the normal plan:\n$plain")
+  }
+
+  test("storage-partitioned join of co-clustered dirs plans no shuffle") {
+    val s = spjSession()
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force the SPJ path
+    val keys = (0 until 6).map(i => s"k$i")
+    val left = writeClustered(s,
+      (1 to 120).map(i => (keys(i % 6), i.toLong, i.toLong)))
+    val right = writeClustered(s,
+      (1 to 60).map(i => (keys(i % 6), i.toLong, i.toLong * 10)))
+    def load(d: String) = s.read.format("graft.sources.KeyedLogSource").load(d)
+    // aggregate each side per key first (no shuffle: key-grouped), then
+    // join on key — co-partitioned storage join, no exchange anywhere
+    val joined = load(left).groupBy("key").agg(sum("metric").as("l"))
+      .join(load(right).groupBy("key").agg(sum("metric").as("r")), Seq("key"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("BroadcastExchange"),
+      s"co-clustered join must be storage-partitioned (no shuffle):\n$plan")
+    val rows = joined.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length === 6)
+    val k0 = rows.find(_._1 == "k0").get
+    assert(k0._2 === (1 to 120).filter(_ % 6 == 0).sum.toLong)
+    assert(k0._3 === (1 to 60).filter(_ % 6 == 0).map(_ * 10).sum.toLong)
+  }
+
+  test("a plain append demotes a clustered dir to per-file scanning") {
+    val s = spjSession()
+    import s.implicits._
+    val dir = writeClustered(s, Seq(("a", 1L, 1L), ("b", 2L, 2L)))
+    // unclustered append: files without the -K= tag
+    Seq(("a", 3L, 3L)).toDF("key", "seq", "metric")
+      .write.format("graft.sources.KeyedLogSource").mode("append").save(dir)
+    val agg = s.read.format("graft.sources.KeyedLogSource").load(dir)
+      .groupBy("key").agg(sum("metric").as("total"))
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("Exchange"),
+      s"mixed dir cannot report key-grouped partitioning:\n$plan")
+    assert(agg.collect().map(r => (r.getString(0), r.getLong(1))).toMap ===
+      Map("a" -> 4L, "b" -> 2L))
+  }
+
+  test("clustered file names round-trip awkward keys (encoding)") {
+    val s = spjSession()
+    val dir = writeClustered(s, Seq(
+      ("sp ace", 1L, 1L), ("sl/ash", 2L, 2L), ("eq=k", 3L, 3L),
+      ("unié", 4L, 4L), (null.asInstanceOf[String], 5L, 5L)))
+    val rows = s.read.format("graft.sources.KeyedLogSource").load(dir)
+      .collect().map(r => (r.getAs[String]("key"), r.getLong(2))).toSet
+    assert(rows === Set(("sp ace", 1L), ("sl/ash", 2L), ("eq=k", 3L),
+      ("unié", 4L), (null, 5L)))
+  }
 }
