@@ -45,7 +45,8 @@ class ManifestSparkTable(dir: String, declared: StructType,
   override def schema(): StructType = declared
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.STREAMING_WRITE)
 
   private def snapshotPaths: Seq[String] = {
     val committed = ManifestTable.allVersions(dir)
@@ -128,6 +129,12 @@ class ManifestSparkTable(dir: String, declared: StructType,
               ()
             }
           }
+        /** `writeStream.toTable(...)`: each epoch = one manifest version,
+          * exactly-once via deterministic epoch pools — see
+          * [[ManifestStreamingWrite]]. Complete mode (truncate) replaces
+          * the snapshot per epoch. */
+        override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+          new ManifestStreamingWrite(dir, info.schema(), info.queryId(), overwrite)
       }
     }
   }

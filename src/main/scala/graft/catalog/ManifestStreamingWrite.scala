@@ -1,0 +1,139 @@
+package graft.catalog
+
+import org.apache.hadoop.fs.Path
+import org.apache.hadoop.mapreduce.{Job, JobID, TaskAttemptID, TaskID, TaskType}
+import org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.write.{DataWriter, PhysicalWriteInfo, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
+import org.apache.spark.sql.execution.datasources.{OutputWriter, OutputWriterFactory}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.util.SerializableConfiguration
+
+import graft.core.{LakeStorage, ManifestTable}
+
+/** Structured-Streaming sink for manifest tables
+  * (`df.writeStream.toTable("catalog.db.t")`): every micro-batch becomes
+  * one committed manifest version, so streams land in the same versioned,
+  * time-travelable tables batch SQL reads — with EXACTLY-ONCE output.
+  *
+  * Exactly-once is derived from the manifest itself, no side ledger:
+  *  - each epoch stages into the DETERMINISTIC pool
+  *    `d-stream-<queryId>-e<epochId>` (queryId is stable across restarts;
+  *    task files are staged `.tmp-` and renamed to attempt-independent
+  *    names on task commit, so retries replace, never duplicate);
+  *  - the epoch commit first checks whether any committed version already
+  *    references that pool — a REPLAYED epoch (failure between sink
+  *    commit and offset-log write) finds its pool referenced and skips,
+  *    turning at-least-once delivery into exactly-once table state.
+  *
+  * Append mode commits `base ∪ epoch` (delta-only, existing data
+  * re-listed); complete/truncate mode commits the epoch as a replacing
+  * snapshot. Either way concurrent BATCH writers interleave safely
+  * through the optimistic commit loop. */
+class ManifestStreamingWrite(dir: String, schema: StructType, queryId: String,
+                             truncate: Boolean) extends StreamingWrite {
+
+  import ManifestStreamingWrite.poolName
+
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory = {
+    val spark = SparkSession.active
+    val job = Job.getInstance(spark.sessionState.newHadoopConf())
+    val owf = new ParquetFileFormat().prepareWrite(spark, job, Map.empty, schema)
+    ManifestStreamingWriterFactory(owf, dir, queryId, schema,
+      new SerializableConfiguration(job.getConfiguration))
+  }
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val pool = poolName(queryId, epochId)
+    val prefix = s"$pool/"
+    val alreadyCommitted = ManifestTable.allVersions(dir).exists(v =>
+      ManifestTable.manifest(dir, v).exists(_.startsWith(prefix)))
+    if (alreadyCommitted) return // replayed epoch: table state already has it
+    val files = messages
+      .collect { case PoolFileCommit(Some(name)) => s"$pool/$name" }
+      .toSeq.sorted
+    if (truncate) ManifestTable.commitStagedSnapshot(dir, files)
+    else if (files.nonEmpty) ManifestTable.commitStagedAppend(dir, files)
+    ()
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val pool = poolName(queryId, epochId)
+    val prefix = s"$pool/"
+    val referenced = ManifestTable.allVersions(dir).exists(v =>
+      ManifestTable.manifest(dir, v).exists(_.startsWith(prefix)))
+    if (!referenced) { LakeStorage.openFor(dir).delete(new Path(dir, pool), true); () }
+  }
+}
+
+object ManifestStreamingWrite {
+  private[catalog] def poolName(queryId: String, epochId: Long): String =
+    s"d-stream-$queryId-e$epochId"
+}
+
+case class ManifestStreamingWriterFactory(owf: OutputWriterFactory, dir: String,
+    queryId: String, schema: StructType, conf: SerializableConfiguration)
+    extends StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+                            epochId: Long): DataWriter[InternalRow] =
+    new ManifestStreamingPoolWriter(owf,
+      s"$dir/${ManifestStreamingWrite.poolName(queryId, epochId)}",
+      schema, conf, partitionId, taskId)
+}
+
+/** Parquet task writer with the staged-rename epoch protocol: stage to an
+  * attempt-unique `.tmp-` name, rename to the attempt-INDEPENDENT
+  * `part-<partitionId>.parquet` on task commit (replace-on-retry), so an
+  * epoch replay regenerates identical pool contents. Lazy open — empty
+  * partitions leave no file. */
+class ManifestStreamingPoolWriter(owf: OutputWriterFactory, poolPath: String,
+    schema: StructType, conf: SerializableConfiguration,
+    partitionId: Int, taskId: Long) extends DataWriter[InternalRow] {
+
+  private val finalName = f"part-$partitionId%05d.parquet"
+  private val tmpName = f".tmp-part-$partitionId%05d-t$taskId.parquet"
+  private var writer: OutputWriter = _
+  private var closed = false
+
+  private def ensureOpen(): OutputWriter = {
+    if (writer == null) {
+      val attempt = new TaskAttemptID(
+        new TaskID(new JobID("graft-stream", 0), TaskType.MAP, partitionId),
+        taskId.toInt)
+      writer = owf.newInstance(s"$poolPath/$tmpName", schema,
+        new TaskAttemptContextImpl(conf.value, attempt))
+    }
+    writer
+  }
+
+  override def write(row: InternalRow): Unit = ensureOpen().write(row)
+
+  override def commit(): WriterCommitMessage = {
+    closeWriter()
+    if (writer == null) return PoolFileCommit(None)
+    val fs = new Path(poolPath).getFileSystem(conf.value)
+    val dest = new Path(poolPath, finalName)
+    if (fs.exists(dest) && !fs.delete(dest, false))
+      throw new java.io.IOException(s"manifest stream: could not replace $dest")
+    if (!fs.rename(new Path(poolPath, tmpName), dest))
+      throw new java.io.IOException(s"manifest stream: rename failed for $tmpName")
+    PoolFileCommit(Some(finalName))
+  }
+
+  override def abort(): Unit = {
+    closeWriter()
+    if (writer != null) {
+      val p = new Path(poolPath, tmpName)
+      p.getFileSystem(conf.value).delete(p, false)
+      ()
+    }
+  }
+
+  override def close(): Unit = closeWriter()
+
+  private def closeWriter(): Unit =
+    if (writer != null && !closed) { closed = true; writer.close() }
+}

@@ -278,6 +278,32 @@ object StreamingQueries extends QueryModule {
       s.table("qs13_out").orderBy("key")
     },
 
+    // --- streaming into a CATALOG manifest table (catalog/
+    //     ManifestStreamingWrite): writeStream.toTable lands each epoch as
+    //     one committed, time-travelable manifest version with
+    //     exactly-once epoch pools; batch SQL aggregates the result
+    //     through the same named table ---
+    "qs14_stream_to_table" -> { (s, d) =>
+      if (s.conf.getOption("spark.sql.catalog.graft_cat").isEmpty)
+        graft.catalog.GraftCatalog.register(s, "graft_cat",
+          graft.core.TempDirs.create("graft_cat_root_"))
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.db")
+      s.sql("DROP TABLE IF EXISTS graft_cat.db.stream_events")
+      s.sql("CREATE TABLE graft_cat.db.stream_events " +
+        "(event_type STRING, value DOUBLE) USING manifest")
+      val ckpt = graft.core.TempDirs.create("graft_qs14_ck_")
+      withStreamShuffle(s) {
+        val q = eventStream(s, d).select(col("event_type"), col("value"))
+          .writeStream.option("checkpointLocation", ckpt)
+          .outputMode("append").toTable("graft_cat.db.stream_events")
+        try q.processAllAvailable() finally q.stop()
+      }
+      s.sql("""SELECT event_type, count(*) AS n,
+          round(sum(value), 2) AS total_value
+        FROM graft_cat.db.stream_events
+        GROUP BY event_type ORDER BY event_type""")
+    },
+
     // --- streaming END-TO-END pipeline through the custom connector:
     //     event stream -> watermarked stateful dedup -> stream-static
     //     dim enrichment -> DSv2 streaming SINK (staged epoch commit) ->
@@ -388,6 +414,10 @@ object StreamingQueries extends QueryModule {
          ORDER BY user_id, session_start""",
 
     "qs05_foreach_batch_sink" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value
+         FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "qs14_stream_to_table" ->
       """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value
          FROM events GROUP BY event_type ORDER BY event_type""",
 

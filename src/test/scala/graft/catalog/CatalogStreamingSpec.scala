@@ -1,0 +1,114 @@
+package graft.catalog
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.ManifestTable
+
+/** Streaming into catalog manifest tables: `writeStream.toTable` lands
+  * each micro-batch as one committed manifest version (readable mid-flight
+  * by batch SQL, time-travelable), epoch replays are exactly-once, and
+  * complete mode replaces the snapshot per epoch. */
+class CatalogStreamingSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    GraftCatalog.register(s, "gs", root)
+    s
+  }
+  private lazy val root =
+    "file://" + Files.createTempDirectory("graft_catalog_stream_").toString
+
+  private def ensureDb(): Unit =
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gs.db")
+
+  private def tableDir(t: String): String = s"$root/db/$t"
+
+  test("writeStream.toTable appends one manifest version per micro-batch") {
+    ensureDb()
+    import spark.implicits._
+    spark.sql("CREATE TABLE gs.db.sink (key STRING, x BIGINT) USING manifest")
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val source = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(String, Long)]
+    val ckpt = Files.createTempDirectory("graft_cstream_ck_").toString
+    val q = source.toDF().toDF("key", "x")
+      .writeStream.option("checkpointLocation", ckpt)
+      .outputMode("append").toTable("gs.db.sink")
+    try {
+      source.addData(("a", 1L), ("b", 2L))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT count(*) FROM gs.db.sink").head().getLong(0) === 2L)
+      val vAfterFirst = ManifestTable.currentVersion(tableDir("sink")).get
+      source.addData(("c", 3L))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT sum(x) FROM gs.db.sink").head().getLong(0) === 6L)
+      val vAfterSecond = ManifestTable.currentVersion(tableDir("sink")).get
+      assert(vAfterSecond === vAfterFirst + 1, "each epoch must commit one version")
+      // the pre-batch version stays time-travelable
+      assert(spark.sql(
+        s"SELECT count(*) FROM gs.db.sink VERSION AS OF $vAfterFirst")
+        .head().getLong(0) === 2L)
+    } finally q.stop()
+  }
+
+  test("epoch replay commits exactly once (at-least-once -> exactly-once)") {
+    ensureDb()
+    import spark.implicits._
+    spark.sql("CREATE TABLE gs.db.replay (key STRING, x BIGINT) USING manifest")
+    val dir = tableDir("replay")
+    val sw = new ManifestStreamingWrite(dir,
+      spark.table("gs.db.replay").schema, "qfixed", truncate = false)
+    def runEpoch(epoch: Long): Unit = {
+      val factory = sw.createStreamingWriterFactory(null)
+      val w = factory.createWriter(0, epoch * 100 + 1, epoch)
+      Seq(("a", epoch)).foreach { case (k, v) =>
+        w.write(org.apache.spark.sql.catalyst.InternalRow(
+          org.apache.spark.unsafe.types.UTF8String.fromString(k), v))
+      }
+      sw.commit(epoch, Array(w.commit()))
+    }
+    runEpoch(0)
+    assert(ManifestTable.currentVersion(dir) === Some(1L))
+    // replay of the SAME epoch (failure between sink commit and offset
+    // write): pool already referenced -> no new version, no duplicates
+    runEpoch(0)
+    assert(ManifestTable.currentVersion(dir) === Some(1L))
+    assert(spark.sql("SELECT count(*) FROM gs.db.replay").head().getLong(0) === 1L)
+    runEpoch(1)
+    assert(ManifestTable.currentVersion(dir) === Some(2L))
+    assert(spark.sql("SELECT count(*) FROM gs.db.replay").head().getLong(0) === 2L)
+  }
+
+  test("complete mode replaces the snapshot each epoch") {
+    ensureDb()
+    import spark.implicits._
+    spark.sql("CREATE TABLE gs.db.agg (key STRING, n BIGINT) USING manifest")
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val source = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[String]
+    val ckpt = Files.createTempDirectory("graft_cstream_ck2_").toString
+    val q = source.toDF().toDF("key")
+      .groupBy("key").agg(count(lit(1)).as("n"))
+      .writeStream.option("checkpointLocation", ckpt)
+      .outputMode("complete").toTable("gs.db.agg")
+    try {
+      source.addData("a", "a", "b")
+      q.processAllAvailable()
+      source.addData("a")
+      q.processAllAvailable()
+      val state = spark.sql("SELECT key, n FROM gs.db.agg ORDER BY key").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(state === Seq(("a", 3L), ("b", 1L)),
+        "complete mode must hold exactly the latest aggregate state")
+    } finally q.stop()
+  }
+}
