@@ -9,7 +9,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.types.{DataType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import graft.core.LakeStorage
@@ -227,9 +227,46 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (!fs.exists(new Path(dir, MetaFile))) { fs.delete(new Path(dir), true); () }
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      s"catalog $catalogName does not support ALTER TABLE (schema is fixed at create)")
+  /** Schema evolution on manifest tables: ADD COLUMNS (nullable, appended
+    * — existing files simply null-fill the new column on read, the
+    * parquet missing-column contract) and DROP COLUMN (reads prune it
+    * from files that still carry it; the data is untouched and stays
+    * reachable via VERSION AS OF through the pre-alter descriptor's
+    * column set? No — the descriptor is table-wide, so a drop hides the
+    * column for all versions; re-adding a dropped name with a DIFFERENT
+    * type is rejected at read time by parquet, the same caveat Delta has
+    * without column mapping). Renames are rejected: parquet resolves
+    * columns by name, so a rename would silently null out history. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val dir = tableDir(ident)
+    val meta = readMeta(dir).getOrElse(throw new NoSuchTableException(ident))
+    require(meta.provider == "manifest",
+      s"${ident.name()}: only manifest tables support ALTER TABLE")
+    var schema = meta.schema
+    changes.foreach {
+      case add: TableChange.AddColumn =>
+        require(add.fieldNames.length == 1,
+          s"${ident.name()}: nested column adds are not supported")
+        require(add.isNullable,
+          s"${ident.name()}: added columns must be nullable — existing data files do not have them")
+        require(!schema.fieldNames.contains(add.fieldNames.head),
+          s"${ident.name()}: column ${add.fieldNames.head} already exists")
+        schema = schema.add(StructField(add.fieldNames.head, add.dataType, nullable = true))
+      case del: TableChange.DeleteColumn =>
+        require(del.fieldNames.length == 1,
+          s"${ident.name()}: nested column drops are not supported")
+        val name = del.fieldNames.head
+        require(schema.fieldNames.contains(name),
+          s"${ident.name()}: no such column $name")
+        require(schema.length > 1,
+          s"${ident.name()}: cannot drop the last column")
+        schema = StructType(schema.filterNot(_.name == name))
+      case other => throw new UnsupportedOperationException(
+        s"catalog $catalogName supports ALTER TABLE ADD COLUMNS / DROP COLUMN; got $other")
+    }
+    replaceMeta(dir, meta.copy(schema = schema))
+    tableFor(ident, asOf = None)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val dir = new Path(tableDir(ident))
@@ -329,6 +366,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case _: java.io.IOException => return false
     }
     try { out.write(json.getBytes("UTF-8")); true } finally out.close()
+  }
+
+  /** Descriptor update for ALTER TABLE (delete + recreate; the window is
+    * tolerable because a descriptor is tiny and alters are rare/manual —
+    * a store with atomic overwrite closes it). */
+  private def replaceMeta(dir: String, meta: TableMeta): Unit = {
+    fs.delete(new Path(dir, MetaFile), false)
+    if (!writeMeta(dir, meta))
+      throw new IllegalStateException(s"could not update descriptor under $dir")
   }
 }
 

@@ -258,6 +258,29 @@ object CoverageQueries extends QueryModule {
         "FROM graft_cat.db.dml GROUP BY lang ORDER BY lang")
     },
 
+    // --- DDL schema evolution (catalog/GraftCatalog.alterTable): ALTER
+    //     TABLE ADD COLUMNS appends a nullable column; files written
+    //     before the alter null-fill it on read (parquet missing-column
+    //     contract), files after carry it — the catalog-table twin of
+    //     qc15's mergeSchema read ---
+    "qc22_schema_evolution" -> { (s, d) =>
+      if (s.conf.getOption("spark.sql.catalog.graft_cat").isEmpty)
+        graft.catalog.GraftCatalog.register(s, "graft_cat",
+          graft.core.TempDirs.create("graft_cat_root_"))
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.db")
+      s.sql("DROP TABLE IF EXISTS graft_cat.db.evo")
+      Tables.documents(s, d).createOrReplaceTempView("qc22_documents")
+      s.sql("CREATE TABLE graft_cat.db.evo (doc_id BIGINT, lang STRING) USING manifest")
+      s.sql("INSERT INTO graft_cat.db.evo " +
+        "SELECT doc_id, lang FROM qc22_documents WHERE doc_id < 200")
+      s.sql("ALTER TABLE graft_cat.db.evo ADD COLUMNS (n_chars BIGINT)")
+      s.sql("INSERT INTO graft_cat.db.evo " +
+        "SELECT doc_id, lang, n_chars FROM qc22_documents WHERE doc_id >= 200")
+      s.sql("""SELECT lang, count(*) AS n_docs,
+          count(n_chars) AS n_with_chars, sum(n_chars) AS total_chars
+        FROM graft_cat.db.evo GROUP BY lang ORDER BY lang""")
+    },
+
     // --- schema evolution on read (mergeSchema): a later batch adds a
     //     column; the merged scan unions the schemas and nulls the column
     //     for old files — the lake's schema-drift-over-time contract ---
@@ -575,6 +598,14 @@ object CoverageQueries extends QueryModule {
          final AS (SELECT * FROM merged UNION ALL SELECT * FROM inserted)
          SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
          FROM final GROUP BY lang ORDER BY lang""",
+
+    "qc22_schema_evolution" ->
+      """SELECT lang, count(*) AS n_docs,
+           CAST(count(CASE WHEN doc_id >= 200 THEN n_chars END) AS BIGINT)
+             AS n_with_chars,
+           CAST(sum(CASE WHEN doc_id >= 200 THEN n_chars END) AS BIGINT)
+             AS total_chars
+         FROM documents GROUP BY lang ORDER BY lang""",
 
     "qc15_schema_merge" ->
       """SELECT CAST(2 * (SELECT count(*) FROM nation) AS BIGINT) AS n_rows,

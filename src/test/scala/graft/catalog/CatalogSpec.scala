@@ -123,6 +123,29 @@ class CatalogSpec extends AnyFunSuite {
     assert(spark.sql("SELECT two FROM g.db.rtas2").head().getInt(0) === 2)
   }
 
+  test("ALTER TABLE ADD/DROP COLUMNS: old files null-fill, renames rejected") {
+    ensureDb()
+    spark.sql("CREATE TABLE g.db.evolve (id BIGINT, v STRING) USING manifest")
+    spark.sql("INSERT INTO g.db.evolve VALUES (1, 'a'), (2, 'b')")
+    spark.sql("ALTER TABLE g.db.evolve ADD COLUMNS (w BIGINT)")
+    // pre-alter files read with the new column as null
+    assert(spark.sql("SELECT count(*) FROM g.db.evolve WHERE w IS NULL")
+      .head().getLong(0) === 2L)
+    spark.sql("INSERT INTO g.db.evolve VALUES (3, 'c', 30)")
+    assert(spark.sql("SELECT sum(w) FROM g.db.evolve").head().getLong(0) === 30L)
+    assert(spark.table("g.db.evolve").schema.map(_.name) === Seq("id", "v", "w"))
+    // drop hides the column; data files are untouched
+    spark.sql("ALTER TABLE g.db.evolve DROP COLUMN v")
+    assert(spark.table("g.db.evolve").schema.map(_.name) === Seq("id", "w"))
+    assert(spark.sql("SELECT count(*) FROM g.db.evolve").head().getLong(0) === 3L)
+    // renames would silently null out history (parquet resolves by name)
+    intercept[Exception](
+      spark.sql("ALTER TABLE g.db.evolve RENAME COLUMN w TO w2"))
+    // non-nullable adds are impossible for existing files
+    intercept[Exception](
+      spark.sql("ALTER TABLE g.db.evolve ADD COLUMNS (z BIGINT NOT NULL)"))
+  }
+
   test("TIMESTAMP AS OF resolves the version committed at that instant") {
     ensureDb()
     spark.sql("CREATE TABLE g.db.ts (id BIGINT) USING manifest")
