@@ -85,7 +85,31 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       .map(s => Identifier.of(namespace, s.getPath.getName))
   }
 
-  override def loadTable(ident: Identifier): Table = tableFor(ident, asOf = None)
+  override def loadTable(ident: Identifier): Table = {
+    if (ident.namespace().length > 1)
+      return metadataTableFor(ident).getOrElse(throw new NoSuchTableException(ident))
+    tableFor(ident, asOf = None)
+  }
+
+  /** Iceberg-style metadata tables: `<ns>.<table>.history` / `.files`
+    * resolve as an identifier whose NAMESPACE is (ns, table) — serve the
+    * version/file listings of the underlying manifest root. */
+  private def metadataTableFor(ident: Identifier): Option[Table] = {
+    val ns = ident.namespace()
+    if (ns.length != 2) return None
+    val dir = s"$root/${ns(0)}/${ns(1)}"
+    readMeta(dir).flatMap { meta =>
+      if (meta.provider != "manifest") None
+      else {
+        val dataDir = meta.location.getOrElse(dir)
+        ident.name().toLowerCase match {
+          case "history" => Some(MetadataTables.history(dataDir))
+          case "files"   => Some(MetadataTables.files(dataDir))
+          case _         => None
+        }
+      }
+    }
+  }
 
   /** `VERSION AS OF` time travel (manifest tables only). */
   override def loadTable(ident: Identifier, version: String): Table = {

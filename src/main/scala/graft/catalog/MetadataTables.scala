@@ -1,0 +1,108 @@
+package graft.catalog
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType, TimestampType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.core.{LakeStorage, ManifestTable}
+
+/** Iceberg-style metadata tables over a manifest root, reachable as
+  * `SELECT * FROM <catalog>.<db>.<table>.history` / `.files` — the ops
+  * surface for versioned tables (what did each commit add, what does the
+  * current snapshot hold, what would vacuum reclaim) without any side
+  * channel: every row is derived from commit markers and file status.
+  *
+  * Rows are computed DRIVER-side at scan planning (they are metadata — a
+  * handful of rows per version/file) and shipped as one partition; the
+  * data path stays fully distributed because these tables are never the
+  * data path. */
+object MetadataTables {
+
+  val HistorySchema: StructType = StructType(Seq(
+    StructField("version", LongType, nullable = false),
+    StructField("committed_at", TimestampType, nullable = false),
+    StructField("n_files", LongType, nullable = false),
+    StructField("total_bytes", LongType, nullable = false),
+    StructField("added_files", LongType, nullable = false)))
+
+  val FilesSchema: StructType = StructType(Seq(
+    StructField("file", StringType, nullable = false),
+    StructField("bytes", LongType, nullable = false),
+    StructField("pool", StringType, nullable = false)))
+
+  /** `t.history`: one row per committed version still present. */
+  def history(dir: String): Table =
+    new VirtualRowsTable(s"history($dir)", HistorySchema, () => {
+      val fs = LakeStorage.openFor(dir)
+      var prev = Set.empty[String]
+      ManifestTable.allVersions(dir).map { v =>
+        val files = ManifestTable.manifest(dir, v)
+        val bytes = files.map(f => fs.getFileStatus(new Path(dir, f)).getLen).sum
+        val mtime = fs.getFileStatus(
+          new Path(dir, f"_commit_$v%020d")).getModificationTime
+        val added = files.count(!prev.contains(_))
+        prev = files.toSet
+        Array[Any](v, mtime * 1000L, files.length.toLong, bytes, added.toLong)
+      }
+    })
+
+  /** `t.files`: one row per data file of the CURRENT snapshot. */
+  def files(dir: String): Table =
+    new VirtualRowsTable(s"files($dir)", FilesSchema, () => {
+      val fs = LakeStorage.openFor(dir)
+      ManifestTable.currentVersion(dir).toSeq.flatMap { v =>
+        ManifestTable.manifest(dir, v).map { f =>
+          Array[Any](f, fs.getFileStatus(new Path(dir, f)).getLen,
+            f.split("/", 2).head)
+        }
+      }
+    })
+}
+
+/** A read-only DSv2 table serving driver-computed rows (Strings and
+  * primitives; Strings are converted to UTF8String in the reader).
+  * `rows` is re-evaluated on every scan, so the view always reflects the
+  * current table state. */
+class VirtualRowsTable(tableName: String, tableSchema: StructType,
+                       rows: () => Seq[Array[Any]])
+    extends Table with SupportsRead {
+
+  override def name(): String = tableName
+  override def schema(): StructType = tableSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new Scan with Batch {
+      override def readSchema(): StructType = tableSchema
+      override def toBatch: Batch = this
+      override def description(): String = tableName
+      override def planInputPartitions(): Array[InputPartition] =
+        Array(VirtualRowsPartition(rows().toArray))
+      override def createReaderFactory(): PartitionReaderFactory =
+        VirtualRowsReaderFactory()
+    }
+}
+
+case class VirtualRowsPartition(rows: Array[Array[Any]]) extends InputPartition
+
+case class VirtualRowsReaderFactory() extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val rows = partition.asInstanceOf[VirtualRowsPartition].rows
+    new PartitionReader[InternalRow] {
+      private var i = -1
+      override def next(): Boolean = { i += 1; i < rows.length }
+      override def get(): InternalRow =
+        new GenericInternalRow(rows(i).map {
+          case s: String => UTF8String.fromString(s)
+          case other     => other
+        })
+      override def close(): Unit = ()
+    }
+  }
+}

@@ -258,6 +258,29 @@ object CoverageQueries extends QueryModule {
         "FROM graft_cat.db.dml GROUP BY lang ORDER BY lang")
     },
 
+    // --- metadata tables (catalog/MetadataTables): t.history / t.files
+    //     — one row per committed version / per current-snapshot file,
+    //     derived purely from commit markers + file status (the DESCRIBE
+    //     HISTORY ops surface of the lake formats). Writes use pinned
+    //     repartition so file counts are deterministic for the oracle ---
+    "qc23_table_history" -> { (s, d) =>
+      if (s.conf.getOption("spark.sql.catalog.graft_cat").isEmpty)
+        graft.catalog.GraftCatalog.register(s, "graft_cat",
+          graft.core.TempDirs.create("graft_cat_root_"))
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.db")
+      s.sql("DROP TABLE IF EXISTS graft_cat.db.hist")
+      val dir = graft.core.TempDirs.create("graft_hist_")
+      val docs = Tables.documents(s, d).select("doc_id", "lang")
+      graft.core.ManifestTable.write(docs.filter(col("doc_id") < 100).repartition(4), dir)
+      graft.core.ManifestTable.append(docs.filter(col("doc_id") >= 100).repartition(6), dir)
+      s.sql("CREATE TABLE graft_cat.db.hist (doc_id BIGINT, lang STRING) " +
+        s"USING manifest LOCATION '$dir'")
+      s.sql("""SELECT h.version, h.n_files, h.added_files,
+          (SELECT count(*) FROM graft_cat.db.hist) AS current_rows,
+          (SELECT count(*) FROM graft_cat.db.hist.files) AS current_files
+        FROM graft_cat.db.hist.history h ORDER BY h.version""")
+    },
+
     // --- DDL schema evolution (catalog/GraftCatalog.alterTable): ALTER
     //     TABLE ADD COLUMNS appends a nullable column; files written
     //     before the alter null-fill it on read (parquet missing-column
@@ -598,6 +621,13 @@ object CoverageQueries extends QueryModule {
          final AS (SELECT * FROM merged UNION ALL SELECT * FROM inserted)
          SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
          FROM final GROUP BY lang ORDER BY lang""",
+
+    "qc23_table_history" ->
+      """SELECT CAST(v AS BIGINT) AS version, CAST(f AS BIGINT) AS n_files,
+           CAST(a AS BIGINT) AS added_files,
+           (SELECT count(*) FROM documents) AS current_rows,
+           CAST(10 AS BIGINT) AS current_files
+         FROM (VALUES (1, 4, 4), (2, 10, 6)) AS t(v, f, a) ORDER BY version""",
 
     "qc22_schema_evolution" ->
       """SELECT lang, count(*) AS n_docs,

@@ -146,6 +146,30 @@ class CatalogSpec extends AnyFunSuite {
       spark.sql("ALTER TABLE g.db.evolve ADD COLUMNS (z BIGINT NOT NULL)"))
   }
 
+  test("metadata tables: t.history lists versions, t.files the current snapshot") {
+    ensureDb()
+    spark.sql("CREATE TABLE g.db.meta (id BIGINT) USING manifest")
+    spark.sql("INSERT INTO g.db.meta SELECT id FROM range(10)")
+    spark.sql("INSERT INTO g.db.meta SELECT id FROM range(5)")
+    val hist = spark.sql(
+      "SELECT version, n_files, added_files FROM g.db.meta.history ORDER BY version")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(hist.map(_._1).toSeq === Seq(1L, 2L))
+    assert(hist(1)._2 === hist(0)._2 + hist(1)._3,
+      "v2 file count = v1 files + v2 added files (append re-lists, never rewrites)")
+    val files = spark.sql("SELECT file, bytes, pool FROM g.db.meta.files").collect()
+    assert(files.length.toLong === hist(1)._2)
+    assert(files.forall(_.getLong(1) > 0L))
+    assert(files.forall(r => r.getString(0).startsWith(r.getString(2) + "/")))
+    // history total_bytes grows with the append
+    val bytes = spark.sql("SELECT total_bytes FROM g.db.meta.history ORDER BY version")
+      .collect().map(_.getLong(0))
+    assert(bytes(1) > bytes(0))
+    // unknown metadata suffix and non-table namespaces fail cleanly
+    intercept[Exception](spark.sql("SELECT * FROM g.db.meta.nope").collect())
+    intercept[Exception](spark.sql("SELECT * FROM g.db.absent.history").collect())
+  }
+
   test("TIMESTAMP AS OF resolves the version committed at that instant") {
     ensureDb()
     spark.sql("CREATE TABLE g.db.ts (id BIGINT) USING manifest")
