@@ -50,7 +50,7 @@ import graft.sources.{KeyedLogSource, KeyedLogTable}
   * `spark.read.format(...)` route.
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces
-    with StagingTableCatalog {
+    with StagingTableCatalog with FunctionCatalog {
 
   import GraftCatalog._
 
@@ -136,7 +136,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       .versionAsOfTimestamp(dataDir, timestampMicros / 1000L)
       .getOrElse(throw new IllegalStateException(
         s"${ident.name()}: no version committed at or before the requested timestamp"))
-    new ManifestSparkTable(dataDir, meta.schema, Some(v))
+    new ManifestSparkTable(dataDir, meta.schema, Some(v), meta.bucket)
   }
 
   private def tableFor(ident: Identifier, asOf: Option[Long]): Table = {
@@ -145,7 +145,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val dataDir = meta.location.getOrElse(dir)
     meta.provider match {
       case "keyedlog" => new KeyedLogTable(dataDir)
-      case "manifest" => new ManifestSparkTable(dataDir, meta.schema, asOf)
+      case "manifest" =>
+        new ManifestSparkTable(dataDir, meta.schema, asOf, meta.bucket)
       case other => throw new IllegalStateException(
         s"table ${ident.name()}: unknown provider '$other' in $dir/$MetaFile")
     }
@@ -154,8 +155,6 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: JMap[String, String]): Table = {
-    require(partitions.isEmpty,
-      s"catalog $catalogName tables do not support PARTITIONED BY")
     val ns = ident.namespace()
     if (ns.nonEmpty && !fs.exists(new Path(nsDir(ns))))
       throw new NoSuchNamespaceException(ns)
@@ -163,6 +162,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       Option(properties.get(TableCatalog.PROP_PROVIDER)).map(_.toLowerCase).getOrElse("manifest")
     require(provider == "manifest" || provider == "keyedlog",
       s"catalog $catalogName supports USING manifest | keyedlog, got '$provider'")
+    val bucket = parseBucketing(ident, provider, partitions, schema)
     if (provider == "keyedlog" && schema.nonEmpty)
       require(schema.map(f => (f.name, f.dataType)) ==
           KeyedLogSource.schema.map(f => (f.name, f.dataType)),
@@ -172,10 +172,41 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val location = Option(properties.get(TableCatalog.PROP_LOCATION))
     val dir = tableDir(ident)
     val declared = if (provider == "keyedlog") KeyedLogSource.schema else schema
-    if (!writeMeta(dir, TableMeta(provider, declared, location)))
+    if (!writeMeta(dir, TableMeta(provider, declared, location, bucket)))
       throw new TableAlreadyExistsException((ident.namespace() :+ ident.name()).toSeq)
     tableFor(ident, asOf = None)
   }
+
+  /** `PARTITIONED BY (bucket(n, col))` on manifest tables: hash-bucket
+    * clustering, the unit of storage-partitioned scans. Anything else in
+    * PARTITIONED BY is rejected. */
+  private def parseBucketing(ident: Identifier, provider: String,
+                             partitions: Array[Transform],
+                             schema: StructType): Option[Bucketing] =
+    partitions.toSeq match {
+      case Seq() => None
+      case Seq(t) if t.name == "bucket" && provider == "manifest" =>
+        val refs = t.references
+        require(refs.length == 1 && refs(0).fieldNames.length == 1,
+          s"${ident.name()}: bucket() wants exactly one top-level column")
+        val colName = refs(0).fieldNames.head
+        val n = t.arguments.collectFirst {
+          case l: org.apache.spark.sql.connector.expressions.Literal[_]
+              if l.value.isInstanceOf[Int] => l.value.asInstanceOf[Int]
+        }.getOrElse(throw new IllegalArgumentException(
+          s"${ident.name()}: bucket() wants an integer bucket count"))
+        require(n > 0, s"${ident.name()}: bucket count must be positive")
+        val field = schema.find(_.name == colName).getOrElse(
+          throw new IllegalArgumentException(
+            s"${ident.name()}: bucket column $colName is not in the schema"))
+        require(Seq("string", "bigint", "int").contains(field.dataType.simpleString),
+          s"${ident.name()}: bucket column must be string/bigint/int, " +
+            s"got ${field.dataType.simpleString}")
+        Some(Bucketing(n, colName))
+      case other => throw new UnsupportedOperationException(
+        s"catalog $catalogName supports PARTITIONED BY (bucket(n, col)) on " +
+          s"manifest tables only; got ${other.mkString(", ")}")
+    }
 
   // ---- atomic CTAS / RTAS (StagingTableCatalog) ----
   //
@@ -308,6 +339,23 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       throw new IllegalStateException(s"rename $from -> $to failed")
   }
 
+  // ---- functions ----
+  //
+  // One function: bucket(n, col) — what Catalyst resolves the
+  // `PARTITIONED BY (bucket(n, col))` transform against when translating
+  // a bucketed scan's reported KeyGroupedPartitioning (and what it uses
+  // to hash the OTHER side when only one join side is bucketed,
+  // spark.sql.sources.v2.bucketing.shuffle.enabled).
+
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty || fs.exists(new Path(nsDir(namespace))))
+      Array(Identifier.of(namespace, "bucket"))
+    else throw new NoSuchNamespaceException(namespace)
+
+  override def loadFunction(ident: Identifier): org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    if (ident.name().equalsIgnoreCase("bucket")) GraftBucketFunction
+    else throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
+
   // ---- namespaces ----
 
   override def listNamespaces(): Array[Array[String]] = {
@@ -366,12 +414,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case org.json4s.JString(s) => Some(s)
       case _                     => None
     }
+    def num(k: String): Option[Int] = m \ k match {
+      case org.json4s.JInt(n) => Some(n.toInt)
+      case _                  => None
+    }
     Some(TableMeta(
       provider = str("provider").getOrElse(
         throw new IllegalStateException(s"$p: missing provider")),
       schema = DataType.fromJson(str("schema").getOrElse(
         throw new IllegalStateException(s"$p: missing schema"))).asInstanceOf[StructType],
-      location = str("location")))
+      location = str("location"),
+      bucket = for (n <- num("bucketN"); c <- str("bucketCol"))
+        yield Bucketing(n, c)))
   }
 
   /** Create-if-absent of the descriptor — the same atomic-create commit as
@@ -385,7 +439,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val json = org.json4s.jackson.JsonMethods.compact(
       org.json4s.jackson.JsonMethods.render(
         ("provider" -> meta.provider) ~ ("schema" -> meta.schema.json) ~
-          ("location" -> meta.location)))
+          ("location" -> meta.location) ~
+          ("bucketN" -> meta.bucket.map(_.n)) ~
+          ("bucketCol" -> meta.bucket.map(_.col))))
     val out = try fs.create(p, false) catch {
       case _: java.io.IOException => return false
     }
@@ -404,8 +460,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
 object GraftCatalog {
   private[catalog] val MetaFile = "_graft_table.json"
+  /** Hash-bucket clustering of a manifest table: `PARTITIONED BY
+    * (bucket(n, col))` at CREATE time. */
+  private[catalog] case class Bucketing(n: Int, col: String)
   private[catalog] case class TableMeta(provider: String, schema: StructType,
-                                        location: Option[String])
+                                        location: Option[String],
+                                        bucket: Option[Bucketing] = None)
 
   /** Register this catalog on a session under `name` rooted at `root`.
     * (Conf-only registration — the first SQL reference instantiates it.) */

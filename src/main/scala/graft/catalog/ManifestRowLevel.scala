@@ -177,7 +177,8 @@ class ManifestRowLevelScan(op: ManifestRowLevelOperation, dir: String,
   * file tag; when no one asks, the builder is byte-for-byte the built-in
   * parquet scan. */
 class ManifestScanBuilder(tbl: ParquetTable,
-                          options: CaseInsensitiveStringMap)
+                          options: CaseInsensitiveStringMap,
+                          bucketing: Option[GraftCatalog.Bucketing] = None)
     extends ScanBuilder
     with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
     with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
@@ -189,6 +190,7 @@ class ManifestScanBuilder(tbl: ParquetTable,
     new org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder(
       tbl.sparkSession, tbl.fileIndex, tbl.schema, tbl.dataSchema, options)
   private var needFile = false
+  private var aggPushed = false
 
   override def pruneColumns(requiredSchema: StructType): Unit = {
     needFile = requiredSchema.fieldNames.contains(FileCol)
@@ -202,12 +204,118 @@ class ManifestScanBuilder(tbl: ParquetTable,
   override def pushedFilters: Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
     inner.pushedFilters
 
-  override def pushAggregation(aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
-    inner.pushAggregation(aggregation)
+  override def pushAggregation(aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    aggPushed = inner.pushAggregation(aggregation)
+    aggPushed
+  }
 
   override def build(): Scan = {
     val parquet = inner.build()
-    if (needFile) FileTagWrapScan(parquet) else parquet
+    if (needFile) return FileTagWrapScan(parquet)
+    // key-grouped (storage-partitioned) scan: opt-in via the v2 bucketing
+    // flag, only when the bucket key survives pruning (the reported
+    // expressions must resolve in the scan output) and no aggregate was
+    // pushed (agg pushdown re-ids the relation output, after which Spark
+    // cannot attach the reported partitioning)
+    bucketing match {
+      case Some(b)
+          if !aggPushed &&
+            org.apache.spark.sql.internal.SQLConf.get.getConfString(
+              "spark.sql.sources.v2.bucketing.enabled", "false") == "true" &&
+            parquet.readDataSchema.fieldNames.contains(b.col) =>
+        BucketedManifestScan(parquet, b)
+      case _ => parquet
+    }
+  }
+}
+
+/** Storage-partitioned scan of a fully bucketed manifest table: parquet
+  * splits are regrouped into one input partition per PRESENT bucket
+  * ([[HasPartitionKey]] = the bucket id), and the scan reports
+  * `KeyGroupedPartitioning(bucket(n, col))` — joins of co-bucketed tables
+  * and key aggregations then plan without a shuffle, and with
+  * `spark.sql.sources.v2.bucketing.shuffle.enabled` Spark hashes an
+  * UNBUCKETED join side into this bucket space (via the catalog's
+  * `bucket` function) instead of exchanging both sides. Reading delegates
+  * split-by-split to the parquet reader factory — pushdown, pruning, and
+  * vectorization are untouched. */
+case class BucketedManifestScan(inner: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan,
+                                b: GraftCatalog.Bucketing)
+    extends Scan with Batch
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
+
+  override def readSchema(): StructType = inner.readSchema()
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"BucketedManifestScan(bucket(${b.n}, ${b.col}), ${inner.description()})"
+
+  private lazy val bucketGroups: Seq[(Int, Seq[FilePartition])] =
+    inner.toBatch.planInputPartitions().toSeq
+      .map {
+        case fp: FilePartition => fp
+        case other => throw new IllegalStateException(
+          s"parquet planned a non-file partition: $other")
+      }
+      // one split may bin-pack files of several buckets: break up per file
+      .flatMap(fp => fp.files.map(pf => (pf, fp)))
+      .groupBy { case (pf, _) =>
+        graft.core.ManifestTable
+          .bucketOfFile(pf.filePath.toString.split('/').last)
+          .getOrElse(throw new IllegalStateException(
+            s"${pf.filePath}: not a bucketed data file"))
+      }
+      .map { case (bucket, pfs) =>
+        (bucket, pfs.zipWithIndex.map { case ((pf, _), i) =>
+          FilePartition(i, Array(pf))
+        })
+      }
+      .toSeq.sortBy(_._1)
+
+  override def outputPartitioning(): org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+      Array(org.apache.spark.sql.connector.expressions.Expressions.bucket(b.n, b.col)),
+      bucketGroups.size)
+
+  override def planInputPartitions(): Array[InputPartition] =
+    bucketGroups.map { case (bucket, parts) =>
+      BucketGroupPartition(bucket, parts.toArray): InputPartition
+    }.toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    BucketGroupReaderFactory(inner.toBatch.createReaderFactory())
+}
+
+/** All parquet splits of one bucket, keyed by the bucket id. */
+case class BucketGroupPartition(bucket: Int, parts: Array[FilePartition])
+    extends InputPartition
+    with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): InternalRow = InternalRow(bucket)
+  override def preferredLocations(): Array[String] =
+    parts.flatMap(_.preferredLocations()).distinct
+}
+
+/** Reads a bucket group by chaining the parquet reader over its splits. */
+case class BucketGroupReaderFactory(inner: PartitionReaderFactory)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val parts = partition.asInstanceOf[BucketGroupPartition].parts
+    new PartitionReader[InternalRow] {
+      private var i = 0
+      private var current: PartitionReader[InternalRow] = _
+      override def next(): Boolean = {
+        while (true) {
+          if (current == null) {
+            if (i >= parts.length) return false
+            current = inner.createReader(parts(i)); i += 1
+          }
+          if (current.next()) return true
+          current.close(); current = null
+        }
+        false // unreachable
+      }
+      override def get(): InternalRow = current.get()
+      override def close(): Unit = if (current != null) current.close()
+    }
   }
 }
 

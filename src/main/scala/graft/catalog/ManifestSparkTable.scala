@@ -35,7 +35,9 @@ import graft.core.ManifestTable
   * shims the COMMIT protocol, not the data path.
   */
 class ManifestSparkTable(dir: String, declared: StructType,
-                         asOf: Option[Long]) extends Table
+                         asOf: Option[Long],
+                         bucketing: Option[GraftCatalog.Bucketing] = None)
+    extends Table
     with SupportsRead with SupportsWrite
     with SupportsRowLevelOperations with SupportsDelete
     with SupportsMetadataColumns {
@@ -43,6 +45,10 @@ class ManifestSparkTable(dir: String, declared: StructType,
   override def name(): String =
     s"manifest($dir${asOf.map(v => s"@v$v").getOrElse("")})"
   override def schema(): StructType = declared
+  override def partitioning(): Array[org.apache.spark.sql.connector.expressions.Transform] =
+    bucketing.map(b =>
+      org.apache.spark.sql.connector.expressions.Expressions.bucket(b.n, b.col))
+      .toArray
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
@@ -61,12 +67,14 @@ class ManifestSparkTable(dir: String, declared: StructType,
     ManifestTable.manifest(dir, v).map(f => s"$dir/$f")
   }
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val paths = snapshotPaths
     new ManifestScanBuilder(
-      ParquetTable(name(), SparkSession.active, options, snapshotPaths,
+      ParquetTable(name(), SparkSession.active, options, paths,
         userSpecifiedSchema = Some(declared),
         fallbackFileFormat = classOf[ParquetFileFormat]),
-      options)
+      options, bucketing.filter(_ => ManifestSparkTable.fullyBucketed(paths, bucketing)))
+  }
 
   // ---- row-level DML ----
 
@@ -124,8 +132,13 @@ class ManifestSparkTable(dir: String, declared: StructType,
         override def toInsertableRelation: InsertableRelation =
           new InsertableRelation {
             override def insert(data: DataFrame, overwriteFlag: Boolean): Unit = {
-              if (overwrite || overwriteFlag) ManifestTable.write(data, dir)
-              else ManifestTable.append(data, dir)
+              val files = bucketing match {
+                case Some(b) => ManifestTable.stagePoolBucketed(data, dir, b.n, b.col)
+                case None    => ManifestTable.stagePool(data, dir)
+              }
+              if (overwrite || overwriteFlag)
+                ManifestTable.commitStagedSnapshot(dir, files)
+              else ManifestTable.commitStagedAppend(dir, files)
               ()
             }
           }
@@ -141,6 +154,22 @@ class ManifestSparkTable(dir: String, declared: StructType,
 }
 
 object ManifestSparkTable {
+
+  /** True when EVERY snapshot file sits in a `d-bucketed-<n>-` pool with
+    * this table's bucket count and carries a parseable bucket index — the
+    * precondition for key-grouped (storage-partitioned) scanning. A plain
+    * append or a DML rewrite (unbucketed pools) demotes the table to
+    * ordinary scans until it is rewritten bucketed. */
+  private[catalog] def fullyBucketed(paths: Seq[String],
+                                     bucketing: Option[GraftCatalog.Bucketing]): Boolean =
+    bucketing.exists { b =>
+      paths.nonEmpty && paths.forall { p =>
+        val segs = p.split('/')
+        segs.length >= 2 &&
+          ManifestTable.bucketsOfPool(segs(segs.length - 2)).contains(b.n) &&
+          ManifestTable.bucketOfFile(segs.last).exists(_ < b.n)
+      }
+    }
 
   /** `_file`: the dir-relative data file a row lives in — the DML group
     * identity (what runtime group filtering prunes on), also SELECTable

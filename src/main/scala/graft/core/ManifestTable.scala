@@ -125,6 +125,38 @@ object ManifestTable {
     * are [[vacuum]] fodder. */
   def stagePool(df: DataFrame, dir: String): Seq[String] = writePool(df, dir)
 
+  /** Stage `df` BUCKET-CLUSTERED: rows are hash-repartitioned into
+    * `numBuckets` by `keyCol` (Spark's murmur3 partitioning, so the shuffle
+    * partition index IS the bucket id, which parquet bakes into the
+    * `part-<index>-...` file names) into a pool named
+    * `d-bucketed-<numBuckets>-<uuid>`. A table whose every pool carries
+    * the same bucket tag can be scanned with key-grouped (storage-
+    * partitioned) splits — see the catalog's bucketed scan. */
+  def stagePoolBucketed(df: DataFrame, dir: String, numBuckets: Int,
+                        keyCol: String): Seq[String] =
+    writePool(
+      df.repartition(numBuckets, org.apache.spark.sql.functions.col(keyCol)),
+      dir, poolName = s"${BucketedPoolPrefix}$numBuckets-${java.util.UUID.randomUUID()}")
+
+  /** The bucket count of a bucketed pool name, None for plain pools. */
+  def bucketsOfPool(poolName: String): Option[Int] =
+    if (!poolName.startsWith(BucketedPoolPrefix)) None
+    else poolName.stripPrefix(BucketedPoolPrefix).split("-", 2) match {
+      case Array(n, _) => scala.util.Try(n.toInt).toOption
+      case _           => None
+    }
+
+  /** The bucket id a data file holds (its shuffle partition index, baked
+    * into the parquet task file name `part-<index>-...`). */
+  def bucketOfFile(fileName: String): Option[Int] = {
+    val m = BucketFilePattern.matcher(fileName)
+    if (m.matches()) Some(m.group(1).toInt) else None
+  }
+
+  private val BucketedPoolPrefix = "d-bucketed-"
+  private val BucketFilePattern =
+    java.util.regex.Pattern.compile("part-(\\d+)-.*")
+
   /** Commit previously staged files as a replacing snapshot. */
   def commitStagedSnapshot(dir: String, files: Seq[String]): Long =
     commitLoop(dir) { _ => Some(files) }
@@ -239,8 +271,10 @@ object ManifestTable {
   /** Write `df`'s files into a fresh uniquely-named pool directory and
     * return their dir-relative paths. The pool is invisible until some
     * manifest references it. */
-  private def writePool(df: DataFrame, dir: String): Seq[String] = {
-    val poolName = DataDirPrefix + java.util.UUID.randomUUID().toString
+  private def writePool(df: DataFrame, dir: String): Seq[String] =
+    writePool(df, dir, DataDirPrefix + java.util.UUID.randomUUID().toString)
+
+  private def writePool(df: DataFrame, dir: String, poolName: String): Seq[String] = {
     val poolPath = s"$dir/$poolName"
     df.write.mode(SaveMode.Overwrite).parquet(poolPath)
     val fs = LakeStorage.openFor(dir)

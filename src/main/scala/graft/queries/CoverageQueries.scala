@@ -258,6 +258,38 @@ object CoverageQueries extends QueryModule {
         "FROM graft_cat.db.dml GROUP BY lang ORDER BY lang")
     },
 
+    // --- bucketed manifest tables (catalog/ManifestRowLevel
+    //     BucketedManifestScan + GraftBucketFunction): PARTITIONED BY
+    //     (bucket(n, col)) hash-clusters writes; with v2 bucketing on,
+    //     the co-bucketed join + key aggregation below plan with ZERO
+    //     exchanges (plan shapes pinned in BucketedTableSpec; the result
+    //     goes through the oracle). Child session: opt-in confs ---
+    "qc24_bucketed_tables" -> { (s0, d) =>
+      val s = s0.newSession()
+      graft.catalog.GraftCatalog.register(s, "graft_bk",
+        graft.core.TempDirs.create("graft_bk_root_"))
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      s.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_bk.db")
+      Tables.documents(s, d).createOrReplaceTempView("qc24_documents")
+      s.sql("CREATE TABLE graft_bk.db.facts (lang STRING, doc_id BIGINT, n_chars BIGINT) " +
+        "USING manifest PARTITIONED BY (bucket(8, lang))")
+      s.sql("CREATE TABLE graft_bk.db.sample (lang STRING, n_chars BIGINT) " +
+        "USING manifest PARTITIONED BY (bucket(8, lang))")
+      s.sql("INSERT INTO graft_bk.db.facts " +
+        "SELECT lang, doc_id, n_chars FROM qc24_documents")
+      s.sql("INSERT INTO graft_bk.db.sample " +
+        "SELECT lang, n_chars FROM qc24_documents WHERE doc_id % 3 = 0")
+      s.sql("""SELECT f.lang, count(*) AS n_docs, sum(f.n_chars) AS total_chars,
+          max(sm.sample_chars) AS sample_chars
+        FROM graft_bk.db.facts f
+        JOIN (SELECT lang, sum(n_chars) AS sample_chars
+              FROM graft_bk.db.sample GROUP BY lang) sm
+          ON f.lang = sm.lang
+        GROUP BY f.lang ORDER BY f.lang""")
+    },
+
     // --- metadata tables (catalog/MetadataTables): t.history / t.files
     //     — one row per committed version / per current-snapshot file,
     //     derived purely from commit markers + file status (the DESCRIBE
@@ -621,6 +653,15 @@ object CoverageQueries extends QueryModule {
          final AS (SELECT * FROM merged UNION ALL SELECT * FROM inserted)
          SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
          FROM final GROUP BY lang ORDER BY lang""",
+
+    "qc24_bucketed_tables" ->
+      """WITH sm AS (SELECT lang, CAST(sum(n_chars) AS BIGINT) AS sample_chars
+             FROM documents WHERE doc_id % 3 = 0 GROUP BY lang)
+         SELECT d.lang, count(*) AS n_docs,
+           CAST(sum(d.n_chars) AS BIGINT) AS total_chars,
+           max(sm.sample_chars) AS sample_chars
+         FROM documents d JOIN sm ON d.lang = sm.lang
+         GROUP BY d.lang ORDER BY d.lang""",
 
     "qc23_table_history" ->
       """SELECT CAST(v AS BIGINT) AS version, CAST(f AS BIGINT) AS n_files,

@@ -1,0 +1,170 @@
+package graft.catalog
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.ManifestTable
+
+/** Bucketed manifest tables (`PARTITIONED BY (bucket(n, col))`):
+  * hash-clustered writes, storage-partitioned scans (shuffle-free key
+  * aggregation and co-bucketed joins), the one-side-bucketed shuffle, and
+  * honest demotion when a pool is not bucketed. */
+class BucketedTableSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    GraftCatalog.register(s, "gb", root)
+    s
+  }
+  private lazy val root =
+    "file://" + Files.createTempDirectory("graft_catalog_bucket_").toString
+
+  private def spj(): SparkSession = {
+    val s = spark.newSession()
+    GraftCatalog.register(s, "gb", root) // newSession does not inherit runtime conf
+    s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    s.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    s
+  }
+
+  private def ensureDb(): Unit =
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gb.db")
+
+  test("bucketed writes land one file per present bucket, rows placed by hash") {
+    ensureDb()
+    spark.sql("CREATE TABLE gb.db.b1 (k STRING, x BIGINT) USING manifest " +
+      "PARTITIONED BY (bucket(4, k))")
+    spark.sql("INSERT INTO gb.db.b1 SELECT concat('k', id % 7), id FROM range(1000)")
+    val dir = s"$root/db/b1"
+    val files = ManifestTable.manifest(dir, ManifestTable.currentVersion(dir).get)
+    assert(files.forall(f => ManifestTable.bucketsOfPool(f.split("/")(0)).contains(4)),
+      s"files must sit in a d-bucketed-4 pool: $files")
+    assert(files.flatMap(f => ManifestTable.bucketOfFile(f.split("/")(1))).toSet
+      .subsetOf(Set(0, 1, 2, 3)))
+    assert(spark.sql("SELECT count(*) FROM gb.db.b1").head().getLong(0) === 1000L)
+  }
+
+  test("groupBy(bucket key) over a bucketed table plans no shuffle") {
+    val s = spj()
+    s.sql("CREATE NAMESPACE IF NOT EXISTS gb.db")
+    s.sql("CREATE TABLE gb.db.b2 (k STRING, x BIGINT) USING manifest " +
+      "PARTITIONED BY (bucket(4, k))")
+    s.sql("INSERT INTO gb.db.b2 SELECT concat('k', id % 7), id FROM range(1000)")
+    val agg = s.sql("SELECT k, sum(x) AS t FROM gb.db.b2 GROUP BY k")
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"bucketed key aggregation must not shuffle:\n$plan")
+    val totals = agg.collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(totals("k3") === (0 until 1000).filter(_ % 7 == 3).sum.toLong)
+    assert(totals.size === 7)
+  }
+
+  test("join of co-bucketed tables is storage-partitioned (no shuffle)") {
+    val s = spj()
+    s.sql("CREATE NAMESPACE IF NOT EXISTS gb.db")
+    s.sql("CREATE TABLE gb.db.l (k STRING, x BIGINT) USING manifest " +
+      "PARTITIONED BY (bucket(4, k))")
+    s.sql("CREATE TABLE gb.db.r (k STRING, y BIGINT) USING manifest " +
+      "PARTITIONED BY (bucket(4, k))")
+    s.sql("INSERT INTO gb.db.l SELECT concat('k', id % 5), id FROM range(500)")
+    s.sql("INSERT INTO gb.db.r SELECT concat('k', id % 5), id * 10 FROM range(100)")
+    val j = s.sql("""SELECT l.k, sum(l.x) AS sx, sum(r.y) AS sy
+      FROM gb.db.l l JOIN gb.db.r r ON l.k = r.k GROUP BY l.k""")
+    val plan = j.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"co-bucketed join must be storage-partitioned:\n$plan")
+    val rows = j.collect()
+    assert(rows.length === 5)
+    // cross-check one group against the plain (unbucketed-session) compute
+    val expect = spark.sql("""SELECT sum(l.x) FROM gb.db.l l
+      JOIN gb.db.r r ON l.k = r.k WHERE l.k = 'k2'""").head().getLong(0)
+    assert(rows.find(_.getString(0) == "k2").get.getLong(1) === expect)
+  }
+
+  test("one-side-bucketed join shuffles ONLY the unbucketed side (v2 bucketing shuffle)") {
+    val s = spj()
+    s.conf.set("spark.sql.sources.v2.bucketing.shuffle.enabled", "true")
+    s.sql("CREATE NAMESPACE IF NOT EXISTS gb.db")
+    s.sql("CREATE TABLE gb.db.big_b (k STRING, x BIGINT) USING manifest " +
+      "PARTITIONED BY (bucket(4, k))")
+    s.sql("INSERT INTO gb.db.big_b SELECT concat('k', id % 5), id FROM range(500)")
+    import s.implicits._
+    (0 until 50).map(i => (s"k${i % 5}", i.toLong)).toDF("k", "y")
+      .createOrReplaceTempView("plain_side")
+    val j = s.sql("""SELECT b.k, sum(b.x) AS sx, sum(p.y) AS sy
+      FROM gb.db.big_b b JOIN plain_side p ON b.k = p.k GROUP BY b.k""")
+    val plan = j.queryExecution.executedPlan.toString
+    val exchanges = "(?m)Exchange".r.findAllIn(plan).length
+    assert(exchanges === 1,
+      s"exactly the unbucketed side must shuffle (into the bucket space via " +
+        s"the catalog bucket function), got $exchanges exchanges:\n$plan")
+    // correctness: the shuffled side's rows meet the right bucket's rows —
+    // any function/placement drift would silently drop matches
+    val k2 = j.collect().find(_.getString(0) == "k2").get
+    assert(k2.getLong(1) === (0 until 500).filter(_ % 5 == 2).sum.toLong * 10L,
+      "sum(b.x) per k over 10 matching p rows")
+    assert(k2.getLong(2) === (0 until 50).filter(_ % 5 == 2).sum.toLong * 100L,
+      "sum(p.y) per k over 100 matching b rows")
+  }
+
+  test("a non-bucketed append demotes the table to ordinary scans") {
+    val s = spj()
+    s.sql("CREATE NAMESPACE IF NOT EXISTS gb.db")
+    s.sql("CREATE TABLE gb.db.mix (k STRING, x BIGINT) USING manifest " +
+      "PARTITIONED BY (bucket(4, k))")
+    s.sql("INSERT INTO gb.db.mix SELECT concat('k', id % 3), id FROM range(100)")
+    // a DML rewrite writes an UNBUCKETED pool -> table no longer fully bucketed
+    s.sql("DELETE FROM gb.db.mix WHERE x = 1 AND length(k) > 0")
+    val agg = s.sql("SELECT k, sum(x) AS t FROM gb.db.mix GROUP BY k")
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("Exchange"),
+      s"partially bucketed table must fall back to normal plans:\n$plan")
+    assert(agg.collect().map(_.getLong(1)).sum === (0 until 100).sum.toLong - 1L)
+  }
+
+  test("bucket function placement matches the write placement for all key types") {
+    ensureDb()
+    import spark.implicits._
+    // string keys: compare the catalog function against where rows landed
+    val dir = "file://" + Files.createTempDirectory("graft_bfn_").toString
+    val df = (0 until 200).map(i => (s"key$i", i.toLong)).toDF("k", "x")
+    val files = ManifestTable.stagePoolBucketed(df, dir, 8, "k")
+    ManifestTable.commitStagedSnapshot(dir, files)
+    val placed = spark.read.parquet(files.map(f => s"$dir/$f"): _*)
+      .withColumn("file", col("_metadata.file_path")).collect()
+      .map(r => (r.getString(0),
+        ManifestTable.bucketOfFile(r.getString(2).split('/').last).get))
+    val bound = new GraftBucketBound(org.apache.spark.sql.types.StringType)
+    placed.foreach { case (k, actualBucket) =>
+      val expected = bound.produceResult(org.apache.spark.sql.catalyst.InternalRow(
+        8, org.apache.spark.unsafe.types.UTF8String.fromString(k)))
+      assert(expected === actualBucket,
+        s"function/placement drift for key $k")
+    }
+  }
+
+  test("bucketing survives the descriptor round-trip and rejects bad specs") {
+    ensureDb()
+    spark.sql("CREATE TABLE gb.db.meta_rt (k BIGINT, v STRING) USING manifest " +
+      "PARTITIONED BY (bucket(16, k))")
+    val t = spark.sessionState.catalogManager.catalog("gb")
+      .asInstanceOf[GraftCatalog]
+      .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(
+        Array("db"), "meta_rt"))
+    assert(t.partitioning().map(_.describe()).toSeq === Seq("bucket(16, k)"))
+    intercept[Exception](spark.sql(
+      "CREATE TABLE gb.db.bad1 (k DOUBLE) USING manifest PARTITIONED BY (bucket(4, k))"))
+    intercept[Exception](spark.sql(
+      "CREATE TABLE gb.db.bad2 (k STRING, d DATE) USING manifest PARTITIONED BY (d)"))
+  }
+}

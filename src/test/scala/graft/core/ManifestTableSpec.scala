@@ -139,7 +139,10 @@ class ManifestTableSpec extends AnyFunSuite {
         catch { case x: Throwable => failure.compareAndSet(null, x) }
       })
     }
-    threads.foreach(_.start()); threads.foreach(_.join(60000))
+    // generous join: each append runs a Spark job, and the full test suite
+    // loads every core — a descheduled appender is slow, not wrong
+    threads.foreach(_.start()); threads.foreach(_.join(300000))
+    assert(threads.forall(!_.isAlive), "appender thread still running after 300 s")
     assert(failure.get() === null, s"appender failed: ${failure.get()}")
     // 10 appends of 3 rows each on top of 10: every committed append kept
     assert(ManifestTable.currentVersion(dir) === Some(11L))
