@@ -53,7 +53,9 @@ import graft.core.ManifestTable
   * manifest, so it is invisible and later vacuumed with its pool.
   */
 class ManifestRowLevelOperation(dir: String, declared: StructType,
-                                cmd: Command) extends RowLevelOperation {
+                                cmd: Command,
+                                bucketing: Option[GraftCatalog.Bucketing] = None)
+    extends RowLevelOperation {
 
   import ManifestRowLevelOperation._
 
@@ -75,7 +77,7 @@ class ManifestRowLevelOperation(dir: String, declared: StructType,
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
       override def build(): Write = new ManifestReplaceWrite(
-        ManifestRowLevelOperation.this, dir, info.schema())
+        ManifestRowLevelOperation.this, dir, info.schema(), bucketing)
     }
 
   override def requiredMetadataAttributes(): Array[NamedReference] =
@@ -359,11 +361,30 @@ case class FileTagReaderFactory(inner: PartitionReaderFactory)
 
 /** The replace-data write: tasks write parquet into one fresh pool; the
   * job commit swaps the scanned files for the written ones in a single
-  * optimistic manifest commit. */
+  * optimistic manifest commit. On a BUCKETED table the write declares the
+  * bucket distribution (clustered by the key into exactly n partitions,
+  * so the partition index is the bucket id) and stages into a bucketed
+  * pool — DML keeps the table storage-partitioned. */
 class ManifestReplaceWrite(op: ManifestRowLevelOperation, dir: String,
-                           schema: StructType) extends Write with BatchWrite {
+                           schema: StructType,
+                           bucketing: Option[GraftCatalog.Bucketing] = None)
+    extends Write with BatchWrite
+    with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
 
-  private val poolName = "d-" + UUID.randomUUID().toString
+  private val poolName = bucketing match {
+    case Some(b) => s"d-bucketed-${b.n}-${UUID.randomUUID()}"
+    case None    => "d-" + UUID.randomUUID().toString
+  }
+
+  override def requiredDistribution: org.apache.spark.sql.connector.distributions.Distribution =
+    bucketing match {
+      case Some(b) => org.apache.spark.sql.connector.distributions.Distributions
+        .clustered(Array(org.apache.spark.sql.connector.expressions.Expressions.identity(b.col)))
+      case None => org.apache.spark.sql.connector.distributions.Distributions.unspecified()
+    }
+  override def requiredNumPartitions(): Int = bucketing.map(_.n).getOrElse(0)
+  override def requiredOrdering: Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    Array.empty
 
   override def toBatch: BatchWrite = this
   override def description(): String = s"ManifestReplaceWrite($dir/$poolName)"

@@ -86,7 +86,7 @@ class ManifestSparkTable(dir: String, declared: StructType,
     * [[ManifestRowLevelOperation]]. */
   override def newRowLevelOperationBuilder(info: RowLevelOperationInfo): RowLevelOperationBuilder = {
     require(asOf.isEmpty, s"cannot run DML against the time-travel view ${name()}")
-    () => new ManifestRowLevelOperation(dir, declared, info.command)
+    () => new ManifestRowLevelOperation(dir, declared, info.command, bucketing)
   }
 
   /** DELETE fast path (Spark's metadata-only delete, also TRUNCATE TABLE):
@@ -118,7 +118,12 @@ class ManifestSparkTable(dir: String, declared: StructType,
     if (affected.isEmpty) return
     val survivors = spark.read.parquet(affected.map(f => s"$dir/$f"): _*)
       .filter(not(coalesce(cond, lit(false)))) // DELETE drops only cond=TRUE rows
-    val added = ManifestTable.stagePool(survivors, dir)
+    val added = bucketing match {
+      // a bucketed table's rewrite re-buckets the survivors, so DML never
+      // demotes the table out of storage-partitioned scanning
+      case Some(b) => ManifestTable.stagePoolBucketed(survivors, dir, b.n, b.col)
+      case None    => ManifestTable.stagePool(survivors, dir)
+    }
     ManifestTable.commitRewrite(dir, removed = affected, added = added)
     ()
   }

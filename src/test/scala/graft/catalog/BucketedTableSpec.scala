@@ -117,19 +117,40 @@ class BucketedTableSpec extends AnyFunSuite {
       "sum(p.y) per k over 100 matching b rows")
   }
 
+  test("DML keeps a bucketed table bucketed (rewrites re-bucket)") {
+    val s = spj()
+    s.sql("CREATE NAMESPACE IF NOT EXISTS gb.db")
+    s.sql("CREATE TABLE gb.db.dml_b (k STRING, x BIGINT) USING manifest " +
+      "PARTITIONED BY (bucket(4, k))")
+    s.sql("INSERT INTO gb.db.dml_b SELECT concat('k', id % 3), id FROM range(100)")
+    s.sql("DELETE FROM gb.db.dml_b WHERE x = 1")                      // fast path
+    s.sql("UPDATE gb.db.dml_b SET x = x + 1000 WHERE k = 'k2' AND length(k) > 0") // group-based
+    val dir = s"$root/db/dml_b"
+    val files = ManifestTable.manifest(dir, ManifestTable.currentVersion(dir).get)
+    assert(files.forall(f => ManifestTable.bucketsOfPool(f.split("/")(0)).contains(4)),
+      s"DML rewrite pools must stay bucketed: $files")
+    val agg = s.sql("SELECT k, sum(x) AS t FROM gb.db.dml_b GROUP BY k")
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"table must stay storage-partitioned after DML:\n$plan")
+    val expect = (0 until 100).filter(i => i % 3 == 2).map(_ + 1000).sum.toLong
+    assert(agg.collect().find(_.getString(0) == "k2").get.getLong(1) === expect)
+  }
+
   test("a non-bucketed append demotes the table to ordinary scans") {
     val s = spj()
     s.sql("CREATE NAMESPACE IF NOT EXISTS gb.db")
     s.sql("CREATE TABLE gb.db.mix (k STRING, x BIGINT) USING manifest " +
       "PARTITIONED BY (bucket(4, k))")
     s.sql("INSERT INTO gb.db.mix SELECT concat('k', id % 3), id FROM range(100)")
-    // a DML rewrite writes an UNBUCKETED pool -> table no longer fully bucketed
-    s.sql("DELETE FROM gb.db.mix WHERE x = 1 AND length(k) > 0")
+    // an out-of-band Scala-API append writes an UNBUCKETED pool
+    import spark.implicits._
+    ManifestTable.append(Seq(("k0", 9999L)).toDF("k", "x"), s"$root/db/mix")
     val agg = s.sql("SELECT k, sum(x) AS t FROM gb.db.mix GROUP BY k")
     val plan = agg.queryExecution.executedPlan.toString
     assert(plan.contains("Exchange"),
       s"partially bucketed table must fall back to normal plans:\n$plan")
-    assert(agg.collect().map(_.getLong(1)).sum === (0 until 100).sum.toLong - 1L)
+    assert(agg.collect().map(_.getLong(1)).sum === (0 until 100).sum.toLong + 9999L)
   }
 
   test("bucket function placement matches the write placement for all key types") {
