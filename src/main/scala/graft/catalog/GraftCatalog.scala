@@ -240,8 +240,6 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
                           partitions: Array[Transform],
                           properties: JMap[String, String],
                           replace: Boolean): StagedTable = {
-    require(partitions.isEmpty,
-      s"catalog $catalogName tables do not support PARTITIONED BY")
     val ns = ident.namespace()
     if (ns.nonEmpty && !fs.exists(new Path(nsDir(ns))))
       throw new NoSuchNamespaceException(ns)
@@ -249,10 +247,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       Option(properties.get(TableCatalog.PROP_PROVIDER)).map(_.toLowerCase).getOrElse("manifest")
     require(provider == "manifest",
       s"staged (atomic) CTAS supports USING manifest; got '$provider'")
+    val bucket = parseBucketing(ident, provider, partitions, schema)
     val location = Option(properties.get(TableCatalog.PROP_LOCATION))
     val dir = tableDir(ident)
     new GraftStagedTable(this, ident, dir,
-      TableMeta(provider, schema, location), replace)
+      TableMeta(provider, schema, location, bucket), replace)
   }
 
   private[catalog] def commitStaged(ident: Identifier, dir: String,

@@ -32,7 +32,11 @@ class GraftStagedTable(catalog: GraftCatalog, ident: Identifier, dir: String,
         override def toInsertableRelation: InsertableRelation =
           new InsertableRelation {
             override def insert(data: DataFrame, overwrite: Boolean): Unit = {
-              staged ++= ManifestTable.stagePool(data, meta.location.getOrElse(dir))
+              val dataDir = meta.location.getOrElse(dir)
+              staged ++= (meta.bucket match {
+                case Some(b) => ManifestTable.stagePoolBucketed(data, dataDir, b.n, b.col)
+                case None    => ManifestTable.stagePool(data, dataDir)
+              })
               ()
             }
           }

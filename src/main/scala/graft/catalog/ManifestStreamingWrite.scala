@@ -32,7 +32,12 @@ import graft.core.{LakeStorage, ManifestTable}
   * Append mode commits `base ∪ epoch` (delta-only, existing data
   * re-listed); complete/truncate mode commits the epoch as a replacing
   * snapshot. Either way concurrent BATCH writers interleave safely
-  * through the optimistic commit loop. */
+  * through the optimistic commit loop.
+  *
+  * The replay check reads every surviving version's manifest, so its
+  * cost tracks the RETAINED version count — schedule [[ManifestTable
+  * .vacuum]] on long-running streams (which production retention does
+  * anyway) to keep it O(retention), not O(stream lifetime). */
 class ManifestStreamingWrite(dir: String, schema: StructType, queryId: String,
                              truncate: Boolean) extends StreamingWrite {
 

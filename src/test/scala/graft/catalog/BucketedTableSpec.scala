@@ -174,6 +174,21 @@ class BucketedTableSpec extends AnyFunSuite {
     }
   }
 
+  test("bucketed CTAS stages bucketed pools atomically") {
+    val s = spj()
+    s.sql("CREATE NAMESPACE IF NOT EXISTS gb.db")
+    s.sql("CREATE TABLE gb.db.ctas_b USING manifest PARTITIONED BY (bucket(4, k)) AS " +
+      "SELECT concat('k', id % 6) AS k, id AS x FROM range(300)")
+    val dir = s"$root/db/ctas_b"
+    val files = ManifestTable.manifest(dir, ManifestTable.currentVersion(dir).get)
+    assert(files.forall(f => ManifestTable.bucketsOfPool(f.split("/")(0)).contains(4)),
+      s"CTAS output must land bucketed: $files")
+    val agg = s.sql("SELECT k, sum(x) AS t FROM gb.db.ctas_b GROUP BY k")
+    assert(!agg.queryExecution.executedPlan.toString.contains("Exchange"),
+      "CTAS-created bucketed table must scan storage-partitioned")
+    assert(agg.collect().map(_.getLong(1)).sum === (0 until 300).sum.toLong)
+  }
+
   test("bucketing survives the descriptor round-trip and rejects bad specs") {
     ensureDb()
     spark.sql("CREATE TABLE gb.db.meta_rt (k BIGINT, v STRING) USING manifest " +
