@@ -50,7 +50,7 @@ import graft.sources.{KeyedLogSource, KeyedLogTable}
   * `spark.read.format(...)` route.
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces
-    with StagingTableCatalog with FunctionCatalog {
+    with StagingTableCatalog with FunctionCatalog with ProcedureCatalog {
 
   import GraftCatalog._
 
@@ -354,6 +354,29 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def loadFunction(ident: Identifier): org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
     if (ident.name().equalsIgnoreCase("bucket")) GraftBucketFunction
     else throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
+
+  // ---- procedures (CALL graft.system.<proc>(...)) ----
+
+  override def loadProcedure(ident: Identifier): org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
+    GraftProcedures.load(this, ident).getOrElse(
+      throw new RuntimeException(
+        s"catalog $catalogName has no procedure ${ident.namespace().mkString(".")}.${ident.name()} " +
+          s"(available: system.${GraftProcedures.names.mkString(", system.")})"))
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.length == 1 && namespace(0).equalsIgnoreCase("system"))
+      GraftProcedures.names.map(Identifier.of(namespace, _)).toArray
+    else Array.empty
+
+  /** The data dir (and bucketing, if clustered) of a MANIFEST table —
+    * what the maintenance procedures operate on. */
+  private[catalog] def manifestDataDir(ident: Identifier): (String, Option[GraftCatalog.Bucketing]) = {
+    val dir = tableDir(ident)
+    val meta = readMeta(dir).getOrElse(throw new NoSuchTableException(ident))
+    require(meta.provider == "manifest",
+      s"${ident.name()}: maintenance procedures apply to manifest tables only")
+    (meta.location.getOrElse(dir), meta.bucket)
+  }
 
   // ---- namespaces ----
 

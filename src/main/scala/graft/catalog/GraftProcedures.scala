@@ -1,0 +1,133 @@
+package graft.catalog
+
+import java.util.{Collections, Iterator => JIterator}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.Identifier
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.core.ManifestTable
+
+/** Maintenance procedures for manifest tables, reachable from plain SQL
+  * through Spark 4's `CALL` statement (the catalog implements
+  * `ProcedureCatalog`) — the last piece of the table-format surface that
+  * previously needed the Scala API:
+  *
+  * {{{
+  *   CALL graft.system.compact('db.t')                  -- small-file rewrite
+  *   CALL graft.system.compact('db.t', target_mb => 64)
+  *   CALL graft.system.vacuum('db.t', keep => 3)        -- expire + GC pools
+  *   CALL graft.system.rollback('db.t', 2)              -- RESTORE version 2
+  * }}}
+  *
+  * Each procedure returns a one-row result (a [[LocalScan]]): compaction
+  * reports file counts, vacuum the number of pool directories removed,
+  * rollback the restored and newly committed versions. All three commit
+  * through the manifest's optimistic loop, so they are safe to run while
+  * writers append (compact rebases concurrent appends in; rollback and
+  * vacuum never delete anything a kept version references).
+  *
+  * Compacting a bucket-clustered table re-stages through the bucketed
+  * pool writer — maintenance never demotes a table out of
+  * storage-partitioned-join eligibility.
+  */
+private[catalog] object GraftProcedures {
+
+  def load(catalog: GraftCatalog, ident: Identifier): Option[UnboundProcedure] = {
+    if (!(ident.namespace().length == 1 &&
+        ident.namespace()(0).equalsIgnoreCase("system"))) return None
+    ident.name().toLowerCase match {
+      case "compact"  => Some(new CompactProcedure(catalog))
+      case "vacuum"   => Some(new VacuumProcedure(catalog))
+      case "rollback" => Some(new RollbackProcedure(catalog))
+      case _          => None
+    }
+  }
+
+  val names: Seq[String] = Seq("compact", "vacuum", "rollback")
+
+  /** Resolve a procedure's `'db.t'` argument against the catalog. */
+  private def target(catalog: GraftCatalog, table: String): (String, Option[GraftCatalog.Bucketing]) = {
+    val parts = table.split("\\.")
+    require(parts.length <= 2 && parts.forall(_.nonEmpty),
+      s"procedure wants a table name like 'db.t' or 't', got '$table'")
+    catalog.manifestDataDir(Identifier.of(parts.dropRight(1), parts.last))
+  }
+
+  private def result(schema: StructType, values: Any*): JIterator[Scan] = {
+    val row: InternalRow = new GenericInternalRow(values.toArray)
+    val scan: Scan = new LocalScan {
+      override def readSchema(): StructType = schema
+      override def rows(): Array[InternalRow] = Array(row)
+    }
+    Collections.singletonList(scan).iterator()
+  }
+
+  private abstract class ManifestProcedure extends UnboundProcedure with BoundProcedure {
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+  }
+
+  private final class CompactProcedure(catalog: GraftCatalog) extends ManifestProcedure {
+    override def name(): String = "compact"
+    override def description(): String =
+      "rewrite the current snapshot into ~target_mb files (bucketed tables re-bucket)"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("target_mb", IntegerType).defaultValue("128").build())
+    override def call(input: InternalRow): JIterator[Scan] = {
+      val (dir, bucket) = target(catalog, input.getString(0))
+      val spark = SparkSession.active
+      val (before, after) = bucket match {
+        case Some(b) => ManifestTable.compactBucketed(spark, dir, b.n, b.col)
+        case None =>
+          ManifestTable.compact(spark, dir, input.getInt(1).toLong * 1024 * 1024)
+      }
+      result(
+        StructType(Seq(
+          StructField("files_before", LongType, nullable = false),
+          StructField("files_after", LongType, nullable = false))),
+        before, after)
+    }
+  }
+
+  private final class VacuumProcedure(catalog: GraftCatalog) extends ManifestProcedure {
+    override def name(): String = "vacuum"
+    override def description(): String =
+      "drop commit markers older than the keep most recent and unreferenced data pools"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("keep", IntegerType).defaultValue("2").build())
+    override def call(input: InternalRow): JIterator[Scan] = {
+      val (dir, _) = target(catalog, input.getString(0))
+      val removed = ManifestTable.vacuum(dir, input.getInt(1))
+      result(
+        StructType(Seq(StructField("pools_removed", IntegerType, nullable = false))),
+        removed)
+    }
+  }
+
+  private final class RollbackProcedure(catalog: GraftCatalog) extends ManifestProcedure {
+    override def name(): String = "rollback"
+    override def description(): String =
+      "commit a new version holding an older version's manifest (RESTORE)"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("version", LongType).build())
+    override def call(input: InternalRow): JIterator[Scan] = {
+      val (dir, _) = target(catalog, input.getString(0))
+      val restored = input.getLong(1)
+      val committed = ManifestTable.rollback(dir, restored)
+      result(
+        StructType(Seq(
+          StructField("restored_version", LongType, nullable = false),
+          StructField("new_version", LongType, nullable = false))),
+        restored, committed)
+    }
+  }
+}

@@ -236,6 +236,45 @@ object ManifestTable {
     (snapFiles.length.toLong, compacted.length.toLong)
   }
 
+  /** Roll the table back (or forward) to `toVersion`'s contents by
+    * committing a NEW version holding that manifest — RESTORE semantics:
+    * history is preserved, no file is deleted, and the rollback itself is
+    * one more optimistic commit (safe against concurrent writers). The
+    * target version must still be present (not vacuumed). Returns the new
+    * version. */
+  def rollback(dir: String, toVersion: Long): Long = {
+    val committed = allVersions(dir)
+    require(committed.contains(toVersion),
+      s"version $toVersion is not committed under $dir " +
+        s"(committed: ${committed.mkString(",")})")
+    val target = manifest(dir, toVersion)
+    commitLoop(dir) { _ => Some(target) }
+  }
+
+  /** [[compact]] for BUCKET-CLUSTERED tables: the rewrite re-stages the
+    * snapshot through the bucketed pool writer (hash-repartition on
+    * `keyCol` into `numBuckets`), so compaction never demotes a bucketed
+    * table to plain — storage-partitioned scans survive. Same rebase
+    * rules as [[compact]]. Returns (filesBefore, filesAfter). */
+  def compactBucketed(spark: SparkSession, dir: String, numBuckets: Int,
+                      keyCol: String): (Long, Long) = {
+    val snapVersion = currentVersion(dir).getOrElse(
+      throw new IllegalStateException(s"no committed version under $dir"))
+    val snapFiles = manifest(dir, snapVersion)
+    if (snapFiles.isEmpty) return (0L, 0L)
+    val compacted = stagePoolBucketed(
+      spark.read.parquet(snapFiles.map(f => s"$dir/$f"): _*), dir, numBuckets, keyCol)
+    val snapSet = snapFiles.toSet
+    commitLoop(dir) { base =>
+      val baseFiles = base.map(manifest(dir, _)).getOrElse(Seq.empty)
+      if (base.contains(snapVersion)) Some(compacted)
+      else if (snapSet.subsetOf(baseFiles.toSet))
+        Some(compacted ++ baseFiles.filterNot(snapSet))
+      else None
+    }
+    (snapFiles.length.toLong, compacted.length.toLong)
+  }
+
   /** Delete commit markers older than the `keep` most recent, and any
     * data-pool directory none of whose files is referenced by a surviving
     * manifest (covers both expired versions and crashed-writer orphans).

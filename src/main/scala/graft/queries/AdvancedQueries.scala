@@ -343,6 +343,26 @@ object AdvancedQueries extends QueryModule {
         .orderBy(desc("cnt"), asc("token"))
     },
 
+    // --- count-min sketch (operators/CountMin): build the d x w counter
+    //     table over the token stream (map-side partials collapse each
+    //     partition to <= d*w cells before the shuffle), then answer the
+    //     top-10 tokens' point-frequency queries from the BROADCAST sketch.
+    //     Hash rows are disjoint md5 slices, so the DuckDB oracle replays
+    //     the cells bit-exactly; CMS guarantees est >= true, surfaced as
+    //     `overcount` ---
+    "q61_count_min" -> { (s, d) =>
+      val toks = Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("token"))
+        .filter(col("token") =!= "")
+      val cells = graft.operators.CountMin.sketch(toks, "token")
+      val probes = toks.groupBy("token").agg(count(lit(1)).as("true_cnt"))
+        .orderBy(desc("true_cnt"), asc("token")).limit(10)
+      graft.operators.CountMin.estimate(cells, probes, "token")
+        .withColumnRenamed("est", "est_cnt")
+        .withColumn("overcount", col("est_cnt") - col("true_cnt"))
+        .orderBy(desc("true_cnt"), asc("token"))
+    },
+
     // --- ordered funnel analysis: first view -> first click AT-OR-AFTER
     //     that view -> first purchase at-or-after that click, per user;
     //     output is users surviving each stage. Three keyed aggregations
@@ -427,6 +447,28 @@ object AdvancedQueries extends QueryModule {
   )
 
   override val oracle: Map[String, String] = Map(
+    "q61_count_min" ->
+      """WITH tok AS (
+           SELECT t FROM (SELECT unnest(string_split(text, ' ')) AS t
+                          FROM documents) WHERE t <> ''),
+         hr AS (SELECT unnest([0, 1, 2, 3]) AS r),
+         cells AS (
+           SELECT hr.r,
+             CAST('0x' || substr(md5(t), 1 + 8 * hr.r, 8) AS BIGINT) % 1024 AS b,
+             count(*) AS c
+           FROM tok, hr GROUP BY 1, 2),
+         tc AS (SELECT t, count(*) AS true_cnt FROM tok GROUP BY t),
+         probes AS (SELECT t, true_cnt FROM tc
+                    ORDER BY true_cnt DESC, t LIMIT 10),
+         pb AS (SELECT p.t, p.true_cnt, hr.r,
+                  CAST('0x' || substr(md5(p.t), 1 + 8 * hr.r, 8) AS BIGINT) % 1024 AS b
+                FROM probes p, hr),
+         est AS (SELECT pb.t, pb.true_cnt, min(cells.c) AS est_cnt
+                 FROM pb JOIN cells ON pb.r = cells.r AND pb.b = cells.b
+                 GROUP BY 1, 2)
+         SELECT t AS token, true_cnt, est_cnt, est_cnt - true_cnt AS overcount
+         FROM est ORDER BY true_cnt DESC, token""",
+
     "qa01_funnel" ->
       """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
                     FROM events),

@@ -290,6 +290,41 @@ object CoverageQueries extends QueryModule {
         GROUP BY f.lang ORDER BY f.lang""")
     },
 
+    // --- SQL maintenance procedures (catalog/GraftProcedures): CALL
+    //     graft.system.compact / rollback / vacuum — Spark 4's CALL
+    //     statement against our ProcedureCatalog. Repartition hints pin
+    //     per-insert file counts so the procedure outputs are
+    //     deterministic for the oracle; rollback restores v1 and vacuum
+    //     drops exactly the one pool no kept version references ---
+    "qc25_sql_procedures" -> { (s, d) =>
+      import s.implicits._
+      if (s.conf.getOption("spark.sql.catalog.graft_cat").isEmpty)
+        graft.catalog.GraftCatalog.register(s, "graft_cat",
+          graft.core.TempDirs.create("graft_cat_root_"))
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.db")
+      s.sql("DROP TABLE IF EXISTS graft_cat.db.maint")
+      Tables.documents(s, d).createOrReplaceTempView("qc25_documents")
+      s.sql("CREATE TABLE graft_cat.db.maint " +
+        "(doc_id BIGINT, lang STRING, n_chars BIGINT) USING manifest")
+      s.sql("INSERT INTO graft_cat.db.maint " +
+        "SELECT /*+ REPARTITION(4) */ doc_id, lang, n_chars " +
+        "FROM qc25_documents WHERE doc_id < 150")                        // v1: 4 files
+      s.sql("INSERT INTO graft_cat.db.maint " +
+        "SELECT /*+ REPARTITION(6) */ doc_id, lang, n_chars " +
+        "FROM qc25_documents WHERE doc_id >= 150")                       // v2: +6 files
+      val compacted = s.sql("CALL graft_cat.system.compact('db.maint')").head() // v3
+      val rolled = s.sql("CALL graft_cat.system.rollback('db.maint', 1)").head() // v4
+      val removed = s.sql("CALL graft_cat.system.vacuum('db.maint', keep => 2)")
+        .head().getInt(0) // keeps v3 (compacted pool) + v4 (v1's pool); drops v2's
+      val state = s.sql("SELECT count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS c " +
+        "FROM graft_cat.db.maint").head()
+      Seq((compacted.getLong(0), compacted.getLong(1),
+          rolled.getLong(0), rolled.getLong(1), removed,
+          state.getLong(0), state.getLong(1)))
+        .toDF("files_before", "files_after", "restored_version", "new_version",
+          "pools_removed", "rows_after_rollback", "chars_after_rollback")
+    },
+
     // --- metadata tables (catalog/MetadataTables): t.history / t.files
     //     — one row per committed version / per current-snapshot file,
     //     derived purely from commit markers + file status (the DESCRIBE
@@ -662,6 +697,14 @@ object CoverageQueries extends QueryModule {
            max(sm.sample_chars) AS sample_chars
          FROM documents d JOIN sm ON d.lang = sm.lang
          GROUP BY d.lang ORDER BY d.lang""",
+
+    "qc25_sql_procedures" ->
+      """SELECT CAST(10 AS BIGINT) AS files_before, CAST(1 AS BIGINT) AS files_after,
+           CAST(1 AS BIGINT) AS restored_version, CAST(4 AS BIGINT) AS new_version,
+           CAST(1 AS INTEGER) AS pools_removed,
+           (SELECT count(*) FROM documents WHERE doc_id < 150) AS rows_after_rollback,
+           CAST((SELECT sum(n_chars) FROM documents WHERE doc_id < 150) AS BIGINT)
+             AS chars_after_rollback""",
 
     "qc23_table_history" ->
       """SELECT CAST(v AS BIGINT) AS version, CAST(f AS BIGINT) AS n_files,

@@ -1,0 +1,108 @@
+package graft.catalog
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.ManifestTable
+
+/** SQL maintenance procedures (`CALL graft.system.*`): compaction
+  * (bucket-preserving), vacuum, and rollback — the table-format
+  * operations previously reachable only through the Scala API. */
+class CatalogProcedureSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    GraftCatalog.register(s, "g", root)
+    s
+  }
+  private lazy val root =
+    "file://" + Files.createTempDirectory("graft_proc_").toString
+
+  private def ensureDb(): Unit =
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS g.db")
+
+  private def dataDir(table: String) = s"$root/db/$table"
+
+  test("CALL compact rewrites small files into one and reports counts") {
+    ensureDb()
+    spark.sql("CREATE TABLE g.db.cp (id BIGINT, v STRING) USING manifest")
+    (1 to 4).foreach { i =>
+      spark.sql(s"INSERT INTO g.db.cp SELECT id + ${i * 100}, CAST(id AS STRING) FROM range(50)")
+    }
+    val before = ManifestTable.manifest(dataDir("cp"),
+      ManifestTable.currentVersion(dataDir("cp")).get)
+    assert(before.length >= 4, s"expected >=4 pre-compaction files, got $before")
+    val row = spark.sql("CALL g.system.compact('db.cp')").head()
+    assert(row.getLong(0) === before.length.toLong)
+    assert(row.getLong(1) === 1L) // 200 tiny rows -> one 128 MB-target file
+    assert(spark.sql("SELECT count(*), sum(id) FROM g.db.cp").head().toSeq ===
+      Seq(200L, (1 to 4).map(i => (0 until 50).map(_ + i * 100).sum.toLong).sum))
+  }
+
+  test("CALL compact on a bucketed table re-buckets (SPJ survives)") {
+    ensureDb()
+    spark.sql("""CREATE TABLE g.db.cpb (k BIGINT, v STRING) USING manifest
+                 PARTITIONED BY (bucket(4, k))""")
+    (1 to 3).foreach { _ =>
+      spark.sql("INSERT INTO g.db.cpb SELECT id % 16, CAST(id AS STRING) FROM range(64)")
+    }
+    spark.sql("CALL g.system.compact('db.cpb')").collect()
+    val files = ManifestTable.manifest(dataDir("cpb"),
+      ManifestTable.currentVersion(dataDir("cpb")).get)
+    val pools = files.map(_.split("/", 2).head).distinct
+    assert(pools.length === 1 && ManifestTable.bucketsOfPool(pools.head) === Some(4),
+      s"compaction demoted bucketing: $pools")
+    assert(spark.sql("SELECT sum(k) FROM g.db.cpb").head().getLong(0) === 3L * 64 / 16 * (0 to 15).sum)
+  }
+
+  test("CALL vacuum removes expired pools but keeps readable versions") {
+    ensureDb()
+    spark.sql("CREATE TABLE g.db.vc (id BIGINT) USING manifest")
+    spark.sql("INSERT INTO g.db.vc VALUES (1)")           // v1
+    spark.sql("INSERT OVERWRITE g.db.vc VALUES (2)")      // v2 (v1's pool now unreferenced beyond keep)
+    spark.sql("INSERT OVERWRITE g.db.vc VALUES (3)")      // v3
+    val removed = spark.sql("CALL g.system.vacuum('db.vc', keep => 2)").head().getInt(0)
+    assert(removed === 1, s"expected exactly v1's pool removed, got $removed")
+    // kept versions still read
+    assert(spark.sql("SELECT id FROM g.db.vc VERSION AS OF 2").head().getLong(0) === 2L)
+    assert(spark.sql("SELECT id FROM g.db.vc").head().getLong(0) === 3L)
+  }
+
+  test("CALL rollback restores an old version as a new commit") {
+    ensureDb()
+    spark.sql("CREATE TABLE g.db.rb (id BIGINT) USING manifest")
+    spark.sql("INSERT INTO g.db.rb VALUES (1), (2)")      // v1
+    spark.sql("INSERT OVERWRITE g.db.rb VALUES (99)")     // v2
+    val row = spark.sql("CALL g.system.rollback('db.rb', 1)").head()
+    assert((row.getLong(0), row.getLong(1)) === (1L, 3L))
+    assert(spark.sql("SELECT sum(id) FROM g.db.rb").head().getLong(0) === 3L)
+    // history preserved: v2 still time-travelable
+    assert(spark.sql("SELECT id FROM g.db.rb VERSION AS OF 2").head().getLong(0) === 99L)
+    // rolling back to a vacuumed version fails loudly
+    val e = intercept[Exception] {
+      spark.sql("CALL g.system.rollback('db.rb', 7)").collect()
+    }
+    assert(e.getMessage.contains("not committed"))
+  }
+
+  test("procedures are discoverable and argument errors are loud") {
+    ensureDb()
+    val procs = spark.sql("SHOW PROCEDURES IN g.system").collect().map(_.getString(3))
+    assert(procs.toSet === Set("compact", "vacuum", "rollback"))
+    val e = intercept[Exception] {
+      spark.sql("CALL g.system.nope('db.t')").collect()
+    }
+    assert(e.getMessage.contains("FAILED_TO_LOAD_ROUTINE")) // Spark wraps our "no procedure"
+    val e2 = intercept[Exception] {
+      spark.sql("CALL g.system.compact('db.missing')").collect()
+    }
+    assert(e2.getMessage.toLowerCase.contains("table"))
+  }
+}
