@@ -91,22 +91,24 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     tableFor(ident, asOf = None)
   }
 
-  /** Iceberg-style metadata tables: `<ns>.<table>.history` / `.files`
-    * resolve as an identifier whose NAMESPACE is (ns, table) — serve the
-    * version/file listings of the underlying manifest root. */
+  /** Iceberg-style metadata tables: `<ns>.<table>.history` / `.files` /
+    * `.detail` resolve as an identifier whose NAMESPACE is (ns, table) —
+    * serve the version/file listings and the DESCRIBE DETAIL summary of
+    * the underlying table root. */
   private def metadataTableFor(ident: Identifier): Option[Table] = {
     val ns = ident.namespace()
     if (ns.length != 2) return None
     val dir = s"$root/${ns(0)}/${ns(1)}"
     readMeta(dir).flatMap { meta =>
-      if (meta.provider != "manifest") None
-      else {
-        val dataDir = meta.location.getOrElse(dir)
-        ident.name().toLowerCase match {
-          case "history" => Some(MetadataTables.history(dataDir))
-          case "files"   => Some(MetadataTables.files(dataDir))
-          case _         => None
-        }
+      val dataDir = meta.location.getOrElse(dir)
+      ident.name().toLowerCase match {
+        case "detail" => Some(MetadataTables.detail(dataDir, meta.provider,
+          meta.bucket.map(b => s"bucket(${b.n}, ${b.col})")))
+        case "history" if meta.provider == "manifest" =>
+          Some(MetadataTables.history(dataDir))
+        case "files" if meta.provider == "manifest" =>
+          Some(MetadataTables.files(dataDir))
+        case _ => None
       }
     }
   }
@@ -144,7 +146,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val meta = readMeta(dir).getOrElse(throw new NoSuchTableException(ident))
     val dataDir = meta.location.getOrElse(dir)
     meta.provider match {
-      case "keyedlog" => new KeyedLogTable(dataDir)
+      case "keyedlog" => new KeyedLogTable(dataDir, meta.bucket.map(_.n))
       case "manifest" =>
         new ManifestSparkTable(dataDir, meta.schema, asOf, meta.bucket)
       case other => throw new IllegalStateException(
@@ -177,15 +179,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     tableFor(ident, asOf = None)
   }
 
-  /** `PARTITIONED BY (bucket(n, col))` on manifest tables: hash-bucket
-    * clustering, the unit of storage-partitioned scans. Anything else in
-    * PARTITIONED BY is rejected. */
+  /** `PARTITIONED BY (bucket(n, col))`: hash-bucket clustering, the unit
+    * of storage-partitioned scans. On keyedlog tables the only bucketable
+    * column is `key` (the clustering column the writer tags files with) —
+    * a bucket-declared keyedlog table groups its per-key files into the
+    * SAME murmur3 bucket space manifest tables use, so the two formats
+    * co-partition. Anything else in PARTITIONED BY is rejected. */
   private def parseBucketing(ident: Identifier, provider: String,
                              partitions: Array[Transform],
                              schema: StructType): Option[Bucketing] =
     partitions.toSeq match {
       case Seq() => None
-      case Seq(t) if t.name == "bucket" && provider == "manifest" =>
+      case Seq(t) if t.name == "bucket" =>
         val refs = t.references
         require(refs.length == 1 && refs(0).fieldNames.length == 1,
           s"${ident.name()}: bucket() wants exactly one top-level column")
@@ -196,16 +201,22 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         }.getOrElse(throw new IllegalArgumentException(
           s"${ident.name()}: bucket() wants an integer bucket count"))
         require(n > 0, s"${ident.name()}: bucket count must be positive")
-        val field = schema.find(_.name == colName).getOrElse(
-          throw new IllegalArgumentException(
-            s"${ident.name()}: bucket column $colName is not in the schema"))
-        require(Seq("string", "bigint", "int").contains(field.dataType.simpleString),
-          s"${ident.name()}: bucket column must be string/bigint/int, " +
-            s"got ${field.dataType.simpleString}")
+        if (provider == "keyedlog") {
+          require(colName == "key",
+            s"${ident.name()}: keyedlog tables bucket on their clustering " +
+              s"column `key`, got $colName")
+        } else {
+          val field = schema.find(_.name == colName).getOrElse(
+            throw new IllegalArgumentException(
+              s"${ident.name()}: bucket column $colName is not in the schema"))
+          require(Seq("string", "bigint", "int").contains(field.dataType.simpleString),
+            s"${ident.name()}: bucket column must be string/bigint/int, " +
+              s"got ${field.dataType.simpleString}")
+        }
         Some(Bucketing(n, colName))
       case other => throw new UnsupportedOperationException(
-        s"catalog $catalogName supports PARTITIONED BY (bucket(n, col)) on " +
-          s"manifest tables only; got ${other.mkString(", ")}")
+        s"catalog $catalogName supports PARTITIONED BY (bucket(n, col)); " +
+          s"got ${other.mkString(", ")}")
     }
 
   // ---- atomic CTAS / RTAS (StagingTableCatalog) ----

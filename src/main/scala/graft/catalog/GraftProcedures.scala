@@ -76,17 +76,23 @@ private[catalog] object GraftProcedures {
   private final class CompactProcedure(catalog: GraftCatalog) extends ManifestProcedure {
     override def name(): String = "compact"
     override def description(): String =
-      "rewrite the current snapshot into ~target_mb files (bucketed tables re-bucket)"
+      "rewrite the current snapshot into ~target_mb files " +
+        "(bucketed tables re-bucket; cluster_by range-sorts the layout)"
     override def parameters(): Array[ProcedureParameter] = Array(
       ProcedureParameter.in("table", StringType).build(),
-      ProcedureParameter.in("target_mb", IntegerType).defaultValue("128").build())
+      ProcedureParameter.in("target_mb", IntegerType).defaultValue("128").build(),
+      ProcedureParameter.in("cluster_by", StringType).defaultValue("''").build())
     override def call(input: InternalRow): JIterator[Scan] = {
       val (dir, bucket) = target(catalog, input.getString(0))
       val spark = SparkSession.active
+      val clusterBy = input.getString(2).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      require(bucket.isEmpty || clusterBy.isEmpty,
+        "cluster_by does not apply to bucketed tables — the bucket layout IS the clustering")
       val (before, after) = bucket match {
         case Some(b) => ManifestTable.compactBucketed(spark, dir, b.n, b.col)
         case None =>
-          ManifestTable.compact(spark, dir, input.getInt(1).toLong * 1024 * 1024)
+          ManifestTable.compact(spark, dir,
+            input.getInt(1).toLong * 1024 * 1024, clusterBy)
       }
       result(
         StructType(Seq(

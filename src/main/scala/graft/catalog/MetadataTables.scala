@@ -62,6 +62,43 @@ object MetadataTables {
         }
       }
     })
+
+  val DetailSchema: StructType = StructType(Seq(
+    StructField("provider", StringType, nullable = false),
+    StructField("location", StringType, nullable = false),
+    StructField("current_version", LongType, nullable = true),
+    StructField("num_files", LongType, nullable = false),
+    StructField("total_bytes", LongType, nullable = false),
+    StructField("num_versions", LongType, nullable = false),
+    StructField("bucket_spec", StringType, nullable = true)))
+
+  /** `t.detail`: the DESCRIBE DETAIL analogue — one row summarizing the
+    * table's provider, layout, and current snapshot. Works for both
+    * providers (keyedlog tables report their visible file set; versions
+    * are a manifest concept and stay null there). */
+  def detail(dir: String, provider: String,
+             bucketSpec: Option[String]): Table =
+    new VirtualRowsTable(s"detail($dir)", DetailSchema, () => {
+      val fs = LakeStorage.openFor(dir)
+      val (files, versions, current) =
+        if (provider == "manifest") {
+          val vs = ManifestTable.allVersions(dir)
+          val cur = vs.lastOption
+          (cur.map(v => ManifestTable.manifest(dir, v).map(f =>
+            new Path(dir, f))).getOrElse(Seq.empty), vs.length.toLong, cur)
+        } else {
+          val base = new Path(dir)
+          val listed = if (!fs.exists(base)) Seq.empty
+            else fs.listStatus(base).toSeq
+              .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
+                !s.getPath.getName.startsWith("."))
+              .map(_.getPath)
+          (listed, 0L, None)
+        }
+      val bytes = files.map(fs.getFileStatus(_).getLen).sum
+      Seq(Array[Any](provider, dir, current.map(Long.box).orNull,
+        files.length.toLong, bytes, versions, bucketSpec.orNull))
+    })
 }
 
 /** A read-only DSv2 table serving driver-computed rows (Strings and

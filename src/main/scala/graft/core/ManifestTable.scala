@@ -212,9 +212,19 @@ object ManifestTable {
     * rewrite runs, its files are carried over into the compacted manifest
     * (rebase); if a concurrent [[write]]/[[compact]] replaced files this
     * rewrite read, the compaction is stale and aborts — rerun it.
+    *
+    * `clusterBy` (the OPTIMIZE ... ZORDER-BY analogue on manifest tables)
+    * range-partitions and sorts the rewrite on the given columns — every
+    * output file then covers a narrow value range, so selective reads
+    * prune whole files/row groups (same layout contract as
+    * [[LakeCompaction.compactParquet]], measured in ClusteringSpec; for
+    * multi-dimension clustering pass a materialized
+    * [[graft.functions.ZOrder]] key). Costs one range shuffle, the price
+    * of clustering in any table format; empty = plain coalesce.
     * Returns (filesBefore, filesAfter). */
   def compact(spark: SparkSession, dir: String,
-              targetFileBytes: Long = 128L * 1024 * 1024): (Long, Long) = {
+              targetFileBytes: Long = 128L * 1024 * 1024,
+              clusterBy: Seq[String] = Nil): (Long, Long) = {
     val fs = LakeStorage.openFor(dir)
     val snapVersion = currentVersion(dir).getOrElse(
       throw new IllegalStateException(s"no committed version under $dir"))
@@ -222,8 +232,15 @@ object ManifestTable {
     if (snapFiles.isEmpty) return (0L, 0L)
     val totalBytes = snapFiles.map(f => fs.getFileStatus(new Path(dir, f)).getLen).sum
     val nOut = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
-    val compacted = writePool(
-      spark.read.parquet(snapFiles.map(f => s"$dir/$f"): _*).coalesce(nOut), dir)
+    val snapshot = spark.read.parquet(snapFiles.map(f => s"$dir/$f"): _*)
+    val rewritten =
+      if (clusterBy.isEmpty) snapshot.coalesce(nOut)
+      else {
+        import org.apache.spark.sql.functions.col
+        snapshot.repartitionByRange(nOut, clusterBy.map(col): _*)
+          .sortWithinPartitions(clusterBy.map(col): _*)
+      }
+    val compacted = writePool(rewritten, dir)
     val snapSet = snapFiles.toSet
     commitLoop(dir) { base =>
       val baseFiles = base.map(manifest(dir, _)).getOrElse(Seq.empty)

@@ -311,6 +311,38 @@ object AdvancedQueries extends QueryModule {
         .orderBy("key")
     },
 
+    // --- CROSS-FORMAT storage-partitioned join: a manifest table and a
+    //     keyedlog table both declared PARTITIONED BY (bucket(8, ...))
+    //     share the murmur3 bucket space (manifest: repartition placement;
+    //     keyedlog: per-key file groups merged by bucket at scan time), so
+    //     their join plans with ZERO exchanges across two different
+    //     storage formats (plan pinned in BucketedTableSpec; the result
+    //     goes through the oracle). Child session: SPJ confs are opt-in ---
+    "qk03_cross_format_spj" -> { (s0, d) =>
+      val s = s0.newSession()
+      graft.catalog.GraftCatalog.register(s, "graft_xf",
+        graft.core.TempDirs.create("graft_xf_root_"))
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      s.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_xf.db")
+      Tables.documents(s, d).createOrReplaceTempView("qk03_documents")
+      s.sql("CREATE TABLE graft_xf.db.corpus (lang STRING, doc_id BIGINT, n_chars BIGINT) " +
+        "USING manifest PARTITIONED BY (bucket(8, lang))")
+      s.sql("CREATE TABLE graft_xf.db.activity (key STRING, seq BIGINT, metric BIGINT) " +
+        "USING keyedlog PARTITIONED BY (bucket(8, key))")
+      s.sql("INSERT INTO graft_xf.db.corpus SELECT lang, doc_id, n_chars FROM qk03_documents")
+      s.sql("INSERT INTO graft_xf.db.activity " +
+        "SELECT lang, doc_id, n_chars FROM qk03_documents WHERE doc_id % 3 = 0")
+      s.sql("""SELECT c.lang, count(*) AS n_docs, sum(c.n_chars) AS total_chars,
+          max(a.sample_chars) AS sample_chars
+        FROM graft_xf.db.corpus c
+        JOIN (SELECT key, sum(metric) AS sample_chars
+              FROM graft_xf.db.activity GROUP BY key) a
+          ON c.lang = a.key
+        GROUP BY c.lang ORDER BY c.lang""")
+    },
+
     // --- mergeable HLL sketches (Apache DataSketches via Spark 4 built-ins):
     //     build per-(flag, shipdate) PARTIAL sketches, then union-merge to
     //     per-flag distinct estimates — the pre-aggregated sketch-table
@@ -680,6 +712,15 @@ object AdvancedQueries extends QueryModule {
            round(sum(o_totalprice), 2) AS total
          FROM orders JOIN customer ON o_custkey = c_custkey
          GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+
+    "qk03_cross_format_spj" ->
+      """WITH a AS (SELECT lang, CAST(sum(n_chars) AS BIGINT) AS sample_chars
+             FROM documents WHERE doc_id % 3 = 0 GROUP BY lang)
+         SELECT c.lang, count(*) AS n_docs,
+           CAST(sum(c.n_chars) AS BIGINT) AS total_chars,
+           max(a.sample_chars) AS sample_chars
+         FROM documents c JOIN a ON c.lang = a.lang
+         GROUP BY c.lang ORDER BY c.lang""",
 
     "qk02_storage_partitioned" ->
       """WITH f AS (SELECT lang AS key, CAST(sum(n_chars) AS BIGINT) AS total_chars,

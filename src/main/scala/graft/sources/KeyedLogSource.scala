@@ -108,16 +108,32 @@ object KeyedLogSource {
 
   private[sources] def encKey(key: String): String =
     if (key == null) "" else java.net.URLEncoder.encode(key, "UTF-8")
+
+  /** The bucket a key lands in under a `bucket(n, key)` table declaration:
+    * `pmod(murmur3(key, 42), n)` — EXACTLY Spark's HashPartitioning
+    * placement and the catalog `bucket` function
+    * ([[graft.catalog.GraftBucketBound]]), delegated to Catalyst's own
+    * Murmur3HashFunction so scan grouping, manifest-side placement, and
+    * the SPJ function can never drift. Null key hashes as Catalyst's null
+    * contribution (seed unchanged). */
+  private[sources] def bucketOfKey(keyOrNull: String, n: Int): Int = {
+    val h = org.apache.spark.sql.catalyst.expressions.Murmur3HashFunction.hash(
+      if (keyOrNull == null) null else UTF8String.fromString(keyOrNull),
+      StringType, 42L)
+    val m = (h % n).toInt
+    if (m < 0) m + n else m
+  }
 }
 
-class KeyedLogTable(path: String) extends Table with SupportsRead with SupportsWrite {
+class KeyedLogTable(path: String, bucketN: Option[Int] = None)
+    extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"keyed_log($path)"
   override def schema(): StructType = KeyedLogSource.schema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.MICRO_BATCH_READ, TableCapability.STREAMING_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new KeyedLogScanBuilder(Option(options.get("path")).getOrElse(path))
+    new KeyedLogScanBuilder(Option(options.get("path")).getOrElse(path), bucketN)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(info.schema().fieldNames.sameElements(KeyedLogSource.schema.fieldNames),
       s"keyed_log write schema must be (key, seq, metric); got ${info.schema().simpleString}")
@@ -129,8 +145,12 @@ class KeyedLogTable(path: String) extends Table with SupportsRead with SupportsW
         // plans the exchange + sort — each output file then holds sorted
         // runs of few keys (point-lookup and compaction friendly). Opt-in
         // because forcing a shuffle on every log append is the wrong
-        // default for an append-mostly sink.
-        if (info.options.getBoolean("clusterByKey", false))
+        // default for an append-mostly sink — EXCEPT for bucket-declared
+        // catalog tables (PARTITIONED BY (bucket(n, key))), whose
+        // declaration promises key-grouped files: there every write
+        // clusters, or SQL INSERTs would silently demote the table out
+        // of storage-partitioned reads.
+        if (info.options.getBoolean("clusterByKey", false) || bucketN.isDefined)
           new Write with RequiresDistributionAndOrdering {
             import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
             import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder => V2SortOrder}
@@ -342,7 +362,7 @@ class KeyedLogClusteredWriter(dir: String, queryId: String, partitionId: Int,
   override def close(): Unit = ()
 }
 
-class KeyedLogScanBuilder(path: String) extends ScanBuilder
+class KeyedLogScanBuilder(path: String, bucketN: Option[Int] = None) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates {
   private var required: StructType = KeyedLogSource.schema
@@ -425,7 +445,7 @@ class KeyedLogScanBuilder(path: String) extends ScanBuilder
   }
 
   override def build(): Scan =
-    KeyedLogScan(path, agg.map(_.schema).getOrElse(required), pushed, agg)
+    KeyedLogScan(path, agg.map(_.schema).getOrElse(required), pushed, agg, bucketN)
 }
 
 /** Pushed-aggregation spec shipped to the per-file readers. */
@@ -442,7 +462,8 @@ object KeyedLogAgg {
 
 case class KeyedLogScan(path: String, required: StructType,
                         pushed: Array[Filter],
-                        agg: Option[KeyedLogAgg] = None) extends Scan with Batch
+                        agg: Option[KeyedLogAgg] = None,
+                        bucketN: Option[Int] = None) extends Scan with Batch
     with SupportsRuntimeFiltering with SupportsReportStatistics
     with SupportsReportPartitioning {
   override def readSchema(): StructType = required
@@ -479,18 +500,37 @@ case class KeyedLogScan(path: String, required: StructType,
     }
   }
 
+  /** BUCKET-grouped reads of a clustered dir (catalog tables created
+    * `PARTITIONED BY (bucket(n, key))`): per-key file groups are merged
+    * into the same `pmod(murmur3(key, 42), n)` bucket space the manifest
+    * format's bucketed writer places rows into, so a keyed-log table and
+    * a bucketed manifest table CO-PARTITION — their join is
+    * storage-partitioned across the two formats, zero exchanges. */
+  @transient private lazy val bucketGroups: Option[Seq[(Int, Seq[String])]] =
+    for (n <- bucketN; groups <- keyGroups) yield
+      groups
+        .groupBy { case (k, _) => KeyedLogSource.bucketOfKey(k, n) }
+        .map { case (b, gs) => (b, gs.flatMap(_._2).sorted) }
+        .toSeq.sortBy(_._1)
+
   /** Storage-partitioned reads: a fully clustered dir has all rows of a
     * key in one file group, so the scan reports
-    * `KeyGroupedPartitioning(identity(key))` and Spark elides the shuffle
-    * under key aggregations and co-clustered joins (the connector
-    * analogue of bucketed tables / Iceberg's SPJ). */
+    * `KeyGroupedPartitioning(identity(key))` — or `bucket(n, key)` for
+    * bucket-declared tables — and Spark elides the shuffle under key
+    * aggregations and co-clustered joins (the connector analogue of
+    * bucketed tables / Iceberg's SPJ). */
   override def outputPartitioning(): org.apache.spark.sql.connector.read.partitioning.Partitioning =
-    keyGroups match {
-      case Some(groups) =>
+    (bucketGroups, keyGroups) match {
+      case (Some(groups), _) =>
+        new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+          Array(org.apache.spark.sql.connector.expressions.Expressions.bucket(
+            bucketN.get, "key")),
+          groups.size)
+      case (None, Some(groups)) =>
         new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
           Array(org.apache.spark.sql.connector.expressions.Expressions.identity("key")),
           groups.size)
-      case None =>
+      case _ =>
         new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(
           allFiles.length)
     }
@@ -537,11 +577,14 @@ case class KeyedLogScan(path: String, required: StructType,
   @transient private lazy val conf = KeyedLogConf.capture()
 
   override def planInputPartitions(): Array[InputPartition] =
-    keyGroups match {
-      case Some(groups) => groups.map { case (k, fs) =>
+    (bucketGroups, keyGroups) match {
+      case (Some(groups), _) => groups.map { case (b, fs) =>
+        KeyedLogBucketPartition(fs, b): InputPartition
+      }.toArray
+      case (None, Some(groups)) => groups.map { case (k, fs) =>
         KeyedLogKeyedPartition(fs, k): InputPartition
       }.toArray
-      case None => allFiles.map(f => KeyedLogPartition(Seq(f)): InputPartition)
+      case _ => allFiles.map(f => KeyedLogPartition(Seq(f)): InputPartition)
     }
   override def createReaderFactory(): PartitionReaderFactory =
     KeyedLogReaderFactory(required, pushed ++ runtimeFilters, conf, agg)
@@ -619,11 +662,22 @@ case class KeyedLogKeyedPartition(files: Seq[String], keyOrNull: String)
     InternalRow(if (keyOrNull == null) null else UTF8String.fromString(keyOrNull))
 }
 
+/** All file groups of one BUCKET of a bucket-declared clustered dir,
+  * keyed by the bucket id — the cross-format co-partitioning unit (the
+  * manifest side's [[graft.catalog.BucketGroupPartition]] reports the
+  * same `InternalRow(bucket)` key, so Spark zips the two scans'
+  * partitions for a storage-partitioned join). */
+case class KeyedLogBucketPartition(files: Seq[String], bucket: Int)
+    extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow = InternalRow(bucket)
+}
+
 object KeyedLogPartition {
   private[sources] def filesOf(partition: InputPartition): Seq[String] =
     partition match {
-      case KeyedLogPartition(fs)         => fs
-      case KeyedLogKeyedPartition(fs, _) => fs
+      case KeyedLogPartition(fs)          => fs
+      case KeyedLogKeyedPartition(fs, _)  => fs
+      case KeyedLogBucketPartition(fs, _) => fs
       case other => throw new IllegalStateException(s"not a keyed_log split: $other")
     }
 }

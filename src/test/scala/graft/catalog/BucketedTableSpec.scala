@@ -117,6 +117,44 @@ class BucketedTableSpec extends AnyFunSuite {
       "sum(p.y) per k over 100 matching b rows")
   }
 
+  test("cross-format SPJ: bucketed keyedlog joins bucketed manifest, no shuffle") {
+    val s = spj()
+    s.sql("CREATE NAMESPACE IF NOT EXISTS gb.db")
+    s.sql("CREATE TABLE gb.db.xm (k STRING, x BIGINT) USING manifest " +
+      "PARTITIONED BY (bucket(4, k))")
+    s.sql("INSERT INTO gb.db.xm SELECT concat('k', id % 6), id FROM range(600)")
+    s.sql("CREATE TABLE gb.db.xl (key STRING, seq BIGINT, metric BIGINT) " +
+      "USING keyedlog PARTITIONED BY (bucket(4, key))")
+    // SQL INSERT clusters automatically: the bucket declaration demands it
+    s.sql("INSERT INTO gb.db.xl SELECT concat('k', id % 6), id, id * 10 FROM range(120)")
+    val j = s.sql("""SELECT m.k, sum(m.x) AS sx, sum(l.metric) AS sm
+      FROM gb.db.xm m JOIN gb.db.xl l ON m.k = l.key GROUP BY m.k""")
+    val plan = j.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"cross-format co-bucketed join must be storage-partitioned:\n$plan")
+    assert(plan.contains("KeyedLogScan"), s"keyedlog side missing:\n$plan")
+    val rows = j.collect()
+    assert(rows.length === 6)
+    val k2 = rows.find(_.getString(0) == "k2").get
+    // each m row of k2 meets 20 l rows and vice versa
+    assert(k2.getLong(1) === (0 until 600).filter(_ % 6 == 2).sum.toLong * 20L)
+    assert(k2.getLong(2) === (0 until 120).filter(_ % 6 == 2).map(_ * 10).sum.toLong * 100L)
+  }
+
+  test("bucket-declared keyedlog key aggregation plans no shuffle") {
+    val s = spj()
+    s.sql("CREATE NAMESPACE IF NOT EXISTS gb.db")
+    s.sql("CREATE TABLE gb.db.xk (key STRING, seq BIGINT, metric BIGINT) " +
+      "USING keyedlog PARTITIONED BY (bucket(4, key))")
+    s.sql("INSERT INTO gb.db.xk SELECT concat('k', id % 9), id, id FROM range(300)")
+    val agg = s.sql("SELECT key, sum(metric) AS t FROM gb.db.xk GROUP BY key")
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"bucket-grouped keyedlog aggregation must not shuffle:\n$plan")
+    assert(agg.collect().find(_.getString(0) == "k4").get.getLong(1) ===
+      (0 until 300).filter(_ % 9 == 4).sum.toLong)
+  }
+
   test("DML keeps a bucketed table bucketed (rewrites re-bucket)") {
     val s = spj()
     s.sql("CREATE NAMESPACE IF NOT EXISTS gb.db")

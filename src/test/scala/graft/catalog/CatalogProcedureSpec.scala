@@ -19,89 +19,143 @@ class CatalogProcedureSpec extends AnyFunSuite {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
-    GraftCatalog.register(s, "g", root)
+    GraftCatalog.register(s, "gp", root)
     s
   }
   private lazy val root =
     "file://" + Files.createTempDirectory("graft_proc_").toString
 
   private def ensureDb(): Unit =
-    spark.sql("CREATE NAMESPACE IF NOT EXISTS g.db")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gp.db")
 
   private def dataDir(table: String) = s"$root/db/$table"
 
   test("CALL compact rewrites small files into one and reports counts") {
     ensureDb()
-    spark.sql("CREATE TABLE g.db.cp (id BIGINT, v STRING) USING manifest")
+    spark.sql("CREATE TABLE gp.db.cp (id BIGINT, v STRING) USING manifest")
     (1 to 4).foreach { i =>
-      spark.sql(s"INSERT INTO g.db.cp SELECT id + ${i * 100}, CAST(id AS STRING) FROM range(50)")
+      spark.sql(s"INSERT INTO gp.db.cp SELECT id + ${i * 100}, CAST(id AS STRING) FROM range(50)")
     }
     val before = ManifestTable.manifest(dataDir("cp"),
       ManifestTable.currentVersion(dataDir("cp")).get)
     assert(before.length >= 4, s"expected >=4 pre-compaction files, got $before")
-    val row = spark.sql("CALL g.system.compact('db.cp')").head()
+    val row = spark.sql("CALL gp.system.compact('db.cp')").head()
     assert(row.getLong(0) === before.length.toLong)
     assert(row.getLong(1) === 1L) // 200 tiny rows -> one 128 MB-target file
-    assert(spark.sql("SELECT count(*), sum(id) FROM g.db.cp").head().toSeq ===
+    assert(spark.sql("SELECT count(*), sum(id) FROM gp.db.cp").head().toSeq ===
       Seq(200L, (1 to 4).map(i => (0 until 50).map(_ + i * 100).sum.toLong).sum))
   }
 
   test("CALL compact on a bucketed table re-buckets (SPJ survives)") {
     ensureDb()
-    spark.sql("""CREATE TABLE g.db.cpb (k BIGINT, v STRING) USING manifest
+    spark.sql("""CREATE TABLE gp.db.cpb (k BIGINT, v STRING) USING manifest
                  PARTITIONED BY (bucket(4, k))""")
     (1 to 3).foreach { _ =>
-      spark.sql("INSERT INTO g.db.cpb SELECT id % 16, CAST(id AS STRING) FROM range(64)")
+      spark.sql("INSERT INTO gp.db.cpb SELECT id % 16, CAST(id AS STRING) FROM range(64)")
     }
-    spark.sql("CALL g.system.compact('db.cpb')").collect()
+    spark.sql("CALL gp.system.compact('db.cpb')").collect()
     val files = ManifestTable.manifest(dataDir("cpb"),
       ManifestTable.currentVersion(dataDir("cpb")).get)
     val pools = files.map(_.split("/", 2).head).distinct
     assert(pools.length === 1 && ManifestTable.bucketsOfPool(pools.head) === Some(4),
       s"compaction demoted bucketing: $pools")
-    assert(spark.sql("SELECT sum(k) FROM g.db.cpb").head().getLong(0) === 3L * 64 / 16 * (0 to 15).sum)
+    assert(spark.sql("SELECT sum(k) FROM gp.db.cpb").head().getLong(0) === 3L * 64 / 16 * (0 to 15).sum)
   }
 
   test("CALL vacuum removes expired pools but keeps readable versions") {
     ensureDb()
-    spark.sql("CREATE TABLE g.db.vc (id BIGINT) USING manifest")
-    spark.sql("INSERT INTO g.db.vc VALUES (1)")           // v1
-    spark.sql("INSERT OVERWRITE g.db.vc VALUES (2)")      // v2 (v1's pool now unreferenced beyond keep)
-    spark.sql("INSERT OVERWRITE g.db.vc VALUES (3)")      // v3
-    val removed = spark.sql("CALL g.system.vacuum('db.vc', keep => 2)").head().getInt(0)
+    spark.sql("CREATE TABLE gp.db.vc (id BIGINT) USING manifest")
+    spark.sql("INSERT INTO gp.db.vc VALUES (1)")           // v1
+    spark.sql("INSERT OVERWRITE gp.db.vc VALUES (2)")      // v2 (v1's pool now unreferenced beyond keep)
+    spark.sql("INSERT OVERWRITE gp.db.vc VALUES (3)")      // v3
+    val removed = spark.sql("CALL gp.system.vacuum('db.vc', keep => 2)").head().getInt(0)
     assert(removed === 1, s"expected exactly v1's pool removed, got $removed")
     // kept versions still read
-    assert(spark.sql("SELECT id FROM g.db.vc VERSION AS OF 2").head().getLong(0) === 2L)
-    assert(spark.sql("SELECT id FROM g.db.vc").head().getLong(0) === 3L)
+    assert(spark.sql("SELECT id FROM gp.db.vc VERSION AS OF 2").head().getLong(0) === 2L)
+    assert(spark.sql("SELECT id FROM gp.db.vc").head().getLong(0) === 3L)
   }
 
   test("CALL rollback restores an old version as a new commit") {
     ensureDb()
-    spark.sql("CREATE TABLE g.db.rb (id BIGINT) USING manifest")
-    spark.sql("INSERT INTO g.db.rb VALUES (1), (2)")      // v1
-    spark.sql("INSERT OVERWRITE g.db.rb VALUES (99)")     // v2
-    val row = spark.sql("CALL g.system.rollback('db.rb', 1)").head()
+    spark.sql("CREATE TABLE gp.db.rb (id BIGINT) USING manifest")
+    spark.sql("INSERT INTO gp.db.rb VALUES (1), (2)")      // v1
+    spark.sql("INSERT OVERWRITE gp.db.rb VALUES (99)")     // v2
+    val row = spark.sql("CALL gp.system.rollback('db.rb', 1)").head()
     assert((row.getLong(0), row.getLong(1)) === (1L, 3L))
-    assert(spark.sql("SELECT sum(id) FROM g.db.rb").head().getLong(0) === 3L)
+    assert(spark.sql("SELECT sum(id) FROM gp.db.rb").head().getLong(0) === 3L)
     // history preserved: v2 still time-travelable
-    assert(spark.sql("SELECT id FROM g.db.rb VERSION AS OF 2").head().getLong(0) === 99L)
+    assert(spark.sql("SELECT id FROM gp.db.rb VERSION AS OF 2").head().getLong(0) === 99L)
     // rolling back to a vacuumed version fails loudly
     val e = intercept[Exception] {
-      spark.sql("CALL g.system.rollback('db.rb', 7)").collect()
+      spark.sql("CALL gp.system.rollback('db.rb', 7)").collect()
     }
     assert(e.getMessage.contains("not committed"))
   }
 
+  test("CALL compact with cluster_by range-sorts the layout (disjoint file ranges)") {
+    ensureDb()
+    spark.sql("CREATE TABLE gp.db.cl (id BIGINT, v STRING) USING manifest")
+    // interleaved inserts so pre-compaction files all span the id range
+    (0 until 3).foreach { r =>
+      spark.sql(s"INSERT INTO gp.db.cl SELECT id * 3 + $r, CAST(id AS STRING) FROM range(400)")
+    }
+    val row = spark.sql(
+      "CALL gp.system.compact('db.cl', target_mb => 1, cluster_by => 'id')").head()
+    assert(row.getLong(0) >= 3L)
+    val files = ManifestTable.manifest(dataDir("cl"),
+      ManifestTable.currentVersion(dataDir("cl")).get)
+    // per-file [min,max] of the cluster column must not overlap
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(s"${dataDir("cl")}/$f")
+        .agg(org.apache.spark.sql.functions.min("id"),
+          org.apache.spark.sql.functions.max("id")).head()
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq((_, hi), (lo, _)) =>
+        assert(hi < lo, s"clustered files overlap: $ranges")
+      case _ => ()
+    }
+    assert(spark.sql("SELECT count(*), sum(id) FROM gp.db.cl").head().toSeq ===
+      Seq(1200L, (0L until 1200L).sum))
+    // bucketed tables refuse cluster_by: the bucket layout is the clustering
+    spark.sql("""CREATE TABLE gp.db.clb (k BIGINT, v STRING) USING manifest
+                 PARTITIONED BY (bucket(2, k))""")
+    spark.sql("INSERT INTO gp.db.clb VALUES (1, 'a')")
+    val e = intercept[Exception] {
+      spark.sql("CALL gp.system.compact('db.clb', cluster_by => 'v')").collect()
+    }
+    assert(e.getMessage.contains("cluster_by does not apply"))
+  }
+
+  test("t.detail summarizes provider, snapshot, and bucket spec") {
+    ensureDb()
+    spark.sql("""CREATE TABLE gp.db.det (k STRING, x BIGINT) USING manifest
+                 PARTITIONED BY (bucket(4, k))""")
+    spark.sql("INSERT INTO gp.db.det SELECT CAST(id AS STRING), id FROM range(100)")
+    val d = spark.sql("SELECT * FROM gp.db.det.detail").head()
+    assert(d.getString(0) === "manifest")
+    assert(d.getLong(2) === 1L)                  // current_version
+    assert(d.getLong(3) >= 1L && d.getLong(4) > 0L) // num_files, total_bytes
+    assert(d.getLong(5) === 1L)                  // num_versions
+    assert(d.getString(6) === "bucket(4, k)")
+    spark.sql("CREATE TABLE gp.db.detk (key STRING, seq BIGINT, metric BIGINT) USING keyedlog")
+    spark.sql("INSERT INTO gp.db.detk VALUES ('a', 1, 2)")
+    val k = spark.sql("SELECT * FROM gp.db.detk.detail").head()
+    assert(k.getString(0) === "keyedlog")
+    assert(k.isNullAt(2) && k.getLong(3) >= 1L && k.isNullAt(6))
+  }
+
   test("procedures are discoverable and argument errors are loud") {
     ensureDb()
-    val procs = spark.sql("SHOW PROCEDURES IN g.system").collect().map(_.getString(3))
+    val procs = spark.sql("SHOW PROCEDURES IN gp.system").collect().map(_.getString(3))
     assert(procs.toSet === Set("compact", "vacuum", "rollback"))
     val e = intercept[Exception] {
-      spark.sql("CALL g.system.nope('db.t')").collect()
+      spark.sql("CALL gp.system.nope('db.t')").collect()
     }
     assert(e.getMessage.contains("FAILED_TO_LOAD_ROUTINE")) // Spark wraps our "no procedure"
     val e2 = intercept[Exception] {
-      spark.sql("CALL g.system.compact('db.missing')").collect()
+      spark.sql("CALL gp.system.compact('db.missing')").collect()
     }
     assert(e2.getMessage.toLowerCase.contains("table"))
   }
