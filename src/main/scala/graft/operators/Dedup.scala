@@ -349,15 +349,24 @@ object Dedup {
   }
 
   /** 64-bit SimHash fingerprint of a token array: bit k is the sign of the
-    * sum over tokens of +-1 depending on bit k of xxhash64(token). */
+    * sum over tokens of +-1 depending on bit k of the token's hash — two
+    * disjoint 32-bit md5 slices (k<32 from hex chars [1,8], k>=32 from
+    * [9,16]), the same ANSI-SQL-replayable hash family as
+    * [[CountMin]]: any engine with md5 regenerates identical
+    * fingerprints, which is what lets the simhash gate query be
+    * oracle-checked bit-exactly instead of rows-only. */
   def simhash64(toks: Column): Column = {
     val counts = aggregate(
       toks,
       array_repeat(lit(0L), 64),
       (acc, t) => {
-        val h = xxhash64(t)
+        val h1 = conv(substring(md5(t), 1, 8), 16, 10).cast("long")
+        val h2 = conv(substring(md5(t), 9, 8), 16, 10).cast("long")
         zip_with(acc, sequence(lit(0), lit(63)),
-          (a, i) => a + when(call_function("shiftright", h, i.cast("int")).bitwiseAND(1) === 1, 1L).otherwise(-1L))
+          (a, i) => a + when(
+            when(i < 32, call_function("shiftright", h1, i.cast("int")))
+              .otherwise(call_function("shiftright", h2, (i - 32).cast("int")))
+              .bitwiseAND(1) === 1, 1L).otherwise(-1L))
       })
     aggregate(
       zip_with(counts, sequence(lit(0), lit(63)),
@@ -384,10 +393,13 @@ object Dedup {
     // per-row aggregate.
     val toks = docs.select(col(idCol).as("doc_id"),
       explode(tokens(col(textCol))).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
+      .withColumn("h1", conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long"))
+      .withColumn("h2", conv(substring(md5(col("tok")), 9, 8), 16, 10).cast("long"))
     val bitAggs = (0 until 64).map { i =>
-      sum(when(call_function("shiftright", col("h"), lit(i)).bitwiseAND(1) === 1, 1L)
-        .otherwise(-1L)).as(s"b$i")
+      val bit =
+        if (i < 32) call_function("shiftright", col("h1"), lit(i)).bitwiseAND(1)
+        else call_function("shiftright", col("h2"), lit(i - 32)).bitwiseAND(1)
+      sum(when(bit === 1, 1L).otherwise(-1L)).as(s"b$i")
     }
     val fpExpr = (0 until 64)
       .map(i => when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))

@@ -6,10 +6,12 @@ import graft.operators.Dedup
 import org.apache.spark.sql.functions._
 
 /** Text analysis + deduplication over the `documents` table (SURVEY.md §2
-  * Part B "Text analysis" / "Dedup"). qd04 (SimHash) has no SQL oracle —
-  * its output depends on xxhash64 — and is spec-verified instead
-  * (DedupSpec); everything else is DuckDB-checked with identical formulas
-  * on both sides.
+  * Part B "Text analysis" / "Dedup"). Everything is DuckDB-checked with
+  * identical formulas on both sides — including qd04 (SimHash), whose
+  * per-token bits come from md5 slices both engines compute identically;
+  * the oracle brute-forces all pairs (fine at oracle scale) while the
+  * engine goes through chunk banding, and they agree exactly because
+  * 4x16-bit banding has GUARANTEED recall at hamming <= 3 (pigeonhole).
   */
 object TextQueries extends QueryModule {
 
@@ -309,7 +311,9 @@ object TextQueries extends QueryModule {
         .orderBy("cluster_id")
     },
 
-    // --- SimHash near-dup (hash-seeded: rows-only check + DedupSpec) ---
+    // --- SimHash near-dup: md5-slice bits -> oracle-replayable; the
+    //     banded candidate join is exhaustive at hamming <= 3, so the
+    //     brute-force oracle matches bit-exactly ---
     "qd04_dedup_simhash" -> { (s, d) =>
       Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text", maxDistance = 3)
         .orderBy("d1", "d2")
@@ -621,7 +625,34 @@ object TextQueries extends QueryModule {
          SELECT cid AS cluster_id, count(*) AS n_docs
          FROM comp GROUP BY cid ORDER BY cluster_id""",
 
-    // qd04_dedup_simhash: intentionally no oracle (xxhash64-seeded)
+    // qd04: the engine bands 16-bit chunks for candidates; the oracle can
+    // afford all-pairs. Equality holds because banding recall is total at
+    // hamming <= 3 and both engines compute identical md5-slice bits.
+    "qd04_dedup_simhash" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                      FROM documents),
+         h AS (SELECT doc_id,
+                 CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) AS h1,
+                 CAST('0x' || substr(md5(tok), 9, 8) AS BIGINT) AS h2
+               FROM tok),
+         bi AS (SELECT unnest(generate_series(0, 63)) AS i),
+         b AS (SELECT doc_id, bi.i,
+                 sum(CASE WHEN ((CASE WHEN bi.i < 32 THEN h1 >> bi.i
+                                 ELSE h2 >> (bi.i - 32) END) & 1) = 1
+                     THEN 1 ELSE -1 END) AS c
+               FROM h, bi GROUP BY 1, 2),
+         fp AS (SELECT doc_id,
+                 CAST(sum(CASE WHEN i < 32 AND c > 0
+                          THEN CAST(1 AS BIGINT) << i ELSE 0 END) AS BIGINT) AS f1,
+                 CAST(sum(CASE WHEN i >= 32 AND c > 0
+                          THEN CAST(1 AS BIGINT) << (i - 32) ELSE 0 END) AS BIGINT) AS f2
+                FROM b GROUP BY doc_id)
+         SELECT x.doc_id AS d1, y.doc_id AS d2,
+           CAST(bit_count(xor(x.f1, y.f1)) + bit_count(xor(x.f2, y.f2)) AS INTEGER)
+             AS hamming
+         FROM fp x JOIN fp y ON x.doc_id < y.doc_id
+         WHERE bit_count(xor(x.f1, y.f1)) + bit_count(xor(x.f2, y.f2)) <= 3
+         ORDER BY d1, d2""",
 
     "qd08_incremental_dedup" ->
       s"""WITH $shingleCte,
