@@ -67,8 +67,41 @@ class ManifestSparkTable(dir: String, declared: StructType,
     ManifestTable.manifest(dir, v).map(f => s"$dir/$f")
   }
 
+  /** Incremental (CDC-style) reads:
+    * `spark.read.option("start_version", v).table("cat.db.t")` serves ONLY
+    * the rows of files ADDED after version `v` (optionally up to
+    * `end_version`, default current) — the manifest diff IS the change
+    * feed, so an incremental consumer (downstream dedup, index refresh,
+    * training-data delta) re-reads nothing it has already processed.
+    * File-granularity CoW semantics: a DML rewrite's output files count as
+    * added, so consumers see rewritten rows again (upsert semantics, the
+    * same contract Delta's CDF gives without the _change_type column);
+    * append-only tables get exact inserts. Both versions must still be
+    * present (not vacuumed) — vacuuming past a consumer's cursor is the
+    * same operational error as in any lake format. */
+  private def incrementalPaths(startVersion: Long, endVersion: Option[Long]): Seq[String] = {
+    val committed = ManifestTable.allVersions(dir)
+    require(committed.contains(startVersion),
+      s"start_version $startVersion is not committed under $dir " +
+        s"(committed: ${committed.mkString(",")}) — vacuumed past the cursor?")
+    val end = endVersion.getOrElse(committed.max)
+    require(committed.contains(end),
+      s"end_version $end is not committed under $dir")
+    require(end >= startVersion,
+      s"end_version $end precedes start_version $startVersion")
+    val base = ManifestTable.manifest(dir, startVersion).toSet
+    ManifestTable.manifest(dir, end).filterNot(base).map(f => s"$dir/$f")
+  }
+
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
-    val paths = snapshotPaths
+    val paths = Option(options.get("start_version")) match {
+      case Some(sv) =>
+        require(asOf.isEmpty,
+          s"start_version does not combine with VERSION AS OF (${name()})")
+        incrementalPaths(sv.toLong,
+          Option(options.get("end_version")).map(_.toLong))
+      case None => snapshotPaths
+    }
     new ManifestScanBuilder(
       ParquetTable(name(), SparkSession.active, options, paths,
         userSpecifiedSchema = Some(declared),

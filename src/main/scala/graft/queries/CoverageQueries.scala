@@ -325,6 +325,29 @@ object CoverageQueries extends QueryModule {
           "pools_removed", "rows_after_rollback", "chars_after_rollback")
     },
 
+    // --- incremental (CDC-style) reads: start_version serves ONLY files
+    //     added after the cursor (manifest diff = change feed) — what an
+    //     incremental downstream pipeline consumes instead of rescanning
+    //     the table. Oracle = the second batch's aggregate ---
+    "qc26_incremental_read" -> { (s, d) =>
+      if (s.conf.getOption("spark.sql.catalog.graft_cat").isEmpty)
+        graft.catalog.GraftCatalog.register(s, "graft_cat",
+          graft.core.TempDirs.create("graft_cat_root_"))
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.db")
+      s.sql("DROP TABLE IF EXISTS graft_cat.db.cdc")
+      Tables.documents(s, d).createOrReplaceTempView("qc26_documents")
+      s.sql("CREATE TABLE graft_cat.db.cdc " +
+        "(doc_id BIGINT, lang STRING, n_chars BIGINT) USING manifest")
+      s.sql("INSERT INTO graft_cat.db.cdc SELECT doc_id, lang, n_chars " +
+        "FROM qc26_documents WHERE doc_id < 150")                       // v1
+      s.sql("INSERT INTO graft_cat.db.cdc SELECT doc_id, lang, n_chars " +
+        "FROM qc26_documents WHERE doc_id >= 150")                      // v2
+      s.read.option("start_version", "1").table("graft_cat.db.cdc")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_new"), sum("n_chars").as("new_chars"))
+        .orderBy("lang")
+    },
+
     // --- metadata tables (catalog/MetadataTables): t.history / t.files
     //     — one row per committed version / per current-snapshot file,
     //     derived purely from commit markers + file status (the DESCRIBE
@@ -697,6 +720,12 @@ object CoverageQueries extends QueryModule {
            max(sm.sample_chars) AS sample_chars
          FROM documents d JOIN sm ON d.lang = sm.lang
          GROUP BY d.lang ORDER BY d.lang""",
+
+    "qc26_incremental_read" ->
+      """SELECT lang, count(*) AS n_new,
+           CAST(sum(n_chars) AS BIGINT) AS new_chars
+         FROM documents WHERE doc_id >= 150
+         GROUP BY lang ORDER BY lang""",
 
     "qc25_sql_procedures" ->
       """SELECT CAST(10 AS BIGINT) AS files_before, CAST(1 AS BIGINT) AS files_after,

@@ -188,6 +188,39 @@ class CatalogSpec extends AnyFunSuite {
       spark.sql("SELECT * FROM g.db.ts TIMESTAMP AS OF '1970-01-02 00:00:00'").collect())
   }
 
+  test("incremental reads serve only files added after start_version") {
+    ensureDb()
+    spark.sql("CREATE TABLE g.db.incr (id BIGINT, v STRING) USING manifest")
+    spark.sql("INSERT INTO g.db.incr SELECT id, 'b1' FROM range(10)")        // v1
+    spark.sql("INSERT INTO g.db.incr SELECT id + 100, 'b2' FROM range(5)")   // v2
+    spark.sql("INSERT INTO g.db.incr SELECT id + 200, 'b3' FROM range(3)")   // v3
+    def incr(opts: (String, String)*) = {
+      var r = spark.read
+      opts.foreach { case (k, v) => r = r.option(k, v) }
+      r.table("g.db.incr")
+    }
+    // since v1: batches 2+3 only
+    assert(incr("start_version" -> "1").select("v").distinct().collect()
+      .map(_.getString(0)).toSet === Set("b2", "b3"))
+    assert(incr("start_version" -> "1").count() === 8L)
+    // bounded window (v1, v2]: batch 2 only
+    assert(incr("start_version" -> "1", "end_version" -> "2")
+      .agg(org.apache.spark.sql.functions.sum("id")).head().getLong(0) ===
+      (0 until 5).map(_ + 100).sum.toLong)
+    // cursor at head: empty, with the declared schema
+    val empty = incr("start_version" -> "3")
+    assert(empty.schema.map(_.name) === Seq("id", "v") && empty.count() === 0L)
+    // a DML rewrite's output files surface as changes (upsert contract)
+    spark.sql("UPDATE g.db.incr SET v = 'patched' WHERE id = 0")             // v4
+    val since3 = incr("start_version" -> "3").select("v").distinct().collect()
+      .map(_.getString(0)).toSet
+    assert(since3.contains("patched") && !since3.contains("b2"),
+      s"rewrite must resurface only the rewritten file's rows: $since3")
+    // errors: unknown versions and combining with time travel
+    val e = intercept[Exception] { incr("start_version" -> "99").count() }
+    assert(e.getMessage.contains("not committed"))
+  }
+
   test("DROP, RENAME, and error contracts") {
     ensureDb()
     spark.sql("CREATE TABLE g.db.tmp (id BIGINT) USING manifest")
