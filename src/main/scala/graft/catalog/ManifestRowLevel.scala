@@ -180,7 +180,8 @@ class ManifestRowLevelScan(op: ManifestRowLevelOperation, dir: String,
   * parquet scan. */
 class ManifestScanBuilder(tbl: ParquetTable,
                           options: CaseInsensitiveStringMap,
-                          bucketing: Option[GraftCatalog.Bucketing] = None)
+                          bucketing: Option[GraftCatalog.Bucketing] = None,
+                          streamSource: Option[(String, StructType)] = None)
     extends ScanBuilder
     with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
     with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
@@ -226,7 +227,13 @@ class ManifestScanBuilder(tbl: ParquetTable,
               "spark.sql.sources.v2.bucketing.enabled", "false") == "true" &&
             parquet.readDataSchema.fieldNames.contains(b.col) =>
         BucketedManifestScan(parquet, b)
-      case _ => parquet
+      case _ => streamSource match {
+        // the plain scan doubles as the streaming source (offset =
+        // manifest version); batch behavior is forwarded untouched
+        case Some((dir, declared)) if !aggPushed =>
+          ManifestStreamScan(parquet, dir, declared)
+        case _ => parquet
+      }
     }
   }
 }

@@ -51,6 +51,7 @@ class ManifestSparkTable(dir: String, declared: StructType,
       .toArray
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
       TableCapability.STREAMING_WRITE)
 
@@ -106,7 +107,10 @@ class ManifestSparkTable(dir: String, declared: StructType,
       ParquetTable(name(), SparkSession.active, options, paths,
         userSpecifiedSchema = Some(declared),
         fallbackFileFormat = classOf[ParquetFileFormat]),
-      options, bucketing.filter(_ => ManifestSparkTable.fullyBucketed(paths, bucketing)))
+      options, bucketing.filter(_ => ManifestSparkTable.fullyBucketed(paths, bucketing)),
+      // the plain scan doubles as a micro-batch streaming source (offset =
+      // manifest version); a time-travel view is a frozen snapshot, not a log
+      streamSource = if (asOf.isEmpty) Some((dir, declared)) else None)
   }
 
   // ---- row-level DML ----

@@ -1,0 +1,101 @@
+package graft.catalog
+
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory, Scan, Statistics, SupportsReportStatistics}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.execution.datasources.v2.parquet.{ParquetScan, ParquetTable}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.core.ManifestTable
+
+/** The plain manifest scan, upgraded to a STREAMING SOURCE
+  * (`spark.readStream.table("cat.db.t")`): batch reading delegates
+  * wholesale to the built-in [[ParquetScan]] (pushdown, pruning,
+  * vectorization untouched — this wrapper only forwards), and
+  * `toMicroBatchStream` serves the table as a micro-batch stream whose
+  * OFFSET IS THE MANIFEST VERSION.
+  *
+  * The manifest is already a log: each committed version names exactly
+  * the files it added, so batch N..M is the file diff `manifest(M) \
+  * manifest(N)` — no side metadata log, no listing races (a version is
+  * visible atomically or not at all), and exactly-once replay for free:
+  * Spark checkpoints the version offset, and the diff for a replayed
+  * (start, end] is deterministic. Together with
+  * [[ManifestStreamingWrite]] (each epoch = one committed version) a
+  * manifest table is a full streaming hub: streams write versions in,
+  * streams read versions out, batch SQL and time travel see the same
+  * snapshots. Same upsert caveat as the `start_version` batch option:
+  * file-granularity rewrites (DML/compaction) resurface rewritten rows;
+  * vacuuming past a checkpointed offset fails the stream loudly. */
+case class ManifestStreamScan(inner: ParquetScan, dir: String,
+                              declared: StructType)
+    extends Scan with SupportsReportStatistics
+    with org.apache.spark.sql.internal.connector.SupportsMetadata {
+
+  override def readSchema(): StructType = inner.readSchema()
+  override def toBatch: org.apache.spark.sql.connector.read.Batch = inner.toBatch
+  override def description(): String = inner.description()
+  override def estimateStatistics(): Statistics = inner.estimateStatistics()
+  // EXPLAIN metadata (PushedFilters/ReadSchema lines) stays the parquet scan's
+  override def getMetaData(): Map[String, String] = inner.getMetaData()
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new ManifestMicroBatchStream(dir, declared, inner.readDataSchema)
+}
+
+/** Offset = committed manifest version (0 = before the first commit). */
+case class ManifestVersionOffset(v: Long) extends Offset {
+  override def json(): String = v.toString
+}
+
+class ManifestMicroBatchStream(dir: String, declared: StructType,
+                               prunedSchema: StructType) extends MicroBatchStream {
+
+  override def initialOffset(): Offset = ManifestVersionOffset(0L)
+  override def latestOffset(): Offset =
+    ManifestVersionOffset(ManifestTable.currentVersion(dir).getOrElse(0L))
+  override def deserializeOffset(json: String): Offset =
+    ManifestVersionOffset(json.toLong)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  private def filesOf(v: Long): Set[String] =
+    if (v <= 0L) Set.empty
+    else {
+      require(ManifestTable.allVersions(dir).contains(v),
+        s"stream offset $v is not committed under $dir — vacuumed past the checkpoint?")
+      ManifestTable.manifest(dir, v).toSet
+    }
+
+  /** A per-batch parquet scan over exactly the files the version window
+    * added, pruned to the streaming query's required columns. Filters are
+    * not re-pushed per batch (Spark re-applies every predicate above the
+    * scan, so this costs I/O on filtered streams, never correctness). */
+  private def batchScan(paths: Seq[String]): ParquetScan = {
+    val spark = SparkSession.active
+    val builder = ParquetTable(s"manifest_stream($dir)", spark,
+        CaseInsensitiveStringMap.empty(), paths,
+        userSpecifiedSchema = Some(declared),
+        fallbackFileFormat = classOf[ParquetFileFormat])
+      .newScanBuilder(CaseInsensitiveStringMap.empty())
+    builder.pruneColumns(prunedSchema)
+    builder.build().asInstanceOf[ParquetScan]
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val from = start.asInstanceOf[ManifestVersionOffset].v
+    val to = end.asInstanceOf[ManifestVersionOffset].v
+    if (to <= from) return Array.empty
+    val added = (filesOf(to) -- filesOf(from)).toSeq.sorted.map(f => s"$dir/$f")
+    if (added.isEmpty) return Array.empty
+    batchScan(added).toBatch.planInputPartitions()
+  }
+
+  /** One factory for the stream: parquet's reader factory is
+    * file-agnostic (it reads whatever FilePartition it is handed), so a
+    * factory built against an empty file list serves every batch. */
+  override def createReaderFactory(): PartitionReaderFactory =
+    batchScan(Seq.empty).toBatch.createReaderFactory()
+}

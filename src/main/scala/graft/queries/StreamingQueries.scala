@@ -283,6 +283,36 @@ object StreamingQueries extends QueryModule {
     //     one committed, time-travelable manifest version with
     //     exactly-once epoch pools; batch SQL aggregates the result
     //     through the same named table ---
+    // --- streaming FROM a catalog manifest table (catalog/
+    //     ManifestStreamSource): the offset is the manifest VERSION, each
+    //     micro-batch is the version window's file diff — the table written
+    //     by batch SQL doubles as a replayable stream source. Two inserts
+    //     land as separate versions; the stream drains both into a memory
+    //     sink and the aggregate goes through the oracle ---
+    "qs15_stream_from_table" -> { (s, d) =>
+      if (s.conf.getOption("spark.sql.catalog.graft_cat").isEmpty)
+        graft.catalog.GraftCatalog.register(s, "graft_cat",
+          graft.core.TempDirs.create("graft_cat_root_"))
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.db")
+      s.sql("DROP TABLE IF EXISTS graft_cat.db.feed")
+      graft.core.Tables.documents(s, d).createOrReplaceTempView("qs15_documents")
+      s.sql("CREATE TABLE graft_cat.db.feed " +
+        "(doc_id BIGINT, lang STRING, n_chars BIGINT) USING manifest")
+      s.sql("INSERT INTO graft_cat.db.feed SELECT doc_id, lang, n_chars " +
+        "FROM qs15_documents WHERE doc_id % 2 = 0")                      // v1
+      s.sql("INSERT INTO graft_cat.db.feed SELECT doc_id, lang, n_chars " +
+        "FROM qs15_documents WHERE doc_id % 2 = 1")                      // v2
+      val ckpt = graft.core.TempDirs.create("graft_qs15_ck_")
+      withStreamShuffle(s) {
+        val q = s.readStream.table("graft_cat.db.feed")
+          .writeStream.option("checkpointLocation", ckpt)
+          .format("memory").queryName("qs15_sink").outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      s.sql("""SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars
+        FROM qs15_sink GROUP BY lang ORDER BY lang""")
+    },
+
     "qs14_stream_to_table" -> { (s, d) =>
       if (s.conf.getOption("spark.sql.catalog.graft_cat").isEmpty)
         graft.catalog.GraftCatalog.register(s, "graft_cat",
@@ -420,6 +450,11 @@ object StreamingQueries extends QueryModule {
     "qs14_stream_to_table" ->
       """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value
          FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "qs15_stream_from_table" ->
+      """SELECT lang, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+         FROM documents GROUP BY lang ORDER BY lang""",
 
     "qs06_stream_stream_join" ->
       """WITH p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS p_ts
