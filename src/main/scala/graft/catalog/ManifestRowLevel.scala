@@ -229,9 +229,12 @@ class ManifestScanBuilder(tbl: ParquetTable,
         BucketedManifestScan(parquet, b)
       case _ => streamSource match {
         // the plain scan doubles as the streaming source (offset =
-        // manifest version); batch behavior is forwarded untouched
+        // manifest version); batch behavior is forwarded untouched.
+        // start_version seeds a FRESH stream's initial offset (the batch
+        // path reads the same option as a bounded incremental scan)
         case Some((dir, declared)) if !aggPushed =>
-          ManifestStreamScan(parquet, dir, declared)
+          ManifestStreamScan(parquet, dir, declared,
+            Option(options.get("start_version")).map(_.toLong).getOrElse(0L))
         case _ => parquet
       }
     }

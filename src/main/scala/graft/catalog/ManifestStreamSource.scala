@@ -30,7 +30,8 @@ import graft.core.ManifestTable
   * file-granularity rewrites (DML/compaction) resurface rewritten rows;
   * vacuuming past a checkpointed offset fails the stream loudly. */
 case class ManifestStreamScan(inner: ParquetScan, dir: String,
-                              declared: StructType)
+                              declared: StructType,
+                              startVersion: Long = 0L)
     extends Scan with SupportsReportStatistics
     with org.apache.spark.sql.internal.connector.SupportsMetadata {
 
@@ -42,7 +43,7 @@ case class ManifestStreamScan(inner: ParquetScan, dir: String,
   override def getMetaData(): Map[String, String] = inner.getMetaData()
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new ManifestMicroBatchStream(dir, declared, inner.readDataSchema)
+    new ManifestMicroBatchStream(dir, declared, inner.readDataSchema, startVersion)
 }
 
 /** Offset = committed manifest version (0 = before the first commit). */
@@ -51,9 +52,13 @@ case class ManifestVersionOffset(v: Long) extends Offset {
 }
 
 class ManifestMicroBatchStream(dir: String, declared: StructType,
-                               prunedSchema: StructType) extends MicroBatchStream {
+                               prunedSchema: StructType,
+                               startVersion: Long = 0L) extends MicroBatchStream {
 
-  override def initialOffset(): Offset = ManifestVersionOffset(0L)
+  /** A fresh stream begins after `start_version` (default 0 = the whole
+    * table) — the streaming twin of the batch CDC option; a checkpointed
+    * stream always resumes from its own offset instead. */
+  override def initialOffset(): Offset = ManifestVersionOffset(startVersion)
   override def latestOffset(): Offset =
     ManifestVersionOffset(ManifestTable.currentVersion(dir).getOrElse(0L))
   override def deserializeOffset(json: String): Offset =

@@ -240,6 +240,39 @@ object TextQueries extends QueryModule {
     //     split (qt07 buckets) -> per-split doc/token totals. Every stage
     //     is the scale-shaped operator the standalone queries use; the
     //     DuckDB oracle replays the whole chain ---
+    // --- the LAKEHOUSE incremental pipeline: every stage through the
+    //     catalog surface. Corpus lands as table v1; the LSH index is
+    //     built from the table and persisted via ATOMIC CTAS
+    //     (writeTo.create); the delta batch arrives as v2; the consumer
+    //     reads ONLY the delta through the CDC option and probes the
+    //     STORED index — the corpus is never re-tokenized (qd09's plan
+    //     proof) and nothing already processed is re-read (qc26's
+    //     contract). What a production training-data ingest loop runs
+    //     every batch, end-to-end ---
+    "qp03_lakehouse_pipeline" -> { (s, d) =>
+      if (s.conf.getOption("spark.sql.catalog.graft_cat").isEmpty)
+        graft.catalog.GraftCatalog.register(s, "graft_cat",
+          graft.core.TempDirs.create("graft_cat_root_"))
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.db")
+      s.sql("DROP TABLE IF EXISTS graft_cat.db.pipe_docs")
+      s.sql("DROP TABLE IF EXISTS graft_cat.db.pipe_index")
+      Tables.documents(s, d).createOrReplaceTempView("qp03_documents")
+      s.sql("CREATE TABLE graft_cat.db.pipe_docs " +
+        "(doc_id BIGINT, text STRING) USING manifest")
+      s.sql("INSERT INTO graft_cat.db.pipe_docs SELECT doc_id, text " +
+        "FROM qp03_documents WHERE doc_id % 7 != 6")                    // v1: corpus
+      Dedup.lshIndex(s.table("graft_cat.db.pipe_docs"), "doc_id", "text", n = 3)
+        .writeTo("graft_cat.db.pipe_index").create()                    // atomic CTAS
+      s.sql("INSERT INTO graft_cat.db.pipe_docs SELECT doc_id, text " +
+        "FROM qp03_documents WHERE doc_id % 7 = 6")                     // v2: delta
+      val corpus = s.sql("SELECT * FROM graft_cat.db.pipe_docs VERSION AS OF 1")
+      val delta = s.read.option("start_version", "1").table("graft_cat.db.pipe_docs")
+      Dedup.minhashLshPairsAgainstIndex(corpus,
+          s.table("graft_cat.db.pipe_index"), delta,
+          "doc_id", "text", n = 3, threshold = 0.8)
+        .orderBy("corpus_id", "delta_id")
+    },
+
     "qp01_training_pipeline" -> { (s, d) =>
       val docs = Tables.documents(s, d)
       // 1. exact dedup on content fingerprint
@@ -658,6 +691,20 @@ object TextQueries extends QueryModule {
       s"""WITH $shingleCte,
          co AS (SELECT doc_id, s FROM sh WHERE doc_id % 4 != 3),
          de AS (SELECT doc_id, s FROM sh WHERE doc_id % 4 = 3),
+         xp AS (SELECT co.doc_id AS corpus_id, de.doc_id AS delta_id,
+                  count(*) AS inter
+                FROM co JOIN de ON co.s = de.s GROUP BY 1, 2)
+         SELECT corpus_id, delta_id,
+           round(inter*1.0/(s1.n_sh + s2.n_sh - inter), 4) AS jaccard
+         FROM xp p JOIN sizes s1 ON p.corpus_id = s1.doc_id
+                   JOIN sizes s2 ON p.delta_id = s2.doc_id
+         WHERE inter*1.0/(s1.n_sh + s2.n_sh - inter) >= 0.8
+         ORDER BY corpus_id, delta_id""",
+
+    "qp03_lakehouse_pipeline" ->
+      s"""WITH $shingleCte,
+         co AS (SELECT doc_id, s FROM sh WHERE doc_id % 7 != 6),
+         de AS (SELECT doc_id, s FROM sh WHERE doc_id % 7 = 6),
          xp AS (SELECT co.doc_id AS corpus_id, de.doc_id AS delta_id,
                   count(*) AS inter
                 FROM co JOIN de ON co.s = de.s GROUP BY 1, 2)

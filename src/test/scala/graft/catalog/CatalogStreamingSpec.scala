@@ -157,6 +157,22 @@ class CatalogStreamingSpec extends AnyFunSuite {
       ((0 until 5) ++ (10 until 13)).sum.toLong)
   }
 
+  test("a fresh stream with start_version skips history before the cursor") {
+    ensureDb()
+    spark.sql("CREATE TABLE gs.db.src3 (id BIGINT) USING manifest")
+    spark.sql("INSERT INTO gs.db.src3 SELECT id FROM range(7)")          // v1
+    spark.sql("INSERT INTO gs.db.src3 SELECT id + 50 FROM range(2)")     // v2
+    val ckpt = Files.createTempDirectory("graft_cstream_ck7_").toString
+    val q = spark.readStream.option("start_version", "1").table("gs.db.src3")
+      .writeStream.option("checkpointLocation", ckpt)
+      .format("memory").queryName("src3_out").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val ids = spark.sql("SELECT id FROM src3_out ORDER BY id").collect().map(_.getLong(0))
+      assert(ids.toSeq === Seq(50L, 51L), s"must begin after v1, got ${ids.toSeq}")
+    } finally q.stop()
+  }
+
   test("round trip: one manifest table as sink then source of two streams") {
     ensureDb()
     import spark.implicits._
