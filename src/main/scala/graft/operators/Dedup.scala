@@ -537,4 +537,43 @@ object Dedup {
       .agg(countDistinct(col("s")).as("n_shared_shingles"),
         countDistinct(col("eval_id")).as("n_eval_docs"))
   }
+
+  /** BLOOM-FILTER decontamination — the shape for when the eval corpus is
+    * too large to join raw shingles but its filter fits in memory: build
+    * the filter as the DISTINCT SET of the eval shingles' k bit positions
+    * (at most `numBits` rows — the filter's information content, however
+    * many shingles fed it), broadcast it, and flag a train shingle iff ALL
+    * k of its positions are set (classic Bloom semantics: no false
+    * negatives, false-positive rate (set/m)^k, and the FPs are a
+    * DETERMINISTIC function of the hash family, not noise).
+    *
+    * Positions are md5 slices mod numBits ([[CountMin]]'s replayable
+    * family), so the DuckDB oracle rebuilds the identical filter and the
+    * gate checks the output — false positives included — bit-exactly.
+    * Output: (doc_id, n_flagged_shingles) per train doc with >= 1 flagged
+    * shingle. */
+  def bloomDecontaminate(train: DataFrame, eval: DataFrame, idCol: String,
+                         textCol: String, n: Int,
+                         numBits: Int = 1 << 16,
+                         numHashes: Int = 2): DataFrame = {
+    require(numHashes >= 1 && numHashes <= 4,
+      "md5 yields 4 disjoint 32-bit slices; numHashes must be in [1,4]")
+    def positions(sh: DataFrame): DataFrame =
+      sh.select(col("doc_id"), col("s"),
+        explode(array((0 until numHashes).map(i =>
+          conv(substring(md5(col("s")), 1 + 8 * i, 8), 16, 10)
+            .cast("long") % numBits): _*)).as("pos"))
+    val bits = positions(shingleSet(eval, idCol, textCol, n))
+      .select("pos").distinct()
+    // a shingle's k positions can collide with each other; Bloom checks
+    // membership of the position SET. One pass: mark each position via a
+    // broadcast left join, flag when every distinct position matched.
+    positions(shingleSet(train, idCol, textCol, n)).distinct()
+      .join(broadcast(bits.withColumn("_hit", lit(1))), Seq("pos"), "left")
+      .groupBy("doc_id", "s")
+      .agg(count(lit(1)).as("n_pos"), count(col("_hit")).as("n_set"))
+      .filter(col("n_set") === col("n_pos")) // all k bits set -> flagged
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_flagged_shingles"))
+  }
 }

@@ -398,6 +398,20 @@ object TextQueries extends QueryModule {
         .orderBy("doc_id")
     },
 
+    // --- Bloom-filter decontamination: the eval shingle set compressed to
+    //     its distinct bit positions (broadcastable however big eval is),
+    //     train shingles flagged iff all k bits set — no false negatives,
+    //     deterministic false positives the oracle reproduces (md5-slice
+    //     positions, same replayable family as q61/qd04) ---
+    "qd10_bloom_decontaminate" -> { (s, d) =>
+      val nib = substring(md5(col("doc_id").cast("string")), 32, 1)
+      val docs = Tables.documents(s, d).withColumn("is_eval", nib.isin("e", "f"))
+      Dedup.bloomDecontaminate(
+          docs.filter(!col("is_eval")), docs.filter(col("is_eval")),
+          "doc_id", "text", n = 3)
+        .orderBy("doc_id")
+    },
+
     // --- embedding-cosine near-dup pairs, banded-sign-LSH blocked: the
     //     pair join is an equi-join on (band, bucket) — 4 bands x 4
     //     SEEDED pseudo-Gaussian hyperplanes (data-independent; the oracle
@@ -744,6 +758,30 @@ object TextQueries extends QueryModule {
          FROM sh tr JOIN sh ev ON tr.s = ev.s
          WHERE NOT tr.is_eval AND ev.is_eval
          GROUP BY tr.doc_id ORDER BY tr.doc_id""",
+
+    "qd10_bloom_decontaminate" ->
+      """WITH sp AS (SELECT doc_id, text,
+             substr(md5(CAST(doc_id AS VARCHAR)), 32, 1) IN ('e','f') AS is_eval
+           FROM documents),
+         toks AS (SELECT doc_id, is_eval, string_split(text,' ') AS t FROM sp),
+         sh AS (SELECT DISTINCT doc_id, is_eval,
+             unnest(list_transform(generate_series(1, len(t)-2),
+                    i -> t[i]||' '||t[i+1]||' '||t[i+2])) AS s
+           FROM toks WHERE len(t) >= 3),
+         hk AS (SELECT unnest([0, 1]) AS i),
+         bits AS (SELECT DISTINCT
+             CAST('0x' || substr(md5(s), 1 + 8 * hk.i, 8) AS BIGINT) % 65536 AS pos
+           FROM sh, hk WHERE is_eval),
+         tp AS (SELECT DISTINCT doc_id, s,
+             CAST('0x' || substr(md5(s), 1 + 8 * hk.i, 8) AS BIGINT) % 65536 AS pos
+           FROM sh, hk WHERE NOT is_eval),
+         flags AS (SELECT tp.doc_id, tp.s,
+             count(*) AS n_pos, count(bits.pos) AS n_set
+           FROM tp LEFT JOIN bits ON tp.pos = bits.pos
+           GROUP BY 1, 2)
+         SELECT doc_id, count(*) AS n_flagged_shingles
+         FROM flags WHERE n_set = n_pos
+         GROUP BY doc_id ORDER BY doc_id""",
 
     "qd05_dedup_embedding" ->
       s"""WITH ${VectorQueries.seededPlanesCte(numPlanes = 16, dim = 64)},

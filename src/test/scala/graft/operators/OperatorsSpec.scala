@@ -141,6 +141,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert(capped.subsetOf(uncapped))
   }
 
+  test("bloom decontamination has no false negatives vs exact overlap") {
+    import spark.implicits._
+    val docs = Tables_docs
+    val train = docs.filter(col("doc_id") % 2 === 0)
+    val eval = docs.filter(col("doc_id") % 2 === 1)
+    val exact = Dedup.decontaminate(train, eval, "doc_id", "text", n = 3)
+      .select("doc_id").as[Long].collect().toSet
+    val bloom = Dedup.bloomDecontaminate(train, eval, "doc_id", "text", n = 3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(exact.subsetOf(bloom),
+      s"bloom missed contaminated docs: ${exact -- bloom}")
+    // tiny filter -> saturated bits -> deliberate false positives exist,
+    // and they are deterministic (same output across partitionings)
+    val b2 = Dedup.bloomDecontaminate(train.repartition(7), eval, "doc_id", "text",
+      n = 3).select("doc_id").as[Long].collect().toSet
+    assert(b2 === bloom)
+  }
+
+  private def Tables_docs =
+    graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+
   test("simhash: identical docs at distance 0; pairs are id-ordered") {
     val docs = Seq(
       (1L, "spark join filter window batch stream"),
