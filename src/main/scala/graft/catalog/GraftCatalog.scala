@@ -379,14 +379,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       GraftProcedures.names.map(Identifier.of(namespace, _)).toArray
     else Array.empty
 
-  /** The data dir (and bucketing, if clustered) of a MANIFEST table —
+  /** The provider, data dir, and bucketing (if clustered) of a table —
     * what the maintenance procedures operate on. */
-  private[catalog] def manifestDataDir(ident: Identifier): (String, Option[GraftCatalog.Bucketing]) = {
+  private[catalog] def procedureTarget(ident: Identifier): (String, String, Option[GraftCatalog.Bucketing]) = {
     val dir = tableDir(ident)
     val meta = readMeta(dir).getOrElse(throw new NoSuchTableException(ident))
-    require(meta.provider == "manifest",
-      s"${ident.name()}: maintenance procedures apply to manifest tables only")
-    (meta.location.getOrElse(dir), meta.bucket)
+    (meta.provider, meta.location.getOrElse(dir), meta.bucket)
   }
 
   // ---- namespaces ----

@@ -52,12 +52,20 @@ private[catalog] object GraftProcedures {
   val names: Seq[String] = Seq("compact", "vacuum", "rollback")
 
   /** Resolve a procedure's `'db.t'` argument against the catalog. */
-  private def target(catalog: GraftCatalog, table: String): (String, Option[GraftCatalog.Bucketing]) = {
+  private def target(catalog: GraftCatalog, table: String): (String, String, Option[GraftCatalog.Bucketing]) = {
     val parts = table.split("\\.")
     require(parts.length <= 2 && parts.forall(_.nonEmpty),
       s"procedure wants a table name like 'db.t' or 't', got '$table'")
-    catalog.manifestDataDir(Identifier.of(parts.dropRight(1), parts.last))
+    catalog.procedureTarget(Identifier.of(parts.dropRight(1), parts.last))
   }
+
+  private def manifestTarget(catalog: GraftCatalog, table: String,
+                             proc: String): (String, Option[GraftCatalog.Bucketing]) =
+    target(catalog, table) match {
+      case ("manifest", dir, bucket) => (dir, bucket)
+      case (other, _, _) => throw new IllegalArgumentException(
+        s"$proc applies to manifest tables only; '$table' is a $other table")
+    }
 
   private def result(schema: StructType, values: Any*): JIterator[Scan] = {
     val row: InternalRow = new GenericInternalRow(values.toArray)
@@ -76,21 +84,24 @@ private[catalog] object GraftProcedures {
   private final class CompactProcedure(catalog: GraftCatalog) extends ManifestProcedure {
     override def name(): String = "compact"
     override def description(): String =
-      "rewrite the current snapshot into ~target_mb files " +
-        "(bucketed tables re-bucket; cluster_by range-sorts the layout)"
+      "rewrite the table into its compact layout (manifest: ~target_mb files, " +
+        "bucketed re-bucket, cluster_by range-sorts; keyedlog: one file per key)"
     override def parameters(): Array[ProcedureParameter] = Array(
       ProcedureParameter.in("table", StringType).build(),
       ProcedureParameter.in("target_mb", IntegerType).defaultValue("128").build(),
       ProcedureParameter.in("cluster_by", StringType).defaultValue("''").build())
     override def call(input: InternalRow): JIterator[Scan] = {
-      val (dir, bucket) = target(catalog, input.getString(0))
+      val (provider, dir, bucket) = target(catalog, input.getString(0))
       val spark = SparkSession.active
       val clusterBy = input.getString(2).split(",").map(_.trim).filter(_.nonEmpty).toSeq
       require(bucket.isEmpty || clusterBy.isEmpty,
         "cluster_by does not apply to bucketed tables — the bucket layout IS the clustering")
-      val (before, after) = bucket match {
-        case Some(b) => ManifestTable.compactBucketed(spark, dir, b.n, b.col)
-        case None =>
+      require(provider == "manifest" || clusterBy.isEmpty,
+        "cluster_by does not apply to keyedlog tables — they compact to key-clustered files")
+      val (before, after) = (provider, bucket) match {
+        case ("keyedlog", _) => graft.core.LakeCompaction.compactKeyedLog(spark, dir)
+        case (_, Some(b))    => ManifestTable.compactBucketed(spark, dir, b.n, b.col)
+        case _ =>
           ManifestTable.compact(spark, dir,
             input.getInt(1).toLong * 1024 * 1024, clusterBy)
       }
@@ -110,7 +121,7 @@ private[catalog] object GraftProcedures {
       ProcedureParameter.in("table", StringType).build(),
       ProcedureParameter.in("keep", IntegerType).defaultValue("2").build())
     override def call(input: InternalRow): JIterator[Scan] = {
-      val (dir, _) = target(catalog, input.getString(0))
+      val (dir, _) = manifestTarget(catalog, input.getString(0), "vacuum")
       val removed = ManifestTable.vacuum(dir, input.getInt(1))
       result(
         StructType(Seq(StructField("pools_removed", IntegerType, nullable = false))),
@@ -126,7 +137,7 @@ private[catalog] object GraftProcedures {
       ProcedureParameter.in("table", StringType).build(),
       ProcedureParameter.in("version", LongType).build())
     override def call(input: InternalRow): JIterator[Scan] = {
-      val (dir, _) = target(catalog, input.getString(0))
+      val (dir, _) = manifestTarget(catalog, input.getString(0), "rollback")
       val restored = input.getLong(1)
       val committed = ManifestTable.rollback(dir, restored)
       result(

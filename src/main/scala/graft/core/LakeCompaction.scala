@@ -52,13 +52,22 @@ object LakeCompaction {
       else df.repartitionByRange(nOut, clusterBy.map(col): _*)
         .sortWithinPartitions(clusterBy.map(col): _*)
     rewritten.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    // Hadoop delete/rename signal failure via booleans, not exceptions —
-    // fail loudly on each step. Rename the old dir ASIDE first (rather than
-    // delete-then-rename): a crash mid-swap then strands nothing — the old
-    // data survives in __gc and the compacted copy in __compacting — and the
-    // directory-absent window for concurrent readers shrinks to the gap
-    // between the two renames.
-    val gc = new org.apache.hadoop.fs.Path(dir + "__gc")
+    swapDirs(fs, path, tmp)
+    val after = fs.listStatus(path).filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    (before.length.toLong, after.length.toLong)
+  }
+
+  /** The rename-aside swap shared by the directory-format compactors.
+    * Hadoop delete/rename signal failure via booleans, not exceptions —
+    * fail loudly on each step. Rename the old dir ASIDE first (rather than
+    * delete-then-rename): a crash mid-swap then strands nothing — the old
+    * data survives in __gc and the compacted copy in the tmp dir — and the
+    * directory-absent window for concurrent readers shrinks to the gap
+    * between the two renames. */
+  private[graft] def swapDirs(fs: org.apache.hadoop.fs.FileSystem,
+                              path: org.apache.hadoop.fs.Path,
+                              tmp: org.apache.hadoop.fs.Path): Unit = {
+    val gc = new org.apache.hadoop.fs.Path(path.toString + "__gc")
     if (fs.exists(gc) && !fs.delete(gc, true))
       throw new IllegalStateException(s"compaction: failed to clear stale $gc")
     if (!fs.rename(path, gc))
@@ -74,7 +83,38 @@ object LakeCompaction {
     }
     if (!fs.delete(gc, true))
       throw new IllegalStateException(s"compaction: swap done but failed to delete $gc")
-    val after = fs.listStatus(path).filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-    (before.length.toLong, after.length.toLong)
+  }
+
+  /** Compact a keyed-log directory: rewrite through the connector's
+    * CLUSTERED write (Spark plans the key shuffle + sort, the sink writes
+    * one file per key — the format's minimal clustered layout, so
+    * storage-partitioned reads and bucket declarations survive), then the
+    * same rename-aside swap as [[compactParquet]]. Like that path — and
+    * unlike [[ManifestTable.compact]], whose versions swap atomically —
+    * a reader can catch the instant between the two renames; keyed-log
+    * dirs are directory formats, not manifest tables. Returns
+    * (filesBefore, filesAfter). */
+  def compactKeyedLog(spark: SparkSession, dir: String): (Long, Long) = {
+    val fs = LakeStorage.openFor(dir)
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val dataFile = (s: org.apache.hadoop.fs.FileStatus) =>
+      s.isFile && !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith(".")
+    val before = fs.listStatus(path).count(dataFile)
+    val tmp = new org.apache.hadoop.fs.Path(dir + "__compacting")
+    if (fs.exists(tmp) && !fs.delete(tmp, true))
+      throw new IllegalStateException(s"compaction: failed to clear stale $tmp")
+    spark.read.format("graft.sources.KeyedLogSource").load(dir)
+      .write.format("graft.sources.KeyedLogSource")
+      .option("clusterByKey", "true").mode(SaveMode.Append).save(tmp.toString)
+    // carry metadata (e.g. the catalog's _graft_table.json descriptor)
+    // into the compacted dir — the swap must replace DATA, not identity
+    fs.listStatus(path).filterNot(dataFile).filter(_.isFile).foreach { s =>
+      if (!fs.rename(s.getPath, new org.apache.hadoop.fs.Path(tmp, s.getPath.getName)))
+        throw new IllegalStateException(
+          s"compaction: failed to carry ${s.getPath.getName} into the compacted dir")
+    }
+    swapDirs(fs, path, tmp)
+    val after = fs.listStatus(path).count(dataFile)
+    (before.toLong, after.toLong)
   }
 }

@@ -128,6 +128,26 @@ class CatalogProcedureSpec extends AnyFunSuite {
     assert(e.getMessage.contains("cluster_by does not apply"))
   }
 
+  test("CALL compact on a keyedlog table rewrites to one clustered file per key") {
+    ensureDb()
+    spark.sql("CREATE TABLE gp.db.kcp (key STRING, seq BIGINT, metric BIGINT) USING keyedlog")
+    // unclustered appends: many small files, none key-tagged
+    (1 to 3).foreach { i =>
+      spark.sql(s"INSERT INTO gp.db.kcp SELECT concat('k', id % 4), id + $i * 100, id FROM range(40)")
+    }
+    val row = spark.sql("CALL gp.system.compact('db.kcp')").head()
+    assert(row.getLong(0) >= 3L)
+    assert(row.getLong(1) === 4L, "compacted layout must hold one file per key")
+    // rows preserved, now key-clustered (files K=-tagged -> SPJ-eligible)
+    assert(spark.sql("SELECT count(*), sum(metric) FROM gp.db.kcp").head().toSeq ===
+      Seq(120L, 3L * (0 until 40).sum))
+    // vacuum/rollback stay manifest-only, with a clear error
+    val e = intercept[Exception] {
+      spark.sql("CALL gp.system.vacuum('db.kcp')").collect()
+    }
+    assert(e.getMessage.contains("manifest tables only"))
+  }
+
   test("t.detail summarizes provider, snapshot, and bucket spec") {
     ensureDb()
     spark.sql("""CREATE TABLE gp.db.det (k STRING, x BIGINT) USING manifest
