@@ -102,6 +102,38 @@ object Similarity {
       .agg(agg(col(vecCol)).as("centroid"))
   }
 
+  /** Lloyd's k-means refinement over an embedding column: each iteration
+    * re-assigns every vector to its nearest centroid (by cosine — the
+    * same broadcast-K cross join + bounded-heap top-1 as [[ivfTopK]]'s
+    * assignment: map-only over the corpus, no corpus shuffle) and
+    * recomputes centroids with the [[VectorMean]] partial aggregate
+    * (map-side combine; the only shuffle moves K x dim partial sums per
+    * partition). Initialization is CALLER-PROVIDED (`init`: cluster,
+    * centroid) and iteration count fixed, so the whole refinement is a
+    * deterministic dataflow both engines replay — no random restarts.
+    * Returns (cluster, n, centroid) for the final iteration; clusters
+    * that lose all members disappear, classic Lloyd. */
+  def kmeans(vecs: DataFrame, idCol: String, vecCol: String, dim: Int,
+             init: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1, "at least one Lloyd iteration")
+    val top1 = udaf(new TopKByScore(1), ExpressionEncoderHelp.scored)
+    val mean = udaf(new VectorMean(dim), ExpressionEncoderHelp.floatArray)
+    var cents = init.select(col("cluster"), col("centroid"))
+    var out: DataFrame = null
+    for (_ <- 0 until iters) {
+      val assigned = vecs.crossJoin(broadcast(cents))
+        .withColumn("c_cos", cosineSimilarity(col(vecCol), col("centroid")))
+        .groupBy(col(idCol))
+        .agg(top1(col("cluster").cast("long"), col("c_cos")).as("top"),
+          first(col(vecCol)).as("_v"))
+        .select(element_at(col("top"), 1).getField("id").as("cluster"), col("_v"))
+      out = assigned.groupBy("cluster")
+        .agg(count(lit(1)).as("n"), mean(col("_v")).as("centroid"))
+      cents = out.select("cluster", "centroid")
+    }
+    out
+  }
+
   /** Deterministic seeded pseudo-Gaussian hyperplanes for sign-LSH,
     * independent of the data distribution (the production property
     * data-derived planes lack: a skewed corpus cannot bias the cuts, and

@@ -82,6 +82,25 @@ object VectorQueries extends QueryModule {
         .orderBy("q_id", "rank")
     },
 
+    // --- k-means (Lloyd) refinement: label centroids as deterministic
+    //     init, 2 re-assign/re-average iterations. Assignment is the
+    //     broadcast-K + bounded-heap top-1 (map-only over the corpus);
+    //     the update shuffles only K x dim partial sums per partition.
+    //     Fixed init + fixed iterations = a deterministic dataflow the
+    //     DuckDB oracle replays in SQL ---
+    "qv05_kmeans" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val init = Similarity.centroids(
+        emb.select(col("label"), col("embedding")), "label", "embedding", dim)
+      Similarity.kmeans(
+          emb.select(col("vec_id"), col("embedding")),
+          "vec_id", "embedding", dim, init, iters = 2)
+        .select(col("cluster"), col("n"),
+          round(graft.functions.VectorFunctions.l2Norm(col("centroid")), 6)
+            .as("centroid_norm"))
+        .orderBy("cluster")
+    },
+
     // --- per-cluster vector stats (centroid norms via the Aggregator) ---
     "qv03_centroid_norms" -> { (s, d) =>
       val emb = Tables.embeddings(s, d)
@@ -162,6 +181,27 @@ object VectorQueries extends QueryModule {
       s"""WITH $centroidCte
           SELECT cluster AS label,
             round(sqrt(list_aggregate(list_transform(centroid, x -> x*x), 'sum')), 6) AS centroid_norm
-          FROM cent ORDER BY label"""
+          FROM cent ORDER BY label""",
+
+    "qv05_kmeans" -> {
+      val meanList = (1 to dim).map(i => s"sum(v[$i])/count(*)").mkString("[", ", ", "]")
+      def assign(cent: String) =
+        s"""SELECT vec_id, v, cluster FROM (
+              SELECT e.vec_id, e.v, c.cluster,
+                row_number() OVER (PARTITION BY e.vec_id
+                  ORDER BY list_cosine_similarity(e.v, c.centroid) DESC, c.cluster) AS rn
+              FROM e CROSS JOIN $cent c) WHERE rn = 1"""
+      s"""WITH $centroidCte,
+          e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          a1 AS (${assign("cent")}),
+          cent1 AS (SELECT cluster, $meanList AS centroid FROM a1 GROUP BY cluster),
+          a2 AS (${assign("cent1")}),
+          cent2 AS (SELECT cluster, count(*) AS n, $meanList AS centroid
+                    FROM a2 GROUP BY cluster)
+          SELECT CAST(cluster AS BIGINT) AS cluster, n,
+            round(sqrt(list_aggregate(list_transform(centroid, x -> x*x), 'sum')), 6)
+              AS centroid_norm
+          FROM cent2 ORDER BY cluster"""
+    }
   )
 }

@@ -141,6 +141,22 @@ class OperatorsSpec extends AnyFunSuite {
     assert(capped.subsetOf(uncapped))
   }
 
+  test("kmeans converges to the true clusters from rough init") {
+    import spark.implicits._
+    // two well-separated clusters in 4-d; init centroids deliberately off
+    val vecs = (
+      (0 until 20).map(i => (i.toLong, Array(10f + i % 3, 10f, 0f, 0f))) ++
+      (20 until 50).map(i => (i.toLong, Array(-10f, -10f - i % 3, 0f, 0f)))
+    ).toDF("id", "vec")
+    val init = Seq(
+      (0L, Array(1.0, 1.0, 0.0, 0.0)),
+      (1L, Array(-1.0, 0.0, 0.0, 0.0))).toDF("cluster", "centroid")
+    val out = Similarity.kmeans(vecs, "id", "vec", dim = 4, init, iters = 3)
+      .select($"cluster", $"n").as[(Long, Long)].collect().toMap
+    assert(out === Map(0L -> 20L, 1L -> 30L),
+      s"k-means must separate the two blobs: $out")
+  }
+
   test("bloom decontamination has no false negatives vs exact overlap") {
     import spark.implicits._
     val docs = Tables_docs
