@@ -254,10 +254,16 @@ class ManifestScanBuilder(tbl: ParquetTable,
 case class BucketedManifestScan(inner: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan,
                                 b: GraftCatalog.Bucketing)
     extends Scan with Batch
-    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
   override def readSchema(): StructType = inner.readSchema()
   override def toBatch: Batch = this
+  // regrouping splits by bucket changes the partitioning, not the size:
+  // keep the parquet scan's statistics (joins against a THIRD, unbucketed
+  // table still want broadcast decisions)
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
+    inner.estimateStatistics()
   override def description(): String =
     s"BucketedManifestScan(bucket(${b.n}, ${b.col}), ${inner.description()})"
 

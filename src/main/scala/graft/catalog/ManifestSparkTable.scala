@@ -45,6 +45,17 @@ class ManifestSparkTable(dir: String, declared: StructType,
   override def name(): String =
     s"manifest($dir${asOf.map(v => s"@v$v").getOrElse("")})"
   override def schema(): StructType = declared
+
+  /** Surfaced by `SHOW TBLPROPERTIES` / `DESCRIBE TABLE EXTENDED`. */
+  override def properties(): java.util.Map[String, String] = {
+    val m = new java.util.HashMap[String, String]()
+    m.put("graft.provider", "manifest")
+    m.put("graft.location", dir)
+    bucketing.foreach(b => m.put("graft.bucketing", s"bucket(${b.n}, ${b.col})"))
+    ManifestTable.currentVersion(dir).foreach(v =>
+      m.put("graft.current-version", v.toString))
+    m
+  }
   override def partitioning(): Array[org.apache.spark.sql.connector.expressions.Transform] =
     bucketing.map(b =>
       org.apache.spark.sql.connector.expressions.Expressions.bucket(b.n, b.col))

@@ -129,6 +129,15 @@ class KeyedLogTable(path: String, bucketN: Option[Int] = None)
     extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"keyed_log($path)"
   override def schema(): StructType = KeyedLogSource.schema
+
+  /** Surfaced by `SHOW TBLPROPERTIES` / `DESCRIBE TABLE EXTENDED`. */
+  override def properties(): java.util.Map[String, String] = {
+    val m = new java.util.HashMap[String, String]()
+    m.put("graft.provider", "keyedlog")
+    m.put("graft.location", path)
+    bucketN.foreach(n => m.put("graft.bucketing", s"bucket($n, key)"))
+    m
+  }
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.MICRO_BATCH_READ, TableCapability.STREAMING_WRITE)

@@ -166,6 +166,19 @@ class CatalogProcedureSpec extends AnyFunSuite {
     assert(k.isNullAt(2) && k.getLong(3) >= 1L && k.isNullAt(6))
   }
 
+  test("SHOW TBLPROPERTIES surfaces provider, location, and bucketing") {
+    ensureDb()
+    spark.sql("""CREATE TABLE gp.db.props (k STRING, x BIGINT) USING manifest
+                 PARTITIONED BY (bucket(4, k))""")
+    spark.sql("INSERT INTO gp.db.props VALUES ('a', 1)")
+    val props = spark.sql("SHOW TBLPROPERTIES gp.db.props").collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(props("graft.provider") === "manifest")
+    assert(props("graft.bucketing") === "bucket(4, k)")
+    assert(props("graft.current-version") === "1")
+    assert(props("graft.location").endsWith("/db/props"))
+  }
+
   test("procedures are discoverable and argument errors are loud") {
     ensureDb()
     val procs = spark.sql("SHOW PROCEDURES IN gp.system").collect().map(_.getString(3))
