@@ -108,6 +108,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           Some(MetadataTables.history(dataDir))
         case "files" if meta.provider == "manifest" =>
           Some(MetadataTables.files(dataDir))
+        case "changes" if meta.provider == "manifest" =>
+          Some(new ManifestChangesTable(dataDir, meta.schema))
         case _ => None
       }
     }

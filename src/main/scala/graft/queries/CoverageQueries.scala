@@ -348,6 +348,33 @@ object CoverageQueries extends QueryModule {
         .orderBy("lang")
     },
 
+    // --- full CDC (catalog/ManifestChanges): t.changes with _change_type
+    //     — a copy-on-write UPDATE that touches every file emits the
+    //     whole pre-image as deletes and the post-image as inserts (the
+    //     delete+insert pairing a downstream MERGE consumer applies).
+    //     The update hits all rows so the file-granularity feed is
+    //     deterministic for the oracle ---
+    "qc27_table_changes" -> { (s, d) =>
+      if (s.conf.getOption("spark.sql.catalog.graft_cat").isEmpty)
+        graft.catalog.GraftCatalog.register(s, "graft_cat",
+          graft.core.TempDirs.create("graft_cat_root_"))
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.db")
+      s.sql("DROP TABLE IF EXISTS graft_cat.db.cdc2")
+      Tables.documents(s, d).createOrReplaceTempView("qc27_documents")
+      s.sql("CREATE TABLE graft_cat.db.cdc2 " +
+        "(doc_id BIGINT, lang STRING, n_chars BIGINT) USING manifest")
+      s.sql("INSERT INTO graft_cat.db.cdc2 SELECT doc_id, lang, n_chars " +
+        "FROM qc27_documents WHERE doc_id < 150")                       // v1
+      s.sql("INSERT INTO graft_cat.db.cdc2 SELECT doc_id, lang, n_chars " +
+        "FROM qc27_documents WHERE doc_id >= 150")                      // v2
+      s.sql("UPDATE graft_cat.db.cdc2 SET n_chars = n_chars + 1000 " +
+        "WHERE n_chars >= 0")                                           // v3: every file
+      s.read.option("start_version", "2").table("graft_cat.db.cdc2.changes")
+        .groupBy("_change_type")
+        .agg(count(lit(1)).as("n_rows"), sum("n_chars").as("total_chars"))
+        .orderBy("_change_type")
+    },
+
     // --- metadata tables (catalog/MetadataTables): t.history / t.files
     //     — one row per committed version / per current-snapshot file,
     //     derived purely from commit markers + file status (the DESCRIBE
@@ -720,6 +747,14 @@ object CoverageQueries extends QueryModule {
            max(sm.sample_chars) AS sample_chars
          FROM documents d JOIN sm ON d.lang = sm.lang
          GROUP BY d.lang ORDER BY d.lang""",
+
+    "qc27_table_changes" ->
+      """SELECT 'delete' AS _change_type, count(*) AS n_rows,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars FROM documents
+         UNION ALL
+         SELECT 'insert', count(*),
+           CAST(sum(n_chars) + 1000 * count(*) AS BIGINT) FROM documents
+         ORDER BY _change_type""",
 
     "qc26_incremental_read" ->
       """SELECT lang, count(*) AS n_new,

@@ -221,6 +221,32 @@ class CatalogSpec extends AnyFunSuite {
     assert(e.getMessage.contains("not committed"))
   }
 
+  test("t.changes serves full CDC: appends as inserts, rewrites as delete+insert") {
+    ensureDb()
+    spark.sql("CREATE TABLE g.db.cdcfull (id BIGINT, v BIGINT) USING manifest")
+    spark.sql("INSERT INTO g.db.cdcfull SELECT /*+ REPARTITION(1) */ id, id * 10 FROM range(10)") // v1
+    spark.sql("INSERT INTO g.db.cdcfull SELECT /*+ REPARTITION(1) */ id + 100, 0 FROM range(5)")  // v2
+    def changes(from: Long) = spark.read.option("start_version", from.toString)
+      .table("g.db.cdcfull.changes")
+    // pure append window: inserts only
+    val app = changes(1).collect().map(r => (r.getLong(0), r.getString(2))).toSeq
+    assert(app.forall(_._2 == "insert") && app.map(_._1).sorted === (100L until 105L))
+    // a rewrite emits the affected file's pre-image as deletes + post as inserts
+    spark.sql("UPDATE g.db.cdcfull SET v = v + 1 WHERE id = 3")                                   // v3
+    val rew = changes(2).collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val dels = rew.filter(_._3 == "delete").map(r => (r._1, r._2)).toMap
+    val ins = rew.filter(_._3 == "insert").map(r => (r._1, r._2)).toMap
+    assert(dels.keySet === (0L until 10L).toSet, s"pre-image of v1's file: $dels")
+    assert(dels(3L) === 30L && ins(3L) === 31L, "delete pre-image, insert post-image")
+    assert(ins.keySet === (0L until 10L).toSet)
+    // empty window at head; missing cursor errors
+    assert(changes(3).count() === 0L)
+    val e = intercept[Exception] {
+      spark.read.table("g.db.cdcfull.changes").count()
+    }
+    assert(e.getMessage.contains("start_version"))
+  }
+
   test("DROP, RENAME, and error contracts") {
     ensureDb()
     spark.sql("CREATE TABLE g.db.tmp (id BIGINT) USING manifest")
