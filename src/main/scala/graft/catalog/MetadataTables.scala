@@ -63,6 +63,32 @@ object MetadataTables {
       }
     })
 
+  val PartitionsSchema: StructType = StructType(Seq(
+    StructField("partition", StringType, nullable = false),
+    StructField("n_files", LongType, nullable = false),
+    StructField("total_bytes", LongType, nullable = false)))
+
+  /** `t.partitions`: current-snapshot layout stats — one row per BUCKET
+    * for bucket-clustered tables (`bucket=<id>`; the SPJ planning unit),
+    * one row per data POOL (`pool=<name>`; the commit unit) otherwise.
+    * The skew view an operator checks before sizing a storage-partitioned
+    * join. */
+  def partitions(dir: String, bucket: Option[Int]): Table =
+    new VirtualRowsTable(s"partitions($dir)", PartitionsSchema, () => {
+      val fs = LakeStorage.openFor(dir)
+      val files = ManifestTable.currentVersion(dir).toSeq.flatMap(v =>
+        ManifestTable.manifest(dir, v))
+      def keyOf(f: String): String = bucket match {
+        case Some(_) => ManifestTable.bucketOfFile(f.split("/").last)
+          .map(b => s"bucket=$b").getOrElse("unbucketed")
+        case None => s"pool=${f.split("/", 2).head}"
+      }
+      files.groupBy(keyOf).toSeq.sortBy(_._1).map { case (k, fs2) =>
+        Array[Any](k, fs2.length.toLong,
+          fs2.map(f => fs.getFileStatus(new Path(dir, f)).getLen).sum)
+      }
+    })
+
   val DetailSchema: StructType = StructType(Seq(
     StructField("provider", StringType, nullable = false),
     StructField("location", StringType, nullable = false),

@@ -175,6 +175,27 @@ class BucketedTableSpec extends AnyFunSuite {
     assert(agg.collect().find(_.getString(0) == "k2").get.getLong(1) === expect)
   }
 
+  test("t.partitions reports per-bucket layout stats (pools for plain tables)") {
+    ensureDb()
+    spark.sql("CREATE TABLE gb.db.parts (k STRING, x BIGINT) USING manifest " +
+      "PARTITIONED BY (bucket(4, k))")
+    spark.sql("INSERT INTO gb.db.parts SELECT concat('k', id % 10), id FROM range(200)")
+    val rows = spark.sql("SELECT * FROM gb.db.parts.partitions").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty && rows.forall(_._1.startsWith("bucket=")))
+    assert(rows.map(_._2).sum >= rows.length, "every bucket holds >= 1 file")
+    assert(rows.forall(_._3 > 0L), "bytes from file status")
+    // ten distinct keys hash into at most 4 buckets, all ids valid
+    assert(rows.forall(r => (0 until 4).contains(r._1.stripPrefix("bucket=").toInt)))
+    // plain tables report pools
+    spark.sql("CREATE TABLE gb.db.parts2 (x BIGINT) USING manifest")
+    spark.sql("INSERT INTO gb.db.parts2 VALUES (1)")
+    spark.sql("INSERT INTO gb.db.parts2 VALUES (2)")
+    val pools = spark.sql("SELECT partition FROM gb.db.parts2.partitions").collect()
+      .map(_.getString(0))
+    assert(pools.length === 2 && pools.forall(_.startsWith("pool=d-")))
+  }
+
   test("a non-bucketed append demotes the table to ordinary scans") {
     val s = spj()
     s.sql("CREATE NAMESPACE IF NOT EXISTS gb.db")
