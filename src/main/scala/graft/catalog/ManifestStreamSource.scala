@@ -53,7 +53,8 @@ case class ManifestVersionOffset(v: Long) extends Offset {
 
 class ManifestMicroBatchStream(dir: String, declared: StructType,
                                prunedSchema: StructType,
-                               startVersion: Long = 0L) extends MicroBatchStream {
+                               startVersion: Long = 0L) extends MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
   /** A fresh stream begins after `start_version` (default 0 = the whole
     * table) — the streaming twin of the batch CDC option; a checkpointed
@@ -65,6 +66,20 @@ class ManifestMicroBatchStream(dir: String, declared: StructType,
     ManifestVersionOffset(json.toLong)
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
+
+  // ---- Trigger.AvailableNow (batch-drain): pin the version visible when
+  // the trigger fires, process up to it, stop — commits racing the drain
+  // land in the NEXT run, from the checkpointed offset. ----
+  @volatile private var availableNowCap: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(ManifestTable.currentVersion(dir).getOrElse(0L))
+  override def latestOffset(start: Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset =
+    availableNowCap match {
+      case Some(cap) => ManifestVersionOffset(cap)
+      case None      => latestOffset()
+    }
+  override def reportLatestOffset(): Offset = latestOffset()
 
   private def filesOf(v: Long): Set[String] =
     if (v <= 0L) Set.empty

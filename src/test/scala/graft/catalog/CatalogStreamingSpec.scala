@@ -173,6 +173,28 @@ class CatalogStreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("Trigger.AvailableNow drains the table to its pinned version and stops") {
+    ensureDb()
+    spark.sql("CREATE TABLE gs.db.src4 (id BIGINT) USING manifest")
+    spark.sql("INSERT INTO gs.db.src4 SELECT id FROM range(6)")          // v1
+    spark.sql("INSERT INTO gs.db.src4 SELECT id + 50 FROM range(2)")     // v2
+    val ckpt = Files.createTempDirectory("graft_cstream_ck8_").toString
+    val outDir = Files.createTempDirectory("graft_cstream_out2_").toString
+    def drain(): Unit = {
+      val q = spark.readStream.table("gs.db.src4")
+        .writeStream.option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .format("parquet").option("path", outDir).start()
+      try assert(q.awaitTermination(120000), "AvailableNow query must self-terminate")
+      finally q.stop()
+    }
+    drain() // drains v1+v2, then STOPS on its own
+    assert(spark.read.parquet(outDir).count() === 8L)
+    spark.sql("INSERT INTO gs.db.src4 SELECT id + 90 FROM range(3)")     // v3
+    drain() // second drain picks up exactly the delta
+    assert(spark.read.parquet(outDir).count() === 11L)
+  }
+
   test("round trip: one manifest table as sink then source of two streams") {
     ensureDb()
     import spark.implicits._
