@@ -329,6 +329,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           s"${ident.name()}: no such column $name")
         require(schema.length > 1,
           s"${ident.name()}: cannot drop the last column")
+        // the declared bucket column backs every INSERT/DML re-cluster
+        // (stagePoolBucketed repartitions on it) — dropping it would leave
+        // the table unwritable at runtime
+        require(!meta.bucket.map(_.col).contains(name),
+          s"${ident.name()}: cannot drop bucket column $name — the table is PARTITIONED BY (bucket(n, $name))")
         schema = StructType(schema.filterNot(_.name == name))
       case other => throw new UnsupportedOperationException(
         s"catalog $catalogName supports ALTER TABLE ADD COLUMNS / DROP COLUMN; got $other")

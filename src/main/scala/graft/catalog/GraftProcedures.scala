@@ -29,8 +29,11 @@ import graft.core.ManifestTable
   * reports file counts, vacuum the number of pool directories removed,
   * rollback the restored and newly committed versions. All three commit
   * through the manifest's optimistic loop, so they are safe to run while
-  * writers append (compact rebases concurrent appends in; rollback and
-  * vacuum never delete anything a kept version references).
+  * writers append (compact rebases concurrent appends in; rollback never
+  * deletes anything; vacuum removes only pools of expired committed
+  * versions plus never-committed pools OLDER than an orphan-retention
+  * window — a concurrent writer's freshly staged, not-yet-committed pool
+  * is spared, so its commit cannot be corrupted out from under it).
   *
   * Compacting a bucket-clustered table re-stages through the bucketed
   * pool writer — maintenance never demotes a table out of
@@ -119,10 +122,12 @@ private[catalog] object GraftProcedures {
       "drop commit markers older than the keep most recent and unreferenced data pools"
     override def parameters(): Array[ProcedureParameter] = Array(
       ProcedureParameter.in("table", StringType).build(),
-      ProcedureParameter.in("keep", IntegerType).defaultValue("2").build())
+      ProcedureParameter.in("keep", IntegerType).defaultValue("2").build(),
+      ProcedureParameter.in("orphan_retain_ms", LongType)
+        .defaultValue(ManifestTable.OrphanRetainMs.toString).build())
     override def call(input: InternalRow): JIterator[Scan] = {
       val (dir, _) = manifestTarget(catalog, input.getString(0), "vacuum")
-      val removed = ManifestTable.vacuum(dir, input.getInt(1))
+      val removed = ManifestTable.vacuum(dir, input.getInt(1), input.getLong(2))
       result(
         StructType(Seq(StructField("pools_removed", IntegerType, nullable = false))),
         removed)

@@ -259,8 +259,13 @@ object ManifestSparkTable {
     case sources.Or(l, r) =>
       for (lc <- filterToColumn(l); rc <- filterToColumn(r)) yield lc || rc
     case sources.Not(c) =>
-      // Filter-Not matches when the child does NOT match (child not TRUE)
-      filterToColumn(c).map(cc => not(coalesce(cc, lit(false))))
+      // SQL three-valued NOT: NULL stays NULL. Collapsing NULL to false
+      // here would make `DELETE WHERE a != 5` delete a IS NULL rows on the
+      // metadata fast path while the group-based plan keeps them. The
+      // TRUE-only semantics a DELETE needs are applied once, at the top
+      // level in deleteWhere (affected = cond IS TRUE; survivors =
+      // NOT coalesce(cond, false)), so the translation itself must be pure.
+      filterToColumn(c).map(cc => not(cc))
     case _ => None
   }
 }

@@ -33,14 +33,35 @@ case class ManifestStreamScan(inner: ParquetScan, dir: String,
                               declared: StructType,
                               startVersion: Long = 0L)
     extends Scan with SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
     with org.apache.spark.sql.internal.connector.SupportsMetadata {
 
   override def readSchema(): StructType = inner.readSchema()
-  override def toBatch: org.apache.spark.sql.connector.read.Batch = inner.toBatch
+  override def toBatch: org.apache.spark.sql.connector.read.Batch = runtimeScan.toBatch
   override def description(): String = inner.description()
   override def estimateStatistics(): Statistics = inner.estimateStatistics()
   // EXPLAIN metadata (PushedFilters/ReadSchema lines) stays the parquet scan's
   override def getMetaData(): Map[String, String] = inner.getMetaData()
+
+  // Runtime (dynamic) pruning: after a join's build side executes, Spark
+  // hands the probe-side scan the build keys (e.g. an IN filter) and
+  // re-plans via toBatch. FileScan exposes no runtime-filtering interface
+  // of its own in this Spark version, so the wrapper implements it by
+  // RE-PUSHING the runtime filters into the parquet scan's pushedFilters —
+  // the re-planned read then skips row groups whose min/max statistics
+  // exclude every build key. Join runtime filters are semantically
+  // droppable rows only, so over-pushing is always safe.
+  @volatile private[catalog] var runtimeScan: ParquetScan = inner
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    inner.readDataSchema.fieldNames
+      .map(org.apache.spark.sql.connector.expressions.Expressions.column)
+  override def filter(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    val readable = inner.readDataSchema.fieldNames.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+    val supported = filters.filter(_.references.forall(r =>
+      readable.contains(r.toLowerCase(java.util.Locale.ROOT))))
+    if (supported.nonEmpty)
+      runtimeScan = inner.copy(pushedFilters = inner.pushedFilters ++ supported)
+  }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new ManifestMicroBatchStream(dir, declared, inner.readDataSchema, startVersion)

@@ -79,8 +79,14 @@ object MetadataTables {
       val files = ManifestTable.currentVersion(dir).toSeq.flatMap(v =>
         ManifestTable.manifest(dir, v))
       def keyOf(f: String): String = bucket match {
-        case Some(_) => ManifestTable.bucketOfFile(f.split("/").last)
-          .map(b => s"bucket=$b").getOrElse("unbucketed")
+        // a file counts as a bucket member only when its POOL was written
+        // with this table's bucket count (the fullyBucketed rule) — any
+        // part-<i> name would otherwise parse as a bucket id, misfiling
+        // plain appends / stream epochs on a bucket-declared table
+        case Some(n) if ManifestTable.bucketsOfPool(f.split("/", 2).head).contains(n) =>
+          ManifestTable.bucketOfFile(f.split("/").last)
+            .map(b => s"bucket=$b").getOrElse("unbucketed")
+        case Some(_) => "unbucketed"
         case None => s"pool=${f.split("/", 2).head}"
       }
       files.groupBy(keyOf).toSeq.sortBy(_._1).map { case (k, fs2) =>

@@ -292,13 +292,26 @@ object ManifestTable {
     (snapFiles.length.toLong, compacted.length.toLong)
   }
 
-  /** Delete commit markers older than the `keep` most recent, and any
-    * data-pool directory none of whose files is referenced by a surviving
-    * manifest (covers both expired versions and crashed-writer orphans).
+  /** Retention window for NEVER-COMMITTED data pools. A pool with no
+    * referencing marker is either a crashed writer's garbage or a live
+    * writer's staged-but-not-yet-committed pool — indistinguishable from
+    * the outside. Pools referenced only by EXPIRED markers are provably
+    * dead (a committed pool is never re-staged), so [[vacuum]] removes
+    * those immediately; never-committed pools survive until their
+    * directory is older than this, which is what makes vacuum safe to run
+    * while writers append/compact (their in-flight pools stay fresh). */
+  val OrphanRetainMs: Long = 60L * 60 * 1000
+
+  /** Delete commit markers older than the `keep` most recent, any
+    * data-pool directory referenced only by those expired manifests, and
+    * any never-committed pool (crashed-writer orphan) older than
+    * `orphanRetainMs`. Never-committed pools YOUNGER than the threshold
+    * are left alone — they may be a concurrent writer's staging area,
+    * whose commit would otherwise point at deleted files.
     * `keep >= 2` leaves a grace version for readers that resolved the
     * manifest just before a commit. Returns the number of pool
     * directories removed. */
-  def vacuum(dir: String, keep: Int = 2): Int = {
+  def vacuum(dir: String, keep: Int = 2, orphanRetainMs: Long = OrphanRetainMs): Int = {
     require(keep >= 1, "must keep at least the current version")
     val fs = LakeStorage.openFor(dir)
     val base = new Path(dir)
@@ -307,16 +320,24 @@ object ManifestTable {
     if (committed.isEmpty) return 0
     val kept = committed.takeRight(keep)
     val cutoff = kept.head
-    // pool dirs referenced by any kept manifest (first path segment)
-    val referenced: Set[String] =
+    // pool dirs referenced by any kept / any committed manifest (first
+    // path segment); committed-but-not-kept pools are dead on expiry,
+    // unreferenced-by-any pools get the orphan retention window
+    val referencedKept: Set[String] =
       kept.flatMap(v => manifest(dir, v).map(_.split("/", 2).head)).toSet
+    val referencedAny: Set[String] =
+      committed.flatMap(v => manifest(dir, v).map(_.split("/", 2).head)).toSet
+    val now = System.currentTimeMillis()
     var removed = 0
     fs.listStatus(base).foreach { st =>
       val name = st.getPath.getName
-      if (st.isDirectory && name.startsWith(DataDirPrefix) && !referenced.contains(name)) {
-        if (!fs.delete(st.getPath, true))
-          throw new IllegalStateException(s"vacuum: failed to delete ${st.getPath}")
-        removed += 1
+      if (st.isDirectory && name.startsWith(DataDirPrefix) && !referencedKept.contains(name)) {
+        val expiredCommitted = referencedAny.contains(name)
+        if (expiredCommitted || now - st.getModificationTime > orphanRetainMs) {
+          if (!fs.delete(st.getPath, true))
+            throw new IllegalStateException(s"vacuum: failed to delete ${st.getPath}")
+          removed += 1
+        }
       } else parseSuffix(name, MarkerPrefix).foreach { v =>
         if (v < cutoff) { fs.delete(st.getPath, false); () }
       }

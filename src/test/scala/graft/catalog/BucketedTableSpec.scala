@@ -196,6 +196,39 @@ class BucketedTableSpec extends AnyFunSuite {
     assert(pools.length === 2 && pools.forall(_.startsWith("pool=d-")))
   }
 
+  test("t.partitions files files from PLAIN pools as unbucketed on a bucket-declared table") {
+    ensureDb()
+    spark.sql("CREATE TABLE gb.db.parts3 (k STRING, x BIGINT) USING manifest " +
+      "PARTITIONED BY (bucket(4, k))")
+    spark.sql("INSERT INTO gb.db.parts3 SELECT concat('k', id % 10), id FROM range(100)")
+    // an out-of-band plain append: its part-<i> file names would PARSE as
+    // bucket ids but carry no bucket placement — they must report as
+    // unbucketed, not as bucket=<task-partition-id>
+    import spark.implicits._
+    ManifestTable.append(
+      Seq(("k0", 1L), ("k1", 2L)).toDF("k", "x").repartition(2), s"$root/db/parts3")
+    val rows = spark.sql("SELECT partition, n_files FROM gb.db.parts3.partitions")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val unbucketed = rows.filter(_._1 == "unbucketed")
+    assert(unbucketed.map(_._2).sum === 2L,
+      s"plain-pool files must report as unbucketed, got: ${rows.mkString(", ")}")
+    assert(rows.filter(_._1.startsWith("bucket=")).map(_._2).sum >= 4L)
+  }
+
+  test("ALTER TABLE DROP COLUMN rejects the declared bucket column") {
+    ensureDb()
+    spark.sql("CREATE TABLE gb.db.dropb (k STRING, x BIGINT, y BIGINT) USING manifest " +
+      "PARTITIONED BY (bucket(4, k))")
+    spark.sql("INSERT INTO gb.db.dropb VALUES ('a', 1, 10)")
+    val e = intercept[Exception](spark.sql("ALTER TABLE gb.db.dropb DROP COLUMN k"))
+    assert(e.getMessage.contains("bucket column"),
+      s"dropping the bucket column must fail loudly, got: ${e.getMessage}")
+    // a non-bucket column still drops fine, and the table stays writable
+    spark.sql("ALTER TABLE gb.db.dropb DROP COLUMN y")
+    spark.sql("INSERT INTO gb.db.dropb VALUES ('b', 2)")
+    assert(spark.sql("SELECT count(*) FROM gb.db.dropb").head().getLong(0) === 2L)
+  }
+
   test("a non-bucketed append demotes the table to ordinary scans") {
     val s = spj()
     s.sql("CREATE NAMESPACE IF NOT EXISTS gb.db")

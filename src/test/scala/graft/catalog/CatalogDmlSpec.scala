@@ -65,6 +65,25 @@ class CatalogDmlSpec extends AnyFunSuite {
     assert(!pool1.subsetOf(after), "affected files must be replaced")
   }
 
+  test("fast-path DELETE with != over a column containing NULLs keeps the NULL rows") {
+    ensureDb()
+    spark.sql("CREATE TABLE gd.db.del_null (id BIGINT, a BIGINT) USING manifest")
+    spark.sql("INSERT INTO gd.db.del_null VALUES (1, 5), (2, 7), (3, NULL), (4, NULL)")
+    // Catalyst pushes a != 5 as Not(EqualTo(a, 5)); SQL three-valued logic
+    // says a IS NULL rows are NOT matched (condition is NULL, not TRUE),
+    // so they must SURVIVE — on the metadata fast path exactly as on the
+    // group-based plan
+    val sql = "DELETE FROM gd.db.del_null WHERE a != 5"
+    val explained = spark.sql(s"EXPLAIN $sql").head().getString(0)
+    assert(explained.contains("DeleteFromTable") && !explained.contains("ReplaceData"),
+      s"Not(EqualTo) should stay on the metadata fast path:\n$explained")
+    spark.sql(sql) // deletes only id=2 (a=7); id=1 (a=5) and the NULLs stay
+    val left = spark.sql("SELECT id FROM gd.db.del_null ORDER BY id")
+      .collect().map(_.getLong(0))
+    assert(left === Array(1L, 3L, 4L),
+      "a != 5 must not delete a IS NULL rows (three-valued NOT)")
+  }
+
   test("DELETE with a non-translatable predicate (group-based plan) is exact") {
     val (_, before) = threePoolTable("del_group")
     // length(v) is not a source filter -> group-based ReplaceData path

@@ -61,6 +61,34 @@ class CatalogSpec extends AnyFunSuite {
     assert(df.collect().map(_.getLong(0)).toSeq === Seq(7L))
   }
 
+  test("manifest scans accept runtime join filters (re-pushed into parquet pushdown)") {
+    ensureDb()
+    spark.sql("CREATE TABLE g.db.rtf (id BIGINT, v STRING) USING manifest")
+    spark.sql("INSERT INTO g.db.rtf SELECT id, CAST(id AS STRING) FROM range(100)")
+    val scan = spark.table("g.db.rtf").queryExecution.optimizedPlan.collectFirst {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        r.scan
+    }.get
+    val ms = scan.asInstanceOf[ManifestStreamScan]
+    // declares its read columns as runtime-filterable (what lets the
+    // planner attach a dynamic-pruning subquery on a join key)
+    assert(ms.filterAttributes().map(_.describe()).toSet === Set("id", "v"))
+    // a runtime IN over the join key lands in the parquet pushedFilters of
+    // the re-planned scan; a filter on an unknown column is ignored
+    val before = ms.runtimeScan.pushedFilters.length
+    ms.filter(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.In("id", Array(1L, 2L))))
+    assert(ms.runtimeScan.pushedFilters.length === before + 1,
+      "runtime IN filter must be re-pushed into the parquet scan")
+    ms.filter(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.In("nope", Array(1L))))
+    assert(ms.runtimeScan.pushedFilters.exists {
+      case org.apache.spark.sql.sources.In("id", _) => true; case _ => false
+    })
+    // the filtered scan still plans (row-group skipping is a reader concern)
+    assert(ms.toBatch.planInputPartitions().nonEmpty)
+  }
+
   test("CTAS creates a manifest table from the query schema") {
     ensureDb()
     spark.sql("CREATE TABLE g.db.ctas USING manifest AS SELECT id, id * 2 AS dbl FROM range(10)")

@@ -100,23 +100,48 @@ class ManifestTableSpec extends AnyFunSuite {
     assert(ManifestTable.read(spark, dir).count() === 200L)
   }
 
-  test("vacuum removes expired versions and crash orphans, keeps the grace window") {
+  test("vacuum removes expired versions and aged crash orphans, keeps the grace window") {
     val dir = freshDir()
     ManifestTable.write(df(10), dir)  // v1
     ManifestTable.write(df(20), dir)  // v2
     ManifestTable.write(df(30), dir)  // v3
     val orphan = writeOrphanPool(dir, 5)
     val fs = LakeStorage.openFor(dir)
+    // age the orphan past the retention window: a genuinely dead crash
+    // leftover, not a writer's in-flight staging pool
+    fs.setTimes(new Path(orphan), 1000L, -1L)
     val v2Pool = new Path(dir, ManifestTable.manifest(dir, 2L).head).getParent
     val v3Pool = new Path(dir, ManifestTable.manifest(dir, 3L).head).getParent
     val removed = ManifestTable.vacuum(dir, keep = 2)
-    assert(removed === 2) // v1's pool + the orphan pool; v2 grace; v3 current
+    assert(removed === 2) // v1's pool + the aged orphan; v2 grace; v3 current
     assert(!fs.exists(new Path(orphan)))
     assert(fs.exists(v2Pool))
     assert(fs.exists(v3Pool))
     assert(ManifestTable.read(spark, dir).count() === 30L)
     // marker below the keep-window is gone too
     assert(ManifestTable.allVersions(dir) === Seq(2L, 3L))
+  }
+
+  test("vacuum spares a FRESH never-committed pool (concurrent writer's staging area)") {
+    val dir = freshDir()
+    ManifestTable.write(df(10), dir)  // v1
+    ManifestTable.write(df(20), dir)  // v2
+    ManifestTable.write(df(30), dir)  // v3
+    // an in-flight writer has staged its pool but not yet committed: the
+    // pool is unreferenced, but deleting it would corrupt the writer's
+    // imminent commit (manifest pointing at deleted files)
+    val inFlight = writeOrphanPool(dir, 7)
+    val fs = LakeStorage.openFor(dir)
+    val removed = ManifestTable.vacuum(dir, keep = 2)
+    assert(removed === 1) // only v1's (committed, expired) pool
+    assert(fs.exists(new Path(inFlight)), "fresh staging pool must survive vacuum")
+    // the spared pool can still be committed afterwards — the scenario
+    // the retention window exists to protect
+    val staged = fs.listStatus(new Path(inFlight))
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(s => s"${new Path(inFlight).getName}/${s.getPath.getName}").toSeq.sorted
+    ManifestTable.commitStagedAppend(dir, staged)
+    assert(ManifestTable.read(spark, dir).count() === 37L)
   }
 
   test("vacuum(keep=1) after repeated compaction leaves only the current version") {
