@@ -54,8 +54,8 @@ class ManifestStreamingWrite(dir: String, schema: StructType, queryId: String,
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val pool = poolName(queryId, epochId)
     val prefix = s"$pool/"
-    val alreadyCommitted = ManifestTable.allVersions(dir).exists(v =>
-      ManifestTable.manifest(dir, v).exists(_.startsWith(prefix)))
+    val alreadyCommitted =
+      ManifestTable.allReferencedFiles(dir).exists(_.startsWith(prefix))
     if (alreadyCommitted) return // replayed epoch: table state already has it
     val files = messages
       .collect { case PoolFileCommit(Some(name)) => s"$pool/$name" }
@@ -68,8 +68,8 @@ class ManifestStreamingWrite(dir: String, schema: StructType, queryId: String,
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val pool = poolName(queryId, epochId)
     val prefix = s"$pool/"
-    val referenced = ManifestTable.allVersions(dir).exists(v =>
-      ManifestTable.manifest(dir, v).exists(_.startsWith(prefix)))
+    val referenced =
+      ManifestTable.allReferencedFiles(dir).exists(_.startsWith(prefix))
     if (!referenced) { LakeStorage.openFor(dir).delete(new Path(dir, pool), true); () }
   }
 }

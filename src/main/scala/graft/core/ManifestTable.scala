@@ -10,31 +10,52 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * Layout:
   * {{{
   *   dir/d-<writeId>/part-*.parquet         data-file pools, one per write
-  *   dir/_commit_00000000000000000001       manifest: JSON file list
+  *   dir/_commit_00000000000000000001       commit marker (JSON, see below)
   *   dir/_commit_00000000000000000002
+  *   dir/_ckpt_00000000000000000010         checkpoint: full file list at v10
   * }}}
   *
-  * Each commit marker IS the manifest: a single-line JSON array of the
-  * data-file paths (relative to `dir`) that make up that version's
-  * snapshot. A version becomes visible through ONE atomic object creation
+  * Commit markers are DELTA-ENCODED so that commit cost is O(change), not
+  * O(live files) — the property that keeps the metadata plane viable at
+  * 10⁶-file scale, where a full-list marker would be a ~100 MB object
+  * rewritten on every append:
+  *  - `{"s":[...]}`       snapshot commit: the version IS this list
+  *  - `{"a":[...],"r":[...]}` delta commit: previous version minus `r`
+  *    plus `a` (appends carry only `a`; row-level DML carries both)
+  *  - `[...]`             legacy full-list marker, still readable
+  * Every [[CheckpointInterval]] commits, the committer also writes a
+  * CHECKPOINT — a plain text file, one dir-relative path per line, of the
+  * fully-resolved list at that version (text so the metadata itself is
+  * splittable and `spark.read.text`-able for metadata-as-Dataset reads).
+  * Snapshot RESOLUTION walks markers backward from the requested version
+  * only until the nearest snapshot marker or checkpoint (≤ interval
+  * markers), then replays deltas forward — never the whole history.
+  *
+  * A version becomes visible through ONE atomic object creation
   * (`create(overwrite = false)` of its marker), written only after every
   * data file it references is fully written — so a reader concurrent with
   * any writer sees either the old or the new version, never a missing or
   * half-written file. A crash before the marker leaves an invisible orphan
-  * pool that [[vacuum]] removes.
+  * pool that [[vacuum]] removes. Checkpoints are written via temp-file +
+  * atomic rename and are pure caches: losing one costs a longer replay,
+  * never correctness.
   *
   * Because the manifest lists files (rather than naming a directory),
-  * [[append]] commits ONLY its delta files and re-lists the base — an
-  * append to a 100 TB table writes the new rows and one small marker,
-  * never rewriting existing data. [[compact]] rewrites the current files
-  * into fewer and commits a manifest referencing only the rewrite.
+  * [[append]] commits ONLY its delta files — an append to a 100 TB table
+  * writes the new rows and one small marker, never rewriting existing
+  * data, and (with delta markers) never re-listing it either. [[compact]]
+  * rewrites the current files into fewer and commits a snapshot manifest
+  * referencing only the rewrite.
   *
   * Concurrency is OPTIMISTIC, Delta-style: every commit targets version
   * `current + 1`; losing the race to another writer (marker already
   * exists) re-reads the new current version, REBASES, and retries:
   *  - [[write]] (snapshot replace) is independent of the base — a retry
   *    just bumps the version number;
-  *  - [[append]] re-reads the base manifest and re-unions its delta;
+  *  - [[append]] is a pure delta — a retry just bumps the version number
+  *    (no base state is read at all);
+  *  - [[commitRewrite]] re-checks that the files it removed are still
+  *    live in the new base, and ABORTS if not (stale rewrite);
   *  - [[compact]] re-adds files appended since the snapshot it rewrote,
   *    and ABORTS if a concurrent writer replaced/removed files it
   *    compacted (the rewrite is stale — rerun it).
@@ -43,14 +64,23 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * without conditional PUT it is check-then-act and the protocol is
   * best-effort (a store with If-None-Match closes that hole). [[vacuum]]
   * keeps the previous `keep - 1` versions as a grace window for in-flight
-  * readers; schedule it accordingly.
+  * readers (and writes a checkpoint at the oldest kept version before
+  * deleting older markers, so kept versions stay resolvable); schedule it
+  * accordingly.
   */
 object ManifestTable {
 
   private val MarkerPrefix = "_commit_"
+  private val CkptPrefix = "_ckpt_"
   private val DataDirPrefix = "d-"
 
+  /** A checkpoint is written every this-many commits; resolution therefore
+    * reads at most this many markers plus one checkpoint. Delta uses 10 by
+    * default for the same knob (checkpointInterval). */
+  val CheckpointInterval: Long = 10L
+
   private def marker(n: Long): String = f"${MarkerPrefix}$n%020d"
+  private def ckptName(n: Long): String = f"${CkptPrefix}$n%020d"
 
   /** Parse a name of the form `prefix<long>`; None for foreign files that
     * merely share the prefix (a stray `_commit_x` must not crash manifest
@@ -86,25 +116,157 @@ object ManifestTable {
       .toSeq.sorted
   }
 
-  /** The data files (relative paths) of a committed version. */
-  def manifest(dir: String, version: Long): Seq[String] = {
+  /** Checkpoint versions present (ascending). */
+  private def checkpointVersions(dir: String): Seq[Long] = {
     val fs = LakeStorage.openFor(dir)
-    val p = new Path(dir, marker(version))
+    val base = new Path(dir)
+    if (!fs.exists(base)) return Seq.empty
+    fs.listStatus(base).iterator
+      .map(_.getPath.getName)
+      .flatMap(parseSuffix(_, CkptPrefix))
+      .toSeq.sorted
+  }
+
+  /** The path of the checkpoint file for `version`, if one exists — the
+    * full resolved file list as newline-separated text, readable as a
+    * Dataset via `spark.read.text` (metadata-as-Dataset entry point). */
+  private[graft] def checkpointFileAtOrBefore(dir: String, version: Long): Option[(Long, String)] =
+    checkpointVersions(dir).filter(_ <= version).lastOption
+      .map(v => (v, s"$dir/${ckptName(v)}"))
+
+  // ---- marker encoding -------------------------------------------------
+
+  private sealed trait MarkerData
+  private final case class SnapshotMarker(files: Seq[String]) extends MarkerData
+  private final case class DeltaMarker(add: Seq[String], remove: Seq[String]) extends MarkerData
+
+  private def readTextFile(fs: org.apache.hadoop.fs.FileSystem, p: Path): String = {
     val in = fs.open(p)
-    val text = try {
+    try {
       val bytes = new java.io.ByteArrayOutputStream()
       org.apache.hadoop.io.IOUtils.copyBytes(in, bytes, 8192, false)
       new String(bytes.toByteArray, "UTF-8")
     } finally in.close()
-    org.json4s.jackson.JsonMethods.parse(text) match {
-      case org.json4s.JArray(items) => items.map {
-        case org.json4s.JString(f) => f
-        case other => throw new IllegalStateException(
-          s"corrupt manifest ${p}: non-string element $other")
-      }
+  }
+
+  private def strings(v: org.json4s.JValue, p: Path): Seq[String] = v match {
+    case org.json4s.JArray(items) => items.map {
+      case org.json4s.JString(f) => f
       case other => throw new IllegalStateException(
-        s"corrupt manifest ${p}: expected JSON array, got $other")
+        s"corrupt manifest $p: non-string element $other")
     }
+    case org.json4s.JNothing => Seq.empty
+    case other => throw new IllegalStateException(
+      s"corrupt manifest $p: expected JSON array, got $other")
+  }
+
+  private def readMarkerData(dir: String, version: Long): MarkerData = {
+    val fs = LakeStorage.openFor(dir)
+    val p = new Path(dir, marker(version))
+    org.json4s.jackson.JsonMethods.parse(readTextFile(fs, p)) match {
+      case arr: org.json4s.JArray => SnapshotMarker(strings(arr, p)) // legacy full list
+      case obj: org.json4s.JObject =>
+        val m = obj.obj.toMap
+        if (m.contains("s")) SnapshotMarker(strings(m("s"), p))
+        else DeltaMarker(
+          strings(m.getOrElse("a", org.json4s.JNothing), p),
+          strings(m.getOrElse("r", org.json4s.JNothing), p))
+      case other => throw new IllegalStateException(
+        s"corrupt manifest $p: expected JSON array or object, got $other")
+    }
+  }
+
+  private def readCheckpoint(dir: String, version: Long): Seq[String] = {
+    val fs = LakeStorage.openFor(dir)
+    val text = readTextFile(fs, new Path(dir, ckptName(version)))
+    if (text.isEmpty) Seq.empty
+    else text.split("\n", -1).iterator.filter(_.nonEmpty).toSeq
+  }
+
+  /** Write the checkpoint for `version` (temp file + atomic rename; a
+    * concurrent duplicate writer loses the rename and cleans up — the
+    * content is deterministic, so either copy is correct). */
+  private def writeCheckpoint(dir: String, version: Long, files: Seq[String]): Unit = {
+    val fs = LakeStorage.openFor(dir)
+    val target = new Path(dir, ckptName(version))
+    if (fs.exists(target)) return
+    val tmp = new Path(dir, s".${ckptName(version)}.tmp-${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, true)
+    try out.write(files.mkString("\n").getBytes("UTF-8")) finally out.close()
+    if (!fs.rename(tmp, target)) { fs.delete(tmp, false); () }
+  }
+
+  // ---- snapshot resolution ---------------------------------------------
+
+  /** The data files (relative paths) of a committed version: nearest
+    * checkpoint-or-snapshot anchor at or below `version`, plus forward
+    * replay of the delta markers above it. Retries once on a marker
+    * deleted mid-scan by a concurrent [[vacuum]] — the retry re-anchors at
+    * the checkpoint vacuum wrote before truncating. */
+  def manifest(dir: String, version: Long): Seq[String] = {
+    var lastMiss: java.io.FileNotFoundException = null
+    var attempt = 0
+    while (attempt < 3) {
+      try return resolve(dir, version)
+      catch { case e: java.io.FileNotFoundException => lastMiss = e; attempt += 1 }
+    }
+    throw new IllegalStateException(
+      s"version $version of $dir is not resolvable (vacuumed or corrupt log)", lastMiss)
+  }
+
+  private def resolve(dir: String, version: Long): Seq[String] = {
+    val ckpt = checkpointVersions(dir).filter(_ <= version).lastOption
+    if (ckpt.contains(version)) return readCheckpoint(dir, version)
+    var deltas = List.empty[DeltaMarker] // head = oldest unapplied
+    var base: Seq[String] = null
+    var v = version
+    while (base == null) {
+      if (v < version && ckpt.contains(v)) base = readCheckpoint(dir, v)
+      else if (v < 1) base = Seq.empty // all-delta chain: the table began empty
+      else readMarkerData(dir, v) match {
+        case SnapshotMarker(files) => base = files
+        case d: DeltaMarker => deltas ::= d; v -= 1
+      }
+    }
+    deltas.foldLeft(base) { (list, d) =>
+      val rm = d.remove.toSet
+      (if (rm.isEmpty) list else list.filterNot(rm)) ++ d.add
+    }
+  }
+
+  /** Number of marker/checkpoint objects the backward scan reads to
+    * resolve `version` — test instrumentation for the O(interval) claim. */
+  private[core] def resolutionDepth(dir: String, version: Long): Int = {
+    val ckpt = checkpointVersions(dir).filter(_ <= version).lastOption
+    if (ckpt.contains(version)) return 1
+    var reads = 0
+    var v = version
+    var done = false
+    while (!done) {
+      if (v < 1 || (v < version && ckpt.contains(v))) { reads += 1; done = true }
+      else readMarkerData(dir, v) match {
+        case _: SnapshotMarker => reads += 1; done = true
+        case _: DeltaMarker => reads += 1; v -= 1
+      }
+    }
+    reads
+  }
+
+  /** Every file referenced by ANY surviving committed version, in ONE pass
+    * over the log (oldest version resolved once, then just the adds /
+    * snapshot lists of later markers — no per-version resolution). */
+  private[graft] def allReferencedFiles(dir: String): Set[String] = {
+    val versions = allVersions(dir)
+    if (versions.isEmpty) return Set.empty
+    val acc = scala.collection.mutable.HashSet.empty[String]
+    acc ++= manifest(dir, versions.head)
+    versions.tail.foreach { v =>
+      readMarkerData(dir, v) match {
+        case SnapshotMarker(files) => acc ++= files
+        case DeltaMarker(add, _)   => acc ++= add
+      }
+    }
+    acc.toSet
   }
 
   /** Write `df` as a NEW SNAPSHOT (replacing the table contents) and
@@ -113,8 +275,8 @@ object ManifestTable {
     commitStagedSnapshot(dir, stagePool(df, dir))
 
   /** Append `df` to the table: writes ONLY the delta files and commits a
-    * manifest of base ∪ delta — existing data is re-listed, never
-    * rewritten. Returns the committed version. */
+    * delta marker — existing data is neither rewritten nor re-listed.
+    * Returns the committed version. */
   def append(df: DataFrame, dir: String): Long =
     commitStagedAppend(dir, stagePool(df, dir))
 
@@ -159,28 +321,29 @@ object ManifestTable {
 
   /** Commit previously staged files as a replacing snapshot. */
   def commitStagedSnapshot(dir: String, files: Seq[String]): Long =
-    commitLoop(dir) { _ => Some(files) }
+    commitLoop(dir) { _ => Some(Snapshot(files)) }
 
-  /** Commit previously staged files as an append (base re-listed). */
+  /** Commit previously staged files as an append. A pure delta: no base
+    * state is read, so the commit (and any rebase retry) is O(delta)
+    * regardless of table size. */
   def commitStagedAppend(dir: String, files: Seq[String]): Long =
-    commitLoop(dir) { base =>
-      Some(base.map(manifest(dir, _)).getOrElse(Seq.empty) ++ files)
-    }
+    commitLoop(dir) { _ => Some(Delta(add = files, remove = Seq.empty)) }
 
   /** Commit a FILE-LEVEL REWRITE: the new manifest is the current one
     * minus `removed` plus `added` — the copy-on-write commit behind
     * row-level DML (DELETE/UPDATE/MERGE rewrite only the files that hold
-    * affected rows; every other file is re-listed untouched). Rebase
-    * rules mirror [[compact]]: files appended concurrently are carried
-    * over (they hold rows this rewrite never read, so write-serializable
-    * isolation allows them); if a concurrent writer replaced or removed
-    * any file in `removed`, this rewrite read stale data and the commit
-    * ABORTS with `ConcurrentModificationException` — rerun the DML. */
+    * affected rows; every other file stays live untouched). Rebase rules
+    * mirror [[compact]]: files appended concurrently are carried over
+    * implicitly (a delta marker never touches them — they hold rows this
+    * rewrite never read, so write-serializable isolation allows them); if
+    * a concurrent writer replaced or removed any file in `removed`, this
+    * rewrite read stale data and the commit ABORTS with
+    * `ConcurrentModificationException` — rerun the DML. */
   def commitRewrite(dir: String, removed: Seq[String], added: Seq[String]): Long = {
     val rm = removed.toSet
     commitLoop(dir) { base =>
       val baseFiles = base.map(manifest(dir, _)).getOrElse(Seq.empty)
-      if (rm.subsetOf(baseFiles.toSet)) Some(baseFiles.filterNot(rm) ++ added)
+      if (rm.subsetOf(baseFiles.toSet)) Some(Delta(add = added, remove = removed))
       else None // a removed file vanished: concurrent rewrite beat us
     }
   }
@@ -244,10 +407,10 @@ object ManifestTable {
     val snapSet = snapFiles.toSet
     commitLoop(dir) { base =>
       val baseFiles = base.map(manifest(dir, _)).getOrElse(Seq.empty)
-      if (base.contains(snapVersion)) Some(compacted)
+      if (base.contains(snapVersion)) Some(Snapshot(compacted))
       else if (snapSet.subsetOf(baseFiles.toSet))
         // concurrent appends since our snapshot: carry their files over
-        Some(compacted ++ baseFiles.filterNot(snapSet))
+        Some(Snapshot(compacted ++ baseFiles.filterNot(snapSet)))
       else None // our snapshot's files were replaced — stale rewrite
     }
     (snapFiles.length.toLong, compacted.length.toLong)
@@ -265,7 +428,7 @@ object ManifestTable {
       s"version $toVersion is not committed under $dir " +
         s"(committed: ${committed.mkString(",")})")
     val target = manifest(dir, toVersion)
-    commitLoop(dir) { _ => Some(target) }
+    commitLoop(dir) { _ => Some(Snapshot(target)) }
   }
 
   /** [[compact]] for BUCKET-CLUSTERED tables: the rewrite re-stages the
@@ -284,9 +447,9 @@ object ManifestTable {
     val snapSet = snapFiles.toSet
     commitLoop(dir) { base =>
       val baseFiles = base.map(manifest(dir, _)).getOrElse(Seq.empty)
-      if (base.contains(snapVersion)) Some(compacted)
+      if (base.contains(snapVersion)) Some(Snapshot(compacted))
       else if (snapSet.subsetOf(baseFiles.toSet))
-        Some(compacted ++ baseFiles.filterNot(snapSet))
+        Some(Snapshot(compacted ++ baseFiles.filterNot(snapSet)))
       else None
     }
     (snapFiles.length.toLong, compacted.length.toLong)
@@ -308,6 +471,10 @@ object ManifestTable {
     * `orphanRetainMs`. Never-committed pools YOUNGER than the threshold
     * are left alone — they may be a concurrent writer's staging area,
     * whose commit would otherwise point at deleted files.
+    * Before deleting markers, a checkpoint is written at the oldest kept
+    * version so every kept version stays resolvable without the truncated
+    * history (a reader caught mid-scan by the truncation re-anchors at
+    * that checkpoint — see [[manifest]]'s retry).
     * `keep >= 2` leaves a grace version for readers that resolved the
     * manifest just before a commit. Returns the number of pool
     * directories removed. */
@@ -320,13 +487,15 @@ object ManifestTable {
     if (committed.isEmpty) return 0
     val kept = committed.takeRight(keep)
     val cutoff = kept.head
+    // anchor the surviving log BEFORE truncating it
+    writeCheckpoint(dir, cutoff, manifest(dir, cutoff))
     // pool dirs referenced by any kept / any committed manifest (first
     // path segment); committed-but-not-kept pools are dead on expiry,
     // unreferenced-by-any pools get the orphan retention window
     val referencedKept: Set[String] =
       kept.flatMap(v => manifest(dir, v).map(_.split("/", 2).head)).toSet
     val referencedAny: Set[String] =
-      committed.flatMap(v => manifest(dir, v).map(_.split("/", 2).head)).toSet
+      allReferencedFiles(dir).map(_.split("/", 2).head)
     val now = System.currentTimeMillis()
     var removed = 0
     fs.listStatus(base).foreach { st =>
@@ -338,8 +507,13 @@ object ManifestTable {
             throw new IllegalStateException(s"vacuum: failed to delete ${st.getPath}")
           removed += 1
         }
-      } else parseSuffix(name, MarkerPrefix).foreach { v =>
-        if (v < cutoff) { fs.delete(st.getPath, false); () }
+      } else {
+        parseSuffix(name, MarkerPrefix).foreach { v =>
+          if (v < cutoff) { fs.delete(st.getPath, false); () }
+        }
+        parseSuffix(name, CkptPrefix).foreach { v =>
+          if (v < cutoff) { fs.delete(st.getPath, false); () }
+        }
       }
     }
     removed
@@ -361,12 +535,20 @@ object ManifestTable {
       .toSeq.sorted
   }
 
-  /** Optimistic commit: compute the manifest against the current version
-    * and try to create marker `current + 1`; if another writer won the
-    * race, re-read and rebase. `files(base)` returning None aborts (the
-    * rebase found the attempt stale). Returns the committed version. */
+  // ---- commit protocol -------------------------------------------------
+
+  private sealed trait Commit
+  private final case class Snapshot(files: Seq[String]) extends Commit
+  private final case class Delta(add: Seq[String], remove: Seq[String]) extends Commit
+
+  /** Optimistic commit: compute the commit action against the current
+    * version and try to create marker `current + 1`; if another writer won
+    * the race, re-read and rebase. `action(base)` returning None aborts
+    * (the rebase found the attempt stale). After a successful commit at a
+    * checkpoint-interval boundary, also writes the checkpoint. Returns the
+    * committed version. */
   private def commitLoop(dir: String, maxRetries: Int = 20)(
-      files: Option[Long] => Option[Seq[String]]): Long = {
+      action: Option[Long] => Option[Commit]): Long = {
     val fs = LakeStorage.openFor(dir)
     val basePath = new Path(dir)
     if (!fs.exists(basePath)) fs.mkdirs(basePath)
@@ -374,12 +556,16 @@ object ManifestTable {
     while (attempt <= maxRetries) {
       val base = currentVersion(dir)
       val next = base.getOrElse(0L) + 1
-      files(base) match {
+      action(base) match {
         case None => throw new java.util.ConcurrentModificationException(
           s"commit to $dir aborted: the files this attempt rewrote were " +
             "replaced by a concurrent writer (stale rewrite) — rerun")
-        case Some(list) =>
-          if (tryCommit(fs, dir, next, list)) return next
+        case Some(commit) =>
+          if (tryCommit(fs, dir, next, commit)) {
+            if (next % CheckpointInterval == 0)
+              writeCheckpoint(dir, next, manifest(dir, next))
+            return next
+          }
       }
       attempt += 1
     }
@@ -389,13 +575,21 @@ object ManifestTable {
   }
 
   /** One atomic commit attempt: create-if-absent of the marker holding the
-    * manifest JSON. False if another writer owns this version number. */
+    * commit JSON. False if another writer owns this version number. */
   private def tryCommit(fs: org.apache.hadoop.fs.FileSystem, dir: String,
-                        n: Long, files: Seq[String]): Boolean = {
+                        n: Long, commit: Commit): Boolean = {
+    import org.json4s.{JArray, JObject, JString}
     val p = new Path(dir, marker(n))
+    val jv = commit match {
+      case Snapshot(files) =>
+        JObject("s" -> JArray(files.map(JString(_)).toList))
+      case Delta(add, remove) =>
+        JObject(
+          "a" -> JArray(add.map(JString(_)).toList),
+          "r" -> JArray(remove.map(JString(_)).toList))
+    }
     val json = org.json4s.jackson.JsonMethods.compact(
-      org.json4s.jackson.JsonMethods.render(org.json4s.JArray(
-        files.map(org.json4s.JString(_)).toList)))
+      org.json4s.jackson.JsonMethods.render(jv))
     val out = try fs.create(p, false) catch {
       case _: java.io.IOException => return false // marker exists: lost the race
     }

@@ -200,6 +200,64 @@ class ManifestTableSpec extends AnyFunSuite {
       "a compaction commit dropped a concurrently appended file")
   }
 
+  test("delta log: 200 commits keep markers O(delta) and resolution O(interval)") {
+    val dir = freshDir()
+    ManifestTable.write(df(4, parts = 1), dir) // v1: snapshot
+    (1 to 199).foreach(_ => ManifestTable.append(df(1, parts = 1), dir))
+    assert(ManifestTable.currentVersion(dir) === Some(200L))
+    val fs = LakeStorage.openFor(dir)
+    // the v200 marker names ONE pool's file, not all 200+ live files —
+    // commit cost is O(delta), the property that holds at 10⁶ files
+    val lastMarker = fs.getFileStatus(new Path(dir, f"_commit_${200L}%020d"))
+    assert(lastMarker.getLen < 1024,
+      s"marker is ${lastMarker.getLen} B — full-list, not delta-encoded")
+    // resolution reads at most one checkpoint interval of markers, never
+    // the whole history
+    Seq(1L, 57L, 123L, 200L).foreach { v =>
+      val depth = ManifestTable.resolutionDepth(dir, v)
+      assert(depth <= ManifestTable.CheckpointInterval + 1,
+        s"resolving v$v read $depth log objects — unbounded replay")
+    }
+    // checkpoints exist at every interval boundary
+    val ckpts = fs.listStatus(new Path(dir))
+      .map(_.getPath.getName).count(_.startsWith("_ckpt_"))
+    assert(ckpts === 200 / ManifestTable.CheckpointInterval)
+    // resolved snapshots are exactly right, at the head and mid-history
+    assert(ManifestTable.read(spark, dir).count() === 4L + 199L)
+    assert(ManifestTable.read(spark, dir, Some(100L)).count() === 4L + 99L)
+  }
+
+  test("vacuum on a delta log anchors the cutoff; kept delta versions stay readable") {
+    val dir = freshDir()
+    ManifestTable.write(df(10), dir)                        // v1: snapshot
+    (1 to 6).foreach(_ => ManifestTable.append(df(2), dir)) // v2..v7: deltas
+    ManifestTable.vacuum(dir, keep = 3)                     // cutoff = v5
+    assert(ManifestTable.allVersions(dir) === Seq(5L, 6L, 7L))
+    // v5..v7 are delta commits whose snapshot anchor (v1) was truncated —
+    // they must resolve through the checkpoint vacuum wrote at the cutoff
+    assert(ManifestTable.read(spark, dir, Some(5L)).count() === 10L + 4L * 2L)
+    assert(ManifestTable.read(spark, dir, Some(6L)).count() === 10L + 5L * 2L)
+    assert(ManifestTable.read(spark, dir).count() === 10L + 6L * 2L)
+  }
+
+  test("legacy full-list array markers stay readable and appendable") {
+    val dir = freshDir()
+    ManifestTable.write(df(10), dir) // v1 in the current snapshot format
+    val files = ManifestTable.manifest(dir, 1L)
+    // rewrite v1's marker in the pre-delta legacy format: a bare JSON array
+    val fs = LakeStorage.openFor(dir)
+    val p = new Path(dir, f"_commit_${1L}%020d")
+    fs.delete(p, false)
+    val out = fs.create(p, false)
+    try out.write(
+      files.map("\"" + _ + "\"").mkString("[", ",", "]").getBytes("UTF-8"))
+    finally out.close()
+    assert(ManifestTable.manifest(dir, 1L) === files)
+    assert(ManifestTable.read(spark, dir).count() === 10L)
+    ManifestTable.append(df(5), dir) // delta on top of a legacy anchor
+    assert(ManifestTable.read(spark, dir).count() === 15L)
+  }
+
   test("reader loop concurrent with compaction never sees missing or partial data") {
     val dir = freshDir()
     ManifestTable.write(df(300, parts = 12), dir)
