@@ -25,16 +25,24 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
-  /** events.parquet stores `ts` as parquet TIMESTAMP(NANOS), which Spark's
-    * vectorized reader rejects. Read it as raw nanos (legacy conf) and
-    * convert to a micros TimestampType with integer division (a double-based
-    * division would lose precision above 2^53 ns). The DuckDB oracle casts
-    * its TIMESTAMP_NS to TIMESTAMP, which truncates identically.
+  /** events.parquet has shipped `ts` as either parquet TIMESTAMP(NANOS)
+    * (older generator) or TIMESTAMP(MICROS) without UTC adjustment (newer
+    * generator, which Spark reads as TIMESTAMP_NTZ). Normalize both to a
+    * session-zone TimestampType: nanos arrive as raw longs (legacy conf;
+    * integer division keeps precision above 2^53 ns), NTZ micros cast
+    * value-identically because every graft session pins the session zone
+    * to UTC. The DuckDB oracle's `CAST(ts AS TIMESTAMP)` matches both.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val df = load(s, d, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

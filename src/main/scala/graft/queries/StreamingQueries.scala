@@ -16,21 +16,28 @@ import org.apache.spark.sql.types._
   */
 object StreamingQueries extends QueryModule {
 
-  /** events.parquet holds ts as TIMESTAMP(NANOS): stream-read it as raw
-    * longs (nanosAsLong) and convert to micros, mirroring Tables.events. */
-  private val rawSchema = StructType(Seq(
+  /** events.parquet has shipped ts as TIMESTAMP(NANOS) (stream-read as raw
+    * longs via nanosAsLong, then converted) or TIMESTAMP(MICROS)/NTZ (cast
+    * value-identically under the UTC session zone) — mirror Tables.events.
+    * The file source needs an explicit schema, so probe the footer through
+    * a one-off batch read and branch on the physical ts type. */
+  private def rawSchema(tsType: DataType) = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", tsType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType)) :+ StructField("props", StringType))
 
   private def eventStream(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.readStream.schema(rawSchema)
+    val tsType = s.read.parquet(s"$d/events.parquet").schema("ts").dataType
+    val raw = s.readStream.schema(rawSchema(tsType))
       .option("pathGlobFilter", "events.parquet") // file source needs a dir
       .parquet(d)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    tsType match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _        => raw.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
 
   /** Scope the stateful-operator partition count for the duration of one
