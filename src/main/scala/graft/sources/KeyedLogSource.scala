@@ -599,43 +599,198 @@ case class KeyedLogScan(path: String, required: StructType,
     KeyedLogReaderFactory(required, pushed ++ runtimeFilters, conf, agg)
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new KeyedLogMicroBatchStream(path, required, pushed, conf)
+    new KeyedLogMicroBatchStream(path, required, pushed, conf, checkpointLocation)
 }
 
-/** Streaming (micro-batch) SOURCE: the offset is the set of files already
-  * processed; each batch reads exactly the files that appeared since —
-  * the same files-as-log contract as Spark's file stream source, with the
+/** Streaming (micro-batch) SOURCE with BOUNDED offsets: the checkpointed
+  * offset is a single seen-log version (`{"v":N}`, constant size for the
+  * life of the stream), never the file list. Each trigger lists the dir,
+  * diffs against the in-memory seen set (rebuilt from the seen-log on
+  * restart — at most one compact entry plus [[KeyedLogSeenLog
+  * .CompactInterval]] deltas, never the whole history), and records the
+  * new files as one seen-log entry under the stream's per-source
+  * checkpoint dir — the compacted-metadata-log pattern of Spark's
+  * FileStreamSource, re-expressed for a DSv2 source. Each batch reads
+  * exactly the files that appeared in its version window, with the
   * connector's column pruning and key-filter pushdown applying per batch.
-  * The offset serializes the full (sorted) file-name list, which is fine
-  * at demo scale; a production connector compacts this into a ledger the
-  * way FileStreamSource's metadata log does. Files must be immutable once
-  * visible (the sink's staged-rename commit guarantees exactly that). */
+  * Files must be immutable once visible (the sink's staged-rename commit
+  * guarantees exactly that). A legacy full-file-list offset (the pre-log
+  * format) is still accepted as a restart's range start. */
 class KeyedLogMicroBatchStream(path: String, required: StructType,
     pushed: Array[Filter],
-    conf: org.apache.spark.util.SerializableConfiguration) extends MicroBatchStream {
+    conf: org.apache.spark.util.SerializableConfiguration,
+    checkpointLocation: String) extends MicroBatchStream {
 
-  override def initialOffset(): Offset = KeyedLogOffset(Seq.empty)
-  override def latestOffset(): Offset =
-    KeyedLogOffset(KeyedLogSource.listDataFiles(path, conf).toSeq)
-  override def deserializeOffset(json: String): Offset = KeyedLogOffset.fromJson(json)
+  private[sources] val ledger = new KeyedLogSeenLog(
+    new Path(checkpointLocation, "graft_seen_log").toString, conf)
+
+  override def initialOffset(): Offset = KeyedLogVersionOffset(-1L)
+  override def latestOffset(): Offset = {
+    val fresh = KeyedLogSource.listDataFiles(path, conf).filterNot(ledger.seen)
+    if (fresh.isEmpty) KeyedLogVersionOffset(ledger.latestVersion)
+    else KeyedLogVersionOffset(ledger.advance(fresh.toSeq))
+  }
+  override def deserializeOffset(json: String): Offset =
+    if (json.startsWith("[")) KeyedLogOffset.fromJson(json) // legacy checkpoint
+    else KeyedLogVersionOffset.fromJson(json)
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val seen = start.asInstanceOf[KeyedLogOffset].files.toSet
-    end.asInstanceOf[KeyedLogOffset].files
-      .filterNot(seen).map(f => KeyedLogPartition(Seq(f)): InputPartition).toArray
+    val endV = end match {
+      case KeyedLogVersionOffset(v) => v
+      case other => throw new IllegalStateException(
+        s"keyed_log: a legacy file-list offset can only be a range START, got end=$other")
+    }
+    val files = start match {
+      case KeyedLogVersionOffset(s) => ledger.newFilesIn(s, endV)
+      case KeyedLogOffset(old)      => (ledger.allUpTo(endV) -- old).toSeq.sorted
+    }
+    files.map(f => KeyedLogPartition(Seq(f)): InputPartition).toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
     KeyedLogReaderFactory(required, pushed, conf)
 }
 
-/** Offset = the set of files already processed. The encoding MUST be a
-  * single line: Spark's OffsetSeqLog stores each source's offset on one
-  * line of the checkpoint offset file, so an embedded newline would split
-  * one offset into several bogus ones on restart. A compact JSON array
-  * (json4s, already on Spark's classpath) keeps it one line and escapes
-  * any path character. */
+/** Bounded streaming offset: one seen-log version. `{"v":N}` is a single
+  * line of constant size — Spark's OffsetSeqLog stores each source's
+  * offset on one line of the checkpoint offset file, and unlike the
+  * legacy file-list encoding it does not grow with stream lifetime. */
+case class KeyedLogVersionOffset(v: Long) extends Offset {
+  override def json(): String = s"""{"v":$v}"""
+}
+object KeyedLogVersionOffset {
+  def fromJson(s: String): KeyedLogVersionOffset =
+    org.json4s.jackson.JsonMethods.parse(s) \ "v" match {
+      case org.json4s.JInt(n) => KeyedLogVersionOffset(n.toLong)
+      case _ => throw new IllegalArgumentException(
+        s"""keyed_log offset: expected {"v":N}, got $s""")
+    }
+}
+
+/** The seen-file log backing bounded streaming offsets. Entry `v`
+  * (file `%020d`) holds the files FIRST seen at version v as single-line
+  * JSON `{"n":[...]}`; every [[KeyedLogSeenLog.CompactInterval]]-th entry
+  * additionally embeds the full seen set (`{"n":[...],"all":[...]}`), so
+  * rebuilding the seen set — on restart, or to migrate a legacy offset —
+  * reads at most one compact entry plus CompactInterval deltas, never the
+  * whole history. Single-writer by construction (the driver of the one
+  * stream owning this checkpoint dir); entries become visible by atomic
+  * rename and are immutable after. */
+private[sources] class KeyedLogSeenLog(dir: String,
+    conf: org.apache.spark.util.SerializableConfiguration) {
+  import KeyedLogSeenLog._
+  import org.json4s._
+  import org.json4s.jackson.JsonMethods
+
+  private val base = new Path(dir)
+  private val fs = base.getFileSystem(conf.value)
+  private var latest: Long = -1L
+  private val seenSet = scala.collection.mutable.HashSet.empty[String]
+  /** Log entries read by the constructor's replay (test instrumentation
+    * for the bounded-restart claim). */
+  private[sources] var replayReads: Int = 0
+  locally {
+    val vs = versions
+    if (vs.nonEmpty) {
+      latest = vs.last
+      val anchor = newestCompactAtOrBefore(vs, latest)
+      anchor.foreach { a => seenSet ++= readEntry(a)._2.get; replayReads += 1 }
+      val from = anchor.map(_ + 1).getOrElse(0L)
+      (from to latest).foreach { v => seenSet ++= readEntry(v)._1; replayReads += 1 }
+    }
+  }
+
+  def latestVersion: Long = latest
+  def seen(file: String): Boolean = seenSet.contains(file)
+
+  /** Record `fresh` as the next version's entry; returns that version. */
+  def advance(fresh: Seq[String]): Long = {
+    val v = latest + 1
+    val newArr: JValue = JArray(fresh.map(JString(_)).toList)
+    val body: JValue =
+      if (v > 0 && v % CompactInterval == 0)
+        JObject("n" -> newArr,
+          "all" -> JArray((seenSet ++ fresh).toList.sorted.map(JString(_))))
+      else JObject("n" -> newArr)
+    val target = new Path(base, name(v))
+    val tmp = new Path(base, s".${name(v)}.tmp-${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, true)
+    try out.write(JsonMethods.compact(JsonMethods.render(body)).getBytes("UTF-8"))
+    finally out.close()
+    if (!fs.rename(tmp, target)) {
+      fs.delete(tmp, false)
+      throw new IllegalStateException(
+        s"keyed_log seen-log: lost the rename of $target — concurrent writer on one checkpoint?")
+    }
+    seenSet ++= fresh
+    latest = v
+    v
+  }
+
+  /** Files first seen in versions (startExclusive, endInclusive]. */
+  def newFilesIn(startExclusive: Long, endInclusive: Long): Seq[String] =
+    ((startExclusive + 1) to endInclusive).flatMap(v => readEntry(v)._1)
+
+  /** The full seen set as of version `v` — the legacy-offset migration
+    * path; bounded by the same compact-anchor replay as the constructor. */
+  def allUpTo(v: Long): Set[String] = {
+    if (v < 0) return Set.empty
+    val vs = versions
+    val anchor = newestCompactAtOrBefore(vs, v)
+    val acc = scala.collection.mutable.HashSet.empty[String]
+    anchor.foreach(a => acc ++= readEntry(a)._2.get)
+    (anchor.map(_ + 1).getOrElse(0L) to v).foreach(acc ++= readEntry(_)._1)
+    acc.toSet
+  }
+
+  private def versions: Seq[Long] =
+    if (!fs.exists(base)) Seq.empty
+    else fs.listStatus(base).iterator.map(_.getPath.getName)
+      .filter(n => n.length == 20 && n.forall(_.isDigit)).map(_.toLong).toSeq.sorted
+
+  private def newestCompactAtOrBefore(vs: Seq[Long], v: Long): Option[Long] =
+    vs.filter(x => x <= v && x > 0 && x % CompactInterval == 0).lastOption
+
+  private def name(v: Long): String = f"$v%020d"
+
+  /** (new files, full set if compact) of entry `v`. */
+  private def readEntry(v: Long): (Seq[String], Option[Seq[String]]) = {
+    val in = fs.open(new Path(base, name(v)))
+    val text = try {
+      val bytes = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, bytes, 8192, false)
+      new String(bytes.toByteArray, "UTF-8")
+    } finally in.close()
+    def strs(j: JValue): Seq[String] = j match {
+      case JArray(items) => items.map {
+        case JString(s) => s
+        case other => throw new IllegalStateException(
+          s"corrupt seen-log entry $v: non-string element $other")
+      }
+      case other => throw new IllegalStateException(
+        s"corrupt seen-log entry $v: expected array, got $other")
+    }
+    JsonMethods.parse(text) match {
+      case o: JObject =>
+        val m = o.obj.toMap
+        (strs(m.getOrElse("n", JArray(Nil))), m.get("all").map(strs))
+      case other => throw new IllegalStateException(
+        s"corrupt seen-log entry $v: expected object, got $other")
+    }
+  }
+}
+private[sources] object KeyedLogSeenLog {
+  /** Every this-many versions, an entry embeds the full seen set. */
+  val CompactInterval = 10L
+}
+
+/** LEGACY offset = the full set of files already processed — the
+  * pre-seen-log encoding, kept so old checkpoints still restart (it can
+  * appear as a range start after upgrade, never as an end). The encoding
+  * MUST be a single line: Spark's OffsetSeqLog stores each source's
+  * offset on one line of the checkpoint offset file, so an embedded
+  * newline would split one offset into several bogus ones on restart. */
 case class KeyedLogOffset(files: Seq[String]) extends Offset {
   override def json(): String = {
     import org.json4s.JsonDSL._

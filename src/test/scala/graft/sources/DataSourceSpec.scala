@@ -232,6 +232,58 @@ class DataSourceSpec extends AnyFunSuite {
     assert(!json.contains("\n"), s"offset JSON must be single-line: $json")
     assert(KeyedLogOffset.fromJson(json).files === files)
     assert(KeyedLogOffset.fromJson(KeyedLogOffset(Seq.empty).json()).files.isEmpty)
+    // the CURRENT offset format is a single version number, also one line
+    assert(KeyedLogVersionOffset(17L).json() === """{"v":17}""")
+    assert(KeyedLogVersionOffset.fromJson("""{"v":17}""") === KeyedLogVersionOffset(17L))
+  }
+
+  test("offsets stay constant-size; seen-log compacts and bounds restart replay") {
+    val dir = Files.createTempDirectory("graft_klog_led_").toString
+    val ckpt = Files.createTempDirectory("graft_klog_led_ckpt_").toString
+    val conf = KeyedLogConf.capture()
+    val schema = KeyedLogSource.schema
+    val stream = new KeyedLogMicroBatchStream(dir, schema, Array.empty, conf, ckpt)
+    assert(stream.latestOffset() === KeyedLogVersionOffset(-1L)) // empty dir: no batch
+    val offsets = (0 until 25).map { i =>
+      Files.write(java.nio.file.Paths.get(dir, f"f$i%03d.log"),
+        s"k$i\t$i\t${i * 10}\n".getBytes("UTF-8"))
+      stream.latestOffset().asInstanceOf[KeyedLogVersionOffset]
+    }
+    assert(offsets.map(_.v) === (0L until 25L), "one seen-log version per trigger with new files")
+    // THE bounded-offset claim: checkpointed offset size never grows with
+    // the number of files ever ingested (the legacy format grew linearly)
+    assert(offsets.map(_.json().length).distinct.size <= 2, // {"v":9} vs {"v":24}
+      s"offset JSON must be constant-size: ${offsets.map(_.json())}")
+    // no new files -> same version, no empty log entries
+    assert(stream.latestOffset() === KeyedLogVersionOffset(24L))
+    // compact entries exist at every CompactInterval-th version
+    val ledgerDir = java.nio.file.Paths.get(ckpt, "graft_seen_log")
+    def entry(v: Long) = new String(java.nio.file.Files.readAllBytes(
+      ledgerDir.resolve(f"$v%020d")), "UTF-8")
+    assert(entry(10L).contains("\"all\"") && entry(20L).contains("\"all\""))
+    assert(!entry(9L).contains("\"all\"") && !entry(21L).contains("\"all\""))
+    // restart: a fresh stream instance replays the seen set from the last
+    // compact entry + the deltas after it, NEVER the whole history
+    val restarted = new KeyedLogMicroBatchStream(dir, schema, Array.empty, conf, ckpt)
+    assert(restarted.ledger.latestVersion === 24L)
+    assert(restarted.ledger.replayReads <= KeyedLogSeenLog.CompactInterval + 1,
+      s"restart replayed ${restarted.ledger.replayReads} entries (unbounded?)")
+    assert(restarted.latestOffset() === KeyedLogVersionOffset(24L)) // nothing re-read
+    // a version-range batch plans exactly the files first seen in-window
+    val parts = restarted.planInputPartitions(
+      KeyedLogVersionOffset(20L), KeyedLogVersionOffset(24L))
+    val planned = parts.flatMap(_.asInstanceOf[KeyedLogPartition].files).toSeq
+    assert(planned.map(f => new java.io.File(f).getName).sorted ===
+      (21 to 24).map(i => f"f$i%03d.log"))
+    // legacy full-file-list offset still accepted as a restart's range START
+    val legacy = restarted.deserializeOffset(
+      KeyedLogOffset(planned.take(2)).json()).asInstanceOf[KeyedLogOffset]
+    val migrated = restarted.planInputPartitions(legacy, KeyedLogVersionOffset(24L))
+      .flatMap(_.asInstanceOf[KeyedLogPartition].files)
+    assert(migrated.map(f => new java.io.File(f).getName).sorted ===
+      (0 to 24).map(i => f"f$i%03d.log").diff(
+        legacy.files.map(f => new java.io.File(f).getName)),
+      "legacy offset migration must read exactly the not-yet-seen files")
   }
 
   test("checkpointed restart resumes from a multi-file offset") {
