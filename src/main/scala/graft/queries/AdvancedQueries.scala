@@ -348,15 +348,24 @@ object AdvancedQueries extends QueryModule {
     //     per-flag distinct estimates — the pre-aggregated sketch-table
     //     pattern that lets a 100 TB corpus answer distinct-count queries
     //     from a tiny sketch table instead of rescanning raw data. Sketch
-    //     bytes are implementation-seeded -> no SQL oracle; the estimate is
-    //     accuracy-bounded against exact distinct in FunctionsSpec ---
+    //     bytes are implementation-seeded, so the gate row carries the
+    //     EXACT distinct count bit-exactly plus an in-query boolean holding
+    //     the merged estimate to 2% (lgConfigK=16 -> 0.4% RSE, a 5-sigma
+    //     margin; the oracle replays TRUE, so a drifting estimate FAILS the
+    //     hash gate). Quantitative accuracy also asserted in FunctionsSpec ---
     "q57_hll_sketch" -> { (s, d) =>
       val daily = Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"), col("l_shipdate"))
-        .agg(hll_sketch_agg(col("l_partkey")).as("sk"))
+        .agg(hll_sketch_agg(col("l_partkey"), 16).as("sk"))
+      val exact = Tables.lineitem(s, d).groupBy("l_returnflag")
+        .agg(countDistinct(col("l_partkey")).as("exact_parts"))
       daily.groupBy("l_returnflag")
-        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_parts"),
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"),
           count(lit(1)).as("n_partial_sketches"))
+        .join(exact, "l_returnflag")
+        .select(col("l_returnflag"), col("exact_parts"), col("n_partial_sketches"),
+          (abs(col("est") - col("exact_parts")) <=
+            greatest(lit(2), col("exact_parts") * lit(0.02))).as("est_within_2pct"))
         .orderBy("l_returnflag")
     },
 
@@ -515,6 +524,15 @@ object AdvancedQueries extends QueryModule {
            UNION ALL SELECT '2_click', user_id FROM c
            UNION ALL SELECT '3_purchase', user_id FROM p)
          GROUP BY stage ORDER BY stage""",
+
+    // sketch bytes are engine-specific: the gate checks the exact distinct
+    // count and partial-sketch count bit-exactly, and the merged HLL
+    // estimate via the Spark-side 2% bound (TRUE here)
+    "q57_hll_sketch" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
+           count(DISTINCT l_shipdate) AS n_partial_sketches,
+           TRUE AS est_within_2pct
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
 
     // exact-mode envelope: valid while per-pair distinct l_partkey <= 2^16
     // (holds at every gate SF; see the q58 comment)

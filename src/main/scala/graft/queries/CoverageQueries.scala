@@ -488,14 +488,28 @@ object CoverageQueries extends QueryModule {
         .orderBy("quartile")
     },
 
-    // --- approximate aggregates (HLL++/quantile sketch): rows-only check;
-    //     accuracy asserted in ApproxSpec against exact values ---
+    // --- approximate aggregates (HLL++/quantile sketch), ORACLE-CHECKED:
+    //     sketch outputs differ across engines, so the gate row carries the
+    //     EXACT aggregates bit-exactly plus in-query booleans asserting the
+    //     approximations' error bounds (HLL++ within its 5% default rsd;
+    //     the approx median between the exact 48th and 52nd percentiles —
+    //     far looser than percentile_approx's n/10000 rank guarantee). The
+    //     oracle replays the exact columns and TRUE for the bounds, so a
+    //     drifting sketch FAILS the hash gate; quantitative accuracy is
+    //     additionally asserted in FunctionsSpec ---
     "q28_approx_aggs" -> { (s, d) =>
       Tables.lineitem(s, d)
         .groupBy("l_returnflag")
         .agg(
-          approx_count_distinct(col("l_partkey")).as("approx_parts"),
-          percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("approx_median"))
+          countDistinct(col("l_partkey")).as("exact_parts"),
+          approx_count_distinct(col("l_partkey")).as("approx_raw"),
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("apx_med"),
+          expr("percentile(l_extendedprice, 0.48)").as("p48"),
+          expr("percentile(l_extendedprice, 0.52)").as("p52"))
+        .select(col("l_returnflag"), col("exact_parts"),
+          (abs(col("approx_raw") - col("exact_parts")) <=
+            col("exact_parts") * lit(0.05)).as("approx_parts_ok"),
+          col("apx_med").between(col("p48"), col("p52")).as("approx_median_ok"))
         .orderBy("l_returnflag")
     },
 
@@ -849,8 +863,13 @@ object CoverageQueries extends QueryModule {
                FROM customer)
          GROUP BY quartile ORDER BY quartile""",
 
-    // q28_approx_aggs: intentionally no oracle (sketch implementations
-    // differ across engines); accuracy bounded in ApproxSpec
+    // sketch values themselves are engine-specific: the gate checks the
+    // exact aggregates bit-exactly and the accuracy bounds as booleans
+    // computed Spark-side (TRUE here; a drifting sketch hash-mismatches)
+    "q28_approx_aggs" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
+           TRUE AS approx_parts_ok, TRUE AS approx_median_ok
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
 
     "q29_map_funcs" ->
       """SELECT p_partkey, p_brand AS brand, 'brand' AS first_key,
