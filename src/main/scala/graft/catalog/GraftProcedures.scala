@@ -45,14 +45,15 @@ private[catalog] object GraftProcedures {
     if (!(ident.namespace().length == 1 &&
         ident.namespace()(0).equalsIgnoreCase("system"))) return None
     ident.name().toLowerCase match {
-      case "compact"  => Some(new CompactProcedure(catalog))
-      case "vacuum"   => Some(new VacuumProcedure(catalog))
-      case "rollback" => Some(new RollbackProcedure(catalog))
-      case _          => None
+      case "compact"        => Some(new CompactProcedure(catalog))
+      case "vacuum"         => Some(new VacuumProcedure(catalog))
+      case "rollback"       => Some(new RollbackProcedure(catalog))
+      case "register_files" => Some(new RegisterFilesProcedure(catalog))
+      case _                => None
     }
   }
 
-  val names: Seq[String] = Seq("compact", "vacuum", "rollback")
+  val names: Seq[String] = Seq("compact", "vacuum", "rollback", "register_files")
 
   /** Resolve a procedure's `'db.t'` argument against the catalog. */
   private def target(catalog: GraftCatalog, table: String): (String, String, Option[GraftCatalog.Bucketing]) = {
@@ -131,6 +132,36 @@ private[catalog] object GraftProcedures {
       result(
         StructType(Seq(StructField("pools_removed", IntegerType, nullable = false))),
         removed)
+    }
+  }
+
+  /** `CALL g.system.register_files('db.t' [, pattern => '*.parquet'])` —
+    * bulk-import: adopt parquet files placed under the table directory by
+    * external means into the manifest as ONE append commit, no rewrite
+    * (the CONVERT-TO-DELTA migration path; see
+    * [[ManifestTable.registerFiles]] for scope/safety rules). Rejected on
+    * bucketed tables: adopted files carry no bucket tag and would silently
+    * demote every storage-partitioned plan — rewrite through INSERT (or
+    * register into a plain table and compact into a bucketed one). */
+  private final class RegisterFilesProcedure(catalog: GraftCatalog) extends ManifestProcedure {
+    override def name(): String = "register_files"
+    override def description(): String =
+      "adopt pre-existing parquet files under the table directory into the manifest without rewrite"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("pattern", StringType).defaultValue("'*.parquet'").build())
+    override def call(input: InternalRow): JIterator[Scan] = {
+      val (dir, bucket) = manifestTarget(catalog, input.getString(0), "register_files")
+      require(bucket.isEmpty,
+        "register_files applies to plain manifest tables only — adopted files carry " +
+          "no bucket tag and would demote the table's storage-partitioned layout")
+      val (version, added) = ManifestTable.registerFiles(
+        SparkSession.active, dir, input.getString(1))
+      result(
+        StructType(Seq(
+          StructField("table_version", LongType, nullable = false),
+          StructField("files_added", LongType, nullable = false))),
+        version, added.length.toLong)
     }
   }
 

@@ -431,6 +431,62 @@ object ManifestTable {
     commitLoop(dir) { _ => Some(Snapshot(target)) }
   }
 
+  /** Adopt pre-existing parquet files into the table WITHOUT rewriting
+    * them — the migration path into the format (CONVERT-TO-DELTA
+    * analogue): place files under the table directory by any external
+    * means (distcp, a legacy pipeline's output, a plain
+    * `df.write.parquet`), then register them as one append commit.
+    *
+    * Scope: every `.parquet` file under `dir` whose NAME matches `glob`,
+    * recursively, EXCLUDING hidden files/dirs (`_`/`.` — the commit log
+    * itself lives there) and manifest-managed pool directories (their
+    * files are already owned by commits, present or vacuumed; adopting a
+    * pool file would resurrect vacuum-fodder). Files already referenced
+    * by ANY surviving version are skipped, so the call is idempotent and
+    * safe to re-run after partial migrations.
+    *
+    * Column-name drift against the current snapshot fails loudly BEFORE
+    * committing (footer-only reads — no data scan): silently merging a
+    * mis-shaped import is how a lake gets poisoned. The commit itself is
+    * a pure O(delta) append through the optimistic loop.
+    *
+    * Returns (committedVersion, adoptedRelativePaths) — `currentVersion`
+    * (or -1 on an empty log) with an empty list when nothing new matched. */
+  def registerFiles(spark: SparkSession, dir: String,
+                    glob: String = "*.parquet"): (Long, Seq[String]) = {
+    val fs = LakeStorage.openFor(dir)
+    val base = new Path(dir)
+    require(fs.exists(base), s"register_files: no such table directory $dir")
+    val nameMatcher = java.nio.file.FileSystems.getDefault
+      .getPathMatcher("glob:" + glob)
+    val found = scala.collection.mutable.Buffer.empty[String]
+    def walk(p: Path, rel: String): Unit = fs.listStatus(p).foreach { st =>
+      val name = st.getPath.getName
+      if (!name.startsWith("_") && !name.startsWith(".")) {
+        if (st.isDirectory) {
+          if (!name.startsWith(DataDirPrefix)) walk(st.getPath, s"$rel$name/")
+        } else if (name.endsWith(".parquet") &&
+            nameMatcher.matches(java.nio.file.Paths.get(name))) {
+          found += s"$rel$name"
+        }
+      }
+    }
+    walk(base, "")
+    val fresh = found.toSeq.filterNot(allReferencedFiles(dir)).sorted
+    if (fresh.isEmpty) return (currentVersion(dir).getOrElse(-1L), Seq.empty)
+    currentVersion(dir).map(manifest(dir, _)).filter(_.nonEmpty).foreach { live =>
+      val tableCols = spark.read.parquet(live.map(f => s"$dir/$f"): _*)
+        .schema.fieldNames.toSet
+      val newCols = spark.read.parquet(fresh.map(f => s"$dir/$f"): _*)
+        .schema.fieldNames.toSet
+      require(newCols == tableCols,
+        s"register_files: adopted files' columns ${newCols.toSeq.sorted.mkString(",")} " +
+          s"do not match the table's ${tableCols.toSeq.sorted.mkString(",")} — " +
+          "fix the import (or evolve the table schema first), nothing was committed")
+    }
+    (commitStagedAppend(dir, fresh), fresh)
+  }
+
   /** [[compact]] for BUCKET-CLUSTERED tables: the rewrite re-stages the
     * snapshot through the bucketed pool writer (hash-repartition on
     * `keyCol` into `numBuckets`), so compaction never demotes a bucketed

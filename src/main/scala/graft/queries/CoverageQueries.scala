@@ -375,6 +375,47 @@ object CoverageQueries extends QueryModule {
         .orderBy("_change_type")
     },
 
+    // --- bulk import (catalog/GraftProcedures register_files): an
+    //     external writer drops plain parquet under the table location,
+    //     CALL register_files adopts it as ONE append commit — no rewrite
+    //     (the CONVERT-TO-DELTA migration path). The second CALL proves
+    //     idempotency (0 files added); VERSION AS OF 1 proves history is
+    //     intact (time travel reads the pre-adoption snapshot) ---
+    "qc28_register_files" -> { (s, d) =>
+      import s.implicits._
+      if (s.conf.getOption("spark.sql.catalog.graft_cat").isEmpty)
+        graft.catalog.GraftCatalog.register(s, "graft_cat",
+          graft.core.TempDirs.create("graft_cat_root_"))
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.db")
+      s.sql("DROP TABLE IF EXISTS graft_cat.db.adopt")
+      val dir = graft.core.TempDirs.create("graft_adopt_")
+      Tables.documents(s, d).createOrReplaceTempView("qc28_documents")
+      s.sql("CREATE TABLE graft_cat.db.adopt " +
+        s"(doc_id BIGINT, lang STRING, n_chars BIGINT) USING manifest LOCATION '$dir'")
+      s.sql("INSERT INTO graft_cat.db.adopt SELECT doc_id, lang, n_chars " +
+        "FROM qc28_documents WHERE doc_id % 2 = 0")                     // v1
+      // legacy files land OUTSIDE the commit protocol (plain parquet
+      // writes into subdirs of the table location) — invisible until
+      // registered; coalesce(1) pins one file per import for the oracle
+      val legacy = Tables.documents(s, d).select("doc_id", "lang", "n_chars")
+      legacy.filter(col("doc_id") % 4 === 1).coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/import1")
+      legacy.filter(col("doc_id") % 4 === 3).coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/import2")
+      val rowsBefore = s.sql("SELECT count(*) FROM graft_cat.db.adopt").head().getLong(0)
+      val reg = s.sql("CALL graft_cat.system.register_files('db.adopt')").head() // v2
+      val rerun = s.sql("CALL graft_cat.system.register_files('db.adopt')").head()
+      val after = s.sql("SELECT count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS c " +
+        "FROM graft_cat.db.adopt").head()
+      val travel = s.sql(
+        "SELECT count(*) FROM graft_cat.db.adopt VERSION AS OF 1").head().getLong(0)
+      Seq((reg.getLong(0), reg.getLong(1), rerun.getLong(1),
+          rowsBefore, travel, after.getLong(0), after.getLong(1)))
+        .toDF("version_after_adopt", "files_adopted", "files_adopted_rerun",
+          "rows_before_adopt", "rows_v1_time_travel", "rows_after_adopt",
+          "chars_after_adopt")
+    },
+
     // --- metadata tables (catalog/MetadataTables): t.history / t.files
     //     — one row per committed version / per current-snapshot file,
     //     derived purely from commit markers + file status (the DESCRIBE
@@ -769,6 +810,17 @@ object CoverageQueries extends QueryModule {
          SELECT 'insert', count(*),
            CAST(sum(n_chars) + 1000 * count(*) AS BIGINT) FROM documents
          ORDER BY _change_type""",
+
+    // adoption commits the even-doc INSERT (v1) plus two one-file imports
+    // of the doc_id%4==1 and %4==3 slices (v2); the rerun adopts nothing
+    "qc28_register_files" ->
+      """SELECT CAST(2 AS BIGINT) AS version_after_adopt,
+           CAST(2 AS BIGINT) AS files_adopted,
+           CAST(0 AS BIGINT) AS files_adopted_rerun,
+           (SELECT count(*) FROM documents WHERE doc_id % 2 = 0) AS rows_before_adopt,
+           (SELECT count(*) FROM documents WHERE doc_id % 2 = 0) AS rows_v1_time_travel,
+           (SELECT count(*) FROM documents) AS rows_after_adopt,
+           CAST((SELECT sum(n_chars) FROM documents) AS BIGINT) AS chars_after_adopt""",
 
     "qc26_incremental_read" ->
       """SELECT lang, count(*) AS n_new,

@@ -179,10 +179,59 @@ class CatalogProcedureSpec extends AnyFunSuite {
     assert(props("graft.location").endsWith("/db/props"))
   }
 
+  test("CALL register_files adopts only unmanaged matching parquet, safely") {
+    ensureDb()
+    spark.sql("CREATE TABLE gp.db.adopt (id BIGINT, v STRING) USING manifest")
+    spark.sql("INSERT INTO gp.db.adopt SELECT id, CAST(id AS STRING) FROM range(10)")
+    val dir = dataDir("adopt")
+    // an external import, a hidden dir (never a candidate), and a
+    // schema-drifted stray
+    spark.range(5).selectExpr("id + 100 AS id", "CAST(id AS STRING) AS v")
+      .coalesce(1).write.parquet(s"$dir/import")
+    spark.range(3).selectExpr("id AS wrong_col")
+      .coalesce(1).write.parquet(s"$dir/_hidden")
+    spark.range(2).selectExpr("id AS not_the_schema")
+      .coalesce(1).write.parquet(s"$dir/bad")
+    // drifted columns fail LOUDLY and commit NOTHING
+    val drift = intercept[Exception] {
+      spark.sql("CALL gp.system.register_files('db.adopt')").collect()
+    }
+    assert(drift.getMessage.contains("register_files") &&
+      drift.getMessage.contains("not_the_schema"))
+    assert(spark.sql("SELECT count(*) FROM gp.db.adopt").head().getLong(0) === 10L,
+      "failed registration must commit nothing")
+    val fsDir = new java.io.File(new java.net.URI(s"$dir/bad"))
+    fsDir.listFiles().foreach(_.delete()); fsDir.delete()
+    // clean import adopts exactly import/'s one file (hidden dir skipped)
+    val reg = spark.sql("CALL gp.system.register_files('db.adopt')").head()
+    assert(reg.getLong(1) === 1L, s"expected 1 adopted file, got $reg")
+    assert(spark.sql("SELECT count(*) FROM gp.db.adopt").head().getLong(0) === 15L)
+    // idempotent rerun: already-referenced files are never re-adopted
+    assert(spark.sql("CALL gp.system.register_files('db.adopt')").head().getLong(1) === 0L)
+    // the name pattern scopes adoption (root-level legacy files)
+    val src = new java.io.File(new java.net.URI(s"$dir/import"))
+      .listFiles().filter(_.getName.endsWith(".parquet")).head.toPath
+    java.nio.file.Files.copy(src, new java.io.File(
+      new java.net.URI(s"$dir/legacy-a.parquet")).toPath)
+    java.nio.file.Files.copy(src, new java.io.File(
+      new java.net.URI(s"$dir/legacy-b.parquet")).toPath)
+    val scoped = spark.sql(
+      "CALL gp.system.register_files('db.adopt', pattern => 'legacy-a*')").head()
+    assert(scoped.getLong(1) === 1L, s"pattern must scope adoption: $scoped")
+    assert(spark.sql("SELECT count(*) FROM gp.db.adopt").head().getLong(0) === 20L)
+    // bucketed tables refuse adoption (would demote the SPJ layout)
+    spark.sql("""CREATE TABLE gp.db.adoptb (k BIGINT, v STRING) USING manifest
+                 PARTITIONED BY (bucket(4, k))""")
+    val e = intercept[Exception] {
+      spark.sql("CALL gp.system.register_files('db.adoptb')").collect()
+    }
+    assert(e.getMessage.contains("bucket"))
+  }
+
   test("procedures are discoverable and argument errors are loud") {
     ensureDb()
     val procs = spark.sql("SHOW PROCEDURES IN gp.system").collect().map(_.getString(3))
-    assert(procs.toSet === Set("compact", "vacuum", "rollback"))
+    assert(procs.toSet === Set("compact", "vacuum", "rollback", "register_files"))
     val e = intercept[Exception] {
       spark.sql("CALL gp.system.nope('db.t')").collect()
     }
