@@ -106,6 +106,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           meta.bucket.map(b => s"bucket(${b.n}, ${b.col})")))
         case "history" if meta.provider == "manifest" =>
           Some(MetadataTables.history(dataDir))
+        case "history" if meta.provider == "keyedlog" =>
+          Some(MetadataTables.keyedLogHistory(dataDir))
         case "files" if meta.provider == "manifest" =>
           Some(MetadataTables.files(dataDir))
         case "changes" if meta.provider == "manifest" =>

@@ -95,6 +95,31 @@ object MetadataTables {
       }
     })
 
+  val KeyedLogHistorySchema: StructType = StructType(Seq(
+    StructField("version", LongType, nullable = false),
+    StructField("committed_at", TimestampType, nullable = false),
+    StructField("added_files", LongType, nullable = false),
+    StructField("added_bytes", LongType, nullable = false)))
+
+  /** `t.history` for KEYEDLOG tables: one row per commit-journal version
+    * (see [[graft.sources.KeyedLogVersionLog]]) — what each batch job or
+    * streaming epoch added. Bytes count only files still present (a
+    * compaction swaps the data out from under old journal entries; their
+    * rows remain as history with zero surviving bytes). */
+  def keyedLogHistory(dir: String): Table =
+    new VirtualRowsTable(s"history($dir)", KeyedLogHistorySchema, () => {
+      val conf = graft.sources.KeyedLogConf.capture()
+      val fs = LakeStorage.openFor(dir)
+      graft.sources.KeyedLogVersionLog.versions(dir, conf).map { v =>
+        val names = graft.sources.KeyedLogVersionLog.read(dir, conf, v)
+        val present = names.map(new Path(dir, _)).filter(fs.exists)
+        val mtime = fs.getFileStatus(
+          new Path(dir, f"_klogv_$v%020d")).getModificationTime
+        Array[Any](v, mtime * 1000L, names.length.toLong,
+          present.map(fs.getFileStatus(_).getLen).sum)
+      }
+    })
+
   val DetailSchema: StructType = StructType(Seq(
     StructField("provider", StringType, nullable = false),
     StructField("location", StringType, nullable = false),

@@ -106,13 +106,26 @@ object LakeCompaction {
     spark.read.format("graft.sources.KeyedLogSource").load(dir)
       .write.format("graft.sources.KeyedLogSource")
       .option("clusterByKey", "true").mode(SaveMode.Append).save(tmp.toString)
-    // carry metadata (e.g. the catalog's _graft_table.json descriptor)
-    // into the compacted dir — the swap must replace DATA, not identity
+    // the rewrite's own commit journaled the compacted files as the tmp
+    // dir's version 0 — drop that: the journal entry must continue the
+    // TABLE's version line, which is carried over next
+    val conf = graft.sources.KeyedLogConf.capture()
+    val compactedNames = fs.listStatus(tmp).filter(dataFile).map(_.getPath.getName).toSeq
+    fs.listStatus(tmp).filter(s => s.isFile && s.getPath.getName.startsWith("_klogv_"))
+      .foreach(s => fs.delete(s.getPath, false))
+    // carry metadata (e.g. the catalog's _graft_table.json descriptor and
+    // the commit journal) into the compacted dir — the swap must replace
+    // DATA, not identity
     fs.listStatus(path).filterNot(dataFile).filter(_.isFile).foreach { s =>
       if (!fs.rename(s.getPath, new org.apache.hadoop.fs.Path(tmp, s.getPath.getName)))
         throw new IllegalStateException(
           s"compaction: failed to carry ${s.getPath.getName} into the compacted dir")
     }
+    // journal the compaction as the NEXT table version holding the whole
+    // compacted file set — the manifest-CDC rewrite contract: incremental
+    // consumers past this version see the rewritten rows again (upsert
+    // semantics); cursors into the pre-compaction file names fail loudly
+    graft.sources.KeyedLogVersionLog.commit(tmp.toString, conf, compactedNames)
     swapDirs(fs, path, tmp)
     val after = fs.listStatus(path).count(dataFile)
     (before.toLong, after.toLong)

@@ -343,6 +343,32 @@ object AdvancedQueries extends QueryModule {
         GROUP BY c.lang ORDER BY c.lang""")
     },
 
+    // --- keyedlog CDC (sources/KeyedLogVersionLog): the commit journal
+    //     gives the append-only log format the same incremental-read
+    //     surface manifest tables have — each SQL INSERT (or streaming
+    //     epoch) journals one version; start_version serves exactly the
+    //     files later commits added; t.history lists the journal ---
+    "qk04_keyedlog_cdc" -> { (s0, d) =>
+      val s = s0.newSession()
+      graft.catalog.GraftCatalog.register(s, "graft_kc",
+        graft.core.TempDirs.create("graft_kc_root_"))
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_kc.db")
+      Tables.documents(s, d).createOrReplaceTempView("qk04_documents")
+      s.sql("CREATE TABLE graft_kc.db.activity (key STRING, seq BIGINT, metric BIGINT) " +
+        "USING keyedlog")
+      s.sql("INSERT INTO graft_kc.db.activity " +
+        "SELECT lang, doc_id, n_chars FROM qk04_documents WHERE doc_id % 2 = 0") // journal v0
+      s.sql("INSERT INTO graft_kc.db.activity " +
+        "SELECT lang, doc_id, n_chars FROM qk04_documents WHERE doc_id % 2 = 1") // journal v1
+      val versions = s.sql(
+        "SELECT count(*) FROM graft_kc.db.activity.history").head().getLong(0)
+      s.read.option("start_version", "0").table("graft_kc.db.activity")
+        .groupBy("key")
+        .agg(count(lit(1)).as("n_new"), sum("metric").as("new_chars"))
+        .withColumn("journal_versions", lit(versions))
+        .orderBy("key")
+    },
+
     // --- mergeable HLL sketches (Apache DataSketches via Spark 4 built-ins):
     //     build per-(flag, shipdate) PARTIAL sketches, then union-merge to
     //     per-flag distinct estimates — the pre-aggregated sketch-table
@@ -524,6 +550,15 @@ object AdvancedQueries extends QueryModule {
            UNION ALL SELECT '2_click', user_id FROM c
            UNION ALL SELECT '3_purchase', user_id FROM p)
          GROUP BY stage ORDER BY stage""",
+
+    // journal v0 = the even-doc insert, v1 = the odd-doc insert; the
+    // start_version=0 window is exactly the second insert's rows
+    "qk04_keyedlog_cdc" ->
+      """SELECT lang AS key, count(*) AS n_new,
+           CAST(sum(n_chars) AS BIGINT) AS new_chars,
+           CAST(2 AS BIGINT) AS journal_versions
+         FROM documents WHERE doc_id % 2 = 1
+         GROUP BY lang ORDER BY key""",
 
     // sketch bytes are engine-specific: the gate checks the exact distinct
     // count and partial-sketch count bit-exactly, and the merged HLL

@@ -141,8 +141,18 @@ class KeyedLogTable(path: String, bucketN: Option[Int] = None)
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.MICRO_BATCH_READ, TableCapability.STREAMING_WRITE)
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new KeyedLogScanBuilder(Option(options.get("path")).getOrElse(path), bucketN)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // incremental (CDC-style) reads over the commit journal:
+    // .option("start_version", v) serves only files journaled AFTER v
+    // (optionally capped by end_version) — the manifest-diff contract
+    val window = Option(options.get("start_version")).map { s =>
+      val from = java.lang.Long.parseLong(s)
+      (from, Option(options.get("end_version")).map(java.lang.Long.parseLong(_)))
+    }
+    require(window.isDefined || !options.containsKey("end_version"),
+      "keyed_log: end_version without start_version — pass both (or neither)")
+    new KeyedLogScanBuilder(Option(options.get("path")).getOrElse(path), bucketN, window)
+  }
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(info.schema().fieldNames.sameElements(KeyedLogSource.schema.fieldNames),
       s"keyed_log write schema must be (key, seq, metric); got ${info.schema().simpleString}")
@@ -201,19 +211,111 @@ case class KeyedLogBatchWrite(path: String, queryId: String,
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     if (clustered) KeyedLogClusteredWriterFactory(path, queryId, conf)
     else KeyedLogWriterFactory(path, queryId, conf)
-  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+  override def commit(messages: Array[WriterCommitMessage]): Unit =
+    KeyedLogVersionLog.commit(path, conf,
+      messages.toSeq.collect { case KeyedLogCommit(names) => names }.flatten)
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     KeyedLogSource.deleteCommitted(path, conf, messages)
 }
 
 case class KeyedLogCommit(fileNames: Seq[String]) extends WriterCommitMessage
 
+/** Commit JOURNAL for keyed-log dirs: one hidden marker (`_klogv_<v>`,
+  * single-line JSON array of file NAMES) per successful write commit —
+  * batch job, or streaming epoch. Data files are still made visible by
+  * the task-level staged renames (readers never need the journal); the
+  * journal adds the VERSION dimension on top: incremental (CDC-style)
+  * reads via the `start_version`/`end_version` scan options and the
+  * catalog's `t.history` serve exactly the files a commit window added,
+  * the same manifest-diff contract manifest tables have. Writers that
+  * predate the journal (or drop files by hand) simply have unjournaled
+  * files: full scans see them, version windows don't. Markers are
+  * appended with the same optimistic create-next-version loop the
+  * manifest uses, so concurrent committers serialize; a replayed
+  * streaming epoch re-commits the same file names and is deduplicated to
+  * a no-op (exactly-once journaling on top of replace-on-retry files). */
+private[graft] object KeyedLogVersionLog {
+  private val Prefix = "_klogv_"
+  private def name(v: Long): String = f"$Prefix$v%020d"
+
+  def versions(path: String,
+               conf: org.apache.spark.util.SerializableConfiguration): Seq[Long] = {
+    val base = new Path(path)
+    val fs = base.getFileSystem(conf.value)
+    if (!fs.exists(base)) return Seq.empty
+    fs.listStatus(base).iterator.map(_.getPath.getName)
+      .filter(_.startsWith(Prefix)).map(_.stripPrefix(Prefix))
+      .filter(s => s.nonEmpty && s.forall(_.isDigit)).map(_.toLong).toSeq.sorted
+  }
+
+  /** File names first journaled in versions (startExclusive, endInclusive];
+    * endInclusive None = the journal head. */
+  def filesInWindow(path: String,
+                    conf: org.apache.spark.util.SerializableConfiguration,
+                    startExclusive: Long,
+                    endInclusive: Option[Long]): Seq[String] = {
+    val vs = versions(path, conf)
+    val end = endInclusive.getOrElse(vs.lastOption.getOrElse(-1L))
+    vs.filter(v => v > startExclusive && v <= end).flatMap(read(path, conf, _))
+  }
+
+  def read(path: String, conf: org.apache.spark.util.SerializableConfiguration,
+           v: Long): Seq[String] = {
+    val fs = new Path(path).getFileSystem(conf.value)
+    val in = fs.open(new Path(path, name(v)))
+    val text = try {
+      val bytes = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, bytes, 8192, false)
+      new String(bytes.toByteArray, "UTF-8")
+    } finally in.close()
+    org.json4s.jackson.JsonMethods.parse(text) match {
+      case org.json4s.JArray(items) => items.map {
+        case org.json4s.JString(s) => s
+        case other => throw new IllegalStateException(
+          s"corrupt keyed_log journal marker v$v: non-string element $other")
+      }
+      case other => throw new IllegalStateException(
+        s"corrupt keyed_log journal marker v$v: expected array, got $other")
+    }
+  }
+
+  /** Journal `fileNames` as the next version. Names already journaled by
+    * ANY version are dropped first (epoch-replay dedup); an all-dropped or
+    * empty commit journals nothing and returns None. */
+  def commit(path: String,
+             conf: org.apache.spark.util.SerializableConfiguration,
+             fileNames: Seq[String]): Option[Long] = {
+    val fs = new Path(path).getFileSystem(conf.value)
+    var attempt = 0
+    while (attempt < 20) {
+      val vs = versions(path, conf)
+      val seen = vs.flatMap(read(path, conf, _)).toSet
+      val fresh = fileNames.filterNot(seen).distinct.sorted
+      if (fresh.isEmpty) return None
+      val v = vs.lastOption.getOrElse(-1L) + 1L
+      val target = new Path(path, name(v))
+      val tmp = new Path(path, s".${name(v)}.tmp-${java.util.UUID.randomUUID()}")
+      val out = fs.create(tmp, true)
+      try out.write(org.json4s.jackson.JsonMethods.compact(
+        org.json4s.jackson.JsonMethods.render(
+          org.json4s.JArray(fresh.map(org.json4s.JString(_)).toList)))
+        .getBytes("UTF-8"))
+      finally out.close()
+      if (fs.rename(tmp, target)) return Some(v)
+      fs.delete(tmp, false) // lost the race: re-read, re-dedup, retry
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"keyed_log journal: lost the commit race 20 times under $path")
+  }
+}
+
 /** Hadoop-conf propagation: DSv2 plan nodes are built on the driver, so
   * capture the SESSION's Hadoop conf there (carrying `spark.hadoop.*`
   * overrides — s3a credentials, HA nameservices) and ship it to tasks;
   * a bare `new Configuration()` on an executor would see only
   * classpath defaults. */
-private[sources] object KeyedLogConf {
+private[graft] object KeyedLogConf {
   def capture(): org.apache.spark.util.SerializableConfiguration =
     new org.apache.spark.util.SerializableConfiguration(
       org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
@@ -232,7 +334,11 @@ case class KeyedLogStreamingWrite(path: String, queryId: String) extends Streami
   private val conf = KeyedLogConf.capture()
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
     KeyedLogStreamingWriterFactory(path, queryId, conf)
-  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+  // a REPLAYED epoch re-commits the same file names -> journal dedup
+  // makes this a no-op, keeping the journal exactly-once like the files
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    KeyedLogVersionLog.commit(path, conf,
+      messages.toSeq.collect { case KeyedLogCommit(names) => names }.flatten)
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
     KeyedLogSource.deleteCommitted(path, conf, messages)
 }
@@ -371,7 +477,8 @@ class KeyedLogClusteredWriter(dir: String, queryId: String, partitionId: Int,
   override def close(): Unit = ()
 }
 
-class KeyedLogScanBuilder(path: String, bucketN: Option[Int] = None) extends ScanBuilder
+class KeyedLogScanBuilder(path: String, bucketN: Option[Int] = None,
+    window: Option[(Long, Option[Long])] = None) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates {
   private var required: StructType = KeyedLogSource.schema
@@ -454,7 +561,7 @@ class KeyedLogScanBuilder(path: String, bucketN: Option[Int] = None) extends Sca
   }
 
   override def build(): Scan =
-    KeyedLogScan(path, agg.map(_.schema).getOrElse(required), pushed, agg, bucketN)
+    KeyedLogScan(path, agg.map(_.schema).getOrElse(required), pushed, agg, bucketN, window)
 }
 
 /** Pushed-aggregation spec shipped to the per-file readers. */
@@ -472,16 +579,29 @@ object KeyedLogAgg {
 case class KeyedLogScan(path: String, required: StructType,
                         pushed: Array[Filter],
                         agg: Option[KeyedLogAgg] = None,
-                        bucketN: Option[Int] = None) extends Scan with Batch
+                        bucketN: Option[Int] = None,
+                        window: Option[(Long, Option[Long])] = None) extends Scan with Batch
     with SupportsRuntimeFiltering with SupportsReportStatistics
     with SupportsReportPartitioning {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
   // one listing per scan: partition reporting and split planning must
-  // agree on the same file set even if writers race the query
-  @transient private lazy val allFiles: Array[String] =
-    KeyedLogSource.listDataFiles(path, conf)
+  // agree on the same file set even if writers race the query. With a
+  // version window, the set is the journal diff instead — a journaled
+  // file no longer present (compacted/vacuumed past the cursor) fails
+  // LOUDLY rather than silently dropping its rows from the change feed.
+  @transient private lazy val allFiles: Array[String] = window match {
+    case None => KeyedLogSource.listDataFiles(path, conf)
+    case Some((from, to)) =>
+      val listed = KeyedLogSource.listDataFiles(path, conf)
+        .map(f => new Path(f).getName -> f).toMap
+      KeyedLogVersionLog.filesInWindow(path, conf, from, to).map { n =>
+        listed.getOrElse(n, throw new IllegalStateException(
+          s"keyed_log incremental read: journaled file $n is gone (compacted " +
+            "past your cursor?) — restart from a full scan"))
+      }.sorted.toArray
+  }
 
   /** Per-key file groups of a FULLY CLUSTERED dir (every data file named
     * by the clustered writer), sorted null-key-first — None when any

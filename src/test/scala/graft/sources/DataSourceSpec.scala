@@ -286,6 +286,41 @@ class DataSourceSpec extends AnyFunSuite {
       "legacy offset migration must read exactly the not-yet-seen files")
   }
 
+  test("commit journal: one version per write, windowed incremental reads") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_klog_jrnl_").toString
+    def write(rows: Seq[(String, Long, Long)]): Unit =
+      rows.toDF("key", "seq", "metric").coalesce(1)
+        .write.format("graft.sources.KeyedLogSource").mode("append").save(dir)
+    write(Seq(("en", 1L, 10L), ("de", 2L, 20L)))  // journal v0
+    write(Seq(("fr", 3L, 30L)))                   // journal v1
+    write(Seq(("en", 4L, 40L)))                   // journal v2
+    val conf = KeyedLogConf.capture()
+    assert(KeyedLogVersionLog.versions(dir, conf) === Seq(0L, 1L, 2L))
+    def readWindow(opts: (String, String)*) = {
+      val r = spark.read.format("graft.sources.KeyedLogSource")
+      opts.foreach { case (k, v) => r.option(k, v) }
+      r.load(dir).collect().map(x => (x.getString(0), x.getLong(1))).toSet
+    }
+    assert(readWindow() === Set(("en", 1L), ("de", 2L), ("fr", 3L), ("en", 4L)))
+    assert(readWindow("start_version" -> "0") === Set(("fr", 3L), ("en", 4L)))
+    assert(readWindow("start_version" -> "0", "end_version" -> "1") === Set(("fr", 3L)))
+    assert(readWindow("start_version" -> "-1", "end_version" -> "0") ===
+      Set(("en", 1L), ("de", 2L)))
+    // journaling is exactly-once: re-committing the same file names (an
+    // epoch replay) journals nothing
+    val v0names = KeyedLogVersionLog.read(dir, conf, 0L)
+    assert(KeyedLogVersionLog.commit(dir, conf, v0names) === None)
+    assert(KeyedLogVersionLog.versions(dir, conf) === Seq(0L, 1L, 2L))
+    // a journaled file that is GONE (compacted past the cursor) fails
+    // loudly instead of silently dropping rows from the change feed
+    Files.delete(java.nio.file.Paths.get(dir, KeyedLogVersionLog.read(dir, conf, 1L).head))
+    val e = intercept[Exception] { readWindow("start_version" -> "0") }
+    assert(e.getMessage.contains("journaled file"), s"wrong error: ${e.getMessage}")
+    // full scans are unaffected by journal gaps
+    assert(readWindow() === Set(("en", 1L), ("de", 2L), ("en", 4L)))
+  }
+
   test("checkpointed restart resumes from a multi-file offset") {
     val dir = Files.createTempDirectory("graft_klog_restart_").toString
     val ckpt = Files.createTempDirectory("graft_klog_restart_ckpt_").toString
