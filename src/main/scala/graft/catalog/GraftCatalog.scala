@@ -5,7 +5,7 @@ import java.util.{Map => JMap}
 import scala.jdk.CollectionConverters._
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.Transform
@@ -179,8 +179,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       require(schema.nonEmpty, "manifest tables need a declared schema (or use CTAS)")
     val location = Option(properties.get(TableCatalog.PROP_LOCATION))
     val dir = tableDir(ident)
-    val declared = if (provider == "keyedlog") KeyedLogSource.schema else schema
-    if (!writeMeta(dir, TableMeta(provider, declared, location, bucket)))
+    // manifest tables whose data this catalog owns from birth get COLUMN
+    // MAPPING: stable parquet field ids 1..n in the descriptor; files
+    // stamp them on write, reads resolve by id — renames become
+    // metadata-only. LOCATION tables adopt PRE-EXISTING data whose files
+    // carry no ids, so they stay name-resolved (and rename-rejecting) —
+    // declaring ids over id-less files would fail every read. keyedlog's
+    // fixed 3-column schema never alters; it stays unmapped too.
+    val mapped = provider == "manifest" && location.isEmpty
+    val declared =
+      if (provider == "keyedlog") KeyedLogSource.schema
+      else if (mapped) assignFieldIds(schema)
+      else schema
+    val maxId = if (mapped) Some(schema.length) else None
+    if (!writeMeta(dir, TableMeta(provider, declared, location, bucket, maxId)))
       throw new TableAlreadyExistsException((ident.namespace() :+ ident.name()).toSeq)
     tableFor(ident, asOf = None)
   }
@@ -267,8 +279,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val bucket = parseBucketing(ident, provider, partitions, schema)
     val location = Option(properties.get(TableCatalog.PROP_LOCATION))
     val dir = tableDir(ident)
+    // same mapping rule as createTable; a CTAS into an external LOCATION
+    // shares the dir with whatever id-less files already live there
+    val mapped = location.isEmpty
     new GraftStagedTable(this, ident, dir,
-      TableMeta(provider, schema, location, bucket), replace)
+      TableMeta(provider,
+        if (mapped) assignFieldIds(schema) else schema, location, bucket,
+        maxFieldId = if (mapped) Some(schema.length) else None), replace)
   }
 
   private[catalog] def commitStaged(ident: Identifier, dir: String,
@@ -300,20 +317,24 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   /** Schema evolution on manifest tables: ADD COLUMNS (nullable, appended
     * — existing files simply null-fill the new column on read, the
-    * parquet missing-column contract) and DROP COLUMN (reads prune it
-    * from files that still carry it; the data is untouched and stays
-    * reachable via VERSION AS OF through the pre-alter descriptor's
-    * column set? No — the descriptor is table-wide, so a drop hides the
-    * column for all versions; re-adding a dropped name with a DIFFERENT
-    * type is rejected at read time by parquet, the same caveat Delta has
-    * without column mapping). Renames are rejected: parquet resolves
-    * columns by name, so a rename would silently null out history. */
+    * parquet missing-column contract; mapped tables assign it the next
+    * never-used field id), DROP COLUMN (reads prune it from files that
+    * still carry it; the descriptor is table-wide, so a drop hides the
+    * column for all versions), and — on MAPPED tables (column mapping via
+    * parquet field ids, on for every table this catalog creates) —
+    * RENAME COLUMN as a METADATA-ONLY change: the descriptor's logical
+    * name moves while the field id stays, and every data file ever
+    * written resolves by id, history included. Tables predating mapping
+    * (descriptors without ids) keep the rename rejection: their files
+    * resolve by name, so a rename would silently null out history. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val dir = tableDir(ident)
     val meta = readMeta(dir).getOrElse(throw new NoSuchTableException(ident))
     require(meta.provider == "manifest",
       s"${ident.name()}: only manifest tables support ALTER TABLE")
     var schema = meta.schema
+    var maxId = meta.maxFieldId
+    var bucket = meta.bucket
     changes.foreach {
       case add: TableChange.AddColumn =>
         require(add.fieldNames.length == 1,
@@ -322,7 +343,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           s"${ident.name()}: added columns must be nullable — existing data files do not have them")
         require(!schema.fieldNames.contains(add.fieldNames.head),
           s"${ident.name()}: column ${add.fieldNames.head} already exists")
-        schema = schema.add(StructField(add.fieldNames.head, add.dataType, nullable = true))
+        val metadata = maxId match {
+          case Some(m) => // next NEVER-USED id — reusing a dropped one
+            // would resurrect the dropped column's bytes under this name
+            maxId = Some(m + 1)
+            new org.apache.spark.sql.types.MetadataBuilder()
+              .putLong(FieldIdKey, m + 1L).build()
+          case None => org.apache.spark.sql.types.Metadata.empty
+        }
+        schema = schema.add(StructField(add.fieldNames.head, add.dataType,
+          nullable = true, metadata))
       case del: TableChange.DeleteColumn =>
         require(del.fieldNames.length == 1,
           s"${ident.name()}: nested column drops are not supported")
@@ -334,13 +364,32 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         // the declared bucket column backs every INSERT/DML re-cluster
         // (stagePoolBucketed repartitions on it) — dropping it would leave
         // the table unwritable at runtime
-        require(!meta.bucket.map(_.col).contains(name),
+        require(!bucket.map(_.col).contains(name),
           s"${ident.name()}: cannot drop bucket column $name — the table is PARTITIONED BY (bucket(n, $name))")
         schema = StructType(schema.filterNot(_.name == name))
+      case ren: TableChange.RenameColumn =>
+        require(ren.fieldNames.length == 1,
+          s"${ident.name()}: nested column renames are not supported")
+        val from = ren.fieldNames.head
+        require(schema.fieldNames.contains(from),
+          s"${ident.name()}: no such column $from")
+        require(!schema.fieldNames.contains(ren.newName),
+          s"${ident.name()}: column ${ren.newName} already exists")
+        require(isMapped(schema) &&
+            schema.find(_.name == from).exists(_.metadata.contains(FieldIdKey)),
+          s"${ident.name()}: RENAME COLUMN needs column mapping (parquet field " +
+            "ids), which this table predates — its files resolve columns by " +
+            "name, so a rename would silently null out history. Recreate the " +
+            "table (CTAS) to get a mapped one")
+        schema = StructType(schema.map(f =>
+          if (f.name == from) f.copy(name = ren.newName) else f))
+        // a renamed bucket column keeps clustering: the transform follows
+        bucket = bucket.map(b => if (b.col == from) b.copy(col = ren.newName) else b)
       case other => throw new UnsupportedOperationException(
-        s"catalog $catalogName supports ALTER TABLE ADD COLUMNS / DROP COLUMN; got $other")
+        s"catalog $catalogName supports ALTER TABLE ADD COLUMNS / DROP COLUMN " +
+          s"/ RENAME COLUMN; got $other")
     }
-    replaceMeta(dir, meta.copy(schema = schema))
+    replaceMeta(dir, meta.copy(schema = schema, bucket = bucket, maxFieldId = maxId))
     tableFor(ident, asOf = None)
   }
 
@@ -396,6 +445,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val dir = tableDir(ident)
     val meta = readMeta(dir).getOrElse(throw new NoSuchTableException(ident))
     (meta.provider, meta.location.getOrElse(dir), meta.bucket)
+  }
+
+  /** Full descriptor + data dir — for procedures that need the schema
+    * (register_files checks the column-mapping state). */
+  private[catalog] def procedureMeta(ident: Identifier): (GraftCatalog.TableMeta, String) = {
+    val dir = tableDir(ident)
+    val meta = readMeta(dir).getOrElse(throw new NoSuchTableException(ident))
+    (meta, meta.location.getOrElse(dir))
   }
 
   // ---- namespaces ----
@@ -467,7 +524,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         throw new IllegalStateException(s"$p: missing schema"))).asInstanceOf[StructType],
       location = str("location"),
       bucket = for (n <- num("bucketN"); c <- str("bucketCol"))
-        yield Bucketing(n, c)))
+        yield Bucketing(n, c),
+      maxFieldId = num("maxFieldId")))
   }
 
   /** Create-if-absent of the descriptor — the same atomic-create commit as
@@ -483,7 +541,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         ("provider" -> meta.provider) ~ ("schema" -> meta.schema.json) ~
           ("location" -> meta.location) ~
           ("bucketN" -> meta.bucket.map(_.n)) ~
-          ("bucketCol" -> meta.bucket.map(_.col))))
+          ("bucketCol" -> meta.bucket.map(_.col)) ~
+          ("maxFieldId" -> meta.maxFieldId)))
     val out = try fs.create(p, false) catch {
       case _: java.io.IOException => return false
     }
@@ -505,14 +564,71 @@ object GraftCatalog {
   /** Hash-bucket clustering of a manifest table: `PARTITIONED BY
     * (bucket(n, col))` at CREATE time. */
   private[catalog] case class Bucketing(n: Int, col: String)
+  /** `maxFieldId`: the COLUMN-MAPPING high-water mark — the largest
+    * parquet field id this table has ever assigned (tables created before
+    * mapping carry None and keep by-name resolution + the rename
+    * rejection). Persisted so a DROP followed by an ADD can never reuse a
+    * dropped column's id — id reuse would resurrect the dropped column's
+    * bytes under the new column's name. */
   private[catalog] case class TableMeta(provider: String, schema: StructType,
                                         location: Option[String],
-                                        bucket: Option[Bucketing] = None)
+                                        bucket: Option[Bucketing] = None,
+                                        maxFieldId: Option[Int] = None)
 
   /** Register this catalog on a session under `name` rooted at `root`.
-    * (Conf-only registration — the first SQL reference instantiates it.) */
+    * (Conf-only registration — the first SQL reference instantiates it.)
+    * Also enables parquet FIELD-ID resolution on the session: mapped
+    * manifest tables (created by this catalog) resolve columns by the
+    * stable ids their descriptor assigns, not by name — what makes
+    * ALTER TABLE RENAME COLUMN a metadata-only operation. Reading a
+    * renamed table WITHOUT this conf would silently null the renamed
+    * column (parquet by-name resolution finds nothing), so registration
+    * is the choke point that turns it on. Schemas without id metadata
+    * (every non-catalog parquet read) are untouched by the conf. */
   def register(spark: SparkSession, name: String, root: String): Unit = {
     spark.conf.set(s"spark.sql.catalog.$name", classOf[GraftCatalog].getName)
     spark.conf.set(s"spark.sql.catalog.$name.root", root)
+    spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
   }
+
+  private[catalog] val FieldIdKey = "parquet.field.id"
+
+  private[catalog] def isMapped(schema: StructType): Boolean =
+    schema.exists(_.metadata.contains(FieldIdKey))
+
+  /** Fresh ids 1..n for a NEW table's columns (any ids arriving on a CTAS
+    * source schema are overwritten — the new table owns its id space). */
+  private[catalog] def assignFieldIds(schema: StructType): StructType =
+    StructType(schema.fields.zipWithIndex.map { case (f, i) =>
+      f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+        .withMetadata(f.metadata).putLong(FieldIdKey, i + 1L).build())
+    })
+
+  /** Attach the declared schema's field ids to a write's columns (matched
+    * by name — the last name-based step; files then carry ids and every
+    * later read resolves by id). No-op for unmapped tables. */
+  private[catalog] def stampFieldIds(df: DataFrame, declared: StructType): DataFrame = {
+    if (!isMapped(declared)) return df
+    import org.apache.spark.sql.functions.col
+    df.select(df.schema.fieldNames.toIndexedSeq.map { n =>
+      declared.find(_.name == n) match {
+        case Some(d) if d.metadata.contains(FieldIdKey) => col(n).as(n, d.metadata)
+        case _                                          => col(n)
+      }
+    }: _*)
+  }
+
+  /** Schema-level variant for the InternalRow write paths (streaming
+    * epochs, DML rewrites): same field order, declared ids attached. */
+  private[catalog] def stampFieldIds(writeSchema: StructType,
+                                     declared: StructType): StructType =
+    if (!isMapped(declared)) writeSchema
+    else StructType(writeSchema.fields.map { f =>
+      declared.find(_.name == f.name) match {
+        case Some(d) if d.metadata.contains(FieldIdKey) =>
+          f.copy(metadata = d.metadata)
+        case _ => f
+      }
+    })
 }

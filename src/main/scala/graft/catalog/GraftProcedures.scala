@@ -155,6 +155,14 @@ private[catalog] object GraftProcedures {
       require(bucket.isEmpty,
         "register_files applies to plain manifest tables only — adopted files carry " +
           "no bucket tag and would demote the table's storage-partitioned layout")
+      val (meta, _) = {
+        val parts = input.getString(0).split("\\.")
+        catalog.procedureMeta(Identifier.of(parts.dropRight(1), parts.last))
+      }
+      require(!GraftCatalog.isMapped(meta.schema),
+        "register_files applies to name-resolved tables only — this table uses " +
+          "column mapping (parquet field ids), which externally produced files " +
+          "don't carry; route the import through INSERT INTO ... SELECT instead")
       val (version, added) = ManifestTable.registerFiles(
         SparkSession.active, dir, input.getString(1))
       result(

@@ -33,9 +33,12 @@ class GraftStagedTable(catalog: GraftCatalog, ident: Identifier, dir: String,
           new InsertableRelation {
             override def insert(data: DataFrame, overwrite: Boolean): Unit = {
               val dataDir = meta.location.getOrElse(dir)
+              // the staged descriptor owns the new table's field-id space;
+              // stamp it onto the CTAS output (column mapping)
+              val stamped = GraftCatalog.stampFieldIds(data, meta.schema)
               staged ++= (meta.bucket match {
-                case Some(b) => ManifestTable.stagePoolBucketed(data, dataDir, b.n, b.col)
-                case None    => ManifestTable.stagePool(data, dataDir)
+                case Some(b) => ManifestTable.stagePoolBucketed(stamped, dataDir, b.n, b.col)
+                case None    => ManifestTable.stagePool(stamped, dataDir)
               })
               ()
             }

@@ -77,7 +77,10 @@ class ManifestRowLevelOperation(dir: String, declared: StructType,
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
       override def build(): Write = new ManifestReplaceWrite(
-        ManifestRowLevelOperation.this, dir, info.schema(), bucketing)
+        ManifestRowLevelOperation.this, dir,
+        // rewritten files must carry the table's field ids (column
+        // mapping) — the write schema arrives metadata-free from the plan
+        GraftCatalog.stampFieldIds(info.schema(), declared), bucketing)
     }
 
   override def requiredMetadataAttributes(): Array[NamedReference] =

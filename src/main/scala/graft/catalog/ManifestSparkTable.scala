@@ -159,12 +159,15 @@ class ManifestSparkTable(dir: String, declared: StructType,
     val cond = filters.map(f => ManifestSparkTable.filterToColumn(f).getOrElse(
       throw new IllegalStateException(s"canDeleteWhere admitted untranslatable $f")))
       .reduce(_ && _)
-    val affected = spark.read.parquet(snap: _*)
+    // read with the DECLARED schema (not inferred): on a mapped table the
+    // files' physical column names may predate renames — id resolution
+    // serves them under the current logical names the condition uses
+    val affected = spark.read.schema(declared).parquet(snap: _*)
       .filter(cond).select(col("_metadata.file_path")).distinct()
       .collect().map(r => ManifestRowLevelOperation.relName(r.getString(0)))
       .toSeq.sorted
     if (affected.isEmpty) return
-    val survivors = spark.read.parquet(affected.map(f => s"$dir/$f"): _*)
+    val survivors = spark.read.schema(declared).parquet(affected.map(f => s"$dir/$f"): _*)
       .filter(not(coalesce(cond, lit(false)))) // DELETE drops only cond=TRUE rows
     val added = bucketing match {
       // a bucketed table's rewrite re-buckets the survivors, so DML never
@@ -185,9 +188,12 @@ class ManifestSparkTable(dir: String, declared: StructType,
         override def toInsertableRelation: InsertableRelation =
           new InsertableRelation {
             override def insert(data: DataFrame, overwriteFlag: Boolean): Unit = {
+              // attach the declared field ids so the files resolve by id
+              // ever after (column mapping; no-op on unmapped tables)
+              val stamped = GraftCatalog.stampFieldIds(data, declared)
               val files = bucketing match {
-                case Some(b) => ManifestTable.stagePoolBucketed(data, dir, b.n, b.col)
-                case None    => ManifestTable.stagePool(data, dir)
+                case Some(b) => ManifestTable.stagePoolBucketed(stamped, dir, b.n, b.col)
+                case None    => ManifestTable.stagePool(stamped, dir)
               }
               if (overwrite || overwriteFlag)
                 ManifestTable.commitStagedSnapshot(dir, files)
@@ -200,7 +206,9 @@ class ManifestSparkTable(dir: String, declared: StructType,
           * [[ManifestStreamingWrite]]. Complete mode (truncate) replaces
           * the snapshot per epoch. */
         override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
-          new ManifestStreamingWrite(dir, info.schema(), info.queryId(), overwrite)
+          new ManifestStreamingWrite(dir,
+            GraftCatalog.stampFieldIds(info.schema(), declared),
+            info.queryId(), overwrite)
       }
     }
   }

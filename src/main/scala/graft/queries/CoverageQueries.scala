@@ -443,7 +443,11 @@ object CoverageQueries extends QueryModule {
     //     TABLE ADD COLUMNS appends a nullable column; files written
     //     before the alter null-fill it on read (parquet missing-column
     //     contract), files after carry it — the catalog-table twin of
-    //     qc15's mergeSchema read ---
+    //     qc15's mergeSchema read. RENAME COLUMN is METADATA-ONLY via
+    //     column mapping (parquet field ids assigned at CREATE, resolved
+    //     on read): both pre- and post-alter files — written under the
+    //     OLD name — serve the renamed column with no rewrite; the final
+    //     aggregate reads every file through the new name ---
     "qc22_schema_evolution" -> { (s, d) =>
       if (s.conf.getOption("spark.sql.catalog.graft_cat").isEmpty)
         graft.catalog.GraftCatalog.register(s, "graft_cat",
@@ -457,9 +461,12 @@ object CoverageQueries extends QueryModule {
       s.sql("ALTER TABLE graft_cat.db.evo ADD COLUMNS (n_chars BIGINT)")
       s.sql("INSERT INTO graft_cat.db.evo " +
         "SELECT doc_id, lang, n_chars FROM qc22_documents WHERE doc_id >= 200")
-      s.sql("""SELECT lang, count(*) AS n_docs,
-          count(n_chars) AS n_with_chars, sum(n_chars) AS total_chars
-        FROM graft_cat.db.evo GROUP BY lang ORDER BY lang""")
+      s.sql("ALTER TABLE graft_cat.db.evo RENAME COLUMN n_chars TO chars")
+      s.sql("ALTER TABLE graft_cat.db.evo RENAME COLUMN lang TO language")
+      s.sql("""SELECT language, count(*) AS n_docs,
+          count(chars) AS n_with_chars, sum(chars) AS total_chars,
+          (SELECT count(*) FROM graft_cat.db.evo VERSION AS OF 1) AS rows_v1
+        FROM graft_cat.db.evo GROUP BY language ORDER BY language""")
     },
 
     // --- schema evolution on read (mergeSchema): a later batch adds a
@@ -844,12 +851,13 @@ object CoverageQueries extends QueryModule {
          FROM (VALUES (1, 4, 4), (2, 10, 6)) AS t(v, f, a) ORDER BY version""",
 
     "qc22_schema_evolution" ->
-      """SELECT lang, count(*) AS n_docs,
+      """SELECT lang AS language, count(*) AS n_docs,
            CAST(count(CASE WHEN doc_id >= 200 THEN n_chars END) AS BIGINT)
              AS n_with_chars,
            CAST(sum(CASE WHEN doc_id >= 200 THEN n_chars END) AS BIGINT)
-             AS total_chars
-         FROM documents GROUP BY lang ORDER BY lang""",
+             AS total_chars,
+           (SELECT count(*) FROM documents WHERE doc_id < 200) AS rows_v1
+         FROM documents GROUP BY lang ORDER BY language""",
 
     "qc15_schema_merge" ->
       """SELECT CAST(2 * (SELECT count(*) FROM nation) AS BIGINT) AS n_rows,

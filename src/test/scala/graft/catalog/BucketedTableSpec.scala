@@ -8,6 +8,9 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.core.ManifestTable
 
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.types.MetadataBuilder
+
 /** Bucketed manifest tables (`PARTITIONED BY (bucket(n, col))`):
   * hash-clustered writes, storage-partitioned scans (shuffle-free key
   * aggregation and co-bucketed joins), the one-side-bucketed shuffle, and
@@ -39,6 +42,13 @@ class BucketedTableSpec extends AnyFunSuite {
 
   private def ensureDb(): Unit =
     spark.sql("CREATE NAMESPACE IF NOT EXISTS gb.db")
+
+  /** Stamp the (k, x) tables' field ids onto an out-of-band write — the
+    * cooperating-external-writer contract for column-mapped tables. */
+  private def withTableIds(df: DataFrame): DataFrame = {
+    def fid(i: Long) = new MetadataBuilder().putLong("parquet.field.id", i).build()
+    df.select(col("k").as("k", fid(1)), col("x").as("x", fid(2)))
+  }
 
   test("bucketed writes land one file per present bucket, rows placed by hash") {
     ensureDb()
@@ -203,10 +213,11 @@ class BucketedTableSpec extends AnyFunSuite {
     spark.sql("INSERT INTO gb.db.parts3 SELECT concat('k', id % 10), id FROM range(100)")
     // an out-of-band plain append: its part-<i> file names would PARSE as
     // bucket ids but carry no bucket placement — they must report as
-    // unbucketed, not as bucket=<task-partition-id>
+    // unbucketed, not as bucket=<task-partition-id>. (A cooperating
+    // external writer stamps the table's field ids — column mapping.)
     import spark.implicits._
-    ManifestTable.append(
-      Seq(("k0", 1L), ("k1", 2L)).toDF("k", "x").repartition(2), s"$root/db/parts3")
+    ManifestTable.append(withTableIds(
+      Seq(("k0", 1L), ("k1", 2L)).toDF("k", "x").repartition(2)), s"$root/db/parts3")
     val rows = spark.sql("SELECT partition, n_files FROM gb.db.parts3.partitions")
       .collect().map(r => (r.getString(0), r.getLong(1)))
     val unbucketed = rows.filter(_._1 == "unbucketed")
@@ -235,9 +246,10 @@ class BucketedTableSpec extends AnyFunSuite {
     s.sql("CREATE TABLE gb.db.mix (k STRING, x BIGINT) USING manifest " +
       "PARTITIONED BY (bucket(4, k))")
     s.sql("INSERT INTO gb.db.mix SELECT concat('k', id % 3), id FROM range(100)")
-    // an out-of-band Scala-API append writes an UNBUCKETED pool
+    // an out-of-band Scala-API append writes an UNBUCKETED pool (ids
+    // stamped — mapped tables expect cooperating external writers)
     import spark.implicits._
-    ManifestTable.append(Seq(("k0", 9999L)).toDF("k", "x"), s"$root/db/mix")
+    ManifestTable.append(withTableIds(Seq(("k0", 9999L)).toDF("k", "x")), s"$root/db/mix")
     val agg = s.sql("SELECT k, sum(x) AS t FROM gb.db.mix GROUP BY k")
     val plan = agg.queryExecution.executedPlan.toString
     assert(plan.contains("Exchange"),

@@ -181,9 +181,11 @@ class CatalogProcedureSpec extends AnyFunSuite {
 
   test("CALL register_files adopts only unmanaged matching parquet, safely") {
     ensureDb()
-    spark.sql("CREATE TABLE gp.db.adopt (id BIGINT, v STRING) USING manifest")
+    // adoption targets tables over PRE-EXISTING data -> LOCATION tables
+    // (catalog-born tables use column mapping and refuse id-less imports)
+    val dir = "file://" + Files.createTempDirectory("graft_adopt_loc_").toString
+    spark.sql(s"CREATE TABLE gp.db.adopt (id BIGINT, v STRING) USING manifest LOCATION '$dir'")
     spark.sql("INSERT INTO gp.db.adopt SELECT id, CAST(id AS STRING) FROM range(10)")
-    val dir = dataDir("adopt")
     // an external import, a hidden dir (never a candidate), and a
     // schema-drifted stray
     spark.range(5).selectExpr("id + 100 AS id", "CAST(id AS STRING) AS v")
@@ -226,6 +228,12 @@ class CatalogProcedureSpec extends AnyFunSuite {
       spark.sql("CALL gp.system.register_files('db.adoptb')").collect()
     }
     assert(e.getMessage.contains("bucket"))
+    // catalog-born (column-mapped) tables refuse id-less imports
+    spark.sql("CREATE TABLE gp.db.adoptm (id BIGINT, v STRING) USING manifest")
+    val em = intercept[Exception] {
+      spark.sql("CALL gp.system.register_files('db.adoptm')").collect()
+    }
+    assert(em.getMessage.contains("column mapping"), s"wrong error: ${em.getMessage}")
   }
 
   test("procedures are discoverable and argument errors are loud") {

@@ -151,7 +151,7 @@ class CatalogSpec extends AnyFunSuite {
     assert(spark.sql("SELECT two FROM g.db.rtas2").head().getInt(0) === 2)
   }
 
-  test("ALTER TABLE ADD/DROP COLUMNS: old files null-fill, renames rejected") {
+  test("ALTER TABLE ADD/DROP COLUMNS: old files null-fill; mapped renames work") {
     ensureDb()
     spark.sql("CREATE TABLE g.db.evolve (id BIGINT, v STRING) USING manifest")
     spark.sql("INSERT INTO g.db.evolve VALUES (1, 'a'), (2, 'b')")
@@ -166,12 +166,54 @@ class CatalogSpec extends AnyFunSuite {
     spark.sql("ALTER TABLE g.db.evolve DROP COLUMN v")
     assert(spark.table("g.db.evolve").schema.map(_.name) === Seq("id", "w"))
     assert(spark.sql("SELECT count(*) FROM g.db.evolve").head().getLong(0) === 3L)
-    // renames would silently null out history (parquet resolves by name)
-    intercept[Exception](
-      spark.sql("ALTER TABLE g.db.evolve RENAME COLUMN w TO w2"))
+    // catalog-born tables use COLUMN MAPPING (parquet field ids): RENAME
+    // is metadata-only — every file ever written resolves by id
+    spark.sql("ALTER TABLE g.db.evolve RENAME COLUMN w TO w2")
+    assert(spark.table("g.db.evolve").schema.map(_.name) === Seq("id", "w2"))
+    assert(spark.sql("SELECT sum(w2) FROM g.db.evolve").head().getLong(0) === 30L)
+    // a REUSED dropped name must NOT resurrect the dropped column's data
+    spark.sql("ALTER TABLE g.db.evolve ADD COLUMNS (v STRING)")
+    assert(spark.sql("SELECT count(*) FROM g.db.evolve WHERE v IS NOT NULL")
+      .head().getLong(0) === 0L, "dropped column's bytes leaked into a reused name")
     // non-nullable adds are impossible for existing files
     intercept[Exception](
       spark.sql("ALTER TABLE g.db.evolve ADD COLUMNS (z BIGINT NOT NULL)"))
+  }
+
+  test("RENAME COLUMN: history, DML, and compaction survive; unmapped tables reject") {
+    ensureDb()
+    spark.sql("CREATE TABLE g.db.ren (id BIGINT, val BIGINT) USING manifest")
+    spark.sql("INSERT INTO g.db.ren SELECT id, id * 10 FROM range(5)")   // v1
+    spark.sql("INSERT INTO g.db.ren SELECT id + 5, id * 100 FROM range(3)") // v2
+    spark.sql("ALTER TABLE g.db.ren RENAME COLUMN val TO amount")
+    // time travel BEFORE the rename serves the current logical name
+    // (the descriptor is table-wide — Delta/Iceberg mapping semantics)
+    assert(spark.sql("SELECT sum(amount) FROM g.db.ren VERSION AS OF 1")
+      .head().getLong(0) === (0 until 5).map(_ * 10L).sum)
+    // filters + pushdown on the renamed column read pre-rename files
+    assert(spark.sql("SELECT count(*) FROM g.db.ren WHERE amount >= 100")
+      .head().getLong(0) === 2L)
+    // DML through the renamed name rewrites pre-rename files correctly
+    spark.sql("UPDATE g.db.ren SET amount = amount + 1 WHERE id = 0")
+    spark.sql("DELETE FROM g.db.ren WHERE amount = 200")
+    assert(spark.sql("SELECT sum(amount) FROM g.db.ren").head().getLong(0) ===
+      (1L + 10 + 20 + 30 + 40) + 100L)
+    // compaction rewrites post-rename and stays readable
+    spark.sql("CALL g.system.compact('db.ren')").collect()
+    assert(spark.sql("SELECT sum(amount) FROM g.db.ren").head().getLong(0) ===
+      (1L + 10 + 20 + 30 + 40) + 100L)
+    // a second rename chains (id is the stable identity, names are labels)
+    spark.sql("ALTER TABLE g.db.ren RENAME COLUMN amount TO total")
+    assert(spark.sql("SELECT sum(total) FROM g.db.ren").head().getLong(0) ===
+      (1L + 10 + 20 + 30 + 40) + 100L)
+    // LOCATION tables adopt id-less files -> unmapped -> renames reject
+    val ext = "file://" + Files.createTempDirectory("graft_ren_ext_").toString
+    import spark.implicits._
+    graft.core.ManifestTable.write(Seq((1L, "x")).toDF("id", "v"), ext)
+    spark.sql(s"CREATE TABLE g.db.renx (id BIGINT, v STRING) USING manifest LOCATION '$ext'")
+    val e = intercept[Exception](
+      spark.sql("ALTER TABLE g.db.renx RENAME COLUMN v TO w"))
+    assert(e.getMessage.contains("column mapping"), s"wrong error: ${e.getMessage}")
   }
 
   test("metadata tables: t.history lists versions, t.files the current snapshot") {
