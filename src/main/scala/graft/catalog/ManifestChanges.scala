@@ -79,9 +79,9 @@ case class ManifestChangesScan(dir: String, declared: StructType,
     require(committed.contains(end), s"end_version $end is not committed under $dir")
     require(end >= startVersion,
       s"end_version $end precedes start_version $startVersion")
-    val from = ManifestTable.manifest(dir, startVersion).toSet
-    val to = ManifestTable.manifest(dir, end).toSet
-    ((to -- from).toSeq.sorted, (from -- to).toSeq.sorted)
+    // O(window delta) marker replay — neither endpoint snapshot resolves
+    // on an all-delta window (ManifestTable.diff)
+    ManifestTable.diff(dir, startVersion, end)
   }
 
   private def parquetScan(paths: Seq[String]): Scan =

@@ -101,8 +101,9 @@ class ManifestSparkTable(dir: String, declared: StructType,
       s"end_version $end is not committed under $dir")
     require(end >= startVersion,
       s"end_version $end precedes start_version $startVersion")
-    val base = ManifestTable.manifest(dir, startVersion).toSet
-    ManifestTable.manifest(dir, end).filterNot(base).map(f => s"$dir/$f")
+    // O(window delta) marker replay (ManifestTable.diff) — an incremental
+    // consumer's planning cost tracks its window, not the table size
+    ManifestTable.diff(dir, startVersion, end)._1.map(f => s"$dir/$f")
   }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {

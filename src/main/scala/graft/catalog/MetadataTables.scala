@@ -35,19 +35,31 @@ object MetadataTables {
     StructField("bytes", LongType, nullable = false),
     StructField("pool", StringType, nullable = false)))
 
-  /** `t.history`: one row per committed version still present. */
+  /** `t.history`: one row per committed version still present. One
+    * forward accumulation over the log — the oldest version resolves
+    * once, every later row applies its marker's O(delta) diff, and each
+    * file is stat'ed exactly once however many versions reference it
+    * (the previous per-version resolution was O(versions × files)). */
   def history(dir: String): Table =
     new VirtualRowsTable(s"history($dir)", HistorySchema, () => {
       val fs = LakeStorage.openFor(dir)
-      var prev = Set.empty[String]
-      ManifestTable.allVersions(dir).map { v =>
-        val files = ManifestTable.manifest(dir, v)
-        val bytes = files.map(f => fs.getFileStatus(new Path(dir, f)).getLen).sum
-        val mtime = fs.getFileStatus(
-          new Path(dir, f"_commit_$v%020d")).getModificationTime
-        val added = files.count(!prev.contains(_))
-        prev = files.toSet
-        Array[Any](v, mtime * 1000L, files.length.toLong, bytes, added.toLong)
+      val sizes = scala.collection.mutable.HashMap.empty[String, Long]
+      def sized(f: String): Long =
+        sizes.getOrElseUpdate(f, fs.getFileStatus(new Path(dir, f)).getLen)
+      val versions = ManifestTable.allVersions(dir)
+      var live = Set.empty[String]
+      var bytes = 0L
+      versions.headOption.toSeq.flatMap { first =>
+        versions.map { v =>
+          val (added, removed) =
+            if (v == first) (ManifestTable.manifest(dir, v), Seq.empty[String])
+            else ManifestTable.diff(dir, v - 1, v)
+          live = live -- removed ++ added
+          bytes = bytes - removed.map(sized).sum + added.map(sized).sum
+          val mtime = fs.getFileStatus(
+            new Path(dir, f"_commit_$v%020d")).getModificationTime
+          Array[Any](v, mtime * 1000L, live.size.toLong, bytes, added.length.toLong)
+        }
       }
     })
 

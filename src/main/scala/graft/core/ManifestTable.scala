@@ -252,6 +252,43 @@ object ManifestTable {
     reads
   }
 
+  /** (added, removed) files between two committed versions — the change
+    * feed's metadata query, O(window delta): replays ONLY the delta
+    * markers in (from, to], never resolving either endpoint snapshot. A
+    * file removed and re-added inside the window cancels out, exactly
+    * matching the endpoint set difference. A SNAPSHOT marker inside the
+    * window (compaction, INSERT OVERWRITE, rollback) breaks the delta
+    * chain — the diff then falls back to the two endpoint resolutions
+    * (each itself checkpoint-anchored, O(interval)). */
+  def diff(dir: String, fromVersion: Long, toVersion: Long): (Seq[String], Seq[String]) = {
+    require(toVersion >= fromVersion,
+      s"diff: end $toVersion precedes start $fromVersion")
+    val added = scala.collection.mutable.LinkedHashSet.empty[String]
+    val removed = scala.collection.mutable.LinkedHashSet.empty[String]
+    var v = fromVersion + 1
+    while (v <= toVersion) {
+      readMarkerData(dir, v) match {
+        case DeltaMarker(add, rm) =>
+          rm.foreach { f => if (!added.remove(f)) { removed += f; () } }
+          add.foreach { f => if (!removed.remove(f)) { added += f; () } }
+        case _: SnapshotMarker =>
+          val from = manifest(dir, fromVersion).toSet
+          val to = manifest(dir, toVersion).toSet
+          return ((to -- from).toSeq.sorted, (from -- to).toSeq.sorted)
+      }
+      v += 1
+    }
+    (added.toSeq.sorted, removed.toSeq.sorted)
+  }
+
+  /** The files version `v`'s commit ADDED (delta add-list, or the full
+    * list for a snapshot commit) — one marker read, no resolution. */
+  private[graft] def addedAt(dir: String, v: Long): Seq[String] =
+    readMarkerData(dir, v) match {
+      case DeltaMarker(add, _)   => add
+      case SnapshotMarker(files) => files
+    }
+
   /** Every file referenced by ANY surviving committed version, in ONE pass
     * over the log (oldest version resolved once, then just the adds /
     * snapshot lists of later markers — no per-version resolution). */
