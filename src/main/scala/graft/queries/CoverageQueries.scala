@@ -546,18 +546,26 @@ object CoverageQueries extends QueryModule {
     //     drifting sketch FAILS the hash gate; quantitative accuracy is
     //     additionally asserted in FunctionsSpec ---
     "q28_approx_aggs" -> { (s, d) =>
-      Tables.lineitem(s, d)
-        .groupBy("l_returnflag")
+      // plan note: countDistinct rides a separate aggregation from the
+      // percentile family — mixing a distinct agg with ObjectHashAggregate
+      // percentiles in one groupBy forces an Expand (x2 rows) INTO the
+      // sort-based object aggregate; split, the distinct path stays in
+      // whole-stage-codegen hash aggs and the exact percentiles (one call,
+      // both points) see the data once. The 3-row join broadcasts.
+      val li = Tables.lineitem(s, d)
+      val distincts = li.groupBy("l_returnflag")
+        .agg(countDistinct(col("l_partkey")).as("exact_parts"),
+          approx_count_distinct(col("l_partkey")).as("approx_raw"))
+      val pcts = li.groupBy("l_returnflag")
         .agg(
-          countDistinct(col("l_partkey")).as("exact_parts"),
-          approx_count_distinct(col("l_partkey")).as("approx_raw"),
           percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("apx_med"),
-          expr("percentile(l_extendedprice, 0.48)").as("p48"),
-          expr("percentile(l_extendedprice, 0.52)").as("p52"))
+          expr("percentile(l_extendedprice, array(0.48, 0.52))").as("p_lo_hi"))
+      distincts.join(pcts, "l_returnflag")
         .select(col("l_returnflag"), col("exact_parts"),
           (abs(col("approx_raw") - col("exact_parts")) <=
             col("exact_parts") * lit(0.05)).as("approx_parts_ok"),
-          col("apx_med").between(col("p48"), col("p52")).as("approx_median_ok"))
+          col("apx_med").between(col("p_lo_hi").getItem(0), col("p_lo_hi").getItem(1))
+            .as("approx_median_ok"))
         .orderBy("l_returnflag")
     },
 
