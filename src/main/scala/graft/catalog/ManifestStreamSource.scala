@@ -102,13 +102,9 @@ class ManifestMicroBatchStream(dir: String, declared: StructType,
     }
   override def reportLatestOffset(): Offset = latestOffset()
 
-  private def filesOf(v: Long): Set[String] =
-    if (v <= 0L) Set.empty
-    else {
-      require(ManifestTable.allVersions(dir).contains(v),
-        s"stream offset $v is not committed under $dir — vacuumed past the checkpoint?")
-      ManifestTable.manifest(dir, v).toSet
-    }
+  private def requireCommitted(v: Long): Unit =
+    require(v <= 0L || ManifestTable.allVersions(dir).contains(v),
+      s"stream offset $v is not committed under $dir — vacuumed past the checkpoint?")
 
   /** A per-batch parquet scan over exactly the files the version window
     * added, pruned to the streaming query's required columns. Filters are
@@ -129,7 +125,12 @@ class ManifestMicroBatchStream(dir: String, declared: StructType,
     val from = start.asInstanceOf[ManifestVersionOffset].v
     val to = end.asInstanceOf[ManifestVersionOffset].v
     if (to <= from) return Array.empty
-    val added = (filesOf(to) -- filesOf(from)).toSeq.sorted.map(f => s"$dir/$f")
+    requireCommitted(from); requireCommitted(to)
+    // O(batch delta) marker replay — a long-lived stream's per-batch
+    // planning cost tracks the batch, not the table size
+    val added =
+      (if (from <= 0L) ManifestTable.manifest(dir, to)
+       else ManifestTable.diff(dir, from, to)._1).sorted.map(f => s"$dir/$f")
     if (added.isEmpty) return Array.empty
     batchScan(added).toBatch.planInputPartitions()
   }
