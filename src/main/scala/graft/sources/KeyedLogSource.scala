@@ -262,27 +262,56 @@ private[graft] object KeyedLogVersionLog {
   def read(path: String, conf: org.apache.spark.util.SerializableConfiguration,
            v: Long): Seq[String] = {
     val fs = new Path(path).getFileSystem(conf.value)
-    val in = fs.open(new Path(path, name(v)))
-    val text = try {
-      val bytes = new java.io.ByteArrayOutputStream()
-      org.apache.hadoop.io.IOUtils.copyBytes(in, bytes, 8192, false)
-      new String(bytes.toByteArray, "UTF-8")
-    } finally in.close()
-    org.json4s.jackson.JsonMethods.parse(text) match {
-      case org.json4s.JArray(items) => items.map {
-        case org.json4s.JString(s) => s
-        case other => throw new IllegalStateException(
-          s"corrupt keyed_log journal marker v$v: non-string element $other")
+    // a marker is CLAIMED by create-exclusive and filled right after — a
+    // reader can catch it mid-write (empty / truncated JSON). Re-read
+    // briefly before declaring corruption; the fill window is one small
+    // buffered write.
+    var attempt = 0
+    while (true) {
+      val in = fs.open(new Path(path, name(v)))
+      val text = try {
+        val bytes = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, bytes, 8192, false)
+        new String(bytes.toByteArray, "UTF-8")
+      } finally in.close()
+      scala.util.Try(org.json4s.jackson.JsonMethods.parse(text)).toOption match {
+        case Some(org.json4s.JArray(items)) =>
+          return items.map {
+            case org.json4s.JString(s) => s
+            case other => throw new IllegalStateException(
+              s"corrupt keyed_log journal marker v$v: non-string element $other")
+          }
+        case Some(other) => throw new IllegalStateException(
+          s"corrupt keyed_log journal marker v$v: expected array, got $other")
+        case None => // unparseable: in-flight writer, or real corruption
+          attempt += 1
+          if (attempt >= 100) throw new IllegalStateException(
+            s"corrupt keyed_log journal marker v$v: unparseable after ${attempt} reads")
+          Thread.sleep(10)
       }
-      case other => throw new IllegalStateException(
-        s"corrupt keyed_log journal marker v$v: expected array, got $other")
     }
+    throw new IllegalStateException("unreachable")
   }
+
+  /** Same-JVM committers to one dir serialize here: Hadoop's LOCAL
+    * filesystem `create(p, overwrite=false)` is check-then-act, so two
+    * in-process racers could both claim a version number. Cross-JVM
+    * racers rely on the store's atomic create-exclusive (HDFS, real
+    * object stores) — the same protocol and limitation as the manifest's
+    * commit markers. */
+  private val dirLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
   /** Journal `fileNames` as the next version. Names already journaled by
     * ANY version are dropped first (epoch-replay dedup); an all-dropped or
     * empty commit journals nothing and returns None. */
   def commit(path: String,
+             conf: org.apache.spark.util.SerializableConfiguration,
+             fileNames: Seq[String]): Option[Long] =
+    dirLocks.computeIfAbsent(new Path(path).toString, _ => new Object)
+      .synchronized { commitLocked(path, conf, fileNames) }
+
+  private def commitLocked(path: String,
              conf: org.apache.spark.util.SerializableConfiguration,
              fileNames: Seq[String]): Option[Long] = {
     val fs = new Path(path).getFileSystem(conf.value)
@@ -293,17 +322,21 @@ private[graft] object KeyedLogVersionLog {
       val fresh = fileNames.filterNot(seen).distinct.sorted
       if (fresh.isEmpty) return None
       val v = vs.lastOption.getOrElse(-1L) + 1L
-      val target = new Path(path, name(v))
-      val tmp = new Path(path, s".${name(v)}.tmp-${java.util.UUID.randomUUID()}")
-      val out = fs.create(tmp, true)
-      try out.write(org.json4s.jackson.JsonMethods.compact(
-        org.json4s.jackson.JsonMethods.render(
-          org.json4s.JArray(fresh.map(org.json4s.JString(_)).toList)))
-        .getBytes("UTF-8"))
-      finally out.close()
-      if (fs.rename(tmp, target)) return Some(v)
-      fs.delete(tmp, false) // lost the race: re-read, re-dedup, retry
-      attempt += 1
+      // CREATE-EXCLUSIVE claims the version number atomically — the same
+      // protocol as the manifest's commit markers (a tmp+rename scheme is
+      // NOT safe here: Hadoop's local rename happily replaces an existing
+      // destination, so two racers could both claim one version)
+      val out = try fs.create(new Path(path, name(v)), false) catch {
+        case _: java.io.IOException => attempt += 1; null // lost the race
+      }
+      if (out != null) {
+        try out.write(org.json4s.jackson.JsonMethods.compact(
+          org.json4s.jackson.JsonMethods.render(
+            org.json4s.JArray(fresh.map(org.json4s.JString(_)).toList)))
+          .getBytes("UTF-8"))
+        finally out.close()
+        return Some(v)
+      }
     }
     throw new IllegalStateException(
       s"keyed_log journal: lost the commit race 20 times under $path")
@@ -833,16 +866,15 @@ private[sources] class KeyedLogSeenLog(dir: String,
         JObject("n" -> newArr,
           "all" -> JArray((seenSet ++ fresh).toList.sorted.map(JString(_))))
       else JObject("n" -> newArr)
-    val target = new Path(base, name(v))
-    val tmp = new Path(base, s".${name(v)}.tmp-${java.util.UUID.randomUUID()}")
-    val out = fs.create(tmp, true)
+    // create-exclusive: a failure means a SECOND driver owns this
+    // checkpoint (zombie after failover) — fatal, never silent clobber
+    val out = try fs.create(new Path(base, name(v)), false) catch {
+      case e: java.io.IOException => throw new IllegalStateException(
+        s"keyed_log seen-log: version $v already exists under $base — " +
+          "concurrent driver on one checkpoint?", e)
+    }
     try out.write(JsonMethods.compact(JsonMethods.render(body)).getBytes("UTF-8"))
     finally out.close()
-    if (!fs.rename(tmp, target)) {
-      fs.delete(tmp, false)
-      throw new IllegalStateException(
-        s"keyed_log seen-log: lost the rename of $target — concurrent writer on one checkpoint?")
-    }
     seenSet ++= fresh
     latest = v
     v

@@ -321,6 +321,27 @@ class DataSourceSpec extends AnyFunSuite {
     assert(readWindow() === Set(("en", 1L), ("de", 2L), ("en", 4L)))
   }
 
+  test("journal commits race safely: sequential versions, no lost names") {
+    val dir = Files.createTempDirectory("graft_klog_race_").toString
+    val conf = KeyedLogConf.capture()
+    val names = (0 until 40).map(i => f"race-$i%03d.log")
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    try {
+      val futures = names.grouped(5).toSeq.map { batch =>
+        pool.submit(new java.util.concurrent.Callable[Option[Long]] {
+          override def call(): Option[Long] =
+            KeyedLogVersionLog.commit(dir, conf, batch)
+        })
+      }
+      val versions = futures.map(_.get()).flatten
+      assert(versions.sorted === (0L until 8L), s"non-sequential versions: $versions")
+    } finally pool.shutdown()
+    val all = KeyedLogVersionLog.versions(dir, conf)
+      .flatMap(KeyedLogVersionLog.read(dir, conf, _))
+    assert(all.sorted === names.sorted, "a racing commit lost file names")
+    assert(all.distinct.length === all.length, "a racing commit duplicated names")
+  }
+
   test("checkpointed restart resumes from a multi-file offset") {
     val dir = Files.createTempDirectory("graft_klog_restart_").toString
     val ckpt = Files.createTempDirectory("graft_klog_restart_ckpt_").toString
