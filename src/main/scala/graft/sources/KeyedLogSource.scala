@@ -221,22 +221,28 @@ case class KeyedLogBatchWrite(path: String, queryId: String,
 case class KeyedLogCommit(fileNames: Seq[String]) extends WriterCommitMessage
 
 /** Commit JOURNAL for keyed-log dirs: one hidden marker (`_klogv_<v>`,
-  * single-line JSON array of file NAMES) per successful write commit —
-  * batch job, or streaming epoch. Data files are still made visible by
-  * the task-level staged renames (readers never need the journal); the
-  * journal adds the VERSION dimension on top: incremental (CDC-style)
-  * reads via the `start_version`/`end_version` scan options and the
-  * catalog's `t.history` serve exactly the files a commit window added,
-  * the same manifest-diff contract manifest tables have. Writers that
-  * predate the journal (or drop files by hand) simply have unjournaled
-  * files: full scans see them, version windows don't. Markers are
-  * appended with the same optimistic create-next-version loop the
-  * manifest uses, so concurrent committers serialize; a replayed
-  * streaming epoch re-commits the same file names and is deduplicated to
-  * a no-op (exactly-once journaling on top of replace-on-retry files). */
+  * single-line JSON) per successful write commit — batch job, or
+  * streaming epoch. Data files are still made visible by the task-level
+  * staged renames (readers never need the journal); the journal adds the
+  * VERSION dimension on top: incremental (CDC-style) reads via the
+  * `start_version`/`end_version` scan options and the catalog's
+  * `t.history` serve exactly the files a commit window added, the same
+  * manifest-diff contract manifest tables have. Writers that predate the
+  * journal (or drop files by hand) simply have unjournaled files: full
+  * scans see them, version windows don't. Markers are appended with the
+  * same optimistic create-next-version loop the manifest uses, so
+  * concurrent committers serialize; a replayed streaming epoch
+  * re-commits the same file names and is deduplicated to a no-op
+  * (exactly-once journaling on top of replace-on-retry files). Every
+  * [[KeyedLogVersionLog.CompactInterval]]-th marker embeds the full
+  * journaled-name set, so the dedup check reads at most one compact
+  * entry plus an interval of deltas per commit — never the whole
+  * history (the manifest checkpoint pattern, applied to the journal). */
 private[graft] object KeyedLogVersionLog {
   private val Prefix = "_klogv_"
   private def name(v: Long): String = f"$Prefix$v%020d"
+  /** Every this-many versions, a marker embeds the full journaled set. */
+  val CompactInterval = 10L
 
   def versions(path: String,
                conf: org.apache.spark.util.SerializableConfiguration): Seq[Long] = {
@@ -259,9 +265,26 @@ private[graft] object KeyedLogVersionLog {
     vs.filter(v => v > startExclusive && v <= end).flatMap(read(path, conf, _))
   }
 
+  /** The names version `v` FIRST journaled. */
   def read(path: String, conf: org.apache.spark.util.SerializableConfiguration,
-           v: Long): Seq[String] = {
+           v: Long): Seq[String] = readEntry(path, conf, v)._1
+
+  /** (new names, full set if a compact entry) of marker `v`. Delta
+    * entries are a bare JSON array; every CompactInterval-th entry is
+    * `{"n":[...],"all":[...]}`. */
+  private def readEntry(path: String,
+      conf: org.apache.spark.util.SerializableConfiguration,
+      v: Long): (Seq[String], Option[Seq[String]]) = {
     val fs = new Path(path).getFileSystem(conf.value)
+    def strs(j: org.json4s.JValue): Seq[String] = j match {
+      case org.json4s.JArray(items) => items.map {
+        case org.json4s.JString(s) => s
+        case other => throw new IllegalStateException(
+          s"corrupt keyed_log journal marker v$v: non-string element $other")
+      }
+      case other => throw new IllegalStateException(
+        s"corrupt keyed_log journal marker v$v: expected array, got $other")
+    }
     // a marker is CLAIMED by create-exclusive and filled right after — a
     // reader can catch it mid-write (empty / truncated JSON). Re-read
     // briefly before declaring corruption; the fill window is one small
@@ -275,14 +298,13 @@ private[graft] object KeyedLogVersionLog {
         new String(bytes.toByteArray, "UTF-8")
       } finally in.close()
       scala.util.Try(org.json4s.jackson.JsonMethods.parse(text)).toOption match {
-        case Some(org.json4s.JArray(items)) =>
-          return items.map {
-            case org.json4s.JString(s) => s
-            case other => throw new IllegalStateException(
-              s"corrupt keyed_log journal marker v$v: non-string element $other")
-          }
+        case Some(arr: org.json4s.JArray) => return (strs(arr), None)
+        case Some(o: org.json4s.JObject) =>
+          val m = o.obj.toMap
+          return (strs(m.getOrElse("n", org.json4s.JArray(Nil))),
+            m.get("all").map(strs))
         case Some(other) => throw new IllegalStateException(
-          s"corrupt keyed_log journal marker v$v: expected array, got $other")
+          s"corrupt keyed_log journal marker v$v: expected array or object, got $other")
         case None => // unparseable: in-flight writer, or real corruption
           attempt += 1
           if (attempt >= 100) throw new IllegalStateException(
@@ -291,6 +313,24 @@ private[graft] object KeyedLogVersionLog {
       }
     }
     throw new IllegalStateException("unreachable")
+  }
+
+  /** Every name journaled as of the newest version: replay newest-first,
+    * stopping at the first compact entry — O(CompactInterval) reads
+    * however long the journal is. */
+  private def allJournaled(path: String,
+      conf: org.apache.spark.util.SerializableConfiguration,
+      vs: Seq[Long]): Set[String] = {
+    val acc = scala.collection.mutable.HashSet.empty[String]
+    vs.reverseIterator.foreach { v =>
+      val (fresh, full) = readEntry(path, conf, v)
+      acc ++= fresh
+      full match {
+        case Some(all) => acc ++= all; return acc.toSet
+        case None      => ()
+      }
+    }
+    acc.toSet
   }
 
   /** Same-JVM committers to one dir serialize here: Hadoop's LOCAL
@@ -318,10 +358,17 @@ private[graft] object KeyedLogVersionLog {
     var attempt = 0
     while (attempt < 20) {
       val vs = versions(path, conf)
-      val seen = vs.flatMap(read(path, conf, _)).toSet
+      val seen = allJournaled(path, conf, vs) // compact-anchored, O(interval)
       val fresh = fileNames.filterNot(seen).distinct.sorted
       if (fresh.isEmpty) return None
       val v = vs.lastOption.getOrElse(-1L) + 1L
+      val body: org.json4s.JValue =
+        if (v > 0 && v % CompactInterval == 0)
+          org.json4s.JObject(
+            "n" -> org.json4s.JArray(fresh.map(org.json4s.JString(_)).toList),
+            "all" -> org.json4s.JArray(
+              (seen ++ fresh).toList.sorted.map(org.json4s.JString(_))))
+        else org.json4s.JArray(fresh.map(org.json4s.JString(_)).toList)
       // CREATE-EXCLUSIVE claims the version number atomically — the same
       // protocol as the manifest's commit markers (a tmp+rename scheme is
       // NOT safe here: Hadoop's local rename happily replaces an existing
@@ -331,9 +378,7 @@ private[graft] object KeyedLogVersionLog {
       }
       if (out != null) {
         try out.write(org.json4s.jackson.JsonMethods.compact(
-          org.json4s.jackson.JsonMethods.render(
-            org.json4s.JArray(fresh.map(org.json4s.JString(_)).toList)))
-          .getBytes("UTF-8"))
+          org.json4s.jackson.JsonMethods.render(body)).getBytes("UTF-8"))
         finally out.close()
         return Some(v)
       }

@@ -312,13 +312,23 @@ class DataSourceSpec extends AnyFunSuite {
     val v0names = KeyedLogVersionLog.read(dir, conf, 0L)
     assert(KeyedLogVersionLog.commit(dir, conf, v0names) === None)
     assert(KeyedLogVersionLog.versions(dir, conf) === Seq(0L, 1L, 2L))
+    // the journal compacts: after enough commits, every CompactInterval-th
+    // marker embeds the full set, and dedup/window reads stay exact
+    (5 to 25).foreach(i => write(Seq((s"k$i", i.toLong, i.toLong))))
+    assert(KeyedLogVersionLog.versions(dir, conf).max === 23L)
+    val m10 = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, f"_klogv_${10L}%020d")), "UTF-8")
+    val m20 = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, f"_klogv_${20L}%020d")), "UTF-8")
+    assert(m10.contains("\"all\"") && m20.contains("\"all\""))
+    assert(readWindow("start_version" -> "21").map(_._2) === Set(24L, 25L))
     // a journaled file that is GONE (compacted past the cursor) fails
     // loudly instead of silently dropping rows from the change feed
     Files.delete(java.nio.file.Paths.get(dir, KeyedLogVersionLog.read(dir, conf, 1L).head))
-    val e = intercept[Exception] { readWindow("start_version" -> "0") }
+    val e = intercept[Exception] { readWindow("start_version" -> "0", "end_version" -> "2") }
     assert(e.getMessage.contains("journaled file"), s"wrong error: ${e.getMessage}")
     // full scans are unaffected by journal gaps
-    assert(readWindow() === Set(("en", 1L), ("de", 2L), ("en", 4L)))
+    assert(!readWindow().exists(_._1 == "fr"))
   }
 
   test("journal commits race safely: sequential versions, no lost names") {
