@@ -597,6 +597,20 @@ object GraftCatalog {
   private[catalog] def isMapped(schema: StructType): Boolean =
     schema.exists(_.metadata.contains(FieldIdKey))
 
+  /** Fail-safe for mapped tables: reading them with field-id resolution
+    * DISABLED would match columns by name — a renamed column would
+    * silently read as null. Every mapped scan path calls this at plan
+    * time; [[register]] sets the conf, so only a hand-wired session
+    * (catalog conf copied without register) can trip it, loudly. */
+  private[catalog] def requireFieldIdReads(schema: StructType, table: String): Unit =
+    if (isMapped(schema))
+      require(org.apache.spark.sql.internal.SQLConf.get
+          .getConfString("spark.sql.parquet.fieldId.read.enabled", "false") == "true",
+        s"$table uses column mapping (parquet field ids): set " +
+          "spark.sql.parquet.fieldId.read.enabled=true on this session " +
+          "(GraftCatalog.register does) — a by-name read would silently " +
+          "null renamed columns")
+
   /** Fresh ids 1..n for a NEW table's columns (any ids arriving on a CTAS
     * source schema are overwritten — the new table owns its id space). */
   private[catalog] def assignFieldIds(schema: StructType): StructType =

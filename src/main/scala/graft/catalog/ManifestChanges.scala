@@ -46,6 +46,7 @@ class ManifestChangesTable(dir: String, declared: StructType) extends Table with
     java.util.EnumSet.of(TableCapability.BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    GraftCatalog.requireFieldIdReads(declared, name())
     val start = Option(options.get("start_version")).map(_.toLong).getOrElse(
       throw new IllegalArgumentException(
         s"${name()}: t.changes needs .option(\"start_version\", v)"))

@@ -71,8 +71,10 @@ class ManifestRowLevelOperation(dir: String, declared: StructType,
 
   override def command(): Command = cmd
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    GraftCatalog.requireFieldIdReads(declared, s"rowlevel($dir)")
     () => new ManifestRowLevelScan(this, dir, declared)
+  }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {

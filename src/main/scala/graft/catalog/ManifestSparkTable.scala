@@ -107,6 +107,7 @@ class ManifestSparkTable(dir: String, declared: StructType,
   }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    GraftCatalog.requireFieldIdReads(declared, name())
     val paths = Option(options.get("start_version")) match {
       case Some(sv) =>
         require(asOf.isEmpty,
@@ -163,6 +164,7 @@ class ManifestSparkTable(dir: String, declared: StructType,
     // read with the DECLARED schema (not inferred): on a mapped table the
     // files' physical column names may predate renames — id resolution
     // serves them under the current logical names the condition uses
+    GraftCatalog.requireFieldIdReads(declared, name())
     val affected = spark.read.schema(declared).parquet(snap: _*)
       .filter(cond).select(col("_metadata.file_path")).distinct()
       .collect().map(r => ManifestRowLevelOperation.relName(r.getString(0)))

@@ -180,6 +180,23 @@ class CatalogSpec extends AnyFunSuite {
       spark.sql("ALTER TABLE g.db.evolve ADD COLUMNS (z BIGINT NOT NULL)"))
   }
 
+  test("mapped tables refuse by-name reads loudly (field-id conf fail-safe)") {
+    ensureDb()
+    spark.sql("CREATE TABLE g.db.guard (id BIGINT, v STRING) USING manifest")
+    spark.sql("INSERT INTO g.db.guard VALUES (1, 'a')")
+    // a hand-wired session: catalog confs copied, register() never called
+    // -> field-id resolution off -> a renamed column would silently null.
+    // The scan must fail LOUDLY instead.
+    val bare = spark.newSession()
+    bare.conf.set("spark.sql.catalog.g2", classOf[GraftCatalog].getName)
+    bare.conf.set("spark.sql.catalog.g2.root", root)
+    val e = intercept[Exception](bare.sql("SELECT * FROM g2.db.guard").collect())
+    assert(e.getMessage.contains("fieldId.read.enabled"), s"wrong error: ${e.getMessage}")
+    // enabling the conf (what register() does) unblocks the same session
+    bare.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    assert(bare.sql("SELECT count(*) FROM g2.db.guard").head().getLong(0) === 1L)
+  }
+
   test("RENAME COLUMN: history, DML, and compaction survive; unmapped tables reject") {
     ensureDb()
     spark.sql("CREATE TABLE g.db.ren (id BIGINT, val BIGINT) USING manifest")
