@@ -95,19 +95,31 @@ private[catalog] object GraftProcedures {
       ProcedureParameter.in("target_mb", IntegerType).defaultValue("128").build(),
       ProcedureParameter.in("cluster_by", StringType).defaultValue("''").build())
     override def call(input: InternalRow): JIterator[Scan] = {
-      val (provider, dir, bucket) = target(catalog, input.getString(0))
+      val parts = input.getString(0).split("\\.")
+      require(parts.length <= 2 && parts.forall(_.nonEmpty),
+        s"procedure wants a table name like 'db.t' or 't', got '${input.getString(0)}'")
+      val (meta, dir) = catalog.procedureMeta(
+        Identifier.of(parts.dropRight(1), parts.last))
+      val (provider, bucket) = (meta.provider, meta.bucket)
       val spark = SparkSession.active
       val clusterBy = input.getString(2).split(",").map(_.trim).filter(_.nonEmpty).toSeq
       require(bucket.isEmpty || clusterBy.isEmpty,
         "cluster_by does not apply to bucketed tables — the bucket layout IS the clustering")
       require(provider == "manifest" || clusterBy.isEmpty,
         "cluster_by does not apply to keyedlog tables — they compact to key-clustered files")
+      // mapped tables: the rewrite must read the snapshot with the
+      // DECLARED (id-resolved) schema — files may predate column renames
+      val declared: Option[StructType] =
+        if (provider == "manifest" && GraftCatalog.isMapped(meta.schema)) {
+          GraftCatalog.requireFieldIdReads(meta.schema, input.getString(0))
+          Some(meta.schema)
+        } else None
       val (before, after) = (provider, bucket) match {
         case ("keyedlog", _) => graft.core.LakeCompaction.compactKeyedLog(spark, dir)
-        case (_, Some(b))    => ManifestTable.compactBucketed(spark, dir, b.n, b.col)
+        case (_, Some(b))    => ManifestTable.compactBucketed(spark, dir, b.n, b.col, declared)
         case _ =>
           ManifestTable.compact(spark, dir,
-            input.getInt(1).toLong * 1024 * 1024, clusterBy)
+            input.getInt(1).toLong * 1024 * 1024, clusterBy, declared)
       }
       result(
         StructType(Seq(

@@ -407,6 +407,25 @@ object ManifestTable {
     spark.read.parquet(files.map(f => s"$dir/$f"): _*)
   }
 
+  /** Snapshot read for the compaction rewrites. `readSchema` (the
+    * catalog's DECLARED schema, field-id metadata included) matters on
+    * column-mapped tables whose files predate a RENAME COLUMN: an
+    * inferred read would surface the files' pre-rename physical names and
+    * a later `repartition(renamedKeyCol)` would not resolve. Reading with
+    * the declared schema resolves columns by id (the same move
+    * `deleteWhere` makes), and — because the declared fields carry
+    * `parquet.field.id` metadata and field-id WRITES are enabled on
+    * catalog sessions — the rewrite also normalizes the compacted files
+    * to current logical names with ids attached. */
+  private def readSnapshot(spark: SparkSession, dir: String, files: Seq[String],
+      readSchema: Option[org.apache.spark.sql.types.StructType]): DataFrame = {
+    val paths = files.map(f => s"$dir/$f")
+    readSchema match {
+      case Some(s) => spark.read.schema(s).parquet(paths: _*)
+      case None    => spark.read.parquet(paths: _*)
+    }
+  }
+
   /** Rewrite the current snapshot into ~targetFileBytes files as a NEW
     * committed version. If a concurrent [[append]] commits while the
     * rewrite runs, its files are carried over into the compacted manifest
@@ -424,7 +443,8 @@ object ManifestTable {
     * Returns (filesBefore, filesAfter). */
   def compact(spark: SparkSession, dir: String,
               targetFileBytes: Long = 128L * 1024 * 1024,
-              clusterBy: Seq[String] = Nil): (Long, Long) = {
+              clusterBy: Seq[String] = Nil,
+              readSchema: Option[org.apache.spark.sql.types.StructType] = None): (Long, Long) = {
     val fs = LakeStorage.openFor(dir)
     val snapVersion = currentVersion(dir).getOrElse(
       throw new IllegalStateException(s"no committed version under $dir"))
@@ -432,7 +452,7 @@ object ManifestTable {
     if (snapFiles.isEmpty) return (0L, 0L)
     val totalBytes = snapFiles.map(f => fs.getFileStatus(new Path(dir, f)).getLen).sum
     val nOut = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
-    val snapshot = spark.read.parquet(snapFiles.map(f => s"$dir/$f"): _*)
+    val snapshot = readSnapshot(spark, dir, snapFiles, readSchema)
     val rewritten =
       if (clusterBy.isEmpty) snapshot.coalesce(nOut)
       else {
@@ -512,13 +532,19 @@ object ManifestTable {
     val fresh = found.toSeq.filterNot(allReferencedFiles(dir)).sorted
     if (fresh.isEmpty) return (currentVersion(dir).getOrElse(-1L), Seq.empty)
     currentVersion(dir).map(manifest(dir, _)).filter(_.nonEmpty).foreach { live =>
-      val tableCols = spark.read.parquet(live.map(f => s"$dir/$f"): _*)
-        .schema.fieldNames.toSet
-      val newCols = spark.read.parquet(fresh.map(f => s"$dir/$f"): _*)
-        .schema.fieldNames.toSet
-      require(newCols == tableCols,
-        s"register_files: adopted files' columns ${newCols.toSeq.sorted.mkString(",")} " +
-          s"do not match the table's ${tableCols.toSeq.sorted.mkString(",")} — " +
+      // full (name → dataType) comparison, order-insensitive — a name-only
+      // check would let a type-drifted import commit and then poison every
+      // subsequent scan, the exact failure this loud gate exists to stop
+      def shape(files: Seq[String]): Map[String, org.apache.spark.sql.types.DataType] =
+        spark.read.parquet(files.map(f => s"$dir/$f"): _*)
+          .schema.fields.map(f => f.name -> f.dataType).toMap
+      val tableShape = shape(live)
+      val newShape = shape(fresh)
+      def render(m: Map[String, org.apache.spark.sql.types.DataType]): String =
+        m.toSeq.sortBy(_._1).map { case (n, t) => s"$n:${t.simpleString}" }.mkString(",")
+      require(newShape == tableShape,
+        s"register_files: adopted files' schema ${render(newShape)} " +
+          s"does not match the table's ${render(tableShape)} — " +
           "fix the import (or evolve the table schema first), nothing was committed")
     }
     (commitStagedAppend(dir, fresh), fresh)
@@ -530,13 +556,14 @@ object ManifestTable {
     * table to plain — storage-partitioned scans survive. Same rebase
     * rules as [[compact]]. Returns (filesBefore, filesAfter). */
   def compactBucketed(spark: SparkSession, dir: String, numBuckets: Int,
-                      keyCol: String): (Long, Long) = {
+                      keyCol: String,
+                      readSchema: Option[org.apache.spark.sql.types.StructType] = None): (Long, Long) = {
     val snapVersion = currentVersion(dir).getOrElse(
       throw new IllegalStateException(s"no committed version under $dir"))
     val snapFiles = manifest(dir, snapVersion)
     if (snapFiles.isEmpty) return (0L, 0L)
     val compacted = stagePoolBucketed(
-      spark.read.parquet(snapFiles.map(f => s"$dir/$f"): _*), dir, numBuckets, keyCol)
+      readSnapshot(spark, dir, snapFiles, readSchema), dir, numBuckets, keyCol)
     val snapSet = snapFiles.toSet
     commitLoop(dir) { base =>
       val baseFiles = base.map(manifest(dir, _)).getOrElse(Seq.empty)

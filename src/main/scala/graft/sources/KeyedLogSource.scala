@@ -672,9 +672,22 @@ case class KeyedLogScan(path: String, required: StructType,
   @transient private lazy val allFiles: Array[String] = window match {
     case None => KeyedLogSource.listDataFiles(path, conf)
     case Some((from, to)) =>
-      val listed = KeyedLogSource.listDataFiles(path, conf)
-        .map(f => new Path(f).getName -> f).toMap
-      KeyedLogVersionLog.filesInWindow(path, conf, from, to).map { n =>
+      // Journal FIRST, listing SECOND: a data file becomes visible at its
+      // task-commit rename BEFORE its name is journaled, so every name the
+      // journal window yields is already listable. (Listing first raced
+      // concurrent writers: a file made visible and journaled between the
+      // listing and the journal read — end_version unset resolves to the
+      // journal head at read time — looked "gone" and failed the scan.)
+      // After this ordering a miss can only mean compaction/vacuum removed
+      // the file; still re-list once before throwing, to close the window
+      // against a compactor racing this read's first listing.
+      val names = KeyedLogVersionLog.filesInWindow(path, conf, from, to)
+      def listing(): Map[String, String] = KeyedLogSource
+        .listDataFiles(path, conf).map(f => new Path(f).getName -> f).toMap
+      var listed = listing()
+      var relisted = false
+      names.map { n =>
+        if (!listed.contains(n) && !relisted) { listed = listing(); relisted = true }
         listed.getOrElse(n, throw new IllegalStateException(
           s"keyed_log incremental read: journaled file $n is gone (compacted " +
             "past your cursor?) — restart from a full scan"))
@@ -873,8 +886,10 @@ object KeyedLogVersionOffset {
   * rebuilding the seen set — on restart, or to migrate a legacy offset —
   * reads at most one compact entry plus CompactInterval deltas, never the
   * whole history. Single-writer by construction (the driver of the one
-  * stream owning this checkpoint dir); entries become visible by atomic
-  * rename and are immutable after. */
+  * stream owning this checkpoint dir); entries are claimed by
+  * create-exclusive (the zombie-driver fence) and filled in place — a
+  * crash in that window leaves a torn head entry, which the constructor
+  * detects and repairs (see the replay block). */
 private[sources] class KeyedLogSeenLog(dir: String,
     conf: org.apache.spark.util.SerializableConfiguration) {
   import KeyedLogSeenLog._
@@ -889,7 +904,22 @@ private[sources] class KeyedLogSeenLog(dir: String,
     * for the bounded-restart claim). */
   private[sources] var replayReads: Int = 0
   locally {
-    val vs = versions
+    // A driver crash inside advance() — after the create-exclusive claim,
+    // before the JSON write completes — leaves a torn (0-byte/truncated)
+    // HEAD entry. Its version was never returned from advance(), so it was
+    // never committed to Spark's offset log: treating it as absent is
+    // always safe. Tolerate exactly that case — delete the torn head and
+    // rewind — so a restart re-claims the version instead of throwing on
+    // every replay (a permanently bricked checkpoint). Tearing can only
+    // hit the head: entries are written strictly sequentially, so v is
+    // durable before v+1 is created. A STRUCTURALLY wrong but parseable
+    // entry, or an unparseable non-head entry, is still real corruption
+    // and still throws.
+    var vs = versions
+    if (vs.nonEmpty && tryReadEntry(vs.last).isEmpty) {
+      fs.delete(new Path(base, name(vs.last)), false)
+      vs = vs.init
+    }
     if (vs.nonEmpty) {
       latest = vs.last
       val anchor = newestCompactAtOrBefore(vs, latest)
@@ -952,7 +982,15 @@ private[sources] class KeyedLogSeenLog(dir: String,
   private def name(v: Long): String = f"$v%020d"
 
   /** (new files, full set if compact) of entry `v`. */
-  private def readEntry(v: Long): (Seq[String], Option[Seq[String]]) = {
+  private def readEntry(v: Long): (Seq[String], Option[Seq[String]]) =
+    tryReadEntry(v).getOrElse(throw new IllegalStateException(
+      s"corrupt seen-log entry $v: unparseable (torn write?) under $base"))
+
+  /** readEntry, but None when the entry text is not parseable JSON — the
+    * signature of a torn head write, which the constructor repairs. Any
+    * PARSEABLE entry with the wrong shape still throws: that is real
+    * corruption, not a torn write. */
+  private def tryReadEntry(v: Long): Option[(Seq[String], Option[Seq[String]])] = {
     val in = fs.open(new Path(base, name(v)))
     val text = try {
       val bytes = new java.io.ByteArrayOutputStream()
@@ -968,7 +1006,7 @@ private[sources] class KeyedLogSeenLog(dir: String,
       case other => throw new IllegalStateException(
         s"corrupt seen-log entry $v: expected array, got $other")
     }
-    JsonMethods.parse(text) match {
+    scala.util.Try(JsonMethods.parse(text)).toOption.map {
       case o: JObject =>
         val m = o.obj.toMap
         (strs(m.getOrElse("n", JArray(Nil))), m.get("all").map(strs))

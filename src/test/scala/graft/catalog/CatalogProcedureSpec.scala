@@ -204,6 +204,19 @@ class CatalogProcedureSpec extends AnyFunSuite {
       "failed registration must commit nothing")
     val fsDir = new java.io.File(new java.net.URI(s"$dir/bad"))
     fsDir.listFiles().foreach(_.delete()); fsDir.delete()
+    // TYPE drift under MATCHING names fails just as loudly: a name-only
+    // check would commit these and then poison every subsequent scan
+    spark.range(2).selectExpr("CAST(id AS STRING) AS id", "CAST(id AS STRING) AS v")
+      .coalesce(1).write.parquet(s"$dir/badtype")
+    val tdrift = intercept[Exception] {
+      spark.sql("CALL gp.system.register_files('db.adopt')").collect()
+    }
+    assert(tdrift.getMessage.contains("register_files") &&
+      tdrift.getMessage.contains("id:string"), s"wrong error: ${tdrift.getMessage}")
+    assert(spark.sql("SELECT count(*) FROM gp.db.adopt").head().getLong(0) === 10L,
+      "type-drifted registration must commit nothing")
+    val tdir = new java.io.File(new java.net.URI(s"$dir/badtype"))
+    tdir.listFiles().foreach(_.delete()); tdir.delete()
     // clean import adopts exactly import/'s one file (hidden dir skipped)
     val reg = spark.sql("CALL gp.system.register_files('db.adopt')").head()
     assert(reg.getLong(1) === 1L, s"expected 1 adopted file, got $reg")

@@ -233,6 +233,33 @@ class CatalogSpec extends AnyFunSuite {
     assert(e.getMessage.contains("column mapping"), s"wrong error: ${e.getMessage}")
   }
 
+  test("RENAME COLUMN on a BUCKET column: compaction re-buckets on the new name") {
+    ensureDb()
+    spark.sql("""CREATE TABLE g.db.renb (k BIGINT, v BIGINT) USING manifest
+                 PARTITIONED BY (bucket(4, k))""")
+    spark.sql("INSERT INTO g.db.renb SELECT id % 7, id FROM range(20)")
+    spark.sql("ALTER TABLE g.db.renb RENAME COLUMN k TO shard")
+    // the descriptor followed the rename: bucketing now names the new col
+    val props = spark.sql("SHOW TBLPROPERTIES g.db.renb").collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(props("graft.bucketing") === "bucket(4, shard)")
+    // compaction must read the snapshot with the DECLARED (id-mapped)
+    // schema: the data files physically carry the pre-rename name 'k',
+    // and the re-bucket repartitions on 'shard' — an inferred-schema
+    // read would fail with an unresolved column here
+    spark.sql("CALL g.system.compact('db.renb')").collect()
+    assert(spark.sql("SELECT sum(v) FROM g.db.renb").head().getLong(0) ===
+      (0 until 20).sum.toLong)
+    assert(spark.sql("SELECT shard, count(*) AS n FROM g.db.renb GROUP BY shard")
+      .collect().length === 7)
+    // the rewrite stayed bucketed (files in a d-bucketed-4- pool), so
+    // storage-partitioned scans survive the rename+compact round-trip
+    val pools = spark.sql("SELECT pool FROM g.db.renb.files").collect()
+      .map(_.getString(0)).distinct
+    assert(pools.length === 1 && pools.head.startsWith("d-bucketed-4-"),
+      s"compaction must keep the bucketed layout, got pools: ${pools.mkString(",")}")
+  }
+
   test("metadata tables: t.history lists versions, t.files the current snapshot") {
     ensureDb()
     spark.sql("CREATE TABLE g.db.meta (id BIGINT) USING manifest")

@@ -286,6 +286,50 @@ class DataSourceSpec extends AnyFunSuite {
       "legacy offset migration must read exactly the not-yet-seen files")
   }
 
+  test("a torn seen-log head entry (crash mid-write) is repaired on restart") {
+    val dir = Files.createTempDirectory("graft_klog_torn_").toString
+    val ckpt = Files.createTempDirectory("graft_klog_torn_ckpt_").toString
+    val conf = KeyedLogConf.capture()
+    val schema = KeyedLogSource.schema
+    val stream = new KeyedLogMicroBatchStream(dir, schema, Array.empty, conf, ckpt)
+    Files.write(java.nio.file.Paths.get(dir, "f000.log"), "a\t1\t10\n".getBytes("UTF-8"))
+    assert(stream.latestOffset() === KeyedLogVersionOffset(0L))
+    Files.write(java.nio.file.Paths.get(dir, "f001.log"), "b\t2\t20\n".getBytes("UTF-8"))
+    assert(stream.latestOffset() === KeyedLogVersionOffset(1L))
+    // simulate a driver crash inside advance(): the entry file exists (the
+    // create-exclusive claim succeeded) but its JSON never reached disk
+    val ledgerDir = java.nio.file.Paths.get(ckpt, "graft_seen_log")
+    val torn = ledgerDir.resolve(f"${2L}%020d")
+    Files.write(torn, Array.emptyByteArray)
+    // restart: v2 was never RETURNED from advance(), so it can never be in
+    // Spark's offset log — treating the torn entry as absent is always
+    // safe, and required (throwing here bricked the checkpoint forever)
+    val restarted = new KeyedLogMicroBatchStream(dir, schema, Array.empty, conf, ckpt)
+    assert(restarted.ledger.latestVersion === 1L)
+    assert(!Files.exists(torn),
+      "the torn head entry must be deleted so its version can be re-claimed")
+    // the stream continues: the next trigger re-claims the repaired version
+    Files.write(java.nio.file.Paths.get(dir, "f002.log"), "c\t3\t30\n".getBytes("UTF-8"))
+    assert(restarted.latestOffset() === KeyedLogVersionOffset(2L))
+    val planned = restarted.planInputPartitions(
+        KeyedLogVersionOffset(1L), KeyedLogVersionOffset(2L))
+      .flatMap(_.asInstanceOf[KeyedLogPartition].files)
+    assert(planned.map(f => new java.io.File(f).getName).toSeq === Seq("f002.log"))
+    // a truncated (partial-JSON) head repairs identically
+    val restarted2 = {
+      Files.write(ledgerDir.resolve(f"${3L}%020d"), """{"n":["f00""".getBytes("UTF-8"))
+      new KeyedLogMicroBatchStream(dir, schema, Array.empty, conf, ckpt)
+    }
+    assert(restarted2.ledger.latestVersion === 2L)
+    // but a torn NON-head entry is real corruption and still throws:
+    // entries are written sequentially, so tearing can only hit the head
+    Files.write(ledgerDir.resolve(f"${1L}%020d"), Array.emptyByteArray)
+    val e = intercept[IllegalStateException] {
+      new KeyedLogMicroBatchStream(dir, schema, Array.empty, conf, ckpt)
+    }
+    assert(e.getMessage.contains("corrupt seen-log entry"))
+  }
+
   test("commit journal: one version per write, windowed incremental reads") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_klog_jrnl_").toString
