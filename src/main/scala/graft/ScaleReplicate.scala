@@ -8,13 +8,24 @@ import org.apache.spark.sql.functions._
   * foreign-key relationship preserved within a replica, never across), so
   * join/aggregate plans face factor-x cardinality with realistic key
   * distributions. Usage:
-  * {{{ runMain graft.ScaleReplicate <inDir> <outDir> <factor> }}}
+  * {{{ runMain graft.ScaleReplicate <inDir> <outDir> <factor> [shift-events] }}}
+  * With `shift-events`, each events replica's timestamps are shifted by
+  * replica * (span + 1s): the time axis EXTENDS and temporal density stays
+  * constant — the "longer history" growth mode of a real corpus. Without
+  * it replicas share the time axis, so density grows factor-x — the
+  * "denser traffic" mode (and, for joins windowed purely on time, a
+  * quadratically growing true result set).
   * Scratch tooling for the scaling study in STATE.md — not part of the
   * library surface; writes only under the given outDir.
   */
 object ScaleReplicate {
   def main(args: Array[String]): Unit = {
-    val Array(inDir, outDir, factorS) = args
+    val (inDir, outDir, factorS, shiftEvents) = args match {
+      case Array(i, o, f)                  => (i, o, f, false)
+      case Array(i, o, f, "shift-events")  => (i, o, f, true)
+      case other => throw new IllegalArgumentException(
+        s"usage: <inDir> <outDir> <factor> [shift-events], got ${other.mkString(" ")}")
+    }
     val factor = factorS.toInt
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -45,9 +56,25 @@ object ScaleReplicate {
     write(replicate(load("orders"), Seq("o_orderkey", "o_custkey")), "orders")
     write(replicate(load("lineitem"),
       Seq("l_orderkey", "l_partkey", "l_suppkey")), "lineitem")
-    // events: disjoint users + event ids per replica; ts untouched so
-    // window/funnel densities scale with user count, not time range
-    write(replicate(load("events"), Seq("event_id", "user_id")), "events")
+    // events: disjoint users + event ids per replica. Default: ts untouched
+    // (densities scale with user count); shift-events: each replica's time
+    // axis appended after the previous one (densities constant).
+    val events0 = load("events")
+    val events =
+      if (!shiftEvents) replicate(events0, Seq("event_id", "user_id"))
+      else {
+        val spanSec = events0
+          .agg((unix_timestamp(max(col("ts"))) - unix_timestamp(min(col("ts")))))
+          .head().getLong(0) + 1L
+        val keyed = replicate(events0, Seq("event_id", "user_id"))
+        // recover the replica index from the event_id offset block
+        val idSpan = events0.agg(max(col("event_id"))).head().getLong(0) + 1L
+        keyed
+          .withColumn("_rep", expr(s"event_id div ${idSpan}L"))
+          .withColumn("ts", expr(s"timestampadd(SECOND, _rep * ${spanSec}L, ts)"))
+          .drop("_rep")
+      }
+    write(events, "events")
     spark.stop()
   }
 }

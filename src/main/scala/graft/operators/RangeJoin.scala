@@ -6,30 +6,63 @@ import org.apache.spark.sql.functions._
 /** Interval/range join: pairs (l, r) with r.time in [l.time, l.time + win).
   *
   * A naive theta-join plans as BroadcastNestedLoopJoin — O(n*m) comparisons,
-  * unusable at scale. This implementation buckets time into `win`-sized
-  * cells: each left row joins only rows in its own and the next bucket
-  * (every [t, t+win) interval spans at most two cells), turning the plan
-  * into an equi-join (shuffled hash / sort-merge) plus a residual filter.
-  * Comparisons drop from O(n*m) to O(sum of per-bucket products) — the
-  * standard overlap-join optimization (cf. Spark's own range-join hints in
-  * Databricks runtime, expressed here with open-source primitives).
+  * unusable at scale. This implementation buckets time into cells: each
+  * left row joins only rows in the cells its window covers, turning the
+  * plan into an equi-join (shuffled hash / sort-merge) plus a residual
+  * filter. Comparisons drop from O(n*m) to O(sum of per-bucket products) —
+  * the standard overlap-join optimization (cf. Spark's own range-join hints
+  * in Databricks runtime, expressed here with open-source primitives).
+  *
+  * == Bucket-width auto-sizing ==
+  *
+  * The bucket width is decoupled from the JOIN window and derived from the
+  * right side's measured temporal density (one cheap count/min/max agg at
+  * build time) unless overridden. Cost per left row:
+  *
+  *   - explosion: the left row is emitted into (win/w + 1) buckets —
+  *     shuffle volume grows as win/w when w shrinks;
+  *   - candidate waste: beyond the d*win candidates the window semantics
+  *     require, bucket-edge slop adds ~d*w spurious candidates the
+  *     residual filter must discard (d = right rows/second).
+  *
+  * Minimizing (c*win/w + d*w) gives w* = sqrt(c*win/d), clamped to
+  * [1, win]; c is the cost of an exploded shuffle row relative to a
+  * candidate probe, measured at ~2.25 by a width sweep at two densities
+  * on local[32] (optimum sat at ~1.5x the c=1 prediction at both 1x and
+  * 10x density). A FIXED w = win (the pre-auto-sizing behavior) doubles
+  * the candidate set at every density and lets per-bucket group products
+  * grow quadratically with density — the single measured superlinear
+  * point in the round-7 10x scale study; w* keeps expected per-bucket
+  * occupancy at ~sqrt(c*win*d) rows, so per-bucket products stay bounded
+  * and partitions stay balanced as density grows (w shrinks as
+  * 1/sqrt(d)). The width never affects the RESULT, only the plan —
+  * outputs are bit-identical for any w >= 1.
   */
 object RangeJoin {
 
   /** left: (lcols..., ltime); right: (rcols..., rtime); win in seconds.
-    * Output: all (left x right) rows with rtime in [ltime, ltime + win). */
+    * Output: all (left x right) rows with rtime in [ltime, ltime + win).
+    * `bucketSeconds`: explicit bucket-width override; None (default)
+    * derives it from the right side's time-column density at build time
+    * (see the auto-sizing note above). */
   def timeWindowJoin(left: DataFrame, right: DataFrame,
                      leftTime: String, rightTime: String,
                      winSeconds: Long,
-                     extraCondition: org.apache.spark.sql.Column = lit(true)): DataFrame = {
+                     extraCondition: org.apache.spark.sql.Column = lit(true),
+                     bucketSeconds: Option[Long] = None): DataFrame = {
+    require(winSeconds > 0, "winSeconds must be positive")
+    bucketSeconds.foreach(w => require(w > 0, "bucketSeconds must be positive"))
+    val w = bucketSeconds.getOrElse(autoBucketSeconds(right, rightTime, winSeconds))
     val lb = left
       .withColumn("_lsec", unix_timestamp(col(leftTime)))
-      .withColumn("_bucket", explode(array(
-        expr(s"_lsec div $winSeconds"),
-        expr(s"_lsec div $winSeconds") + 1)))
+      // every bucket the window [lsec, lsec+win] touches; `div` truncates
+      // toward zero — monotone non-decreasing for a positive divisor, so
+      // any point in the window lands inside this inclusive bucket range
+      .withColumn("_bucket", explode(expr(
+        s"sequence(_lsec div $w, (_lsec + $winSeconds) div $w)")))
     val rb = right
       .withColumn("_rsec", unix_timestamp(col(rightTime)))
-      .withColumn("_bucket", expr(s"_rsec div $winSeconds"))
+      .withColumn("_bucket", expr(s"_rsec div $w"))
     // bucketing uses floor-seconds; the residual filter compares the full-
     // precision timestamps (unix_timestamp truncates sub-second parts)
     lb.join(rb, Seq("_bucket"))
@@ -38,4 +71,55 @@ object RangeJoin {
         extraCondition)
       .drop("_bucket", "_lsec", "_rsec")
   }
+
+  /** Bucket width from measured density: w* = sqrt(win/d) clamped to
+    * [1, winSeconds], where d = right rows / right time span in seconds.
+    * One count/min/max aggregation over the right side — map-side partial,
+    * no shuffle of data rows; the returned width is a plan-time constant,
+    * so the join itself stays fully codegen'd. Degenerate inputs (empty
+    * side, single instant) fall back to winSeconds — the legacy width.
+    *
+    * The derived width is MEMOIZED per (canonicalized right plan, time
+    * column, window): the stats job costs a fixed scheduler round-trip
+    * (~0.2 s locally), which matters for small interactive queries that
+    * rebuild the same join repeatedly — steady-state rebuilds are free. A
+    * cache hit can serve a width computed from an earlier snapshot of the
+    * same source; the width never affects results, only plan shape, so
+    * staleness degrades performance at most (and only until the cache
+    * entry is evicted). */
+  private[graft] def autoBucketSeconds(right: DataFrame, rightTime: String,
+                                       winSeconds: Long): Long = {
+    val key = (right.queryExecution.analyzed.canonicalized, rightTime, winSeconds)
+    val cached = widthCache.get(key)
+    if (cached != null) return cached
+    val row = right
+      .select(unix_timestamp(col(rightTime)).as("s"))
+      .agg(count(lit(1)), min(col("s")), max(col("s")))
+      .head()
+    val n = row.getLong(0)
+    val w =
+      if (n == 0 || row.isNullAt(1)) winSeconds
+      else {
+        val span = row.getLong(2) - row.getLong(1)
+        if (span <= 0) winSeconds
+        else {
+          val density = n.toDouble / span.toDouble
+          math.max(1L, math.min(winSeconds,
+            math.sqrt(ExplodeCostRatio * winSeconds.toDouble / density).round))
+        }
+      }
+    if (widthCache.size() >= 128) widthCache.clear() // bounded, coarse eviction
+    widthCache.put(key, w)
+    w
+  }
+
+  private val widthCache = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, String, Long),
+    java.lang.Long]()
+
+  /** Relative cost of one exploded shuffle row vs one spurious in-bucket
+    * candidate probe (the c in w* = sqrt(c*win/d)). Calibrated by width
+    * sweeps at 1x and 10x density on local[32]: the measured optimum sat
+    * at ~1.5x the c=1 prediction at both, i.e. c ~ 1.5^2. */
+  private val ExplodeCostRatio: Double = 2.25
 }

@@ -47,7 +47,19 @@ import org.apache.spark.sql.types.{DataType, DoubleType, LongType, TimestampType
   * Sizing note: each interval row expands to one generated row per covered
   * bucket (~width/binSize). Pick binSize on the order of the typical
   * interval width — the same contract as the bin size in commercial
-  * range-join hints. The rewrite is fan-out-guarded: interval rows that
+  * range-join hints. Passing [[RangeJoinRewrite.AutoBin]] (0) instead
+  * derives the width from the POINT side's CBO column statistics at plan
+  * time (`ANALYZE TABLE ... COMPUTE STATISTICS FOR ALL COLUMNS` +
+  * `spark.sql.cbo.enabled`): density = rowCount / point-column span, and
+  * the bin targets [[RangeJoinRewrite.TargetRowsPerBucket]] expected point
+  * rows per cell — per-bucket join products stay bounded however dense the
+  * data gets, which a statically-chosen width cannot guarantee (the bin
+  * shrinks as density grows). Interval width is runtime data the stats
+  * cannot see, so the occupancy target replaces the width heuristic; joins
+  * whose intervals span many derived cells are still caught by the
+  * maxFanout guard below. Without usable stats the rule falls back to
+  * [[RangeJoinRewrite.DefaultBinSize]]. The bin width never changes the
+  * RESULT, only the plan. The rewrite is fan-out-guarded: interval rows that
   * can never match (lo >= hi, compared at full precision) are filtered out
   * before the Generate, and rows whose bucket fan-out would exceed
   * `maxFanout` are routed to a theta-join fallback branch instead of
@@ -69,7 +81,7 @@ import org.apache.spark.sql.types.{DataType, DoubleType, LongType, TimestampType
   */
 case class RangeJoinRewrite(binSize: Long, maxFanout: Long = 4096L)
     extends Rule[LogicalPlan] {
-  require(binSize > 0, "binSize must be positive")
+  require(binSize >= 0, "binSize must be positive (or AutoBin = 0 for stats-derived)")
   require(maxFanout > 0, "maxFanout must be positive")
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
@@ -128,8 +140,9 @@ case class RangeJoinRewrite(binSize: Long, maxFanout: Long = 4096L)
         if (e.dataType == LongType) e
         else Cast(e, LongType, Some(conf.sessionLocalTimeZone))
       val (point, lo, hi) = (asLong(point0), asLong(lo0), asLong(hi0))
-      val bin = Literal(binSize, LongType)
       val (pointPlan, intervalPlan) = if (pointIsLeft) (left, right) else (right, left)
+      val binWidth = effectiveBinSize(point0, pointPlan)
+      val bin = Literal(binWidth, LongType)
 
       // Fan-out guards on the interval side:
       //  - nonEmpty: lo < hi at FULL precision (an interval with lo >= hi
@@ -145,7 +158,7 @@ case class RangeJoinRewrite(binSize: Long, maxFanout: Long = 4096L)
       val nonEmpty = LessThan(lo0, hi0)
       val bounded = LessThanOrEqual(
         Subtract(Cast(hi, DoubleType), Cast(lo, DoubleType)),
-        Literal(binSize.toDouble * maxFanout.toDouble, DoubleType))
+        Literal(binWidth.toDouble * maxFanout.toDouble, DoubleType))
       val bucketable = Filter(And(nonEmpty, bounded), intervalPlan)
 
       val pBucket = Alias(IntegralDivide(point, bin), "_graft_bucket_p")()
@@ -186,6 +199,40 @@ case class RangeJoinRewrite(binSize: Long, maxFanout: Long = 4096L)
     }
   }
 
+  /** The bucket width this join will use. Explicit binSize wins; AutoBin
+    * derives from the point side's CBO column statistics (see the class
+    * doc's sizing note): bin = TargetRowsPerBucket / density, so expected
+    * point rows per cell is the constant target at any density. Exposed
+    * private[plans] so the spec can assert the derivation. */
+  private[plans] def effectiveBinSize(point: Expression, pointPlan: LogicalPlan): Long = {
+    if (binSize > 0) return binSize
+    val derived: Option[Long] = point.references.toSeq match {
+      case Seq(attr: Attribute) =>
+        val stats = pointPlan.stats
+        for {
+          rc <- stats.rowCount if rc > 0
+          cs <- stats.attributeStats.get(attr)
+          mn <- cs.min
+          mx <- cs.max
+          span <- spanSeconds(attr.dataType, mn, mx) if span > 0
+        } yield {
+          val density = rc.toDouble / span
+          math.max(1L, math.min(RangeJoinRewrite.MaxAutoBinSize,
+            (RangeJoinRewrite.TargetRowsPerBucket / density).round))
+        }
+      case _ => None
+    }
+    derived.getOrElse(RangeJoinRewrite.DefaultBinSize)
+  }
+
+  /** ColumnStat min/max, in this rule's bucket unit (seconds): timestamps
+    * are stored as epoch MICROS in catalog statistics; longs as-is. */
+  private def spanSeconds(t: DataType, mn: Any, mx: Any): Option[Double] = (t, mn, mx) match {
+    case (LongType, a: Long, b: Long)      => Some((b - a).toDouble)
+    case (TimestampType, a: Long, b: Long) => Some((b - a).toDouble / 1e6)
+    case _                                 => None
+  }
+
   /** LongType buckets directly; TimestampType through its epoch-seconds
     * cast. (The comparison operators guarantee all three expressions share
     * a type after analyzer coercion.) */
@@ -212,6 +259,24 @@ object RangeJoinRewrite {
     * batch never re-rewrites the rule's own output (tags survive makeCopy/
     * withNewChildren, so later rules touching the join keep the mark). */
   private[plans] val skipTag = TreeNodeTag[Unit]("graft.rangeJoinRewrite.skip")
+
+  /** binSize sentinel: derive the bucket width from the point side's CBO
+    * column statistics at plan time (falls back to [[DefaultBinSize]]
+    * without stats). */
+  val AutoBin: Long = 0L
+  /** Auto mode's expected point rows per bucket cell. Bounds every
+    * per-bucket join product at ~target * per-cell interval rows whatever
+    * the density; small enough that one cell's group never strains an SMJ
+    * buffer, large enough that cell management stays negligible. */
+  val TargetRowsPerBucket: Long = 1024L
+  /** Auto mode without usable stats: 10-minute cells, the session-scale
+    * magnitude the gate queries use — supply binSize explicitly (or
+    * ANALYZE the point table) for a fitted width. */
+  val DefaultBinSize: Long = 600L
+  /** Auto-derivation ceiling (~35k years of seconds): a near-empty point
+    * side would otherwise derive an absurd width; at these sizes every
+    * interval lands in one or two cells regardless. */
+  val MaxAutoBinSize: Long = 1L << 40
 
   /** Install the rule into a session's experimental optimizer batch
     * (idempotent: replaces any previously installed instance). */

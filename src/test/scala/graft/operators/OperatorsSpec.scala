@@ -71,6 +71,43 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got === Array(11L, 12L))
   }
 
+  test("range join: auto bucket width = sqrt(win/density), clamped; overrides honored") {
+    val base = ts("2024-01-01 00:00:00").getTime
+    def mk(n: Int, stepMs: Long) = (0 until n)
+      .map(i => (i.toLong, new java.sql.Timestamp(base + i * stepMs)))
+      .toDF("r_id", "r_ts")
+    // 1000 rows over 9990 s -> density ~0.1/s -> w* = sqrt(c*win/d) with
+    // the calibrated explode-cost ratio c = 2.25
+    val r = mk(1000, 10_000L)
+    val w = RangeJoin.autoBucketSeconds(r, "r_ts", 600L)
+    assert(w === math.sqrt(2.25 * 600.0 * 9990.0 / 1000.0).round)
+    // 100x denser -> ~10x narrower bucket (w shrinks as 1/sqrt(density))
+    val wd = RangeJoin.autoBucketSeconds(mk(1000, 100L), "r_ts", 600L)
+    assert(wd === math.sqrt(2.25 * 600.0 * 99.9 / 1000.0).round && wd < w)
+    // sparse side clamps at the window width (the legacy fixed width)
+    val sparse = Seq((1L, new java.sql.Timestamp(base)),
+      (2L, new java.sql.Timestamp(base + 100_000_000L))).toDF("r_id", "r_ts")
+    assert(RangeJoin.autoBucketSeconds(sparse, "r_ts", 600L) === 600L)
+    // degenerate inputs: empty / single instant -> window width
+    assert(RangeJoin.autoBucketSeconds(r.limit(0), "r_ts", 600L) === 600L)
+    assert(RangeJoin.autoBucketSeconds(r.limit(1), "r_ts", 600L) === 600L)
+  }
+
+  test("range join: auto and explicit bucket widths are result-identical") {
+    val rnd = new scala.util.Random(7)
+    val base = ts("2024-01-01 00:00:00").getTime
+    val l = (1 to 200).map(i => (i.toLong,
+      new java.sql.Timestamp(base + rnd.nextInt(3600_000)))).toDF("l_id", "l_ts")
+    val r = (1 to 200).map(i => (i.toLong,
+      new java.sql.Timestamp(base + rnd.nextInt(3600_000)))).toDF("r_id", "r_ts")
+    def run(bucket: Option[Long]) =
+      RangeJoin.timeWindowJoin(l, r, "l_ts", "r_ts", 251L, bucketSeconds = bucket)
+        .select("l_id", "r_id").as[(Long, Long)].collect().toSet
+    val auto = run(None)
+    assert(auto.nonEmpty)
+    for (b <- Seq(1L, 17L, 251L)) assert(run(Some(b)) === auto, s"bucket=$b diverges")
+  }
+
   test("LSH candidates contain every exact-Jaccard pair (recall check)") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8)

@@ -172,6 +172,61 @@ class RangeJoinRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("AutoBin: bucket width derives from ANALYZE'd column stats, result unchanged") {
+    val saved = spark.conf.getOption("spark.sql.cbo.enabled")
+    try {
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      spark.sql("DROP TABLE IF EXISTS rjr_cbo_pts")
+      val loc = java.nio.file.Files.createTempDirectory("graft_rjr_cbo_").toString
+      points.write.format("parquet").option("path", loc).saveAsTable("rjr_cbo_pts")
+      spark.sql("ANALYZE TABLE rjr_cbo_pts COMPUTE STATISTICS FOR ALL COLUMNS")
+      val tbl = spark.table("rjr_cbo_pts")
+      val optimized = tbl.queryExecution.optimizedPlan
+      val attr = optimized.output.find(_.name == "p").get
+      // expected: bin = TargetRowsPerBucket / (rowCount / span)
+      val stats = optimized.stats
+      val cs = stats.attributeStats(attr)
+      val span = (cs.max.get.asInstanceOf[Long] - cs.min.get.asInstanceOf[Long]).toDouble
+      val expected = math.max(1L,
+        (RangeJoinRewrite.TargetRowsPerBucket * span / stats.rowCount.get.toDouble).round)
+      val rule = RangeJoinRewrite(RangeJoinRewrite.AutoBin)
+      assert(rule.effectiveBinSize(attr, optimized) === expected)
+      assert(expected !== RangeJoinRewrite.DefaultBinSize,
+        "fixture must make the derived width distinguishable from the fallback")
+      // end-to-end: the auto-sized rewrite fires and matches the naive join
+      intervals.createOrReplaceTempView("rjr_cbo_wins")
+      val q = "SELECT p_id, w_id FROM rjr_cbo_pts JOIN rjr_cbo_wins ON p >= lo AND p < hi"
+      val naive = spark.sql(q).as[(Long, Long)].collect().toSet
+      assert(naive.nonEmpty)
+      withRule(binSize = RangeJoinRewrite.AutoBin) {
+        val df = spark.sql(q)
+        val plan = df.queryExecution.executedPlan.toString
+        assert(plan.contains("_graft_bucket"), s"auto rewrite did not fire:\n$plan")
+        assert(df.as[(Long, Long)].collect().toSet === naive)
+      }
+      spark.sql("DROP TABLE rjr_cbo_pts")
+    } finally saved match {
+      case Some(v) => spark.conf.set("spark.sql.cbo.enabled", v)
+      case None    => spark.conf.unset("spark.sql.cbo.enabled")
+    }
+  }
+
+  test("AutoBin without usable stats falls back to the default width, still correct") {
+    val cond = col("p") >= col("lo") && col("p") < col("hi")
+    val naive = points.join(intervals, cond)
+      .select("p_id", "w_id").as[(Long, Long)].collect().toSet
+    // a LocalRelation has a row count but no column stats -> fallback
+    val rule = RangeJoinRewrite(RangeJoinRewrite.AutoBin)
+    val pPlan = points.queryExecution.optimizedPlan
+    val pAttr = pPlan.output.find(_.name == "p").get
+    assert(rule.effectiveBinSize(pAttr, pPlan) === RangeJoinRewrite.DefaultBinSize)
+    withRule(binSize = RangeJoinRewrite.AutoBin) {
+      val df = points.join(intervals, cond).select("p_id", "w_id")
+      assert(df.queryExecution.executedPlan.toString.contains("_graft_bucket"))
+      assert(df.as[(Long, Long)].collect().toSet === naive)
+    }
+  }
+
   test("joins with an existing equi key are left untouched") {
     val a = Seq((1L, 2L)).toDF("k", "v")
     val b = Seq((1L, 0L, 5L)).toDF("k2", "lo", "hi")
