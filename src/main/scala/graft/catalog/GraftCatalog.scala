@@ -112,6 +112,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           Some(MetadataTables.files(dataDir))
         case "changes" if meta.provider == "manifest" =>
           Some(new ManifestChangesTable(dataDir, meta.schema))
+        case "changes" if meta.provider == "keyedlog" =>
+          Some(new KeyedLogChangesTable(dataDir))
         case "partitions" if meta.provider == "manifest" =>
           Some(MetadataTables.partitions(dataDir, meta.bucket.map(_.n)))
         case _ => None

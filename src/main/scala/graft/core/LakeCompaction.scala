@@ -122,10 +122,12 @@ object LakeCompaction {
           s"compaction: failed to carry ${s.getPath.getName} into the compacted dir")
     }
     // journal the compaction as the NEXT table version holding the whole
-    // compacted file set — the manifest-CDC rewrite contract: incremental
-    // consumers past this version see the rewritten rows again (upsert
-    // semantics); cursors into the pre-compaction file names fail loudly
-    graft.sources.KeyedLogVersionLog.commit(tmp.toString, conf, compactedNames)
+    // compacted file set, marked as a REWRITE — the manifest-CDC rewrite
+    // contract: incremental consumers past this version see the rewritten
+    // rows again (upsert semantics) and t.changes tags them 'rewrite';
+    // cursors into the pre-compaction file names fail loudly
+    graft.sources.KeyedLogVersionLog.commit(tmp.toString, conf, compactedNames,
+      rewrite = true)
     swapDirs(fs, path, tmp)
     val after = fs.listStatus(path).count(dataFile)
     (before.toLong, after.toLong)

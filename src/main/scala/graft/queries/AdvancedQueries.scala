@@ -369,6 +369,34 @@ object AdvancedQueries extends QueryModule {
         .orderBy("key")
     },
 
+    // --- keyedlog t.changes (catalog/KeyedLogChanges): the _change_type-
+    //     tagged CDC feed over the commit journal — normal commits emit
+    //     'insert' post-images; a compaction journals the whole rewritten
+    //     set as ONE 'rewrite' (refresh/upsert) event superseding every
+    //     earlier version in the window, and later inserts follow ---
+    "qk05_keyedlog_changes" -> { (s0, d) =>
+      val s = s0.newSession()
+      graft.catalog.GraftCatalog.register(s, "graft_kx",
+        graft.core.TempDirs.create("graft_kx_root_"))
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_kx.db")
+      Tables.documents(s, d).createOrReplaceTempView("qk05_documents")
+      s.sql("CREATE TABLE graft_kx.db.activity (key STRING, seq BIGINT, metric BIGINT) " +
+        "USING keyedlog")
+      s.sql("INSERT INTO graft_kx.db.activity " +
+        "SELECT lang, doc_id, n_chars FROM qk05_documents WHERE doc_id % 3 = 0") // journal v0
+      s.sql("INSERT INTO graft_kx.db.activity " +
+        "SELECT lang, doc_id, n_chars FROM qk05_documents WHERE doc_id % 3 = 1") // journal v1
+      s.sql("CALL graft_kx.system.compact('db.activity')")                       // journal v2 (rewrite)
+      s.sql("INSERT INTO graft_kx.db.activity " +
+        "SELECT lang, doc_id, n_chars FROM qk05_documents WHERE doc_id % 3 = 2") // journal v3
+      // window (0, head]: v1's insert is superseded by the v2 rewrite, so
+      // the feed = rewrite rows (all of v0+v1) + v3's insert rows
+      s.read.option("start_version", "0").table("graft_kx.db.activity.changes")
+        .groupBy(col("_change_type").as("change_type"), col("key"))
+        .agg(count(lit(1)).as("n_rows"), sum("metric").as("sum_chars"))
+        .orderBy("change_type", "key")
+    },
+
     // --- mergeable HLL sketches (Apache DataSketches via Spark 4 built-ins):
     //     build per-(flag, shipdate) PARTIAL sketches, then union-merge to
     //     per-flag distinct estimates — the pre-aggregated sketch-table
@@ -559,6 +587,19 @@ object AdvancedQueries extends QueryModule {
            CAST(2 AS BIGINT) AS journal_versions
          FROM documents WHERE doc_id % 2 = 1
          GROUP BY lang ORDER BY key""",
+
+    // the rewrite event replays everything committed before the
+    // compaction (doc_id % 3 in (0, 1)); the later insert is % 3 = 2
+    "qk05_keyedlog_changes" ->
+      """SELECT change_type, key, n_rows, sum_chars FROM (
+           SELECT 'insert' AS change_type, lang AS key, count(*) AS n_rows,
+             CAST(sum(n_chars) AS BIGINT) AS sum_chars
+           FROM documents WHERE doc_id % 3 = 2 GROUP BY lang
+           UNION ALL
+           SELECT 'rewrite' AS change_type, lang AS key, count(*) AS n_rows,
+             CAST(sum(n_chars) AS BIGINT) AS sum_chars
+           FROM documents WHERE doc_id % 3 < 2 GROUP BY lang
+         ) ORDER BY change_type, key""",
 
     // sketch bytes are engine-specific: the gate checks the exact distinct
     // count and partial-sketch count bit-exactly, and the merged HLL

@@ -69,8 +69,9 @@ object KeyedLogSource {
     StructField("metric", LongType)))
 
   /** Visible data files under `path` (hidden/_staging names excluded) —
-    * the shared listing for batch split planning and streaming offsets. */
-  private[sources] def listDataFiles(
+    * the shared listing for batch split planning, streaming offsets, and
+    * the catalog's `t.changes` feed. */
+  private[graft] def listDataFiles(
       path: String, conf: org.apache.spark.util.SerializableConfiguration): Array[String] = {
     val p = new Path(path)
     val fs = p.getFileSystem(conf.value)
@@ -269,12 +270,20 @@ private[graft] object KeyedLogVersionLog {
   def read(path: String, conf: org.apache.spark.util.SerializableConfiguration,
            v: Long): Seq[String] = readEntry(path, conf, v)._1
 
-  /** (new names, full set if a compact entry) of marker `v`. Delta
-    * entries are a bare JSON array; every CompactInterval-th entry is
-    * `{"n":[...],"all":[...]}`. */
+  /** True when version `v` was journaled as a REWRITE (compaction): its
+    * names are the whole post-compaction file set, superseding every
+    * earlier version's files. Entries written before the flag existed
+    * parse as non-rewrites. */
+  def isRewrite(path: String, conf: org.apache.spark.util.SerializableConfiguration,
+                v: Long): Boolean = readEntry(path, conf, v)._3
+
+  /** (new names, full set if a compact entry, rewrite?) of marker `v`.
+    * Delta entries are a bare JSON array; every CompactInterval-th entry
+    * is `{"n":[...],"all":[...]}`; rewrite (compaction) entries carry
+    * `"rw":1`. */
   private def readEntry(path: String,
       conf: org.apache.spark.util.SerializableConfiguration,
-      v: Long): (Seq[String], Option[Seq[String]]) = {
+      v: Long): (Seq[String], Option[Seq[String]], Boolean) = {
     val fs = new Path(path).getFileSystem(conf.value)
     def strs(j: org.json4s.JValue): Seq[String] = j match {
       case org.json4s.JArray(items) => items.map {
@@ -298,11 +307,11 @@ private[graft] object KeyedLogVersionLog {
         new String(bytes.toByteArray, "UTF-8")
       } finally in.close()
       scala.util.Try(org.json4s.jackson.JsonMethods.parse(text)).toOption match {
-        case Some(arr: org.json4s.JArray) => return (strs(arr), None)
+        case Some(arr: org.json4s.JArray) => return (strs(arr), None, false)
         case Some(o: org.json4s.JObject) =>
           val m = o.obj.toMap
           return (strs(m.getOrElse("n", org.json4s.JArray(Nil))),
-            m.get("all").map(strs))
+            m.get("all").map(strs), m.contains("rw"))
         case Some(other) => throw new IllegalStateException(
           s"corrupt keyed_log journal marker v$v: expected array or object, got $other")
         case None => // unparseable: in-flight writer, or real corruption
@@ -323,7 +332,7 @@ private[graft] object KeyedLogVersionLog {
       vs: Seq[Long]): Set[String] = {
     val acc = scala.collection.mutable.HashSet.empty[String]
     vs.reverseIterator.foreach { v =>
-      val (fresh, full) = readEntry(path, conf, v)
+      val (fresh, full, _) = readEntry(path, conf, v)
       acc ++= fresh
       full match {
         case Some(all) => acc ++= all; return acc.toSet
@@ -344,16 +353,21 @@ private[graft] object KeyedLogVersionLog {
 
   /** Journal `fileNames` as the next version. Names already journaled by
     * ANY version are dropped first (epoch-replay dedup); an all-dropped or
-    * empty commit journals nothing and returns None. */
+    * empty commit journals nothing and returns None. `rewrite` marks the
+    * entry as a compaction rewrite (its names are the whole
+    * post-compaction set, superseding earlier versions' files) — the tag
+    * `t.changes` uses to distinguish refresh events from plain inserts. */
   def commit(path: String,
              conf: org.apache.spark.util.SerializableConfiguration,
-             fileNames: Seq[String]): Option[Long] =
+             fileNames: Seq[String],
+             rewrite: Boolean = false): Option[Long] =
     dirLocks.computeIfAbsent(new Path(path).toString, _ => new Object)
-      .synchronized { commitLocked(path, conf, fileNames) }
+      .synchronized { commitLocked(path, conf, fileNames, rewrite) }
 
   private def commitLocked(path: String,
              conf: org.apache.spark.util.SerializableConfiguration,
-             fileNames: Seq[String]): Option[Long] = {
+             fileNames: Seq[String],
+             rewrite: Boolean): Option[Long] = {
     val fs = new Path(path).getFileSystem(conf.value)
     var attempt = 0
     while (attempt < 20) {
@@ -362,13 +376,16 @@ private[graft] object KeyedLogVersionLog {
       val fresh = fileNames.filterNot(seen).distinct.sorted
       if (fresh.isEmpty) return None
       val v = vs.lastOption.getOrElse(-1L) + 1L
+      val fields = scala.collection.mutable.ListBuffer.empty[(String, org.json4s.JValue)]
+      fields += "n" -> org.json4s.JArray(fresh.map(org.json4s.JString(_)).toList)
+      if (v > 0 && v % CompactInterval == 0)
+        fields += "all" -> org.json4s.JArray(
+          (seen ++ fresh).toList.sorted.map(org.json4s.JString(_)))
+      if (rewrite) fields += "rw" -> org.json4s.JInt(1)
       val body: org.json4s.JValue =
-        if (v > 0 && v % CompactInterval == 0)
-          org.json4s.JObject(
-            "n" -> org.json4s.JArray(fresh.map(org.json4s.JString(_)).toList),
-            "all" -> org.json4s.JArray(
-              (seen ++ fresh).toList.sorted.map(org.json4s.JString(_))))
-        else org.json4s.JArray(fresh.map(org.json4s.JString(_)).toList)
+        if (fields.size == 1 && !rewrite)
+          org.json4s.JArray(fresh.map(org.json4s.JString(_)).toList)
+        else org.json4s.JObject(fields.toList)
       // CREATE-EXCLUSIVE claims the version number atomically — the same
       // protocol as the manifest's commit markers (a tmp+rename scheme is
       // NOT safe here: Hadoop's local rename happily replaces an existing

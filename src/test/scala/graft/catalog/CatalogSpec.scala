@@ -361,6 +361,45 @@ class CatalogSpec extends AnyFunSuite {
     assert(e.getMessage.contains("start_version"))
   }
 
+  test("keyedlog t.changes: inserts tagged, compaction is one rewrite event") {
+    ensureDb()
+    spark.sql("CREATE TABLE g.db.klchg (key STRING, seq BIGINT, metric BIGINT) USING keyedlog")
+    spark.sql("INSERT INTO g.db.klchg VALUES ('a', 1, 10), ('b', 2, 20)")  // journal v0
+    spark.sql("INSERT INTO g.db.klchg VALUES ('a', 3, 30)")                // journal v1
+    def changes(opts: (String, String)*) = {
+      val r = spark.read
+      opts.foreach { case (k, v) => r.option(k, v) }
+      r.table("g.db.klchg.changes")
+        .collect().map(x => (x.getString(0), x.getLong(1), x.getString(3))).toSet
+    }
+    // pure insert windows, exclusive start
+    assert(changes("start_version" -> "-1") ===
+      Set(("a", 1L, "insert"), ("b", 2L, "insert"), ("a", 3L, "insert")))
+    assert(changes("start_version" -> "0") === Set(("a", 3L, "insert")))
+    assert(changes("start_version" -> "-1", "end_version" -> "0") ===
+      Set(("a", 1L, "insert"), ("b", 2L, "insert")))
+    // compaction journals the whole rewritten set as ONE rewrite event
+    spark.sql("CALL g.system.compact('db.klchg')")                         // journal v2 (rewrite)
+    spark.sql("INSERT INTO g.db.klchg VALUES ('c', 4, 40)")                // journal v3
+    val feed = changes("start_version" -> "-1")
+    assert(feed === Set(("a", 1L, "rewrite"), ("b", 2L, "rewrite"),
+      ("a", 3L, "rewrite"), ("c", 4L, "insert")),
+      s"rewrite supersedes pre-compaction inserts, later inserts follow: $feed")
+    // windows starting after the rewrite see only plain inserts
+    assert(changes("start_version" -> "2") === Set(("c", 4L, "insert")))
+    // error contract matches the manifest feed
+    val e1 = intercept[Exception] {
+      spark.read.table("g.db.klchg.changes").count()
+    }
+    assert(e1.getMessage.contains("start_version"))
+    val e2 = intercept[Exception] { changes("start_version" -> "99") }
+    assert(e2.getMessage.contains("not journaled"), e2.getMessage)
+    val e3 = intercept[Exception] {
+      changes("start_version" -> "2", "end_version" -> "0")
+    }
+    assert(e3.getMessage.contains("precedes"), e3.getMessage)
+  }
+
   test("DROP, RENAME, and error contracts") {
     ensureDb()
     spark.sql("CREATE TABLE g.db.tmp (id BIGINT) USING manifest")
