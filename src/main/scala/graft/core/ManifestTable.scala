@@ -89,8 +89,55 @@ object ManifestTable {
     if (!name.startsWith(prefix)) None
     else scala.util.Try(name.stripPrefix(prefix).toLong).toOption
 
+  /** Best-effort head CACHE: `_head` holds `{"v":N}` for some committed
+    * version N. Written create-overwrite after every successful commit
+    * (non-atomic and advisory by design — any torn/stale/absent state is
+    * recoverable): a reader validates the pointed-at marker EXISTS, then
+    * probes forward marker-by-marker to the true head, so a pointer k
+    * commits stale costs k+1 existence checks and a missing/corrupt
+    * pointer falls back to the directory listing. Head resolution is
+    * therefore O(1) object reads in steady state instead of
+    * O(retained-versions) listing per commit attempt/read. */
+  private val HeadPointer = "_head"
+
+  private def writeHeadPointer(dir: String, v: Long): Unit =
+    try {
+      val fs = LakeStorage.openFor(dir)
+      val out = fs.create(new Path(dir, HeadPointer), true)
+      try out.write(s"""{"v":$v}""".getBytes("UTF-8")) finally out.close()
+    } catch { case _: java.io.IOException => () } // advisory cache only
+
+  private def readHeadPointer(fs: org.apache.hadoop.fs.FileSystem,
+                              dir: String): Option[Long] =
+    try {
+      val p = new Path(dir, HeadPointer)
+      if (!fs.exists(p)) None
+      else scala.util.Try(org.json4s.jackson.JsonMethods.parse(readTextFile(fs, p)))
+        .toOption.flatMap(_ \ "v" match {
+          case org.json4s.JInt(n) => Some(n.toLong)
+          case _                  => None
+        })
+    } catch { case _: java.io.IOException => None }
+
   /** Highest committed version, if any. */
-  def currentVersion(dir: String): Option[Long] = allVersions(dir).lastOption
+  def currentVersion(dir: String): Option[Long] = currentVersionProbed(dir)._1
+
+  /** currentVersion + the number of filesystem operations it took —
+    * test instrumentation for the O(1)-with-pointer claim. A listing
+    * fallback counts as one operation per retained marker. */
+  private[core] def currentVersionProbed(dir: String): (Option[Long], Int) = {
+    val fs = LakeStorage.openFor(dir)
+    readHeadPointer(fs, dir) match {
+      case Some(v) if fs.exists(new Path(dir, marker(v))) =>
+        var head = v
+        var probes = 2 // pointer read + pointed-marker check
+        while (fs.exists(new Path(dir, marker(head + 1)))) { head += 1; probes += 1 }
+        (Some(head), probes + 1) // + the final miss
+      case _ =>
+        val vs = allVersions(dir)
+        (vs.lastOption, 1 + vs.length)
+    }
+  }
 
   /** Latest version committed at or before `tsMillis` (marker modification
     * time — the commit instant on any Hadoop filesystem). None if the
@@ -682,6 +729,7 @@ object ManifestTable {
             "replaced by a concurrent writer (stale rewrite) — rerun")
         case Some(commit) =>
           if (tryCommit(fs, dir, next, commit)) {
+            writeHeadPointer(dir, next) // best-effort O(1) head cache
             if (next % CheckpointInterval == 0)
               writeCheckpoint(dir, next, manifest(dir, next))
             return next

@@ -51,6 +51,37 @@ class ManifestTableSpec extends AnyFunSuite {
     assert(ManifestTable.read(spark, dir).count() === 25L)
   }
 
+  test("head pointer: O(1) resolution when fresh; stale/corrupt/absent recover") {
+    val dir = freshDir()
+    (1 to 25).foreach(i => ManifestTable.append(df(i), dir))
+    // fresh pointer (written by the last commit): constant probes however
+    // many versions are retained — pointer read + marker hit + one miss
+    val (head, probes) = ManifestTable.currentVersionProbed(dir)
+    assert(head === Some(25L))
+    assert(probes === 3, s"expected 3 fs ops with a fresh pointer, got $probes")
+    val fs = LakeStorage.openFor(dir)
+    val ptr = new Path(dir, "_head")
+    // stale pointer (k commits behind): k+1 forward probes, correct head
+    val out = fs.create(ptr, true)
+    try out.write("""{"v":20}""".getBytes("UTF-8")) finally out.close()
+    val (h2, p2) = ManifestTable.currentVersionProbed(dir)
+    assert(h2 === Some(25L) && p2 === 2 + 5 + 1, s"stale-pointer probes: $p2")
+    // corrupt pointer: falls back to the listing, still correct
+    val out2 = fs.create(ptr, true)
+    try out2.write("not json".getBytes("UTF-8")) finally out2.close()
+    assert(ManifestTable.currentVersionProbed(dir)._1 === Some(25L))
+    // pointer ahead of reality (marker missing): fallback, still correct
+    val out3 = fs.create(ptr, true)
+    try out3.write("""{"v":99}""".getBytes("UTF-8")) finally out3.close()
+    assert(ManifestTable.currentVersionProbed(dir)._1 === Some(25L))
+    // absent pointer: fallback; the next commit rewrites it
+    fs.delete(ptr, false)
+    assert(ManifestTable.currentVersionProbed(dir)._1 === Some(25L))
+    ManifestTable.append(df(1), dir)
+    val (h3, p3) = ManifestTable.currentVersionProbed(dir)
+    assert(h3 === Some(26L) && p3 === 3, "commit must refresh the pointer")
+  }
+
   test("append commits only delta files; base files are re-listed, not rewritten") {
     val dir = freshDir()
     ManifestTable.write(df(10), dir)
