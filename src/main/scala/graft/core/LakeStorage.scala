@@ -108,4 +108,30 @@ object LakeStorage {
 
   def openFor(root: String): FileSystem =
     FileSystem.get(new URI(root), new Configuration())
+
+  /** Atomic create-exclusive across PROCESSES — the claim primitive the
+    * optimistic commit protocols (manifest markers, keyedlog journal,
+    * seen-log fence) build on. Hadoop's LOCAL filesystem implements
+    * `create(p, overwrite = false)` as check-then-act, so two JVMs could
+    * both claim one path; `file://` URIs therefore go through java.nio's
+    * CREATE_NEW (O_EXCL — atomic on POSIX), restoring exactly-one-winner.
+    * Store-class matrix: local `file://` — atomic (this path); HDFS —
+    * atomic (namenode create is exclusive by design); S3A-class object
+    * stores without conditional PUT — check-then-act, best-effort (a
+    * store with If-None-Match closes the hole; the documented protocol
+    * caveat). Returns None when the path already exists — the caller
+    * lost the race. CommitRaceSpec proves the local-FS guarantee with two
+    * contending JVMs. */
+  def createExclusive(fs: FileSystem, p: Path): Option[java.io.OutputStream] =
+    if (fs.getScheme == "file") {
+      val local = java.nio.file.Paths.get(p.toUri.getPath)
+      Option(local.getParent).foreach(java.nio.file.Files.createDirectories(_))
+      try Some(java.nio.file.Files.newOutputStream(local,
+        java.nio.file.StandardOpenOption.CREATE_NEW,
+        java.nio.file.StandardOpenOption.WRITE))
+      catch { case _: java.nio.file.FileAlreadyExistsException => None }
+    } else {
+      try Some(fs.create(p, false))
+      catch { case _: IOException => None }
+    }
 }

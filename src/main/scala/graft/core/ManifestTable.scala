@@ -59,10 +59,14 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   *  - [[compact]] re-adds files appended since the snapshot it rewrote,
   *    and ABORTS if a concurrent writer replaced/removed files it
   *    compacted (the rewrite is stale — rerun it).
-  * On HDFS/local filesystems `create(overwrite = false)` is atomic, so
-  * the loop is a correct lock-free protocol; on S3A-style object stores
-  * without conditional PUT it is check-then-act and the protocol is
-  * best-effort (a store with If-None-Match closes that hole). [[vacuum]]
+  * The marker claim goes through [[LakeStorage.createExclusive]]: atomic
+  * on HDFS (exclusive namenode create) AND on local filesystems (O_EXCL —
+  * Hadoop's own local `create(overwrite = false)` is check-then-act, so
+  * the helper routes `file://` through java.nio; proven cross-process by
+  * CommitRaceSpec), making the loop a correct lock-free protocol there.
+  * On S3A-style object stores without conditional PUT the claim is
+  * check-then-act and the protocol is best-effort (a store with
+  * If-None-Match closes that hole). [[vacuum]]
   * keeps the previous `keep - 1` versions as a grace window for in-flight
   * readers (and writes a checkpoint at the oldest kept version before
   * deleting older markers, so kept versions stay resolvable); schedule it
@@ -758,9 +762,10 @@ object ManifestTable {
     }
     val json = org.json4s.jackson.JsonMethods.compact(
       org.json4s.jackson.JsonMethods.render(jv))
-    val out = try fs.create(p, false) catch {
-      case _: java.io.IOException => return false // marker exists: lost the race
+    LakeStorage.createExclusive(fs, p) match {
+      case None => false // marker exists: lost the race
+      case Some(out) =>
+        try { out.write(json.getBytes("UTF-8")); true } finally out.close()
     }
-    try { out.write(json.getBytes("UTF-8")); true } finally out.close()
   }
 }

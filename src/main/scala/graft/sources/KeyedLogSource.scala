@@ -342,12 +342,12 @@ private[graft] object KeyedLogVersionLog {
     acc.toSet
   }
 
-  /** Same-JVM committers to one dir serialize here: Hadoop's LOCAL
-    * filesystem `create(p, overwrite=false)` is check-then-act, so two
-    * in-process racers could both claim a version number. Cross-JVM
-    * racers rely on the store's atomic create-exclusive (HDFS, real
-    * object stores) — the same protocol and limitation as the manifest's
-    * commit markers. */
+  /** Same-JVM committers to one dir serialize here — not for correctness
+    * (the claim itself is atomic: [[graft.core.LakeStorage.createExclusive]]
+    * routes local stores through O_EXCL and HDFS creates are exclusive;
+    * only conditional-PUT-less object stores remain best-effort) but to
+    * avoid wasted optimistic-loop retries between in-process racers.
+    * Cross-JVM contention is exercised by CommitRaceSpec. */
   private val dirLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
@@ -389,15 +389,16 @@ private[graft] object KeyedLogVersionLog {
       // CREATE-EXCLUSIVE claims the version number atomically — the same
       // protocol as the manifest's commit markers (a tmp+rename scheme is
       // NOT safe here: Hadoop's local rename happily replaces an existing
-      // destination, so two racers could both claim one version)
-      val out = try fs.create(new Path(path, name(v)), false) catch {
-        case _: java.io.IOException => attempt += 1; null // lost the race
-      }
-      if (out != null) {
-        try out.write(org.json4s.jackson.JsonMethods.compact(
-          org.json4s.jackson.JsonMethods.render(body)).getBytes("UTF-8"))
-        finally out.close()
-        return Some(v)
+      // destination, so two racers could both claim one version).
+      // LakeStorage.createExclusive routes file:// through O_EXCL, so the
+      // claim is atomic cross-PROCESS on local stores too (CommitRaceSpec)
+      graft.core.LakeStorage.createExclusive(fs, new Path(path, name(v))) match {
+        case None => attempt += 1 // lost the race
+        case Some(out) =>
+          try out.write(org.json4s.jackson.JsonMethods.compact(
+            org.json4s.jackson.JsonMethods.render(body)).getBytes("UTF-8"))
+          finally out.close()
+          return Some(v)
       }
     }
     throw new IllegalStateException(
@@ -958,13 +959,13 @@ private[sources] class KeyedLogSeenLog(dir: String,
         JObject("n" -> newArr,
           "all" -> JArray((seenSet ++ fresh).toList.sorted.map(JString(_))))
       else JObject("n" -> newArr)
-    // create-exclusive: a failure means a SECOND driver owns this
-    // checkpoint (zombie after failover) — fatal, never silent clobber
-    val out = try fs.create(new Path(base, name(v)), false) catch {
-      case e: java.io.IOException => throw new IllegalStateException(
+    // create-exclusive (atomic cross-process via LakeStorage): a failure
+    // means a SECOND driver owns this checkpoint (zombie after failover)
+    // — fatal, never silent clobber
+    val out = graft.core.LakeStorage.createExclusive(fs, new Path(base, name(v)))
+      .getOrElse(throw new IllegalStateException(
         s"keyed_log seen-log: version $v already exists under $base — " +
-          "concurrent driver on one checkpoint?", e)
-    }
+          "concurrent driver on one checkpoint?"))
     try out.write(JsonMethods.compact(JsonMethods.render(body)).getBytes("UTF-8"))
     finally out.close()
     seenSet ++= fresh

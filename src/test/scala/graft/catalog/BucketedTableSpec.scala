@@ -165,6 +165,48 @@ class BucketedTableSpec extends AnyFunSuite {
       (0 until 300).filter(_ % 9 == 4).sum.toLong)
   }
 
+  test("keyedlog SPJ survives journal commits and compaction (journal x bucketing)") {
+    val s = spj()
+    s.sql("CREATE NAMESPACE IF NOT EXISTS gb.db")
+    s.sql("CREATE TABLE gb.db.xj (key STRING, seq BIGINT, metric BIGINT) " +
+      "USING keyedlog PARTITIONED BY (bucket(4, key))")
+    def aggPlan() = {
+      val agg = s.sql("SELECT key, sum(metric) AS t FROM gb.db.xj GROUP BY key")
+      (agg, agg.queryExecution.executedPlan.toString)
+    }
+    // several journal versions (one per INSERT): per-key files multiply
+    // across commits, but every file stays key-tagged, so bucket-grouped
+    // scans keep reporting KeyGroupedPartitioning — no shuffle
+    (0 until 3).foreach { i =>
+      s.sql(s"INSERT INTO gb.db.xj SELECT concat('k', id % 5), id + ${i * 100}, id FROM range(100)")
+    }
+    val conf = graft.sources.KeyedLogConf.capture()
+    val dir = s.sql("SHOW TBLPROPERTIES gb.db.xj").collect()
+      .find(_.getString(0) == "graft.location").get.getString(1)
+    assert(graft.sources.KeyedLogVersionLog.versions(dir, conf) === Seq(0L, 1L, 2L))
+    val (agg1, plan1) = aggPlan()
+    assert(!plan1.contains("Exchange"),
+      s"multi-commit bucketed keyedlog agg must stay shuffle-free:\n$plan1")
+    val expected = (0 until 100).filter(_ % 5 == 3).sum.toLong * 3
+    assert(agg1.collect().find(_.getString(0) == "k3").get.getLong(1) === expected)
+    // compaction (one clustered file per key + a rewrite journal entry)
+    // must preserve the storage-partitioned layout AND the journal line
+    s.sql("CALL gb.system.compact('db.xj')")
+    assert(graft.sources.KeyedLogVersionLog.versions(dir, conf) === Seq(0L, 1L, 2L, 3L))
+    assert(graft.sources.KeyedLogVersionLog.isRewrite(dir, conf, 3L))
+    val (agg2, plan2) = aggPlan()
+    assert(!plan2.contains("Exchange"),
+      s"post-compaction bucketed keyedlog agg must stay shuffle-free:\n$plan2")
+    assert(agg2.collect().find(_.getString(0) == "k3").get.getLong(1) === expected)
+    // and a later commit after the compaction still co-exists with SPJ
+    s.sql("INSERT INTO gb.db.xj SELECT concat('k', id % 5), id + 1000, id FROM range(50)")
+    val (agg3, plan3) = aggPlan()
+    assert(!plan3.contains("Exchange"),
+      s"post-compaction append must keep the clustered layout:\n$plan3")
+    assert(agg3.collect().find(_.getString(0) == "k3").get.getLong(1) ===
+      expected + (0 until 50).filter(_ % 5 == 3).sum.toLong)
+  }
+
   test("DML keeps a bucketed table bucketed (rewrites re-bucket)") {
     val s = spj()
     s.sql("CREATE NAMESPACE IF NOT EXISTS gb.db")

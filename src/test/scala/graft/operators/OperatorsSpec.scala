@@ -71,6 +71,33 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got === Array(11L, 12L))
   }
 
+  test("connected components: long-chain adversarial input (linear-rounds bound)") {
+    import spark.implicits._
+    // A path graph is the worst case for min-label propagation: the
+    // smallest label walks ONE hop per iteration, so a component of
+    // diameter d needs ~d rounds — the documented linear-rounds bound
+    // (pointer doubling would make it O(log d); declined as long as real
+    // near-dup components stay shallow, see STATE.md).
+    val chain = (1 until 30).map(i => (i.toLong, i + 1L)).toDF("d1", "d2")
+    // maxIter below the diameter: the component SPLITS into multiple
+    // cluster ids — the documented failure mode (warn + split, no error)
+    val truncated = Dedup.connectedComponents(chain, maxIter = 10)
+      .select("cluster_id").distinct().count()
+    assert(truncated > 1L,
+      "maxIter below the diameter must leave the chain split (documented mode)")
+    // maxIter >= diameter: one component, labeled by its minimum id
+    val full = Dedup.connectedComponents(chain, maxIter = 35)
+      .select("doc_id", "cluster_id").as[(Long, Long)].collect()
+    assert(full.length === 30)
+    assert(full.forall(_._2 == 1L), s"chain must collapse to min-label 1: ${full.take(5).toSeq}")
+    // two disjoint chains stay distinct components
+    val two = chain.union(Seq((101L, 102L), (102L, 103L)).toDF("d1", "d2"))
+    val comps = Dedup.connectedComponents(two, maxIter = 35)
+      .select("doc_id", "cluster_id").as[(Long, Long)].collect()
+    assert(comps.filter(_._1 >= 101L).forall(_._2 == 101L))
+    assert(comps.filter(_._1 <= 30L).forall(_._2 == 1L))
+  }
+
   test("range join: auto bucket width = sqrt(win/density), clamped; overrides honored") {
     val base = ts("2024-01-01 00:00:00").getTime
     def mk(n: Int, stepMs: Long) = (0 until n)
