@@ -281,13 +281,22 @@ object CoverageQueries extends QueryModule {
         "SELECT lang, doc_id, n_chars FROM qc24_documents")
       s.sql("INSERT INTO graft_bk.db.sample " +
         "SELECT lang, n_chars FROM qc24_documents WHERE doc_id % 3 = 0")
-      s.sql("""SELECT f.lang, count(*) AS n_docs, sum(f.n_chars) AS total_chars,
+      // RENAME the BUCKET column, then compact: the descriptor follows the
+      // rename (bucketing = bucket(8, language)), the compaction rewrite
+      // reads the snapshot with the declared id-mapped schema (data files
+      // physically carry the pre-rename name), and the bucketed join below
+      // runs through the renamed column — the rename+SPJ round-trip under
+      // the oracle gate, not just in spec
+      s.sql("ALTER TABLE graft_bk.db.facts RENAME COLUMN lang TO language")
+      s.sql("CALL graft_bk.system.compact('db.facts')")
+      s.sql("""SELECT f.language AS lang, count(*) AS n_docs,
+          sum(f.n_chars) AS total_chars,
           max(sm.sample_chars) AS sample_chars
         FROM graft_bk.db.facts f
         JOIN (SELECT lang, sum(n_chars) AS sample_chars
               FROM graft_bk.db.sample GROUP BY lang) sm
-          ON f.lang = sm.lang
-        GROUP BY f.lang ORDER BY f.lang""")
+          ON f.language = sm.lang
+        GROUP BY f.language ORDER BY lang""")
     },
 
     // --- SQL maintenance procedures (catalog/GraftProcedures): CALL
