@@ -47,9 +47,32 @@ object ScaleReplicate {
       df.repartition(32).write.mode("overwrite").parquet(s"$outDir/$t.parquet")
       println(s"[replicate] $t: ${spark.read.parquet(s"$outDir/$t.parquet").count()} rows")
     }
+    /** The source testdata ships each table as ONE parquet FILE named
+      * `<t>.parquet`; the streaming queries' file source globs on exactly
+      * that name, so tables the qs family reads must keep the file shape
+      * (a directory of part-files would stream zero rows). */
+    def writeSingleFile(df: DataFrame, t: String): Unit = {
+      val tmp = s"$outDir/__single_$t"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val fs = new org.apache.hadoop.fs.Path(outDir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+        .map(_.getPath).filter(_.getName.endsWith(".parquet")).head
+      val dest = new org.apache.hadoop.fs.Path(s"$outDir/$t.parquet")
+      fs.delete(dest, true)
+      if (!fs.rename(part, dest))
+        sys.error(s"failed to move $part to $dest")
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+      println(s"[replicate] $t: ${spark.read.parquet(dest.toString).count()} rows (single file)")
+    }
 
     // copied verbatim (dimension tables joined by every replica)
     Seq("region", "nation").foreach(t => write(load(t), t))
+    // text/vector tables for the qt/qd/qv families: disjoint doc/vec ids
+    // per replica; text content repeats, which is exactly the adversarial
+    // case for dedup (every replica is a full near-dup of every other)
+    write(replicate(load("documents"), Seq("doc_id")), "documents")
+    write(replicate(load("embeddings"), Seq("vec_id")), "embeddings")
     write(replicate(load("supplier"), Seq("s_suppkey")), "supplier")
     write(replicate(load("part"), Seq("p_partkey")), "part")
     write(replicate(load("customer"), Seq("c_custkey")), "customer")
@@ -74,7 +97,7 @@ object ScaleReplicate {
           .withColumn("ts", expr(s"timestampadd(SECOND, _rep * ${spanSec}L, ts)"))
           .drop("_rep")
       }
-    write(events, "events")
+    writeSingleFile(events, "events")
     spark.stop()
   }
 }
