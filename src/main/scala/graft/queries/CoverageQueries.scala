@@ -562,14 +562,16 @@ object CoverageQueries extends QueryModule {
       // whole-stage-codegen hash aggs and the exact percentiles (one call,
       // both points) see the data once. The 3-row join broadcasts.
       val li = Tables.lineitem(s, d)
-      // rsd=0.01 makes the 5% gate a 5-sigma margin (the default rsd 0.05
-      // would make it ~1 sigma — a deterministic-per-dataset estimate
-      // could then sit persistently outside the bound at an untested
-      // scale factor with no regression anywhere); the greatest(2,...)
-      // floor covers near-empty groups, as q57 does
+      // the 15% bound is 3 sigma of the default rsd (0.05): the old 5%
+      // bound was ~1 sigma — a deterministic-per-dataset estimate could
+      // sit persistently outside it at an untested scale factor with no
+      // regression anywhere. (A tighter rsd=0.01 sketch was measured at
+      // +2.7 s on sf0.1 — p jumps 9->14, ~21 KB HLL buffers per group —
+      // so the slack goes in the bound, not the sketch.) The
+      // greatest(2,...) floor covers near-empty groups, as q57 does.
       val distincts = li.groupBy("l_returnflag")
         .agg(countDistinct(col("l_partkey")).as("exact_parts"),
-          approx_count_distinct(col("l_partkey"), 0.01).as("approx_raw"))
+          approx_count_distinct(col("l_partkey")).as("approx_raw"))
       val pcts = li.groupBy("l_returnflag")
         .agg(
           percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("apx_med"),
@@ -577,7 +579,7 @@ object CoverageQueries extends QueryModule {
       distincts.join(pcts, "l_returnflag")
         .select(col("l_returnflag"), col("exact_parts"),
           (abs(col("approx_raw") - col("exact_parts")) <=
-            greatest(lit(2), col("exact_parts") * lit(0.05))).as("approx_parts_ok"),
+            greatest(lit(2), col("exact_parts") * lit(0.15))).as("approx_parts_ok"),
           col("apx_med").between(col("p_lo_hi").getItem(0), col("p_lo_hi").getItem(1))
             .as("approx_median_ok"))
         .orderBy("l_returnflag")

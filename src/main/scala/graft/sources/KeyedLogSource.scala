@@ -244,9 +244,68 @@ private[graft] object KeyedLogVersionLog {
   private def name(v: Long): String = f"$Prefix$v%020d"
   /** Every this-many versions, a marker embeds the full journaled set. */
   val CompactInterval = 10L
+  /** Best-effort head cache (`_klogv_head`, `{"v":N}`), the manifest
+    * `_head` pattern applied to the journal: refreshed create-overwrite
+    * after every commit; readers validate the pointed-at marker exists and
+    * probe forward to the true head, falling back to a directory listing
+    * when the pointer is absent/corrupt/ahead. The journal NEVER gets
+    * truncated by the engine and every commit claims exactly
+    * `head + 1` (compaction carries all markers over), so versions are
+    * consecutive `0..head` BY CONSTRUCTION — knowing the head is knowing
+    * the list, and per-commit/per-read cost stops growing with stream
+    * lifetime (a year of one-minute epochs is ~500k markers: a listing
+    * per epoch would be the dominant metadata term). Hand-deleting a
+    * marker breaks the consecutiveness invariant; don't. */
+  private val HeadPointer = s"${Prefix}head"
 
+  private def writeHeadPointer(path: String,
+      conf: org.apache.spark.util.SerializableConfiguration, v: Long): Unit =
+    try {
+      val fs = new Path(path).getFileSystem(conf.value)
+      val out = fs.create(new Path(path, HeadPointer), true)
+      try out.write(s"""{"v":$v}""".getBytes("UTF-8")) finally out.close()
+    } catch { case _: java.io.IOException => () } // advisory cache only
+
+  /** The journal head version, O(1) object reads with a fresh pointer. */
+  def head(path: String,
+           conf: org.apache.spark.util.SerializableConfiguration): Option[Long] = {
+    val fs = new Path(path).getFileSystem(conf.value)
+    val pointed: Option[Long] =
+      try {
+        val p = new Path(path, HeadPointer)
+        if (!fs.exists(p)) None
+        else {
+          val in = fs.open(p)
+          val text = try {
+            val bytes = new java.io.ByteArrayOutputStream()
+            org.apache.hadoop.io.IOUtils.copyBytes(in, bytes, 8192, false)
+            new String(bytes.toByteArray, "UTF-8")
+          } finally in.close()
+          scala.util.Try(org.json4s.jackson.JsonMethods.parse(text)).toOption
+            .flatMap(_ \ "v" match {
+              case org.json4s.JInt(n) => Some(n.toLong)
+              case _                  => None
+            })
+        }
+      } catch { case _: java.io.IOException => None }
+    pointed match {
+      case Some(v) if fs.exists(new Path(path, name(v))) =>
+        var h = v
+        while (fs.exists(new Path(path, name(h + 1)))) h += 1
+        Some(h)
+      case _ => listedVersions(path, conf).lastOption
+    }
+  }
+
+  /** All journal versions — `0..head` (consecutive by construction). */
   def versions(path: String,
-               conf: org.apache.spark.util.SerializableConfiguration): Seq[Long] = {
+               conf: org.apache.spark.util.SerializableConfiguration): Seq[Long] =
+    head(path, conf).map(h => 0L to h: Seq[Long]).getOrElse(Seq.empty)
+
+  /** Directory-listing fallback (pointer absent on pre-pointer dirs, or
+    * corrupt/ahead): one pass over the dir, the pre-cache cost. */
+  private def listedVersions(path: String,
+      conf: org.apache.spark.util.SerializableConfiguration): Seq[Long] = {
     val base = new Path(path)
     val fs = base.getFileSystem(conf.value)
     if (!fs.exists(base)) return Seq.empty
@@ -398,6 +457,7 @@ private[graft] object KeyedLogVersionLog {
           try out.write(org.json4s.jackson.JsonMethods.compact(
             org.json4s.jackson.JsonMethods.render(body)).getBytes("UTF-8"))
           finally out.close()
+          writeHeadPointer(path, conf, v) // best-effort O(1) head cache
           return Some(v)
       }
     }

@@ -375,6 +375,33 @@ class DataSourceSpec extends AnyFunSuite {
     assert(!readWindow().exists(_._1 == "fr"))
   }
 
+  test("journal head pointer: fresh/stale/corrupt/absent states all resolve") {
+    val dir = Files.createTempDirectory("graft_klog_head_").toString
+    val conf = KeyedLogConf.capture()
+    (0 until 12).foreach(i =>
+      KeyedLogVersionLog.commit(dir, conf, Seq(f"h-$i%03d.log")))
+    // fresh pointer: head O(1), versions = 0..head without listing
+    assert(KeyedLogVersionLog.head(dir, conf) === Some(11L))
+    assert(KeyedLogVersionLog.versions(dir, conf) === (0L to 11L))
+    val ptr = java.nio.file.Paths.get(dir, "_klogv_head")
+    assert(Files.exists(ptr), "commit must write the head pointer")
+    // stale pointer (another process committed since): forward probe
+    Files.write(ptr, """{"v":5}""".getBytes("UTF-8"))
+    assert(KeyedLogVersionLog.head(dir, conf) === Some(11L))
+    // corrupt pointer: listing fallback
+    Files.write(ptr, "garbage".getBytes("UTF-8"))
+    assert(KeyedLogVersionLog.head(dir, conf) === Some(11L))
+    // pointer ahead of reality (marker missing): listing fallback
+    Files.write(ptr, """{"v":99}""".getBytes("UTF-8"))
+    assert(KeyedLogVersionLog.head(dir, conf) === Some(11L))
+    // absent pointer (pre-pointer dirs): listing fallback; next commit
+    // rewrites it
+    Files.delete(ptr)
+    assert(KeyedLogVersionLog.head(dir, conf) === Some(11L))
+    KeyedLogVersionLog.commit(dir, conf, Seq("h-next.log"))
+    assert(Files.exists(ptr) && KeyedLogVersionLog.head(dir, conf) === Some(12L))
+  }
+
   test("journal commits race safely: sequential versions, no lost names") {
     val dir = Files.createTempDirectory("graft_klog_race_").toString
     val conf = KeyedLogConf.capture()
