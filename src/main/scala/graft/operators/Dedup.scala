@@ -49,6 +49,50 @@ object Dedup {
     }
   }
 
+  /** Exact SUBSTRING-level dedup: n-token spans duplicated ACROSS the
+    * corpus — the training-data hygiene pass doc-level dedup misses
+    * (boilerplate headers, license blocks, quoted paragraphs shared by
+    * otherwise-distinct documents). The reference treatment builds a
+    * suffix array on one machine (Lee et al. 2021, "Deduplicating
+    * Training Data Makes Language Models Better"); the Spark-native shape
+    * is one n-gram explosion (the same pass the Jaccard/LSH family
+    * already runs) hash-partitioned by span text: O(total tokens) rows
+    * through ONE shuffle, no suffix array, no all-pairs — the scaling
+    * class of the rest of this family. Returns one row per span seen in
+    * >= `minDocs` distinct docs: (span, n_docs, n_occurrences).
+    *
+    * Span REMOVAL is a policy (keep-first, mask, drop-doc) and overlap
+    * resolution belongs to the caller: [[duplicatedSpanOffsets]] yields
+    * per-document token offsets of every duplicated span to drive any of
+    * them. */
+  def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                      n: Int, minDocs: Int = 2): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("_toks"))
+      .where(size(col("_toks")) >= n)
+      .select(col("doc_id"), explode(ngrams(col("_toks"), n)).as("span"))
+      .groupBy("span")
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occurrences"))
+      .where(col("n_docs") >= minDocs)
+
+  /** Per-document 0-based token offsets of every duplicated span (see
+    * [[duplicatedSpans]]): (doc_id, start_token, span). The join keys on
+    * the span text — both sides shuffle-partition on its hash; the
+    * duplicated-span side is NOT assumed broadcastable (at corpus scale
+    * it can be a large fraction of the shingle vocabulary). */
+  def duplicatedSpanOffsets(docs: DataFrame, idCol: String, textCol: String,
+                            n: Int, minDocs: Int = 2): DataFrame = {
+    val dup = duplicatedSpans(docs, idCol, textCol, n, minDocs).select("span")
+    docs
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("_toks"))
+      .where(size(col("_toks")) >= n)
+      .select(col("doc_id"),
+        posexplode(ngrams(col("_toks"), n)).as(Seq("start_token", "span")))
+      .join(dup, Seq("span"))
+      .select("doc_id", "start_token", "span")
+  }
+
   /** Exact n-gram Jaccard similarity for every pair sharing >= 1 shingle.
     * jaccard = |A ∩ B| / (|A| + |B| - |A ∩ B|).
     *

@@ -352,6 +352,25 @@ object TextQueries extends QueryModule {
         .orderBy("d1", "d2")
     },
 
+    // --- exact SUBSTRING dedup (operators/Dedup.duplicatedSpans): 8-token
+    //     spans repeated across distinct docs — one n-gram explosion +
+    //     one hash-partitioned groupBy (the Spark-native stand-in for the
+    //     single-node suffix-array pass of Lee et al. 2021). Headline:
+    //     top spans by spread, plus the per-doc offset feed's row count
+    //     riding the same gate (fully deterministic: n_docs/n_occ/span
+    //     is a total order) ---
+    "qd11_substring_dedup" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val offsets = Dedup.duplicatedSpanOffsets(docs, "doc_id", "text", n = 8)
+        .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("nd"))
+      Dedup.duplicatedSpans(docs, "doc_id", "text", n = 8)
+        .orderBy(desc("n_docs"), desc("n_occurrences"), asc("span"))
+        .limit(20)
+        .crossJoin(broadcast(offsets
+          .select(col("n").as("total_offset_rows"),
+            col("nd").as("docs_with_dup_spans"))))
+    },
+
     // --- incremental dedup: near-dup pairs between a NEW BATCH (25% of
     //     doc ids) and the standing corpus — candidates from the delta's
     //     buckets probing the corpus LSH index, exact verify on candidate
@@ -700,6 +719,24 @@ object TextQueries extends QueryModule {
          FROM fp x JOIN fp y ON x.doc_id < y.doc_id
          WHERE bit_count(xor(x.f1, y.f1)) + bit_count(xor(x.f2, y.f2)) <= 3
          ORDER BY d1, d2""",
+
+    "qd11_substring_dedup" ->
+      """WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+         ng AS (SELECT doc_id,
+                  unnest(list_transform(generate_series(1, len(t)-7),
+                         i -> array_to_string(t[i:i+7], ' '))) AS span
+                FROM toks WHERE len(t) >= 8),
+         dup AS (SELECT span, count(DISTINCT doc_id) AS n_docs,
+                   count(*) AS n_occurrences
+                 FROM ng GROUP BY span HAVING count(DISTINCT doc_id) >= 2),
+         off AS (SELECT count(*) AS total_offset_rows,
+                   count(DISTINCT doc_id) AS docs_with_dup_spans
+                 FROM ng WHERE span IN (SELECT span FROM dup))
+         SELECT d.span, d.n_docs, d.n_occurrences,
+           o.total_offset_rows, o.docs_with_dup_spans
+         FROM (SELECT * FROM dup
+               ORDER BY n_docs DESC, n_occurrences DESC, span LIMIT 20) d, off o
+         ORDER BY d.n_docs DESC, d.n_occurrences DESC, d.span""",
 
     "qd08_incremental_dedup" ->
       s"""WITH $shingleCte,

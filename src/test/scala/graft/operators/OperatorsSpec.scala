@@ -71,6 +71,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got === Array(11L, 12L))
   }
 
+  test("substring dedup: cross-doc spans found, offsets exact, within-doc repeats scoped") {
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"),  // holds a..h at offset 0
+      (2L, "x a b c d e f g h z"),  // holds a..h at offset 1
+      (3L, "p q r s t u v w"),      // 8 unique tokens, duplicated nowhere
+      (4L, "m m m m m m m m m")     // within-doc repeat: "m"x8 at offsets 0 and 1
+    ).toDF("doc_id", "text")
+    val dup = Dedup.duplicatedSpans(docs, "doc_id", "text", n = 8)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(dup === Set(("a b c d e f g h", 2L, 2L)),
+      "only the cross-doc span qualifies at minDocs=2")
+    // minDocs=1 surfaces the within-doc repeat too (n_docs=1, n_occ=2)
+    val within = Dedup.duplicatedSpans(docs, "doc_id", "text", 8, minDocs = 1)
+      .filter(col("span") === "m m m m m m m m").head()
+    assert(within.getLong(1) === 1L && within.getLong(2) === 2L)
+    // the offset feed pins each duplicated occurrence to its token start
+    val offs = Dedup.duplicatedSpanOffsets(docs, "doc_id", "text", 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(offs === Set((1L, 0), (2L, 1)))
+  }
+
   test("connected components: long-chain adversarial input (linear-rounds bound)") {
     import spark.implicits._
     // A path graph is the worst case for min-label propagation: the
