@@ -93,6 +93,52 @@ object Dedup {
       .select("doc_id", "start_token", "span")
   }
 
+  /** KEEP-FIRST removal over duplicated spans: every occurrence of a
+    * duplicated n-token span EXCEPT the canonical one — the lowest
+    * (doc_id, start_token) — has its token range masked, and each
+    * document's text is rebuilt from the surviving tokens (overlapping
+    * masks union naturally; the doc keeping the canonical copy is
+    * untouched for that span). Returns every input doc as
+    * (doc_id, clean_text, n_tokens_removed).
+    *
+    * Scale shape: detection ([[duplicatedSpanOffsets]]) + one min_by per
+    * span + one groupBy(doc) to gather mask starts + a left join back to
+    * the docs — all hash-partitioned shuffles on span/doc_id; the
+    * per-doc rebuild is a codegen array-HOF pipeline, no UDFs. */
+  def removeDuplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                            n: Int, minDocs: Int = 2): DataFrame = {
+    val offs = duplicatedSpanOffsets(docs, idCol, textCol, n, minDocs)
+    val canon = offs.groupBy("span")
+      .agg(min(struct(col("doc_id"), col("start_token"))).as("c"))
+    val maskStarts = offs.join(canon, Seq("span"))
+      .where(!(col("doc_id") === col("c.doc_id") &&
+        col("start_token") === col("c.start_token")))
+      .groupBy("doc_id")
+      .agg(collect_set(col("start_token")).as("mask_starts"))
+    docs
+      .select(col(idCol).as("doc_id"), col(textCol).as("_text"),
+        tokens(col(textCol)).as("_toks"))
+      .join(maskStarts, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("mask_starts").isNull, col("_text")).otherwise(
+          array_join(
+            // keep token i unless a masked occurrence covers it
+            filter(
+              zip_with(col("_toks"),
+                sequence(lit(0), size(col("_toks")) - 1),
+                (t, i) => struct(t.as("t"), i.as("i"))),
+              p => !exists(col("mask_starts"),
+                m => p.getField("i") >= m && p.getField("i") < m + lit(n)))
+              .getField("t"),
+            " ")).as("clean_text"),
+        when(col("mask_starts").isNull, lit(0)).otherwise(
+          size(filter(
+            sequence(lit(0), size(col("_toks")) - 1),
+            i => exists(col("mask_starts"),
+              m => i >= m && i < m + lit(n)))))
+          .as("n_tokens_removed"))
+  }
+
   /** Exact n-gram Jaccard similarity for every pair sharing >= 1 shingle.
     * jaccard = |A ∩ B| / (|A| + |B| - |A ∩ B|).
     *

@@ -371,6 +371,23 @@ object TextQueries extends QueryModule {
             col("nd").as("docs_with_dup_spans"))))
     },
 
+    // --- span REMOVAL (keep-first policy over qd11's detection): every
+    //     non-canonical occurrence of a duplicated 8-token span is masked
+    //     and the text rebuilt from surviving tokens — codegen array-HOF
+    //     pipeline, no UDFs; canonical = lowest (doc_id, start), fully
+    //     deterministic, so the rebuilt corpus is oracle-replayable ---
+    "qd12_span_removal" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      Dedup.removeDuplicatedSpans(docs, "doc_id", "text", n = 8)
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          count(when(col("n_tokens_removed") > 0, 1)).as("docs_changed"),
+          sum("n_tokens_removed").as("tokens_removed"),
+          sum(length(col("clean_text"))).as("clean_chars"))
+        .orderBy("lang")
+    },
+
     // --- incremental dedup: near-dup pairs between a NEW BATCH (25% of
     //     doc ids) and the standing corpus — candidates from the delta's
     //     buckets probing the corpus LSH index, exact verify on candidate
@@ -737,6 +754,43 @@ object TextQueries extends QueryModule {
          FROM (SELECT * FROM dup
                ORDER BY n_docs DESC, n_occurrences DESC, span LIMIT 20) d, off o
          ORDER BY d.n_docs DESC, d.n_occurrences DESC, d.span""",
+
+    "qd12_span_removal" ->
+      """WITH toks AS (SELECT doc_id, lang, string_split(text,' ') AS t FROM documents),
+         ng AS (SELECT doc_id, u.i - 1 AS start_token, u.s AS span FROM (
+                  SELECT doc_id,
+                    unnest(list_transform(generate_series(1, len(t)-7),
+                      i -> struct_pack(i := i,
+                             s := array_to_string(t[i:i+7], ' ')))) AS u
+                  FROM toks WHERE len(t) >= 8)),
+         dup AS (SELECT span FROM ng GROUP BY span
+                 HAVING count(DISTINCT doc_id) >= 2),
+         offs AS (SELECT ng.doc_id, ng.start_token, ng.span
+                  FROM ng JOIN dup USING (span)),
+         marked AS (SELECT doc_id, start_token,
+                      row_number() OVER (PARTITION BY span
+                        ORDER BY doc_id, start_token) AS rn
+                    FROM offs),
+         masks AS (SELECT doc_id, list(DISTINCT start_token) AS ms
+                   FROM marked WHERE rn > 1 GROUP BY doc_id),
+         clean AS (SELECT t.doc_id, t.lang,
+             CASE WHEN m.ms IS NULL THEN array_to_string(t.t, ' ')
+               ELSE array_to_string(list_filter(
+                 list_transform(generate_series(1, len(t.t)),
+                   i -> CASE WHEN len(list_filter(m.ms,
+                          x -> i-1 >= x AND i-1 < x+8)) > 0
+                        THEN NULL ELSE t.t[i] END),
+                 v -> v IS NOT NULL), ' ') END AS clean_text,
+             CASE WHEN m.ms IS NULL THEN 0
+               ELSE len(list_filter(generate_series(1, len(t.t)),
+                 i -> len(list_filter(m.ms,
+                        x -> i-1 >= x AND i-1 < x+8)) > 0)) END AS removed
+           FROM toks t LEFT JOIN masks m ON t.doc_id = m.doc_id)
+         SELECT lang, count(*) AS n_docs,
+           count(CASE WHEN removed > 0 THEN 1 END) AS docs_changed,
+           CAST(sum(removed) AS BIGINT) AS tokens_removed,
+           CAST(sum(len(clean_text)) AS BIGINT) AS clean_chars
+         FROM clean GROUP BY lang ORDER BY lang""",
 
     "qd08_incremental_dedup" ->
       s"""WITH $shingleCte,

@@ -92,6 +92,28 @@ class OperatorsSpec extends AnyFunSuite {
     assert(offs === Set((1L, 0), (2L, 1)))
   }
 
+  test("span removal: keep-first masks non-canonical occurrences, unions overlaps") {
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"),  // canonical copy of a..h (doc 1, start 0)
+      (2L, "x a b c d e f g h z"),  // non-canonical -> tokens 1..8 masked
+      (3L, "p q r s t u v w")       // untouched
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeDuplicatedSpans(docs, "doc_id", "text", n = 8)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2)))).toMap
+    assert(out(1L) === ("a b c d e f g h i j", 0), "canonical doc untouched")
+    assert(out(2L) === ("x z", 8), "masked span tokens removed, rest joined")
+    assert(out(3L) === ("p q r s t u v w", 0))
+    // overlapping duplicated spans union their masks
+    val docs2 = Seq(
+      (1L, "a b c d e f g h i j"),  // canonical for both a..h and c..j
+      (2L, "a b c d e f g h i j k") // both spans non-canonical: tokens 0..9 masked
+    ).toDF("doc_id", "text")
+    val out2 = Dedup.removeDuplicatedSpans(docs2, "doc_id", "text", n = 8)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2)))).toMap
+    assert(out2(1L)._2 === 0)
+    assert(out2(2L) === ("k", 10), s"overlapping masks must union: ${out2(2L)}")
+  }
+
   test("connected components: long-chain adversarial input (linear-rounds bound)") {
     import spark.implicits._
     // A path graph is the worst case for min-label propagation: the
