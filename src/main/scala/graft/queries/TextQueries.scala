@@ -118,6 +118,34 @@ object TextQueries extends QueryModule {
         .orderBy("split")
     },
 
+    // --- temperature-based source MIXING (the data-mixing pass of a
+    //     training pipeline): target proportions ∝ n^alpha with alpha=0.5
+    //     (upsamples tail sources relative to raw counts), total budget =
+    //     half the corpus; each source is then hash-sampled at its derived
+    //     rate with the qt07 md5-threshold family — fully deterministic.
+    //     Rates are rounded to 6 decimals BEFORE the threshold compare so
+    //     the engine-vs-oracle comparison never hinges on a libm ULP; the
+    //     mixing math itself is a sources-sized broadcast ---
+    "qt14_source_mixing" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val counts = docs.groupBy("source").agg(count(lit(1)).as("n"))
+      val totals = counts.agg(sum("n").as("total"), sum(sqrt(col("n"))).as("wsum"))
+      val rates = counts.crossJoin(broadcast(totals))
+        .withColumn("rate", round(
+          least(lit(1.0),
+            (col("total") / 2.0) * sqrt(col("n")) / col("wsum") / col("n")), 6))
+        .select("source", "n", "rate")
+      val h01 = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("double") / 4294967296.0
+      docs.join(broadcast(rates), Seq("source"))
+        .withColumn("picked", h01 < col("rate"))
+        .groupBy("source")
+        .agg(max(col("n")).as("n_docs"), max(col("rate")).as("sample_rate"),
+          count(when(col("picked"), 1)).as("n_sampled"),
+          sum(when(col("picked"), col("n_chars"))).as("sampled_chars"))
+        .orderBy("source")
+    },
+
     // --- context-window packing: greedy sequential fill of 4096-token
     //     budgets via a DISTRIBUTED prefix sum (two-phase: per-range-
     //     partition running sums + broadcast partition offsets — a global
@@ -561,6 +589,22 @@ object TextQueries extends QueryModule {
                   ELSE 'train' END AS split
            FROM documents)
          GROUP BY split ORDER BY split""",
+
+    "qt14_source_mixing" ->
+      """WITH counts AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+         t AS (SELECT sum(n) AS total, sum(sqrt(n)) AS wsum FROM counts),
+         rates AS (SELECT source, n,
+                     round(least(1.0,
+                       (t.total / 2.0) * sqrt(n) / t.wsum / n), 6) AS rate
+                   FROM counts, t),
+         picked AS (SELECT d.source, r.n, r.rate, d.n_chars,
+                      (CAST('0x'||substr(md5(CAST(d.doc_id AS VARCHAR)),1,8) AS BIGINT)
+                        / 4294967296.0) < r.rate AS p
+                    FROM documents d JOIN rates r ON d.source = r.source)
+         SELECT source, max(n) AS n_docs, max(rate) AS sample_rate,
+           count(CASE WHEN p THEN 1 END) AS n_sampled,
+           CAST(sum(CASE WHEN p THEN n_chars END) AS BIGINT) AS sampled_chars
+         FROM picked GROUP BY source ORDER BY source""",
 
     "qt08_token_packing" ->
       """WITH t AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
