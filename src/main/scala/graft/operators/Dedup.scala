@@ -80,17 +80,34 @@ object Dedup {
     * [[duplicatedSpans]]): (doc_id, start_token, span). The join keys on
     * the span text — both sides shuffle-partition on its hash; the
     * duplicated-span side is NOT assumed broadcastable (at corpus scale
-    * it can be a large fraction of the shingle vocabulary). */
+    * it can be a large fraction of the shingle vocabulary).
+    *
+    * The n-gram occurrence table feeds BOTH the duplicate detection and
+    * the offset probe; with `materialize = true` (default) it is
+    * persisted for the duration of the call and the (much smaller,
+    * duplication-bounded) result is snapshotted via localCheckpoint
+    * before the cache is released — one explosion instead of two, the
+    * same scoped-persist contract (and executor-loss caveat) as
+    * [[ngramJaccardPairs]]. Pass false for a fully lazy, composable
+    * plan. */
   def duplicatedSpanOffsets(docs: DataFrame, idCol: String, textCol: String,
-                            n: Int, minDocs: Int = 2): DataFrame = {
-    val dup = duplicatedSpans(docs, idCol, textCol, n, minDocs).select("span")
-    docs
+                            n: Int, minDocs: Int = 2,
+                            materialize: Boolean = true): DataFrame = {
+    val occ0 = docs
       .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("_toks"))
       .where(size(col("_toks")) >= n)
       .select(col("doc_id"),
         posexplode(ngrams(col("_toks"), n)).as(Seq("start_token", "span")))
-      .join(dup, Seq("span"))
-      .select("doc_id", "start_token", "span")
+    val occ = if (materialize) occ0.persist() else occ0
+    val dup = occ.groupBy("span")
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      .where(col("n_docs") >= minDocs).select("span")
+    val out = occ.join(dup, Seq("span")).select("doc_id", "start_token", "span")
+    if (materialize) {
+      val snap = out.localCheckpoint()
+      occ.unpersist()
+      snap
+    } else out
   }
 
   /** KEEP-FIRST removal over duplicated spans: every occurrence of a
