@@ -110,6 +110,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           Some(MetadataTables.keyedLogHistory(dataDir))
         case "files" if meta.provider == "manifest" =>
           Some(MetadataTables.files(dataDir))
+        case "files" if meta.provider == "keyedlog" =>
+          Some(MetadataTables.keyedLogFiles(dataDir))
+        case "partitions" if meta.provider == "keyedlog" =>
+          Some(MetadataTables.keyedLogPartitions(dataDir, meta.bucket.map(_.n)))
         case "changes" if meta.provider == "manifest" =>
           Some(new ManifestChangesTable(dataDir, meta.schema))
         case "changes" if meta.provider == "keyedlog" =>

@@ -132,6 +132,54 @@ object MetadataTables {
       }
     })
 
+  val KeyedLogFilesSchema: StructType = StructType(Seq(
+    StructField("file", StringType, nullable = false),
+    StructField("bytes", LongType, nullable = false),
+    StructField("key", StringType, nullable = true)))
+
+  /** `t.files` for KEYEDLOG tables: one row per visible data file with
+    * its clustered-write key tag (null for the null key AND for plain
+    * unclustered files — `clustered` distinguishes them). */
+  def keyedLogFiles(dir: String): Table =
+    new VirtualRowsTable(s"files($dir)", StructType(
+      KeyedLogFilesSchema.fields :+
+        StructField("clustered", org.apache.spark.sql.types.BooleanType, nullable = false)), () => {
+      val conf = graft.sources.KeyedLogConf.capture()
+      val fs = LakeStorage.openFor(dir)
+      graft.sources.KeyedLogSource.listDataFiles(dir, conf).toSeq.sorted.map { f =>
+        val name = new Path(f).getName
+        val tag = graft.sources.KeyedLogSource.keyOfFile(name)
+        Array[Any](name, fs.getFileStatus(new Path(f)).getLen,
+          tag.flatten.orNull, tag.isDefined)
+      }
+    })
+
+  /** `t.partitions` for KEYEDLOG tables: per-BUCKET layout stats for
+    * bucket-declared tables (same bucket space as the manifest format —
+    * the SPJ planning unit; plain files land in `unclustered`), per-KEY
+    * stats otherwise (the clustering unit — a key's file count is its
+    * compaction debt). */
+  def keyedLogPartitions(dir: String, bucket: Option[Int]): Table =
+    new VirtualRowsTable(s"partitions($dir)", PartitionsSchema, () => {
+      val conf = graft.sources.KeyedLogConf.capture()
+      val fs = LakeStorage.openFor(dir)
+      val files = graft.sources.KeyedLogSource.listDataFiles(dir, conf).toSeq
+      def keyOf(f: String): String = {
+        val tag = graft.sources.KeyedLogSource.keyOfFile(new Path(f).getName)
+        (bucket, tag) match {
+          case (Some(n), Some(k)) =>
+            s"bucket=${graft.sources.KeyedLogSource.bucketOfKey(k.orNull, n)}"
+          case (Some(_), None) => "unclustered"
+          case (None, Some(k)) => s"key=${k.getOrElse("<null>")}"
+          case (None, None)    => "unclustered"
+        }
+      }
+      files.groupBy(keyOf).toSeq.sortBy(_._1).map { case (k, fs2) =>
+        Array[Any](k, fs2.length.toLong,
+          fs2.map(f => fs.getFileStatus(new Path(f)).getLen).sum)
+      }
+    })
+
   val DetailSchema: StructType = StructType(Seq(
     StructField("provider", StringType, nullable = false),
     StructField("location", StringType, nullable = false),

@@ -97,7 +97,7 @@ object KeyedLogSource {
     * (`...-K=<urlencoded>.log`; empty encoding = the null key). None for a
     * plain (non-clustered) data file. `=` cannot appear in the URL
     * encoding, so the marker is unambiguous. */
-  private[sources] def keyOfFile(name: String): Option[Option[String]] = {
+  private[graft] def keyOfFile(name: String): Option[Option[String]] = {
     val i = name.lastIndexOf("-K=")
     if (i < 0 || !name.endsWith(".log")) None
     else {
@@ -117,7 +117,7 @@ object KeyedLogSource {
     * Murmur3HashFunction so scan grouping, manifest-side placement, and
     * the SPJ function can never drift. Null key hashes as Catalyst's null
     * contribution (seed unchanged). */
-  private[sources] def bucketOfKey(keyOrNull: String, n: Int): Int = {
+  private[graft] def bucketOfKey(keyOrNull: String, n: Int): Int = {
     val h = org.apache.spark.sql.catalyst.expressions.Murmur3HashFunction.hash(
       if (keyOrNull == null) null else UTF8String.fromString(keyOrNull),
       StringType, 42L)

@@ -205,6 +205,14 @@ class BucketedTableSpec extends AnyFunSuite {
       s"post-compaction append must keep the clustered layout:\n$plan3")
     assert(agg3.collect().find(_.getString(0) == "k3").get.getLong(1) ===
       expected + (0 until 50).filter(_ % 5 == 3).sum.toLong)
+    // the bucket-declared partitions view groups files into the same
+    // murmur3 bucket space the SPJ planner uses
+    val parts = s.sql(
+      "SELECT partition, n_files FROM gb.db.xj.partitions ORDER BY partition")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(parts.forall(_._1.startsWith("bucket=")),
+      s"every clustered file must land in a bucket: ${parts.mkString(",")}")
+    assert(parts.map(_._2).sum >= 5L, "one file per key per commit at minimum")
   }
 
   test("DML keeps a bucketed table bucketed (rewrites re-bucket)") {

@@ -400,6 +400,31 @@ class CatalogSpec extends AnyFunSuite {
     assert(e3.getMessage.contains("precedes"), e3.getMessage)
   }
 
+  test("keyedlog metadata tables: t.files carries key tags, t.partitions layout stats") {
+    ensureDb()
+    spark.sql("CREATE TABLE g.db.klmeta (key STRING, seq BIGINT, metric BIGINT) USING keyedlog")
+    spark.sql("INSERT INTO g.db.klmeta VALUES ('a', 1, 10), ('b', 2, 20)")
+    // plain (unclustered) writes: files exist but carry no key tag
+    val files = spark.sql("SELECT file, bytes, key, clustered FROM g.db.klmeta.files")
+      .collect()
+    assert(files.nonEmpty && files.forall(_.getLong(1) > 0))
+    assert(files.forall(!_.getBoolean(3)), "plain writes are unclustered")
+    val parts = spark.sql("SELECT partition, n_files FROM g.db.klmeta.partitions")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(parts.map(_._1).toSeq === Seq("unclustered"))
+    assert(parts.head._2 === files.length.toLong)
+    // compaction clusters to one file per key; the views follow
+    spark.sql("CALL g.system.compact('db.klmeta')")
+    val files2 = spark.sql("SELECT key, clustered FROM g.db.klmeta.files").collect()
+    assert(files2.forall(_.getBoolean(1)), "compacted files are key-clustered")
+    assert(files2.map(_.getString(0)).sorted === Array("a", "b"))
+    val parts2 = spark.sql(
+      "SELECT partition, n_files FROM g.db.klmeta.partitions ORDER BY partition")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(parts2.toSeq === Seq(("key=a", 1L), ("key=b", 1L)),
+      "per-key stats are the clustering/compaction-debt view")
+  }
+
   test("DROP, RENAME, and error contracts") {
     ensureDb()
     spark.sql("CREATE TABLE g.db.tmp (id BIGINT) USING manifest")
