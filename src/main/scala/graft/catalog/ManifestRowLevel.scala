@@ -186,7 +186,10 @@ class ManifestRowLevelScan(op: ManifestRowLevelOperation, dir: String,
 class ManifestScanBuilder(tbl: ParquetTable,
                           options: CaseInsensitiveStringMap,
                           bucketing: Option[GraftCatalog.Bucketing] = None,
-                          streamSource: Option[(String, StructType)] = None)
+                          streamSource: Option[(String, StructType)] = None,
+                          allPaths: Seq[String] = Seq.empty,
+                          pathStats: Map[String, graft.core.FileStats.Stats] = Map.empty,
+                          rebuild: Seq[String] => ParquetTable = null)
     extends ScanBuilder
     with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
     with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
@@ -199,26 +202,72 @@ class ManifestScanBuilder(tbl: ParquetTable,
       tbl.sparkSession, tbl.fileIndex, tbl.schema, tbl.dataSchema, options)
   private var needFile = false
   private var aggPushed = false
+  private var savedSchema: Option[StructType] = None
+  private var savedFilters: Seq[org.apache.spark.sql.catalyst.expressions.Expression] = Seq.empty
+  private var savedAgg: Option[org.apache.spark.sql.connector.expressions.aggregate.Aggregation] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit = {
     needFile = requiredSchema.fieldNames.contains(FileCol)
-    inner.pruneColumns(
-      StructType(requiredSchema.fields.filterNot(_.name == FileCol)))
+    val stripped = StructType(requiredSchema.fields.filterNot(_.name == FileCol))
+    savedSchema = Some(stripped)
+    inner.pruneColumns(stripped)
   }
 
-  override def pushFilters(filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression]): Seq[org.apache.spark.sql.catalyst.expressions.Expression] =
+  override def pushFilters(filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression]): Seq[org.apache.spark.sql.catalyst.expressions.Expression] = {
+    savedFilters = filters
     inner.pushFilters(filters)
+  }
 
   override def pushedFilters: Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
     inner.pushedFilters
 
   override def pushAggregation(aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
     aggPushed = inner.pushAggregation(aggregation)
+    if (aggPushed) savedAgg = Some(aggregation)
     aggPushed
   }
 
+  /** Manifest data skipping: drop files whose log-carried stats prove no
+    * row can satisfy some pushed conjunct (see [[graft.core.FileStats]]),
+    * then rebuild the parquet scan over the survivors — planning-time
+    * file pruning, before any split exists or any footer is opened. The
+    * replayed builder sees identical schema/filters/aggregation, so the
+    * built scan differs ONLY in its file list; on any replay surprise the
+    * un-pruned scan is used (skipping is an optimization, never a
+    * correctness dependency). */
+  private def statsPrunedBuilder(): Option[
+      (org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder, Seq[String])] = {
+    if (rebuild == null || pathStats.isEmpty || savedFilters.isEmpty) return None
+    val deterministic = savedFilters.filter(_.deterministic)
+    if (deterministic.isEmpty) return None
+    val survivors = allPaths.filter { p =>
+      pathStats.get(p) match {
+        case None    => true // no stats recorded: never skip
+        case Some(s) => deterministic.forall(f => graft.core.FileStats.mayMatch(f, s))
+      }
+    }
+    if (survivors.length == allPaths.length) return None
+    val t = rebuild(survivors)
+    val b = new org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder(
+      t.sparkSession, t.fileIndex, t.schema, t.dataSchema, options)
+    b.pushFilters(savedFilters)
+    savedAgg.foreach { agg =>
+      if (!b.pushAggregation(agg)) return None // replay surprise: fall back
+    }
+    savedSchema.foreach(b.pruneColumns)
+    Some((b, survivors))
+  }
+
   override def build(): Scan = {
-    val parquet = inner.build()
+    val (chosen, planned) = statsPrunedBuilder().getOrElse((inner, allPaths))
+    // exact planned-row cardinality for CBO/AQE, when the log's stats
+    // cover every planned file (vacuously exact 0 for a fully pruned or
+    // empty scan)
+    val exactRows: Option[Long] =
+      if (planned.forall(pathStats.contains))
+        Some(planned.iterator.map(pathStats(_).rowCount).sum)
+      else None
+    val parquet = chosen.build()
     if (needFile) return FileTagWrapScan(parquet)
     // key-grouped (storage-partitioned) scan: opt-in via the v2 bucketing
     // flag, only when the bucket key survives pruning (the reported
@@ -231,7 +280,7 @@ class ManifestScanBuilder(tbl: ParquetTable,
             org.apache.spark.sql.internal.SQLConf.get.getConfString(
               "spark.sql.sources.v2.bucketing.enabled", "false") == "true" &&
             parquet.readDataSchema.fieldNames.contains(b.col) =>
-        BucketedManifestScan(parquet, b)
+        BucketedManifestScan(parquet, b, exactRows)
       case _ => streamSource match {
         // the plain scan doubles as the streaming source (offset =
         // manifest version); batch behavior is forwarded untouched.
@@ -239,7 +288,8 @@ class ManifestScanBuilder(tbl: ParquetTable,
         // path reads the same option as a bounded incremental scan)
         case Some((dir, declared)) if !aggPushed =>
           ManifestStreamScan(parquet, dir, declared,
-            Option(options.get("start_version")).map(_.toLong).getOrElse(0L))
+            Option(options.get("start_version")).map(_.toLong).getOrElse(0L),
+            exactRows)
         case _ => parquet
       }
     }
@@ -257,7 +307,8 @@ class ManifestScanBuilder(tbl: ParquetTable,
   * split-by-split to the parquet reader factory — pushdown, pruning, and
   * vectorization are untouched. */
 case class BucketedManifestScan(inner: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan,
-                                b: GraftCatalog.Bucketing)
+                                b: GraftCatalog.Bucketing,
+                                exactRowCount: Option[Long] = None)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
     with org.apache.spark.sql.connector.read.SupportsReportStatistics {
@@ -266,9 +317,19 @@ case class BucketedManifestScan(inner: org.apache.spark.sql.execution.datasource
   override def toBatch: Batch = this
   // regrouping splits by bucket changes the partitioning, not the size:
   // keep the parquet scan's statistics (joins against a THIRD, unbucketed
-  // table still want broadcast decisions)
-  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
-    inner.estimateStatistics()
+  // table still want broadcast decisions), upgraded with the exact
+  // stats-derived row count when the log covers every planned file
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
+    val base = inner.estimateStatistics()
+    exactRowCount match {
+      case None => base
+      case Some(rc) => new org.apache.spark.sql.connector.read.Statistics {
+        override def sizeInBytes(): java.util.OptionalLong = base.sizeInBytes()
+        override def numRows(): java.util.OptionalLong =
+          java.util.OptionalLong.of(rc)
+      }
+    }
+  }
   override def description(): String =
     s"BucketedManifestScan(bucket(${b.n}, ${b.col}), ${inner.description()})"
 

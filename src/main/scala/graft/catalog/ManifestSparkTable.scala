@@ -66,7 +66,11 @@ class ManifestSparkTable(dir: String, declared: StructType,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
       TableCapability.STREAMING_WRITE)
 
-  private def snapshotPaths: Seq[String] = {
+  private def snapshotPaths: Seq[String] = snapshotEntries._1
+
+  /** Snapshot file list plus the log's data-skipping stats, both keyed by
+    * ABSOLUTE path (what the parquet scan plans with). */
+  private def snapshotEntries: (Seq[String], Map[String, graft.core.FileStats.Stats]) = {
     val committed = ManifestTable.allVersions(dir)
     val v = asOf match {
       case Some(req) =>
@@ -74,9 +78,11 @@ class ManifestSparkTable(dir: String, declared: StructType,
           s"version $req is not committed under $dir " +
             s"(committed: ${committed.mkString(",")})")
         req
-      case None => if (committed.isEmpty) return Seq.empty else committed.max
+      case None =>
+        if (committed.isEmpty) return (Seq.empty, Map.empty) else committed.max
     }
-    ManifestTable.manifest(dir, v).map(f => s"$dir/$f")
+    val (files, stats) = ManifestTable.manifestEntries(dir, v)
+    (files.map(f => s"$dir/$f"), stats.map { case (f, s) => s"$dir/$f" -> s })
   }
 
   /** Incremental (CDC-style) reads:
@@ -91,7 +97,8 @@ class ManifestSparkTable(dir: String, declared: StructType,
     * append-only tables get exact inserts. Both versions must still be
     * present (not vacuumed) — vacuuming past a consumer's cursor is the
     * same operational error as in any lake format. */
-  private def incrementalPaths(startVersion: Long, endVersion: Option[Long]): Seq[String] = {
+  private def incrementalEntries(startVersion: Long, endVersion: Option[Long])
+      : (Seq[String], Map[String, graft.core.FileStats.Stats]) = {
     val committed = ManifestTable.allVersions(dir)
     require(committed.contains(startVersion),
       s"start_version $startVersion is not committed under $dir " +
@@ -102,28 +109,36 @@ class ManifestSparkTable(dir: String, declared: StructType,
     require(end >= startVersion,
       s"end_version $end precedes start_version $startVersion")
     // O(window delta) marker replay (ManifestTable.diff) — an incremental
-    // consumer's planning cost tracks its window, not the table size
-    ManifestTable.diff(dir, startVersion, end)._1.map(f => s"$dir/$f")
+    // consumer's planning cost tracks its window, not the table size.
+    // Window-added files are live at `end`, so the end snapshot's stats
+    // serve them for skipping too.
+    val added = ManifestTable.diff(dir, startVersion, end)._1
+    val stats = ManifestTable.manifestEntries(dir, end)._2
+    (added.map(f => s"$dir/$f"),
+      added.iterator.flatMap(f => stats.get(f).map(s"$dir/$f" -> _)).toMap)
   }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     GraftCatalog.requireFieldIdReads(declared, name())
-    val paths = Option(options.get("start_version")) match {
+    val (paths, stats) = Option(options.get("start_version")) match {
       case Some(sv) =>
         require(asOf.isEmpty,
           s"start_version does not combine with VERSION AS OF (${name()})")
-        incrementalPaths(sv.toLong,
+        incrementalEntries(sv.toLong,
           Option(options.get("end_version")).map(_.toLong))
-      case None => snapshotPaths
+      case None => snapshotEntries
     }
-    new ManifestScanBuilder(
-      ParquetTable(name(), SparkSession.active, options, paths,
+    def mkTable(ps: Seq[String]): ParquetTable =
+      ParquetTable(name(), SparkSession.active, options, ps,
         userSpecifiedSchema = Some(declared),
-        fallbackFileFormat = classOf[ParquetFileFormat]),
+        fallbackFileFormat = classOf[ParquetFileFormat])
+    new ManifestScanBuilder(
+      mkTable(paths),
       options, bucketing.filter(_ => ManifestSparkTable.fullyBucketed(paths, bucketing)),
       // the plain scan doubles as a micro-batch streaming source (offset =
       // manifest version); a time-travel view is a frozen snapshot, not a log
-      streamSource = if (asOf.isEmpty) Some((dir, declared)) else None)
+      streamSource = if (asOf.isEmpty) Some((dir, declared)) else None,
+      allPaths = paths, pathStats = stats, rebuild = mkTable)
   }
 
   // ---- row-level DML ----
@@ -161,11 +176,20 @@ class ManifestSparkTable(dir: String, declared: StructType,
     val cond = filters.map(f => ManifestSparkTable.filterToColumn(f).getOrElse(
       throw new IllegalStateException(s"canDeleteWhere admitted untranslatable $f")))
       .reduce(_ && _)
+    // data skipping on the affected-file DISCOVERY scan too: a file whose
+    // log stats prove the DELETE condition can never be TRUE holds no
+    // affected rows, so it needn't even be read to find them
+    val stats = snapshotEntries._2
+    val candidates = snap.filter { p =>
+      stats.get(p).forall(s =>
+        filters.forall(graft.core.FileStats.mayMatchFilter(_, s, declared)))
+    }
+    if (candidates.isEmpty) return
     // read with the DECLARED schema (not inferred): on a mapped table the
     // files' physical column names may predate renames — id resolution
     // serves them under the current logical names the condition uses
     GraftCatalog.requireFieldIdReads(declared, name())
-    val affected = spark.read.schema(declared).parquet(snap: _*)
+    val affected = spark.read.schema(declared).parquet(candidates: _*)
       .filter(cond).select(col("_metadata.file_path")).distinct()
       .collect().map(r => ManifestRowLevelOperation.relName(r.getString(0)))
       .toSeq.sorted

@@ -31,7 +31,8 @@ import graft.core.ManifestTable
   * vacuuming past a checkpointed offset fails the stream loudly. */
 case class ManifestStreamScan(inner: ParquetScan, dir: String,
                               declared: StructType,
-                              startVersion: Long = 0L)
+                              startVersion: Long = 0L,
+                              exactRowCount: Option[Long] = None)
     extends Scan with SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
     with org.apache.spark.sql.internal.connector.SupportsMetadata {
@@ -39,7 +40,23 @@ case class ManifestStreamScan(inner: ParquetScan, dir: String,
   override def readSchema(): StructType = inner.readSchema()
   override def toBatch: org.apache.spark.sql.connector.read.Batch = runtimeScan.toBatch
   override def description(): String = inner.description()
-  override def estimateStatistics(): Statistics = inner.estimateStatistics()
+  /** Parquet's size estimate, upgraded with the EXACT planned-file row
+    * count when the manifest's data-skipping stats cover every planned
+    * file — the cardinality CBO/AQE join planning wants, free from the
+    * log (Delta reports stats-derived rowCount the same way). An upper
+    * bound when data filters apply post-scan, exact otherwise — the same
+    * contract as the size estimate itself. */
+  override def estimateStatistics(): Statistics = {
+    val base = inner.estimateStatistics()
+    exactRowCount match {
+      case None => base
+      case Some(rc) => new Statistics {
+        override def sizeInBytes(): java.util.OptionalLong = base.sizeInBytes()
+        override def numRows(): java.util.OptionalLong =
+          java.util.OptionalLong.of(rc)
+      }
+    }
+  }
   // EXPLAIN metadata (PushedFilters/ReadSchema lines) stays the parquet scan's
   override def getMetaData(): Map[String, String] = inner.getMetaData()
 

@@ -33,7 +33,8 @@ object MetadataTables {
   val FilesSchema: StructType = StructType(Seq(
     StructField("file", StringType, nullable = false),
     StructField("bytes", LongType, nullable = false),
-    StructField("pool", StringType, nullable = false)))
+    StructField("pool", StringType, nullable = false),
+    StructField("row_count", LongType, nullable = true))) // from log stats; null = no stats
 
   /** `t.history`: one row per committed version still present. One
     * forward accumulation over the log — the oldest version resolves
@@ -63,14 +64,18 @@ object MetadataTables {
       }
     })
 
-  /** `t.files`: one row per data file of the CURRENT snapshot. */
+  /** `t.files`: one row per data file of the CURRENT snapshot, with the
+    * log-carried row count (the data-skipping stats double as the ops
+    * surface's cardinality column; null for stats-less legacy files). */
   def files(dir: String): Table =
     new VirtualRowsTable(s"files($dir)", FilesSchema, () => {
       val fs = LakeStorage.openFor(dir)
       ManifestTable.currentVersion(dir).toSeq.flatMap { v =>
-        ManifestTable.manifest(dir, v).map { f =>
+        val (names, stats) = ManifestTable.manifestEntries(dir, v)
+        names.map { f =>
           Array[Any](f, fs.getFileStatus(new Path(dir, f)).getLen,
-            f.split("/", 2).head)
+            f.split("/", 2).head,
+            stats.get(f).map(s => java.lang.Long.valueOf(s.rowCount)).orNull)
         }
       }
     })

@@ -187,9 +187,16 @@ object ManifestTable {
 
   // ---- marker encoding -------------------------------------------------
 
+  /** `stats`: per-ADDED-file column statistics (see [[FileStats]]) under
+    * the marker's `"st"` key — the data-skipping index, carried next to
+    * the file list so planning a selective scan needs no extra object
+    * reads. Advisory: absent entries (legacy markers, unreadable footers)
+    * just mean "never skip this file". */
   private sealed trait MarkerData
-  private final case class SnapshotMarker(files: Seq[String]) extends MarkerData
-  private final case class DeltaMarker(add: Seq[String], remove: Seq[String]) extends MarkerData
+  private final case class SnapshotMarker(files: Seq[String],
+      stats: Map[String, FileStats.Stats]) extends MarkerData
+  private final case class DeltaMarker(add: Seq[String], remove: Seq[String],
+      stats: Map[String, FileStats.Stats]) extends MarkerData
 
   private def readTextFile(fs: org.apache.hadoop.fs.FileSystem, p: Path): String = {
     val in = fs.open(p)
@@ -211,39 +218,76 @@ object ManifestTable {
       s"corrupt manifest $p: expected JSON array, got $other")
   }
 
+  private def markerStats(m: Map[String, org.json4s.JValue]): Map[String, FileStats.Stats] =
+    m.get("st") match {
+      case Some(obj: org.json4s.JObject) =>
+        obj.obj.iterator.flatMap { case (file, j) =>
+          FileStats.fromJson(j).map(file -> _)
+        }.toMap
+      case _ => Map.empty
+    }
+
   private def readMarkerData(dir: String, version: Long): MarkerData = {
     val fs = LakeStorage.openFor(dir)
     val p = new Path(dir, marker(version))
     org.json4s.jackson.JsonMethods.parse(readTextFile(fs, p)) match {
-      case arr: org.json4s.JArray => SnapshotMarker(strings(arr, p)) // legacy full list
+      case arr: org.json4s.JArray => SnapshotMarker(strings(arr, p), Map.empty) // legacy full list
       case obj: org.json4s.JObject =>
         val m = obj.obj.toMap
-        if (m.contains("s")) SnapshotMarker(strings(m("s"), p))
+        if (m.contains("s")) SnapshotMarker(strings(m("s"), p), markerStats(m))
         else DeltaMarker(
           strings(m.getOrElse("a", org.json4s.JNothing), p),
-          strings(m.getOrElse("r", org.json4s.JNothing), p))
+          strings(m.getOrElse("r", org.json4s.JNothing), p),
+          markerStats(m))
       case other => throw new IllegalStateException(
         s"corrupt manifest $p: expected JSON array or object, got $other")
     }
   }
 
-  private def readCheckpoint(dir: String, version: Long): Seq[String] = {
+  /** Checkpoint line format: `relative/path` or `relative/path\t{stats}`
+    * (tab-separated file stats JSON — paths never contain tabs; legacy
+    * stats-less checkpoints parse as the first form). Still plain
+    * newline-separated text, so the metadata stays `spark.read.text`-able
+    * and splittable. */
+  private def readCheckpointEntries(dir: String, version: Long)
+      : (Seq[String], Map[String, FileStats.Stats]) = {
     val fs = LakeStorage.openFor(dir)
     val text = readTextFile(fs, new Path(dir, ckptName(version)))
-    if (text.isEmpty) Seq.empty
-    else text.split("\n", -1).iterator.filter(_.nonEmpty).toSeq
+    if (text.isEmpty) return (Seq.empty, Map.empty)
+    val files = Seq.newBuilder[String]
+    val stats = Map.newBuilder[String, FileStats.Stats]
+    text.split("\n", -1).iterator.filter(_.nonEmpty).foreach { line =>
+      val tab = line.indexOf('\t')
+      if (tab < 0) files += line
+      else {
+        val f = line.substring(0, tab)
+        files += f
+        FileStats.parse(line.substring(tab + 1)).foreach(s => stats += f -> s)
+      }
+    }
+    (files.result(), stats.result())
   }
+
+  private def readCheckpoint(dir: String, version: Long): Seq[String] =
+    readCheckpointEntries(dir, version)._1
 
   /** Write the checkpoint for `version` (temp file + atomic rename; a
     * concurrent duplicate writer loses the rename and cleans up — the
     * content is deterministic, so either copy is correct). */
-  private def writeCheckpoint(dir: String, version: Long, files: Seq[String]): Unit = {
+  private def writeCheckpoint(dir: String, version: Long, files: Seq[String],
+      stats: Map[String, FileStats.Stats]): Unit = {
     val fs = LakeStorage.openFor(dir)
     val target = new Path(dir, ckptName(version))
     if (fs.exists(target)) return
     val tmp = new Path(dir, s".${ckptName(version)}.tmp-${java.util.UUID.randomUUID()}")
+    val body = files.map { f =>
+      stats.get(f) match {
+        case Some(s) => s"$f\t${FileStats.render(s)}"
+        case None    => f
+      }
+    }.mkString("\n")
     val out = fs.create(tmp, true)
-    try out.write(files.mkString("\n").getBytes("UTF-8")) finally out.close()
+    try out.write(body.getBytes("UTF-8")) finally out.close()
     if (!fs.rename(tmp, target)) { fs.delete(tmp, false); () }
   }
 
@@ -254,7 +298,13 @@ object ManifestTable {
     * replay of the delta markers above it. Retries once on a marker
     * deleted mid-scan by a concurrent [[vacuum]] — the retry re-anchors at
     * the checkpoint vacuum wrote before truncating. */
-  def manifest(dir: String, version: Long): Seq[String] = {
+  def manifest(dir: String, version: Long): Seq[String] =
+    manifestEntries(dir, version)._1
+
+  /** [[manifest]] plus the per-file data-skipping stats the log carries
+    * for those files (files without stats are simply absent from the
+    * map — they are scanned unconditionally). Same resolution cost. */
+  def manifestEntries(dir: String, version: Long): (Seq[String], Map[String, FileStats.Stats]) = {
     var lastMiss: java.io.FileNotFoundException = null
     var attempt = 0
     while (attempt < 3) {
@@ -265,23 +315,27 @@ object ManifestTable {
       s"version $version of $dir is not resolvable (vacuumed or corrupt log)", lastMiss)
   }
 
-  private def resolve(dir: String, version: Long): Seq[String] = {
+  private def resolve(dir: String, version: Long): (Seq[String], Map[String, FileStats.Stats]) = {
     val ckpt = checkpointVersions(dir).filter(_ <= version).lastOption
-    if (ckpt.contains(version)) return readCheckpoint(dir, version)
+    if (ckpt.contains(version)) return readCheckpointEntries(dir, version)
     var deltas = List.empty[DeltaMarker] // head = oldest unapplied
     var base: Seq[String] = null
+    var baseStats: Map[String, FileStats.Stats] = Map.empty
     var v = version
     while (base == null) {
-      if (v < version && ckpt.contains(v)) base = readCheckpoint(dir, v)
+      if (v < version && ckpt.contains(v)) {
+        val (f, s) = readCheckpointEntries(dir, v); base = f; baseStats = s
+      }
       else if (v < 1) base = Seq.empty // all-delta chain: the table began empty
       else readMarkerData(dir, v) match {
-        case SnapshotMarker(files) => base = files
+        case SnapshotMarker(files, st) => base = files; baseStats = st
         case d: DeltaMarker => deltas ::= d; v -= 1
       }
     }
-    deltas.foldLeft(base) { (list, d) =>
+    deltas.foldLeft((base, baseStats)) { case ((list, stats), d) =>
       val rm = d.remove.toSet
-      (if (rm.isEmpty) list else list.filterNot(rm)) ++ d.add
+      ((if (rm.isEmpty) list else list.filterNot(rm)) ++ d.add,
+        (if (rm.isEmpty) stats else stats -- rm) ++ d.stats)
     }
   }
 
@@ -319,7 +373,7 @@ object ManifestTable {
     var v = fromVersion + 1
     while (v <= toVersion) {
       readMarkerData(dir, v) match {
-        case DeltaMarker(add, rm) =>
+        case DeltaMarker(add, rm, _) =>
           rm.foreach { f => if (!added.remove(f)) { removed += f; () } }
           add.foreach { f => if (!removed.remove(f)) { added += f; () } }
         case _: SnapshotMarker =>
@@ -336,8 +390,8 @@ object ManifestTable {
     * list for a snapshot commit) — one marker read, no resolution. */
   private[graft] def addedAt(dir: String, v: Long): Seq[String] =
     readMarkerData(dir, v) match {
-      case DeltaMarker(add, _)   => add
-      case SnapshotMarker(files) => files
+      case DeltaMarker(add, _, _)   => add
+      case SnapshotMarker(files, _) => files
     }
 
   /** Every file referenced by ANY surviving committed version, in ONE pass
@@ -350,8 +404,8 @@ object ManifestTable {
     acc ++= manifest(dir, versions.head)
     versions.tail.foreach { v =>
       readMarkerData(dir, v) match {
-        case SnapshotMarker(files) => acc ++= files
-        case DeltaMarker(add, _)   => acc ++= add
+        case SnapshotMarker(files, _) => acc ++= files
+        case DeltaMarker(add, _, _)   => acc ++= add
       }
     }
     acc.toSet
@@ -407,15 +461,24 @@ object ManifestTable {
   private val BucketFilePattern =
     java.util.regex.Pattern.compile("part-(\\d+)-.*")
 
-  /** Commit previously staged files as a replacing snapshot. */
-  def commitStagedSnapshot(dir: String, files: Seq[String]): Long =
-    commitLoop(dir) { _ => Some(Snapshot(files)) }
+  /** Commit previously staged files as a replacing snapshot. Harvests the
+    * staged files' data-skipping stats from their footers unless the
+    * caller already has them (`stats` non-None — e.g. [[rollback]], whose
+    * files are old and whose stats the log already holds). */
+  def commitStagedSnapshot(dir: String, files: Seq[String],
+      stats: Option[Map[String, FileStats.Stats]] = None): Long = {
+    val st = stats.getOrElse(FileStats.collect(dir, files))
+    commitLoop(dir) { _ => Some(Snapshot(files, st)) }
+  }
 
   /** Commit previously staged files as an append. A pure delta: no base
     * state is read, so the commit (and any rebase retry) is O(delta)
-    * regardless of table size. */
-  def commitStagedAppend(dir: String, files: Seq[String]): Long =
-    commitLoop(dir) { _ => Some(Delta(add = files, remove = Seq.empty)) }
+    * regardless of table size — including the data-skipping stats
+    * harvest, which reads only the NEW files' footers. */
+  def commitStagedAppend(dir: String, files: Seq[String]): Long = {
+    val st = FileStats.collect(dir, files)
+    commitLoop(dir) { _ => Some(Delta(add = files, remove = Seq.empty, stats = st)) }
+  }
 
   /** Commit a FILE-LEVEL REWRITE: the new manifest is the current one
     * minus `removed` plus `added` — the copy-on-write commit behind
@@ -429,9 +492,11 @@ object ManifestTable {
     * `ConcurrentModificationException` — rerun the DML. */
   def commitRewrite(dir: String, removed: Seq[String], added: Seq[String]): Long = {
     val rm = removed.toSet
+    val st = FileStats.collect(dir, added)
     commitLoop(dir) { base =>
       val baseFiles = base.map(manifest(dir, _)).getOrElse(Seq.empty)
-      if (rm.subsetOf(baseFiles.toSet)) Some(Delta(add = added, remove = removed))
+      if (rm.subsetOf(baseFiles.toSet))
+        Some(Delta(add = added, remove = removed, stats = st))
       else None // a removed file vanished: concurrent rewrite beat us
     }
   }
@@ -512,14 +577,21 @@ object ManifestTable {
           .sortWithinPartitions(clusterBy.map(col): _*)
       }
     val compacted = writePool(rewritten, dir)
+    val compactedStats = FileStats.collect(dir, compacted)
     val snapSet = snapFiles.toSet
     commitLoop(dir) { base =>
-      val baseFiles = base.map(manifest(dir, _)).getOrElse(Seq.empty)
-      if (base.contains(snapVersion)) Some(Snapshot(compacted))
-      else if (snapSet.subsetOf(baseFiles.toSet))
-        // concurrent appends since our snapshot: carry their files over
-        Some(Snapshot(compacted ++ baseFiles.filterNot(snapSet)))
-      else None // our snapshot's files were replaced — stale rewrite
+      if (base.contains(snapVersion)) Some(Snapshot(compacted, compactedStats))
+      else {
+        val (baseFiles, baseStats) =
+          base.map(manifestEntries(dir, _)).getOrElse((Seq.empty, Map.empty[String, FileStats.Stats]))
+        if (snapSet.subsetOf(baseFiles.toSet)) {
+          // concurrent appends since our snapshot: carry their files over
+          val carried = baseFiles.filterNot(snapSet)
+          Some(Snapshot(compacted ++ carried,
+            compactedStats ++ baseStats.view.filterKeys(carried.toSet).toMap))
+        }
+        else None // our snapshot's files were replaced — stale rewrite
+      }
     }
     (snapFiles.length.toLong, compacted.length.toLong)
   }
@@ -535,8 +607,8 @@ object ManifestTable {
     require(committed.contains(toVersion),
       s"version $toVersion is not committed under $dir " +
         s"(committed: ${committed.mkString(",")})")
-    val target = manifest(dir, toVersion)
-    commitLoop(dir) { _ => Some(Snapshot(target)) }
+    val (target, targetStats) = manifestEntries(dir, toVersion)
+    commitLoop(dir) { _ => Some(Snapshot(target, targetStats)) }
   }
 
   /** Adopt pre-existing parquet files into the table WITHOUT rewriting
@@ -615,13 +687,20 @@ object ManifestTable {
     if (snapFiles.isEmpty) return (0L, 0L)
     val compacted = stagePoolBucketed(
       readSnapshot(spark, dir, snapFiles, readSchema), dir, numBuckets, keyCol)
+    val compactedStats = FileStats.collect(dir, compacted)
     val snapSet = snapFiles.toSet
     commitLoop(dir) { base =>
-      val baseFiles = base.map(manifest(dir, _)).getOrElse(Seq.empty)
-      if (base.contains(snapVersion)) Some(Snapshot(compacted))
-      else if (snapSet.subsetOf(baseFiles.toSet))
-        Some(Snapshot(compacted ++ baseFiles.filterNot(snapSet)))
-      else None
+      if (base.contains(snapVersion)) Some(Snapshot(compacted, compactedStats))
+      else {
+        val (baseFiles, baseStats) =
+          base.map(manifestEntries(dir, _)).getOrElse((Seq.empty, Map.empty[String, FileStats.Stats]))
+        if (snapSet.subsetOf(baseFiles.toSet)) {
+          val carried = baseFiles.filterNot(snapSet)
+          Some(Snapshot(compacted ++ carried,
+            compactedStats ++ baseStats.view.filterKeys(carried.toSet).toMap))
+        }
+        else None
+      }
     }
     (snapFiles.length.toLong, compacted.length.toLong)
   }
@@ -659,7 +738,8 @@ object ManifestTable {
     val kept = committed.takeRight(keep)
     val cutoff = kept.head
     // anchor the surviving log BEFORE truncating it
-    writeCheckpoint(dir, cutoff, manifest(dir, cutoff))
+    val (cutFiles, cutStats) = manifestEntries(dir, cutoff)
+    writeCheckpoint(dir, cutoff, cutFiles, cutStats)
     // pool dirs referenced by any kept / any committed manifest (first
     // path segment); committed-but-not-kept pools are dead on expiry,
     // unreferenced-by-any pools get the orphan retention window
@@ -709,8 +789,10 @@ object ManifestTable {
   // ---- commit protocol -------------------------------------------------
 
   private sealed trait Commit
-  private final case class Snapshot(files: Seq[String]) extends Commit
-  private final case class Delta(add: Seq[String], remove: Seq[String]) extends Commit
+  private final case class Snapshot(files: Seq[String],
+      stats: Map[String, FileStats.Stats]) extends Commit
+  private final case class Delta(add: Seq[String], remove: Seq[String],
+      stats: Map[String, FileStats.Stats]) extends Commit
 
   /** Optimistic commit: compute the commit action against the current
     * version and try to create marker `current + 1`; if another writer won
@@ -734,8 +816,10 @@ object ManifestTable {
         case Some(commit) =>
           if (tryCommit(fs, dir, next, commit)) {
             writeHeadPointer(dir, next) // best-effort O(1) head cache
-            if (next % CheckpointInterval == 0)
-              writeCheckpoint(dir, next, manifest(dir, next))
+            if (next % CheckpointInterval == 0) {
+              val (ckFiles, ckStats) = manifestEntries(dir, next)
+              writeCheckpoint(dir, next, ckFiles, ckStats)
+            }
             return next
           }
       }
@@ -750,15 +834,20 @@ object ManifestTable {
     * commit JSON. False if another writer owns this version number. */
   private def tryCommit(fs: org.apache.hadoop.fs.FileSystem, dir: String,
                         n: Long, commit: Commit): Boolean = {
-    import org.json4s.{JArray, JObject, JString}
+    import org.json4s.{JArray, JObject, JString, JValue}
     val p = new Path(dir, marker(n))
+    def statsObj(st: Map[String, FileStats.Stats]): List[(String, JValue)] =
+      if (st.isEmpty) Nil
+      else List("st" -> JObject(st.toList.sortBy(_._1).map { case (f, v) =>
+        f -> FileStats.toJson(v)
+      }))
     val jv = commit match {
-      case Snapshot(files) =>
-        JObject("s" -> JArray(files.map(JString(_)).toList))
-      case Delta(add, remove) =>
+      case Snapshot(files, st) =>
+        JObject(("s" -> (JArray(files.map(JString(_)).toList): JValue)) :: statsObj(st))
+      case Delta(add, remove, st) =>
         JObject(
-          "a" -> JArray(add.map(JString(_)).toList),
-          "r" -> JArray(remove.map(JString(_)).toList))
+          ("a" -> (JArray(add.map(JString(_)).toList): JValue)) ::
+          ("r" -> (JArray(remove.map(JString(_)).toList): JValue)) :: statsObj(st))
     }
     val json = org.json4s.jackson.JsonMethods.compact(
       org.json4s.jackson.JsonMethods.render(jv))

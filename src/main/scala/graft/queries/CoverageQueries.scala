@@ -425,6 +425,61 @@ object CoverageQueries extends QueryModule {
           "chars_after_adopt")
     },
 
+    // --- data skipping (core/FileStats + catalog/ManifestScanBuilder):
+    //     commit-time footer stats prune whole FILES at scan planning —
+    //     three one-file appends with disjoint o_orderdate ranges, then a
+    //     range query that must plan exactly ONE of the three files. The
+    //     planned/total counts ride the result row (the oracle replays
+    //     them as constants); the aggregate itself proves the pruned scan
+    //     still answers exactly ---
+    "qc29_data_skipping" -> { (s, d) =>
+      import s.implicits._
+      if (s.conf.getOption("spark.sql.catalog.graft_cat").isEmpty)
+        graft.catalog.GraftCatalog.register(s, "graft_cat",
+          graft.core.TempDirs.create("graft_cat_root_"))
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.db")
+      s.sql("DROP TABLE IF EXISTS graft_cat.db.skip")
+      s.sql("CREATE TABLE graft_cat.db.skip " +
+        "(o_orderkey BIGINT, o_orderdate DATE) USING manifest")
+      // the generator ships o_orderdate as a timestamp (1995..2001):
+      // normalize to DATE (midnight values — cast is exact)
+      val orders = Tables.orders(s, d).select(col("o_orderkey"),
+        col("o_orderdate").cast("date").as("o_orderdate"))
+      // one file per append ⇒ deterministic file counts for the oracle
+      orders.filter(col("o_orderdate") < lit("1997-01-01").cast("date"))
+        .coalesce(1).writeTo("graft_cat.db.skip").append()
+      orders.filter(col("o_orderdate") >= lit("1997-01-01").cast("date") &&
+          col("o_orderdate") < lit("1999-01-01").cast("date"))
+        .coalesce(1).writeTo("graft_cat.db.skip").append()
+      orders.filter(col("o_orderdate") >= lit("1999-01-01").cast("date"))
+        .coalesce(1).writeTo("graft_cat.db.skip").append()
+      def planned(df: org.apache.spark.sql.DataFrame): Long = {
+        val p0 = df.queryExecution.executedPlan
+        val p = p0 match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            a.executedPlan
+          case other => other
+        }
+        p.collect {
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan
+        }.map {
+          case ms: graft.catalog.ManifestStreamScan =>
+            ms.inner.fileIndex.inputFiles.length.toLong
+          case ps: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan =>
+            ps.fileIndex.inputFiles.length.toLong
+          case _ => 0L
+        }.sum
+      }
+      val sel = s.sql("SELECT * FROM graft_cat.db.skip WHERE o_orderdate " +
+        "BETWEEN DATE'1997-03-01' AND DATE'1997-09-30'")
+      val filesTotal = planned(s.table("graft_cat.db.skip"))
+      val filesPlanned = planned(sel)
+      val agg = sel.agg(count(lit(1)).as("n"),
+        sum("o_orderkey").cast("long").as("k")).head()
+      Seq((filesTotal, filesPlanned, agg.getLong(0), agg.getLong(1)))
+        .toDF("files_total", "files_planned", "n_orders", "sum_key")
+    },
+
     // --- metadata tables (catalog/MetadataTables): t.history / t.files
     //     — one row per committed version / per current-snapshot file,
     //     derived purely from commit markers + file status (the DESCRIBE
@@ -852,6 +907,18 @@ object CoverageQueries extends QueryModule {
            (SELECT count(*) FROM documents WHERE doc_id % 2 = 0) AS rows_v1_time_travel,
            (SELECT count(*) FROM documents) AS rows_after_adopt,
            CAST((SELECT sum(n_chars) FROM documents) AS BIGINT) AS chars_after_adopt""",
+
+    // three disjoint-date-range files; the range query's stats pruning
+    // plans exactly one — the counts are structural constants, the
+    // aggregate replays exactly
+    "qc29_data_skipping" ->
+      """SELECT CAST(3 AS BIGINT) AS files_total,
+           CAST(1 AS BIGINT) AS files_planned,
+           count(*) AS n_orders,
+           CAST(sum(o_orderkey) AS BIGINT) AS sum_key
+         FROM orders
+         WHERE CAST(o_orderdate AS DATE)
+           BETWEEN DATE '1997-03-01' AND DATE '1997-09-30'""",
 
     "qc26_incremental_read" ->
       """SELECT lang, count(*) AS n_new,

@@ -1,0 +1,287 @@
+package graft.catalog
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.{expressions => E}
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.{FileStats, ManifestTable}
+
+/** Manifest data skipping: per-file min/max/nullCount stats harvested from
+  * parquet footers at commit time, stored in the commit marker, and used
+  * at scan PLANNING time to drop files no pushed filter can match —
+  * plus the bounds evaluator's conservative edges (nulls, all-null files,
+  * string prefixes, absent stats) and stats survival through checkpoints
+  * and vacuum. */
+class StatsSkippingSpec extends AnyFunSuite {
+
+  private lazy val root =
+    "file://" + Files.createTempDirectory("graft_catalog_skip_").toString
+
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "false") // stable plan shape for probes
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      .getOrCreate()
+    GraftCatalog.register(s, "gk", root)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS gk.db")
+    s
+  }
+
+  /** The data files the physical plan will actually read. */
+  private def plannedFiles(df: DataFrame): Seq[String] =
+    df.queryExecution.executedPlan.collect { case b: BatchScanExec => b.scan }
+      .flatMap {
+        case ms: ManifestStreamScan => ms.inner.fileIndex.inputFiles.toSeq
+        case ps: ParquetScan        => ps.fileIndex.inputFiles.toSeq
+        case _                      => Seq.empty
+      }
+
+  private def dir(t: String) = s"$root/db/$t"
+
+  private def liveStats(t: String): Map[String, FileStats.Stats] = {
+    val d = dir(t)
+    ManifestTable.manifestEntries(d, ManifestTable.currentVersion(d).get)._2
+  }
+
+  test("commit harvests footer stats into the marker") {
+    spark.sql("CREATE TABLE gk.db.s1 (k BIGINT, s STRING, d DATE, x DOUBLE) USING manifest")
+    spark.sql(
+      "INSERT INTO gk.db.s1 SELECT id, concat('v', lpad(cast(id as string), 3, '0')), " +
+        "date_add(DATE'1994-01-01', cast(id as int)), cast(id as double) FROM range(100)")
+    val stats = liveStats("s1")
+    assert(stats.nonEmpty, "append must carry stats for its files")
+    val merged = stats.values.toSeq
+    assert(merged.map(_.rowCount).sum === 100L)
+    // k spans 0..99 across the files; per-file bounds must cover it
+    val kLongs = merged.flatMap(_.col("k")).flatMap(c =>
+      (c.min ++ c.max).collect { case FileStats.LongVal(v) => v })
+    assert(kLongs.min === 0L && kLongs.max === 99L)
+    assert(merged.exists(_.col("s").exists(_.min.contains(FileStats.StringVal("v000")))))
+    // DATE stats are epoch days
+    assert(merged.flatMap(_.col("d").flatMap(_.min)).nonEmpty)
+    // double columns are deliberately NOT indexed (NaN-silent parquet bounds)
+    assert(merged.forall(_.col("x").forall(c => c.min.isEmpty && c.max.isEmpty)))
+    // null counts are exact
+    assert(merged.forall(_.col("k").exists(_.nullCount.contains(0L))))
+  }
+
+  test("selective scans plan only the files whose range can match") {
+    spark.sql("CREATE TABLE gk.db.s2 (k BIGINT, s STRING) USING manifest")
+    // three appends with disjoint key ranges = three+ files with disjoint bounds
+    Seq(0, 1, 2).foreach { i =>
+      spark.sql(s"INSERT INTO gk.db.s2 SELECT id + ${i * 1000}, " +
+        s"concat('r$i-', id) FROM range(100)")
+    }
+    val all = plannedFiles(spark.table("gk.db.s2"))
+    assert(all.size >= 3, s"need one file per append, got ${all.size}")
+
+    val sel = spark.sql("SELECT * FROM gk.db.s2 WHERE k >= 1000 AND k < 1100")
+    val pf = plannedFiles(sel)
+    assert(pf.nonEmpty && pf.size < all.size,
+      s"stats must prune disjoint-range files: planned ${pf.size} of ${all.size}")
+    assert(sel.count() === 100L)
+
+    // point lookup prunes to one append's files
+    val point = spark.sql("SELECT * FROM gk.db.s2 WHERE k = 2042")
+    assert(plannedFiles(point).size < all.size)
+    assert(point.count() === 1L)
+
+    // IN-list across two ranges keeps both, drops the third
+    val in2 = spark.sql("SELECT * FROM gk.db.s2 WHERE k IN (5, 2042)")
+    assert(plannedFiles(in2).size < all.size)
+    assert(in2.count() === 2L)
+
+    // string prefix pruning
+    val pre = spark.sql("SELECT * FROM gk.db.s2 WHERE s LIKE 'r1-%'")
+    assert(plannedFiles(pre).size < all.size)
+    assert(pre.count() === 100L)
+
+    // a filter no file can satisfy plans ZERO files and still answers
+    val none = spark.sql("SELECT * FROM gk.db.s2 WHERE k > 100000")
+    assert(plannedFiles(none).isEmpty)
+    assert(none.count() === 0L)
+
+    // an unpruned query still reads everything
+    assert(spark.table("gk.db.s2").count() === 300L)
+  }
+
+  test("conservative edges: nulls, all-null files, matching ranges stay") {
+    spark.sql("CREATE TABLE gk.db.s3 (k BIGINT, s STRING) USING manifest")
+    spark.sql("INSERT INTO gk.db.s3 SELECT id, cast(null as string) FROM range(10)")
+    spark.sql("INSERT INTO gk.db.s3 SELECT id + 100, concat('x', id) FROM range(10)")
+    val all = plannedFiles(spark.table("gk.db.s3"))
+
+    // IS NULL keeps the all-null file, drops the no-null one
+    val isNull = spark.sql("SELECT * FROM gk.db.s3 WHERE s IS NULL")
+    assert(plannedFiles(isNull).size < all.size)
+    assert(isNull.count() === 10L)
+
+    // IS NOT NULL drops the all-null file
+    val notNull = spark.sql("SELECT * FROM gk.db.s3 WHERE s IS NOT NULL")
+    assert(plannedFiles(notNull).size < all.size)
+    assert(notNull.count() === 10L)
+
+    // a comparison can never be TRUE on an all-null column: file pruned
+    val cmpNull = spark.sql("SELECT * FROM gk.db.s3 WHERE s < 'a'")
+    assert(plannedFiles(cmpNull).size < all.size)
+    assert(cmpNull.count() === 0L)
+
+    // OR across both ranges keeps both files
+    val or = spark.sql("SELECT * FROM gk.db.s3 WHERE k = 5 OR k = 105")
+    assert(or.count() === 2L)
+  }
+
+  test("files without stats are never pruned") {
+    val d = dir("s4")
+    spark.sql("CREATE TABLE gk.db.s4 (k BIGINT, s STRING) USING manifest")
+    spark.sql("INSERT INTO gk.db.s4 SELECT id, concat('a', id) FROM range(10)")
+    // adopt a file through a raw LEGACY commit (no stats harvested —
+    // simulate by committing a marker with the stats stripped)
+    spark.sql("INSERT INTO gk.db.s4 SELECT id + 1000, concat('b', id) FROM range(10)")
+    val v = ManifestTable.currentVersion(d).get
+    val fs = graft.core.LakeStorage.openFor(d)
+    val markerPath = new org.apache.hadoop.fs.Path(d, f"_commit_$v%020d")
+    val text = {
+      val in = fs.open(markerPath)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    }
+    import org.json4s.jackson.JsonMethods
+    val stripped = JsonMethods.parse(text) match {
+      case o: org.json4s.JObject =>
+        JsonMethods.compact(JsonMethods.render(
+          org.json4s.JObject(o.obj.filterNot(_._1 == "st"))))
+      case other => fail(s"unexpected marker $other")
+    }
+    fs.delete(markerPath, false)
+    val out = fs.create(markerPath, true)
+    try out.write(stripped.getBytes("UTF-8")) finally out.close()
+
+    // the stats-less file survives a filter that excludes its true range
+    val sel = spark.sql("SELECT * FROM gk.db.s4 WHERE k < 5")
+    val planned = plannedFiles(sel)
+    assert(ManifestTable.manifestEntries(d, v)._2.keySet.forall(f =>
+      !f.contains("1000")), "stripped marker must carry no stats")
+    assert(planned.size >= 2, "a file without stats must always be scanned")
+    assert(sel.count() === 5L)
+  }
+
+  test("stats survive checkpoints and vacuum") {
+    val d = dir("s5")
+    spark.sql("CREATE TABLE gk.db.s5 (k BIGINT) USING manifest")
+    // cross the checkpoint interval (10) so resolution anchors at a checkpoint
+    (0 until 12).foreach { i =>
+      spark.sql(s"INSERT INTO gk.db.s5 SELECT id + ${i * 100} FROM range(10)")
+    }
+    ManifestTable.vacuum(d, keep = 2)
+    val stats = liveStats("s5")
+    assert(stats.nonEmpty, "checkpoint-anchored resolution must keep stats")
+    val all = plannedFiles(spark.table("gk.db.s5"))
+    val sel = spark.sql("SELECT * FROM gk.db.s5 WHERE k BETWEEN 500 AND 509")
+    assert(plannedFiles(sel).size < all.size)
+    assert(sel.count() === 10L)
+  }
+
+  test("DML interplay: rewritten files carry fresh stats; discovery skips") {
+    val d = dir("s6")
+    spark.sql("CREATE TABLE gk.db.s6 (k BIGINT, s STRING) USING manifest")
+    spark.sql("INSERT INTO gk.db.s6 SELECT id, concat('a', id) FROM range(100)")
+    spark.sql("INSERT INTO gk.db.s6 SELECT id + 1000, concat('b', id) FROM range(100)")
+    val before = ManifestTable.currentVersion(d).get
+    // fast-path DELETE whose condition is outside every file's range:
+    // stats prove no file is affected — no rewrite, no new version
+    spark.sql("DELETE FROM gk.db.s6 WHERE k > 50000")
+    assert(ManifestTable.currentVersion(d).get === before,
+      "a provably-no-op DELETE must not commit")
+    // a real DELETE rewrites only the matching file; its rewrite gets stats
+    spark.sql("DELETE FROM gk.db.s6 WHERE k BETWEEN 1000 AND 1049")
+    assert(spark.table("gk.db.s6").count() === 150L)
+    val stats = liveStats("s6")
+    assert(stats.nonEmpty)
+    // skipping still effective after the rewrite
+    val all = plannedFiles(spark.table("gk.db.s6"))
+    val sel = spark.sql("SELECT * FROM gk.db.s6 WHERE k < 100")
+    assert(plannedFiles(sel).size < all.size)
+    assert(sel.count() === 100L)
+  }
+
+  test("time travel and incremental reads skip on the same stats") {
+    val d = dir("s7")
+    spark.sql("CREATE TABLE gk.db.s7 (k BIGINT) USING manifest")
+    spark.sql("INSERT INTO gk.db.s7 SELECT id FROM range(100)")
+    val v1 = ManifestTable.currentVersion(d).get
+    spark.sql("INSERT INTO gk.db.s7 SELECT id + 1000 FROM range(100)")
+    spark.sql("INSERT INTO gk.db.s7 SELECT id + 2000 FROM range(100)")
+    // VERSION AS OF still prunes within the old snapshot
+    val tt = spark.sql(s"SELECT * FROM gk.db.s7 VERSION AS OF $v1 WHERE k < 10")
+    assert(tt.count() === 10L)
+    // incremental read over (v1, head] with a filter excluding one window file
+    val inc = spark.read.option("start_version", v1).table("gk.db.s7")
+      .where("k >= 2000")
+    val plannedInc = plannedFiles(inc)
+    val plannedAll = plannedFiles(
+      spark.read.option("start_version", v1).table("gk.db.s7"))
+    assert(plannedInc.size < plannedAll.size,
+      "CDC window scans must skip by stats too")
+    assert(inc.count() === 100L)
+  }
+
+  test("t.files surfaces log row counts; scans report exact numRows") {
+    spark.sql("CREATE TABLE gk.db.s8 (k BIGINT) USING manifest")
+    spark.sql("INSERT INTO gk.db.s8 SELECT id FROM range(100)")
+    spark.sql("INSERT INTO gk.db.s8 SELECT id + 1000 FROM range(50)")
+    val rows = spark.sql("SELECT row_count FROM gk.db.s8.files").collect()
+    assert(rows.forall(!_.isNullAt(0)), "every committed file must carry stats")
+    assert(rows.map(_.getLong(0)).sum === 150L)
+    // the scan's v2 statistics carry the exact cardinality from the log
+    val scans = spark.table("gk.db.s8").queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b.scan
+    }
+    val numRows = scans.collectFirst {
+      case ms: ManifestStreamScan => ms.estimateStatistics().numRows()
+    }
+    assert(numRows.exists(n => n.isPresent && n.getAsLong === 150L),
+      s"scan must report exact stats-derived numRows, got $numRows")
+    // a pruned scan reports the planned subset's cardinality
+    val pruned = spark.sql("SELECT * FROM gk.db.s8 WHERE k >= 1000")
+      .queryExecution.executedPlan.collect { case b: BatchScanExec => b.scan }
+      .collectFirst { case ms: ManifestStreamScan => ms.estimateStatistics().numRows() }
+    assert(pruned.exists(n => n.isPresent && n.getAsLong === 50L))
+  }
+
+  test("bounds evaluator: conservative by construction") {
+    import FileStats._
+    val s = Stats(10, Map(
+      "k" -> ColStats(Some(LongVal(10)), Some(LongVal(20)), Some(0L)),
+      "s" -> ColStats(Some(StringVal("mm")), None, Some(2L)), // unknown upper bound
+      "n" -> ColStats(None, None, Some(10L)))) // all-null
+
+    def attr(n: String, dt: DataType) = E.AttributeReference(n, dt)()
+    def lit(v: Any, dt: DataType) = E.Literal.create(v, dt)
+
+    assert(!mayMatch(E.EqualTo(attr("k", LongType), lit(9L, LongType)), s))
+    assert(mayMatch(E.EqualTo(attr("k", LongType), lit(10L, LongType)), s))
+    assert(!mayMatch(E.GreaterThan(attr("k", LongType), lit(20L, LongType)), s))
+    assert(mayMatch(E.GreaterThanOrEqual(attr("k", LongType), lit(20L, LongType)), s))
+    assert(!mayMatch(E.LessThan(attr("k", LongType), lit(10L, LongType)), s))
+    // unknown upper bound: only lower-bound prunes apply
+    assert(!mayMatch(E.LessThan(attr("s", StringType), lit("m", StringType)), s))
+    assert(mayMatch(E.GreaterThan(attr("s", StringType), lit("zzz", StringType)), s))
+    // all-null column: no comparison can be TRUE, IS NULL can
+    assert(!mayMatch(E.EqualTo(attr("n", LongType), lit(1L, LongType)), s))
+    assert(mayMatch(E.IsNull(attr("n", LongType)), s))
+    assert(!mayMatch(E.IsNotNull(attr("n", LongType)), s))
+    // unknown columns never prune
+    assert(mayMatch(E.EqualTo(attr("zz", LongType), lit(1L, LongType)), s))
+    // JSON round trip preserves everything
+    assert(parse(render(s)).contains(s))
+  }
+}

@@ -39,25 +39,29 @@ class CommitRaceSpec extends AnyFunSuite {
   }
 
   /** Start barrier: the child signals readiness (JVM up, Hadoop FS warm)
-    * and blocks on the go-file; the parent releases it and sleeps briefly
-    * so the child's commits are IN FLIGHT when the parent's loop starts —
-    * guaranteeing the two loops genuinely interleave instead of running
-    * back-to-back around JVM startup. */
-  private def releaseChildThenStart(dir: String): Unit = {
+    * and blocks on the go-file; the parent releases it and then WAITS
+    * until the child's first commit is visible — so the child's loop is
+    * provably in flight when the parent's starts, and the two loops
+    * genuinely interleave instead of running back-to-back around JVM
+    * startup (a fixed sleep here flaked under full-suite box load). */
+  private def releaseChildThenStart(dir: String)(childCommitted: => Boolean): Unit = {
     val local = CommitRaceChild.localPath(dir)
-    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
     while (!Files.exists(local.resolve("_race_ready"))) {
       assert(System.nanoTime() < deadline, "child never became ready")
       Thread.sleep(10)
     }
     Files.write(local.resolve("_race_go"), Array.emptyByteArray)
-    Thread.sleep(200) // let the child's commit loop get ahead
+    while (!childCommitted) {
+      assert(System.nanoTime() < deadline, "child never committed")
+      Thread.sleep(5)
+    }
   }
 
   test("manifest: two JVMs appending concurrently lose nothing, duplicate nothing") {
     val dir = "file://" + Files.createTempDirectory("graft_race_manifest_").toString
     val child = spawnChild("manifest", dir)
-    releaseChildThenStart(dir)
+    releaseChildThenStart(dir)(ManifestTable.currentVersion(dir).exists(_ >= 1L))
     val parentVersions = (1 to PerWriter).map { i =>
       ManifestTable.commitStagedAppend(dir, Seq(s"d-parent/f$i.parquet"))
     }
@@ -83,7 +87,8 @@ class CommitRaceSpec extends AnyFunSuite {
     val conf = new org.apache.spark.util.SerializableConfiguration(
       new org.apache.hadoop.conf.Configuration())
     val child = spawnChild("keyedlog", dir)
-    releaseChildThenStart(dir)
+    releaseChildThenStart(dir)(
+      graft.sources.KeyedLogVersionLog.versions(dir, conf).nonEmpty)
     val parentVersions = (1 to PerWriter).map { i =>
       graft.sources.KeyedLogVersionLog.commit(dir, conf, Seq(f"parent-$i%03d.log"))
     }
