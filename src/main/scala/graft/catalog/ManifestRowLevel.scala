@@ -289,7 +289,7 @@ class ManifestScanBuilder(tbl: ParquetTable,
         case Some((dir, declared)) if !aggPushed =>
           ManifestStreamScan(parquet, dir, declared,
             Option(options.get("start_version")).map(_.toLong).getOrElse(0L),
-            exactRows)
+            exactRows, savedFilters)
         case _ => parquet
       }
     }

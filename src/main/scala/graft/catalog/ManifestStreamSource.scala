@@ -32,7 +32,8 @@ import graft.core.ManifestTable
 case class ManifestStreamScan(inner: ParquetScan, dir: String,
                               declared: StructType,
                               startVersion: Long = 0L,
-                              exactRowCount: Option[Long] = None)
+                              exactRowCount: Option[Long] = None,
+                              pushedCatalyst: Seq[org.apache.spark.sql.catalyst.expressions.Expression] = Seq.empty)
     extends Scan with SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
     with org.apache.spark.sql.internal.connector.SupportsMetadata {
@@ -81,7 +82,8 @@ case class ManifestStreamScan(inner: ParquetScan, dir: String,
   }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new ManifestMicroBatchStream(dir, declared, inner.readDataSchema, startVersion)
+    new ManifestMicroBatchStream(dir, declared, inner.readDataSchema, startVersion,
+      pushedCatalyst)
 }
 
 /** Offset = committed manifest version (0 = before the first commit). */
@@ -91,7 +93,9 @@ case class ManifestVersionOffset(v: Long) extends Offset {
 
 class ManifestMicroBatchStream(dir: String, declared: StructType,
                                prunedSchema: StructType,
-                               startVersion: Long = 0L) extends MicroBatchStream
+                               startVersion: Long = 0L,
+                               pushedCatalyst: Seq[org.apache.spark.sql.catalyst.expressions.Expression] = Seq.empty)
+    extends MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
   /** A fresh stream begins after `start_version` (default 0 = the whole
@@ -124,9 +128,10 @@ class ManifestMicroBatchStream(dir: String, declared: StructType,
       s"stream offset $v is not committed under $dir — vacuumed past the checkpoint?")
 
   /** A per-batch parquet scan over exactly the files the version window
-    * added, pruned to the streaming query's required columns. Filters are
-    * not re-pushed per batch (Spark re-applies every predicate above the
-    * scan, so this costs I/O on filtered streams, never correctness). */
+    * added, pruned to the streaming query's required columns, with the
+    * stream's pushed predicates RE-PUSHED so each batch gets parquet
+    * row-group skipping too (Spark re-applies every predicate above the
+    * scan, so over-pushing is always safe). */
   private def batchScan(paths: Seq[String]): ParquetScan = {
     val spark = SparkSession.active
     val builder = ParquetTable(s"manifest_stream($dir)", spark,
@@ -134,6 +139,7 @@ class ManifestMicroBatchStream(dir: String, declared: StructType,
         userSpecifiedSchema = Some(declared),
         fallbackFileFormat = classOf[ParquetFileFormat])
       .newScanBuilder(CaseInsensitiveStringMap.empty())
+    if (pushedCatalyst.nonEmpty) builder.pushFilters(pushedCatalyst)
     builder.pruneColumns(prunedSchema)
     builder.build().asInstanceOf[ParquetScan]
   }
@@ -145,11 +151,23 @@ class ManifestMicroBatchStream(dir: String, declared: StructType,
     requireCommitted(from); requireCommitted(to)
     // O(batch delta) marker replay — a long-lived stream's per-batch
     // planning cost tracks the batch, not the table size
-    val added =
+    val addedRel =
       (if (from <= 0L) ManifestTable.manifest(dir, to)
-       else ManifestTable.diff(dir, from, to)._1).sorted.map(f => s"$dir/$f")
-    if (added.isEmpty) return Array.empty
-    batchScan(added).toBatch.planInputPartitions()
+       else ManifestTable.diff(dir, from, to)._1).sorted
+    // data skipping per batch: a filtered stream over a high-volume table
+    // never plans (or reads) files the log's stats prove irrelevant
+    val deterministic = pushedCatalyst.filter(_.deterministic)
+    val kept =
+      if (deterministic.isEmpty || addedRel.isEmpty) addedRel
+      else {
+        val stats = ManifestTable.manifestEntries(dir, to)._2
+        addedRel.filter { f =>
+          stats.get(f).forall(st =>
+            deterministic.forall(e => graft.core.FileStats.mayMatch(e, st)))
+        }
+      }
+    if (kept.isEmpty) return Array.empty
+    batchScan(kept.map(f => s"$dir/$f")).toBatch.planInputPartitions()
   }
 
   /** One factory for the stream: parquet's reader factory is

@@ -234,6 +234,33 @@ class StatsSkippingSpec extends AnyFunSuite {
     assert(inc.count() === 100L)
   }
 
+  test("clusterBy compaction turns an unprunable layout into a prunable one") {
+    val d = dir("s9")
+    spark.sql("CREATE TABLE gk.db.s9 (k BIGINT, pad STRING) USING manifest")
+    // three interleaved single-file inserts (k ≡ r mod 3): every file
+    // spans the whole key range, so no filter can prune anything
+    Seq(0, 1, 2).foreach { r =>
+      spark.range(3000)
+        .selectExpr(s"id * 3 + $r AS k", "repeat(uuid(), 4) AS pad")
+        .coalesce(1).writeTo("gk.db.s9").append()
+    }
+    val all = plannedFiles(spark.table("gk.db.s9"))
+    val q = "SELECT * FROM gk.db.s9 WHERE k BETWEEN 4000 AND 4300"
+    assert(plannedFiles(spark.sql(q)).size === all.size,
+      "interleaved layout: stats cannot prune")
+    val expected = spark.sql(q).count()
+    // OPTIMIZE ... ZORDER analogue: range-cluster the rewrite on k (small
+    // target size forces several files, each covering a narrow k range)
+    ManifestTable.compact(spark, d, targetFileBytes = 64 * 1024,
+      clusterBy = Seq("k"))
+    val allAfter = plannedFiles(spark.table("gk.db.s9"))
+    assert(allAfter.size >= 3, s"compaction must emit several files, got ${allAfter.size}")
+    val planned = plannedFiles(spark.sql(q))
+    assert(planned.nonEmpty && planned.size < allAfter.size,
+      s"clustered layout must prune: ${planned.size} of ${allAfter.size}")
+    assert(spark.sql(q).count() === expected)
+  }
+
   test("t.files surfaces log row counts; scans report exact numRows") {
     spark.sql("CREATE TABLE gk.db.s8 (k BIGINT) USING manifest")
     spark.sql("INSERT INTO gk.db.s8 SELECT id FROM range(100)")
@@ -255,6 +282,36 @@ class StatsSkippingSpec extends AnyFunSuite {
       .queryExecution.executedPlan.collect { case b: BatchScanExec => b.scan }
       .collectFirst { case ms: ManifestStreamScan => ms.estimateStatistics().numRows() }
     assert(pruned.exists(n => n.isPresent && n.getAsLong === 50L))
+  }
+
+  test("streaming micro-batches skip files by stats and still answer exactly") {
+    val d = dir("s10")
+    spark.sql("CREATE TABLE gk.db.s10 (k BIGINT) USING manifest")
+    spark.range(100).selectExpr("id AS k")
+      .coalesce(1).writeTo("gk.db.s10").append()                       // v1
+    spark.range(100).selectExpr("id + 1000 AS k")
+      .coalesce(1).writeTo("gk.db.s10").append()                       // v2
+    val declared = StructType(Seq(StructField("k", LongType)))
+    val filt = E.GreaterThanOrEqual(
+      E.AttributeReference("k", LongType)(), E.Literal(1000L))
+    def parts(filters: Seq[E.Expression]): Int =
+      new ManifestMicroBatchStream(d, declared, declared, 0L, filters)
+        .planInputPartitions(ManifestVersionOffset(0L), ManifestVersionOffset(2L))
+        .length
+    assert(parts(Seq(filt)) < parts(Nil),
+      "a filtered stream must plan fewer files than an unfiltered one")
+
+    // end-to-end: the filtered stream drains to exactly the matching rows
+    val out = java.nio.file.Files.createTempDirectory("graft_skip_stream_").toString
+    val q = spark.readStream.table("gk.db.s10").where("k >= 1000")
+      .writeStream.format("parquet")
+      .option("path", s"$out/data").option("checkpointLocation", s"$out/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val got = spark.read.parquet(s"$out/data")
+    assert(got.count() === 100L)
+    assert(got.agg(org.apache.spark.sql.functions.min("k")).head().getLong(0) === 1000L)
   }
 
   test("bounds evaluator: conservative by construction") {
