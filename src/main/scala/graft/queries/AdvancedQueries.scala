@@ -397,6 +397,34 @@ object AdvancedQueries extends QueryModule {
         .orderBy("change_type", "key")
     },
 
+    // --- planning-time key pruning (sources/KeyedLogSource): on a
+    //     key-clustered dir every file name carries its key, so a pushed
+    //     `key = v` plans ONE file group — the point lookup on a 100 TB
+    //     clustered log opens one file, not the directory. The planned
+    //     partition count rides the result (clusterByKey's declared
+    //     distribution writes exactly one file per key, so 1 is
+    //     structural); the aggregate proves the pruned scan answers
+    //     exactly ---
+    "qk06_key_pruned_lookup" -> { (s, d) =>
+      import s.implicits._
+      val dir = graft.core.TempDirs.create("graft_klookup_")
+      Tables.documents(s, d)
+        .select(col("lang").as("key"), col("doc_id").as("seq"),
+          col("n_chars").as("metric"))
+        .write.format("graft.sources.KeyedLogSource")
+        .option("clusterByKey", "true").mode("append").save(dir)
+      val lookup = s.read.format("graft.sources.KeyedLogSource").load(dir)
+        .filter(col("key") === "en")
+      val planned = lookup.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.inputRDD.getNumPartitions
+      }.sum
+      val agg = lookup.agg(count(lit(1)).as("n"),
+        sum("metric").cast("long").as("c")).head()
+      Seq((planned.toLong, agg.getLong(0), agg.getLong(1)))
+        .toDF("files_planned", "n_docs", "total_chars")
+    },
+
     // --- mergeable HLL sketches (Apache DataSketches via Spark 4 built-ins):
     //     build per-(flag, shipdate) PARTIAL sketches, then union-merge to
     //     per-flag distinct estimates — the pre-aggregated sketch-table
@@ -823,6 +851,14 @@ object AdvancedQueries extends QueryModule {
              FROM documents WHERE doc_id % 3 = 0 GROUP BY 1)
          SELECT f.key AS key, f.total_chars, f.n_docs, smp.sample_chars
          FROM f JOIN smp ON f.key = smp.key ORDER BY key""",
+
+    // one file per key (clusterByKey distribution) ⇒ the en-lookup plans
+    // exactly one partition, a structural constant the oracle replays
+    "qk06_key_pruned_lookup" ->
+      """SELECT CAST(1 AS BIGINT) AS files_planned,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+         FROM documents WHERE lang = 'en'""",
 
     "q45_range_join_rule" ->
       """WITH e AS (SELECT user_id,

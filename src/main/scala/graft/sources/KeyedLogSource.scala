@@ -772,14 +772,48 @@ case class KeyedLogScan(path: String, required: StructType,
       }.sorted.toArray
   }
 
+  // ---- planning-time FILE pruning from the pushed key predicates: on a
+  // clustered dir every data file's name carries its key, so `key = v` /
+  // `key IN (...)` plans only the named keys' file groups — the
+  // point-lookup on a clustered 100 TB log opens one file group, not the
+  // directory. Reader-level pushdown still applies inside surviving
+  // files; untagged (plain) files are never pruned; runtime (join-time)
+  // key filters stay reader-level only (re-pruning files after
+  // outputPartitioning was reported would desync the two). ----
+
+  /** Keys the pushed key predicates allow; None = unconstrained. */
+  @transient private lazy val allowedKeys: Option[Set[String]] = {
+    val sets = pushed.toSeq.collect {
+      case EqualTo("key", v: String) => Set(v)
+      case In("key", vs)             => vs.iterator.collect { case v: String => v }.toSet
+    }
+    sets.reduceOption(_ intersect _)
+  }
+
+  /** A key comparison is never TRUE on NULL keys, so any equality/IN (or
+    * an explicit IS NOT NULL) drops the null-key file group. */
+  @transient private lazy val dropNullKeyGroup: Boolean =
+    allowedKeys.isDefined ||
+      pushed.exists { case IsNotNull("key") => true; case _ => false }
+
+  /** May this file hold rows matching the pushed key filters? */
+  private def fileMayMatch(f: String): Boolean =
+    KeyedLogSource.keyOfFile(new Path(f).getName) match {
+      case None          => true                    // untagged: never prune
+      case Some(None)    => !dropNullKeyGroup       // null-key group
+      case Some(Some(k)) => allowedKeys.forall(_.contains(k))
+    }
+
   /** Per-key file groups of a FULLY CLUSTERED dir (every data file named
-    * by the clustered writer), sorted null-key-first — None when any
-    * plain file is present or storage-partitioned reads are disabled
-    * (`spark.sql.sources.v2.bucketing.enabled`, Spark's gate for
+    * by the clustered writer), key-filter-pruned, sorted null-key-first —
+    * None when any plain file is present, storage-partitioned reads are
+    * disabled (`spark.sql.sources.v2.bucketing.enabled`, Spark's gate for
     * key-grouped scans; grouping shrinks parallelism to the key count, so
     * it must only happen when the planner can pay it back by dropping
-    * shuffles). The "key" column must survive pruning — a scan whose
-    * output lacks the key has nothing to report a partitioning over. */
+    * shuffles), or pruning leaves no group (an empty KeyGroupedPartitioning
+    * helps no one — the plain branch plans the empty scan). The "key"
+    * column must survive pruning — a scan whose output lacks the key has
+    * nothing to report a partitioning over. */
   @transient private lazy val keyGroups: Option[Seq[(String, Seq[String])]] = {
     // SQLConf.get is bound to the session PLANNING this scan (active's conf
     // would be wrong for a newSession() that was never made active)
@@ -793,8 +827,12 @@ case class KeyedLogScan(path: String, required: StructType,
       else Some(parsed
         .groupBy(_._2.get.orNull)
         .map { case (k, fs) => (k, fs.map(_._1).sorted) }
+        .filter { case (k, _) =>
+          if (k == null) !dropNullKeyGroup else allowedKeys.forall(_.contains(k))
+        }
         .toSeq
         .sortWith((a, b) => a._1 == null || (b._1 != null && a._1 < b._1)))
+        .filter(_.nonEmpty)
     }
   }
 
@@ -842,7 +880,10 @@ case class KeyedLogScan(path: String, required: StructType,
   override def estimateStatistics(): Statistics = new Statistics {
     private val bytes: Long = {
       val fs = new Path(path).getFileSystem(conf.value)
-      allFiles.map(f => fs.getFileStatus(new Path(f)).getLen).sum
+      // key-pruned: a point lookup on a clustered dir sizes as one file
+      // group, so the planner can happily broadcast it
+      allFiles.filter(fileMayMatch)
+        .map(f => fs.getFileStatus(new Path(f)).getLen).sum
     }
     override def sizeInBytes(): java.util.OptionalLong =
       java.util.OptionalLong.of(bytes)
@@ -882,7 +923,8 @@ case class KeyedLogScan(path: String, required: StructType,
       case (None, Some(groups)) => groups.map { case (k, fs) =>
         KeyedLogKeyedPartition(fs, k): InputPartition
       }.toArray
-      case _ => allFiles.map(f => KeyedLogPartition(Seq(f)): InputPartition)
+      case _ => allFiles.filter(fileMayMatch)
+        .map(f => KeyedLogPartition(Seq(f)): InputPartition)
     }
   override def createReaderFactory(): PartitionReaderFactory =
     KeyedLogReaderFactory(required, pushed ++ runtimeFilters, conf, agg)

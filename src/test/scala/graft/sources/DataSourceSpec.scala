@@ -627,6 +627,42 @@ class DataSourceSpec extends AnyFunSuite {
       Map("a" -> 4L, "b" -> 2L))
   }
 
+  test("pushed key filters prune whole file groups at planning time") {
+    val s = spjSession()
+    val dir = writeClustered(s,
+      (1 to 100).map(i => (s"k${i % 5}", i.toLong, i.toLong)) ++
+        Seq((null.asInstanceOf[String], 999L, 7L)))
+    def partitions(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.inputRDD.getNumPartitions
+      }.sum
+    def load() = s.read.format("graft.sources.KeyedLogSource").load(dir)
+    val all = partitions(load())
+    assert(all >= 6, s"expected one partition per key group, got $all")
+    // point lookup plans exactly one key's file group
+    val one = load().filter(col("key") === "k3")
+    assert(partitions(one) === 1, "key = v must plan one file group")
+    assert(one.agg(sum("metric")).head().getLong(0) ===
+      (1 to 100).filter(_ % 5 == 3).sum.toLong)
+    // IN-list plans its keys' groups
+    val two = load().filter(col("key").isin("k1", "k4"))
+    assert(partitions(two) === 2, "key IN must plan the listed groups")
+    assert(two.count() === 40L)
+    // IS NOT NULL drops only the null-key group
+    val nn = load().filter(col("key").isNotNull)
+    assert(partitions(nn) === all - 1)
+    assert(nn.count() === 100L)
+    // the same pruning applies without storage-partitioned grouping
+    val plain = read(dir).filter(col("key") === "k3")
+    assert(partitions(plain) === 1, "plain scans prune tagged files too")
+    assert(plain.count() === 20L)
+    // a key no file holds plans nothing and answers zero
+    val none = load().filter(col("key") === "zzz")
+    assert(partitions(none) === 0)
+    assert(none.count() === 0L)
+  }
+
   test("clustered file names round-trip awkward keys (encoding)") {
     val s = spjSession()
     val dir = writeClustered(s, Seq(
