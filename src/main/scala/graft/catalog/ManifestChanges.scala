@@ -85,12 +85,19 @@ case class ManifestChangesScan(dir: String, declared: StructType,
     ManifestTable.diff(dir, startVersion, end)
   }
 
+  // added files are live at the window end, so its manifest carries
+  // their lengths; removed files fall back to individual stats inside
+  // the index construction (cost ∝ the delete-side, not the table)
+  private lazy val endStats: Map[String, graft.core.FileStats.Stats] = {
+    val committed = ManifestTable.allVersions(dir)
+    if (committed.isEmpty) Map.empty
+    else ManifestTable.manifestEntries(dir,
+      endVersion.getOrElse(committed.max))._2
+  }
+
   private def parquetScan(paths: Seq[String]): Scan =
-    ParquetTable(s"changes($dir)", SparkSession.active,
-      CaseInsensitiveStringMap.empty(), paths.map(f => s"$dir/$f"),
-      userSpecifiedSchema = Some(declared),
-      fallbackFileFormat = classOf[ParquetFileFormat])
-      .newScanBuilder(CaseInsensitiveStringMap.empty()).build()
+    ManifestFileIndex.scanBuilder(SparkSession.active, declared, dir, paths,
+      endStats, CaseInsensitiveStringMap.empty()).build()
 
   override def planInputPartitions(): Array[InputPartition] = {
     val (added, removed) = diff

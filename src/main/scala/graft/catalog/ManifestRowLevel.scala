@@ -61,9 +61,11 @@ class ManifestRowLevelOperation(dir: String, declared: StructType,
 
   /** Snapshot pinned when the DML statement starts analysis — scan and
     * commit agree on this base even if the table moves underneath. */
-  private[catalog] val snapshot: Seq[String] =
+  private[catalog] val (snapshot: Seq[String],
+      snapshotStats: Map[String, graft.core.FileStats.Stats]) =
     ManifestTable.currentVersion(dir)
-      .map(ManifestTable.manifest(dir, _)).getOrElse(Seq.empty)
+      .map(ManifestTable.manifestEntries(dir, _))
+      .getOrElse((Seq.empty, Map.empty[String, graft.core.FileStats.Stats]))
 
   /** What the commit replaces: narrowed by the scan's runtime group
     * filter, defaulting to the full snapshot (driver-side only). */
@@ -157,11 +159,8 @@ class ManifestRowLevelScan(op: ManifestRowLevelOperation, dir: String,
     }
 
   private def innerScan(files: Seq[String]): Scan =
-    ParquetTable(s"rowlevel($dir)", SparkSession.active,
-      CaseInsensitiveStringMap.empty(), files.map(f => s"$dir/$f"),
-      userSpecifiedSchema = Some(declared),
-      fallbackFileFormat = classOf[ParquetFileFormat])
-      .newScanBuilder(CaseInsensitiveStringMap.empty()).build()
+    ManifestFileIndex.scanBuilder(SparkSession.active, declared, dir, files,
+      op.snapshotStats, CaseInsensitiveStringMap.empty()).build()
 
   override def planInputPartitions(): Array[InputPartition] = {
     if (currentFiles.isEmpty) return Array.empty
@@ -183,13 +182,12 @@ class ManifestRowLevelScan(op: ManifestRowLevelOperation, dir: String,
   * wrapped with per-file split planning and a reader that appends the
   * file tag; when no one asks, the builder is byte-for-byte the built-in
   * parquet scan. */
-class ManifestScanBuilder(tbl: ParquetTable,
+class ManifestScanBuilder(mkBuilder: Seq[String] => org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder,
                           options: CaseInsensitiveStringMap,
                           bucketing: Option[GraftCatalog.Bucketing] = None,
                           streamSource: Option[(String, StructType)] = None,
                           allPaths: Seq[String] = Seq.empty,
-                          pathStats: Map[String, graft.core.FileStats.Stats] = Map.empty,
-                          rebuild: Seq[String] => ParquetTable = null)
+                          pathStats: Map[String, graft.core.FileStats.Stats] = Map.empty)
     extends ScanBuilder
     with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
     with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
@@ -197,9 +195,7 @@ class ManifestScanBuilder(tbl: ParquetTable,
 
   import ManifestRowLevelOperation.FileCol
 
-  private val inner =
-    new org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder(
-      tbl.sparkSession, tbl.fileIndex, tbl.schema, tbl.dataSchema, options)
+  private val inner = mkBuilder(allPaths)
   private var needFile = false
   private var aggPushed = false
   private var savedSchema: Option[StructType] = None
@@ -237,7 +233,7 @@ class ManifestScanBuilder(tbl: ParquetTable,
     * correctness dependency). */
   private def statsPrunedBuilder(): Option[
       (org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder, Seq[String])] = {
-    if (rebuild == null || pathStats.isEmpty || savedFilters.isEmpty) return None
+    if (pathStats.isEmpty || savedFilters.isEmpty) return None
     val deterministic = savedFilters.filter(_.deterministic)
     if (deterministic.isEmpty) return None
     val survivors = allPaths.filter { p =>
@@ -247,9 +243,7 @@ class ManifestScanBuilder(tbl: ParquetTable,
       }
     }
     if (survivors.length == allPaths.length) return None
-    val t = rebuild(survivors)
-    val b = new org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder(
-      t.sparkSession, t.fileIndex, t.schema, t.dataSchema, options)
+    val b = mkBuilder(survivors)
     b.pushFilters(savedFilters)
     savedAgg.foreach { agg =>
       if (!b.pushAggregation(agg)) return None // replay surprise: fall back

@@ -128,17 +128,22 @@ class ManifestSparkTable(dir: String, declared: StructType,
           Option(options.get("end_version")).map(_.toLong))
       case None => snapshotEntries
     }
-    def mkTable(ps: Seq[String]): ParquetTable =
-      ParquetTable(name(), SparkSession.active, options, ps,
-        userSpecifiedSchema = Some(declared),
-        fallbackFileFormat = classOf[ParquetFileFormat])
+    // the scan's file index is served FROM THE LOG (names + lengths in
+    // the markers) — planning never lists the filesystem, the property
+    // that keeps a selective query's plan time proportional to its
+    // matched files, not the table's live-file count
+    val spark = SparkSession.active
+    val relStats = ManifestSparkTable.relKeyed(dir, stats)
+    def mkBuilder(absSubset: Seq[String]) =
+      ManifestFileIndex.scanBuilder(spark, declared, dir,
+        absSubset.map(ManifestSparkTable.relOf(dir, _)), relStats, options)
     new ManifestScanBuilder(
-      mkTable(paths),
+      mkBuilder,
       options, bucketing.filter(_ => ManifestSparkTable.fullyBucketed(paths, bucketing)),
       // the plain scan doubles as a micro-batch streaming source (offset =
       // manifest version); a time-travel view is a frozen snapshot, not a log
       streamSource = if (asOf.isEmpty) Some((dir, declared)) else None,
-      allPaths = paths, pathStats = stats, rebuild = mkTable)
+      allPaths = paths, pathStats = stats)
   }
 
   // ---- row-level DML ----
@@ -242,6 +247,13 @@ class ManifestSparkTable(dir: String, declared: StructType,
 }
 
 object ManifestSparkTable {
+
+  private[catalog] def relOf(dir: String, abs: String): String =
+    abs.stripPrefix(s"$dir/")
+
+  private[catalog] def relKeyed(dir: String,
+      stats: Map[String, graft.core.FileStats.Stats]): Map[String, graft.core.FileStats.Stats] =
+    stats.map { case (p, st) => relOf(dir, p) -> st }
 
   /** True when EVERY snapshot file sits in a `d-bucketed-<n>-` pool with
     * this table's bucket count and carries a parseable bucket index — the

@@ -132,13 +132,10 @@ class ManifestMicroBatchStream(dir: String, declared: StructType,
     * stream's pushed predicates RE-PUSHED so each batch gets parquet
     * row-group skipping too (Spark re-applies every predicate above the
     * scan, so over-pushing is always safe). */
-  private def batchScan(paths: Seq[String]): ParquetScan = {
-    val spark = SparkSession.active
-    val builder = ParquetTable(s"manifest_stream($dir)", spark,
-        CaseInsensitiveStringMap.empty(), paths,
-        userSpecifiedSchema = Some(declared),
-        fallbackFileFormat = classOf[ParquetFileFormat])
-      .newScanBuilder(CaseInsensitiveStringMap.empty())
+  private def batchScan(relFiles: Seq[String],
+      stats: Map[String, graft.core.FileStats.Stats]): ParquetScan = {
+    val builder = ManifestFileIndex.scanBuilder(SparkSession.active, declared,
+      dir, relFiles, stats, CaseInsensitiveStringMap.empty())
     if (pushedCatalyst.nonEmpty) builder.pushFilters(pushedCatalyst)
     builder.pruneColumns(prunedSchema)
     builder.build().asInstanceOf[ParquetScan]
@@ -156,23 +153,21 @@ class ManifestMicroBatchStream(dir: String, declared: StructType,
        else ManifestTable.diff(dir, from, to)._1).sorted
     // data skipping per batch: a filtered stream over a high-volume table
     // never plans (or reads) files the log's stats prove irrelevant
+    val stats = ManifestTable.manifestEntries(dir, to)._2
     val deterministic = pushedCatalyst.filter(_.deterministic)
     val kept =
       if (deterministic.isEmpty || addedRel.isEmpty) addedRel
-      else {
-        val stats = ManifestTable.manifestEntries(dir, to)._2
-        addedRel.filter { f =>
-          stats.get(f).forall(st =>
-            deterministic.forall(e => graft.core.FileStats.mayMatch(e, st)))
-        }
+      else addedRel.filter { f =>
+        stats.get(f).forall(st =>
+          deterministic.forall(e => graft.core.FileStats.mayMatch(e, st)))
       }
     if (kept.isEmpty) return Array.empty
-    batchScan(kept.map(f => s"$dir/$f")).toBatch.planInputPartitions()
+    batchScan(kept, stats).toBatch.planInputPartitions()
   }
 
   /** One factory for the stream: parquet's reader factory is
     * file-agnostic (it reads whatever FilePartition it is handed), so a
     * factory built against an empty file list serves every batch. */
   override def createReaderFactory(): PartitionReaderFactory =
-    batchScan(Seq.empty).toBatch.createReaderFactory()
+    batchScan(Seq.empty, Map.empty).toBatch.createReaderFactory()
 }

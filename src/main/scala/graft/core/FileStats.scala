@@ -53,8 +53,13 @@ object FileStats {
 
   /** Stats of one data file. `cols` holds only columns with at least one
     * known field; lookup is by lower-cased column name (Spark's default
-    * case-insensitive resolution). */
-  final case class Stats(rowCount: Long, cols: Map[String, ColStats]) {
+    * case-insensitive resolution). `sizeBytes` is the file length at
+    * commit time (files are immutable once visible), letting scan
+    * planning build its file index straight from the log — zero
+    * filesystem listing, the property that keeps planning O(matched
+    * files) at millions of live files. */
+  final case class Stats(rowCount: Long, cols: Map[String, ColStats],
+                         sizeBytes: Option[Long] = None) {
     def col(name: String): Option[ColStats] = cols.get(name.toLowerCase)
   }
 
@@ -87,13 +92,14 @@ object FileStats {
 
   def toJson(s: Stats): JValue =
     JObject(
-      "rc" -> JInt(s.rowCount),
-      "c" -> JObject(s.cols.toList.sortBy(_._1).map { case (n, c) =>
+      List("rc" -> (JInt(s.rowCount): JValue)) ++
+      s.sizeBytes.map(b => "sb" -> (JInt(b): JValue)).toList :+
+      "c" -> (JObject(s.cols.toList.sortBy(_._1).map { case (n, c) =>
         n -> JObject(List(
           c.min.map(v => "mn" -> valToJson(v)),
           c.max.map(v => "mx" -> valToJson(v)),
           c.nullCount.map(v => "nc" -> (JInt(v): JValue))).flatten)
-      }))
+      }): JValue))
 
   def fromJson(j: JValue): Option[Stats] = j match {
     case obj: JObject =>
@@ -102,6 +108,7 @@ object FileStats {
         case Some(JInt(n)) => n.toLong
         case _             => return None
       }
+      val sizeBytes = m.get("sb").collect { case JInt(n) => n.toLong }
       val cols = m.get("c") match {
         case Some(c: JObject) => c.obj.map { case (name, v) =>
           val cm = v match { case o: JObject => o.obj.toMap; case _ => Map.empty[String, JValue] }
@@ -112,7 +119,7 @@ object FileStats {
         }.toMap
         case _ => Map.empty[String, ColStats]
       }
-      Some(Stats(rc, cols))
+      Some(Stats(rc, cols, sizeBytes))
     case _ => None
   }
 
@@ -134,7 +141,17 @@ object FileStats {
     * prune). */
   def fromFooter(conf: Configuration, file: Path): Option[Stats] =
     try {
-      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
+      val status = file.getFileSystem(conf).getFileStatus(file)
+      fromFooter(conf, status)
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** [[fromFooter]] from an already-stat'ed file (no extra filesystem
+    * round trip); records the file length so scan planning can later
+    * build its file index from the log alone. */
+  def fromFooter(conf: Configuration,
+                 status: org.apache.hadoop.fs.FileStatus): Option[Stats] =
+    try {
+      val reader = ParquetFileReader.open(HadoopInputFile.fromStatus(status, conf))
       try {
         val footer = reader.getFooter
         val blocks = footer.getBlocks
@@ -152,7 +169,7 @@ object FileStats {
         val cols = acc.iterator.flatMap { case (name, a) =>
           a.result.map(name.toLowerCase -> _)
         }.toMap
-        Some(Stats(rowCount, cols))
+        Some(Stats(rowCount, cols, Some(status.getLen)))
       } finally reader.close()
     } catch { case scala.util.control.NonFatal(_) => None }
 

@@ -314,6 +314,20 @@ class StatsSkippingSpec extends AnyFunSuite {
     assert(got.agg(org.apache.spark.sql.functions.min("k")).head().getLong(0) === 1000L)
   }
 
+  test("scheme-less table roots read correctly (path qualification)") {
+    // Verify/Bench register catalogs on raw /tmp paths (no file:// scheme);
+    // the log-served file index must qualify its paths or the base index's
+    // qualified lookups silently match nothing (zero-row scans)
+    val s = spark.newSession()
+    GraftCatalog.register(s, "gkq",
+      java.nio.file.Files.createTempDirectory("graft_skip_plain_").toString)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS gkq.db")
+    s.sql("CREATE TABLE gkq.db.p (k BIGINT) USING manifest")
+    s.sql("INSERT INTO gkq.db.p SELECT id FROM range(50)")
+    assert(s.table("gkq.db.p").count() === 50L)
+    assert(s.sql("SELECT * FROM gkq.db.p WHERE k < 10").count() === 10L)
+  }
+
   test("bounds evaluator: conservative by construction") {
     import FileStats._
     val s = Stats(10, Map(
