@@ -44,6 +44,8 @@ object MetadataTables {
   def history(dir: String): Table =
     new VirtualRowsTable(s"history($dir)", HistorySchema, () => {
       val fs = LakeStorage.openFor(dir)
+      // sizes come from the log (each marker carries its added files'
+      // lengths); only legacy stats-less files cost a getFileStatus
       val sizes = scala.collection.mutable.HashMap.empty[String, Long]
       def sized(f: String): Long =
         sizes.getOrElseUpdate(f, fs.getFileStatus(new Path(dir, f)).getLen)
@@ -52,6 +54,10 @@ object MetadataTables {
       var bytes = 0L
       versions.headOption.toSeq.flatMap { first =>
         versions.map { v =>
+          val (_, vStats) = ManifestTable.addedEntriesAt(dir, v)
+          vStats.foreach { case (f, st) =>
+            st.sizeBytes.foreach(sizes.getOrElseUpdate(f, _))
+          }
           val (added, removed) =
             if (v == first) (ManifestTable.manifest(dir, v), Seq.empty[String])
             else ManifestTable.diff(dir, v - 1, v)
@@ -73,8 +79,9 @@ object MetadataTables {
       ManifestTable.currentVersion(dir).toSeq.flatMap { v =>
         val (names, stats) = ManifestTable.manifestEntries(dir, v)
         names.map { f =>
-          Array[Any](f, fs.getFileStatus(new Path(dir, f)).getLen,
-            f.split("/", 2).head,
+          val bytes = stats.get(f).flatMap(_.sizeBytes)
+            .getOrElse(fs.getFileStatus(new Path(dir, f)).getLen)
+          Array[Any](f, bytes, f.split("/", 2).head,
             stats.get(f).map(s => java.lang.Long.valueOf(s.rowCount)).orNull)
         }
       }
@@ -93,8 +100,9 @@ object MetadataTables {
   def partitions(dir: String, bucket: Option[Int]): Table =
     new VirtualRowsTable(s"partitions($dir)", PartitionsSchema, () => {
       val fs = LakeStorage.openFor(dir)
-      val files = ManifestTable.currentVersion(dir).toSeq.flatMap(v =>
-        ManifestTable.manifest(dir, v))
+      val (files, fileStats) = ManifestTable.currentVersion(dir)
+        .map(v => ManifestTable.manifestEntries(dir, v))
+        .getOrElse((Seq.empty[String], Map.empty[String, graft.core.FileStats.Stats]))
       def keyOf(f: String): String = bucket match {
         // a file counts as a bucket member only when its POOL was written
         // with this table's bucket count (the fullyBucketed rule) — any
@@ -108,7 +116,8 @@ object MetadataTables {
       }
       files.groupBy(keyOf).toSeq.sortBy(_._1).map { case (k, fs2) =>
         Array[Any](k, fs2.length.toLong,
-          fs2.map(f => fs.getFileStatus(new Path(dir, f)).getLen).sum)
+          fs2.map(f => fileStats.get(f).flatMap(_.sizeBytes)
+            .getOrElse(fs.getFileStatus(new Path(dir, f)).getLen)).sum)
       }
     })
 

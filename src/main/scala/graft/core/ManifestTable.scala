@@ -389,9 +389,16 @@ object ManifestTable {
   /** The files version `v`'s commit ADDED (delta add-list, or the full
     * list for a snapshot commit) — one marker read, no resolution. */
   private[graft] def addedAt(dir: String, v: Long): Seq[String] =
+    addedEntriesAt(dir, v)._1
+
+  /** [[addedAt]] plus the marker's stats for those files — one marker
+    * read. The log-carried sizes let metadata tables and compaction
+    * size files without stat-ing them. */
+  private[graft] def addedEntriesAt(dir: String, v: Long)
+      : (Seq[String], Map[String, FileStats.Stats]) =
     readMarkerData(dir, v) match {
-      case DeltaMarker(add, _, _)   => add
-      case SnapshotMarker(files, _) => files
+      case DeltaMarker(add, _, st)   => (add, st)
+      case SnapshotMarker(files, st) => (files, st)
     }
 
   /** Every file referenced by ANY surviving committed version, in ONE pass
@@ -564,9 +571,12 @@ object ManifestTable {
     val fs = LakeStorage.openFor(dir)
     val snapVersion = currentVersion(dir).getOrElse(
       throw new IllegalStateException(s"no committed version under $dir"))
-    val snapFiles = manifest(dir, snapVersion)
+    val (snapFiles, snapStats) = manifestEntries(dir, snapVersion)
     if (snapFiles.isEmpty) return (0L, 0L)
-    val totalBytes = snapFiles.map(f => fs.getFileStatus(new Path(dir, f)).getLen).sum
+    // log-carried lengths; stat only the legacy residue
+    val totalBytes = snapFiles.map(f =>
+      snapStats.get(f).flatMap(_.sizeBytes)
+        .getOrElse(fs.getFileStatus(new Path(dir, f)).getLen)).sum
     val nOut = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
     val snapshot = readSnapshot(spark, dir, snapFiles, readSchema)
     val rewritten =
