@@ -160,7 +160,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     meta.provider match {
       case "keyedlog" => new KeyedLogTable(dataDir, meta.bucket.map(_.n))
       case "manifest" =>
-        new ManifestSparkTable(dataDir, meta.schema, asOf, meta.bucket)
+        new ManifestSparkTable(dataDir, meta.schema, asOf, meta.bucket,
+          mergeOnRead = meta.dmlMode.contains("merge-on-read"))
       case other => throw new IllegalStateException(
         s"table ${ident.name()}: unknown provider '$other' in $dir/$MetaFile")
     }
@@ -198,10 +199,32 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       else if (mapped) assignFieldIds(schema)
       else schema
     val maxId = if (mapped) Some(schema.length) else None
-    if (!writeMeta(dir, TableMeta(provider, declared, location, bucket, maxId)))
+    val dml = parseDmlMode(ident, provider, bucket, properties)
+    if (!writeMeta(dir, TableMeta(provider, declared, location, bucket, maxId, dml)))
       throw new TableAlreadyExistsException((ident.namespace() :+ ident.name()).toSeq)
     tableFor(ident, asOf = None)
   }
+
+  /** `TBLPROPERTIES ('graft.dml.mode' = 'merge-on-read')`: row-level DML
+    * writes DELETION VECTORS instead of rewriting files (copy-on-write
+    * stays the default). Manifest tables only; bucketed tables keep
+    * copy-on-write (their DML rewrites re-bucket — vectors would demote
+    * storage-partitioned scans indefinitely). */
+  private def parseDmlMode(ident: Identifier, provider: String,
+                           bucket: Option[Bucketing],
+                           properties: JMap[String, String]): Option[String] =
+    Option(properties.get(DmlModeProp)).map(_.toLowerCase) match {
+      case None | Some("copy-on-write") => None
+      case Some("merge-on-read") =>
+        require(provider == "manifest",
+          s"${ident.name()}: $DmlModeProp=merge-on-read needs USING manifest")
+        require(bucket.isEmpty,
+          s"${ident.name()}: merge-on-read does not combine with " +
+            "PARTITIONED BY (bucket(...)) — bucketed DML re-buckets via copy-on-write")
+        Some("merge-on-read")
+      case Some(other) => throw new IllegalArgumentException(
+        s"${ident.name()}: $DmlModeProp must be copy-on-write | merge-on-read, got '$other'")
+    }
 
   /** `PARTITIONED BY (bucket(n, col))`: hash-bucket clustering, the unit
     * of storage-partitioned scans. On keyedlog tables the only bucketable
@@ -291,7 +314,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     new GraftStagedTable(this, ident, dir,
       TableMeta(provider,
         if (mapped) assignFieldIds(schema) else schema, location, bucket,
-        maxFieldId = if (mapped) Some(schema.length) else None), replace)
+        maxFieldId = if (mapped) Some(schema.length) else None,
+        dmlMode = parseDmlMode(ident, provider, bucket, properties)), replace)
   }
 
   private[catalog] def commitStaged(ident: Identifier, dir: String,
@@ -531,7 +555,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       location = str("location"),
       bucket = for (n <- num("bucketN"); c <- str("bucketCol"))
         yield Bucketing(n, c),
-      maxFieldId = num("maxFieldId")))
+      maxFieldId = num("maxFieldId"),
+      dmlMode = str("dmlMode")))
   }
 
   /** Create-if-absent of the descriptor — the same atomic-create commit as
@@ -548,7 +573,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           ("location" -> meta.location) ~
           ("bucketN" -> meta.bucket.map(_.n)) ~
           ("bucketCol" -> meta.bucket.map(_.col)) ~
-          ("maxFieldId" -> meta.maxFieldId)))
+          ("maxFieldId" -> meta.maxFieldId) ~
+          ("dmlMode" -> meta.dmlMode)))
     val out = try fs.create(p, false) catch {
       case _: java.io.IOException => return false
     }
@@ -576,10 +602,16 @@ object GraftCatalog {
     * rejection). Persisted so a DROP followed by an ADD can never reuse a
     * dropped column's id — id reuse would resurrect the dropped column's
     * bytes under the new column's name. */
+  /** `dmlMode`: None = copy-on-write (default); Some("merge-on-read") =
+    * row-level DML writes deletion vectors (see [[ManifestDeltaOperation]]). */
   private[catalog] case class TableMeta(provider: String, schema: StructType,
                                         location: Option[String],
                                         bucket: Option[Bucketing] = None,
-                                        maxFieldId: Option[Int] = None)
+                                        maxFieldId: Option[Int] = None,
+                                        dmlMode: Option[String] = None)
+
+  /** The CREATE TABLE property selecting the row-level DML strategy. */
+  val DmlModeProp = "graft.dml.mode"
 
   /** Register this catalog on a session under `name` rooted at `root`.
     * (Conf-only registration — the first SQL reference instantiates it.)

@@ -49,11 +49,13 @@ private[catalog] object GraftProcedures {
       case "vacuum"         => Some(new VacuumProcedure(catalog))
       case "rollback"       => Some(new RollbackProcedure(catalog))
       case "register_files" => Some(new RegisterFilesProcedure(catalog))
+      case "purge_deletes"  => Some(new PurgeDeletesProcedure(catalog))
       case _                => None
     }
   }
 
-  val names: Seq[String] = Seq("compact", "vacuum", "rollback", "register_files")
+  val names: Seq[String] =
+    Seq("compact", "vacuum", "rollback", "register_files", "purge_deletes")
 
   /** Resolve a procedure's `'db.t'` argument against the catalog. */
   private def target(catalog: GraftCatalog, table: String): (String, String, Option[GraftCatalog.Bucketing]) = {
@@ -182,6 +184,40 @@ private[catalog] object GraftProcedures {
           StructField("table_version", LongType, nullable = false),
           StructField("files_added", LongType, nullable = false))),
         version, added.length.toLong)
+    }
+  }
+
+  /** `CALL g.system.purge_deletes('db.t')` — materialize a merge-on-read
+    * table's deletion vectors: rewrite ONLY the vectored files (live rows
+    * kept) and drop the vectors, restoring vectorized/pushdown reads.
+    * Cost ∝ vectored bytes, never the table. */
+  private final class PurgeDeletesProcedure(catalog: GraftCatalog) extends ManifestProcedure {
+    override def name(): String = "purge_deletes"
+    override def description(): String =
+      "rewrite files carrying deletion vectors (live rows only) and drop the vectors"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build())
+    override def call(input: InternalRow): JIterator[Scan] = {
+      val parts = input.getString(0).split("\\.")
+      require(parts.length <= 2 && parts.forall(_.nonEmpty),
+        s"procedure wants a table name like 'db.t' or 't', got '${input.getString(0)}'")
+      val (meta, dir) = catalog.procedureMeta(
+        Identifier.of(parts.dropRight(1), parts.last))
+      require(meta.provider == "manifest",
+        s"purge_deletes applies to manifest tables only; " +
+          s"'${input.getString(0)}' is a ${meta.provider} table")
+      val declared: Option[StructType] =
+        if (GraftCatalog.isMapped(meta.schema)) {
+          GraftCatalog.requireFieldIdReads(meta.schema, input.getString(0))
+          Some(meta.schema)
+        } else None
+      val (rewritten, purged) =
+        ManifestTable.purgeDeletes(SparkSession.active, dir, declared)
+      result(
+        StructType(Seq(
+          StructField("files_rewritten", LongType, nullable = false),
+          StructField("positions_purged", LongType, nullable = false))),
+        rewritten, purged)
     }
   }
 

@@ -85,33 +85,83 @@ case class ManifestChangesScan(dir: String, declared: StructType,
     ManifestTable.diff(dir, startVersion, end)
   }
 
-  // added files are live at the window end, so its manifest carries
-  // their lengths; removed files fall back to individual stats inside
-  // the index construction (cost ∝ the delete-side, not the table)
-  private lazy val endStats: Map[String, graft.core.FileStats.Stats] = {
+  // endpoint states: the end side carries added files' lengths/vectors,
+  // the start side the pre-window vectors (what was already dead before
+  // the window — never re-emitted); removed files fall back to
+  // individual stats inside the index construction (cost ∝ delete-side)
+  private lazy val endpoints: (ManifestTable.TableState, ManifestTable.TableState) = {
     val committed = ManifestTable.allVersions(dir)
-    if (committed.isEmpty) Map.empty
-    else ManifestTable.manifestEntries(dir,
-      endVersion.getOrElse(committed.max))._2
+    if (committed.isEmpty)
+      (ManifestTable.TableState(Seq.empty, Map.empty, Map.empty),
+        ManifestTable.TableState(Seq.empty, Map.empty, Map.empty))
+    else (ManifestTable.state(dir, startVersion),
+      ManifestTable.state(dir, endVersion.getOrElse(committed.max)))
   }
 
-  private def parquetScan(paths: Seq[String]): Scan =
+  private def parquetScan(paths: Seq[String], withRowIndex: Boolean): Scan =
     ManifestFileIndex.scanBuilder(SparkSession.active, declared, dir, paths,
-      endStats, CaseInsensitiveStringMap.empty()).build()
+      endpoints._2.stats, CaseInsensitiveStringMap.empty(),
+      withRowIndex = withRowIndex).build()
+
+  /** Per-file row-address partitions (the vector-aware sides of the
+    * feed): `filters(rel)` supplies each file's position filter. */
+  private def addressed(paths: Seq[String], tag: String,
+      filters: String => RowAddressPartition => RowAddressPartition): Seq[InputPartition] = {
+    if (paths.isEmpty) return Seq.empty
+    var i = -1
+    parquetScan(paths, withRowIndex = true).toBatch.planInputPartitions().toSeq.flatMap {
+      case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
+        fp.files.map { pf =>
+          i += 1
+          val rel = ManifestRowLevelOperation.relName(pf.filePath.toString)
+          val base = RowAddressPartition(
+            org.apache.spark.sql.execution.datasources.FilePartition(i, Array(pf)), rel)
+          ChangeTaggedPartition(filters(rel)(base), tag): InputPartition
+        }
+      case other => throw new IllegalStateException(
+        s"parquet planned a non-file partition: $other")
+    }
+  }
 
   override def planInputPartitions(): Array[InputPartition] = {
     val (added, removed) = diff
-    def tagged(paths: Seq[String], tag: String): Array[InputPartition] =
-      if (paths.isEmpty) Array.empty
-      else parquetScan(paths).toBatch.planInputPartitions()
+    val (startState, endState) = endpoints
+    def tagged(paths: Seq[String], tag: String): Seq[InputPartition] =
+      if (paths.isEmpty) Seq.empty
+      else parquetScan(paths, withRowIndex = false).toBatch.planInputPartitions().toSeq
         .map(p => ChangeTaggedPartition(p, tag): InputPartition)
-    tagged(added, "insert") ++ tagged(removed, "delete")
+    // inserts: window-added files, minus rows a vector killed by `end`
+    // (added-then-deleted nets out, matching the endpoint row sets)
+    val (addedDv, addedPlain) = added.partition(endState.dvs.contains)
+    val inserts = tagged(addedPlain, "insert") ++
+      addressed(addedDv, "insert", rel => _.copy(drop = endState.dvs.get(rel).map(_.path)))
+    // deletes: window-removed files' pre-images, minus rows already dead
+    // at `start` (they were never alive in this window)
+    val (removedDv, removedPlain) = removed.partition(startState.dvs.contains)
+    val deletes = tagged(removedPlain, "delete") ++
+      addressed(removedDv, "delete", rel => _.copy(drop = startState.dvs.get(rel).map(_.path)))
+    // vector deletes: files live at BOTH endpoints whose vector grew —
+    // pre-images of exactly the newly-killed positions
+    val survivors = endState.files.toSet -- added
+    val vectorKilled = endState.dvs.keys.toSeq.filter { f =>
+      survivors.contains(f) &&
+        startState.dvs.get(f).map(_.path) != endState.dvs.get(f).map(_.path)
+    }.sorted
+    val dvDeletes = addressed(vectorKilled, "delete", rel => _.copy(
+      keepOnly = endState.dvs.get(rel).map(_.path),
+      keepExclude = startState.dvs.get(rel).map(_.path)))
+    (inserts ++ deletes ++ dvDeletes).toArray
   }
 
-  /** The parquet reader factory is file-agnostic — one built over an
-    * empty list serves both sides' partitions. */
-  override def createReaderFactory(): PartitionReaderFactory =
-    ChangeTagReaderFactory(parquetScan(Seq.empty).toBatch.createReaderFactory())
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // two delegate factories: plain parquet rows, and row-address rows
+    // (position-filtered, row-index column hidden); both file-agnostic
+    val addressedScan = parquetScan(Seq.empty, withRowIndex = true)
+    ChangeTagReaderFactory(
+      parquetScan(Seq.empty, withRowIndex = false).toBatch.createReaderFactory(),
+      RowAddressReaderFactory(addressedScan.toBatch.createReaderFactory(), dir,
+        addressedScan.readSchema(), emitPos = false, emitFile = false))
+  }
 }
 
 case class ChangeTaggedPartition(inner: InputPartition, change: String)
@@ -119,11 +169,15 @@ case class ChangeTaggedPartition(inner: InputPartition, change: String)
   override def preferredLocations(): Array[String] = inner.preferredLocations()
 }
 
-case class ChangeTagReaderFactory(inner: PartitionReaderFactory)
+case class ChangeTagReaderFactory(inner: PartitionReaderFactory,
+                                  addressed: RowAddressReaderFactory = null)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[ChangeTaggedPartition]
-    val reader = inner.createReader(p.inner)
+    val reader = p.inner match {
+      case ra: RowAddressPartition => addressed.createReader(ra)
+      case plain                   => inner.createReader(plain)
+    }
     val tag = new GenericInternalRow(Array[Any](UTF8String.fromString(p.change)))
     val joined = new JoinedRow
     new PartitionReader[InternalRow] {

@@ -1,0 +1,299 @@
+package graft.catalog
+
+import java.util.UUID
+
+import org.apache.hadoop.fs.Path
+import org.apache.hadoop.mapreduce.Job
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory, Scan, ScanBuilder, SupportsRuntimeFiltering}
+import org.apache.spark.sql.connector.write.{DeltaBatchWrite, DeltaWrite, DeltaWriteBuilder, DeltaWriter, DeltaWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RowLevelOperation, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.RowLevelOperation.Command
+import org.apache.spark.sql.execution.datasources.FilePartition
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.sources.{Filter, In}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.util.SerializableConfiguration
+
+import graft.core.{DeletionVectors, LakeStorage, ManifestTable}
+
+/** MERGE-ON-READ row-level DML (`'graft.dml.mode' = 'merge-on-read'`
+  * tables): instead of rewriting every file that holds an affected row
+  * (the copy-on-write plan of [[ManifestRowLevelOperation]]), the
+  * operation reports a stable per-row id — `(_file, _pos)` — and Spark
+  * plans a DELTA write that streams the matched row ids back. Deletes
+  * become DELETION VECTORS (a position sidecar per touched file, see
+  * [[graft.core.DeletionVectors]]); UPDATE/MERGE re-insert their changed
+  * rows as ordinary new data files in the same commit. A DELETE touching
+  * one row of a 100 TB table therefore writes a few-hundred-byte vector
+  * and one marker — no data file is rewritten; `purge_deletes`/`compact`
+  * collect the read-side debt later.
+  *
+  * The scan half reuses the pinned-snapshot per-file planning of the
+  * copy-on-write scan (runtime group filtering on `_file` narrows it to
+  * affected files) but serves `_pos` from Spark's parquet row-index
+  * machinery and applies the snapshot's EXISTING vectors, so re-deleting
+  * an already-deleted row is impossible. The write half clusters rows by
+  * `_file` (one task owns all of a file's deletes), merges each file's
+  * new positions with its existing vector EXECUTOR-side, and commits all
+  * vectors plus any insert files as ONE optimistic
+  * [[ManifestTable.commitDeleteVectors]] — which aborts if a concurrent
+  * writer removed or re-vectored a targeted file (stale scan). */
+class ManifestDeltaOperation(dir: String, declared: StructType, cmd: Command)
+    extends RowLevelOperation
+    with org.apache.spark.sql.connector.write.SupportsDelta {
+
+  import ManifestRowLevelOperation.FileCol
+
+  /** Snapshot pinned at analysis — scan, vector merge, and commit
+    * validation all key off this state. */
+  private[catalog] val snapshotState: ManifestTable.TableState =
+    ManifestTable.currentVersion(dir)
+      .map(ManifestTable.state(dir, _))
+      .getOrElse(ManifestTable.TableState(Seq.empty, Map.empty, Map.empty))
+
+  override def command(): Command = cmd
+
+  /** Order matters: the delta scan exposes no column pruning, so Spark
+    * binds its rows POSITIONALLY to `tableColumns ++ rowId` — and the
+    * physical row layout is `[declared..., _pos, _file]` (the parquet
+    * row-index column sits last among data columns, the `_file` tag is
+    * appended after it). */
+  override def rowId(): Array[NamedReference] =
+    Array(Expressions.column(DvRead.PosCol), Expressions.column(FileCol))
+
+  /** UPDATE/MERGE-update arrive as delete(old id) + insert(new row) —
+    * the natural shape for vectors (delete the position, append the
+    * replacement). */
+  override def representUpdateAsDeleteAndInsert(): Boolean = true
+
+  override def requiredMetadataAttributes(): Array[NamedReference] =
+    Array.empty
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    GraftCatalog.requireFieldIdReads(declared, s"delta($dir)")
+    () => new ManifestDeltaScan(this, dir, declared)
+  }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
+    new DeltaWriteBuilder {
+      override def build(): DeltaWrite = new ManifestDeltaWrite(
+        ManifestDeltaOperation.this, dir,
+        GraftCatalog.stampFieldIds(info.schema(), declared),
+        info.rowIdSchema().orElse(null))
+    }
+
+  override def description(): String = s"ManifestDeltaOperation($cmd, $dir)"
+}
+
+/** The delta DML read: the pinned snapshot with existing vectors applied,
+  * every row carrying its `(_file, _pos)` id. One partition per file
+  * split (runtime group filtering prunes whole files); positions come
+  * from the parquet row-index column, so they stay correct under
+  * row-group/page skipping. */
+class ManifestDeltaScan(op: ManifestDeltaOperation, dir: String,
+                        declared: StructType)
+    extends Scan with Batch with SupportsRuntimeFiltering {
+
+  import ManifestRowLevelOperation.FileCol
+
+  @volatile private var currentFiles: Seq[String] = op.snapshotState.files
+
+  override def readSchema(): StructType =
+    StructType(declared.fields :+
+      StructField(DvRead.PosCol, LongType, nullable = false) :+
+      StructField(FileCol, StringType, nullable = false))
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"ManifestDeltaScan(dir=$dir, files=${currentFiles.size}/${op.snapshotState.files.size})"
+
+  override def filterAttributes(): Array[NamedReference] =
+    Array(Expressions.column(FileCol))
+
+  override def filter(filters: Array[Filter]): Unit =
+    filters.foreach {
+      case In(FileCol, values) =>
+        val keep = values.map(String.valueOf).toSet
+        currentFiles = currentFiles.filter(keep.contains)
+      case _ => () // unexpected runtime filters are advisory — ignore
+    }
+
+  private def innerScan(files: Seq[String]): Scan =
+    ManifestFileIndex.scanBuilder(SparkSession.active, declared, dir, files,
+      op.snapshotState.stats, CaseInsensitiveStringMap.empty(),
+      withRowIndex = true).build()
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    if (currentFiles.isEmpty) return Array.empty
+    val dvs = op.snapshotState.dvs
+    var i = -1
+    innerScan(currentFiles).toBatch.planInputPartitions().flatMap {
+      case fp: FilePartition => fp.files.map { pf =>
+        i += 1
+        val rel = ManifestRowLevelOperation.relName(pf.filePath.toString)
+        RowAddressPartition(FilePartition(i, Array(pf)), rel,
+          drop = dvs.get(rel).map(_.path)): InputPartition
+      }
+      case other => throw new IllegalStateException(
+        s"parquet planned a non-file partition: $other")
+    }
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val scan = innerScan(currentFiles)
+    RowAddressReaderFactory(scan.toBatch.createReaderFactory(), dir,
+      scan.readSchema(), emitPos = true, emitFile = true)
+  }
+}
+
+/** Per-task result of a delta write: the task's insert file (if it
+  * received inserts) and, per touched data file, the REPLACEMENT vector
+  * it wrote (already merged with the file's previous vector) and that
+  * vector's total position count. */
+case class DeltaTaskCommit(insertFile: Option[String],
+                           dvs: Map[String, (String, Long)])
+    extends WriterCommitMessage
+
+/** The delta write: deletes cluster by `_file` so each task owns its
+  * files' vectors; inserts stream through the ordinary pool writer. The
+  * job commit is one [[ManifestTable.commitDeleteVectors]]. */
+class ManifestDeltaWrite(op: ManifestDeltaOperation, dir: String,
+                         writeSchema: StructType, rowIdSchema: StructType)
+    extends DeltaWrite with DeltaBatchWrite
+    with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+
+  private val insertPool = "d-" + UUID.randomUUID().toString
+  private val dvPool = DeletionVectors.PoolPrefix + UUID.randomUUID().toString
+
+  override def requiredDistribution: org.apache.spark.sql.connector.distributions.Distribution =
+    org.apache.spark.sql.connector.distributions.Distributions.clustered(
+      Array(Expressions.identity(ManifestRowLevelOperation.FileCol)))
+  override def requiredNumPartitions(): Int = 0
+  override def requiredOrdering: Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    Array.empty
+
+  override def toBatch: DeltaBatchWrite = this
+  override def description(): String = s"ManifestDeltaWrite($dir/$dvPool)"
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory = {
+    val spark = SparkSession.active
+    val job = Job.getInstance(spark.sessionState.newHadoopConf())
+    val owf = new ParquetFileFormat().prepareWrite(spark, job, Map.empty, writeSchema)
+    ManifestDeltaWriterFactory(owf, dir, s"$dir/$insertPool", insertPool,
+      dvPool, writeSchema, rowIdSchema,
+      op.snapshotState.dvs.map { case (f, ref) => f -> ref.path },
+      new SerializableConfiguration(job.getConfiguration))
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val commits = messages.collect { case c: DeltaTaskCommit => c }
+    val added = commits.flatMap(_.insertFile).map(n => s"$insertPool/$n").toSeq.sorted
+    // clustering on _file makes one task per file the normal case; a
+    // plan that did not honor it still commits correctly — colliding
+    // fragments are merged here (driver-side, rare)
+    val fs = LakeStorage.openFor(dir)
+    val merged = scala.collection.mutable.Map.empty[String, (String, Long)]
+    commits.flatMap(_.dvs).foreach { case (rel, (dvName, count)) =>
+      merged.get(rel) match {
+        case None => merged(rel) = (dvName, count)
+        case Some((otherName, _)) =>
+          val union = DeletionVectors.merge(
+            DeletionVectors.read(fs, dir, otherName),
+            DeletionVectors.read(fs, dir, dvName))
+          val name = s"$dvPool/merged-${UUID.randomUUID()}.dv"
+          DeletionVectors.write(fs, dir, name, union)
+          merged(rel) = (name, union.length.toLong)
+      }
+    }
+    if (merged.isEmpty && added.isEmpty) return // no-op DML matched nothing
+    val dvRefs = merged.toMap.map { case (rel, (name, n)) =>
+      rel -> DeletionVectors.DvRef(name, n)
+    }
+    val expected = dvRefs.keysIterator
+      .map(f => f -> op.snapshotState.dvs.get(f).map(_.path)).toMap
+    ManifestTable.commitDeleteVectors(dir, dvRefs, added, expected)
+    ()
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = LakeStorage.openFor(dir)
+    fs.delete(new Path(dir, insertPool), true)
+    fs.delete(new Path(dir, dvPool), true)
+    ()
+  }
+}
+
+case class ManifestDeltaWriterFactory(owf: org.apache.spark.sql.execution.datasources.OutputWriterFactory,
+                                      dir: String, insertPoolPath: String,
+                                      insertPool: String, dvPool: String,
+                                      writeSchema: StructType,
+                                      rowIdSchema: StructType,
+                                      existingDvs: Map[String, String],
+                                      conf: SerializableConfiguration)
+    extends DeltaWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
+    new ManifestDeltaTaskWriter(this, partitionId, taskId)
+}
+
+/** One task's delta writer: buffers deleted positions per file, writes
+  * each file's REPLACEMENT vector (existing ∪ new positions) on commit,
+  * and lazily opens one parquet pool file for inserts. */
+class ManifestDeltaTaskWriter(f: ManifestDeltaWriterFactory,
+                              partitionId: Int, taskId: Long)
+    extends DeltaWriter[InternalRow] {
+
+  private val fileOrd = f.rowIdSchema.fieldIndex(ManifestRowLevelOperation.FileCol)
+  private val posOrd = f.rowIdSchema.fieldIndex(DvRead.PosCol)
+
+  private val deletes =
+    scala.collection.mutable.Map.empty[String, scala.collection.mutable.ArrayBuffer[Long]]
+  private var insertWriter: graft.catalog.ManifestPoolWriter = _
+
+  override def delete(metadata: InternalRow, id: InternalRow): Unit = {
+    val rel = id.getUTF8String(fileOrd).toString
+    deletes.getOrElseUpdate(rel, scala.collection.mutable.ArrayBuffer.empty) +=
+      id.getLong(posOrd)
+    ()
+  }
+
+  override def insert(row: InternalRow): Unit = {
+    if (insertWriter == null)
+      insertWriter = new ManifestPoolWriter(f.owf, f.insertPoolPath,
+        f.writeSchema, f.conf, partitionId, taskId)
+    insertWriter.write(row)
+  }
+
+  override def update(metadata: InternalRow, id: InternalRow, row: InternalRow): Unit = {
+    // defensive: representUpdateAsDeleteAndInsert routes updates through
+    // delete+insert, but honor a direct update the same way
+    delete(metadata, id)
+    insert(row)
+  }
+
+  override def commit(): WriterCommitMessage = {
+    val insertMsg = Option(insertWriter).map(_.commit()).collect {
+      case PoolFileCommit(Some(name)) => name
+    }
+    val fs = LakeStorage.openFor(f.dir)
+    val dvs = deletes.iterator.map { case (rel, buf) =>
+      val fresh = buf.toArray.sorted.distinct
+      val merged = f.existingDvs.get(rel) match {
+        case Some(prev) => DeletionVectors.merge(DvRead.positions(f.dir, prev), fresh)
+        case None       => fresh
+      }
+      val safeName = rel.replace('/', '_')
+      val name = f"${f.dvPool}/$safeName-$partitionId%05d-$taskId.dv"
+      DeletionVectors.write(fs, f.dir, name, merged)
+      rel -> (name, merged.length.toLong)
+    }.toMap
+    DeltaTaskCommit(insertMsg, dvs)
+  }
+
+  override def abort(): Unit =
+    if (insertWriter != null) insertWriter.abort()
+
+  override def close(): Unit =
+    if (insertWriter != null) insertWriter.close()
+}

@@ -91,12 +91,17 @@ object ManifestFileIndex {
 
   /** A parquet scan builder over exactly these log-listed files — the
     * shared entry point for snapshot scans, CDC windows, streaming
-    * batches, and the DML read, all listing-free. */
+    * batches, and the DML read, all listing-free. `withRowIndex` extends
+    * the data schema with the parquet row-index column (see [[DvRead]]) —
+    * the deletion-vector and `_pos` paths need per-row file positions. */
   def scanBuilder(spark: SparkSession, declared: StructType,
                   dir: String, files: Seq[String],
                   stats: Map[String, FileStats.Stats],
-                  options: CaseInsensitiveStringMap): ParquetScanBuilder =
+                  options: CaseInsensitiveStringMap,
+                  withRowIndex: Boolean = false): ParquetScanBuilder = {
+    val schema = if (withRowIndex) DvRead.withRowIndex(declared) else declared
     new ParquetScanBuilder(spark,
       new ManifestFileIndex(spark, statuses(dir, files, stats)),
-      declared, declared, options)
+      schema, schema, options)
+  }
 }

@@ -60,12 +60,17 @@ class ManifestRowLevelOperation(dir: String, declared: StructType,
   import ManifestRowLevelOperation._
 
   /** Snapshot pinned when the DML statement starts analysis — scan and
-    * commit agree on this base even if the table moves underneath. */
-  private[catalog] val (snapshot: Seq[String],
-      snapshotStats: Map[String, graft.core.FileStats.Stats]) =
+    * commit agree on this base even if the table moves underneath
+    * (deletion vectors included: the scan reads LIVE rows only, and the
+    * commit aborts if a concurrent vector lands on a scanned file). */
+  private[catalog] val snapshotState: ManifestTable.TableState =
     ManifestTable.currentVersion(dir)
-      .map(ManifestTable.manifestEntries(dir, _))
-      .getOrElse((Seq.empty, Map.empty[String, graft.core.FileStats.Stats]))
+      .map(ManifestTable.state(dir, _))
+      .getOrElse(ManifestTable.TableState(Seq.empty, Map.empty, Map.empty))
+
+  private[catalog] def snapshot: Seq[String] = snapshotState.files
+  private[catalog] def snapshotStats: Map[String, graft.core.FileStats.Stats] =
+    snapshotState.stats
 
   /** What the commit replaces: narrowed by the scan's runtime group
     * filter, defaulting to the full snapshot (driver-side only). */
@@ -158,20 +163,44 @@ class ManifestRowLevelScan(op: ManifestRowLevelOperation, dir: String,
       case _ => () // unexpected runtime filters are advisory — ignore
     }
 
+  private def dvs = op.snapshotState.dvs
+
   private def innerScan(files: Seq[String]): Scan =
     ManifestFileIndex.scanBuilder(SparkSession.active, declared, dir, files,
-      op.snapshotStats, CaseInsensitiveStringMap.empty()).build()
+      op.snapshotStats, CaseInsensitiveStringMap.empty(),
+      withRowIndex = dvs.nonEmpty).build()
 
   override def planInputPartitions(): Array[InputPartition] = {
     if (currentFiles.isEmpty) return Array.empty
-    regroupPerFile(innerScan(currentFiles).toBatch.planInputPartitions())
+    val parts = innerScan(currentFiles).toBatch.planInputPartitions()
+    if (dvs.isEmpty) regroupPerFile(parts)
+    else {
+      // vectored snapshot: the rewrite must read LIVE rows only, so the
+      // per-file partitions route through the row-address readers (the
+      // same `_file`-tagged output shape, vectors subtracted)
+      var i = -1
+      parts.flatMap {
+        case fp: FilePartition => fp.files.map { pf =>
+          i += 1
+          val rel = relName(pf.filePath.toString)
+          RowAddressPartition(FilePartition(i, Array(pf)), rel,
+            dvs.get(rel).map(_.path)): InputPartition
+        }
+        case other => throw new IllegalStateException(
+          s"parquet planned a non-file partition: $other")
+      }
+    }
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
+  override def createReaderFactory(): PartitionReaderFactory = {
     // the factory closes over schema/conf only — independent of which
     // exact files end up planned, so building it from the current (or
     // even empty) list is safe
-    FileTagReaderFactory(innerScan(currentFiles).toBatch.createReaderFactory())
+    val scan = innerScan(currentFiles)
+    if (dvs.isEmpty) FileTagReaderFactory(scan.toBatch.createReaderFactory())
+    else RowAddressReaderFactory(scan.toBatch.createReaderFactory(), dir,
+      scan.readSchema(), emitPos = false, emitFile = true)
+  }
 }
 
 /** The REGULAR manifest scan builder: a [[ParquetScanBuilder]] (full
@@ -182,12 +211,14 @@ class ManifestRowLevelScan(op: ManifestRowLevelOperation, dir: String,
   * wrapped with per-file split planning and a reader that appends the
   * file tag; when no one asks, the builder is byte-for-byte the built-in
   * parquet scan. */
-class ManifestScanBuilder(mkBuilder: Seq[String] => org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder,
+class ManifestScanBuilder(mkBuilder: (Seq[String], Boolean) => org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder,
                           options: CaseInsensitiveStringMap,
                           bucketing: Option[GraftCatalog.Bucketing] = None,
                           streamSource: Option[(String, StructType)] = None,
                           allPaths: Seq[String] = Seq.empty,
-                          pathStats: Map[String, graft.core.FileStats.Stats] = Map.empty)
+                          pathStats: Map[String, graft.core.FileStats.Stats] = Map.empty,
+                          dir: String = "",
+                          dvByRel: Map[String, graft.core.DeletionVectors.DvRef] = Map.empty)
     extends ScanBuilder
     with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
     with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
@@ -195,18 +226,39 @@ class ManifestScanBuilder(mkBuilder: Seq[String] => org.apache.spark.sql.executi
 
   import ManifestRowLevelOperation.FileCol
 
-  private val inner = mkBuilder(allPaths)
+  /** Pending deletion vectors force the row-address read path: the
+    * parquet scan carries the row-index column and readers subtract
+    * vectored positions (see [[DvRead]]). */
+  private val dvActive = dvByRel.nonEmpty
+  private var withRowIndex = dvActive
+  private var inner = mkBuilder(allPaths, withRowIndex)
   private var needFile = false
+  private var needPos = false
   private var aggPushed = false
   private var savedSchema: Option[StructType] = None
   private var savedFilters: Seq[org.apache.spark.sql.catalyst.expressions.Expression] = Seq.empty
   private var savedAgg: Option[org.apache.spark.sql.connector.expressions.aggregate.Aggregation] = None
 
+  private def prunedForInner(stripped: StructType): StructType =
+    if (withRowIndex) DvRead.withRowIndex(stripped) else stripped
+
   override def pruneColumns(requiredSchema: StructType): Unit = {
     needFile = requiredSchema.fieldNames.contains(FileCol)
-    val stripped = StructType(requiredSchema.fields.filterNot(_.name == FileCol))
+    needPos = requiredSchema.fieldNames.contains(DvRead.PosCol)
+    val stripped = StructType(requiredSchema.fields
+      .filterNot(f => f.name == FileCol || f.name == DvRead.PosCol))
     savedSchema = Some(stripped)
-    inner.pruneColumns(stripped)
+    if (needPos && !withRowIndex) {
+      // `_pos` asked on a vector-free table: rebuild the inner builder
+      // with the row-index schema and replay what was already pushed
+      // (column pruning is the LAST pushdown step, so only filters can
+      // have landed; an aggregate pushdown never coexists with metadata
+      // columns in the required schema)
+      withRowIndex = true
+      inner = mkBuilder(allPaths, withRowIndex)
+      if (savedFilters.nonEmpty) { inner.pushFilters(savedFilters); () }
+    }
+    inner.pruneColumns(prunedForInner(stripped))
   }
 
   override def pushFilters(filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression]): Seq[org.apache.spark.sql.catalyst.expressions.Expression] = {
@@ -218,6 +270,9 @@ class ManifestScanBuilder(mkBuilder: Seq[String] => org.apache.spark.sql.executi
     inner.pushedFilters
 
   override def pushAggregation(aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    // per-file pre-aggregation counts rows the vectors have deleted —
+    // refuse pushdown while any vector is pending (purge restores it)
+    if (dvActive) return false
     aggPushed = inner.pushAggregation(aggregation)
     if (aggPushed) savedAgg = Some(aggregation)
     aggPushed
@@ -243,12 +298,12 @@ class ManifestScanBuilder(mkBuilder: Seq[String] => org.apache.spark.sql.executi
       }
     }
     if (survivors.length == allPaths.length) return None
-    val b = mkBuilder(survivors)
+    val b = mkBuilder(survivors, withRowIndex)
     b.pushFilters(savedFilters)
     savedAgg.foreach { agg =>
       if (!b.pushAggregation(agg)) return None // replay surprise: fall back
     }
-    savedSchema.foreach(b.pruneColumns)
+    savedSchema.foreach(s => b.pruneColumns(prunedForInner(s)))
     Some((b, survivors))
   }
 
@@ -256,12 +311,40 @@ class ManifestScanBuilder(mkBuilder: Seq[String] => org.apache.spark.sql.executi
     val (chosen, planned) = statsPrunedBuilder().getOrElse((inner, allPaths))
     // exact planned-row cardinality for CBO/AQE, when the log's stats
     // cover every planned file (vacuously exact 0 for a fully pruned or
-    // empty scan)
+    // empty scan); deletion-vector cardinalities are in the log, so the
+    // count stays EXACT on vectored tables — live rows, not stored rows
     val exactRows: Option[Long] =
       if (planned.forall(pathStats.contains))
-        Some(planned.iterator.map(pathStats(_).rowCount).sum)
+        Some(planned.iterator.map { p =>
+          pathStats(p).rowCount -
+            dvByRel.get(ManifestSparkTable.relOf(dir, p)).map(_.count).getOrElse(0L)
+        }.sum)
       else None
     val parquet = chosen.build()
+    if (withRowIndex) {
+      // the row-address path: vectors applied (and/or `_pos` served) by
+      // per-split readers; `readStream.table` keeps working through a
+      // vector-blind delegate (the stream serves the APPEND log — rows a
+      // later vector deleted were genuinely present when their file was
+      // committed, so replaying them is the stream's contract)
+      val streamDelegate = streamSource.collect {
+        case (sdir, sdecl) if !aggPushed =>
+          val plain = mkBuilder(planned, false)
+          plain.pushFilters(savedFilters)
+          savedSchema.foreach(plain.pruneColumns)
+          ManifestStreamScan(plain.build(), sdir, sdecl,
+            Option(options.get("start_version")).map(_.toLong).getOrElse(0L),
+            exactRows, savedFilters): Scan
+      }
+      val dataFields = parquet.readSchema().fields
+        .filterNot(_.name == DvRead.RowIndexCol)
+      val output = StructType(dataFields ++
+        (if (needPos) Seq(StructField(DvRead.PosCol, org.apache.spark.sql.types.LongType,
+          nullable = false)) else Nil) ++
+        (if (needFile) Seq(StructField(FileCol, StringType, nullable = false)) else Nil))
+      return RowAddressScan(parquet, dir, dvByRel, needPos, needFile, output,
+        exactRows, streamDelegate)
+    }
     if (needFile) return FileTagWrapScan(parquet)
     // key-grouped (storage-partitioned) scan: opt-in via the v2 bucketing
     // flag, only when the bucket key survives pruning (the reported
@@ -477,7 +560,8 @@ class ManifestReplaceWrite(op: ManifestRowLevelOperation, dir: String,
     val added = messages
       .collect { case PoolFileCommit(Some(name)) => s"$poolName/$name" }
       .toSeq.sorted
-    ManifestTable.commitRewrite(dir, removed = op.scannedFiles, added = added)
+    ManifestTable.commitRewrite(dir, removed = op.scannedFiles, added = added,
+      expectedDvs = Some(op.snapshotState.dvs))
     ()
   }
 

@@ -36,7 +36,8 @@ import graft.core.ManifestTable
   */
 class ManifestSparkTable(dir: String, declared: StructType,
                          asOf: Option[Long],
-                         bucketing: Option[GraftCatalog.Bucketing] = None)
+                         bucketing: Option[GraftCatalog.Bucketing] = None,
+                         mergeOnRead: Boolean = false)
     extends Table
     with SupportsRead with SupportsWrite
     with SupportsRowLevelOperations with SupportsDelete
@@ -52,6 +53,7 @@ class ManifestSparkTable(dir: String, declared: StructType,
     m.put("graft.provider", "manifest")
     m.put("graft.location", dir)
     bucketing.foreach(b => m.put("graft.bucketing", s"bucket(${b.n}, ${b.col})"))
+    if (mergeOnRead) m.put(GraftCatalog.DmlModeProp, "merge-on-read")
     ManifestTable.currentVersion(dir).foreach(v =>
       m.put("graft.current-version", v.toString))
     m
@@ -66,11 +68,14 @@ class ManifestSparkTable(dir: String, declared: StructType,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
       TableCapability.STREAMING_WRITE)
 
-  private def snapshotPaths: Seq[String] = snapshotEntries._1
+  private def snapshotPaths: Seq[String] = snapshotState._1
 
-  /** Snapshot file list plus the log's data-skipping stats, both keyed by
-    * ABSOLUTE path (what the parquet scan plans with). */
-  private def snapshotEntries: (Seq[String], Map[String, graft.core.FileStats.Stats]) = {
+  /** Snapshot file list and the log's data-skipping stats keyed by
+    * ABSOLUTE path (what the parquet scan plans with), plus the
+    * deletion-vector attachments keyed dir-RELATIVE (what the row-address
+    * readers look files up by). */
+  private def snapshotState: (Seq[String], Map[String, graft.core.FileStats.Stats],
+      Map[String, graft.core.DeletionVectors.DvRef]) = {
     val committed = ManifestTable.allVersions(dir)
     val v = asOf match {
       case Some(req) =>
@@ -79,10 +84,13 @@ class ManifestSparkTable(dir: String, declared: StructType,
             s"(committed: ${committed.mkString(",")})")
         req
       case None =>
-        if (committed.isEmpty) return (Seq.empty, Map.empty) else committed.max
+        if (committed.isEmpty) return (Seq.empty, Map.empty, Map.empty)
+        else committed.max
     }
-    val (files, stats) = ManifestTable.manifestEntries(dir, v)
-    (files.map(f => s"$dir/$f"), stats.map { case (f, s) => s"$dir/$f" -> s })
+    val st = ManifestTable.state(dir, v)
+    (st.files.map(f => s"$dir/$f"),
+      st.stats.map { case (f, s) => s"$dir/$f" -> s },
+      st.dvs)
   }
 
   /** Incremental (CDC-style) reads:
@@ -98,7 +106,8 @@ class ManifestSparkTable(dir: String, declared: StructType,
     * present (not vacuumed) — vacuuming past a consumer's cursor is the
     * same operational error as in any lake format. */
   private def incrementalEntries(startVersion: Long, endVersion: Option[Long])
-      : (Seq[String], Map[String, graft.core.FileStats.Stats]) = {
+      : (Seq[String], Map[String, graft.core.FileStats.Stats],
+         Map[String, graft.core.DeletionVectors.DvRef]) = {
     val committed = ManifestTable.allVersions(dir)
     require(committed.contains(startVersion),
       s"start_version $startVersion is not committed under $dir " +
@@ -111,22 +120,24 @@ class ManifestSparkTable(dir: String, declared: StructType,
     // O(window delta) marker replay (ManifestTable.diff) — an incremental
     // consumer's planning cost tracks its window, not the table size.
     // Window-added files are live at `end`, so the end snapshot's stats
-    // serve them for skipping too.
+    // (and any deletion vectors that landed on them by `end` — the
+    // window's NET rows, matching the endpoint set difference) serve too.
     val added = ManifestTable.diff(dir, startVersion, end)._1
-    val stats = ManifestTable.manifestEntries(dir, end)._2
+    val endState = ManifestTable.state(dir, end)
     (added.map(f => s"$dir/$f"),
-      added.iterator.flatMap(f => stats.get(f).map(s"$dir/$f" -> _)).toMap)
+      added.iterator.flatMap(f => endState.stats.get(f).map(s"$dir/$f" -> _)).toMap,
+      endState.dvs.view.filterKeys(added.toSet).toMap)
   }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     GraftCatalog.requireFieldIdReads(declared, name())
-    val (paths, stats) = Option(options.get("start_version")) match {
+    val (paths, stats, dvs) = Option(options.get("start_version")) match {
       case Some(sv) =>
         require(asOf.isEmpty,
           s"start_version does not combine with VERSION AS OF (${name()})")
         incrementalEntries(sv.toLong,
           Option(options.get("end_version")).map(_.toLong))
-      case None => snapshotEntries
+      case None => snapshotState
     }
     // the scan's file index is served FROM THE LOG (names + lengths in
     // the markers) — planning never lists the filesystem, the property
@@ -134,29 +145,38 @@ class ManifestSparkTable(dir: String, declared: StructType,
     // matched files, not the table's live-file count
     val spark = SparkSession.active
     val relStats = ManifestSparkTable.relKeyed(dir, stats)
-    def mkBuilder(absSubset: Seq[String]) =
+    def mkBuilder(absSubset: Seq[String], withRowIndex: Boolean) =
       ManifestFileIndex.scanBuilder(spark, declared, dir,
-        absSubset.map(ManifestSparkTable.relOf(dir, _)), relStats, options)
+        absSubset.map(ManifestSparkTable.relOf(dir, _)), relStats, options,
+        withRowIndex)
     new ManifestScanBuilder(
       mkBuilder,
-      options, bucketing.filter(_ => ManifestSparkTable.fullyBucketed(paths, bucketing)),
+      options,
+      // vectored tables read row-based until purge/compact — no
+      // key-grouped reporting while vectors are pending
+      bucketing.filter(_ =>
+        dvs.isEmpty && ManifestSparkTable.fullyBucketed(paths, bucketing)),
       // the plain scan doubles as a micro-batch streaming source (offset =
       // manifest version); a time-travel view is a frozen snapshot, not a log
       streamSource = if (asOf.isEmpty) Some((dir, declared)) else None,
-      allPaths = paths, pathStats = stats)
+      allPaths = paths, pathStats = stats, dir = dir, dvByRel = dvs)
   }
 
   // ---- row-level DML ----
 
   override def metadataColumns(): Array[MetadataColumn] =
-    Array(ManifestSparkTable.FileMetadataColumn)
+    Array(ManifestSparkTable.FileMetadataColumn,
+      ManifestSparkTable.PosMetadataColumn)
 
   /** SQL UPDATE / MERGE INTO (and non-translatable DELETEs): group-based
-    * copy-on-write rewrite at file granularity — see
-    * [[ManifestRowLevelOperation]]. */
+    * copy-on-write rewrite at file granularity by default
+    * ([[ManifestRowLevelOperation]]); `'graft.dml.mode'='merge-on-read'`
+    * tables report row ids instead and write deletion vectors
+    * ([[ManifestDeltaOperation]]). */
   override def newRowLevelOperationBuilder(info: RowLevelOperationInfo): RowLevelOperationBuilder = {
     require(asOf.isEmpty, s"cannot run DML against the time-travel view ${name()}")
-    () => new ManifestRowLevelOperation(dir, declared, info.command, bucketing)
+    if (mergeOnRead) () => new ManifestDeltaOperation(dir, declared, info.command)
+    else () => new ManifestRowLevelOperation(dir, declared, info.command, bucketing)
   }
 
   /** DELETE fast path (Spark's metadata-only delete, also TRUNCATE TABLE):
@@ -165,9 +185,13 @@ class ManifestSparkTable(dir: String, declared: StructType,
     * ONLY those with the matches filtered out, and commit
     * `manifest - affected + rewritten`. Untouched files are re-listed,
     * never read. An empty filter array means delete-everything: commit an
-    * empty snapshot without scanning anything. */
+    * empty snapshot without scanning anything. Merge-on-read tables keep
+    * only the empty-filter (truncate) branch — a conditioned DELETE must
+    * write vectors, not rewrite files. */
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
-    asOf.isEmpty && filters.forall(ManifestSparkTable.filterToColumn(_).isDefined)
+    asOf.isEmpty &&
+      (if (mergeOnRead) filters.isEmpty
+       else filters.forall(ManifestSparkTable.filterToColumn(_).isDefined))
 
   override def deleteWhere(filters: Array[Filter]): Unit = {
     require(asOf.isEmpty, s"cannot DELETE from the time-travel view ${name()}")
@@ -184,7 +208,7 @@ class ManifestSparkTable(dir: String, declared: StructType,
     // data skipping on the affected-file DISCOVERY scan too: a file whose
     // log stats prove the DELETE condition can never be TRUE holds no
     // affected rows, so it needn't even be read to find them
-    val stats = snapshotEntries._2
+    val (_, stats, dvs) = snapshotState
     val candidates = snap.filter { p =>
       stats.get(p).forall(s =>
         filters.forall(graft.core.FileStats.mayMatchFilter(_, s, declared)))
@@ -199,7 +223,11 @@ class ManifestSparkTable(dir: String, declared: StructType,
       .collect().map(r => ManifestRowLevelOperation.relName(r.getString(0)))
       .toSeq.sorted
     if (affected.isEmpty) return
-    val survivors = spark.read.schema(declared).parquet(affected.map(f => s"$dir/$f"): _*)
+    // pending deletion vectors must be applied to the survivor rewrite —
+    // a vector-blind read would resurrect merge-on-read-deleted rows
+    val survivors = ManifestTable.applyDvs(spark, dir,
+      spark.read.schema(declared).parquet(affected.map(f => s"$dir/$f"): _*),
+      dvs.view.filterKeys(affected.toSet).toMap)
       .filter(not(coalesce(cond, lit(false)))) // DELETE drops only cond=TRUE rows
     val added = bucketing match {
       // a bucketed table's rewrite re-buckets the survivors, so DML never
@@ -207,7 +235,8 @@ class ManifestSparkTable(dir: String, declared: StructType,
       case Some(b) => ManifestTable.stagePoolBucketed(survivors, dir, b.n, b.col)
       case None    => ManifestTable.stagePool(survivors, dir)
     }
-    ManifestTable.commitRewrite(dir, removed = affected, added = added)
+    ManifestTable.commitRewrite(dir, removed = affected, added = added,
+      expectedDvs = Some(dvs))
     ()
   }
 
@@ -279,6 +308,15 @@ object ManifestSparkTable {
     override def dataType(): DataType = StringType
     override def isNullable: Boolean = false
     override def comment(): String = "dir-relative data file holding the row"
+  }
+
+  /** `_pos`: the row's file-absolute parquet index — with `_file`, the
+    * stable row id merge-on-read DML deletes by (also SELECTable). */
+  object PosMetadataColumn extends MetadataColumn {
+    override def name(): String = DvRead.PosCol
+    override def dataType(): DataType = org.apache.spark.sql.types.LongType
+    override def isNullable: Boolean = false
+    override def comment(): String = "row position within its data file"
   }
 
   /** Translate a v1 source filter into a Column predicate with identical

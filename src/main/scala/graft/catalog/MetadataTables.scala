@@ -34,7 +34,9 @@ object MetadataTables {
     StructField("file", StringType, nullable = false),
     StructField("bytes", LongType, nullable = false),
     StructField("pool", StringType, nullable = false),
-    StructField("row_count", LongType, nullable = true))) // from log stats; null = no stats
+    StructField("row_count", LongType, nullable = true), // from log stats; null = no stats
+    StructField("dv_file", StringType, nullable = true), // deletion vector, if attached
+    StructField("deleted_rows", LongType, nullable = false)))
 
   /** `t.history`: one row per committed version still present. One
     * forward accumulation over the log — the oldest version resolves
@@ -72,17 +74,21 @@ object MetadataTables {
 
   /** `t.files`: one row per data file of the CURRENT snapshot, with the
     * log-carried row count (the data-skipping stats double as the ops
-    * surface's cardinality column; null for stats-less legacy files). */
+    * surface's cardinality column; null for stats-less legacy files) and
+    * the file's deletion-vector attachment — `deleted_rows` summed over
+    * the table is the merge-on-read debt `purge_deletes` would collect. */
   def files(dir: String): Table =
     new VirtualRowsTable(s"files($dir)", FilesSchema, () => {
       val fs = LakeStorage.openFor(dir)
       ManifestTable.currentVersion(dir).toSeq.flatMap { v =>
-        val (names, stats) = ManifestTable.manifestEntries(dir, v)
-        names.map { f =>
-          val bytes = stats.get(f).flatMap(_.sizeBytes)
+        val st = ManifestTable.state(dir, v)
+        st.files.map { f =>
+          val bytes = st.stats.get(f).flatMap(_.sizeBytes)
             .getOrElse(fs.getFileStatus(new Path(dir, f)).getLen)
           Array[Any](f, bytes, f.split("/", 2).head,
-            stats.get(f).map(s => java.lang.Long.valueOf(s.rowCount)).orNull)
+            st.stats.get(f).map(s => java.lang.Long.valueOf(s.rowCount)).orNull,
+            st.dvs.get(f).map(_.path).orNull,
+            st.dvs.get(f).map(_.count).getOrElse(0L))
         }
       }
     })
@@ -201,7 +207,8 @@ object MetadataTables {
     StructField("num_files", LongType, nullable = false),
     StructField("total_bytes", LongType, nullable = false),
     StructField("num_versions", LongType, nullable = false),
-    StructField("bucket_spec", StringType, nullable = true)))
+    StructField("bucket_spec", StringType, nullable = true),
+    StructField("deleted_rows", LongType, nullable = false))) // pending DV debt
 
   /** `t.detail`: the DESCRIBE DETAIL analogue — one row summarizing the
     * table's provider, layout, and current snapshot. Works for both
@@ -211,12 +218,13 @@ object MetadataTables {
              bucketSpec: Option[String]): Table =
     new VirtualRowsTable(s"detail($dir)", DetailSchema, () => {
       val fs = LakeStorage.openFor(dir)
-      val (files, versions, current) =
+      val (files, versions, current, deletedRows) =
         if (provider == "manifest") {
           val vs = ManifestTable.allVersions(dir)
           val cur = vs.lastOption
-          (cur.map(v => ManifestTable.manifest(dir, v).map(f =>
-            new Path(dir, f))).getOrElse(Seq.empty), vs.length.toLong, cur)
+          val st = cur.map(ManifestTable.state(dir, _))
+          (st.map(_.files.map(f => new Path(dir, f))).getOrElse(Seq.empty),
+            vs.length.toLong, cur, st.map(_.deletedRows).getOrElse(0L))
         } else {
           val base = new Path(dir)
           val listed = if (!fs.exists(base)) Seq.empty
@@ -224,11 +232,11 @@ object MetadataTables {
               .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
                 !s.getPath.getName.startsWith("."))
               .map(_.getPath)
-          (listed, 0L, None)
+          (listed, 0L, None, 0L)
         }
       val bytes = files.map(fs.getFileStatus(_).getLen).sum
       Seq(Array[Any](provider, dir, current.map(Long.box).orNull,
-        files.length.toLong, bytes, versions, bucketSpec.orNull))
+        files.length.toLong, bytes, versions, bucketSpec.orNull, deletedRows))
     })
 }
 

@@ -191,12 +191,29 @@ object ManifestTable {
     * the marker's `"st"` key — the data-skipping index, carried next to
     * the file list so planning a selective scan needs no extra object
     * reads. Advisory: absent entries (legacy markers, unreadable footers)
-    * just mean "never skip this file". */
+    * just mean "never skip this file".
+    *
+    * `dvs`: deletion-vector attachments under the marker's `"dv"` key —
+    * `{dataFile: {"f": vectorFile, "n": deletedCount}}`. REPLACEMENT
+    * semantics per data file (a newer vector supersedes the older one);
+    * removing a data file drops its attachment. See [[DeletionVectors]]. */
   private sealed trait MarkerData
   private final case class SnapshotMarker(files: Seq[String],
-      stats: Map[String, FileStats.Stats]) extends MarkerData
+      stats: Map[String, FileStats.Stats],
+      dvs: Map[String, DeletionVectors.DvRef]) extends MarkerData
   private final case class DeltaMarker(add: Seq[String], remove: Seq[String],
-      stats: Map[String, FileStats.Stats]) extends MarkerData
+      stats: Map[String, FileStats.Stats],
+      dvs: Map[String, DeletionVectors.DvRef]) extends MarkerData
+
+  /** A fully-resolved version: live data files, their data-skipping
+    * stats, and their deletion-vector attachments. */
+  final case class TableState(files: Seq[String],
+      stats: Map[String, FileStats.Stats],
+      dvs: Map[String, DeletionVectors.DvRef]) {
+    /** Live rows = committed rows minus deleted positions — exact when
+      * the log's stats cover every file. */
+    def deletedRows: Long = dvs.valuesIterator.map(_.count).sum
+  }
 
   private def readTextFile(fs: org.apache.hadoop.fs.FileSystem, p: Path): String = {
     val in = fs.open(p)
@@ -227,63 +244,76 @@ object ManifestTable {
       case _ => Map.empty
     }
 
+  private def markerDvs(m: Map[String, org.json4s.JValue]): Map[String, DeletionVectors.DvRef] =
+    m.get("dv") match {
+      case Some(obj: org.json4s.JObject) =>
+        obj.obj.iterator.flatMap { case (file, j) =>
+          DeletionVectors.fromJson(j).map(file -> _)
+        }.toMap
+      case _ => Map.empty
+    }
+
   private def readMarkerData(dir: String, version: Long): MarkerData = {
     val fs = LakeStorage.openFor(dir)
     val p = new Path(dir, marker(version))
     org.json4s.jackson.JsonMethods.parse(readTextFile(fs, p)) match {
-      case arr: org.json4s.JArray => SnapshotMarker(strings(arr, p), Map.empty) // legacy full list
+      case arr: org.json4s.JArray =>
+        SnapshotMarker(strings(arr, p), Map.empty, Map.empty) // legacy full list
       case obj: org.json4s.JObject =>
         val m = obj.obj.toMap
-        if (m.contains("s")) SnapshotMarker(strings(m("s"), p), markerStats(m))
+        if (m.contains("s"))
+          SnapshotMarker(strings(m("s"), p), markerStats(m), markerDvs(m))
         else DeltaMarker(
           strings(m.getOrElse("a", org.json4s.JNothing), p),
           strings(m.getOrElse("r", org.json4s.JNothing), p),
-          markerStats(m))
+          markerStats(m), markerDvs(m))
       case other => throw new IllegalStateException(
         s"corrupt manifest $p: expected JSON array or object, got $other")
     }
   }
 
-  /** Checkpoint line format: `relative/path` or `relative/path\t{stats}`
-    * (tab-separated file stats JSON — paths never contain tabs; legacy
-    * stats-less checkpoints parse as the first form). Still plain
-    * newline-separated text, so the metadata stays `spark.read.text`-able
-    * and splittable. */
-  private def readCheckpointEntries(dir: String, version: Long)
-      : (Seq[String], Map[String, FileStats.Stats]) = {
+  /** Checkpoint line format: `relative/path`, `relative/path\t{stats}`,
+    * or `relative/path\t{stats}\t{dv}` (tab-separated file-stats and
+    * deletion-vector JSON — paths never contain tabs; the stats field may
+    * be empty when only a vector is attached; legacy stats-less
+    * checkpoints parse as the first form). Still plain newline-separated
+    * text, so the metadata stays `spark.read.text`-able and splittable. */
+  private def readCheckpointEntries(dir: String, version: Long): TableState = {
     val fs = LakeStorage.openFor(dir)
     val text = readTextFile(fs, new Path(dir, ckptName(version)))
-    if (text.isEmpty) return (Seq.empty, Map.empty)
+    if (text.isEmpty) return TableState(Seq.empty, Map.empty, Map.empty)
     val files = Seq.newBuilder[String]
     val stats = Map.newBuilder[String, FileStats.Stats]
+    val dvs = Map.newBuilder[String, DeletionVectors.DvRef]
     text.split("\n", -1).iterator.filter(_.nonEmpty).foreach { line =>
-      val tab = line.indexOf('\t')
-      if (tab < 0) files += line
-      else {
-        val f = line.substring(0, tab)
-        files += f
-        FileStats.parse(line.substring(tab + 1)).foreach(s => stats += f -> s)
-      }
+      val fields = line.split("\t", -1)
+      val f = fields(0)
+      files += f
+      if (fields.length > 1 && fields(1).nonEmpty)
+        FileStats.parse(fields(1)).foreach(s => stats += f -> s)
+      if (fields.length > 2 && fields(2).nonEmpty)
+        DeletionVectors.parse(fields(2)).foreach(d => dvs += f -> d)
     }
-    (files.result(), stats.result())
+    TableState(files.result(), stats.result(), dvs.result())
   }
 
   private def readCheckpoint(dir: String, version: Long): Seq[String] =
-    readCheckpointEntries(dir, version)._1
+    readCheckpointEntries(dir, version).files
 
   /** Write the checkpoint for `version` (temp file + atomic rename; a
     * concurrent duplicate writer loses the rename and cleans up — the
     * content is deterministic, so either copy is correct). */
-  private def writeCheckpoint(dir: String, version: Long, files: Seq[String],
-      stats: Map[String, FileStats.Stats]): Unit = {
+  private def writeCheckpoint(dir: String, version: Long, st: TableState): Unit = {
     val fs = LakeStorage.openFor(dir)
     val target = new Path(dir, ckptName(version))
     if (fs.exists(target)) return
     val tmp = new Path(dir, s".${ckptName(version)}.tmp-${java.util.UUID.randomUUID()}")
-    val body = files.map { f =>
-      stats.get(f) match {
-        case Some(s) => s"$f\t${FileStats.render(s)}"
-        case None    => f
+    val body = st.files.map { f =>
+      (st.stats.get(f), st.dvs.get(f)) match {
+        case (None, None)       => f
+        case (s, None)          => s"$f\t${s.map(FileStats.render).getOrElse("")}"
+        case (s, Some(d))       =>
+          s"$f\t${s.map(FileStats.render).getOrElse("")}\t${DeletionVectors.render(d)}"
       }
     }.mkString("\n")
     val out = fs.create(tmp, true)
@@ -305,6 +335,14 @@ object ManifestTable {
     * for those files (files without stats are simply absent from the
     * map — they are scanned unconditionally). Same resolution cost. */
   def manifestEntries(dir: String, version: Long): (Seq[String], Map[String, FileStats.Stats]) = {
+    val st = state(dir, version)
+    (st.files, st.stats)
+  }
+
+  /** [[manifestEntries]] plus the version's deletion-vector attachments —
+    * what every LIVE-ROW read path resolves (a scan that ignored the
+    * vectors would resurrect deleted rows). */
+  def state(dir: String, version: Long): TableState = {
     var lastMiss: java.io.FileNotFoundException = null
     var attempt = 0
     while (attempt < 3) {
@@ -315,27 +353,27 @@ object ManifestTable {
       s"version $version of $dir is not resolvable (vacuumed or corrupt log)", lastMiss)
   }
 
-  private def resolve(dir: String, version: Long): (Seq[String], Map[String, FileStats.Stats]) = {
+  private def resolve(dir: String, version: Long): TableState = {
     val ckpt = checkpointVersions(dir).filter(_ <= version).lastOption
     if (ckpt.contains(version)) return readCheckpointEntries(dir, version)
     var deltas = List.empty[DeltaMarker] // head = oldest unapplied
-    var base: Seq[String] = null
-    var baseStats: Map[String, FileStats.Stats] = Map.empty
+    var base: TableState = null
     var v = version
     while (base == null) {
-      if (v < version && ckpt.contains(v)) {
-        val (f, s) = readCheckpointEntries(dir, v); base = f; baseStats = s
-      }
-      else if (v < 1) base = Seq.empty // all-delta chain: the table began empty
+      if (v < version && ckpt.contains(v)) base = readCheckpointEntries(dir, v)
+      else if (v < 1) // all-delta chain: the table began empty
+        base = TableState(Seq.empty, Map.empty, Map.empty)
       else readMarkerData(dir, v) match {
-        case SnapshotMarker(files, st) => base = files; baseStats = st
+        case SnapshotMarker(files, st, dv) => base = TableState(files, st, dv)
         case d: DeltaMarker => deltas ::= d; v -= 1
       }
     }
-    deltas.foldLeft((base, baseStats)) { case ((list, stats), d) =>
+    deltas.foldLeft(base) { case (TableState(list, stats, dvs), d) =>
       val rm = d.remove.toSet
-      ((if (rm.isEmpty) list else list.filterNot(rm)) ++ d.add,
-        (if (rm.isEmpty) stats else stats -- rm) ++ d.stats)
+      TableState(
+        (if (rm.isEmpty) list else list.filterNot(rm)) ++ d.add,
+        (if (rm.isEmpty) stats else stats -- rm) ++ d.stats,
+        (if (rm.isEmpty) dvs else dvs -- rm) ++ d.dvs)
     }
   }
 
@@ -373,7 +411,7 @@ object ManifestTable {
     var v = fromVersion + 1
     while (v <= toVersion) {
       readMarkerData(dir, v) match {
-        case DeltaMarker(add, rm, _) =>
+        case DeltaMarker(add, rm, _, _) =>
           rm.foreach { f => if (!added.remove(f)) { removed += f; () } }
           add.foreach { f => if (!removed.remove(f)) { added += f; () } }
         case _: SnapshotMarker =>
@@ -397,8 +435,17 @@ object ManifestTable {
   private[graft] def addedEntriesAt(dir: String, v: Long)
       : (Seq[String], Map[String, FileStats.Stats]) =
     readMarkerData(dir, v) match {
-      case DeltaMarker(add, _, st)   => (add, st)
-      case SnapshotMarker(files, st) => (files, st)
+      case DeltaMarker(add, _, st, _)   => (add, st)
+      case SnapshotMarker(files, st, _) => (files, st)
+    }
+
+  /** The deletion-vector attachments version `v`'s commit wrote (empty
+    * for ordinary appends/rewrites) — one marker read; what the change
+    * feed turns into `delete` pre-images. */
+  private[graft] def dvsAt(dir: String, v: Long): Map[String, DeletionVectors.DvRef] =
+    readMarkerData(dir, v) match {
+      case d: DeltaMarker    => d.dvs
+      case s: SnapshotMarker => s.dvs
     }
 
   /** Every file referenced by ANY surviving committed version, in ONE pass
@@ -408,11 +455,15 @@ object ManifestTable {
     val versions = allVersions(dir)
     if (versions.isEmpty) return Set.empty
     val acc = scala.collection.mutable.HashSet.empty[String]
-    acc ++= manifest(dir, versions.head)
+    val oldest = state(dir, versions.head)
+    acc ++= oldest.files
+    acc ++= oldest.dvs.valuesIterator.map(_.path)
     versions.tail.foreach { v =>
       readMarkerData(dir, v) match {
-        case SnapshotMarker(files, _) => acc ++= files
-        case DeltaMarker(add, _, _)   => acc ++= add
+        case SnapshotMarker(files, _, dv) =>
+          acc ++= files; acc ++= dv.valuesIterator.map(_.path)
+        case DeltaMarker(add, _, _, dv)   =>
+          acc ++= add; acc ++= dv.valuesIterator.map(_.path)
       }
     }
     acc.toSet
@@ -497,14 +548,50 @@ object ManifestTable {
     * a concurrent writer replaced or removed any file in `removed`, this
     * rewrite read stale data and the commit ABORTS with
     * `ConcurrentModificationException` — rerun the DML. */
-  def commitRewrite(dir: String, removed: Seq[String], added: Seq[String]): Long = {
+  def commitRewrite(dir: String, removed: Seq[String], added: Seq[String],
+                    expectedDvs: Option[Map[String, DeletionVectors.DvRef]] = None): Long = {
     val rm = removed.toSet
     val st = FileStats.collect(dir, added)
     commitLoop(dir) { base =>
-      val baseFiles = base.map(manifest(dir, _)).getOrElse(Seq.empty)
-      if (rm.subsetOf(baseFiles.toSet))
+      val baseState = base.map(state(dir, _))
+        .getOrElse(TableState(Seq.empty, Map.empty, Map.empty))
+      val filesLive = rm.subsetOf(baseState.files.toSet)
+      // a rewrite that READ its input (DML, purge) applied the deletion
+      // vectors it saw at scan time; a DIFFERENT vector on any rewritten
+      // file now means a concurrent merge-on-read DELETE landed between
+      // the scan and this commit — committing would resurrect those rows
+      val dvsUnchanged = expectedDvs.forall(seen =>
+        rm.forall(f => baseState.dvs.get(f).map(_.path) == seen.get(f).map(_.path)))
+      if (filesLive && dvsUnchanged)
         Some(Delta(add = added, remove = removed, stats = st))
-      else None // a removed file vanished: concurrent rewrite beat us
+      else None // a removed file vanished or changed: concurrent writer beat us
+    }
+  }
+
+  /** Commit a MERGE-ON-READ row-level change: attach deletion vectors to
+    * live files (replacement semantics per file) and add `added` data
+    * files (an UPDATE/MERGE's re-inserted rows) — no data file is
+    * rewritten or removed. Optimistic rules: rebases cleanly over
+    * concurrent appends and over vector commits on DISJOINT files; ABORTS
+    * (stale scan) if any targeted file was removed/replaced concurrently
+    * or received a different vector than the one this operation's scan
+    * applied (`expectedDvs`: the per-file vector paths seen at scan time,
+    * None entries for files that had none). */
+  def commitDeleteVectors(dir: String,
+      dvs: Map[String, DeletionVectors.DvRef], added: Seq[String],
+      expectedDvs: Map[String, Option[String]]): Long = {
+    require(dvs.nonEmpty || added.nonEmpty, "empty merge-on-read commit")
+    val st = FileStats.collect(dir, added)
+    commitLoop(dir) { base =>
+      val baseState = base.map(state(dir, _))
+        .getOrElse(TableState(Seq.empty, Map.empty, Map.empty))
+      val live = baseState.files.toSet
+      val ok = dvs.keysIterator.forall { f =>
+        live.contains(f) &&
+          baseState.dvs.get(f).map(_.path) == expectedDvs.getOrElse(f, None)
+      }
+      if (ok) Some(Delta(add = added, remove = Seq.empty, stats = st, dvs = dvs))
+      else None // targeted file removed or re-vectored concurrently
     }
   }
 
@@ -522,12 +609,39 @@ object ManifestTable {
           s"version $req is not committed under $dir (committed: ${committed.mkString(",")})")
         req
     }
-    val files = manifest(dir, v)
-    if (files.isEmpty)
+    val st = state(dir, v)
+    if (st.files.isEmpty)
       throw new IllegalStateException(
         s"version $v of $dir is an empty snapshot — no schema to read " +
           "(the catalog layer serves empty tables from their declared schema)")
-    spark.read.parquet(files.map(f => s"$dir/$f"): _*)
+    applyDvs(spark, dir, spark.read.parquet(st.files.map(f => s"$dir/$f"): _*), st.dvs)
+  }
+
+  /** Subtract deletion-vector positions from a file-source DataFrame read
+    * of manifest data files: anti-join on (`_metadata.file_path`,
+    * `_metadata.row_index`) against the vectors' (file, position) pairs —
+    * the DataFrame-level twin of the catalog scan's reader-level filter,
+    * used by every path that reads snapshot files through `spark.read`
+    * (core reads, compaction, the DELETE fast path's survivor rewrite).
+    * The deleted-pair side is metadata-sized (positions already committed
+    * as vector files) and broadcasts. */
+  def applyDvs(spark: SparkSession, dir: String, df: DataFrame,
+               dvs: Map[String, DeletionVectors.DvRef]): DataFrame = {
+    if (dvs.isEmpty) return df
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val fs = LakeStorage.openFor(dir)
+    val deleted: Seq[(String, Long)] = dvs.toSeq.flatMap { case (f, ref) =>
+      val qualified = fs.makeQualified(new Path(dir, f)).toString
+      DeletionVectors.read(fs, dir, ref.path).map(qualified -> _).toSeq
+    }
+    import spark.implicits._
+    val dead = deleted.toDF("__dv_file", "__dv_pos")
+    df.withColumn("__file", col("_metadata.file_path"))
+      .withColumn("__pos", col("_metadata.row_index"))
+      .join(broadcast(dead),
+        col("__file") === col("__dv_file") && col("__pos") === col("__dv_pos"),
+        "left_anti")
+      .drop("__file", "__pos")
   }
 
   /** Snapshot read for the compaction rewrites. `readSchema` (the
@@ -571,14 +685,18 @@ object ManifestTable {
     val fs = LakeStorage.openFor(dir)
     val snapVersion = currentVersion(dir).getOrElse(
       throw new IllegalStateException(s"no committed version under $dir"))
-    val (snapFiles, snapStats) = manifestEntries(dir, snapVersion)
+    val snap = state(dir, snapVersion)
+    val (snapFiles, snapStats) = (snap.files, snap.stats)
     if (snapFiles.isEmpty) return (0L, 0L)
     // log-carried lengths; stat only the legacy residue
     val totalBytes = snapFiles.map(f =>
       snapStats.get(f).flatMap(_.sizeBytes)
         .getOrElse(fs.getFileStatus(new Path(dir, f)).getLen)).sum
     val nOut = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
-    val snapshot = readSnapshot(spark, dir, snapFiles, readSchema)
+    // deletion vectors are MATERIALIZED by compaction: the rewrite reads
+    // live rows only, and the compacted snapshot carries no vectors
+    val snapshot = applyDvs(spark, dir,
+      readSnapshot(spark, dir, snapFiles, readSchema), snap.dvs)
     val rewritten =
       if (clusterBy.isEmpty) snapshot.coalesce(nOut)
       else {
@@ -592,18 +710,45 @@ object ManifestTable {
     commitLoop(dir) { base =>
       if (base.contains(snapVersion)) Some(Snapshot(compacted, compactedStats))
       else {
-        val (baseFiles, baseStats) =
-          base.map(manifestEntries(dir, _)).getOrElse((Seq.empty, Map.empty[String, FileStats.Stats]))
-        if (snapSet.subsetOf(baseFiles.toSet)) {
+        val baseState = base.map(state(dir, _))
+          .getOrElse(TableState(Seq.empty, Map.empty, Map.empty))
+        val baseFiles = baseState.files
+        // a vector committed on OUR files since the snapshot means rows
+        // this rewrite already copied were deleted concurrently — stale
+        val dvsUnchanged = snapSet.forall(f =>
+          baseState.dvs.get(f).map(_.path) == snap.dvs.get(f).map(_.path))
+        if (snapSet.subsetOf(baseFiles.toSet) && dvsUnchanged) {
           // concurrent appends since our snapshot: carry their files over
+          // (vectors on carried files too — they were applied by no one)
           val carried = baseFiles.filterNot(snapSet)
           Some(Snapshot(compacted ++ carried,
-            compactedStats ++ baseStats.view.filterKeys(carried.toSet).toMap))
+            compactedStats ++ baseState.stats.view.filterKeys(carried.toSet).toMap,
+            baseState.dvs.view.filterKeys(carried.toSet).toMap))
         }
         else None // our snapshot's files were replaced — stale rewrite
       }
     }
     (snapFiles.length.toLong, compacted.length.toLong)
+  }
+
+  /** Rewrite ONLY the files carrying deletion vectors (live rows kept,
+    * vectors dropped) — the targeted debt-collection pass of a
+    * merge-on-read table: untouched files stay untouched, so the cost is
+    * proportional to the VECTORED bytes, not the table. Returns
+    * (filesRewritten, positionsPurged). */
+  def purgeDeletes(spark: SparkSession, dir: String,
+      readSchema: Option[org.apache.spark.sql.types.StructType] = None): (Long, Long) = {
+    val snapVersion = currentVersion(dir).getOrElse(
+      throw new IllegalStateException(s"no committed version under $dir"))
+    val snap = state(dir, snapVersion)
+    if (snap.dvs.isEmpty) return (0L, 0L)
+    val vectored = snap.files.filter(snap.dvs.contains)
+    val survivors = applyDvs(spark, dir,
+      readSnapshot(spark, dir, vectored, readSchema), snap.dvs)
+    val added = stagePool(survivors, dir)
+    commitRewrite(dir, removed = vectored, added = added,
+      expectedDvs = Some(snap.dvs))
+    (vectored.length.toLong, snap.deletedRows)
   }
 
   /** Roll the table back (or forward) to `toVersion`'s contents by
@@ -617,8 +762,8 @@ object ManifestTable {
     require(committed.contains(toVersion),
       s"version $toVersion is not committed under $dir " +
         s"(committed: ${committed.mkString(",")})")
-    val (target, targetStats) = manifestEntries(dir, toVersion)
-    commitLoop(dir) { _ => Some(Snapshot(target, targetStats)) }
+    val target = state(dir, toVersion)
+    commitLoop(dir) { _ => Some(Snapshot(target.files, target.stats, target.dvs)) }
   }
 
   /** Adopt pre-existing parquet files into the table WITHOUT rewriting
@@ -693,21 +838,27 @@ object ManifestTable {
                       readSchema: Option[org.apache.spark.sql.types.StructType] = None): (Long, Long) = {
     val snapVersion = currentVersion(dir).getOrElse(
       throw new IllegalStateException(s"no committed version under $dir"))
-    val snapFiles = manifest(dir, snapVersion)
+    val snap = state(dir, snapVersion)
+    val snapFiles = snap.files
     if (snapFiles.isEmpty) return (0L, 0L)
     val compacted = stagePoolBucketed(
-      readSnapshot(spark, dir, snapFiles, readSchema), dir, numBuckets, keyCol)
+      applyDvs(spark, dir, readSnapshot(spark, dir, snapFiles, readSchema), snap.dvs),
+      dir, numBuckets, keyCol)
     val compactedStats = FileStats.collect(dir, compacted)
     val snapSet = snapFiles.toSet
     commitLoop(dir) { base =>
       if (base.contains(snapVersion)) Some(Snapshot(compacted, compactedStats))
       else {
-        val (baseFiles, baseStats) =
-          base.map(manifestEntries(dir, _)).getOrElse((Seq.empty, Map.empty[String, FileStats.Stats]))
-        if (snapSet.subsetOf(baseFiles.toSet)) {
+        val baseState = base.map(state(dir, _))
+          .getOrElse(TableState(Seq.empty, Map.empty, Map.empty))
+        val baseFiles = baseState.files
+        val dvsUnchanged = snapSet.forall(f =>
+          baseState.dvs.get(f).map(_.path) == snap.dvs.get(f).map(_.path))
+        if (snapSet.subsetOf(baseFiles.toSet) && dvsUnchanged) {
           val carried = baseFiles.filterNot(snapSet)
           Some(Snapshot(compacted ++ carried,
-            compactedStats ++ baseStats.view.filterKeys(carried.toSet).toMap))
+            compactedStats ++ baseState.stats.view.filterKeys(carried.toSet).toMap,
+            baseState.dvs.view.filterKeys(carried.toSet).toMap))
         }
         else None
       }
@@ -748,13 +899,16 @@ object ManifestTable {
     val kept = committed.takeRight(keep)
     val cutoff = kept.head
     // anchor the surviving log BEFORE truncating it
-    val (cutFiles, cutStats) = manifestEntries(dir, cutoff)
-    writeCheckpoint(dir, cutoff, cutFiles, cutStats)
+    writeCheckpoint(dir, cutoff, state(dir, cutoff))
     // pool dirs referenced by any kept / any committed manifest (first
-    // path segment); committed-but-not-kept pools are dead on expiry,
-    // unreferenced-by-any pools get the orphan retention window
+    // path segment — data files AND deletion-vector files); committed-
+    // but-not-kept pools are dead on expiry, unreferenced-by-any pools
+    // get the orphan retention window
     val referencedKept: Set[String] =
-      kept.flatMap(v => manifest(dir, v).map(_.split("/", 2).head)).toSet
+      kept.flatMap { v =>
+        val st = state(dir, v)
+        (st.files ++ st.dvs.valuesIterator.map(_.path)).map(_.split("/", 2).head)
+      }.toSet
     val referencedAny: Set[String] =
       allReferencedFiles(dir).map(_.split("/", 2).head)
     val now = System.currentTimeMillis()
@@ -800,9 +954,11 @@ object ManifestTable {
 
   private sealed trait Commit
   private final case class Snapshot(files: Seq[String],
-      stats: Map[String, FileStats.Stats]) extends Commit
+      stats: Map[String, FileStats.Stats],
+      dvs: Map[String, DeletionVectors.DvRef] = Map.empty) extends Commit
   private final case class Delta(add: Seq[String], remove: Seq[String],
-      stats: Map[String, FileStats.Stats]) extends Commit
+      stats: Map[String, FileStats.Stats],
+      dvs: Map[String, DeletionVectors.DvRef] = Map.empty) extends Commit
 
   /** Optimistic commit: compute the commit action against the current
     * version and try to create marker `current + 1`; if another writer won
@@ -826,10 +982,8 @@ object ManifestTable {
         case Some(commit) =>
           if (tryCommit(fs, dir, next, commit)) {
             writeHeadPointer(dir, next) // best-effort O(1) head cache
-            if (next % CheckpointInterval == 0) {
-              val (ckFiles, ckStats) = manifestEntries(dir, next)
-              writeCheckpoint(dir, next, ckFiles, ckStats)
-            }
+            if (next % CheckpointInterval == 0)
+              writeCheckpoint(dir, next, state(dir, next))
             return next
           }
       }
@@ -851,13 +1005,20 @@ object ManifestTable {
       else List("st" -> JObject(st.toList.sortBy(_._1).map { case (f, v) =>
         f -> FileStats.toJson(v)
       }))
+    def dvObj(dv: Map[String, DeletionVectors.DvRef]): List[(String, JValue)] =
+      if (dv.isEmpty) Nil
+      else List("dv" -> JObject(dv.toList.sortBy(_._1).map { case (f, v) =>
+        f -> DeletionVectors.toJson(v)
+      }))
     val jv = commit match {
-      case Snapshot(files, st) =>
-        JObject(("s" -> (JArray(files.map(JString(_)).toList): JValue)) :: statsObj(st))
-      case Delta(add, remove, st) =>
+      case Snapshot(files, st, dv) =>
+        JObject(("s" -> (JArray(files.map(JString(_)).toList): JValue)) ::
+          (statsObj(st) ++ dvObj(dv)))
+      case Delta(add, remove, st, dv) =>
         JObject(
           ("a" -> (JArray(add.map(JString(_)).toList): JValue)) ::
-          ("r" -> (JArray(remove.map(JString(_)).toList): JValue)) :: statsObj(st))
+          ("r" -> (JArray(remove.map(JString(_)).toList): JValue)) ::
+          (statsObj(st) ++ dvObj(dv)))
     }
     val json = org.json4s.jackson.JsonMethods.compact(
       org.json4s.jackson.JsonMethods.render(jv))

@@ -480,6 +480,53 @@ object CoverageQueries extends QueryModule {
         .toDF("files_total", "files_planned", "n_orders", "sum_key")
     },
 
+    // --- merge-on-read DML via DELETION VECTORS (core/DeletionVectors +
+    //     catalog/ManifestDeltaOperation): on a 'graft.dml.mode' =
+    //     'merge-on-read' table a DELETE writes a position sidecar (no
+    //     data file rewritten — proved by the unchanged file set riding
+    //     the result), an UPDATE vectors the old rows and appends the new
+    //     images, t.detail reports the debt, and CALL purge_deletes
+    //     materializes it (only vectored files rewrite). The debts and
+    //     the final aggregate are exact and oracle-replayed ---
+    "qc30_deletion_vectors" -> { (s, d) =>
+      import s.implicits._
+      if (s.conf.getOption("spark.sql.catalog.graft_cat").isEmpty)
+        graft.catalog.GraftCatalog.register(s, "graft_cat",
+          graft.core.TempDirs.create("graft_cat_root_"))
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.db")
+      s.sql("DROP TABLE IF EXISTS graft_cat.db.mor")
+      Tables.documents(s, d).createOrReplaceTempView("qc30_documents")
+      s.sql("CREATE TABLE graft_cat.db.mor " +
+        "(doc_id BIGINT, lang STRING, n_chars BIGINT) USING manifest " +
+        "TBLPROPERTIES ('graft.dml.mode' = 'merge-on-read')")
+      s.sql("INSERT INTO graft_cat.db.mor " +
+        "SELECT /*+ REPARTITION(4) */ doc_id, lang, n_chars " +
+        "FROM qc30_documents WHERE doc_id < 150")
+      s.sql("INSERT INTO graft_cat.db.mor " +
+        "SELECT /*+ REPARTITION(6) */ doc_id, lang, n_chars " +
+        "FROM qc30_documents WHERE doc_id >= 150")
+      def files(): Set[String] =
+        s.sql("SELECT file FROM graft_cat.db.mor.files")
+          .collect().map(_.getString(0)).toSet
+      def debt(): Long =
+        s.sql("SELECT deleted_rows FROM graft_cat.db.mor.detail").head().getLong(0)
+      val before = files()
+      s.sql("DELETE FROM graft_cat.db.mor WHERE doc_id % 7 = 3")
+      val unchangedByDelete = files() == before
+      val debtAfterDelete = debt()
+      s.sql("UPDATE graft_cat.db.mor SET n_chars = n_chars + 500 WHERE lang = 'en'")
+      val originalsSurvive = before.subsetOf(files())
+      val debtAfterUpdate = debt()
+      val purged = s.sql("CALL graft_cat.system.purge_deletes('db.mor')").head()
+      val fin = s.sql("SELECT count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS c " +
+        "FROM graft_cat.db.mor").head()
+      Seq((unchangedByDelete, debtAfterDelete, originalsSurvive, debtAfterUpdate,
+          purged.getLong(1), debt(), fin.getLong(0), fin.getLong(1)))
+        .toDF("files_unchanged_by_delete", "debt_after_delete",
+          "originals_survive_update", "debt_after_update", "positions_purged",
+          "debt_after_purge", "rows_final", "chars_final")
+    },
+
     // --- metadata tables (catalog/MetadataTables): t.history / t.files
     //     — one row per committed version / per current-snapshot file,
     //     derived purely from commit markers + file status (the DESCRIBE
@@ -907,6 +954,25 @@ object CoverageQueries extends QueryModule {
            (SELECT count(*) FROM documents WHERE doc_id % 2 = 0) AS rows_v1_time_travel,
            (SELECT count(*) FROM documents) AS rows_after_adopt,
            CAST((SELECT sum(n_chars) FROM documents) AS BIGINT) AS chars_after_adopt""",
+
+    // the vector debts are exact row counts the oracle recomputes from
+    // the DML predicates; the structural booleans (file set untouched by
+    // DELETE, originals surviving UPDATE) are the merge-on-read contract
+    "qc30_deletion_vectors" ->
+      """WITH live AS (
+           SELECT doc_id, lang,
+             CASE WHEN lang = 'en' THEN n_chars + 500 ELSE n_chars END AS n_chars
+           FROM documents WHERE doc_id % 7 <> 3)
+         SELECT CAST(1 AS BOOLEAN) AS files_unchanged_by_delete,
+           (SELECT count(*) FROM documents WHERE doc_id % 7 = 3) AS debt_after_delete,
+           CAST(1 AS BOOLEAN) AS originals_survive_update,
+           (SELECT count(*) FROM documents
+             WHERE doc_id % 7 = 3 OR lang = 'en') AS debt_after_update,
+           (SELECT count(*) FROM documents
+             WHERE doc_id % 7 = 3 OR lang = 'en') AS positions_purged,
+           CAST(0 AS BIGINT) AS debt_after_purge,
+           (SELECT count(*) FROM live) AS rows_final,
+           CAST((SELECT sum(n_chars) FROM live) AS BIGINT) AS chars_final""",
 
     // three disjoint-date-range files; the range query's stats pruning
     // plans exactly one — the counts are structural constants, the

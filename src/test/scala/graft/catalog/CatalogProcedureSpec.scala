@@ -252,7 +252,8 @@ class CatalogProcedureSpec extends AnyFunSuite {
   test("procedures are discoverable and argument errors are loud") {
     ensureDb()
     val procs = spark.sql("SHOW PROCEDURES IN gp.system").collect().map(_.getString(3))
-    assert(procs.toSet === Set("compact", "vacuum", "rollback", "register_files"))
+    assert(procs.toSet ===
+      Set("compact", "vacuum", "rollback", "register_files", "purge_deletes"))
     val e = intercept[Exception] {
       spark.sql("CALL gp.system.nope('db.t')").collect()
     }

@@ -1,0 +1,274 @@
+package graft.catalog
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.{DeletionVectors, LakeStorage, ManifestTable}
+
+/** Merge-on-read row-level DML via deletion vectors
+  * (`TBLPROPERTIES ('graft.dml.mode' = 'merge-on-read')`):
+  * a DELETE writes a position sidecar instead of rewriting files, scans
+  * subtract the positions, UPDATE/MERGE re-insert changed rows next to
+  * the vectors, and purge/compact materialize the debt away. */
+class DeletionVectorSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    GraftCatalog.register(s, "gv", root)
+    s
+  }
+  private lazy val root =
+    "file://" + Files.createTempDirectory("graft_catalog_dv_").toString
+
+  private def ensureDb(): Unit =
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gv.db")
+
+  private def dir(t: String): String = s"$root/db/$t"
+
+  private def state(t: String): ManifestTable.TableState =
+    ManifestTable.state(dir(t), ManifestTable.currentVersion(dir(t)).get)
+
+  private def morTable(t: String, rows: Int = 30): Unit = {
+    ensureDb()
+    spark.sql(s"DROP TABLE IF EXISTS gv.db.$t")
+    spark.sql(s"CREATE TABLE gv.db.$t (id BIGINT, v STRING) USING manifest " +
+      "TBLPROPERTIES ('graft.dml.mode' = 'merge-on-read')")
+    spark.sql(s"INSERT INTO gv.db.$t SELECT id, concat('a', id) FROM range(0, ${rows / 3})")
+    spark.sql(s"INSERT INTO gv.db.$t SELECT id, concat('b', id) FROM range(${rows / 3}, ${2 * rows / 3})")
+    spark.sql(s"INSERT INTO gv.db.$t SELECT id, concat('c', id) FROM range(${2 * rows / 3}, $rows)")
+  }
+
+  test("DELETE writes a vector — no data file is rewritten") {
+    morTable("dv_del")
+    val before = state("dv_del")
+    assert(before.dvs.isEmpty)
+    spark.sql("DELETE FROM gv.db.dv_del WHERE id IN (3, 7, 15)")
+    val after = state("dv_del")
+    assert(after.files.toSet === before.files.toSet,
+      "merge-on-read DELETE must not add/remove/rewrite data files")
+    assert(after.dvs.nonEmpty, "the DELETE must attach deletion vectors")
+    assert(after.deletedRows === 3L)
+    // reads subtract the vectored rows
+    assert(spark.sql("SELECT count(*) FROM gv.db.dv_del").head().getLong(0) === 27L)
+    assert(spark.sql("SELECT count(*) FROM gv.db.dv_del WHERE id IN (3,7,15)")
+      .head().getLong(0) === 0L)
+    // a second DELETE on an already-vectored file REPLACES its vector
+    spark.sql("DELETE FROM gv.db.dv_del WHERE id = 4")
+    val again = state("dv_del")
+    assert(again.deletedRows === 4L)
+    assert(spark.sql("SELECT count(*) FROM gv.db.dv_del").head().getLong(0) === 26L)
+    assert(again.files.toSet === before.files.toSet)
+  }
+
+  test("filters and aggregates stay correct on vectored tables") {
+    morTable("dv_scan")
+    spark.sql("DELETE FROM gv.db.dv_scan WHERE id % 2 = 0")
+    assert(spark.sql("SELECT count(*) FROM gv.db.dv_scan").head().getLong(0) === 15L)
+    assert(spark.sql("SELECT sum(id) FROM gv.db.dv_scan").head().getLong(0) ===
+      (1 to 29 by 2).sum.toLong)
+    assert(spark.sql("SELECT count(*) FROM gv.db.dv_scan WHERE id > 10")
+      .head().getLong(0) === (11 to 29).count(_ % 2 == 1).toLong)
+    // _pos / _file metadata columns remain selectable
+    val withPos = spark.sql("SELECT id, _pos, _file FROM gv.db.dv_scan WHERE id = 1").head()
+    assert(withPos.getLong(0) === 1L)
+    assert(withPos.getLong(1) === 1L, "_pos is the file-absolute row index")
+    assert(withPos.getString(2).startsWith("d-"))
+  }
+
+  test("UPDATE = vector the old row + insert the new one") {
+    morTable("dv_upd")
+    val before = state("dv_upd")
+    spark.sql("UPDATE gv.db.dv_upd SET v = 'updated' WHERE id = 12")
+    val after = state("dv_upd")
+    assert(before.files.toSet.subsetOf(after.files.toSet),
+      "UPDATE must keep every original data file (vector, not rewrite)")
+    assert((after.files.toSet -- before.files.toSet).nonEmpty,
+      "UPDATE must add an insert file for the new row image")
+    assert(after.deletedRows === 1L)
+    assert(spark.sql("SELECT v FROM gv.db.dv_upd WHERE id = 12").head().getString(0)
+      === "updated")
+    assert(spark.sql("SELECT count(*) FROM gv.db.dv_upd").head().getLong(0) === 30L)
+  }
+
+  test("MERGE INTO matched-update / not-matched-insert over vectors") {
+    morTable("dv_merge")
+    spark.sql(
+      """MERGE INTO gv.db.dv_merge t
+        |USING (SELECT id, concat('m', id) AS v FROM range(25, 35)) s
+        |ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET v = s.v
+        |WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v)""".stripMargin)
+    assert(spark.sql("SELECT count(*) FROM gv.db.dv_merge").head().getLong(0) === 35L)
+    assert(spark.sql("SELECT count(*) FROM gv.db.dv_merge WHERE v LIKE 'm%'")
+      .head().getLong(0) === 10L)
+    assert(state("dv_merge").deletedRows === 5L, "5 matched rows vectored")
+  }
+
+  test("purge_deletes materializes vectors; only vectored files rewrite") {
+    morTable("dv_purge")
+    spark.sql("DELETE FROM gv.db.dv_purge WHERE id = 2") // one file touched
+    val vectored = state("dv_purge")
+    assert(vectored.dvs.size === 1)
+    val untouched = vectored.files.toSet -- vectored.dvs.keySet
+    val (rewritten, purged) = ManifestTable.purgeDeletes(spark, dir("dv_purge"))
+    assert((rewritten, purged) === (1L, 1L))
+    val clean = state("dv_purge")
+    assert(clean.dvs.isEmpty)
+    assert(untouched.subsetOf(clean.files.toSet),
+      "files without vectors must survive the purge untouched")
+    assert(!clean.files.contains(vectored.dvs.keySet.head))
+    assert(spark.sql("SELECT count(*) FROM gv.db.dv_purge").head().getLong(0) === 29L)
+  }
+
+  test("compact applies pending vectors (deleted rows stay dead)") {
+    morTable("dv_compact")
+    spark.sql("DELETE FROM gv.db.dv_compact WHERE id < 5")
+    ManifestTable.compact(spark, dir("dv_compact"))
+    val st = state("dv_compact")
+    assert(st.dvs.isEmpty, "compaction materializes vectors")
+    assert(spark.sql("SELECT count(*) FROM gv.db.dv_compact").head().getLong(0) === 25L)
+    assert(spark.sql("SELECT min(id) FROM gv.db.dv_compact").head().getLong(0) === 5L)
+  }
+
+  test("time travel: the pre-delete version still serves every row") {
+    morTable("dv_tt")
+    val v = ManifestTable.currentVersion(dir("dv_tt")).get
+    spark.sql("DELETE FROM gv.db.dv_tt WHERE id >= 20")
+    assert(spark.sql("SELECT count(*) FROM gv.db.dv_tt").head().getLong(0) === 20L)
+    assert(spark.sql(s"SELECT count(*) FROM gv.db.dv_tt VERSION AS OF $v")
+      .head().getLong(0) === 30L)
+  }
+
+  test("vacuum never deletes a referenced vector; core read applies vectors") {
+    morTable("dv_vac")
+    spark.sql("DELETE FROM gv.db.dv_vac WHERE id = 9")
+    (1 to 3).foreach(i =>
+      spark.sql(s"INSERT INTO gv.db.dv_vac VALUES (${100 + i}, 'x')"))
+    ManifestTable.vacuum(dir("dv_vac"), keep = 2, orphanRetainMs = 0L)
+    // vector file still present and applied
+    val st = state("dv_vac")
+    assert(st.dvs.size === 1)
+    val fs = LakeStorage.openFor(dir("dv_vac"))
+    val dvPath = st.dvs.values.head.path
+    assert(fs.exists(new org.apache.hadoop.fs.Path(dir("dv_vac"), dvPath)))
+    assert(DeletionVectors.read(fs, dir("dv_vac"), dvPath).length === 1)
+    assert(ManifestTable.read(spark, dir("dv_vac")).count() === 32L)
+  }
+
+  test("rollback to a vectored version carries its vectors") {
+    morTable("dv_rb")
+    spark.sql("DELETE FROM gv.db.dv_rb WHERE id = 1")
+    val vectored = ManifestTable.currentVersion(dir("dv_rb")).get
+    spark.sql("INSERT INTO gv.db.dv_rb VALUES (999, 'z')")
+    ManifestTable.rollback(dir("dv_rb"), vectored)
+    assert(spark.sql("SELECT count(*) FROM gv.db.dv_rb").head().getLong(0) === 29L)
+    assert(state("dv_rb").deletedRows === 1L)
+  }
+
+  test("merge-on-read rejects bucketed tables; bad mode values reject") {
+    ensureDb()
+    val e = intercept[Exception] {
+      spark.sql("CREATE TABLE gv.db.dv_bad (id BIGINT, v STRING) USING manifest " +
+        "PARTITIONED BY (bucket(4, id)) " +
+        "TBLPROPERTIES ('graft.dml.mode' = 'merge-on-read')")
+    }
+    assert(e.getMessage.contains("merge-on-read"))
+    val e2 = intercept[Exception] {
+      spark.sql("CREATE TABLE gv.db.dv_bad2 (id BIGINT) USING manifest " +
+        "TBLPROPERTIES ('graft.dml.mode' = 'banana')")
+    }
+    assert(e2.getMessage.contains("copy-on-write | merge-on-read"))
+  }
+
+  test("concurrent append rebases under a vector commit; conflicting vector aborts") {
+    morTable("dv_race")
+    val d = dir("dv_race")
+    val base = ManifestTable.state(d, ManifestTable.currentVersion(d).get)
+    // a DELETE's scan pinned `base`; a concurrent vector lands first
+    val victim = base.files.head
+    val fs = LakeStorage.openFor(d)
+    val dvA = s"${DeletionVectors.PoolPrefix}race-a/v.dv"
+    DeletionVectors.write(fs, d, dvA, Array(0L))
+    ManifestTable.commitDeleteVectors(d, Map(victim -> DeletionVectors.DvRef(dvA, 1L)),
+      Seq.empty, Map(victim -> None))
+    // the stale committer (still expecting no vector on `victim`) aborts
+    val dvB = s"${DeletionVectors.PoolPrefix}race-b/v.dv"
+    DeletionVectors.write(fs, d, dvB, Array(1L))
+    intercept[java.util.ConcurrentModificationException] {
+      ManifestTable.commitDeleteVectors(d, Map(victim -> DeletionVectors.DvRef(dvB, 1L)),
+        Seq.empty, Map(victim -> None))
+    }
+    // a vector commit expecting the CURRENT vector rebases fine
+    val merged = DeletionVectors.merge(Array(0L), Array(1L))
+    val dvC = s"${DeletionVectors.PoolPrefix}race-c/v.dv"
+    DeletionVectors.write(fs, d, dvC, merged)
+    ManifestTable.commitDeleteVectors(d,
+      Map(victim -> DeletionVectors.DvRef(dvC, merged.length.toLong)),
+      Seq.empty, Map(victim -> Some(dvA)))
+    assert(ManifestTable.state(d, ManifestTable.currentVersion(d).get)
+      .dvs(victim).path === dvC)
+  }
+
+  test("CALL purge_deletes; t.files / t.detail report the vector debt") {
+    morTable("dv_ops")
+    spark.sql("DELETE FROM gv.db.dv_ops WHERE id IN (1, 11)") // two files
+    val files = spark.sql(
+      "SELECT file, dv_file, deleted_rows FROM gv.db.dv_ops.files").collect()
+    assert(files.count(_.getString(1) != null) === 2)
+    assert(files.map(_.getLong(2)).sum === 2L)
+    assert(spark.sql("SELECT deleted_rows FROM gv.db.dv_ops.detail")
+      .head().getLong(0) === 2L)
+    val purged = spark.sql("CALL gv.system.purge_deletes('db.dv_ops')").head()
+    assert(purged.getLong(0) === 2L, "two vectored files rewritten")
+    assert(purged.getLong(1) === 2L, "two positions purged")
+    assert(spark.sql("SELECT deleted_rows FROM gv.db.dv_ops.detail")
+      .head().getLong(0) === 0L)
+    assert(spark.sql("SELECT count(*) FROM gv.db.dv_ops").head().getLong(0) === 28L)
+  }
+
+  test("t.changes emits delete pre-images for vector commits") {
+    morTable("dv_cdc")
+    val v0 = ManifestTable.currentVersion(dir("dv_cdc")).get
+    spark.sql("DELETE FROM gv.db.dv_cdc WHERE id IN (2, 17)")
+    val changes = spark.read.option("start_version", v0)
+      .table("gv.db.dv_cdc.changes").collect()
+    assert(changes.length === 2)
+    assert(changes.forall(r => r.getString(2) === "delete"))
+    assert(changes.map(_.getLong(0)).toSet === Set(2L, 17L))
+    // a second delete window emits ONLY the newly-killed rows
+    val v1 = ManifestTable.currentVersion(dir("dv_cdc")).get
+    spark.sql("DELETE FROM gv.db.dv_cdc WHERE id = 3") // same file as id=2
+    val w2 = spark.read.option("start_version", v1)
+      .table("gv.db.dv_cdc.changes").collect()
+    assert(w2.map(r => (r.getLong(0), r.getString(2))).toSeq === Seq((3L, "delete")))
+    // the full window nets to all three deletes
+    val full = spark.read.option("start_version", v0)
+      .table("gv.db.dv_cdc.changes").collect()
+    assert(full.map(_.getLong(0)).toSet === Set(2L, 3L, 17L))
+    // an UPDATE window pairs the delete pre-image with the insert post-image
+    val v2 = ManifestTable.currentVersion(dir("dv_cdc")).get
+    spark.sql("UPDATE gv.db.dv_cdc SET v = 'u' WHERE id = 20")
+    val w3 = spark.read.option("start_version", v2)
+      .table("gv.db.dv_cdc.changes").collect()
+    assert(w3.map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet ===
+      Set((20L, "c20", "delete"), (20L, "u", "insert")))
+  }
+
+  test("vector binary round-trip and merge") {
+    val fs = LakeStorage.openFor(root)
+    DeletionVectors.write(fs, root, "t.dv", Array(1L, 5L, 9L))
+    assert(DeletionVectors.read(fs, root, "t.dv").toSeq === Seq(1L, 5L, 9L))
+    assert(DeletionVectors.merge(Array(1L, 3L), Array(2L, 3L, 8L)).toSeq ===
+      Seq(1L, 2L, 3L, 8L))
+    intercept[IllegalArgumentException] {
+      DeletionVectors.write(fs, root, "bad.dv", Array(3L, 2L))
+    }
+  }
+}
