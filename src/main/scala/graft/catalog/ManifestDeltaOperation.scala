@@ -74,7 +74,7 @@ class ManifestDeltaOperation(dir: String, declared: StructType, cmd: Command)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     GraftCatalog.requireFieldIdReads(declared, s"delta($dir)")
-    () => new ManifestDeltaScan(this, dir, declared)
+    new ManifestDeltaScanBuilder(this, dir, declared)
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
@@ -88,26 +88,82 @@ class ManifestDeltaOperation(dir: String, declared: StructType, cmd: Command)
   override def description(): String = s"ManifestDeltaOperation($cmd, $dir)"
 }
 
+/** Builder for the delta DML read. Unlike the copy-on-write scan (which
+  * must hand the write FULL rows, so pruning/pushdown buy nothing), the
+  * delta scan's consumers are projections over (condition columns ∪ row
+  * id ∪ assignment inputs) — a selective DELETE therefore reads ONLY its
+  * condition columns plus row addresses, with the condition pushed to
+  * parquet (row-group/page skipping stays position-correct thanks to the
+  * row-index machinery) and stats-listed files that cannot match pruned
+  * at plan time. UPDATE/MERGE naturally request every column and degrade
+  * to the full read. */
+class ManifestDeltaScanBuilder(op: ManifestDeltaOperation, dir: String,
+                               declared: StructType)
+    extends ScanBuilder
+    with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters {
+
+  import ManifestRowLevelOperation.FileCol
+
+  private var requested: StructType = declared
+  private var savedFilters: Seq[org.apache.spark.sql.catalyst.expressions.Expression] = Seq.empty
+
+  private val inner = ManifestFileIndex.scanBuilder(SparkSession.active,
+    declared, dir, op.snapshotState.files, op.snapshotState.stats,
+    CaseInsensitiveStringMap.empty(), withRowIndex = true)
+
+  override def pushFilters(filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression]): Seq[org.apache.spark.sql.catalyst.expressions.Expression] = {
+    savedFilters = filters
+    inner.pushFilters(filters)
+  }
+
+  override def pushedFilters: Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
+    inner.pushedFilters
+
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    requested = StructType(requiredSchema.fields
+      .filterNot(f => f.name == FileCol || f.name == DvRead.PosCol))
+    inner.pruneColumns(DvRead.withRowIndex(requested))
+  }
+
+  override def build(): Scan =
+    new ManifestDeltaScan(op, dir, declared, requested, savedFilters)
+}
+
 /** The delta DML read: the pinned snapshot with existing vectors applied,
-  * every row carrying its `(_file, _pos)` id. One partition per file
-  * split (runtime group filtering prunes whole files); positions come
-  * from the parquet row-index column, so they stay correct under
-  * row-group/page skipping. */
+  * every row carrying its `(_pos, _file)` id. One partition per file
+  * split; runtime group filtering AND the pushed condition's file stats
+  * prune whole files before any split is planned. */
 class ManifestDeltaScan(op: ManifestDeltaOperation, dir: String,
-                        declared: StructType)
+                        declared: StructType, requested: StructType,
+                        pushed: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
     extends Scan with Batch with SupportsRuntimeFiltering {
 
   import ManifestRowLevelOperation.FileCol
 
-  @volatile private var currentFiles: Seq[String] = op.snapshotState.files
+  /** Plan-time data skipping on the DML scan itself: a file whose
+    * log-carried stats prove the pushed condition can never be TRUE
+    * holds no affected rows. (The vector commit only targets files the
+    * scan SURFACED, so skipped files are simply never touched.) */
+  @volatile private var currentFiles: Seq[String] = {
+    val deterministic = pushed.filter(_.deterministic)
+    if (deterministic.isEmpty) op.snapshotState.files
+    else op.snapshotState.files.filter { f =>
+      op.snapshotState.stats.get(f) match {
+        case None    => true
+        case Some(s) => deterministic.forall(graft.core.FileStats.mayMatch(_, s))
+      }
+    }
+  }
 
   override def readSchema(): StructType =
-    StructType(declared.fields :+
+    StructType(requested.fields :+
       StructField(DvRead.PosCol, LongType, nullable = false) :+
       StructField(FileCol, StringType, nullable = false))
   override def toBatch: Batch = this
   override def description(): String =
-    s"ManifestDeltaScan(dir=$dir, files=${currentFiles.size}/${op.snapshotState.files.size})"
+    s"ManifestDeltaScan(dir=$dir, files=${currentFiles.size}/${op.snapshotState.files.size}, " +
+      s"pushed=${pushed.size})"
 
   override def filterAttributes(): Array[NamedReference] =
     Array(Expressions.column(FileCol))
@@ -120,10 +176,16 @@ class ManifestDeltaScan(op: ManifestDeltaOperation, dir: String,
       case _ => () // unexpected runtime filters are advisory — ignore
     }
 
-  private def innerScan(files: Seq[String]): Scan =
-    ManifestFileIndex.scanBuilder(SparkSession.active, declared, dir, files,
-      op.snapshotState.stats, CaseInsensitiveStringMap.empty(),
-      withRowIndex = true).build()
+  /** Re-plans the (pruned, filtered) parquet scan over exactly `files` —
+    * the same replay ManifestScanBuilder's stats pruning uses. */
+  private def innerScan(files: Seq[String]): Scan = {
+    val b = ManifestFileIndex.scanBuilder(SparkSession.active, declared, dir,
+      files, op.snapshotState.stats, CaseInsensitiveStringMap.empty(),
+      withRowIndex = true)
+    if (pushed.nonEmpty) { b.pushFilters(pushed); () }
+    b.pruneColumns(DvRead.withRowIndex(requested))
+    b.build()
+  }
 
   override def planInputPartitions(): Array[InputPartition] = {
     if (currentFiles.isEmpty) return Array.empty
