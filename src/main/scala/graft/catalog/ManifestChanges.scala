@@ -43,13 +43,19 @@ class ManifestChangesTable(dir: String, declared: StructType) extends Table with
     StructType(declared.fields :+
       StructField(ManifestChangesTable.ChangeCol, StringType, nullable = false))
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
 
+  /** Batch reads want an explicit window (`start_version` required); a
+    * STREAM (`spark.readStream.table("cat.db.t.changes")`) seeds its
+    * cursor from `start_version` when given, else from version 0 —
+    * the first micro-batch then emits the full current snapshot as
+    * inserts, and every later batch is that version window's change
+    * feed. The batch-side requirement is enforced at plan time so the
+    * same scan object can serve either mode. */
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     GraftCatalog.requireFieldIdReads(declared, name())
-    val start = Option(options.get("start_version")).map(_.toLong).getOrElse(
-      throw new IllegalArgumentException(
-        s"${name()}: t.changes needs .option(\"start_version\", v)"))
+    val start = Option(options.get("start_version")).map(_.toLong)
     val end = Option(options.get("end_version")).map(_.toLong)
     () => ManifestChangesScan(dir, declared, start, end)
   }
@@ -60,7 +66,7 @@ object ManifestChangesTable {
 }
 
 case class ManifestChangesScan(dir: String, declared: StructType,
-                               startVersion: Long, endVersion: Option[Long])
+                               startVersion: Option[Long], endVersion: Option[Long])
     extends Scan with Batch {
 
   override def readSchema(): StructType =
@@ -68,68 +74,86 @@ case class ManifestChangesScan(dir: String, declared: StructType,
       StructField(ManifestChangesTable.ChangeCol, StringType, nullable = false))
   override def toBatch: Batch = this
   override def description(): String =
-    s"ManifestChangesScan($dir, $startVersion..${endVersion.getOrElse("current")})"
+    s"ManifestChangesScan($dir, ${startVersion.getOrElse("?")}.." +
+      s"${endVersion.getOrElse("current")})"
 
-  /** (added, removed) dir-relative file sets of the window. */
-  private lazy val diff: (Seq[String], Seq[String]) = {
+  override def planInputPartitions(): Array[InputPartition] = {
+    val start = startVersion.getOrElse(throw new IllegalArgumentException(
+      s"changes($dir): t.changes needs .option(\"start_version\", v)"))
     val committed = ManifestTable.allVersions(dir)
-    require(committed.contains(startVersion),
-      s"start_version $startVersion is not committed under $dir " +
+    require(committed.contains(start),
+      s"start_version $start is not committed under $dir " +
         s"(committed: ${committed.mkString(",")}) — vacuumed past the cursor?")
     val end = endVersion.getOrElse(committed.max)
     require(committed.contains(end), s"end_version $end is not committed under $dir")
-    require(end >= startVersion,
-      s"end_version $end precedes start_version $startVersion")
+    require(end >= start,
+      s"end_version $end precedes start_version $start")
+    ManifestChanges.windowPartitions(dir, declared, start, end)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    ManifestChanges.readerFactory(dir, declared)
+
+  /** The change feed as a STREAM: offset = manifest version, each
+    * micro-batch = that window's change rows (`_change_type` included) —
+    * the Delta "read change feed" streaming mode on the manifest log.
+    * A fresh stream seeds from `start_version` (default 0 = the current
+    * snapshot arrives as the first batch's inserts). */
+  override def toMicroBatchStream(checkpointLocation: String):
+      org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new ManifestChangesMicroBatchStream(dir, declared, startVersion.getOrElse(0L))
+}
+
+object ManifestChanges {
+
+  /** The change rows of the committed window (from, to] as tagged input
+    * partitions. `from == 0` means "from empty": the whole `to` snapshot
+    * arrives as inserts — what a fresh change stream starts from. */
+  def windowPartitions(dir: String, declared: StructType,
+                       from: Long, to: Long): Array[InputPartition] = {
+    // endpoint states: the end side carries added files' lengths and
+    // vectors, the start side the pre-window vectors (what was already
+    // dead before the window — never re-emitted)
+    val startState =
+      if (from <= 0L) ManifestTable.TableState(Seq.empty, Map.empty, Map.empty)
+      else ManifestTable.state(dir, from)
+    val endState = ManifestTable.state(dir, to)
     // O(window delta) marker replay — neither endpoint snapshot resolves
     // on an all-delta window (ManifestTable.diff)
-    ManifestTable.diff(dir, startVersion, end)
-  }
+    val (added, removed) =
+      if (from <= 0L) (endState.files, Seq.empty[String])
+      else ManifestTable.diff(dir, from, to)
 
-  // endpoint states: the end side carries added files' lengths/vectors,
-  // the start side the pre-window vectors (what was already dead before
-  // the window — never re-emitted); removed files fall back to
-  // individual stats inside the index construction (cost ∝ delete-side)
-  private lazy val endpoints: (ManifestTable.TableState, ManifestTable.TableState) = {
-    val committed = ManifestTable.allVersions(dir)
-    if (committed.isEmpty)
-      (ManifestTable.TableState(Seq.empty, Map.empty, Map.empty),
-        ManifestTable.TableState(Seq.empty, Map.empty, Map.empty))
-    else (ManifestTable.state(dir, startVersion),
-      ManifestTable.state(dir, endVersion.getOrElse(committed.max)))
-  }
+    def parquetScan(paths: Seq[String], withRowIndex: Boolean): Scan =
+      ManifestFileIndex.scanBuilder(SparkSession.active, declared, dir, paths,
+        endState.stats, CaseInsensitiveStringMap.empty(),
+        withRowIndex = withRowIndex).build()
 
-  private def parquetScan(paths: Seq[String], withRowIndex: Boolean): Scan =
-    ManifestFileIndex.scanBuilder(SparkSession.active, declared, dir, paths,
-      endpoints._2.stats, CaseInsensitiveStringMap.empty(),
-      withRowIndex = withRowIndex).build()
-
-  /** Per-file row-address partitions (the vector-aware sides of the
-    * feed): `filters(rel)` supplies each file's position filter. */
-  private def addressed(paths: Seq[String], tag: String,
-      filters: String => RowAddressPartition => RowAddressPartition): Seq[InputPartition] = {
-    if (paths.isEmpty) return Seq.empty
-    var i = -1
-    parquetScan(paths, withRowIndex = true).toBatch.planInputPartitions().toSeq.flatMap {
-      case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
-        fp.files.map { pf =>
-          i += 1
-          val rel = ManifestRowLevelOperation.relName(pf.filePath.toString)
-          val base = RowAddressPartition(
-            org.apache.spark.sql.execution.datasources.FilePartition(i, Array(pf)), rel)
-          ChangeTaggedPartition(filters(rel)(base), tag): InputPartition
-        }
-      case other => throw new IllegalStateException(
-        s"parquet planned a non-file partition: $other")
+    /** Per-file row-address partitions (the vector-aware sides of the
+      * feed): `filters(rel)` supplies each file's position filter. */
+    def addressed(paths: Seq[String], tag: String,
+        filters: String => RowAddressPartition => RowAddressPartition): Seq[InputPartition] = {
+      if (paths.isEmpty) return Seq.empty
+      var i = -1
+      parquetScan(paths, withRowIndex = true).toBatch.planInputPartitions().toSeq.flatMap {
+        case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
+          fp.files.map { pf =>
+            i += 1
+            val rel = ManifestRowLevelOperation.relName(pf.filePath.toString)
+            val base = RowAddressPartition(
+              org.apache.spark.sql.execution.datasources.FilePartition(i, Array(pf)), rel)
+            ChangeTaggedPartition(filters(rel)(base), tag): InputPartition
+          }
+        case other => throw new IllegalStateException(
+          s"parquet planned a non-file partition: $other")
+      }
     }
-  }
 
-  override def planInputPartitions(): Array[InputPartition] = {
-    val (added, removed) = diff
-    val (startState, endState) = endpoints
     def tagged(paths: Seq[String], tag: String): Seq[InputPartition] =
       if (paths.isEmpty) Seq.empty
       else parquetScan(paths, withRowIndex = false).toBatch.planInputPartitions().toSeq
         .map(p => ChangeTaggedPartition(p, tag): InputPartition)
+
     // inserts: window-added files, minus rows a vector killed by `end`
     // (added-then-deleted nets out, matching the endpoint row sets)
     val (addedDv, addedPlain) = added.partition(endState.dvs.contains)
@@ -153,15 +177,64 @@ case class ManifestChangesScan(dir: String, declared: StructType,
     (inserts ++ deletes ++ dvDeletes).toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory = {
-    // two delegate factories: plain parquet rows, and row-address rows
-    // (position-filtered, row-index column hidden); both file-agnostic
-    val addressedScan = parquetScan(Seq.empty, withRowIndex = true)
+  /** Two delegate factories: plain parquet rows, and row-address rows
+    * (position-filtered, row-index column hidden); both file-agnostic —
+    * one factory serves every window/batch. */
+  def readerFactory(dir: String, declared: StructType): ChangeTagReaderFactory = {
+    def parquetScan(withRowIndex: Boolean): Scan =
+      ManifestFileIndex.scanBuilder(SparkSession.active, declared, dir,
+        Seq.empty, Map.empty, CaseInsensitiveStringMap.empty(),
+        withRowIndex = withRowIndex).build()
+    val addressedScan = parquetScan(withRowIndex = true)
     ChangeTagReaderFactory(
-      parquetScan(Seq.empty, withRowIndex = false).toBatch.createReaderFactory(),
+      parquetScan(withRowIndex = false).toBatch.createReaderFactory(),
       RowAddressReaderFactory(addressedScan.toBatch.createReaderFactory(), dir,
         addressedScan.readSchema(), emitPos = false, emitFile = false))
   }
+}
+
+/** Micro-batch stream over the change feed: the same version offsets as
+  * the plain table stream ([[ManifestMicroBatchStream]]), but each batch
+  * serves the window's CHANGE rows — delete pre-images (file removals
+  * and deletion-vector growth) included, tagged `_change_type`. The
+  * stream a downstream MERGE keeps a replica in sync with. */
+class ManifestChangesMicroBatchStream(dir: String, declared: StructType,
+                                      startVersion: Long)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  override def initialOffset(): Offset = ManifestVersionOffset(startVersion)
+  override def latestOffset(): Offset =
+    ManifestVersionOffset(ManifestTable.currentVersion(dir).getOrElse(0L))
+  override def deserializeOffset(json: String): Offset =
+    ManifestVersionOffset(json.toLong)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  @volatile private var availableNowCap: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(ManifestTable.currentVersion(dir).getOrElse(0L))
+  override def latestOffset(start: Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset =
+    availableNowCap match {
+      case Some(cap) => ManifestVersionOffset(cap)
+      case None      => latestOffset()
+    }
+  override def reportLatestOffset(): Offset = latestOffset()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val from = start.asInstanceOf[ManifestVersionOffset].v
+    val to = end.asInstanceOf[ManifestVersionOffset].v
+    if (to <= from) return Array.empty
+    require(from <= 0L || ManifestTable.allVersions(dir).contains(from),
+      s"change-stream offset $from is not committed under $dir — vacuumed past the checkpoint?")
+    ManifestChanges.windowPartitions(dir, declared, from, to)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    ManifestChanges.readerFactory(dir, declared)
 }
 
 case class ChangeTaggedPartition(inner: InputPartition, change: String)

@@ -320,6 +320,45 @@ object StreamingQueries extends QueryModule {
         FROM qs15_sink GROUP BY lang ORDER BY lang""")
     },
 
+    // --- STREAMING change feed (catalog/ManifestChangesMicroBatchStream):
+    //     readStream on t.changes — offset = manifest version, each batch
+    //     = that window's change rows with _change_type; a merge-on-read
+    //     DELETE arrives as delete pre-images of exactly the killed rows
+    //     (the Delta "read change feed" streaming mode). The sink's
+    //     per-type aggregate replays in batch SQL: inserts = the whole
+    //     corpus (snapshot seed + the appended half), deletes = the
+    //     DELETE predicate's rows ---
+    "qs16_stream_changes" -> { (s, d) =>
+      if (s.conf.getOption("spark.sql.catalog.graft_cat").isEmpty)
+        graft.catalog.GraftCatalog.register(s, "graft_cat",
+          graft.core.TempDirs.create("graft_cat_root_"))
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.db")
+      s.sql("DROP TABLE IF EXISTS graft_cat.db.cdf_feed")
+      graft.core.Tables.documents(s, d).createOrReplaceTempView("qs16_documents")
+      s.sql("CREATE TABLE graft_cat.db.cdf_feed " +
+        "(doc_id BIGINT, lang STRING, n_chars BIGINT) USING manifest " +
+        "TBLPROPERTIES ('graft.dml.mode' = 'merge-on-read')")
+      s.sql("INSERT INTO graft_cat.db.cdf_feed SELECT doc_id, lang, n_chars " +
+        "FROM qs16_documents WHERE doc_id % 2 = 0")                      // v1
+      val ckpt = graft.core.TempDirs.create("graft_qs16_ck_")
+      withStreamShuffle(s) {
+        val q = s.readStream.table("graft_cat.db.cdf_feed.changes")
+          .writeStream.option("checkpointLocation", ckpt)
+          .format("memory").queryName("qs16_sink").outputMode("append").start()
+        try {
+          q.processAllAvailable() // batch 1: the v1 snapshot as inserts
+          s.sql("DELETE FROM graft_cat.db.cdf_feed WHERE doc_id % 10 = 4") // v2: vectors
+          s.sql("INSERT INTO graft_cat.db.cdf_feed SELECT doc_id, lang, n_chars " +
+            "FROM qs16_documents WHERE doc_id % 2 = 1")                  // v3
+          q.processAllAvailable() // batch 2: delete pre-images + inserts
+        } finally q.stop()
+      }
+      s.sql("""SELECT _change_type, lang, count(*) AS n_rows,
+          CAST(sum(n_chars) AS BIGINT) AS total_chars
+        FROM qs16_sink GROUP BY _change_type, lang
+        ORDER BY _change_type, lang""")
+    },
+
     "qs14_stream_to_table" -> { (s, d) =>
       if (s.conf.getOption("spark.sql.catalog.graft_cat").isEmpty)
         graft.catalog.GraftCatalog.register(s, "graft_cat",
@@ -462,6 +501,18 @@ object StreamingQueries extends QueryModule {
       """SELECT lang, count(*) AS n_docs,
            CAST(sum(n_chars) AS BIGINT) AS total_chars
          FROM documents GROUP BY lang ORDER BY lang""",
+
+    // inserts = every document (the even half as the snapshot seed, the
+    // odd half as the appended window); deletes = the even rows the
+    // vector commit killed (doc_id%10=4 ⊂ even)
+    "qs16_stream_changes" ->
+      """SELECT _change_type, lang, count(*) AS n_rows,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+         FROM (
+           SELECT 'insert' AS _change_type, lang, n_chars FROM documents
+           UNION ALL
+           SELECT 'delete', lang, n_chars FROM documents WHERE doc_id % 10 = 4)
+         GROUP BY _change_type, lang ORDER BY _change_type, lang""",
 
     "qs06_stream_stream_join" ->
       """WITH p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS p_ts

@@ -223,4 +223,52 @@ class CatalogStreamingSpec extends AnyFunSuite {
         "rows must flow stream -> versioned table -> stream exactly once")
     } finally { in.stop(); out.stop() }
   }
+
+  test("readStream on t.changes streams the change feed, deletes included") {
+    ensureDb()
+    spark.sql("CREATE TABLE gs.db.cdf (id BIGINT, v STRING) USING manifest " +
+      "TBLPROPERTIES ('graft.dml.mode' = 'merge-on-read')")
+    spark.sql("INSERT INTO gs.db.cdf SELECT id, 'b1' FROM range(10)")        // v1
+    val ckpt = Files.createTempDirectory("graft_cstream_cdf_").toString
+    val q = spark.readStream.table("gs.db.cdf.changes")
+      .writeStream.option("checkpointLocation", ckpt)
+      .format("memory").queryName("cdf_out").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // the fresh stream's first batch = the current snapshot as inserts
+      assert(spark.sql("SELECT count(*) FROM cdf_out WHERE _change_type = 'insert'")
+        .head().getLong(0) === 10L)
+      // a merge-on-read DELETE arrives as delete pre-images of exactly
+      // the killed rows; an ordinary append as plain inserts
+      spark.sql("DELETE FROM gs.db.cdf WHERE id IN (2, 5)")                  // v2
+      spark.sql("INSERT INTO gs.db.cdf SELECT id + 100, 'b2' FROM range(3)") // v3
+      q.processAllAvailable()
+      val byType = spark.sql(
+        "SELECT _change_type, count(*) AS n FROM cdf_out GROUP BY _change_type")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      assert(byType === Map("insert" -> 13L, "delete" -> 2L))
+      assert(spark.sql(
+        "SELECT id FROM cdf_out WHERE _change_type = 'delete' ORDER BY id")
+        .collect().map(_.getLong(0)).toSeq === Seq(2L, 5L))
+      assert(q.lastProgress.sources.head.endOffset === "3",
+        "the change stream's offset must be the manifest version")
+    } finally q.stop()
+  }
+
+  test("a change stream seeds from start_version and skips prior history") {
+    ensureDb()
+    spark.sql("CREATE TABLE gs.db.cdf2 (id BIGINT, v STRING) USING manifest")
+    spark.sql("INSERT INTO gs.db.cdf2 SELECT id, 'old' FROM range(5)")       // v1
+    spark.sql("INSERT INTO gs.db.cdf2 SELECT id + 10, 'new' FROM range(2)")  // v2
+    val ckpt = Files.createTempDirectory("graft_cstream_cdf2_").toString
+    val q = spark.readStream.option("start_version", "1").table("gs.db.cdf2.changes")
+      .writeStream.option("checkpointLocation", ckpt)
+      .format("memory").queryName("cdf2_out").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.sql("SELECT v, count(*) FROM cdf2_out GROUP BY v")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      assert(got === Map("new" -> 2L), "only the post-cursor window streams")
+    } finally q.stop()
+  }
 }
