@@ -190,14 +190,16 @@ class ManifestSparkTable(dir: String, declared: StructType,
     * write vectors, not rewrite files. */
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
     asOf.isEmpty &&
-      (if (mergeOnRead) filters.isEmpty
+      (if (mergeOnRead) filters.forall(_ == sources.AlwaysTrue)
        else filters.forall(ManifestSparkTable.filterToColumn(_).isDefined))
 
   override def deleteWhere(filters: Array[Filter]): Unit = {
     require(asOf.isEmpty, s"cannot DELETE from the time-travel view ${name()}")
     val snap = snapshotPaths
     if (snap.isEmpty) return
-    if (filters.isEmpty) { // TRUNCATE / DELETE FROM t: empty snapshot
+    if (filters.forall(_ == sources.AlwaysTrue)) {
+      // TRUNCATE / DELETE FROM t (no condition, or an always-true one):
+      // empty snapshot, nothing scanned, pending vectors dropped with it
       ManifestTable.commitStagedSnapshot(dir, Seq.empty)
       return
     }

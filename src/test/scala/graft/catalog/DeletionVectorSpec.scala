@@ -261,6 +261,43 @@ class DeletionVectorSpec extends AnyFunSuite {
       Set((20L, "c20", "delete"), (20L, "u", "insert")))
   }
 
+  test("schema evolution composes with vectors (rename, add, DML, compact)") {
+    morTable("dv_evo")
+    // rename via column mapping, then DELETE through the NEW name — the
+    // delta scan resolves by field id, positions stay file-absolute
+    spark.sql("ALTER TABLE gv.db.dv_evo RENAME COLUMN v TO label")
+    spark.sql("DELETE FROM gv.db.dv_evo WHERE label = 'a3'")
+    assert(state("dv_evo").deletedRows === 1L)
+    assert(spark.sql("SELECT count(*) FROM gv.db.dv_evo").head().getLong(0) === 29L)
+    // add a column: old files null-fill it; the row-index column stays
+    // last in the read schema, so vector application is unaffected
+    spark.sql("ALTER TABLE gv.db.dv_evo ADD COLUMNS (score BIGINT)")
+    assert(spark.sql("SELECT count(*) FROM gv.db.dv_evo WHERE score IS NULL")
+      .head().getLong(0) === 29L)
+    spark.sql("UPDATE gv.db.dv_evo SET score = 7 WHERE id = 10")
+    assert(spark.sql("SELECT score FROM gv.db.dv_evo WHERE id = 10")
+      .head().getLong(0) === 7L)
+    // compact under the declared (id-mapped) schema materializes vectors
+    spark.sql("CALL gv.system.compact('db.dv_evo')")
+    assert(state("dv_evo").dvs.isEmpty)
+    assert(spark.sql("SELECT count(*) FROM gv.db.dv_evo").head().getLong(0) === 29L)
+    assert(spark.sql("SELECT label FROM gv.db.dv_evo WHERE id = 4").head().getString(0)
+      === "a4")
+  }
+
+  test("INSERT OVERWRITE and truncate clear pending vectors") {
+    morTable("dv_ow")
+    spark.sql("DELETE FROM gv.db.dv_ow WHERE id = 0")
+    assert(state("dv_ow").deletedRows === 1L)
+    spark.sql("INSERT OVERWRITE gv.db.dv_ow SELECT id, 'w' FROM range(5)")
+    assert(state("dv_ow").dvs.isEmpty, "a snapshot replace drops all vectors")
+    assert(spark.sql("SELECT count(*) FROM gv.db.dv_ow").head().getLong(0) === 5L)
+    spark.sql("DELETE FROM gv.db.dv_ow WHERE id = 1")
+    spark.sql("DELETE FROM gv.db.dv_ow") // no condition: truncate fast path
+    assert(spark.sql("SELECT count(*) FROM gv.db.dv_ow").head().getLong(0) === 0L)
+    assert(state("dv_ow").dvs.isEmpty)
+  }
+
   test("vector binary round-trip and merge") {
     val fs = LakeStorage.openFor(root)
     DeletionVectors.write(fs, root, "t.dv", Array(1L, 5L, 9L))
