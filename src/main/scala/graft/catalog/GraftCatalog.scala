@@ -119,7 +119,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         case "changes" if meta.provider == "keyedlog" =>
           Some(new KeyedLogChangesTable(dataDir))
         case "partitions" if meta.provider == "manifest" =>
-          Some(MetadataTables.partitions(dataDir, meta.bucket.map(_.n)))
+          Some(MetadataTables.partitions(dataDir, meta.bucket.map(_.n),
+            meta.cluster.map(k => (k.fn, k.col, k.width,
+              meta.schema.find(_.name == k.col)
+                .map(_.dataType.simpleString).getOrElse("")))))
         case _ => None
       }
     }
@@ -161,7 +164,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case "keyedlog" => new KeyedLogTable(dataDir, meta.bucket.map(_.n))
       case "manifest" =>
         new ManifestSparkTable(dataDir, meta.schema, asOf, meta.bucket,
-          mergeOnRead = meta.dmlMode.contains("merge-on-read"))
+          mergeOnRead = meta.dmlMode.contains("merge-on-read"),
+          cluster = meta.cluster)
       case other => throw new IllegalStateException(
         s"table ${ident.name()}: unknown provider '$other' in $dir/$MetaFile")
     }
@@ -177,7 +181,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       Option(properties.get(TableCatalog.PROP_PROVIDER)).map(_.toLowerCase).getOrElse("manifest")
     require(provider == "manifest" || provider == "keyedlog",
       s"catalog $catalogName supports USING manifest | keyedlog, got '$provider'")
-    val bucket = parseBucketing(ident, provider, partitions, schema)
+    val (bucket, cluster) = parsePartitioning(ident, provider, partitions, schema)
     if (provider == "keyedlog" && schema.nonEmpty)
       require(schema.map(f => (f.name, f.dataType)) ==
           KeyedLogSource.schema.map(f => (f.name, f.dataType)),
@@ -200,7 +204,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       else schema
     val maxId = if (mapped) Some(schema.length) else None
     val dml = parseDmlMode(ident, provider, bucket, properties)
-    if (!writeMeta(dir, TableMeta(provider, declared, location, bucket, maxId, dml)))
+    if (!writeMeta(dir,
+        TableMeta(provider, declared, location, bucket, maxId, dml, cluster)))
       throw new TableAlreadyExistsException((ident.namespace() :+ ident.name()).toSeq)
     tableFor(ident, asOf = None)
   }
@@ -231,40 +236,96 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * column is `key` (the clustering column the writer tags files with) —
     * a bucket-declared keyedlog table groups its per-key files into the
     * SAME murmur3 bucket space manifest tables use, so the two formats
-    * co-partition. Anything else in PARTITIONED BY is rejected. */
+    * co-partition.
+    *
+    * `PARTITIONED BY (identity / years / months / days / hours /
+    * truncate)` transforms (manifest tables only) declare MONOTONIC
+    * partition dimensions: writes range-cluster + sort by the source
+    * columns, so every data file covers a narrow, disjoint slice along
+    * them and the log's stats prune whole partitions at plan time — the
+    * Iceberg partition-transform surface expressed through clustering +
+    * data skipping instead of a second partition-tuple metadata channel
+    * (one layout mechanism, not two, and queries on the RAW column prune
+    * without needing transform-predicate rewriting). Hash bucketing and
+    * transform clustering are mutually exclusive. */
   private def parseBucketing(ident: Identifier, provider: String,
                              partitions: Array[Transform],
                              schema: StructType): Option[Bucketing] =
+    parsePartitioning(ident, provider, partitions, schema)._1
+
+  private def parsePartitioning(ident: Identifier, provider: String,
+                                partitions: Array[Transform],
+                                schema: StructType): (Option[Bucketing], Seq[ClusterKey]) = {
+    def singleCol(t: Transform): String = {
+      val refs = t.references
+      require(refs.length == 1 && refs(0).fieldNames.length == 1,
+        s"${ident.name()}: ${t.name}() wants exactly one top-level column")
+      refs(0).fieldNames.head
+    }
+    def intArg(t: Transform, what: String): Int =
+      t.arguments.collectFirst {
+        case l: org.apache.spark.sql.connector.expressions.Literal[_]
+            if l.value.isInstanceOf[Int] => l.value.asInstanceOf[Int]
+      }.getOrElse(throw new IllegalArgumentException(
+        s"${ident.name()}: ${t.name}() wants an integer $what"))
+    def fieldType(colName: String): String =
+      schema.find(_.name == colName).getOrElse(
+        throw new IllegalArgumentException(
+          s"${ident.name()}: partition column $colName is not in the schema"))
+        .dataType.simpleString
     partitions.toSeq match {
-      case Seq() => None
+      case Seq() => (None, Nil)
       case Seq(t) if t.name == "bucket" =>
-        val refs = t.references
-        require(refs.length == 1 && refs(0).fieldNames.length == 1,
-          s"${ident.name()}: bucket() wants exactly one top-level column")
-        val colName = refs(0).fieldNames.head
-        val n = t.arguments.collectFirst {
-          case l: org.apache.spark.sql.connector.expressions.Literal[_]
-              if l.value.isInstanceOf[Int] => l.value.asInstanceOf[Int]
-        }.getOrElse(throw new IllegalArgumentException(
-          s"${ident.name()}: bucket() wants an integer bucket count"))
+        val colName = singleCol(t)
+        val n = intArg(t, "bucket count")
         require(n > 0, s"${ident.name()}: bucket count must be positive")
         if (provider == "keyedlog") {
           require(colName == "key",
             s"${ident.name()}: keyedlog tables bucket on their clustering " +
               s"column `key`, got $colName")
         } else {
-          val field = schema.find(_.name == colName).getOrElse(
-            throw new IllegalArgumentException(
-              s"${ident.name()}: bucket column $colName is not in the schema"))
-          require(Seq("string", "bigint", "int").contains(field.dataType.simpleString),
+          require(Seq("string", "bigint", "int").contains(fieldType(colName)),
             s"${ident.name()}: bucket column must be string/bigint/int, " +
-              s"got ${field.dataType.simpleString}")
+              s"got ${fieldType(colName)}")
         }
-        Some(Bucketing(n, colName))
+        (Some(Bucketing(n, colName)), Nil)
+      case transforms if provider == "manifest" &&
+          transforms.forall(t => ClusterTransforms.contains(t.name)) =>
+        val keys = transforms.map { t =>
+          val colName = singleCol(t)
+          val ft = fieldType(colName)
+          t.name match {
+            case "identity" =>
+              require(Seq("string", "bigint", "int", "date", "timestamp",
+                  "timestamp_ntz").contains(ft),
+                s"${ident.name()}: identity partition column must be " +
+                  s"string/int/bigint/date/timestamp, got $ft")
+              ClusterKey("identity", colName)
+            case "truncate" =>
+              val w = intArg(t, "width")
+              require(w > 0, s"${ident.name()}: truncate width must be positive")
+              require(ft == "string",
+                s"${ident.name()}: truncate() partitions string columns, got $ft")
+              ClusterKey("truncate", colName, Some(w))
+            case temporal =>
+              require(Seq("date", "timestamp", "timestamp_ntz").contains(ft) &&
+                  !(temporal == "hours" && ft == "date"),
+                s"${ident.name()}: $temporal() wants a date/timestamp column, got $ft")
+              ClusterKey(temporal, colName)
+          }
+        }
+        require(keys.map(_.col).distinct.length == keys.length,
+          s"${ident.name()}: duplicate partition column")
+        (None, keys)
       case other => throw new UnsupportedOperationException(
-        s"catalog $catalogName supports PARTITIONED BY (bucket(n, col)); " +
-          s"got ${other.mkString(", ")}")
+        s"catalog $catalogName supports PARTITIONED BY (bucket(n, col)) or a " +
+          "list of identity/years/months/days/hours/truncate transforms " +
+          s"(manifest tables); got ${other.mkString(", ")}")
     }
+  }
+
+  private val ClusterTransforms =
+    Set("identity", "years", "months", "days", "hours", "truncate")
 
   // ---- atomic CTAS / RTAS (StagingTableCatalog) ----
   //
@@ -305,7 +366,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       Option(properties.get(TableCatalog.PROP_PROVIDER)).map(_.toLowerCase).getOrElse("manifest")
     require(provider == "manifest",
       s"staged (atomic) CTAS supports USING manifest; got '$provider'")
-    val bucket = parseBucketing(ident, provider, partitions, schema)
+    val (bucket, cluster) = parsePartitioning(ident, provider, partitions, schema)
     val location = Option(properties.get(TableCatalog.PROP_LOCATION))
     val dir = tableDir(ident)
     // same mapping rule as createTable; a CTAS into an external LOCATION
@@ -315,7 +376,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       TableMeta(provider,
         if (mapped) assignFieldIds(schema) else schema, location, bucket,
         maxFieldId = if (mapped) Some(schema.length) else None,
-        dmlMode = parseDmlMode(ident, provider, bucket, properties)), replace)
+        dmlMode = parseDmlMode(ident, provider, bucket, properties),
+        cluster = cluster), replace)
   }
 
   private[catalog] def commitStaged(ident: Identifier, dir: String,
@@ -365,6 +427,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     var schema = meta.schema
     var maxId = meta.maxFieldId
     var bucket = meta.bucket
+    var cluster = meta.cluster
     changes.foreach {
       case add: TableChange.AddColumn =>
         require(add.fieldNames.length == 1,
@@ -396,6 +459,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         // the table unwritable at runtime
         require(!bucket.map(_.col).contains(name),
           s"${ident.name()}: cannot drop bucket column $name — the table is PARTITIONED BY (bucket(n, $name))")
+        require(!cluster.exists(_.col == name),
+          s"${ident.name()}: cannot drop partition column $name — the table is " +
+            s"PARTITIONED BY (${cluster.map(_.render).mkString(", ")})")
         schema = StructType(schema.filterNot(_.name == name))
       case ren: TableChange.RenameColumn =>
         require(ren.fieldNames.length == 1,
@@ -413,13 +479,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             "table (CTAS) to get a mapped one")
         schema = StructType(schema.map(f =>
           if (f.name == from) f.copy(name = ren.newName) else f))
-        // a renamed bucket column keeps clustering: the transform follows
+        // a renamed bucket/partition column keeps clustering: transforms follow
         bucket = bucket.map(b => if (b.col == from) b.copy(col = ren.newName) else b)
+        cluster = cluster.map(k => if (k.col == from) k.copy(col = ren.newName) else k)
       case other => throw new UnsupportedOperationException(
         s"catalog $catalogName supports ALTER TABLE ADD COLUMNS / DROP COLUMN " +
           s"/ RENAME COLUMN; got $other")
     }
-    replaceMeta(dir, meta.copy(schema = schema, bucket = bucket, maxFieldId = maxId))
+    replaceMeta(dir, meta.copy(schema = schema, bucket = bucket,
+      maxFieldId = maxId, cluster = cluster))
     tableFor(ident, asOf = None)
   }
 
@@ -556,7 +624,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       bucket = for (n <- num("bucketN"); c <- str("bucketCol"))
         yield Bucketing(n, c),
       maxFieldId = num("maxFieldId"),
-      dmlMode = str("dmlMode")))
+      dmlMode = str("dmlMode"),
+      cluster = str("cluster").map(_.split(",").toSeq.filter(_.nonEmpty).map { s =>
+        s.split(":", 3) match {
+          case Array(fn, c, "") => ClusterKey(fn, c)
+          case Array(fn, c, w)  => ClusterKey(fn, c, Some(w.toInt))
+          case _ => throw new IllegalStateException(s"$p: corrupt cluster spec '$s'")
+        }
+      }).getOrElse(Nil)))
   }
 
   /** Create-if-absent of the descriptor — the same atomic-create commit as
@@ -574,7 +649,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           ("bucketN" -> meta.bucket.map(_.n)) ~
           ("bucketCol" -> meta.bucket.map(_.col)) ~
           ("maxFieldId" -> meta.maxFieldId) ~
-          ("dmlMode" -> meta.dmlMode)))
+          ("dmlMode" -> meta.dmlMode) ~
+          ("cluster" -> (if (meta.cluster.isEmpty) None
+            else Some(meta.cluster.map(k =>
+              s"${k.fn}:${k.col}:${k.width.getOrElse("")}").mkString(","))))))
     val out = try fs.create(p, false) catch {
       case _: java.io.IOException => return false
     }
@@ -602,13 +680,32 @@ object GraftCatalog {
     * rejection). Persisted so a DROP followed by an ADD can never reuse a
     * dropped column's id — id reuse would resurrect the dropped column's
     * bytes under the new column's name. */
+  /** One declared partition transform of a `PARTITIONED BY (days(ts),
+    * identity(k), truncate(4, s))` table. The engine implements these as
+    * DECLARATIVE CLUSTERING: every transform here is monotonic in its
+    * source column, so range-partitioning + sorting writes by the SOURCE
+    * columns yields files whose log-carried min/max bounds are disjoint
+    * along the partition dimensions — and the existing stats-skipping
+    * layer then prunes partitions at plan time with no extra metadata.
+    * (Hash `bucket(n, col)` is the one non-monotonic transform; it keeps
+    * its own storage-partitioned path.) */
+  private[catalog] case class ClusterKey(fn: String, col: String,
+                                         width: Option[Int] = None) {
+    def render: String = fn match {
+      case "identity" => col
+      case "truncate" => s"truncate(${width.get}, $col)"
+      case f          => s"$f($col)"
+    }
+  }
+
   /** `dmlMode`: None = copy-on-write (default); Some("merge-on-read") =
     * row-level DML writes deletion vectors (see [[ManifestDeltaOperation]]). */
   private[catalog] case class TableMeta(provider: String, schema: StructType,
                                         location: Option[String],
                                         bucket: Option[Bucketing] = None,
                                         maxFieldId: Option[Int] = None,
-                                        dmlMode: Option[String] = None)
+                                        dmlMode: Option[String] = None,
+                                        cluster: Seq[ClusterKey] = Nil)
 
   /** The CREATE TABLE property selecting the row-level DML strategy. */
   val DmlModeProp = "graft.dml.mode"
@@ -628,6 +725,12 @@ object GraftCatalog {
     spark.conf.set(s"spark.sql.catalog.$name.root", root)
     spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
     spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    // NOTE timestamps: manifest DATA files are written as INT64 micros
+    // (see ManifestTable.withMicrosTimestamps) — the deprecated INT96
+    // default carries no usable min/max statistics, which would silently
+    // blind data skipping and days()/hours() partition pruning. The
+    // session default is left untouched so non-catalog writes keep their
+    // configured format.
   }
 
   private[catalog] val FieldIdKey = "parquet.field.id"

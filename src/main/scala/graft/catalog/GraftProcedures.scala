@@ -104,7 +104,12 @@ private[catalog] object GraftProcedures {
         Identifier.of(parts.dropRight(1), parts.last))
       val (provider, bucket) = (meta.provider, meta.bucket)
       val spark = SparkSession.active
-      val clusterBy = input.getString(2).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      val requested = input.getString(2).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      // a transform-partitioned table compacts CLUSTERED by its declared
+      // partition source columns by default — maintenance never demotes
+      // the partition layout (explicit cluster_by still overrides)
+      val clusterBy =
+        if (requested.nonEmpty) requested else meta.cluster.map(_.col)
       require(bucket.isEmpty || clusterBy.isEmpty,
         "cluster_by does not apply to bucketed tables — the bucket layout IS the clustering")
       require(provider == "manifest" || clusterBy.isEmpty,

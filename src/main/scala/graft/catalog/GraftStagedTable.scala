@@ -38,7 +38,10 @@ class GraftStagedTable(catalog: GraftCatalog, ident: Identifier, dir: String,
               val stamped = GraftCatalog.stampFieldIds(data, meta.schema)
               staged ++= (meta.bucket match {
                 case Some(b) => ManifestTable.stagePoolBucketed(stamped, dataDir, b.n, b.col)
-                case None    => ManifestTable.stagePool(stamped, dataDir)
+                case None if meta.cluster.nonEmpty =>
+                  ManifestTable.stagePoolClustered(stamped, dataDir,
+                    meta.cluster.map(_.col))
+                case None => ManifestTable.stagePool(stamped, dataDir)
               })
               ()
             }

@@ -242,7 +242,9 @@ class ManifestDeltaWrite(op: ManifestDeltaOperation, dir: String,
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory = {
     val spark = SparkSession.active
     val job = Job.getInstance(spark.sessionState.newHadoopConf())
-    val owf = new ParquetFileFormat().prepareWrite(spark, job, Map.empty, writeSchema)
+    val owf = graft.core.ManifestTable.withMicrosTimestamps(spark) {
+      new ParquetFileFormat().prepareWrite(spark, job, Map.empty, writeSchema)
+    }
     ManifestDeltaWriterFactory(owf, dir, s"$dir/$insertPool", insertPool,
       dvPool, writeSchema, rowIdSchema,
       op.snapshotState.dvs.map { case (f, ref) => f -> ref.path },

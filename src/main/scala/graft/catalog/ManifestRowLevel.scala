@@ -54,7 +54,8 @@ import graft.core.ManifestTable
   */
 class ManifestRowLevelOperation(dir: String, declared: StructType,
                                 cmd: Command,
-                                bucketing: Option[GraftCatalog.Bucketing] = None)
+                                bucketing: Option[GraftCatalog.Bucketing] = None,
+                                cluster: Seq[GraftCatalog.ClusterKey] = Nil)
     extends RowLevelOperation {
 
   import ManifestRowLevelOperation._
@@ -89,7 +90,7 @@ class ManifestRowLevelOperation(dir: String, declared: StructType,
         ManifestRowLevelOperation.this, dir,
         // rewritten files must carry the table's field ids (column
         // mapping) — the write schema arrives metadata-free from the plan
-        GraftCatalog.stampFieldIds(info.schema(), declared), bucketing)
+        GraftCatalog.stampFieldIds(info.schema(), declared), bucketing, cluster)
     }
 
   override def requiredMetadataAttributes(): Array[NamedReference] =
@@ -526,7 +527,8 @@ case class FileTagReaderFactory(inner: PartitionReaderFactory)
   * pool — DML keeps the table storage-partitioned. */
 class ManifestReplaceWrite(op: ManifestRowLevelOperation, dir: String,
                            schema: StructType,
-                           bucketing: Option[GraftCatalog.Bucketing] = None)
+                           bucketing: Option[GraftCatalog.Bucketing] = None,
+                           cluster: Seq[GraftCatalog.ClusterKey] = Nil)
     extends Write with BatchWrite
     with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
 
@@ -535,15 +537,28 @@ class ManifestReplaceWrite(op: ManifestRowLevelOperation, dir: String,
     case None    => "d-" + UUID.randomUUID().toString
   }
 
+  private def clusterSortOrders: Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    cluster.map { k =>
+      org.apache.spark.sql.connector.expressions.Expressions.sort(
+        org.apache.spark.sql.connector.expressions.Expressions.column(k.col),
+        org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)
+    }.toArray
+
   override def requiredDistribution: org.apache.spark.sql.connector.distributions.Distribution =
     bucketing match {
       case Some(b) => org.apache.spark.sql.connector.distributions.Distributions
         .clustered(Array(org.apache.spark.sql.connector.expressions.Expressions.identity(b.col)))
+      case None if cluster.nonEmpty =>
+        // transform-partitioned tables: the DML rewrite range-partitions
+        // + sorts on the partition source columns, so rewritten files
+        // keep narrow disjoint bounds and partition pruning survives DML
+        org.apache.spark.sql.connector.distributions.Distributions
+          .ordered(clusterSortOrders)
       case None => org.apache.spark.sql.connector.distributions.Distributions.unspecified()
     }
   override def requiredNumPartitions(): Int = bucketing.map(_.n).getOrElse(0)
   override def requiredOrdering: Array[org.apache.spark.sql.connector.expressions.SortOrder] =
-    Array.empty
+    if (bucketing.isEmpty && cluster.nonEmpty) clusterSortOrders else Array.empty
 
   override def toBatch: BatchWrite = this
   override def description(): String = s"ManifestReplaceWrite($dir/$poolName)"
@@ -551,7 +566,9 @@ class ManifestReplaceWrite(op: ManifestRowLevelOperation, dir: String,
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     val spark = SparkSession.active
     val job = Job.getInstance(spark.sessionState.newHadoopConf())
-    val owf = new ParquetFileFormat().prepareWrite(spark, job, Map.empty, schema)
+    val owf = graft.core.ManifestTable.withMicrosTimestamps(spark) {
+      new ParquetFileFormat().prepareWrite(spark, job, Map.empty, schema)
+    }
     ManifestPoolWriterFactory(owf, s"$dir/$poolName", schema,
       new SerializableConfiguration(job.getConfiguration))
   }

@@ -37,7 +37,8 @@ import graft.core.ManifestTable
 class ManifestSparkTable(dir: String, declared: StructType,
                          asOf: Option[Long],
                          bucketing: Option[GraftCatalog.Bucketing] = None,
-                         mergeOnRead: Boolean = false)
+                         mergeOnRead: Boolean = false,
+                         cluster: Seq[GraftCatalog.ClusterKey] = Nil)
     extends Table
     with SupportsRead with SupportsWrite
     with SupportsRowLevelOperations with SupportsDelete
@@ -53,15 +54,28 @@ class ManifestSparkTable(dir: String, declared: StructType,
     m.put("graft.provider", "manifest")
     m.put("graft.location", dir)
     bucketing.foreach(b => m.put("graft.bucketing", s"bucket(${b.n}, ${b.col})"))
+    if (cluster.nonEmpty)
+      m.put("graft.partitioning", cluster.map(_.render).mkString(", "))
     if (mergeOnRead) m.put(GraftCatalog.DmlModeProp, "merge-on-read")
     ManifestTable.currentVersion(dir).foreach(v =>
       m.put("graft.current-version", v.toString))
     m
   }
-  override def partitioning(): Array[org.apache.spark.sql.connector.expressions.Transform] =
-    bucketing.map(b =>
-      org.apache.spark.sql.connector.expressions.Expressions.bucket(b.n, b.col))
-      .toArray
+  override def partitioning(): Array[org.apache.spark.sql.connector.expressions.Transform] = {
+    import org.apache.spark.sql.connector.expressions.Expressions
+    bucketing.map(b => Expressions.bucket(b.n, b.col)).toArray ++
+      cluster.map { k =>
+        k.fn match {
+          case "identity" => Expressions.identity(k.col)
+          case "years"    => Expressions.years(k.col)
+          case "months"   => Expressions.months(k.col)
+          case "days"     => Expressions.days(k.col)
+          case "hours"    => Expressions.hours(k.col)
+          case "truncate" => Expressions.apply("truncate",
+            Expressions.literal(k.width.get), Expressions.column(k.col))
+        }
+      }
+  }
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ,
@@ -176,7 +190,8 @@ class ManifestSparkTable(dir: String, declared: StructType,
   override def newRowLevelOperationBuilder(info: RowLevelOperationInfo): RowLevelOperationBuilder = {
     require(asOf.isEmpty, s"cannot run DML against the time-travel view ${name()}")
     if (mergeOnRead) () => new ManifestDeltaOperation(dir, declared, info.command)
-    else () => new ManifestRowLevelOperation(dir, declared, info.command, bucketing)
+    else () => new ManifestRowLevelOperation(dir, declared, info.command,
+      bucketing, cluster)
   }
 
   /** DELETE fast path (Spark's metadata-only delete, also TRUNCATE TABLE):
@@ -233,9 +248,12 @@ class ManifestSparkTable(dir: String, declared: StructType,
       .filter(not(coalesce(cond, lit(false)))) // DELETE drops only cond=TRUE rows
     val added = bucketing match {
       // a bucketed table's rewrite re-buckets the survivors, so DML never
-      // demotes the table out of storage-partitioned scanning
+      // demotes the table out of storage-partitioned scanning; a
+      // transform-partitioned table's rewrite re-clusters the same way
       case Some(b) => ManifestTable.stagePoolBucketed(survivors, dir, b.n, b.col)
-      case None    => ManifestTable.stagePool(survivors, dir)
+      case None if cluster.nonEmpty =>
+        ManifestTable.stagePoolClustered(survivors, dir, cluster.map(_.col))
+      case None => ManifestTable.stagePool(survivors, dir)
     }
     ManifestTable.commitRewrite(dir, removed = affected, added = added,
       expectedDvs = Some(dvs))
@@ -256,7 +274,12 @@ class ManifestSparkTable(dir: String, declared: StructType,
               val stamped = GraftCatalog.stampFieldIds(data, declared)
               val files = bucketing match {
                 case Some(b) => ManifestTable.stagePoolBucketed(stamped, dir, b.n, b.col)
-                case None    => ManifestTable.stagePool(stamped, dir)
+                case None if cluster.nonEmpty =>
+                  // declared partition transforms: range-cluster the write
+                  // on the source columns so partition pruning falls out
+                  // of the log's file stats
+                  ManifestTable.stagePoolClustered(stamped, dir, cluster.map(_.col))
+                case None => ManifestTable.stagePool(stamped, dir)
               }
               if (overwrite || overwriteFlag)
                 ManifestTable.commitStagedSnapshot(dir, files)

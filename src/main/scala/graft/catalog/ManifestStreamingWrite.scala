@@ -46,7 +46,9 @@ class ManifestStreamingWrite(dir: String, schema: StructType, queryId: String,
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory = {
     val spark = SparkSession.active
     val job = Job.getInstance(spark.sessionState.newHadoopConf())
-    val owf = new ParquetFileFormat().prepareWrite(spark, job, Map.empty, schema)
+    val owf = graft.core.ManifestTable.withMicrosTimestamps(spark) {
+      new ParquetFileFormat().prepareWrite(spark, job, Map.empty, schema)
+    }
     ManifestStreamingWriterFactory(owf, dir, queryId, schema,
       new SerializableConfiguration(job.getConfiguration))
   }

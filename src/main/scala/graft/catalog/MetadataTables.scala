@@ -100,16 +100,55 @@ object MetadataTables {
 
   /** `t.partitions`: current-snapshot layout stats — one row per BUCKET
     * for bucket-clustered tables (`bucket=<id>`; the SPJ planning unit),
-    * one row per data POOL (`pool=<name>`; the commit unit) otherwise.
-    * The skew view an operator checks before sizing a storage-partitioned
-    * join. */
-  def partitions(dir: String, bucket: Option[Int]): Table =
+    * one row per PARTITION-TRANSFORM value span for transform-partitioned
+    * tables (`<col>_day=2024-01-03`, or `a..b` for a file spanning
+    * values — the clustering-health view: spans mean the layout needs a
+    * compact), one row per data POOL (`pool=<name>`; the commit unit)
+    * otherwise. The skew view an operator checks before sizing a
+    * storage-partitioned join. */
+  def partitions(dir: String, bucket: Option[Int],
+                 cluster: Seq[(String, String, Option[Int], String)] = Nil): Table =
     new VirtualRowsTable(s"partitions($dir)", PartitionsSchema, () => {
       val fs = LakeStorage.openFor(dir)
       val (files, fileStats) = ManifestTable.currentVersion(dir)
         .map(v => ManifestTable.manifestEntries(dir, v))
         .getOrElse((Seq.empty[String], Map.empty[String, graft.core.FileStats.Stats]))
-      def keyOf(f: String): String = bucket match {
+      def transformLabel(f: String): String = {
+        val (fn, colName, width, colType) = cluster.head
+        val unit = fn match {
+          case "years" => "year"; case "months" => "month"; case "days" => "day"
+          case "hours" => "hour"; case _ => fn
+        }
+        def render(v: graft.core.FileStats.StatVal): String = v match {
+          case graft.core.FileStats.StringVal(s) =>
+            if (fn == "truncate") s.take(width.get) else s
+          case graft.core.FileStats.LongVal(x) =>
+            val days =
+              if (colType == "date") x
+              else Math.floorDiv(x, 86400000000L) // micros -> epoch day
+            val d = java.time.LocalDate.ofEpochDay(days)
+            fn match {
+              case "identity" => x.toString
+              case "years"    => d.getYear.toString
+              case "months"   => f"${d.getYear}%04d-${d.getMonthValue}%02d"
+              case "days"     => d.toString
+              case "hours" =>
+                val hour = Math.floorDiv(x, 3600000000L) - days * 24
+                f"$d $hour%02dh"
+              case _ => x.toString
+            }
+          case other => other.toString
+        }
+        val bounds = fileStats.get(f).flatMap(_.col(colName))
+        (bounds.flatMap(_.min), bounds.flatMap(_.max)) match {
+          case (Some(mn), Some(mx)) =>
+            val (a, b) = (render(mn), render(mx))
+            s"${colName}_$unit=" + (if (a == b) a else s"$a..$b")
+          case _ => s"${colName}_$unit=unknown"
+        }
+      }
+      def keyOf(f: String): String = if (cluster.nonEmpty) transformLabel(f)
+      else bucket match {
         // a file counts as a bucket member only when its POOL was written
         // with this table's bucket count (the fullyBucketed rule) — any
         // part-<i> name would otherwise parse as a bucket id, misfiling

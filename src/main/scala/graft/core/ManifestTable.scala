@@ -487,6 +487,21 @@ object ManifestTable {
     * are [[vacuum]] fodder. */
   def stagePool(df: DataFrame, dir: String): Seq[String] = writePool(df, dir)
 
+  /** Stage `df` RANGE-CLUSTERED on `cols` (a declared-partitioning
+    * table's write path): range repartition + in-partition sort means
+    * every staged file covers a narrow, disjoint slice of the partition
+    * columns — the commit-time footer stats then carry tight bounds and
+    * scan planning prunes whole partitions via ordinary data skipping
+    * (see the catalog's PARTITIONED BY transforms). Cost: one range
+    * shuffle per write, the price any partitioned table format pays. */
+  def stagePoolClustered(df: DataFrame, dir: String,
+                         cols: Seq[String]): Seq[String] = {
+    import org.apache.spark.sql.functions.col
+    writePool(
+      df.repartitionByRange(cols.map(col): _*).sortWithinPartitions(cols.map(col): _*),
+      dir)
+  }
+
   /** Stage `df` BUCKET-CLUSTERED: rows are hash-repartitioned into
     * `numBuckets` by `keyCol` (Spark's murmur3 partitioning, so the shuffle
     * partition index IS the bucket id, which parquet bakes into the
@@ -940,9 +955,26 @@ object ManifestTable {
   private def writePool(df: DataFrame, dir: String): Seq[String] =
     writePool(df, dir, DataDirPrefix + java.util.UUID.randomUUID().toString)
 
+  /** Manifest data files write timestamps as INT64 MICROS, whatever the
+    * session default: the INT96 default carries no usable footer min/max,
+    * which would silently blind data skipping and days()/hours()
+    * partition pruning on every timestamp column. Scoped set/restore —
+    * table data only, never the user's own writes. */
+  private[graft] def withMicrosTimestamps[T](spark: SparkSession)(f: => T): T = {
+    val key = "spark.sql.parquet.outputTimestampType"
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key, "TIMESTAMP_MICROS")
+    try f finally old match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   private def writePool(df: DataFrame, dir: String, poolName: String): Seq[String] = {
     val poolPath = s"$dir/$poolName"
-    df.write.mode(SaveMode.Overwrite).parquet(poolPath)
+    withMicrosTimestamps(df.sparkSession) {
+      df.write.mode(SaveMode.Overwrite).parquet(poolPath)
+    }
     val fs = LakeStorage.openFor(dir)
     fs.listStatus(new Path(poolPath))
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))

@@ -527,6 +527,65 @@ object CoverageQueries extends QueryModule {
           "debt_after_purge", "rows_final", "chars_final")
     },
 
+    // --- partition transforms (catalog/GraftCatalog parsePartitioning +
+    //     ManifestTable.stagePoolClustered): PARTITIONED BY (days(col))
+    //     declares a monotonic partition dimension; writes range-cluster
+    //     + sort on the source column, so the log's file stats carry
+    //     disjoint slices and a date-window query PRUNES whole partitions
+    //     through ordinary data skipping. Three disjoint-range inserts
+    //     pin "pruning happened" as a structural boolean; the aggregate
+    //     and the t.partitions label check replay exactly ---
+    "qc31_partition_transforms" -> { (s, d) =>
+      import s.implicits._
+      if (s.conf.getOption("spark.sql.catalog.graft_cat").isEmpty)
+        graft.catalog.GraftCatalog.register(s, "graft_cat",
+          graft.core.TempDirs.create("graft_cat_root_"))
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.db")
+      s.sql("DROP TABLE IF EXISTS graft_cat.db.pdays")
+      s.sql("CREATE TABLE graft_cat.db.pdays " +
+        "(o_orderkey BIGINT, o_orderdate DATE) USING manifest " +
+        "PARTITIONED BY (days(o_orderdate))")
+      val orders = Tables.orders(s, d).select(col("o_orderkey"),
+        col("o_orderdate").cast("date").as("o_orderdate"))
+      // three disjoint date ranges -> three append commits whose files
+      // cannot overlap across commits (and are range-clustered within)
+      orders.filter(col("o_orderdate") < lit("1997-01-01").cast("date"))
+        .writeTo("graft_cat.db.pdays").append()
+      orders.filter(col("o_orderdate") >= lit("1997-01-01").cast("date") &&
+          col("o_orderdate") < lit("1999-01-01").cast("date"))
+        .writeTo("graft_cat.db.pdays").append()
+      orders.filter(col("o_orderdate") >= lit("1999-01-01").cast("date"))
+        .writeTo("graft_cat.db.pdays").append()
+      def planned(df: org.apache.spark.sql.DataFrame): Long = {
+        val p0 = df.queryExecution.executedPlan
+        val p = p0 match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            a.executedPlan
+          case other => other
+        }
+        p.collect {
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan
+        }.map {
+          case ms: graft.catalog.ManifestStreamScan =>
+            ms.inner.fileIndex.inputFiles.length.toLong
+          case ps: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan =>
+            ps.fileIndex.inputFiles.length.toLong
+          case _ => 0L
+        }.sum
+      }
+      val window = s.sql("SELECT * FROM graft_cat.db.pdays WHERE o_orderdate " +
+        "BETWEEN DATE'1997-06-01' AND DATE'1997-12-31'")
+      val filesTotal = planned(s.table("graft_cat.db.pdays"))
+      val filesPlanned = planned(window)
+      val prunedSome = filesTotal >= 3 && filesPlanned < filesTotal
+      val labelsOk = s.sql("SELECT partition FROM graft_cat.db.pdays.partitions")
+        .collect().map(_.getString(0)).forall(_.startsWith("o_orderdate_day="))
+      val agg = window.agg(count(lit(1)).as("n"),
+        sum("o_orderkey").cast("long").as("k")).head()
+      Seq((prunedSome, labelsOk, agg.getLong(0), agg.getLong(1)))
+        .toDF("pruned_some", "labels_ok", "n_orders", "sum_key")
+    },
+
     // --- metadata tables (catalog/MetadataTables): t.history / t.files
     //     — one row per committed version / per current-snapshot file,
     //     derived purely from commit markers + file status (the DESCRIBE
@@ -973,6 +1032,18 @@ object CoverageQueries extends QueryModule {
            CAST(0 AS BIGINT) AS debt_after_purge,
            (SELECT count(*) FROM live) AS rows_final,
            CAST((SELECT sum(n_chars) FROM live) AS BIGINT) AS chars_final""",
+
+    // three disjoint-date-range inserts into a days()-partitioned table;
+    // the window query must prune files (structural boolean) and the
+    // aggregate replays exactly
+    "qc31_partition_transforms" ->
+      """SELECT CAST(1 AS BOOLEAN) AS pruned_some,
+           CAST(1 AS BOOLEAN) AS labels_ok,
+           count(*) AS n_orders,
+           CAST(sum(o_orderkey) AS BIGINT) AS sum_key
+         FROM orders
+         WHERE CAST(o_orderdate AS DATE)
+           BETWEEN DATE '1997-06-01' AND DATE '1997-12-31'""",
 
     // three disjoint-date-range files; the range query's stats pruning
     // plans exactly one — the counts are structural constants, the

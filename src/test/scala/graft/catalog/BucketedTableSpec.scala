@@ -354,7 +354,13 @@ class BucketedTableSpec extends AnyFunSuite {
     assert(t.partitioning().map(_.describe()).toSeq === Seq("bucket(16, k)"))
     intercept[Exception](spark.sql(
       "CREATE TABLE gb.db.bad1 (k DOUBLE) USING manifest PARTITIONED BY (bucket(4, k))"))
+    // identity transforms are supported since partition transforms landed,
+    // but a non-comparable identity column and a bucket+transform mix stay
+    // rejected (hash bucketing and monotonic clustering are exclusive)
     intercept[Exception](spark.sql(
-      "CREATE TABLE gb.db.bad2 (k STRING, d DATE) USING manifest PARTITIONED BY (d)"))
+      "CREATE TABLE gb.db.bad2 (k STRING, x DOUBLE) USING manifest PARTITIONED BY (x)"))
+    intercept[Exception](spark.sql(
+      "CREATE TABLE gb.db.bad3 (k STRING, d DATE) USING manifest " +
+        "PARTITIONED BY (bucket(4, k), days(d))"))
   }
 }
