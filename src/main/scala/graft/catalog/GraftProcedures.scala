@@ -95,7 +95,8 @@ private[catalog] object GraftProcedures {
     override def parameters(): Array[ProcedureParameter] = Array(
       ProcedureParameter.in("table", StringType).build(),
       ProcedureParameter.in("target_mb", IntegerType).defaultValue("128").build(),
-      ProcedureParameter.in("cluster_by", StringType).defaultValue("''").build())
+      ProcedureParameter.in("cluster_by", StringType).defaultValue("''").build(),
+      ProcedureParameter.in("small_only", BooleanType).defaultValue("false").build())
     override def call(input: InternalRow): JIterator[Scan] = {
       val parts = input.getString(0).split("\\.")
       require(parts.length <= 2 && parts.forall(_.nonEmpty),
@@ -121,9 +122,18 @@ private[catalog] object GraftProcedures {
           GraftCatalog.requireFieldIdReads(meta.schema, input.getString(0))
           Some(meta.schema)
         } else None
+      val smallOnly = !input.isNullAt(3) && input.getBoolean(3)
+      require(!smallOnly || (provider == "manifest" && bucket.isEmpty),
+        "small_only applies to plain/transform-partitioned manifest tables " +
+          "(bucketed and keyedlog compaction is already per-group)")
       val (before, after) = (provider, bucket) match {
         case ("keyedlog", _) => graft.core.LakeCompaction.compactKeyedLog(spark, dir)
         case (_, Some(b))    => ManifestTable.compactBucketed(spark, dir, b.n, b.col, declared)
+        case _ if smallOnly =>
+          // OPTIMIZE bin-pack: merge only undersized files; well-sized
+          // data is never rewritten (cost ∝ small-file bytes, not table)
+          ManifestTable.compactSmall(spark, dir,
+            input.getInt(1).toLong * 1024 * 1024, clusterBy, declared)
         case _ =>
           ManifestTable.compact(spark, dir,
             input.getInt(1).toLong * 1024 * 1024, clusterBy, declared)

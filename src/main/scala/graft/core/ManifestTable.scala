@@ -746,6 +746,49 @@ object ManifestTable {
     (snapFiles.length.toLong, compacted.length.toLong)
   }
 
+  /** BIN-PACK compaction: rewrite ONLY the undersized files (smaller
+    * than half the target) into ~target-sized ones, leaving well-sized
+    * files COMPLETELY untouched — the OPTIMIZE semantics a 100 TB table
+    * needs, where full-snapshot `compact` would rewrite terabytes of
+    * already-healthy data to fix a few thousand small stream-epoch
+    * files. Cost ∝ the small-file bytes. Vectors on rewritten files are
+    * materialized in the pass; vectors on untouched files stay. Same
+    * optimistic rebase rules as every rewrite (a concurrent vector on a
+    * rewritten file aborts). `clusterBy` keeps a declared layout:
+    * the rewritten slice is range-clustered like any other write.
+    * Returns (filesRewritten, filesAfter). */
+  def compactSmall(spark: SparkSession, dir: String,
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      clusterBy: Seq[String] = Nil,
+      readSchema: Option[org.apache.spark.sql.types.StructType] = None): (Long, Long) = {
+    val fs = LakeStorage.openFor(dir)
+    val snapVersion = currentVersion(dir).getOrElse(
+      throw new IllegalStateException(s"no committed version under $dir"))
+    val snap = state(dir, snapVersion)
+    def sizeOf(f: String): Long = snap.stats.get(f).flatMap(_.sizeBytes)
+      .getOrElse(fs.getFileStatus(new Path(dir, f)).getLen)
+    val small = snap.files.filter(f => sizeOf(f) < targetFileBytes / 2)
+    // one undersized file has nothing to merge with — and a whole-file
+    // rewrite of it would be pure churn unless it carries a vector
+    if (small.length < 2 && small.forall(!snap.dvs.contains(_))) return (0L, 0L)
+    val smallBytes = small.map(sizeOf).sum
+    val nOut = math.max(1L, (smallBytes + targetFileBytes - 1) / targetFileBytes).toInt
+    val smallDvs = snap.dvs.view.filterKeys(small.toSet).toMap
+    val rows = applyDvs(spark, dir,
+      readSnapshot(spark, dir, small, readSchema), smallDvs)
+    val rewritten =
+      if (clusterBy.isEmpty) rows.coalesce(nOut)
+      else {
+        import org.apache.spark.sql.functions.col
+        rows.repartitionByRange(nOut, clusterBy.map(col): _*)
+          .sortWithinPartitions(clusterBy.map(col): _*)
+      }
+    val added = writePool(rewritten, dir)
+    commitRewrite(dir, removed = small, added = added,
+      expectedDvs = Some(snap.dvs))
+    (small.length.toLong, added.length.toLong)
+  }
+
   /** Rewrite ONLY the files carrying deletion vectors (live rows kept,
     * vectors dropped) — the targeted debt-collection pass of a
     * merge-on-read table: untouched files stay untouched, so the cost is

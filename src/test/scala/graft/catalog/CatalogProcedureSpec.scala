@@ -46,6 +46,39 @@ class CatalogProcedureSpec extends AnyFunSuite {
       Seq(200L, (1 to 4).map(i => (0 until 50).map(_ + i * 100).sum.toLong).sum))
   }
 
+  test("CALL compact small_only bin-packs undersized files, never healthy ones") {
+    ensureDb()
+    spark.sql("CREATE TABLE gp.db.opt (id BIGINT, v STRING) USING manifest")
+    // one healthy ~2.5 MB file + five tiny stream-epoch-ish files
+    spark.sql("INSERT INTO gp.db.opt SELECT /*+ REPARTITION(1) */ id, " +
+      "sha1(CAST(id AS STRING)) FROM range(50000)")
+    (1 to 5).foreach { i =>
+      spark.sql("INSERT INTO gp.db.opt SELECT /*+ REPARTITION(1) */ " +
+        s"id + ${i * 1000000}, 'x' FROM range(100)")
+    }
+    val dir = dataDir("opt")
+    def files() = ManifestTable.manifest(dir, ManifestTable.currentVersion(dir).get)
+    val before = files()
+    assert(before.length === 6)
+    val healthy = {
+      val st = ManifestTable.state(dir, ManifestTable.currentVersion(dir).get)
+      before.filter(f => st.stats(f).sizeBytes.get > 512 * 1024).toSet
+    }
+    assert(healthy.size === 1, "exactly one file above the small threshold")
+    val row = spark.sql(
+      "CALL gp.system.compact('db.opt', target_mb => 1, small_only => true)").head()
+    assert(row.getLong(0) === 5L, "only the five small files rewrite")
+    val after = files()
+    assert(healthy.subsetOf(after.toSet),
+      "the healthy file must survive the bin-pack untouched")
+    assert(after.length === healthy.size + row.getLong(1).toInt)
+    assert(spark.sql("SELECT count(*) FROM gp.db.opt").head().getLong(0) === 50500L)
+    // a second pass finds nothing to merge (one merged small file at most)
+    val again = spark.sql(
+      "CALL gp.system.compact('db.opt', target_mb => 1, small_only => true)").head()
+    assert(again.getLong(0) <= 1L)
+  }
+
   test("CALL compact on a bucketed table re-buckets (SPJ survives)") {
     ensureDb()
     spark.sql("""CREATE TABLE gp.db.cpb (k BIGINT, v STRING) USING manifest
