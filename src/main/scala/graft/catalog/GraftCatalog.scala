@@ -116,6 +116,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           Some(MetadataTables.keyedLogPartitions(dataDir, meta.bucket.map(_.n)))
         case "changes" if meta.provider == "manifest" =>
           Some(new ManifestChangesTable(dataDir, meta.schema))
+        case "refs" if meta.provider == "manifest" =>
+          Some(MetadataTables.refs(dataDir))
         case "changes" if meta.provider == "keyedlog" =>
           Some(new KeyedLogChangesTable(dataDir))
         case "partitions" if meta.provider == "manifest" =>
@@ -128,16 +130,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     }
   }
 
-  /** `VERSION AS OF` time travel (manifest tables only). */
+  /** `VERSION AS OF` time travel (manifest tables only): a numeric
+    * version, or a SNAPSHOT TAG name (`VERSION AS OF 'v1-release'` —
+    * named refs created by `CALL g.system.tag`, vacuum-retained). */
   override def loadTable(ident: Identifier, version: String): Table = {
+    val dir = tableDir(ident)
+    val meta = readMeta(dir).getOrElse(throw new NoSuchTableException(ident))
+    if (meta.provider != "manifest") throw new UnsupportedOperationException(
+      s"${ident.name()}: only manifest tables support VERSION AS OF")
+    val dataDir = meta.location.getOrElse(dir)
     val v = scala.util.Try(version.toLong).getOrElse(
-      throw new IllegalArgumentException(
-        s"$catalogName: VERSION AS OF wants a numeric manifest version, got '$version'"))
-    tableFor(ident, asOf = Some(v)) match {
-      case t: ManifestSparkTable => t
-      case _ => throw new UnsupportedOperationException(
-        s"${ident.name()}: only manifest tables support VERSION AS OF")
-    }
+      graft.core.ManifestTable.versionOfTag(dataDir, version))
+    new ManifestSparkTable(dataDir, meta.schema, Some(v), meta.bucket,
+      mergeOnRead = meta.dmlMode.contains("merge-on-read"),
+      cluster = meta.cluster)
   }
 
   /** `TIMESTAMP AS OF` time travel: resolves to the latest version whose

@@ -50,12 +50,15 @@ private[catalog] object GraftProcedures {
       case "rollback"       => Some(new RollbackProcedure(catalog))
       case "register_files" => Some(new RegisterFilesProcedure(catalog))
       case "purge_deletes"  => Some(new PurgeDeletesProcedure(catalog))
+      case "tag"            => Some(new TagProcedure(catalog))
+      case "drop_tag"       => Some(new DropTagProcedure(catalog))
       case _                => None
     }
   }
 
   val names: Seq[String] =
-    Seq("compact", "vacuum", "rollback", "register_files", "purge_deletes")
+    Seq("compact", "vacuum", "rollback", "register_files", "purge_deletes",
+      "tag", "drop_tag")
 
   /** Resolve a procedure's `'db.t'` argument against the catalog. */
   private def target(catalog: GraftCatalog, table: String): (String, String, Option[GraftCatalog.Bucketing]) = {
@@ -233,6 +236,50 @@ private[catalog] object GraftProcedures {
           StructField("files_rewritten", LongType, nullable = false),
           StructField("positions_purged", LongType, nullable = false))),
         rewritten, purged)
+    }
+  }
+
+  /** `CALL g.system.tag('db.t', 'v1-release' [, version])` — name a
+    * committed snapshot (default: the current one). Tagged history is
+    * vacuum-RETAINED and readable forever via
+    * `VERSION AS OF 'v1-release'`; `t.refs` lists tags. */
+  private final class TagProcedure(catalog: GraftCatalog) extends ManifestProcedure {
+    override def name(): String = "tag"
+    override def description(): String =
+      "name a committed snapshot (vacuum-retained; VERSION AS OF '<name>' reads it)"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("name", StringType).build(),
+      ProcedureParameter.in("version", LongType).defaultValue("-1").build())
+    override def call(input: InternalRow): JIterator[Scan] = {
+      val (dir, _) = manifestTarget(catalog, input.getString(0), "tag")
+      val v = input.getLong(2) match {
+        case -1L => ManifestTable.currentVersion(dir).getOrElse(
+          throw new IllegalStateException(s"no committed version to tag under $dir"))
+        case req => req
+      }
+      ManifestTable.tag(dir, input.getString(1), v)
+      result(
+        StructType(Seq(
+          StructField("name", StringType, nullable = false),
+          StructField("version", LongType, nullable = false))),
+        UTF8String.fromString(input.getString(1)), v)
+    }
+  }
+
+  private final class DropTagProcedure(catalog: GraftCatalog) extends ManifestProcedure {
+    override def name(): String = "drop_tag"
+    override def description(): String = "remove a snapshot tag (history becomes vacuum fodder again)"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("name", StringType).build())
+    override def call(input: InternalRow): JIterator[Scan] = {
+      val (dir, _) = manifestTarget(catalog, input.getString(0), "drop_tag")
+      val existed = ManifestTable.dropTag(dir, input.getString(1))
+      result(
+        StructType(Seq(StructField("dropped", org.apache.spark.sql.types.BooleanType,
+          nullable = false))),
+        existed)
     }
   }
 

@@ -239,6 +239,18 @@ object MetadataTables {
       }
     })
 
+  val RefsSchema: StructType = StructType(Seq(
+    StructField("name", StringType, nullable = false),
+    StructField("version", LongType, nullable = false)))
+
+  /** `t.refs`: the table's snapshot tags (named, vacuum-retained
+    * versions — `VERSION AS OF '<name>'` reads them). */
+  def refs(dir: String): Table =
+    new VirtualRowsTable(s"refs($dir)", RefsSchema, () =>
+      ManifestTable.tags(dir).toSeq.sortBy(_._1).map { case (n, v) =>
+        Array[Any](n, v)
+      })
+
   val DetailSchema: StructType = StructType(Seq(
     StructField("provider", StringType, nullable = false),
     StructField("location", StringType, nullable = false),

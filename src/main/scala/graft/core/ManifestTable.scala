@@ -924,6 +924,53 @@ object ManifestTable {
     (snapFiles.length.toLong, compacted.length.toLong)
   }
 
+  // ---- snapshot tags (named refs) --------------------------------------
+
+  private val TagPrefix = "_ref_"
+  private val TagNamePattern = java.util.regex.Pattern.compile("[A-Za-z0-9._-]+")
+
+  /** Tag a committed version with a stable name — the Iceberg-refs
+    * pattern: `VERSION AS OF 'name'` resolves it, and [[vacuum]] RETAINS
+    * tagged history (markers, pools, vectors) however old, so a tag is a
+    * durable, addressable snapshot (training-data releases, audit
+    * states). One small object per tag (`_ref_<name>`, the version
+    * digits); re-tagging an existing name moves it (last write wins —
+    * tags are operator metadata, not a racing commit protocol). */
+  def tag(dir: String, name: String, version: Long): Unit = {
+    require(TagNamePattern.matcher(name).matches(),
+      s"tag name '$name' must match [A-Za-z0-9._-]+")
+    require(allVersions(dir).contains(version),
+      s"cannot tag version $version of $dir — not committed (or vacuumed)")
+    val fs = LakeStorage.openFor(dir)
+    val out = fs.create(new Path(dir, s"$TagPrefix$name"), true)
+    try out.write(version.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  def dropTag(dir: String, name: String): Boolean = {
+    val fs = LakeStorage.openFor(dir)
+    fs.delete(new Path(dir, s"$TagPrefix$name"), false)
+  }
+
+  /** All tags of the table, name → version. */
+  def tags(dir: String): Map[String, Long] = {
+    val fs = LakeStorage.openFor(dir)
+    val base = new Path(dir)
+    if (!fs.exists(base)) return Map.empty
+    fs.listStatus(base).iterator
+      .map(_.getPath.getName)
+      .filter(_.startsWith(TagPrefix))
+      .flatMap { n =>
+        val name = n.stripPrefix(TagPrefix)
+        scala.util.Try(
+          readTextFile(fs, new Path(dir, n)).trim.toLong).toOption.map(name -> _)
+      }.toMap
+  }
+
+  /** Resolve a tag name to its version; loud when absent. */
+  def versionOfTag(dir: String, name: String): Long =
+    tags(dir).getOrElse(name, throw new IllegalArgumentException(
+      s"no tag '$name' on $dir (tags: ${tags(dir).keys.toSeq.sorted.mkString(", ")})"))
+
   /** Retention window for NEVER-COMMITTED data pools. A pool with no
     * referencing marker is either a crashed writer's garbage or a live
     * writer's staged-but-not-yet-committed pool — indistinguishable from
@@ -954,10 +1001,15 @@ object ManifestTable {
     if (!fs.exists(base)) return 0
     val committed = allVersions(dir)
     if (committed.isEmpty) return 0
-    val kept = committed.takeRight(keep)
-    val cutoff = kept.head
+    // tagged versions are RETAINED however old: each gets its own
+    // checkpoint (so it stays resolvable after older markers truncate),
+    // its marker survives, and its pools stay referenced
+    val tagged = tags(dir).values.toSet.intersect(committed.toSet)
+    val kept = (committed.takeRight(keep).toSet ++ tagged).toSeq.sorted
+    val cutoff = committed.takeRight(keep).head
     // anchor the surviving log BEFORE truncating it
     writeCheckpoint(dir, cutoff, state(dir, cutoff))
+    tagged.filter(_ < cutoff).foreach(v => writeCheckpoint(dir, v, state(dir, v)))
     // pool dirs referenced by any kept / any committed manifest (first
     // path segment — data files AND deletion-vector files); committed-
     // but-not-kept pools are dead on expiry, unreferenced-by-any pools
@@ -982,10 +1034,10 @@ object ManifestTable {
         }
       } else {
         parseSuffix(name, MarkerPrefix).foreach { v =>
-          if (v < cutoff) { fs.delete(st.getPath, false); () }
+          if (v < cutoff && !tagged.contains(v)) { fs.delete(st.getPath, false); () }
         }
         parseSuffix(name, CkptPrefix).foreach { v =>
-          if (v < cutoff) { fs.delete(st.getPath, false); () }
+          if (v < cutoff && !tagged.contains(v)) { fs.delete(st.getPath, false); () }
         }
       }
     }

@@ -586,6 +586,41 @@ object CoverageQueries extends QueryModule {
         .toDF("pruned_some", "labels_ok", "n_orders", "sum_key")
     },
 
+    // --- snapshot tags (ManifestTable.tag + VERSION AS OF '<name>'):
+    //     a named, vacuum-RETAINED snapshot — the training-data-release
+    //     primitive. The tag is created before more writes and a DELETE,
+    //     then vacuum truncates untagged history; the tagged read must
+    //     still serve the full original snapshot while the current read
+    //     serves the post-DELETE state. Both aggregates replay exactly ---
+    "qc32_snapshot_tags" -> { (s, d) =>
+      import s.implicits._
+      if (s.conf.getOption("spark.sql.catalog.graft_cat").isEmpty)
+        graft.catalog.GraftCatalog.register(s, "graft_cat",
+          graft.core.TempDirs.create("graft_cat_root_"))
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.db")
+      s.sql("DROP TABLE IF EXISTS graft_cat.db.tagged")
+      Tables.documents(s, d).createOrReplaceTempView("qc32_documents")
+      s.sql("CREATE TABLE graft_cat.db.tagged " +
+        "(doc_id BIGINT, lang STRING, n_chars BIGINT) USING manifest")
+      s.sql("INSERT INTO graft_cat.db.tagged SELECT doc_id, lang, n_chars " +
+        "FROM qc32_documents WHERE doc_id < 150")                        // v1
+      val tagRow = s.sql("CALL graft_cat.system.tag('db.tagged', 'base')").head()
+      s.sql("INSERT INTO graft_cat.db.tagged SELECT doc_id, lang, n_chars " +
+        "FROM qc32_documents WHERE doc_id >= 150")                       // v2
+      s.sql("DELETE FROM graft_cat.db.tagged WHERE doc_id % 5 = 0")      // v3
+      s.sql("CALL graft_cat.system.vacuum('db.tagged', keep => 2, " +
+        "orphan_retain_ms => 0)")
+      val atTag = s.sql("SELECT count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS c " +
+        "FROM graft_cat.db.tagged VERSION AS OF 'base'").head()
+      val now = s.sql("SELECT count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS c " +
+        "FROM graft_cat.db.tagged").head()
+      val refs = s.sql("SELECT count(*) FROM graft_cat.db.tagged.refs").head().getLong(0)
+      Seq((tagRow.getLong(1), refs, atTag.getLong(0), atTag.getLong(1),
+          now.getLong(0), now.getLong(1)))
+        .toDF("tag_version", "n_refs", "rows_at_tag", "chars_at_tag",
+          "rows_current", "chars_current")
+    },
+
     // --- metadata tables (catalog/MetadataTables): t.history / t.files
     //     — one row per committed version / per current-snapshot file,
     //     derived purely from commit markers + file status (the DESCRIBE
@@ -1013,6 +1048,18 @@ object CoverageQueries extends QueryModule {
            (SELECT count(*) FROM documents WHERE doc_id % 2 = 0) AS rows_v1_time_travel,
            (SELECT count(*) FROM documents) AS rows_after_adopt,
            CAST((SELECT sum(n_chars) FROM documents) AS BIGINT) AS chars_after_adopt""",
+
+    // the tag pins v1 (the doc_id<150 insert); the current state is the
+    // full corpus minus the doc_id%5=0 DELETE — vacuum retention of the
+    // tagged snapshot is what makes rows_at_tag answerable at all
+    "qc32_snapshot_tags" ->
+      """SELECT CAST(1 AS BIGINT) AS tag_version, CAST(1 AS BIGINT) AS n_refs,
+           (SELECT count(*) FROM documents WHERE doc_id < 150) AS rows_at_tag,
+           CAST((SELECT sum(n_chars) FROM documents WHERE doc_id < 150) AS BIGINT)
+             AS chars_at_tag,
+           (SELECT count(*) FROM documents WHERE doc_id % 5 <> 0) AS rows_current,
+           CAST((SELECT sum(n_chars) FROM documents WHERE doc_id % 5 <> 0) AS BIGINT)
+             AS chars_current""",
 
     // the vector debts are exact row counts the oracle recomputes from
     // the DML predicates; the structural booleans (file set untouched by

@@ -282,11 +282,47 @@ class CatalogProcedureSpec extends AnyFunSuite {
     assert(em.getMessage.contains("column mapping"), s"wrong error: ${em.getMessage}")
   }
 
+  test("snapshot tags: VERSION AS OF name, t.refs, vacuum retention") {
+    ensureDb()
+    spark.sql("CREATE TABLE gp.db.tags (id BIGINT, v STRING) USING manifest")
+    spark.sql("INSERT INTO gp.db.tags SELECT /*+ REPARTITION(1) */ id, 'a' FROM range(10)") // v1
+    val tagged = spark.sql("CALL gp.system.tag('db.tags', 'rel-1')").head()
+    assert((tagged.getString(0), tagged.getLong(1)) === ("rel-1", 1L))
+    // move the table on: replace the snapshot twice so v1's pool becomes
+    // vacuum fodder UNLESS the tag retains it
+    spark.sql("INSERT OVERWRITE gp.db.tags SELECT /*+ REPARTITION(1) */ id, 'b' FROM range(5)")
+    spark.sql("INSERT OVERWRITE gp.db.tags SELECT /*+ REPARTITION(1) */ id, 'c' FROM range(3)")
+    spark.sql("INSERT OVERWRITE gp.db.tags SELECT /*+ REPARTITION(1) */ id, 'd' FROM range(2)")
+    spark.sql("CALL gp.system.vacuum('db.tags', keep => 2, orphan_retain_ms => 0)")
+    // the tagged snapshot reads back whole; untagged old versions are gone
+    assert(spark.sql("SELECT count(*) FROM gp.db.tags VERSION AS OF 'rel-1'")
+      .head().getLong(0) === 10L)
+    assert(spark.sql("SELECT v FROM gp.db.tags VERSION AS OF 'rel-1' LIMIT 1")
+      .head().getString(0) === "a")
+    assert(ManifestTable.allVersions(dataDir("tags")).toSet === Set(1L, 3L, 4L))
+    assert(spark.sql("SELECT count(*) FROM gp.db.tags").head().getLong(0) === 2L)
+    // t.refs lists the tag; drop releases it
+    val refs = spark.sql("SELECT name, version FROM gp.db.tags.refs").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(refs === Seq(("rel-1", 1L)))
+    assert(spark.sql("CALL gp.system.drop_tag('db.tags', 'rel-1')").head().getBoolean(0))
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM gp.db.tags VERSION AS OF 'rel-1'").collect()
+    }
+    assert(e.getMessage.contains("no tag"))
+    // tagging an uncommitted version is loud
+    val e2 = intercept[Exception] {
+      spark.sql("CALL gp.system.tag('db.tags', 'nope', 99)").collect()
+    }
+    assert(e2.getMessage.contains("not committed"))
+  }
+
   test("procedures are discoverable and argument errors are loud") {
     ensureDb()
     val procs = spark.sql("SHOW PROCEDURES IN gp.system").collect().map(_.getString(3))
     assert(procs.toSet ===
-      Set("compact", "vacuum", "rollback", "register_files", "purge_deletes"))
+      Set("compact", "vacuum", "rollback", "register_files", "purge_deletes",
+        "tag", "drop_tag"))
     val e = intercept[Exception] {
       spark.sql("CALL gp.system.nope('db.t')").collect()
     }
