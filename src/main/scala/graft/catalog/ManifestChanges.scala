@@ -134,12 +134,13 @@ object ManifestChanges {
     def addressed(paths: Seq[String], tag: String,
         filters: String => RowAddressPartition => RowAddressPartition): Seq[InputPartition] = {
       if (paths.isEmpty) return Seq.empty
+      val relOf = ManifestRowLevelOperation.relNameIn(dir)
       var i = -1
       parquetScan(paths, withRowIndex = true).toBatch.planInputPartitions().toSeq.flatMap {
         case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
           fp.files.map { pf =>
             i += 1
-            val rel = ManifestRowLevelOperation.relName(pf.filePath.toString)
+            val rel = relOf(pf.filePath.toString)
             val base = RowAddressPartition(
               org.apache.spark.sql.execution.datasources.FilePartition(i, Array(pf)), rel)
             ChangeTaggedPartition(filters(rel)(base), tag): InputPartition

@@ -190,11 +190,12 @@ class ManifestDeltaScan(op: ManifestDeltaOperation, dir: String,
   override def planInputPartitions(): Array[InputPartition] = {
     if (currentFiles.isEmpty) return Array.empty
     val dvs = op.snapshotState.dvs
+    val relOf = ManifestRowLevelOperation.relNameIn(dir)
     var i = -1
     innerScan(currentFiles).toBatch.planInputPartitions().flatMap {
       case fp: FilePartition => fp.files.map { pf =>
         i += 1
-        val rel = ManifestRowLevelOperation.relName(pf.filePath.toString)
+        val rel = relOf(pf.filePath.toString)
         RowAddressPartition(FilePartition(i, Array(pf)), rel,
           drop = dvs.get(rel).map(_.path)): InputPartition
       }

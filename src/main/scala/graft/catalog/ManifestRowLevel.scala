@@ -103,25 +103,38 @@ object ManifestRowLevelOperation {
   /** Metadata column carrying each row's dir-relative data-file path. */
   val FileCol = "_file"
 
-  /** Pool-relative name (`d-<uuid>/part-....parquet`) from an absolute /
-    * URI-qualified path — manifest pools are exactly one directory deep. */
-  private[catalog] def relName(absolute: String): String = {
-    val rel = absolute.split('/').takeRight(2).mkString("/")
-    require(rel.startsWith("d-"),
-      s"$absolute is not inside a manifest data pool")
-    rel
+  /** Dir-relative name of ANY manifest data file (pool or adopted):
+    * strips the table root's qualified prefix — the manifest's file keys
+    * are exactly these, whatever the path depth (`register_files` adopts
+    * `import1/part-...parquet`-shaped names that the one-pool-deep
+    * [[relName]] would reject). */
+  private[catalog] def relNameIn(dir: String): String => String = {
+    val prefix = graft.core.LakeStorage.openFor(dir)
+      .makeQualified(new Path(dir)).toString + "/"
+    absolute => {
+      if (absolute.startsWith(prefix)) absolute.stripPrefix(prefix)
+      else {
+        // unqualified fallback (a caller handed a plain path)
+        val raw = new Path(dir).toString + "/"
+        val at = absolute.indexOf(raw)
+        require(at >= 0, s"$absolute is not under the table root $dir")
+        absolute.substring(at + raw.length)
+      }
+    }
   }
 
   /** Re-plan parquet splits at FILE granularity, tagging each with its
-    * pool-relative name — what lets the reader append `_file` as a
+    * dir-relative name — what lets the reader append `_file` as a
     * partition constant and runtime group filtering prune whole files. */
-  private[catalog] def regroupPerFile(parts: Array[InputPartition]): Array[InputPartition] = {
+  private[catalog] def regroupPerFile(dir: String,
+      parts: Array[InputPartition]): Array[InputPartition] = {
+    val rel = relNameIn(dir)
     var i = -1
     parts.flatMap {
       case fp: FilePartition => fp.files.map { pf =>
         i += 1
         FileTaggedPartition(FilePartition(i, Array(pf)),
-          relName(pf.filePath.toString)): InputPartition
+          rel(pf.filePath.toString)): InputPartition
       }
       case other => throw new IllegalStateException(
         s"parquet planned a non-file partition: $other")
@@ -174,16 +187,17 @@ class ManifestRowLevelScan(op: ManifestRowLevelOperation, dir: String,
   override def planInputPartitions(): Array[InputPartition] = {
     if (currentFiles.isEmpty) return Array.empty
     val parts = innerScan(currentFiles).toBatch.planInputPartitions()
-    if (dvs.isEmpty) regroupPerFile(parts)
+    if (dvs.isEmpty) regroupPerFile(dir, parts)
     else {
       // vectored snapshot: the rewrite must read LIVE rows only, so the
       // per-file partitions route through the row-address readers (the
       // same `_file`-tagged output shape, vectors subtracted)
+      val relOf = relNameIn(dir)
       var i = -1
       parts.flatMap {
         case fp: FilePartition => fp.files.map { pf =>
           i += 1
-          val rel = relName(pf.filePath.toString)
+          val rel = relOf(pf.filePath.toString)
           RowAddressPartition(FilePartition(i, Array(pf)), rel,
             dvs.get(rel).map(_.path)): InputPartition
         }
@@ -346,7 +360,7 @@ class ManifestScanBuilder(mkBuilder: (Seq[String], Boolean) => org.apache.spark.
       return RowAddressScan(parquet, dir, dvByRel, needPos, needFile, output,
         exactRows, streamDelegate)
     }
-    if (needFile) return FileTagWrapScan(parquet)
+    if (needFile) return FileTagWrapScan(parquet, dir)
     // key-grouped (storage-partitioned) scan: opt-in via the v2 bucketing
     // flag, only when the bucket key survives pruning (the reported
     // expressions must resolve in the scan output) and no aggregate was
@@ -483,7 +497,7 @@ case class BucketGroupReaderFactory(inner: PartitionReaderFactory)
 
 /** Wraps an already-built (pruned, filtered) parquet scan so every row
   * carries its `_file` tag as an appended last column. */
-case class FileTagWrapScan(inner: Scan) extends Scan with Batch {
+case class FileTagWrapScan(inner: Scan, dir: String) extends Scan with Batch {
   import ManifestRowLevelOperation._
   override def readSchema(): StructType =
     StructType(inner.readSchema().fields :+
@@ -491,7 +505,7 @@ case class FileTagWrapScan(inner: Scan) extends Scan with Batch {
   override def toBatch: Batch = this
   override def description(): String = s"FileTagWrap(${inner.description()})"
   override def planInputPartitions(): Array[InputPartition] =
-    regroupPerFile(inner.toBatch.planInputPartitions())
+    regroupPerFile(dir, inner.toBatch.planInputPartitions())
   override def createReaderFactory(): PartitionReaderFactory =
     FileTagReaderFactory(inner.toBatch.createReaderFactory())
 }

@@ -237,7 +237,7 @@ class ManifestSparkTable(dir: String, declared: StructType,
     GraftCatalog.requireFieldIdReads(declared, name())
     val affected = spark.read.schema(declared).parquet(candidates: _*)
       .filter(cond).select(col("_metadata.file_path")).distinct()
-      .collect().map(r => ManifestRowLevelOperation.relName(r.getString(0)))
+      .collect().map(r => ManifestRowLevelOperation.relNameIn(dir)(r.getString(0)))
       .toSeq.sorted
     if (affected.isEmpty) return
     // pending deletion vectors must be applied to the survivor rewrite —

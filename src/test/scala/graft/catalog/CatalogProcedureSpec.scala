@@ -267,6 +267,14 @@ class CatalogProcedureSpec extends AnyFunSuite {
       "CALL gp.system.register_files('db.adopt', pattern => 'legacy-a*')").head()
     assert(scoped.getLong(1) === 1L, s"pattern must scope adoption: $scoped")
     assert(spark.sql("SELECT count(*) FROM gp.db.adopt").head().getLong(0) === 20L)
+    // row-level DML works ON ADOPTED FILES too — their dir-relative names
+    // are not pool-shaped (`import/...`, `legacy-a.parquet`), which the
+    // old one-pool-deep path resolution would have rejected at planning
+    spark.sql("UPDATE gp.db.adopt SET v = 'adopted!' WHERE id >= 100")
+    assert(spark.sql("SELECT count(*) FROM gp.db.adopt WHERE v = 'adopted!'")
+      .head().getLong(0) === 10L, "5 import rows + 5 legacy-a rows updated")
+    spark.sql("DELETE FROM gp.db.adopt WHERE id = 101 AND v IS NOT NULL")
+    assert(spark.sql("SELECT count(*) FROM gp.db.adopt").head().getLong(0) === 18L)
     // bucketed tables refuse adoption (would demote the SPJ layout)
     spark.sql("""CREATE TABLE gp.db.adoptb (k BIGINT, v STRING) USING manifest
                  PARTITIONED BY (bucket(4, k))""")
