@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.VectorFunctions._
-import org.apache.spark.sql.{DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 
@@ -102,31 +102,61 @@ object Similarity {
       .agg(agg(col(vecCol)).as("centroid"))
   }
 
+  /** The K centroids folded into ONE array-of-structs row, so assignment
+    * can broadcast them and run as a pure map over the corpus. The fold
+    * itself exchanges only K rows (SinglePartition of the centroid set). */
+  private def centroidArray(cents: DataFrame): DataFrame =
+    cents.agg(collect_list(struct(
+      col("cluster").cast("long").as("cluster"), col("centroid"))).as("_cents"))
+
+  /** Nearest-centroid argmax as a higher-order function over the broadcast
+    * centroid array — a PURE MAP: zero Exchange between the corpus scan and
+    * the assignment (the old formulation crossJoined K copies of every row
+    * and collapsed them with a groupBy(id), which exchanged ALL n rows with
+    * their vectors per call — per Lloyd iteration in [[kmeans]]).
+    *
+    * Winner semantics are identical to the bounded-heap top-1 it replaces
+    * (score desc, cluster asc): `array_max` over (score, -cluster) structs
+    * compares doubles with Spark's nan-safe ordering — NaN largest,
+    * -0.0 == 0.0 — exactly [[TopKByScore.better]]'s Double.compare path,
+    * and among score ties the largest -cluster is the smallest cluster. */
+  private def nearestCluster(vec: Column, centsArr: Column): Column =
+    array_max(transform(centsArr, c => struct(
+      cosineSimilarity(vec, c.getField("centroid")).as("score"),
+      (-c.getField("cluster")).as("_negc"),
+      c.getField("cluster").as("cluster")))).getField("cluster")
+
+  /** Corpus → nearest-centroid assignment as a standalone operator:
+    * returns (idCol, vecCol, cluster). Pure map over `vecs` (the
+    * [[nearestCluster]] broadcast-array argmax) — the corpus side of the
+    * plan has ZERO Exchange; only the K-row centroid fold shuffles. */
+  def assignNearest(vecs: DataFrame, idCol: String, vecCol: String,
+                    cents: DataFrame): DataFrame =
+    vecs.crossJoin(broadcast(centroidArray(cents)))
+      .select(col(idCol), col(vecCol),
+        nearestCluster(col(vecCol), col("_cents")).as("cluster"))
+
   /** Lloyd's k-means refinement over an embedding column: each iteration
     * re-assigns every vector to its nearest centroid (by cosine — the
-    * same broadcast-K cross join + bounded-heap top-1 as [[ivfTopK]]'s
-    * assignment: map-only over the corpus, no corpus shuffle) and
-    * recomputes centroids with the [[VectorMean]] partial aggregate
-    * (map-side combine; the only shuffle moves K x dim partial sums per
-    * partition). Initialization is CALLER-PROVIDED (`init`: cluster,
-    * centroid) and iteration count fixed, so the whole refinement is a
-    * deterministic dataflow both engines replay — no random restarts.
-    * Returns (cluster, n, centroid) for the final iteration; clusters
-    * that lose all members disappear, classic Lloyd. */
+    * broadcast-centroid-array [[nearestCluster]] argmax: map-only over the
+    * corpus, zero corpus exchange) and recomputes centroids with the
+    * [[VectorMean]] partial aggregate (map-side combine; the only shuffle
+    * moves K x dim partial sums per partition). Initialization is
+    * CALLER-PROVIDED (`init`: cluster, centroid) and iteration count fixed,
+    * so the whole refinement is a deterministic dataflow both engines
+    * replay — no random restarts. Returns (cluster, n, centroid) for the
+    * final iteration; clusters that lose all members disappear, classic
+    * Lloyd. */
   def kmeans(vecs: DataFrame, idCol: String, vecCol: String, dim: Int,
              init: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1, "at least one Lloyd iteration")
-    val top1 = udaf(new TopKByScore(1), ExpressionEncoderHelp.scored)
     val mean = udaf(new VectorMean(dim), ExpressionEncoderHelp.floatArray)
     var cents = init.select(col("cluster"), col("centroid"))
     var out: DataFrame = null
     for (_ <- 0 until iters) {
-      val assigned = vecs.crossJoin(broadcast(cents))
-        .withColumn("c_cos", cosineSimilarity(col(vecCol), col("centroid")))
-        .groupBy(col(idCol))
-        .agg(top1(col("cluster").cast("long"), col("c_cos")).as("top"),
-          first(col(vecCol)).as("_v"))
-        .select(element_at(col("top"), 1).getField("id").as("cluster"), col("_v"))
+      val assigned = vecs.crossJoin(broadcast(centroidArray(cents)))
+        .select(nearestCluster(col(vecCol), col("_cents")).as("cluster"),
+          col(vecCol).as("_v"))
       out = assigned.groupBy("cluster")
         .agg(count(lit(1)).as("n"), mean(col("_v")).as("centroid"))
       cents = out.select("cluster", "centroid")
@@ -169,46 +199,47 @@ object Similarity {
     * to an equi-join on bucket — the other scale path next to IVF (draw
     * `hyper` from [[seededHyperplanes]] for data-independent cuts).
     *
-    * hyper: (h_id: Int in [0, 63], h_vec: Array[Float]); broadcast —
-    * the corpus is scanned exactly once (crossJoin is corpus x numPlanes
-    * rows map-side, reduced back to one row per vector by the sum).
+    * hyper: (h_id: Int in [0, 63], h_vec: Array[Float]), folded into one
+    * broadcast array-of-structs row; the bucket id is an `aggregate()` HOF
+    * over that array — a PURE MAP over the corpus, zero Exchange between
+    * the scan and the bucket column (the old groupBy(id)-of-plane-copies
+    * formulation exchanged the whole corpus to compute a per-row value).
     */
   def signLshBuckets(vecs: DataFrame, idCol: String, vecCol: String,
-                     hyper: DataFrame): DataFrame =
+                     hyper: DataFrame): DataFrame = {
+    val hyperArr = hyper.agg(collect_list(struct(
+      col("h_id").cast("int").as("h_id"), col("h_vec"))).as("_hyper"))
     vecs.select(col(idCol), col(vecCol))
-      .crossJoin(broadcast(hyper))
-      .withColumn("_dot", dotProduct(col(vecCol), col("h_vec")))
-      .groupBy(col(idCol))
-      .agg(sum(when(col("_dot") > 0,
-          call_function("shiftleft", lit(1L), col("h_id").cast("int")))
-        .otherwise(0L)).as("bucket"))
+      .crossJoin(broadcast(hyperArr))
+      .select(col(idCol),
+        aggregate(col("_hyper"), lit(0L), (acc, h) =>
+          acc + when(dotProduct(col(vecCol), h.getField("h_vec")) > 0,
+              call_function("shiftleft", lit(1L), h.getField("h_id")))
+            .otherwise(0L)).as("bucket"))
+  }
 
   /** IVF top-k: assign every corpus vector to its nearest centroid, then for
     * each query search only the `nprobe` closest clusters exhaustively.
     * Deterministic given the centroid set; approximate vs. brute force only
     * through cluster pruning.
     *
-    * Every selection step — corpus→centroid top-1, query→nprobe probes, the
-    * final per-query top-k — runs through the bounded-heap [[TopKByScore]]
-    * aggregator, NOT `row_number` windows: a window formulation full-sorts
-    * each group's candidate set (every corpus vector's K centroid scores;
-    * every member of a hot cluster per query probing it), while the heap
-    * keeps O(k) state per group with map-side partial aggregation. Ordering
-    * semantics are identical (score desc, id asc; see TopKByScore), so the
+    * The corpus→centroid assignment is the broadcast-array
+    * [[nearestCluster]] argmax (a pure map, zero corpus Exchange); the
+    * query→nprobe probes and the final per-query top-k run through the
+    * bounded-heap [[TopKByScore]] aggregator, NOT `row_number` windows: a
+    * window formulation full-sorts each group's candidate set (every member
+    * of a hot cluster per query probing it), while the heap keeps O(k)
+    * state per group with map-side partial aggregation. Ordering semantics
+    * are identical everywhere (score desc, id asc; see TopKByScore), so the
     * output matches the window formulation bit-for-bit. */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, cents: DataFrame,
               k: Int, nprobe: Int): DataFrame = {
-    val top1 = udaf(new TopKByScore(1), ExpressionEncoderHelp.scored)
     val topProbe = udaf(new TopKByScore(nprobe), ExpressionEncoderHelp.scored)
     val topK = udaf(new TopKByScore(k), ExpressionEncoderHelp.scored)
-    // corpus -> nearest centroid (broadcast join against K centroids;
-    // heap-select top-1, carrying the vector through the aggregate)
-    val assigned = corpus.crossJoin(broadcast(cents))
-      .withColumn("c_cos", cosineSimilarity(col("vec"), col("centroid")))
-      .groupBy(col("id"))
-      .agg(top1(col("cluster").cast("long"), col("c_cos")).as("top"),
-        first(col("vec")).as("vec"))
-      .select(col("id"), col("vec"), element_at(col("top"), 1).getField("id").as("cluster"))
+    // corpus -> nearest centroid: broadcast-array argmax, map-only over the
+    // corpus (zero corpus Exchange; the index build's only shuffle is the
+    // probe join itself)
+    val assigned = assignNearest(corpus, "id", "vec", cents)
     // query -> nprobe nearest centroids
     val probes = queries.crossJoin(broadcast(cents))
       .withColumn("q_cos", cosineSimilarity(col("q_vec"), col("centroid")))

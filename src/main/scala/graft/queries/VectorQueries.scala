@@ -84,7 +84,8 @@ object VectorQueries extends QueryModule {
 
     // --- k-means (Lloyd) refinement: label centroids as deterministic
     //     init, 2 re-assign/re-average iterations. Assignment is the
-    //     broadcast-K + bounded-heap top-1 (map-only over the corpus);
+    //     broadcast-centroid-array argmax HOF (a pure map over the corpus,
+    //     zero corpus Exchange per iteration);
     //     the update shuffles only K x dim partial sums per partition.
     //     Fixed init + fixed iterations = a deterministic dataflow the
     //     DuckDB oracle replays in SQL ---

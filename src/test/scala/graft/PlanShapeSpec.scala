@@ -218,4 +218,34 @@ class PlanShapeSpec extends AnyFunSuite {
     val scanLine = p.linesIterator.find(_.contains("FileScan")).getOrElse("")
     assert(!p.contains("PartitionFilters: []"), s"no partition filters applied:\n$scanLine")
   }
+
+  test("vector assignment is map-only: zero Exchange on the corpus side") {
+    // The kmeans/IVF nearest-centroid and sign-LSH bucket assignments must
+    // be pure maps over the corpus: the streamed (corpus) side of the
+    // broadcast nested-loop join against the folded centroid/hyperplane
+    // array must contain NO shuffle. At 100 TB x N Lloyd iterations a
+    // corpus exchange per assignment is the dominant avoidable cost.
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import graft.operators.Similarity
+    def corpusSideShuffles(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+      val joins = df.queryExecution.sparkPlan.collect {
+        case b: BroadcastNestedLoopJoinExec => b
+      }
+      assert(joins.nonEmpty, s"no BNLJ in plan:\n${df.queryExecution.sparkPlan}")
+      joins.flatMap(_.left.collect { case s: ShuffleExchangeLike => s.toString })
+    }
+    val emb = Tables.embeddings(spark, sf)
+    val cents = Similarity.centroids(
+      emb.select(col("label"), col("embedding")), "label", "embedding", 32)
+    val assigned = Similarity.assignNearest(
+      emb.select(col("vec_id"), col("embedding")), "vec_id", "embedding", cents)
+    assert(corpusSideShuffles(assigned).isEmpty,
+      s"nearest-centroid assignment shuffles the corpus:\n${assigned.queryExecution.sparkPlan}")
+    val hyper = Similarity.seededHyperplanes(spark, numPlanes = 8, dim = 32)
+    val buckets = Similarity.signLshBuckets(
+      emb.select(col("vec_id"), col("embedding")), "vec_id", "embedding", hyper)
+    assert(corpusSideShuffles(buckets).isEmpty,
+      s"LSH bucket assignment shuffles the corpus:\n${buckets.queryExecution.sparkPlan}")
+  }
 }
