@@ -130,15 +130,15 @@ case class RowAddressScan(inner: ParquetScan, dir: String,
     // qualifies them); manifest keys are dir-relative — strip the
     // qualified root, never guess at path depth (adopted files can sit
     // at any depth under the root)
-    val prefix = LakeStorage.openFor(dir)
-      .makeQualified(new org.apache.hadoop.fs.Path(dir)).toString + "/"
+    val relOf = ManifestRowLevelOperation.relNameIn(dir)
     var i = -1
     inner.toBatch.planInputPartitions().flatMap {
       case fp: FilePartition => fp.files.map { pf =>
         i += 1
-        val abs = pf.filePath.toString
-        val rel = if (abs.startsWith(prefix)) abs.stripPrefix(prefix)
-                  else abs.split('/').takeRight(2).mkString("/")
+        // relNameIn fails LOUDLY on a path that doesn't resolve under the
+        // table root — a silent depth guess here would skip the file's
+        // deletion vector and resurrect deleted rows
+        val rel = relOf(pf.filePath.toString)
         RowAddressPartition(FilePartition(i, Array(pf)), rel,
           dvByRel.get(rel).map(_.path)): InputPartition
       }

@@ -732,7 +732,7 @@ object GraftCatalog {
     spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
     spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
     // NOTE timestamps: manifest DATA files are written as INT64 micros
-    // (see ManifestTable.withMicrosTimestamps) — the deprecated INT96
+    // (see ManifestTable.microsTimestampJobConf) — the deprecated INT96
     // default carries no usable min/max statistics, which would silently
     // blind data skipping and days()/hours() partition pruning. The
     // session default is left untouched so non-catalog writes keep their

@@ -189,8 +189,8 @@ object ManifestChanges {
     val addressedScan = parquetScan(withRowIndex = true)
     ChangeTagReaderFactory(
       parquetScan(withRowIndex = false).toBatch.createReaderFactory(),
-      RowAddressReaderFactory(addressedScan.toBatch.createReaderFactory(), dir,
-        addressedScan.readSchema(), emitPos = false, emitFile = false))
+      Some(RowAddressReaderFactory(addressedScan.toBatch.createReaderFactory(),
+        dir, addressedScan.readSchema(), emitPos = false, emitFile = false)))
   }
 }
 
@@ -244,12 +244,15 @@ case class ChangeTaggedPartition(inner: InputPartition, change: String)
 }
 
 case class ChangeTagReaderFactory(inner: PartitionReaderFactory,
-                                  addressed: RowAddressReaderFactory = null)
+                                  addressed: Option[RowAddressReaderFactory] = None)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[ChangeTaggedPartition]
     val reader = p.inner match {
-      case ra: RowAddressPartition => addressed.createReader(ra)
+      case ra: RowAddressPartition =>
+        addressed.getOrElse(throw new IllegalStateException(
+          s"row-addressed change partition $ra routed through a change " +
+            "reader built without a RowAddressReaderFactory")).createReader(ra)
       case plain                   => inner.createReader(plain)
     }
     val tag = new GenericInternalRow(Array[Any](UTF8String.fromString(p.change)))

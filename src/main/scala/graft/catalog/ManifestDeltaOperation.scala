@@ -243,9 +243,10 @@ class ManifestDeltaWrite(op: ManifestDeltaOperation, dir: String,
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory = {
     val spark = SparkSession.active
     val job = Job.getInstance(spark.sessionState.newHadoopConf())
-    val owf = graft.core.ManifestTable.withMicrosTimestamps(spark) {
-      new ParquetFileFormat().prepareWrite(spark, job, Map.empty, writeSchema)
-    }
+    val owf = new ParquetFileFormat().prepareWrite(spark, job, Map.empty, writeSchema)
+    // task-side writers read the timestamp type from the JOB conf —
+    // stamping it here forces INT64 MICROS without touching session state
+    graft.core.ManifestTable.microsTimestampJobConf(job.getConfiguration)
     ManifestDeltaWriterFactory(owf, dir, s"$dir/$insertPool", insertPool,
       dvPool, writeSchema, rowIdSchema,
       op.snapshotState.dvs.map { case (f, ref) => f -> ref.path },

@@ -580,9 +580,10 @@ class ManifestReplaceWrite(op: ManifestRowLevelOperation, dir: String,
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     val spark = SparkSession.active
     val job = Job.getInstance(spark.sessionState.newHadoopConf())
-    val owf = graft.core.ManifestTable.withMicrosTimestamps(spark) {
-      new ParquetFileFormat().prepareWrite(spark, job, Map.empty, schema)
-    }
+    val owf = new ParquetFileFormat().prepareWrite(spark, job, Map.empty, schema)
+    // task-side writers read the timestamp type from the JOB conf —
+    // stamping it here forces INT64 MICROS without touching session state
+    graft.core.ManifestTable.microsTimestampJobConf(job.getConfiguration)
     ManifestPoolWriterFactory(owf, s"$dir/$poolName", schema,
       new SerializableConfiguration(job.getConfiguration))
   }

@@ -46,9 +46,10 @@ class ManifestStreamingWrite(dir: String, schema: StructType, queryId: String,
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory = {
     val spark = SparkSession.active
     val job = Job.getInstance(spark.sessionState.newHadoopConf())
-    val owf = graft.core.ManifestTable.withMicrosTimestamps(spark) {
-      new ParquetFileFormat().prepareWrite(spark, job, Map.empty, schema)
-    }
+    val owf = new ParquetFileFormat().prepareWrite(spark, job, Map.empty, schema)
+    // task-side writers read the timestamp type from the JOB conf —
+    // stamping it here forces INT64 MICROS without touching session state
+    graft.core.ManifestTable.microsTimestampJobConf(job.getConfiguration)
     ManifestStreamingWriterFactory(owf, dir, queryId, schema,
       new SerializableConfiguration(job.getConfiguration))
   }

@@ -113,8 +113,14 @@ object MetadataTables {
       val (files, fileStats) = ManifestTable.currentVersion(dir)
         .map(v => ManifestTable.manifestEntries(dir, v))
         .getOrElse((Seq.empty[String], Map.empty[String, graft.core.FileStats.Stats]))
-      def transformLabel(f: String): String = {
-        val (fn, colName, width, colType) = cluster.head
+      // one label segment per transform, composed with "/" — a table
+      // PARTITIONED BY (days(ts), identity(k)) labels files by BOTH
+      // dimensions, not silently just the first
+      def transformLabel(f: String): String =
+        cluster.map(c => transformSegment(f, c)).mkString("/")
+      def transformSegment(f: String,
+          c: (String, String, Option[Int], String)): String = {
+        val (fn, colName, width, colType) = c
         val unit = fn match {
           case "years" => "year"; case "months" => "month"; case "days" => "day"
           case "hours" => "hour"; case _ => fn

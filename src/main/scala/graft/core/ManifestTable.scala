@@ -939,6 +939,11 @@ object ManifestTable {
   def tag(dir: String, name: String, version: Long): Unit = {
     require(TagNamePattern.matcher(name).matches(),
       s"tag name '$name' must match [A-Za-z0-9._-]+")
+    // VERSION AS OF resolves numeric literals as versions BEFORE trying
+    // tags, so an all-digit tag name would be permanently unreadable
+    require(!name.forall(_.isDigit),
+      s"tag name '$name' is all digits — it would shadow numeric version " +
+        "resolution in VERSION AS OF; include at least one non-digit")
     require(allVersions(dir).contains(version),
       s"cannot tag version $version of $dir — not committed (or vacuumed)")
     val fs = LakeStorage.openFor(dir)
@@ -1053,22 +1058,56 @@ object ManifestTable {
   /** Manifest data files write timestamps as INT64 MICROS, whatever the
     * session default: the INT96 default carries no usable footer min/max,
     * which would silently blind data skipping and days()/hours()
-    * partition pruning on every timestamp column. Scoped set/restore —
-    * table data only, never the user's own writes. */
-  private[graft] def withMicrosTimestamps[T](spark: SparkSession)(f: => T): T = {
-    val key = "spark.sql.parquet.outputTimestampType"
-    val old = spark.conf.getOption(key)
-    spark.conf.set(key, "TIMESTAMP_MICROS")
-    try f finally old match {
-      case Some(v) => spark.conf.set(key, v)
-      case None    => spark.conf.unset(key)
+    * partition pruning on every timestamp column.
+    *
+    * The key is applied WITHOUT touching the caller's session conf — a
+    * scoped set/restore on the shared session races with the user's own
+    * concurrent writes (they'd observe MICROS mid-window, and two
+    * overlapping wrapped writes clobber each other's restore). Parquet's
+    * write support reads the key from the JOB configuration task-side, so
+    * DSv2 writer factories stamp it there post-`prepareWrite`
+    * ([[microsTimestampJobConf]]); [[writePool]]'s `df.write` goes through
+    * a dedicated cloned session ([[microsWriterSession]]) whose own
+    * SQLConf carries the key permanently. */
+  private[graft] def microsTimestampJobConf(
+      conf: org.apache.hadoop.conf.Configuration): Unit =
+    conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+
+  /** A cached `newSession()` clone that executes pool writes: shares the
+    * SparkContext (and global temp views) with the parent but owns its
+    * SQLConf, so forcing MICROS here never leaks into the parent's writes.
+    * The parent's runtime confs are re-synced on EVERY call (the caller's
+    * current AQE / shuffle-partition settings must govern the pool write;
+    * static confs skipped — they are context-global anyway), and sessions
+    * are cached PER THREAD so concurrent pool writes with divergent parent
+    * conf snapshots never clobber each other. */
+  private val writerSessions =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, Long), SparkSession]()
+  private def microsWriterSession(parent: SparkSession): SparkSession = {
+    val s = writerSessions.computeIfAbsent(
+      (parent, Thread.currentThread().getId), _ => parent.newSession())
+    parent.conf.getAll.foreach { case (k, v) =>
+      try { if (s.conf.getOption(k) != Some(v)) s.conf.set(k, v) }
+      catch { case _: Exception => () }
     }
+    s.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    s
   }
 
   private def writePool(df: DataFrame, dir: String, poolName: String): Seq[String] = {
     val poolPath = s"$dir/$poolName"
-    withMicrosTimestamps(df.sparkSession) {
-      df.write.mode(SaveMode.Overwrite).parquet(poolPath)
+    val parent = df.sparkSession
+    val writer = microsWriterSession(parent)
+    // rebind the (already-analyzed) plan into the writer session via a
+    // uniquely-named global temp view — the only public cross-session
+    // plan hand-off; dropped immediately after the write
+    val view = "graft_pool_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    df.createOrReplaceGlobalTempView(view)
+    try {
+      val gdb = parent.conf.get("spark.sql.globalTempDatabase", "global_temp")
+      writer.table(s"$gdb.$view").write.mode(SaveMode.Overwrite).parquet(poolPath)
+    } finally {
+      parent.catalog.dropGlobalTempView(view); ()
     }
     val fs = LakeStorage.openFor(dir)
     fs.listStatus(new Path(poolPath))

@@ -323,6 +323,12 @@ class CatalogProcedureSpec extends AnyFunSuite {
       spark.sql("CALL gp.system.tag('db.tags', 'nope', 99)").collect()
     }
     assert(e2.getMessage.contains("not committed"))
+    // all-digit tag names are rejected: VERSION AS OF resolves numeric
+    // literals as versions first, so tag '2024' would be unreadable
+    val e3 = intercept[Exception] {
+      spark.sql("CALL gp.system.tag('db.tags', '2024', 1)").collect()
+    }
+    assert(e3.getMessage.contains("all digits"))
   }
 
   test("procedures are discoverable and argument errors are loud") {

@@ -298,6 +298,38 @@ class DeletionVectorSpec extends AnyFunSuite {
     assert(state("dv_ow").dvs.isEmpty)
   }
 
+  test("vectors apply to adopted root-level files (depth-1 rel names)") {
+    // adopted legacy files sit DIRECTLY under the table root — their
+    // manifest key is one segment, not the pool-dir/part-file two the
+    // pool layout produces. The vectored scan must resolve the planned
+    // path to that key exactly (a depth guess would silently skip the
+    // vector and resurrect deleted rows).
+    ensureDb()
+    val loc = "file://" + Files.createTempDirectory("graft_dv_adopt_").toString
+    spark.sql(s"CREATE TABLE gv.db.dv_adopt (id BIGINT, v STRING) USING manifest " +
+      s"LOCATION '$loc' TBLPROPERTIES ('graft.dml.mode' = 'merge-on-read')")
+    spark.sql("INSERT INTO gv.db.dv_adopt SELECT id, concat('p', id) FROM range(10)")
+    // drop a legacy file at the root itself and adopt it
+    val tmp = Files.createTempDirectory("graft_dv_legacy_").toString + "/out"
+    spark.range(100, 110).selectExpr("id", "concat('L', id) AS v")
+      .coalesce(1).write.parquet(s"file://$tmp")
+    val src = new java.io.File(tmp).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head.toPath
+    java.nio.file.Files.copy(src,
+      new java.io.File(new java.net.URI(s"$loc/legacy-a.parquet")).toPath)
+    assert(spark.sql("CALL gv.system.register_files('db.dv_adopt')")
+      .head().getLong(1) === 1L)
+    assert(spark.sql("SELECT count(*) FROM gv.db.dv_adopt").head().getLong(0) === 20L)
+    // DELETE rows living in the ADOPTED file -> vector keyed by the
+    // one-segment name; the read must subtract them
+    spark.sql("DELETE FROM gv.db.dv_adopt WHERE id IN (103, 107)")
+    val st = ManifestTable.state(loc, ManifestTable.currentVersion(loc).get)
+    assert(st.dvs.keySet === Set("legacy-a.parquet"), s"dv keys: ${st.dvs.keySet}")
+    assert(spark.sql("SELECT count(*) FROM gv.db.dv_adopt").head().getLong(0) === 18L)
+    assert(spark.sql("SELECT count(*) FROM gv.db.dv_adopt WHERE id = 103")
+      .head().getLong(0) === 0L, "deleted row resurrected — vector not applied")
+  }
+
   test("vector binary round-trip and merge") {
     val fs = LakeStorage.openFor(root)
     DeletionVectors.write(fs, root, "t.dv", Array(1L, 5L, 9L))

@@ -107,6 +107,23 @@ class PartitionedTableSpec extends AnyFunSuite {
     assert(spark.table("gpt.db.evp").count() === 4320L)
   }
 
+  test("t.partitions composes labels across ALL transforms, not just the first") {
+    ensureDb()
+    spark.sql("CREATE TABLE gpt.db.evmulti (ts TIMESTAMP, lang STRING, v BIGINT) " +
+      "USING manifest PARTITIONED BY (days(ts), lang)")
+    spark.sql("""INSERT INTO gpt.db.evmulti
+      SELECT timestampadd(MINUTE, CAST(id AS INT), TIMESTAMP'2024-03-01 00:00:00'),
+             element_at(array('de','en'), CAST(id % 2 + 1 AS INT)), id
+      FROM range(2880)""") // two days, two languages
+    val labels = spark.sql("SELECT partition FROM gpt.db.evmulti.partitions")
+      .collect().map(_.getString(0)).toSeq
+    // every label must carry BOTH dimensions: <day segment>/<lang segment>
+    assert(labels.nonEmpty)
+    assert(labels.forall(l => l.startsWith("ts_day=") &&
+        l.contains("/lang_identity=")),
+      s"labels must compose both transforms: $labels")
+  }
+
   test("identity + truncate transforms; CTAS; compact keeps clustering") {
     ensureDb()
     spark.sql("CREATE TABLE gpt.db.langs (lang STRING, doc_id BIGINT) " +

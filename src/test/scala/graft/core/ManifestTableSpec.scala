@@ -358,4 +358,40 @@ class ManifestTableSpec extends AnyFunSuite {
     assert(failure.get() === null, s"concurrent reader failed: ${failure.get()}")
     assert(ManifestTable.read(spark, dir).count() === 300L)
   }
+
+  test("pool writes force INT64 micros timestamps WITHOUT touching session conf") {
+    // manifest data files need INT64 MICROS for footer min/max (data
+    // skipping / transform pruning), but the session's own setting — and
+    // any user write racing the pool write — must never observe the
+    // override (the old session-conf set/restore leaked it)
+    val key = "spark.sql.parquet.outputTimestampType"
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key, "INT96")
+    try {
+      val dir = freshDir()
+      val tdf = spark.range(100).selectExpr("id",
+        "timestampadd(HOUR, CAST(id AS INT), TIMESTAMP'2024-01-01 00:00:00') AS ts")
+      ManifestTable.write(tdf, dir)
+      // INT96 yields NO usable footer stats (FileStats skips it); LongVal
+      // min/max on ts proves the pool was written as INT64 micros
+      val st = ManifestTable.state(dir, ManifestTable.currentVersion(dir).get)
+      val tsStats = st.files.flatMap(f => st.stats.get(f).flatMap(_.col("ts")))
+      assert(tsStats.nonEmpty && tsStats.forall(_.min.isDefined),
+        s"pool files carry no ts min/max — written INT96? $tsStats")
+      // the session conf is untouched by the pool write...
+      assert(spark.conf.get(key) === "INT96")
+      // ...and a user write honors it: INT96 ts column -> no extractable stats
+      val userDir = freshDir() + "/user"
+      tdf.write.parquet(userDir)
+      val fs = LakeStorage.openFor(userDir)
+      val names = fs.listStatus(new Path(userDir))
+        .filter(_.getPath.getName.endsWith(".parquet")).map(_.getPath.getName).toSeq
+      val userStats = FileStats.collect(userDir, names)
+      assert(userStats.values.forall(_.col("ts").forall(_.min.isEmpty)),
+        "user write unexpectedly produced INT64 stats — session conf leaked")
+    } finally old match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
 }
