@@ -131,19 +131,33 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   }
 
   /** `VERSION AS OF` time travel (manifest tables only): a numeric
-    * version, or a SNAPSHOT TAG name (`VERSION AS OF 'v1-release'` —
-    * named refs created by `CALL g.system.tag`, vacuum-retained). */
+    * version, a SNAPSHOT TAG name (`VERSION AS OF 'v1-release'` — named
+    * refs created by `CALL g.system.tag`, vacuum-retained), or a BRANCH
+    * name (the write-audit-publish staging ref: serves the branch HEAD,
+    * the audit query's view). Tag and branch names share one namespace
+    * (collisions rejected at creation), and all-digit names are rejected
+    * there too, so the numeric parse can safely go first. */
   override def loadTable(ident: Identifier, version: String): Table = {
     val dir = tableDir(ident)
     val meta = readMeta(dir).getOrElse(throw new NoSuchTableException(ident))
     if (meta.provider != "manifest") throw new UnsupportedOperationException(
       s"${ident.name()}: only manifest tables support VERSION AS OF")
     val dataDir = meta.location.getOrElse(dir)
-    val v = scala.util.Try(version.toLong).getOrElse(
-      graft.core.ManifestTable.versionOfTag(dataDir, version))
-    new ManifestSparkTable(dataDir, meta.schema, Some(v), meta.bucket,
-      mergeOnRead = meta.dmlMode.contains("merge-on-read"),
-      cluster = meta.cluster)
+    scala.util.Try(version.toLong).toOption match {
+      case Some(v) =>
+        new ManifestSparkTable(dataDir, meta.schema, Some(v), meta.bucket,
+          mergeOnRead = meta.dmlMode.contains("merge-on-read"),
+          cluster = meta.cluster)
+      case None if graft.core.ManifestTable.branchHead(dataDir, version).isDefined =>
+        new ManifestSparkTable(dataDir, meta.schema, None, meta.bucket,
+          mergeOnRead = meta.dmlMode.contains("merge-on-read"),
+          cluster = meta.cluster, branch = Some(version))
+      case None =>
+        val v = graft.core.ManifestTable.versionOfTag(dataDir, version)
+        new ManifestSparkTable(dataDir, meta.schema, Some(v), meta.bucket,
+          mergeOnRead = meta.dmlMode.contains("merge-on-read"),
+          cluster = meta.cluster)
+    }
   }
 
   /** `TIMESTAMP AS OF` time travel: resolves to the latest version whose
@@ -169,9 +183,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     meta.provider match {
       case "keyedlog" => new KeyedLogTable(dataDir, meta.bucket.map(_.n))
       case "manifest" =>
+        // write-audit-publish: when the session pins a WAP branch and this
+        // table HAS that branch, reads and writes both target it (the
+        // audit query sees exactly what the pipeline staged); tables
+        // without the branch resolve to main, so one session conf can
+        // drive a multi-table pipeline
+        val wap = org.apache.spark.sql.SparkSession.active.conf
+          .getOption(GraftCatalog.WapBranchConf)
+          .filter(b => asOf.isEmpty &&
+            graft.core.ManifestTable.branchHead(dataDir, b).isDefined)
         new ManifestSparkTable(dataDir, meta.schema, asOf, meta.bucket,
           mergeOnRead = meta.dmlMode.contains("merge-on-read"),
-          cluster = meta.cluster)
+          cluster = meta.cluster, branch = wap)
       case other => throw new IllegalStateException(
         s"table ${ident.name()}: unknown provider '$other' in $dir/$MetaFile")
     }
@@ -715,6 +738,12 @@ object GraftCatalog {
 
   /** The CREATE TABLE property selecting the row-level DML strategy. */
   val DmlModeProp = "graft.dml.mode"
+
+  /** Session conf pinning a write-audit-publish branch: while set, reads
+    * and writes of any manifest table that HAS a branch of that name
+    * target the branch instead of main (Iceberg's `spark.wap.branch`
+    * pattern); tables without the branch resolve to main. */
+  val WapBranchConf = "graft.wap.branch"
 
   /** Register this catalog on a session under `name` rooted at `root`.
     * (Conf-only registration — the first SQL reference instantiates it.)

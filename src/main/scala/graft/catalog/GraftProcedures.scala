@@ -52,13 +52,16 @@ private[catalog] object GraftProcedures {
       case "purge_deletes"  => Some(new PurgeDeletesProcedure(catalog))
       case "tag"            => Some(new TagProcedure(catalog))
       case "drop_tag"       => Some(new DropTagProcedure(catalog))
+      case "branch"         => Some(new BranchProcedure(catalog))
+      case "fast_forward"   => Some(new FastForwardProcedure(catalog))
+      case "drop_branch"    => Some(new DropBranchProcedure(catalog))
       case _                => None
     }
   }
 
   val names: Seq[String] =
     Seq("compact", "vacuum", "rollback", "register_files", "purge_deletes",
-      "tag", "drop_tag")
+      "tag", "drop_tag", "branch", "fast_forward", "drop_branch")
 
   /** Resolve a procedure's `'db.t'` argument against the catalog. */
   private def target(catalog: GraftCatalog, table: String): (String, String, Option[GraftCatalog.Bucketing]) = {
@@ -264,6 +267,69 @@ private[catalog] object GraftProcedures {
           StructField("name", StringType, nullable = false),
           StructField("version", LongType, nullable = false))),
         UTF8String.fromString(input.getString(1)), v)
+    }
+  }
+
+  /** `CALL g.system.branch('db.t', 'ingest')` — create a writable branch
+    * at the current version: the write-audit-publish staging ref. Point
+    * writers at it with session conf `graft.wap.branch=ingest` (reads in
+    * that session audit the same staged state), or read it explicitly via
+    * `VERSION AS OF 'ingest'`; `CALL fast_forward` publishes. Branch data
+    * pools and the fork version are vacuum-protected until drop_branch. */
+  private final class BranchProcedure(catalog: GraftCatalog) extends ManifestProcedure {
+    override def name(): String = "branch"
+    override def description(): String =
+      "create a write-audit-publish branch at the current version"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("name", StringType).build())
+    override def call(input: InternalRow): JIterator[Scan] = {
+      val (dir, _) = manifestTarget(catalog, input.getString(0), "branch")
+      val forkV = ManifestTable.createBranch(dir, input.getString(1))
+      result(
+        StructType(Seq(
+          StructField("name", StringType, nullable = false),
+          StructField("forked_from_version", LongType, nullable = false))),
+        UTF8String.fromString(input.getString(1)), forkV)
+    }
+  }
+
+  /** `CALL g.system.fast_forward('db.t', 'ingest')` — PUBLISH: one atomic
+    * main commit of the branch's audited delta (adds + removes + vector
+    * changes vs its fork base). Rebases over concurrent main appends;
+    * aborts if a concurrent main commit touched fork-base files. */
+  private final class FastForwardProcedure(catalog: GraftCatalog) extends ManifestProcedure {
+    override def name(): String = "fast_forward"
+    override def description(): String =
+      "publish a branch: atomically fast-forward main to the branch's audited state"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("name", StringType).build())
+    override def call(input: InternalRow): JIterator[Scan] = {
+      val (dir, _) = manifestTarget(catalog, input.getString(0), "fast_forward")
+      val v = ManifestTable.fastForward(dir, input.getString(1))
+      result(
+        StructType(Seq(
+          StructField("name", StringType, nullable = false),
+          StructField("published_version", LongType, nullable = false))),
+        UTF8String.fromString(input.getString(1)), v)
+    }
+  }
+
+  private final class DropBranchProcedure(catalog: GraftCatalog) extends ManifestProcedure {
+    override def name(): String = "drop_branch"
+    override def description(): String =
+      "delete a branch ref (its staged, unpublished pools become vacuum fodder)"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("name", StringType).build())
+    override def call(input: InternalRow): JIterator[Scan] = {
+      val (dir, _) = manifestTarget(catalog, input.getString(0), "drop_branch")
+      val existed = ManifestTable.dropBranch(dir, input.getString(1))
+      result(
+        StructType(Seq(StructField("dropped", org.apache.spark.sql.types.BooleanType,
+          nullable = false))),
+        existed)
     }
   }
 

@@ -41,17 +41,23 @@ import graft.core.{DeletionVectors, LakeStorage, ManifestTable}
   * vectors plus any insert files as ONE optimistic
   * [[ManifestTable.commitDeleteVectors]] — which aborts if a concurrent
   * writer removed or re-vectored a targeted file (stale scan). */
-class ManifestDeltaOperation(dir: String, declared: StructType, cmd: Command)
+class ManifestDeltaOperation(dir: String, declared: StructType, cmd: Command,
+                             branch: Option[String] = None)
     extends RowLevelOperation
     with org.apache.spark.sql.connector.write.SupportsDelta {
 
   import ManifestRowLevelOperation.FileCol
 
+  /** Marker log the DML resolves against and commits to (the branch
+    * sidecar log under WAP; data pools stay under `dir` either way). */
+  private[catalog] val logDir: String =
+    branch.map(b => ManifestTable.branchLogDir(dir, b)).getOrElse(dir)
+
   /** Snapshot pinned at analysis — scan, vector merge, and commit
     * validation all key off this state. */
   private[catalog] val snapshotState: ManifestTable.TableState =
-    ManifestTable.currentVersion(dir)
-      .map(ManifestTable.state(dir, _))
+    ManifestTable.currentVersion(logDir)
+      .map(ManifestTable.state(logDir, _))
       .getOrElse(ManifestTable.TableState(Seq.empty, Map.empty, Map.empty))
 
   override def command(): Command = cmd
@@ -279,7 +285,8 @@ class ManifestDeltaWrite(op: ManifestDeltaOperation, dir: String,
     }
     val expected = dvRefs.keysIterator
       .map(f => f -> op.snapshotState.dvs.get(f).map(_.path)).toMap
-    ManifestTable.commitDeleteVectors(dir, dvRefs, added, expected)
+    ManifestTable.commitDeleteVectors(op.logDir, dvRefs, added, expected,
+      dataDir = Some(dir))
     ()
   }
 

@@ -55,18 +55,24 @@ import graft.core.ManifestTable
 class ManifestRowLevelOperation(dir: String, declared: StructType,
                                 cmd: Command,
                                 bucketing: Option[GraftCatalog.Bucketing] = None,
-                                cluster: Seq[GraftCatalog.ClusterKey] = Nil)
+                                cluster: Seq[GraftCatalog.ClusterKey] = Nil,
+                                branch: Option[String] = None)
     extends RowLevelOperation {
 
   import ManifestRowLevelOperation._
+
+  /** Marker log the DML resolves against and commits to (the branch
+    * sidecar log under WAP; data pools stay under `dir` either way). */
+  private[catalog] val logDir: String =
+    branch.map(b => ManifestTable.branchLogDir(dir, b)).getOrElse(dir)
 
   /** Snapshot pinned when the DML statement starts analysis — scan and
     * commit agree on this base even if the table moves underneath
     * (deletion vectors included: the scan reads LIVE rows only, and the
     * commit aborts if a concurrent vector lands on a scanned file). */
   private[catalog] val snapshotState: ManifestTable.TableState =
-    ManifestTable.currentVersion(dir)
-      .map(ManifestTable.state(dir, _))
+    ManifestTable.currentVersion(logDir)
+      .map(ManifestTable.state(logDir, _))
       .getOrElse(ManifestTable.TableState(Seq.empty, Map.empty, Map.empty))
 
   private[catalog] def snapshot: Seq[String] = snapshotState.files
@@ -592,8 +598,9 @@ class ManifestReplaceWrite(op: ManifestRowLevelOperation, dir: String,
     val added = messages
       .collect { case PoolFileCommit(Some(name)) => s"$poolName/$name" }
       .toSeq.sorted
-    ManifestTable.commitRewrite(dir, removed = op.scannedFiles, added = added,
-      expectedDvs = Some(op.snapshotState.dvs))
+    ManifestTable.commitRewrite(op.logDir, removed = op.scannedFiles,
+      added = added, expectedDvs = Some(op.snapshotState.dvs),
+      dataDir = Some(dir))
     ()
   }
 

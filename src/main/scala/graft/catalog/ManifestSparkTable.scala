@@ -38,14 +38,23 @@ class ManifestSparkTable(dir: String, declared: StructType,
                          asOf: Option[Long],
                          bucketing: Option[GraftCatalog.Bucketing] = None,
                          mergeOnRead: Boolean = false,
-                         cluster: Seq[GraftCatalog.ClusterKey] = Nil)
+                         cluster: Seq[GraftCatalog.ClusterKey] = Nil,
+                         branch: Option[String] = None)
     extends Table
     with SupportsRead with SupportsWrite
     with SupportsRowLevelOperations with SupportsDelete
     with SupportsMetadataColumns {
 
+  /** Marker-log root this table view resolves/commits against: the branch
+    * sidecar log for a branch view, the table root otherwise. Data pools
+    * ALWAYS live under `dir` — a branch shares the parent's data plane
+    * (see [[ManifestTable.createBranch]]). */
+  private val logDir: String =
+    branch.map(b => ManifestTable.branchLogDir(dir, b)).getOrElse(dir)
+
   override def name(): String =
-    s"manifest($dir${asOf.map(v => s"@v$v").getOrElse("")})"
+    s"manifest($dir${asOf.map(v => s"@v$v").getOrElse("")}" +
+      s"${branch.map(b => s"@$b").getOrElse("")})"
   override def schema(): StructType = declared
 
   /** Surfaced by `SHOW TBLPROPERTIES` / `DESCRIBE TABLE EXTENDED`. */
@@ -57,7 +66,8 @@ class ManifestSparkTable(dir: String, declared: StructType,
     if (cluster.nonEmpty)
       m.put("graft.partitioning", cluster.map(_.render).mkString(", "))
     if (mergeOnRead) m.put(GraftCatalog.DmlModeProp, "merge-on-read")
-    ManifestTable.currentVersion(dir).foreach(v =>
+    branch.foreach(b => m.put("graft.branch", b))
+    ManifestTable.currentVersion(logDir).foreach(v =>
       m.put("graft.current-version", v.toString))
     m
   }
@@ -90,18 +100,18 @@ class ManifestSparkTable(dir: String, declared: StructType,
     * readers look files up by). */
   private def snapshotState: (Seq[String], Map[String, graft.core.FileStats.Stats],
       Map[String, graft.core.DeletionVectors.DvRef]) = {
-    val committed = ManifestTable.allVersions(dir)
+    val committed = ManifestTable.allVersions(logDir)
     val v = asOf match {
       case Some(req) =>
         if (!committed.contains(req)) throw new IllegalStateException(
-          s"version $req is not committed under $dir " +
+          s"version $req is not committed under $logDir " +
             s"(committed: ${committed.mkString(",")})")
         req
       case None =>
         if (committed.isEmpty) return (Seq.empty, Map.empty, Map.empty)
         else committed.max
     }
-    val st = ManifestTable.state(dir, v)
+    val st = ManifestTable.state(logDir, v)
     (st.files.map(f => s"$dir/$f"),
       st.stats.map { case (f, s) => s"$dir/$f" -> s },
       st.dvs)
@@ -149,6 +159,8 @@ class ManifestSparkTable(dir: String, declared: StructType,
       case Some(sv) =>
         require(asOf.isEmpty,
           s"start_version does not combine with VERSION AS OF (${name()})")
+        require(branch.isEmpty,
+          s"start_version reads main-log versions — not a branch view (${name()})")
         incrementalEntries(sv.toLong,
           Option(options.get("end_version")).map(_.toLong))
       case None => snapshotState
@@ -172,7 +184,7 @@ class ManifestSparkTable(dir: String, declared: StructType,
         dvs.isEmpty && ManifestSparkTable.fullyBucketed(paths, bucketing)),
       // the plain scan doubles as a micro-batch streaming source (offset =
       // manifest version); a time-travel view is a frozen snapshot, not a log
-      streamSource = if (asOf.isEmpty) Some((dir, declared)) else None,
+      streamSource = if (asOf.isEmpty && branch.isEmpty) Some((dir, declared)) else None,
       allPaths = paths, pathStats = stats, dir = dir, dvByRel = dvs)
   }
 
@@ -189,9 +201,10 @@ class ManifestSparkTable(dir: String, declared: StructType,
     * ([[ManifestDeltaOperation]]). */
   override def newRowLevelOperationBuilder(info: RowLevelOperationInfo): RowLevelOperationBuilder = {
     require(asOf.isEmpty, s"cannot run DML against the time-travel view ${name()}")
-    if (mergeOnRead) () => new ManifestDeltaOperation(dir, declared, info.command)
+    if (mergeOnRead) () => new ManifestDeltaOperation(dir, declared, info.command,
+      branch)
     else () => new ManifestRowLevelOperation(dir, declared, info.command,
-      bucketing, cluster)
+      bucketing, cluster, branch)
   }
 
   /** DELETE fast path (Spark's metadata-only delete, also TRUNCATE TABLE):
@@ -215,7 +228,7 @@ class ManifestSparkTable(dir: String, declared: StructType,
     if (filters.forall(_ == sources.AlwaysTrue)) {
       // TRUNCATE / DELETE FROM t (no condition, or an always-true one):
       // empty snapshot, nothing scanned, pending vectors dropped with it
-      ManifestTable.commitStagedSnapshot(dir, Seq.empty)
+      ManifestTable.commitStagedSnapshot(logDir, Seq.empty, dataDir = Some(dir))
       return
     }
     val spark = SparkSession.active
@@ -255,8 +268,8 @@ class ManifestSparkTable(dir: String, declared: StructType,
         ManifestTable.stagePoolClustered(survivors, dir, cluster.map(_.col))
       case None => ManifestTable.stagePool(survivors, dir)
     }
-    ManifestTable.commitRewrite(dir, removed = affected, added = added,
-      expectedDvs = Some(dvs))
+    ManifestTable.commitRewrite(logDir, removed = affected, added = added,
+      expectedDvs = Some(dvs), dataDir = Some(dir))
     ()
   }
 
@@ -282,8 +295,8 @@ class ManifestSparkTable(dir: String, declared: StructType,
                 case None => ManifestTable.stagePool(stamped, dir)
               }
               if (overwrite || overwriteFlag)
-                ManifestTable.commitStagedSnapshot(dir, files)
-              else ManifestTable.commitStagedAppend(dir, files)
+                ManifestTable.commitStagedSnapshot(logDir, files, dataDir = Some(dir))
+              else ManifestTable.commitStagedAppend(logDir, files, dataDir = Some(dir))
               ()
             }
           }
@@ -291,10 +304,14 @@ class ManifestSparkTable(dir: String, declared: StructType,
           * exactly-once via deterministic epoch pools — see
           * [[ManifestStreamingWrite]]. Complete mode (truncate) replaces
           * the snapshot per epoch. */
-        override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+        override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+          require(branch.isEmpty,
+            s"streaming writes target main, not a WAP branch (${name()}) — " +
+              "unset graft.wap.branch for the stream's session")
           new ManifestStreamingWrite(dir,
             GraftCatalog.stampFieldIds(info.schema(), declared),
             info.queryId(), overwrite)
+        }
       }
     }
   }

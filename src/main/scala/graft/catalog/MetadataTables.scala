@@ -247,15 +247,22 @@ object MetadataTables {
 
   val RefsSchema: StructType = StructType(Seq(
     StructField("name", StringType, nullable = false),
-    StructField("version", LongType, nullable = false)))
+    StructField("version", LongType, nullable = false),
+    StructField("type", StringType, nullable = false)))
 
-  /** `t.refs`: the table's snapshot tags (named, vacuum-retained
-    * versions — `VERSION AS OF '<name>'` reads them). */
+  /** `t.refs`: the table's named refs — snapshot TAGS (version = the
+    * tagged MAIN version) and write-audit-publish BRANCHES (version = the
+    * branch's own log head). `VERSION AS OF '<name>'` reads either. */
   def refs(dir: String): Table =
-    new VirtualRowsTable(s"refs($dir)", RefsSchema, () =>
-      ManifestTable.tags(dir).toSeq.sortBy(_._1).map { case (n, v) =>
-        Array[Any](n, v)
-      })
+    new VirtualRowsTable(s"refs($dir)", RefsSchema, () => {
+      val tags = ManifestTable.tags(dir).toSeq.sortBy(_._1).map { case (n, v) =>
+        Array[Any](n, v, "tag")
+      }
+      val brs = ManifestTable.branches(dir).toSeq.sortBy(_._1).map { case (n, v) =>
+        Array[Any](n, v, "branch")
+      }
+      tags ++ brs
+    })
 
   val DetailSchema: StructType = StructType(Seq(
     StructField("provider", StringType, nullable = false),

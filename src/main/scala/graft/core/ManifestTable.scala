@@ -539,17 +539,22 @@ object ManifestTable {
     * caller already has them (`stats` non-None — e.g. [[rollback]], whose
     * files are old and whose stats the log already holds). */
   def commitStagedSnapshot(dir: String, files: Seq[String],
-      stats: Option[Map[String, FileStats.Stats]] = None): Long = {
-    val st = stats.getOrElse(FileStats.collect(dir, files))
+      stats: Option[Map[String, FileStats.Stats]] = None,
+      dataDir: Option[String] = None): Long = {
+    val st = stats.getOrElse(FileStats.collect(dataDir.getOrElse(dir), files))
     commitLoop(dir) { _ => Some(Snapshot(files, st)) }
   }
 
   /** Commit previously staged files as an append. A pure delta: no base
     * state is read, so the commit (and any rebase retry) is O(delta)
     * regardless of table size — including the data-skipping stats
-    * harvest, which reads only the NEW files' footers. */
-  def commitStagedAppend(dir: String, files: Seq[String]): Long = {
-    val st = FileStats.collect(dir, files)
+    * harvest, which reads only the NEW files' footers.
+    *
+    * `dataDir`: where the staged files physically live when the marker
+    * LOG is elsewhere (branch commits — see [[createBranch]]). */
+  def commitStagedAppend(dir: String, files: Seq[String],
+      dataDir: Option[String] = None): Long = {
+    val st = FileStats.collect(dataDir.getOrElse(dir), files)
     commitLoop(dir) { _ => Some(Delta(add = files, remove = Seq.empty, stats = st)) }
   }
 
@@ -564,9 +569,10 @@ object ManifestTable {
     * rewrite read stale data and the commit ABORTS with
     * `ConcurrentModificationException` — rerun the DML. */
   def commitRewrite(dir: String, removed: Seq[String], added: Seq[String],
-                    expectedDvs: Option[Map[String, DeletionVectors.DvRef]] = None): Long = {
+                    expectedDvs: Option[Map[String, DeletionVectors.DvRef]] = None,
+                    dataDir: Option[String] = None): Long = {
     val rm = removed.toSet
-    val st = FileStats.collect(dir, added)
+    val st = FileStats.collect(dataDir.getOrElse(dir), added)
     commitLoop(dir) { base =>
       val baseState = base.map(state(dir, _))
         .getOrElse(TableState(Seq.empty, Map.empty, Map.empty))
@@ -594,9 +600,10 @@ object ManifestTable {
     * None entries for files that had none). */
   def commitDeleteVectors(dir: String,
       dvs: Map[String, DeletionVectors.DvRef], added: Seq[String],
-      expectedDvs: Map[String, Option[String]]): Long = {
+      expectedDvs: Map[String, Option[String]],
+      dataDir: Option[String] = None): Long = {
     require(dvs.nonEmpty || added.nonEmpty, "empty merge-on-read commit")
-    val st = FileStats.collect(dir, added)
+    val st = FileStats.collect(dataDir.getOrElse(dir), added)
     commitLoop(dir) { base =>
       val baseState = base.map(state(dir, _))
         .getOrElse(TableState(Seq.empty, Map.empty, Map.empty))
@@ -944,6 +951,9 @@ object ManifestTable {
     require(!name.forall(_.isDigit),
       s"tag name '$name' is all digits — it would shadow numeric version " +
         "resolution in VERSION AS OF; include at least one non-digit")
+    require(branchHead(dir, name).isEmpty,
+      s"a branch named '$name' already exists on $dir — tags and branches " +
+        "share the VERSION AS OF namespace")
     require(allVersions(dir).contains(version),
       s"cannot tag version $version of $dir — not committed (or vacuumed)")
     val fs = LakeStorage.openFor(dir)
@@ -975,6 +985,181 @@ object ManifestTable {
   def versionOfTag(dir: String, name: String): Long =
     tags(dir).getOrElse(name, throw new IllegalArgumentException(
       s"no tag '$name' on $dir (tags: ${tags(dir).keys.toSeq.sorted.mkString(", ")})"))
+
+  // ---- branch refs / write-audit-publish --------------------------------
+
+  private val BranchDirPrefix = "_branch_"
+  private val ForkFile = "_fork"
+
+  /** A branch's marker-log directory. The branch is a FULL manifest log of
+    * its own (markers, head pointer, checkpoints — every log mechanism
+    * works on it verbatim) nested under the table root; its file keys stay
+    * relative to the PARENT root, and all data pools live there too, so a
+    * branch never copies data — creating one writes one snapshot marker
+    * and one fork-version file, whatever the table size. */
+  private[graft] def branchLogDir(dir: String, name: String): String =
+    s"$dir/$BranchDirPrefix$name"
+
+  /** Create branch `name` at the table's current version — the
+    * write-audit-publish workflow's staging ref (the table-granularity
+    * generalization of the reference's fail-fast publish contract,
+    * DatalakePublishService.kt:79-88: stage everything, validate, then
+    * expose atomically). Writers target the branch (catalog: session conf
+    * `graft.wap.branch`, or core [[appendToBranch]]); audit queries read
+    * it (`VERSION AS OF 'name'`); [[fastForward]] publishes. Returns the
+    * MAIN version the branch forked from. */
+  def createBranch(dir: String, name: String): Long = {
+    require(TagNamePattern.matcher(name).matches(),
+      s"branch name '$name' must match [A-Za-z0-9._-]+")
+    require(!name.forall(_.isDigit),
+      s"branch name '$name' is all digits — it would shadow numeric " +
+        "version resolution in VERSION AS OF; include at least one non-digit")
+    require(!tags(dir).contains(name),
+      s"a tag named '$name' already exists on $dir — tags and branches " +
+        "share the VERSION AS OF namespace")
+    require(branchHead(dir, name).isEmpty, s"branch '$name' already exists on $dir")
+    val forkV = currentVersion(dir).getOrElse(throw new IllegalStateException(
+      s"cannot branch $dir — no committed version to fork from"))
+    val st = state(dir, forkV)
+    val log = branchLogDir(dir, name)
+    commitLoop(log) { base =>
+      require(base.isEmpty, s"branch '$name' already exists on $dir")
+      Some(Snapshot(st.files, st.stats, st.dvs))
+    }
+    val fs = LakeStorage.openFor(dir)
+    val out = fs.create(new Path(log, ForkFile), true)
+    try out.write(forkV.toString.getBytes("UTF-8")) finally out.close()
+    forkV
+  }
+
+  /** All branches of the table, name → branch-log head version. */
+  def branches(dir: String): Map[String, Long] = {
+    val fs = LakeStorage.openFor(dir)
+    val base = new Path(dir)
+    if (!fs.exists(base)) return Map.empty
+    fs.listStatus(base).iterator
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(BranchDirPrefix))
+      .flatMap { s =>
+        val name = s.getPath.getName.stripPrefix(BranchDirPrefix)
+        currentVersion(s"$dir/${s.getPath.getName}").map(name -> _)
+      }.toMap
+  }
+
+  /** Head version of the branch's own log, None if the branch doesn't
+    * exist. */
+  def branchHead(dir: String, name: String): Option[Long] = {
+    val fs = LakeStorage.openFor(dir)
+    if (!fs.exists(new Path(branchLogDir(dir, name)))) None
+    else currentVersion(branchLogDir(dir, name))
+  }
+
+  /** The MAIN version the branch forked from. */
+  def forkVersion(dir: String, name: String): Long = {
+    val fs = LakeStorage.openFor(dir)
+    val p = new Path(branchLogDir(dir, name), ForkFile)
+    require(fs.exists(p), s"no branch '$name' on $dir")
+    readTextFile(fs, p).trim.toLong
+  }
+
+  /** Current state of the branch (file keys relative to the PARENT root). */
+  def branchState(dir: String, name: String): TableState = {
+    val head = branchHead(dir, name).getOrElse(
+      throw new IllegalArgumentException(s"no branch '$name' on $dir " +
+        s"(branches: ${branches(dir).keys.toSeq.sorted.mkString(", ")})"))
+    state(branchLogDir(dir, name), head)
+  }
+
+  /** Append `df` to branch `name`: the pool lands in the PARENT root
+    * (shared data plane), the delta marker in the branch log. */
+  def appendToBranch(df: DataFrame, dir: String, name: String): Long = {
+    require(branchHead(dir, name).isDefined, s"no branch '$name' on $dir")
+    commitStagedAppend(branchLogDir(dir, name), stagePool(df, dir),
+      dataDir = Some(dir))
+  }
+
+  /** Replace branch `name`'s contents with `df` (snapshot semantics on
+    * the branch; main is untouched until [[fastForward]]). */
+  def writeToBranch(df: DataFrame, dir: String, name: String): Long = {
+    require(branchHead(dir, name).isDefined, s"no branch '$name' on $dir")
+    commitStagedSnapshot(branchLogDir(dir, name), stagePool(df, dir),
+      dataDir = Some(dir))
+  }
+
+  /** PUBLISH: fast-forward main to the branch's audited state, as ONE
+    * atomic optimistic commit of the branch's net delta vs its fork base
+    * (added files, removed files, changed deletion vectors). Rebases
+    * cleanly over concurrent main APPENDS — files the branch never saw
+    * stay live, write-serializable, same rule as [[commitRewrite]] — and
+    * ABORTS (`ConcurrentModificationException`) if a concurrent main
+    * writer removed/replaced/re-vectored any file the branch's delta
+    * removes or re-vectors: publishing would lose that writer's change.
+    * The branch survives the publish (re-audit, re-publish, or
+    * [[dropBranch]] it); its fork version is NOT advanced — a second
+    * publish of an unchanged branch is a no-op delta. Returns the new
+    * MAIN version. */
+  def fastForward(dir: String, name: String): Long = {
+    val baseV = forkVersion(dir, name)
+    val base = state(dir, baseV)
+    val br = branchState(dir, name)
+    val baseFiles = base.files.toSet
+    val brFiles = br.files.toSet
+    val adds = br.files.filterNot(baseFiles)
+    val removes = base.files.filterNot(brFiles)
+    // vectors that CHANGED on files the branch kept (replacement-per-file
+    // fold semantics carry them onto main)
+    val dvChanges = br.dvs.filter { case (f, ref) =>
+      brFiles.contains(f) && base.dvs.get(f).map(_.path) != Some(ref.path)
+    }
+    if (adds.isEmpty && removes.isEmpty && dvChanges.isEmpty)
+      return currentVersion(dir).getOrElse(baseV) // nothing to publish
+    val addStats = adds.iterator.flatMap(f => br.stats.get(f).map(f -> _)).toMap
+    // re-publishing an already-published branch (or losing a double-
+    // publish race to a twin) is a NO-OP, not a conflict: detected inside
+    // the loop so the check sees the same state the commit would
+    var publishedAt: Option[Long] = None
+    def alreadyPublished(st: TableState): Boolean = {
+      val f = st.files.toSet
+      adds.forall(f.contains) && removes.forall(!f.contains(_)) &&
+        dvChanges.forall { case (k, r) => st.dvs.get(k).map(_.path).contains(r.path) }
+    }
+    try commitLoop(dir) { cur =>
+      val curState = cur.map(state(dir, _))
+        .getOrElse(TableState(Seq.empty, Map.empty, Map.empty))
+      if (cur.isDefined && alreadyPublished(curState)) {
+        publishedAt = cur; None
+      } else {
+        val live = curState.files.toSet
+        // EVERY fork-base file must be exactly as the fork saw it (live,
+        // same vector) — removed ones because publishing re-removes them,
+        // kept ones because the audited content includes their rows: a
+        // concurrent main commit that replaced / removed / re-vectored any
+        // of them means the audit is stale, and publishing over it would
+        // silently drop that writer's change. Files main APPENDED since
+        // the fork are carried untouched (rows the audit never claimed to
+        // cover — the same write-serializable rule as [[commitRewrite]]).
+        val baseClean = base.files.forall(f => live.contains(f) &&
+          curState.dvs.get(f).map(_.path) == base.dvs.get(f).map(_.path))
+        if (baseClean)
+          Some(Delta(add = adds, remove = removes, stats = addStats,
+            dvs = dvChanges))
+        else None
+      }
+    } catch {
+      case e: java.util.ConcurrentModificationException =>
+        publishedAt.getOrElse(throw new java.util.ConcurrentModificationException(
+          s"publish of branch '$name' to $dir aborted: a concurrent main " +
+            "commit changed fork-base files since the branch forked " +
+            s"(fork v$baseV) — re-audit on a fresh branch and publish that"))
+    }
+  }
+
+  /** Delete the branch: its log directory only — data pools it staged
+    * stay in the parent root and become [[vacuum]] fodder once no ref
+    * (main version or other branch) holds them. */
+  def dropBranch(dir: String, name: String): Boolean = {
+    val fs = LakeStorage.openFor(dir)
+    fs.delete(new Path(branchLogDir(dir, name)), true)
+  }
 
   /** Retention window for NEVER-COMMITTED data pools. A pool with no
     * referencing marker is either a crashed writer's garbage or a live
@@ -1008,8 +1193,13 @@ object ManifestTable {
     if (committed.isEmpty) return 0
     // tagged versions are RETAINED however old: each gets its own
     // checkpoint (so it stays resolvable after older markers truncate),
-    // its marker survives, and its pools stay referenced
-    val tagged = tags(dir).values.toSet.intersect(committed.toSet)
+    // its marker survives, and its pools stay referenced. Live branches'
+    // FORK versions are retained the same way — [[fastForward]] computes
+    // the publish delta against the fork base, so it must stay resolvable
+    // for as long as the branch exists.
+    val forks = branches(dir).keysIterator
+      .map(b => forkVersion(dir, b)).toSet
+    val tagged = (tags(dir).values.toSet ++ forks).intersect(committed.toSet)
     val kept = (committed.takeRight(keep).toSet ++ tagged).toSeq.sorted
     val cutoff = committed.takeRight(keep).head
     // anchor the surviving log BEFORE truncating it
@@ -1019,11 +1209,18 @@ object ManifestTable {
     // path segment — data files AND deletion-vector files); committed-
     // but-not-kept pools are dead on expiry, unreferenced-by-any pools
     // get the orphan retention window
+    // BRANCH-referenced pools are protected like kept versions': a branch
+    // is a live staging ref whose every committed version must stay
+    // readable until the branch is dropped (un-published audit state is
+    // exactly what must never be vacuumed away)
+    val branchRefs: Set[String] = branches(dir).keysIterator
+      .flatMap(b => allReferencedFiles(branchLogDir(dir, b)))
+      .map(_.split("/", 2).head).toSet
     val referencedKept: Set[String] =
       kept.flatMap { v =>
         val st = state(dir, v)
         (st.files ++ st.dvs.valuesIterator.map(_.path)).map(_.split("/", 2).head)
-      }.toSet
+      }.toSet ++ branchRefs
     val referencedAny: Set[String] =
       allReferencedFiles(dir).map(_.split("/", 2).head)
     val now = System.currentTimeMillis()

@@ -621,6 +621,55 @@ object CoverageQueries extends QueryModule {
           "rows_current", "chars_current")
     },
 
+    // --- branch refs / write-audit-publish (core/ManifestTable branch
+    //     section, catalog procedures branch/fast_forward): stage writes
+    //     on a branch under the session's graft.wap.branch conf, audit
+    //     them there (main provably untouched), quality-gate with DML ON
+    //     THE BRANCH, then publish atomically — carrying a concurrent
+    //     main append (the table-granularity generalization of the
+    //     reference's fail-fast publish contract,
+    //     DatalakePublishService.kt:79-88) ---
+    "qc33_branch_wap" -> { (s, d) =>
+      import s.implicits._
+      if (s.conf.getOption("spark.sql.catalog.graft_cat").isEmpty)
+        graft.catalog.GraftCatalog.register(s, "graft_cat",
+          graft.core.TempDirs.create("graft_cat_root_"))
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.db")
+      s.sql("DROP TABLE IF EXISTS graft_cat.db.wap33")
+      Tables.documents(s, d).createOrReplaceTempView("qc33_documents")
+      s.sql("CREATE TABLE graft_cat.db.wap33 " +
+        "(doc_id BIGINT, lang STRING, n_chars BIGINT) USING manifest")
+      s.sql("INSERT INTO graft_cat.db.wap33 SELECT doc_id, lang, n_chars " +
+        "FROM qc33_documents WHERE doc_id < 100")                      // main v1
+      s.sql("CALL graft_cat.system.branch('db.wap33', 'ingest')")
+      s.conf.set(graft.catalog.GraftCatalog.WapBranchConf, "ingest")
+      val (branchAtAudit, mainDuringStage) =
+        try {
+          // stage the rest of the corpus ON THE BRANCH...
+          s.sql("INSERT INTO graft_cat.db.wap33 SELECT doc_id, lang, n_chars " +
+            "FROM qc33_documents WHERE doc_id >= 100")
+          // ...and quality-gate it there: DML commits to the branch log
+          s.sql("DELETE FROM graft_cat.db.wap33 WHERE doc_id % 7 = 0")
+          val audit = s.sql("SELECT count(*) FROM graft_cat.db.wap33")
+            .head().getLong(0)
+          // main is provably untouched while staging (read OUTSIDE the
+          // wap view via explicit numeric time travel of the main log)
+          val main = s.sql("SELECT count(*) FROM graft_cat.db.wap33 VERSION AS OF 1")
+            .head().getLong(0)
+          (audit, main)
+        } finally s.conf.unset(graft.catalog.GraftCatalog.WapBranchConf)
+      // a concurrent main append lands between audit and publish; the
+      // publish must carry it (write-serializable rebase over appends)
+      s.sql("INSERT INTO graft_cat.db.wap33 " +
+        "SELECT 1000000 + id, 'xx', id FROM range(5)")
+      s.sql("CALL graft_cat.system.fast_forward('db.wap33', 'ingest')")
+      val pub = s.sql("SELECT count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS c " +
+        "FROM graft_cat.db.wap33").head()
+      Seq((mainDuringStage, branchAtAudit, pub.getLong(0), pub.getLong(1)))
+        .toDF("main_during_stage", "branch_at_audit",
+          "published_rows", "published_chars")
+    },
+
     // --- metadata tables (catalog/MetadataTables): t.history / t.files
     //     — one row per committed version / per current-snapshot file,
     //     derived purely from commit markers + file status (the DESCRIBE
@@ -1060,6 +1109,17 @@ object CoverageQueries extends QueryModule {
            (SELECT count(*) FROM documents WHERE doc_id % 5 <> 0) AS rows_current,
            CAST((SELECT sum(n_chars) FROM documents WHERE doc_id % 5 <> 0) AS BIGINT)
              AS chars_current""",
+
+    // main during staging = the v1 insert only; the branch audit = the
+    // whole corpus minus the quality gate's doc_id%7 delete; publish =
+    // that audited state plus the 5-row concurrent main append
+    "qc33_branch_wap" ->
+      """SELECT
+           (SELECT count(*) FROM documents WHERE doc_id < 100) AS main_during_stage,
+           (SELECT count(*) FROM documents WHERE doc_id % 7 <> 0) AS branch_at_audit,
+           (SELECT count(*) FROM documents WHERE doc_id % 7 <> 0) + 5 AS published_rows,
+           CAST((SELECT sum(n_chars) FROM documents WHERE doc_id % 7 <> 0) + 10
+             AS BIGINT) AS published_chars""",
 
     // the vector debts are exact row counts the oracle recomputes from
     // the DML predicates; the structural booleans (file set untouched by

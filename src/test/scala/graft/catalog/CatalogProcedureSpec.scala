@@ -336,7 +336,7 @@ class CatalogProcedureSpec extends AnyFunSuite {
     val procs = spark.sql("SHOW PROCEDURES IN gp.system").collect().map(_.getString(3))
     assert(procs.toSet ===
       Set("compact", "vacuum", "rollback", "register_files", "purge_deletes",
-        "tag", "drop_tag"))
+        "tag", "drop_tag", "branch", "fast_forward", "drop_branch"))
     val e = intercept[Exception] {
       spark.sql("CALL gp.system.nope('db.t')").collect()
     }
@@ -345,5 +345,71 @@ class CatalogProcedureSpec extends AnyFunSuite {
       spark.sql("CALL gp.system.compact('db.missing')").collect()
     }
     assert(e2.getMessage.toLowerCase.contains("table"))
+  }
+
+  test("branch refs: write-audit-publish end to end via SQL") {
+    ensureDb()
+    spark.sql("CREATE TABLE gp.db.wap (id BIGINT, q STRING) USING manifest")
+    spark.sql("INSERT INTO gp.db.wap SELECT id, 'good' FROM range(10)") // main v1
+    val br = spark.sql("CALL gp.system.branch('db.wap', 'ingest')").head()
+    assert((br.getString(0), br.getLong(1)) === ("ingest", 1L))
+    // WRITE: the pipeline session pins the branch; its inserts stage there
+    spark.conf.set(GraftCatalog.WapBranchConf, "ingest")
+    try {
+      spark.sql("INSERT INTO gp.db.wap SELECT id + 100, 'good' FROM range(5)")
+      spark.sql("INSERT INTO gp.db.wap SELECT id + 200, 'junk' FROM range(3)")
+      // AUDIT inside the session: reads see the staged state...
+      assert(spark.sql("SELECT count(*) FROM gp.db.wap").head().getLong(0) === 18L)
+      // ...quality-gate DML runs ON THE BRANCH (copy-on-write rewrite
+      // committed to the branch log, main untouched)
+      spark.sql("DELETE FROM gp.db.wap WHERE q = 'junk'")
+      assert(spark.sql("SELECT count(*) FROM gp.db.wap").head().getLong(0) === 15L)
+    } finally spark.conf.unset(GraftCatalog.WapBranchConf)
+    // outside the session conf: main never saw any of it
+    assert(spark.sql("SELECT count(*) FROM gp.db.wap").head().getLong(0) === 10L)
+    // explicit audit view without the conf
+    assert(spark.sql("SELECT count(*) FROM gp.db.wap VERSION AS OF 'ingest'")
+      .head().getLong(0) === 15L)
+    // t.refs lists the branch next to tags
+    val refRows = spark.sql("SELECT name, type FROM gp.db.wap.refs").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(refRows.contains(("ingest", "branch")), s"refs: $refRows")
+    // a concurrent main APPEND lands after the fork; publish must carry it
+    spark.sql("INSERT INTO gp.db.wap SELECT id + 300, 'main' FROM range(2)")
+    val pub = spark.sql("CALL gp.system.fast_forward('db.wap', 'ingest')").head()
+    assert(pub.getString(0) === "ingest")
+    assert(spark.sql("SELECT count(*) FROM gp.db.wap").head().getLong(0) === 17L,
+      "publish must carry branch adds AND the concurrent main append")
+    assert(spark.sql("SELECT count(*) FROM gp.db.wap WHERE q = 'junk'")
+      .head().getLong(0) === 0L, "the audited delete must publish")
+    // publish vs concurrent main DML on fork-base files: stale audit aborts
+    spark.sql("CALL gp.system.branch('db.wap', 'ingest2')")
+    spark.conf.set(GraftCatalog.WapBranchConf, "ingest2")
+    try spark.sql("INSERT INTO gp.db.wap SELECT id + 400, 'b2' FROM range(2)")
+    finally spark.conf.unset(GraftCatalog.WapBranchConf)
+    spark.sql("UPDATE gp.db.wap SET q = 'touched' WHERE id = 0") // main rewrite
+    val race = intercept[Exception] {
+      spark.sql("CALL gp.system.fast_forward('db.wap', 'ingest2')").collect()
+    }
+    assert(race.getMessage.contains("re-audit"), s"wrong error: ${race.getMessage}")
+    assert(spark.sql("CALL gp.system.drop_branch('db.wap', 'ingest2')")
+      .head().getBoolean(0))
+    // streaming writes refuse a WAP branch session
+    spark.conf.set(GraftCatalog.WapBranchConf, "ingest")
+    try {
+      val e3 = intercept[Exception] {
+        import spark.implicits._
+        implicit val sc: org.apache.spark.sql.SQLContext = spark.sqlContext
+        val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
+        ms.addData(1L)
+        ms.toDF().selectExpr("value AS id", "'s' AS q").writeStream
+          .option("checkpointLocation",
+            java.nio.file.Files.createTempDirectory("wap_ck_").toString)
+          .toTable("gp.db.wap").processAllAvailable()
+      }
+      assert(e3.getMessage.contains("WAP branch") ||
+        Option(e3.getCause).exists(_.getMessage.contains("WAP branch")),
+        s"wrong error: ${e3.getMessage}")
+    } finally spark.conf.unset(GraftCatalog.WapBranchConf)
   }
 }

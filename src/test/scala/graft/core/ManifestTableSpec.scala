@@ -359,6 +359,50 @@ class ManifestTableSpec extends AnyFunSuite {
     assert(ManifestTable.read(spark, dir).count() === 300L)
   }
 
+  test("branch: write-audit-publish round trip, vacuum protection, drop") {
+    val dir = freshDir()
+    ManifestTable.write(df(10), dir) // main v1
+    assert(ManifestTable.createBranch(dir, "ingest") === 1L)
+    assert(ManifestTable.branches(dir) === Map("ingest" -> 1L))
+    // stage two appends on the branch — main stays at its fork contents
+    ManifestTable.appendToBranch(df(5), dir, "ingest")
+    ManifestTable.appendToBranch(df(3), dir, "ingest")
+    assert(ManifestTable.read(spark, dir).count() === 10L, "main must not see staged rows")
+    // audit the branch state
+    val br = ManifestTable.branchState(dir, "ingest")
+    assert(br.files.length > ManifestTable.state(dir, 1L).files.length)
+    // vacuum while the branch is unpublished: its pools must survive
+    ManifestTable.write(df(2), dir) // main v2 (replaces, makes v1 pools old)
+    ManifestTable.vacuum(dir, keep = 1, orphanRetainMs = 0L)
+    assert(spark.read.parquet(br.files.map(f => s"$dir/$f"): _*).count() === 18L,
+      "vacuum deleted branch-referenced pools")
+    // publish: branch delta (adds + fork-base removes) lands atomically.
+    // main moved on since the fork by REPLACING the snapshot — the
+    // publish's removes (v1 files) are gone, so it must abort loudly
+    intercept[java.util.ConcurrentModificationException] {
+      ManifestTable.fastForward(dir, "ingest")
+    }
+    // re-branch from the current head and publish appends only: rebases
+    // cleanly even while main appends concurrently
+    ManifestTable.createBranch(dir, "ingest2")
+    ManifestTable.appendToBranch(df(7), dir, "ingest2")
+    ManifestTable.append(df(4), dir) // concurrent main append after fork
+    val pub = ManifestTable.fastForward(dir, "ingest2")
+    assert(ManifestTable.currentVersion(dir) === Some(pub))
+    assert(ManifestTable.read(spark, dir).count() === 2L + 4L + 7L,
+      "publish must carry branch adds AND keep the concurrent main append")
+    // idempotent: unchanged branch re-publish is a no-op
+    assert(ManifestTable.fastForward(dir, "ingest2") === pub)
+    // drop removes the ref; its staged pools become vacuum fodder
+    assert(ManifestTable.dropBranch(dir, "ingest"))
+    assert(ManifestTable.branches(dir).keySet === Set("ingest2"))
+    // name rules: tags and branches share the VERSION AS OF namespace
+    intercept[IllegalArgumentException](ManifestTable.createBranch(dir, "123"))
+    ManifestTable.tag(dir, "rel-x", pub)
+    intercept[IllegalArgumentException](ManifestTable.createBranch(dir, "rel-x"))
+    intercept[IllegalArgumentException](ManifestTable.tag(dir, "ingest2", pub))
+  }
+
   test("pool writes force INT64 micros timestamps WITHOUT touching session conf") {
     // manifest data files need INT64 MICROS for footer min/max (data
     // skipping / transform pruning), but the session's own setting — and
