@@ -511,9 +511,29 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         // a renamed bucket/partition column keeps clustering: transforms follow
         bucket = bucket.map(b => if (b.col == from) b.copy(col = ren.newName) else b)
         cluster = cluster.map(k => if (k.col == from) k.copy(col = ren.newName) else k)
+      case upd: TableChange.UpdateColumnType =>
+        require(upd.fieldNames.length == 1,
+          s"${ident.name()}: nested column type changes are not supported")
+        val name = upd.fieldNames.head
+        val field = schema.find(_.name == name).getOrElse(
+          throw new IllegalArgumentException(s"${ident.name()}: no such column $name"))
+        // WIDENING ONLY: history is never rewritten, so every already-
+        // written file must read exactly under the new type. Spark 4's
+        // parquet readers (vectorized + row-based) promote the physical
+        // type on read (SPARK-40876): INT32-family → wider integers,
+        // FLOAT → DOUBLE. Anything else (narrowing, string↔numeric,
+        // decimal reshapes) would corrupt or reject old files — refuse.
+        require(GraftCatalog.canWiden(field.dataType, upd.newDataType),
+          s"${ident.name()}: cannot ALTER COLUMN $name TYPE " +
+            s"${upd.newDataType.simpleString} — only lossless widenings of " +
+            s"${field.dataType.simpleString} are supported on mapped history " +
+            "(tinyint→smallint→int→bigint, float→double); a narrowing or " +
+            "reshape would need a full table rewrite (CTAS)")
+        schema = StructType(schema.map(f =>
+          if (f.name == name) f.copy(dataType = upd.newDataType) else f))
       case other => throw new UnsupportedOperationException(
         s"catalog $catalogName supports ALTER TABLE ADD COLUMNS / DROP COLUMN " +
-          s"/ RENAME COLUMN; got $other")
+          s"/ RENAME COLUMN / ALTER COLUMN TYPE (widening); got $other")
     }
     replaceMeta(dir, meta.copy(schema = schema, bucket = bucket,
       maxFieldId = maxId, cluster = cluster))
@@ -738,6 +758,20 @@ object GraftCatalog {
 
   /** The CREATE TABLE property selecting the row-level DML strategy. */
   val DmlModeProp = "graft.dml.mode"
+
+  /** Lossless type widenings old parquet files serve without rewrite
+    * (Spark 4 parquet readers promote the physical type on read —
+    * SPARK-40876): the integral chain and float→double. */
+  private[catalog] def canWiden(from: DataType, to: DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    (from, to) match {
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType)            => true
+      case (IntegerType, LongType)                        => true
+      case (FloatType, DoubleType)                        => true
+      case _                                              => false
+    }
+  }
 
   /** Session conf pinning a write-audit-publish branch: while set, reads
     * and writes of any manifest table that HAS a branch of that name

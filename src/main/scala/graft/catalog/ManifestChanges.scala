@@ -57,7 +57,9 @@ class ManifestChangesTable(dir: String, declared: StructType) extends Table with
     GraftCatalog.requireFieldIdReads(declared, name())
     val start = Option(options.get("start_version")).map(_.toLong)
     val end = Option(options.get("end_version")).map(_.toLong)
-    () => ManifestChangesScan(dir, declared, start, end)
+    val maxV = Option(options.get("maxVersionsPerTrigger")).map(_.toLong)
+    val maxF = Option(options.get("maxFilesPerTrigger")).map(_.toLong)
+    () => ManifestChangesScan(dir, declared, start, end, maxV, maxF)
   }
 }
 
@@ -66,7 +68,9 @@ object ManifestChangesTable {
 }
 
 case class ManifestChangesScan(dir: String, declared: StructType,
-                               startVersion: Option[Long], endVersion: Option[Long])
+                               startVersion: Option[Long], endVersion: Option[Long],
+                               maxVersionsPerTrigger: Option[Long] = None,
+                               maxFilesPerTrigger: Option[Long] = None)
     extends Scan with Batch {
 
   override def readSchema(): StructType =
@@ -101,7 +105,8 @@ case class ManifestChangesScan(dir: String, declared: StructType,
     * snapshot arrives as the first batch's inserts). */
   override def toMicroBatchStream(checkpointLocation: String):
       org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new ManifestChangesMicroBatchStream(dir, declared, startVersion.getOrElse(0L))
+    new ManifestChangesMicroBatchStream(dir, declared, startVersion.getOrElse(0L),
+      maxVersionsPerTrigger, maxFilesPerTrigger)
 }
 
 object ManifestChanges {
@@ -200,7 +205,9 @@ object ManifestChanges {
   * and deletion-vector growth) included, tagged `_change_type`. The
   * stream a downstream MERGE keeps a replica in sync with. */
 class ManifestChangesMicroBatchStream(dir: String, declared: StructType,
-                                      startVersion: Long)
+                                      startVersion: Long,
+                                      maxVersionsPerTrigger: Option[Long] = None,
+                                      maxFilesPerTrigger: Option[Long] = None)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
@@ -217,12 +224,19 @@ class ManifestChangesMicroBatchStream(dir: String, declared: StructType,
   @volatile private var availableNowCap: Option[Long] = None
   override def prepareForTriggerAvailableNow(): Unit =
     availableNowCap = Some(ManifestTable.currentVersion(dir).getOrElse(0L))
+  /** Same version-granular admission control as the plain table stream
+    * (`maxVersionsPerTrigger`/`maxFilesPerTrigger` read options): a
+    * from-version-0 CDC backfill drains in bounded, checkpointed
+    * batches. The file budget counts the window's ADDED files (the
+    * dominant read); delete pre-images ride their version. */
   override def latestOffset(start: Offset,
-      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset =
-    availableNowCap match {
-      case Some(cap) => ManifestVersionOffset(cap)
-      case None      => latestOffset()
-    }
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset = {
+    val target = availableNowCap.getOrElse(
+      ManifestTable.currentVersion(dir).getOrElse(0L))
+    val from = start.asInstanceOf[ManifestVersionOffset].v
+    ManifestVersionOffset(StreamAdmission.admit(dir, from, target,
+      maxVersionsPerTrigger, maxFilesPerTrigger))
+  }
   override def reportLatestOffset(): Offset = latestOffset()
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {

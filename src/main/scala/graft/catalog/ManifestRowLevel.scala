@@ -355,7 +355,9 @@ class ManifestScanBuilder(mkBuilder: (Seq[String], Boolean) => org.apache.spark.
           savedSchema.foreach(plain.pruneColumns)
           ManifestStreamScan(plain.build(), sdir, sdecl,
             Option(options.get("start_version")).map(_.toLong).getOrElse(0L),
-            exactRows, savedFilters): Scan
+            exactRows, savedFilters,
+            Option(options.get("maxVersionsPerTrigger")).map(_.toLong),
+            Option(options.get("maxFilesPerTrigger")).map(_.toLong)): Scan
       }
       val dataFields = parquet.readSchema().fields
         .filterNot(_.name == DvRead.RowIndexCol)
@@ -387,7 +389,9 @@ class ManifestScanBuilder(mkBuilder: (Seq[String], Boolean) => org.apache.spark.
         case Some((dir, declared)) if !aggPushed =>
           ManifestStreamScan(parquet, dir, declared,
             Option(options.get("start_version")).map(_.toLong).getOrElse(0L),
-            exactRows, savedFilters)
+            exactRows, savedFilters,
+            Option(options.get("maxVersionsPerTrigger")).map(_.toLong),
+            Option(options.get("maxFilesPerTrigger")).map(_.toLong))
         case _ => parquet
       }
     }

@@ -33,7 +33,9 @@ case class ManifestStreamScan(inner: ParquetScan, dir: String,
                               declared: StructType,
                               startVersion: Long = 0L,
                               exactRowCount: Option[Long] = None,
-                              pushedCatalyst: Seq[org.apache.spark.sql.catalyst.expressions.Expression] = Seq.empty)
+                              pushedCatalyst: Seq[org.apache.spark.sql.catalyst.expressions.Expression] = Seq.empty,
+                              maxVersionsPerTrigger: Option[Long] = None,
+                              maxFilesPerTrigger: Option[Long] = None)
     extends Scan with SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
     with org.apache.spark.sql.internal.connector.SupportsMetadata {
@@ -83,7 +85,7 @@ case class ManifestStreamScan(inner: ParquetScan, dir: String,
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new ManifestMicroBatchStream(dir, declared, inner.readDataSchema, startVersion,
-      pushedCatalyst)
+      pushedCatalyst, maxVersionsPerTrigger, maxFilesPerTrigger)
 }
 
 /** Offset = committed manifest version (0 = before the first commit). */
@@ -94,7 +96,9 @@ case class ManifestVersionOffset(v: Long) extends Offset {
 class ManifestMicroBatchStream(dir: String, declared: StructType,
                                prunedSchema: StructType,
                                startVersion: Long = 0L,
-                               pushedCatalyst: Seq[org.apache.spark.sql.catalyst.expressions.Expression] = Seq.empty)
+                               pushedCatalyst: Seq[org.apache.spark.sql.catalyst.expressions.Expression] = Seq.empty,
+                               maxVersionsPerTrigger: Option[Long] = None,
+                               maxFilesPerTrigger: Option[Long] = None)
     extends MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
@@ -115,12 +119,24 @@ class ManifestMicroBatchStream(dir: String, declared: StructType,
   @volatile private var availableNowCap: Option[Long] = None
   override def prepareForTriggerAvailableNow(): Unit =
     availableNowCap = Some(ManifestTable.currentVersion(dir).getOrElse(0L))
+  /** Admission control: `maxVersionsPerTrigger` / `maxFilesPerTrigger`
+    * read options bound each micro-batch — what makes a from-version-0
+    * backfill of a LARGE table drain in bounded batches instead of one
+    * giant first batch (each throttled batch checkpoints its offset, so a
+    * restart mid-backfill resumes exactly). At least one version is
+    * always admitted (progress guarantee); the file budget is version-
+    * granular (a single over-budget version still ships whole — versions
+    * are the atomic replay unit). Under Trigger.AvailableNow the pinned
+    * cap still bounds the DRAIN; the throttle just splits it into
+    * multiple batches, which Spark loops until the cap is reached. */
   override def latestOffset(start: Offset,
-      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset =
-    availableNowCap match {
-      case Some(cap) => ManifestVersionOffset(cap)
-      case None      => latestOffset()
-    }
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset = {
+    val target = availableNowCap.getOrElse(
+      ManifestTable.currentVersion(dir).getOrElse(0L))
+    val from = start.asInstanceOf[ManifestVersionOffset].v
+    ManifestVersionOffset(StreamAdmission.admit(dir, from, target,
+      maxVersionsPerTrigger, maxFilesPerTrigger))
+  }
   override def reportLatestOffset(): Offset = latestOffset()
 
   private def requireCommitted(v: Long): Unit =
@@ -170,4 +186,32 @@ class ManifestMicroBatchStream(dir: String, declared: StructType,
     * factory built against an empty file list serves every batch. */
   override def createReaderFactory(): PartitionReaderFactory =
     batchScan(Seq.empty, Map.empty).toBatch.createReaderFactory()
+}
+
+
+/** Version-granular admission control shared by the table stream and the
+  * change stream: walk committed versions past `from` up to `target`,
+  * admitting whole versions until the version/file budget is spent.
+  * Always admits at least one pending version (progress guarantee). */
+private[catalog] object StreamAdmission {
+  def admit(dir: String, from: Long, target: Long,
+            maxVersions: Option[Long], maxFiles: Option[Long]): Long = {
+    if (target <= from || (maxVersions.isEmpty && maxFiles.isEmpty))
+      return target
+    val pending = ManifestTable.allVersions(dir).filter(v => v > from && v <= target)
+    var end = from
+    var versions = 0L
+    var files = 0L
+    val it = pending.iterator
+    var stop = false
+    while (it.hasNext && !stop) {
+      val v = it.next()
+      val added = ManifestTable.addsAt(dir, v).length.toLong
+      val overVersions = maxVersions.exists(versions + 1 > _)
+      val overFiles = maxFiles.exists(files + added > _)
+      if (end > from && (overVersions || overFiles)) stop = true
+      else { end = v; versions += 1; files += added }
+    }
+    end
+  }
 }

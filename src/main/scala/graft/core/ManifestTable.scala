@@ -448,6 +448,14 @@ object ManifestTable {
       case s: SnapshotMarker => s.dvs
     }
 
+  /** The files version `v`'s commit ADDED (a snapshot's full list) — one
+    * marker read; what streaming admission control budgets batches by. */
+  private[graft] def addsAt(dir: String, v: Long): Seq[String] =
+    readMarkerData(dir, v) match {
+      case d: DeltaMarker    => d.add
+      case s: SnapshotMarker => s.files
+    }
+
   /** Every file referenced by ANY surviving committed version, in ONE pass
     * over the log (oldest version resolved once, then just the adds /
     * snapshot lists of later markers — no per-version resolution). */

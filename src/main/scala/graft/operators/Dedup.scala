@@ -455,6 +455,74 @@ object Dedup {
     }
   }
 
+  /** Alternating LARGE-STAR / SMALL-STAR connected components (Kiveris et
+    * al. 2014, "Connected Components in MapReduce and Beyond") — the
+    * OPT-IN deep-chain path next to [[connectedComponents]]'s min-label
+    * loop. Label propagation converges in O(diameter) shuffling rounds:
+    * fine for near-dup graphs (components are cliques-ish, diameter ~2),
+    * pathological for chain-shaped graphs (a 10⁶-link chain = 10⁶
+    * rounds). Star rounds HALVE tree heights instead — O(log n) rounds on
+    * any graph shape:
+    *
+    *  - large-star(u): connect every neighbor v > u to
+    *    m = min(N(u) ∪ {u});
+    *  - small-star(u): connect every neighbor v ≤ u (and u itself) to
+    *    the minimum of that set.
+    *
+    * At the fixpoint the edge set is a star forest rooted at each
+    * component's minimum id — the labels. Returns (labels, rounds) with
+    * the same (doc_id, cluster_id) schema and the same min-id cluster
+    * semantics as the default loop (equivalence is property-tested), so
+    * callers can swap it in for deep graphs without changing results.
+    * Default stays label propagation: on the common shallow graphs it
+    * does one cheap job per round, not two grouped passes + the
+    * convergence diff. */
+  def connectedComponentsStar(pairs: DataFrame, maxIter: Int = 32): (DataFrame, Int) = {
+    import org.apache.spark.sql.functions.{greatest, least}
+    val caller = pairs.sparkSession
+    val iso = caller.newSession()
+    iso.conf.set("spark.sql.shuffle.partitions", "8")
+    val canon0 = pairs
+      .select(least(col("d1"), col("d2")).as("lo"),
+        greatest(col("d1"), col("d2")).as("hi"))
+      .filter(col("lo") =!= col("hi")).distinct().localCheckpoint()
+    var edges = iso.createDataFrame(canon0.rdd, canon0.schema) // canonical lo < hi
+    var rounds = 0
+    var converged = edges.isEmpty
+    while (!converged && rounds < maxIter) {
+      // LARGE-STAR over the symmetric neighborhood
+      val sym = edges.select(col("lo").as("u"), col("hi").as("v"))
+        .unionByName(edges.select(col("hi").as("u"), col("lo").as("v")))
+      val mOf = sym.groupBy("u").agg(min("v").as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      val ls = sym.join(mOf, "u").filter(col("v") > col("u"))
+        .select(least(col("v"), col("m")).as("lo"),
+          greatest(col("v"), col("m")).as("hi"))
+        .filter(col("lo") =!= col("hi")).distinct()
+      // SMALL-STAR on the canonical orientation (all of hi's smaller
+      // neighbors are its lo rows; their min is < hi by construction)
+      val mS = ls.groupBy("hi").agg(min("lo").as("m"))
+      val ss = ls.join(mS, "hi")
+      val next = ss
+        .select(least(col("lo"), col("m")).as("lo"),
+          greatest(col("lo"), col("m")).as("hi"))
+        .unionByName(ss.select(col("m").as("lo"), col("hi")))
+        .filter(col("lo") =!= col("hi")).distinct().localCheckpoint()
+      converged = next.except(edges).limit(1).count() == 0L &&
+        edges.except(next).limit(1).count() == 0L
+      edges = next
+      rounds += 1
+    }
+    if (!converged)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"connectedComponentsStar: maxIter=$maxIter star rounds reached " +
+          "before the edge set stabilized — raise maxIter")
+    val labels = edges.select(col("hi").as("doc_id"), col("lo").as("cluster_id"))
+      .unionByName(edges.select(col("lo").as("doc_id"), col("lo").as("cluster_id")))
+      .distinct().localCheckpoint()
+    (caller.createDataFrame(labels.rdd, labels.schema), rounds)
+  }
+
   /** 64-bit SimHash fingerprint of a token array: bit k is the sign of the
     * sum over tokens of +-1 depending on bit k of the token's hash — two
     * disjoint 32-bit md5 slices (k<32 from hex chars [1,8], k>=32 from

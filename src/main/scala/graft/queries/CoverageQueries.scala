@@ -709,16 +709,24 @@ object CoverageQueries extends QueryModule {
       s.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.db")
       s.sql("DROP TABLE IF EXISTS graft_cat.db.evo")
       Tables.documents(s, d).createOrReplaceTempView("qc22_documents")
-      s.sql("CREATE TABLE graft_cat.db.evo (doc_id BIGINT, lang STRING) USING manifest")
-      s.sql("INSERT INTO graft_cat.db.evo " +
-        "SELECT doc_id, lang FROM qc22_documents WHERE doc_id < 200")
+      s.sql("CREATE TABLE graft_cat.db.evo (doc_id BIGINT, lang STRING, " +
+        "score INT) USING manifest")
+      s.sql("INSERT INTO graft_cat.db.evo SELECT doc_id, lang, " +
+        "CAST(n_chars % 1000 AS INT) FROM qc22_documents WHERE doc_id < 200")
       s.sql("ALTER TABLE graft_cat.db.evo ADD COLUMNS (n_chars BIGINT)")
+      s.sql("INSERT INTO graft_cat.db.evo SELECT doc_id, lang, " +
+        "CAST(n_chars % 1000 AS INT), n_chars " +
+        "FROM qc22_documents WHERE doc_id >= 200")
+      // TYPE WIDENING: the INT32 history serves the BIGINT schema on read
+      // (no rewrite); the next insert carries genuinely 64-bit scores
+      s.sql("ALTER TABLE graft_cat.db.evo ALTER COLUMN score TYPE BIGINT")
       s.sql("INSERT INTO graft_cat.db.evo " +
-        "SELECT doc_id, lang, n_chars FROM qc22_documents WHERE doc_id >= 200")
+        "SELECT 2000000 + id, 'wide', 3000000000 + id, id FROM range(3)")
       s.sql("ALTER TABLE graft_cat.db.evo RENAME COLUMN n_chars TO chars")
       s.sql("ALTER TABLE graft_cat.db.evo RENAME COLUMN lang TO language")
       s.sql("""SELECT language, count(*) AS n_docs,
           count(chars) AS n_with_chars, sum(chars) AS total_chars,
+          sum(score) AS total_score,
           (SELECT count(*) FROM graft_cat.db.evo VERSION AS OF 1) AS rows_v1
         FROM graft_cat.db.evo GROUP BY language ORDER BY language""")
     },
@@ -1185,14 +1193,24 @@ object CoverageQueries extends QueryModule {
            CAST(10 AS BIGINT) AS current_files
          FROM (VALUES (1, 4, 4), (2, 10, 6)) AS t(v, f, a) ORDER BY version""",
 
+    // the widened history: pre-widen rows carry score = n_chars % 1000
+    // (written INT32, read as BIGINT); the post-widen 'wide' group holds
+    // the three 64-bit scores no INT32 file could
     "qc22_schema_evolution" ->
-      """SELECT lang AS language, count(*) AS n_docs,
-           CAST(count(CASE WHEN doc_id >= 200 THEN n_chars END) AS BIGINT)
-             AS n_with_chars,
-           CAST(sum(CASE WHEN doc_id >= 200 THEN n_chars END) AS BIGINT)
-             AS total_chars,
+      """WITH evo AS (
+           SELECT lang, doc_id,
+             CASE WHEN doc_id >= 200 THEN n_chars END AS chars,
+             CAST(n_chars % 1000 AS BIGINT) AS score
+           FROM documents
+           UNION ALL
+           SELECT 'wide', 2000000 + r, r, 3000000000 + r
+           FROM (VALUES (0), (1), (2)) AS t(r))
+         SELECT lang AS language, count(*) AS n_docs,
+           CAST(count(chars) AS BIGINT) AS n_with_chars,
+           CAST(sum(chars) AS BIGINT) AS total_chars,
+           CAST(sum(score) AS BIGINT) AS total_score,
            (SELECT count(*) FROM documents WHERE doc_id < 200) AS rows_v1
-         FROM documents GROUP BY lang ORDER BY language""",
+         FROM evo GROUP BY lang ORDER BY language""",
 
     "qc15_schema_merge" ->
       """SELECT CAST(2 * (SELECT count(*) FROM nation) AS BIGINT) AS n_rows,

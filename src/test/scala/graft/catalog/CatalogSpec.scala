@@ -180,6 +180,54 @@ class CatalogSpec extends AnyFunSuite {
       spark.sql("ALTER TABLE g.db.evolve ADD COLUMNS (z BIGINT NOT NULL)"))
   }
 
+  test("ALTER COLUMN TYPE widens in place; old INT32/FLOAT files read exact") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS g.db")
+    spark.sql("CREATE TABLE g.db.widen (id INT, x FLOAT, v STRING) USING manifest")
+    spark.sql("INSERT INTO g.db.widen " +
+      "SELECT CAST(id AS INT), CAST(id AS FLOAT) / 2, concat('a', id) FROM range(100)")
+    // widen int -> bigint and float -> double: METADATA-ONLY (no rewrite)
+    val filesBefore = spark.sql("SELECT count(*) FROM g.db.widen.files").head().getLong(0)
+    spark.sql("ALTER TABLE g.db.widen ALTER COLUMN id TYPE BIGINT")
+    spark.sql("ALTER TABLE g.db.widen ALTER COLUMN x TYPE DOUBLE")
+    assert(spark.sql("SELECT count(*) FROM g.db.widen.files").head().getLong(0)
+      === filesBefore, "widening must not rewrite files")
+    // new writes carry genuinely 64-bit values next to the INT32 history
+    spark.sql("INSERT INTO g.db.widen " +
+      "SELECT id + 10000000000, CAST(id AS DOUBLE) + 0.25, concat('b', id) FROM range(5)")
+    val full = spark.table("g.db.widen")
+    assert(full.schema("id").dataType === org.apache.spark.sql.types.LongType)
+    assert(full.schema("x").dataType === org.apache.spark.sql.types.DoubleType)
+    assert(full.count() === 105L)
+    // old-file values exact under the widened read (both reader paths end
+    // up exercised across the suite; the sum is bit-exact either way)
+    assert(spark.sql("SELECT CAST(sum(id) AS BIGINT) FROM g.db.widen WHERE id < 1000")
+      .head().getLong(0) === (0L until 100L).sum)
+    assert(spark.sql("SELECT count(*) FROM g.db.widen WHERE id >= 10000000000")
+      .head().getLong(0) === 5L)
+    // data skipping still prunes with mixed-width history
+    assert(spark.sql("SELECT count(*) FROM g.db.widen WHERE id = 10000000003")
+      .head().getLong(0) === 1L)
+    // DML across the widened history: rewrite reads INT32 files under the
+    // BIGINT schema and writes INT64 survivors
+    spark.sql("DELETE FROM g.db.widen WHERE id % 10 = 3 AND id < 1000")
+    assert(spark.table("g.db.widen").count() === 95L)
+    // narrowing / reshape rejection: Spark's analyzer refuses non-up-casts
+    // (bigint->int, string->bigint) before the catalog sees them...
+    val e = intercept[Exception] {
+      spark.sql("ALTER TABLE g.db.widen ALTER COLUMN id TYPE INT")
+    }
+    assert(e.getMessage.contains("NOT_SUPPORTED_CHANGE_COLUMN"),
+      s"wrong error: ${e.getMessage}")
+    // ...and the catalog's own guard refuses up-casts parquet history
+    // cannot serve without rewrite (bigint -> decimal passes the
+    // analyzer's Cast.canUpCast but is not a parquet read-promotion)
+    val e2 = intercept[Exception] {
+      spark.sql("ALTER TABLE g.db.widen ALTER COLUMN id TYPE DECIMAL(38,0)")
+    }
+    assert(e2.getMessage.contains("lossless") || e2.getMessage.contains("widening"),
+      s"wrong error: ${e2.getMessage}")
+  }
+
   test("mapped tables refuse by-name reads loudly (field-id conf fail-safe)") {
     ensureDb()
     spark.sql("CREATE TABLE g.db.guard (id BIGINT, v STRING) USING manifest")

@@ -60,6 +60,46 @@ class CatalogStreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("two concurrent streaming writers interleave gapless, exact epochs") {
+    // the streaming twin of CommitRaceSpec's two batch JVMs: two
+    // independent queries (distinct checkpoints, distinct queryIds) race
+    // epoch commits into ONE manifest table — the optimistic commit loop
+    // must serialize them into gapless versions with both writers' rows
+    // exactly once
+    ensureDb()
+    import spark.implicits._
+    spark.sql("CREATE TABLE gs.db.race2 (src STRING, x BIGINT) USING manifest")
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val a = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
+    val b = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
+    val qa = a.toDF().selectExpr("'a' AS src", "value AS x")
+      .writeStream.option("checkpointLocation",
+        Files.createTempDirectory("graft_race_a_").toString)
+      .outputMode("append").toTable("gs.db.race2")
+    val qb = b.toDF().selectExpr("'b' AS src", "value AS x")
+      .writeStream.option("checkpointLocation",
+        Files.createTempDirectory("graft_race_b_").toString)
+      .outputMode("append").toTable("gs.db.race2")
+    try {
+      // interleave epochs from both writers, letting them race in pairs
+      (0 until 3).foreach { i =>
+        a.addData(i.toLong); b.addData(100L + i)
+        val ta = new Thread(() => qa.processAllAvailable())
+        val tb = new Thread(() => qb.processAllAvailable())
+        ta.start(); tb.start(); ta.join(120000); tb.join(120000)
+      }
+      val dir = tableDir("race2")
+      val versions = ManifestTable.allVersions(dir)
+      assert(versions === (1L to versions.length), s"gapped versions: $versions")
+      assert(versions.length === 6, s"6 epoch commits expected: $versions")
+      val got = spark.sql("SELECT src, count(*) AS n, sum(x) AS s " +
+        "FROM gs.db.race2 GROUP BY src ORDER BY src").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(got === Seq(("a", 3L, 3L), ("b", 3L, 303L)),
+        s"both writers' epochs must land exactly once: $got")
+    } finally { qa.stop(); qb.stop() }
+  }
+
   test("epoch replay commits exactly once (at-least-once -> exactly-once)") {
     ensureDb()
     import spark.implicits._
@@ -193,6 +233,52 @@ class CatalogStreamingSpec extends AnyFunSuite {
     spark.sql("INSERT INTO gs.db.src4 SELECT id + 90 FROM range(3)")     // v3
     drain() // second drain picks up exactly the delta
     assert(spark.read.parquet(outDir).count() === 11L)
+  }
+
+  test("maxFilesPerTrigger/maxVersionsPerTrigger bound backfill batches, exactly-once") {
+    ensureDb()
+    spark.sql("CREATE TABLE gs.db.thr (id BIGINT) USING manifest")
+    // 4 versions x 2 files: an unthrottled backfill would be ONE 8-file batch
+    (0 until 4).foreach { i =>
+      spark.sql(s"INSERT INTO gs.db.thr SELECT /*+ REPARTITION(2) */ id + ${i * 10} FROM range(5)")
+    }
+    val ckpt = Files.createTempDirectory("graft_cstream_thr_").toString
+    val outDir = Files.createTempDirectory("graft_cstream_throut_").toString
+    def drain(maxFiles: String): Seq[Long] = {
+      val q = spark.readStream.option("maxFilesPerTrigger", maxFiles)
+        .table("gs.db.thr")
+        .writeStream.option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .format("parquet").option("path", outDir).start()
+      try assert(q.awaitTermination(120000), "AvailableNow query must self-terminate")
+      finally q.stop()
+      q.recentProgress.toSeq.map(_.numInputRows).filter(_ > 0)
+    }
+    // a 2-file budget admits exactly one 2-file version per batch: the
+    // backfill drains in 4 bounded batches, not one 8-file gulp
+    val batches = drain(maxFiles = "2")
+    assert(batches === Seq(5L, 5L, 5L, 5L), s"batch sizes: $batches")
+    assert(spark.read.parquet(outDir).count() === 20L)
+    // exactly-once across a throttled RESTART: new versions drain from the
+    // checkpointed offset, still throttled, no replays
+    spark.sql("INSERT INTO gs.db.thr SELECT /*+ REPARTITION(2) */ id + 100 FROM range(4)")
+    spark.sql("INSERT INTO gs.db.thr SELECT /*+ REPARTITION(2) */ id + 200 FROM range(3)")
+    val batches2 = drain(maxFiles = "2")
+    assert(batches2 === Seq(4L, 3L), s"restart batch sizes: $batches2")
+    assert(spark.read.parquet(outDir).count() === 27L)
+    // version budget on the CHANGE stream: 1 version per batch
+    val ckpt2 = Files.createTempDirectory("graft_cstream_thr2_").toString
+    val q2 = spark.readStream
+      .option("maxVersionsPerTrigger", "1").option("start_version", "4")
+      .table("gs.db.thr.changes")
+      .writeStream.option("checkpointLocation", ckpt2)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .format("memory").queryName("thr_cdc").outputMode("append").start()
+    try assert(q2.awaitTermination(120000))
+    finally q2.stop()
+    val cdcBatches = q2.recentProgress.toSeq.map(_.numInputRows).filter(_ > 0)
+    assert(cdcBatches === Seq(4L, 3L), s"cdc batch sizes: $cdcBatches")
+    assert(spark.sql("SELECT count(*) FROM thr_cdc").head().getLong(0) === 7L)
   }
 
   test("round trip: one manifest table as sink then source of two streams") {
