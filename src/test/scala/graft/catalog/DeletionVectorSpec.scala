@@ -330,6 +330,34 @@ class DeletionVectorSpec extends AnyFunSuite {
       .head().getLong(0) === 0L, "deleted row resurrected — vector not applied")
   }
 
+  test("merge-on-read DML on a WAP branch: vectors commit to the branch log") {
+    morTable("dv_wap")
+    // a main vector lands BEFORE the fork: the branch must inherit it
+    spark.sql("DELETE FROM gv.db.dv_wap WHERE id = 1")
+    assert(spark.sql("CALL gv.system.branch('db.dv_wap', 'stage')").head()
+      .getLong(1) === 4L) // 3 inserts + 1 vector commit
+    spark.conf.set(GraftCatalog.WapBranchConf, "stage")
+    try {
+      assert(spark.sql("SELECT count(*) FROM gv.db.dv_wap").head().getLong(0) === 29L,
+        "branch must inherit the pre-fork vector")
+      // branch-side merge-on-read DELETE: vector written under the shared
+      // data root, marker in the BRANCH log only
+      spark.sql("DELETE FROM gv.db.dv_wap WHERE id IN (5, 7)")
+      assert(spark.sql("SELECT count(*) FROM gv.db.dv_wap").head().getLong(0) === 27L)
+      val brSt = ManifestTable.branchState(dir("dv_wap"), "stage")
+      assert(brSt.deletedRows === 3L, s"branch debt: ${brSt.deletedRows}")
+    } finally spark.conf.unset(GraftCatalog.WapBranchConf)
+    // main: only the pre-fork vector
+    assert(state("dv_wap").deletedRows === 1L)
+    assert(spark.sql("SELECT count(*) FROM gv.db.dv_wap").head().getLong(0) === 29L)
+    // publish carries the branch's vector changes onto main
+    spark.sql("CALL gv.system.fast_forward('db.dv_wap', 'stage')")
+    assert(spark.sql("SELECT count(*) FROM gv.db.dv_wap").head().getLong(0) === 27L)
+    assert(spark.sql("SELECT count(*) FROM gv.db.dv_wap WHERE id IN (1, 5, 7)")
+      .head().getLong(0) === 0L, "published vectors must keep all deletes dead")
+    assert(state("dv_wap").deletedRows === 3L)
+  }
+
   test("vector binary round-trip and merge") {
     val fs = LakeStorage.openFor(root)
     DeletionVectors.write(fs, root, "t.dv", Array(1L, 5L, 9L))
