@@ -151,7 +151,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case None if graft.core.ManifestTable.branchHead(dataDir, version).isDefined =>
         new ManifestSparkTable(dataDir, meta.schema, None, meta.bucket,
           mergeOnRead = meta.dmlMode.contains("merge-on-read"),
-          cluster = meta.cluster, branch = Some(version))
+          cluster = meta.cluster, branch = Some(version),
+          bloomCols = meta.bloomCols)
       case None =>
         val v = graft.core.ManifestTable.versionOfTag(dataDir, version)
         new ManifestSparkTable(dataDir, meta.schema, Some(v), meta.bucket,
@@ -194,7 +195,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             graft.core.ManifestTable.branchHead(dataDir, b).isDefined)
         new ManifestSparkTable(dataDir, meta.schema, asOf, meta.bucket,
           mergeOnRead = meta.dmlMode.contains("merge-on-read"),
-          cluster = meta.cluster, branch = wap)
+          cluster = meta.cluster, branch = wap, bloomCols = meta.bloomCols)
       case other => throw new IllegalStateException(
         s"table ${ident.name()}: unknown provider '$other' in $dir/$MetaFile")
     }
@@ -233,11 +234,29 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       else schema
     val maxId = if (mapped) Some(schema.length) else None
     val dml = parseDmlMode(ident, provider, bucket, properties)
+    val blooms = parseBloomCols(ident, provider, schema, properties)
     if (!writeMeta(dir,
-        TableMeta(provider, declared, location, bucket, maxId, dml, cluster)))
+        TableMeta(provider, declared, location, bucket, maxId, dml, cluster,
+          blooms)))
       throw new TableAlreadyExistsException((ident.namespace() :+ ident.name()).toSeq)
     tableFor(ident, asOf = None)
   }
+
+  /** Declared bloom-index columns (see [[GraftCatalog.BloomColsProp]]):
+    * validated against the schema; manifest tables only. */
+  private def parseBloomCols(ident: Identifier, provider: String,
+                             schema: StructType,
+                             properties: JMap[String, String]): Seq[String] =
+    Option(properties.get(BloomColsProp)) match {
+      case None => Nil
+      case Some(spec) =>
+        require(provider == "manifest",
+          s"${ident.name()}: $BloomColsProp needs USING manifest")
+        val cols = spec.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        cols.foreach(c => require(schema.fieldNames.contains(c),
+          s"${ident.name()}: $BloomColsProp names unknown column '$c'"))
+        cols
+    }
 
   /** `TBLPROPERTIES ('graft.dml.mode' = 'merge-on-read')`: row-level DML
     * writes DELETION VECTORS instead of rewriting files (copy-on-write
@@ -406,7 +425,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         if (mapped) assignFieldIds(schema) else schema, location, bucket,
         maxFieldId = if (mapped) Some(schema.length) else None,
         dmlMode = parseDmlMode(ident, provider, bucket, properties),
-        cluster = cluster), replace)
+        cluster = cluster,
+        bloomCols = parseBloomCols(ident, provider, schema, properties)), replace)
   }
 
   private[catalog] def commitStaged(ident: Identifier, dir: String,
@@ -457,6 +477,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     var maxId = meta.maxFieldId
     var bucket = meta.bucket
     var cluster = meta.cluster
+    var blooms = meta.bloomCols
     changes.foreach {
       case add: TableChange.AddColumn =>
         require(add.fieldNames.length == 1,
@@ -492,6 +513,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           s"${ident.name()}: cannot drop partition column $name — the table is " +
             s"PARTITIONED BY (${cluster.map(_.render).mkString(", ")})")
         schema = StructType(schema.filterNot(_.name == name))
+        blooms = blooms.filterNot(_ == name) // advisory index: drop follows
       case ren: TableChange.RenameColumn =>
         require(ren.fieldNames.length == 1,
           s"${ident.name()}: nested column renames are not supported")
@@ -511,6 +533,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         // a renamed bucket/partition column keeps clustering: transforms follow
         bucket = bucket.map(b => if (b.col == from) b.copy(col = ren.newName) else b)
         cluster = cluster.map(k => if (k.col == from) k.copy(col = ren.newName) else k)
+        // bloom declarations follow too: NEW writes index the new name
+        // (old files' blooms are keyed by the old physical name and stop
+        // matching pushed predicates — advisory only, reads stay correct)
+        blooms = blooms.map(c => if (c == from) ren.newName else c)
       case upd: TableChange.UpdateColumnType =>
         require(upd.fieldNames.length == 1,
           s"${ident.name()}: nested column type changes are not supported")
@@ -536,7 +562,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           s"/ RENAME COLUMN / ALTER COLUMN TYPE (widening); got $other")
     }
     replaceMeta(dir, meta.copy(schema = schema, bucket = bucket,
-      maxFieldId = maxId, cluster = cluster))
+      maxFieldId = maxId, cluster = cluster, bloomCols = blooms))
     tableFor(ident, asOf = None)
   }
 
@@ -680,7 +706,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           case Array(fn, c, w)  => ClusterKey(fn, c, Some(w.toInt))
           case _ => throw new IllegalStateException(s"$p: corrupt cluster spec '$s'")
         }
-      }).getOrElse(Nil)))
+      }).getOrElse(Nil),
+      bloomCols = str("bloomCols")
+        .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Nil)))
   }
 
   /** Create-if-absent of the descriptor — the same atomic-create commit as
@@ -701,7 +729,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           ("dmlMode" -> meta.dmlMode) ~
           ("cluster" -> (if (meta.cluster.isEmpty) None
             else Some(meta.cluster.map(k =>
-              s"${k.fn}:${k.col}:${k.width.getOrElse("")}").mkString(","))))))
+              s"${k.fn}:${k.col}:${k.width.getOrElse("")}").mkString(",")))) ~
+          ("bloomCols" -> (if (meta.bloomCols.isEmpty) None
+            else Some(meta.bloomCols.mkString(","))))))
     val out = try fs.create(p, false) catch {
       case _: java.io.IOException => return false
     }
@@ -754,7 +784,8 @@ object GraftCatalog {
                                         bucket: Option[Bucketing] = None,
                                         maxFieldId: Option[Int] = None,
                                         dmlMode: Option[String] = None,
-                                        cluster: Seq[ClusterKey] = Nil)
+                                        cluster: Seq[ClusterKey] = Nil,
+                                        bloomCols: Seq[String] = Nil)
 
   /** The CREATE TABLE property selecting the row-level DML strategy. */
   val DmlModeProp = "graft.dml.mode"
@@ -772,6 +803,22 @@ object GraftCatalog {
       case _                                              => false
     }
   }
+
+  /** `TBLPROPERTIES ('graft.bloom.columns'='h,url')`: every data write
+    * (insert, DML rewrite, streaming epoch, compact, purge) bakes a
+    * parquet BLOOM FILTER for these columns into its files. Point
+    * lookups on high-cardinality UNSORTED columns (dedup hashes, URLs,
+    * request ids) then skip whole row groups at read time — min/max
+    * stats cannot serve them (every file spans the full hash range).
+    * This is the parquet-native bloom (codegen'd reader applies it
+    * during row-group filtering), not a bespoke index format. */
+  val BloomColsProp = "graft.bloom.columns"
+
+  /** The per-write parquet options that bake blooms for the declared
+    * index columns (consumed from the job's hadoop configuration by
+    * parquet-mr's writer). */
+  private[catalog] def bloomWriteOptions(bloomCols: Seq[String]): Map[String, String] =
+    bloomCols.map(c => s"parquet.bloom.filter.enabled#$c" -> "true").toMap
 
   /** Session conf pinning a write-audit-publish branch: while set, reads
     * and writes of any manifest table that HAS a branch of that name

@@ -132,17 +132,19 @@ private[catalog] object GraftProcedures {
       require(!smallOnly || (provider == "manifest" && bucket.isEmpty),
         "small_only applies to plain/transform-partitioned manifest tables " +
           "(bucketed and keyedlog compaction is already per-group)")
+      val blooms = GraftCatalog.bloomWriteOptions(meta.bloomCols)
       val (before, after) = (provider, bucket) match {
         case ("keyedlog", _) => graft.core.LakeCompaction.compactKeyedLog(spark, dir)
-        case (_, Some(b))    => ManifestTable.compactBucketed(spark, dir, b.n, b.col, declared)
+        case (_, Some(b))    =>
+          ManifestTable.compactBucketed(spark, dir, b.n, b.col, declared, blooms)
         case _ if smallOnly =>
           // OPTIMIZE bin-pack: merge only undersized files; well-sized
           // data is never rewritten (cost ∝ small-file bytes, not table)
           ManifestTable.compactSmall(spark, dir,
-            input.getInt(1).toLong * 1024 * 1024, clusterBy, declared)
+            input.getInt(1).toLong * 1024 * 1024, clusterBy, declared, blooms)
         case _ =>
           ManifestTable.compact(spark, dir,
-            input.getInt(1).toLong * 1024 * 1024, clusterBy, declared)
+            input.getInt(1).toLong * 1024 * 1024, clusterBy, declared, blooms)
       }
       result(
         StructType(Seq(
@@ -233,7 +235,8 @@ private[catalog] object GraftProcedures {
           Some(meta.schema)
         } else None
       val (rewritten, purged) =
-        ManifestTable.purgeDeletes(SparkSession.active, dir, declared)
+        ManifestTable.purgeDeletes(SparkSession.active, dir, declared,
+          GraftCatalog.bloomWriteOptions(meta.bloomCols))
       result(
         StructType(Seq(
           StructField("files_rewritten", LongType, nullable = false),

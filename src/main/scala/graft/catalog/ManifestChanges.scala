@@ -59,7 +59,8 @@ class ManifestChangesTable(dir: String, declared: StructType) extends Table with
     val end = Option(options.get("end_version")).map(_.toLong)
     val maxV = Option(options.get("maxVersionsPerTrigger")).map(_.toLong)
     val maxF = Option(options.get("maxFilesPerTrigger")).map(_.toLong)
-    () => ManifestChangesScan(dir, declared, start, end, maxV, maxF)
+    val maxB = Option(options.get("maxBytesPerTrigger")).map(_.toLong)
+    () => ManifestChangesScan(dir, declared, start, end, maxV, maxF, maxB)
   }
 }
 
@@ -70,7 +71,8 @@ object ManifestChangesTable {
 case class ManifestChangesScan(dir: String, declared: StructType,
                                startVersion: Option[Long], endVersion: Option[Long],
                                maxVersionsPerTrigger: Option[Long] = None,
-                               maxFilesPerTrigger: Option[Long] = None)
+                               maxFilesPerTrigger: Option[Long] = None,
+                               maxBytesPerTrigger: Option[Long] = None)
     extends Scan with Batch {
 
   override def readSchema(): StructType =
@@ -106,7 +108,7 @@ case class ManifestChangesScan(dir: String, declared: StructType,
   override def toMicroBatchStream(checkpointLocation: String):
       org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new ManifestChangesMicroBatchStream(dir, declared, startVersion.getOrElse(0L),
-      maxVersionsPerTrigger, maxFilesPerTrigger)
+      maxVersionsPerTrigger, maxFilesPerTrigger, maxBytesPerTrigger)
 }
 
 object ManifestChanges {
@@ -207,7 +209,8 @@ object ManifestChanges {
 class ManifestChangesMicroBatchStream(dir: String, declared: StructType,
                                       startVersion: Long,
                                       maxVersionsPerTrigger: Option[Long] = None,
-                                      maxFilesPerTrigger: Option[Long] = None)
+                                      maxFilesPerTrigger: Option[Long] = None,
+                                      maxBytesPerTrigger: Option[Long] = None)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
@@ -235,7 +238,7 @@ class ManifestChangesMicroBatchStream(dir: String, declared: StructType,
       ManifestTable.currentVersion(dir).getOrElse(0L))
     val from = start.asInstanceOf[ManifestVersionOffset].v
     ManifestVersionOffset(StreamAdmission.admit(dir, from, target,
-      maxVersionsPerTrigger, maxFilesPerTrigger))
+      maxVersionsPerTrigger, maxFilesPerTrigger, maxBytesPerTrigger))
   }
   override def reportLatestOffset(): Offset = latestOffset()
 

@@ -42,11 +42,14 @@ import graft.core.{DeletionVectors, LakeStorage, ManifestTable}
   * [[ManifestTable.commitDeleteVectors]] — which aborts if a concurrent
   * writer removed or re-vectored a targeted file (stale scan). */
 class ManifestDeltaOperation(dir: String, declared: StructType, cmd: Command,
-                             branch: Option[String] = None)
+                             branch: Option[String] = None,
+                             bloomCols: Seq[String] = Nil)
     extends RowLevelOperation
     with org.apache.spark.sql.connector.write.SupportsDelta {
 
   import ManifestRowLevelOperation.FileCol
+
+  private[catalog] def bloomColumns: Seq[String] = bloomCols
 
   /** Marker log the DML resolves against and commits to (the branch
     * sidecar log under WAP; data pools stay under `dir` either way). */
@@ -253,6 +256,8 @@ class ManifestDeltaWrite(op: ManifestDeltaOperation, dir: String,
     // task-side writers read the timestamp type from the JOB conf —
     // stamping it here forces INT64 MICROS without touching session state
     graft.core.ManifestTable.microsTimestampJobConf(job.getConfiguration)
+    GraftCatalog.bloomWriteOptions(op.bloomColumns).foreach { case (k, v) =>
+      job.getConfiguration.set(k, v) }
     ManifestDeltaWriterFactory(owf, dir, s"$dir/$insertPool", insertPool,
       dvPool, writeSchema, rowIdSchema,
       op.snapshotState.dvs.map { case (f, ref) => f -> ref.path },

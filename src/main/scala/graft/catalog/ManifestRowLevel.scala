@@ -56,8 +56,11 @@ class ManifestRowLevelOperation(dir: String, declared: StructType,
                                 cmd: Command,
                                 bucketing: Option[GraftCatalog.Bucketing] = None,
                                 cluster: Seq[GraftCatalog.ClusterKey] = Nil,
-                                branch: Option[String] = None)
+                                branch: Option[String] = None,
+                                bloomCols: Seq[String] = Nil)
     extends RowLevelOperation {
+
+  private[catalog] def bloomColumns: Seq[String] = bloomCols
 
   import ManifestRowLevelOperation._
 
@@ -357,7 +360,8 @@ class ManifestScanBuilder(mkBuilder: (Seq[String], Boolean) => org.apache.spark.
             Option(options.get("start_version")).map(_.toLong).getOrElse(0L),
             exactRows, savedFilters,
             Option(options.get("maxVersionsPerTrigger")).map(_.toLong),
-            Option(options.get("maxFilesPerTrigger")).map(_.toLong)): Scan
+            Option(options.get("maxFilesPerTrigger")).map(_.toLong),
+            Option(options.get("maxBytesPerTrigger")).map(_.toLong)): Scan
       }
       val dataFields = parquet.readSchema().fields
         .filterNot(_.name == DvRead.RowIndexCol)
@@ -391,7 +395,8 @@ class ManifestScanBuilder(mkBuilder: (Seq[String], Boolean) => org.apache.spark.
             Option(options.get("start_version")).map(_.toLong).getOrElse(0L),
             exactRows, savedFilters,
             Option(options.get("maxVersionsPerTrigger")).map(_.toLong),
-            Option(options.get("maxFilesPerTrigger")).map(_.toLong))
+            Option(options.get("maxFilesPerTrigger")).map(_.toLong),
+            Option(options.get("maxBytesPerTrigger")).map(_.toLong))
         case _ => parquet
       }
     }
@@ -594,6 +599,8 @@ class ManifestReplaceWrite(op: ManifestRowLevelOperation, dir: String,
     // task-side writers read the timestamp type from the JOB conf —
     // stamping it here forces INT64 MICROS without touching session state
     graft.core.ManifestTable.microsTimestampJobConf(job.getConfiguration)
+    GraftCatalog.bloomWriteOptions(op.bloomColumns).foreach { case (k, v) =>
+      job.getConfiguration.set(k, v) }
     ManifestPoolWriterFactory(owf, s"$dir/$poolName", schema,
       new SerializableConfiguration(job.getConfiguration))
   }

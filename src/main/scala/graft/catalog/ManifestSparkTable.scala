@@ -39,7 +39,8 @@ class ManifestSparkTable(dir: String, declared: StructType,
                          bucketing: Option[GraftCatalog.Bucketing] = None,
                          mergeOnRead: Boolean = false,
                          cluster: Seq[GraftCatalog.ClusterKey] = Nil,
-                         branch: Option[String] = None)
+                         branch: Option[String] = None,
+                         bloomCols: Seq[String] = Nil)
     extends Table
     with SupportsRead with SupportsWrite
     with SupportsRowLevelOperations with SupportsDelete
@@ -51,6 +52,11 @@ class ManifestSparkTable(dir: String, declared: StructType,
     * (see [[ManifestTable.createBranch]]). */
   private val logDir: String =
     branch.map(b => ManifestTable.branchLogDir(dir, b)).getOrElse(dir)
+
+  /** Per-write parquet options baking bloom filters for the declared
+    * index columns into every data file this table writes. */
+  private val bloomOptions: Map[String, String] =
+    GraftCatalog.bloomWriteOptions(bloomCols)
 
   override def name(): String =
     s"manifest($dir${asOf.map(v => s"@v$v").getOrElse("")}" +
@@ -67,6 +73,7 @@ class ManifestSparkTable(dir: String, declared: StructType,
       m.put("graft.partitioning", cluster.map(_.render).mkString(", "))
     if (mergeOnRead) m.put(GraftCatalog.DmlModeProp, "merge-on-read")
     branch.foreach(b => m.put("graft.branch", b))
+    if (bloomCols.nonEmpty) m.put(GraftCatalog.BloomColsProp, bloomCols.mkString(","))
     ManifestTable.currentVersion(logDir).foreach(v =>
       m.put("graft.current-version", v.toString))
     m
@@ -202,9 +209,9 @@ class ManifestSparkTable(dir: String, declared: StructType,
   override def newRowLevelOperationBuilder(info: RowLevelOperationInfo): RowLevelOperationBuilder = {
     require(asOf.isEmpty, s"cannot run DML against the time-travel view ${name()}")
     if (mergeOnRead) () => new ManifestDeltaOperation(dir, declared, info.command,
-      branch)
+      branch, bloomCols)
     else () => new ManifestRowLevelOperation(dir, declared, info.command,
-      bucketing, cluster, branch)
+      bucketing, cluster, branch, bloomCols)
   }
 
   /** DELETE fast path (Spark's metadata-only delete, also TRUNCATE TABLE):
@@ -263,10 +270,12 @@ class ManifestSparkTable(dir: String, declared: StructType,
       // a bucketed table's rewrite re-buckets the survivors, so DML never
       // demotes the table out of storage-partitioned scanning; a
       // transform-partitioned table's rewrite re-clusters the same way
-      case Some(b) => ManifestTable.stagePoolBucketed(survivors, dir, b.n, b.col)
+      case Some(b) =>
+        ManifestTable.stagePoolBucketed(survivors, dir, b.n, b.col, bloomOptions)
       case None if cluster.nonEmpty =>
-        ManifestTable.stagePoolClustered(survivors, dir, cluster.map(_.col))
-      case None => ManifestTable.stagePool(survivors, dir)
+        ManifestTable.stagePoolClustered(survivors, dir, cluster.map(_.col),
+          bloomOptions)
+      case None => ManifestTable.stagePool(survivors, dir, bloomOptions)
     }
     ManifestTable.commitRewrite(logDir, removed = affected, added = added,
       expectedDvs = Some(dvs), dataDir = Some(dir))
@@ -286,13 +295,16 @@ class ManifestSparkTable(dir: String, declared: StructType,
               // ever after (column mapping; no-op on unmapped tables)
               val stamped = GraftCatalog.stampFieldIds(data, declared)
               val files = bucketing match {
-                case Some(b) => ManifestTable.stagePoolBucketed(stamped, dir, b.n, b.col)
+                case Some(b) =>
+                  ManifestTable.stagePoolBucketed(stamped, dir, b.n, b.col,
+                    bloomOptions)
                 case None if cluster.nonEmpty =>
                   // declared partition transforms: range-cluster the write
                   // on the source columns so partition pruning falls out
                   // of the log's file stats
-                  ManifestTable.stagePoolClustered(stamped, dir, cluster.map(_.col))
-                case None => ManifestTable.stagePool(stamped, dir)
+                  ManifestTable.stagePoolClustered(stamped, dir,
+                    cluster.map(_.col), bloomOptions)
+                case None => ManifestTable.stagePool(stamped, dir, bloomOptions)
               }
               if (overwrite || overwriteFlag)
                 ManifestTable.commitStagedSnapshot(logDir, files, dataDir = Some(dir))
@@ -310,7 +322,7 @@ class ManifestSparkTable(dir: String, declared: StructType,
               "unset graft.wap.branch for the stream's session")
           new ManifestStreamingWrite(dir,
             GraftCatalog.stampFieldIds(info.schema(), declared),
-            info.queryId(), overwrite)
+            info.queryId(), overwrite, bloomCols)
         }
       }
     }

@@ -35,7 +35,8 @@ case class ManifestStreamScan(inner: ParquetScan, dir: String,
                               exactRowCount: Option[Long] = None,
                               pushedCatalyst: Seq[org.apache.spark.sql.catalyst.expressions.Expression] = Seq.empty,
                               maxVersionsPerTrigger: Option[Long] = None,
-                              maxFilesPerTrigger: Option[Long] = None)
+                              maxFilesPerTrigger: Option[Long] = None,
+                              maxBytesPerTrigger: Option[Long] = None)
     extends Scan with SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
     with org.apache.spark.sql.internal.connector.SupportsMetadata {
@@ -85,7 +86,8 @@ case class ManifestStreamScan(inner: ParquetScan, dir: String,
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new ManifestMicroBatchStream(dir, declared, inner.readDataSchema, startVersion,
-      pushedCatalyst, maxVersionsPerTrigger, maxFilesPerTrigger)
+      pushedCatalyst, maxVersionsPerTrigger, maxFilesPerTrigger,
+      maxBytesPerTrigger)
 }
 
 /** Offset = committed manifest version (0 = before the first commit). */
@@ -98,7 +100,8 @@ class ManifestMicroBatchStream(dir: String, declared: StructType,
                                startVersion: Long = 0L,
                                pushedCatalyst: Seq[org.apache.spark.sql.catalyst.expressions.Expression] = Seq.empty,
                                maxVersionsPerTrigger: Option[Long] = None,
-                               maxFilesPerTrigger: Option[Long] = None)
+                               maxFilesPerTrigger: Option[Long] = None,
+                               maxBytesPerTrigger: Option[Long] = None)
     extends MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
@@ -135,7 +138,7 @@ class ManifestMicroBatchStream(dir: String, declared: StructType,
       ManifestTable.currentVersion(dir).getOrElse(0L))
     val from = start.asInstanceOf[ManifestVersionOffset].v
     ManifestVersionOffset(StreamAdmission.admit(dir, from, target,
-      maxVersionsPerTrigger, maxFilesPerTrigger))
+      maxVersionsPerTrigger, maxFilesPerTrigger, maxBytesPerTrigger))
   }
   override def reportLatestOffset(): Offset = latestOffset()
 
@@ -195,22 +198,26 @@ class ManifestMicroBatchStream(dir: String, declared: StructType,
   * Always admits at least one pending version (progress guarantee). */
 private[catalog] object StreamAdmission {
   def admit(dir: String, from: Long, target: Long,
-            maxVersions: Option[Long], maxFiles: Option[Long]): Long = {
-    if (target <= from || (maxVersions.isEmpty && maxFiles.isEmpty))
+            maxVersions: Option[Long], maxFiles: Option[Long],
+            maxBytes: Option[Long] = None): Long = {
+    if (target <= from ||
+        (maxVersions.isEmpty && maxFiles.isEmpty && maxBytes.isEmpty))
       return target
     val pending = ManifestTable.allVersions(dir).filter(v => v > from && v <= target)
     var end = from
     var versions = 0L
     var files = 0L
+    var bytes = 0L
     val it = pending.iterator
     var stop = false
     while (it.hasNext && !stop) {
       val v = it.next()
-      val added = ManifestTable.addsAt(dir, v).length.toLong
+      val (added, addedBytes) = ManifestTable.addsAt(dir, v)
       val overVersions = maxVersions.exists(versions + 1 > _)
-      val overFiles = maxFiles.exists(files + added > _)
-      if (end > from && (overVersions || overFiles)) stop = true
-      else { end = v; versions += 1; files += added }
+      val overFiles = maxFiles.exists(files + added.length > _)
+      val overBytes = maxBytes.exists(bytes + addedBytes > _)
+      if (end > from && (overVersions || overFiles || overBytes)) stop = true
+      else { end = v; versions += 1; files += added.length; bytes += addedBytes }
     }
     end
   }

@@ -39,7 +39,8 @@ import graft.core.{LakeStorage, ManifestTable}
   * .vacuum]] on long-running streams (which production retention does
   * anyway) to keep it O(retention), not O(stream lifetime). */
 class ManifestStreamingWrite(dir: String, schema: StructType, queryId: String,
-                             truncate: Boolean) extends StreamingWrite {
+                             truncate: Boolean,
+                             bloomCols: Seq[String] = Nil) extends StreamingWrite {
 
   import ManifestStreamingWrite.poolName
 
@@ -50,6 +51,8 @@ class ManifestStreamingWrite(dir: String, schema: StructType, queryId: String,
     // task-side writers read the timestamp type from the JOB conf —
     // stamping it here forces INT64 MICROS without touching session state
     graft.core.ManifestTable.microsTimestampJobConf(job.getConfiguration)
+    GraftCatalog.bloomWriteOptions(bloomCols).foreach { case (k, v) =>
+      job.getConfiguration.set(k, v) }
     ManifestStreamingWriterFactory(owf, dir, queryId, schema,
       new SerializableConfiguration(job.getConfiguration))
   }

@@ -489,13 +489,19 @@ object ManifestTable {
       case s: SnapshotMarker => s.dvs
     }
 
-  /** The files version `v`'s commit ADDED (a snapshot's full list) — one
-    * marker read; what streaming admission control budgets batches by. */
-  private[graft] def addsAt(dir: String, v: Long): Seq[String] =
+  /** The files version `v`'s commit ADDED (a snapshot's full list) and
+    * their total log-carried bytes — one marker read; what streaming
+    * admission control budgets batches by. Files whose stats lack a
+    * length (legacy markers) count 0 bytes: the bytes budget is a
+    * stats-powered refinement, never a correctness gate. */
+  private[graft] def addsAt(dir: String, v: Long): (Seq[String], Long) = {
+    def bytes(files: Seq[String], st: Map[String, FileStats.Stats]): Long =
+      files.iterator.flatMap(f => st.get(f).flatMap(_.sizeBytes)).sum
     readMarkerData(dir, v) match {
-      case d: DeltaMarker    => d.add
-      case s: SnapshotMarker => s.files
+      case d: DeltaMarker    => (d.add, bytes(d.add, d.stats))
+      case s: SnapshotMarker => (s.files, bytes(s.files, s.stats))
     }
+  }
 
   /** Every file referenced by ANY surviving committed version, in ONE pass
     * over the log (oldest version resolved once, then just the adds /
@@ -534,7 +540,9 @@ object ManifestTable {
     * the two-phase half of [[write]]/[[append]] for callers that must
     * defer the commit (e.g. the catalog's atomic CTAS). Abandoned pools
     * are [[vacuum]] fodder. */
-  def stagePool(df: DataFrame, dir: String): Seq[String] = writePool(df, dir)
+  def stagePool(df: DataFrame, dir: String,
+                writeOptions: Map[String, String] = Map.empty): Seq[String] =
+    writePool(df, dir, writeOptions = writeOptions)
 
   /** Stage `df` RANGE-CLUSTERED on `cols` (a declared-partitioning
     * table's write path): range repartition + in-partition sort means
@@ -543,12 +551,12 @@ object ManifestTable {
     * scan planning prunes whole partitions via ordinary data skipping
     * (see the catalog's PARTITIONED BY transforms). Cost: one range
     * shuffle per write, the price any partitioned table format pays. */
-  def stagePoolClustered(df: DataFrame, dir: String,
-                         cols: Seq[String]): Seq[String] = {
+  def stagePoolClustered(df: DataFrame, dir: String, cols: Seq[String],
+                         writeOptions: Map[String, String] = Map.empty): Seq[String] = {
     import org.apache.spark.sql.functions.col
     writePool(
       df.repartitionByRange(cols.map(col): _*).sortWithinPartitions(cols.map(col): _*),
-      dir)
+      dir, writeOptions = writeOptions)
   }
 
   /** Stage `df` BUCKET-CLUSTERED: rows are hash-repartitioned into
@@ -559,10 +567,12 @@ object ManifestTable {
     * the same bucket tag can be scanned with key-grouped (storage-
     * partitioned) splits — see the catalog's bucketed scan. */
   def stagePoolBucketed(df: DataFrame, dir: String, numBuckets: Int,
-                        keyCol: String): Seq[String] =
+                        keyCol: String,
+                        writeOptions: Map[String, String] = Map.empty): Seq[String] =
     writePool(
       df.repartition(numBuckets, org.apache.spark.sql.functions.col(keyCol)),
-      dir, poolName = s"${BucketedPoolPrefix}$numBuckets-${java.util.UUID.randomUUID()}")
+      dir, poolName = s"${BucketedPoolPrefix}$numBuckets-${java.util.UUID.randomUUID()}",
+      writeOptions = writeOptions)
 
   /** The bucket count of a bucketed pool name, None for plain pools. */
   def bucketsOfPool(poolName: String): Option[Int] =
@@ -753,7 +763,8 @@ object ManifestTable {
   def compact(spark: SparkSession, dir: String,
               targetFileBytes: Long = 128L * 1024 * 1024,
               clusterBy: Seq[String] = Nil,
-              readSchema: Option[org.apache.spark.sql.types.StructType] = None): (Long, Long) = {
+              readSchema: Option[org.apache.spark.sql.types.StructType] = None,
+              writeOptions: Map[String, String] = Map.empty): (Long, Long) = {
     val fs = LakeStorage.openFor(dir)
     val snapVersion = currentVersion(dir).getOrElse(
       throw new IllegalStateException(s"no committed version under $dir"))
@@ -776,7 +787,7 @@ object ManifestTable {
         snapshot.repartitionByRange(nOut, clusterBy.map(col): _*)
           .sortWithinPartitions(clusterBy.map(col): _*)
       }
-    val compacted = writePool(rewritten, dir)
+    val compacted = writePool(rewritten, dir, writeOptions = writeOptions)
     val compactedStats = FileStats.collect(dir, compacted)
     val snapSet = snapFiles.toSet
     commitLoop(dir) { base =>
@@ -817,7 +828,8 @@ object ManifestTable {
   def compactSmall(spark: SparkSession, dir: String,
       targetFileBytes: Long = 128L * 1024 * 1024,
       clusterBy: Seq[String] = Nil,
-      readSchema: Option[org.apache.spark.sql.types.StructType] = None): (Long, Long) = {
+      readSchema: Option[org.apache.spark.sql.types.StructType] = None,
+      writeOptions: Map[String, String] = Map.empty): (Long, Long) = {
     val fs = LakeStorage.openFor(dir)
     val snapVersion = currentVersion(dir).getOrElse(
       throw new IllegalStateException(s"no committed version under $dir"))
@@ -840,7 +852,7 @@ object ManifestTable {
         rows.repartitionByRange(nOut, clusterBy.map(col): _*)
           .sortWithinPartitions(clusterBy.map(col): _*)
       }
-    val added = writePool(rewritten, dir)
+    val added = writePool(rewritten, dir, writeOptions = writeOptions)
     commitRewrite(dir, removed = small, added = added,
       expectedDvs = Some(snap.dvs))
     (small.length.toLong, added.length.toLong)
@@ -852,7 +864,8 @@ object ManifestTable {
     * proportional to the VECTORED bytes, not the table. Returns
     * (filesRewritten, positionsPurged). */
   def purgeDeletes(spark: SparkSession, dir: String,
-      readSchema: Option[org.apache.spark.sql.types.StructType] = None): (Long, Long) = {
+      readSchema: Option[org.apache.spark.sql.types.StructType] = None,
+      writeOptions: Map[String, String] = Map.empty): (Long, Long) = {
     val snapVersion = currentVersion(dir).getOrElse(
       throw new IllegalStateException(s"no committed version under $dir"))
     val snap = state(dir, snapVersion)
@@ -860,7 +873,7 @@ object ManifestTable {
     val vectored = snap.files.filter(snap.dvs.contains)
     val survivors = applyDvs(spark, dir,
       readSnapshot(spark, dir, vectored, readSchema), snap.dvs)
-    val added = stagePool(survivors, dir)
+    val added = stagePool(survivors, dir, writeOptions)
     commitRewrite(dir, removed = vectored, added = added,
       expectedDvs = Some(snap.dvs))
     (vectored.length.toLong, snap.deletedRows)
@@ -950,7 +963,8 @@ object ManifestTable {
     * rules as [[compact]]. Returns (filesBefore, filesAfter). */
   def compactBucketed(spark: SparkSession, dir: String, numBuckets: Int,
                       keyCol: String,
-                      readSchema: Option[org.apache.spark.sql.types.StructType] = None): (Long, Long) = {
+                      readSchema: Option[org.apache.spark.sql.types.StructType] = None,
+                      writeOptions: Map[String, String] = Map.empty): (Long, Long) = {
     val snapVersion = currentVersion(dir).getOrElse(
       throw new IllegalStateException(s"no committed version under $dir"))
     val snap = state(dir, snapVersion)
@@ -958,7 +972,7 @@ object ManifestTable {
     if (snapFiles.isEmpty) return (0L, 0L)
     val compacted = stagePoolBucketed(
       applyDvs(spark, dir, readSnapshot(spark, dir, snapFiles, readSchema), snap.dvs),
-      dir, numBuckets, keyCol)
+      dir, numBuckets, keyCol, writeOptions)
     val compactedStats = FileStats.collect(dir, compacted)
     val snapSet = snapFiles.toSet
     commitLoop(dir) { base =>
@@ -1299,8 +1313,10 @@ object ManifestTable {
   /** Write `df`'s files into a fresh uniquely-named pool directory and
     * return their dir-relative paths. The pool is invisible until some
     * manifest references it. */
-  private def writePool(df: DataFrame, dir: String): Seq[String] =
-    writePool(df, dir, DataDirPrefix + java.util.UUID.randomUUID().toString)
+  private def writePool(df: DataFrame, dir: String,
+      writeOptions: Map[String, String]): Seq[String] =
+    writePool(df, dir, DataDirPrefix + java.util.UUID.randomUUID().toString,
+      writeOptions)
 
   /** Manifest data files write timestamps as INT64 MICROS, whatever the
     * session default: the INT96 default carries no usable footer min/max,
@@ -1341,7 +1357,8 @@ object ManifestTable {
     s
   }
 
-  private def writePool(df: DataFrame, dir: String, poolName: String): Seq[String] = {
+  private def writePool(df: DataFrame, dir: String, poolName: String,
+      writeOptions: Map[String, String] = Map.empty): Seq[String] = {
     val poolPath = s"$dir/$poolName"
     val parent = df.sparkSession
     val writer = microsWriterSession(parent)
@@ -1352,7 +1369,10 @@ object ManifestTable {
     df.createOrReplaceGlobalTempView(view)
     try {
       val gdb = parent.conf.get("spark.sql.globalTempDatabase", "global_temp")
-      writer.table(s"$gdb.$view").write.mode(SaveMode.Overwrite).parquet(poolPath)
+      // per-write options ride into the job's hadoop conf (e.g. the
+      // parquet bloom-filter keys of declared index columns)
+      writer.table(s"$gdb.$view").write.options(writeOptions)
+        .mode(SaveMode.Overwrite).parquet(poolPath)
     } finally {
       parent.catalog.dropGlobalTempView(view); ()
     }

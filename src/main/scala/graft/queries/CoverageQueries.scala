@@ -670,6 +670,53 @@ object CoverageQueries extends QueryModule {
           "published_rows", "published_chars")
     },
 
+    // --- bloom-filter indexes (GraftCatalog.BloomColsProp): declared
+    //     columns get parquet blooms baked into every data file — the
+    //     skip primitive for point lookups on high-cardinality UNSORTED
+    //     columns (dedup hashes), which min/max stats can never prune
+    //     (every file spans the full hash range). Structural proof: every
+    //     snapshot file's footer carries the bloom for the declared
+    //     column and none for the others; lookups replay exactly ---
+    "qc34_bloom_index" -> { (s, d) =>
+      import s.implicits._
+      if (s.conf.getOption("spark.sql.catalog.graft_cat").isEmpty)
+        graft.catalog.GraftCatalog.register(s, "graft_cat",
+          graft.core.TempDirs.create("graft_cat_root_"))
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.db")
+      s.sql("DROP TABLE IF EXISTS graft_cat.db.bloom34")
+      Tables.documents(s, d).createOrReplaceTempView("qc34_documents")
+      s.sql("CREATE TABLE graft_cat.db.bloom34 " +
+        "(doc_id BIGINT, h STRING, n_chars BIGINT) USING manifest " +
+        s"TBLPROPERTIES ('${graft.catalog.GraftCatalog.BloomColsProp}'='h')")
+      s.sql("INSERT INTO graft_cat.db.bloom34 " +
+        "SELECT doc_id, md5(CAST(doc_id AS STRING)), n_chars FROM qc34_documents")
+      // structural: every snapshot file blooms h, none blooms n_chars
+      val dir = s.sql("SHOW TBLPROPERTIES graft_cat.db.bloom34").collect()
+        .find(_.getString(0) == "graft.location").get.getString(1)
+      val st = graft.core.ManifestTable.state(dir,
+        graft.core.ManifestTable.currentVersion(dir).get)
+      def hasBloom(f: String, colName: String): Boolean = {
+        import scala.jdk.CollectionConverters._
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(s"$dir/$f"),
+          new org.apache.hadoop.conf.Configuration())
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getFooter.getBlocks.asScala.forall(_.getColumns.asScala
+          .exists(c => c.getPath.toDotString == colName && c.getBloomFilterOffset >= 0))
+        finally r.close()
+      }
+      val allBloomed = st.files.nonEmpty && st.files.forall(hasBloom(_, "h"))
+      val noneUndeclared = st.files.forall(f => !hasBloom(f, "n_chars"))
+      // point lookups through the bloom-indexed column
+      val hit = s.sql("SELECT CAST(sum(n_chars) AS BIGINT) FROM graft_cat.db.bloom34 " +
+        "WHERE h = md5('42')").head()
+      val miss = s.sql("SELECT count(*) FROM graft_cat.db.bloom34 " +
+        "WHERE h = md5('-1')").head().getLong(0)
+      Seq((allBloomed, noneUndeclared,
+          if (hit.isNullAt(0)) -1L else hit.getLong(0), miss))
+        .toDF("all_files_bloomed", "undeclared_unbloomed", "chars_at_42", "misses")
+    },
+
     // --- metadata tables (catalog/MetadataTables): t.history / t.files
     //     — one row per committed version / per current-snapshot file,
     //     derived purely from commit markers + file status (the DESCRIBE
@@ -1117,6 +1164,15 @@ object CoverageQueries extends QueryModule {
            (SELECT count(*) FROM documents WHERE doc_id % 5 <> 0) AS rows_current,
            CAST((SELECT sum(n_chars) FROM documents WHERE doc_id % 5 <> 0) AS BIGINT)
              AS chars_current""",
+
+    // the structural booleans are Spark-side footer facts (bloom present
+    // on the declared column everywhere, absent elsewhere); the lookups
+    // replay over documents directly
+    "qc34_bloom_index" ->
+      """SELECT true AS all_files_bloomed, true AS undeclared_unbloomed,
+           CAST(coalesce((SELECT sum(n_chars) FROM documents WHERE doc_id = 42), -1)
+             AS BIGINT) AS chars_at_42,
+           CAST(0 AS BIGINT) AS misses""",
 
     // main during staging = the v1 insert only; the branch audit = the
     // whole corpus minus the quality gate's doc_id%7 delete; publish =

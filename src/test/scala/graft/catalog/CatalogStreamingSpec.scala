@@ -279,6 +279,19 @@ class CatalogStreamingSpec extends AnyFunSuite {
     val cdcBatches = q2.recentProgress.toSeq.map(_.numInputRows).filter(_ > 0)
     assert(cdcBatches === Seq(4L, 3L), s"cdc batch sizes: $cdcBatches")
     assert(spark.sql("SELECT count(*) FROM thr_cdc").head().getLong(0) === 7L)
+    // bytes budget (stats-carried lengths): 1 byte admits exactly one
+    // version per batch — the whole 6-version history drains in 6 batches
+    val ckpt3 = Files.createTempDirectory("graft_cstream_thr3_").toString
+    val q3 = spark.readStream.option("maxBytesPerTrigger", "1")
+      .table("gs.db.thr")
+      .writeStream.option("checkpointLocation", ckpt3)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .format("memory").queryName("thr_bytes").outputMode("append").start()
+    try assert(q3.awaitTermination(120000))
+    finally q3.stop()
+    val byteBatches = q3.recentProgress.toSeq.map(_.numInputRows).filter(_ > 0)
+    assert(byteBatches === Seq(5L, 5L, 5L, 5L, 4L, 3L),
+      s"bytes-throttle batch sizes: $byteBatches")
   }
 
   test("round trip: one manifest table as sink then source of two streams") {
