@@ -58,6 +58,24 @@ class ManifestSparkTable(dir: String, declared: StructType,
   private val bloomOptions: Map[String, String] =
     GraftCatalog.bloomWriteOptions(bloomCols)
 
+  /** WAP safety: when the session pins a staging branch but THIS table
+    * view resolved to main (the branch does not exist here — typo'd
+    * name, or the branch was never created), a WRITE must fail fast
+    * rather than silently landing un-staged data on main and defeating
+    * the audit. Reads fall back to main by design (dimension lookups in
+    * a staging session are normal); writes are the hazard. */
+  private def requireWapResolved(op: String): Unit =
+    if (branch.isEmpty) {
+      val pinned = SparkSession.active.conf.getOption(GraftCatalog.WapBranchConf)
+      pinned.foreach { b =>
+        throw new IllegalStateException(
+          s"$op on ${name()}: session pins ${GraftCatalog.WapBranchConf}='$b' " +
+            s"but this table has no branch '$b' — writes would silently " +
+            "bypass the audit and land on main. CALL " +
+            s"<catalog>.system.branch('<db.t>', '$b') first, or unset the conf")
+      }
+    }
+
   override def name(): String =
     s"manifest($dir${asOf.map(v => s"@v$v").getOrElse("")}" +
       s"${branch.map(b => s"@$b").getOrElse("")})"
@@ -208,6 +226,7 @@ class ManifestSparkTable(dir: String, declared: StructType,
     * ([[ManifestDeltaOperation]]). */
   override def newRowLevelOperationBuilder(info: RowLevelOperationInfo): RowLevelOperationBuilder = {
     require(asOf.isEmpty, s"cannot run DML against the time-travel view ${name()}")
+    requireWapResolved("DML")
     if (mergeOnRead) () => new ManifestDeltaOperation(dir, declared, info.command,
       branch, bloomCols)
     else () => new ManifestRowLevelOperation(dir, declared, info.command,
@@ -230,6 +249,7 @@ class ManifestSparkTable(dir: String, declared: StructType,
 
   override def deleteWhere(filters: Array[Filter]): Unit = {
     require(asOf.isEmpty, s"cannot DELETE from the time-travel view ${name()}")
+    requireWapResolved("DELETE")
     val snap = snapshotPaths
     if (snap.isEmpty) return
     if (filters.forall(_ == sources.AlwaysTrue)) {
@@ -284,6 +304,7 @@ class ManifestSparkTable(dir: String, declared: StructType,
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(asOf.isEmpty, s"cannot write to the time-travel view ${name()}")
+    requireWapResolved("write")
     new WriteBuilder with SupportsTruncate {
       private var overwrite = false
       override def truncate(): WriteBuilder = { overwrite = true; this }

@@ -301,6 +301,48 @@ object TextQueries extends QueryModule {
         .orderBy("corpus_id", "delta_id")
     },
 
+    // --- the WAP-staged corpus release: new documents land on a BRANCH,
+    //     get decontaminated (LSH near-dup vs the released corpus) and
+    //     quality-gated there, and publish atomically — the end-to-end
+    //     composition of write-audit-publish with the dedup primitives
+    //     (what a training-data release actually looks like) ---
+    "qp04_wap_pipeline" -> { (s, d) =>
+      if (s.conf.getOption("spark.sql.catalog.graft_cat").isEmpty)
+        graft.catalog.GraftCatalog.register(s, "graft_cat",
+          graft.core.TempDirs.create("graft_cat_root_"))
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.db")
+      s.sql("DROP TABLE IF EXISTS graft_cat.db.corpus5")
+      Tables.documents(s, d).createOrReplaceTempView("qp04_documents")
+      s.sql("CREATE TABLE graft_cat.db.corpus5 " +
+        "(doc_id BIGINT, lang STRING, text STRING, n_chars BIGINT) USING manifest")
+      s.sql("INSERT INTO graft_cat.db.corpus5 SELECT doc_id, lang, text, n_chars " +
+        "FROM qp04_documents WHERE doc_id < 120")            // released corpus
+      s.sql("CALL graft_cat.system.branch('db.corpus5', 'r2')")
+      s.conf.set(graft.catalog.GraftCatalog.WapBranchConf, "r2")
+      try {
+        s.sql("INSERT INTO graft_cat.db.corpus5 " +
+          "SELECT doc_id, lang, text, n_chars " +
+          "FROM qp04_documents WHERE doc_id >= 120")         // staged on the branch
+        // decontamination ON THE BRANCH: staged docs that near-dup a
+        // released doc (banded LSH candidates, exact-jaccard verified
+        // >= 0.8) are dropped before anything publishes
+        Dedup.minhashLshPairs(
+            s.table("graft_cat.db.corpus5").select(col("doc_id"), col("text")),
+            "doc_id", "text", n = 3, threshold = 0.8)
+          .filter(col("d1") < 120 && col("d2") >= 120)
+          .select(col("d2").as("doc_id")).distinct()
+          .createOrReplaceTempView("qp04_dups")
+        s.sql("DELETE FROM graft_cat.db.corpus5 " +
+          "WHERE doc_id IN (SELECT doc_id FROM qp04_dups)")
+        // quality gate on the staged slice only
+        s.sql("DELETE FROM graft_cat.db.corpus5 WHERE doc_id >= 120 AND n_chars < 100")
+      } finally s.conf.unset(graft.catalog.GraftCatalog.WapBranchConf)
+      s.sql("CALL graft_cat.system.fast_forward('db.corpus5', 'r2')")
+      s.sql("""SELECT lang, count(*) AS n_docs,
+          CAST(sum(n_chars) AS BIGINT) AS total_chars
+        FROM graft_cat.db.corpus5 GROUP BY lang ORDER BY lang""")
+    },
+
     "qp01_training_pipeline" -> { (s, d) =>
       val docs = Tables.documents(s, d)
       // 1. exact dedup on content fingerprint
@@ -734,6 +776,26 @@ object TextQueries extends QueryModule {
     "qd02_dedup_jaccard" -> jaccardSql,
 
     "qd03_dedup_minhash_lsh" -> jaccardSql,
+
+    // the branch is invisible to the oracle: the published table equals
+    // released docs + staged docs that survive decontamination (no
+    // exact-jaccard >= 0.8 near-dup against ANY released doc) and the
+    // n_chars quality gate
+    "qp04_wap_pipeline" ->
+      s"""WITH $shingleCte,
+         jac AS (SELECT d1, d2 FROM pairs p
+                 JOIN sizes s1 ON p.d1 = s1.doc_id
+                 JOIN sizes s2 ON p.d2 = s2.doc_id
+                 WHERE inter*1.0/(s1.n_sh + s2.n_sh - inter) >= 0.8),
+         contaminated AS (SELECT DISTINCT d2 AS doc_id FROM jac
+                          WHERE d1 < 120 AND d2 >= 120),
+         final AS (SELECT * FROM documents
+                   WHERE doc_id < 120
+                      OR (doc_id NOT IN (SELECT doc_id FROM contaminated)
+                          AND n_chars >= 100))
+         SELECT lang, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+         FROM final GROUP BY lang ORDER BY lang""",
 
     "qd06_dedup_clusters" ->
       s"""WITH RECURSIVE $shingleCte,

@@ -394,6 +394,17 @@ class CatalogProcedureSpec extends AnyFunSuite {
     assert(race.getMessage.contains("re-audit"), s"wrong error: ${race.getMessage}")
     assert(spark.sql("CALL gp.system.drop_branch('db.wap', 'ingest2')")
       .head().getBoolean(0))
+    // a typo'd/missing branch name must FAIL writes, not land on main
+    spark.conf.set(GraftCatalog.WapBranchConf, "ingst-typo")
+    try {
+      val typo = intercept[Exception] {
+        spark.sql("INSERT INTO gp.db.wap SELECT 999, 'oops'")
+      }
+      assert(typo.getMessage.contains("no branch 'ingst-typo'"),
+        s"wrong error: ${typo.getMessage}")
+      // reads still fall back to main (dimension lookups stay usable)
+      assert(spark.sql("SELECT count(*) FROM gp.db.wap").head().getLong(0) > 0L)
+    } finally spark.conf.unset(GraftCatalog.WapBranchConf)
     // streaming writes refuse a WAP branch session
     spark.conf.set(GraftCatalog.WapBranchConf, "ingest")
     try {
