@@ -346,10 +346,11 @@ object ManifestTable {
     * under memory pressure before anything OOMs). A committed version's
     * content is immutable, so (dir, version) *almost* identifies a state;
     * the one rebirth case — DROP TABLE then CREATE at the same path —
-    * is fenced by validating the version's own commit-marker BYTES
-    * (md5): pool names carry UUIDs, so two incarnations' markers can't
-    * collide. A hit costs one marker read (delta markers are O(delta)
-    * small) instead of checkpoint + chain replay — at 10⁵ live files
+    * is fenced by validating the md5 of the whole resolution CHAIN's
+    * marker bytes ([[cacheTag]]): pool names carry UUIDs, so chains
+    * folding to different states can't hash equal. A hit costs a few
+    * small delta-marker reads instead of checkpoint + chain replay — at
+    * 10⁵ live files
     * that's the difference between ~0.24 s and ~1 ms per query plan
     * (measured in tools/MetaScale). */
   private val StateCacheMax = 32
@@ -362,14 +363,45 @@ object ManifestTable {
         size() > StateCacheMax
     }
 
+  /** Cache-validation tag for (dir, version): md5 over the BYTES of every
+    * marker the backward resolution would read — version v down to the
+    * nearest snapshot marker or checkpoint (whose identity is folded as
+    * length+mtime without reading its body). Hashing only v's own marker
+    * is not a sound fence for DELTA versions: a DROP/recreate where v's
+    * delta marker is byte-identical across incarnations (an empty append)
+    * but an EARLIER chain marker differs would serve the dead
+    * incarnation's state. Hashing the whole chain makes tag-equal imply
+    * state-equal (file-bearing markers are unique per incarnation via
+    * pool UUIDs; byte-identical chains fold to identical states). Cost is
+    * ≤ CheckpointInterval small delta-marker reads per validation — still
+    * far below a full checkpoint read + chain fold. */
+  private def cacheTag(dir: String, version: Long): String =
+    try {
+      val fs = LakeStorage.openFor(dir)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      var v = version
+      var done = false
+      while (!done) {
+        if (v < 1) done = true
+        else {
+          val txt = readTextFile(fs, new Path(dir, marker(v)))
+          md.update(txt.getBytes("UTF-8"))
+          if (txt.startsWith("{\"s\"")) done = true // snapshot anchor
+          else {
+            val ck = new Path(dir, ckptName(v))
+            if (fs.exists(ck)) { // checkpoint anchor: fold its identity
+              val st = fs.getFileStatus(ck)
+              md.update(s"${st.getLen}:${st.getModificationTime}".getBytes("UTF-8"))
+              done = true
+            } else v -= 1
+          }
+        }
+      }
+      java.util.Base64.getEncoder.encodeToString(md.digest())
+    } catch { case _: java.io.IOException => null } // marker vacuumed: checkpoint path, uncached
+
   def state(dir: String, version: Long): TableState = {
-    val tag =
-      try {
-        val fs = LakeStorage.openFor(dir)
-        val txt = readTextFile(fs, new Path(dir, marker(version)))
-        java.util.Base64.getEncoder.encodeToString(
-          java.security.MessageDigest.getInstance("MD5").digest(txt.getBytes("UTF-8")))
-      } catch { case _: java.io.IOException => null } // marker vacuumed: checkpoint path, uncached
+    val tag = cacheTag(dir, version)
     val key = (dir, version)
     if (tag != null) stateCache.synchronized {
       val ref = stateCache.get(key)
@@ -1054,6 +1086,7 @@ object ManifestTable {
 
   private val BranchDirPrefix = "_branch_"
   private val ForkFile = "_fork"
+  private val PublishedFile = "_published"
 
   /** A branch's marker-log directory. The branch is a FULL manifest log of
     * its own (markers, head pointer, checkpoints — every log mechanism
@@ -1149,22 +1182,51 @@ object ManifestTable {
       dataDir = Some(dir))
   }
 
+  /** The branch-log version [[fastForward]] last published to main, None
+    * before the first publish. Publishing advances this watermark so the
+    * NEXT publish diffs against what main already has from this branch —
+    * a branch that gains commits after a publish re-publishes only its
+    * net-new delta (per-file idempotent), never its already-published
+    * files a second time. */
+  private[graft] def publishedVersion(dir: String, name: String): Option[Long] = {
+    val fs = LakeStorage.openFor(dir)
+    val p = new Path(branchLogDir(dir, name), PublishedFile)
+    if (!fs.exists(p)) None else Some(readTextFile(fs, p).trim.toLong)
+  }
+
+  private def writePublished(dir: String, name: String, brV: Long): Unit = {
+    val fs = LakeStorage.openFor(dir)
+    val out = fs.create(new Path(branchLogDir(dir, name), PublishedFile), true)
+    try out.write(brV.toString.getBytes("UTF-8")) finally out.close()
+  }
+
   /** PUBLISH: fast-forward main to the branch's audited state, as ONE
-    * atomic optimistic commit of the branch's net delta vs its fork base
-    * (added files, removed files, changed deletion vectors). Rebases
-    * cleanly over concurrent main APPENDS — files the branch never saw
-    * stay live, write-serializable, same rule as [[commitRewrite]] — and
-    * ABORTS (`ConcurrentModificationException`) if a concurrent main
-    * writer removed/replaced/re-vectored any file the branch's delta
-    * removes or re-vectors: publishing would lose that writer's change.
-    * The branch survives the publish (re-audit, re-publish, or
-    * [[dropBranch]] it); its fork version is NOT advanced — a second
-    * publish of an unchanged branch is a no-op delta. Returns the new
-    * MAIN version. */
+    * atomic optimistic commit of the branch's net delta vs its publish
+    * base (added files, removed files, changed deletion vectors). The
+    * publish base is the branch state [[publishedVersion]] last pushed to
+    * main — the fork snapshot before any publish — so stage → publish →
+    * stage more → publish again ships each file exactly once (the second
+    * delta covers only commits after the first publish; the watermark
+    * advances on every publish, and the delta is additionally filtered
+    * against main's current files inside the commit loop, making the
+    * whole operation per-file idempotent under races). Rebases cleanly
+    * over concurrent main APPENDS — files the branch never saw stay live,
+    * write-serializable, same rule as [[commitRewrite]] — and ABORTS
+    * (`ConcurrentModificationException`) if a concurrent main writer
+    * removed/replaced/re-vectored any publish-base file: the audit is
+    * stale and publishing would lose that writer's change. The branch
+    * survives the publish (stage more, re-audit, re-publish, or
+    * [[dropBranch]] it); a publish of an unchanged branch is a no-op.
+    * Returns the new MAIN version. */
   def fastForward(dir: String, name: String): Long = {
-    val baseV = forkVersion(dir, name)
-    val base = state(dir, baseV)
-    val br = branchState(dir, name)
+    val brHeadV = branchHead(dir, name).getOrElse(
+      throw new IllegalArgumentException(s"no branch '$name' on $dir"))
+    val log = branchLogDir(dir, name)
+    // branch-log v1 IS the fork snapshot, so the publish base is uniformly
+    // a branch-log version: the watermark, or the fork before any publish
+    val baseBrV = publishedVersion(dir, name).getOrElse(1L)
+    val base = state(log, baseBrV)
+    val br = state(log, brHeadV)
     val baseFiles = base.files.toSet
     val brFiles = br.files.toSet
     val adds = br.files.filterNot(baseFiles)
@@ -1174,47 +1236,61 @@ object ManifestTable {
     val dvChanges = br.dvs.filter { case (f, ref) =>
       brFiles.contains(f) && base.dvs.get(f).map(_.path) != Some(ref.path)
     }
-    if (adds.isEmpty && removes.isEmpty && dvChanges.isEmpty)
-      return currentVersion(dir).getOrElse(baseV) // nothing to publish
-    val addStats = adds.iterator.flatMap(f => br.stats.get(f).map(f -> _)).toMap
-    // re-publishing an already-published branch (or losing a double-
-    // publish race to a twin) is a NO-OP, not a conflict: detected inside
-    // the loop so the check sees the same state the commit would
-    var publishedAt: Option[Long] = None
-    def alreadyPublished(st: TableState): Boolean = {
-      val f = st.files.toSet
-      adds.forall(f.contains) && removes.forall(!f.contains(_)) &&
-        dvChanges.forall { case (k, r) => st.dvs.get(k).map(_.path).contains(r.path) }
+    if (adds.isEmpty && removes.isEmpty && dvChanges.isEmpty) {
+      // nothing to publish; still advance the watermark (e.g. branch
+      // commits that net out) so later diffs stay short
+      if (brHeadV != baseBrV) writePublished(dir, name, brHeadV)
+      return currentVersion(dir).getOrElse(forkVersion(dir, name))
     }
-    try commitLoop(dir) { cur =>
+    // re-publishing an already-published delta (or losing a double-publish
+    // race to a twin) is a NO-OP, not a conflict: the per-file filter
+    // below empties the delta, detected inside the loop so the check sees
+    // the same state the commit would
+    var publishedAt: Option[Long] = None
+    val out = try commitLoop(dir) { cur =>
       val curState = cur.map(state(dir, _))
         .getOrElse(TableState(Seq.empty, Map.empty, Map.empty))
-      if (cur.isDefined && alreadyPublished(curState)) {
+      val live = curState.files.toSet
+      // per-file idempotence: never re-add a file main already has, never
+      // re-remove one already gone, never re-attach an identical vector
+      val effAdds = adds.filterNot(live)
+      val effRemoves = removes.filter(live.contains)
+      val effDvs = dvChanges.filter { case (f, r) =>
+        live.contains(f) && curState.dvs.get(f).map(_.path) != Some(r.path)
+      }
+      if (cur.isDefined && effAdds.isEmpty && effRemoves.isEmpty && effDvs.isEmpty) {
         publishedAt = cur; None
       } else {
-        val live = curState.files.toSet
-        // EVERY fork-base file must be exactly as the fork saw it (live,
-        // same vector) — removed ones because publishing re-removes them,
-        // kept ones because the audited content includes their rows: a
-        // concurrent main commit that replaced / removed / re-vectored any
-        // of them means the audit is stale, and publishing over it would
-        // silently drop that writer's change. Files main APPENDED since
-        // the fork are carried untouched (rows the audit never claimed to
-        // cover — the same write-serializable rule as [[commitRewrite]]).
+        // EVERY publish-base file must be exactly as the base saw it
+        // (live, same vector) — removed ones because publishing re-removes
+        // them, kept ones because the audited content includes their rows:
+        // a concurrent main commit that replaced / removed / re-vectored
+        // any of them means the audit is stale, and publishing over it
+        // would silently drop that writer's change. (A twin publishing the
+        // SAME delta lands in the no-op arm above, not here — commits are
+        // atomic, so a twin's effect is all-or-nothing.) Files main
+        // APPENDED since the base are carried untouched (rows the audit
+        // never claimed to cover — the same write-serializable rule as
+        // [[commitRewrite]]).
         val baseClean = base.files.forall(f => live.contains(f) &&
           curState.dvs.get(f).map(_.path) == base.dvs.get(f).map(_.path))
         if (baseClean)
-          Some(Delta(add = adds, remove = removes, stats = addStats,
-            dvs = dvChanges))
+          Some(Delta(add = effAdds,
+            remove = effRemoves,
+            stats = effAdds.iterator.flatMap(f => br.stats.get(f).map(f -> _)).toMap,
+            dvs = effDvs))
         else None
       }
     } catch {
       case e: java.util.ConcurrentModificationException =>
         publishedAt.getOrElse(throw new java.util.ConcurrentModificationException(
           s"publish of branch '$name' to $dir aborted: a concurrent main " +
-            "commit changed fork-base files since the branch forked " +
-            s"(fork v$baseV) — re-audit on a fresh branch and publish that"))
+            "commit changed publish-base files since the branch's last " +
+            s"publish base (branch-log v$baseBrV) — re-audit on a fresh " +
+            "branch and publish that"))
     }
+    writePublished(dir, name, brHeadV)
+    out
   }
 
   /** Delete the branch: its log directory only — data pools it staged
@@ -1344,11 +1420,25 @@ object ManifestTable {
     * static confs skipped — they are context-global anyway), and sessions
     * are cached PER THREAD so concurrent pool writes with divergent parent
     * conf snapshots never clobber each other. */
+  // Per-thread bounded LRU keyed by the parent session: at most 2 clones
+  // per live thread, all dropped when the thread dies. (A global map keyed
+  // by (session, threadId) pinned every micro-batch / pool thread's clone —
+  // and stopped parent sessions — for the driver's whole lifetime; weak
+  // keys don't work here because a clone strongly references its parent
+  // through the inherited SessionState.)
   private val writerSessions =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, Long), SparkSession]()
+    new ThreadLocal[java.util.LinkedHashMap[SparkSession, SparkSession]] {
+      override def initialValue() =
+        new java.util.LinkedHashMap[SparkSession, SparkSession](4, 0.75f, true) {
+          override protected def removeEldestEntry(
+              e: java.util.Map.Entry[SparkSession, SparkSession]): Boolean =
+            size() > 2
+        }
+    }
   private def microsWriterSession(parent: SparkSession): SparkSession = {
-    val s = writerSessions.computeIfAbsent(
-      (parent, Thread.currentThread().getId), _ => parent.newSession())
+    val perThread = writerSessions.get()
+    var s = perThread.get(parent)
+    if (s == null) { s = parent.newSession(); perThread.put(parent, s); () }
     parent.conf.getAll.foreach { case (k, v) =>
       try { if (s.conf.getOption(k) != Some(v)) s.conf.set(k, v) }
       catch { case _: Exception => () }

@@ -135,6 +135,10 @@ object Similarity {
     vecs.crossJoin(broadcast(centroidArray(cents)))
       .select(col(idCol), col(vecCol),
         nearestCluster(col(vecCol), col("_cents")).as("cluster"))
+      // an EMPTY centroid set folds to an empty array and a null argmax;
+      // dropping those rows keeps the pre-fold semantics (no centroids ->
+      // no assignments) instead of silently emitting cluster NULL
+      .where(col("cluster").isNotNull)
 
   /** Lloyd's k-means refinement over an embedding column: each iteration
     * re-assigns every vector to its nearest centroid (by cosine — the
@@ -157,6 +161,8 @@ object Similarity {
       val assigned = vecs.crossJoin(broadcast(centroidArray(cents)))
         .select(nearestCluster(col(vecCol), col("_cents")).as("cluster"),
           col(vecCol).as("_v"))
+        .where(col("cluster").isNotNull) // empty cents -> empty iteration
+
       out = assigned.groupBy("cluster")
         .agg(count(lit(1)).as("n"), mean(col("_v")).as("centroid"))
       cents = out.select("cluster", "centroid")

@@ -403,6 +403,33 @@ class ManifestTableSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](ManifestTable.tag(dir, "ingest2", pub))
   }
 
+  test("branch: incremental re-publish ships only net-new commits, never duplicates") {
+    val dir = freshDir()
+    ManifestTable.write(df(10), dir) // main v1
+    ManifestTable.createBranch(dir, "stage")
+    ManifestTable.appendToBranch(df(5), dir, "stage")
+    ManifestTable.fastForward(dir, "stage")
+    assert(ManifestTable.read(spark, dir).count() === 15L)
+    // the branch gains commits AFTER the publish; main also appends
+    ManifestTable.append(df(4), dir)
+    ManifestTable.appendToBranch(df(3), dir, "stage")
+    val pub2 = ManifestTable.fastForward(dir, "stage")
+    assert(ManifestTable.read(spark, dir).count() === 15L + 4L + 3L,
+      "second publish must ship ONLY the post-publish delta (the old " +
+        "fork-base diff re-added the first publish's files)")
+    val files = ManifestTable.manifest(dir, pub2)
+    assert(files.distinct.length === files.length, "published file list has duplicates")
+    // publish with nothing new staged: no-op
+    assert(ManifestTable.fastForward(dir, "stage") === pub2)
+    assert(ManifestTable.read(spark, dir).count() === 22L)
+    // snapshot-replace on the branch after publishing: the re-publish
+    // removes the branch's previously published files but carries main's
+    // own concurrent append (rows the branch never claimed to audit)
+    ManifestTable.writeToBranch(df(2), dir, "stage")
+    ManifestTable.fastForward(dir, "stage")
+    assert(ManifestTable.read(spark, dir).count() === 2L + 4L)
+  }
+
   test("pool writes force INT64 micros timestamps WITHOUT touching session conf") {
     // manifest data files need INT64 MICROS for footer min/max (data
     // skipping / transform pruning), but the session's own setting — and
