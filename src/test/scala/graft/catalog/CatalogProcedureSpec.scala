@@ -423,4 +423,77 @@ class CatalogProcedureSpec extends AnyFunSuite {
         s"wrong error: ${e3.getMessage}")
     } finally spark.conf.unset(GraftCatalog.WapBranchConf)
   }
+
+  test("WAP decontamination is O(delta): stored index probed, released slice never re-shingled") {
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    ensureDb()
+    spark.sql("CREATE TABLE gp.db.wapx (doc_id BIGINT, text STRING) USING manifest")
+    spark.sql("INSERT INTO gp.db.wapx SELECT id, " +
+      "concat('alpha beta gamma delta tok', CAST(id AS STRING), ' omega') " +
+      "FROM range(200)") // released corpus, ids < 1000
+    // the release ships with its stored LSH index (atomic CTAS)
+    graft.operators.Dedup.lshIndex(
+        spark.table("gp.db.wapx"), "doc_id", "text", 3)
+      .writeTo("gp.db.wapx_idx").create()
+    spark.sql("CALL gp.system.branch('db.wapx', 'r1')")
+    spark.conf.set(GraftCatalog.WapBranchConf, "r1")
+    try {
+      spark.sql("INSERT INTO gp.db.wapx SELECT id + 1000, " +
+        "concat('alpha beta gamma delta tok', CAST(id AS STRING), ' omega') " +
+        "FROM range(20)") // staged batch
+      val released = spark.sql(
+        "SELECT doc_id, text FROM gp.db.wapx VERSION AS OF 1")
+      val staged = spark.table("gp.db.wapx").filter(col("doc_id") >= 1000)
+      // 1. FILE level: the staged-slice scan plans ONLY the staged files —
+      // per-file doc_id stats skip every released file, so the banding
+      // input is O(delta) at the scan, not just after a row filter
+      val releasedFiles = ManifestTable.manifest(dataDir("wapx"), 1L).toSet
+      val plannedStaged = staged.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan
+      }.flatMap {
+        case ps: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan =>
+          ps.fileIndex.inputFiles.toSeq
+        case _ => Seq.empty
+      }
+      assert(plannedStaged.nonEmpty, "staged scan planned no files")
+      assert(plannedStaged.forall(f => !releasedFiles.exists(rf => f.endsWith(rf))),
+        s"staged-slice scan planned released files: $plannedStaged")
+      // 2. PLAN level (qd09's proof, on the WAP shape): every 64-hash
+      // minhash signature Aggregate must sit over the STAGED slice (its
+      // subtree carries the staged doc_id predicate); a sig-agg subtree
+      // over the released slice = the released corpus re-shingled per
+      // release. The stored index must be scanned, not recomputed.
+      val decon = graft.operators.Dedup.minhashLshPairsAgainstIndex(
+        released, spark.table("gp.db.wapx_idx"), staged,
+        "doc_id", "text", 3, 0.8, materialize = false)
+      val plan = decon.queryExecution.optimizedPlan
+      val sigAggs = plan.collect {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate
+            if a.aggregateExpressions.map(_.toString)
+              .count(_.contains("min(xxhash64")) >= 64 => a
+      }
+      assert(sigAggs.nonEmpty, "signature aggregation missing entirely")
+      def scansCorpus(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
+        p.collectLeaves().exists { l =>
+          val s = l.toString
+          s.contains("wapx") && !s.contains("wapx_idx")
+        }
+      def hasStagedFilter(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
+        p.collect {
+          case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+              if f.condition.toString.contains("1000") => f
+        }.nonEmpty
+      val releasedSigAggs = sigAggs.filter(a => scansCorpus(a) && !hasStagedFilter(a))
+      assert(releasedSigAggs.isEmpty,
+        "the released slice was re-shingled for banding — staged batches " +
+          "must probe the stored index instead")
+      assert(plan.collectLeaves().exists(_.toString.contains("wapx_idx")),
+        "plan does not scan the stored index")
+      // 3. VALUES: every staged doc near-dups its released twin
+      val pairs = graft.operators.Dedup.minhashLshPairsAgainstIndex(
+        released, spark.table("gp.db.wapx_idx"), staged,
+        "doc_id", "text", 3, 0.8)
+      assert(pairs.filter(col("corpus_id") === col("delta_id") - 1000).count() === 20L)
+    } finally spark.conf.unset(GraftCatalog.WapBranchConf)
+  }
 }
