@@ -336,15 +336,14 @@ class ManifestSparkTable(dir: String, declared: StructType,
         /** `writeStream.toTable(...)`: each epoch = one manifest version,
           * exactly-once via deterministic epoch pools — see
           * [[ManifestStreamingWrite]]. Complete mode (truncate) replaces
-          * the snapshot per epoch. */
-        override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
-          require(branch.isEmpty,
-            s"streaming writes target main, not a WAP branch (${name()}) — " +
-              "unset graft.wap.branch for the stream's session")
+          * the snapshot per epoch. Under a WAP branch view the epochs
+          * commit to the branch log (continuous staging; `fast_forward`
+          * publishes the audited stream output, main untouched until
+          * then). */
+        override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
           new ManifestStreamingWrite(dir,
             GraftCatalog.stampFieldIds(info.schema(), declared),
-            info.queryId(), overwrite, bloomCols)
-        }
+            info.queryId(), overwrite, bloomCols, branch)
       }
     }
   }

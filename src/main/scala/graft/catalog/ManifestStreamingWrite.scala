@@ -37,12 +37,24 @@ import graft.core.{LakeStorage, ManifestTable}
   * The replay check reads every surviving version's manifest, so its
   * cost tracks the RETAINED version count — schedule [[ManifestTable
   * .vacuum]] on long-running streams (which production retention does
-  * anyway) to keep it O(retention), not O(stream lifetime). */
+  * anyway) to keep it O(retention), not O(stream lifetime).
+  *
+  * `branch`: continuous write-audit-publish — epoch versions commit to
+  * the BRANCH's sidecar log (pools still land in the parent data plane,
+  * like every branch write), so a stream stages continuously while main
+  * stays untouched until `fast_forward` publishes the audited output.
+  * The epoch replay check runs against the branch log, preserving
+  * exactly-once across restarts on the branch. */
 class ManifestStreamingWrite(dir: String, schema: StructType, queryId: String,
                              truncate: Boolean,
-                             bloomCols: Seq[String] = Nil) extends StreamingWrite {
+                             bloomCols: Seq[String] = Nil,
+                             branch: Option[String] = None) extends StreamingWrite {
 
   import ManifestStreamingWrite.poolName
+
+  /** Marker log the epochs commit against: branch sidecar or table root. */
+  private val logDir: String =
+    branch.map(b => ManifestTable.branchLogDir(dir, b)).getOrElse(dir)
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory = {
     val spark = SparkSession.active
@@ -61,13 +73,14 @@ class ManifestStreamingWrite(dir: String, schema: StructType, queryId: String,
     val pool = poolName(queryId, epochId)
     val prefix = s"$pool/"
     val alreadyCommitted =
-      ManifestTable.allReferencedFiles(dir).exists(_.startsWith(prefix))
+      ManifestTable.allReferencedFiles(logDir).exists(_.startsWith(prefix))
     if (alreadyCommitted) return // replayed epoch: table state already has it
     val files = messages
       .collect { case PoolFileCommit(Some(name)) => s"$pool/$name" }
       .toSeq.sorted
-    if (truncate) ManifestTable.commitStagedSnapshot(dir, files)
-    else if (files.nonEmpty) ManifestTable.commitStagedAppend(dir, files)
+    if (truncate) ManifestTable.commitStagedSnapshot(logDir, files, dataDir = Some(dir))
+    else if (files.nonEmpty)
+      ManifestTable.commitStagedAppend(logDir, files, dataDir = Some(dir))
     ()
   }
 
@@ -75,7 +88,7 @@ class ManifestStreamingWrite(dir: String, schema: StructType, queryId: String,
     val pool = poolName(queryId, epochId)
     val prefix = s"$pool/"
     val referenced =
-      ManifestTable.allReferencedFiles(dir).exists(_.startsWith(prefix))
+      ManifestTable.allReferencedFiles(logDir).exists(_.startsWith(prefix))
     if (!referenced) { LakeStorage.openFor(dir).delete(new Path(dir, pool), true); () }
   }
 }

@@ -359,6 +359,57 @@ object StreamingQueries extends QueryModule {
         ORDER BY _change_type, lang""")
     },
 
+    // --- CONTINUOUS write-audit-publish: a stream's epochs stage onto a
+    //     BRANCH (each micro-batch = one branch-log version; main is
+    //     untouched while the stream runs), the audit gate DMLs the
+    //     branch, and fast_forward publishes the audited stream output
+    //     as one atomic main commit — the streaming generalization of the
+    //     reference's fail-fast publish contract
+    //     (DatalakePublishService.kt:79-88). The oracle replays
+    //     released ∪ gated-staged in batch SQL ---
+    "qs17_stream_wap" -> { (s, d) =>
+      if (s.conf.getOption("spark.sql.catalog.graft_cat").isEmpty)
+        graft.catalog.GraftCatalog.register(s, "graft_cat",
+          graft.core.TempDirs.create("graft_cat_root_"))
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.db")
+      s.sql("DROP TABLE IF EXISTS graft_cat.db.wap_feed")
+      s.sql("DROP TABLE IF EXISTS graft_cat.db.wap_corpus")
+      graft.core.Tables.documents(s, d).createOrReplaceTempView("qs17_documents")
+      // the corpus table: released slice on main
+      s.sql("CREATE TABLE graft_cat.db.wap_corpus " +
+        "(doc_id BIGINT, lang STRING, n_chars BIGINT) USING manifest")
+      s.sql("INSERT INTO graft_cat.db.wap_corpus SELECT doc_id, lang, n_chars " +
+        "FROM qs17_documents WHERE doc_id % 3 = 0")          // released, main v1
+      // the incoming feed: two versions to stream as separate batches
+      s.sql("CREATE TABLE graft_cat.db.wap_feed " +
+        "(doc_id BIGINT, lang STRING, n_chars BIGINT) USING manifest")
+      s.sql("INSERT INTO graft_cat.db.wap_feed SELECT doc_id, lang, n_chars " +
+        "FROM qs17_documents WHERE doc_id % 3 = 1")
+      s.sql("INSERT INTO graft_cat.db.wap_feed SELECT doc_id, lang, n_chars " +
+        "FROM qs17_documents WHERE doc_id % 3 = 2")
+      s.sql("CALL graft_cat.system.branch('db.wap_corpus', 'live')")
+      val ckpt = graft.core.TempDirs.create("graft_qs17_ck_")
+      s.conf.set(graft.catalog.GraftCatalog.WapBranchConf, "live")
+      try {
+        withStreamShuffle(s) {
+          // feed has no 'live' branch, so its read resolves to main; the
+          // corpus DOES, so the stream's epochs commit to the branch log
+          val q = s.readStream.table("graft_cat.db.wap_feed")
+            .writeStream.option("checkpointLocation", ckpt)
+            .outputMode("append").toTable("graft_cat.db.wap_corpus")
+          try q.processAllAvailable() finally q.stop()
+        }
+        // audit gate ON THE BRANCH: drop low-quality staged docs before
+        // anything publishes (released slice untouched by the predicate)
+        s.sql("DELETE FROM graft_cat.db.wap_corpus " +
+          "WHERE doc_id % 3 != 0 AND n_chars < 100")
+      } finally s.conf.unset(graft.catalog.GraftCatalog.WapBranchConf)
+      s.sql("CALL graft_cat.system.fast_forward('db.wap_corpus', 'live')")
+      s.sql("""SELECT lang, count(*) AS n_docs,
+          CAST(sum(n_chars) AS BIGINT) AS total_chars
+        FROM graft_cat.db.wap_corpus GROUP BY lang ORDER BY lang""")
+    },
+
     "qs14_stream_to_table" -> { (s, d) =>
       if (s.conf.getOption("spark.sql.catalog.graft_cat").isEmpty)
         graft.catalog.GraftCatalog.register(s, "graft_cat",
@@ -513,6 +564,15 @@ object StreamingQueries extends QueryModule {
            UNION ALL
            SELECT 'delete', lang, n_chars FROM documents WHERE doc_id % 10 = 4)
          GROUP BY _change_type, lang ORDER BY _change_type, lang""",
+
+    // published = released (doc_id%3=0) plus the streamed slices that
+    // survive the branch audit gate (n_chars >= 100)
+    "qs17_stream_wap" ->
+      """SELECT lang, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+         FROM documents
+         WHERE doc_id % 3 = 0 OR n_chars >= 100
+         GROUP BY lang ORDER BY lang""",
 
     "qs06_stream_stream_join" ->
       """WITH p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS p_ts

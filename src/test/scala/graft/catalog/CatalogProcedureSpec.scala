@@ -405,23 +405,32 @@ class CatalogProcedureSpec extends AnyFunSuite {
       // reads still fall back to main (dimension lookups stay usable)
       assert(spark.sql("SELECT count(*) FROM gp.db.wap").head().getLong(0) > 0L)
     } finally spark.conf.unset(GraftCatalog.WapBranchConf)
-    // streaming writes refuse a WAP branch session
-    spark.conf.set(GraftCatalog.WapBranchConf, "ingest")
+    // streaming writes STAGE into a WAP branch (continuous write-audit-
+    // publish): epochs commit to the branch log; main is untouched until
+    // fast_forward publishes the audited stream output
+    val mainBefore = spark.sql("SELECT count(*) FROM gp.db.wap").head().getLong(0)
+    spark.sql("CALL gp.system.branch('db.wap', 'stream-in')")
+    spark.conf.set(GraftCatalog.WapBranchConf, "stream-in")
     try {
-      val e3 = intercept[Exception] {
-        import spark.implicits._
-        implicit val sc: org.apache.spark.sql.SQLContext = spark.sqlContext
-        val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
-        ms.addData(1L)
-        ms.toDF().selectExpr("value AS id", "'s' AS q").writeStream
-          .option("checkpointLocation",
-            java.nio.file.Files.createTempDirectory("wap_ck_").toString)
-          .toTable("gp.db.wap").processAllAvailable()
-      }
-      assert(e3.getMessage.contains("WAP branch") ||
-        Option(e3.getCause).exists(_.getMessage.contains("WAP branch")),
-        s"wrong error: ${e3.getMessage}")
+      import spark.implicits._
+      implicit val sc: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
+      ms.addData(1L, 2L, 3L)
+      val q = ms.toDF().selectExpr("value + 9000 AS id", "'stream' AS q")
+        .writeStream
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("wap_ck_").toString)
+        .toTable("gp.db.wap")
+      q.processAllAvailable(); q.stop()
+      // the audit session sees the staged epochs on the branch
+      assert(spark.sql("SELECT count(*) FROM gp.db.wap WHERE q = 'stream'")
+        .head().getLong(0) === 3L)
     } finally spark.conf.unset(GraftCatalog.WapBranchConf)
+    assert(spark.sql("SELECT count(*) FROM gp.db.wap").head().getLong(0) === mainBefore,
+      "stream epochs staged to the branch must not touch main")
+    spark.sql("CALL gp.system.fast_forward('db.wap', 'stream-in')").collect()
+    assert(spark.sql("SELECT count(*) FROM gp.db.wap WHERE q = 'stream'")
+      .head().getLong(0) === 3L, "publish must expose the audited stream output")
   }
 
   test("WAP decontamination is O(delta): stored index probed, released slice never re-shingled") {

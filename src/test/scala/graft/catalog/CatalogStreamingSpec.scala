@@ -128,6 +128,65 @@ class CatalogStreamingSpec extends AnyFunSuite {
     assert(spark.sql("SELECT count(*) FROM gs.db.replay").head().getLong(0) === 2L)
   }
 
+  test("streaming into a WAP branch: epochs stage on the branch, exactly-once across restart, publish exact") {
+    ensureDb()
+    spark.sql("CREATE TABLE gs.db.swap (key STRING, x BIGINT) USING manifest")
+    spark.sql("INSERT INTO gs.db.swap SELECT 'seed', CAST(0 AS BIGINT)") // main v1
+    spark.sql("CALL gs.system.branch('db.swap', 'live')")
+    val dir = tableDir("swap")
+    val ckpt = Files.createTempDirectory("graft_swap_ck_").toString
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val source = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
+    def run(): Unit = {
+      spark.conf.set(GraftCatalog.WapBranchConf, "live")
+      try {
+        val q = source.toDF()
+          .selectExpr("CAST(value AS STRING) AS key", "value AS x")
+          .writeStream.option("checkpointLocation", ckpt).toTable("gs.db.swap")
+        try q.processAllAvailable() finally q.stop()
+      } finally spark.conf.unset(GraftCatalog.WapBranchConf)
+    }
+    source.addData(1L, 2L)
+    run()
+    // epochs landed on the branch log only; main still at its seed
+    assert(spark.sql("SELECT count(*) FROM gs.db.swap").head().getLong(0) === 1L,
+      "stream epochs must stage on the branch, not main")
+    assert(spark.sql("SELECT count(*) FROM gs.db.swap VERSION AS OF 'live'")
+      .head().getLong(0) === 3L)
+    // restart on the same checkpoint: only the new offsets commit
+    source.addData(3L)
+    run()
+    assert(spark.sql("SELECT count(*) FROM gs.db.swap VERSION AS OF 'live'")
+      .head().getLong(0) === 4L,
+      "restart must deliver only the delta — duplicate epochs on the branch")
+    // direct epoch replay against the branch (failure between sink commit
+    // and offset write): the pool is already referenced by the BRANCH log,
+    // so the replay must skip — exactly-once holds on branch logs too
+    val sw = new ManifestStreamingWrite(dir,
+      spark.table("gs.db.swap").schema, "qbr", truncate = false,
+      Nil, Some("live"))
+    def runEpoch(epoch: Long): Unit = {
+      val factory = sw.createStreamingWriterFactory(null)
+      val w = factory.createWriter(0, epoch * 100 + 1, epoch)
+      w.write(org.apache.spark.sql.catalyst.InternalRow(
+        org.apache.spark.unsafe.types.UTF8String.fromString("r"), 9L))
+      sw.commit(epoch, Array(w.commit()))
+    }
+    runEpoch(0)
+    val headAfter = ManifestTable.branchHead(dir, "live")
+    runEpoch(0) // replayed epoch
+    assert(ManifestTable.branchHead(dir, "live") === headAfter,
+      "epoch replay must not commit a second branch version")
+    assert(spark.sql("SELECT count(*) FROM gs.db.swap VERSION AS OF 'live'")
+      .head().getLong(0) === 5L)
+    // publish: main atomically gains exactly the audited stream output
+    spark.sql("CALL gs.system.fast_forward('db.swap', 'live')").collect()
+    assert(spark.sql("SELECT count(*) FROM gs.db.swap").head().getLong(0) === 5L)
+    assert(spark.sql("SELECT CAST(sum(x) AS BIGINT) FROM gs.db.swap")
+      .head().getLong(0) === (0L + 1 + 2 + 3 + 9))
+  }
+
   test("complete mode replaces the snapshot each epoch") {
     ensureDb()
     import spark.implicits._
