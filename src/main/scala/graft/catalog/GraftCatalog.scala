@@ -340,27 +340,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case transforms if provider == "manifest" &&
           transforms.forall(t => ClusterTransforms.contains(t.name)) =>
         val keys = transforms.map { t =>
-          val colName = singleCol(t)
-          val ft = fieldType(colName)
-          t.name match {
-            case "identity" =>
-              require(Seq("string", "bigint", "int", "date", "timestamp",
-                  "timestamp_ntz").contains(ft),
-                s"${ident.name()}: identity partition column must be " +
-                  s"string/int/bigint/date/timestamp, got $ft")
-              ClusterKey("identity", colName)
-            case "truncate" =>
-              val w = intArg(t, "width")
-              require(w > 0, s"${ident.name()}: truncate width must be positive")
-              require(ft == "string",
-                s"${ident.name()}: truncate() partitions string columns, got $ft")
-              ClusterKey("truncate", colName, Some(w))
-            case temporal =>
-              require(Seq("date", "timestamp", "timestamp_ntz").contains(ft) &&
-                  !(temporal == "hours" && ft == "date"),
-                s"${ident.name()}: $temporal() wants a date/timestamp column, got $ft")
-              ClusterKey(temporal, colName)
-          }
+          val w = if (t.name == "truncate") Some(intArg(t, "width")) else None
+          clusterKeyOf(ident.name(), t.name, singleCol(t), w, schema)
         }
         require(keys.map(_.col).distinct.length == keys.length,
           s"${ident.name()}: duplicate partition column")
@@ -374,6 +355,87 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   private val ClusterTransforms =
     Set("identity", "years", "months", "days", "hours", "truncate")
+
+  /** One validated partition-transform key — the type rules shared by
+    * CREATE TABLE's `PARTITIONED BY` and [[setPartitioning]] (spec
+    * evolution). */
+  private def clusterKeyOf(identName: String, fn: String, colName: String,
+                           width: Option[Int],
+                           schema: StructType): ClusterKey = {
+    val ft = schema.find(_.name == colName).getOrElse(
+      throw new IllegalArgumentException(
+        s"$identName: partition column $colName is not in the schema"))
+      .dataType.simpleString
+    fn match {
+      case "identity" =>
+        require(Seq("string", "bigint", "int", "date", "timestamp",
+            "timestamp_ntz").contains(ft),
+          s"$identName: identity partition column must be " +
+            s"string/int/bigint/date/timestamp, got $ft")
+        ClusterKey("identity", colName)
+      case "truncate" =>
+        val w = width.getOrElse(throw new IllegalArgumentException(
+          s"$identName: truncate() wants an integer width"))
+        require(w > 0, s"$identName: truncate width must be positive")
+        require(ft == "string",
+          s"$identName: truncate() partitions string columns, got $ft")
+        ClusterKey("truncate", colName, Some(w))
+      case temporal =>
+        require(ClusterTransforms.contains(temporal),
+          s"$identName: unknown partition transform $temporal()")
+        require(Seq("date", "timestamp", "timestamp_ntz").contains(ft) &&
+            !(temporal == "hours" && ft == "date"),
+          s"$identName: $temporal() wants a date/timestamp column, got $ft")
+        ClusterKey(temporal, colName)
+    }
+  }
+
+  /** PARTITION-SPEC EVOLUTION: replace the declared partition transforms
+    * of a live manifest table — metadata-only, like Iceberg's spec
+    * evolution. Already-written files keep their old clustering and stay
+    * readable untouched; data skipping keeps pruning them because it runs
+    * on SOURCE-column file stats, which are transform-agnostic (a
+    * days(ts)-clustered file prunes under an hours(ts) spec through the
+    * same ts min/max bounds — just at day granularity until compacted).
+    * New writes range-cluster by the new spec, and `t.partitions` labels
+    * the whole layout under the new transforms, so evolved-away files
+    * show value spans — the operator's signal to `compact` them into the
+    * new layout. `spec` uses the `PARTITIONED BY` syntax: bare column =
+    * identity, `years/months/days/hours(col)`, `truncate(w, col)`; an
+    * empty spec clears the transforms. Bucketed tables are rejected
+    * (bucket count/column is load-bearing for SPJ; evolve via CTAS). */
+  private[catalog] def setPartitioning(ident: Identifier, spec: String): Seq[ClusterKey] = {
+    val dir = tableDir(ident)
+    val meta = readMeta(dir).getOrElse(throw new NoSuchTableException(ident))
+    require(meta.provider == "manifest",
+      s"${ident.name()}: only manifest tables support partition-spec evolution")
+    require(meta.bucket.isEmpty,
+      s"${ident.name()}: the table is PARTITIONED BY (bucket(...)) — bucket " +
+        "specs are load-bearing for storage-partitioned joins and cannot be " +
+        "evolved in place; CTAS into the new layout instead")
+    val entry = """(?:([A-Za-z_]+)\s*\(\s*([^)]*)\s*\)|([A-Za-z_][A-Za-z0-9_]*))""".r
+    val keys = spec.split(",").map(_.trim).filter(_.nonEmpty).toSeq.map {
+      case entry(fn, args, null) =>
+        val parts = args.split(",").map(_.trim).filter(_.nonEmpty)
+        (fn, parts) match {
+          case ("truncate", Array(w, c)) =>
+            clusterKeyOf(ident.name(), "truncate", c, Some(w.toInt), meta.schema)
+          case (f, Array(c)) if ClusterTransforms.contains(f) =>
+            clusterKeyOf(ident.name(), f, c, None, meta.schema)
+          case _ => throw new IllegalArgumentException(
+            s"${ident.name()}: bad partition transform '$fn($args)' — " +
+              "expected identity/years/months/days/hours(col) or truncate(w, col)")
+        }
+      case entry(null, _, bare) =>
+        clusterKeyOf(ident.name(), "identity", bare, None, meta.schema)
+      case other => throw new IllegalArgumentException(
+        s"${ident.name()}: unparseable partition transform '$other'")
+    }
+    require(keys.map(_.col).distinct.length == keys.length,
+      s"${ident.name()}: duplicate partition column")
+    replaceMeta(dir, meta.copy(cluster = keys))
+    keys
+  }
 
   // ---- atomic CTAS / RTAS (StagingTableCatalog) ----
   //

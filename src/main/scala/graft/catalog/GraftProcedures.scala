@@ -55,13 +55,15 @@ private[catalog] object GraftProcedures {
       case "branch"         => Some(new BranchProcedure(catalog))
       case "fast_forward"   => Some(new FastForwardProcedure(catalog))
       case "drop_branch"    => Some(new DropBranchProcedure(catalog))
+      case "set_partitioning" => Some(new SetPartitioningProcedure(catalog))
       case _                => None
     }
   }
 
   val names: Seq[String] =
     Seq("compact", "vacuum", "rollback", "register_files", "purge_deletes",
-      "tag", "drop_tag", "branch", "fast_forward", "drop_branch")
+      "tag", "drop_tag", "branch", "fast_forward", "drop_branch",
+      "set_partitioning")
 
   /** Resolve a procedure's `'db.t'` argument against the catalog. */
   private def target(catalog: GraftCatalog, table: String): (String, String, Option[GraftCatalog.Bucketing]) = {
@@ -333,6 +335,31 @@ private[catalog] object GraftProcedures {
         StructType(Seq(StructField("dropped", org.apache.spark.sql.types.BooleanType,
           nullable = false))),
         existed)
+    }
+  }
+
+  /** `CALL g.system.set_partitioning('db.t', 'hours(ts), lang')` —
+    * partition-spec EVOLUTION: metadata-only replacement of the declared
+    * transforms. Old files keep their layout (and keep pruning through
+    * source-column stats); new writes cluster by the new spec; an empty
+    * spec clears the transforms. See [[GraftCatalog.setPartitioning]]. */
+  private final class SetPartitioningProcedure(catalog: GraftCatalog) extends ManifestProcedure {
+    override def name(): String = "set_partitioning"
+    override def description(): String =
+      "evolve the partition transforms of a live table (metadata-only; old files keep their layout)"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("spec", StringType).build())
+    override def call(input: InternalRow): JIterator[Scan] = {
+      val table = input.getString(0)
+      val parts = table.split("\\.")
+      require(parts.length <= 2 && parts.forall(_.nonEmpty),
+        s"procedure wants a table name like 'db.t' or 't', got '$table'")
+      val keys = catalog.setPartitioning(
+        Identifier.of(parts.dropRight(1), parts.last), input.getString(1))
+      result(
+        StructType(Seq(StructField("partitioning", StringType, nullable = false))),
+        UTF8String.fromString(keys.map(_.render).mkString(", ")))
     }
   }
 

@@ -586,6 +586,79 @@ object CoverageQueries extends QueryModule {
         .toDF("pruned_some", "labels_ok", "n_orders", "sum_key")
     },
 
+    // --- partition-spec EVOLUTION (GraftCatalog.setPartitioning / CALL
+    //     set_partitioning): write under days(ts), evolve the spec to
+    //     hours(ts) — metadata-only, zero files rewritten — then write
+    //     more under the new spec. Data skipping prunes across BOTH
+    //     layouts through the same source-column stats, t.partitions
+    //     labels everything under the current spec, and a window
+    //     aggregate spanning both slices replays exactly ---
+    "qc35_spec_evolution" -> { (s, d) =>
+      import s.implicits._
+      if (s.conf.getOption("spark.sql.catalog.graft_cat").isEmpty)
+        graft.catalog.GraftCatalog.register(s, "graft_cat",
+          graft.core.TempDirs.create("graft_cat_root_"))
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.db")
+      s.sql("DROP TABLE IF EXISTS graft_cat.db.evo35")
+      s.sql("CREATE TABLE graft_cat.db.evo35 " +
+        "(ts TIMESTAMP, o_orderkey BIGINT) USING manifest " +
+        "PARTITIONED BY (days(ts))")
+      val orders = Tables.orders(s, d).select(
+        col("o_orderdate").cast("timestamp").as("ts"), col("o_orderkey"))
+      // two disjoint-range appends under days(): one fully OUTSIDE the
+      // audit window (prunable), one straddling its start
+      orders.filter(col("ts") < lit("1995-01-01").cast("timestamp"))
+        .writeTo("graft_cat.db.evo35").append()                 // days() era
+      orders.filter(col("ts") >= lit("1995-01-01").cast("timestamp") &&
+          col("ts") < lit("1997-01-01").cast("timestamp"))
+        .writeTo("graft_cat.db.evo35").append()                 // days() era
+      val dir35 = s.sql("SHOW TBLPROPERTIES graft_cat.db.evo35").collect()
+        .find(_.getString(0) == "graft.location").get.getString(1)
+      def live(): Set[String] = graft.core.ManifestTable.state(dir35,
+        graft.core.ManifestTable.currentVersion(dir35).get).files.toSet
+      val oldFiles = live()
+      val specRow = s.sql(
+        "CALL graft_cat.system.set_partitioning('db.evo35', 'hours(ts)')")
+        .head().getString(0)
+      val oldUntouched = specRow == "hours(ts)" && live() == oldFiles
+      // two disjoint-range appends under hours(): one inside the window,
+      // one fully OUTSIDE it (prunable)
+      orders.filter(col("ts") >= lit("1997-01-01").cast("timestamp") &&
+          col("ts") < lit("1997-07-01").cast("timestamp"))
+        .writeTo("graft_cat.db.evo35").append()                 // hours() era
+      orders.filter(col("ts") >= lit("1997-07-01").cast("timestamp"))
+        .writeTo("graft_cat.db.evo35").append()                 // hours() era
+      def planned(df: org.apache.spark.sql.DataFrame): Long = {
+        val p = df.queryExecution.executedPlan match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            a.executedPlan
+          case other => other
+        }
+        p.collect {
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan
+        }.map {
+          case ms: graft.catalog.ManifestStreamScan =>
+            ms.inner.fileIndex.inputFiles.length.toLong
+          case ps: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan =>
+            ps.fileIndex.inputFiles.length.toLong
+          case _ => 0L
+        }.sum
+      }
+      // the audit window spans the spec boundary: it must read files from
+      // BOTH layouts and still prune the rest
+      val window = s.sql("SELECT * FROM graft_cat.db.evo35 " +
+        "WHERE ts >= TIMESTAMP'1996-06-01 00:00:00' " +
+        "AND ts < TIMESTAMP'1997-07-01 00:00:00'")
+      val prunedSome = planned(window) < planned(s.table("graft_cat.db.evo35"))
+      val labelsOk = s.sql("SELECT partition FROM graft_cat.db.evo35.partitions")
+        .collect().map(_.getString(0)).forall(_.startsWith("ts_hour="))
+      val agg = window.agg(count(lit(1)).as("n"),
+        sum("o_orderkey").cast("long").as("k")).head()
+      Seq((oldUntouched, prunedSome, labelsOk, agg.getLong(0), agg.getLong(1)))
+        .toDF("old_files_untouched", "pruned_some", "labels_ok",
+          "n_orders", "sum_key")
+    },
+
     // --- snapshot tags (ManifestTable.tag + VERSION AS OF '<name>'):
     //     a named, vacuum-RETAINED snapshot — the training-data-release
     //     primitive. The tag is created before more writes and a DELETE,
@@ -1215,6 +1288,19 @@ object CoverageQueries extends QueryModule {
          FROM orders
          WHERE CAST(o_orderdate AS DATE)
            BETWEEN DATE '1997-06-01' AND DATE '1997-12-31'""",
+
+    // the structural booleans are Spark-side facts (evolution rewrote no
+    // file, the mixed-spec window pruned, labels follow the new spec);
+    // the spanning window aggregate replays over orders
+    "qc35_spec_evolution" ->
+      """SELECT CAST(1 AS BOOLEAN) AS old_files_untouched,
+           CAST(1 AS BOOLEAN) AS pruned_some,
+           CAST(1 AS BOOLEAN) AS labels_ok,
+           count(*) AS n_orders,
+           CAST(sum(o_orderkey) AS BIGINT) AS sum_key
+         FROM orders
+         WHERE CAST(o_orderdate AS TIMESTAMP) >= TIMESTAMP '1996-06-01 00:00:00'
+           AND CAST(o_orderdate AS TIMESTAMP) < TIMESTAMP '1997-07-01 00:00:00'""",
 
     // three disjoint-date-range files; the range query's stats pruning
     // plans exactly one — the counts are structural constants, the

@@ -336,7 +336,8 @@ class CatalogProcedureSpec extends AnyFunSuite {
     val procs = spark.sql("SHOW PROCEDURES IN gp.system").collect().map(_.getString(3))
     assert(procs.toSet ===
       Set("compact", "vacuum", "rollback", "register_files", "purge_deletes",
-        "tag", "drop_tag", "branch", "fast_forward", "drop_branch"))
+        "tag", "drop_tag", "branch", "fast_forward", "drop_branch",
+        "set_partitioning"))
     val e = intercept[Exception] {
       spark.sql("CALL gp.system.nope('db.t')").collect()
     }

@@ -124,6 +124,91 @@ class PartitionedTableSpec extends AnyFunSuite {
       s"labels must compose both transforms: $labels")
   }
 
+  test("partition-spec evolution: days -> hours is metadata-only; pruning and labels span both specs") {
+    ensureDb()
+    // AQE wraps the physical plan and hides BatchScanExec from collect —
+    // plan each probe with it off (plan-shape inspection only)
+    def plannedFiles(sql: String): Seq[String] = {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try spark.sql(sql).queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan
+      }.flatMap {
+        case ms: ManifestStreamScan => ms.inner.fileIndex.inputFiles.toSeq
+        case ps: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan =>
+          ps.fileIndex.inputFiles.toSeq
+        case _ => Seq.empty
+      } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
+    spark.sql("CREATE TABLE gpt.db.evo (ts TIMESTAMP, v BIGINT) " +
+      "USING manifest PARTITIONED BY (days(ts))")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      spark.sql("""INSERT INTO gpt.db.evo
+        SELECT timestampadd(MINUTE, CAST(id AS INT), TIMESTAMP'2024-03-01 00:00:00'), id
+        FROM range(4320)""") // three days under the days() spec
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    val oldFiles = state("evo").files.toSet
+    // EVOLVE the spec: metadata-only — zero files rewritten
+    val res = spark.sql("CALL gpt.system.set_partitioning('db.evo', 'hours(ts)')")
+      .head().getString(0)
+    assert(res === "hours(ts)")
+    assert(state("evo").files.toSet === oldFiles,
+      "spec evolution must not rewrite any data file")
+    val props = spark.sql("SHOW TBLPROPERTIES gpt.db.evo").collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(props("graft.partitioning") === "hours(ts)")
+    // new writes cluster under the NEW spec
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      spark.sql("""INSERT INTO gpt.db.evo
+        SELECT timestampadd(MINUTE, CAST(id AS INT), TIMESTAMP'2024-03-10 00:00:00'),
+               id + 10000
+        FROM range(1440)""") // one day under the hours() spec
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    val newFiles = state("evo").files.toSet -- oldFiles
+    assert(newFiles.nonEmpty)
+    assert(disjoint(bounds("evo", "ts")),
+      "mixed-spec layout keeps disjoint per-file ts slices")
+    // pruning spans BOTH specs through the same source-column stats:
+    // an hour window over the old slice prunes every new file (and the
+    // old files outside that day); one over the new slice prunes every
+    // old file. Both answer exactly.
+    val all = plannedFiles("SELECT * FROM gpt.db.evo")
+    val oldHour = spark.sql("SELECT count(*) AS n FROM gpt.db.evo " +
+      "WHERE ts >= TIMESTAMP'2024-03-02 05:00:00' AND ts < TIMESTAMP'2024-03-02 06:00:00'")
+    assert(oldHour.head().getLong(0) === 60L)
+    val pOld = plannedFiles("SELECT * FROM gpt.db.evo " +
+      "WHERE ts >= TIMESTAMP'2024-03-02 05:00:00' AND ts < TIMESTAMP'2024-03-02 06:00:00'")
+    assert(pOld.nonEmpty && pOld.size < all.size,
+      s"old-slice window must prune: ${pOld.size} of ${all.size}")
+    assert(pOld.forall(f => !newFiles.exists(nf => f.endsWith(nf))),
+      "old-slice window must prune every new-spec file")
+    val pNew = plannedFiles("SELECT * FROM gpt.db.evo " +
+      "WHERE ts >= TIMESTAMP'2024-03-10 05:00:00' AND ts < TIMESTAMP'2024-03-10 06:00:00'")
+    assert(pNew.nonEmpty && pNew.forall(f => !oldFiles.exists(of => f.endsWith(of))),
+      "new-slice window must prune every old-spec file")
+    // whole-table read across both specs stays exact
+    assert(spark.table("gpt.db.evo").count() === 5760L)
+    // t.partitions labels the whole layout under the NEW spec: evolved-
+    // away files show hour SPANS (the compact-me signal), new files land
+    // tight
+    val labels = spark.sql("SELECT partition FROM gpt.db.evo.partitions")
+      .collect().map(_.getString(0)).toSeq
+    assert(labels.nonEmpty && labels.forall(_.startsWith("ts_hour=")), s"labels: $labels")
+    assert(labels.exists(_.contains("..")),
+      s"old day-clustered files must label as hour spans: $labels")
+    // guards: unknown column, bucketed tables
+    intercept[Exception] {
+      spark.sql("CALL gpt.system.set_partitioning('db.evo', 'hours(nope)')").collect()
+    }
+    spark.sql("CREATE TABLE gpt.db.evob (k BIGINT, s STRING) " +
+      "USING manifest PARTITIONED BY (bucket(4, k))")
+    val eb = intercept[Exception] {
+      spark.sql("CALL gpt.system.set_partitioning('db.evob', 'days(s)')").collect()
+    }
+    assert(eb.getMessage.contains("bucket"), s"wrong error: ${eb.getMessage}")
+  }
+
   test("identity + truncate transforms; CTAS; compact keeps clustering") {
     ensureDb()
     spark.sql("CREATE TABLE gpt.db.langs (lang STRING, doc_id BIGINT) " +
