@@ -29,33 +29,49 @@ object MultimodalQueries extends QueryModule {
         .orderBy("doc_id")
     },
 
-    // --- distributed decode stub over typed media rows (mapPartitions:
-    //     schema/batching/partitioning real, codec deterministic-fake) ---
-    "qm02_decode_stub" -> { (s, d) =>
-      import s.implicits._
-      val media = Multimodal.withBinaryPayload(
-          Tables.documents(s, d).filter(col("doc_id") < 100),
-          "doc_id", "text", "text/plain")
-        .as[Multimodal.MediaRow]
-      Multimodal.decodeAll(s, media)
+    // --- REAL distributed image decode (javax.imageio in mapPartitions):
+    //     a deterministic PNG corpus is generated executor-side — dims and
+    //     fill color derive from doc_id — then container-parsed and
+    //     raster-scanned back. The oracle predicts what the real decode
+    //     must recover (PNG is lossless), so a codec regression fails the
+    //     hash ---
+    "qm02_image_decode" -> { (s, d) =>
+      val media = Multimodal.generateImages(s,
+        Tables.documents(s, d).filter(col("doc_id") < 100), "doc_id")
+      Multimodal.decodeImages(s, media)
         .toDF()
-        .select(col("media_id"), col("width"), col("height"), col("n_frames"),
-          round(col("mean_byte"), 4).as("mean_byte"))
+        .select(col("media_id"), col("width"), col("height"),
+          round(col("mean_r"), 4).as("mean_r"),
+          round(col("mean_g"), 4).as("mean_g"),
+          round(col("mean_b"), 4).as("mean_b"))
         .orderBy("media_id")
     },
 
-    // --- resize planning on decoded dims (aspect-fit within 256; the byte
-    //     rescale would be the codec's job, the dimension math is pure
-    //     codegen'd column arithmetic) ---
-    "qm04_resize_stub" -> { (s, d) =>
+    // --- REAL aspect-fit resize: plan the target dims with codegen'd
+    //     column math on the REAL decoded dims, execute the raster resize
+    //     with the real codec, and verify by re-decoding — resized_ok is
+    //     the re-decoded == planned check, end to end through actual PNG
+    //     bytes ---
+    "qm04_image_resize" -> { (s, d) =>
       import s.implicits._
-      val media = Multimodal.withBinaryPayload(
-          Tables.documents(s, d).filter(col("doc_id") < 100),
-          "doc_id", "text", "image/fake")
-        .as[Multimodal.MediaRow]
-      Multimodal.resizeDims(Multimodal.decodeAll(s, media).toDF(), maxDim = 256)
-        .select(col("media_id"), col("width"), col("height"), col("out_w"), col("out_h"))
-        .orderBy("media_id")
+      val media = Multimodal.generateImages(s,
+        Tables.documents(s, d).filter(col("doc_id") < 100), "doc_id")
+      val planned = Multimodal.resizeDims(
+        Multimodal.decodeImages(s, media).toDF(), maxDim = 24)
+        .select(col("media_id"), col("width"), col("height"),
+          col("out_w"), col("out_h"))
+      val byId = media.toDF().select(col("media_id"), col("payload"))
+      val resized = planned.join(byId, "media_id")
+        .select(col("media_id"), col("width"), col("height"),
+          col("out_w"), col("out_h"), col("payload"))
+        .as[(Long, Int, Int, Int, Int, Array[Byte])]
+        .mapPartitions(_.map { case (id, w, h, ow, oh, bytes) =>
+          val out = Multimodal.ImageCodec.resizePng(bytes, ow, oh)
+          val re = Multimodal.ImageCodec.decode(id, out)
+          (id, w, h, ow, oh, re.width == ow && re.height == oh)
+        })
+        .toDF("media_id", "width", "height", "out_w", "out_h", "resized_ok")
+      resized.orderBy("media_id")
     },
 
     // --- per-modality inference batch shaping: route media by content
@@ -103,28 +119,31 @@ object MultimodalQueries extends QueryModule {
            true AS roundtrip_ok
          FROM documents WHERE doc_id < 100 ORDER BY doc_id""",
 
-    "qm02_decode_stub" ->
+    // the oracle predicts the REAL decode's output from the generative
+    // parameters (solid-fill lossless PNG: means == fill color exactly)
+    "qm02_image_decode" ->
       """SELECT doc_id AS media_id,
-           CAST(1 + (ascii(substr(text,1,1))*256 + ascii(substr(text,2,1))) % 1024 AS INTEGER) AS width,
-           CAST(1 + (ascii(substr(text,3,1))*256 + ascii(substr(text,4,1))) % 1024 AS INTEGER) AS height,
-           CAST(1 + length(text)//64 AS INTEGER) AS n_frames,
-           round(list_aggregate(list_transform(generate_series(1, length(text)),
-             i -> ascii(substr(text, CAST(i AS INTEGER), 1))), 'sum')*1.0 / length(text), 4) AS mean_byte
+           CAST(16 + doc_id % 32 AS INTEGER) AS width,
+           CAST(16 + (doc_id // 3) % 24 AS INTEGER) AS height,
+           round(CAST(doc_id % 256 AS DOUBLE), 4) AS mean_r,
+           round(CAST((doc_id * 7) % 256 AS DOUBLE), 4) AS mean_g,
+           round(CAST((doc_id * 13) % 256 AS DOUBLE), 4) AS mean_b
          FROM documents WHERE doc_id < 100 ORDER BY media_id""",
 
-    "qm04_resize_stub" ->
+    "qm04_image_resize" ->
       """WITH dec AS (
            SELECT doc_id AS media_id,
-             CAST(1 + (ascii(substr(text,1,1))*256 + ascii(substr(text,2,1))) % 1024 AS INTEGER) AS width,
-             CAST(1 + (ascii(substr(text,3,1))*256 + ascii(substr(text,4,1))) % 1024 AS INTEGER) AS height
+             CAST(16 + doc_id % 32 AS INTEGER) AS width,
+             CAST(16 + (doc_id // 3) % 24 AS INTEGER) AS height
            FROM documents WHERE doc_id < 100)
          SELECT media_id, width, height,
-           CAST(CASE WHEN greatest(width, height) > 256
-                THEN greatest(1, CAST(floor(width * 256.0 / greatest(width, height)) AS INTEGER))
+           CAST(CASE WHEN greatest(width, height) > 24
+                THEN greatest(1, CAST(floor(width * 24.0 / greatest(width, height)) AS INTEGER))
                 ELSE width END AS INTEGER) AS out_w,
-           CAST(CASE WHEN greatest(width, height) > 256
-                THEN greatest(1, CAST(floor(height * 256.0 / greatest(width, height)) AS INTEGER))
-                ELSE height END AS INTEGER) AS out_h
+           CAST(CASE WHEN greatest(width, height) > 24
+                THEN greatest(1, CAST(floor(height * 24.0 / greatest(width, height)) AS INTEGER))
+                ELSE height END AS INTEGER) AS out_h,
+           true AS resized_ok
          FROM dec ORDER BY media_id""",
 
     "qm05_media_batching" ->

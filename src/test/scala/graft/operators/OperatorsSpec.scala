@@ -486,6 +486,35 @@ class OperatorsSpec extends AnyFunSuite {
     assert(pairs === Set((1L, 2L)), "cross-block pairs must not be compared")
   }
 
+  test("real image codec: PNG encode/decode round trip, resize re-decodes to planned dims") {
+    // encode → decode recovers the generative parameters exactly (lossless)
+    val bytes = Multimodal.ImageCodec.encodePng(40, 20, 10, 200, 77)
+    val dec = Multimodal.ImageCodec.decode(7L, bytes)
+    assert((dec.media_id, dec.width, dec.height) === ((7L, 40, 20)))
+    assert((dec.mean_r, dec.mean_g, dec.mean_b) === ((10.0, 200.0, 77.0)))
+    // real raster resize: output container re-decodes to the target dims,
+    // and a solid fill survives bilinear scaling with identical means
+    val small = Multimodal.ImageCodec.decode(7L,
+      Multimodal.ImageCodec.resizePng(bytes, 24, 12))
+    assert((small.width, small.height) === ((24, 12)))
+    assert((small.mean_r, small.mean_g, small.mean_b) === ((10.0, 200.0, 77.0)))
+    // garbage bytes are a loud error, not a silent zero-row
+    intercept[IllegalArgumentException] {
+      Multimodal.ImageCodec.decode(1L, "not a png".getBytes("UTF-8"))
+    }
+    // the distributed path agrees with the local codec
+    import spark.implicits._
+    val ids = spark.range(5).toDF("doc_id")
+    val out = Multimodal.decodeImages(spark,
+      Multimodal.generateImages(spark, ids, "doc_id")).collect().sortBy(_.media_id)
+    assert(out.length === 5)
+    out.foreach { r =>
+      assert(r.width === 16 + (r.media_id % 32).toInt)
+      assert(r.height === 16 + ((r.media_id / 3) % 24).toInt)
+      assert(r.mean_r === (r.media_id % 256).toDouble)
+    }
+  }
+
   test("decode stub is deterministic and dimension-bounded") {
     val media = Seq(
       Multimodal.MediaRow(1L, "hello world frame data".getBytes("UTF-8"), "text/plain"),
