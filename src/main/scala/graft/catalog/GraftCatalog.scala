@@ -195,7 +195,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             graft.core.ManifestTable.branchHead(dataDir, b).isDefined)
         new ManifestSparkTable(dataDir, meta.schema, asOf, meta.bucket,
           mergeOnRead = meta.dmlMode.contains("merge-on-read"),
-          cluster = meta.cluster, branch = wap, bloomCols = meta.bloomCols)
+          cluster = meta.cluster, branch = wap, bloomCols = meta.bloomCols,
+          ndvCols = meta.ndvCols)
       case other => throw new IllegalStateException(
         s"table ${ident.name()}: unknown provider '$other' in $dir/$MetaFile")
     }
@@ -235,12 +236,34 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val maxId = if (mapped) Some(schema.length) else None
     val dml = parseDmlMode(ident, provider, bucket, properties)
     val blooms = parseBloomCols(ident, provider, schema, properties)
+    val ndv = parseNdvCols(ident, provider, schema, properties)
     if (!writeMeta(dir,
         TableMeta(provider, declared, location, bucket, maxId, dml, cluster,
-          blooms)))
+          blooms, ndv)))
       throw new TableAlreadyExistsException((ident.namespace() :+ ident.name()).toSeq)
     tableFor(ident, asOf = None)
   }
+
+  /** Declared NDV-sketch columns (see [[GraftCatalog.NdvColsProp]]):
+    * validated against the schema and the HLL input domain. */
+  private def parseNdvCols(ident: Identifier, provider: String,
+                           schema: StructType,
+                           properties: JMap[String, String]): Seq[String] =
+    Option(properties.get(NdvColsProp)) match {
+      case None => Nil
+      case Some(spec) =>
+        require(provider == "manifest",
+          s"${ident.name()}: $NdvColsProp needs USING manifest")
+        val cols = spec.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        cols.foreach { c =>
+          val f = schema.find(_.name == c).getOrElse(throw new IllegalArgumentException(
+            s"${ident.name()}: $NdvColsProp names unknown column '$c'"))
+          require(graft.core.NdvStats.eligible(f.dataType),
+            s"${ident.name()}: $NdvColsProp column '$c' is ${f.dataType.simpleString} — " +
+              "HLL sketches cover int/bigint/string/binary")
+        }
+        cols
+    }
 
   /** Declared bloom-index columns (see [[GraftCatalog.BloomColsProp]]):
     * validated against the schema; manifest tables only. */
@@ -770,6 +793,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         }
       }).getOrElse(Nil),
       bloomCols = str("bloomCols")
+        .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Nil),
+      ndvCols = str("ndvCols")
         .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Nil)))
   }
 
@@ -793,7 +818,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             else Some(meta.cluster.map(k =>
               s"${k.fn}:${k.col}:${k.width.getOrElse("")}").mkString(",")))) ~
           ("bloomCols" -> (if (meta.bloomCols.isEmpty) None
-            else Some(meta.bloomCols.mkString(","))))))
+            else Some(meta.bloomCols.mkString(",")))) ~
+          ("ndvCols" -> (if (meta.ndvCols.isEmpty) None
+            else Some(meta.ndvCols.mkString(","))))))
     val out = try fs.create(p, false) catch {
       case _: java.io.IOException => return false
     }
@@ -847,7 +874,17 @@ object GraftCatalog {
                                         maxFieldId: Option[Int] = None,
                                         dmlMode: Option[String] = None,
                                         cluster: Seq[ClusterKey] = Nil,
-                                        bloomCols: Seq[String] = Nil)
+                                        bloomCols: Seq[String] = Nil,
+                                        ndvCols: Seq[String] = Nil)
+
+  /** `TBLPROPERTIES ('graft.ndv.columns'='k,url')`: batch inserts sketch
+    * these columns' distinct values per file (DataSketches HLL, stored in
+    * the commit marker next to min/max — see [[graft.core.NdvStats]]) and
+    * scans serve the merged distinct count to the optimizer through DSv2
+    * column statistics. CBO join/filter estimation then works from the
+    * log alone — no ANALYZE TABLE pass. int/bigint/string/binary columns
+    * only (the HLL aggregate's input domain). */
+  val NdvColsProp = "graft.ndv.columns"
 
   /** The CREATE TABLE property selecting the row-level DML strategy. */
   val DmlModeProp = "graft.dml.mode"

@@ -331,6 +331,41 @@ class ManifestScanBuilder(mkBuilder: (Seq[String], Boolean) => org.apache.spark.
     Some((b, survivors))
   }
 
+  /** Log-served DSv2 column statistics for the PLANNED files: distinct
+    * count from the union of their HLL sketches ([[graft.core.NdvStats]];
+    * a column serves only when EVERY planned file carries its sketch),
+    * null count as the exact sum, integral min/max from the skipping
+    * bounds. Reaches catalyst `ColumnStat` via `transformV2Stats`, so CBO
+    * filter/join estimation runs on log stats alone — no ANALYZE. */
+  private def servedColumnStats(planned: Seq[String]): Map[String, ManifestScanBuilder.ServedColStat] = {
+    if (planned.isEmpty || !planned.forall(pathStats.contains)) return Map.empty
+    val declared = streamSource.map(_._2).getOrElse(return Map.empty)
+    val sts = planned.map(pathStats)
+    declared.fields.iterator.map { f =>
+      val key = f.name.toLowerCase(java.util.Locale.ROOT)
+      val cols = sts.map(_.col(key))
+      val distinct =
+        if (cols.forall(_.exists(_.ndvSketch.isDefined)))
+          Some(graft.core.NdvStats.mergedDistinct(cols.map(_.get.ndvSketch.get)))
+        else None
+      val nulls =
+        if (cols.forall(_.exists(_.nullCount.isDefined)))
+          Some(cols.map(_.get.nullCount.get).sum)
+        else None
+      val longs = cols.map(_.map(c => (c.min, c.max)))
+      val minL = longs.map(_.flatMap(_._1)).map {
+        case Some(graft.core.FileStats.LongVal(v)) => Some(v); case _ => None
+      }
+      val maxL = longs.map(_.flatMap(_._2)).map {
+        case Some(graft.core.FileStats.LongVal(v)) => Some(v); case _ => None
+      }
+      f.name -> ManifestScanBuilder.ServedColStat(
+        distinct, nulls,
+        if (minL.forall(_.isDefined)) Some(minL.flatten.min) else None,
+        if (maxL.forall(_.isDefined)) Some(maxL.flatten.max) else None)
+    }.filter(_._2.distinct.isDefined).toMap // NDV is the payload; serve only sketched cols
+  }
+
   override def build(): Scan = {
     val (chosen, planned) = statsPrunedBuilder().getOrElse((inner, allPaths))
     // exact planned-row cardinality for CBO/AQE, when the log's stats
@@ -396,11 +431,18 @@ class ManifestScanBuilder(mkBuilder: (Seq[String], Boolean) => org.apache.spark.
             exactRows, savedFilters,
             Option(options.get("maxVersionsPerTrigger")).map(_.toLong),
             Option(options.get("maxFilesPerTrigger")).map(_.toLong),
-            Option(options.get("maxBytesPerTrigger")).map(_.toLong))
+            Option(options.get("maxBytesPerTrigger")).map(_.toLong),
+            servedColumnStats(planned))
         case _ => parquet
       }
     }
   }
+}
+
+object ManifestScanBuilder {
+  /** One column's log-served v2 statistics (see servedColumnStats). */
+  case class ServedColStat(distinct: Option[Long], nulls: Option[Long],
+                           minLong: Option[Long], maxLong: Option[Long])
 }
 
 /** Storage-partitioned scan of a fully bucketed manifest table: parquet

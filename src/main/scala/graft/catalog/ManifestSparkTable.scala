@@ -40,7 +40,8 @@ class ManifestSparkTable(dir: String, declared: StructType,
                          mergeOnRead: Boolean = false,
                          cluster: Seq[GraftCatalog.ClusterKey] = Nil,
                          branch: Option[String] = None,
-                         bloomCols: Seq[String] = Nil)
+                         bloomCols: Seq[String] = Nil,
+                         ndvCols: Seq[String] = Nil)
     extends Table
     with SupportsRead with SupportsWrite
     with SupportsRowLevelOperations with SupportsDelete
@@ -92,6 +93,7 @@ class ManifestSparkTable(dir: String, declared: StructType,
     if (mergeOnRead) m.put(GraftCatalog.DmlModeProp, "merge-on-read")
     branch.foreach(b => m.put("graft.branch", b))
     if (bloomCols.nonEmpty) m.put(GraftCatalog.BloomColsProp, bloomCols.mkString(","))
+    if (ndvCols.nonEmpty) m.put(GraftCatalog.NdvColsProp, ndvCols.mkString(","))
     ManifestTable.currentVersion(logDir).foreach(v =>
       m.put("graft.current-version", v.toString))
     m
@@ -327,9 +329,20 @@ class ManifestSparkTable(dir: String, declared: StructType,
                     cluster.map(_.col), bloomOptions)
                 case None => ManifestTable.stagePool(stamped, dir, bloomOptions)
               }
+              // declared NDV columns: sketch the staged files (one extra
+              // aggregation over the DELTA) and commit the sketches in
+              // the marker next to the footer-harvested min/max
+              val stats =
+                if (ndvCols.isEmpty) None
+                else Some(graft.core.NdvStats.attach(
+                  graft.core.FileStats.collect(dir, files),
+                  graft.core.NdvStats.collectSketches(
+                    data.sparkSession, dir, files, ndvCols)))
               if (overwrite || overwriteFlag)
-                ManifestTable.commitStagedSnapshot(logDir, files, dataDir = Some(dir))
-              else ManifestTable.commitStagedAppend(logDir, files, dataDir = Some(dir))
+                ManifestTable.commitStagedSnapshot(logDir, files, stats,
+                  dataDir = Some(dir))
+              else ManifestTable.commitStagedAppend(logDir, files,
+                dataDir = Some(dir), stats = stats)
               ()
             }
           }

@@ -36,7 +36,8 @@ case class ManifestStreamScan(inner: ParquetScan, dir: String,
                               pushedCatalyst: Seq[org.apache.spark.sql.catalyst.expressions.Expression] = Seq.empty,
                               maxVersionsPerTrigger: Option[Long] = None,
                               maxFilesPerTrigger: Option[Long] = None,
-                              maxBytesPerTrigger: Option[Long] = None)
+                              maxBytesPerTrigger: Option[Long] = None,
+                              colStats: Map[String, ManifestScanBuilder.ServedColStat] = Map.empty)
     extends Scan with SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
     with org.apache.spark.sql.internal.connector.SupportsMetadata {
@@ -52,13 +53,38 @@ case class ManifestStreamScan(inner: ParquetScan, dir: String,
     * contract as the size estimate itself. */
   override def estimateStatistics(): Statistics = {
     val base = inner.estimateStatistics()
-    exactRowCount match {
-      case None => base
-      case Some(rc) => new Statistics {
-        override def sizeInBytes(): java.util.OptionalLong = base.sizeInBytes()
-        override def numRows(): java.util.OptionalLong =
-          java.util.OptionalLong.of(rc)
+    if (exactRowCount.isEmpty && colStats.isEmpty) return base
+    // log-served column statistics (NDV from merged HLL sketches + null
+    // counts + integral bounds) ride the v2 Statistics into catalyst
+    // ColumnStat via transformV2Stats — CBO estimation without ANALYZE
+    val colMap: java.util.Map[org.apache.spark.sql.connector.expressions.NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+      val m = new java.util.HashMap[org.apache.spark.sql.connector.expressions.NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+      colStats.foreach { case (name, s) =>
+        m.put(org.apache.spark.sql.connector.expressions.Expressions.column(name),
+          new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
+            override def distinctCount(): java.util.OptionalLong =
+              s.distinct.map(java.util.OptionalLong.of).getOrElse(java.util.OptionalLong.empty())
+            override def nullCount(): java.util.OptionalLong =
+              s.nulls.map(java.util.OptionalLong.of).getOrElse(java.util.OptionalLong.empty())
+            override def min(): java.util.Optional[Object] =
+              s.minLong.map(v => java.util.Optional.of(java.lang.Long.valueOf(v): Object))
+                .getOrElse(java.util.Optional.empty[Object]())
+            override def max(): java.util.Optional[Object] =
+              s.maxLong.map(v => java.util.Optional.of(java.lang.Long.valueOf(v): Object))
+                .getOrElse(java.util.Optional.empty[Object]())
+          })
       }
+      m
+    }
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong = base.sizeInBytes()
+      override def numRows(): java.util.OptionalLong =
+        exactRowCount.map(java.util.OptionalLong.of).getOrElse(base.numRows())
+      override def columnStats(): java.util.Map[
+          org.apache.spark.sql.connector.expressions.NamedReference,
+          org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = colMap
     }
   }
   // EXPLAIN metadata (PushedFilters/ReadSchema lines) stays the parquet scan's

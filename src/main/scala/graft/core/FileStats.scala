@@ -47,9 +47,15 @@ object FileStats {
 
   /** `min`: lower bound of non-null values (absent = unknown).
     * `max`: upper bound of non-null values (absent = unknown).
-    * `nullCount`: exact, absent = unknown. */
+    * `nullCount`: exact, absent = unknown.
+    * `ndvSketch`: serialized DataSketches HLL sketch of the column's
+    * values in this file (absent unless the table declares the column in
+    * `graft.ndv.columns`). Sketches are MERGEABLE, so the log can serve a
+    * table/scan-level distinct count to the optimizer by unioning the
+    * planned files' sketches — no ANALYZE pass (see [[NdvStats]]). */
   final case class ColStats(min: Option[StatVal], max: Option[StatVal],
-                            nullCount: Option[Long])
+                            nullCount: Option[Long],
+                            ndvSketch: Option[Array[Byte]] = None)
 
   /** Stats of one data file. `cols` holds only columns with at least one
     * known field; lookup is by lower-cased column name (Spark's default
@@ -98,7 +104,9 @@ object FileStats {
         n -> JObject(List(
           c.min.map(v => "mn" -> valToJson(v)),
           c.max.map(v => "mx" -> valToJson(v)),
-          c.nullCount.map(v => "nc" -> (JInt(v): JValue))).flatten)
+          c.nullCount.map(v => "nc" -> (JInt(v): JValue)),
+          c.ndvSketch.map(b => "hl" -> (JString(
+            java.util.Base64.getEncoder.encodeToString(b)): JValue))).flatten)
       }): JValue))
 
   def fromJson(j: JValue): Option[Stats] = j match {
@@ -115,7 +123,9 @@ object FileStats {
           name.toLowerCase -> ColStats(
             cm.get("mn").flatMap(jsonToVal),
             cm.get("mx").flatMap(jsonToVal),
-            cm.get("nc").collect { case JInt(n) => n.toLong })
+            cm.get("nc").collect { case JInt(n) => n.toLong },
+            cm.get("hl").collect { case JString(s) =>
+              java.util.Base64.getDecoder.decode(s) })
         }.toMap
         case _ => Map.empty[String, ColStats]
       }

@@ -659,6 +659,50 @@ object CoverageQueries extends QueryModule {
           "n_orders", "sum_key")
     },
 
+    // --- log-served column NDV (core/NdvStats + GraftCatalog.NdvColsProp):
+    //     commit-time HLL sketches per declared column, merged at scan
+    //     planning and served to the optimizer as distinct counts — CBO
+    //     estimation with zero ANALYZE. Structural booleans: the served
+    //     NDV sits within HLL error of the exact distinct count, and it
+    //     reaches the logical plan's attributeStats under CBO ---
+    "qc36_log_ndv" -> { (s, d) =>
+      import s.implicits._
+      if (s.conf.getOption("spark.sql.catalog.graft_cat").isEmpty)
+        graft.catalog.GraftCatalog.register(s, "graft_cat",
+          graft.core.TempDirs.create("graft_cat_root_"))
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.db")
+      s.sql("DROP TABLE IF EXISTS graft_cat.db.ndv36")
+      Tables.documents(s, d).createOrReplaceTempView("qc36_documents")
+      s.sql("CREATE TABLE graft_cat.db.ndv36 " +
+        "(doc_id BIGINT, lang STRING, n_chars BIGINT) USING manifest " +
+        s"TBLPROPERTIES ('${graft.catalog.GraftCatalog.NdvColsProp}'='doc_id,lang')")
+      // two appends: sketches must MERGE across commits
+      s.sql("INSERT INTO graft_cat.db.ndv36 SELECT doc_id, lang, n_chars " +
+        "FROM qc36_documents WHERE doc_id % 2 = 0")
+      s.sql("INSERT INTO graft_cat.db.ndv36 SELECT doc_id, lang, n_chars " +
+        "FROM qc36_documents WHERE doc_id % 2 = 1")
+      val exact = s.sql("SELECT count(DISTINCT doc_id), count(DISTINCT lang) " +
+        "FROM qc36_documents").head()
+      val (exactIds, exactLangs) = (exact.getLong(0), exact.getLong(1))
+      val savedCbo = s.conf.getOption("spark.sql.cbo.enabled")
+      val att = try {
+        s.conf.set("spark.sql.cbo.enabled", "true")
+        s.table("graft_cat.db.ndv36").queryExecution.optimizedPlan.stats.attributeStats
+      } finally savedCbo match {
+        case Some(v) => s.conf.set("spark.sql.cbo.enabled", v)
+        case None    => s.conf.unset("spark.sql.cbo.enabled")
+      }
+      def servedNdv(name: String): Option[Long] =
+        att.find(_._1.name == name).flatMap(_._2.distinctCount).map(_.toLong)
+      val idOk = servedNdv("doc_id").exists(n =>
+        (n - exactIds).abs <= math.max(1L, exactIds / 20))
+      val langOk = servedNdv("lang").exists(n => (n - exactLangs).abs <= 1)
+      val agg = s.sql("SELECT count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS c " +
+        "FROM graft_cat.db.ndv36").head()
+      Seq((idOk, langOk, agg.getLong(0), agg.getLong(1)))
+        .toDF("ndv_docid_served", "ndv_lang_served", "n_docs", "total_chars")
+    },
+
     // --- snapshot tags (ManifestTable.tag + VERSION AS OF '<name>'):
     //     a named, vacuum-RETAINED snapshot — the training-data-release
     //     primitive. The tag is created before more writes and a DELETE,
@@ -1288,6 +1332,15 @@ object CoverageQueries extends QueryModule {
          FROM orders
          WHERE CAST(o_orderdate AS DATE)
            BETWEEN DATE '1997-06-01' AND DATE '1997-12-31'""",
+
+    // the structural booleans are Spark-side optimizer facts (the served
+    // distinct counts sit within HLL error of exact); the aggregate
+    // replays over documents
+    "qc36_log_ndv" ->
+      """SELECT true AS ndv_docid_served, true AS ndv_lang_served,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+         FROM documents""",
 
     // the structural booleans are Spark-side facts (evolution rewrote no
     // file, the mixed-spec window pruned, labels follow the new spec);

@@ -194,6 +194,60 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("log-served NDV flips the broadcast decision (CBO, zero ANALYZE)") {
+    // a manifest table declaring graft.ndv.columns serves distinct counts
+    // to the optimizer straight from the commit log's HLL sketches; an
+    // equality filter on that column then estimates rows/ndv and the dim
+    // side drops under the broadcast threshold. The IDENTICAL table
+    // without the declaration keeps its unfiltered estimate and plans a
+    // shuffle join — the flip is attributable to log-served NDV alone.
+    val root = "file://" + java.nio.file.Files.createTempDirectory("graft_ndv_").toString
+    graft.catalog.GraftCatalog.register(spark, "gnv", root)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gnv.db")
+    spark.sql("CREATE TABLE gnv.db.dim_ndv (k BIGINT, pad STRING) USING manifest " +
+      s"TBLPROPERTIES ('${graft.catalog.GraftCatalog.NdvColsProp}'='k')")
+    spark.sql("CREATE TABLE gnv.db.dim_plain (k BIGINT, pad STRING) USING manifest")
+    // k is interleaved so every file's [min,max] spans the domain — file
+    // skipping can't shrink the scan, isolating the NDV effect
+    val src = "SELECT id % 9973 AS k, sha2(CAST(id AS STRING), 256) AS pad FROM range(40000)"
+    spark.sql(s"INSERT INTO gnv.db.dim_ndv $src")
+    spark.sql(s"INSERT INTO gnv.db.dim_plain $src")
+    val savedCbo = spark.conf.getOption("spark.sql.cbo.enabled")
+    val savedThr = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (64 * 1024).toString)
+      // served column stats visible on the logical plan, NDV within HLL error
+      val att = spark.table("gnv.db.dim_ndv").queryExecution.optimizedPlan.stats
+        .attributeStats
+      val served = att.find(_._1.name == "k").map(_._2)
+      assert(served.exists(_.distinctCount.exists(dc =>
+          (dc.toLong - 9973L).abs < 500L)),
+        s"log NDV not served to the optimizer: $att")
+      def joinPlan(dim: String): String = {
+        val fact = spark.range(200000).selectExpr("id % 9973 AS k", "id AS v")
+        fact.join(spark.table(dim), "k").where(col("k") === 7)
+          .queryExecution.executedPlan.toString
+      }
+      val withNdv = joinPlan("gnv.db.dim_ndv")
+      val without = joinPlan("gnv.db.dim_plain")
+      assert(withNdv.contains("BroadcastHashJoin"),
+        s"NDV-declared dim must broadcast after the selective filter:\n$withNdv")
+      assert(!without.contains("BroadcastHashJoin"),
+        s"identical dim WITHOUT declared NDV must not broadcast (else the " +
+          s"flip isn't attributable to the log-served NDV):\n$without")
+    } finally {
+      savedCbo match {
+        case Some(v) => spark.conf.set("spark.sql.cbo.enabled", v)
+        case None    => spark.conf.unset("spark.sql.cbo.enabled")
+      }
+      savedThr match {
+        case Some(v) => spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+        case None    => spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      }
+    }
+  }
+
   test("ivfTopK has no Window or Sort anywhere (heap selection end to end)") {
     val p = plan(SparkEntry.queries("qv02_ivf_ann")(spark, sf))
     // every selection (assignment top-1, probe top-n, final top-k) must be
