@@ -56,6 +56,7 @@ private[catalog] object GraftProcedures {
       case "fast_forward"   => Some(new FastForwardProcedure(catalog))
       case "drop_branch"    => Some(new DropBranchProcedure(catalog))
       case "set_partitioning" => Some(new SetPartitioningProcedure(catalog))
+      case "expire_refs"    => Some(new ExpireRefsProcedure(catalog))
       case _                => None
     }
   }
@@ -63,7 +64,7 @@ private[catalog] object GraftProcedures {
   val names: Seq[String] =
     Seq("compact", "vacuum", "rollback", "register_files", "purge_deletes",
       "tag", "drop_tag", "branch", "fast_forward", "drop_branch",
-      "set_partitioning")
+      "set_partitioning", "expire_refs")
 
   /** Resolve a procedure's `'db.t'` argument against the catalog. */
   private def target(catalog: GraftCatalog, table: String): (String, String, Option[GraftCatalog.Bucketing]) = {
@@ -360,6 +361,38 @@ private[catalog] object GraftProcedures {
       result(
         StructType(Seq(StructField("partitioning", StringType, nullable = false))),
         UTF8String.fromString(keys.map(_.render).mkString(", ")))
+    }
+  }
+
+  /** `CALL g.system.expire_refs('db.t', max_age_ms [, kind])` — ref
+    * retention: drop branches (default) and/or tags whose staleness clock
+    * (`t.refs.age_ms` — tag creation / branch last commit) exceeds
+    * `max_age_ms`. Forgotten refs otherwise pin pools and fork versions
+    * against vacuum forever. `kind`: 'branch' | 'tag' | 'all'. */
+  private final class ExpireRefsProcedure(catalog: GraftCatalog) extends ManifestProcedure {
+    override def name(): String = "expire_refs"
+    override def description(): String =
+      "drop refs older than max_age_ms (branch last-commit / tag creation clock)"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("max_age_ms", LongType).build(),
+      ProcedureParameter.in("kind", StringType).defaultValue("'branch'").build())
+    override def call(input: InternalRow): JIterator[Scan] = {
+      val (dir, _) = manifestTarget(catalog, input.getString(0), "expire_refs")
+      val kinds = input.getString(2) match {
+        case "branch" => Set("branch")
+        case "tag"    => Set("tag")
+        case "all"    => Set("branch", "tag")
+        case other => throw new IllegalArgumentException(
+          s"expire_refs kind must be branch|tag|all, got '$other'")
+      }
+      val dropped = ManifestTable.expireRefs(dir, input.getLong(1), kinds)
+      result(
+        StructType(Seq(
+          StructField("expired_count", LongType, nullable = false),
+          StructField("expired", StringType, nullable = false))),
+        dropped.length.toLong,
+        UTF8String.fromString(dropped.map { case (n, t) => s"$t:$n" }.mkString(",")))
     }
   }
 

@@ -248,18 +248,29 @@ object MetadataTables {
   val RefsSchema: StructType = StructType(Seq(
     StructField("name", StringType, nullable = false),
     StructField("version", LongType, nullable = false),
-    StructField("type", StringType, nullable = false)))
+    StructField("type", StringType, nullable = false),
+    StructField("last_modified_ms", LongType, nullable = true),
+    StructField("age_ms", LongType, nullable = true)))
 
   /** `t.refs`: the table's named refs — snapshot TAGS (version = the
     * tagged MAIN version) and write-audit-publish BRANCHES (version = the
-    * branch's own log head). `VERSION AS OF '<name>'` reads either. */
+    * branch's own log head). `VERSION AS OF '<name>'` reads either.
+    * `last_modified_ms`/`age_ms` are the staleness view (tag: creation
+    * time; branch: last commit) `expire_refs` retention acts on — the
+    * operator's signal that a forgotten branch is pinning vacuum. */
   def refs(dir: String): Table =
     new VirtualRowsTable(s"refs($dir)", RefsSchema, () => {
+      val ages = ManifestTable.refLastModified(dir)
+      val now = System.currentTimeMillis()
+      def row(n: String, v: Long, tpe: String): Array[Any] = {
+        val ms = ages.get(n).filter(_._1 == tpe).map(_._2)
+        Array[Any](n, v, tpe, ms.orNull, ms.map(m => now - m).orNull)
+      }
       val tags = ManifestTable.tags(dir).toSeq.sortBy(_._1).map { case (n, v) =>
-        Array[Any](n, v, "tag")
+        row(n, v, "tag")
       }
       val brs = ManifestTable.branches(dir).toSeq.sortBy(_._1).map { case (n, v) =>
-        Array[Any](n, v, "branch")
+        row(n, v, "branch")
       }
       tags ++ brs
     })

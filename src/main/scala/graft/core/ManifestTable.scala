@@ -1077,6 +1077,47 @@ object ManifestTable {
       }.toMap
   }
 
+  /** Last-modified epoch millis per named ref — the staleness signal
+    * `t.refs` surfaces and [[expireRefs]] acts on. A tag's clock is its
+    * ref file (tags are immutable pointers: age = time since creation);
+    * a branch's clock is its HEAD COMMIT marker (age = time since anyone
+    * last wrote to it — a busy staging branch never looks stale). */
+  def refLastModified(dir: String): Map[String, (String, Long)] = {
+    val fs = LakeStorage.openFor(dir)
+    val base = new Path(dir)
+    if (!fs.exists(base)) return Map.empty
+    val tagMs = fs.listStatus(base).iterator
+      .filter(_.getPath.getName.startsWith(TagPrefix))
+      .map(s => s.getPath.getName.stripPrefix(TagPrefix) ->
+        ("tag", s.getModificationTime))
+      .toMap
+    val brMs = branches(dir).flatMap { case (name, head) =>
+      val p = new Path(branchLogDir(dir, name), marker(head))
+      if (fs.exists(p))
+        Some(name -> ("branch", fs.getFileStatus(p).getModificationTime))
+      else None
+    }
+    tagMs ++ brMs
+  }
+
+  /** Retention hygiene for named refs: drop every ref of the requested
+    * kinds whose [[refLastModified]] clock is older than `maxAgeMs` —
+    * long-forgotten staging branches (and, opt-in, stale tags) otherwise
+    * pin their pools and fork versions against [[vacuum]] forever.
+    * Returns the dropped (name, type) pairs. */
+  def expireRefs(dir: String, maxAgeMs: Long,
+                 kinds: Set[String] = Set("branch")): Seq[(String, String)] = {
+    require(maxAgeMs >= 0, "maxAgeMs must be non-negative")
+    require(kinds.nonEmpty && kinds.subsetOf(Set("branch", "tag")),
+      s"ref kinds must be drawn from {branch, tag}, got $kinds")
+    val now = System.currentTimeMillis()
+    refLastModified(dir).toSeq.collect {
+      case (name, (tpe, ms)) if kinds.contains(tpe) && now - ms > maxAgeMs =>
+        if (tpe == "branch") dropBranch(dir, name) else dropTag(dir, name)
+        (name, tpe)
+    }.sortBy(_._1)
+  }
+
   /** Resolve a tag name to its version; loud when absent. */
   def versionOfTag(dir: String, name: String): Long =
     tags(dir).getOrElse(name, throw new IllegalArgumentException(

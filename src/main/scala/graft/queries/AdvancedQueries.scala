@@ -425,6 +425,48 @@ object AdvancedQueries extends QueryModule {
         .toDF("files_planned", "n_docs", "total_chars")
     },
 
+    // --- keyedlog METADATA row-level DELETE (KeyedLogTable.deleteWhere):
+    //     a key-clustered layout holds one key per `-K=` file, so a key
+    //     predicate deletes by DROPPING whole files — no read, no rewrite
+    //     (the delete-by-partition fast path on the key dimension), the
+    //     surviving set journaled as a rewrite. Structural booleans: only
+    //     the matched key's files disappeared, every survivor untouched;
+    //     the remaining per-key aggregate replays exactly ---
+    "qk07_keyedlog_delete" -> { (s0, d) =>
+      import org.apache.hadoop.fs.Path
+      val s = s0.newSession()
+      import s.implicits._
+      graft.catalog.GraftCatalog.register(s, "graft_kd",
+        graft.core.TempDirs.create("graft_kd_root_"))
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_kd.db")
+      Tables.documents(s, d).createOrReplaceTempView("qk07_documents")
+      s.sql("CREATE TABLE graft_kd.db.activity (key STRING, seq BIGINT, metric BIGINT) " +
+        "USING keyedlog PARTITIONED BY (bucket(4, key))") // bucketed => every write clusters
+      s.sql("INSERT INTO graft_kd.db.activity " +
+        "SELECT lang, doc_id, n_chars FROM qk07_documents")
+      val dir = s.sql("SHOW TBLPROPERTIES graft_kd.db.activity").collect()
+        .find(_.getString(0) == "graft.location").get.getString(1)
+      val fs = new Path(dir).getFileSystem(s.sessionState.newHadoopConf())
+      def files(): Map[String, Long] = fs.listStatus(new Path(dir))
+        .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+          !st.getPath.getName.startsWith("."))
+        .map(st => st.getPath.getName -> st.getModificationTime).toMap
+      val before = files()
+      s.sql("DELETE FROM graft_kd.db.activity WHERE key = 'de'")
+      val after = files()
+      val dropped = before.keySet -- after.keySet
+      val droppedOnlyDe = dropped.nonEmpty && dropped.forall(_.contains("-K=de"))
+      // survivors byte-untouched (same names, same mtimes): the delete
+      // was metadata-only, no rewrite anywhere
+      val survivorsUntouched = after == before.view.filterKeys(!dropped(_)).toMap
+      s.table("graft_kd.db.activity")
+        .groupBy(col("key").as("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum("metric").cast("long").as("total_chars"))
+        .withColumn("files_dropped_only_de", lit(droppedOnlyDe))
+        .withColumn("survivors_untouched", lit(survivorsUntouched))
+        .orderBy("lang")
+    },
+
     // --- mergeable HLL sketches (Apache DataSketches via Spark 4 built-ins):
     //     build per-(flag, shipdate) PARTIAL sketches, then union-merge to
     //     per-flag distinct estimates — the pre-aggregated sketch-table
@@ -859,6 +901,16 @@ object AdvancedQueries extends QueryModule {
            count(*) AS n_docs,
            CAST(sum(n_chars) AS BIGINT) AS total_chars
          FROM documents WHERE lang = 'en'""",
+
+    // the structural booleans are Spark-side filesystem facts (only the
+    // de-keyed files disappeared; survivors byte-untouched); the
+    // remaining per-key aggregate replays over documents
+    "qk07_keyedlog_delete" ->
+      """SELECT lang, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           true AS files_dropped_only_de, true AS survivors_untouched
+         FROM documents WHERE lang <> 'de'
+         GROUP BY lang ORDER BY lang""",
 
     "q45_range_join_rule" ->
       """WITH e AS (SELECT user_id,

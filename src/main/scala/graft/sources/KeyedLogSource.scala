@@ -127,9 +127,73 @@ object KeyedLogSource {
 }
 
 class KeyedLogTable(path: String, bucketN: Option[Int] = None)
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
   override def name(): String = s"keyed_log($path)"
   override def schema(): StructType = KeyedLogSource.schema
+
+  private def hadoopConf() = new org.apache.spark.util.SerializableConfiguration(
+    org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
+
+  /** The key set a conjunction of pushable KEY filters admits, as a
+    * predicate over a file's key (None = the null key); None when any
+    * filter is outside the supported shapes. */
+  private def keyPredicate(filters: Array[Filter]): Option[Option[String] => Boolean] = {
+    val preds: Array[Option[Option[String] => Boolean]] = filters.map {
+      case EqualTo("key", v: String) => Some((k: Option[String]) => k.contains(v))
+      case In("key", vs) =>
+        val set = vs.collect { case s: String => s }.toSet
+        Some((k: Option[String]) => k.exists(set.contains))
+      case IsNotNull("key") => Some((k: Option[String]) => k.isDefined)
+      case org.apache.spark.sql.sources.IsNull("key") =>
+        Some((k: Option[String]) => k.isEmpty)
+      case _ => None
+    }
+    if (preds.contains(None)) None
+    else Some(k => preds.forall(_.get(k)))
+  }
+
+  /** METADATA-ONLY row-level DELETE: a key-clustered layout stores one
+    * key per file (`-K=<key>` names), so a conjunction of key predicates
+    * (`=`, `IN`, `IS NULL`, `IS NOT NULL`) deletes by DROPPING whole
+    * files — no read, no rewrite, cost proportional to the matched file
+    * count (Delta's delete-by-partition fast path, on the key dimension).
+    * Refused (Spark raises) when any predicate reaches beyond `key` or
+    * any live file is unclustered (its keys are unknown; `compact` first).
+    * The surviving file set is journaled as a REWRITE entry, the same
+    * version-line contract as compaction: cursors into dropped file names
+    * fail loudly rather than resurrect rows. */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    keyPredicate(filters).isDefined && {
+      val c = hadoopConf()
+      KeyedLogSource.listDataFiles(path, c).forall(f =>
+        KeyedLogSource.keyOfFile(new Path(f).getName).isDefined)
+    }
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    val pred = keyPredicate(filters).getOrElse(throw new IllegalArgumentException(
+      s"keyed_log($path): DELETE supports conjunctions of key predicates " +
+        s"(=, IN, IS NULL, IS NOT NULL) over key-clustered files; got " +
+        filters.mkString(", ")))
+    val c = hadoopConf()
+    val fs = new Path(path).getFileSystem(c.value)
+    val names = KeyedLogSource.listDataFiles(path, c).map(f => new Path(f).getName)
+    val keyed = names.map(n => n -> KeyedLogSource.keyOfFile(n))
+    require(keyed.forall(_._2.isDefined),
+      s"keyed_log($path): unclustered data files present — their keys are " +
+        "unknown, so a metadata delete cannot be exact; CALL compact first")
+    val (dead, live) = keyed.partition { case (_, k) => pred(k.get) }
+    if (dead.isEmpty) return
+    // files first, journal second: a crash between leaves correct DATA
+    // (rows gone) and a journal whose stale windows fail loudly — never
+    // resurrected rows
+    dead.foreach { case (n, _) =>
+      if (!fs.delete(new Path(path, n), false))
+        throw new java.io.IOException(s"keyed_log($path): could not delete $n")
+    }
+    KeyedLogVersionLog.commit(path, c, live.map(_._1), rewrite = true)
+    ()
+  }
 
   /** Surfaced by `SHOW TBLPROPERTIES` / `DESCRIBE TABLE EXTENDED`. */
   override def properties(): java.util.Map[String, String] = {
@@ -432,8 +496,14 @@ private[graft] object KeyedLogVersionLog {
     while (attempt < 20) {
       val vs = versions(path, conf)
       val seen = allJournaled(path, conf, vs) // compact-anchored, O(interval)
-      val fresh = fileNames.filterNot(seen).distinct.sorted
-      if (fresh.isEmpty) return None
+      // epoch-replay dedup applies to plain commits only: a REWRITE's name
+      // set is the new visible whole (a metadata DELETE's surviving files
+      // are all previously-journaled names — the entry must still land,
+      // possibly empty when everything was deleted)
+      val fresh =
+        if (rewrite) fileNames.distinct.sorted
+        else fileNames.filterNot(seen).distinct.sorted
+      if (fresh.isEmpty && !rewrite) return None
       val v = vs.lastOption.getOrElse(-1L) + 1L
       val fields = scala.collection.mutable.ListBuffer.empty[(String, org.json4s.JValue)]
       fields += "n" -> org.json4s.JArray(fresh.map(org.json4s.JString(_)).toList)

@@ -337,7 +337,7 @@ class CatalogProcedureSpec extends AnyFunSuite {
     assert(procs.toSet ===
       Set("compact", "vacuum", "rollback", "register_files", "purge_deletes",
         "tag", "drop_tag", "branch", "fast_forward", "drop_branch",
-        "set_partitioning"))
+        "set_partitioning", "expire_refs"))
     val e = intercept[Exception] {
       spark.sql("CALL gp.system.nope('db.t')").collect()
     }
@@ -432,6 +432,53 @@ class CatalogProcedureSpec extends AnyFunSuite {
     spark.sql("CALL gp.system.fast_forward('db.wap', 'stream-in')").collect()
     assert(spark.sql("SELECT count(*) FROM gp.db.wap WHERE q = 'stream'")
       .head().getLong(0) === 3L, "publish must expose the audited stream output")
+  }
+
+  test("ref retention: t.refs ages, expire_refs drops stale branches (tags opt-in)") {
+    ensureDb()
+    spark.sql("CREATE TABLE gp.db.ret (id BIGINT) USING manifest")
+    spark.sql("INSERT INTO gp.db.ret SELECT id FROM range(10)")
+    spark.sql("CALL gp.system.branch('db.ret', 'stale-br')")
+    spark.sql("CALL gp.system.tag('db.ret', 'rel-1')")
+    // staleness surfaces on t.refs: both refs carry a fresh clock
+    val refRows = spark.sql(
+      "SELECT name, type, last_modified_ms, age_ms FROM gp.db.ret.refs").collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.get(2), r.getLong(3))).toMap
+    assert(refRows.keySet === Set("stale-br", "rel-1"))
+    assert(refRows.values.forall { case (_, ms, age) =>
+      ms != null && age >= 0L && age < 60000L }, s"bad ref ages: $refRows")
+    // a generous window expires nothing
+    val none = spark.sql(
+      "CALL gp.system.expire_refs('db.ret', 3600000)").head()
+    assert(none.getLong(0) === 0L)
+    // age 0 expires the branch; the tag survives (default kind = branch)
+    Thread.sleep(20)
+    val br = spark.sql("CALL gp.system.expire_refs('db.ret', 0)").head()
+    assert(br.getLong(0) === 1L && br.getString(1) === "branch:stale-br")
+    assert(ManifestTable.branches(dataDir("ret")).isEmpty)
+    assert(ManifestTable.tags(dataDir("ret")).keySet === Set("rel-1"))
+    // tags go only when asked for explicitly
+    val tg = spark.sql(
+      "CALL gp.system.expire_refs('db.ret', 0, kind => 'all')").head()
+    assert(tg.getLong(0) === 1L && tg.getString(1) === "tag:rel-1")
+    assert(ManifestTable.tags(dataDir("ret")).isEmpty)
+    // an ACTIVE branch's clock is its last commit, so activity renews it:
+    // a fresh write keeps it out of a short retention window that would
+    // have caught its creation time
+    spark.sql("CALL gp.system.branch('db.ret', 'busy')")
+    Thread.sleep(60)
+    spark.conf.set(GraftCatalog.WapBranchConf, "busy")
+    try spark.sql("INSERT INTO gp.db.ret SELECT id + 100 FROM range(3)")
+    finally spark.conf.unset(GraftCatalog.WapBranchConf)
+    val kept = spark.sql("CALL gp.system.expire_refs('db.ret', 50)").head()
+    assert(kept.getLong(0) === 0L,
+      "a branch with a recent commit must not expire on a window older than " +
+        "its creation")
+    // bad kind is loud
+    val bad = intercept[Exception] {
+      spark.sql("CALL gp.system.expire_refs('db.ret', 0, kind => 'nope')").collect()
+    }
+    assert(bad.getMessage.contains("branch|tag|all"), s"wrong error: ${bad.getMessage}")
   }
 
   test("WAP decontamination is O(delta): stored index probed, released slice never re-shingled") {

@@ -504,6 +504,49 @@ class DataSourceSpec extends AnyFunSuite {
     assert(read(dir).count() === 100L)
   }
 
+  test("metadata DELETE: key predicates drop whole clustered files; refusals are loud") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_klog_del_").toString
+    val df = ((1 to 60).map(i => (s"k${i % 3}", i.toLong, i.toLong)) :+
+      ((null: String), 999L, 7L))
+      .toDF("key", "seq", "metric")
+    df.write.format("graft.sources.KeyedLogSource")
+      .option("clusterByKey", "true").mode("append").save(dir)
+    val t = new KeyedLogTable(dir)
+    def names() = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".log")).map(_.getName).toSet
+    val before = names()
+    // key equality: only that key's file disappears, survivors untouched
+    assert(t.canDeleteWhere(Array[org.apache.spark.sql.sources.Filter](EqualTo("key", "k1"))))
+    t.deleteWhere(Array[org.apache.spark.sql.sources.Filter](EqualTo("key", "k1")))
+    val afterK1 = names()
+    assert((before -- afterK1).forall(_.contains("-K=k1")) &&
+      (before -- afterK1).nonEmpty)
+    assert(read(dir).filter(col("key") === "k1").count() === 0L)
+    assert(read(dir).count() === 41L) // 40 keyed + 1 null-key row
+    // IS NULL reaches the null-key file
+    t.deleteWhere(Array[org.apache.spark.sql.sources.Filter](org.apache.spark.sql.sources.IsNull("key")))
+    assert(read(dir).count() === 40L)
+    // the journal carried the delete as a rewrite: incremental cursors
+    // from before it fail loudly rather than resurrect dropped rows
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sessionState.newHadoopConf())
+    val head = KeyedLogVersionLog.head(dir, conf).get
+    assert(KeyedLogVersionLog.isRewrite(dir, conf, head))
+    // non-key predicates are refused (no silent partial delete)
+    assert(!t.canDeleteWhere(Array[org.apache.spark.sql.sources.Filter](EqualTo("metric", 3L))))
+    intercept[IllegalArgumentException] {
+      t.deleteWhere(Array[org.apache.spark.sql.sources.Filter](EqualTo("metric", 3L)))
+    }
+    // an unclustered file makes ANY metadata delete unsound: refused
+    Files.write(java.nio.file.Paths.get(dir, "plain.log"),
+      "k0\t1\t1\n".getBytes("UTF-8"))
+    assert(!t.canDeleteWhere(Array[org.apache.spark.sql.sources.Filter](EqualTo("key", "k0"))))
+    intercept[IllegalArgumentException] {
+      t.deleteWhere(Array[org.apache.spark.sql.sources.Filter](EqualTo("key", "k0")))
+    }
+  }
+
   test("scan reports size statistics: a small keyed-log table broadcasts") {
     import spark.implicits._
     val dir = fixture() // a few hundred bytes
