@@ -563,6 +563,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     var bucket = meta.bucket
     var cluster = meta.cluster
     var blooms = meta.bloomCols
+    var ndv = meta.ndvCols
     changes.foreach {
       case add: TableChange.AddColumn =>
         require(add.fieldNames.length == 1,
@@ -599,6 +600,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             s"PARTITIONED BY (${cluster.map(_.render).mkString(", ")})")
         schema = StructType(schema.filterNot(_.name == name))
         blooms = blooms.filterNot(_ == name) // advisory index: drop follows
+        ndv = ndv.filterNot(_ == name)       // NDV declaration too
       case ren: TableChange.RenameColumn =>
         require(ren.fieldNames.length == 1,
           s"${ident.name()}: nested column renames are not supported")
@@ -622,6 +624,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         // (old files' blooms are keyed by the old physical name and stop
         // matching pushed predicates — advisory only, reads stay correct)
         blooms = blooms.map(c => if (c == from) ren.newName else c)
+        // NDV declarations follow the rename as well. Old files' sketches
+        // stay keyed by the OLD physical name, so the all-planned-files
+        // serving rule silently pauses NDV for the column until its files
+        // are rewritten under the new name — degraded, never wrong
+        ndv = ndv.map(c => if (c == from) ren.newName else c)
       case upd: TableChange.UpdateColumnType =>
         require(upd.fieldNames.length == 1,
           s"${ident.name()}: nested column type changes are not supported")
@@ -647,7 +654,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           s"/ RENAME COLUMN / ALTER COLUMN TYPE (widening); got $other")
     }
     replaceMeta(dir, meta.copy(schema = schema, bucket = bucket,
-      maxFieldId = maxId, cluster = cluster, bloomCols = blooms))
+      maxFieldId = maxId, cluster = cluster, bloomCols = blooms,
+      ndvCols = ndv))
     tableFor(ident, asOf = None)
   }
 

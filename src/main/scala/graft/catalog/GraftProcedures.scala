@@ -139,15 +139,18 @@ private[catalog] object GraftProcedures {
       val (before, after) = (provider, bucket) match {
         case ("keyedlog", _) => graft.core.LakeCompaction.compactKeyedLog(spark, dir)
         case (_, Some(b))    =>
-          ManifestTable.compactBucketed(spark, dir, b.n, b.col, declared, blooms)
+          ManifestTable.compactBucketed(spark, dir, b.n, b.col, declared, blooms,
+            meta.ndvCols)
         case _ if smallOnly =>
           // OPTIMIZE bin-pack: merge only undersized files; well-sized
           // data is never rewritten (cost ∝ small-file bytes, not table)
           ManifestTable.compactSmall(spark, dir,
-            input.getInt(1).toLong * 1024 * 1024, clusterBy, declared, blooms)
+            input.getInt(1).toLong * 1024 * 1024, clusterBy, declared, blooms,
+            meta.ndvCols)
         case _ =>
           ManifestTable.compact(spark, dir,
-            input.getInt(1).toLong * 1024 * 1024, clusterBy, declared, blooms)
+            input.getInt(1).toLong * 1024 * 1024, clusterBy, declared, blooms,
+            meta.ndvCols)
       }
       result(
         StructType(Seq(
@@ -239,7 +242,7 @@ private[catalog] object GraftProcedures {
         } else None
       val (rewritten, purged) =
         ManifestTable.purgeDeletes(SparkSession.active, dir, declared,
-          GraftCatalog.bloomWriteOptions(meta.bloomCols))
+          GraftCatalog.bloomWriteOptions(meta.bloomCols), meta.ndvCols)
       result(
         StructType(Seq(
           StructField("files_rewritten", LongType, nullable = false),

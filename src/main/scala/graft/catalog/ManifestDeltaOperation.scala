@@ -43,13 +43,15 @@ import graft.core.{DeletionVectors, LakeStorage, ManifestTable}
   * writer removed or re-vectored a targeted file (stale scan). */
 class ManifestDeltaOperation(dir: String, declared: StructType, cmd: Command,
                              branch: Option[String] = None,
-                             bloomCols: Seq[String] = Nil)
+                             bloomCols: Seq[String] = Nil,
+                             ndvCols: Seq[String] = Nil)
     extends RowLevelOperation
     with org.apache.spark.sql.connector.write.SupportsDelta {
 
   import ManifestRowLevelOperation.FileCol
 
   private[catalog] def bloomColumns: Seq[String] = bloomCols
+  private[catalog] def ndvColumns: Seq[String] = ndvCols
 
   /** Marker log the DML resolves against and commits to (the branch
     * sidecar log under WAP; data pools stay under `dir` either way). */
@@ -291,7 +293,7 @@ class ManifestDeltaWrite(op: ManifestDeltaOperation, dir: String,
     val expected = dvRefs.keysIterator
       .map(f => f -> op.snapshotState.dvs.get(f).map(_.path)).toMap
     ManifestTable.commitDeleteVectors(op.logDir, dvRefs, added, expected,
-      dataDir = Some(dir))
+      dataDir = Some(dir), ndvCols = op.ndvColumns)
     ()
   }
 

@@ -57,10 +57,12 @@ class ManifestRowLevelOperation(dir: String, declared: StructType,
                                 bucketing: Option[GraftCatalog.Bucketing] = None,
                                 cluster: Seq[GraftCatalog.ClusterKey] = Nil,
                                 branch: Option[String] = None,
-                                bloomCols: Seq[String] = Nil)
+                                bloomCols: Seq[String] = Nil,
+                                ndvCols: Seq[String] = Nil)
     extends RowLevelOperation {
 
   private[catalog] def bloomColumns: Seq[String] = bloomCols
+  private[catalog] def ndvColumns: Seq[String] = ndvCols
 
   import ManifestRowLevelOperation._
 
@@ -653,7 +655,7 @@ class ManifestReplaceWrite(op: ManifestRowLevelOperation, dir: String,
       .toSeq.sorted
     ManifestTable.commitRewrite(op.logDir, removed = op.scannedFiles,
       added = added, expectedDvs = Some(op.snapshotState.dvs),
-      dataDir = Some(dir))
+      dataDir = Some(dir), ndvCols = op.ndvColumns)
     ()
   }
 

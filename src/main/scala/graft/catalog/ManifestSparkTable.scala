@@ -230,9 +230,9 @@ class ManifestSparkTable(dir: String, declared: StructType,
     require(asOf.isEmpty, s"cannot run DML against the time-travel view ${name()}")
     requireWapResolved("DML")
     if (mergeOnRead) () => new ManifestDeltaOperation(dir, declared, info.command,
-      branch, bloomCols)
+      branch, bloomCols, ndvCols)
     else () => new ManifestRowLevelOperation(dir, declared, info.command,
-      bucketing, cluster, branch, bloomCols)
+      bucketing, cluster, branch, bloomCols, ndvCols)
   }
 
   /** DELETE fast path (Spark's metadata-only delete, also TRUNCATE TABLE):
@@ -300,7 +300,7 @@ class ManifestSparkTable(dir: String, declared: StructType,
       case None => ManifestTable.stagePool(survivors, dir, bloomOptions)
     }
     ManifestTable.commitRewrite(logDir, removed = affected, added = added,
-      expectedDvs = Some(dvs), dataDir = Some(dir))
+      expectedDvs = Some(dvs), dataDir = Some(dir), ndvCols = ndvCols)
     ()
   }
 
@@ -356,7 +356,7 @@ class ManifestSparkTable(dir: String, declared: StructType,
         override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
           new ManifestStreamingWrite(dir,
             GraftCatalog.stampFieldIds(info.schema(), declared),
-            info.queryId(), overwrite, bloomCols, branch)
+            info.queryId(), overwrite, bloomCols, branch, ndvCols)
       }
     }
   }

@@ -48,7 +48,8 @@ import graft.core.{LakeStorage, ManifestTable}
 class ManifestStreamingWrite(dir: String, schema: StructType, queryId: String,
                              truncate: Boolean,
                              bloomCols: Seq[String] = Nil,
-                             branch: Option[String] = None) extends StreamingWrite {
+                             branch: Option[String] = None,
+                             ndvCols: Seq[String] = Nil) extends StreamingWrite {
 
   import ManifestStreamingWrite.poolName
 
@@ -78,9 +79,16 @@ class ManifestStreamingWrite(dir: String, schema: StructType, queryId: String,
     val files = messages
       .collect { case PoolFileCommit(Some(name)) => s"$pool/$name" }
       .toSeq.sorted
-    if (truncate) ManifestTable.commitStagedSnapshot(logDir, files, dataDir = Some(dir))
+    // declared-NDV tables sketch each epoch's files too, so the
+    // all-planned-files serving rule survives continuous ingest
+    val stats =
+      if (ndvCols.isEmpty) None
+      else Some(ManifestTable.collectStats(dir, files, ndvCols))
+    if (truncate)
+      ManifestTable.commitStagedSnapshot(logDir, files, stats, dataDir = Some(dir))
     else if (files.nonEmpty)
-      ManifestTable.commitStagedAppend(logDir, files, dataDir = Some(dir))
+      ManifestTable.commitStagedAppend(logDir, files, dataDir = Some(dir),
+        stats = stats)
     ()
   }
 

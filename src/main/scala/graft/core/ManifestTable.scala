@@ -650,6 +650,21 @@ object ManifestTable {
     commitLoop(dir) { _ => Some(Delta(add = files, remove = Seq.empty, stats = st)) }
   }
 
+  /** Footer stats for freshly staged files, enriched with NDV sketches
+    * for the declared columns (see [[NdvStats]]) — the shared stat
+    * harvest of every write path, so tables declaring `graft.ndv.columns`
+    * keep serving distinct counts through DML rewrites, compaction, and
+    * streaming epochs, not just batch inserts (the all-planned-files
+    * serving rule would otherwise silently pause after the first
+    * rewrite). */
+  private[graft] def collectStats(dataDir: String, files: Seq[String],
+      ndvCols: Seq[String]): Map[String, FileStats.Stats] = {
+    val base = FileStats.collect(dataDir, files)
+    if (ndvCols.isEmpty || files.isEmpty) base
+    else NdvStats.attach(base,
+      NdvStats.collectSketches(SparkSession.active, dataDir, files, ndvCols))
+  }
+
   /** Commit a FILE-LEVEL REWRITE: the new manifest is the current one
     * minus `removed` plus `added` — the copy-on-write commit behind
     * row-level DML (DELETE/UPDATE/MERGE rewrite only the files that hold
@@ -662,9 +677,10 @@ object ManifestTable {
     * `ConcurrentModificationException` — rerun the DML. */
   def commitRewrite(dir: String, removed: Seq[String], added: Seq[String],
                     expectedDvs: Option[Map[String, DeletionVectors.DvRef]] = None,
-                    dataDir: Option[String] = None): Long = {
+                    dataDir: Option[String] = None,
+                    ndvCols: Seq[String] = Nil): Long = {
     val rm = removed.toSet
-    val st = FileStats.collect(dataDir.getOrElse(dir), added)
+    val st = collectStats(dataDir.getOrElse(dir), added, ndvCols)
     commitLoop(dir) { base =>
       val baseState = base.map(state(dir, _))
         .getOrElse(TableState(Seq.empty, Map.empty, Map.empty))
@@ -693,9 +709,10 @@ object ManifestTable {
   def commitDeleteVectors(dir: String,
       dvs: Map[String, DeletionVectors.DvRef], added: Seq[String],
       expectedDvs: Map[String, Option[String]],
-      dataDir: Option[String] = None): Long = {
+      dataDir: Option[String] = None,
+      ndvCols: Seq[String] = Nil): Long = {
     require(dvs.nonEmpty || added.nonEmpty, "empty merge-on-read commit")
-    val st = FileStats.collect(dataDir.getOrElse(dir), added)
+    val st = collectStats(dataDir.getOrElse(dir), added, ndvCols)
     commitLoop(dir) { base =>
       val baseState = base.map(state(dir, _))
         .getOrElse(TableState(Seq.empty, Map.empty, Map.empty))
@@ -796,7 +813,8 @@ object ManifestTable {
               targetFileBytes: Long = 128L * 1024 * 1024,
               clusterBy: Seq[String] = Nil,
               readSchema: Option[org.apache.spark.sql.types.StructType] = None,
-              writeOptions: Map[String, String] = Map.empty): (Long, Long) = {
+              writeOptions: Map[String, String] = Map.empty,
+              ndvCols: Seq[String] = Nil): (Long, Long) = {
     val fs = LakeStorage.openFor(dir)
     val snapVersion = currentVersion(dir).getOrElse(
       throw new IllegalStateException(s"no committed version under $dir"))
@@ -820,7 +838,7 @@ object ManifestTable {
           .sortWithinPartitions(clusterBy.map(col): _*)
       }
     val compacted = writePool(rewritten, dir, writeOptions = writeOptions)
-    val compactedStats = FileStats.collect(dir, compacted)
+    val compactedStats = collectStats(dir, compacted, ndvCols)
     val snapSet = snapFiles.toSet
     commitLoop(dir) { base =>
       if (base.contains(snapVersion)) Some(Snapshot(compacted, compactedStats))
@@ -861,7 +879,8 @@ object ManifestTable {
       targetFileBytes: Long = 128L * 1024 * 1024,
       clusterBy: Seq[String] = Nil,
       readSchema: Option[org.apache.spark.sql.types.StructType] = None,
-      writeOptions: Map[String, String] = Map.empty): (Long, Long) = {
+      writeOptions: Map[String, String] = Map.empty,
+      ndvCols: Seq[String] = Nil): (Long, Long) = {
     val fs = LakeStorage.openFor(dir)
     val snapVersion = currentVersion(dir).getOrElse(
       throw new IllegalStateException(s"no committed version under $dir"))
@@ -886,7 +905,7 @@ object ManifestTable {
       }
     val added = writePool(rewritten, dir, writeOptions = writeOptions)
     commitRewrite(dir, removed = small, added = added,
-      expectedDvs = Some(snap.dvs))
+      expectedDvs = Some(snap.dvs), ndvCols = ndvCols)
     (small.length.toLong, added.length.toLong)
   }
 
@@ -897,7 +916,8 @@ object ManifestTable {
     * (filesRewritten, positionsPurged). */
   def purgeDeletes(spark: SparkSession, dir: String,
       readSchema: Option[org.apache.spark.sql.types.StructType] = None,
-      writeOptions: Map[String, String] = Map.empty): (Long, Long) = {
+      writeOptions: Map[String, String] = Map.empty,
+      ndvCols: Seq[String] = Nil): (Long, Long) = {
     val snapVersion = currentVersion(dir).getOrElse(
       throw new IllegalStateException(s"no committed version under $dir"))
     val snap = state(dir, snapVersion)
@@ -907,7 +927,7 @@ object ManifestTable {
       readSnapshot(spark, dir, vectored, readSchema), snap.dvs)
     val added = stagePool(survivors, dir, writeOptions)
     commitRewrite(dir, removed = vectored, added = added,
-      expectedDvs = Some(snap.dvs))
+      expectedDvs = Some(snap.dvs), ndvCols = ndvCols)
     (vectored.length.toLong, snap.deletedRows)
   }
 
@@ -996,7 +1016,8 @@ object ManifestTable {
   def compactBucketed(spark: SparkSession, dir: String, numBuckets: Int,
                       keyCol: String,
                       readSchema: Option[org.apache.spark.sql.types.StructType] = None,
-                      writeOptions: Map[String, String] = Map.empty): (Long, Long) = {
+                      writeOptions: Map[String, String] = Map.empty,
+                      ndvCols: Seq[String] = Nil): (Long, Long) = {
     val snapVersion = currentVersion(dir).getOrElse(
       throw new IllegalStateException(s"no committed version under $dir"))
     val snap = state(dir, snapVersion)
@@ -1005,7 +1026,7 @@ object ManifestTable {
     val compacted = stagePoolBucketed(
       applyDvs(spark, dir, readSnapshot(spark, dir, snapFiles, readSchema), snap.dvs),
       dir, numBuckets, keyCol, writeOptions)
-    val compactedStats = FileStats.collect(dir, compacted)
+    val compactedStats = collectStats(dir, compacted, ndvCols)
     val snapSet = snapFiles.toSet
     commitLoop(dir) { base =>
       if (base.contains(snapVersion)) Some(Snapshot(compacted, compactedStats))

@@ -495,4 +495,51 @@ class CatalogSpec extends AnyFunSuite {
     intercept[Exception](
       spark.sql("INSERT INTO g.db.tt VERSION AS OF 1 VALUES (2)"))
   }
+
+  test("log-served NDV survives DML rewrite and compaction; declaration follows ALTER") {
+    ensureDb()
+    spark.sql("CREATE TABLE g.db.ndvt (k BIGINT, pad STRING) USING manifest " +
+      s"TBLPROPERTIES ('${GraftCatalog.NdvColsProp}'='k')")
+    spark.sql("INSERT INTO g.db.ndvt SELECT id % 997, " +
+      "sha2(CAST(id AS STRING), 256) FROM range(20000)")
+    def servedNdv(colName: String = "k"): Option[Long] = {
+      val saved = spark.conf.getOption("spark.sql.cbo.enabled")
+      try {
+        spark.conf.set("spark.sql.cbo.enabled", "true")
+        spark.table("g.db.ndvt").queryExecution.optimizedPlan.stats
+          .attributeStats.find(_._1.name == colName)
+          .flatMap(_._2.distinctCount).map(_.toLong)
+      } finally saved match {
+        case Some(v) => spark.conf.set("spark.sql.cbo.enabled", v)
+        case None    => spark.conf.unset("spark.sql.cbo.enabled")
+      }
+    }
+    assert(servedNdv().exists(n => (n - 997L).abs < 50), s"initial: ${servedNdv()}")
+    // a CoW DML rewrite must sketch its rewritten files, or the
+    // all-planned-files rule silently pauses serving after the first DML
+    spark.sql("DELETE FROM g.db.ndvt WHERE k = 5")
+    assert(servedNdv().exists(n => (n - 996L).abs < 50),
+      s"after DML rewrite: ${servedNdv()}")
+    // compaction likewise
+    spark.sql("CALL g.system.compact('db.ndvt')")
+    assert(servedNdv().exists(n => (n - 996L).abs < 50),
+      s"after compact: ${servedNdv()}")
+    // RENAME: the declaration follows; serving PAUSES (old files'
+    // sketches are keyed by the old physical name — degraded, never
+    // wrong) and returns after a full rewrite under the new name
+    spark.sql("ALTER TABLE g.db.ndvt RENAME COLUMN k TO kk")
+    val props = spark.sql("SHOW TBLPROPERTIES g.db.ndvt").collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(props(GraftCatalog.NdvColsProp) === "kk")
+    assert(servedNdv("kk").isEmpty, "stale sketches must not serve a renamed column")
+    spark.sql("INSERT OVERWRITE g.db.ndvt SELECT id % 499, " +
+      "CAST(id AS STRING) FROM range(5000)")
+    assert(servedNdv("kk").exists(n => (n - 499L).abs < 25),
+      s"after overwrite under the new name: ${servedNdv("kk")}")
+    // DROP of the declared column clears the declaration
+    spark.sql("ALTER TABLE g.db.ndvt DROP COLUMN kk")
+    val props2 = spark.sql("SHOW TBLPROPERTIES g.db.ndvt").collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(!props2.contains(GraftCatalog.NdvColsProp))
+  }
 }
