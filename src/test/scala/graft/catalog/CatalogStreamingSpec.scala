@@ -187,6 +187,38 @@ class CatalogStreamingSpec extends AnyFunSuite {
       .head().getLong(0) === (0L + 1 + 2 + 3 + 9))
   }
 
+  test("stream epochs into an NDV-declared table keep serving distinct counts") {
+    ensureDb()
+    spark.sql("CREATE TABLE gs.db.ndvs (k BIGINT, v STRING) USING manifest " +
+      s"TBLPROPERTIES ('${GraftCatalog.NdvColsProp}'='k')")
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val source = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
+    val q = source.toDF().selectExpr("value % 100 AS k", "CAST(value AS STRING) AS v")
+      .writeStream
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_ndvs_ck_").toString)
+      .toTable("gs.db.ndvs")
+    try {
+      source.addData(0L until 500L: _*)
+      q.processAllAvailable()
+      source.addData(500L until 1000L: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    // both epochs' files carry sketches, so the merged NDV serves
+    val saved = spark.conf.getOption("spark.sql.cbo.enabled")
+    val served = try {
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      spark.table("gs.db.ndvs").queryExecution.optimizedPlan.stats
+        .attributeStats.find(_._1.name == "k").flatMap(_._2.distinctCount)
+    } finally saved match {
+      case Some(v) => spark.conf.set("spark.sql.cbo.enabled", v)
+      case None    => spark.conf.unset("spark.sql.cbo.enabled")
+    }
+    assert(served.exists(n => (n.toLong - 100L).abs <= 5),
+      s"streamed epochs must serve NDV: $served")
+  }
+
   test("complete mode replaces the snapshot each epoch") {
     ensureDb()
     import spark.implicits._
