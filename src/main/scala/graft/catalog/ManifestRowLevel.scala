@@ -343,7 +343,15 @@ class ManifestScanBuilder(mkBuilder: (Seq[String], Boolean) => org.apache.spark.
     if (planned.isEmpty || !planned.forall(pathStats.contains)) return Map.empty
     val declared = streamSource.map(_._2).getOrElse(return Map.empty)
     val sts = planned.map(pathStats)
-    declared.fields.iterator.map { f =>
+    // serving needs EVERY planned file sketched, so a field absent from
+    // the first file can never serve — restricting to the first file's
+    // sketched fields keeps undeclared tables at O(1) extra planning
+    // cost (no per-field × per-file sweep at 10⁵ files)
+    val candidates = declared.fields.filter(f =>
+      sts.head.col(f.name.toLowerCase(java.util.Locale.ROOT))
+        .exists(_.ndvSketch.isDefined))
+    if (candidates.isEmpty) return Map.empty
+    candidates.iterator.map { f =>
       val key = f.name.toLowerCase(java.util.Locale.ROOT)
       val cols = sts.map(_.col(key))
       val distinct =
