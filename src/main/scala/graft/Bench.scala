@@ -93,13 +93,19 @@ object Bench {
     }
     val mins = scala.collection.mutable.Map.empty[String, Double]
     val medians = scala.collection.mutable.Map.empty[String, Double]
-    samples.foreach { case (name, ts) =>
+    // a query that failed in ANY round reports -1 everywhere, even if an
+    // earlier recorded round produced a sample — a partial result must
+    // never masquerade as a healthy timing
+    samples.foreach { case (name, ts) if !failed(name) =>
       val sorted = ts.sorted
       mins(name) = sorted.head
       medians(name) = sorted(sorted.length / 2)
       times(name) = if (stat == "median") medians(name) else mins(name)
+    case _ => ()
     }
-    failed.foreach { name => mins(name) = -1.0; medians(name) = -1.0 }
+    failed.foreach { name =>
+      mins(name) = -1.0; medians(name) = -1.0; times(name) = -1.0
+    }
     val results = selected.map { case (name, _) => name -> times(name) }
     def obj(m: scala.collection.Map[String, Double]) =
       selected.map { case (k, _) => "\"" + k + "\":" + m(k) }

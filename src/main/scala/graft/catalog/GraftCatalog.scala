@@ -437,7 +437,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         "specs are load-bearing for storage-partitioned joins and cannot be " +
         "evolved in place; CTAS into the new layout instead")
     val entry = """(?:([A-Za-z_]+)\s*\(\s*([^)]*)\s*\)|([A-Za-z_][A-Za-z0-9_]*))""".r
-    val keys = spec.split(",").map(_.trim).filter(_.nonEmpty).toSeq.map {
+    // split on TOP-LEVEL commas only — truncate(8, name) carries one
+    // inside its parens
+    val parts = scala.collection.mutable.ListBuffer.empty[String]
+    var depth = 0
+    val cur = new StringBuilder
+    spec.foreach {
+      case '(' => depth += 1; cur += '('
+      case ')' => depth -= 1; cur += ')'
+      case ',' if depth == 0 => parts += cur.toString; cur.clear()
+      case c => cur += c
+    }
+    parts += cur.toString
+    val keys = parts.toSeq.map(_.trim).filter(_.nonEmpty).map {
       case entry(fn, args, null) =>
         val parts = args.split(",").map(_.trim).filter(_.nonEmpty)
         (fn, parts) match {

@@ -52,6 +52,7 @@ class ManifestDeltaOperation(dir: String, declared: StructType, cmd: Command,
 
   private[catalog] def bloomColumns: Seq[String] = bloomCols
   private[catalog] def ndvColumns: Seq[String] = ndvCols
+  private[catalog] def branchName: Option[String] = branch
 
   /** Marker log the DML resolves against and commits to (the branch
     * sidecar log under WAP; data pools stay under `dir` either way). */
@@ -292,6 +293,7 @@ class ManifestDeltaWrite(op: ManifestDeltaOperation, dir: String,
     }
     val expected = dvRefs.keysIterator
       .map(f => f -> op.snapshotState.dvs.get(f).map(_.path)).toMap
+    op.branchName.foreach(ManifestTable.requireBranchIntact(dir, _))
     ManifestTable.commitDeleteVectors(op.logDir, dvRefs, added, expected,
       dataDir = Some(dir), ndvCols = op.ndvColumns)
     ()

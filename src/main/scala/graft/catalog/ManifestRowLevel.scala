@@ -63,6 +63,7 @@ class ManifestRowLevelOperation(dir: String, declared: StructType,
 
   private[catalog] def bloomColumns: Seq[String] = bloomCols
   private[catalog] def ndvColumns: Seq[String] = ndvCols
+  private[catalog] def branchName: Option[String] = branch
 
   import ManifestRowLevelOperation._
 
@@ -661,6 +662,7 @@ class ManifestReplaceWrite(op: ManifestRowLevelOperation, dir: String,
     val added = messages
       .collect { case PoolFileCommit(Some(name)) => s"$poolName/$name" }
       .toSeq.sorted
+    op.branchName.foreach(ManifestTable.requireBranchIntact(dir, _))
     ManifestTable.commitRewrite(op.logDir, removed = op.scannedFiles,
       added = added, expectedDvs = Some(op.snapshotState.dvs),
       dataDir = Some(dir), ndvCols = op.ndvColumns)

@@ -299,6 +299,7 @@ class ManifestSparkTable(dir: String, declared: StructType,
           bloomOptions)
       case None => ManifestTable.stagePool(survivors, dir, bloomOptions)
     }
+    branch.foreach(ManifestTable.requireBranchIntact(dir, _))
     ManifestTable.commitRewrite(logDir, removed = affected, added = added,
       expectedDvs = Some(dvs), dataDir = Some(dir), ndvCols = ndvCols)
     ()
@@ -314,6 +315,7 @@ class ManifestSparkTable(dir: String, declared: StructType,
         override def toInsertableRelation: InsertableRelation =
           new InsertableRelation {
             override def insert(data: DataFrame, overwriteFlag: Boolean): Unit = {
+              branch.foreach(ManifestTable.requireBranchIntact(dir, _))
               // attach the declared field ids so the files resolve by id
               // ever after (column mapping; no-op on unmapped tables)
               val stamped = GraftCatalog.stampFieldIds(data, declared)
@@ -334,10 +336,7 @@ class ManifestSparkTable(dir: String, declared: StructType,
               // the marker next to the footer-harvested min/max
               val stats =
                 if (ndvCols.isEmpty) None
-                else Some(graft.core.NdvStats.attach(
-                  graft.core.FileStats.collect(dir, files),
-                  graft.core.NdvStats.collectSketches(
-                    data.sparkSession, dir, files, ndvCols)))
+                else Some(ManifestTable.collectStats(dir, files, ndvCols))
               if (overwrite || overwriteFlag)
                 ManifestTable.commitStagedSnapshot(logDir, files, stats,
                   dataDir = Some(dir))

@@ -71,6 +71,14 @@ class ManifestStreamingWrite(dir: String, schema: StructType, queryId: String,
   }
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    // a drop_branch/expire_refs racing this stream must fail the epoch
+    // LOUDLY — committing would mkdirs a fork-less zombie branch log
+    branch.foreach { b =>
+      if (!ManifestTable.branchIntact(dir, b))
+        throw new IllegalStateException(
+          s"streaming epoch $epochId: branch '$b' of $dir was dropped " +
+            "mid-stream — stop the stream (or re-create the branch and restart)")
+    }
     val pool = poolName(queryId, epochId)
     val prefix = s"$pool/"
     val alreadyCommitted =

@@ -1220,6 +1220,23 @@ object ManifestTable {
     readTextFile(fs, p).trim.toLong
   }
 
+  /** True when the branch exists WITH its fork anchor. A writer that
+    * races [[dropBranch]]/[[expireRefs]] could otherwise recreate the
+    * branch's log directory through its commit's mkdirs — a fork-less
+    * zombie no read or publish can resolve. Branch writers check this
+    * and fail LOUDLY instead ([[requireBranchIntact]]); [[vacuum]]
+    * tolerates a zombie (skips its fork retention, still retains its
+    * referenced pools) rather than throwing forever. */
+  def branchIntact(dir: String, name: String): Boolean =
+    LakeStorage.openFor(dir).exists(new Path(branchLogDir(dir, name), ForkFile))
+
+  private[graft] def requireBranchIntact(dir: String, name: String): Unit =
+    if (!branchIntact(dir, name))
+      throw new IllegalStateException(
+        s"branch '$name' on $dir was dropped (no fork anchor) — the staging " +
+          "session raced drop_branch/expire_refs; re-create the branch and " +
+          "re-stage")
+
   /** Current state of the branch (file keys relative to the PARENT root). */
   def branchState(dir: String, name: String): TableState = {
     val head = branchHead(dir, name).getOrElse(
@@ -1232,6 +1249,7 @@ object ManifestTable {
     * (shared data plane), the delta marker in the branch log. */
   def appendToBranch(df: DataFrame, dir: String, name: String): Long = {
     require(branchHead(dir, name).isDefined, s"no branch '$name' on $dir")
+    requireBranchIntact(dir, name)
     commitStagedAppend(branchLogDir(dir, name), stagePool(df, dir),
       dataDir = Some(dir))
   }
@@ -1240,6 +1258,7 @@ object ManifestTable {
     * the branch; main is untouched until [[fastForward]]). */
   def writeToBranch(df: DataFrame, dir: String, name: String): Long = {
     require(branchHead(dir, name).isDefined, s"no branch '$name' on $dir")
+    requireBranchIntact(dir, name)
     commitStagedSnapshot(branchLogDir(dir, name), stagePool(df, dir),
       dataDir = Some(dir))
   }
@@ -1253,7 +1272,13 @@ object ManifestTable {
   private[graft] def publishedVersion(dir: String, name: String): Option[Long] = {
     val fs = LakeStorage.openFor(dir)
     val p = new Path(branchLogDir(dir, name), PublishedFile)
-    if (!fs.exists(p)) None else Some(readTextFile(fs, p).trim.toLong)
+    if (!fs.exists(p)) return None
+    // the watermark is a best-effort cache, written create-overwrite (the
+    // `_head` pattern): a torn/empty file — a racing twin publish caught
+    // mid-write, or a crash between create and write — parses as ABSENT,
+    // which only re-widens the next diff to the fork base; the per-file
+    // idempotent delta keeps that publish correct regardless
+    scala.util.Try(readTextFile(fs, p).trim.toLong).toOption
   }
 
   private def writePublished(dir: String, name: String, brV: Long): Unit = {
@@ -1283,6 +1308,7 @@ object ManifestTable {
   def fastForward(dir: String, name: String): Long = {
     val brHeadV = branchHead(dir, name).getOrElse(
       throw new IllegalArgumentException(s"no branch '$name' on $dir"))
+    requireBranchIntact(dir, name)
     val log = branchLogDir(dir, name)
     // branch-log v1 IS the fork snapshot, so the publish base is uniformly
     // a branch-log version: the watermark, or the fork before any publish
@@ -1400,7 +1426,8 @@ object ManifestTable {
     // the publish delta against the fork base, so it must stay resolvable
     // for as long as the branch exists.
     val forks = branches(dir).keysIterator
-      .map(b => forkVersion(dir, b)).toSet
+      .flatMap(b => scala.util.Try(forkVersion(dir, b)).toOption) // zombie-tolerant
+      .toSet
     val tagged = (tags(dir).values.toSet ++ forks).intersect(committed.toSet)
     val kept = (committed.takeRight(keep).toSet ++ tagged).toSeq.sorted
     val cutoff = committed.takeRight(keep).head

@@ -133,12 +133,14 @@ object Similarity {
   def assignNearest(vecs: DataFrame, idCol: String, vecCol: String,
                     cents: DataFrame): DataFrame =
     vecs.crossJoin(broadcast(centroidArray(cents)))
+      // an EMPTY centroid set folds to an empty array: filter on the
+      // ARRAY size (not a null argmax) to keep the pre-fold semantics —
+      // no centroids -> no assignments, while a null VECTOR still
+      // surfaces its row with cluster NULL exactly as the crossJoin
+      // formulation did
+      .where(size(col("_cents")) > 0)
       .select(col(idCol), col(vecCol),
         nearestCluster(col(vecCol), col("_cents")).as("cluster"))
-      // an EMPTY centroid set folds to an empty array and a null argmax;
-      // dropping those rows keeps the pre-fold semantics (no centroids ->
-      // no assignments) instead of silently emitting cluster NULL
-      .where(col("cluster").isNotNull)
 
   /** Lloyd's k-means refinement over an embedding column: each iteration
     * re-assigns every vector to its nearest centroid (by cosine — the
@@ -159,9 +161,9 @@ object Similarity {
     var out: DataFrame = null
     for (_ <- 0 until iters) {
       val assigned = vecs.crossJoin(broadcast(centroidArray(cents)))
+        .where(size(col("_cents")) > 0) // empty cents -> empty iteration
         .select(nearestCluster(col(vecCol), col("_cents")).as("cluster"),
           col(vecCol).as("_v"))
-        .where(col("cluster").isNotNull) // empty cents -> empty iteration
 
       out = assigned.groupBy("cluster")
         .agg(count(lit(1)).as("n"), mean(col("_v")).as("centroid"))

@@ -197,6 +197,13 @@ class PartitionedTableSpec extends AnyFunSuite {
     assert(labels.nonEmpty && labels.forall(_.startsWith("ts_hour=")), s"labels: $labels")
     assert(labels.exists(_.contains("..")),
       s"old day-clustered files must label as hour spans: $labels")
+    // truncate + bare identity survive the top-level-comma split
+    // (truncate(3, s) carries a comma INSIDE its parens)
+    spark.sql("CREATE TABLE gpt.db.evt (s STRING, k BIGINT) USING manifest")
+    val tr = spark.sql(
+      "CALL gpt.system.set_partitioning('db.evt', 'truncate(3, s), k')")
+      .head().getString(0)
+    assert(tr === "truncate(3, s), k", s"truncate spec mangled: $tr")
     // guards: unknown column, bucketed tables
     intercept[Exception] {
       spark.sql("CALL gpt.system.set_partitioning('db.evo', 'hours(nope)')").collect()

@@ -430,6 +430,40 @@ class ManifestTableSpec extends AnyFunSuite {
     assert(ManifestTable.read(spark, dir).count() === 2L + 4L)
   }
 
+  test("branch hygiene: writes to a dropped branch fail loudly; zombies never wedge vacuum; torn watermark degrades") {
+    val dir = freshDir()
+    ManifestTable.write(df(10), dir)
+    ManifestTable.createBranch(dir, "b")
+    ManifestTable.appendToBranch(df(3), dir, "b")
+    ManifestTable.dropBranch(dir, "b")
+    // a writer racing the drop must fail, not resurrect a fork-less log
+    val e = intercept[Exception] {
+      ManifestTable.appendToBranch(df(2), dir, "b")
+    }
+    assert(e.getMessage.contains("dropped") || e.getMessage.contains("no branch"))
+    // simulate the zombie a pre-fix racer could leave (markers, no _fork):
+    // vacuum must tolerate it instead of throwing forever
+    val zombieLog = s"$dir/_branch_zomb"
+    ManifestTable.commitStagedAppend(zombieLog,
+      ManifestTable.stagePool(df(2), dir), dataDir = Some(dir))
+    assert(ManifestTable.branches(dir).contains("zomb"))
+    ManifestTable.vacuum(dir, keep = 2, orphanRetainMs = 0L) // must not throw
+    assert(ManifestTable.read(spark, dir).count() === 10L)
+    // a torn/empty _published watermark (crash between create and write)
+    // parses as absent: publish still succeeds and stays exact
+    ManifestTable.createBranch(dir, "w")
+    ManifestTable.appendToBranch(df(4), dir, "w")
+    assert(ManifestTable.fastForward(dir, "w") > 0)
+    assert(ManifestTable.read(spark, dir).count() === 14L)
+    val fs = LakeStorage.openFor(dir)
+    val wm = new Path(s"$dir/_branch_w", "_published")
+    fs.create(wm, true).close() // truncate to empty
+    ManifestTable.appendToBranch(df(5), dir, "w")
+    ManifestTable.fastForward(dir, "w") // re-widened diff, idempotent adds
+    assert(ManifestTable.read(spark, dir).count() === 19L,
+      "publish after a torn watermark must neither fail nor duplicate")
+  }
+
   test("pool writes force INT64 micros timestamps WITHOUT touching session conf") {
     // manifest data files need INT64 MICROS for footer min/max (data
     // skipping / transform pruning), but the session's own setting — and

@@ -486,6 +486,28 @@ class OperatorsSpec extends AnyFunSuite {
     assert(pairs === Set((1L, 2L)), "cross-block pairs must not be compared")
   }
 
+  test("assignNearest edge semantics: empty centroids -> zero rows; null vector keeps its row") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Array(1f, 0f)),
+      (2L, null.asInstanceOf[Array[Float]]))
+      .toDF("id", "vec")
+    val cents = Seq((0L, Array(1f, 0f)), (1L, Array(0f, 1f)))
+      .toDF("cluster", "centroid")
+    // null-vector rows KEEP their row (all scores null -> the nan-safe
+    // tiebreak lands on the smallest cluster id, same as the crossJoin
+    // formulation) — silently dropping them would lose corpus rows
+    val out = graft.operators.Similarity
+      .assignNearest(vecs, "id", "vec", cents)
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(2)) -1L else r.getLong(2)))
+      .sortBy(_._1)
+    assert(out === Array((1L, 0L), (2L, 0L)))
+    // an EMPTY centroid set assigns nothing at all
+    val empty = cents.filter(col("cluster") < 0)
+    assert(graft.operators.Similarity
+      .assignNearest(vecs, "id", "vec", empty).count() === 0L)
+  }
+
   test("real image codec: PNG encode/decode round trip, resize re-decodes to planned dims") {
     // encode → decode recovers the generative parameters exactly (lossless)
     val bytes = Multimodal.ImageCodec.encodePng(40, 20, 10, 200, 77)
