@@ -357,7 +357,8 @@ class ManifestScanBuilder(mkBuilder: (Seq[String], Boolean) => org.apache.spark.
       val cols = sts.map(_.col(key))
       val distinct =
         if (cols.forall(_.exists(_.ndvSketch.isDefined)))
-          Some(graft.core.NdvStats.mergedDistinct(cols.map(_.get.ndvSketch.get)))
+          Some(graft.core.NdvStats.mergedDistinctCached(dir, key, planned,
+            cols.map(_.get.ndvSketch.get)))
         else None
       val nulls =
         if (cols.forall(_.exists(_.nullCount.isDefined)))

@@ -69,7 +69,11 @@ object NdvStats {
     }
 
   /** Union per-file sketches into one distinct-count estimate
-    * (driver-side; sketches are ~KB each and union is O(registers)). */
+    * (driver-side; sketches are ~KB each and union is O(registers)).
+    * Estimates count STORED rows — deletion-vector-masked rows are still
+    * in their files' sketches, so a heavily vectored table overcounts
+    * until `purge_deletes` rewrites (estimate-grade, like all CBO
+    * stats). */
   def mergedDistinct(sketches: Iterable[Array[Byte]]): Long = {
     val union = new org.apache.datasketches.hll.Union(12)
     sketches.foreach { b =>
@@ -77,5 +81,32 @@ object NdvStats {
         org.apache.datasketches.memory.Memory.wrap(b)))
     }
     math.round(union.getResult.getEstimate)
+  }
+
+  /** [[mergedDistinct]] memoized by (dir, column, planned-file-set):
+    * data files are immutable once committed, so a (file set, column)
+    * pair always merges to the same estimate — and scan PLANNING must
+    * not pay an O(files) sketch union per query on a 10⁵-file table
+    * (~µs per union × 100k files ≈ 0.3 s/plan otherwise). The key
+    * hashes the planned names (String#hashCode is cached per instance),
+    * not the sketch bytes. */
+  private val MergeCacheMax = 256
+  private val mergeCache =
+    new java.util.LinkedHashMap[(String, String, Int, Int), java.lang.Long](64, 0.75f, true) {
+      override protected def removeEldestEntry(
+          e: java.util.Map.Entry[(String, String, Int, Int), java.lang.Long]): Boolean =
+        size() > MergeCacheMax
+    }
+
+  def mergedDistinctCached(dir: String, col: String, plannedFiles: Seq[String],
+                           sketches: => Iterable[Array[Byte]]): Long = {
+    val key = (dir, col, plannedFiles.length, plannedFiles.hashCode())
+    mergeCache.synchronized {
+      val hit = mergeCache.get(key)
+      if (hit != null) return hit.longValue
+    }
+    val merged = mergedDistinct(sketches)
+    mergeCache.synchronized { mergeCache.put(key, java.lang.Long.valueOf(merged)); () }
+    merged
   }
 }
