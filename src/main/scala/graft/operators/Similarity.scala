@@ -104,10 +104,15 @@ object Similarity {
 
   /** The K centroids folded into ONE array-of-structs row, so assignment
     * can broadcast them and run as a pure map over the corpus. The fold
-    * itself exchanges only K rows (SinglePartition of the centroid set). */
+    * itself exchanges only K rows (SinglePartition of the centroid set).
+    * An EMPTY centroid set filters to ZERO rows HERE — one size() check
+    * on the single folded row, so the downstream crossJoin yields no
+    * assignments (the pre-fold semantics) with no per-corpus-row work;
+    * null VECTORS still keep their rows (deterministic tiebreak). */
   private def centroidArray(cents: DataFrame): DataFrame =
     cents.agg(collect_list(struct(
       col("cluster").cast("long").as("cluster"), col("centroid"))).as("_cents"))
+      .where(size(col("_cents")) > 0)
 
   /** Nearest-centroid argmax as a higher-order function over the broadcast
     * centroid array — a PURE MAP: zero Exchange between the corpus scan and
@@ -133,12 +138,6 @@ object Similarity {
   def assignNearest(vecs: DataFrame, idCol: String, vecCol: String,
                     cents: DataFrame): DataFrame =
     vecs.crossJoin(broadcast(centroidArray(cents)))
-      // an EMPTY centroid set folds to an empty array: filter on the
-      // ARRAY size (not a null argmax) to keep the pre-fold semantics —
-      // no centroids -> no assignments, while a null VECTOR still
-      // surfaces its row with cluster NULL exactly as the crossJoin
-      // formulation did
-      .where(size(col("_cents")) > 0)
       .select(col(idCol), col(vecCol),
         nearestCluster(col(vecCol), col("_cents")).as("cluster"))
 
@@ -161,7 +160,6 @@ object Similarity {
     var out: DataFrame = null
     for (_ <- 0 until iters) {
       val assigned = vecs.crossJoin(broadcast(centroidArray(cents)))
-        .where(size(col("_cents")) > 0) // empty cents -> empty iteration
         .select(nearestCluster(col(vecCol), col("_cents")).as("cluster"),
           col(vecCol).as("_v"))
 
@@ -217,6 +215,7 @@ object Similarity {
                      hyper: DataFrame): DataFrame = {
     val hyperArr = hyper.agg(collect_list(struct(
       col("h_id").cast("int").as("h_id"), col("h_vec"))).as("_hyper"))
+      .where(size(col("_hyper")) > 0) // empty plane set -> zero buckets
     vecs.select(col(idCol), col(vecCol))
       .crossJoin(broadcast(hyperArr))
       .select(col(idCol),
