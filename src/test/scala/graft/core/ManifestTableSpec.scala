@@ -430,6 +430,40 @@ class ManifestTableSpec extends AnyFunSuite {
     assert(ManifestTable.read(spark, dir).count() === 2L + 4L)
   }
 
+  test("incremental publish races: twin publishers + concurrent main appends lose nothing, duplicate nothing") {
+    val dir = freshDir()
+    ManifestTable.write(df(10), dir)
+    ManifestTable.createBranch(dir, "p")
+    var expected = 10L
+    (1 to 3).foreach { round =>
+      ManifestTable.appendToBranch(df(round * 4), dir, "p") // staged delta
+      expected += round * 4
+      // two publishers race each other AND a concurrent main appender;
+      // the per-file idempotent delta + watermark must ship each staged
+      // file exactly once whoever wins, and carry the append
+      val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val ts = Seq(
+        new Thread(() =>
+          try { ManifestTable.fastForward(dir, "p"); () }
+          catch { case e: Throwable => errors.add(e); () }),
+        new Thread(() =>
+          try { ManifestTable.fastForward(dir, "p"); () }
+          catch { case e: Throwable => errors.add(e); () }),
+        new Thread(() =>
+          try { ManifestTable.append(df(3), dir); () }
+          catch { case e: Throwable => errors.add(e); () }))
+      ts.foreach(_.start()); ts.foreach(_.join())
+      expected += 3
+      assert(errors.isEmpty, s"round $round: ${errors.toArray.mkString(", ")}")
+      assert(ManifestTable.read(spark, dir).count() === expected,
+        s"round $round row count")
+      val files = ManifestTable.manifest(dir,
+        ManifestTable.currentVersion(dir).get)
+      assert(files.distinct.length === files.length,
+        s"round $round published duplicate file entries")
+    }
+  }
+
   test("branch hygiene: writes to a dropped branch fail loudly; zombies never wedge vacuum; torn watermark degrades") {
     val dir = freshDir()
     ManifestTable.write(df(10), dir)
