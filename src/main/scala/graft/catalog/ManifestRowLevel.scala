@@ -16,7 +16,7 @@ import org.apache.spark.sql.execution.datasources.{FilePartition, OutputWriter, 
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
 import org.apache.spark.sql.sources.{Filter, In}
-import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.types.{ByteType, DataType, DateType, IntegerType, LongType, ShortType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.util.SerializableConfiguration
@@ -245,7 +245,8 @@ class ManifestScanBuilder(mkBuilder: (Seq[String], Boolean) => org.apache.spark.
                           allPaths: Seq[String] = Seq.empty,
                           pathStats: Map[String, graft.core.FileStats.Stats] = Map.empty,
                           dir: String = "",
-                          dvByRel: Map[String, graft.core.DeletionVectors.DvRef] = Map.empty)
+                          dvByRel: Map[String, graft.core.DeletionVectors.DvRef] = Map.empty,
+                          declaredSchema: StructType = new StructType())
     extends ScanBuilder
     with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
     with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
@@ -296,9 +297,129 @@ class ManifestScanBuilder(mkBuilder: (Seq[String], Boolean) => org.apache.spark.
   override def pushedFilters: Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
     inner.pushedFilters
 
+  /** Set when an unfiltered, ungrouped aggregation can be answered
+    * ENTIRELY from the log's per-file statistics — see pushAggregation. */
+  private var metadataAgg: Option[(StructType, InternalRow)] = None
+
+  /** METADATA-ONLY aggregation: an unfiltered, ungrouped COUNT(*) /
+    * COUNT(col) / MIN(col) / MAX(col) over a table whose log records every
+    * live file's statistics is a driver-side fold — zero file opens, zero
+    * footer reads, O(1) Spark jobs. The level above parquet's own
+    * aggregate pushdown (which still opens every footer), and what keeps
+    * `SELECT count(*)` instant on a 10⁵-file table. Partial-pushdown
+    * contract: the scan serves ONE row and Spark's final aggregate folds
+    * it (sum for counts, min/max idempotent).
+    *
+    * Soundness rules, per aggregate:
+    *  - COUNT(*): every planned file carries a row count; pending deletion
+    *    vectors SUBTRACT their exact log-recorded cardinalities (stored −
+    *    vectored = live).
+    *  - COUNT(col): additionally needs the column's exact null count in
+    *    every file, and NO pending vectors (a vector cannot say whether it
+    *    deleted null or non-null rows).
+    *  - MIN/MAX(col): integral/date columns only (exactly what the log
+    *    indexes loss-lessly), bounds present in every file that has
+    *    non-null rows (an all-null file constrains nothing), and NO
+    *    pending vectors (a vector may have deleted the extreme row).
+    * Anything else refuses here and falls through to the parquet builder. */
+  private def servableMetadataAgg(
+      aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Option[(StructType, InternalRow)] = {
+    import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min}
+    if (savedFilters.nonEmpty || aggregation.groupByExpressions.nonEmpty) return None
+    if (!allPaths.forall(pathStats.contains)) return None
+    val declared = declaredSchema
+    if (declared.isEmpty) return None
+    val sts = allPaths.map(pathStats)
+
+    def colName(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+      e match {
+        case f: NamedReference if f.fieldNames.length == 1 =>
+          Some(f.fieldNames.head)
+        case _ => None
+      }
+    def field(name: String): Option[StructField] =
+      declared.fields.find(_.name.equalsIgnoreCase(name))
+    def colKey(name: String): String = name.toLowerCase(java.util.Locale.ROOT)
+    /** Catalyst value for a log LongVal under the column's declared type. */
+    def typed(dt: DataType, v: Long): Option[Any] = dt match {
+      case LongType    => Some(v)
+      case IntegerType => Some(v.toInt)
+      case ShortType   => Some(v.toShort)
+      case ByteType    => Some(v.toByte)
+      case DateType    => Some(v.toInt) // log stores epoch days
+      case org.apache.spark.sql.types.TimestampType |
+           org.apache.spark.sql.types.TimestampNTZType => Some(v) // micros
+      case _           => None
+    }
+    val liveRows = allPaths.iterator.map { p =>
+      pathStats(p).rowCount -
+        dvByRel.get(ManifestSparkTable.relOf(dir, p)).map(_.count).getOrElse(0L)
+    }.sum
+
+    def bound(col: org.apache.spark.sql.connector.expressions.Expression,
+              isMin: Boolean): Option[(StructField, Any)] =
+      for {
+        name <- colName(col)
+        f <- field(name)
+        _ <- typed(f.dataType, 0L) // type servable at all?
+        stats = sts.map(s => (s.rowCount, s.col(colKey(name))))
+        // each file: a usable bound, or provably all-null (constrains
+        // nothing); a file with non-null rows but no recorded bound
+        // poisons the whole fold
+        bounds <- stats.foldLeft(Option(Seq.empty[Long])) {
+          case (None, _) => None
+          case (Some(acc), (rows, cs)) =>
+            val b = cs.flatMap(c => if (isMin) c.min else c.max)
+            b match {
+              case Some(graft.core.FileStats.LongVal(v)) => Some(acc :+ v)
+              case Some(_) => None // non-integral stat shape
+              case None =>
+                val allNull = rows == 0L ||
+                  cs.exists(c => c.nullCount.contains(rows))
+                if (allNull) Some(acc) else None
+            }
+        }
+      } yield {
+        val agg = if (bounds.isEmpty) null
+          else typed(f.dataType, if (isMin) bounds.min else bounds.max).orNull
+        (StructField(s"${if (isMin) "min" else "max"}($name)", f.dataType,
+          nullable = true), agg)
+      }
+
+    val served: Seq[Option[(StructField, Any)]] =
+      aggregation.aggregateExpressions.toSeq.map {
+        case _: CountStar =>
+          Some((StructField("count(*)", LongType, nullable = false), liveRows))
+        case c: Count if !c.isDistinct && !dvActive =>
+          for {
+            name <- colName(c.column())
+            _ <- field(name)
+            nulls <- Some(sts.map(_.col(colKey(name)).flatMap(_.nullCount)))
+            if nulls.forall(_.isDefined)
+          } yield (StructField(s"count($name)", LongType, nullable = false),
+            allPaths.map(pathStats(_).rowCount).sum - nulls.flatten.sum)
+        case m: Min if !dvActive => bound(m.column(), isMin = true)
+        case m: Max if !dvActive => bound(m.column(), isMin = false)
+        case _ => None
+      }
+
+    if (served.exists(_.isEmpty)) None
+    else {
+      val (fields, values) = served.flatten.unzip
+      Some((StructType(fields), InternalRow.fromSeq(values)))
+    }
+  }
+
   override def pushAggregation(aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    servableMetadataAgg(aggregation).foreach { agg =>
+      metadataAgg = Some(agg)
+      savedAgg = Some(aggregation)
+      aggPushed = true
+      return true
+    }
     // per-file pre-aggregation counts rows the vectors have deleted —
-    // refuse pushdown while any vector is pending (purge restores it)
+    // refuse parquet pushdown while any vector is pending (purge restores
+    // it); the metadata COUNT(*) above already handled the exact case
     if (dvActive) return false
     aggPushed = inner.pushAggregation(aggregation)
     if (aggPushed) savedAgg = Some(aggregation)
@@ -379,6 +500,15 @@ class ManifestScanBuilder(mkBuilder: (Seq[String], Boolean) => org.apache.spark.
   }
 
   override def build(): Scan = {
+    // metadata-only aggregation: one local row, no file is ever opened
+    metadataAgg.foreach { case (schema, row) =>
+      return new org.apache.spark.sql.connector.read.LocalScan {
+        override def readSchema(): StructType = schema
+        override def rows(): Array[InternalRow] = Array(row)
+        override def description(): String =
+          s"MetadataAggScan(${schema.fieldNames.mkString(", ")})"
+      }
+    }
     val (chosen, planned) = statsPrunedBuilder().getOrElse((inner, allPaths))
     // exact planned-row cardinality for CBO/AQE, when the log's stats
     // cover every planned file (vacuously exact 0 for a fully pruned or
@@ -408,7 +538,7 @@ class ManifestScanBuilder(mkBuilder: (Seq[String], Boolean) => org.apache.spark.
             exactRows, savedFilters,
             Option(options.get("maxVersionsPerTrigger")).map(_.toLong),
             Option(options.get("maxFilesPerTrigger")).map(_.toLong),
-            Option(options.get("maxBytesPerTrigger")).map(_.toLong)): Scan
+            Option(options.get("maxBytesPerTrigger")).map(_.toLong))(): Scan
       }
       val dataFields = parquet.readSchema().fields
         .filterNot(_.name == DvRead.RowIndexCol)
@@ -438,13 +568,24 @@ class ManifestScanBuilder(mkBuilder: (Seq[String], Boolean) => org.apache.spark.
         // start_version seeds a FRESH stream's initial offset (the batch
         // path reads the same option as a bounded incremental scan)
         case Some((dir, declared)) if !aggPushed =>
+          // runtime (join-driven) file pruning inputs: the planned file
+          // list + its log stats, and a replay closure that rebuilds the
+          // identical scan over a reduced file list (same pushed filters,
+          // same pruned schema — it differs ONLY in files)
+          val rebuild = (files: Seq[String]) => {
+            val b = mkBuilder(files, withRowIndex)
+            if (savedFilters.nonEmpty) { b.pushFilters(savedFilters); () }
+            savedSchema.foreach(s => b.pruneColumns(prunedForInner(s)))
+            b.build().asInstanceOf[
+              org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan]
+          }
           ManifestStreamScan(parquet, dir, declared,
             Option(options.get("start_version")).map(_.toLong).getOrElse(0L),
             exactRows, savedFilters,
             Option(options.get("maxVersionsPerTrigger")).map(_.toLong),
             Option(options.get("maxFilesPerTrigger")).map(_.toLong),
             Option(options.get("maxBytesPerTrigger")).map(_.toLong),
-            servedColumnStats(planned))
+            servedColumnStats(planned))(planned, pathStats, Some(rebuild))
         case _ => parquet
       }
     }

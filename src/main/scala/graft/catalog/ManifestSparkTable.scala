@@ -212,7 +212,8 @@ class ManifestSparkTable(dir: String, declared: StructType,
       // the plain scan doubles as a micro-batch streaming source (offset =
       // manifest version); a time-travel view is a frozen snapshot, not a log
       streamSource = if (asOf.isEmpty && branch.isEmpty) Some((dir, declared)) else None,
-      allPaths = paths, pathStats = stats, dir = dir, dvByRel = dvs)
+      allPaths = paths, pathStats = stats, dir = dir, dvByRel = dvs,
+      declaredSchema = declared)
   }
 
   // ---- row-level DML ----

@@ -38,6 +38,14 @@ case class ManifestStreamScan(inner: ParquetScan, dir: String,
                               maxFilesPerTrigger: Option[Long] = None,
                               maxBytesPerTrigger: Option[Long] = None,
                               colStats: Map[String, ManifestScanBuilder.ServedColStat] = Map.empty)
+                             // second parameter list: runtime-pruning
+                             // inputs, EXCLUDED from case-class equality
+                             // (the rebuild closure would defeat the
+                             // file-set-keyed scan reuse the first list
+                             // preserves)
+                             (val plannedFiles: Seq[String] = Seq.empty,
+                              val pathStats: Map[String, graft.core.FileStats.Stats] = Map.empty,
+                              val rebuildScan: Option[Seq[String] => ParquetScan] = None)
     extends Scan with SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
     with org.apache.spark.sql.internal.connector.SupportsMetadata {
@@ -92,13 +100,19 @@ case class ManifestStreamScan(inner: ParquetScan, dir: String,
 
   // Runtime (dynamic) pruning: after a join's build side executes, Spark
   // hands the probe-side scan the build keys (e.g. an IN filter) and
-  // re-plans via toBatch. FileScan exposes no runtime-filtering interface
-  // of its own in this Spark version, so the wrapper implements it by
-  // RE-PUSHING the runtime filters into the parquet scan's pushedFilters —
-  // the re-planned read then skips row groups whose min/max statistics
-  // exclude every build key. Join runtime filters are semantically
-  // droppable rows only, so over-pushing is always safe.
-  @volatile private[catalog] var runtimeScan: ParquetScan = inner
+  // re-plans via toBatch. Two levels, both from the same filters:
+  //  1. FILE-level: the log's per-file min/max statistics drop every
+  //     planned file no build key can live in, and the parquet scan is
+  //     REBUILT over the survivors — the excluded files are never opened
+  //     (no footer read, no split), which is the level that matters when
+  //     a dimension filter touches a sliver of a 10⁵-file fact table.
+  //  2. ROW-GROUP level: the filters are also re-pushed into the rebuilt
+  //     scan's pushedFilters, so surviving files still skip row groups
+  //     whose footer statistics exclude every key.
+  // Join runtime filters are semantically droppable rows only, so
+  // over-pruning conservatively (mayMatchFilter) and over-pushing are
+  // both always safe; any rebuild surprise falls back to the full scan.
+  @volatile private[graft] var runtimeScan: ParquetScan = inner
   override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
     inner.readDataSchema.fieldNames
       .map(org.apache.spark.sql.connector.expressions.Expressions.column)
@@ -106,8 +120,19 @@ case class ManifestStreamScan(inner: ParquetScan, dir: String,
     val readable = inner.readDataSchema.fieldNames.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
     val supported = filters.filter(_.references.forall(r =>
       readable.contains(r.toLowerCase(java.util.Locale.ROOT))))
-    if (supported.nonEmpty)
-      runtimeScan = inner.copy(pushedFilters = inner.pushedFilters ++ supported)
+    if (supported.isEmpty) return
+    val base = rebuildScan match {
+      case Some(rebuild) if plannedFiles.nonEmpty =>
+        val survivors = plannedFiles.filter { p =>
+          pathStats.get(p).forall(s => supported.forall(f =>
+            graft.core.FileStats.mayMatchFilter(f, s, declared)))
+        }
+        if (survivors.length < plannedFiles.length)
+          scala.util.Try(rebuild(survivors)).getOrElse(inner)
+        else inner
+      case _ => inner
+    }
+    runtimeScan = base.copy(pushedFilters = base.pushedFilters ++ supported)
   }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =

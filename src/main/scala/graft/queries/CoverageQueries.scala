@@ -703,6 +703,127 @@ object CoverageQueries extends QueryModule {
         .toDF("ndv_docid_served", "ndv_lang_served", "n_docs", "total_chars")
     },
 
+    // --- runtime (join-driven) file pruning: a DIMENSION filter's
+    //     surviving join keys reach the manifest fact scan as a runtime
+    //     filter (Spark's dynamic-pruning subquery over the reused
+    //     broadcast), and the scan drops every fact FILE the log's
+    //     min/max stats exclude — never opened, no footer read. The
+    //     star-join 100 TB lever when the predicate lives on the
+    //     dimension, not the fact. Booleans are execution facts; the
+    //     join aggregate replays as a plain filter in the oracle ---
+    "qc37_runtime_file_pruning" -> { (s, d) =>
+      import s.implicits._
+      if (s.conf.getOption("spark.sql.catalog.graft_cat").isEmpty)
+        graft.catalog.GraftCatalog.register(s, "graft_cat",
+          graft.core.TempDirs.create("graft_cat_root_"))
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.db")
+      s.sql("DROP TABLE IF EXISTS graft_cat.db.rtp37")
+      s.sql("CREATE TABLE graft_cat.db.rtp37 " +
+        "(doc_id BIGINT, n_chars BIGINT) USING manifest")
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
+      // 8 single-file commits with disjoint doc_id ranges (a clustered fact)
+      val width = docs.agg(max("doc_id")).head().getLong(0) / 8 + 1
+      (0 until 8).foreach { i =>
+        docs.filter(col("doc_id") >= i * width && col("doc_id") < (i + 1) * width)
+          .coalesce(1).writeTo("graft_cat.db.rtp37").append()
+      }
+      // scan-backed dimension filtered on a NON-join attribute (the classic
+      // star shape: filter d_attr, join d_id) — nothing for static
+      // constraint propagation to infer onto the fact side, so only the
+      // RUNTIME filter (the dim's surviving keys, 0..59 at every scale
+      // factor, all in the first fact file) can prune fact files
+      val dimDir = graft.core.TempDirs.create("graft_qc37_dim_")
+      docs.select(col("doc_id").as("d_id"), col("doc_id").as("d_attr"))
+        .write.mode("overwrite").parquet(dimDir)
+      val dim = s.read.parquet(dimDir).filter(col("d_attr") < 60).select("d_id")
+      val joined = s.table("graft_cat.db.rtp37")
+        .join(broadcast(dim), col("doc_id") === col("d_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").cast("long").as("total_chars"))
+      // collect() executes THIS DataFrame's own QueryExecution — the plan
+      // inspected below (head() would plan a separate limit(1) execution
+      // with its own scan instance, and the evidence would read an
+      // un-executed plan)
+      val agg = joined.collect()(0)
+      // the EXECUTED adaptive plan wraps materialized stages in leaf
+      // QueryStageExec nodes — descend into them to reach the fact scan
+      def scans(p: org.apache.spark.sql.execution.SparkPlan):
+          Seq[org.apache.spark.sql.execution.datasources.v2.BatchScanExec] =
+        p.collect {
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => Seq(b)
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => scans(q.plan)
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            scans(a.executedPlan)
+        }.flatten
+      val factScans = scans(joined.queryExecution.executedPlan)
+        .filter(_.scan.isInstanceOf[graft.catalog.ManifestStreamScan])
+      val attached = factScans.exists(_.runtimeFilters.nonEmpty)
+      val pruned = factScans.headOption.exists { b =>
+        val ms = b.scan.asInstanceOf[graft.catalog.ManifestStreamScan]
+        ms.runtimeScan.fileIndex.inputFiles.length < ms.plannedFiles.length
+      }
+      Seq((attached, pruned, agg.getLong(0), agg.getLong(1)))
+        .toDF("runtime_filter_attached", "files_runtime_pruned",
+          "n_docs", "total_chars")
+    },
+
+    // --- metadata-only COUNT(*) (ManifestScanBuilder.pushAggregation):
+    //     an unfiltered, ungrouped count is a driver-side sum of the
+    //     log's per-file row counts served as a one-row LocalScan — zero
+    //     file opens, zero footer reads, O(1) jobs; what keeps
+    //     `SELECT count(*)` instant on a 10⁵-file table (the level above
+    //     parquet's own count pushdown, which still opens every footer).
+    //     Time travel counts the snapshot; a pending deletion vector
+    //     disables the fast path (stored rows ≠ live rows) and the
+    //     row-address read stays exact ---
+    "qc38_metadata_count" -> { (s, d) =>
+      import s.implicits._
+      if (s.conf.getOption("spark.sql.catalog.graft_cat").isEmpty)
+        graft.catalog.GraftCatalog.register(s, "graft_cat",
+          graft.core.TempDirs.create("graft_cat_root_"))
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.db")
+      s.sql("DROP TABLE IF EXISTS graft_cat.db.mc38")
+      Tables.documents(s, d).createOrReplaceTempView("qc38_documents")
+      s.sql("CREATE TABLE graft_cat.db.mc38 " +
+        "(doc_id BIGINT, n_chars BIGINT) USING manifest " +
+        "TBLPROPERTIES ('graft.dml.mode' = 'merge-on-read')")
+      s.sql("INSERT INTO graft_cat.db.mc38 SELECT doc_id, n_chars " +
+        "FROM qc38_documents WHERE doc_id < 150")                        // v1
+      s.sql("INSERT INTO graft_cat.db.mc38 SELECT doc_id, n_chars " +
+        "FROM qc38_documents WHERE doc_id >= 150")                       // v2
+      def run(sql: String): (Long, String) = {
+        val df = s.sql(sql)
+        val n = df.collect()(0).getLong(0) // evidence reads THIS execution
+        (n, df.queryExecution.executedPlan.toString)
+      }
+      val (nTotal, pTotal) = run("SELECT count(*) FROM graft_cat.db.mc38")
+      val (nSnap, pSnap) =
+        run("SELECT count(*) FROM graft_cat.db.mc38 VERSION AS OF 1")
+      val mm = s.sql("SELECT min(doc_id) AS mn, max(doc_id) AS mx, " +
+        "count(doc_id) AS c FROM graft_cat.db.mc38")
+      val mmRow = mm.collect()(0)
+      val mmPlan = mm.queryExecution.executedPlan.toString
+      val servedFromLog =
+        pTotal.contains("LocalTableScan") && !pTotal.contains("BatchScan") &&
+          pSnap.contains("LocalTableScan") && !pSnap.contains("BatchScan") &&
+          mmPlan.contains("LocalTableScan") && !mmPlan.contains("BatchScan")
+      // a pending vector: COUNT(*) stays metadata-only (the log records
+      // each vector's exact cardinality), MIN/MAX fall back to a real read
+      s.sql("DELETE FROM graft_cat.db.mc38 WHERE doc_id % 7 = 3")
+      val (nAfter, pAfter) = run("SELECT count(*) FROM graft_cat.db.mc38")
+      val dvCountServed = pAfter.contains("LocalTableScan")
+      val mnAfter = s.sql("SELECT min(doc_id) FROM graft_cat.db.mc38")
+      val dvMinFellBack =
+        !mnAfter.queryExecution.executedPlan.toString.contains("LocalTableScan") &&
+          mnAfter.collect()(0).getLong(0) == 0L // %7==3 spares doc_id 0
+      Seq((servedFromLog, dvCountServed, dvMinFellBack,
+          nTotal, nSnap, mmRow.getLong(0), mmRow.getLong(1), mmRow.getLong(2),
+          nAfter))
+        .toDF("metadata_agg_served", "dv_count_served", "dv_min_fell_back",
+          "n_total", "n_snapshot", "min_id", "max_id", "n_ids",
+          "n_after_delete")
+    },
+
     // --- snapshot tags (ManifestTable.tag + VERSION AS OF '<name>'):
     //     a named, vacuum-RETAINED snapshot — the training-data-release
     //     primitive. The tag is created before more writes and a DELETE,
@@ -1341,6 +1462,30 @@ object CoverageQueries extends QueryModule {
            count(*) AS n_docs,
            CAST(sum(n_chars) AS BIGINT) AS total_chars
          FROM documents""",
+
+    // the structural booleans are Spark plan facts (counts/min/max served
+    // as a local one-row scan; under a pending deletion vector the count
+    // keeps serving — stored − vectored — while min falls back to a real
+    // read); the aggregates replay over documents
+    "qc38_metadata_count" ->
+      """SELECT true AS metadata_agg_served, true AS dv_count_served,
+           true AS dv_min_fell_back,
+           (SELECT count(*) FROM documents) AS n_total,
+           (SELECT count(*) FROM documents WHERE doc_id < 150) AS n_snapshot,
+           (SELECT min(doc_id) FROM documents) AS min_id,
+           (SELECT max(doc_id) FROM documents) AS max_id,
+           (SELECT count(doc_id) FROM documents) AS n_ids,
+           (SELECT count(*) FROM documents WHERE doc_id % 7 <> 3) AS n_after_delete""",
+
+    // the structural booleans are Spark execution facts (a dynamic-pruning
+    // runtime filter reached the fact scan and file-pruned it via log
+    // stats); the dimension join replays as a plain key filter
+    "qc37_runtime_file_pruning" ->
+      """SELECT true AS runtime_filter_attached, true AS files_runtime_pruned,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+         FROM documents
+         WHERE doc_id < 60""",
 
     // the structural booleans are Spark-side facts (evolution rewrote no
     // file, the mixed-spec window pruned, labels follow the new spec);

@@ -61,10 +61,15 @@ class CatalogSpec extends AnyFunSuite {
     assert(df.collect().map(_.getLong(0)).toSeq === Seq(7L))
   }
 
-  test("manifest scans accept runtime join filters (re-pushed into parquet pushdown)") {
+  test("manifest scans accept runtime join filters (file-pruned via log stats + re-pushed)") {
     ensureDb()
     spark.sql("CREATE TABLE g.db.rtf (id BIGINT, v STRING) USING manifest")
-    spark.sql("INSERT INTO g.db.rtf SELECT id, CAST(id AS STRING) FROM range(100)")
+    // two single-file commits with disjoint id ranges: the log's min/max
+    // stats can prove one of them irrelevant to a runtime IN filter
+    spark.range(0, 100).coalesce(1)
+      .selectExpr("id", "CAST(id AS STRING) AS v").writeTo("g.db.rtf").append()
+    spark.range(100, 200).coalesce(1)
+      .selectExpr("id", "CAST(id AS STRING) AS v").writeTo("g.db.rtf").append()
     val scan = spark.table("g.db.rtf").queryExecution.optimizedPlan.collectFirst {
       case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
         r.scan
@@ -73,20 +78,73 @@ class CatalogSpec extends AnyFunSuite {
     // declares its read columns as runtime-filterable (what lets the
     // planner attach a dynamic-pruning subquery on a join key)
     assert(ms.filterAttributes().map(_.describe()).toSet === Set("id", "v"))
-    // a runtime IN over the join key lands in the parquet pushedFilters of
-    // the re-planned scan; a filter on an unknown column is ignored
-    val before = ms.runtimeScan.pushedFilters.length
+    val allFiles = ms.runtimeScan.fileIndex.inputFiles.length
+    assert(allFiles === 2, s"expected 2 planned files, got $allFiles")
+    // a runtime IN over the join key FILE-prunes via the log's stats (the
+    // 100..199 file is never opened) and lands in the survivors' parquet
+    // pushedFilters (row-group skipping); an unknown column is ignored
     ms.filter(Array[org.apache.spark.sql.sources.Filter](
       org.apache.spark.sql.sources.In("id", Array(1L, 2L))))
-    assert(ms.runtimeScan.pushedFilters.length === before + 1,
-      "runtime IN filter must be re-pushed into the parquet scan")
-    ms.filter(Array[org.apache.spark.sql.sources.Filter](
-      org.apache.spark.sql.sources.In("nope", Array(1L))))
+    assert(ms.runtimeScan.fileIndex.inputFiles.length === 1,
+      "runtime IN must drop the file whose stats exclude every key")
     assert(ms.runtimeScan.pushedFilters.exists {
       case org.apache.spark.sql.sources.In("id", _) => true; case _ => false
-    })
-    // the filtered scan still plans (row-group skipping is a reader concern)
+    }, "runtime IN filter must be re-pushed into the rebuilt parquet scan")
+    ms.filter(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.In("nope", Array(1L))))
+    // the filtered scan still plans and reads exactly the surviving rows
     assert(ms.toBatch.planInputPartitions().nonEmpty)
+  }
+
+  test("dimension filter runtime-prunes manifest fact files (v2 DPP end to end)") {
+    ensureDb()
+    spark.sql("DROP TABLE IF EXISTS g.db.dppfact")
+    spark.sql("CREATE TABLE g.db.dppfact (id BIGINT, v BIGINT) USING manifest")
+    // 8 single-file commits with disjoint id ranges — a clustered fact
+    (0 until 8).foreach { i =>
+      spark.range(i * 100L, (i + 1) * 100L).coalesce(1)
+        .selectExpr("id", "id * 2 AS v").writeTo("g.db.dppfact").append()
+    }
+    // a scan-backed dimension with a selective filter on a NON-join
+    // attribute: static constraint propagation cannot infer a fact-side
+    // predicate from it, so any file pruning is attributable to the
+    // RUNTIME (dynamic-pruning) filter alone
+    val dimDir = Files.createTempDirectory("graft_dpp_dim_").toString
+    spark.range(0, 800).selectExpr("id AS d_id", "id AS d_attr")
+      .write.mode("overwrite").parquet(dimDir)
+    val dim = spark.read.parquet(dimDir)
+      .filter(col("d_attr") < 40).select("d_id") // keys 0..39: 1 of 8 ranges
+    val joined = spark.table("g.db.dppfact")
+      .join(broadcast(dim), col("id") === col("d_id"))
+      .agg(count(lit(1)).as("n"), sum("v").as("s"))
+    // collect() executes THIS DataFrame's own QueryExecution (head() plans
+    // a separate limit(1) execution whose scan instance is a different one)
+    val row = joined.collect()(0)
+    assert(row.getLong(0) === 40L && row.getLong(1) === (0L until 40L).map(_ * 2).sum)
+    // execution attached a dynamic-pruning runtime filter to the fact scan
+    // and the scan file-pruned via log stats: 1 surviving file of 8.
+    // The EXECUTED adaptive plan wraps stages in leaf QueryStageExec
+    // nodes — descend into them to reach the scan that actually ran.
+    def allScans(p: org.apache.spark.sql.execution.SparkPlan):
+        Seq[org.apache.spark.sql.execution.datasources.v2.BatchScanExec] =
+      p.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => Seq(b)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => allScans(q.plan)
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          allScans(a.executedPlan)
+      }.flatten
+    val exec = joined.queryExecution.executedPlan
+    val scans = allScans(exec).filter(_.scan.isInstanceOf[ManifestStreamScan])
+    assert(scans.nonEmpty, s"no manifest BatchScanExec in:\n$exec")
+    val fact = scans.head
+    assert(fact.runtimeFilters.nonEmpty,
+      s"no runtime (dynamic-pruning) filter attached to the fact scan:\n$exec")
+    val ms = fact.scan.asInstanceOf[ManifestStreamScan]
+    assert(ms.plannedFiles.length === 8,
+      "static planning must keep all 8 files (no inferable fact predicate)")
+    assert(ms.runtimeScan.fileIndex.inputFiles.length === 1,
+      s"log-stats runtime pruning must keep 1 of 8 files, kept " +
+        s"${ms.runtimeScan.fileIndex.inputFiles.length}")
   }
 
   test("CTAS creates a manifest table from the query schema") {

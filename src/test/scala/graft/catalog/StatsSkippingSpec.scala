@@ -284,6 +284,83 @@ class StatsSkippingSpec extends AnyFunSuite {
     assert(pruned.exists(n => n.isPresent && n.getAsLong === 50L))
   }
 
+  test("unfiltered COUNT(*) is metadata-only: answered from the log, no file opened") {
+    spark.sql("CREATE TABLE gk.db.mc (id BIGINT, v STRING) USING manifest " +
+      "TBLPROPERTIES ('graft.dml.mode' = 'merge-on-read')")
+    spark.sql("INSERT INTO gk.db.mc SELECT id, CAST(id AS STRING) FROM range(100)")
+    spark.sql("INSERT INTO gk.db.mc SELECT id, CAST(id AS STRING) FROM range(100, 250)")
+    def run(sql: String): (Long, org.apache.spark.sql.execution.SparkPlan) = {
+      val df = spark.sql(sql)
+      val n = df.collect()(0).getLong(0) // collect: evidence reads THIS execution
+      (n, df.queryExecution.executedPlan)
+    }
+    val (n1, p1) = run("SELECT count(*) FROM gk.db.mc")
+    assert(n1 === 250L)
+    assert(p1.toString.contains("LocalTableScan"),
+      s"count(*) must serve from the log:\n$p1")
+    assert(p1.collect { case b: BatchScanExec => b }.isEmpty,
+      s"metadata count must not plan a file scan:\n$p1")
+    // time travel counts the SNAPSHOT's files, still metadata-only
+    val (nv, pv) = run("SELECT count(*) FROM gk.db.mc VERSION AS OF 1")
+    assert(nv === 100L)
+    assert(pv.toString.contains("LocalTableScan"), s"travelled count:\n$pv")
+    // a data filter disables the fast path (a real scan plans) and stays exact
+    val (nf, pf) = run("SELECT count(*) FROM gk.db.mc WHERE id >= 200")
+    assert(nf === 50L)
+    assert(pf.collect { case b: BatchScanExec => b }.nonEmpty,
+      s"filtered count must scan:\n$pf")
+    // MIN/MAX/COUNT(col) on an integral column serve from the log bounds
+    val mm = spark.sql("SELECT min(id), max(id), count(id) FROM gk.db.mc")
+    val mmRow = mm.collect()(0)
+    assert((mmRow.getLong(0), mmRow.getLong(1), mmRow.getLong(2)) === ((0L, 249L, 250L)))
+    val mmPlan = mm.queryExecution.executedPlan
+    assert(mmPlan.toString.contains("LocalTableScan") &&
+      mmPlan.collect { case b: BatchScanExec => b }.isEmpty,
+      s"min/max/count(col) must serve from the log:\n$mmPlan")
+    // a string column's bounds are not served (only loss-less integral
+    // stats are) — falls through to a real scan, still exact
+    val sm = spark.sql("SELECT max(v) FROM gk.db.mc")
+    assert(sm.collect()(0).getString(0) === "99")
+    // COUNT(*) stays metadata-only under pending deletion vectors: the
+    // log records each vector's exact cardinality (stored − vectored =
+    // live); MIN/MAX refuse (the vector may have deleted the extreme row)
+    spark.sql("DELETE FROM gk.db.mc WHERE id % 10 = 0")
+    val (nd, pd) = run("SELECT count(*) FROM gk.db.mc")
+    assert(nd === 225L)
+    assert(pd.toString.contains("LocalTableScan"),
+      s"vectored count must serve stored − vectored from the log:\n$pd")
+    val mmd = spark.sql("SELECT min(id) FROM gk.db.mc")
+    assert(mmd.collect()(0).getLong(0) === 1L)
+    assert(mmd.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b }.nonEmpty,
+      "vectored min must fall back to a real read")
+    // purging the vectors rewrites survivors with fresh stats: served again
+    spark.sql("CALL gk.system.purge_deletes('db.mc')")
+    val (np, pp) = run("SELECT count(*) FROM gk.db.mc")
+    assert(np === 225L)
+    assert(pp.toString.contains("LocalTableScan"),
+      s"post-purge count must serve from the log again:\n$pp")
+    // an all-null integral column serves NULL bounds (nothing constrains)
+    spark.sql("CREATE TABLE gk.db.mcn (id BIGINT, y BIGINT) USING manifest")
+    spark.sql("INSERT INTO gk.db.mcn SELECT id, CAST(null AS BIGINT) FROM range(10)")
+    val nul = spark.sql("SELECT min(y), max(y), count(y), count(*) FROM gk.db.mcn")
+    val nulRow = nul.collect()(0)
+    assert(nulRow.isNullAt(0) && nulRow.isNullAt(1) &&
+      nulRow.getLong(2) === 0L && nulRow.getLong(3) === 10L)
+    assert(nul.queryExecution.executedPlan.toString.contains("LocalTableScan"),
+      "all-null bounds must still serve from the log")
+    // DATE bounds serve too (the log indexes dates as epoch days)
+    spark.sql("CREATE TABLE gk.db.mcd (d DATE) USING manifest")
+    spark.sql("INSERT INTO gk.db.mcd " +
+      "SELECT date_add(DATE'2020-01-01', CAST(id AS INT)) FROM range(10)")
+    val dt = spark.sql("SELECT min(d), max(d) FROM gk.db.mcd")
+    assert(dt.queryExecution.executedPlan.toString.contains("LocalTableScan"),
+      "date bounds must serve from the log")
+    val dtRow = dt.collect()(0)
+    assert(dtRow.getDate(0).toString === "2020-01-01" &&
+      dtRow.getDate(1).toString === "2020-01-10")
+  }
+
   test("streaming micro-batches skip files by stats and still answer exactly") {
     val d = dir("s10")
     spark.sql("CREATE TABLE gk.db.s10 (k BIGINT) USING manifest")
