@@ -90,14 +90,51 @@ case class RowAddressScan(inner: ParquetScan, dir: String,
                           output: StructType,
                           exactRowCount: Option[Long],
                           streamDelegate: Option[Scan] = None)
+                         // second parameter list: runtime-pruning inputs,
+                         // EXCLUDED from case-class equality (see
+                         // ManifestStreamScan for the same pattern)
+                         (val plannedFiles: Seq[String] = Seq.empty,
+                          val pathStats: Map[String, graft.core.FileStats.Stats] = Map.empty,
+                          val rebuildScan: Option[Seq[String] => ParquetScan] = None)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
     with org.apache.spark.sql.internal.connector.SupportsMetadata {
 
   override def readSchema(): StructType = output
   override def toBatch: Batch = this
   override def description(): String =
     s"RowAddressScan(dvFiles=${dvByRel.size}, ${inner.description()})"
+
+  // Runtime (join-driven) pruning on the VECTORED read path — the same
+  // two levels as ManifestStreamScan: drop every planned file the log's
+  // stats exclude for the runtime keys (stored-row bounds are a superset
+  // of live rows, so pruning stays sound under vectors), re-push the keys
+  // into the survivors' parquet pushdown. Pruned files simply never look
+  // up their vector.
+  @volatile private[graft] var runtimeScan: ParquetScan = inner
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    inner.readDataSchema.fieldNames.filterNot(_ == DvRead.RowIndexCol)
+      .map(org.apache.spark.sql.connector.expressions.Expressions.column)
+  override def filter(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    def lc(s: String) = s.toLowerCase(java.util.Locale.ROOT)
+    val readable = inner.readDataSchema.fieldNames
+      .filterNot(_ == DvRead.RowIndexCol).map(lc).toSet
+    val supported = filters.filter(_.references.forall(r => readable.contains(lc(r))))
+    if (supported.isEmpty) return
+    val base = rebuildScan match {
+      case Some(rebuild) if plannedFiles.nonEmpty =>
+        val survivors = plannedFiles.filter { p =>
+          pathStats.get(p).forall(s => supported.forall(f =>
+            graft.core.FileStats.mayMatchFilter(f, s, output)))
+        }
+        if (survivors.length < plannedFiles.length)
+          scala.util.Try(rebuild(survivors)).getOrElse(inner)
+        else inner
+      case _ => inner
+    }
+    runtimeScan = base.copy(pushedFilters = base.pushedFilters ++ supported)
+  }
 
   // EXPLAIN evidence (PushedFilters / ReadSchema) forwarded from parquet
   override def getMetaData(): Map[String, String] =
@@ -132,7 +169,7 @@ case class RowAddressScan(inner: ParquetScan, dir: String,
     // at any depth under the root)
     val relOf = ManifestRowLevelOperation.relNameIn(dir)
     var i = -1
-    inner.toBatch.planInputPartitions().flatMap {
+    runtimeScan.toBatch.planInputPartitions().flatMap {
       case fp: FilePartition => fp.files.map { pf =>
         i += 1
         // relNameIn fails LOUDLY on a path that doesn't resolve under the
@@ -155,8 +192,8 @@ case class RowAddressScan(inner: ParquetScan, dir: String,
     require(!emitPos ||
         inner.readSchema().fields.last.name == DvRead.RowIndexCol,
       s"row-index column must be last in ${inner.readSchema().fieldNames.mkString(",")}")
-    RowAddressReaderFactory(inner.toBatch.createReaderFactory(), dir,
-      inner.readSchema(), emitPos, emitFile)
+    RowAddressReaderFactory(runtimeScan.toBatch.createReaderFactory(), dir,
+      runtimeScan.readSchema(), emitPos, emitFile)
   }
 }
 

@@ -259,7 +259,16 @@ class ManifestScanBuilder(mkBuilder: (Seq[String], Boolean) => org.apache.spark.
     * vectored positions (see [[DvRead]]). */
   private val dvActive = dvByRel.nonEmpty
   private var withRowIndex = dvActive
-  private var inner = mkBuilder(allPaths, withRowIndex)
+  /** The parquet builder is constructed LAZILY: its log-served file index
+    * materializes one FileStatus per live file, which at 10⁵ files is the
+    * dominant planning cost — and a metadata-served aggregate (see
+    * pushAggregation) never needs it at all. Every non-metadata path
+    * touches `inner` and builds it exactly once. */
+  private var innerCache: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder = null
+  private def inner: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder = {
+    if (innerCache == null) innerCache = mkBuilder(allPaths, withRowIndex)
+    innerCache
+  }
   private var needFile = false
   private var needPos = false
   private var aggPushed = false
@@ -276,6 +285,9 @@ class ManifestScanBuilder(mkBuilder: (Seq[String], Boolean) => org.apache.spark.
     val stripped = StructType(requiredSchema.fields
       .filterNot(f => f.name == FileCol || f.name == DvRead.PosCol))
     savedSchema = Some(stripped)
+    // a metadata-served aggregate ignores column pruning (its LocalScan
+    // schema IS the aggregate schema) — don't force the file index
+    if (metadataAgg.isDefined) return
     if (needPos && !withRowIndex) {
       // `_pos` asked on a vector-free table: rebuild the inner builder
       // with the row-index schema and replay what was already pushed
@@ -283,7 +295,7 @@ class ManifestScanBuilder(mkBuilder: (Seq[String], Boolean) => org.apache.spark.
       // have landed; an aggregate pushdown never coexists with metadata
       // columns in the required schema)
       withRowIndex = true
-      inner = mkBuilder(allPaths, withRowIndex)
+      innerCache = mkBuilder(allPaths, withRowIndex)
       if (savedFilters.nonEmpty) { inner.pushFilters(savedFilters); () }
     }
     inner.pruneColumns(prunedForInner(stripped))
@@ -291,45 +303,53 @@ class ManifestScanBuilder(mkBuilder: (Seq[String], Boolean) => org.apache.spark.
 
   override def pushFilters(filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression]): Seq[org.apache.spark.sql.catalyst.expressions.Expression] = {
     savedFilters = filters
+    if (filters.isEmpty) return Seq.empty // nothing to push or re-evaluate
     inner.pushFilters(filters)
   }
 
   override def pushedFilters: Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
-    inner.pushedFilters
+    if (savedFilters.isEmpty && innerCache == null) Array.empty
+    else inner.pushedFilters
 
-  /** Set when an unfiltered, ungrouped aggregation can be answered
-    * ENTIRELY from the log's per-file statistics — see pushAggregation. */
-  private var metadataAgg: Option[(StructType, InternalRow)] = None
+  /** Set when an unfiltered aggregation can be answered ENTIRELY from the
+    * log's per-file statistics — see pushAggregation. */
+  private var metadataAgg: Option[(StructType, Array[InternalRow])] = None
 
-  /** METADATA-ONLY aggregation: an unfiltered, ungrouped COUNT(*) /
-    * COUNT(col) / MIN(col) / MAX(col) over a table whose log records every
-    * live file's statistics is a driver-side fold — zero file opens, zero
-    * footer reads, O(1) Spark jobs. The level above parquet's own
-    * aggregate pushdown (which still opens every footer), and what keeps
-    * `SELECT count(*)` instant on a 10⁵-file table. Partial-pushdown
-    * contract: the scan serves ONE row and Spark's final aggregate folds
-    * it (sum for counts, min/max idempotent).
+  /** METADATA-ONLY aggregation: an unfiltered COUNT(*) / COUNT(col) /
+    * MIN(col) / MAX(col) — optionally GROUPED BY file-constant columns —
+    * over a table whose log records every live file's statistics is a
+    * driver-side fold, zero file opens, zero footer reads, O(1) Spark
+    * jobs. The level above parquet's own aggregate pushdown (which still
+    * opens every footer), and what keeps `SELECT count(*)` (or
+    * `SELECT lang, count(*) ... GROUP BY lang` on a lang-clustered
+    * layout) instant on a 10⁵-file table. Partial-pushdown contract: the
+    * scan serves one row per group and Spark's final aggregate folds them
+    * (sum for counts, min/max idempotent).
     *
-    * Soundness rules, per aggregate:
+    * Soundness rules:
+    *  - GROUP BY columns must be FILE-CONSTANT in every (non-empty) file:
+    *    either provably all-null (null group key) or min == max with zero
+    *    nulls — exactly what an identity-partitioned layout guarantees.
+    *    Key types: the loss-less stat shapes (integral/date/timestamp and
+    *    exact strings). A single mixed file refuses the whole pushdown.
     *  - COUNT(*): every planned file carries a row count; pending deletion
     *    vectors SUBTRACT their exact log-recorded cardinalities (stored −
-    *    vectored = live).
+    *    vectored = live) — per file, so grouped counts stay exact too.
     *  - COUNT(col): additionally needs the column's exact null count in
     *    every file, and NO pending vectors (a vector cannot say whether it
     *    deleted null or non-null rows).
-    *  - MIN/MAX(col): integral/date columns only (exactly what the log
-    *    indexes loss-lessly), bounds present in every file that has
-    *    non-null rows (an all-null file constrains nothing), and NO
-    *    pending vectors (a vector may have deleted the extreme row).
+    *  - MIN/MAX(col): integral/date/timestamp columns only (loss-less
+    *    bounds), present in every file that has non-null rows (an all-null
+    *    file constrains nothing), and NO pending vectors (a vector may
+    *    have deleted the extreme row).
     * Anything else refuses here and falls through to the parquet builder. */
   private def servableMetadataAgg(
-      aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Option[(StructType, InternalRow)] = {
+      aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Option[(StructType, Array[InternalRow])] = {
     import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min}
-    if (savedFilters.nonEmpty || aggregation.groupByExpressions.nonEmpty) return None
+    if (savedFilters.nonEmpty) return None
     if (!allPaths.forall(pathStats.contains)) return None
     val declared = declaredSchema
     if (declared.isEmpty) return None
-    val sts = allPaths.map(pathStats)
 
     def colName(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
       e match {
@@ -351,18 +371,63 @@ class ManifestScanBuilder(mkBuilder: (Seq[String], Boolean) => org.apache.spark.
            org.apache.spark.sql.types.TimestampNTZType => Some(v) // micros
       case _           => None
     }
-    val liveRows = allPaths.iterator.map { p =>
+    /** Catalyst value for any loss-less stat shape (group keys). */
+    def keyTyped(dt: DataType, sv: graft.core.FileStats.StatVal): Option[Any] =
+      (dt, sv) match {
+        case (StringType, graft.core.FileStats.StringVal(s)) =>
+          Some(UTF8String.fromString(s))
+        case (_, graft.core.FileStats.LongVal(v)) => typed(dt, v)
+        case _ => None
+      }
+
+    // ---- group assignment: every non-empty file must be file-constant in
+    // every group column (all-null → null key); a mixed file refuses ----
+    val groupFields: Seq[StructField] =
+      aggregation.groupByExpressions.toSeq.map { e =>
+        colName(e).flatMap(field).getOrElse(return None)
+      }
+    val livePaths = allPaths.filter(pathStats(_).rowCount > 0L)
+    def fileKey(p: String): Option[Seq[Any]] = {
+      val st = pathStats(p)
+      val parts = groupFields.map { f =>
+        val cs = st.col(colKey(f.name))
+        cs match {
+          case Some(c) if c.nullCount.contains(st.rowCount) => Some(null)
+          case Some(c) if c.nullCount.contains(0L) =>
+            (c.min, c.max) match {
+              case (Some(a), Some(b)) if a == b => keyTyped(f.dataType, a)
+              case _                            => None
+            }
+          case _ => None
+        }
+      }
+      if (parts.exists(_.isEmpty)) None else Some(parts.map(_.get))
+    }
+    val keyed: Seq[(Seq[Any], String)] = livePaths.map { p =>
+      fileKey(p) match {
+        case Some(k) => (k, p)
+        case None    => return None // a group column varies inside a file
+      }
+    }
+    // ungrouped → one group (empty key) over ALL paths, so an empty table
+    // still serves count(*) = 0; grouped → groups from the live files
+    val groups: Seq[(Seq[Any], Seq[String])] =
+      if (groupFields.isEmpty) Seq((Seq.empty, allPaths))
+      else keyed.groupBy(_._1).map { case (k, ps) => (k, ps.map(_._2)) }.toSeq
+
+    def liveRows(paths: Seq[String]): Long = paths.iterator.map { p =>
       pathStats(p).rowCount -
         dvByRel.get(ManifestSparkTable.relOf(dir, p)).map(_.count).getOrElse(0L)
     }.sum
 
-    def bound(col: org.apache.spark.sql.connector.expressions.Expression,
+    def bound(paths: Seq[String],
+              col: org.apache.spark.sql.connector.expressions.Expression,
               isMin: Boolean): Option[(StructField, Any)] =
       for {
         name <- colName(col)
         f <- field(name)
         _ <- typed(f.dataType, 0L) // type servable at all?
-        stats = sts.map(s => (s.rowCount, s.col(colKey(name))))
+        stats = paths.map(pathStats).map(s => (s.rowCount, s.col(colKey(name))))
         // each file: a usable bound, or provably all-null (constrains
         // nothing); a file with non-null rows but no recorded bound
         // poisons the whole fold
@@ -386,28 +451,45 @@ class ManifestScanBuilder(mkBuilder: (Seq[String], Boolean) => org.apache.spark.
           nullable = true), agg)
       }
 
-    val served: Seq[Option[(StructField, Any)]] =
+    def servedFor(paths: Seq[String]): Seq[Option[(StructField, Any)]] =
       aggregation.aggregateExpressions.toSeq.map {
         case _: CountStar =>
-          Some((StructField("count(*)", LongType, nullable = false), liveRows))
+          Some((StructField("count(*)", LongType, nullable = false),
+            liveRows(paths)))
         case c: Count if !c.isDistinct && !dvActive =>
           for {
             name <- colName(c.column())
             _ <- field(name)
-            nulls <- Some(sts.map(_.col(colKey(name)).flatMap(_.nullCount)))
+            nulls <- Some(paths.map(pathStats)
+              .map(_.col(colKey(name)).flatMap(_.nullCount)))
             if nulls.forall(_.isDefined)
           } yield (StructField(s"count($name)", LongType, nullable = false),
-            allPaths.map(pathStats(_).rowCount).sum - nulls.flatten.sum)
-        case m: Min if !dvActive => bound(m.column(), isMin = true)
-        case m: Max if !dvActive => bound(m.column(), isMin = false)
+            paths.map(pathStats(_).rowCount).sum - nulls.flatten.sum)
+        case m: Min if !dvActive => bound(paths, m.column(), isMin = true)
+        case m: Max if !dvActive => bound(paths, m.column(), isMin = false)
         case _ => None
       }
 
-    if (served.exists(_.isEmpty)) None
-    else {
-      val (fields, values) = served.flatten.unzip
-      Some((StructType(fields), InternalRow.fromSeq(values)))
+    // group columns lead the served schema: Spark maps the scan output
+    // positionally as groupBy attributes ++ aggregate columns
+    val perGroup: Seq[(Seq[Any], Seq[(StructField, Any)])] = groups.map {
+      case (key, paths) =>
+        val served = servedFor(paths)
+        if (served.exists(_.isEmpty)) return None
+        (key, served.flatten)
     }
+    // a grouped aggregate over zero live files serves ZERO rows — the
+    // schema still needs every aggregate servable in principle
+    val emptyServed = servedFor(Seq.empty)
+    if (emptyServed.exists(_.isEmpty)) return None
+    val aggFields = perGroup.headOption.map(_._2.map(_._1))
+      .getOrElse(emptyServed.flatten.map(_._1))
+    val keyFields = groupFields.map(f =>
+      StructField(f.name, f.dataType, nullable = true))
+    val rows = perGroup.map { case (key, served) =>
+      InternalRow.fromSeq(key ++ served.map(_._2))
+    }
+    Some((StructType(keyFields ++ aggFields), rows.toArray))
   }
 
   override def pushAggregation(aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
@@ -424,6 +506,18 @@ class ManifestScanBuilder(mkBuilder: (Seq[String], Boolean) => org.apache.spark.
     aggPushed = inner.pushAggregation(aggregation)
     if (aggPushed) savedAgg = Some(aggregation)
     aggPushed
+  }
+
+  /** Replays the scan over a reduced file list — same pushed filters,
+    * same pruned schema, same row-index shape; it differs ONLY in files.
+    * The runtime (join-driven) pruning hook of both the plain and the
+    * vectored scan rebuild through this. */
+  private def rebuiltParquet(files: Seq[String]): org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan = {
+    val b = mkBuilder(files, withRowIndex)
+    if (savedFilters.nonEmpty) { b.pushFilters(savedFilters); () }
+    savedSchema.foreach(s => b.pruneColumns(prunedForInner(s)))
+    b.build().asInstanceOf[
+      org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan]
   }
 
   /** Manifest data skipping: drop files whose log-carried stats prove no
@@ -500,11 +594,11 @@ class ManifestScanBuilder(mkBuilder: (Seq[String], Boolean) => org.apache.spark.
   }
 
   override def build(): Scan = {
-    // metadata-only aggregation: one local row, no file is ever opened
-    metadataAgg.foreach { case (schema, row) =>
+    // metadata-only aggregation: one local row per group, no file opened
+    metadataAgg.foreach { case (schema, servedRows) =>
       return new org.apache.spark.sql.connector.read.LocalScan {
         override def readSchema(): StructType = schema
-        override def rows(): Array[InternalRow] = Array(row)
+        override def rows(): Array[InternalRow] = servedRows
         override def description(): String =
           s"MetadataAggScan(${schema.fieldNames.mkString(", ")})"
       }
@@ -547,7 +641,7 @@ class ManifestScanBuilder(mkBuilder: (Seq[String], Boolean) => org.apache.spark.
           nullable = false)) else Nil) ++
         (if (needFile) Seq(StructField(FileCol, StringType, nullable = false)) else Nil))
       return RowAddressScan(parquet, dir, dvByRel, needPos, needFile, output,
-        exactRows, streamDelegate)
+        exactRows, streamDelegate)(planned, pathStats, Some(rebuiltParquet))
     }
     if (needFile) return FileTagWrapScan(parquet, dir)
     // key-grouped (storage-partitioned) scan: opt-in via the v2 bucketing
@@ -569,23 +663,15 @@ class ManifestScanBuilder(mkBuilder: (Seq[String], Boolean) => org.apache.spark.
         // path reads the same option as a bounded incremental scan)
         case Some((dir, declared)) if !aggPushed =>
           // runtime (join-driven) file pruning inputs: the planned file
-          // list + its log stats, and a replay closure that rebuilds the
-          // identical scan over a reduced file list (same pushed filters,
-          // same pruned schema — it differs ONLY in files)
-          val rebuild = (files: Seq[String]) => {
-            val b = mkBuilder(files, withRowIndex)
-            if (savedFilters.nonEmpty) { b.pushFilters(savedFilters); () }
-            savedSchema.foreach(s => b.pruneColumns(prunedForInner(s)))
-            b.build().asInstanceOf[
-              org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan]
-          }
+          // list + its log stats, and the replay closure (rebuiltParquet)
           ManifestStreamScan(parquet, dir, declared,
             Option(options.get("start_version")).map(_.toLong).getOrElse(0L),
             exactRows, savedFilters,
             Option(options.get("maxVersionsPerTrigger")).map(_.toLong),
             Option(options.get("maxFilesPerTrigger")).map(_.toLong),
             Option(options.get("maxBytesPerTrigger")).map(_.toLong),
-            servedColumnStats(planned))(planned, pathStats, Some(rebuild))
+            servedColumnStats(planned))(planned, pathStats,
+            Some(rebuiltParquet))
         case _ => parquet
       }
     }

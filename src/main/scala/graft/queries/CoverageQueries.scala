@@ -703,6 +703,48 @@ object CoverageQueries extends QueryModule {
         .toDF("ndv_docid_served", "ndv_lang_served", "n_docs", "total_chars")
     },
 
+    // --- grouped metadata aggregation (ManifestScanBuilder
+    //     servableMetadataAgg, GROUP BY arm): when every file is
+    //     CONSTANT in the group columns (the per-source/per-partition
+    //     append layout), a grouped count/min/max is a driver-side fold
+    //     of per-file stats served as one local row per group — the
+    //     partition-stats query (`SELECT lang, count(*) GROUP BY lang`)
+    //     with zero file opens at any file count ---
+    "qc39_grouped_metadata_agg" -> { (s, d) =>
+      import s.implicits._
+      if (s.conf.getOption("spark.sql.catalog.graft_cat").isEmpty)
+        graft.catalog.GraftCatalog.register(s, "graft_cat",
+          graft.core.TempDirs.create("graft_cat_root_"))
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.db")
+      s.sql("DROP TABLE IF EXISTS graft_cat.db.mg39")
+      s.sql("CREATE TABLE graft_cat.db.mg39 " +
+        "(lang STRING, doc_id BIGINT, n_chars BIGINT) USING manifest")
+      val docs = Tables.documents(s, d)
+        .select(col("lang"), col("doc_id"), col("n_chars"))
+      // one commit per language: every file is lang-constant (a handful
+      // of langs — the driver-side loop is metadata-sized)
+      val langs = docs.select("lang").distinct().collect()
+        .map(_.getString(0)).sorted
+      langs.foreach { l =>
+        docs.filter(col("lang") === l).writeTo("graft_cat.db.mg39").append()
+      }
+      val g = s.sql("SELECT lang, count(*) AS n_docs, " +
+        "min(doc_id) AS min_id, max(doc_id) AS max_id, " +
+        "CAST(count(n_chars) AS BIGINT) AS n_chars_nonnull " +
+        "FROM graft_cat.db.mg39 GROUP BY lang")
+      val rows = g.collect() // evidence reads THIS execution
+      val plan = g.queryExecution.executedPlan.toString
+      val served = plan.contains("LocalTableScan") && !plan.contains("BatchScan")
+      import scala.jdk.CollectionConverters._
+      s.createDataFrame(
+        rows.map(r => org.apache.spark.sql.Row(
+          r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), served)).toSeq.asJava,
+        org.apache.spark.sql.types.StructType(g.schema.fields :+
+          org.apache.spark.sql.types.StructField("served_from_log",
+            org.apache.spark.sql.types.BooleanType, nullable = false)))
+    },
+
     // --- runtime (join-driven) file pruning: a DIMENSION filter's
     //     surviving join keys reach the manifest fact scan as a runtime
     //     filter (Spark's dynamic-pruning subquery over the reused
@@ -1462,6 +1504,15 @@ object CoverageQueries extends QueryModule {
            count(*) AS n_docs,
            CAST(sum(n_chars) AS BIGINT) AS total_chars
          FROM documents""",
+
+    // the per-group aggregates replay over documents; the boolean is a
+    // Spark plan fact (the grouped fold served as local rows, no scan)
+    "qc39_grouped_metadata_agg" ->
+      """SELECT lang, count(*) AS n_docs,
+           min(doc_id) AS min_id, max(doc_id) AS max_id,
+           CAST(count(n_chars) AS BIGINT) AS n_chars_nonnull,
+           true AS served_from_log
+         FROM documents GROUP BY lang""",
 
     // the structural booleans are Spark plan facts (counts/min/max served
     // as a local one-row scan; under a pending deletion vector the count

@@ -139,12 +139,27 @@ object MetaScale {
     val (_, tCommit) = time(ManifestTable.commitStagedAppend(dir,
       extra.map(_._1), stats = Some(extra.toMap)))
 
+    // metadata-only COUNT(*): the driver folds every live file's
+    // LOG-recorded row count into one local row — end-to-end latency must
+    // stay in the planning-cost class however many files the table holds
+    // (no file/footer opens; value per the log's claimed counts, since
+    // this probe's data plane is fake — see the scaladoc)
+    def freshCount = spark.table("gm.db.meta")
+    val expected = (nFiles + 1).toLong * rowsPer
+    val tCount = med3 {
+      val c = freshCount.count()
+      require(c == expected, s"metadata count $c != log total $expected")
+    }
+    require(freshCount.groupBy().count().queryExecution.executedPlan
+      .toString.contains("LocalTableScan"), "count must serve from the log")
+
     println(s"""{"metric":"meta_scale","n_files":$nFiles,"files_per_commit":$perCommit,""" +
       s""""versions":$head,"build_sec":${f"$tBuild%.2f"},""" +
       s""""head_probes":$probes,"state_cold_sec":${f"$tStateCold%.3f"},""" +
       s""""state_cached_sec":${f"$tState%.3f"},""" +
       s""""ckpt_bytes":$ckptBytes,"plan_sec":${f"$tPlan%.3f"},""" +
-      s""""planned_partitions":$planned,"append_commit_sec":${f"$tCommit%.3f"}}""")
+      s""""planned_partitions":$planned,"append_commit_sec":${f"$tCommit%.3f"},""" +
+      s""""metadata_count_sec":${f"$tCount%.3f"}}""")
     spark.stop()
   }
 }

@@ -147,6 +147,37 @@ class CatalogSpec extends AnyFunSuite {
         s"${ms.runtimeScan.fileIndex.inputFiles.length}")
   }
 
+  test("runtime join filters file-prune the VECTORED read path too") {
+    ensureDb()
+    spark.sql("CREATE TABLE g.db.rtdv (id BIGINT, v BIGINT) USING manifest " +
+      "TBLPROPERTIES ('graft.dml.mode' = 'merge-on-read')")
+    spark.range(0, 100).coalesce(1).selectExpr("id", "id * 2 AS v")
+      .writeTo("g.db.rtdv").append()
+    spark.range(100, 200).coalesce(1).selectExpr("id", "id * 2 AS v")
+      .writeTo("g.db.rtdv").append()
+    spark.sql("DELETE FROM g.db.rtdv WHERE id IN (1, 150)") // vectors on both files
+    val scan = spark.table("g.db.rtdv").queryExecution.optimizedPlan.collectFirst {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        r.scan
+    }.get
+    val ra = scan.asInstanceOf[RowAddressScan]
+    assert(ra.plannedFiles.length === 2)
+    // a runtime IN over keys of the first file drops the second file —
+    // stored-row bounds are a superset of live rows, so pruning under
+    // vectors stays sound — and the surviving file still applies its vector
+    ra.filter(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.In("id", Array(0L, 1L, 2L))))
+    assert(ra.toBatch.planInputPartitions().length === 1,
+      "runtime IN must drop the stats-excluded vectored file")
+    // end-to-end with the vector applied: id=1 was deleted, 0 and 2 remain
+    val dim = spark.range(0, 3).selectExpr("id AS d_id")
+    val joined = spark.table("g.db.rtdv")
+      .join(broadcast(dim), col("id") === col("d_id"))
+      .agg(count(lit(1)).as("n"), sum("v").as("s"))
+    val row = joined.collect()(0)
+    assert(row.getLong(0) === 2L && row.getLong(1) === 4L)
+  }
+
   test("CTAS creates a manifest table from the query schema") {
     ensureDb()
     spark.sql("CREATE TABLE g.db.ctas USING manifest AS SELECT id, id * 2 AS dbl FROM range(10)")

@@ -361,6 +361,46 @@ class StatsSkippingSpec extends AnyFunSuite {
       dtRow.getDate(1).toString === "2020-01-10")
   }
 
+  test("grouped aggregates serve from the log when group columns are file-constant") {
+    spark.sql("CREATE TABLE gk.db.mg (lang STRING, id BIGINT) USING manifest")
+    // one commit per language: every file is lang-constant (the per-source
+    // append layout), so per-file stats identify each file's group exactly
+    Seq(("en", 0, 10), ("de", 100, 20), ("fr", 200, 30)).foreach {
+      case (l, base, n) =>
+        spark.sql(s"INSERT INTO gk.db.mg SELECT '$l', id + $base FROM range($n)")
+    }
+    def grouped() = spark.sql("SELECT lang, count(*) AS n, min(id) AS mn, " +
+      "max(id) AS mx FROM gk.db.mg GROUP BY lang")
+    val g = grouped()
+    val rows = g.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(rows.toSeq === Seq(("de", 20L, 100L, 119L), ("en", 10L, 0L, 9L),
+      ("fr", 30L, 200L, 229L)))
+    assert(g.queryExecution.executedPlan.toString.contains("LocalTableScan") &&
+      g.queryExecution.executedPlan.collect { case b: BatchScanExec => b }.isEmpty,
+      s"grouped agg must serve from the log:\n${g.queryExecution.executedPlan}")
+    // an all-null file forms the NULL group
+    spark.sql("INSERT INTO gk.db.mg SELECT CAST(null AS STRING), id + 400 FROM range(5)")
+    val withNull = grouped()
+    val nullRow = withNull.collect().find(_.isNullAt(0))
+    assert(nullRow.exists(r => r.getLong(1) === 5L && r.getLong(2) === 400L))
+    assert(withNull.queryExecution.executedPlan.toString.contains("LocalTableScan"))
+    // ONE mixed file (two languages) refuses the whole pushdown — a real
+    // scan plans and the answer stays exact
+    spark.range(0, 10).coalesce(1)
+      .selectExpr("CASE WHEN id < 5 THEN 'en' ELSE 'de' END AS lang",
+        "id + 300 AS id")
+      .writeTo("gk.db.mg").append()
+    val mixed = grouped()
+    assert(mixed.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b }.nonEmpty,
+      "a group-mixed file must refuse the metadata path")
+    val after = mixed.collect().filter(!_.isNullAt(0))
+      .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    assert(after.toSeq === Seq(("de", 25L), ("en", 15L), ("fr", 30L)))
+  }
+
   test("streaming micro-batches skip files by stats and still answer exactly") {
     val d = dir("s10")
     spark.sql("CREATE TABLE gk.db.s10 (k BIGINT) USING manifest")
