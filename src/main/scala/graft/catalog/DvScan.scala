@@ -117,23 +117,11 @@ case class RowAddressScan(inner: ParquetScan, dir: String,
     inner.readDataSchema.fieldNames.filterNot(_ == DvRead.RowIndexCol)
       .map(org.apache.spark.sql.connector.expressions.Expressions.column)
   override def filter(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
-    def lc(s: String) = s.toLowerCase(java.util.Locale.ROOT)
     val readable = inner.readDataSchema.fieldNames
-      .filterNot(_ == DvRead.RowIndexCol).map(lc).toSet
-    val supported = filters.filter(_.references.forall(r => readable.contains(lc(r))))
-    if (supported.isEmpty) return
-    val base = rebuildScan match {
-      case Some(rebuild) if plannedFiles.nonEmpty =>
-        val survivors = plannedFiles.filter { p =>
-          pathStats.get(p).forall(s => supported.forall(f =>
-            graft.core.FileStats.mayMatchFilter(f, s, output)))
-        }
-        if (survivors.length < plannedFiles.length)
-          scala.util.Try(rebuild(survivors)).getOrElse(inner)
-        else inner
-      case _ => inner
-    }
-    runtimeScan = base.copy(pushedFilters = base.pushedFilters ++ supported)
+      .filterNot(_ == DvRead.RowIndexCol)
+      .map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+    RuntimePruning(inner, plannedFiles, pathStats, rebuildScan, output,
+      readable, filters).foreach(runtimeScan = _)
   }
 
   // EXPLAIN evidence (PushedFilters / ReadSchema) forwarded from parquet

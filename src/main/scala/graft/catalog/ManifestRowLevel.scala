@@ -471,12 +471,18 @@ class ManifestScanBuilder(mkBuilder: (Seq[String], Boolean) => org.apache.spark.
       }
 
     // group columns lead the served schema: Spark maps the scan output
-    // positionally as groupBy attributes ++ aggregate columns
-    val perGroup: Seq[(Seq[Any], Seq[(StructField, Any)])] = groups.map {
+    // positionally as groupBy attributes ++ aggregate columns. A GROUP
+    // whose every stored row is vector-deleted has ZERO live rows — in
+    // SQL it does not exist, so its row must be dropped (the ungrouped
+    // fold keeps its single row: a global count over an empty table IS 0)
+    val perGroup: Seq[(Seq[Any], Seq[(StructField, Any)])] = groups.flatMap {
       case (key, paths) =>
-        val served = servedFor(paths)
-        if (served.exists(_.isEmpty)) return None
-        (key, served.flatten)
+        if (groupFields.nonEmpty && liveRows(paths) == 0L) None
+        else {
+          val served = servedFor(paths)
+          if (served.exists(_.isEmpty)) return None
+          Some((key, served.flatten))
+        }
     }
     // a grouped aggregate over zero live files serves ZERO rows — the
     // schema still needs every aggregate servable in principle
@@ -508,16 +514,24 @@ class ManifestScanBuilder(mkBuilder: (Seq[String], Boolean) => org.apache.spark.
     aggPushed
   }
 
-  /** Replays the scan over a reduced file list — same pushed filters,
-    * same pruned schema, same row-index shape; it differs ONLY in files.
-    * The runtime (join-driven) pruning hook of both the plain and the
-    * vectored scan rebuild through this. */
-  private def rebuiltParquet(files: Seq[String]): org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan = {
-    val b = mkBuilder(files, withRowIndex)
-    if (savedFilters.nonEmpty) { b.pushFilters(savedFilters); () }
-    savedSchema.foreach(s => b.pruneColumns(prunedForInner(s)))
-    b.build().asInstanceOf[
-      org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan]
+  /** A replay closure for runtime (join-driven) pruning: rebuilds the
+    * scan over a reduced file list — same pushed filters, same pruned
+    * schema, same row-index shape; it differs ONLY in files. Captures
+    * SNAPSHOT locals, never `this`: a method reference would retain the
+    * whole builder (and its materialized per-file index) inside every
+    * long-lived scan. */
+  private def rebuiltParquet: Seq[String] => org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan = {
+    val mk = mkBuilder
+    val wri = withRowIndex
+    val filtersSnap = savedFilters
+    val schemaSnap = savedSchema.map(prunedForInner)
+    files => {
+      val b = mk(files, wri)
+      if (filtersSnap.nonEmpty) { b.pushFilters(filtersSnap); () }
+      schemaSnap.foreach(b.pruneColumns)
+      b.build().asInstanceOf[
+        org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan]
+    }
   }
 
   /** Manifest data skipping: drop files whose log-carried stats prove no

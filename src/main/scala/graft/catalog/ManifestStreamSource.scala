@@ -117,28 +117,52 @@ case class ManifestStreamScan(inner: ParquetScan, dir: String,
     inner.readDataSchema.fieldNames
       .map(org.apache.spark.sql.connector.expressions.Expressions.column)
   override def filter(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
-    val readable = inner.readDataSchema.fieldNames.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
-    val supported = filters.filter(_.references.forall(r =>
-      readable.contains(r.toLowerCase(java.util.Locale.ROOT))))
-    if (supported.isEmpty) return
-    val base = rebuildScan match {
-      case Some(rebuild) if plannedFiles.nonEmpty =>
-        val survivors = plannedFiles.filter { p =>
-          pathStats.get(p).forall(s => supported.forall(f =>
-            graft.core.FileStats.mayMatchFilter(f, s, declared)))
-        }
-        if (survivors.length < plannedFiles.length)
-          scala.util.Try(rebuild(survivors)).getOrElse(inner)
-        else inner
-      case _ => inner
-    }
-    runtimeScan = base.copy(pushedFilters = base.pushedFilters ++ supported)
+    val readable = inner.readDataSchema.fieldNames
+      .map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+    RuntimePruning(inner, plannedFiles, pathStats, rebuildScan, declared,
+      readable, filters).foreach(runtimeScan = _)
   }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new ManifestMicroBatchStream(dir, declared, inner.readDataSchema, startVersion,
       pushedCatalyst, maxVersionsPerTrigger, maxFilesPerTrigger,
       maxBytesPerTrigger)
+}
+
+/** The runtime (join-driven) pruning algorithm shared by the plain scan
+  * ([[ManifestStreamScan]]) and the vectored scan
+  * ([[graft.catalog.RowAddressScan]]): keep the filters whose references
+  * the scan can read, FILE-prune the planned list through ONE compiled
+  * evaluator ([[graft.core.FileStats.compileFilterPruner]] — the IN shape
+  * range-checks each file in O(log keys), not O(keys)), rebuild the
+  * parquet scan over the survivors, and re-push the filters for row-group
+  * skipping in the files that remain. Any rebuild surprise falls back to
+  * the un-pruned scan — runtime filters are droppable rows only, so both
+  * over-keeping and over-pushing are always safe. */
+private[catalog] object RuntimePruning {
+  def apply(inner: ParquetScan,
+            plannedFiles: Seq[String],
+            pathStats: Map[String, graft.core.FileStats.Stats],
+            rebuild: Option[Seq[String] => ParquetScan],
+            schema: StructType,
+            readable: Set[String],
+            filters: Array[org.apache.spark.sql.sources.Filter]): Option[ParquetScan] = {
+    val supported = filters.filter(_.references.forall(r =>
+      readable.contains(r.toLowerCase(java.util.Locale.ROOT))))
+    if (supported.isEmpty) return None
+    val base = rebuild match {
+      case Some(rb) if plannedFiles.nonEmpty =>
+        val mayMatch =
+          graft.core.FileStats.compileFilterPruner(supported.toSeq, schema)
+        val survivors = plannedFiles.filter(p =>
+          pathStats.get(p).forall(mayMatch))
+        if (survivors.length < plannedFiles.length)
+          scala.util.Try(rb(survivors)).getOrElse(inner)
+        else inner
+      case _ => inner
+    }
+    Some(base.copy(pushedFilters = base.pushedFilters ++ supported))
+  }
 }
 
 /** Offset = committed manifest version (0 = before the first commit). */

@@ -511,6 +511,70 @@ object FileStats {
     case _ => true
   }
 
+  /** Compile v1 filters into ONE conservative per-file predicate with all
+    * value conversion hoisted out of the per-file loop. The IN shape —
+    * what a dynamic-pruning runtime filter carries, up to the broadcast's
+    * whole key set — pre-converts and SORTS its values once, then
+    * range-checks each file's bounds in O(log values); evaluating
+    * [[mayMatchFilter]]'s In per file would be O(files × values) with a
+    * schema lookup and a catalyst conversion per pair, a driver stall at
+    * exactly the 10⁵-file scale runtime pruning targets. Every other
+    * shape closes over the filter and delegates to [[mayMatchFilter]]
+    * (O(1) comparisons per file). Semantics are identical: false ⇒ no
+    * row of a file with these stats can satisfy every filter. */
+  def compileFilterPruner(filters: Seq[sources.Filter],
+                          schema: StructType): Stats => Boolean = {
+    val compiled = filters.map(compileOne(_, schema))
+    stats => compiled.forall(_(stats))
+  }
+
+  private def compileOne(f: sources.Filter,
+                         schema: StructType): Stats => Boolean = f match {
+    case sources.In(a, vs) =>
+      schema.find(_.name.equalsIgnoreCase(a)).map(_.dataType) match {
+        case None => _ => true // unknown column: never prune
+        case Some(dt) =>
+          val nonNull = vs.filter(_ != null)
+          val converted = nonNull.map(v => litVal(
+            org.apache.spark.sql.catalyst.CatalystTypeConverters
+              .convertToCatalyst(v), dt))
+          if (converted.exists(_.isEmpty)) {
+            // an un-prunable value keeps every file (as mayMatchFilter
+            // would, one conservative `true` per file)
+            _ => true
+          } else if (converted.isEmpty) {
+            // `a IN ()` / only nulls: never TRUE on any row
+            _ => false
+          } else {
+            // one dt ⇒ one StatVal domain: total order, sortable once
+            val sorted = converted.flatten
+              .sortWith((x, y) => compare(x, y).exists(_ < 0)).toArray
+            def lowerBound(bound: StatVal): Int = {
+              var lo = 0; var hi = sorted.length
+              while (lo < hi) {
+                val mid = (lo + hi) >>> 1
+                if (compare(sorted(mid), bound).exists(_ < 0)) lo = mid + 1
+                else hi = mid
+              }
+              lo
+            }
+            stats => stats.col(a) match {
+              case None => true
+              case Some(c) =>
+                if (!hasNonNull(stats.rowCount, c)) false
+                else if (c.min.exists(m => compare(sorted(0), m).isEmpty))
+                  true // stat domain mismatch: never prune
+                else {
+                  val from = c.min.map(lowerBound).getOrElse(0)
+                  from < sorted.length && c.max.forall(mx =>
+                    compare(sorted(from), mx).forall(_ <= 0))
+                }
+            }
+          }
+      }
+    case other => stats => mayMatchFilter(other, stats, schema)
+  }
+
   /** The v1-Filter twin of [[mayMatch]] (values arrive as EXTERNAL Scala
     * types — convert through the declared schema before comparing). Used
     * by the DELETE fast path to skip reading files that cannot hold

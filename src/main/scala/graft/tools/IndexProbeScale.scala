@@ -39,15 +39,19 @@ object IndexProbeScale {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id"), col("text"))
     val nDocs = docs.count()
+    // replica/delta id offsets DERIVED from the corpus size so disjoint
+    // ids stay disjoint at any scale factor (a fixed 1e6 stride would
+    // silently self-collide past 1M docs and invalidate the probe)
+    val stride = nDocs + 1
     // the FIXED staged delta: ~100 docs, near-dups of the base slice
     val delta = docs.filter(col("doc_id") < 100)
-      .select((col("doc_id") + 100000000L).as("doc_id"), col("text"))
+      .select((col("doc_id") + lit(stride * 1000L)).as("doc_id"), col("text"))
       .localCheckpoint()
 
     val results = Seq(1, 10, 100).flatMap { times =>
       // disjoint-id replication => corpus of n*times docs
       val corpus = (0 until times).map { r =>
-        docs.select((col("doc_id") + lit(r.toLong * 1000000L)).as("doc_id"),
+        docs.select((col("doc_id") + lit(r.toLong * stride)).as("doc_id"),
           col("text"))
       }.reduce(_.unionByName(_)).localCheckpoint()
       // release-time index build (once per release, O(corpus) by design)

@@ -399,6 +399,21 @@ class StatsSkippingSpec extends AnyFunSuite {
     val after = mixed.collect().filter(!_.isNullAt(0))
       .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
     assert(after.toSeq === Seq(("de", 25L), ("en", 15L), ("fr", 30L)))
+    // a group whose EVERY stored row is vector-deleted does not exist:
+    // the served fold must drop it, not emit a zero-count row
+    spark.sql("CREATE TABLE gk.db.mgdv (lang STRING, id BIGINT) USING manifest " +
+      "TBLPROPERTIES ('graft.dml.mode' = 'merge-on-read')")
+    Seq(("en", 0), ("de", 100)).foreach { case (l, base) =>
+      spark.sql(s"INSERT INTO gk.db.mgdv SELECT '$l', id + $base FROM range(10)")
+    }
+    spark.sql("DELETE FROM gk.db.mgdv WHERE lang = 'en'") // full-file vector
+    val gdv = spark.sql(
+      "SELECT lang, count(*) AS n FROM gk.db.mgdv GROUP BY lang")
+    val gdvRows = gdv.collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(gdvRows.toSeq === Seq(("de", 10L)),
+      s"fully-vectored group must vanish, got ${gdvRows.toSeq}")
+    assert(gdv.queryExecution.executedPlan.toString.contains("LocalTableScan"),
+      "vectored grouped count must still serve from the log")
   }
 
   test("streaming micro-batches skip files by stats and still answer exactly") {
@@ -471,5 +486,34 @@ class StatsSkippingSpec extends AnyFunSuite {
     assert(mayMatch(E.EqualTo(attr("zz", LongType), lit(1L, LongType)), s))
     // JSON round trip preserves everything
     assert(parse(render(s)).contains(s))
+
+    // the COMPILED runtime pruner (sorted-IN range check) agrees with the
+    // per-value evaluator on every edge
+    import org.apache.spark.sql.{sources => S}
+    val schema = StructType(Seq(StructField("k", LongType),
+      StructField("s", StringType), StructField("n", LongType)))
+    def compiled(f: S.Filter): Boolean =
+      FileStats.compileFilterPruner(Seq(f), schema)(s)
+    def perValue(f: S.Filter): Boolean = FileStats.mayMatchFilter(f, s, schema)
+    val inCases = Seq[S.Filter](
+      S.In("k", Array(1L, 2L, 9L)),            // all below min → prune
+      S.In("k", Array(21L, 30L)),              // all above max → prune
+      S.In("k", Array(9L, 21L)),               // straddles, none inside → prune
+      S.In("k", Array(9L, 15L, 21L)),          // one inside → keep
+      S.In("k", Array(10L)), S.In("k", Array(20L)), // boundary hits → keep
+      S.In("k", Array[Any](null, 15L).map(_.asInstanceOf[Any])), // null + hit
+      S.In("k", Array[Any](null)),             // only null → prune
+      S.In("n", Array(1L, 2L)),                // all-null column → prune
+      S.In("zz", Array(1L)),                   // unknown column → keep
+      S.In("s", Array("aa", "zz")),            // unbounded max: keep
+      S.In("s", Array("aa", "ll")))            // below min only → prune
+    inCases.foreach { f =>
+      assert(compiled(f) === perValue(f), s"compiled != per-value for $f")
+    }
+    assert(!compiled(S.In("k", Array(1L, 2L, 9L))))
+    assert(compiled(S.In("k", Array(9L, 15L, 21L))))
+    // non-IN shapes delegate to the same evaluator
+    assert(compiled(S.And(S.GreaterThan("k", 5L), S.LessThan("k", 12L))))
+    assert(!compiled(S.GreaterThan("k", 25L)))
   }
 }
