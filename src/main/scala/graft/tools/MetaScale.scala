@@ -153,13 +153,32 @@ object MetaScale {
     require(freshCount.groupBy().count().queryExecution.executedPlan
       .toString.contains("LocalTableScan"), "count must serve from the log")
 
+    // runtime (join-driven) file pruning: a dynamic-pruning IN carrying
+    // 10k build-side keys against the 10⁵-file scan — the driver-side
+    // prune must run in O(files · log keys) (compiled sorted-key range
+    // check), and keep exactly the 10 files the keys span
+    val scan = spark.table("gm.db.meta").queryExecution.optimizedPlan
+      .collectFirst {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+          r.scan
+      }.get.asInstanceOf[graft.catalog.ManifestStreamScan]
+    val keyLo = (nFiles / 2).toLong * rowsPer
+    val keys: Array[Any] =
+      Array.tabulate(10000)(i => java.lang.Long.valueOf(keyLo + i))
+    val tPrune = med3(scan.filter(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.In("id", keys))))
+    val prunedTo = scan.runtimeScan.fileIndex.inputFiles.length
+    require(prunedTo == 10, s"expected 10 surviving files, got $prunedTo")
+
     println(s"""{"metric":"meta_scale","n_files":$nFiles,"files_per_commit":$perCommit,""" +
       s""""versions":$head,"build_sec":${f"$tBuild%.2f"},""" +
       s""""head_probes":$probes,"state_cold_sec":${f"$tStateCold%.3f"},""" +
       s""""state_cached_sec":${f"$tState%.3f"},""" +
       s""""ckpt_bytes":$ckptBytes,"plan_sec":${f"$tPlan%.3f"},""" +
       s""""planned_partitions":$planned,"append_commit_sec":${f"$tCommit%.3f"},""" +
-      s""""metadata_count_sec":${f"$tCount%.3f"}}""")
+      s""""metadata_count_sec":${f"$tCount%.3f"},""" +
+      s""""runtime_prune_10k_keys_sec":${f"$tPrune%.3f"},""" +
+      s""""runtime_pruned_to":$prunedTo}""")
     spark.stop()
   }
 }
