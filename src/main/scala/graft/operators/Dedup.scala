@@ -751,4 +751,35 @@ object Dedup {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_flagged_shingles"))
   }
+
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    * cluster the embedding space first, then compare pairs ONLY within a
+    * cluster — the published recipe for semantic near-dup removal at
+    * web-corpus scale, where all-pairs cosine is impossible but
+    * within-cluster pairwise (sum of n_c², n_c ≈ n/K) is routine.
+    *
+    * Dataflow: nearest-centroid assignment is [[Similarity.assignNearest]]
+    * (broadcast-centroid-array argmax — a PURE MAP over the corpus, zero
+    * corpus Exchange), then [[embeddingCosinePairs]] blocked on the
+    * assigned cluster (one shuffle on the cluster key, pairwise only
+    * inside each cluster), then a semi-join marks the survivors.
+    *
+    * Survivor rule (deterministic): a vector is dropped iff SOME
+    * smaller-id vector in its cluster is within `threshold` cosine — the
+    * greedy keep-lowest-id policy. Like the paper's keep-one-per-ε-ball,
+    * chains can over-drop (a~b, b~c, a≁c drops both b and c); that is the
+    * documented, replayable semantics, not an accident. An empty centroid
+    * set assigns nothing and returns zero rows (the [[Similarity]] folded
+    * -row contract).
+    *
+    * Returns one row per input vector: (idCol, cluster, keep). */
+  def semanticDedup(vecs: DataFrame, idCol: String, vecCol: String,
+                    cents: DataFrame, threshold: Double): DataFrame = {
+    val assigned = Similarity.assignNearest(vecs, idCol, vecCol, cents)
+    val dups = embeddingCosinePairs(assigned, idCol, vecCol, threshold, "cluster")
+      .select(col("d2").as(idCol)).distinct()
+      .withColumn("_dup", lit(true))
+    assigned.join(dups, Seq(idCol), "left")
+      .select(col(idCol), col("cluster"), col("_dup").isNull.as("keep"))
+  }
 }

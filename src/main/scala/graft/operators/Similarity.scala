@@ -263,6 +263,95 @@ object Similarity {
       .select(col("q_id"), (col("pos") + 1).cast("int").as("rank"),
         col("col.id").as("id"), col("col.score").as("cosine"))
   }
+
+  // ------------------------------------------------ product quantization --
+
+  /** Squared L2 between two equal-length double arrays, folded LEFT-TO-
+    * RIGHT in index order (replayable summation — the oracle folds an
+    * ordered list the same way). */
+  private def l2sq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Product-quantization codebooks folded into ONE broadcastable row:
+    * `_books[m][c]` = the dim/m-length slice of codeword c in subspace m.
+    * Codewords are the `cents` centroids ORDER-FIXED by ascending cluster
+    * id (array_sort on (code, centroid) structs), so a PQ CODE IS AN INDEX
+    * into the sorted codeword list — deterministic and replayed by the
+    * oracle with a row_number over cluster. Empty centroid sets filter to
+    * zero rows here (the [[centroidArray]] contract). */
+  private def pqBooks(cents: DataFrame, m: Int, dim: Int): DataFrame = {
+    require(m >= 1 && dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
+    val sub = dim / m
+    cents
+      .agg(array_sort(collect_list(struct(
+        col("cluster").cast("long").as("code"),
+        col("centroid").cast("array<double>").as("centroid")))).as("_cw"))
+      .where(size(col("_cw")) > 0)
+      .select(transform(sequence(lit(0), lit(m - 1)), mi =>
+        transform(col("_cw"), c =>
+          slice(c.getField("centroid"), mi * lit(sub) + 1, lit(sub)))).as("_books"))
+  }
+
+  /** PQ-encode: map each vector to m small integer codes (argmin partial
+    * squared-L2 per subspace; distance ties break to the smallest code —
+    * the same array_max-over-(negd, negi) fold as [[nearestCluster]]).
+    *
+    * A PURE MAP over `vecs` with the folded codebook row broadcast — zero
+    * corpus Exchange. This is the 100 TB ANN compression lever: the encoded
+    * corpus is m small ints per vector instead of dim floats (64-dim float
+    * → 8 codes ≈ 32× smaller), so the ADC scan in [[pqTopK]] reads codes,
+    * never raw vectors. Returns (idCol, codes array<int>). */
+  def pqEncode(vecs: DataFrame, idCol: String, vecCol: String,
+               cents: DataFrame, m: Int, dim: Int): DataFrame = {
+    val sub = dim / m
+    vecs.crossJoin(broadcast(pqBooks(cents, m, dim)))
+      .select(col(idCol),
+        transform(col("_books"), (bm, mi) => {
+          val vSub = slice(col(vecCol).cast("array<double>"),
+            mi * lit(sub) + 1, lit(sub))
+          array_max(transform(bm, (cw, i) => struct(
+            (-l2sq(vSub, cw)).as("negd"),
+            (-i).as("negi"),
+            i.cast("int").as("idx")))).getField("idx")
+        }).as("codes"))
+  }
+
+  /** PQ ANN via an ADC (asymmetric-distance) scan: per query, a lookup
+    * table LUT[m][c] of partial squared-L2 to every codeword; a corpus
+    * row's approximate distance is then the m-term LUT sum over its codes —
+    * the encoded scan never touches a raw corpus vector (queries stay
+    * exact-side, hence "asymmetric"). Top-k per query through the bounded-
+    * heap [[TopKByScore]] on negated distance (map-side combine keeps k
+    * candidates per partition; the corpus-sized scored set is never
+    * shuffled). Both the codes and the 5-query LUT rows are broadcast-side;
+    * the corpus side of the plan is scan → map → partial-agg.
+    *
+    * Returns (q_id, rank, id, approx) with approx = round(Σ_m LUT, 6),
+    * ranked ascending, ties by id. */
+  def pqTopK(queries: DataFrame, corpus: DataFrame, cents: DataFrame,
+             m: Int, dim: Int, k: Int): DataFrame = {
+    val sub = dim / m
+    val encoded = pqEncode(corpus, "id", "vec", cents, m, dim)
+    val luts = queries.crossJoin(broadcast(pqBooks(cents, m, dim)))
+      .select(col("q_id"),
+        transform(col("_books"), (bm, mi) => {
+          val qSub = slice(col("q_vec").cast("array<double>"),
+            mi * lit(sub) + 1, lit(sub))
+          transform(bm, cw => l2sq(qSub, cw))
+        }).as("_lut"))
+    val topk = udaf(new TopKByScore(k), ExpressionEncoderHelp.scored)
+    encoded.crossJoin(broadcast(luts))
+      .withColumn("approx", round(
+        aggregate(zip_with(col("codes"), col("_lut"),
+            (c, lutm) => element_at(lutm, c + 1)),
+          lit(0.0), (acc, v) => acc + v), 6))
+      .groupBy(col("q_id"))
+      .agg(topk(col("id"), -col("approx")).as("top"))
+      .select(col("q_id"), posexplode(col("top")))
+      .select(col("q_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.id").as("id"), (-col("col.score")).as("approx"))
+  }
 }
 
 private object ExpressionEncoderHelp {

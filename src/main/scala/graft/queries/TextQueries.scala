@@ -562,6 +562,20 @@ object TextQueries extends QueryModule {
           emb.select(col("vec_id"), col("embedding")), "vec_id", "embedding",
           hyper, numBands = 4, planesPerBand = 4, threshold = 0.45)
         .orderBy("d1", "d2")
+    },
+
+    // --- SemDeDup: cluster-then-pairwise semantic dedup (label-mean
+    //     centroids as the deterministic clustering; map-only assignment;
+    //     pairwise cosine ONLY within a cluster; greedy keep-lowest-id
+    //     survivors) ---
+    "qd13_semantic_dedup" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val cents = graft.operators.Similarity.centroids(
+        emb.select(col("label"), col("embedding")), "label", "embedding", 64)
+      Dedup.semanticDedup(
+          emb.select(col("vec_id"), col("embedding")), "vec_id", "embedding",
+          cents, threshold = 0.4)
+        .orderBy("vec_id")
     }
   )
 
@@ -1028,6 +1042,22 @@ object TextQueries extends QueryModule {
                    JOIN embeddings c ON cand.d2 = c.vec_id
          WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                       CAST(c.embedding AS DOUBLE[])) >= 0.45
-         ORDER BY d1, d2"""
+         ORDER BY d1, d2""",
+
+    "qd13_semantic_dedup" ->
+      s"""WITH ${VectorQueries.centroidCte},
+         e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         a AS (SELECT vec_id, v, cluster FROM (
+             SELECT e.vec_id, e.v, c.cluster,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY list_cosine_similarity(e.v, c.centroid) DESC, c.cluster) AS rn
+             FROM e CROSS JOIN cent c) WHERE rn = 1),
+         dup AS (SELECT DISTINCT y.vec_id
+                 FROM a x JOIN a y
+                 ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+                 AND list_cosine_similarity(x.v, y.v) >= 0.4)
+         SELECT a.vec_id, CAST(a.cluster AS BIGINT) AS cluster,
+           a.vec_id NOT IN (SELECT vec_id FROM dup) AS keep
+         FROM a ORDER BY vec_id"""
   )
 }

@@ -102,6 +102,21 @@ object VectorQueries extends QueryModule {
         .orderBy("cluster")
     },
 
+    // --- product-quantization ANN: label-mean codebooks per 8-dim
+    //     subspace, corpus PQ-encoded (map-only, 8 codes/vector ≈ 32×
+    //     compression), ADC scan sums per-query LUT entries — the encoded
+    //     corpus path never touches a raw vector ---
+    "qv06_pq_ann" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val cents = Similarity.centroids(
+        emb.select(col("label"), col("embedding")), "label", "embedding", dim)
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+      Similarity.pqTopK(queries, corpus, cents, m = 8, dim = dim, k = 5)
+        .orderBy("q_id", "rank")
+    },
+
     // --- per-cluster vector stats (centroid norms via the Aggregator) ---
     "qv03_centroid_norms" -> { (s, d) =>
       val emb = Tables.embeddings(s, d)
@@ -115,10 +130,10 @@ object VectorQueries extends QueryModule {
   )
 
   /** DuckDB centroid: element-wise mean as an explicit 64-term list. */
-  private val centroidList: String =
+  private[queries] val centroidList: String =
     (1 to dim).map(i => s"sum(CAST(embedding[$i] AS DOUBLE))/count(*)").mkString("[", ", ", "]")
 
-  private val centroidCte =
+  private[queries] val centroidCte =
     s"cent AS (SELECT label AS cluster, $centroidList AS centroid FROM embeddings GROUP BY label)"
 
   override val oracle: Map[String, String] = Map(
@@ -177,6 +192,36 @@ object VectorQueries extends QueryModule {
             FROM wb q JOIN wb c ON q.bucket = c.bucket
             WHERE q.vec_id < 5)
           WHERE rank <= 3 ORDER BY q_id, rank""",
+
+    "qv06_pq_ann" ->
+      s"""WITH $centroidCte,
+          books AS (
+            SELECT mi, cluster,
+              row_number() OVER (PARTITION BY mi ORDER BY cluster) - 1 AS idx,
+              list_transform(generate_series(1, 8), j -> centroid[mi*8 + j]) AS cw
+            FROM cent CROSS JOIN generate_series(0, 7) t(mi)),
+          e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          enc AS (SELECT vec_id, mi, idx AS code FROM (
+              SELECT e.vec_id, b.mi, b.idx,
+                row_number() OVER (PARTITION BY e.vec_id, b.mi
+                  ORDER BY list_aggregate(list_transform(generate_series(1, 8),
+                    j -> (e.v[b.mi*8+j] - b.cw[j]) * (e.v[b.mi*8+j] - b.cw[j])),
+                    'sum') ASC, b.idx ASC) AS rn
+              FROM e CROSS JOIN books b) WHERE rn = 1),
+          lut AS (SELECT q.vec_id AS q_id, b.mi, b.idx,
+                list_aggregate(list_transform(generate_series(1, 8),
+                  j -> (q.v[b.mi*8+j] - b.cw[j]) * (q.v[b.mi*8+j] - b.cw[j])),
+                  'sum') AS ld
+              FROM e q CROSS JOIN books b WHERE q.vec_id < 5),
+          d AS (SELECT l.q_id, c.vec_id AS id,
+                round(list_aggregate(list(l.ld ORDER BY l.mi), 'sum'), 6) AS approx
+              FROM enc c JOIN lut l ON c.mi = l.mi AND c.code = l.idx
+              GROUP BY 1, 2)
+          SELECT q_id, CAST(rank AS INTEGER) AS rank, id, approx FROM (
+            SELECT q_id, id, approx,
+              row_number() OVER (PARTITION BY q_id
+                ORDER BY approx ASC, id) AS rank FROM d)
+          WHERE rank <= 5 ORDER BY q_id, rank""",
 
     "qv03_centroid_norms" ->
       s"""WITH $centroidCte

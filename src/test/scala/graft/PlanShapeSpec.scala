@@ -301,5 +301,13 @@ class PlanShapeSpec extends AnyFunSuite {
       emb.select(col("vec_id"), col("embedding")), "vec_id", "embedding", hyper)
     assert(corpusSideShuffles(buckets).isEmpty,
       s"LSH bucket assignment shuffles the corpus:\n${buckets.queryExecution.sparkPlan}")
+    // PQ encoding is the same shape: folded codebook row broadcast, corpus
+    // side scan -> project only (the 32x-compression pass must not shuffle
+    // the raw vectors it exists to avoid moving)
+    val encoded = Similarity.pqEncode(
+      emb.select(col("vec_id").as("id"), col("embedding").as("vec")),
+      "id", "vec", cents, m = 4, dim = 32)
+    assert(corpusSideShuffles(encoded).isEmpty,
+      s"PQ encoding shuffles the corpus:\n${encoded.queryExecution.sparkPlan}")
   }
 }

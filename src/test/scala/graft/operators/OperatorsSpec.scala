@@ -508,6 +508,60 @@ class OperatorsSpec extends AnyFunSuite {
       .assignNearest(vecs, "id", "vec", empty).count() === 0L)
   }
 
+  test("semanticDedup: within-cluster greedy keep-lowest-id, chains over-drop, empty cents -> empty") {
+    import spark.implicits._
+    // cluster u (near (1,0)): 1~2 (dup), 4 far from both -> kept
+    // cluster v (near (0,1)): chain 5~6, 6~7 but 5!~7 -> greedy drops BOTH
+    // 6 and 7 (documented over-drop: any smaller-id neighbor >= tau)
+    val vecs = Seq(
+      (1L, Array(1f, 0f)), (2L, Array(1f, 0.05f)), (4L, Array(0.6f, 0.42f)),
+      (5L, Array(0f, 1f)), (6L, Array(0.2f, 0.98f)), (7L, Array(0.4f, 0.92f)))
+      .toDF("id", "vec")
+    val cents = Seq((0L, Array(1f, 0f)), (1L, Array(0f, 1f)))
+      .toDF("cluster", "centroid")
+    // cos(1,2)=.9988 drops 2; cos(1,4)=.819, cos(2,4)=.847 keep 4;
+    // cos(5,6)=.9798 drops 6; cos(6,7)=.9783 drops 7 even though
+    // cos(5,7)=.917 < tau — 7's only close smaller-id neighbor (6) was
+    // itself dropped: the documented greedy chain over-drop
+    val out = Dedup.semanticDedup(vecs, "id", "vec", cents, threshold = 0.97)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sortBy(_._1)
+    assert(out === Array(
+      (1L, 0L, true), (2L, 0L, false), (4L, 0L, true),
+      (5L, 1L, true), (6L, 1L, false), (7L, 1L, false)))
+    // empty centroid set -> zero rows (assignNearest folded-row contract)
+    val empty = cents.filter(col("cluster") < 0)
+    assert(Dedup.semanticDedup(vecs, "id", "vec", empty, 0.9).count() === 0L)
+  }
+
+  test("pqEncode/pqTopK: codes are sorted-codebook indexes, ADC distances exact on crafted vectors") {
+    import spark.implicits._
+    // dim=4, m=2 -> codebooks per 2-dim subspace from 2 centroids:
+    //   sub0: idx0=(1,0) idx1=(0,1);  sub1: idx0=(0,1) idx1=(1,0)
+    val cents = Seq(
+      (0L, Array(1f, 0f, 0f, 1f)),
+      (1L, Array(0f, 1f, 1f, 0f))).toDF("cluster", "centroid")
+    val corpus = Seq(
+      (1L, Array(1f, 0f, 1f, 0f)),       // codes [0,1]
+      (2L, Array(0f, 1f, 0f, 1f)),       // codes [1,0]
+      (3L, Array(0.9f, 0.1f, 0.1f, 0.9f)), // codes [0,0]
+      (4L, Array(0.5f, 0.5f, 0.5f, 0.5f))) // equidistant -> smallest idx [0,0]
+      .toDF("id", "vec")
+    val enc = Similarity.pqEncode(corpus, "id", "vec", cents, m = 2, dim = 4)
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1).toList)).sortBy(_._1)
+    assert(enc === Array(
+      (1L, List(0, 1)), (2L, List(1, 0)), (3L, List(0, 0)), (4L, List(0, 0))))
+    // ADC vs query (1,0,0,1) = centroid 0: LUT sub0=[0,2], sub1=[0,2]
+    // approx: id1 0+2=2, id2 2+0=2, id3 0, id4 0 -> rank by (approx, id)
+    val queries = Seq((9L, Array(1f, 0f, 0f, 1f))).toDF("q_id", "q_vec")
+    val got = Similarity.pqTopK(queries, corpus, cents, m = 2, dim = 4, k = 4)
+      .collect().map(r => (r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(got.sortBy(_._1) === Array(
+      (1, 3L, 0.0), (2, 4L, 0.0), (3, 1L, 2.0), (4, 2L, 2.0)))
+    // empty centroid set -> no codebooks -> zero rows, not a crash
+    assert(Similarity.pqEncode(corpus, "id", "vec",
+      cents.filter(col("cluster") < 0), m = 2, dim = 4).count() === 0L)
+  }
+
   test("real image codec: PNG encode/decode round trip, resize re-decodes to planned dims") {
     // encode → decode recovers the generative parameters exactly (lossless)
     val bytes = Multimodal.ImageCodec.encodePng(40, 20, 10, 200, 77)
