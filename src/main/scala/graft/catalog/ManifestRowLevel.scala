@@ -600,10 +600,25 @@ class ManifestScanBuilder(mkBuilder: (Seq[String], Boolean) => org.apache.spark.
       val maxL = longs.map(_.flatMap(_._2)).map {
         case Some(graft.core.FileStats.LongVal(v)) => Some(v); case _ => None
       }
+      // distribution: serve an equi-height histogram only when EVERY
+      // planned file carries the column's grid AND the distinct count
+      // served (per-bin ndv is apportioned from it) — a file written
+      // before the declaration soundly pauses serving, like the sketches
+      // 64 served bins (not the grids' 16): with few equi-height bins a
+      // low-mass tail gets absorbed into one wide bin and its range
+      // estimate collapses to the bin-uniform assumption; 64 bins keep
+      // ~1.5% mass resolution at zero extra marker cost (bin count is a
+      // serve-time choice — the stored grids are unchanged)
+      val hist =
+        if (distinct.isDefined && cols.forall(_.exists(_.hist.isDefined)))
+          graft.core.HistStats.mergedEquiHeightCached(dir, key, planned,
+            cols.map(_.get.hist.get), bins = 64, ndvTotal = distinct.get)
+        else None
       f.name -> ManifestScanBuilder.ServedColStat(
         distinct, nulls,
         if (minL.forall(_.isDefined)) Some(minL.flatten.min) else None,
-        if (maxL.forall(_.isDefined)) Some(maxL.flatten.max) else None)
+        if (maxL.forall(_.isDefined)) Some(maxL.flatten.max) else None,
+        hist)
     }.filter(_._2.distinct.isDefined).toMap // NDV is the payload; serve only sketched cols
   }
 
@@ -693,9 +708,12 @@ class ManifestScanBuilder(mkBuilder: (Seq[String], Boolean) => org.apache.spark.
 }
 
 object ManifestScanBuilder {
-  /** One column's log-served v2 statistics (see servedColumnStats). */
+  /** One column's log-served v2 statistics (see servedColumnStats).
+    * `hist` = (rows per bin, (lo, hi, ndv) equi-height bins) merged from
+    * the planned files' per-file grids ([[graft.core.HistStats]]). */
   case class ServedColStat(distinct: Option[Long], nulls: Option[Long],
-                           minLong: Option[Long], maxLong: Option[Long])
+                           minLong: Option[Long], maxLong: Option[Long],
+                           hist: Option[(Double, Seq[(Double, Double, Long)])] = None)
 }
 
 /** Storage-partitioned scan of a fully bucketed manifest table: parquet

@@ -82,6 +82,24 @@ case class ManifestStreamScan(inner: ParquetScan, dir: String,
             override def max(): java.util.Optional[Object] =
               s.maxLong.map(v => java.util.Optional.of(java.lang.Long.valueOf(v): Object))
                 .getOrElse(java.util.Optional.empty[Object]())
+            override def histogram(): java.util.Optional[
+                org.apache.spark.sql.connector.read.colstats.Histogram] =
+              s.hist match {
+                case None => java.util.Optional.empty()
+                case Some((h, bs)) => java.util.Optional.of(
+                  new org.apache.spark.sql.connector.read.colstats.Histogram {
+                    override def height(): Double = h
+                    override def bins(): Array[
+                        org.apache.spark.sql.connector.read.colstats.HistogramBin] =
+                      bs.map { case (l, u, d) =>
+                        new org.apache.spark.sql.connector.read.colstats.HistogramBin {
+                          override def lo(): Double = l
+                          override def hi(): Double = u
+                          override def ndv(): Long = d
+                        }: org.apache.spark.sql.connector.read.colstats.HistogramBin
+                      }.toArray
+                  })
+              }
           })
       }
       m

@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.{expressions => E}
 import org.apache.spark.sql.sources
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
-import org.json4s.{JBool, JDecimal, JDouble, JInt, JObject, JString, JValue}
+import org.json4s.{JArray, JBool, JDecimal, JDouble, JInt, JObject, JString, JValue}
 
 /** Per-file column statistics for manifest data-skipping — the Delta/
   * Iceberg move that makes selective queries on a 100 TB table plan in
@@ -45,6 +45,20 @@ object FileStats {
   final case class StringVal(v: String) extends StatVal
   final case class BoolVal(v: Boolean) extends StatVal
 
+  /** Per-file equi-width value histogram of one NUMERIC column: exact
+    * non-null row counts over [[HistStats.Buckets]] equal-width buckets
+    * spanning the file's own [lo, hi] (bucket i covers
+    * lo + width·i ≤ x < lo + width·(i+1), last bucket closed at hi).
+    * A single-element `counts` means a constant column (lo == hi, a point
+    * mass); an EMPTY `counts` means the file has zero non-null values.
+    * Per-file grids over per-file bounds stay exact and mergeable-by-
+    * re-binning, which is what lets scan planning serve a table-level
+    * equi-height histogram to CBO from the log (see
+    * [[HistStats.mergedEquiHeight]]). */
+  final case class Hist(lo: Double, hi: Double, counts: Vector[Long]) {
+    def total: Long = counts.sum
+  }
+
   /** `min`: lower bound of non-null values (absent = unknown).
     * `max`: upper bound of non-null values (absent = unknown).
     * `nullCount`: exact, absent = unknown.
@@ -52,10 +66,13 @@ object FileStats {
     * values in this file (absent unless the table declares the column in
     * `graft.ndv.columns`). Sketches are MERGEABLE, so the log can serve a
     * table/scan-level distinct count to the optimizer by unioning the
-    * planned files' sketches — no ANALYZE pass (see [[NdvStats]]). */
+    * planned files' sketches — no ANALYZE pass (see [[NdvStats]]).
+    * `hist`: per-file value histogram, collected alongside the sketch for
+    * the NUMERIC declared columns (see [[Hist]]/[[HistStats]]). */
   final case class ColStats(min: Option[StatVal], max: Option[StatVal],
                             nullCount: Option[Long],
-                            ndvSketch: Option[Array[Byte]] = None)
+                            ndvSketch: Option[Array[Byte]] = None,
+                            hist: Option[Hist] = None)
 
   /** Stats of one data file. `cols` holds only columns with at least one
     * known field; lookup is by lower-cased column name (Spark's default
@@ -106,7 +123,12 @@ object FileStats {
           c.max.map(v => "mx" -> valToJson(v)),
           c.nullCount.map(v => "nc" -> (JInt(v): JValue)),
           c.ndvSketch.map(b => "hl" -> (JString(
-            java.util.Base64.getEncoder.encodeToString(b)): JValue))).flatten)
+            java.util.Base64.getEncoder.encodeToString(b)): JValue)),
+          c.hist.map(h => "hg" -> (JObject(List(
+            "lo" -> (JDouble(h.lo): JValue),
+            "hi" -> (JDouble(h.hi): JValue),
+            "ct" -> (JArray(h.counts.toList.map(n => JInt(n): JValue)): JValue)
+          )): JValue))).flatten)
       }): JValue))
 
   def fromJson(j: JValue): Option[Stats] = j match {
@@ -125,7 +147,20 @@ object FileStats {
             cm.get("mx").flatMap(jsonToVal),
             cm.get("nc").collect { case JInt(n) => n.toLong },
             cm.get("hl").collect { case JString(s) =>
-              java.util.Base64.getDecoder.decode(s) })
+              java.util.Base64.getDecoder.decode(s) },
+            cm.get("hg").collect { case o: JObject =>
+              val hm = o.obj.toMap
+              def d(k: String): Option[Double] = hm.get(k).collect {
+                case JDouble(x) => x; case JInt(x) => x.toDouble
+                case JDecimal(x) => x.toDouble
+              }
+              (d("lo"), d("hi"), hm.get("ct")) match {
+                case (Some(lo), Some(hi), Some(JArray(xs))) =>
+                  Some(Hist(lo, hi,
+                    xs.collect { case JInt(n) => n.toLong }.toVector))
+                case _ => None
+              }
+            }.flatten)
         }.toMap
         case _ => Map.empty[String, ColStats]
       }

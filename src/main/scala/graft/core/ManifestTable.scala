@@ -661,8 +661,15 @@ object ManifestTable {
       ndvCols: Seq[String]): Map[String, FileStats.Stats] = {
     val base = FileStats.collect(dataDir, files)
     if (ndvCols.isEmpty || files.isEmpty) base
-    else NdvStats.attach(base,
-      NdvStats.collectSketches(SparkSession.active, dataDir, files, ndvCols))
+    else {
+      val spark = SparkSession.active
+      val withNdv = NdvStats.attach(base,
+        NdvStats.collectSketches(spark, dataDir, files, ndvCols))
+      // numeric declared columns additionally carry per-file histograms —
+      // the distribution half of the log-served CBO channel
+      HistStats.attach(withNdv,
+        HistStats.collectHists(spark, dataDir, files, ndvCols))
+    }
   }
 
   /** Commit a FILE-LEVEL REWRITE: the new manifest is the current one

@@ -703,6 +703,55 @@ object CoverageQueries extends QueryModule {
         .toDF("ndv_docid_served", "ndv_lang_served", "n_docs", "total_chars")
     },
 
+    // --- log-served column HISTOGRAMS (core/HistStats): numeric declared
+    //     NDV columns carry per-file equi-width grids at commit; scan
+    //     planning merges them into a 64-bin equi-height histogram served
+    //     through v2 columnStats — CBO range estimation sees the real
+    //     DISTRIBUTION with zero ANALYZE. Structural booleans: the
+    //     histogram reaches attributeStats, and a 5%-mass tail range
+    //     predicate estimates near 5% (where min/max-uniform says 10%
+    //     and no-stats defaults say far more) ---
+    "qc40_log_histogram" -> { (s, d) =>
+      import s.implicits._
+      if (s.conf.getOption("spark.sql.catalog.graft_cat").isEmpty)
+        graft.catalog.GraftCatalog.register(s, "graft_cat",
+          graft.core.TempDirs.create("graft_cat_root_"))
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.db")
+      s.sql("DROP TABLE IF EXISTS graft_cat.db.hist40")
+      Tables.documents(s, d).createOrReplaceTempView("qc40_documents")
+      s.sql("CREATE TABLE graft_cat.db.hist40 (k BIGINT) USING manifest " +
+        s"TBLPROPERTIES ('${graft.catalog.GraftCatalog.NdvColsProp}'='k')")
+      val skew = "CASE WHEN doc_id % 20 = 0 THEN 900 + doc_id % 100 " +
+        "ELSE doc_id % 100 END" // 5% of rows in the [900, 1000) tail
+      // two appends: grids must MERGE across commits
+      s.sql(s"INSERT INTO graft_cat.db.hist40 SELECT $skew AS k " +
+        "FROM qc40_documents WHERE doc_id % 2 = 0")
+      s.sql(s"INSERT INTO graft_cat.db.hist40 SELECT $skew AS k " +
+        "FROM qc40_documents WHERE doc_id % 2 = 1")
+      val total = s.table("graft_cat.db.hist40").count()
+      val savedCbo = s.conf.getOption("spark.sql.cbo.enabled")
+      val (histServed, estRatio) = try {
+        s.conf.set("spark.sql.cbo.enabled", "true")
+        val att = s.table("graft_cat.db.hist40")
+          .queryExecution.optimizedPlan.stats.attributeStats
+        val served = att.find(_._1.name == "k").flatMap(_._2.histogram)
+        val est = s.table("graft_cat.db.hist40").where(col("k") >= 900)
+          .queryExecution.optimizedPlan.stats.rowCount
+        (served.exists(_.bins.length == 64),
+          est.map(_.toDouble / total).getOrElse(1.0))
+      } finally savedCbo match {
+        case Some(v) => s.conf.set("spark.sql.cbo.enabled", v)
+        case None    => s.conf.unset("spark.sql.cbo.enabled")
+      }
+      // distribution-sized: the tail estimate lands near the true 5%,
+      // far from uniform interpolation's 10% (grid smearing tolerated)
+      val estOk = estRatio > 0.005 && estRatio < 0.09
+      val agg = s.sql("SELECT count(*) AS n, CAST(sum(k) AS BIGINT) AS sk " +
+        "FROM graft_cat.db.hist40").head()
+      Seq((histServed, estOk, agg.getLong(0), agg.getLong(1)))
+        .toDF("hist_served", "est_sized_by_distribution", "n_rows", "sum_k")
+    },
+
     // --- grouped metadata aggregation (ManifestScanBuilder
     //     servableMetadataAgg, GROUP BY arm): when every file is
     //     CONSTANT in the group columns (the per-source/per-partition
@@ -1503,6 +1552,16 @@ object CoverageQueries extends QueryModule {
       """SELECT true AS ndv_docid_served, true AS ndv_lang_served,
            count(*) AS n_docs,
            CAST(sum(n_chars) AS BIGINT) AS total_chars
+         FROM documents""",
+
+    // the structural booleans are Spark-side optimizer facts (histogram
+    // served, range estimate sized by the distribution); the aggregate
+    // replays the skew mapping over documents
+    "qc40_log_histogram" ->
+      """SELECT true AS hist_served, true AS est_sized_by_distribution,
+           count(*) AS n_rows,
+           CAST(sum(CASE WHEN doc_id % 20 = 0 THEN 900 + doc_id % 100
+                         ELSE doc_id % 100 END) AS BIGINT) AS sum_k
          FROM documents""",
 
     // the per-group aggregates replay over documents; the boolean is a

@@ -273,6 +273,47 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("PartitionFilters: []"), s"no partition filters applied:\n$scanLine")
   }
 
+  test("log-served histogram sizes a skewed range predicate (CBO, zero ANALYZE)") {
+    // declared-NDV numeric columns also carry per-file histograms; the
+    // merged equi-height bins reach catalyst ColumnStat and
+    // FilterEstimation sizes range predicates from the DISTRIBUTION:
+    // 5% of rows live in the [900, 1000) tail of a [0, 1000) domain, so
+    // the histogram estimate must land near 5% where min/max-uniform
+    // interpolation says 10% and the no-stats default says 25%
+    val root = "file://" + java.nio.file.Files.createTempDirectory("graft_hist_").toString
+    graft.catalog.GraftCatalog.register(spark, "ghx", root)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS ghx.db")
+    spark.sql("CREATE TABLE ghx.db.skew (k BIGINT, pad STRING) USING manifest " +
+      s"TBLPROPERTIES ('${graft.catalog.GraftCatalog.NdvColsProp}'='k')")
+    def src(a: Int, b: Int) = "SELECT CASE WHEN id % 20 = 0 THEN 900 + id % 100 " +
+      s"ELSE id % 100 END AS k, sha2(CAST(id AS STRING), 256) AS pad FROM range($a, $b)"
+    spark.sql(s"INSERT INTO ghx.db.skew ${src(0, 20000)}")
+    spark.sql(s"INSERT INTO ghx.db.skew ${src(20000, 40000)}") // 2 pools -> merged grids
+    val saved = spark.conf.getOption("spark.sql.cbo.enabled")
+    try {
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      val att = spark.table("ghx.db.skew").queryExecution.optimizedPlan.stats
+        .attributeStats
+      val kStat = att.find(_._1.name == "k").map(_._2)
+      assert(kStat.exists(_.histogram.isDefined),
+        s"no histogram in served ColumnStat: $att")
+      val h = kStat.get.histogram.get
+      assert(h.bins.length === 64)
+      assert(math.abs(h.height - 40000.0 / 64) < 1.0)
+      // equi-height on skew: most cuts crowd the dense [0, 100) region
+      assert(h.bins.count(_.hi <= 101.0) >= 40,
+        s"cuts ignore the skew: ${h.bins.map(b => f"${b.lo}%.0f..${b.hi}%.0f").mkString(", ")}")
+      val est = spark.table("ghx.db.skew").where(col("k") >= 900)
+        .queryExecution.optimizedPlan.stats.rowCount
+      assert(est.exists(rc => rc >= BigInt(800) && rc <= BigInt(3200)),
+        s"tail estimate should be near the true 2000 rows (5%), got $est " +
+          "(uniform interpolation would say ~4000, default selectivity ~10000)")
+    } finally saved match {
+      case Some(v) => spark.conf.set("spark.sql.cbo.enabled", v)
+      case None    => spark.conf.unset("spark.sql.cbo.enabled")
+    }
+  }
+
   test("vector assignment is map-only: zero Exchange on the corpus side") {
     // The kmeans/IVF nearest-centroid and sign-LSH bucket assignments must
     // be pure maps over the corpus: the streamed (corpus) side of the
