@@ -567,6 +567,45 @@ object ManifestTable {
   def append(df: DataFrame, dir: String): Long =
     commitStagedAppend(dir, stagePool(df, dir))
 
+  /** Append `df` exactly once PER TAG — the foreachBatch retry contract:
+    * stages under the DETERMINISTIC pool `d-tag-<tag>` and commits only
+    * when no LIVE file references that pool, so a micro-batch that
+    * re-runs after a failure (same batchId, same re-derived rows) lands
+    * as a no-op instead of duplicating. A crashed half-stage is safely
+    * overwritten (the pool write is SaveMode.Overwrite and an uncommitted
+    * pool is invisible); losing the commit race to one's own earlier
+    * attempt resolves to that attempt's version.
+    *
+    * Contract: ONE writer per tag, and a tag must be FRESH — never reused
+    * after its batch's files could have been rewritten (compaction /
+    * snapshot replace), because the idempotence check runs against the
+    * LIVE file set only. Monotonic streaming batch ids satisfy both.
+    * Files are plain NAME-RESOLVED parquet: a catalog table read through
+    * column mapping (parquet field ids) would resolve them as all-null —
+    * target unmapped tables (`LOCATION` tables), like any external
+    * producer. Returns the version holding the tag's files. */
+  def appendIdempotent(df: DataFrame, dir: String, tag: String,
+                       ndvCols: Seq[String] = Nil): Long = {
+    require(tag.nonEmpty && tag.forall(c =>
+      c.isLetterOrDigit || c == '-' || c == '_' || c == '.'),
+      s"pool tag must be path-safe: '$tag'")
+    val pool = s"${DataDirPrefix}tag-$tag"
+    def committedIn(v: Long): Boolean =
+      state(dir, v).files.exists(_.startsWith(pool + "/"))
+    currentVersion(dir).filter(committedIn).getOrElse {
+      val files = writePool(df, dir, pool)
+      if (files.isEmpty) return currentVersion(dir).getOrElse(0L)
+      val st = collectStats(dir, files, ndvCols)
+      try commitLoop(dir) { base =>
+        if (base.exists(committedIn)) None // already landed: resolve below
+        else Some(Delta(add = files, remove = Seq.empty, stats = st))
+      } catch {
+        case e: java.util.ConcurrentModificationException =>
+          currentVersion(dir).filter(committedIn).getOrElse(throw e)
+      }
+    }
+  }
+
   /** Stage `df` as an UNCOMMITTED data pool (invisible to every reader
     * until some manifest references it) and return the staged file list —
     * the two-phase half of [[write]]/[[append]] for callers that must

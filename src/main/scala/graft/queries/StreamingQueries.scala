@@ -410,6 +410,85 @@ object StreamingQueries extends QueryModule {
         FROM graft_cat.db.wap_corpus GROUP BY lang ORDER BY lang""")
     },
 
+    // --- CONTINUOUS incremental dedup: the streaming steady state of the
+    //     qp03 stored-index shape. Docs arrive as feed commits; each
+    //     micro-batch (admission-controlled to one source version)
+    //     (1) drops intra-batch near-dups (greedy keep-lowest-id),
+    //     (2) probes the STORED LSH index of everything accepted so far —
+    //     the batch shingles ONLY itself, the accepted corpus is never
+    //     re-shingled, cost is O(batch) forever — and (3) lands survivors
+    //     AND their index rows via ManifestTable.appendIdempotent, so a
+    //     replayed micro-batch (foreachBatch's at-least-once) commits
+    //     exactly once. The oracle replays the 3-batch greedy acceptance
+    //     with brute-force exact Jaccard (same recall contract as qd03) ---
+    "qp05_stream_dedup_pipeline" -> { (s, d) =>
+      if (s.conf.getOption("spark.sql.catalog.graft_cat").isEmpty)
+        graft.catalog.GraftCatalog.register(s, "graft_cat",
+          graft.core.TempDirs.create("graft_cat_root_"))
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.db")
+      Seq("sd_feed", "sd_clean", "sd_index").foreach(t =>
+        s.sql(s"DROP TABLE IF EXISTS graft_cat.db.$t"))
+      graft.core.Tables.documents(s, d).createOrReplaceTempView("qp05_documents")
+      s.sql("CREATE TABLE graft_cat.db.sd_feed " +
+        "(doc_id BIGINT, lang STRING, text STRING) USING manifest")
+      // clean + index are written OUTSIDE the catalog (the core
+      // appendIdempotent API produces plain name-resolved parquet), so
+      // they must be LOCATION tables — catalog-born manifest tables use
+      // column mapping (parquet field ids) and would read id-less
+      // externally-written files as all-null columns
+      val cleanDir = graft.core.TempDirs.create("graft_qp05_clean_")
+      val idxDir = graft.core.TempDirs.create("graft_qp05_idx_")
+      s.sql("CREATE TABLE graft_cat.db.sd_clean " +
+        "(doc_id BIGINT, lang STRING, text STRING) USING manifest " +
+        s"LOCATION '$cleanDir'")
+      s.sql("CREATE TABLE graft_cat.db.sd_index " +
+        "(doc_id BIGINT, band INT, bucket BIGINT) USING manifest " +
+        s"LOCATION '$idxDir'")
+      (0 to 2).foreach(b => // three feed commits = three micro-batches
+        s.sql("INSERT INTO graft_cat.db.sd_feed SELECT doc_id, lang, text " +
+          s"FROM qp05_documents WHERE doc_id % 3 = $b"))
+      val ckpt = graft.core.TempDirs.create("graft_qp05_ck_")
+      withStreamShuffle(s) {
+        val q = s.readStream.option("maxVersionsPerTrigger", "1")
+          .table("graft_cat.db.sd_feed")
+          .writeStream.option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .foreachBatch { (batch: DataFrame, id: Long) =>
+            val sb = batch.sparkSession
+            val b = batch.select("doc_id", "lang", "text").persist()
+            try {
+              val intraDups = graft.operators.Dedup
+                .minhashLshPairs(b, "doc_id", "text", n = 3, threshold = 0.8)
+                .select(col("d2").as("doc_id")).distinct()
+              val kept = b.join(intraDups, Seq("doc_id"), "left_anti")
+              val contaminated = graft.operators.Dedup
+                .minhashLshPairsAgainstIndex(
+                  sb.table("graft_cat.db.sd_clean"),
+                  sb.table("graft_cat.db.sd_index"), kept,
+                  "doc_id", "text", n = 3, threshold = 0.8)
+                .select(col("delta_id").as("doc_id")).distinct()
+              val accepted = kept
+                .join(contaminated, Seq("doc_id"), "left_anti").persist()
+              try {
+                graft.core.ManifestTable.appendIdempotent(
+                  accepted, cleanDir, s"qp05-b$id")
+                graft.core.ManifestTable.appendIdempotent(
+                  graft.operators.Dedup.lshIndex(accepted, "doc_id", "text", n = 3),
+                  idxDir, s"qp05-b$id")
+                ()
+              } finally { accepted.unpersist(); () }
+            } finally { b.unpersist(); () }
+          }.start()
+        try {
+          if (!q.awaitTermination(300000))
+            throw new IllegalStateException("qp05 stream did not drain")
+        } finally q.stop()
+      }
+      s.sql("""SELECT lang, count(*) AS n_docs,
+          CAST(sum(length(text)) AS BIGINT) AS total_chars
+        FROM graft_cat.db.sd_clean GROUP BY lang ORDER BY lang""")
+    },
+
     "qs14_stream_to_table" -> { (s, d) =>
       if (s.conf.getOption("spark.sql.catalog.graft_cat").isEmpty)
         graft.catalog.GraftCatalog.register(s, "graft_cat",
@@ -510,6 +589,49 @@ object StreamingQueries extends QueryModule {
   )
 
   override val oracle: Map[String, String] = Map(
+    // replay the 3-batch greedy acceptance: per batch, drop (1) any doc
+    // with a lower-id >=0.8-Jaccard partner in the SAME batch (whether or
+    // not that partner itself survives — the engine computes intra-batch
+    // pairs before the index probe, documented greedy semantics) and
+    // (2) any doc near-dup of a doc ACCEPTED in an earlier batch
+    "qp05_stream_dedup_pipeline" ->
+      """WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+         sh AS (SELECT DISTINCT doc_id,
+                unnest(list_transform(generate_series(1, len(t)-2),
+                       i -> t[i]||' '||t[i+1]||' '||t[i+2])) AS s
+                FROM toks WHERE len(t) >= 3),
+         sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         p0 AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2),
+         pairs AS (SELECT d1, d2
+                   FROM p0 JOIN sizes s1 ON p0.d1 = s1.doc_id
+                           JOIN sizes s2 ON p0.d2 = s2.doc_id
+                   WHERE inter*1.0/(s1.n_sh + s2.n_sh - inter) >= 0.8),
+         sym AS (SELECT d1 AS a, d2 AS b FROM pairs
+                 UNION ALL SELECT d2, d1 FROM pairs),
+         acc0 AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 0
+                  AND doc_id NOT IN (SELECT d2 FROM pairs
+                                     WHERE d1 % 3 = 0 AND d2 % 3 = 0)),
+         acc1 AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 1
+                  AND doc_id NOT IN (SELECT d2 FROM pairs
+                                     WHERE d1 % 3 = 1 AND d2 % 3 = 1)
+                  AND doc_id NOT IN (SELECT s.b FROM sym s
+                                     WHERE s.a IN (SELECT doc_id FROM acc0))),
+         acc2 AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 2
+                  AND doc_id NOT IN (SELECT d2 FROM pairs
+                                     WHERE d1 % 3 = 2 AND d2 % 3 = 2)
+                  AND doc_id NOT IN (SELECT s.b FROM sym s
+                                     WHERE s.a IN (SELECT doc_id FROM acc0
+                                                   UNION ALL
+                                                   SELECT doc_id FROM acc1))),
+         acc AS (SELECT doc_id FROM acc0 UNION ALL SELECT doc_id FROM acc1
+                 UNION ALL SELECT doc_id FROM acc2)
+         SELECT d.lang, count(*) AS n_docs,
+           CAST(sum(length(d.text)) AS BIGINT) AS total_chars
+         FROM documents d JOIN acc USING (doc_id)
+         GROUP BY d.lang ORDER BY d.lang""",
+
     "qs01_tumbling_window" ->
       """SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS window_start,
            event_type, count(*) AS n, round(sum(value), 2) AS total_value

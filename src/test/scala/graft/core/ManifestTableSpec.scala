@@ -533,4 +533,37 @@ class ManifestTableSpec extends AnyFunSuite {
       case None    => spark.conf.unset(key)
     }
   }
+
+  test("appendIdempotent: per-tag exactly-once, crashed half-stage recovered, fresh tags append") {
+    import spark.implicits._
+    val dir = freshDir()
+    ManifestTable.write(df(10), dir)                              // v1
+    val batch = (100 to 104).map(i => (i.toLong, s"b$i")).toDF("id", "v")
+    // first landing commits
+    val v1 = ManifestTable.appendIdempotent(batch, dir, "batch-7")
+    def rows() = ManifestTable.read(spark, dir).count()
+    val after = rows()
+    assert(after === 15L)
+    // the foreachBatch retry: same tag, same rows -> NO second commit
+    val v2 = ManifestTable.appendIdempotent(batch, dir, "batch-7")
+    assert(v2 === v1, "retry must resolve to the original commit")
+    assert(rows() === 15L, "retry duplicated rows")
+    assert(ManifestTable.currentVersion(dir).contains(v1))
+    // crashed half-stage: a partial UNCOMMITTED pool under the next tag's
+    // name must be safely overwritten, not duplicated and not fatal
+    val pool = new java.io.File(dir.stripPrefix("file://"), "d-tag-batch-8")
+    pool.mkdirs()
+    java.nio.file.Files.write(pool.toPath.resolve("part-junk.parquet"),
+      "not parquet".getBytes)
+    val next = (200 to 202).map(i => (i.toLong, s"c$i")).toDF("id", "v")
+    ManifestTable.appendIdempotent(next, dir, "batch-8")
+    assert(rows() === 18L)
+    // distinct fresh tags keep appending
+    ManifestTable.appendIdempotent(batch, dir, "batch-9")
+    assert(rows() === 23L)
+    // unsafe tag rejected before any write
+    intercept[IllegalArgumentException] {
+      ManifestTable.appendIdempotent(batch, dir, "../escape")
+    }
+  }
 }
