@@ -101,15 +101,25 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val dir = s"$root/${ns(0)}/${ns(1)}"
     readMeta(dir).flatMap { meta =>
       val dataDir = meta.location.getOrElse(dir)
+      // a clone's history/files serve its OWN branch-log lineage (pools
+      // still sized under the shared source data plane); refs/changes/
+      // partitions stay source-side concepts and resolve as absent here
+      val cloneLog = meta.cloneBranch
+        .map(b => graft.core.ManifestTable.branchLogDir(dataDir, b))
+      if (meta.cloneBranch.isDefined &&
+          !Set("detail", "history", "files").contains(ident.name().toLowerCase))
+        return None
       ident.name().toLowerCase match {
         case "detail" => Some(MetadataTables.detail(dataDir, meta.provider,
           meta.bucket.map(b => s"bucket(${b.n}, ${b.col})")))
         case "history" if meta.provider == "manifest" =>
-          Some(MetadataTables.history(dataDir))
+          Some(MetadataTables.history(cloneLog.getOrElse(dataDir),
+            poolDir = cloneLog.map(_ => dataDir)))
         case "history" if meta.provider == "keyedlog" =>
           Some(MetadataTables.keyedLogHistory(dataDir))
         case "files" if meta.provider == "manifest" =>
-          Some(MetadataTables.files(dataDir))
+          Some(MetadataTables.files(cloneLog.getOrElse(dataDir),
+            poolDir = cloneLog.map(_ => dataDir)))
         case "files" if meta.provider == "keyedlog" =>
           Some(MetadataTables.keyedLogFiles(dataDir))
         case "partitions" if meta.provider == "keyedlog" =>
@@ -145,9 +155,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val dataDir = meta.location.getOrElse(dir)
     scala.util.Try(version.toLong).toOption match {
       case Some(v) =>
+        // a clone time-travels within its OWN branch lineage (version
+        // numbers are branch-log versions: v1 = the clone-time snapshot)
         new ManifestSparkTable(dataDir, meta.schema, Some(v), meta.bucket,
           mergeOnRead = meta.dmlMode.contains("merge-on-read"),
-          cluster = meta.cluster)
+          cluster = meta.cluster, branch = meta.cloneBranch)
+      case None if meta.cloneBranch.isDefined =>
+        throw new UnsupportedOperationException(
+          s"${ident.name()}: clones support only numeric VERSION AS OF " +
+            "(their own branch-log versions) — tags and branches live on " +
+            "the source table")
       case None if graft.core.ManifestTable.branchHead(dataDir, version).isDefined =>
         new ManifestSparkTable(dataDir, meta.schema, None, meta.bucket,
           mergeOnRead = meta.dmlMode.contains("merge-on-read"),
@@ -170,11 +187,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val dataDir = meta.location.getOrElse(dir)
     if (meta.provider != "manifest") throw new UnsupportedOperationException(
       s"${ident.name()}: only manifest tables support TIMESTAMP AS OF")
+    // clones resolve the timestamp in their OWN branch log (commit clocks
+    // of the clone's lineage, not the source's)
+    val logDir = meta.cloneBranch
+      .map(b => graft.core.ManifestTable.branchLogDir(dataDir, b))
+      .getOrElse(dataDir)
     val v = graft.core.ManifestTable
-      .versionAsOfTimestamp(dataDir, timestampMicros / 1000L)
+      .versionAsOfTimestamp(logDir, timestampMicros / 1000L)
       .getOrElse(throw new IllegalStateException(
         s"${ident.name()}: no version committed at or before the requested timestamp"))
-    new ManifestSparkTable(dataDir, meta.schema, Some(v), meta.bucket)
+    new ManifestSparkTable(dataDir, meta.schema, Some(v), meta.bucket,
+      branch = meta.cloneBranch)
   }
 
   private def tableFor(ident: Identifier, asOf: Option[Long]): Table = {
@@ -184,15 +207,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     meta.provider match {
       case "keyedlog" => new KeyedLogTable(dataDir, meta.bucket.map(_.n))
       case "manifest" =>
-        // write-audit-publish: when the session pins a WAP branch and this
-        // table HAS that branch, reads and writes both target it (the
-        // audit query sees exactly what the pipeline staged); tables
-        // without the branch resolve to main, so one session conf can
-        // drive a multi-table pipeline
-        val wap = org.apache.spark.sql.SparkSession.active.conf
-          .getOption(GraftCatalog.WapBranchConf)
-          .filter(b => asOf.isEmpty &&
-            graft.core.ManifestTable.branchHead(dataDir, b).isDefined)
+        // a zero-copy CLONE's lineage lives in its pinned branch log —
+        // always; the WAP session conf must NOT re-route a clone (the
+        // pinned branch IS the table, and a same-named staging branch on
+        // the shared source dir would otherwise hijack it)
+        val wap = meta.cloneBranch.orElse(
+          // write-audit-publish: when the session pins a WAP branch and
+          // this table HAS that branch, reads and writes both target it
+          // (the audit query sees exactly what the pipeline staged);
+          // tables without the branch resolve to main, so one session
+          // conf can drive a multi-table pipeline
+          org.apache.spark.sql.SparkSession.active.conf
+            .getOption(GraftCatalog.WapBranchConf)
+            .filter(b => asOf.isEmpty &&
+              graft.core.ManifestTable.branchHead(dataDir, b).isDefined))
         new ManifestSparkTable(dataDir, meta.schema, asOf, meta.bucket,
           mergeOnRead = meta.dmlMode.contains("merge-on-read"),
           cluster = meta.cluster, branch = wap, bloomCols = meta.bloomCols,
@@ -674,12 +702,46 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def dropTable(ident: Identifier): Boolean = {
     val dir = new Path(tableDir(ident))
     if (!fs.exists(new Path(dir, MetaFile))) false
-    else fs.delete(dir, true)
+    else {
+      readMeta(tableDir(ident)).foreach { meta =>
+        val dataDir = meta.location.getOrElse(tableDir(ident))
+        meta.cloneBranch match {
+          case Some(b) =>
+            // dropping a clone releases its pin on the source: the branch
+            // log (the clone's whole private lineage) goes, its private
+            // pools become vacuum-collectable on the source
+            scala.util.Try(graft.core.ManifestTable.dropBranch(dataDir, b))
+          case None if meta.provider == "manifest" =>
+            // dropping a SOURCE whose data plane still backs live clones
+            // would corrupt every one of them — refuse until they're gone
+            val pins = graft.core.ManifestTable.branches(dataDir).keys
+              .filter(_.startsWith(graft.core.ManifestTable.CloneBranchPrefix))
+              .toSeq.sorted
+            require(pins.isEmpty,
+              s"cannot drop ${ident.name()}: zero-copy clones still pin its " +
+                s"data (${pins.mkString(", ")}) — DROP the clone tables first")
+          case None =>
+        }
+      }
+      fs.delete(dir, true)
+    }
   }
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
     val from = new Path(tableDir(oldIdent))
     if (!fs.exists(new Path(from, MetaFile))) throw new NoSuchTableException(oldIdent)
+    readMeta(tableDir(oldIdent)).foreach { meta =>
+      // a catalog-born source's data plane IS its table dir: renaming it
+      // moves the pools out from under every clone's recorded location
+      if (meta.provider == "manifest" && meta.location.isEmpty) {
+        val pins = graft.core.ManifestTable.branches(tableDir(oldIdent)).keys
+          .filter(_.startsWith(graft.core.ManifestTable.CloneBranchPrefix))
+          .toSeq.sorted
+        require(pins.isEmpty,
+          s"cannot rename ${oldIdent.name()}: zero-copy clones pin its data " +
+            s"plane in place (${pins.mkString(", ")}) — DROP them first")
+      }
+    }
     val to = new Path(tableDir(newIdent))
     if (fs.exists(to))
       throw new TableAlreadyExistsException((newIdent.namespace() :+ newIdent.name()).toSeq)
@@ -722,6 +784,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   private[catalog] def procedureTarget(ident: Identifier): (String, String, Option[GraftCatalog.Bucketing]) = {
     val dir = tableDir(ident)
     val meta = readMeta(dir).getOrElse(throw new NoSuchTableException(ident))
+    requireNotClone(ident, meta)
     (meta.provider, meta.location.getOrElse(dir), meta.bucket)
   }
 
@@ -730,7 +793,56 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   private[catalog] def procedureMeta(ident: Identifier): (GraftCatalog.TableMeta, String) = {
     val dir = tableDir(ident)
     val meta = readMeta(dir).getOrElse(throw new NoSuchTableException(ident))
+    requireNotClone(ident, meta)
     (meta, meta.location.getOrElse(dir))
+  }
+
+  /** Maintenance procedures operate on the PHYSICAL table — a zero-copy
+    * clone's "data dir" is the source's shared data plane, so vacuum/
+    * compact/rollback/tag/... aimed at a clone would act on the source's
+    * main log (at best a surprise, at worst data loss). Refused centrally;
+    * the clone's own lifecycle runs through DML, DROP TABLE, and the
+    * source's procedures. */
+  private def requireNotClone(ident: Identifier, meta: GraftCatalog.TableMeta): Unit =
+    require(meta.cloneBranch.isEmpty,
+      s"${ident.name()} is a zero-copy clone — maintenance procedures " +
+        "operate on the physical table; run them against the clone's source")
+
+  /** Zero-copy CLONE: materialize `dstIdent` as an independent table over
+    * `srcIdent`'s data plane at `version` (default: current) — no data
+    * copied, whatever the table size. The clone's whole private lineage
+    * (its own versions, DML, appends) lives in a pinned branch log
+    * ([[graft.core.ManifestTable.CloneBranchPrefix]]) on the source dir:
+    * vacuum on the source already retains branch-referenced pools, the
+    * fork version anchors the clone-time snapshot, and the pin is exempt
+    * from `expire_refs` (its lifetime is the clone TABLE's — DROP TABLE
+    * releases it). Returns (forked source version, pin branch name). */
+  private[catalog] def createCloneTable(srcIdent: Identifier, dstIdent: Identifier,
+                                        version: Option[Long]): (Long, String) = {
+    val srcDir = tableDir(srcIdent)
+    val meta = readMeta(srcDir).getOrElse(throw new NoSuchTableException(srcIdent))
+    require(meta.provider == "manifest",
+      s"clone applies to manifest tables only; '${srcIdent.name()}' is a " +
+        s"${meta.provider} table")
+    require(meta.cloneBranch.isEmpty,
+      s"'${srcIdent.name()}' is itself a clone — clone the original table " +
+        "(a clone-of-clone would chain pins across drops)")
+    val ns = dstIdent.namespace()
+    if (ns.nonEmpty && !fs.exists(new Path(nsDir(ns))))
+      throw new NoSuchNamespaceException(ns)
+    val dstDir = tableDir(dstIdent)
+    if (fs.exists(new Path(dstDir, MetaFile)))
+      throw new TableAlreadyExistsException((ns :+ dstIdent.name()).toSeq)
+    val dataDir = meta.location.getOrElse(srcDir)
+    val pin = graft.core.ManifestTable.CloneBranchPrefix +
+      (ns :+ dstIdent.name()).mkString(".")
+    val forkV = graft.core.ManifestTable.createBranch(dataDir, pin, version)
+    if (!writeMeta(dstDir, meta.copy(location = Some(dataDir),
+        cloneBranch = Some(pin)))) {
+      graft.core.ManifestTable.dropBranch(dataDir, pin)
+      throw new TableAlreadyExistsException((ns :+ dstIdent.name()).toSeq)
+    }
+    (forkV, pin)
   }
 
   // ---- namespaces ----
@@ -815,7 +927,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       bloomCols = str("bloomCols")
         .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Nil),
       ndvCols = str("ndvCols")
-        .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Nil)))
+        .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Nil),
+      cloneBranch = str("cloneBranch")))
   }
 
   /** Create-if-absent of the descriptor — the same atomic-create commit as
@@ -840,7 +953,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           ("bloomCols" -> (if (meta.bloomCols.isEmpty) None
             else Some(meta.bloomCols.mkString(",")))) ~
           ("ndvCols" -> (if (meta.ndvCols.isEmpty) None
-            else Some(meta.ndvCols.mkString(","))))))
+            else Some(meta.ndvCols.mkString(",")))) ~
+          ("cloneBranch" -> meta.cloneBranch)))
     val out = try fs.create(p, false) catch {
       case _: java.io.IOException => return false
     }
@@ -895,7 +1009,8 @@ object GraftCatalog {
                                         dmlMode: Option[String] = None,
                                         cluster: Seq[ClusterKey] = Nil,
                                         bloomCols: Seq[String] = Nil,
-                                        ndvCols: Seq[String] = Nil)
+                                        ndvCols: Seq[String] = Nil,
+                                        cloneBranch: Option[String] = None)
 
   /** `TBLPROPERTIES ('graft.ndv.columns'='k,url')`: batch inserts sketch
     * these columns' distinct values per file (DataSketches HLL, stored in

@@ -57,6 +57,7 @@ private[catalog] object GraftProcedures {
       case "drop_branch"    => Some(new DropBranchProcedure(catalog))
       case "set_partitioning" => Some(new SetPartitioningProcedure(catalog))
       case "expire_refs"    => Some(new ExpireRefsProcedure(catalog))
+      case "clone"          => Some(new CloneProcedure(catalog))
       case _                => None
     }
   }
@@ -64,7 +65,17 @@ private[catalog] object GraftProcedures {
   val names: Seq[String] =
     Seq("compact", "vacuum", "rollback", "register_files", "purge_deletes",
       "tag", "drop_tag", "branch", "fast_forward", "drop_branch",
-      "set_partitioning", "expire_refs")
+      "set_partitioning", "expire_refs", "clone")
+
+  /** The [[ManifestTable.CloneBranchPrefix]] namespace is reserved: a
+    * clone's pin must never be user-creatable (branch), user-publishable
+    * (fast_forward — it would merge a whole table's divergence into its
+    * source), or user-droppable (drop_branch — it would corrupt the clone
+    * table). The pin's lifecycle is `clone` / DROP TABLE. */
+  private def requireNotClonePin(proc: String, name: String): Unit =
+    require(!name.startsWith(ManifestTable.CloneBranchPrefix),
+      s"$proc: '${ManifestTable.CloneBranchPrefix}*' branch names are " +
+        "reserved zero-copy clone pins, managed by CALL clone / DROP TABLE")
 
   /** Resolve a procedure's `'db.t'` argument against the catalog. */
   private def target(catalog: GraftCatalog, table: String): (String, String, Option[GraftCatalog.Bucketing]) = {
@@ -294,6 +305,7 @@ private[catalog] object GraftProcedures {
       ProcedureParameter.in("name", StringType).build())
     override def call(input: InternalRow): JIterator[Scan] = {
       val (dir, _) = manifestTarget(catalog, input.getString(0), "branch")
+      requireNotClonePin("branch", input.getString(1))
       val forkV = ManifestTable.createBranch(dir, input.getString(1))
       result(
         StructType(Seq(
@@ -316,6 +328,7 @@ private[catalog] object GraftProcedures {
       ProcedureParameter.in("name", StringType).build())
     override def call(input: InternalRow): JIterator[Scan] = {
       val (dir, _) = manifestTarget(catalog, input.getString(0), "fast_forward")
+      requireNotClonePin("fast_forward", input.getString(1))
       val v = ManifestTable.fastForward(dir, input.getString(1))
       result(
         StructType(Seq(
@@ -334,11 +347,52 @@ private[catalog] object GraftProcedures {
       ProcedureParameter.in("name", StringType).build())
     override def call(input: InternalRow): JIterator[Scan] = {
       val (dir, _) = manifestTarget(catalog, input.getString(0), "drop_branch")
+      requireNotClonePin("drop_branch", input.getString(1))
       val existed = ManifestTable.dropBranch(dir, input.getString(1))
       result(
         StructType(Seq(StructField("dropped", org.apache.spark.sql.types.BooleanType,
           nullable = false))),
         existed)
+    }
+  }
+
+  /** `CALL g.system.clone('db.src', 'db.dst' [, version => v])` —
+    * ZERO-COPY table clone: `db.dst` becomes an independent table over
+    * `db.src`'s data plane at the requested version (default: current),
+    * copying no data whatever the table size (Delta's shallow CLONE as a
+    * procedure). The clone's private lineage — its own appends, DML,
+    * versions, time travel — lives in a pinned branch log on the source
+    * dir; the source's vacuum retains every pool the clone references,
+    * `expire_refs` exempts the pin, and DROP TABLE on the clone releases
+    * it. The experimentation primitive: fork a 100 TB training corpus,
+    * mutate the fork, throw it away — metadata cost only. */
+  private final class CloneProcedure(catalog: GraftCatalog) extends ManifestProcedure {
+    override def name(): String = "clone"
+    override def description(): String =
+      "zero-copy clone: materialize an independent table over the source's " +
+        "data plane at a version (no data copied; DROP TABLE releases the pin)"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("target", StringType).build(),
+      ProcedureParameter.in("version", LongType).defaultValue("-1").build())
+    override def call(input: InternalRow): JIterator[Scan] = {
+      def ident(arg: String): Identifier = {
+        val parts = arg.split("\\.")
+        require(parts.length <= 2 && parts.forall(_.nonEmpty),
+          s"clone wants table names like 'db.t' or 't', got '$arg'")
+        Identifier.of(parts.dropRight(1), parts.last)
+      }
+      val version = input.getLong(2) match {
+        case -1L => None
+        case v   => require(v >= 0, s"clone: version must be >= 0, got $v"); Some(v)
+      }
+      val (forkV, pin) = catalog.createCloneTable(
+        ident(input.getString(0)), ident(input.getString(1)), version)
+      result(
+        StructType(Seq(
+          StructField("cloned_version", LongType, nullable = false),
+          StructField("pin", StringType, nullable = false))),
+        forkV, UTF8String.fromString(pin))
     }
   }
 

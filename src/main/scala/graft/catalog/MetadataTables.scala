@@ -42,15 +42,19 @@ object MetadataTables {
     * forward accumulation over the log — the oldest version resolves
     * once, every later row applies its marker's O(delta) diff, and each
     * file is stat'ed exactly once however many versions reference it
-    * (the previous per-version resolution was O(versions × files)). */
-  def history(dir: String): Table =
+    * (the previous per-version resolution was O(versions × files)).
+    * `poolDir`: where the data pools live when `dir` is a BRANCH log
+    * (a zero-copy clone's lineage — file keys are relative to the shared
+    * source data plane, not the log). */
+  def history(dir: String, poolDir: Option[String] = None): Table =
     new VirtualRowsTable(s"history($dir)", HistorySchema, () => {
       val fs = LakeStorage.openFor(dir)
+      val pools = poolDir.getOrElse(dir)
       // sizes come from the log (each marker carries its added files'
       // lengths); only legacy stats-less files cost a getFileStatus
       val sizes = scala.collection.mutable.HashMap.empty[String, Long]
       def sized(f: String): Long =
-        sizes.getOrElseUpdate(f, fs.getFileStatus(new Path(dir, f)).getLen)
+        sizes.getOrElseUpdate(f, fs.getFileStatus(new Path(pools, f)).getLen)
       val versions = ManifestTable.allVersions(dir)
       var live = Set.empty[String]
       var bytes = 0L
@@ -77,14 +81,15 @@ object MetadataTables {
     * surface's cardinality column; null for stats-less legacy files) and
     * the file's deletion-vector attachment — `deleted_rows` summed over
     * the table is the merge-on-read debt `purge_deletes` would collect. */
-  def files(dir: String): Table =
+  def files(dir: String, poolDir: Option[String] = None): Table =
     new VirtualRowsTable(s"files($dir)", FilesSchema, () => {
       val fs = LakeStorage.openFor(dir)
+      val pools = poolDir.getOrElse(dir)
       ManifestTable.currentVersion(dir).toSeq.flatMap { v =>
         val st = ManifestTable.state(dir, v)
         st.files.map { f =>
           val bytes = st.stats.get(f).flatMap(_.sizeBytes)
-            .getOrElse(fs.getFileStatus(new Path(dir, f)).getLen)
+            .getOrElse(fs.getFileStatus(new Path(pools, f)).getLen)
           Array[Any](f, bytes, f.split("/", 2).head,
             st.stats.get(f).map(s => java.lang.Long.valueOf(s.rowCount)).orNull,
             st.dvs.get(f).map(_.path).orNull,

@@ -1171,6 +1171,9 @@ object ManifestTable {
     * kinds whose [[refLastModified]] clock is older than `maxAgeMs` —
     * long-forgotten staging branches (and, opt-in, stale tags) otherwise
     * pin their pools and fork versions against [[vacuum]] forever.
+    * CLONE pins ([[CloneBranchPrefix]]) are exempt: their lifetime is the
+    * clone TABLE's, not a staleness window — an idle clone is still a
+    * live table, and expiring its pin would corrupt every future read.
     * Returns the dropped (name, type) pairs. */
   def expireRefs(dir: String, maxAgeMs: Long,
                  kinds: Set[String] = Set("branch")): Seq[(String, String)] = {
@@ -1179,7 +1182,8 @@ object ManifestTable {
       s"ref kinds must be drawn from {branch, tag}, got $kinds")
     val now = System.currentTimeMillis()
     refLastModified(dir).toSeq.collect {
-      case (name, (tpe, ms)) if kinds.contains(tpe) && now - ms > maxAgeMs =>
+      case (name, (tpe, ms)) if kinds.contains(tpe) && now - ms > maxAgeMs &&
+          !(tpe == "branch" && name.startsWith(CloneBranchPrefix)) =>
         if (tpe == "branch") dropBranch(dir, name) else dropTag(dir, name)
         (name, tpe)
     }.sortBy(_._1)
@@ -1195,6 +1199,14 @@ object ManifestTable {
   private val BranchDirPrefix = "_branch_"
   private val ForkFile = "_fork"
   private val PublishedFile = "_published"
+
+  /** Branch-name prefix reserved for zero-copy table CLONE pins (see
+    * [[graft.catalog.GraftProcedures]] `clone`): a clone's entire private
+    * lineage lives in such a branch log while its data pools stay in the
+    * source table's data plane. The prefix is what lets retention
+    * ([[expireRefs]]) and the publish/drop procedures tell a clone's
+    * load-bearing pin apart from an ordinary WAP staging branch. */
+  val CloneBranchPrefix = "clone-"
 
   /** A branch's marker-log directory. The branch is a FULL manifest log of
     * its own (markers, head pointer, checkpoints — every log mechanism
@@ -1212,8 +1224,13 @@ object ManifestTable {
     * expose atomically). Writers target the branch (catalog: session conf
     * `graft.wap.branch`, or core [[appendToBranch]]); audit queries read
     * it (`VERSION AS OF 'name'`); [[fastForward]] publishes. Returns the
-    * MAIN version the branch forked from. */
-  def createBranch(dir: String, name: String): Long = {
+    * MAIN version the branch forked from.
+    *
+    * `atVersion` forks from a PAST committed version instead of the head —
+    * what zero-copy table CLONEs pin (fork at the clone-time snapshot);
+    * the version must still resolve (not vacuumed, or tag-retained). */
+  def createBranch(dir: String, name: String,
+                   atVersion: Option[Long] = None): Long = {
     require(TagNamePattern.matcher(name).matches(),
       s"branch name '$name' must match [A-Za-z0-9._-]+")
     require(!name.forall(_.isDigit),
@@ -1223,8 +1240,16 @@ object ManifestTable {
       s"a tag named '$name' already exists on $dir — tags and branches " +
         "share the VERSION AS OF namespace")
     require(branchHead(dir, name).isEmpty, s"branch '$name' already exists on $dir")
-    val forkV = currentVersion(dir).getOrElse(throw new IllegalStateException(
+    val head = currentVersion(dir).getOrElse(throw new IllegalStateException(
       s"cannot branch $dir — no committed version to fork from"))
+    val forkV = atVersion match {
+      case None => head
+      case Some(v) =>
+        require(allVersions(dir).contains(v),
+          s"cannot branch $dir at version $v — not a committed version " +
+            s"(committed: ${allVersions(dir).mkString(",")})")
+        v
+    }
     val st = state(dir, forkV)
     val log = branchLogDir(dir, name)
     commitLoop(log) { base =>

@@ -752,6 +752,62 @@ object CoverageQueries extends QueryModule {
         .toDF("hist_served", "est_sized_by_distribution", "n_rows", "sum_k")
     },
 
+    // --- ZERO-COPY table clone (CALL g.system.clone / GraftCatalog
+    //     .createCloneTable): fork a table at a version without copying
+    //     a byte — the clone is an independent table whose private
+    //     lineage (DML, appends, time travel) lives in a pinned branch
+    //     log on the source dir while its data pools stay in the shared
+    //     plane. The experimentation primitive at 100 TB: fork the
+    //     corpus, mutate the fork, throw it away — metadata cost only.
+    //     Structural boolean: the clone's fork snapshot lists the
+    //     SOURCE's physical file keys verbatim (nothing rewritten);
+    //     then both sides diverge and each replays exactly ---
+    "qc41_zero_copy_clone" -> { (s, d) =>
+      import s.implicits._
+      if (s.conf.getOption("spark.sql.catalog.graft_cat").isEmpty)
+        graft.catalog.GraftCatalog.register(s, "graft_cat",
+          graft.core.TempDirs.create("graft_cat_root_"))
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.db")
+      s.sql("DROP TABLE IF EXISTS graft_cat.db.cl41") // pin released first
+      s.sql("DROP TABLE IF EXISTS graft_cat.db.src41")
+      Tables.documents(s, d).createOrReplaceTempView("qc41_documents")
+      s.sql("CREATE TABLE graft_cat.db.src41 " +
+        "(doc_id BIGINT, lang STRING, n_chars BIGINT) USING manifest")
+      s.sql("INSERT INTO graft_cat.db.src41 " +
+        "SELECT doc_id, lang, n_chars FROM qc41_documents")
+      val pin = s.sql("CALL graft_cat.system.clone('db.src41', 'db.cl41')")
+        .head().getString(1)
+      val dir41 = s.sql("SHOW TBLPROPERTIES graft_cat.db.src41").collect()
+        .find(_.getString(0) == "graft.location").get.getString(1)
+      // zero copy: the pin's fork snapshot IS the source's file list
+      val srcFiles = graft.core.ManifestTable.state(dir41,
+        graft.core.ManifestTable.currentVersion(dir41).get).files.toSet
+      val log41 = graft.core.ManifestTable.branchLogDir(dir41, pin)
+      val zeroCopy = graft.core.ManifestTable.state(log41,
+        graft.core.ManifestTable.currentVersion(log41).get)
+        .files.toSet == srcFiles
+      // diverge the clone (DML + append) and the source (append) —
+      // each lineage must see only its own mutations
+      s.sql("DELETE FROM graft_cat.db.cl41 WHERE doc_id % 3 = 0")
+      s.sql("INSERT INTO graft_cat.db.cl41 " +
+        "SELECT doc_id + 1000000, lang, n_chars FROM qc41_documents " +
+        "WHERE doc_id % 5 = 0")
+      s.sql("INSERT INTO graft_cat.db.src41 " +
+        "SELECT doc_id + 2000000, lang, n_chars FROM qc41_documents " +
+        "WHERE doc_id % 7 = 0")
+      val src = s.sql("SELECT count(*) AS n, CAST(sum(n_chars) AS BIGINT) " +
+        "AS c FROM graft_cat.db.src41").head()
+      val cl = s.sql("SELECT count(*) AS n, CAST(sum(n_chars) AS BIGINT) " +
+        "AS c FROM graft_cat.db.cl41").head()
+      // branch-log v1 is the clone-time snapshot: time travel pre-DML
+      val snap = s.sql("SELECT count(*) AS n FROM graft_cat.db.cl41 " +
+        "VERSION AS OF 1").head()
+      Seq((zeroCopy, src.getLong(0), src.getLong(1), cl.getLong(0),
+        cl.getLong(1), snap.getLong(0)))
+        .toDF("zero_copy", "src_n", "src_chars", "clone_n", "clone_chars",
+          "snapshot_n")
+    },
+
     // --- grouped metadata aggregation (ManifestScanBuilder
     //     servableMetadataAgg, GROUP BY arm): when every file is
     //     CONSTANT in the group columns (the per-source/per-partition
@@ -1563,6 +1619,28 @@ object CoverageQueries extends QueryModule {
            CAST(sum(CASE WHEN doc_id % 20 = 0 THEN 900 + doc_id % 100
                          ELSE doc_id % 100 END) AS BIGINT) AS sum_k
          FROM documents""",
+
+    // the structural boolean is a log fact (the clone's fork snapshot
+    // lists the source's physical files verbatim — zero copy); both
+    // diverged lineages replay over documents
+    "qc41_zero_copy_clone" ->
+      """SELECT true AS zero_copy,
+           (SELECT count(*) FROM documents)
+             + (SELECT count(*) FROM documents WHERE doc_id % 7 = 0)
+             AS src_n,
+           (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents)
+             + (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents
+                WHERE doc_id % 7 = 0)
+             AS src_chars,
+           (SELECT count(*) FROM documents WHERE doc_id % 3 <> 0)
+             + (SELECT count(*) FROM documents WHERE doc_id % 5 = 0)
+             AS clone_n,
+           (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents
+            WHERE doc_id % 3 <> 0)
+             + (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents
+                WHERE doc_id % 5 = 0)
+             AS clone_chars,
+           (SELECT count(*) FROM documents) AS snapshot_n""",
 
     // the per-group aggregates replay over documents; the boolean is a
     // Spark plan fact (the grouped fold served as local rows, no scan)

@@ -337,7 +337,7 @@ class CatalogProcedureSpec extends AnyFunSuite {
     assert(procs.toSet ===
       Set("compact", "vacuum", "rollback", "register_files", "purge_deletes",
         "tag", "drop_tag", "branch", "fast_forward", "drop_branch",
-        "set_partitioning", "expire_refs"))
+        "set_partitioning", "expire_refs", "clone"))
     val e = intercept[Exception] {
       spark.sql("CALL gp.system.nope('db.t')").collect()
     }
@@ -465,12 +465,15 @@ class CatalogProcedureSpec extends AnyFunSuite {
     // an ACTIVE branch's clock is its last commit, so activity renews it:
     // a fresh write keeps it out of a short retention window that would
     // have caught its creation time
+    // margins sized for a loaded box: creation sits ~2s outside the
+    // 1.5s window, and the renewing INSERT only has to land within 1.5s
+    // of the expire call (a 50ms window flaked when the suite ran wide)
     spark.sql("CALL gp.system.branch('db.ret', 'busy')")
-    Thread.sleep(60)
+    Thread.sleep(2000)
     spark.conf.set(GraftCatalog.WapBranchConf, "busy")
     try spark.sql("INSERT INTO gp.db.ret SELECT id + 100 FROM range(3)")
     finally spark.conf.unset(GraftCatalog.WapBranchConf)
-    val kept = spark.sql("CALL gp.system.expire_refs('db.ret', 50)").head()
+    val kept = spark.sql("CALL gp.system.expire_refs('db.ret', 1500)").head()
     assert(kept.getLong(0) === 0L,
       "a branch with a recent commit must not expire on a window older than " +
         "its creation")

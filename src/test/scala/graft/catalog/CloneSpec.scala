@@ -1,0 +1,198 @@
+package graft.catalog
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.ManifestTable
+
+/** Zero-copy table CLONE (`CALL g.system.clone`): an independent table
+  * materialized over the source's data plane at a version — no data
+  * copied at any table size. The clone's private lineage (its own DML,
+  * appends, versions, time travel) lives in a pinned branch log on the
+  * source dir; DROP TABLE releases the pin; the source refuses drop/
+  * rename while pins exist; maintenance procedures aim at the physical
+  * table only. */
+class CloneSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    GraftCatalog.register(s, "gc", root)
+    s
+  }
+  private lazy val root =
+    "file://" + Files.createTempDirectory("graft_clone_").toString
+
+  private def ensureDb(): Unit =
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gc.db")
+
+  private def dataDir(table: String) = s"$root/db/$table"
+
+  private def nums(table: String): Seq[Long] =
+    spark.sql(s"SELECT id FROM $table ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq
+
+  test("clone shares the source's data plane and diverges independently") {
+    ensureDb()
+    spark.sql("CREATE TABLE gc.db.src (id BIGINT, v STRING) USING manifest")
+    spark.sql("INSERT INTO gc.db.src SELECT id, CAST(id AS STRING) FROM range(10)")
+    spark.sql("INSERT INTO gc.db.src SELECT id + 10, 'b' FROM range(5)")
+
+    val row = spark.sql("CALL gc.system.clone('db.src', 'db.cl')").head()
+    val pin = row.getString(1)
+    assert(row.getLong(0) === 2L, "clone forks the source's current version")
+    assert(pin === ManifestTable.CloneBranchPrefix + "db.cl")
+
+    // ZERO COPY: the pin's fork snapshot lists the SOURCE's physical file
+    // keys verbatim — nothing was rewritten or duplicated
+    val srcFiles = ManifestTable.state(dataDir("src"), 2L).files.toSet
+    val pinLog = ManifestTable.branchLogDir(dataDir("src"), pin)
+    assert(ManifestTable.state(pinLog,
+      ManifestTable.currentVersion(pinLog).get).files.toSet === srcFiles)
+
+    assert(nums("gc.db.cl") === (0L until 15L))
+
+    // diverge the clone: DML + append land in the pin's log only
+    spark.sql("DELETE FROM gc.db.cl WHERE id >= 10")
+    spark.sql("INSERT INTO gc.db.cl SELECT id + 100, 'c' FROM range(3)")
+    // diverge the source the other way
+    spark.sql("INSERT INTO gc.db.src SELECT id + 200, 'd' FROM range(2)")
+
+    assert(nums("gc.db.cl") === ((0L until 10L) ++ Seq(100L, 101L, 102L)),
+      "the clone sees its own DML, never the source's later commits")
+    assert(nums("gc.db.src") === ((0L until 15L) ++ Seq(200L, 201L)),
+      "the source never sees the clone's DML")
+  }
+
+  test("clone at a past version pins that snapshot") {
+    ensureDb()
+    spark.sql("CREATE TABLE gc.db.past (id BIGINT) USING manifest")
+    spark.sql("INSERT INTO gc.db.past SELECT id FROM range(4)")
+    spark.sql("INSERT INTO gc.db.past SELECT id + 4 FROM range(4)")
+    spark.sql("CALL gc.system.clone('db.past', 'db.pastcl', version => 1)")
+    assert(nums("gc.db.pastcl") === (0L until 4L))
+    // the fork ANCHORS version 1 against vacuum even after the source
+    // moves on: snapshot-replace the source, vacuum, clone still reads
+    spark.sql("INSERT OVERWRITE gc.db.past SELECT id + 50 FROM range(2)")
+    spark.sql("CALL gc.system.vacuum('db.past', keep => 1, orphan_retain_ms => 0)")
+    assert(nums("gc.db.pastcl") === (0L until 4L),
+      "vacuum on the source must retain every pool the clone references")
+    assert(nums("gc.db.past") === Seq(50L, 51L))
+  }
+
+  test("clone time travel runs in its own lineage; tags/branches rejected") {
+    ensureDb()
+    spark.sql("CREATE TABLE gc.db.tt (id BIGINT) USING manifest")
+    spark.sql("INSERT INTO gc.db.tt SELECT id FROM range(3)")
+    spark.sql("CALL gc.system.clone('db.tt', 'db.ttcl')")
+    spark.sql("INSERT INTO gc.db.ttcl SELECT id + 10 FROM range(2)")
+    // branch-log v1 IS the clone-time snapshot; v2 adds the clone's rows
+    assert(nums("gc.db.ttcl VERSION AS OF 1") === (0L until 3L))
+    assert(nums("gc.db.ttcl VERSION AS OF 2") === Seq(0L, 1L, 2L, 10L, 11L))
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM gc.db.ttcl VERSION AS OF 'sometag'").collect()
+    }
+    assert(e.getMessage.contains("clones support only numeric"))
+  }
+
+  test("clone metadata: history/files serve the clone's lineage") {
+    ensureDb()
+    spark.sql("CREATE TABLE gc.db.md (id BIGINT) USING manifest")
+    spark.sql("INSERT INTO gc.db.md SELECT id FROM range(6)")
+    spark.sql("CALL gc.system.clone('db.md', 'db.mdcl')")
+    spark.sql("INSERT INTO gc.db.mdcl SELECT id + 10 FROM range(3)")
+    val hist = spark.sql("SELECT version FROM gc.db.mdcl.history ORDER BY version")
+      .collect().map(_.getLong(0)).toSeq
+    assert(hist === Seq(1L, 2L), "clone history = its branch-log versions")
+    val files = spark.sql("SELECT file, bytes FROM gc.db.mdcl.files").collect()
+    assert(files.length >= 2, "fork snapshot's files + the clone's append")
+    assert(files.forall(_.getLong(1) > 0L),
+      "file sizes must resolve against the shared data plane")
+    // refs/changes are source-side concepts: absent on a clone
+    intercept[Exception] { spark.table("gc.db.mdcl.refs").collect() }
+  }
+
+  test("maintenance procedures refuse clones; branch procs refuse pins") {
+    ensureDb()
+    spark.sql("CREATE TABLE gc.db.mt (id BIGINT) USING manifest")
+    spark.sql("INSERT INTO gc.db.mt SELECT id FROM range(3)")
+    spark.sql("CALL gc.system.clone('db.mt', 'db.mtcl')")
+    for (call <- Seq(
+        "CALL gc.system.compact('db.mtcl')",
+        "CALL gc.system.vacuum('db.mtcl')",
+        "CALL gc.system.rollback('db.mtcl', 1)",
+        "CALL gc.system.tag('db.mtcl', 'nope')")) {
+      val e = intercept[Exception](spark.sql(call).collect())
+      assert(e.getMessage.contains("zero-copy clone"), call)
+    }
+    // the pin namespace is reserved against user branch lifecycle calls
+    val pin = ManifestTable.CloneBranchPrefix + "db.mtcl"
+    for (call <- Seq(
+        s"CALL gc.system.branch('db.mt', '$pin')",
+        s"CALL gc.system.fast_forward('db.mt', '$pin')",
+        s"CALL gc.system.drop_branch('db.mt', '$pin')")) {
+      val e = intercept[Exception](spark.sql(call).collect())
+      assert(e.getMessage.contains("reserved"), call)
+    }
+    // a clone of a clone would chain pins across drops: refused
+    val e2 = intercept[Exception](
+      spark.sql("CALL gc.system.clone('db.mtcl', 'db.mtcl2')").collect())
+    assert(e2.getMessage.contains("itself a clone"))
+  }
+
+  test("expire_refs never expires a clone pin") {
+    ensureDb()
+    spark.sql("CREATE TABLE gc.db.ret (id BIGINT) USING manifest")
+    spark.sql("INSERT INTO gc.db.ret SELECT id FROM range(3)")
+    spark.sql("CALL gc.system.clone('db.ret', 'db.retcl')")
+    spark.sql("CALL gc.system.branch('db.ret', 'stale')")
+    Thread.sleep(80)
+    val dropped = spark.sql("CALL gc.system.expire_refs('db.ret', 1)").head()
+    assert(dropped.getLong(0) === 1L && dropped.getString(1) === "branch:stale",
+      "the ordinary stale branch expires; the clone pin is load-bearing")
+    assert(nums("gc.db.retcl") === (0L until 3L))
+  }
+
+  test("DROP TABLE lifecycle: clone releases its pin; source refuses while pinned") {
+    ensureDb()
+    spark.sql("CREATE TABLE gc.db.lc (id BIGINT) USING manifest")
+    spark.sql("INSERT INTO gc.db.lc SELECT id FROM range(3)")
+    spark.sql("CALL gc.system.clone('db.lc', 'db.lccl')")
+    val eDrop = intercept[Exception](spark.sql("DROP TABLE gc.db.lc"))
+    assert(eDrop.getMessage.contains("clones still pin"))
+    val eRen = intercept[Exception](
+      spark.sql("ALTER TABLE gc.db.lc RENAME TO db.lc2"))
+    assert(eRen.getMessage.contains("pin its data plane"))
+    // dropping the clone releases the pin...
+    spark.sql("DROP TABLE gc.db.lccl")
+    assert(ManifestTable.branches(dataDir("lc")).isEmpty)
+    // ...and the source becomes droppable
+    spark.sql("DROP TABLE gc.db.lc")
+    assert(spark.sql("SHOW TABLES IN gc.db").collect()
+      .forall(_.getString(1) != "lc"))
+  }
+
+  test("WAP session conf never re-routes a clone") {
+    ensureDb()
+    spark.sql("CREATE TABLE gc.db.wap (id BIGINT) USING manifest")
+    spark.sql("INSERT INTO gc.db.wap SELECT id FROM range(3)")
+    spark.sql("CALL gc.system.clone('db.wap', 'db.wapcl')")
+    // a same-named staging branch on the shared source dir must not
+    // hijack the clone's reads or writes
+    spark.sql("CALL gc.system.branch('db.wap', 'stage')")
+    spark.conf.set(GraftCatalog.WapBranchConf, "stage")
+    try {
+      spark.sql("INSERT INTO gc.db.wapcl SELECT id + 10 FROM range(2)")
+      assert(nums("gc.db.wapcl") === Seq(0L, 1L, 2L, 10L, 11L),
+        "the clone writes to its pin, not the session's WAP branch")
+      assert(ManifestTable.branchHead(dataDir("wap"), "stage").contains(1L),
+        "the staging branch must not receive the clone's insert")
+    } finally spark.conf.unset(GraftCatalog.WapBranchConf)
+  }
+}
