@@ -303,10 +303,11 @@ object Similarity {
     * → 8 codes ≈ 32× smaller), so the ADC scan in [[pqTopK]] reads codes,
     * never raw vectors. Returns (idCol, codes array<int>). */
   def pqEncode(vecs: DataFrame, idCol: String, vecCol: String,
-               cents: DataFrame, m: Int, dim: Int): DataFrame = {
+               cents: DataFrame, m: Int, dim: Int,
+               keep: Seq[String] = Nil): DataFrame = {
     val sub = dim / m
     vecs.crossJoin(broadcast(pqBooks(cents, m, dim)))
-      .select(col(idCol),
+      .select(((col(idCol) +: keep.map(col)) :+
         transform(col("_books"), (bm, mi) => {
           val vSub = slice(col(vecCol).cast("array<double>"),
             mi * lit(sub) + 1, lit(sub))
@@ -314,7 +315,7 @@ object Similarity {
             (-l2sq(vSub, cw)).as("negd"),
             (-i).as("negi"),
             i.cast("int").as("idx")))).getField("idx")
-        }).as("codes"))
+        }).as("codes")): _*)
   }
 
   /** PQ ANN via an ADC (asymmetric-distance) scan: per query, a lookup
@@ -348,6 +349,59 @@ object Similarity {
           lit(0.0), (acc, v) => acc + v), 6))
       .groupBy(col("q_id"))
       .agg(topk(col("id"), -col("approx")).as("top"))
+      .select(col("q_id"), posexplode(col("top")))
+      .select(col("q_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.id").as("id"), (-col("col.score")).as("approx"))
+  }
+
+  /** IVF+PQ ANN — the two scale levers composed (the FAISS IVFPQ shape,
+    * without residual re-centering so the oracle replays it): the stored
+    * index is (coarse cluster, id, m PQ codes) per corpus vector — BOTH
+    * built as pure maps over one corpus pass (broadcast coarse-centroid
+    * argmax + broadcast-codebook encode, zero corpus Exchange) — and a
+    * query reads only its nprobe probed clusters' code lists via the ADC
+    * LUT sum, never a raw corpus vector. At 100 TB the multiplicative win:
+    * nprobe/K of the rows × m bytes instead of dim floats per row; the
+    * only corpus-sized work is the probe equi-join on cluster, and the
+    * per-query top-k runs through the bounded heap (map-side combine, the
+    * scored candidate set is never shuffled).
+    *
+    * `coarse` partitions the corpus (cosine, as [[ivfTopK]]); `pqCents`
+    * quantizes it (squared-L2 codebooks, as [[pqTopK]]). Returns
+    * (q_id, rank, id, approx): approx = round(Σ_m LUT, 6) ascending,
+    * ties by id. */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, coarse: DataFrame,
+                pqCents: DataFrame, m: Int, dim: Int, k: Int,
+                nprobe: Int): DataFrame = {
+    val sub = dim / m
+    val topProbe = udaf(new TopKByScore(nprobe), ExpressionEncoderHelp.scored)
+    val topK = udaf(new TopKByScore(k), ExpressionEncoderHelp.scored)
+    // the stored index: one corpus pass, two broadcast-folded maps deep
+    val index = pqEncode(
+      assignNearest(corpus, "id", "vec", coarse),
+      "id", "vec", pqCents, m, dim, keep = Seq("cluster"))
+    // per query: nprobe coarse probes (cosine) + the ADC lookup table —
+    // both tiny, joined driver-light and broadcast to the index scan
+    val probes = queries.crossJoin(broadcast(coarse))
+      .withColumn("q_cos", cosineSimilarity(col("q_vec"), col("centroid")))
+      .groupBy(col("q_id"))
+      .agg(topProbe(col("cluster").cast("long"), col("q_cos")).as("top"))
+      .select(col("q_id"), explode(col("top").getField("id")).as("cluster"))
+    val luts = queries.crossJoin(broadcast(pqBooks(pqCents, m, dim)))
+      .select(col("q_id").as("_lq"),
+        transform(col("_books"), (bm, mi) => {
+          val qSub = slice(col("q_vec").cast("array<double>"),
+            mi * lit(sub) + 1, lit(sub))
+          transform(bm, cw => l2sq(qSub, cw))
+        }).as("_lut"))
+    val probeLut = probes.join(luts, col("q_id") === col("_lq")).drop("_lq")
+    index.join(broadcast(probeLut), Seq("cluster"))
+      .withColumn("approx", round(
+        aggregate(zip_with(col("codes"), col("_lut"),
+            (c, lutm) => element_at(lutm, c + 1)),
+          lit(0.0), (acc, v) => acc + v), 6))
+      .groupBy(col("q_id"))
+      .agg(topK(col("id"), -col("approx")).as("top"))
       .select(col("q_id"), posexplode(col("top")))
       .select(col("q_id"), (col("pos") + 1).cast("int").as("rank"),
         col("col.id").as("id"), (-col("col.score")).as("approx"))

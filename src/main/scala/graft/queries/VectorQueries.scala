@@ -117,6 +117,23 @@ object VectorQueries extends QueryModule {
         .orderBy("q_id", "rank")
     },
 
+    // --- IVF+PQ ANN (the FAISS IVFPQ shape, no residual re-centering):
+    //     the stored index is (coarse cluster, id, 8 PQ codes) built in
+    //     ONE corpus pass of two broadcast maps; a query ADC-scans only
+    //     its nprobe probed clusters' codes — the two scale levers
+    //     (cluster pruning × 32× code compression) composed ---
+    "qv07_ivfpq_ann" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val cents = Similarity.centroids(
+        emb.select(col("label"), col("embedding")), "label", "embedding", dim)
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+      Similarity.ivfPqTopK(queries, corpus, cents, cents,
+          m = 8, dim = dim, k = 5, nprobe = nprobe)
+        .orderBy("q_id", "rank")
+    },
+
     // --- per-cluster vector stats (centroid norms via the Aggregator) ---
     "qv03_centroid_norms" -> { (s, d) =>
       val emb = Tables.embeddings(s, d)
@@ -216,6 +233,57 @@ object VectorQueries extends QueryModule {
           d AS (SELECT l.q_id, c.vec_id AS id,
                 round(list_aggregate(list(l.ld ORDER BY l.mi), 'sum'), 6) AS approx
               FROM enc c JOIN lut l ON c.mi = l.mi AND c.code = l.idx
+              GROUP BY 1, 2)
+          SELECT q_id, CAST(rank AS INTEGER) AS rank, id, approx FROM (
+            SELECT q_id, id, approx,
+              row_number() OVER (PARTITION BY q_id
+                ORDER BY approx ASC, id) AS rank FROM d)
+          WHERE rank <= 5 ORDER BY q_id, rank""",
+
+    "qv07_ivfpq_ann" ->
+      s"""WITH $centroidCte,
+          e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          assigned AS (
+            SELECT vec_id, cluster FROM (
+              SELECT e.vec_id, ct.cluster,
+                row_number() OVER (PARTITION BY e.vec_id
+                  ORDER BY list_cosine_similarity(e.v, ct.centroid) DESC,
+                           ct.cluster) AS rn
+              FROM e CROSS JOIN cent ct)
+            WHERE rn = 1),
+          probes AS (
+            SELECT q_id, cluster FROM (
+              SELECT q.vec_id AS q_id, ct.cluster,
+                row_number() OVER (PARTITION BY q.vec_id
+                  ORDER BY list_cosine_similarity(q.v, ct.centroid) DESC,
+                           ct.cluster) AS rn
+              FROM e q CROSS JOIN cent ct
+              WHERE q.vec_id < 5)
+            WHERE rn <= $nprobe),
+          books AS (
+            SELECT mi, cluster,
+              row_number() OVER (PARTITION BY mi ORDER BY cluster) - 1 AS idx,
+              list_transform(generate_series(1, 8), j -> centroid[mi*8 + j]) AS cw
+            FROM cent CROSS JOIN generate_series(0, 7) t(mi)),
+          enc AS (SELECT vec_id, mi, idx AS code FROM (
+              SELECT e.vec_id, b.mi, b.idx,
+                row_number() OVER (PARTITION BY e.vec_id, b.mi
+                  ORDER BY list_aggregate(list_transform(generate_series(1, 8),
+                    j -> (e.v[b.mi*8+j] - b.cw[j]) * (e.v[b.mi*8+j] - b.cw[j])),
+                    'sum') ASC, b.idx ASC) AS rn
+              FROM e CROSS JOIN books b) WHERE rn = 1),
+          lut AS (SELECT q.vec_id AS q_id, b.mi, b.idx,
+                list_aggregate(list_transform(generate_series(1, 8),
+                  j -> (q.v[b.mi*8+j] - b.cw[j]) * (q.v[b.mi*8+j] - b.cw[j])),
+                  'sum') AS ld
+              FROM e q CROSS JOIN books b WHERE q.vec_id < 5),
+          pairs AS (SELECT p.q_id, a.vec_id AS id
+                    FROM probes p JOIN assigned a ON p.cluster = a.cluster),
+          d AS (SELECT l.q_id, c.vec_id AS id,
+                round(list_aggregate(list(l.ld ORDER BY l.mi), 'sum'), 6) AS approx
+              FROM enc c
+              JOIN lut l ON c.mi = l.mi AND c.code = l.idx
+              JOIN pairs pr ON pr.q_id = l.q_id AND pr.id = c.vec_id
               GROUP BY 1, 2)
           SELECT q_id, CAST(rank AS INTEGER) AS rank, id, approx FROM (
             SELECT q_id, id, approx,

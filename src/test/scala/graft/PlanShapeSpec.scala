@@ -350,5 +350,14 @@ class PlanShapeSpec extends AnyFunSuite {
       "id", "vec", cents, m = 4, dim = 32)
     assert(corpusSideShuffles(encoded).isEmpty,
       s"PQ encoding shuffles the corpus:\n${encoded.queryExecution.sparkPlan}")
+    // the composed IVFPQ index (coarse assignment THEN encoding) is still
+    // one corpus pass, two broadcast maps deep — zero corpus Exchange
+    val ivfpqIndex = Similarity.pqEncode(
+      Similarity.assignNearest(
+        emb.select(col("vec_id").as("id"), col("embedding").as("vec")),
+        "id", "vec", cents),
+      "id", "vec", cents, m = 4, dim = 32, keep = Seq("cluster"))
+    assert(corpusSideShuffles(ivfpqIndex).isEmpty,
+      s"IVFPQ index build shuffles the corpus:\n${ivfpqIndex.queryExecution.sparkPlan}")
   }
 }

@@ -562,6 +562,32 @@ class OperatorsSpec extends AnyFunSuite {
       cents.filter(col("cluster") < 0), m = 2, dim = 4).count() === 0L)
   }
 
+  test("ivfPqTopK: unprobed clusters never surface; probing them adds their ADC ranks") {
+    import spark.implicits._
+    // same crafted geometry as the pqTopK case: coarse AND pq centroids
+    //   cluster 0 = (1,0,0,1), cluster 1 = (0,1,1,0)
+    val cents = Seq(
+      (0L, Array(1f, 0f, 0f, 1f)),
+      (1L, Array(0f, 1f, 1f, 0f))).toDF("cluster", "centroid")
+    val corpus = Seq(
+      (1L, Array(1f, 0f, 0f, 1f)),         // cluster 0, codes [0,0]
+      (2L, Array(0f, 1f, 1f, 0f)),         // cluster 1, codes [1,1]
+      (3L, Array(0.9f, 0.1f, 0.1f, 0.9f))) // cluster 0, codes [0,0]
+      .toDF("id", "vec")
+    val queries = Seq((9L, Array(1f, 0f, 0f, 1f))).toDF("q_id", "q_vec")
+    def run(nprobe: Int) =
+      Similarity.ivfPqTopK(queries, corpus, cents, cents,
+          m = 2, dim = 4, k = 3, nprobe = nprobe)
+        .collect().map(r => (r.getInt(1), r.getLong(2), r.getDouble(3)))
+        .sortBy(_._1)
+    // nprobe=1 probes only cluster 0: id2 is EXCLUDED even though k has
+    // room for it — the IVF restriction, not the ADC ranking, cuts it
+    assert(run(1) === Array((1, 1L, 0.0), (2, 3L, 0.0)))
+    // nprobe=2 re-admits cluster 1: id2 ranks by its ADC distance
+    // (LUT sub0[1] + sub1[1] = 2 + 2 = 4)
+    assert(run(2) === Array((1, 1L, 0.0), (2, 3L, 0.0), (3, 2L, 4.0)))
+  }
+
   test("real image codec: PNG encode/decode round trip, resize re-decodes to planned dims") {
     // encode → decode recovers the generative parameters exactly (lossless)
     val bytes = Multimodal.ImageCodec.encodePng(40, 20, 10, 200, 77)
