@@ -111,12 +111,14 @@ private[catalog] object GraftProcedures {
     override def name(): String = "compact"
     override def description(): String =
       "rewrite the table into its compact layout (manifest: ~target_mb files, " +
-        "bucketed re-bucket, cluster_by range-sorts; keyedlog: one file per key)"
+        "bucketed re-bucket, cluster_by range-sorts, zorder bit-interleaves " +
+        "2 dims; keyedlog: one file per key)"
     override def parameters(): Array[ProcedureParameter] = Array(
       ProcedureParameter.in("table", StringType).build(),
       ProcedureParameter.in("target_mb", IntegerType).defaultValue("128").build(),
       ProcedureParameter.in("cluster_by", StringType).defaultValue("''").build(),
-      ProcedureParameter.in("small_only", BooleanType).defaultValue("false").build())
+      ProcedureParameter.in("small_only", BooleanType).defaultValue("false").build(),
+      ProcedureParameter.in("zorder", StringType).defaultValue("''").build())
     override def call(input: InternalRow): JIterator[Scan] = {
       val parts = input.getString(0).split("\\.")
       require(parts.length <= 2 && parts.forall(_.nonEmpty),
@@ -126,11 +128,19 @@ private[catalog] object GraftProcedures {
       val (provider, bucket) = (meta.provider, meta.bucket)
       val spark = SparkSession.active
       val requested = input.getString(2).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      val zorderBy = input.getString(4).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      require(zorderBy.isEmpty || zorderBy.length == 2,
+        "zorder interleaves exactly 2 columns (use cluster_by for 1)")
+      require(zorderBy.isEmpty || requested.isEmpty,
+        "cluster_by (linear) and zorder (interleaved) are exclusive layouts")
+      require(zorderBy.isEmpty || (provider == "manifest" && bucket.isEmpty),
+        "zorder applies to plain/transform-partitioned manifest tables")
       // a transform-partitioned table compacts CLUSTERED by its declared
       // partition source columns by default — maintenance never demotes
-      // the partition layout (explicit cluster_by still overrides)
+      // the partition layout (explicit cluster_by / zorder still overrides)
       val clusterBy =
-        if (requested.nonEmpty) requested else meta.cluster.map(_.col)
+        if (requested.nonEmpty || zorderBy.nonEmpty) requested
+        else meta.cluster.map(_.col)
       require(bucket.isEmpty || clusterBy.isEmpty,
         "cluster_by does not apply to bucketed tables — the bucket layout IS the clustering")
       require(provider == "manifest" || clusterBy.isEmpty,
@@ -146,6 +156,9 @@ private[catalog] object GraftProcedures {
       require(!smallOnly || (provider == "manifest" && bucket.isEmpty),
         "small_only applies to plain/transform-partitioned manifest tables " +
           "(bucketed and keyedlog compaction is already per-group)")
+      require(!smallOnly || zorderBy.isEmpty,
+        "zorder is a full-layout rewrite — it cannot compose with " +
+          "small_only's touch-nothing-healthy contract")
       val blooms = GraftCatalog.bloomWriteOptions(meta.bloomCols)
       val (before, after) = (provider, bucket) match {
         case ("keyedlog", _) => graft.core.LakeCompaction.compactKeyedLog(spark, dir)
@@ -161,7 +174,7 @@ private[catalog] object GraftProcedures {
         case _ =>
           ManifestTable.compact(spark, dir,
             input.getInt(1).toLong * 1024 * 1024, clusterBy, declared, blooms,
-            meta.ndvCols)
+            meta.ndvCols, zorderBy = zorderBy)
       }
       result(
         StructType(Seq(

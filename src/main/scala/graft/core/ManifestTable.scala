@@ -850,17 +850,23 @@ object ManifestTable {
     * range-partitions and sorts the rewrite on the given columns — every
     * output file then covers a narrow value range, so selective reads
     * prune whole files/row groups (same layout contract as
-    * [[LakeCompaction.compactParquet]], measured in ClusteringSpec; for
-    * multi-dimension clustering pass a materialized
-    * [[graft.functions.ZOrder]] key). Costs one range shuffle, the price
-    * of clustering in any table format; empty = plain coalesce.
-    * Returns (filesBefore, filesAfter). */
+    * [[LakeCompaction.compactParquet]], measured in ClusteringSpec).
+    * `zorderBy` (OPTIMIZE ... ZORDER BY) instead clusters on the
+    * materialized 2-D Morton key ([[graft.functions.ZOrder.zorderKey]],
+    * domain-scaled from the snapshot's actual bounds) so every output
+    * file gets a narrow min/max box in BOTH dimensions — selective
+    * filters on EITHER column file-prune. Both cost one range shuffle,
+    * the price of clustering in any table format; empty = plain
+    * coalesce. Returns (filesBefore, filesAfter). */
   def compact(spark: SparkSession, dir: String,
               targetFileBytes: Long = 128L * 1024 * 1024,
               clusterBy: Seq[String] = Nil,
               readSchema: Option[org.apache.spark.sql.types.StructType] = None,
               writeOptions: Map[String, String] = Map.empty,
-              ndvCols: Seq[String] = Nil): (Long, Long) = {
+              ndvCols: Seq[String] = Nil,
+              zorderBy: Seq[String] = Nil): (Long, Long) = {
+    require(clusterBy.isEmpty || zorderBy.isEmpty,
+      "cluster_by (linear) and zorder (interleaved) are exclusive layouts")
     val fs = LakeStorage.openFor(dir)
     val snapVersion = currentVersion(dir).getOrElse(
       throw new IllegalStateException(s"no committed version under $dir"))
@@ -877,7 +883,18 @@ object ManifestTable {
     val snapshot = applyDvs(spark, dir,
       readSnapshot(spark, dir, snapFiles, readSchema), snap.dvs)
     val rewritten =
-      if (clusterBy.isEmpty) snapshot.coalesce(nOut)
+      if (zorderBy.nonEmpty) {
+        // multi-dimension clustering: range-partition and sort on the
+        // materialized Morton key, then drop it — every output file gets
+        // a narrow min/max box in BOTH dimensions at once
+        import org.apache.spark.sql.functions.col
+        snapshot
+          .withColumn("_zkey", graft.functions.ZOrder.zorderKey(snapshot, zorderBy))
+          .repartitionByRange(nOut, col("_zkey"))
+          .sortWithinPartitions(col("_zkey"))
+          .drop("_zkey")
+      }
+      else if (clusterBy.isEmpty) snapshot.coalesce(nOut)
       else {
         import org.apache.spark.sql.functions.col
         snapshot.repartitionByRange(nOut, clusterBy.map(col): _*)

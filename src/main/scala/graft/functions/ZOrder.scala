@@ -37,4 +37,55 @@ object ZOrder {
     * non-negative, so a plain ascending sort is a z-order walk. */
   def zorder2(a: Column, b: Column): Column =
     spread(a.cast("long")).bitwiseOR(shiftleft(spread(b.cast("long")), 1))
+
+  /** Buckets per interleaved dimension for [[zorderKey]]: 2^20 ≈ 1M
+    * cells/dim keeps quantization error irrelevant at any file count
+    * while staying far inside zorder2's 31-bit/dim budget. */
+  private val KeyBuckets = 1L << 20
+
+  /** A column's numeric view for z-scaling (dates as epoch days,
+    * timestamps as epoch micros) — or None if the type can't order on a
+    * number line. */
+  private def numericView(c: Column, dt: org.apache.spark.sql.types.DataType)
+      : Option[Column] = dt match {
+    case org.apache.spark.sql.types.DateType =>
+      Some(datediff(c, lit("1970-01-01").cast("date")).cast("double"))
+    case org.apache.spark.sql.types.TimestampType => Some(unix_micros(c).cast("double"))
+    case _: org.apache.spark.sql.types.NumericType => Some(c.cast("double"))
+    case _ => None
+  }
+
+  /** The materialized 2-D z-order clustering key for `df` over two
+    * NUMERIC/date/timestamp columns — the `OPTIMIZE ... ZORDER BY (a, b)`
+    * write-time sort key. Each dimension is equi-width-scaled into
+    * [0, 2^20) from its ACTUAL min/max (one column-pruned aggregate pass
+    * over `df` — a rounding error next to the full rewrite that follows),
+    * then bit-interleaved by [[zorder2]]; nulls scale to bucket 0 (sort
+    * first, Spark's null ordering). Constant or all-null dimensions
+    * collapse to 0 — the key degrades to a linear sort on the other. */
+  def zorderKey(df: org.apache.spark.sql.DataFrame, cols: Seq[String]): Column = {
+    require(cols.length == 2,
+      s"z-order interleaving is 2-D: pass exactly 2 columns, got $cols")
+    val views = cols.map { name =>
+      val f = df.schema(name)
+      numericView(col(name), f.dataType).getOrElse(throw new IllegalArgumentException(
+        s"z-order column '$name' must be numeric, date, or timestamp; " +
+          s"is ${f.dataType.simpleString}"))
+    }
+    val bounds = df.agg(
+      min(views(0)).as("mn0"), max(views(0)).as("mx0"),
+      min(views(1)).as("mn1"), max(views(1)).as("mx1")).head()
+    def scaled(v: Column, i: Int): Column = {
+      if (bounds.isNullAt(2 * i)) return lit(0L) // all-null dimension
+      val (mn, mx) = (bounds.getDouble(2 * i), bounds.getDouble(2 * i + 1))
+      if (mx <= mn) lit(0L)
+      // the null arm must come FIRST: least() IGNORES nulls (it returns
+      // the least non-null operand), so a null value fed through the
+      // clamp would silently scale to the MAX bucket, not 0
+      else when(v.isNull, lit(0L)).otherwise(
+        least(lit(KeyBuckets - 1),
+          floor((v - mn) / (mx - mn) * KeyBuckets).cast("long")))
+    }
+    zorder2(scaled(views(0), 0), scaled(views(1), 1))
+  }
 }

@@ -808,6 +808,65 @@ object CoverageQueries extends QueryModule {
           "snapshot_n")
     },
 
+    // --- Z-ORDER compaction (CALL compact(zorder => 'x,y') /
+    //     ManifestTable.compact zorderBy / ZOrder.zorderKey): rewrite the
+    //     table clustered on the domain-scaled 2-D Morton key, so EVERY
+    //     output file gets a narrow min/max box in BOTH dimensions and a
+    //     selective filter on EITHER column file-prunes through the log
+    //     stats — what a linear cluster_by can only give its leading
+    //     column. Structural booleans: multiple files, and both x- and
+    //     y-filters plan strictly fewer files than the table holds ---
+    "qc42_zorder_compact" -> { (s, d) =>
+      import s.implicits._
+      if (s.conf.getOption("spark.sql.catalog.graft_cat").isEmpty)
+        graft.catalog.GraftCatalog.register(s, "graft_cat",
+          graft.core.TempDirs.create("graft_cat_root_"))
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.db")
+      s.sql("DROP TABLE IF EXISTS graft_cat.db.zc42")
+      Tables.documents(s, d).createOrReplaceTempView("qc42_documents")
+      s.sql("CREATE TABLE graft_cat.db.zc42 " +
+        "(id BIGINT, x BIGINT, y BIGINT, pad STRING) USING manifest")
+      // 100 rows per doc over a 1024×1024 (x, y) domain — x and y are
+      // both id-bijective mod 1024 but a filter on either scatters across
+      // the other; the pad is incompressible so target_mb=1 yields files
+      s.sql("INSERT INTO graft_cat.db.zc42 " +
+        "SELECT doc_id * 100 + r AS id, (doc_id * 100 + r) % 1024 AS x, " +
+        "((doc_id * 100 + r) * 37) % 1024 AS y, " +
+        "repeat(sha2(CAST(doc_id * 100 + r AS STRING), 256), 2) AS pad " +
+        "FROM qc42_documents CROSS JOIN (SELECT id AS r FROM range(100))")
+      val row = s.sql("CALL graft_cat.system.compact('db.zc42', " +
+        "target_mb => 1, zorder => 'x,y')").head()
+      val filesAfter = row.getLong(1)
+      def planned(df: org.apache.spark.sql.DataFrame): Long = {
+        val p = df.queryExecution.executedPlan match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            a.executedPlan
+          case other => other
+        }
+        p.collect {
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan
+        }.map {
+          case ms: graft.catalog.ManifestStreamScan =>
+            ms.inner.fileIndex.inputFiles.length.toLong
+          case ps: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan =>
+            ps.fileIndex.inputFiles.length.toLong
+          case _ => 0L
+        }.sum
+      }
+      val prunedX = planned(
+        s.sql("SELECT * FROM graft_cat.db.zc42 WHERE x < 64")) < filesAfter
+      val prunedY = planned(
+        s.sql("SELECT * FROM graft_cat.db.zc42 WHERE y < 64")) < filesAfter
+      val aggX = s.sql("SELECT count(*) AS n, CAST(sum(id) AS BIGINT) AS k " +
+        "FROM graft_cat.db.zc42 WHERE x < 64").head()
+      val aggY = s.sql("SELECT count(*) AS n, CAST(sum(id) AS BIGINT) AS k " +
+        "FROM graft_cat.db.zc42 WHERE y < 64").head()
+      Seq((filesAfter > 1, prunedX, prunedY,
+        aggX.getLong(0), aggX.getLong(1), aggY.getLong(0), aggY.getLong(1)))
+        .toDF("multi_files", "pruned_x", "pruned_y",
+          "n_x", "sum_x", "n_y", "sum_y")
+    },
+
     // --- grouped metadata aggregation (ManifestScanBuilder
     //     servableMetadataAgg, GROUP BY arm): when every file is
     //     CONSTANT in the group columns (the per-source/per-partition
@@ -1619,6 +1678,21 @@ object CoverageQueries extends QueryModule {
            CAST(sum(CASE WHEN doc_id % 20 = 0 THEN 900 + doc_id % 100
                          ELSE doc_id % 100 END) AS BIGINT) AS sum_k
          FROM documents""",
+
+    // the structural booleans are Spark plan facts (z-order layout
+    // file-prunes on BOTH dimensions); the filtered aggregates replay
+    // over the deterministic (x, y) derivation from documents
+    "qc42_zorder_compact" ->
+      """WITH rows AS (
+           SELECT doc_id * 100 + r AS id,
+                  (doc_id * 100 + r) % 1024 AS x,
+                  ((doc_id * 100 + r) * 37) % 1024 AS y
+           FROM documents CROSS JOIN generate_series(0, 99) t(r))
+         SELECT true AS multi_files, true AS pruned_x, true AS pruned_y,
+           (SELECT count(*) FROM rows WHERE x < 64) AS n_x,
+           (SELECT CAST(sum(id) AS BIGINT) FROM rows WHERE x < 64) AS sum_x,
+           (SELECT count(*) FROM rows WHERE y < 64) AS n_y,
+           (SELECT CAST(sum(id) AS BIGINT) FROM rows WHERE y < 64) AS sum_y""",
 
     // the structural boolean is a log fact (the clone's fork snapshot
     // lists the source's physical files verbatim — zero copy); both

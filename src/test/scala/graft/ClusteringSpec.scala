@@ -145,6 +145,42 @@ class ClusteringSpec extends AnyFunSuite {
       s"z-order pruned only $linearPart -> $zorderPart of $total")
   }
 
+  test("zorderKey: domain scaling, nulls to bucket 0, degenerate dims, type errors") {
+    import graft.functions.ZOrder
+    import spark.implicits._
+    // two decorrelated dims on wildly different scales: the scaled key
+    // must order identically to interleaving the raw grid positions
+    val df = Seq[(java.lang.Long, java.lang.Double)](
+      (java.lang.Long.valueOf(0L), java.lang.Double.valueOf(0.0)),
+      (java.lang.Long.valueOf(1000000L), java.lang.Double.valueOf(0.0)),
+      (java.lang.Long.valueOf(0L), java.lang.Double.valueOf(0.001)),
+      (java.lang.Long.valueOf(1000000L), java.lang.Double.valueOf(0.001)),
+      (java.lang.Long.valueOf(500000L), java.lang.Double.valueOf(0.0005)),
+      (null, java.lang.Double.valueOf(0.001)))
+      .toDF("big", "small")
+    val keyed = df.select(col("big"), col("small"),
+        ZOrder.zorderKey(df, Seq("big", "small")).as("z"))
+      .collect().map(r => ((Option(r.get(0)), r.getDouble(1)), r.getLong(2))).toMap
+    // corners: (min,min) -> 0; null scales like min
+    assert(keyed((Some(0L), 0.0)) === 0L)
+    assert(keyed((None, 0.001)) === keyed((Some(0L), 0.001)))
+    // max bucket is clamped inside the dilation domain, sign never set
+    assert(keyed.values.forall(_ >= 0L))
+    // ordering: the center point z-sorts strictly between the corners
+    assert(keyed((Some(0L), 0.0)) < keyed((Some(500000L), 0.0005)))
+    assert(keyed((Some(500000L), 0.0005)) < keyed((Some(1000000L), 0.001)))
+    // a CONSTANT dimension collapses to 0: key = linear in the other
+    val const = Seq((1L, 7L), (2L, 7L), (3L, 7L)).toDF("a", "c")
+    val ks = const.select(ZOrder.zorderKey(const, Seq("a", "c")).as("z"))
+      .as[Long].collect()
+    assert(ks.sorted.toSeq === ks.toSeq && ks.distinct.length === 3)
+    // non-numeric column refuses loudly; arity is exactly 2
+    val bad = Seq((1L, "x")).toDF("a", "s")
+    val e = intercept[IllegalArgumentException](ZOrder.zorderKey(bad, Seq("a", "s")))
+    assert(e.getMessage.contains("must be numeric"))
+    intercept[IllegalArgumentException](ZOrder.zorderKey(bad, Seq("a")))
+  }
+
   test("clustered compaction = OPTIMIZE: fewer files AND prunable layout") {
     import graft.core.LakeCompaction
     // simulate the small-file storm: many tiny unclustered files

@@ -331,6 +331,43 @@ class CatalogProcedureSpec extends AnyFunSuite {
     assert(e3.getMessage.contains("all digits"))
   }
 
+  test("CALL compact zorder: interleaved layout via SQL, guards loud") {
+    ensureDb()
+    spark.sql("CREATE TABLE gp.db.zo (x BIGINT, y BIGINT, pad STRING) USING manifest")
+    spark.sql("INSERT INTO gp.db.zo SELECT id % 256, (id * 37) % 256, " +
+      "repeat(sha2(CAST(id AS STRING), 256), 4) FROM range(20000)")
+    val row = spark.sql(
+      "CALL gp.system.compact('db.zo', target_mb => 1, zorder => 'x,y')").head()
+    assert(row.getLong(1) > 1, "target_mb=1 must yield multiple files")
+    // every output file's log stats box is narrower than the full domain
+    // in BOTH dimensions — the layout contract a linear sort can't give
+    val dir = dataDir("zo")
+    val st = ManifestTable.state(dir, ManifestTable.currentVersion(dir).get)
+    def widths(c: String) = st.files.map { f =>
+      val cs = st.stats(f).col(c).get
+      (cs.max, cs.min) match {
+        case (Some(graft.core.FileStats.LongVal(hi)),
+              Some(graft.core.FileStats.LongVal(lo))) => hi - lo
+        case other => fail(s"no long bounds for $c in $f: $other")
+      }
+    }
+    assert(widths("x").forall(_ < 255L) && widths("y").forall(_ < 255L),
+      s"some file spans a full dimension: x=${widths("x")} y=${widths("y")}")
+    // guards: exclusive with cluster_by, exactly 2 columns, no small_only
+    for ((call, msg) <- Seq(
+        ("CALL gp.system.compact('db.zo', cluster_by => 'x', zorder => 'x,y')",
+          "exclusive"),
+        ("CALL gp.system.compact('db.zo', zorder => 'x')", "exactly 2"),
+        ("CALL gp.system.compact('db.zo', zorder => 'x,y', small_only => true)",
+          "small_only"))) {
+      val e = intercept[Exception](spark.sql(call).collect())
+      assert(e.getMessage.contains(msg), call)
+    }
+    assert(spark.sql("SELECT count(*), sum(x), sum(y) FROM gp.db.zo")
+      .head().toSeq === Seq(20000L,
+        (0L until 20000L).map(_ % 256).sum, (0L until 20000L).map(i => i * 37 % 256).sum))
+  }
+
   test("procedures are discoverable and argument errors are loud") {
     ensureDb()
     val procs = spark.sql("SHOW PROCEDURES IN gp.system").collect().map(_.getString(3))
