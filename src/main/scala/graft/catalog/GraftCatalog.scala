@@ -110,8 +110,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           !Set("detail", "history", "files").contains(ident.name().toLowerCase))
         return None
       ident.name().toLowerCase match {
-        case "detail" => Some(MetadataTables.detail(dataDir, meta.provider,
-          meta.bucket.map(b => s"bucket(${b.n}, ${b.col})")))
+        case "detail" => Some(MetadataTables.detail(
+          cloneLog.getOrElse(dataDir), meta.provider,
+          meta.bucket.map(b => s"bucket(${b.n}, ${b.col})"),
+          poolDir = cloneLog.map(_ => dataDir)))
         case "history" if meta.provider == "manifest" =>
           Some(MetadataTables.history(cloneLog.getOrElse(dataDir),
             poolDir = cloneLog.map(_ => dataDir)))
@@ -709,8 +711,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           case Some(b) =>
             // dropping a clone releases its pin on the source: the branch
             // log (the clone's whole private lineage) goes, its private
-            // pools become vacuum-collectable on the source
-            scala.util.Try(graft.core.ManifestTable.dropBranch(dataDir, b))
+            // pools become vacuum-collectable on the source. A pin-drop
+            // FAILURE aborts the whole drop (descriptor kept, DROP TABLE
+            // retriable) — swallowing it would orphan an undroppable pin
+            // that blocks the source's DROP/RENAME forever; an
+            // already-gone pin (false) is a released one, fine
+            graft.core.ManifestTable.dropBranch(dataDir, b)
           case None if meta.provider == "manifest" =>
             // dropping a SOURCE whose data plane still backs live clones
             // would corrupt every one of them — refuse until they're gone
@@ -807,6 +813,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     require(meta.cloneBranch.isEmpty,
       s"${ident.name()} is a zero-copy clone — maintenance procedures " +
         "operate on the physical table; run them against the clone's source")
+
+  /** Does `pinName` (a `clone-*` branch) still back a LIVE clone table?
+    * The pin encodes its table's identifier, so a crash that orphaned the
+    * pin (created but its descriptor never written, or the table since
+    * dropped) is detectable: the encoded table is gone, or no longer
+    * points at this pin. Orphans may be dropped via `drop_branch`. */
+  private[catalog] def isLiveClonePin(pinName: String): Boolean = {
+    val parts = pinName
+      .stripPrefix(graft.core.ManifestTable.CloneBranchPrefix).split("\\.")
+    if (parts.isEmpty || parts.exists(_.isEmpty)) return false
+    readMeta(tableDir(Identifier.of(parts.dropRight(1), parts.last)))
+      .exists(_.cloneBranch.contains(pinName))
+  }
 
   /** Zero-copy CLONE: materialize `dstIdent` as an independent table over
     * `srcIdent`'s data plane at `version` (default: current) — no data

@@ -68,10 +68,11 @@ private[catalog] object GraftProcedures {
       "set_partitioning", "expire_refs", "clone")
 
   /** The [[ManifestTable.CloneBranchPrefix]] namespace is reserved: a
-    * clone's pin must never be user-creatable (branch), user-publishable
-    * (fast_forward — it would merge a whole table's divergence into its
-    * source), or user-droppable (drop_branch — it would corrupt the clone
-    * table). The pin's lifecycle is `clone` / DROP TABLE. */
+    * clone's pin must never be user-creatable (branch) or
+    * user-publishable (fast_forward — it would merge a whole table's
+    * divergence into its source). The pin's lifecycle is `clone` /
+    * DROP TABLE; `drop_branch` refuses LIVE pins but accepts ORPHANED
+    * ones (see [[GraftCatalog.isLiveClonePin]]) as the recovery path. */
   private def requireNotClonePin(proc: String, name: String): Unit =
     require(!name.startsWith(ManifestTable.CloneBranchPrefix),
       s"$proc: '${ManifestTable.CloneBranchPrefix}*' branch names are " +
@@ -360,7 +361,13 @@ private[catalog] object GraftProcedures {
       ProcedureParameter.in("name", StringType).build())
     override def call(input: InternalRow): JIterator[Scan] = {
       val (dir, _) = manifestTarget(catalog, input.getString(0), "drop_branch")
-      requireNotClonePin("drop_branch", input.getString(1))
+      // a LIVE clone's pin is load-bearing (DROP the clone table instead);
+      // an ORPHANED pin (its table crashed mid-create or is gone) has no
+      // other release path, so drop_branch is its escape hatch
+      if (input.getString(1).startsWith(ManifestTable.CloneBranchPrefix))
+        require(!catalog.isLiveClonePin(input.getString(1)),
+          s"branch '${input.getString(1)}' is a live zero-copy clone pin, " +
+            "managed by CALL clone / DROP TABLE — drop the clone table instead")
       val existed = ManifestTable.dropBranch(dir, input.getString(1))
       result(
         StructType(Seq(StructField("dropped", org.apache.spark.sql.types.BooleanType,

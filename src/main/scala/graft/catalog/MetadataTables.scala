@@ -295,15 +295,17 @@ object MetadataTables {
     * providers (keyedlog tables report their visible file set; versions
     * are a manifest concept and stay null there). */
   def detail(dir: String, provider: String,
-             bucketSpec: Option[String]): Table =
+             bucketSpec: Option[String],
+             poolDir: Option[String] = None): Table =
     new VirtualRowsTable(s"detail($dir)", DetailSchema, () => {
       val fs = LakeStorage.openFor(dir)
+      val pools = poolDir.getOrElse(dir)
       val (files, versions, current, deletedRows) =
         if (provider == "manifest") {
           val vs = ManifestTable.allVersions(dir)
           val cur = vs.lastOption
           val st = cur.map(ManifestTable.state(dir, _))
-          (st.map(_.files.map(f => new Path(dir, f))).getOrElse(Seq.empty),
+          (st.map(_.files.map(f => new Path(pools, f))).getOrElse(Seq.empty),
             vs.length.toLong, cur, st.map(_.deletedRows).getOrElse(0L))
         } else {
           val base = new Path(dir)

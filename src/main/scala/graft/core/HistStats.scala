@@ -42,15 +42,19 @@ object HistStats {
   }
 
   /** One equi-width grid per (file, numeric declared column) for the
-    * staged files. Two delta-only passes: (1) exact per-file min/max
-    * (NaNs excluded — a NaN-polluted bound would make every bucket
-    * degenerate), (2) one grouped aggregation computing all 16 bucket
-    * counts for every column at once (conditional counts, no explode, no
-    * shuffle wider than the delta). Keys are dir-relative paths matching
-    * `files`. */
+    * staged files. `bounds` carries the exact per-file min/max (NaNs
+    * excluded — a NaN-polluted bound would make every bucket degenerate),
+    * computed by the FUSED sketch pass
+    * ([[NdvStats.collectSketchesAndBounds]]) so the whole stat harvest is
+    * two delta reads, not three; this pass is ONE grouped aggregation
+    * computing all 16 bucket counts for every column at once (conditional
+    * counts, no explode, no shuffle wider than the delta). Keys are
+    * dir-relative paths matching `files`. */
   def collectHists(spark: SparkSession, dataDir: String, files: Seq[String],
-                   cols: Seq[String]): Map[String, Map[String, FileStats.Hist]] = {
-    if (files.isEmpty || cols.isEmpty) return Map.empty
+                   cols: Seq[String],
+                   bounds: Map[String, (String, Map[String, (Double, Double)])])
+      : Map[String, Map[String, FileStats.Hist]] = {
+    if (files.isEmpty || cols.isEmpty || bounds.isEmpty) return Map.empty
     val df = spark.read.parquet(files.map(f => s"$dataDir/$f"): _*)
     val byName = df.schema.fields.map(f => f.name.toLowerCase -> f).toMap
     val present = cols.flatMap(c => byName.get(c.toLowerCase))
@@ -63,19 +67,29 @@ object HistStats {
       case _ => col(c).cast("double")
     }
 
-    // pass 1: exact per-file bounds (footer bounds exist too, but the
-    // in-query pass avoids abs-vs-relative path matching and NaN rules)
-    val boundAggs = present.flatMap(c => Seq(
-      min(clean(c)).as(s"_lo_$c"), max(clean(c)).as(s"_hi_$c")))
-    val bounds = df
-      .select(col("_metadata.file_path").as("_gf_path") +: present.map(col): _*)
-      .groupBy("_gf_path").agg(boundAggs.head, boundAggs.tail: _*)
+    // the fused pass's bounds as a driver-built frame keyed by the abs
+    // path `_metadata` spells (null bounds = zero non-null values)
+    val boundSchema = StructType(
+      StructField("_gf_path", StringType, nullable = false) +:
+        present.flatMap(c => Seq(
+          StructField(s"_lo_$c", DoubleType, nullable = true),
+          StructField(s"_hi_$c", DoubleType, nullable = true))))
+    val boundRows: java.util.List[org.apache.spark.sql.Row] =
+      java.util.Arrays.asList(bounds.values.toSeq.map { case (abs, byCol) =>
+        org.apache.spark.sql.Row.fromSeq(abs +: present.flatMap { c =>
+          byCol.get(c.toLowerCase) match {
+            case Some((lo, hi)) => Seq[Any](lo, hi)
+            case None           => Seq[Any](null, null)
+          }
+        })
+      }: _*)
+    val boundsDf = spark.createDataFrame(boundRows, boundSchema)
 
-    // pass 2: bucket counts — bounds broadcast back onto the rows, every
+    // bucket counts — bounds broadcast back onto the rows, every
     // (column, bucket) pair one conditional count in a single grouped agg
     val withBounds = df
       .select(col("_metadata.file_path").as("_gf_path") +: present.map(col): _*)
-      .join(broadcast(bounds), "_gf_path")
+      .join(broadcast(boundsDf), "_gf_path")
     val countAggs = present.flatMap { c =>
       val lo = col(s"_lo_$c"); val hi = col(s"_hi_$c")
       val bucket = when(clean(c).isNull || lo.isNull, lit(null))
@@ -87,7 +101,7 @@ object HistStats {
     }
     val rows = withBounds.groupBy("_gf_path")
       .agg(countAggs.head, countAggs.tail: _*)
-      .join(broadcast(bounds), "_gf_path")
+      .join(broadcast(boundsDf), "_gf_path")
       .collect()
 
     rows.map { r =>
@@ -204,13 +218,15 @@ object HistStats {
     * the same planning-cost argument as [[NdvStats.mergedDistinctCached]]:
     * committed files are immutable, so a (file set, column) pair always
     * merges to the same bins, and a 10⁵-file scan must not re-walk
-    * 10⁵ × 16 grid segments on every plan. */
+    * 10⁵ × 16 grid segments on every plan. File-set identity is the
+    * strong [[NdvStats.fileSetDigest]] — a colliding weak hash would
+    * serve another plan's distribution to CBO. */
   private val MergeCacheMax = 256
   private val mergeCache = new java.util.LinkedHashMap[
-      (String, String, Int, Int),
+      (String, String, String),
       Option[(Double, Seq[(Double, Double, Long)])]](64, 0.75f, true) {
     override protected def removeEldestEntry(
-        e: java.util.Map.Entry[(String, String, Int, Int),
+        e: java.util.Map.Entry[(String, String, String),
                                Option[(Double, Seq[(Double, Double, Long)])]]): Boolean =
       size() > MergeCacheMax
   }
@@ -219,7 +235,7 @@ object HistStats {
                              hists: => Seq[FileStats.Hist], bins: Int,
                              ndvTotal: Long)
       : Option[(Double, Seq[(Double, Double, Long)])] = {
-    val key = (dir, col, plannedFiles.length, plannedFiles.hashCode())
+    val key = (dir, col, NdvStats.fileSetDigest(plannedFiles))
     mergeCache.synchronized {
       val hit = mergeCache.get(key)
       if (hit != null) return hit

@@ -702,12 +702,16 @@ object ManifestTable {
     if (ndvCols.isEmpty || files.isEmpty) base
     else {
       val spark = SparkSession.active
-      val withNdv = NdvStats.attach(base,
-        NdvStats.collectSketches(spark, dataDir, files, ndvCols))
+      // one fused pass harvests the HLL sketches AND the exact per-file
+      // histogram bounds; the bucket-count pass is the only other delta
+      // read — two scans of the just-written files, not three
+      val (sketches, bounds) =
+        NdvStats.collectSketchesAndBounds(spark, dataDir, files, ndvCols)
+      val withNdv = NdvStats.attach(base, sketches)
       // numeric declared columns additionally carry per-file histograms —
       // the distribution half of the log-served CBO channel
       HistStats.attach(withNdv,
-        HistStats.collectHists(spark, dataDir, files, ndvCols))
+        HistStats.collectHists(spark, dataDir, files, ndvCols, bounds))
     }
   }
 
@@ -886,13 +890,18 @@ object ManifestTable {
       if (zorderBy.nonEmpty) {
         // multi-dimension clustering: range-partition and sort on the
         // materialized Morton key, then drop it — every output file gets
-        // a narrow min/max box in BOTH dimensions at once
+        // a narrow min/max box in BOTH dimensions at once. The key column
+        // name must not collide with a REAL column (withColumn REPLACES,
+        // drop would then silently destroy the user's data in the rewrite)
         import org.apache.spark.sql.functions.col
+        val zname = Iterator.from(0)
+          .map(i => if (i == 0) "_zkey" else s"_zkey$i")
+          .find(n => !snapshot.columns.exists(_.equalsIgnoreCase(n))).get
         snapshot
-          .withColumn("_zkey", graft.functions.ZOrder.zorderKey(snapshot, zorderBy))
-          .repartitionByRange(nOut, col("_zkey"))
-          .sortWithinPartitions(col("_zkey"))
-          .drop("_zkey")
+          .withColumn(zname, graft.functions.ZOrder.zorderKey(snapshot, zorderBy))
+          .repartitionByRange(nOut, col(zname))
+          .sortWithinPartitions(col(zname))
+          .drop(zname)
       }
       else if (clusterBy.isEmpty) snapshot.coalesce(nOut)
       else {

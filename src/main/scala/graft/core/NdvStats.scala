@@ -34,24 +34,66 @@ object NdvStats {
     * rows by their physical file; no shuffle wider than the delta). Keys
     * of the result are dir-relative file paths matching `files`. */
   def collectSketches(spark: SparkSession, dataDir: String, files: Seq[String],
-                      cols: Seq[String]): Map[String, Map[String, Array[Byte]]] = {
-    if (files.isEmpty || cols.isEmpty) return Map.empty
+                      cols: Seq[String]): Map[String, Map[String, Array[Byte]]] =
+    collectSketchesAndBounds(spark, dataDir, files, cols)._1
+
+  /** [[collectSketches]] FUSED with the exact per-file histogram bounds
+    * ([[HistStats]] pass 1) — one grouped aggregation instead of two, so
+    * a declared-column commit reads its delta twice (sketch+bounds, then
+    * bucket counts), not three times. Bounds cover the HIST-eligible
+    * declared columns (NaNs excluded from float/double bounds — a
+    * NaN-polluted bound would make every bucket degenerate), keyed
+    * rel-file -> (abs path as `_metadata` spells it — what the count
+    * pass joins on, Map col -> (lo, hi)); a column with zero non-null
+    * values in a file has no entry. */
+  def collectSketchesAndBounds(spark: SparkSession, dataDir: String,
+                               files: Seq[String], cols: Seq[String])
+      : (Map[String, Map[String, Array[Byte]]],
+         Map[String, (String, Map[String, (Double, Double)])]) = {
+    if (files.isEmpty || cols.isEmpty) return (Map.empty, Map.empty)
     val df = spark.read.parquet(files.map(f => s"$dataDir/$f"): _*)
-    val present = cols.filter(c => df.schema.fieldNames.exists(_.equalsIgnoreCase(c)))
-    if (present.isEmpty) return Map.empty
-    val aggs = present.map(c => hll_sketch_agg(col(c)).as(c))
+    val byName = df.schema.fields.map(f => f.name.toLowerCase -> f).toMap
+    val present = cols.flatMap(c => byName.get(c.toLowerCase)).map(_.name)
+    if (present.isEmpty) return (Map.empty, Map.empty)
+    // sketch only the hll_sketch_agg domain (DDL validates catalog
+    // declarations; core-API callers get bounds-only for e.g. doubles),
+    // grid only the numeric domain
+    val sketchCols = present.filter(c => eligible(byName(c.toLowerCase).dataType))
+    val histCols = present.filter(c =>
+      HistStats.eligible(byName(c.toLowerCase).dataType))
+    def clean(c: String) = byName(c.toLowerCase).dataType match {
+      case org.apache.spark.sql.types.FloatType |
+           org.apache.spark.sql.types.DoubleType =>
+        when(!isnan(col(c)), col(c).cast("double"))
+      case _ => col(c).cast("double")
+    }
+    val aggs = sketchCols.map(c => hll_sketch_agg(col(c)).as(s"_sk_$c")) ++
+      histCols.flatMap(c => Seq(
+        min(clean(c)).as(s"_lo_$c"), max(clean(c)).as(s"_hi_$c")))
+    if (aggs.isEmpty) return (Map.empty, Map.empty)
     val rows = df
       .select(col("_metadata.file_path").as("_gf_path") +: present.map(col): _*)
       .groupBy("_gf_path").agg(aggs.head, aggs.tail: _*)
       .collect()
-    rows.map { r =>
+    val sketches = rows.map { r =>
       val abs = r.getString(0)
       val rel = files.find(f => abs.endsWith("/" + f)).getOrElse(abs)
-      rel -> present.zipWithIndex.flatMap { case (c, i) =>
-        if (r.isNullAt(i + 1)) None
-        else Some(c.toLowerCase -> r.getAs[Array[Byte]](i + 1))
+      rel -> sketchCols.flatMap { c =>
+        val i = r.fieldIndex(s"_sk_$c")
+        if (r.isNullAt(i)) None
+        else Some(c.toLowerCase -> r.getAs[Array[Byte]](i))
       }.toMap
     }.toMap
+    val bounds = rows.map { r =>
+      val abs = r.getString(0)
+      val rel = files.find(f => abs.endsWith("/" + f)).getOrElse(abs)
+      rel -> (abs, histCols.flatMap { c =>
+        val lo = r.fieldIndex(s"_lo_$c"); val hi = r.fieldIndex(s"_hi_$c")
+        if (r.isNullAt(lo) || r.isNullAt(hi)) None
+        else Some(c.toLowerCase -> (r.getDouble(lo), r.getDouble(hi)))
+      }.toMap)
+    }.toMap
+    (sketches, bounds)
   }
 
   /** Fold per-file sketches into footer-harvested stats (the map
@@ -83,24 +125,35 @@ object NdvStats {
     math.round(union.getResult.getEstimate)
   }
 
+  /** STRONG identity of a planned file set: md5 over the newline-joined
+    * names. The memo keys below feed STATISTICS to the optimizer — a
+    * 32-bit Seq.hashCode collides at ~77k distinct plans (birthday
+    * bound) and would silently serve another plan's numbers; a 128-bit
+    * digest makes that impossible in practice. Hashing 100k names costs
+    * ~ms, far under the O(files) merge the memo avoids. */
+  private[core] def fileSetDigest(files: Seq[String]): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    files.foreach { f => md.update(f.getBytes("UTF-8")); md.update('\n'.toByte) }
+    java.util.Base64.getEncoder.encodeToString(md.digest())
+  }
+
   /** [[mergedDistinct]] memoized by (dir, column, planned-file-set):
     * data files are immutable once committed, so a (file set, column)
     * pair always merges to the same estimate — and scan PLANNING must
     * not pay an O(files) sketch union per query on a 10⁵-file table
-    * (~µs per union × 100k files ≈ 0.3 s/plan otherwise). The key
-    * hashes the planned names (String#hashCode is cached per instance),
-    * not the sketch bytes. */
+    * (~µs per union × 100k files ≈ 0.3 s/plan otherwise). The file set
+    * is identified by [[fileSetDigest]], not the sketch bytes. */
   private val MergeCacheMax = 256
   private val mergeCache =
-    new java.util.LinkedHashMap[(String, String, Int, Int), java.lang.Long](64, 0.75f, true) {
+    new java.util.LinkedHashMap[(String, String, String), java.lang.Long](64, 0.75f, true) {
       override protected def removeEldestEntry(
-          e: java.util.Map.Entry[(String, String, Int, Int), java.lang.Long]): Boolean =
+          e: java.util.Map.Entry[(String, String, String), java.lang.Long]): Boolean =
         size() > MergeCacheMax
     }
 
   def mergedDistinctCached(dir: String, col: String, plannedFiles: Seq[String],
                            sketches: => Iterable[Array[Byte]]): Long = {
-    val key = (dir, col, plannedFiles.length, plannedFiles.hashCode())
+    val key = (dir, col, fileSetDigest(plannedFiles))
     mergeCache.synchronized {
       val hit = mergeCache.get(key)
       if (hit != null) return hit.longValue

@@ -67,8 +67,11 @@ object ZOrder {
     require(cols.length == 2,
       s"z-order interleaving is 2-D: pass exactly 2 columns, got $cols")
     val views = cols.map { name =>
-      val f = df.schema(name)
-      numericView(col(name), f.dataType).getOrElse(throw new IllegalArgumentException(
+      // case-insensitive resolution, matching what col() gives cluster_by
+      val f = df.schema.fields.find(_.name.equalsIgnoreCase(name))
+        .getOrElse(throw new IllegalArgumentException(
+          s"z-order column '$name' not found in ${df.schema.fieldNames.mkString(", ")}"))
+      numericView(col(f.name), f.dataType).getOrElse(throw new IllegalArgumentException(
         s"z-order column '$name' must be numeric, date, or timestamp; " +
           s"is ${f.dataType.simpleString}"))
     }

@@ -135,11 +135,21 @@ class CloneSpec extends AnyFunSuite {
     val pin = ManifestTable.CloneBranchPrefix + "db.mtcl"
     for (call <- Seq(
         s"CALL gc.system.branch('db.mt', '$pin')",
-        s"CALL gc.system.fast_forward('db.mt', '$pin')",
-        s"CALL gc.system.drop_branch('db.mt', '$pin')")) {
+        s"CALL gc.system.fast_forward('db.mt', '$pin')")) {
       val e = intercept[Exception](spark.sql(call).collect())
       assert(e.getMessage.contains("reserved"), call)
     }
+    // drop_branch refuses a LIVE pin (the clone table still exists)...
+    val eLive = intercept[Exception](
+      spark.sql(s"CALL gc.system.drop_branch('db.mt', '$pin')").collect())
+    assert(eLive.getMessage.contains("live zero-copy clone pin"))
+    // ...but accepts an ORPHANED one (crash between pin-create and
+    // descriptor-write leaves a pin no table points at) — the recovery
+    // path for an otherwise undroppable blocker of the source's DROP
+    val orphan = ManifestTable.CloneBranchPrefix + "db.never_written"
+    ManifestTable.createBranch(dataDir("mt"), orphan)
+    assert(spark.sql(s"CALL gc.system.drop_branch('db.mt', '$orphan')")
+      .head().getBoolean(0))
     // a clone of a clone would chain pins across drops: refused
     val e2 = intercept[Exception](
       spark.sql("CALL gc.system.clone('db.mtcl', 'db.mtcl2')").collect())

@@ -34,7 +34,10 @@ class HistStatsSpec extends AnyFunSuite {
       s"$sub/${f.getName}"
     }
     val files = Seq(one("fa"), one("fb"))
-    val hists = HistStats.collectHists(spark, dir, files, Seq("k", "d", "s"))
+    // the production path: one fused sketch+bounds pass, then the counts
+    val (_, bounds) =
+      NdvStats.collectSketchesAndBounds(spark, dir, files, Seq("k", "d", "s"))
+    val hists = HistStats.collectHists(spark, dir, files, Seq("k", "d", "s"), bounds)
     assert(hists.keySet === files.toSet)
     val fa = hists(files.head)
     // strings are ineligible
