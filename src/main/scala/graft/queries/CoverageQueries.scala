@@ -384,6 +384,66 @@ object CoverageQueries extends QueryModule {
         .orderBy("_change_type")
     },
 
+    // --- INCREMENTAL MATERIALIZED AGGREGATE from the change feed (the
+    //     100 TB alternative to re-aggregating the corpus per refresh):
+    //     materialize a grouped aggregate once, then fold ONLY the CDC
+    //     window since the materialized version into it with one MERGE —
+    //     inserts +1, deletes −1, so CoW's file-granularity delete+insert
+    //     pairs cancel for untouched rows and the fold is correct at any
+    //     feed granularity. Refresh cost tracks the CHANGED bytes, never
+    //     the table. Proof: the incrementally-maintained rows equal a
+    //     full recompute over the mutated table ---
+    "qc43_incremental_agg" -> { (s, d) =>
+      import s.implicits._
+      if (s.conf.getOption("spark.sql.catalog.graft_cat").isEmpty)
+        graft.catalog.GraftCatalog.register(s, "graft_cat",
+          graft.core.TempDirs.create("graft_cat_root_"))
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.db")
+      s.sql("DROP TABLE IF EXISTS graft_cat.db.src43")
+      s.sql("DROP TABLE IF EXISTS graft_cat.db.mv43")
+      Tables.documents(s, d).createOrReplaceTempView("qc43_documents")
+      s.sql("CREATE TABLE graft_cat.db.src43 " +
+        "(doc_id BIGINT, lang STRING, n_chars BIGINT) USING manifest")
+      s.sql("CREATE TABLE graft_cat.db.mv43 " +
+        "(lang STRING, n_docs BIGINT, total_chars BIGINT) USING manifest")
+      s.sql("INSERT INTO graft_cat.db.src43 SELECT doc_id, lang, n_chars " +
+        "FROM qc43_documents WHERE doc_id < 150")                       // v1
+      // initial full materialization AT version 1
+      s.sql("INSERT INTO graft_cat.db.mv43 SELECT lang, count(*), " +
+        "sum(n_chars) FROM graft_cat.db.src43 GROUP BY lang")
+      // the source moves on: append, delete, update
+      s.sql("INSERT INTO graft_cat.db.src43 SELECT doc_id, lang, n_chars " +
+        "FROM qc43_documents WHERE doc_id >= 150")                      // v2
+      s.sql("DELETE FROM graft_cat.db.src43 WHERE doc_id % 7 = 3")      // v3
+      s.sql("UPDATE graft_cat.db.src43 SET n_chars = n_chars + 1000 " +
+        "WHERE lang = 'en'")                                            // v4
+      // incremental refresh: fold ONLY the feed since the materialized
+      // BASE snapshot (start_version = the version the aggregate was
+      // computed at; the window is the diff from that state to current)
+      s.read.option("start_version", "1")
+        .table("graft_cat.db.src43.changes")
+        .createOrReplaceTempView("qc43_delta")
+      s.sql("""MERGE INTO graft_cat.db.mv43 t USING (
+          SELECT lang, sum(sign) AS d_n, sum(sign * n_chars) AS d_chars
+          FROM (SELECT lang, n_chars,
+                  CASE WHEN _change_type = 'insert' THEN 1 ELSE -1 END AS sign
+                FROM qc43_delta)
+          GROUP BY lang) c
+        ON t.lang = c.lang
+        WHEN MATCHED THEN UPDATE SET
+          n_docs = t.n_docs + c.d_n, total_chars = t.total_chars + c.d_chars
+        WHEN NOT MATCHED THEN INSERT (lang, n_docs, total_chars)
+          VALUES (c.lang, c.d_n, c.d_chars)""")
+      val mv = s.table("graft_cat.db.mv43")
+      val full = s.sql("SELECT lang, count(*) AS n_docs, " +
+        "sum(n_chars) AS total_chars FROM graft_cat.db.src43 GROUP BY lang")
+      val matches = mv.exceptAll(full).isEmpty && full.exceptAll(mv).isEmpty
+      mv.select(col("lang"), col("n_docs"),
+          col("total_chars").cast("long").as("total_chars"),
+          lit(matches).as("incremental_matches_full"))
+        .orderBy("lang")
+    },
+
     // --- bulk import (catalog/GraftProcedures register_files): an
     //     external writer drops plain parquet under the table location,
     //     CALL register_files adopts it as ONE append commit — no rewrite
@@ -1678,6 +1738,19 @@ object CoverageQueries extends QueryModule {
            CAST(sum(CASE WHEN doc_id % 20 = 0 THEN 900 + doc_id % 100
                          ELSE doc_id % 100 END) AS BIGINT) AS sum_k
          FROM documents""",
+
+    // the incrementally-maintained aggregate replays as the full
+    // recompute over the mutated table (the fold's correctness IS the
+    // equality); the boolean is the Spark-side cross-check
+    "qc43_incremental_agg" ->
+      """WITH cur AS (
+           SELECT doc_id, lang,
+             CASE WHEN lang = 'en' THEN n_chars + 1000 ELSE n_chars END AS n_chars
+           FROM documents WHERE doc_id % 7 <> 3)
+         SELECT lang, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           true AS incremental_matches_full
+         FROM cur GROUP BY lang ORDER BY lang""",
 
     // the structural booleans are Spark plan facts (z-order layout
     // file-prunes on BOTH dimensions); the filtered aggregates replay

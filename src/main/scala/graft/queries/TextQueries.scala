@@ -146,6 +146,39 @@ object TextQueries extends QueryModule {
         .orderBy("source")
     },
 
+    // --- batch model scoring (the fastText-style linear-classifier
+    //     inference shape): a broadcast token->weight MODEL (vocab = the
+    //     corpus's top-200 document-frequency tokens, weights a
+    //     deterministic INTEGER deci-value formula so the per-doc sum is
+    //     exact and engine-independent), corpus-side plan = scan ->
+    //     explode -> broadcast-join -> one partial agg on doc_id -> a
+    //     pure-map sigmoid. At 100 TB the model rides the broadcast
+    //     (real vocabularies of ~1M rows still fit) and the corpus is
+    //     read once — no shuffle wider than the per-doc hit sums ---
+    "qt15_classifier_score" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      val vocab = toks.filter(col("tok") =!= "")
+        .groupBy("tok").agg(countDistinct(col("doc_id")).as("df"))
+        .orderBy(col("df").desc, col("tok")).limit(200)
+        .select(col("tok"),
+          ((length(col("tok")) * 31 + ascii(col("tok"))) % 21 - 10)
+            .cast("long").as("w10"))
+      val hits = toks.join(broadcast(vocab), "tok")
+        .groupBy("doc_id")
+        .agg(sum(col("w10")).as("sw10"), count(lit(1)).as("n_hits"))
+      val logit = lit(-0.5) +
+        coalesce(col("sw10"), lit(0L)) / (lit(10.0) * col("n_tok"))
+      docs.select(col("doc_id"), size(tokens(col("text"))).as("n_tok"))
+        .join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          round(logit, 4).as("logit"),
+          round(lit(1.0) / (lit(1.0) + exp(-logit)), 4).as("score"),
+          (logit >= 0).as("label"))
+        .orderBy("doc_id")
+    },
+
     // --- context-window packing: greedy sequential fill of 4096-token
     //     budgets via a DISTRIBUTED prefix sum (two-phase: per-range-
     //     partition running sums + broadcast partition offsets — a global
@@ -628,6 +661,31 @@ object TextQueries extends QueryModule {
                ORDER BY m.n_hit*1.0 / t.n_tok DESC, m.cand_lang) AS rn
            FROM matched m JOIN totals t ON m.doc_id = t.doc_id)
          WHERE rn = 1 ORDER BY doc_id""",
+
+    // the model replays exactly: integer deci-weights make the per-doc
+    // sum exact, so logit/score/label are engine-independent doubles
+    "qt15_classifier_score" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+         vocab AS (
+           SELECT tok,
+             CAST((length(tok)*31 + ascii(tok)) % 21 - 10 AS BIGINT) AS w10
+           FROM (SELECT tok, count(DISTINCT doc_id) AS df FROM toks
+                 WHERE tok <> '' GROUP BY tok
+                 ORDER BY df DESC, tok LIMIT 200)),
+         hits AS (
+           SELECT t.doc_id, sum(v.w10) AS sw10, count(*) AS n_hits
+           FROM toks t JOIN vocab v USING (tok) GROUP BY t.doc_id),
+         base AS (
+           SELECT d.doc_id,
+             CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+             -0.5 + coalesce(h.sw10, 0) /
+               (10.0 * len(string_split(d.text, ' '))) AS logit
+           FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id)
+         SELECT doc_id, n_hits, round(logit, 4) AS logit,
+           round(1.0 / (1.0 + exp(-logit)), 4) AS score,
+           logit >= 0 AS label
+         FROM base ORDER BY doc_id""",
 
     "qt03_quality_score" ->
       """SELECT doc_id, n_chars, CAST(len(t) AS INTEGER) AS n_tokens,
