@@ -410,6 +410,88 @@ object StreamingQueries extends QueryModule {
         FROM graft_cat.db.wap_corpus GROUP BY lang ORDER BY lang""")
     },
 
+    // --- STREAMING incremental MV maintenance: the change feed drives a
+    //     materialized grouped aggregate continuously — each micro-batch
+    //     folds its CDC rows (insert +1 / delete −1) into the MV with ONE
+    //     version-guarded MERGE: every MV row carries the last batch id
+    //     applied to it and the MATCHED arm requires `last_batch < bid`,
+    //     so foreachBatch's at-least-once replay of a batch is a no-op
+    //     row-by-row — exactly-once folding from one atomic commit, no
+    //     side ledger. Refresh cost per batch tracks the batch, never
+    //     the table; the proof replays the LAST batch by hand and
+    //     cross-checks the MV against a full recompute ---
+    "qs18_stream_mv" -> { (s, d) =>
+      import s.implicits._
+      if (s.conf.getOption("spark.sql.catalog.graft_cat").isEmpty)
+        graft.catalog.GraftCatalog.register(s, "graft_cat",
+          graft.core.TempDirs.create("graft_cat_root_"))
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.db")
+      s.sql("DROP TABLE IF EXISTS graft_cat.db.mvs_src")
+      s.sql("DROP TABLE IF EXISTS graft_cat.db.mvs_tgt")
+      graft.core.Tables.documents(s, d).createOrReplaceTempView("qs18_documents")
+      s.sql("CREATE TABLE graft_cat.db.mvs_src " +
+        "(doc_id BIGINT, lang STRING, n_chars BIGINT) USING manifest")
+      s.sql("CREATE TABLE graft_cat.db.mvs_tgt (lang STRING, n_docs BIGINT, " +
+        "total_chars BIGINT, last_batch BIGINT) USING manifest")
+      s.sql("INSERT INTO graft_cat.db.mvs_src SELECT doc_id, lang, n_chars " +
+        "FROM qs18_documents WHERE doc_id < 150")                        // v1
+      def foldSql(view: String, bid: Long): String =
+        s"""MERGE INTO graft_cat.db.mvs_tgt t USING (
+            SELECT lang, sum(sign) AS d_n, sum(sign * n_chars) AS d_chars,
+              CAST($bid AS BIGINT) AS bid
+            FROM (SELECT lang, n_chars,
+                    CASE WHEN _change_type = 'insert' THEN 1 ELSE -1 END AS sign
+                  FROM $view)
+            GROUP BY lang) c
+          ON t.lang = c.lang
+          WHEN MATCHED AND t.last_batch < c.bid THEN UPDATE SET
+            n_docs = t.n_docs + c.d_n,
+            total_chars = t.total_chars + c.d_chars,
+            last_batch = c.bid
+          WHEN NOT MATCHED THEN INSERT (lang, n_docs, total_chars, last_batch)
+            VALUES (c.lang, c.d_n, c.d_chars, c.bid)"""
+      @volatile var lastBid = -1L
+      val ckpt = graft.core.TempDirs.create("graft_qs18_ck_")
+      withStreamShuffle(s) {
+        val q = s.readStream.table("graft_cat.db.mvs_src.changes")
+          .writeStream.option("checkpointLocation", ckpt)
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
+            if (!batch.isEmpty) {
+              batch.createOrReplaceTempView("qs18_batch")
+              batch.sparkSession.sql(foldSql("qs18_batch", bid))
+              lastBid = bid
+            }
+          }.start()
+        try {
+          q.processAllAvailable() // batch 0: the v1 snapshot as inserts
+          s.sql("INSERT INTO graft_cat.db.mvs_src SELECT doc_id, lang, " +
+            "n_chars FROM qs18_documents WHERE doc_id >= 150")           // v2
+          s.sql("DELETE FROM graft_cat.db.mvs_src WHERE doc_id % 7 = 3") // v3
+          q.processAllAvailable()
+          s.sql("UPDATE graft_cat.db.mvs_src SET n_chars = n_chars + 1000 " +
+            "WHERE lang = 'en'")                                         // v4
+          q.processAllAvailable()
+        } finally q.stop()
+      }
+      val before = s.table("graft_cat.db.mvs_tgt").orderBy("lang").collect().toSeq
+      // at-least-once replay of the LAST batch by hand (same window, same
+      // batch id): the version guard must no-op it row-by-row
+      s.read.option("start_version", "3").table("graft_cat.db.mvs_src.changes")
+        .createOrReplaceTempView("qs18_replay")
+      s.sql(foldSql("qs18_replay", lastBid))
+      val after = s.table("graft_cat.db.mvs_tgt").orderBy("lang").collect().toSeq
+      val replayNoop = before == after
+      val mv = s.table("graft_cat.db.mvs_tgt")
+        .select(col("lang"), col("n_docs"), col("total_chars"))
+      val full = s.sql("SELECT lang, count(*) AS n_docs, " +
+        "sum(n_chars) AS total_chars FROM graft_cat.db.mvs_src GROUP BY lang")
+      val matches = mv.exceptAll(full).isEmpty && full.exceptAll(mv).isEmpty
+      mv.select(col("lang"), col("n_docs"),
+          col("total_chars").cast("long").as("total_chars"),
+          lit(matches).as("matches_full"), lit(replayNoop).as("replay_noop"))
+        .orderBy("lang")
+    },
+
     // --- CONTINUOUS incremental dedup: the streaming steady state of the
     //     qp03 stored-index shape. Docs arrive as feed commits; each
     //     micro-batch (admission-controlled to one source version)
@@ -689,6 +771,19 @@ object StreamingQueries extends QueryModule {
 
     // published = released (doc_id%3=0) plus the streamed slices that
     // survive the branch audit gate (n_chars >= 100)
+    // the continuously-maintained MV replays as a full recompute over the
+    // mutated source; the booleans are Spark-side facts (MV == recompute,
+    // hand-replayed last batch no-ops under the version guard)
+    "qs18_stream_mv" ->
+      """WITH cur AS (
+           SELECT doc_id, lang,
+             CASE WHEN lang = 'en' THEN n_chars + 1000 ELSE n_chars END AS n_chars
+           FROM documents WHERE doc_id % 7 <> 3)
+         SELECT lang, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           true AS matches_full, true AS replay_noop
+         FROM cur GROUP BY lang ORDER BY lang""",
+
     "qs17_stream_wap" ->
       """SELECT lang, count(*) AS n_docs,
            CAST(sum(n_chars) AS BIGINT) AS total_chars
