@@ -775,7 +775,13 @@ object Dedup {
     * Returns one row per input vector: (idCol, cluster, keep). */
   def semanticDedup(vecs: DataFrame, idCol: String, vecCol: String,
                     cents: DataFrame, threshold: Double): DataFrame = {
+    // the assignment subtree is referenced THREE times below (both sides
+    // of the within-cluster self-join + the final left join) — without a
+    // cut, Spark re-runs the corpus scan + argmax map per reference;
+    // localCheckpoint materializes it once (same pattern as the other
+    // self-joining dedup operators)
     val assigned = Similarity.assignNearest(vecs, idCol, vecCol, cents)
+      .localCheckpoint()
     val dups = embeddingCosinePairs(assigned, idCol, vecCol, threshold, "cluster")
       .select(col("d2").as(idCol)).distinct()
       .withColumn("_dup", lit(true))

@@ -304,9 +304,18 @@ object Similarity {
     * never raw vectors. Returns (idCol, codes array<int>). */
   def pqEncode(vecs: DataFrame, idCol: String, vecCol: String,
                cents: DataFrame, m: Int, dim: Int,
-               keep: Seq[String] = Nil): DataFrame = {
+               keep: Seq[String] = Nil): DataFrame =
+    pqEncodeWith(pqBooks(cents, m, dim), vecs, idCol, vecCol, m, dim, keep)
+
+  /** [[pqEncode]] against an ALREADY-FOLDED codebook row — callers that
+    * also build query LUTs ([[pqTopK]], [[ivfPqTopK]]) fold the books
+    * once and share the plan instead of aggregating the centroid set and
+    * broadcasting the same row twice. */
+  private def pqEncodeWith(books: DataFrame, vecs: DataFrame, idCol: String,
+                           vecCol: String, m: Int, dim: Int,
+                           keep: Seq[String]): DataFrame = {
     val sub = dim / m
-    vecs.crossJoin(broadcast(pqBooks(cents, m, dim)))
+    vecs.crossJoin(broadcast(books))
       .select(((col(idCol) +: keep.map(col)) :+
         transform(col("_books"), (bm, mi) => {
           val vSub = slice(col(vecCol).cast("array<double>"),
@@ -333,8 +342,9 @@ object Similarity {
   def pqTopK(queries: DataFrame, corpus: DataFrame, cents: DataFrame,
              m: Int, dim: Int, k: Int): DataFrame = {
     val sub = dim / m
-    val encoded = pqEncode(corpus, "id", "vec", cents, m, dim)
-    val luts = queries.crossJoin(broadcast(pqBooks(cents, m, dim)))
+    val books = pqBooks(cents, m, dim) // folded ONCE, shared by both sides
+    val encoded = pqEncodeWith(books, corpus, "id", "vec", m, dim, Nil)
+    val luts = queries.crossJoin(broadcast(books))
       .select(col("q_id"),
         transform(col("_books"), (bm, mi) => {
           val qSub = slice(col("q_vec").cast("array<double>"),
@@ -377,9 +387,10 @@ object Similarity {
     val topProbe = udaf(new TopKByScore(nprobe), ExpressionEncoderHelp.scored)
     val topK = udaf(new TopKByScore(k), ExpressionEncoderHelp.scored)
     // the stored index: one corpus pass, two broadcast-folded maps deep
-    val index = pqEncode(
+    val books = pqBooks(pqCents, m, dim) // folded ONCE, shared by both sides
+    val index = pqEncodeWith(books,
       assignNearest(corpus, "id", "vec", coarse),
-      "id", "vec", pqCents, m, dim, keep = Seq("cluster"))
+      "id", "vec", m, dim, keep = Seq("cluster"))
     // per query: nprobe coarse probes (cosine) + the ADC lookup table —
     // both tiny, joined driver-light and broadcast to the index scan
     val probes = queries.crossJoin(broadcast(coarse))
@@ -387,7 +398,7 @@ object Similarity {
       .groupBy(col("q_id"))
       .agg(topProbe(col("cluster").cast("long"), col("q_cos")).as("top"))
       .select(col("q_id"), explode(col("top").getField("id")).as("cluster"))
-    val luts = queries.crossJoin(broadcast(pqBooks(pqCents, m, dim)))
+    val luts = queries.crossJoin(broadcast(books))
       .select(col("q_id").as("_lq"),
         transform(col("_books"), (bm, mi) => {
           val qSub = slice(col("q_vec").cast("array<double>"),

@@ -590,7 +590,7 @@ object TextQueries extends QueryModule {
     //     all-pairs self cross-product ---
     "qd05_dedup_embedding" -> { (s, d) =>
       val emb = Tables.embeddings(s, d)
-      val hyper = graft.operators.Similarity.seededHyperplanes(s, numPlanes = 16, dim = 64)
+      val hyper = graft.operators.Similarity.seededHyperplanes(s, numPlanes = 16, dim = VectorQueries.dim)
       Dedup.embeddingLshPairs(
           emb.select(col("vec_id"), col("embedding")), "vec_id", "embedding",
           hyper, numBands = 4, planesPerBand = 4, threshold = 0.45)
@@ -604,7 +604,8 @@ object TextQueries extends QueryModule {
     "qd13_semantic_dedup" -> { (s, d) =>
       val emb = Tables.embeddings(s, d)
       val cents = graft.operators.Similarity.centroids(
-        emb.select(col("label"), col("embedding")), "label", "embedding", 64)
+        emb.select(col("label"), col("embedding")), "label", "embedding",
+        VectorQueries.dim) // the oracle reuses VectorQueries.centroidCte
       Dedup.semanticDedup(
           emb.select(col("vec_id"), col("embedding")), "vec_id", "embedding",
           cents, threshold = 0.4)
@@ -1085,7 +1086,7 @@ object TextQueries extends QueryModule {
          GROUP BY doc_id ORDER BY doc_id""",
 
     "qd05_dedup_embedding" ->
-      s"""WITH ${VectorQueries.seededPlanesCte(numPlanes = 16, dim = 64)},
+      s"""WITH ${VectorQueries.seededPlanesCte(numPlanes = 16, dim = VectorQueries.dim)},
          b AS (SELECT e.vec_id AS doc_id, CAST(h.h_id // 4 AS INTEGER) AS band,
                  CAST(sum(CASE WHEN list_dot_product(CAST(e.embedding AS DOUBLE[]), h.hv) > 0
                                THEN CAST(power(2, h.h_id % 4) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket

@@ -12,9 +12,14 @@ import org.apache.spark.sql.functions._
   */
 object VectorQueries extends QueryModule {
 
-  private val dim = 64
+  private[queries] val dim = 64
   private val k = 10
   private val nprobe = 2
+  // PQ layout shared by the qv06/qv07 Spark calls AND their oracle SQL —
+  // one set of constants, no silent drift between the two engines
+  private val pqM = 8
+  private val pqSub = dim / 8
+  private val pqK = 5
 
   /** DuckDB CTE fragment regenerating [[Similarity.seededHyperplanes]] as
     * `h(h_id, hv DOUBLE[])` — same MINSTD LCG + Irwin-Hall(3) formula,
@@ -113,7 +118,7 @@ object VectorQueries extends QueryModule {
       val queries = emb.filter(col("vec_id") < 5)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
       val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
-      Similarity.pqTopK(queries, corpus, cents, m = 8, dim = dim, k = 5)
+      Similarity.pqTopK(queries, corpus, cents, m = pqM, dim = dim, k = pqK)
         .orderBy("q_id", "rank")
     },
 
@@ -130,7 +135,7 @@ object VectorQueries extends QueryModule {
         .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
       val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
       Similarity.ivfPqTopK(queries, corpus, cents, cents,
-          m = 8, dim = dim, k = 5, nprobe = nprobe)
+          m = pqM, dim = dim, k = pqK, nprobe = nprobe)
         .orderBy("q_id", "rank")
     },
 
@@ -215,19 +220,19 @@ object VectorQueries extends QueryModule {
           books AS (
             SELECT mi, cluster,
               row_number() OVER (PARTITION BY mi ORDER BY cluster) - 1 AS idx,
-              list_transform(generate_series(1, 8), j -> centroid[mi*8 + j]) AS cw
-            FROM cent CROSS JOIN generate_series(0, 7) t(mi)),
+              list_transform(generate_series(1, $pqSub), j -> centroid[mi*$pqSub + j]) AS cw
+            FROM cent CROSS JOIN generate_series(0, ${pqM - 1}) t(mi)),
           e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
           enc AS (SELECT vec_id, mi, idx AS code FROM (
               SELECT e.vec_id, b.mi, b.idx,
                 row_number() OVER (PARTITION BY e.vec_id, b.mi
-                  ORDER BY list_aggregate(list_transform(generate_series(1, 8),
-                    j -> (e.v[b.mi*8+j] - b.cw[j]) * (e.v[b.mi*8+j] - b.cw[j])),
+                  ORDER BY list_aggregate(list_transform(generate_series(1, $pqSub),
+                    j -> (e.v[b.mi*$pqSub+j] - b.cw[j]) * (e.v[b.mi*$pqSub+j] - b.cw[j])),
                     'sum') ASC, b.idx ASC) AS rn
               FROM e CROSS JOIN books b) WHERE rn = 1),
           lut AS (SELECT q.vec_id AS q_id, b.mi, b.idx,
-                list_aggregate(list_transform(generate_series(1, 8),
-                  j -> (q.v[b.mi*8+j] - b.cw[j]) * (q.v[b.mi*8+j] - b.cw[j])),
+                list_aggregate(list_transform(generate_series(1, $pqSub),
+                  j -> (q.v[b.mi*$pqSub+j] - b.cw[j]) * (q.v[b.mi*$pqSub+j] - b.cw[j])),
                   'sum') AS ld
               FROM e q CROSS JOIN books b WHERE q.vec_id < 5),
           d AS (SELECT l.q_id, c.vec_id AS id,
@@ -238,7 +243,7 @@ object VectorQueries extends QueryModule {
             SELECT q_id, id, approx,
               row_number() OVER (PARTITION BY q_id
                 ORDER BY approx ASC, id) AS rank FROM d)
-          WHERE rank <= 5 ORDER BY q_id, rank""",
+          WHERE rank <= $pqK ORDER BY q_id, rank""",
 
     "qv07_ivfpq_ann" ->
       s"""WITH $centroidCte,
@@ -263,18 +268,18 @@ object VectorQueries extends QueryModule {
           books AS (
             SELECT mi, cluster,
               row_number() OVER (PARTITION BY mi ORDER BY cluster) - 1 AS idx,
-              list_transform(generate_series(1, 8), j -> centroid[mi*8 + j]) AS cw
-            FROM cent CROSS JOIN generate_series(0, 7) t(mi)),
+              list_transform(generate_series(1, $pqSub), j -> centroid[mi*$pqSub + j]) AS cw
+            FROM cent CROSS JOIN generate_series(0, ${pqM - 1}) t(mi)),
           enc AS (SELECT vec_id, mi, idx AS code FROM (
               SELECT e.vec_id, b.mi, b.idx,
                 row_number() OVER (PARTITION BY e.vec_id, b.mi
-                  ORDER BY list_aggregate(list_transform(generate_series(1, 8),
-                    j -> (e.v[b.mi*8+j] - b.cw[j]) * (e.v[b.mi*8+j] - b.cw[j])),
+                  ORDER BY list_aggregate(list_transform(generate_series(1, $pqSub),
+                    j -> (e.v[b.mi*$pqSub+j] - b.cw[j]) * (e.v[b.mi*$pqSub+j] - b.cw[j])),
                     'sum') ASC, b.idx ASC) AS rn
               FROM e CROSS JOIN books b) WHERE rn = 1),
           lut AS (SELECT q.vec_id AS q_id, b.mi, b.idx,
-                list_aggregate(list_transform(generate_series(1, 8),
-                  j -> (q.v[b.mi*8+j] - b.cw[j]) * (q.v[b.mi*8+j] - b.cw[j])),
+                list_aggregate(list_transform(generate_series(1, $pqSub),
+                  j -> (q.v[b.mi*$pqSub+j] - b.cw[j]) * (q.v[b.mi*$pqSub+j] - b.cw[j])),
                   'sum') AS ld
               FROM e q CROSS JOIN books b WHERE q.vec_id < 5),
           pairs AS (SELECT p.q_id, a.vec_id AS id
@@ -289,7 +294,7 @@ object VectorQueries extends QueryModule {
             SELECT q_id, id, approx,
               row_number() OVER (PARTITION BY q_id
                 ORDER BY approx ASC, id) AS rank FROM d)
-          WHERE rank <= 5 ORDER BY q_id, rank""",
+          WHERE rank <= $pqK ORDER BY q_id, rank""",
 
     "qv03_centroid_norms" ->
       s"""WITH $centroidCte
