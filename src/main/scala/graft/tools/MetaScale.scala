@@ -170,6 +170,17 @@ object MetaScale {
     val prunedTo = scan.runtimeScan.fileIndex.inputFiles.length
     require(prunedTo == 10, s"expected 10 surviving files, got $prunedTo")
 
+    // zero-copy CLONE of the full table: cost must be ONE fork-snapshot
+    // marker write (~100 B/file), never data; reads through the clone
+    // plan from its branch log with the same log-served machinery
+    val (_, tClone) = time(
+      spark.sql("CALL gm.system.clone('db.meta', 'db.metacl')").collect())
+    val tCloneCount = med3 {
+      val c = spark.table("gm.db.metacl").count()
+      require(c == expected, s"clone count $c != $expected")
+    }
+    val (_, tDropClone) = time(spark.sql("DROP TABLE gm.db.metacl").collect())
+
     println(s"""{"metric":"meta_scale","n_files":$nFiles,"files_per_commit":$perCommit,""" +
       s""""versions":$head,"build_sec":${f"$tBuild%.2f"},""" +
       s""""head_probes":$probes,"state_cold_sec":${f"$tStateCold%.3f"},""" +
@@ -178,7 +189,10 @@ object MetaScale {
       s""""planned_partitions":$planned,"append_commit_sec":${f"$tCommit%.3f"},""" +
       s""""metadata_count_sec":${f"$tCount%.3f"},""" +
       s""""runtime_prune_10k_keys_sec":${f"$tPrune%.3f"},""" +
-      s""""runtime_pruned_to":$prunedTo}""")
+      s""""runtime_pruned_to":$prunedTo,""" +
+      s""""clone_sec":${f"$tClone%.3f"},""" +
+      s""""clone_count_sec":${f"$tCloneCount%.3f"},""" +
+      s""""clone_drop_sec":${f"$tDropClone%.3f"}}""")
     spark.stop()
   }
 }
