@@ -261,6 +261,35 @@ class PlanShapeSpec extends AnyFunSuite {
       s"sort upstream of the selection aggregates:\n$p")
   }
 
+  test("ivfPqTopK: heap selection end to end, probes/LUTs broadcast to the index") {
+    val p = plan(SparkEntry.queries("qv07_ivfpq_ann")(spark, sf))
+    // same heap contract as ivfTopK — the ADC scan must never window or
+    // sort the corpus-sized scored set
+    assert(!p.contains("Window"), s"window selection survived in ivfPqTopK:\n$p")
+    val lastAgg = p.lastIndexOf("ObjectHashAggregate")
+    assert(lastAgg >= 0, s"heap aggregate missing from plan:\n$p")
+    assert(!p.substring(lastAgg).contains("Sort "),
+      s"sort upstream of the selection aggregates:\n$p")
+    // the probe/LUT side reaches the encoded index as a broadcast — the
+    // CORPUS-side cluster join must never shuffle (the tiny q-sized
+    // probe-to-LUT join is free to plan however it likes)
+    assert(p.contains("BroadcastHashJoin"),
+      s"probe join not broadcast in ivfPqTopK:\n$p")
+    assert(!"SortMergeJoin \\[cluster".r.findFirstIn(p).isDefined,
+      s"corpus-side cluster shuffle join in ivfPqTopK:\n$p")
+  }
+
+  test("qt15 classifier: the model joins broadcast; no shuffle join anywhere") {
+    val p = plan(SparkEntry.queries("qt15_classifier_score")(spark, sf))
+    // the token->weight model must ride the broadcast: a shuffle join ON
+    // TOK would move the corpus-sized exploded token stream (the per-doc
+    // left join on doc_id is agg-sized and free to plan either way)
+    assert(p.contains("BroadcastHashJoin"),
+      s"model join not broadcast in qt15:\n$p")
+    assert(!"SortMergeJoin \\[tok".r.findFirstIn(p).isDefined,
+      s"exploded tokens shuffled by token in qt15:\n$p")
+  }
+
   test("partition-pruned scan reads only matching partition dirs (qc10 shape)") {
     val out = java.nio.file.Files.createTempDirectory("graft_prune_").toString
     Tables.orders(spark, sf)
