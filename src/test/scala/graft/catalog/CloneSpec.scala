@@ -188,6 +188,38 @@ class CloneSpec extends AnyFunSuite {
       .forall(_.getString(1) != "lc"))
   }
 
+  test("a dropped clone's private pools become vacuum-collectable; live ones never") {
+    ensureDb()
+    spark.sql("CREATE TABLE gc.db.vc (id BIGINT) USING manifest")
+    spark.sql("INSERT INTO gc.db.vc SELECT id FROM range(4)")
+    spark.sql("CALL gc.system.clone('db.vc', 'db.vccl')")
+    spark.sql("INSERT INTO gc.db.vccl SELECT id + 10 FROM range(3)")
+    val dir = dataDir("vc")
+    val pinLog = ManifestTable.branchLogDir(dir,
+      ManifestTable.CloneBranchPrefix + "db.vccl")
+    // the clone's append staged a PRIVATE pool in the SHARED data plane
+    val privatePools = ManifestTable.state(pinLog,
+        ManifestTable.currentVersion(pinLog).get)
+      .files.map(_.split("/", 2).head).toSet --
+      ManifestTable.state(dir, ManifestTable.currentVersion(dir).get)
+        .files.map(_.split("/", 2).head).toSet
+    assert(privatePools.nonEmpty, "the clone's insert must have staged a pool")
+    val fs = graft.core.LakeStorage.openFor(dir)
+    def poolExists(p: String) =
+      fs.exists(new org.apache.hadoop.fs.Path(dir, p))
+    // while the clone LIVES, source vacuum retains its pools
+    spark.sql("CALL gc.system.vacuum('db.vc', keep => 1, orphan_retain_ms => 0)")
+    assert(privatePools.forall(poolExists),
+      "vacuum must retain pools referenced only by a live clone's pin")
+    assert(nums("gc.db.vccl") === ((0L until 4L) ++ Seq(10L, 11L, 12L)))
+    // after DROP, the pin is gone and the pools are collectable garbage
+    spark.sql("DROP TABLE gc.db.vccl")
+    spark.sql("CALL gc.system.vacuum('db.vc', keep => 1, orphan_retain_ms => 0)")
+    assert(privatePools.forall(p => !poolExists(p)),
+      "a dropped clone's private pools must be vacuum-collectable")
+    assert(nums("gc.db.vc") === (0L until 4L), "the source is untouched")
+  }
+
   test("WAP session conf never re-routes a clone") {
     ensureDb()
     spark.sql("CREATE TABLE gc.db.wap (id BIGINT) USING manifest")
