@@ -384,6 +384,33 @@ object CoverageQueries extends QueryModule {
         .orderBy("_change_type")
     },
 
+    // --- deterministic SHARD EXPORT (the "ship the training corpus"
+    //     step): assign every doc a shard via the DISTRIBUTED prefix-sum
+    //     packer (unit weights -> exactly `budget` docs per shard in
+    //     doc_id order, no global window bottleneck), write real JSONL
+    //     shards partitioned by shard id, and aggregate the READ-BACK —
+    //     the oracle equality proves the export round-trips exactly and
+    //     every shard respects the cap ---
+    "qc44_shard_export" -> { (s, d) =>
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .withColumn("_w", lit(1L))
+      val sharded = graft.operators.Packing
+        .packBudget(docs, "doc_id", "_w", budget = 100L)
+        .select(col("pack_id").as("shard"), col("doc_id"), col("lang"),
+          col("n_chars"))
+      val outDir = graft.core.TempDirs.create("graft_qc44_")
+      sharded.write.mode("overwrite").partitionBy("shard").json(outDir)
+      val back = s.read.json(outDir)
+      back.groupBy(col("shard").cast("long").as("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").cast("long").as("chars"),
+          min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+        .withColumn("within_cap", col("n_docs") <= 100L)
+        .orderBy("shard")
+    },
+
     // --- INCREMENTAL MATERIALIZED AGGREGATE from the change feed (the
     //     100 TB alternative to re-aggregating the corpus per refresh):
     //     materialize a grouped aggregate once, then fold ONLY the CDC
@@ -1738,6 +1765,21 @@ object CoverageQueries extends QueryModule {
            CAST(sum(CASE WHEN doc_id % 20 = 0 THEN 900 + doc_id % 100
                          ELSE doc_id % 100 END) AS BIGINT) AS sum_k
          FROM documents""",
+
+    // the shard assignment replays as floor((rank-1)/cap) in doc_id
+    // order; the aggregates come from the read-back JSONL, so equality
+    // proves the export round-trip
+    "qc44_shard_export" ->
+      """WITH r AS (
+           SELECT doc_id, lang, n_chars,
+             CAST((row_number() OVER (ORDER BY doc_id) - 1) // 100 AS BIGINT)
+               AS shard
+           FROM documents)
+         SELECT shard, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS chars,
+           min(doc_id) AS min_id, max(doc_id) AS max_id,
+           true AS within_cap
+         FROM r GROUP BY shard ORDER BY shard""",
 
     // the incrementally-maintained aggregate replays as the full
     // recompute over the mutated table (the fold's correctness IS the
