@@ -1,0 +1,180 @@
+package graft.catalog
+
+import org.apache.spark.sql.{AnalysisException, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions.{Alias, BasePredicate, BindReferences, Expression, Predicate, SubqueryExpression}
+import org.apache.spark.sql.catalyst.plans.logical.Project
+import org.apache.spark.sql.connector.write.{DataWriter, WriterCommitMessage}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{BooleanType, StructType}
+
+/** Table CHECK constraints (Delta's `ALTER TABLE ... ADD CONSTRAINT`
+  * surface, expressed through TBLPROPERTIES): a property
+  * `graft.constraint.<name> = '<boolean sql>'` declares an invariant every
+  * written row must satisfy, enforced BEFORE any commit on every write
+  * path of a manifest table — batch INSERT (append + overwrite), streaming
+  * epochs, copy-on-write DML rewrites and merge-on-read DML inserts. A
+  * violating write fails loudly and leaves the table state untouched (the
+  * staged pool is aborted, no manifest version commits).
+  *
+  * Semantics follow the SQL standard: a row passes when the expression is
+  * TRUE or NULL (`coalesce(expr, true)`), and fails only on FALSE —
+  * `n_chars > 0` admits a NULL n_chars; declare `n_chars IS NOT NULL AND
+  * n_chars > 0` to reject it.
+  *
+  * Scale design: enforcement costs ZERO extra passes over the data. The
+  * DataFrame path folds the checks into the first column's value
+  * expression as lazy `If(violated, raise_error, value)` branches (only
+  * the taken branch evaluates, also under whole-stage codegen), so valid
+  * data writes at full scan speed; the InternalRow paths (streaming /
+  * DML) evaluate one driver-bound, codegen'd [[BasePredicate]] per check
+  * per row inside the task writer — no second scan, no driver round-trip.
+  *
+  * Constraints are a CATALOG concept: core-API writes against a bare table
+  * dir ([[graft.core.ManifestTable]]) bypass them, exactly as they bypass
+  * column mapping — pipelines mixing both must write through the catalog.
+  */
+object Constraints {
+
+  /** TBLPROPERTIES key prefix: `graft.constraint.<name>`. */
+  val Prefix = "graft.constraint."
+
+  /** One named CHECK constraint over the table schema. */
+  case class Check(name: String, sql: String)
+
+  /** The declared checks among table properties, name-sorted (stable
+    * enforcement and display order). */
+  def fromProperties(props: scala.collection.Map[String, String]): Seq[Check] =
+    props.iterator.collect {
+      case (k, v) if k.startsWith(Prefix) => Check(k.stripPrefix(Prefix), v)
+    }.toSeq.sortBy(_.name)
+
+  /** Top-level column names a constraint expression references (for the
+    * DROP/RENAME COLUMN guards) — parsed, unresolved, lowercased. */
+  def referencedColumns(spark: SparkSession, sql: String): Set[String] =
+    spark.sessionState.sqlParser.parseExpression(sql).collect {
+      case a: UnresolvedAttribute => a.nameParts.head.toLowerCase(java.util.Locale.ROOT)
+    }.toSet
+
+  /** Parse + resolve a check against the table schema and BIND it to the
+    * schema's field ordinals: the returned expression is
+    * `coalesce(<sql>, true)` over [[org.apache.spark.sql.catalyst.expressions.BoundReference]]s,
+    * serializable to task writers. Rejects unresolvable, non-boolean,
+    * non-deterministic, aggregate and subquery expressions — the loud
+    * half of the contract, at DECLARATION time, not first-write time. */
+  def bind(spark: SparkSession, schema: StructType, check: Check): Expression = {
+    require(check.name.nonEmpty && check.name.forall(c =>
+      c.isLetterOrDigit || c == '_' || c == '-'),
+      s"constraint name '${check.name}' must be [A-Za-z0-9_-]+")
+    val parsed = try spark.sessionState.sqlParser.parseExpression(check.sql)
+    catch {
+      case e: Exception => throw new IllegalArgumentException(
+        s"CHECK constraint ${check.name}: cannot parse '${check.sql}': ${e.getMessage}")
+    }
+    val empty = spark.createDataFrame(
+      java.util.Collections.emptyList[Row](), clean(schema))
+    // resolve the RAW expression first: a precise BOOLEAN check beats the
+    // type-coercion error coalesce(bigint, true) would produce
+    val rawType = try {
+      empty.select(ColumnBridge.column(parsed).as("_c"))
+        .queryExecution.analyzed.output.head.dataType
+    } catch {
+      case e: AnalysisException => throw new IllegalArgumentException(
+        s"CHECK constraint ${check.name} ('${check.sql}') does not resolve " +
+          s"against the table schema ${schema.simpleString}: ${e.getMessage}")
+    }
+    require(rawType == BooleanType,
+      s"CHECK constraint ${check.name} ('${check.sql}') must be BOOLEAN, " +
+        s"got ${rawType.simpleString}")
+    val analyzed =
+      empty.select(coalesce(ColumnBridge.column(parsed), lit(true)).as("_ok"))
+        .queryExecution.analyzed
+    val proj = analyzed match {
+      case p: Project => p
+      case other => throw new IllegalArgumentException(
+        s"CHECK constraint ${check.name} ('${check.sql}') must be a row-level " +
+          s"boolean expression — aggregates/generators are not allowed (planned ${other.nodeName})")
+    }
+    val bound = proj.projectList.head match {
+      case a: Alias => a.child
+      case e        => e
+    }
+    require(bound.dataType == BooleanType,
+      s"CHECK constraint ${check.name} ('${check.sql}') must be BOOLEAN, " +
+        s"got ${bound.dataType.simpleString}")
+    require(bound.deterministic,
+      s"CHECK constraint ${check.name} ('${check.sql}') must be deterministic")
+    require(!bound.exists(_.isInstanceOf[SubqueryExpression]),
+      s"CHECK constraint ${check.name} ('${check.sql}') cannot contain a subquery")
+    BindReferences.bindReference(bound, proj.child.output)
+  }
+
+  /** Field-id metadata stripped — the check resolves against logical
+    * names; carrying write-path metadata into the probe plan is noise. */
+  private def clean(schema: StructType): StructType =
+    StructType(schema.fields.map(f =>
+      f.copy(metadata = org.apache.spark.sql.types.Metadata.empty)))
+
+  /** The violation predicate as a Column for DataFrame-side use (ALTER
+    * validation scans, the [[guard]] branches): true = row VIOLATES. */
+  def violated(check: Check): org.apache.spark.sql.Column =
+    not(coalesce(expr(check.sql), lit(true)))
+
+  /** Single-pass DataFrame enforcement (batch INSERT path): wraps the
+    * FIRST column's value in lazy raise_error branches — one `If` per
+    * check, codegen'd, the error branch never evaluated for valid rows,
+    * zero extra scans of the input. The error message carries the
+    * violating row as JSON when every column type is JSON-renderable,
+    * and degrades to name+expression otherwise. */
+  def guard(df: DataFrame, checks: Seq[Check]): DataFrame = {
+    if (checks.isEmpty) return df
+    val names = df.schema.fieldNames.toSeq
+    val headName = names.head
+    val headType = df.schema.head.dataType
+    def wrapped(renderRow: Boolean): DataFrame = {
+      val guarded = checks.foldLeft(col(headName)) { (acc, c) =>
+        val msg =
+          if (renderRow)
+            concat(lit(s"CHECK constraint ${c.name} (${c.sql}) violated by row: "),
+              to_json(struct(names.map(col): _*)))
+          else lit(s"CHECK constraint ${c.name} (${c.sql}) violated by a written row")
+        when(violated(c), raise_error(msg).cast(headType)).otherwise(acc)
+      }
+      df.withColumn(headName, guarded)
+    }
+    try wrapped(renderRow = true)
+    catch { case _: AnalysisException => wrapped(renderRow = false) }
+  }
+
+  /** Compiled per-row enforcement for the InternalRow write paths
+    * (streaming epochs, DML task writers). Built on the DRIVER (needs the
+    * parser/analyzer), shipped serialized; predicates codegen lazily in
+    * each task. */
+  class RowChecker(checks: Seq[(Check, Expression)]) extends Serializable {
+    @transient private lazy val preds: Seq[(Check, BasePredicate)] =
+      checks.map { case (c, e) => (c, Predicate.create(e)) }
+    def check(row: InternalRow): Unit =
+      preds.foreach { case (c, p) =>
+        if (!p.eval(row))
+          throw new IllegalStateException(
+            s"CHECK constraint ${c.name} (${c.sql}) violated by a written row")
+      }
+  }
+
+  /** A [[RowChecker]] over `schema`-shaped rows, None when unconstrained. */
+  def rowChecker(spark: SparkSession, schema: StructType,
+                 checks: Seq[Check]): Option[RowChecker] =
+    if (checks.isEmpty) None
+    else Some(new RowChecker(checks.map(c => (c, bind(spark, schema, c)))))
+
+  /** Decorator enforcing checks in front of any row-level writer. */
+  class CheckedWriter(inner: DataWriter[InternalRow], checker: RowChecker)
+      extends DataWriter[InternalRow] {
+    override def write(row: InternalRow): Unit = { checker.check(row); inner.write(row) }
+    override def commit(): WriterCommitMessage = inner.commit()
+    override def abort(): Unit = inner.abort()
+    override def close(): Unit = inner.close()
+  }
+}

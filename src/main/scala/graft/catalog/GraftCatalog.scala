@@ -171,7 +171,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         new ManifestSparkTable(dataDir, meta.schema, None, meta.bucket,
           mergeOnRead = meta.dmlMode.contains("merge-on-read"),
           cluster = meta.cluster, branch = Some(version),
-          bloomCols = meta.bloomCols)
+          bloomCols = meta.bloomCols,
+          checks = meta.checks.map(c => Constraints.Check(c._1, c._2)))
       case None =>
         val v = graft.core.ManifestTable.versionOfTag(dataDir, version)
         new ManifestSparkTable(dataDir, meta.schema, Some(v), meta.bucket,
@@ -226,7 +227,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         new ManifestSparkTable(dataDir, meta.schema, asOf, meta.bucket,
           mergeOnRead = meta.dmlMode.contains("merge-on-read"),
           cluster = meta.cluster, branch = wap, bloomCols = meta.bloomCols,
-          ndvCols = meta.ndvCols)
+          ndvCols = meta.ndvCols,
+          checks = meta.checks.map(c => Constraints.Check(c._1, c._2)))
       case other => throw new IllegalStateException(
         s"table ${ident.name()}: unknown provider '$other' in $dir/$MetaFile")
     }
@@ -267,9 +269,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val dml = parseDmlMode(ident, provider, bucket, properties)
     val blooms = parseBloomCols(ident, provider, schema, properties)
     val ndv = parseNdvCols(ident, provider, schema, properties)
+    val checks = parseChecks(ident, provider, schema, properties)
     if (!writeMeta(dir,
         TableMeta(provider, declared, location, bucket, maxId, dml, cluster,
-          blooms, ndv)))
+          blooms, ndv, checks = checks)))
       throw new TableAlreadyExistsException((ident.namespace() :+ ident.name()).toSeq)
     tableFor(ident, asOf = None)
   }
@@ -310,6 +313,25 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           s"${ident.name()}: $BloomColsProp names unknown column '$c'"))
         cols
     }
+
+  /** Declared CHECK constraints (`TBLPROPERTIES
+    * ('graft.constraint.<name>'='<boolean sql>')` — see [[Constraints]]):
+    * parsed, resolved against the schema and type-checked AT DECLARATION.
+    * Manifest tables only. The table is empty at CREATE/CTAS-staging time,
+    * so no data validation runs here (ALTER-time adds validate existing
+    * rows — Delta's contract). */
+  private def parseChecks(ident: Identifier, provider: String,
+                          schema: StructType,
+                          properties: JMap[String, String]): Seq[(String, String)] = {
+    import scala.jdk.CollectionConverters._
+    val checks = Constraints.fromProperties(properties.asScala)
+    if (checks.isEmpty) return Nil
+    require(provider == "manifest",
+      s"${ident.name()}: CHECK constraints (${Constraints.Prefix}*) need USING manifest")
+    val spark = org.apache.spark.sql.SparkSession.active
+    checks.foreach(c => Constraints.bind(spark, schema, c))
+    checks.map(c => (c.name, c.sql))
+  }
 
   /** `TBLPROPERTIES ('graft.dml.mode' = 'merge-on-read')`: row-level DML
     * writes DELETION VECTORS instead of rewriting files (copy-on-write
@@ -553,7 +575,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         maxFieldId = if (mapped) Some(schema.length) else None,
         dmlMode = parseDmlMode(ident, provider, bucket, properties),
         cluster = cluster,
-        bloomCols = parseBloomCols(ident, provider, schema, properties)), replace)
+        bloomCols = parseBloomCols(ident, provider, schema, properties),
+        checks = parseChecks(ident, provider, schema, properties)), replace)
   }
 
   private[catalog] def commitStaged(ident: Identifier, dir: String,
@@ -606,7 +629,40 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     var cluster = meta.cluster
     var blooms = meta.bloomCols
     var ndv = meta.ndvCols
+    var checks = meta.checks
+    /** Checks whose SQL references `col` (DROP/RENAME guards). */
+    def checksOn(col: String): Seq[String] = {
+      val spark = org.apache.spark.sql.SparkSession.active
+      checks.collect { case (n, sql) if Constraints
+        .referencedColumns(spark, sql)
+        .contains(col.toLowerCase(java.util.Locale.ROOT)) => n }
+    }
     changes.foreach {
+      case set: TableChange.SetProperty
+          if set.property.startsWith(Constraints.Prefix) =>
+        val check = Constraints.Check(
+          set.property.stripPrefix(Constraints.Prefix), set.value)
+        val spark = org.apache.spark.sql.SparkSession.active
+        Constraints.bind(spark, schema, check) // loud: parse/resolve/type
+        // Delta's ADD CONSTRAINT contract: existing rows must already
+        // satisfy the invariant — one distributed scan, stops at the
+        // first violation. (Runs against the session's resolved view, so
+        // a WAP-pinned session validates the branch it is staging.)
+        val full = (catalogName +: ident.namespace() :+ ident.name())
+          .map(p => s"`$p`").mkString(".")
+        val bad = org.apache.spark.sql.SparkSession.active.table(full)
+          .where(Constraints.violated(check)).limit(1).collect()
+        require(bad.isEmpty,
+          s"cannot add CHECK constraint ${check.name} (${check.sql}) to " +
+            s"${ident.name()}: existing rows violate it, e.g. ${bad.headOption.getOrElse("")}")
+        checks = (checks.filterNot(_._1 == check.name) :+
+          (check.name -> check.sql)).sortBy(_._1)
+      case rm: TableChange.RemoveProperty
+          if rm.property.startsWith(Constraints.Prefix) =>
+        val name = rm.property.stripPrefix(Constraints.Prefix)
+        require(checks.exists(_._1 == name),
+          s"${ident.name()}: no CHECK constraint named '$name' to drop")
+        checks = checks.filterNot(_._1 == name)
       case add: TableChange.AddColumn =>
         require(add.fieldNames.length == 1,
           s"${ident.name()}: nested column adds are not supported")
@@ -640,6 +696,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         require(!cluster.exists(_.col == name),
           s"${ident.name()}: cannot drop partition column $name — the table is " +
             s"PARTITIONED BY (${cluster.map(_.render).mkString(", ")})")
+        require(checksOn(name).isEmpty,
+          s"${ident.name()}: cannot drop column $name — CHECK constraint(s) " +
+            s"${checksOn(name).mkString(", ")} reference it; drop them first " +
+            s"(ALTER TABLE ... UNSET TBLPROPERTIES ('${Constraints.Prefix}<name>'))")
         schema = StructType(schema.filterNot(_.name == name))
         blooms = blooms.filterNot(_ == name) // advisory index: drop follows
         ndv = ndv.filterNot(_ == name)       // NDV declaration too
@@ -651,6 +711,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           s"${ident.name()}: no such column $from")
         require(!schema.fieldNames.contains(ren.newName),
           s"${ident.name()}: column ${ren.newName} already exists")
+        // constraint SQL is stored verbatim; a rename would silently
+        // unbind it (or bind it to a different column added later)
+        require(checksOn(from).isEmpty,
+          s"${ident.name()}: cannot rename column $from — CHECK constraint(s) " +
+            s"${checksOn(from).mkString(", ")} reference it; drop them, rename, " +
+            "and re-add against the new name")
         require(isMapped(schema) &&
             schema.find(_.name == from).exists(_.metadata.contains(FieldIdKey)),
           s"${ident.name()}: RENAME COLUMN needs column mapping (parquet field " +
@@ -693,11 +759,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           if (f.name == name) f.copy(dataType = upd.newDataType) else f))
       case other => throw new UnsupportedOperationException(
         s"catalog $catalogName supports ALTER TABLE ADD COLUMNS / DROP COLUMN " +
-          s"/ RENAME COLUMN / ALTER COLUMN TYPE (widening); got $other")
+          "/ RENAME COLUMN / ALTER COLUMN TYPE (widening) / SET|UNSET " +
+          s"TBLPROPERTIES ('${Constraints.Prefix}<name>'); got $other")
     }
     replaceMeta(dir, meta.copy(schema = schema, bucket = bucket,
       maxFieldId = maxId, cluster = cluster, bloomCols = blooms,
-      ndvCols = ndv))
+      ndvCols = ndv, checks = checks))
     tableFor(ident, asOf = None)
   }
 
@@ -947,7 +1014,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Nil),
       ndvCols = str("ndvCols")
         .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Nil),
-      cloneBranch = str("cloneBranch")))
+      cloneBranch = str("cloneBranch"),
+      checks = (m \ "checks" match {
+        case org.json4s.JObject(fields) => fields.collect {
+          case (n, org.json4s.JString(sql)) => (n, sql)
+        }.sortBy(_._1)
+        case _ => Nil
+      })))
   }
 
   /** Create-if-absent of the descriptor — the same atomic-create commit as
@@ -973,7 +1046,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             else Some(meta.bloomCols.mkString(",")))) ~
           ("ndvCols" -> (if (meta.ndvCols.isEmpty) None
             else Some(meta.ndvCols.mkString(",")))) ~
-          ("cloneBranch" -> meta.cloneBranch)))
+          ("cloneBranch" -> meta.cloneBranch) ~
+          ("checks" -> (if (meta.checks.isEmpty) None
+            else Some(meta.checks.toMap)))))
     val out = try fs.create(p, false) catch {
       case _: java.io.IOException => return false
     }
@@ -1029,7 +1104,8 @@ object GraftCatalog {
                                         cluster: Seq[ClusterKey] = Nil,
                                         bloomCols: Seq[String] = Nil,
                                         ndvCols: Seq[String] = Nil,
-                                        cloneBranch: Option[String] = None)
+                                        cloneBranch: Option[String] = None,
+                                        checks: Seq[(String, String)] = Nil)
 
   /** `TBLPROPERTIES ('graft.ndv.columns'='k,url')`: batch inserts sketch
     * these columns' distinct values per file (DataSketches HLL, stored in

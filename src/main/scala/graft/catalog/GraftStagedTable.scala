@@ -33,9 +33,12 @@ class GraftStagedTable(catalog: GraftCatalog, ident: Identifier, dir: String,
           new InsertableRelation {
             override def insert(data: DataFrame, overwrite: Boolean): Unit = {
               val dataDir = meta.location.getOrElse(dir)
+              // declared CHECK constraints apply to the CTAS output too
+              val checked = Constraints.guard(data,
+                meta.checks.map(c => Constraints.Check(c._1, c._2)))
               // the staged descriptor owns the new table's field-id space;
               // stamp it onto the CTAS output (column mapping)
-              val stamped = GraftCatalog.stampFieldIds(data, meta.schema)
+              val stamped = GraftCatalog.stampFieldIds(checked, meta.schema)
               staged ++= (meta.bucket match {
                 case Some(b) => ManifestTable.stagePoolBucketed(stamped, dataDir, b.n, b.col)
                 case None if meta.cluster.nonEmpty =>

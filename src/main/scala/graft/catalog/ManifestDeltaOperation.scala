@@ -44,7 +44,8 @@ import graft.core.{DeletionVectors, LakeStorage, ManifestTable}
 class ManifestDeltaOperation(dir: String, declared: StructType, cmd: Command,
                              branch: Option[String] = None,
                              bloomCols: Seq[String] = Nil,
-                             ndvCols: Seq[String] = Nil)
+                             ndvCols: Seq[String] = Nil,
+                             checks: Seq[Constraints.Check] = Nil)
     extends RowLevelOperation
     with org.apache.spark.sql.connector.write.SupportsDelta {
 
@@ -53,6 +54,7 @@ class ManifestDeltaOperation(dir: String, declared: StructType, cmd: Command,
   private[catalog] def bloomColumns: Seq[String] = bloomCols
   private[catalog] def ndvColumns: Seq[String] = ndvCols
   private[catalog] def branchName: Option[String] = branch
+  private[catalog] def checkList: Seq[Constraints.Check] = checks
 
   /** Marker log the DML resolves against and commits to (the branch
     * sidecar log under WAP; data pools stay under `dir` either way). */
@@ -261,10 +263,17 @@ class ManifestDeltaWrite(op: ManifestDeltaOperation, dir: String,
     graft.core.ManifestTable.microsTimestampJobConf(job.getConfiguration)
     GraftCatalog.bloomWriteOptions(op.bloomColumns).foreach { case (k, v) =>
       job.getConfiguration.set(k, v) }
+    // CHECK constraints bind to the INSERT row shape (writeSchema): a
+    // merge-on-read DML's freshly-inserted and updated rows re-validate.
+    // A delete-only plan has an EMPTY write schema (it only vectors
+    // existing rows, insert() is never called) — nothing to check there
+    val checker =
+      if (writeSchema.isEmpty) None
+      else Constraints.rowChecker(spark, writeSchema, op.checkList)
     ManifestDeltaWriterFactory(owf, dir, s"$dir/$insertPool", insertPool,
       dvPool, writeSchema, rowIdSchema,
       op.snapshotState.dvs.map { case (f, ref) => f -> ref.path },
-      new SerializableConfiguration(job.getConfiguration))
+      new SerializableConfiguration(job.getConfiguration), checker)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -313,7 +322,8 @@ case class ManifestDeltaWriterFactory(owf: org.apache.spark.sql.execution.dataso
                                       writeSchema: StructType,
                                       rowIdSchema: StructType,
                                       existingDvs: Map[String, String],
-                                      conf: SerializableConfiguration)
+                                      conf: SerializableConfiguration,
+                                      checker: Option[Constraints.RowChecker] = None)
     extends DeltaWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
     new ManifestDeltaTaskWriter(this, partitionId, taskId)
@@ -341,6 +351,7 @@ class ManifestDeltaTaskWriter(f: ManifestDeltaWriterFactory,
   }
 
   override def insert(row: InternalRow): Unit = {
+    f.checker.foreach(_.check(row))
     if (insertWriter == null)
       insertWriter = new ManifestPoolWriter(f.owf, f.insertPoolPath,
         f.writeSchema, f.conf, partitionId, taskId)

@@ -58,12 +58,14 @@ class ManifestRowLevelOperation(dir: String, declared: StructType,
                                 cluster: Seq[GraftCatalog.ClusterKey] = Nil,
                                 branch: Option[String] = None,
                                 bloomCols: Seq[String] = Nil,
-                                ndvCols: Seq[String] = Nil)
+                                ndvCols: Seq[String] = Nil,
+                                checks: Seq[Constraints.Check] = Nil)
     extends RowLevelOperation {
 
   private[catalog] def bloomColumns: Seq[String] = bloomCols
   private[catalog] def ndvColumns: Seq[String] = ndvCols
   private[catalog] def branchName: Option[String] = branch
+  private[catalog] def checkList: Seq[Constraints.Check] = checks
 
   import ManifestRowLevelOperation._
 
@@ -914,8 +916,12 @@ class ManifestReplaceWrite(op: ManifestRowLevelOperation, dir: String,
     graft.core.ManifestTable.microsTimestampJobConf(job.getConfiguration)
     GraftCatalog.bloomWriteOptions(op.bloomColumns).foreach { case (k, v) =>
       job.getConfiguration.set(k, v) }
+    // CHECK constraints: every rewritten row (survivors + updated/merged)
+    // re-validates in the task writer — the same contract Delta's
+    // CheckInvariant enforces on CoW DML output
     ManifestPoolWriterFactory(owf, s"$dir/$poolName", schema,
-      new SerializableConfiguration(job.getConfiguration))
+      new SerializableConfiguration(job.getConfiguration),
+      Constraints.rowChecker(spark, schema, op.checkList))
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -940,10 +946,14 @@ case class PoolFileCommit(fileName: Option[String]) extends WriterCommitMessage
 
 case class ManifestPoolWriterFactory(owf: OutputWriterFactory, poolPath: String,
                                      schema: StructType,
-                                     conf: SerializableConfiguration)
+                                     conf: SerializableConfiguration,
+                                     checker: Option[Constraints.RowChecker] = None)
     extends DataWriterFactory {
-  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new ManifestPoolWriter(owf, poolPath, schema, conf, partitionId, taskId)
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
+    val inner = new ManifestPoolWriter(owf, poolPath, schema, conf, partitionId, taskId)
+    checker.fold(inner: DataWriter[InternalRow])(
+      new Constraints.CheckedWriter(inner, _))
+  }
 }
 
 /** Opens the parquet writer lazily on the first row — empty partitions

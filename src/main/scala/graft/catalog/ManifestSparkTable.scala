@@ -41,7 +41,8 @@ class ManifestSparkTable(dir: String, declared: StructType,
                          cluster: Seq[GraftCatalog.ClusterKey] = Nil,
                          branch: Option[String] = None,
                          bloomCols: Seq[String] = Nil,
-                         ndvCols: Seq[String] = Nil)
+                         ndvCols: Seq[String] = Nil,
+                         checks: Seq[Constraints.Check] = Nil)
     extends Table
     with SupportsRead with SupportsWrite
     with SupportsRowLevelOperations with SupportsDelete
@@ -94,6 +95,7 @@ class ManifestSparkTable(dir: String, declared: StructType,
     branch.foreach(b => m.put("graft.branch", b))
     if (bloomCols.nonEmpty) m.put(GraftCatalog.BloomColsProp, bloomCols.mkString(","))
     if (ndvCols.nonEmpty) m.put(GraftCatalog.NdvColsProp, ndvCols.mkString(","))
+    checks.foreach(c => m.put(Constraints.Prefix + c.name, c.sql))
     ManifestTable.currentVersion(logDir).foreach(v =>
       m.put("graft.current-version", v.toString))
     m
@@ -117,7 +119,12 @@ class ManifestSparkTable(dir: String, declared: StructType,
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
-      TableCapability.STREAMING_WRITE)
+      TableCapability.STREAMING_WRITE,
+      // `MERGE ... WITH SCHEMA EVOLUTION`: the analyzer diffs source vs
+      // target and routes new columns through catalog.alterTable
+      // (AddColumn, nullable) before planning the row-level write; plain
+      // MERGE stays strict — the capability only arms the explicit clause
+      TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
 
   private def snapshotPaths: Seq[String] = snapshotState._1
 
@@ -231,9 +238,9 @@ class ManifestSparkTable(dir: String, declared: StructType,
     require(asOf.isEmpty, s"cannot run DML against the time-travel view ${name()}")
     requireWapResolved("DML")
     if (mergeOnRead) () => new ManifestDeltaOperation(dir, declared, info.command,
-      branch, bloomCols, ndvCols)
+      branch, bloomCols, ndvCols, checks)
     else () => new ManifestRowLevelOperation(dir, declared, info.command,
-      bucketing, cluster, branch, bloomCols, ndvCols)
+      bucketing, cluster, branch, bloomCols, ndvCols, checks)
   }
 
   /** DELETE fast path (Spark's metadata-only delete, also TRUNCATE TABLE):
@@ -317,9 +324,13 @@ class ManifestSparkTable(dir: String, declared: StructType,
           new InsertableRelation {
             override def insert(data: DataFrame, overwriteFlag: Boolean): Unit = {
               branch.foreach(ManifestTable.requireBranchIntact(dir, _))
+              // CHECK constraints ride the write itself (lazy raise_error
+              // branches on the first column — zero extra passes); a
+              // violation fails the job before any version commits
+              val checked = Constraints.guard(data, checks)
               // attach the declared field ids so the files resolve by id
               // ever after (column mapping; no-op on unmapped tables)
-              val stamped = GraftCatalog.stampFieldIds(data, declared)
+              val stamped = GraftCatalog.stampFieldIds(checked, declared)
               val files = bucketing match {
                 case Some(b) =>
                   ManifestTable.stagePoolBucketed(stamped, dir, b.n, b.col,
@@ -356,7 +367,7 @@ class ManifestSparkTable(dir: String, declared: StructType,
         override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
           new ManifestStreamingWrite(dir,
             GraftCatalog.stampFieldIds(info.schema(), declared),
-            info.queryId(), overwrite, bloomCols, branch, ndvCols)
+            info.queryId(), overwrite, bloomCols, branch, ndvCols, checks)
       }
     }
   }

@@ -49,7 +49,9 @@ class ManifestStreamingWrite(dir: String, schema: StructType, queryId: String,
                              truncate: Boolean,
                              bloomCols: Seq[String] = Nil,
                              branch: Option[String] = None,
-                             ndvCols: Seq[String] = Nil) extends StreamingWrite {
+                             ndvCols: Seq[String] = Nil,
+                             checks: Seq[Constraints.Check] = Nil)
+    extends StreamingWrite {
 
   import ManifestStreamingWrite.poolName
 
@@ -66,8 +68,12 @@ class ManifestStreamingWrite(dir: String, schema: StructType, queryId: String,
     graft.core.ManifestTable.microsTimestampJobConf(job.getConfiguration)
     GraftCatalog.bloomWriteOptions(bloomCols).foreach { case (k, v) =>
       job.getConfiguration.set(k, v) }
+    // CHECK constraints: bound on the driver (needs the analyzer), the
+    // codegen'd predicates evaluate per row inside each epoch's task
+    // writers — a violating micro-batch fails BEFORE its epoch commits
     ManifestStreamingWriterFactory(owf, dir, queryId, schema,
-      new SerializableConfiguration(job.getConfiguration))
+      new SerializableConfiguration(job.getConfiguration),
+      Constraints.rowChecker(spark, schema, checks))
   }
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
@@ -115,13 +121,17 @@ object ManifestStreamingWrite {
 }
 
 case class ManifestStreamingWriterFactory(owf: OutputWriterFactory, dir: String,
-    queryId: String, schema: StructType, conf: SerializableConfiguration)
+    queryId: String, schema: StructType, conf: SerializableConfiguration,
+    checker: Option[Constraints.RowChecker] = None)
     extends StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
-                            epochId: Long): DataWriter[InternalRow] =
-    new ManifestStreamingPoolWriter(owf,
+                            epochId: Long): DataWriter[InternalRow] = {
+    val inner = new ManifestStreamingPoolWriter(owf,
       s"$dir/${ManifestStreamingWrite.poolName(queryId, epochId)}",
       schema, conf, partitionId, taskId)
+    checker.fold(inner: DataWriter[InternalRow])(
+      new Constraints.CheckedWriter(inner, _))
+  }
 }
 
 /** Parquet task writer with the staged-rename epoch protocol: stage to an

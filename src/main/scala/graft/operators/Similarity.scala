@@ -417,6 +417,70 @@ object Similarity {
       .select(col("q_id"), (col("pos") + 1).cast("int").as("rank"),
         col("col.id").as("id"), (-col("col.score")).as("approx"))
   }
+
+  // ------------------------------------------------------- range search --
+
+  /** EXACT cosine range search — every (query, corpus) pair with
+    * `round(cosine, 6) >= tau` — with SOUND IVF cluster pruning: a cluster
+    * is skipped only when NO member can possibly reach `tau`, so the
+    * result set equals brute force bit-for-bit while touching only the
+    * admissible clusters.
+    *
+    * The bound is the spherical triangle inequality, kept in cosine/sqrt
+    * form so no `acos` enters the plan (IEEE `sqrt`/`*`/`+` are exactly
+    * rounded, replayable across engines; `acos` is not): with
+    * `theta_c = max` member↔centroid angle (per-cluster `min_cos` =
+    * cos(theta_c), one partial aggregate over the assignment) and
+    * `ang(q,c)` the query↔centroid angle,
+    *
+    *   ang(q, x) >= ang(q, c) - theta_c        for every member x of c
+    *   cos(q, x) <= cos(ang(q,c) - theta_c)
+    *             =  cos_qc * min_cos + sin_qc * sin_theta
+    *
+    * (and trivially <= 1 when ang(q,c) <= theta_c, i.e. cos_qc >= min_cos).
+    * Clusters whose bound falls below `tau - slack` are never scanned;
+    * `slack` (1e-9 default) absorbs float rounding in the bound itself —
+    * ~1e-16-scale — so a borderline true member can never be lost.
+    *
+    * Scale shape: corpus→cluster assignment is the broadcast-array argmax
+    * (map-only, zero corpus Exchange); radii are one K-row partial agg;
+    * the (query × admitted cluster) probe set is broadcast into a banded
+    * equi-join on cluster — the corpus is scanned once and only inside
+    * admitted clusters (partition-prunable when stored clustered). */
+  def rangeSearch(queries: DataFrame, corpus: DataFrame, cents: DataFrame,
+                  tau: Double, slack: Double = 1e-9): DataFrame = {
+    val assigned = assignNearest(corpus, "id", "vec", cents)
+    assigned.join(broadcast(rangeAdmitted(queries, assigned, cents, tau, slack)),
+        Seq("cluster"))
+      .withColumn("cosine", round(cosineSimilarity(col("q_vec"), col("vec")), 6))
+      .filter(col("cosine") >= lit(tau))
+      .select(col("q_id"), col("id"), col("cosine"))
+  }
+
+  /** The (q_id, q_vec, cluster) probe set [[rangeSearch]] admits — every
+    * cluster whose triangle-inequality bound allows a member at `tau`.
+    * Exposed so specs can prove pruning actually happened (admitted
+    * strictly fewer than |queries| × K clusters) independently of the
+    * result-set equality with brute force. `assigned` is the corpus with
+    * its `cluster` column (from [[assignNearest]]). */
+  def rangeAdmitted(queries: DataFrame, assigned: DataFrame, cents: DataFrame,
+                    tau: Double, slack: Double = 1e-9): DataFrame = {
+    val centsL = cents.select(col("cluster").cast("long").as("cluster"),
+      col("centroid"))
+    // cos(theta_c): the smallest member-to-centroid cosine per cluster
+    val radii = assigned.join(broadcast(centsL), "cluster")
+      .groupBy("cluster")
+      .agg(min(cosineSimilarity(col("vec"), col("centroid"))).as("min_cos"))
+    def sinOf(c: Column): Column = sqrt(greatest(lit(0.0), lit(1.0) - c * c))
+    queries
+      .crossJoin(broadcast(centsL.join(radii, "cluster")))
+      .withColumn("_cq", cosineSimilarity(col("q_vec"), col("centroid")))
+      .withColumn("_ub", when(col("_cq") >= col("min_cos"), lit(1.0))
+        .otherwise(col("_cq") * col("min_cos") +
+          sinOf(col("_cq")) * sinOf(col("min_cos"))))
+      .filter(col("_ub") >= lit(tau - slack))
+      .select(col("q_id"), col("q_vec"), col("cluster"))
+  }
 }
 
 private object ExpressionEncoderHelp {

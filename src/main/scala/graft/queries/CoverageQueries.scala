@@ -411,6 +411,106 @@ object CoverageQueries extends QueryModule {
         .orderBy("shard")
     },
 
+    // --- TABLE CHECK CONSTRAINTS (Delta's ADD CONSTRAINT surface through
+    //     TBLPROPERTIES): declared invariants enforced on EVERY write
+    //     path before any version commits — a violating INSERT/UPDATE
+    //     fails atomically (table state untouched), NULL passes (SQL
+    //     CHECK semantics), ALTER-time adds validate existing rows,
+    //     UNSET drops the invariant. Enforcement costs zero extra passes
+    //     (lazy raise_error branches fused into the write projection /
+    //     codegen'd predicates inside the DML task writers). The oracle
+    //     replays the surviving mutations over `documents` ---
+    "qc45_check_constraints" -> { (s, d) =>
+      if (s.conf.getOption("spark.sql.catalog.graft_cat").isEmpty)
+        graft.catalog.GraftCatalog.register(s, "graft_cat",
+          graft.core.TempDirs.create("graft_cat_root_"))
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.db")
+      s.sql("DROP TABLE IF EXISTS graft_cat.db.ck45")
+      Tables.documents(s, d).createOrReplaceTempView("qc45_documents")
+      val pfx = graft.catalog.Constraints.Prefix
+      s.sql("CREATE TABLE graft_cat.db.ck45 " +
+        "(doc_id BIGINT, lang STRING, n_chars BIGINT) USING manifest " +
+        s"TBLPROPERTIES ('${pfx}chars_positive'='n_chars > 0')")
+      s.sql("INSERT INTO graft_cat.db.ck45 " +
+        "SELECT doc_id, lang, n_chars FROM qc45_documents")
+      val before = s.table("graft_cat.db.ck45").count()
+      // violating INSERT fails; nothing lands (atomic abort)
+      val insertRejected = scala.util.Try(s.sql(
+        "INSERT INTO graft_cat.db.ck45 " +
+          "SELECT doc_id + 1000000, lang, -n_chars FROM qc45_documents")).isFailure
+      val countStable = s.table("graft_cat.db.ck45").count() == before
+      // NULL passes — SQL CHECK semantics (declare IS NOT NULL to reject)
+      s.sql("INSERT INTO graft_cat.db.ck45 VALUES (9999991, 'xx', NULL)")
+      // ALTER-time add validates EXISTING rows: satisfied -> lands ...
+      s.sql("ALTER TABLE graft_cat.db.ck45 SET TBLPROPERTIES " +
+        s"('${pfx}lang_short'='length(lang) <= 2')")
+      // ... violated by existing rows -> rejected
+      val addRejected = scala.util.Try(s.sql(
+        "ALTER TABLE graft_cat.db.ck45 SET TBLPROPERTIES " +
+          s"('${pfx}chars_big'='n_chars > 100')")).isFailure
+      // row-level DML honors the invariants too (CoW rewrite re-validates)
+      val updateRejected = scala.util.Try(s.sql(
+        "UPDATE graft_cat.db.ck45 SET n_chars = -5 WHERE doc_id = 0")).isFailure
+      s.sql("UPDATE graft_cat.db.ck45 SET n_chars = n_chars + 1000 " +
+        "WHERE doc_id < 10")
+      val surfaced = s.sql("SHOW TBLPROPERTIES graft_cat.db.ck45")
+        .where(col("key") === s"${pfx}chars_positive").count() == 1
+      // UNSET drops the invariant: the formerly-rejected shape now lands
+      s.sql("ALTER TABLE graft_cat.db.ck45 UNSET TBLPROPERTIES " +
+        s"('${pfx}chars_positive')")
+      s.sql("INSERT INTO graft_cat.db.ck45 VALUES (9999992, 'yy', -1)")
+      s.table("graft_cat.db.ck45")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
+        .select(lit(insertRejected).as("insert_rejected"),
+          lit(countStable).as("count_stable"),
+          lit(addRejected).as("add_rejected"),
+          lit(updateRejected).as("update_rejected"),
+          lit(surfaced).as("surfaced"),
+          col("lang"), col("n_docs"), col("total_chars"))
+        .orderBy("lang")
+    },
+
+    // --- MERGE WITH SCHEMA EVOLUTION (Spark 4's analyzer diffs source vs
+    //     target, routes new columns through catalog.alterTable as
+    //     nullable AddColumns — armed by the AUTOMATIC_SCHEMA_EVOLUTION
+    //     table capability — then plans the normal row-level write):
+    //     the target gains the source's extra column mid-MERGE,
+    //     matched/inserted rows carry it, pre-evolution rows read NULL,
+    //     and a plain MERGE naming the unknown column stays rejected ---
+    "qc46_merge_evolution" -> { (s, d) =>
+      if (s.conf.getOption("spark.sql.catalog.graft_cat").isEmpty)
+        graft.catalog.GraftCatalog.register(s, "graft_cat",
+          graft.core.TempDirs.create("graft_cat_root_"))
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.db")
+      s.sql("DROP TABLE IF EXISTS graft_cat.db.me46")
+      Tables.documents(s, d).createOrReplaceTempView("qc46_documents")
+      s.sql("CREATE TABLE graft_cat.db.me46 (doc_id BIGINT, lang STRING) " +
+        "USING manifest")
+      s.sql("INSERT INTO graft_cat.db.me46 SELECT doc_id, lang " +
+        "FROM qc46_documents WHERE doc_id < 300")
+      s.sql("CREATE OR REPLACE TEMP VIEW qc46_src AS " +
+        "SELECT doc_id, lang, n_chars FROM qc46_documents WHERE doc_id >= 150")
+      // strictness first: without the clause the unknown column refuses
+      val strictRejected = scala.util.Try(s.sql(
+        """MERGE INTO graft_cat.db.me46 t USING qc46_src s ON t.doc_id = s.doc_id
+          |WHEN NOT MATCHED THEN INSERT (doc_id, lang, n_chars)
+          |  VALUES (s.doc_id, s.lang, s.n_chars)""".stripMargin)).isFailure
+      s.sql(
+        """MERGE WITH SCHEMA EVOLUTION INTO graft_cat.db.me46 t
+          |USING qc46_src s ON t.doc_id = s.doc_id
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      s.table("graft_cat.db.me46")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          count(col("n_chars")).as("n_with_extra"),
+          sum("n_chars").as("total_chars"))
+        .select(lit(strictRejected).as("strict_rejected"), col("lang"),
+          col("n_docs"), col("n_with_extra"), col("total_chars"))
+        .orderBy("lang")
+    },
+
     // --- INCREMENTAL MATERIALIZED AGGREGATE from the change feed (the
     //     100 TB alternative to re-aggregating the corpus per refresh):
     //     materialize a grouped aggregate once, then fold ONLY the CDC
@@ -1780,6 +1880,34 @@ object CoverageQueries extends QueryModule {
            min(doc_id) AS min_id, max(doc_id) AS max_id,
            true AS within_cap
          FROM r GROUP BY shard ORDER BY shard""",
+
+    // the booleans are Spark-side enforcement facts (rejected writes,
+    // atomicity, property surfacing); the final table replays as the
+    // SURVIVING mutations only — every rejected write must have left
+    // zero rows behind for the aggregate to match
+    "qc45_check_constraints" ->
+      """WITH fin AS (
+           SELECT lang,
+             CASE WHEN doc_id < 10 THEN n_chars + 1000 ELSE n_chars END
+               AS n_chars
+           FROM documents
+           UNION ALL SELECT 'xx', NULL
+           UNION ALL SELECT 'yy', -1)
+         SELECT true AS insert_rejected, true AS count_stable,
+           true AS add_rejected, true AS update_rejected, true AS surfaced,
+           lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+         FROM fin GROUP BY lang ORDER BY lang""",
+
+    // pre-evolution rows (doc_id < 150, never touched by the source)
+    // must read NULL in the evolved column; matched + inserted rows
+    // carry the source's n_chars — the per-lang (count, non-null count,
+    // sum) triple pins all three populations
+    "qc46_merge_evolution" ->
+      """SELECT true AS strict_rejected, lang, count(*) AS n_docs,
+           count(CASE WHEN doc_id >= 150 THEN 1 END) AS n_with_extra,
+           CAST(sum(CASE WHEN doc_id >= 150 THEN n_chars END) AS BIGINT)
+             AS total_chars
+         FROM documents GROUP BY lang ORDER BY lang""",
 
     // the incrementally-maintained aggregate replays as the full
     // recompute over the mutated table (the fold's correctness IS the

@@ -610,8 +610,51 @@ object TextQueries extends QueryModule {
           emb.select(col("vec_id"), col("embedding")), "vec_id", "embedding",
           cents, threshold = 0.4)
         .orderBy("vec_id")
+    },
+
+    // --- CCNet-style n-gram LM quality scoring: train add-one-smoothed
+    //     word-bigram counts on a REFERENCE slice (lang='en'), score every
+    //     document's mean negative log-likelihood under that model, keep
+    //     low-perplexity docs. Scale shape: the model is two broadcastable
+    //     count tables (bigram + prefix) and a 1-row vocab size — the
+    //     corpus side is scan -> explode -> two broadcast joins -> one
+    //     partial agg, no corpus shuffle before the per-doc fold. Per-
+    //     bigram log-probs are quantized to integer micro-nats so the
+    //     per-doc SUM is exact across engines regardless of fold order ---
+    "qt16_lm_score" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      def bigrams(df: org.apache.spark.sql.DataFrame) = df
+        .select(col("doc_id"), col("lang"),
+          explode(ngrams(tokens(col("text")), 2)).as("bigram"))
+        .withColumn("w1", split(col("bigram"), " ").getItem(0))
+      val refBi = bigrams(docs.filter(col("lang") === lmRefLang))
+      val c2 = refBi.groupBy("bigram").agg(count(lit(1)).as("c2"))
+      val c1 = c2.withColumn("w1", split(col("bigram"), " ").getItem(0))
+        .groupBy("w1").agg(sum(col("c2")).as("c1"))
+      val vocab = docs.filter(col("lang") === lmRefLang)
+        .select(explode(tokens(col("text"))).as("w"))
+        .agg(countDistinct(col("w")).as("v")) // 1 row, broadcast below
+      val lp = bigrams(docs)
+        .join(broadcast(c2), Seq("bigram"), "left")
+        .join(broadcast(c1), Seq("w1"), "left")
+        .crossJoin(broadcast(vocab))
+        .withColumn("lp", round(log(
+            (coalesce(col("c2"), lit(0L)) + lit(1.0)) /
+              (coalesce(col("c1"), lit(0L)) + col("v"))) * lit(1000000.0))
+          .cast("long"))
+      lp.groupBy("doc_id", "lang")
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("lp")).as("_slp"))
+        .withColumn("nll",
+          round((-col("_slp").cast("double") / col("n_bigrams")) / lit(1000000.0), 4))
+        .select(col("doc_id"), col("lang"), col("n_bigrams"), col("nll"),
+          (col("nll") <= lmKeepNll).as("keep"))
+        .orderBy("doc_id")
     }
   )
+
+  /** qt16's model constants, shared with the oracle SQL. */
+  private val lmRefLang = "en"
+  private val lmKeepNll = 3.43
 
   /** Small per-language stopword profiles (classic function-word lists). */
   val stopwords: Seq[(String, String)] = Seq(
@@ -1102,6 +1145,35 @@ object TextQueries extends QueryModule {
          WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                       CAST(c.embedding AS DOUBLE[])) >= 0.45
          ORDER BY d1, d2""",
+
+    // replays the whole model: reference bigram/prefix counts, add-one
+    // smoothing over the reference vocab, integer micro-nat quantization
+    "qt16_lm_score" ->
+      s"""WITH toks AS (SELECT doc_id, lang, string_split(text, ' ') AS t
+                        FROM documents),
+          bi AS (SELECT doc_id, lang,
+                   unnest(list_transform(generate_series(1, len(t)-1),
+                     i -> t[i]||' '||t[i+1])) AS bigram
+                 FROM toks WHERE len(t) >= 2),
+          c2 AS (SELECT bigram, count(*) AS c2 FROM bi
+                 WHERE lang = '$lmRefLang' GROUP BY 1),
+          c1 AS (SELECT string_split(bigram, ' ')[1] AS w1,
+                   CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1),
+          v AS (SELECT count(DISTINCT w) AS v FROM
+                  (SELECT unnest(t) AS w FROM toks WHERE lang = '$lmRefLang') u),
+          lp AS (SELECT b.doc_id, b.lang,
+                   CAST(round(ln((COALESCE(c2.c2, 0) + 1.0) /
+                                 (COALESCE(c1.c1, 0) + v.v)) * 1000000.0)
+                     AS BIGINT) AS lp
+                 FROM bi b
+                 LEFT JOIN c2 ON b.bigram = c2.bigram
+                 LEFT JOIN c1 ON string_split(b.bigram, ' ')[1] = c1.w1
+                 CROSS JOIN v)
+          SELECT doc_id, lang, count(*) AS n_bigrams,
+            round((-CAST(sum(lp) AS DOUBLE) / count(*)) / 1000000.0, 4) AS nll,
+            round((-CAST(sum(lp) AS DOUBLE) / count(*)) / 1000000.0, 4)
+              <= $lmKeepNll AS keep
+          FROM lp GROUP BY doc_id, lang ORDER BY doc_id""",
 
     "qd13_semantic_dedup" ->
       s"""WITH ${VectorQueries.centroidCte},

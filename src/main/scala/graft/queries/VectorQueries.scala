@@ -139,6 +139,28 @@ object VectorQueries extends QueryModule {
         .orderBy("q_id", "rank")
     },
 
+    // --- EXACT cosine range search (all pairs at cosine >= tau) with
+    //     SOUND IVF cluster pruning: the spherical triangle-inequality
+    //     bound (kept in cosine/sqrt form — no acos in the plan) admits a
+    //     cluster only when a member COULD reach tau, so whole clusters
+    //     are skipped while the result set still equals brute force
+    //     bit-for-bit (which is exactly what the oracle runs). Structured
+    //     vectors derived from (vec_id, label) make the clusters tight
+    //     (~0.88 min member-centroid cosine) so ~9 of 10 clusters prune
+    //     per query at tau=0.6 ---
+    "qv08_range_search" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val base = emb.select(col("vec_id"), col("label"), rangeSynthVec.as("v"))
+      val cents = Similarity.centroids(
+        base.select(col("label"), col("v").cast("array<float>").as("v")),
+        "label", "v", dim)
+      val queries = base.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("v").as("q_vec"))
+      val corpus = base.select(col("vec_id").as("id"), col("v").as("vec"))
+      Similarity.rangeSearch(queries, corpus, cents, tau = rangeTau)
+        .orderBy("q_id", "id")
+    },
+
     // --- per-cluster vector stats (centroid norms via the Aggregator) ---
     "qv03_centroid_norms" -> { (s, d) =>
       val emb = Tables.embeddings(s, d)
@@ -150,6 +172,29 @@ object VectorQueries extends QueryModule {
         .orderBy("label")
     }
   )
+
+  /** qv08's threshold, shared by the Spark call and the oracle SQL. */
+  private val rangeTau = 0.6
+
+  /** qv08's structured vectors: a unit spike at dimension `label*6` plus
+    * bounded integer-derived noise — exact integer arithmetic and one IEEE
+    * division, so the oracle replays the vectors bit-for-bit; same-label
+    * vectors cluster tightly, which gives the IVF range-search bound
+    * something real to prune (the raw `embedding` column is isotropic —
+    * no cluster structure, nothing any sound bound could skip). */
+  private def rangeSynthVec: org.apache.spark.sql.Column =
+    transform(sequence(lit(0), lit(dim - 1)), j =>
+      when(j === col("label") * 6, lit(1.0)).otherwise(lit(0.0)) +
+        ((col("vec_id") * 31 + j * 17) % 13 - 6).cast("double") / lit(60.0))
+
+  /** DuckDB CTE regenerating [[rangeSynthVec]] as `sv(vec_id, v DOUBLE[])`. */
+  private def rangeSynthCte: String =
+    s"""sv AS (SELECT vec_id,
+          list_transform(generate_series(0, ${dim - 1}), j ->
+            (CASE WHEN j = label*6 THEN CAST(1.0 AS DOUBLE)
+                  ELSE CAST(0.0 AS DOUBLE) END) +
+            CAST((vec_id*31 + j*17) % 13 - 6 AS DOUBLE) / 60.0) AS v
+        FROM embeddings)"""
 
   /** DuckDB centroid: element-wise mean as an explicit 64-term list. */
   private[queries] val centroidList: String =
@@ -295,6 +340,16 @@ object VectorQueries extends QueryModule {
               row_number() OVER (PARTITION BY q_id
                 ORDER BY approx ASC, id) AS rank FROM d)
           WHERE rank <= $pqK ORDER BY q_id, rank""",
+
+    // brute force IS the oracle: sound pruning must not change the result
+    "qv08_range_search" ->
+      s"""WITH $rangeSynthCte
+          SELECT q.vec_id AS q_id, c.vec_id AS id,
+            round(list_cosine_similarity(q.v, c.v), 6) AS cosine
+          FROM sv q CROSS JOIN sv c
+          WHERE q.vec_id < 5
+            AND round(list_cosine_similarity(q.v, c.v), 6) >= $rangeTau
+          ORDER BY q_id, id""",
 
     "qv03_centroid_norms" ->
       s"""WITH $centroidCte

@@ -628,4 +628,79 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out.forall(d => d.width >= 1 && d.width <= 1024))
     assert(out(1).mean_byte === 0.0)
   }
+
+  /** Structured vectors for the range-search tests: a spike at label*6
+    * plus bounded noise — tight clusters, so pruning has real work. */
+  private def rangeFixture = {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val sv = transform(sequence(lit(0), lit(63)), j =>
+      when(j === col("label") * 6, lit(1.0)).otherwise(lit(0.0)) +
+        ((col("vec_id") * 31 + j * 17) % 13 - 6).cast("double") / lit(60.0))
+    val base = emb.select(col("vec_id"), col("label"), sv.as("v"))
+    val cents = Similarity.centroids(
+      base.select(col("label"), col("v").cast("array<float>").as("v")),
+      "label", "v", 64)
+    val queries = base.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("q_id"), col("v").as("q_vec"))
+    val corpus = base.select(col("vec_id").as("id"), col("v").as("vec"))
+    (queries, corpus, cents)
+  }
+
+  test("range search equals brute force AND actually prunes clusters") {
+    val (queries, corpus, cents) = rangeFixture
+    val tau = 0.6
+    val got = Similarity.rangeSearch(queries, corpus, cents, tau)
+      .select("q_id", "id").as[(Long, Long)].collect().toSet
+    val brute = corpus.crossJoin(broadcast(queries))
+      .withColumn("cosine", round(
+        graft.functions.VectorFunctions.cosineSimilarity(col("q_vec"), col("vec")), 6))
+      .filter(col("cosine") >= tau)
+      .select("q_id", "id").as[(Long, Long)].collect().toSet
+    assert(got === brute)
+    assert(got.nonEmpty) // each query at least finds itself
+    // the bound must have EXCLUDED clusters: admitted << |queries| * K
+    val assigned = Similarity.assignNearest(corpus, "id", "vec", cents)
+    val nClusters = cents.count()
+    val admitted = Similarity.rangeAdmitted(queries, assigned, cents, tau).count()
+    assert(admitted < queries.count() * nClusters,
+      s"no pruning: $admitted probes for ${queries.count()} x $nClusters")
+    assert(admitted <= queries.count() * 3) // tight clusters: ~1 each
+  }
+
+  test("range search on loose clusters stays exact (bound admits everything)") {
+    // the raw embeddings are isotropic: label clusters are loose, the
+    // sound bound can prune nothing — exactness must hold regardless
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val cents = Similarity.centroids(
+      emb.select(col("label"), col("embedding")), "label", "embedding", 64)
+    val queries = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val tau = 0.25
+    val got = Similarity.rangeSearch(queries, corpus, cents, tau)
+      .select("q_id", "id").as[(Long, Long)].collect().toSet
+    val brute = corpus.crossJoin(broadcast(queries))
+      .withColumn("cosine", round(
+        graft.functions.VectorFunctions.cosineSimilarity(col("q_vec"), col("vec")), 6))
+      .filter(col("cosine") >= tau)
+      .select("q_id", "id").as[(Long, Long)].collect().toSet
+    assert(got === brute)
+  }
+
+  test("range search at a near-1 tau finds exactly the duplicate orbit") {
+    // the noise term has period 13 in vec_id: same-label vectors with
+    // vec_id ≡ q (mod 13) are EXACT duplicates (cosine 1.0) — at a
+    // tau above every non-duplicate cosine the result is precisely the
+    // self+duplicate orbit, and it still matches brute force
+    val (queries, corpus, cents) = rangeFixture
+    val got = Similarity.rangeSearch(queries, corpus, cents, tau = 0.9999)
+      .select("q_id", "id").as[(Long, Long)].collect().toSet
+    assert(Set((0L, 0L), (1L, 1L), (2L, 2L)).subsetOf(got)) // self always in
+    val brute = corpus.crossJoin(broadcast(queries))
+      .withColumn("cosine", round(
+        graft.functions.VectorFunctions.cosineSimilarity(col("q_vec"), col("vec")), 6))
+      .filter(col("cosine") >= 0.9999)
+      .select("q_id", "id").as[(Long, Long)].collect().toSet
+    assert(got === brute)
+  }
 }
