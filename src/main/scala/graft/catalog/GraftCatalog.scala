@@ -663,6 +663,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         require(checks.exists(_._1 == name),
           s"${ident.name()}: no CHECK constraint named '$name' to drop")
         checks = checks.filterNot(_._1 == name)
+      case set: TableChange.SetProperty if set.property == NdvColsProp =>
+        // declare NDV/histogram columns on a LIVE table: future writes
+        // sketch them; `CALL g.system.collect_stats` backfills history
+        val cols = set.value.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        cols.foreach { c =>
+          val f = schema.find(_.name == c).getOrElse(
+            throw new IllegalArgumentException(
+              s"${ident.name()}: $NdvColsProp names unknown column '$c'"))
+          require(graft.core.NdvStats.eligible(f.dataType),
+            s"${ident.name()}: $NdvColsProp column '$c' is ${f.dataType.simpleString} — " +
+              "HLL sketches cover int/bigint/string/binary")
+        }
+        ndv = cols
+      case rm: TableChange.RemoveProperty if rm.property == NdvColsProp =>
+        ndv = Nil
       case add: TableChange.AddColumn =>
         require(add.fieldNames.length == 1,
           s"${ident.name()}: nested column adds are not supported")

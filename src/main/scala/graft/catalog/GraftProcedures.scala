@@ -58,6 +58,7 @@ private[catalog] object GraftProcedures {
       case "set_partitioning" => Some(new SetPartitioningProcedure(catalog))
       case "expire_refs"    => Some(new ExpireRefsProcedure(catalog))
       case "clone"          => Some(new CloneProcedure(catalog))
+      case "collect_stats"  => Some(new CollectStatsProcedure(catalog))
       case _                => None
     }
   }
@@ -65,7 +66,7 @@ private[catalog] object GraftProcedures {
   val names: Seq[String] =
     Seq("compact", "vacuum", "rollback", "register_files", "purge_deletes",
       "tag", "drop_tag", "branch", "fast_forward", "drop_branch",
-      "set_partitioning", "expire_refs", "clone")
+      "set_partitioning", "expire_refs", "clone", "collect_stats")
 
   /** The [[ManifestTable.CloneBranchPrefix]] namespace is reserved: a
     * clone's pin must never be user-creatable (branch) or
@@ -373,6 +374,49 @@ private[catalog] object GraftProcedures {
         StructType(Seq(StructField("dropped", org.apache.spark.sql.types.BooleanType,
           nullable = false))),
         existed)
+    }
+  }
+
+  /** `CALL g.system.collect_stats('db.t' [, mode => 'missing'|'all'])` —
+    * backfill per-file NDV sketches / histograms / bounds for LIVE files
+    * that predate the `graft.ndv.columns` declaration (register_files
+    * adoptions, pre-declaration writes) as a STATS-ONLY commit: zero data
+    * bytes rewritten, optimizer serving resumes at the next plan. The
+    * ANALYZE-free path: declare the columns with ALTER TABLE ... SET
+    * TBLPROPERTIES, then one call whose cost tracks the un-statted files'
+    * bytes, never the table. 'missing' (default) restats only files
+    * lacking some declared sketch — idempotent; 'all' recomputes every
+    * live file's stats. */
+  private final class CollectStatsProcedure(catalog: GraftCatalog) extends ManifestProcedure {
+    override def name(): String = "collect_stats"
+    override def description(): String =
+      "backfill per-file NDV/histogram/bounds stats for live files as a " +
+        "stats-only commit (no data rewritten)"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("mode", StringType).defaultValue("'missing'").build())
+    override def call(input: InternalRow): JIterator[Scan] = {
+      val parts = input.getString(0).split("\\.")
+      require(parts.length <= 2 && parts.forall(_.nonEmpty),
+        s"procedure wants a table name like 'db.t' or 't', got '${input.getString(0)}'")
+      val (meta, dir) = catalog.procedureMeta(
+        Identifier.of(parts.dropRight(1), parts.last))
+      require(meta.provider == "manifest",
+        s"collect_stats applies to manifest tables only; " +
+          s"'${input.getString(0)}' is a ${meta.provider} table")
+      require(meta.ndvCols.nonEmpty,
+        s"'${input.getString(0)}' declares no stat columns — ALTER TABLE " +
+          s"... SET TBLPROPERTIES ('${GraftCatalog.NdvColsProp}'='c1,c2') first")
+      val mode = input.getString(1)
+      require(mode == "missing" || mode == "all",
+        s"collect_stats mode must be 'missing' or 'all', got '$mode'")
+      val (version, restatted) = ManifestTable.restatFiles(
+        dir, meta.ndvCols, onlyMissing = mode == "missing")
+      result(
+        StructType(Seq(
+          StructField("table_version", LongType, nullable = false),
+          StructField("files_restatted", LongType, nullable = false))),
+        version, restatted.toLong)
     }
   }
 

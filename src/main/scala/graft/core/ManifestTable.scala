@@ -715,6 +715,50 @@ object ManifestTable {
     }
   }
 
+  /** Backfill per-file statistics for LIVE files WITHOUT rewriting them —
+    * a STATS-ONLY delta commit (add = [], remove = []): the state fold
+    * merges the fresh stats over each file's existing entry, so files
+    * that predate a stat declaration (register_files adoptions, writes
+    * before `graft.ndv.columns` was set) start serving NDV sketches,
+    * histograms and bounds to the optimizer. The ANALYZE-free backfill:
+    * cost ∝ the restatted files' bytes, never the table, and zero data
+    * bytes move. `onlyMissing` restats just the files lacking a sketch
+    * for some declared column (the idempotent backfill case); pass false
+    * to recompute everything. Returns (version holding the stats — the
+    * current one when nothing needed restatting, files restatted). */
+  def restatFiles(dir: String, ndvCols: Seq[String],
+                  onlyMissing: Boolean = true): (Long, Int) = {
+    require(ndvCols.nonEmpty, "restatFiles needs declared stat columns")
+    val cur = currentVersion(dir).getOrElse(
+      throw new IllegalStateException(s"no committed version under $dir"))
+    val (files, stats) = manifestEntries(dir, cur)
+    val targets =
+      if (!onlyMissing) files
+      else files.filter { f =>
+        stats.get(f) match {
+          case None    => true
+          case Some(s) => ndvCols.exists(c => s.col(c).flatMap(_.ndvSketch).isEmpty)
+        }
+      }
+    if (targets.isEmpty) return (cur, 0)
+    val st = collectStats(dir, targets, ndvCols)
+    try {
+      val v = commitLoop(dir) { base =>
+        // merge only over files still LIVE at commit time — a concurrent
+        // rewrite may have replaced some; their stats would dangle in the
+        // fold (harmless for reads, but the log should stay clean)
+        val live = base.map(b => state(dir, b).files.toSet).getOrElse(Set.empty[String])
+        val eff = st.filter { case (f, _) => live.contains(f) }
+        if (eff.isEmpty) None else Some(Delta(Seq.empty, Seq.empty, eff))
+      }
+      (v, st.size)
+    } catch {
+      // every target was concurrently rewritten: nothing left to restat
+      case _: java.util.ConcurrentModificationException =>
+        (currentVersion(dir).getOrElse(cur), 0)
+    }
+  }
+
   /** Commit a FILE-LEVEL REWRITE: the new manifest is the current one
     * minus `removed` plus `added` — the copy-on-write commit behind
     * row-level DML (DELETE/UPDATE/MERGE rewrite only the files that hold

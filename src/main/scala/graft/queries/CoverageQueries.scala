@@ -511,6 +511,61 @@ object CoverageQueries extends QueryModule {
         .orderBy("lang")
     },
 
+    // --- ANALYZE-free stats BACKFILL: a table written BEFORE any stat
+    //     declaration serves no NDV; ALTER declares the columns, then
+    //     `CALL collect_stats` restats the pre-declaration files as a
+    //     STATS-ONLY commit (zero data rewritten) and the optimizer
+    //     starts serving distinct counts. Second call restats nothing
+    //     (idempotent). The cost tracks the un-statted files' bytes —
+    //     at 100 TB that is the difference between "declare and backfill
+    //     the delta" and "re-ANALYZE the table" ---
+    "qc47_stats_backfill" -> { (s, d) =>
+      import s.implicits._
+      if (s.conf.getOption("spark.sql.catalog.graft_cat").isEmpty)
+        graft.catalog.GraftCatalog.register(s, "graft_cat",
+          graft.core.TempDirs.create("graft_cat_root_"))
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.db")
+      s.sql("DROP TABLE IF EXISTS graft_cat.db.ndv47")
+      Tables.documents(s, d).createOrReplaceTempView("qc47_documents")
+      // two pre-declaration pools: no sketches anywhere
+      s.sql("CREATE TABLE graft_cat.db.ndv47 " +
+        "(doc_id BIGINT, lang STRING, n_chars BIGINT) USING manifest")
+      s.sql("INSERT INTO graft_cat.db.ndv47 SELECT doc_id, lang, n_chars " +
+        "FROM qc47_documents WHERE doc_id % 2 = 0")
+      s.sql("INSERT INTO graft_cat.db.ndv47 SELECT doc_id, lang, n_chars " +
+        "FROM qc47_documents WHERE doc_id % 2 = 1")
+      s.sql("ALTER TABLE graft_cat.db.ndv47 SET TBLPROPERTIES " +
+        s"('${graft.catalog.GraftCatalog.NdvColsProp}'='doc_id,lang')")
+      def servedNdv(name: String): Option[Long] = {
+        val savedCbo = s.conf.getOption("spark.sql.cbo.enabled")
+        try {
+          s.conf.set("spark.sql.cbo.enabled", "true")
+          s.table("graft_cat.db.ndv47").queryExecution.optimizedPlan
+            .stats.attributeStats
+            .find(_._1.name == name).flatMap(_._2.distinctCount).map(_.toLong)
+        } finally savedCbo match {
+          case Some(v) => s.conf.set("spark.sql.cbo.enabled", v)
+          case None    => s.conf.unset("spark.sql.cbo.enabled")
+        }
+      }
+      val absentBefore = servedNdv("doc_id").isEmpty
+      val restatted = s.sql(
+        "CALL graft_cat.system.collect_stats('db.ndv47')").head.getLong(1)
+      val idempotent = s.sql(
+        "CALL graft_cat.system.collect_stats('db.ndv47')").head.getLong(1) == 0L
+      val exact = s.sql("SELECT count(DISTINCT doc_id), count(DISTINCT lang) " +
+        "FROM qc47_documents").head()
+      val idOk = servedNdv("doc_id").exists(n =>
+        (n - exact.getLong(0)).abs <= math.max(1L, exact.getLong(0) / 20))
+      val langOk = servedNdv("lang").exists(n => (n - exact.getLong(1)).abs <= 1)
+      val agg = s.sql("SELECT count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS c " +
+        "FROM graft_cat.db.ndv47").head()
+      Seq((absentBefore, restatted > 0, idempotent, idOk, langOk,
+          agg.getLong(0), agg.getLong(1)))
+        .toDF("ndv_absent_before", "backfill_ran", "backfill_idempotent",
+          "ndv_docid_served", "ndv_lang_served", "n_docs", "total_chars")
+    },
+
     // --- INCREMENTAL MATERIALIZED AGGREGATE from the change feed (the
     //     100 TB alternative to re-aggregating the corpus per refresh):
     //     materialize a grouped aggregate once, then fold ONLY the CDC
@@ -1897,6 +1952,18 @@ object CoverageQueries extends QueryModule {
            true AS add_rejected, true AS update_rejected, true AS surfaced,
            lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
          FROM fin GROUP BY lang ORDER BY lang""",
+
+    // the booleans are Spark optimizer facts (NDV absent before the
+    // backfill, served within HLL error after, second call a no-op);
+    // the aggregate replays over documents — a stats-only commit must
+    // never change table contents
+    "qc47_stats_backfill" ->
+      """SELECT true AS ndv_absent_before, true AS backfill_ran,
+           true AS backfill_idempotent,
+           true AS ndv_docid_served, true AS ndv_lang_served,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+         FROM documents""",
 
     // pre-evolution rows (doc_id < 150, never touched by the source)
     // must read NULL in the evolved column; matched + inserted rows

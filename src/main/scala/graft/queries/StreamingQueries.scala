@@ -148,6 +148,35 @@ object StreamingQueries extends QueryModule {
         .orderBy("user_id")
     },
 
+    // --- stream-stream LEFT OUTER interval join: matches emit like the
+    //     inner join; a purchase with NO click in its window emits a
+    //     null-padded row only once the watermark PROVES no match can
+    //     still arrive (p_ts < final watermark — Spark's state-eviction
+    //     rule). The oracle replays that rule exactly: watermark = min of
+    //     each side's floor-to-ms max event time minus the 1 h delay, so
+    //     late-tail purchases (still in state at stream end) are
+    //     correctly absent from both engines ---
+    "qs19_stream_outer_join" -> { (s, d) =>
+      val purchases = eventStream(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("ts").as("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+      val clicks = eventStream(s, d)
+        .filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+        .withWatermark("c_ts", "1 hour")
+      val joined = purchases.join(clicks,
+        col("user_id") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 10 MINUTES") &&
+        col("c_ts") <= col("p_ts"), "left_outer")
+      runToMemory(s, joined, "qs19_out", "append")
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("c_user")).as("n_matched"),
+          sum(when(col("c_user").isNull, 1L).otherwise(0L)).as("n_null_padded"))
+        .orderBy("user_id")
+    },
+
     // --- arbitrary stateful processing: flatMapGroupsWithState keeps a
     //     running (n_events, n_purchases) per user and emits the totals as
     //     each micro-batch updates them. The state survives across batches
@@ -801,6 +830,33 @@ object StreamingQueries extends QueryModule {
            AND c.c_ts >= p.p_ts - INTERVAL '10 minutes'
            AND c.c_ts <= p.p_ts
          GROUP BY p.user_id ORDER BY p.user_id""",
+
+    // watermark replay: Spark tracks per-operator max event time floored
+    // to MILLISECONDS and evicts (emits null-padded) left rows with
+    // p_ts < min(maxP_ms, maxC_ms) - 3_600_000; purchases at or past the
+    // final watermark are still in state when the stream stops
+    "qs19_stream_outer_join" ->
+      """WITH p AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS p_ts
+             FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS c_ts
+             FROM events WHERE event_type = 'click'),
+         w AS (SELECT least(
+                 (SELECT epoch_us(max(p_ts)) // 1000 FROM p),
+                 (SELECT epoch_us(max(c_ts)) // 1000 FROM c)) - 3600000
+                 AS wm_ms),
+         m AS (SELECT p.user_id, p.event_id
+               FROM p JOIN c ON p.user_id = c.user_id
+                 AND c.c_ts >= p.p_ts - INTERVAL '10 minutes'
+                 AND c.c_ts <= p.p_ts),
+         unmatched AS (SELECT p.user_id FROM p CROSS JOIN w
+               WHERE epoch_us(p.p_ts) // 1000 < w.wm_ms
+                 AND NOT EXISTS (SELECT 1 FROM m WHERE m.event_id = p.event_id)),
+         rows_out AS (SELECT user_id, 1 AS matched FROM m
+                      UNION ALL SELECT user_id, 0 FROM unmatched)
+         SELECT user_id, count(*) AS n_rows,
+           count(*) FILTER (WHERE matched = 1) AS n_matched,
+           CAST(count(*) FILTER (WHERE matched = 0) AS BIGINT) AS n_null_padded
+         FROM rows_out GROUP BY user_id ORDER BY user_id""",
 
     "qs07_flat_map_groups_state" ->
       """SELECT user_id, count(*) AS n_events,

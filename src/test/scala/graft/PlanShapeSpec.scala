@@ -389,4 +389,40 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(corpusSideShuffles(ivfpqIndex).isEmpty,
       s"IVFPQ index build shuffles the corpus:\n${ivfpqIndex.queryExecution.sparkPlan}")
   }
+
+  test("qv08 range search: probes broadcast to the corpus scan; no corpus-side shuffle before the probe join") {
+    // the admitted (query, cluster) probe set must ride a broadcast into
+    // the cluster equi-join: a shuffle join on cluster would exchange the
+    // whole assigned corpus — the exact cost the pruning exists to dodge.
+    // (The corpus side feeding that join is the map-only assignment; its
+    // only upstream exchange is the K-row centroid fold, which lives on
+    // the BROADCAST side.)
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val df = SparkEntry.queries("qv08_range_search")(spark, sf)
+    val joins = df.queryExecution.sparkPlan.collect {
+      case b: BroadcastHashJoinExec
+          if b.leftKeys.exists(_.toString.contains("cluster")) ||
+            b.rightKeys.exists(_.toString.contains("cluster")) => b
+    }
+    assert(joins.nonEmpty,
+      s"probe join is not a broadcast hash join on cluster:\n${df.queryExecution.sparkPlan}")
+    val corpusSide = joins.flatMap { b =>
+      val streamed = if (b.buildSide.toString.contains("Right")) b.left else b.right
+      streamed.collect { case s: ShuffleExchangeLike => s }
+    }
+    assert(corpusSide.isEmpty,
+      s"range-search corpus side shuffles before the probe join:\n${df.queryExecution.sparkPlan}")
+  }
+
+  test("qt16 LM scoring: both model joins broadcast; corpus never shuffles on bigram/prefix") {
+    val p = plan(SparkEntry.queries("qt16_lm_score")(spark, sf))
+    // the bigram-count and prefix-count model tables must ride broadcasts:
+    // a shuffle join on bigram/w1 would move the corpus-sized exploded
+    // bigram stream twice before the per-doc fold
+    assert(p.contains("BroadcastHashJoin"),
+      s"LM model join not broadcast in qt16:\n$p")
+    assert(!"SortMergeJoin \\[(bigram|w1)".r.findFirstIn(p).isDefined,
+      s"exploded bigrams shuffled by model key in qt16:\n$p")
+  }
 }

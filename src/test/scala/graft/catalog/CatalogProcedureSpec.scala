@@ -374,7 +374,7 @@ class CatalogProcedureSpec extends AnyFunSuite {
     assert(procs.toSet ===
       Set("compact", "vacuum", "rollback", "register_files", "purge_deletes",
         "tag", "drop_tag", "branch", "fast_forward", "drop_branch",
-        "set_partitioning", "expire_refs", "clone"))
+        "set_partitioning", "expire_refs", "clone", "collect_stats"))
     val e = intercept[Exception] {
       spark.sql("CALL gp.system.nope('db.t')").collect()
     }

@@ -20,8 +20,8 @@ class ConstraintSpec extends AnyFunSuite {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
-    GraftCatalog.register(s, "gk", root)
-    s.sql("CREATE NAMESPACE IF NOT EXISTS gk.db")
+    GraftCatalog.register(s, "gck", root)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS gck.db")
     s
   }
   private lazy val root =
@@ -32,76 +32,76 @@ class ConstraintSpec extends AnyFunSuite {
   test("declaration rejects unresolvable / non-boolean / non-deterministic / aggregate / subquery expressions") {
     def create(n: Int, sql: String): Throwable =
       intercept[Exception](spark.sql(
-        s"CREATE TABLE gk.db.bad$n (id BIGINT, v STRING) USING manifest " +
+        s"CREATE TABLE gck.db.bad$n (id BIGINT, v STRING) USING manifest " +
           s"TBLPROPERTIES ('${pfx}c'='$sql')"))
     assert(create(1, "no_such_col > 0").getMessage.contains("does not resolve"))
     assert(create(2, "id + 1").getMessage.contains("must be BOOLEAN"))
     assert(create(3, "rand() > 0.5").getMessage.contains("deterministic"))
     assert(create(4, "max(id) > 0").getMessage != null) // aggregate: not row-level
     // none of the failed CREATEs may leave a table behind
-    assert(spark.sql("SHOW TABLES IN gk.db").where(col("tableName").startsWith("bad")).count() == 0)
+    assert(spark.sql("SHOW TABLES IN gck.db").where(col("tableName").startsWith("bad")).count() == 0)
   }
 
   test("violating batch insert aborts atomically; NULL passes; valid rows land") {
-    spark.sql("CREATE TABLE gk.db.a1 (id BIGINT, n BIGINT) USING manifest " +
+    spark.sql("CREATE TABLE gck.db.a1 (id BIGINT, n BIGINT) USING manifest " +
       s"TBLPROPERTIES ('${pfx}pos'='n > 0')")
-    spark.sql("INSERT INTO gk.db.a1 VALUES (1, 10), (2, 20)")
+    spark.sql("INSERT INTO gck.db.a1 VALUES (1, 10), (2, 20)")
     val e = intercept[Exception](spark.sql(
-      "INSERT INTO gk.db.a1 SELECT id, id - 100 FROM range(5)"))
+      "INSERT INTO gck.db.a1 SELECT id, id - 100 FROM range(5)"))
     assert(e.getMessage.contains("pos") || e.getCause != null)
     // nothing from the failed insert landed — not even its positive rows
-    assert(spark.table("gk.db.a1").count() == 2)
-    spark.sql("INSERT INTO gk.db.a1 VALUES (3, NULL)") // NULL passes
-    assert(spark.table("gk.db.a1").count() == 3)
+    assert(spark.table("gck.db.a1").count() == 2)
+    spark.sql("INSERT INTO gck.db.a1 VALUES (3, NULL)") // NULL passes
+    assert(spark.table("gck.db.a1").count() == 3)
   }
 
   test("CTAS enforces constraints on the staged output") {
     val e = intercept[Exception](spark.sql(
-      "CREATE TABLE gk.db.ctas1 USING manifest " +
+      "CREATE TABLE gck.db.ctas1 USING manifest " +
         s"TBLPROPERTIES ('${pfx}pos'='n > 0') " +
         "AS SELECT id, id - 2 AS n FROM range(4)"))
     assert(e.getMessage != null)
-    assert(spark.sql("SHOW TABLES IN gk.db").where(col("tableName") === "ctas1").count() == 0)
-    spark.sql("CREATE TABLE gk.db.ctas2 USING manifest " +
+    assert(spark.sql("SHOW TABLES IN gck.db").where(col("tableName") === "ctas1").count() == 0)
+    spark.sql("CREATE TABLE gck.db.ctas2 USING manifest " +
       s"TBLPROPERTIES ('${pfx}pos'='n > 0') " +
       "AS SELECT id, id + 1 AS n FROM range(4)")
-    assert(spark.table("gk.db.ctas2").count() == 4)
+    assert(spark.table("gck.db.ctas2").count() == 4)
   }
 
   test("ALTER-time add validates existing rows and reports the violation") {
-    spark.sql("CREATE TABLE gk.db.a2 (id BIGINT, n BIGINT) USING manifest")
-    spark.sql("INSERT INTO gk.db.a2 VALUES (1, 5), (2, -1)")
+    spark.sql("CREATE TABLE gck.db.a2 (id BIGINT, n BIGINT) USING manifest")
+    spark.sql("INSERT INTO gck.db.a2 VALUES (1, 5), (2, -1)")
     val e = intercept[Exception](spark.sql(
-      s"ALTER TABLE gk.db.a2 SET TBLPROPERTIES ('${pfx}pos'='n > 0')"))
+      s"ALTER TABLE gck.db.a2 SET TBLPROPERTIES ('${pfx}pos'='n > 0')"))
     assert(e.getMessage.contains("existing rows violate"))
     // the rejected constraint is NOT live: the violating shape still lands
-    spark.sql("INSERT INTO gk.db.a2 VALUES (3, -7)")
-    assert(spark.table("gk.db.a2").count() == 3)
+    spark.sql("INSERT INTO gck.db.a2 VALUES (3, -7)")
+    assert(spark.table("gck.db.a2").count() == 3)
     val eDrop = intercept[Exception](spark.sql(
-      s"ALTER TABLE gk.db.a2 UNSET TBLPROPERTIES ('${pfx}pos')"))
+      s"ALTER TABLE gck.db.a2 UNSET TBLPROPERTIES ('${pfx}pos')"))
     assert(eDrop.getMessage.contains("no CHECK constraint"))
   }
 
   test("merge-on-read DML validates inserted and updated rows") {
-    spark.sql("CREATE TABLE gk.db.mor (id BIGINT, n BIGINT) USING manifest " +
+    spark.sql("CREATE TABLE gck.db.mor (id BIGINT, n BIGINT) USING manifest " +
       s"TBLPROPERTIES ('graft.dml.mode'='merge-on-read', '${pfx}pos'='n > 0')")
-    spark.sql("INSERT INTO gk.db.mor VALUES (1, 5), (2, 6)")
+    spark.sql("INSERT INTO gck.db.mor VALUES (1, 5), (2, 6)")
     // vectored DELETE writes no rows: unconstrained by pos
-    spark.sql("DELETE FROM gk.db.mor WHERE id = 2")
-    assert(spark.table("gk.db.mor").count() == 1)
+    spark.sql("DELETE FROM gck.db.mor WHERE id = 2")
+    assert(spark.table("gck.db.mor").count() == 1)
     // merge-on-read UPDATE = vector + re-insert: the re-insert validates
     val e = intercept[Exception](spark.sql(
-      "UPDATE gk.db.mor SET n = -n WHERE id = 1"))
+      "UPDATE gck.db.mor SET n = -n WHERE id = 1"))
     assert(e.getMessage != null)
-    assert(spark.table("gk.db.mor").select(sum("n")).head.getLong(0) == 5)
+    assert(spark.table("gck.db.mor").select(sum("n")).head.getLong(0) == 5)
     // MERGE inserts validate too
     spark.range(3).selectExpr("id + 10 AS id", "id - 5 AS n")
       .createOrReplaceTempView("mor_src")
     val e2 = intercept[Exception](spark.sql(
-      """MERGE INTO gk.db.mor t USING mor_src s ON t.id = s.id
+      """MERGE INTO gck.db.mor t USING mor_src s ON t.id = s.id
         |WHEN NOT MATCHED THEN INSERT *""".stripMargin))
     assert(e2.getMessage != null)
-    assert(spark.table("gk.db.mor").count() == 1)
+    assert(spark.table("gck.db.mor").count() == 1)
   }
 
   test("streaming epochs validate rows before the epoch commits") {
@@ -109,7 +109,7 @@ class ConstraintSpec extends AnyFunSuite {
     import org.apache.spark.sql.streaming.Trigger
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    spark.sql("CREATE TABLE gk.db.st (id BIGINT, n BIGINT) USING manifest " +
+    spark.sql("CREATE TABLE gck.db.st (id BIGINT, n BIGINT) USING manifest " +
       s"TBLPROPERTIES ('${pfx}pos'='n > 0')")
     val mem = MemoryStream[(Long, Long)]
     val ckpt = Files.createTempDirectory("graft_check_st_").toString
@@ -117,45 +117,45 @@ class ConstraintSpec extends AnyFunSuite {
       val q = mem.toDF().toDF("id", "n").writeStream
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow())
-        .toTable("gk.db.st")
+        .toTable("gck.db.st")
       q.awaitTermination()
     }
     mem.addData((1L, 10L), (2L, 20L))
     run()
-    assert(spark.table("gk.db.st").count() == 2)
+    assert(spark.table("gck.db.st").count() == 2)
     mem.addData((3L, -1L))
     val e = intercept[Exception](run())
     assert(e.getMessage != null)
     // the violating epoch never committed a version
-    assert(spark.table("gk.db.st").count() == 2)
+    assert(spark.table("gck.db.st").count() == 2)
   }
 
   test("DROP/RENAME COLUMN refuse while a constraint references the column") {
-    spark.sql("CREATE TABLE gk.db.rf (id BIGINT, n BIGINT, v STRING) USING manifest " +
+    spark.sql("CREATE TABLE gck.db.rf (id BIGINT, n BIGINT, v STRING) USING manifest " +
       s"TBLPROPERTIES ('${pfx}pos'='n > 0')")
-    val eDrop = intercept[Exception](spark.sql("ALTER TABLE gk.db.rf DROP COLUMN n"))
+    val eDrop = intercept[Exception](spark.sql("ALTER TABLE gck.db.rf DROP COLUMN n"))
     assert(eDrop.getMessage.contains("CHECK constraint"))
-    val eRen = intercept[Exception](spark.sql("ALTER TABLE gk.db.rf RENAME COLUMN n TO m"))
+    val eRen = intercept[Exception](spark.sql("ALTER TABLE gck.db.rf RENAME COLUMN n TO m"))
     assert(eRen.getMessage.contains("CHECK constraint"))
     // unreferenced columns still evolve freely
-    spark.sql("ALTER TABLE gk.db.rf DROP COLUMN v")
-    spark.sql("ALTER TABLE gk.db.rf RENAME COLUMN id TO id2")
+    spark.sql("ALTER TABLE gck.db.rf DROP COLUMN v")
+    spark.sql("ALTER TABLE gck.db.rf RENAME COLUMN id TO id2")
     // and after dropping the constraint, the column is released
-    spark.sql(s"ALTER TABLE gk.db.rf UNSET TBLPROPERTIES ('${pfx}pos')")
-    spark.sql("ALTER TABLE gk.db.rf DROP COLUMN n")
-    assert(spark.table("gk.db.rf").columns.toSeq == Seq("id2"))
+    spark.sql(s"ALTER TABLE gck.db.rf UNSET TBLPROPERTIES ('${pfx}pos')")
+    spark.sql("ALTER TABLE gck.db.rf DROP COLUMN n")
+    assert(spark.table("gck.db.rf").columns.toSeq == Seq("id2"))
   }
 
   test("constraints survive the descriptor round-trip and surface in properties") {
-    spark.sql("CREATE TABLE gk.db.rt (id BIGINT) USING manifest " +
+    spark.sql("CREATE TABLE gck.db.rt (id BIGINT) USING manifest " +
       s"TBLPROPERTIES ('${pfx}b'='id < 100', '${pfx}a'='id >= 0')")
-    val props = spark.sql("SHOW TBLPROPERTIES gk.db.rt")
+    val props = spark.sql("SHOW TBLPROPERTIES gck.db.rt")
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     assert(props(s"${pfx}a") == "id >= 0")
     assert(props(s"${pfx}b") == "id < 100")
     // both enforce (name-sorted order, first failing one reports)
-    val e = intercept[Exception](spark.sql("INSERT INTO gk.db.rt VALUES (-1)"))
+    val e = intercept[Exception](spark.sql("INSERT INTO gck.db.rt VALUES (-1)"))
     assert(e.getMessage != null)
-    assert(spark.table("gk.db.rt").count() == 0)
+    assert(spark.table("gck.db.rt").count() == 0)
   }
 }

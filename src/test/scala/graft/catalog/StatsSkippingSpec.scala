@@ -516,4 +516,44 @@ class StatsSkippingSpec extends AnyFunSuite {
     assert(compiled(S.And(S.GreaterThan("k", 5L), S.LessThan("k", 12L))))
     assert(!compiled(S.GreaterThan("k", 25L)))
   }
+
+  test("restatFiles: stats-only backfill — no rewrite, idempotent, live set untouched") {
+    import org.apache.spark.sql.functions._
+    spark.sql("CREATE TABLE gk.db.restat (k BIGINT, v STRING) USING manifest")
+    spark.sql("INSERT INTO gk.db.restat SELECT id, CAST(id AS STRING) FROM range(100)")
+    spark.sql("INSERT INTO gk.db.restat SELECT id + 100, CAST(id AS STRING) FROM range(100)")
+    val dir = s"$root/db/restat"
+    val v0 = ManifestTable.currentVersion(dir).get
+    val (files0, stats0) = ManifestTable.manifestEntries(dir, v0)
+    assert(files0.nonEmpty)
+    assert(stats0.values.forall(_.col("k").forall(_.ndvSketch.isEmpty)),
+      "pre-declaration files must carry no sketches")
+    // declare late, then backfill as a stats-only commit
+    spark.sql("ALTER TABLE gk.db.restat SET TBLPROPERTIES " +
+      s"('${GraftCatalog.NdvColsProp}'='k')")
+    val (v1, n1) = ManifestTable.restatFiles(dir, Seq("k"))
+    assert(n1 == files0.size, "every pre-declaration file restats")
+    assert(v1 == v0 + 1)
+    val (files1, stats1) = ManifestTable.manifestEntries(dir, v1)
+    assert(files1.sorted == files0.sorted, "stats-only commit moves no files")
+    assert(files1.forall(f => stats1(f).col("k").exists(_.ndvSketch.isDefined)),
+      "every live file now carries the sketch")
+    // idempotent: nothing missing → no commit at all
+    val (v2, n2) = ManifestTable.restatFiles(dir, Seq("k"))
+    assert(n2 == 0 && v2 == v1)
+    // mode=all recomputes everything (one more version, same file set)
+    val (v3, n3) = ManifestTable.restatFiles(dir, Seq("k"), onlyMissing = false)
+    assert(n3 == files0.size && v3 == v1 + 1)
+    // contents never changed
+    assert(spark.table("gk.db.restat").agg(sum("k")).head.getLong(0) ==
+      (0L until 200L).sum)
+    // procedure-level guards are loud
+    val e = intercept[Exception](spark.sql(
+      "CALL gk.system.collect_stats('db.restat', mode => 'sometimes')"))
+    assert(e.getMessage.contains("missing") && e.getMessage.contains("all"))
+    spark.sql("CREATE TABLE gk.db.nodecl (k BIGINT) USING manifest")
+    val e2 = intercept[Exception](spark.sql(
+      "CALL gk.system.collect_stats('db.nodecl')"))
+    assert(e2.getMessage.contains("declares no stat columns"))
+  }
 }

@@ -661,7 +661,8 @@ class OperatorsSpec extends AnyFunSuite {
     // the bound must have EXCLUDED clusters: admitted << |queries| * K
     val assigned = Similarity.assignNearest(corpus, "id", "vec", cents)
     val nClusters = cents.count()
-    val admitted = Similarity.rangeAdmitted(queries, assigned, cents, tau).count()
+    val admitted = Similarity.rangeAdmitted(queries,
+      Similarity.clusterRadii(assigned, cents), tau).count()
     assert(admitted < queries.count() * nClusters,
       s"no pruning: $admitted probes for ${queries.count()} x $nClusters")
     assert(admitted <= queries.count() * 3) // tight clusters: ~1 each
