@@ -92,10 +92,16 @@ object Constraints {
       empty.select(coalesce(ColumnBridge.column(parsed), lit(true)).as("_ok"))
         .queryExecution.analyzed
     val proj = analyzed match {
-      case p: Project => p
+      // the child must be the LEAF relation itself: aggregates, windows,
+      // and generators all interpose a node whose synthesized attributes
+      // would bind PAST the write schema's arity (a window constraint
+      // would then index-out-of-bounds in the task writers)
+      case p: Project
+          if p.child.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LeafNode] => p
       case other => throw new IllegalArgumentException(
         s"CHECK constraint ${check.name} ('${check.sql}') must be a row-level " +
-          s"boolean expression — aggregates/generators are not allowed (planned ${other.nodeName})")
+          "boolean expression — aggregates/windows/generators are not " +
+          s"allowed (planned ${other.nodeName} over ${other.children.map(_.nodeName).mkString(",")})")
     }
     val bound = proj.projectList.head match {
       case a: Alias => a.child

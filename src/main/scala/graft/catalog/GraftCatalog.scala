@@ -648,6 +648,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         // satisfy the invariant — one distributed scan, stops at the
         // first violation. (Runs against the session's resolved view, so
         // a WAP-pinned session validates the branch it is staging.)
+        // KNOWN WINDOW: a writer that loaded the table BEFORE this ALTER
+        // captured the pre-ALTER check list and can land violating rows
+        // after the constraint publishes — the descriptor is not CAS'd
+        // against data commits (same non-transactional ALTER window
+        // replaceMeta documents). Quiesce writers around ADD CONSTRAINT,
+        // as around any ALTER here.
         val full = (catalogName +: ident.namespace() :+ ident.name())
           .map(p => s"`$p`").mkString(".")
         val bad = org.apache.spark.sql.SparkSession.active.table(full)

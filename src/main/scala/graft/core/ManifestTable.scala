@@ -743,15 +743,17 @@ object ManifestTable {
     if (targets.isEmpty) return (cur, 0)
     val st = collectStats(dir, targets, ndvCols)
     try {
+      var committed = 0
       val v = commitLoop(dir) { base =>
         // merge only over files still LIVE at commit time — a concurrent
         // rewrite may have replaced some; their stats would dangle in the
         // fold (harmless for reads, but the log should stay clean)
         val live = base.map(b => state(dir, b).files.toSet).getOrElse(Set.empty[String])
         val eff = st.filter { case (f, _) => live.contains(f) }
+        committed = eff.size // report what actually merged, not the plan
         if (eff.isEmpty) None else Some(Delta(Seq.empty, Seq.empty, eff))
       }
-      (v, st.size)
+      (v, committed)
     } catch {
       // every target was concurrently rewritten: nothing left to restat
       case _: java.util.ConcurrentModificationException =>

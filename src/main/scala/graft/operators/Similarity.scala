@@ -438,17 +438,25 @@ object Similarity {
     *             =  cos_qc * min_cos + sin_qc * sin_theta
     *
     * (and trivially <= 1 when ang(q,c) <= theta_c, i.e. cos_qc >= min_cos).
-    * Clusters whose bound falls below `tau - slack` are never scanned;
-    * `slack` (1e-9 default) absorbs float rounding in the bound itself —
-    * ~1e-16-scale — so a borderline true member can never be lost.
+    * Clusters whose bound falls below `tau - slack` are never scanned.
+    * `slack` (1e-6 default) must cover BOTH error sources between the
+    * bound and the result filter: float rounding in the bound itself
+    * (~1e-16) AND the result's 6-decimal rounding window — the filter
+    * keeps `round(cosine, 6) >= tau`, which admits true cosines down to
+    * tau - 5e-7, so a bound-side slack below 5e-7 could prune a cluster
+    * holding a member that rounds INTO the result. 1e-6 dominates both.
     *
     * Scale shape: corpus→cluster assignment is the broadcast-array argmax
     * (map-only, zero corpus Exchange); radii are one K-row partial agg;
     * the (query × admitted cluster) probe set is broadcast into a banded
-    * equi-join on cluster — the corpus is scanned once and only inside
-    * admitted clusters (partition-prunable when stored clustered). */
+    * equi-join on cluster — only admitted clusters are scanned
+    * (partition-prunable when stored clustered). This ONE-SHOT form pays
+    * two map-only corpus passes (radii, then the probe join re-derives
+    * the assignment — cheaper at 100 TB than materializing it); repeated
+    * query batches should persist the [[assignNearest]] +
+    * [[clusterRadii]] index once and probe [[rangeSearchIndexed]]. */
   def rangeSearch(queries: DataFrame, corpus: DataFrame, cents: DataFrame,
-                  tau: Double, slack: Double = 1e-9): DataFrame = {
+                  tau: Double, slack: Double = 1e-6): DataFrame = {
     val assigned = assignNearest(corpus, "id", "vec", cents)
     rangeSearchIndexed(queries, assigned, clusterRadii(assigned, cents),
       tau, slack)
@@ -462,7 +470,7 @@ object Similarity {
     * query — the steady-state production shape). */
   def rangeSearchIndexed(queries: DataFrame, assigned: DataFrame,
                          radii: DataFrame, tau: Double,
-                         slack: Double = 1e-9): DataFrame =
+                         slack: Double = 1e-6): DataFrame =
     assigned.join(broadcast(rangeAdmitted(queries, radii, tau, slack)),
         Seq("cluster"))
       .withColumn("cosine", round(cosineSimilarity(col("q_vec"), col("vec")), 6))
@@ -490,7 +498,7 @@ object Similarity {
     * strictly fewer than |queries| × K clusters) independently of the
     * result-set equality with brute force. */
   def rangeAdmitted(queries: DataFrame, radii: DataFrame,
-                    tau: Double, slack: Double = 1e-9): DataFrame = {
+                    tau: Double, slack: Double = 1e-6): DataFrame = {
     def sinOf(c: Column): Column = sqrt(greatest(lit(0.0), lit(1.0) - c * c))
     queries
       .crossJoin(broadcast(radii))

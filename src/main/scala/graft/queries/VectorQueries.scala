@@ -181,8 +181,13 @@ object VectorQueries extends QueryModule {
     * division, so the oracle replays the vectors bit-for-bit; same-label
     * vectors cluster tightly, which gives the IVF range-search bound
     * something real to prune (the raw `embedding` column is isotropic —
-    * no cluster structure, nothing any sound bound could skip). */
-  private def rangeSynthVec: org.apache.spark.sql.Column =
+    * no cluster structure, nothing any sound bound could skip).
+    * THE definition — the OperatorsSpec fixture and tools/RangeScale
+    * reference it, so formula tweaks can never desynchronize them from
+    * the oracle CTE below (which must be edited in lockstep). Note the
+    * noise has period 13 in vec_id: same-label vectors 13 apart are
+    * EXACT duplicates (cosine 1.0) — tests rely on that orbit. */
+  private[graft] def rangeSynthVec: org.apache.spark.sql.Column =
     transform(sequence(lit(0), lit(dim - 1)), j =>
       when(j === col("label") * 6, lit(1.0)).otherwise(lit(0.0)) +
         ((col("vec_id") * 31 + j * 17) % 13 - 6).cast("double") / lit(60.0))

@@ -28,10 +28,9 @@ object RangeScale {
     val dim = 64
     val tau = 0.6
 
+    // the SHARED qv08 formula (tight label clusters; see VectorQueries)
     def synth(ids: DataFrame): DataFrame = ids.select(col("vec_id"), col("label"),
-      transform(sequence(lit(0), lit(dim - 1)), j =>
-        when(j === col("label") * 6, lit(1.0)).otherwise(lit(0.0)) +
-          ((col("vec_id") * 31 + j * 17) % 13 - 6).cast("double") / lit(60.0)).as("v"))
+      graft.queries.VectorQueries.rangeSynthVec.as("v"))
 
     val base = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
       .select(col("vec_id"), col("label"))

@@ -38,6 +38,10 @@ class ConstraintSpec extends AnyFunSuite {
     assert(create(2, "id + 1").getMessage.contains("must be BOOLEAN"))
     assert(create(3, "rand() > 0.5").getMessage.contains("deterministic"))
     assert(create(4, "max(id) > 0").getMessage != null) // aggregate: not row-level
+    // window functions interpose a Window node whose synthesized attribute
+    // would bind past the write schema — rejected at declaration, loudly
+    assert(create(5, "row_number() over (order by id) > 0")
+      .getMessage.contains("row-level"))
     // none of the failed CREATEs may leave a table behind
     assert(spark.sql("SHOW TABLES IN gck.db").where(col("tableName").startsWith("bad")).count() == 0)
   }

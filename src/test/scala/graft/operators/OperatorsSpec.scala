@@ -629,13 +629,12 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out(1).mean_byte === 0.0)
   }
 
-  /** Structured vectors for the range-search tests: a spike at label*6
-    * plus bounded noise — tight clusters, so pruning has real work. */
+  /** Structured vectors for the range-search tests (the SHARED qv08
+    * formula — spike at label*6 plus bounded noise): tight clusters, so
+    * pruning has real work. */
   private def rangeFixture = {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
-    val sv = transform(sequence(lit(0), lit(63)), j =>
-      when(j === col("label") * 6, lit(1.0)).otherwise(lit(0.0)) +
-        ((col("vec_id") * 31 + j * 17) % 13 - 6).cast("double") / lit(60.0))
+    val sv = graft.queries.VectorQueries.rangeSynthVec
     val base = emb.select(col("vec_id"), col("label"), sv.as("v"))
     val cents = Similarity.centroids(
       base.select(col("label"), col("v").cast("array<float>").as("v")),
