@@ -612,6 +612,34 @@ object TextQueries extends QueryModule {
         .orderBy("vec_id")
     },
 
+    // --- QUALITY-AWARE dedup retention (the production refinement of
+    //     keep-lowest-id: inside each near-dup cluster keep the HIGHEST
+    //     quality document — LSH pairs -> connected components -> one
+    //     argmax window over cluster members only (dup clusters << the
+    //     corpus); singletons pass through a broadcast anti-join, never
+    //     entering the window ---
+    "qd14_quality_retention" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+        n = 3, threshold = 0.8)
+      val clusters = Dedup.connectedComponents(pairs) // (doc_id, cluster_id)
+      val scored = docs.withColumn("t", tokens(col("text")))
+        .select(col("doc_id"),
+          round(least(lit(1.0), size(col("t")).cast("double") / 100.0) *
+            typeTokenRatio(col("t")), 4).as("quality"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("cluster_id")
+        .orderBy(col("quality").desc, col("doc_id"))
+      val dupKeep = scored.join(broadcast(clusters), "doc_id")
+        .withColumn("rn", row_number().over(w))
+        .select(col("doc_id"), col("cluster_id"), col("quality"),
+          (col("rn") === 1).as("keep"))
+      val singles = scored.join(broadcast(clusters), Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("doc_id").as("cluster_id"), col("quality"),
+          lit(true).as("keep"))
+      dupKeep.unionByName(singles).orderBy("doc_id")
+    },
+
     // --- CCNet-style n-gram LM quality scoring: train add-one-smoothed
     //     word-bigram counts on a REFERENCE slice (lang='en'), score every
     //     document's mean negative log-likelihood under that model, keep
@@ -1145,6 +1173,34 @@ object TextQueries extends QueryModule {
          WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                       CAST(c.embedding AS DOUBLE[])) >= 0.45
          ORDER BY d1, d2""",
+
+    // clusters replay through qd06's recursive reachability; the keep rule
+    // is per-cluster argmax (quality desc, doc_id asc) over qt03's quality
+    "qd14_quality_retention" ->
+      s"""WITH RECURSIVE $shingleCte,
+         jp AS (SELECT d1, d2
+                FROM pairs p JOIN sizes s1 ON p.d1 = s1.doc_id
+                             JOIN sizes s2 ON p.d2 = s2.doc_id
+                WHERE inter*1.0/(s1.n_sh + s2.n_sh - inter) >= 0.8),
+         edges AS (SELECT d1 AS src, d2 AS dst FROM jp
+                   UNION SELECT d2, d1 FROM jp),
+         nodes AS (SELECT DISTINCT src AS v FROM edges),
+         reach(v, label) AS (
+           SELECT v, v FROM nodes
+           UNION
+           SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.v),
+         comp AS (SELECT v, min(label) AS cid FROM reach GROUP BY v),
+         q AS (SELECT doc_id,
+                 round(least(1.0, len(t)/100.0) *
+                   (len(list_distinct(t))*1.0/len(t)), 4) AS quality
+               FROM toks),
+         ranked AS (SELECT q.doc_id, comp.cid, comp.v, q.quality,
+                 row_number() OVER (PARTITION BY comp.cid
+                   ORDER BY q.quality DESC, q.doc_id) AS rn
+               FROM q LEFT JOIN comp ON q.doc_id = comp.v)
+         SELECT doc_id, COALESCE(cid, doc_id) AS cluster_id, quality,
+           CASE WHEN v IS NULL THEN true ELSE rn = 1 END AS keep
+         FROM ranked ORDER BY doc_id""",
 
     // replays the whole model: reference bigram/prefix counts, add-one
     // smoothing over the reference vocab, integer micro-nat quantization
