@@ -418,6 +418,59 @@ object Similarity {
         col("col.id").as("id"), (-col("col.score")).as("approx"))
   }
 
+  // ------------------------------------------- scalar (int8) quantization --
+
+  /** Per-dimension corpus bounds for scalar quantization, folded into ONE
+    * broadcastable row `(_mins, _steps)` with `step = (max - min) / 255`
+    * (0 for constant dimensions): the stored calibration of an SQ index.
+    * One posexplode + 64-group aggregate at build time; K=dim rows fold. */
+  def sqBounds(vecs: DataFrame, vecCol: String): DataFrame =
+    vecs.select(posexplode(col(vecCol).cast("array<double>")).as(Seq("_p", "_v")))
+      .groupBy("_p").agg(min("_v").as("_mn"), max("_v").as("_mx"))
+      .agg(collect_list(struct(col("_p"), col("_mn"), col("_mx"))).as("_b"))
+      .select(
+        transform(array_sort(col("_b")), b => b.getField("_mn")).as("_mins"),
+        transform(array_sort(col("_b")), b =>
+          (b.getField("_mx") - b.getField("_mn")) / lit(255.0)).as("_steps"))
+
+  /** INT8-style scalar quantization: `code[j] = round((v[j] - min[j]) /
+    * step[j])` in 0..255 (constant dims → 0) — ~4× compression for float
+    * vectors (8× for doubles) with dimension-wise dequantization, the
+    * cheap rung below PQ's ~32×. A PURE MAP over the corpus (bounds ride
+    * one broadcast row; zero corpus Exchange), mirroring [[pqEncode]]. */
+  def sqEncode(vecs: DataFrame, idCol: String, vecCol: String,
+               bounds: DataFrame): DataFrame =
+    vecs.crossJoin(broadcast(bounds))
+      .select(col(idCol),
+        transform(col(vecCol).cast("array<double>"), (v, j) =>
+          when(element_at(col("_steps"), j + 1) === 0.0, lit(0))
+            .otherwise(round(
+              (v - element_at(col("_mins"), j + 1)) /
+                element_at(col("_steps"), j + 1)).cast("int"))).as("codes"))
+
+  /** Top-k over the SQ index by approximate cosine: each candidate is
+    * DEQUANTIZED on the fly (`min[j] + step[j] * code[j]`) and scored
+    * against the query — the scan reads 1-byte-class codes instead of the
+    * raw vectors; selection is the bounded-heap [[TopKByScore]], no Sort,
+    * no Window, never a corpus shuffle. Deterministic: scores rounded at
+    * 6, ties by id — the oracle replays bounds/codes/dequant/rank. */
+  def sqTopK(queries: DataFrame, index: DataFrame, bounds: DataFrame,
+             k: Int): DataFrame = {
+    val topK = udaf(new TopKByScore(k), ExpressionEncoderHelp.scored)
+    val dequant = transform(col("codes"), (c, j) =>
+      element_at(col("_mins"), j + 1) +
+        element_at(col("_steps"), j + 1) * c.cast("double"))
+    index.crossJoin(broadcast(bounds))
+      .crossJoin(broadcast(queries))
+      .withColumn("approx",
+        round(cosineSimilarity(col("q_vec"), dequant), 6))
+      .groupBy(col("q_id"))
+      .agg(topK(col("id"), col("approx")).as("top"))
+      .select(col("q_id"), posexplode(col("top")))
+      .select(col("q_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.id").as("id"), col("col.score").as("approx"))
+  }
+
   // ------------------------------------------------------- range search --
 
   /** EXACT cosine range search — every (query, corpus) pair with

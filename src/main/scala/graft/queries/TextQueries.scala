@@ -650,35 +650,99 @@ object TextQueries extends QueryModule {
     //     bigram log-probs are quantized to integer micro-nats so the
     //     per-doc SUM is exact across engines regardless of fold order ---
     "qt16_lm_score" -> { (s, d) =>
-      val docs = Tables.documents(s, d)
-      def bigrams(df: org.apache.spark.sql.DataFrame) = df
-        .select(col("doc_id"), col("lang"),
-          explode(ngrams(tokens(col("text")), 2)).as("bigram"))
-        .withColumn("w1", split(col("bigram"), " ").getItem(0))
-      val refBi = bigrams(docs.filter(col("lang") === lmRefLang))
-      val c2 = refBi.groupBy("bigram").agg(count(lit(1)).as("c2"))
-      val c1 = c2.withColumn("w1", split(col("bigram"), " ").getItem(0))
-        .groupBy("w1").agg(sum(col("c2")).as("c1"))
-      val vocab = docs.filter(col("lang") === lmRefLang)
-        .select(explode(tokens(col("text"))).as("w"))
-        .agg(countDistinct(col("w")).as("v")) // 1 row, broadcast below
-      val lp = bigrams(docs)
-        .join(broadcast(c2), Seq("bigram"), "left")
-        .join(broadcast(c1), Seq("w1"), "left")
-        .crossJoin(broadcast(vocab))
-        .withColumn("lp", round(log(
-            (coalesce(col("c2"), lit(0L)) + lit(1.0)) /
-              (coalesce(col("c1"), lit(0L)) + col("v"))) * lit(1000000.0))
-          .cast("long"))
-      lp.groupBy("doc_id", "lang")
-        .agg(count(lit(1)).as("n_bigrams"), sum(col("lp")).as("_slp"))
-        .withColumn("nll",
-          round((-col("_slp").cast("double") / col("n_bigrams")) / lit(1000000.0), 4))
+      lmScores(Tables.documents(s, d))
         .select(col("doc_id"), col("lang"), col("n_bigrams"), col("nll"),
           (col("nll") <= lmKeepNll).as("keep"))
         .orderBy("doc_id")
+    },
+
+    // --- GOVERNED INGEST: the round's write-side pieces composed — a
+    //     CHECK-constrained table, batch staging on a WAP branch (the
+    //     violating batch is rejected BEFORE any branch version commits),
+    //     an LM-quality audit that deletes low-quality staged docs ON THE
+    //     BRANCH (row-level DML against the branch log), and an atomic
+    //     fast_forward publish; main holds nothing until the audited
+    //     output lands whole ---
+    "qp06_governed_ingest" -> { (s, d) =>
+      if (s.conf.getOption("spark.sql.catalog.graft_cat").isEmpty)
+        graft.catalog.GraftCatalog.register(s, "graft_cat",
+          graft.core.TempDirs.create("graft_cat_root_"))
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.db")
+      s.sql("DROP TABLE IF EXISTS graft_cat.db.gov6")
+      Tables.documents(s, d).createOrReplaceTempView("qp06_documents")
+      val pfx = graft.catalog.Constraints.Prefix
+      s.sql("CREATE TABLE graft_cat.db.gov6 " +
+        "(doc_id BIGINT, lang STRING, text STRING, n_chars BIGINT) " +
+        "USING manifest TBLPROPERTIES " +
+        s"('${pfx}chars_positive'='n_chars > 0', " +
+        s"'${pfx}text_present'='text IS NOT NULL')")
+      // seed main with an EMPTY v1 (a branch forks from a committed
+      // version; publishing later replays the branch's delta onto it)
+      s.sql("INSERT INTO graft_cat.db.gov6 " +
+        "SELECT doc_id, lang, text, n_chars FROM qp06_documents WHERE false")
+      s.sql("CALL graft_cat.system.branch('db.gov6', 'audit')")
+      s.conf.set(graft.catalog.GraftCatalog.WapBranchConf, "audit")
+      val insertRejected = try {
+        s.sql("INSERT INTO graft_cat.db.gov6 " +
+          "SELECT doc_id, lang, text, n_chars FROM qp06_documents")
+        // a malformed batch violates chars_positive: rejected atomically,
+        // the branch keeps exactly the first batch
+        val rejected = scala.util.Try(s.sql(
+          "INSERT INTO graft_cat.db.gov6 SELECT doc_id + 1000000, lang, " +
+            "text, -n_chars FROM qp06_documents")).isFailure
+        // AUDIT: LM-score the staged slice (the branch view) and delete
+        // low-quality docs ON THE BRANCH — main is untouched throughout
+        lmScores(s.table("graft_cat.db.gov6"))
+          .filter(col("nll") > lmKeepNll)
+          .select("doc_id").createOrReplaceTempView("qp06_low_quality")
+        s.sql("DELETE FROM graft_cat.db.gov6 " +
+          "WHERE doc_id IN (SELECT doc_id FROM qp06_low_quality)")
+        rejected
+      } finally s.conf.unset(graft.catalog.GraftCatalog.WapBranchConf)
+      // conf unset: the table name resolves MAIN again — still empty,
+      // everything above staged on the branch
+      val mainEmptyPrePublish = s.table("graft_cat.db.gov6").count() == 0L
+      s.sql("CALL graft_cat.system.fast_forward('db.gov6', 'audit')")
+      s.table("graft_cat.db.gov6")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
+        .select(lit(insertRejected).as("insert_rejected"),
+          lit(mainEmptyPrePublish).as("main_empty_pre_publish"),
+          col("lang"), col("n_docs"), col("total_chars"))
+        .orderBy("lang")
     }
   )
+
+  /** The qt16 scoring pipeline as a reusable piece (qp06's audit scores
+    * the STAGED table with it): reference = the input's `lmRefLang`
+    * slice, add-one smoothing, integer micro-nat quantization. Returns
+    * (doc_id, lang, n_bigrams, nll). */
+  private def lmScores(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    def bigrams(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_id"), col("lang"),
+        explode(ngrams(tokens(col("text")), 2)).as("bigram"))
+      .withColumn("w1", split(col("bigram"), " ").getItem(0))
+    val refBi = bigrams(docs.filter(col("lang") === lmRefLang))
+    val c2 = refBi.groupBy("bigram").agg(count(lit(1)).as("c2"))
+    val c1 = c2.withColumn("w1", split(col("bigram"), " ").getItem(0))
+      .groupBy("w1").agg(sum(col("c2")).as("c1"))
+    val vocab = docs.filter(col("lang") === lmRefLang)
+      .select(explode(tokens(col("text"))).as("w"))
+      .agg(countDistinct(col("w")).as("v")) // 1 row, broadcast below
+    val lp = bigrams(docs)
+      .join(broadcast(c2), Seq("bigram"), "left")
+      .join(broadcast(c1), Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .withColumn("lp", round(log(
+          (coalesce(col("c2"), lit(0L)) + lit(1.0)) /
+            (coalesce(col("c1"), lit(0L)) + col("v"))) * lit(1000000.0))
+        .cast("long"))
+    lp.groupBy("doc_id", "lang")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("lp")).as("_slp"))
+      .withColumn("nll",
+        round((-col("_slp").cast("double") / col("n_bigrams")) / lit(1000000.0), 4))
+      .select(col("doc_id"), col("lang"), col("n_bigrams"), col("nll"))
+  }
 
   /** qt16's model constants, shared with the oracle SQL. */
   private val lmRefLang = "en"
@@ -1201,6 +1265,42 @@ object TextQueries extends QueryModule {
          SELECT doc_id, COALESCE(cid, doc_id) AS cluster_id, quality,
            CASE WHEN v IS NULL THEN true ELSE rn = 1 END AS keep
          FROM ranked ORDER BY doc_id""",
+
+    // the booleans are Spark-side enforcement/staging facts; the
+    // published table replays as the LM-quality survivors (the rejected
+    // batch must have left nothing; the audit deletions must be exactly
+    // the nll > threshold docs)
+    "qp06_governed_ingest" ->
+      s"""WITH toks AS (SELECT doc_id, lang, n_chars, string_split(text, ' ') AS t
+                        FROM documents),
+          bi AS (SELECT doc_id, lang,
+                   unnest(list_transform(generate_series(1, len(t)-1),
+                     i -> t[i]||' '||t[i+1])) AS bigram
+                 FROM toks WHERE len(t) >= 2),
+          c2 AS (SELECT bigram, count(*) AS c2 FROM bi
+                 WHERE lang = '$lmRefLang' GROUP BY 1),
+          c1 AS (SELECT string_split(bigram, ' ')[1] AS w1,
+                   CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1),
+          v AS (SELECT count(DISTINCT w) AS v FROM
+                  (SELECT unnest(t) AS w FROM toks WHERE lang = '$lmRefLang') u),
+          lp AS (SELECT b.doc_id,
+                   CAST(round(ln((COALESCE(c2.c2, 0) + 1.0) /
+                                 (COALESCE(c1.c1, 0) + v.v)) * 1000000.0)
+                     AS BIGINT) AS lp
+                 FROM bi b
+                 LEFT JOIN c2 ON b.bigram = c2.bigram
+                 LEFT JOIN c1 ON string_split(b.bigram, ' ')[1] = c1.w1
+                 CROSS JOIN v),
+          nll AS (SELECT doc_id,
+                    round((-CAST(sum(lp) AS DOUBLE) / count(*)) / 1000000.0, 4)
+                      AS nll
+                  FROM lp GROUP BY doc_id)
+          SELECT true AS insert_rejected, true AS main_empty_pre_publish,
+            t.lang, count(*) AS n_docs,
+            CAST(sum(t.n_chars) AS BIGINT) AS total_chars
+          FROM toks t JOIN nll ON t.doc_id = nll.doc_id
+          WHERE nll.nll <= $lmKeepNll
+          GROUP BY t.lang ORDER BY t.lang""",
 
     // replays the whole model: reference bigram/prefix counts, add-one
     // smoothing over the reference vocab, integer micro-nat quantization

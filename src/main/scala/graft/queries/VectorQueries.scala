@@ -161,6 +161,22 @@ object VectorQueries extends QueryModule {
         .orderBy("q_id", "id")
     },
 
+    // --- scalar (int8) quantization ANN: per-dimension corpus bounds ->
+    //     0..255 codes (~4x compression, the cheap rung below PQ's 32x);
+    //     encode is a pure map (bounds ride one broadcast row), the scan
+    //     dequantizes codes on the fly and ranks by approximate cosine
+    //     through the bounded heap ---
+    "qv09_sq_ann" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val bounds = Similarity.sqBounds(corpus, "vec")
+      val index = Similarity.sqEncode(corpus, "id", "vec", bounds)
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      Similarity.sqTopK(queries, index, bounds, k = pqK)
+        .orderBy("q_id", "rank")
+    },
+
     // --- per-cluster vector stats (centroid norms via the Aggregator) ---
     "qv03_centroid_norms" -> { (s, d) =>
       val emb = Tables.embeddings(s, d)
@@ -345,6 +361,35 @@ object VectorQueries extends QueryModule {
               row_number() OVER (PARTITION BY q_id
                 ORDER BY approx ASC, id) AS rank FROM d)
           WHERE rank <= $pqK ORDER BY q_id, rank""",
+
+    // replays calibration/codes/dequantization/ranks dimension by dimension
+    "qv09_sq_ann" -> {
+      val mins = (1 to dim).map(j => s"min(CAST(embedding[$j] AS DOUBLE))")
+        .mkString("[", ", ", "]")
+      val steps = (1 to dim).map(j =>
+        s"(max(CAST(embedding[$j] AS DOUBLE)) - min(CAST(embedding[$j] AS DOUBLE))) / 255.0")
+        .mkString("[", ", ", "]")
+      s"""WITH b AS (SELECT $mins AS mins, $steps AS steps FROM embeddings),
+          e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          enc AS (SELECT e.vec_id,
+                    list_transform(generate_series(1, $dim), j ->
+                      CASE WHEN b.steps[j] = 0 THEN 0
+                           ELSE CAST(round((e.v[j] - b.mins[j]) / b.steps[j])
+                                  AS INTEGER) END) AS codes
+                  FROM e CROSS JOIN b),
+          dq AS (SELECT enc.vec_id,
+                   list_transform(generate_series(1, $dim), j ->
+                     b.mins[j] + b.steps[j] * codes[j]) AS dv
+                 FROM enc CROSS JOIN b)
+          SELECT q_id, CAST(rank AS INTEGER) AS rank, id, approx FROM (
+            SELECT q.vec_id AS q_id, c.vec_id AS id,
+              round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), c.dv), 6) AS approx,
+              row_number() OVER (PARTITION BY q.vec_id
+                ORDER BY round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), c.dv), 6) DESC,
+                         c.vec_id) AS rank
+            FROM embeddings q CROSS JOIN dq c WHERE q.vec_id < 5)
+          WHERE rank <= $pqK ORDER BY q_id, rank"""
+    },
 
     // brute force IS the oracle: sound pruning must not change the result
     "qv08_range_search" ->

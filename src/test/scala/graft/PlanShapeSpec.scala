@@ -388,6 +388,15 @@ class PlanShapeSpec extends AnyFunSuite {
       "id", "vec", cents, m = 4, dim = 32, keep = Seq("cluster"))
     assert(corpusSideShuffles(ivfpqIndex).isEmpty,
       s"IVFPQ index build shuffles the corpus:\n${ivfpqIndex.queryExecution.sparkPlan}")
+    // scalar-quantization encoding: same shape — the calibration row is
+    // broadcast, the corpus side is scan -> project only
+    val sqIndex = Similarity.sqEncode(
+      emb.select(col("vec_id").as("id"), col("embedding").as("vec")),
+      "id", "vec",
+      Similarity.sqBounds(
+        emb.select(col("embedding").as("vec")), "vec"))
+    assert(corpusSideShuffles(sqIndex).isEmpty,
+      s"SQ encoding shuffles the corpus:\n${sqIndex.queryExecution.sparkPlan}")
   }
 
   test("qv08 range search: probes broadcast to the corpus scan; no corpus-side shuffle before the probe join") {

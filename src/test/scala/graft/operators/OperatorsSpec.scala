@@ -687,6 +687,31 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got === brute)
   }
 
+  test("scalar quantization: codes in 0..255, dequantization error <= step/2, constant dims -> 0") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    // append a CONSTANT dimension to exercise the step=0 arm
+    val corpus = emb.select(col("vec_id").as("id"),
+      concat(col("embedding").cast("array<double>"), array(lit(7.5))).as("vec"))
+    val bounds = Similarity.sqBounds(corpus, "vec").collect().head
+    val mins = bounds.getSeq[Double](0)
+    val steps = bounds.getSeq[Double](1)
+    assert(mins.length == 65 && steps.length == 65)
+    assert(steps.last == 0.0) // constant dim
+    val enc = Similarity.sqEncode(corpus, "id", "vec", Similarity.sqBounds(corpus, "vec"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val raw = corpus.collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    raw.foreach { case (id, v) =>
+      val codes = enc(id)
+      codes.foreach(c => assert(c >= 0 && c <= 255))
+      assert(codes.last == 0) // constant dim encodes to 0
+      v.indices.dropRight(1).foreach { j =>
+        val dq = mins(j) + steps(j) * codes(j)
+        assert(math.abs(dq - v(j)) <= steps(j) / 2 + 1e-12,
+          s"dequant error beyond half-step at id=$id dim=$j")
+      }
+    }
+  }
+
   test("range search at a near-1 tau finds exactly the duplicate orbit") {
     // the noise term has period 13 in vec_id: same-label vectors with
     // vec_id ≡ q (mod 13) are EXACT duplicates (cosine 1.0) — at a
