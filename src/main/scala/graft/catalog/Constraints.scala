@@ -175,6 +175,22 @@ object Constraints {
     if (checks.isEmpty) None
     else Some(new RowChecker(checks.map(c => (c, bind(spark, schema, c)))))
 
+  /** True when `e`'s cause chain carries THIS constraint's violation
+    * message — lets gates assert a write failed FOR the constraint, not
+    * for any incidental reason (the raise_error / RowChecker messages
+    * both lead with "CHECK constraint <name>"). */
+  def violationIn(e: Throwable, name: String): Boolean = {
+    var cur = e
+    var seen = 0
+    while (cur != null && seen < 20) {
+      if (Option(cur.getMessage).exists(_.contains(s"CHECK constraint $name")))
+        return true
+      cur = cur.getCause
+      seen += 1
+    }
+    false
+  }
+
   /** Decorator enforcing checks in front of any row-level writer. */
   class CheckedWriter(inner: DataWriter[InternalRow], checker: RowChecker)
       extends DataWriter[InternalRow] {

@@ -434,36 +434,47 @@ object Similarity {
           (b.getField("_mx") - b.getField("_mn")) / lit(255.0)).as("_steps"))
 
   /** INT8-style scalar quantization: `code[j] = round((v[j] - min[j]) /
-    * step[j])` in 0..255 (constant dims → 0) — ~4× compression for float
-    * vectors (8× for doubles) with dimension-wise dequantization, the
-    * cheap rung below PQ's ~32×. A PURE MAP over the corpus (bounds ride
-    * one broadcast row; zero corpus Exchange), mirroring [[pqEncode]]. */
+    * step[j])` CLAMPED to 0..255 (constant dims → 0; vectors encoded
+    * against STORED bounds — the index-maintenance case — saturate
+    * instead of escaping the code space). The codes live in an int8-sized
+    * value domain; they are materialized as an int array here, which
+    * parquet's dictionary/bit-packed encodings store in ~1 byte per code
+    * on disk (a binary packing would shrink the in-memory scan width too
+    * — left as a layout choice, the semantics are byte codes either way).
+    * A PURE MAP over the corpus (bounds ride one broadcast row; zero
+    * corpus Exchange), mirroring [[pqEncode]]. */
   def sqEncode(vecs: DataFrame, idCol: String, vecCol: String,
                bounds: DataFrame): DataFrame =
     vecs.crossJoin(broadcast(bounds))
       .select(col(idCol),
         transform(col(vecCol).cast("array<double>"), (v, j) =>
           when(element_at(col("_steps"), j + 1) === 0.0, lit(0))
-            .otherwise(round(
+            .otherwise(least(lit(255), greatest(lit(0), round(
               (v - element_at(col("_mins"), j + 1)) /
-                element_at(col("_steps"), j + 1)).cast("int"))).as("codes"))
+                element_at(col("_steps"), j + 1)).cast("int"))))).as("codes"))
 
-  /** Top-k over the SQ index by approximate cosine: each candidate is
-    * DEQUANTIZED on the fly (`min[j] + step[j] * code[j]`) and scored
-    * against the query — the scan reads 1-byte-class codes instead of the
-    * raw vectors; selection is the bounded-heap [[TopKByScore]], no Sort,
+  /** Top-k over the SQ index by approximate cosine. Each candidate row is
+    * dequantized ONCE (`min[j] + step[j] * code[j]`, a projection BELOW
+    * the broadcast join — never per (query, candidate) pair) and its norm
+    * precomputed the same way; the per-pair work is one fused dot plus a
+    * division. Selection is the bounded-heap [[TopKByScore]] — no Sort,
     * no Window, never a corpus shuffle. Deterministic: scores rounded at
-    * 6, ties by id — the oracle replays bounds/codes/dequant/rank. */
+    * 6 (same dot/|a||b| association as [[cosineSimilarity]], so the
+    * oracle's list_cosine_similarity replays it), ties by id. */
   def sqTopK(queries: DataFrame, index: DataFrame, bounds: DataFrame,
              k: Int): DataFrame = {
     val topK = udaf(new TopKByScore(k), ExpressionEncoderHelp.scored)
     val dequant = transform(col("codes"), (c, j) =>
       element_at(col("_mins"), j + 1) +
         element_at(col("_steps"), j + 1) * c.cast("double"))
-    index.crossJoin(broadcast(bounds))
-      .crossJoin(broadcast(queries))
-      .withColumn("approx",
-        round(cosineSimilarity(col("q_vec"), dequant), 6))
+    val candidates = index.crossJoin(broadcast(bounds))
+      .withColumn("_dvec", dequant)
+      .withColumn("_dnorm", l2Norm(col("_dvec")))
+      .select(col("id"), col("_dvec"), col("_dnorm"))
+    candidates.crossJoin(broadcast(queries))
+      .withColumn("approx", round(
+        dotProduct(col("q_vec"), col("_dvec")) /
+          (l2Norm(col("q_vec")) * col("_dnorm")), 6))
       .groupBy(col("q_id"))
       .agg(topK(col("id"), col("approx")).as("top"))
       .select(col("q_id"), posexplode(col("top")))

@@ -434,23 +434,36 @@ object CoverageQueries extends QueryModule {
       s.sql("INSERT INTO graft_cat.db.ck45 " +
         "SELECT doc_id, lang, n_chars FROM qc45_documents")
       val before = s.table("graft_cat.db.ck45").count()
-      // violating INSERT fails; nothing lands (atomic abort)
+      // violating INSERT fails FOR THE CONSTRAINT (the cause chain names
+      // it — any incidental failure would fail the gate); nothing lands
       val insertRejected = scala.util.Try(s.sql(
         "INSERT INTO graft_cat.db.ck45 " +
-          "SELECT doc_id + 1000000, lang, -n_chars FROM qc45_documents")).isFailure
+          "SELECT doc_id + 1000000, lang, -n_chars FROM qc45_documents")) match {
+        case scala.util.Failure(e) =>
+          graft.catalog.Constraints.violationIn(e, "chars_positive")
+        case _ => false
+      }
       val countStable = s.table("graft_cat.db.ck45").count() == before
       // NULL passes — SQL CHECK semantics (declare IS NOT NULL to reject)
       s.sql("INSERT INTO graft_cat.db.ck45 VALUES (9999991, 'xx', NULL)")
       // ALTER-time add validates EXISTING rows: satisfied -> lands ...
       s.sql("ALTER TABLE graft_cat.db.ck45 SET TBLPROPERTIES " +
         s"('${pfx}lang_short'='length(lang) <= 2')")
-      // ... violated by existing rows -> rejected
+      // ... violated by existing rows -> rejected with the specific error
       val addRejected = scala.util.Try(s.sql(
         "ALTER TABLE graft_cat.db.ck45 SET TBLPROPERTIES " +
-          s"('${pfx}chars_big'='n_chars > 100')")).isFailure
+          s"('${pfx}chars_big'='n_chars > 100')")) match {
+        case scala.util.Failure(e) =>
+          Option(e.getMessage).exists(_.contains("existing rows violate"))
+        case _ => false
+      }
       // row-level DML honors the invariants too (CoW rewrite re-validates)
       val updateRejected = scala.util.Try(s.sql(
-        "UPDATE graft_cat.db.ck45 SET n_chars = -5 WHERE doc_id = 0")).isFailure
+        "UPDATE graft_cat.db.ck45 SET n_chars = -5 WHERE doc_id = 0")) match {
+        case scala.util.Failure(e) =>
+          graft.catalog.Constraints.violationIn(e, "chars_positive")
+        case _ => false
+      }
       s.sql("UPDATE graft_cat.db.ck45 SET n_chars = n_chars + 1000 " +
         "WHERE doc_id < 10")
       val surfaced = s.sql("SHOW TBLPROPERTIES graft_cat.db.ck45")

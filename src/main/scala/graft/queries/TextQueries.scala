@@ -59,8 +59,7 @@ object TextQueries extends QueryModule {
           col("n_chars"),
           size(col("t")).as("n_tokens"),
           round(typeTokenRatio(col("t")), 4).as("ttr"),
-          round(least(lit(1.0), size(col("t")).cast("double") / 100.0) *
-            typeTokenRatio(col("t")), 4).as("quality"))
+          qualityScore.as("quality"))
         .orderBy("doc_id")
     },
 
@@ -623,10 +622,11 @@ object TextQueries extends QueryModule {
       val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
         n = 3, threshold = 0.8)
       val clusters = Dedup.connectedComponents(pairs) // (doc_id, cluster_id)
+      // qt03's quality formula (ONE definition: [[qualityScore]]);
+      // materialized — the join and the anti-join both consume it
       val scored = docs.withColumn("t", tokens(col("text")))
-        .select(col("doc_id"),
-          round(least(lit(1.0), size(col("t")).cast("double") / 100.0) *
-            typeTokenRatio(col("t")), 4).as("quality"))
+        .select(col("doc_id"), qualityScore.as("quality"))
+        .localCheckpoint()
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("cluster_id")
         .orderBy(col("quality").desc, col("doc_id"))
@@ -686,12 +686,22 @@ object TextQueries extends QueryModule {
         s.sql("INSERT INTO graft_cat.db.gov6 " +
           "SELECT doc_id, lang, text, n_chars FROM qp06_documents")
         // a malformed batch violates chars_positive: rejected atomically,
-        // the branch keeps exactly the first batch
+        // the branch keeps exactly the first batch. The boolean demands
+        // the SPECIFIC constraint violation in the failure's cause chain
+        // — any incidental failure (analysis, broken write path) would
+        // fail the gate instead of masquerading as enforcement
         val rejected = scala.util.Try(s.sql(
           "INSERT INTO graft_cat.db.gov6 SELECT doc_id + 1000000, lang, " +
-            "text, -n_chars FROM qp06_documents")).isFailure
+            "text, -n_chars FROM qp06_documents")) match {
+          case scala.util.Failure(e) =>
+            graft.catalog.Constraints.violationIn(e, "chars_positive")
+          case _ => false
+        }
         // AUDIT: LM-score the staged slice (the branch view) and delete
-        // low-quality docs ON THE BRANCH — main is untouched throughout
+        // low-quality docs ON THE BRANCH — main is untouched throughout.
+        // Docs too short to score (fewer than 2 tokens -> no bigrams)
+        // have no nll row, never enter the low-quality set, and are KEPT
+        // — the oracle's LEFT JOIN mirrors that rule explicitly
         lmScores(s.table("graft_cat.db.gov6"))
           .filter(col("nll") > lmKeepNll)
           .select("doc_id").createOrReplaceTempView("qp06_low_quality")
@@ -748,6 +758,13 @@ object TextQueries extends QueryModule {
   private val lmRefLang = "en"
   private val lmKeepNll = 3.43
 
+  /** qt03's quality score over a tokenized `t` column — ONE definition,
+    * shared by qt03 and qd14's retention rule (the oracle side mirrors it
+    * verbatim in both gates' SQL). */
+  private def qualityScore: org.apache.spark.sql.Column =
+    round(least(lit(1.0), size(col("t")).cast("double") / 100.0) *
+      typeTokenRatio(col("t")), 4)
+
   /** Small per-language stopword profiles (classic function-word lists). */
   val stopwords: Seq[(String, String)] = Seq(
     "en" -> "the", "en" -> "a", "en" -> "of", "en" -> "and", "en" -> "to",
@@ -768,6 +785,24 @@ object TextQueries extends QueryModule {
       pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
                 FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
                 GROUP BY 1, 2)"""
+
+  /** Shared recursive-CTE replay of the minhash-LSH near-dup CLUSTERS:
+    * verified-Jaccard pairs → undirected edges → min-label reachability
+    * components `comp(v, cid)`. Interpolate after [[shingleCte]] under a
+    * WITH RECURSIVE (qd06 + qd14 — one definition, no silent drift). */
+  private val componentsCte =
+    """jp AS (SELECT d1, d2
+              FROM pairs p JOIN sizes s1 ON p.d1 = s1.doc_id
+                           JOIN sizes s2 ON p.d2 = s2.doc_id
+              WHERE inter*1.0/(s1.n_sh + s2.n_sh - inter) >= 0.8),
+       edges AS (SELECT d1 AS src, d2 AS dst FROM jp
+                 UNION SELECT d2, d1 FROM jp),
+       nodes AS (SELECT DISTINCT src AS v FROM edges),
+       reach(v, label) AS (
+         SELECT v, v FROM nodes
+         UNION
+         SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.v),
+       comp AS (SELECT v, min(label) AS cid FROM reach GROUP BY v)"""
 
   private val jaccardSql =
     s"""WITH $shingleCte
@@ -1038,19 +1073,7 @@ object TextQueries extends QueryModule {
          FROM final GROUP BY lang ORDER BY lang""",
 
     "qd06_dedup_clusters" ->
-      s"""WITH RECURSIVE $shingleCte,
-         jp AS (SELECT d1, d2
-                FROM pairs p JOIN sizes s1 ON p.d1 = s1.doc_id
-                             JOIN sizes s2 ON p.d2 = s2.doc_id
-                WHERE inter*1.0/(s1.n_sh + s2.n_sh - inter) >= 0.8),
-         edges AS (SELECT d1 AS src, d2 AS dst FROM jp
-                   UNION SELECT d2, d1 FROM jp),
-         nodes AS (SELECT DISTINCT src AS v FROM edges),
-         reach(v, label) AS (
-           SELECT v, v FROM nodes
-           UNION
-           SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.v),
-         comp AS (SELECT v, min(label) AS cid FROM reach GROUP BY v)
+      s"""WITH RECURSIVE $shingleCte, $componentsCte
          SELECT cid AS cluster_id, count(*) AS n_docs
          FROM comp GROUP BY cid ORDER BY cluster_id""",
 
@@ -1241,19 +1264,7 @@ object TextQueries extends QueryModule {
     // clusters replay through qd06's recursive reachability; the keep rule
     // is per-cluster argmax (quality desc, doc_id asc) over qt03's quality
     "qd14_quality_retention" ->
-      s"""WITH RECURSIVE $shingleCte,
-         jp AS (SELECT d1, d2
-                FROM pairs p JOIN sizes s1 ON p.d1 = s1.doc_id
-                             JOIN sizes s2 ON p.d2 = s2.doc_id
-                WHERE inter*1.0/(s1.n_sh + s2.n_sh - inter) >= 0.8),
-         edges AS (SELECT d1 AS src, d2 AS dst FROM jp
-                   UNION SELECT d2, d1 FROM jp),
-         nodes AS (SELECT DISTINCT src AS v FROM edges),
-         reach(v, label) AS (
-           SELECT v, v FROM nodes
-           UNION
-           SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.v),
-         comp AS (SELECT v, min(label) AS cid FROM reach GROUP BY v),
+      s"""WITH RECURSIVE $shingleCte, $componentsCte,
          q AS (SELECT doc_id,
                  round(least(1.0, len(t)/100.0) *
                    (len(list_distinct(t))*1.0/len(t)), 4) AS quality
@@ -1298,8 +1309,8 @@ object TextQueries extends QueryModule {
           SELECT true AS insert_rejected, true AS main_empty_pre_publish,
             t.lang, count(*) AS n_docs,
             CAST(sum(t.n_chars) AS BIGINT) AS total_chars
-          FROM toks t JOIN nll ON t.doc_id = nll.doc_id
-          WHERE nll.nll <= $lmKeepNll
+          FROM toks t LEFT JOIN nll ON t.doc_id = nll.doc_id
+          WHERE nll.nll IS NULL OR nll.nll <= $lmKeepNll
           GROUP BY t.lang ORDER BY t.lang""",
 
     // replays the whole model: reference bigram/prefix counts, add-one

@@ -169,7 +169,9 @@ object VectorQueries extends QueryModule {
     "qv09_sq_ann" -> { (s, d) =>
       val emb = Tables.embeddings(s, d)
       val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
-      val bounds = Similarity.sqBounds(corpus, "vec")
+      // the calibration row is part of the stored index: materialize it
+      // once (both encode and the query path consume it)
+      val bounds = Similarity.sqBounds(corpus, "vec").localCheckpoint()
       val index = Similarity.sqEncode(corpus, "id", "vec", bounds)
       val queries = emb.filter(col("vec_id") < 5)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
@@ -374,8 +376,9 @@ object VectorQueries extends QueryModule {
           enc AS (SELECT e.vec_id,
                     list_transform(generate_series(1, $dim), j ->
                       CASE WHEN b.steps[j] = 0 THEN 0
-                           ELSE CAST(round((e.v[j] - b.mins[j]) / b.steps[j])
-                                  AS INTEGER) END) AS codes
+                           ELSE least(255, greatest(0,
+                             CAST(round((e.v[j] - b.mins[j]) / b.steps[j])
+                                  AS INTEGER))) END) AS codes
                   FROM e CROSS JOIN b),
           dq AS (SELECT enc.vec_id,
                    list_transform(generate_series(1, $dim), j ->
