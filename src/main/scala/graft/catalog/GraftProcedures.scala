@@ -232,8 +232,27 @@ private[catalog] object GraftProcedures {
         "register_files applies to name-resolved tables only — this table uses " +
           "column mapping (parquet field ids), which externally produced files " +
           "don't carry; route the import through INSERT INTO ... SELECT instead")
+      // adopted rows must satisfy the table's declared CHECK constraints —
+      // every other write path enforces them pre-commit, and ALTER-time
+      // ADD validated the existing rows; adoption scans the candidate
+      // files the same way (limit-1 per check, stops at the first
+      // violation) BEFORE anything commits
+      val checks = meta.checks.map { case (n, s) => Constraints.Check(n, s) }
+      val validate: Seq[String] => Unit =
+        if (checks.isEmpty) _ => ()
+        else { fresh =>
+          val df = SparkSession.active.read
+            .parquet(fresh.map(f => s"$dir/$f"): _*)
+          checks.foreach { c =>
+            val bad = df.where(Constraints.violated(c)).limit(1).collect()
+            require(bad.isEmpty,
+              s"register_files: adopted rows violate CHECK constraint " +
+                s"${c.name} (${c.sql}), e.g. ${bad.headOption.getOrElse("")} — " +
+                "nothing was committed")
+          }
+        }
       val (version, added) = ManifestTable.registerFiles(
-        SparkSession.active, dir, input.getString(1))
+        SparkSession.active, dir, input.getString(1), validate = validate)
       result(
         StructType(Seq(
           StructField("table_version", LongType, nullable = false),

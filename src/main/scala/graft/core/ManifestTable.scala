@@ -755,9 +755,30 @@ object ManifestTable {
       }
       (v, committed)
     } catch {
-      // every target was concurrently rewritten: nothing left to restat
-      case _: java.util.ConcurrentModificationException =>
-        (currentVersion(dir).getOrElse(cur), 0)
+      // Two CME sources share this type: (a) the rebase found EVERY
+      // remaining target concurrently rewritten (the closure returned
+      // None — nothing left to restat, swallowing is correct), and
+      // (b) commitLoop exhausted its retries under writer contention —
+      // the stats never landed and reporting success-with-0 would lie.
+      // Distinguish by re-reading the head: any original target still
+      // live and still missing a declared sketch means the backfill did
+      // NOT complete — rethrow.
+      case e: java.util.ConcurrentModificationException =>
+        val head = currentVersion(dir).getOrElse(cur)
+        val now = state(dir, head)
+        val liveNow = now.files.toSet
+        val stillUnstatted = targets.filter { f =>
+          liveNow.contains(f) && (now.stats.get(f) match {
+            case None    => true
+            case Some(s) => ndvCols.exists(c => s.col(c).flatMap(_.ndvSketch).isEmpty)
+          })
+        }
+        if (stillUnstatted.nonEmpty)
+          throw new java.util.ConcurrentModificationException(
+            s"stats backfill to $dir did not commit (writer contention): " +
+              s"${stillUnstatted.size} of ${targets.size} targets still lack " +
+              s"stats — rerun collect_stats; cause: ${e.getMessage}")
+        (head, 0)
     }
   }
 
@@ -1086,7 +1107,8 @@ object ManifestTable {
     * Returns (committedVersion, adoptedRelativePaths) — `currentVersion`
     * (or -1 on an empty log) with an empty list when nothing new matched. */
   def registerFiles(spark: SparkSession, dir: String,
-                    glob: String = "*.parquet"): (Long, Seq[String]) = {
+                    glob: String = "*.parquet",
+                    validate: Seq[String] => Unit = _ => ()): (Long, Seq[String]) = {
     val fs = LakeStorage.openFor(dir)
     val base = new Path(dir)
     require(fs.exists(base), s"register_files: no such table directory $dir")
@@ -1123,6 +1145,10 @@ object ManifestTable {
           s"does not match the table's ${render(tableShape)} — " +
           "fix the import (or evolve the table schema first), nothing was committed")
     }
+    // caller-supplied content gate over the dir-relative adoptees (the
+    // catalog passes its CHECK-constraint scan here) — runs BEFORE the
+    // commit, so a violating import leaves the table untouched
+    validate(fresh)
     (commitStagedAppend(dir, fresh), fresh)
   }
 

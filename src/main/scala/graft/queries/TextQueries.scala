@@ -614,41 +614,31 @@ object TextQueries extends QueryModule {
     // --- QUALITY-AWARE dedup retention (the production refinement of
     //     keep-lowest-id: inside each near-dup cluster keep the HIGHEST
     //     quality document — LSH pairs -> connected components -> one
-    //     argmax window over cluster members only (dup clusters << the
-    //     corpus); singletons pass through a broadcast anti-join, never
-    //     entering the window ---
+    //     argmax window over cluster members only; singletons pass
+    //     through an anti-join, never entering the window. The cluster-
+    //     membership table carries NO broadcast hint: its size is
+    //     data-dependent (at web-corpus dup rates 30-50% of docs sit in
+    //     dup clusters), so AQE picks broadcast when it IS small and
+    //     degrades to a shuffle join when it is not — the window that
+    //     follows shuffles dup members on cluster_id anyway, so the
+    //     shuffle join adds no new exchange class (PlanShapeSpec proves
+    //     the plan survives with broadcasting disabled) ---
     "qd14_quality_retention" -> { (s, d) =>
-      val docs = Tables.documents(s, d)
-      val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
-        n = 3, threshold = 0.8)
-      val clusters = Dedup.connectedComponents(pairs) // (doc_id, cluster_id)
-      // qt03's quality formula (ONE definition: [[qualityScore]]);
-      // materialized — the join and the anti-join both consume it
-      val scored = docs.withColumn("t", tokens(col("text")))
-        .select(col("doc_id"), qualityScore.as("quality"))
-        .localCheckpoint()
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("cluster_id")
-        .orderBy(col("quality").desc, col("doc_id"))
-      val dupKeep = scored.join(broadcast(clusters), "doc_id")
-        .withColumn("rn", row_number().over(w))
-        .select(col("doc_id"), col("cluster_id"), col("quality"),
-          (col("rn") === 1).as("keep"))
-      val singles = scored.join(broadcast(clusters), Seq("doc_id"), "left_anti")
-        .select(col("doc_id"), col("doc_id").as("cluster_id"), col("quality"),
-          lit(true).as("keep"))
-      dupKeep.unionByName(singles).orderBy("doc_id")
+      qualityRetention(Tables.documents(s, d)).orderBy("doc_id")
     },
 
     // --- CCNet-style n-gram LM quality scoring: train add-one-smoothed
     //     word-bigram counts on a REFERENCE slice (lang='en'), score every
     //     document's mean negative log-likelihood under that model, keep
-    //     low-perplexity docs. Scale shape: the model is two broadcastable
-    //     count tables (bigram + prefix) and a 1-row vocab size — the
-    //     corpus side is scan -> explode -> two broadcast joins -> one
-    //     partial agg, no corpus shuffle before the per-doc fold. Per-
-    //     bigram log-probs are quantized to integer micro-nats so the
-    //     per-doc SUM is exact across engines regardless of fold order ---
+    //     low-perplexity docs. Scale shape: the model is BOUNDED — the
+    //     top-`lmModelBigrams` reference bigrams plus the prefix table
+    //     DERIVED from that pruned set, so the two broadcasts are
+    //     O(model) at any corpus size (out-of-model bigrams take the
+    //     smoothed OOV arm); the corpus side is scan -> explode -> two
+    //     broadcast joins -> one partial agg, no corpus shuffle before
+    //     the per-doc fold. Per-bigram log-probs are quantized to integer
+    //     micro-nats so the per-doc SUM is exact across engines
+    //     regardless of fold order ---
     "qt16_lm_score" -> { (s, d) =>
       lmScores(Tables.documents(s, d))
         .select(col("doc_id"), col("lang"), col("n_bigrams"), col("nll"),
@@ -726,7 +716,20 @@ object TextQueries extends QueryModule {
   /** The qt16 scoring pipeline as a reusable piece (qp06's audit scores
     * the STAGED table with it): reference = the input's `lmRefLang`
     * slice, add-one smoothing, integer micro-nat quantization. Returns
-    * (doc_id, lang, n_bigrams, nll). */
+    * (doc_id, lang, n_bigrams, nll).
+    *
+    * The model is BOUNDED: only the [[lmModelBigrams]] highest-count
+    * reference bigrams (ties broken by bigram text — deterministic,
+    * oracle-replayable) enter the count table, and the prefix table
+    * derives from the PRUNED set, so both broadcasts are O(model), never
+    * O(reference slice) — the same discipline CCNet applies by pruning
+    * its KenLM. Out-of-model bigrams take the smoothed OOV arm
+    * (c2 = 0, and c1 = 0 when the prefix was pruned too) — the add-one
+    * formula already covers them, no special case. An UNBOUNDED model
+    * would broadcast every distinct bigram of the reference slice:
+    * billions of rows on a 100 TB corpus — the driver-OOM the cap
+    * exists to prevent. Top-N selection is a distributed
+    * TakeOrderedAndProject, never a single-partition sort. */
   private def lmScores(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     def bigrams(df: org.apache.spark.sql.DataFrame) = df
       .select(col("doc_id"), col("lang"),
@@ -734,6 +737,7 @@ object TextQueries extends QueryModule {
       .withColumn("w1", split(col("bigram"), " ").getItem(0))
     val refBi = bigrams(docs.filter(col("lang") === lmRefLang))
     val c2 = refBi.groupBy("bigram").agg(count(lit(1)).as("c2"))
+      .orderBy(col("c2").desc, col("bigram")).limit(lmModelBigrams)
     val c1 = c2.withColumn("w1", split(col("bigram"), " ").getItem(0))
       .groupBy("w1").agg(sum(col("c2")).as("c1"))
     val vocab = docs.filter(col("lang") === lmRefLang)
@@ -754,9 +758,44 @@ object TextQueries extends QueryModule {
       .select(col("doc_id"), col("lang"), col("n_bigrams"), col("nll"))
   }
 
-  /** qt16's model constants, shared with the oracle SQL. */
+  /** qt16's model constants, shared with the oracle SQL. The bigram cap
+    * bounds the broadcast model at any corpus size; 512 also prunes at
+    * the gate's sf (the reference slice holds ~900 distinct bigrams), so
+    * the oracle exercises the OOV arm, not just the happy path. */
   private val lmRefLang = "en"
-  private val lmKeepNll = 3.43
+  private val lmModelBigrams = 512
+  private val lmKeepNll = 3.8
+
+  /** qd14's quality-aware retention as a reusable piece: LSH near-dup
+    * pairs → connected components → per-cluster argmax (quality desc,
+    * doc_id asc); singletons keep themselves. Size-safe at any dup
+    * fraction: the dup-cluster membership table joins WITHOUT a
+    * broadcast hint (AQE broadcasts it only when its runtime size
+    * allows), so a corpus where half the documents sit in dup clusters
+    * degrades to a shuffle join instead of OOM-ing the driver. Returns
+    * (doc_id, cluster_id, quality, keep). */
+  private[graft] def qualityRetention(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+      n = 3, threshold = 0.8)
+    val clusters = Dedup.connectedComponents(pairs) // (doc_id, cluster_id)
+    // qt03's quality formula (ONE definition: [[qualityScore]]);
+    // materialized — the join and the anti-join both consume it
+    val scored = docs.withColumn("t", tokens(col("text")))
+      .select(col("doc_id"), qualityScore.as("quality"))
+      .localCheckpoint()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster_id")
+      .orderBy(col("quality").desc, col("doc_id"))
+    val dupKeep = scored.join(clusters, "doc_id")
+      .withColumn("rn", row_number().over(w))
+      .select(col("doc_id"), col("cluster_id"), col("quality"),
+        (col("rn") === 1).as("keep"))
+    val singles = scored.join(clusters, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("doc_id").as("cluster_id"), col("quality"),
+        lit(true).as("keep"))
+    dupKeep.unionByName(singles)
+  }
 
   /** qt03's quality score over a tokenized `t` column — ONE definition,
     * shared by qt03 and qd14's retention rule (the oracle side mirrors it
@@ -1288,8 +1327,10 @@ object TextQueries extends QueryModule {
                    unnest(list_transform(generate_series(1, len(t)-1),
                      i -> t[i]||' '||t[i+1])) AS bigram
                  FROM toks WHERE len(t) >= 2),
-          c2 AS (SELECT bigram, count(*) AS c2 FROM bi
+          c2all AS (SELECT bigram, count(*) AS c2 FROM bi
                  WHERE lang = '$lmRefLang' GROUP BY 1),
+          c2 AS (SELECT bigram, c2 FROM c2all
+                 ORDER BY c2 DESC, bigram LIMIT $lmModelBigrams),
           c1 AS (SELECT string_split(bigram, ' ')[1] AS w1,
                    CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1),
           v AS (SELECT count(DISTINCT w) AS v FROM
@@ -1322,8 +1363,10 @@ object TextQueries extends QueryModule {
                    unnest(list_transform(generate_series(1, len(t)-1),
                      i -> t[i]||' '||t[i+1])) AS bigram
                  FROM toks WHERE len(t) >= 2),
-          c2 AS (SELECT bigram, count(*) AS c2 FROM bi
+          c2all AS (SELECT bigram, count(*) AS c2 FROM bi
                  WHERE lang = '$lmRefLang' GROUP BY 1),
+          c2 AS (SELECT bigram, c2 FROM c2all
+                 ORDER BY c2 DESC, bigram LIMIT $lmModelBigrams),
           c1 AS (SELECT string_split(bigram, ' ')[1] AS w1,
                    CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1),
           v AS (SELECT count(DISTINCT w) AS v FROM

@@ -424,6 +424,36 @@ class PlanShapeSpec extends AnyFunSuite {
       s"range-search corpus side shuffles before the probe join:\n${df.queryExecution.sparkPlan}")
   }
 
+  test("qd14 retention: cluster join degrades to a shuffle join when broadcast is off (no forced broadcast)") {
+    // the dup-cluster membership table's size is data-dependent (web
+    // corpora put 30-50% of docs in dup clusters), so qd14 must NOT pin
+    // it to a broadcast: with broadcasting disabled — the planner's view
+    // of "too big to broadcast" — the join must still plan (as a shuffle
+    // join) and produce the identical result
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec}
+    val docs = Tables.documents(spark, sf)
+    val expected = graft.queries.TextQueries.qualityRetention(docs)
+      .orderBy("doc_id").collect()
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = graft.queries.TextQueries.qualityRetention(docs).orderBy("doc_id")
+      val rows = df.collect() // AQE finalizes the executed plan
+      val exec = df.queryExecution.executedPlan
+      def leaves(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] =
+        p.collect {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            leaves(a.executedPlan)
+          case b: BroadcastHashJoinExec => Seq(b)
+          case b: BroadcastNestedLoopJoinExec => Seq(b)
+        }.flatten
+      assert(leaves(exec).isEmpty,
+        s"qd14 still forces a broadcast with the threshold disabled:\n$exec")
+      assert(rows.toSeq == expected.toSeq,
+        "qd14 result changed between broadcast and shuffle join plans")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+  }
+
   test("qt16 LM scoring: both model joins broadcast; corpus never shuffles on bigram/prefix") {
     val p = plan(SparkEntry.queries("qt16_lm_score")(spark, sf))
     // the bigram-count and prefix-count model tables must ride broadcasts:

@@ -162,4 +162,31 @@ class ConstraintSpec extends AnyFunSuite {
     assert(e.getMessage != null)
     assert(spark.table("gck.db.rt").count() == 0)
   }
+
+  test("register_files validates adopted rows against declared CHECK constraints") {
+    // adoption is a write path like any other: foreign parquet that
+    // violates a declared invariant must refuse BEFORE the commit, the
+    // same contract INSERT/DML/streaming enforce (and ALTER-time ADD
+    // validated for existing rows)
+    val dir = "file://" + Files.createTempDirectory("graft_adopt_ck_").toString
+    spark.sql(s"CREATE TABLE gck.db.ck_adopt (id BIGINT, n BIGINT) USING manifest " +
+      s"LOCATION '$dir' TBLPROPERTIES ('${pfx}pos'='n > 0')")
+    spark.sql("INSERT INTO gck.db.ck_adopt VALUES (1, 10)")
+    // a violating external import (one negative row among valid ones)
+    spark.range(5).selectExpr("id + 100 AS id", "id - 2 AS n")
+      .coalesce(1).write.parquet(s"$dir/import_bad")
+    val e2 = intercept[Exception](
+      spark.sql("CALL gck.system.register_files('db.ck_adopt')").collect())
+    assert(e2.getMessage.contains("pos"), s"wrong error: ${e2.getMessage}")
+    assert(spark.table("gck.db.ck_adopt").count() == 1,
+      "violating adoption must commit nothing")
+    // clear the bad import; a clean one adopts
+    val bad = new java.io.File(new java.net.URI(s"$dir/import_bad"))
+    bad.listFiles().foreach(_.delete()); bad.delete()
+    spark.range(5).selectExpr("id + 100 AS id", "id + 1 AS n")
+      .coalesce(1).write.parquet(s"$dir/import_ok")
+    val reg = spark.sql("CALL gck.system.register_files('db.ck_adopt')").head()
+    assert(reg.getLong(1) === 1L, s"expected 1 adopted file, got $reg")
+    assert(spark.table("gck.db.ck_adopt").count() == 6)
+  }
 }
