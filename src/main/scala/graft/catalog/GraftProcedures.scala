@@ -114,7 +114,7 @@ private[catalog] object GraftProcedures {
     override def description(): String =
       "rewrite the table into its compact layout (manifest: ~target_mb files, " +
         "bucketed re-bucket, cluster_by range-sorts, zorder bit-interleaves " +
-        "2 dims; keyedlog: one file per key)"
+        "2-4 dims; keyedlog: one file per key)"
     override def parameters(): Array[ProcedureParameter] = Array(
       ProcedureParameter.in("table", StringType).build(),
       ProcedureParameter.in("target_mb", IntegerType).defaultValue("128").build(),
@@ -131,8 +131,8 @@ private[catalog] object GraftProcedures {
       val spark = SparkSession.active
       val requested = input.getString(2).split(",").map(_.trim).filter(_.nonEmpty).toSeq
       val zorderBy = input.getString(4).split(",").map(_.trim).filter(_.nonEmpty).toSeq
-      require(zorderBy.isEmpty || zorderBy.length == 2,
-        "zorder interleaves exactly 2 columns (use cluster_by for 1)")
+      require(zorderBy.isEmpty || (zorderBy.length >= 2 && zorderBy.length <= 4),
+        "zorder interleaves 2 to 4 columns (use cluster_by for 1)")
       require(zorderBy.isEmpty || requested.isEmpty,
         "cluster_by (linear) and zorder (interleaved) are exclusive layouts")
       require(zorderBy.isEmpty || (provider == "manifest" && bucket.isEmpty),
@@ -396,41 +396,65 @@ private[catalog] object GraftProcedures {
     }
   }
 
-  /** `CALL g.system.collect_stats('db.t' [, mode => 'missing'|'all'])` —
-    * backfill per-file NDV sketches / histograms / bounds for LIVE files
-    * that predate the `graft.ndv.columns` declaration (register_files
-    * adoptions, pre-declaration writes) as a STATS-ONLY commit: zero data
-    * bytes rewritten, optimizer serving resumes at the next plan. The
-    * ANALYZE-free path: declare the columns with ALTER TABLE ... SET
-    * TBLPROPERTIES, then one call whose cost tracks the un-statted files'
-    * bytes, never the table. 'missing' (default) restats only files
-    * lacking some declared sketch — idempotent; 'all' recomputes every
-    * live file's stats. */
+  /** `CALL g.system.collect_stats('db.t' [, mode => 'missing'|'all']
+    * [, columns => 'c1,c2'])` — backfill per-file NDV sketches /
+    * histograms / bounds for LIVE files that predate the
+    * `graft.ndv.columns` declaration (register_files adoptions,
+    * pre-declaration writes) as a STATS-ONLY commit: zero data bytes
+    * rewritten, optimizer serving resumes at the next plan. `columns`
+    * is the one-call `ANALYZE TABLE ... COMPUTE STATISTICS FOR COLUMNS`
+    * workflow: the named columns are MERGED into the declaration (same
+    * validation as the ALTER) and backfilled in the same call. The SQL
+    * spelling itself cannot route here: Spark's ResolveSessionCatalog
+    * hard-refuses `ANALYZE TABLE` for v2 tables before any rule an
+    * existing session can add (NOT_SUPPORTED_COMMAND_FOR_V2_TABLE — the
+    * same wiring gap that cut ViewCatalog), so the procedure IS the
+    * front door. 'missing' (default) restats only files lacking some
+    * declared sketch — idempotent; 'all' recomputes every live file's
+    * stats. */
   private final class CollectStatsProcedure(catalog: GraftCatalog) extends ManifestProcedure {
     override def name(): String = "collect_stats"
     override def description(): String =
       "backfill per-file NDV/histogram/bounds stats for live files as a " +
-        "stats-only commit (no data rewritten)"
+        "stats-only commit (no data rewritten); columns => declares and " +
+        "backfills in one call (the ANALYZE ... FOR COLUMNS workflow)"
     override def parameters(): Array[ProcedureParameter] = Array(
       ProcedureParameter.in("table", StringType).build(),
-      ProcedureParameter.in("mode", StringType).defaultValue("'missing'").build())
+      ProcedureParameter.in("mode", StringType).defaultValue("'missing'").build(),
+      ProcedureParameter.in("columns", StringType).defaultValue("''").build())
     override def call(input: InternalRow): JIterator[Scan] = {
       val parts = input.getString(0).split("\\.")
       require(parts.length <= 2 && parts.forall(_.nonEmpty),
         s"procedure wants a table name like 'db.t' or 't', got '${input.getString(0)}'")
-      val (meta, dir) = catalog.procedureMeta(
-        Identifier.of(parts.dropRight(1), parts.last))
+      val ident = Identifier.of(parts.dropRight(1), parts.last)
+      val (meta, dir) = catalog.procedureMeta(ident)
       require(meta.provider == "manifest",
         s"collect_stats applies to manifest tables only; " +
           s"'${input.getString(0)}' is a ${meta.provider} table")
-      require(meta.ndvCols.nonEmpty,
-        s"'${input.getString(0)}' declares no stat columns — ALTER TABLE " +
-          s"... SET TBLPROPERTIES ('${GraftCatalog.NdvColsProp}'='c1,c2') first")
+      val requested = input.getString(2).split(",").map(_.trim)
+        .filter(_.nonEmpty).toSeq
+      val ndvCols =
+        if (requested.isEmpty) meta.ndvCols
+        else {
+          // merge into the declaration through the ALTER path — the same
+          // existence/type validation SET TBLPROPERTIES runs; future
+          // writes sketch the merged set from here on
+          val merged = (meta.ndvCols ++ requested).distinct
+          if (merged != meta.ndvCols)
+            catalog.alterTable(ident,
+              org.apache.spark.sql.connector.catalog.TableChange.setProperty(
+                GraftCatalog.NdvColsProp, merged.mkString(",")))
+          merged
+        }
+      require(ndvCols.nonEmpty,
+        s"'${input.getString(0)}' declares no stat columns — pass " +
+          s"columns => 'c1,c2' (or ALTER TABLE ... SET TBLPROPERTIES " +
+          s"('${GraftCatalog.NdvColsProp}'='c1,c2') first)")
       val mode = input.getString(1)
       require(mode == "missing" || mode == "all",
         s"collect_stats mode must be 'missing' or 'all', got '$mode'")
       val (version, restatted) = ManifestTable.restatFiles(
-        dir, meta.ndvCols, onlyMissing = mode == "missing")
+        dir, ndvCols, onlyMissing = mode == "missing")
       result(
         StructType(Seq(
           StructField("table_version", LongType, nullable = false),

@@ -923,10 +923,11 @@ object ManifestTable {
     * prune whole files/row groups (same layout contract as
     * [[LakeCompaction.compactParquet]], measured in ClusteringSpec).
     * `zorderBy` (OPTIMIZE ... ZORDER BY) instead clusters on the
-    * materialized 2-D Morton key ([[graft.functions.ZOrder.zorderKey]],
-    * domain-scaled from the snapshot's actual bounds) so every output
-    * file gets a narrow min/max box in BOTH dimensions — selective
-    * filters on EITHER column file-prune. Both cost one range shuffle,
+    * materialized 2–4-D Morton key ([[graft.functions.ZOrder.zorderKey]],
+    * domain-scaled from the snapshot's actual bounds, 63/k bits per
+    * dimension) so every output file gets a narrow min/max box in ALL
+    * interleaved dimensions — a selective filter on ANY of the columns
+    * file-prunes. Both cost one range shuffle,
     * the price of clustering in any table format; empty = plain
     * coalesce. Returns (filesBefore, filesAfter). */
   def compact(spark: SparkSession, dir: String,

@@ -38,10 +38,52 @@ object ZOrder {
   def zorder2(a: Column, b: Column): Column =
     spread(a.cast("long")).bitwiseOR(shiftleft(spread(b.cast("long")), 1))
 
-  /** Buckets per interleaved dimension for [[zorderKey]]: 2^20 ≈ 1M
+  /** Spread the low 21 bits of `c` to every third bit position (stride-3
+    * Morton dilation — the standard mask ladder). 21 bits/dim × 3 dims
+    * fills bits 0..62, keeping the long non-negative. */
+  private def spread3(c: Column): Column = {
+    val m0 = c.bitwiseAND(lit(0x1fffffL))
+    val m1 = m0.bitwiseOR(shiftleft(m0, 32)).bitwiseAND(lit(0x1f00000000ffffL))
+    val m2 = m1.bitwiseOR(shiftleft(m1, 16)).bitwiseAND(lit(0x1f0000ff0000ffL))
+    val m3 = m2.bitwiseOR(shiftleft(m2, 8)).bitwiseAND(lit(0x100f00f00f00f00fL))
+    val m4 = m3.bitwiseOR(shiftleft(m3, 4)).bitwiseAND(lit(0x10c30c30c30c30c3L))
+    m4.bitwiseOR(shiftleft(m4, 2)).bitwiseAND(lit(0x1249249249249249L))
+  }
+
+  /** Spread the low 15 bits of `c` to every fourth bit position (stride-4
+    * dilation). 15, not 16: 16-bit dilation would land the 4th dimension's
+    * top bit in the sign bit; 15 × 4 fills bits 0..59. */
+  private def spread4(c: Column): Column = {
+    val m0 = c.bitwiseAND(lit(0x7fffL))
+    val m1 = m0.bitwiseOR(shiftleft(m0, 24)).bitwiseAND(lit(0x000000ff000000ffL))
+    val m2 = m1.bitwiseOR(shiftleft(m1, 12)).bitwiseAND(lit(0x000f000f000f000fL))
+    val m3 = m2.bitwiseOR(shiftleft(m2, 6)).bitwiseAND(lit(0x0303030303030303L))
+    m3.bitwiseOR(shiftleft(m3, 3)).bitwiseAND(lit(0x1111111111111111L))
+  }
+
+  /** Interleaved 3-D z-address over [0, 2^21)³ — bit i of `a`/`b`/`c`
+    * lands at position 3i / 3i+1 / 3i+2. */
+  def zorder3(a: Column, b: Column, c: Column): Column =
+    spread3(a.cast("long"))
+      .bitwiseOR(shiftleft(spread3(b.cast("long")), 1))
+      .bitwiseOR(shiftleft(spread3(c.cast("long")), 2))
+
+  /** Interleaved 4-D z-address over [0, 2^15)⁴. */
+  def zorder4(a: Column, b: Column, c: Column, d: Column): Column =
+    spread4(a.cast("long"))
+      .bitwiseOR(shiftleft(spread4(b.cast("long")), 1))
+      .bitwiseOR(shiftleft(spread4(c.cast("long")), 2))
+      .bitwiseOR(shiftleft(spread4(d.cast("long")), 3))
+
+  /** Buckets per interleaved dimension for [[zorderKey]]: up to 2^20 ≈ 1M
     * cells/dim keeps quantization error irrelevant at any file count
-    * while staying far inside zorder2's 31-bit/dim budget. */
+    * while staying far inside zorder2's 31-bit/dim budget; 3- and 4-dim
+    * keys shrink to their dilation budget (2^20 fits 3-D's 21 bits;
+    * 4-D gets 2^15 = 32k cells/dim — still ≫ any real file count). */
   private val KeyBuckets = 1L << 20
+
+  private def bucketsFor(k: Int): Long =
+    math.min(KeyBuckets, 1L << (63 / k))
 
   /** A column's numeric view for z-scaling (dates as epoch days,
     * timestamps as epoch micros) — or None if the type can't order on a
@@ -55,17 +97,22 @@ object ZOrder {
     case _ => None
   }
 
-  /** The materialized 2-D z-order clustering key for `df` over two
-    * NUMERIC/date/timestamp columns — the `OPTIMIZE ... ZORDER BY (a, b)`
-    * write-time sort key. Each dimension is equi-width-scaled into
-    * [0, 2^20) from its ACTUAL min/max (one column-pruned aggregate pass
-    * over `df` — a rounding error next to the full rewrite that follows),
-    * then bit-interleaved by [[zorder2]]; nulls scale to bucket 0 (sort
+  /** The materialized z-order clustering key for `df` over 2–4
+    * NUMERIC/date/timestamp columns — the `OPTIMIZE ... ZORDER BY (a, b
+    * [, c [, d]])` write-time sort key. Each dimension is equi-width-
+    * scaled into [0, bucketsFor(k)) from its ACTUAL min/max (one
+    * column-pruned aggregate pass over `df` — a rounding error next to
+    * the full rewrite that follows), then bit-interleaved by
+    * [[zorder2]]/[[zorder3]]/[[zorder4]] (bits per dim = 63/k, so the
+    * key always sorts non-negative); nulls scale to bucket 0 (sort
     * first, Spark's null ordering). Constant or all-null dimensions
-    * collapse to 0 — the key degrades to a linear sort on the other. */
+    * collapse to 0 — the key degrades to a lower-dimensional walk on
+    * the others. */
   def zorderKey(df: org.apache.spark.sql.DataFrame, cols: Seq[String]): Column = {
-    require(cols.length == 2,
-      s"z-order interleaving is 2-D: pass exactly 2 columns, got $cols")
+    require(cols.length >= 2 && cols.length <= 4,
+      s"z-order interleaving takes 2 to 4 columns, got $cols")
+    val k = cols.length
+    val buckets = bucketsFor(k)
     val views = cols.map { name =>
       // case-insensitive resolution, matching what col() gives cluster_by
       val f = df.schema.fields.find(_.name.equalsIgnoreCase(name))
@@ -75,9 +122,9 @@ object ZOrder {
         s"z-order column '$name' must be numeric, date, or timestamp; " +
           s"is ${f.dataType.simpleString}"))
     }
-    val bounds = df.agg(
-      min(views(0)).as("mn0"), max(views(0)).as("mx0"),
-      min(views(1)).as("mn1"), max(views(1)).as("mx1")).head()
+    val boundAggs = views.zipWithIndex.flatMap { case (v, i) =>
+      Seq(min(v).as(s"mn$i"), max(v).as(s"mx$i")) }
+    val bounds = df.agg(boundAggs.head, boundAggs.tail: _*).head()
     def scaled(v: Column, i: Int): Column = {
       if (bounds.isNullAt(2 * i)) return lit(0L) // all-null dimension
       val (mn, mx) = (bounds.getDouble(2 * i), bounds.getDouble(2 * i + 1))
@@ -86,9 +133,14 @@ object ZOrder {
       // the least non-null operand), so a null value fed through the
       // clamp would silently scale to the MAX bucket, not 0
       else when(v.isNull, lit(0L)).otherwise(
-        least(lit(KeyBuckets - 1),
-          floor((v - mn) / (mx - mn) * KeyBuckets).cast("long")))
+        least(lit(buckets - 1),
+          floor((v - mn) / (mx - mn) * buckets).cast("long")))
     }
-    zorder2(scaled(views(0), 0), scaled(views(1), 1))
+    val s = views.zipWithIndex.map { case (v, i) => scaled(v, i) }
+    k match {
+      case 2 => zorder2(s(0), s(1))
+      case 3 => zorder3(s(0), s(1), s(2))
+      case _ => zorder4(s(0), s(1), s(2), s(3))
+    }
   }
 }

@@ -1063,14 +1063,15 @@ object CoverageQueries extends QueryModule {
           "snapshot_n")
     },
 
-    // --- Z-ORDER compaction (CALL compact(zorder => 'x,y') /
+    // --- Z-ORDER compaction (CALL compact(zorder => 'x,y,z') /
     //     ManifestTable.compact zorderBy / ZOrder.zorderKey): rewrite the
-    //     table clustered on the domain-scaled 2-D Morton key, so EVERY
-    //     output file gets a narrow min/max box in BOTH dimensions and a
-    //     selective filter on EITHER column file-prunes through the log
-    //     stats — what a linear cluster_by can only give its leading
-    //     column. Structural booleans: multiple files, and both x- and
-    //     y-filters plan strictly fewer files than the table holds ---
+    //     table clustered on the domain-scaled N-D Morton key (2–4 dims,
+    //     bits per dim = 63/k), so EVERY output file gets a narrow
+    //     min/max box in ALL interleaved dimensions and a selective
+    //     filter on ANY of them file-prunes through the log stats — what
+    //     a linear cluster_by can only give its leading column.
+    //     Structural booleans: multiple files, and x-, y- and z-filters
+    //     each plan strictly fewer files than the table holds ---
     "qc42_zorder_compact" -> { (s, d) =>
       import s.implicits._
       if (s.conf.getOption("spark.sql.catalog.graft_cat").isEmpty)
@@ -1080,17 +1081,25 @@ object CoverageQueries extends QueryModule {
       s.sql("DROP TABLE IF EXISTS graft_cat.db.zc42")
       Tables.documents(s, d).createOrReplaceTempView("qc42_documents")
       s.sql("CREATE TABLE graft_cat.db.zc42 " +
-        "(id BIGINT, x BIGINT, y BIGINT, pad STRING) USING manifest")
-      // 100 rows per doc over a 1024×1024 (x, y) domain — x and y are
-      // both id-bijective mod 1024 but a filter on either scatters across
-      // the other; the pad is incompressible so target_mb=1 yields files
+        "(id BIGINT, x BIGINT, y BIGINT, z BIGINT, pad STRING) USING manifest")
+      // 100 rows per doc over a 1024³ (x, y, z) domain — each dim is
+      // id-bijective mod 1024 but a filter on one scatters across the
+      // others. The pad must be incompressible AND sized so target_mb=1
+      // yields ~25 files: the 3-D key's top bits cycle z,y,x, so the
+      // LAST-interleaved dim (x) only gets a clean split level once the
+      // file count passes 2³ — at ≤8 files every file straddles the x
+      // boundary and dim-x pruning vanishes. (A repeat()ed sha pad
+      // snappy-compresses ~8× and silently collapsed the file count to
+      // 5 — burned here: pad = 16 DISTINCT sha blocks per row.)
       s.sql("INSERT INTO graft_cat.db.zc42 " +
         "SELECT doc_id * 100 + r AS id, (doc_id * 100 + r) % 1024 AS x, " +
         "((doc_id * 100 + r) * 37) % 1024 AS y, " +
-        "repeat(sha2(CAST(doc_id * 100 + r AS STRING), 256), 2) AS pad " +
+        "((doc_id * 100 + r) * 59) % 1024 AS z, " +
+        "array_join(transform(sequence(0, 15), i -> " +
+        "sha2(CAST((doc_id * 100 + r) * 16 + i AS STRING), 256)), '') AS pad " +
         "FROM qc42_documents CROSS JOIN (SELECT id AS r FROM range(100))")
       val row = s.sql("CALL graft_cat.system.compact('db.zc42', " +
-        "target_mb => 1, zorder => 'x,y')").head()
+        "target_mb => 1, zorder => 'x,y,z')").head()
       val filesAfter = row.getLong(1)
       def planned(df: org.apache.spark.sql.DataFrame): Long = {
         val p = df.queryExecution.executedPlan match {
@@ -1112,14 +1121,19 @@ object CoverageQueries extends QueryModule {
         s.sql("SELECT * FROM graft_cat.db.zc42 WHERE x < 64")) < filesAfter
       val prunedY = planned(
         s.sql("SELECT * FROM graft_cat.db.zc42 WHERE y < 64")) < filesAfter
+      val prunedZ = planned(
+        s.sql("SELECT * FROM graft_cat.db.zc42 WHERE z < 64")) < filesAfter
       val aggX = s.sql("SELECT count(*) AS n, CAST(sum(id) AS BIGINT) AS k " +
         "FROM graft_cat.db.zc42 WHERE x < 64").head()
       val aggY = s.sql("SELECT count(*) AS n, CAST(sum(id) AS BIGINT) AS k " +
         "FROM graft_cat.db.zc42 WHERE y < 64").head()
-      Seq((filesAfter > 1, prunedX, prunedY,
-        aggX.getLong(0), aggX.getLong(1), aggY.getLong(0), aggY.getLong(1)))
-        .toDF("multi_files", "pruned_x", "pruned_y",
-          "n_x", "sum_x", "n_y", "sum_y")
+      val aggZ = s.sql("SELECT count(*) AS n, CAST(sum(id) AS BIGINT) AS k " +
+        "FROM graft_cat.db.zc42 WHERE z < 64").head()
+      Seq((filesAfter > 1, prunedX, prunedY, prunedZ,
+        aggX.getLong(0), aggX.getLong(1), aggY.getLong(0), aggY.getLong(1),
+        aggZ.getLong(0), aggZ.getLong(1)))
+        .toDF("multi_files", "pruned_x", "pruned_y", "pruned_z",
+          "n_x", "sum_x", "n_y", "sum_y", "n_z", "sum_z")
     },
 
     // --- grouped metadata aggregation (ManifestScanBuilder
@@ -2002,20 +2016,24 @@ object CoverageQueries extends QueryModule {
            true AS incremental_matches_full
          FROM cur GROUP BY lang ORDER BY lang""",
 
-    // the structural booleans are Spark plan facts (z-order layout
-    // file-prunes on BOTH dimensions); the filtered aggregates replay
-    // over the deterministic (x, y) derivation from documents
+    // the structural booleans are Spark plan facts (the 3-D z-order
+    // layout file-prunes on ALL THREE dimensions); the filtered
+    // aggregates replay over the deterministic (x, y, z) derivation
     "qc42_zorder_compact" ->
       """WITH rows AS (
            SELECT doc_id * 100 + r AS id,
                   (doc_id * 100 + r) % 1024 AS x,
-                  ((doc_id * 100 + r) * 37) % 1024 AS y
+                  ((doc_id * 100 + r) * 37) % 1024 AS y,
+                  ((doc_id * 100 + r) * 59) % 1024 AS z
            FROM documents CROSS JOIN generate_series(0, 99) t(r))
          SELECT true AS multi_files, true AS pruned_x, true AS pruned_y,
+           true AS pruned_z,
            (SELECT count(*) FROM rows WHERE x < 64) AS n_x,
            (SELECT CAST(sum(id) AS BIGINT) FROM rows WHERE x < 64) AS sum_x,
            (SELECT count(*) FROM rows WHERE y < 64) AS n_y,
-           (SELECT CAST(sum(id) AS BIGINT) FROM rows WHERE y < 64) AS sum_y""",
+           (SELECT CAST(sum(id) AS BIGINT) FROM rows WHERE y < 64) AS sum_y,
+           (SELECT count(*) FROM rows WHERE z < 64) AS n_z,
+           (SELECT CAST(sum(id) AS BIGINT) FROM rows WHERE z < 64) AS sum_z""",
 
     // the structural boolean is a log fact (the clone's fork snapshot
     // lists the source's physical files verbatim — zero copy); both

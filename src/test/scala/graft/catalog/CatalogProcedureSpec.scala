@@ -353,11 +353,12 @@ class CatalogProcedureSpec extends AnyFunSuite {
     }
     assert(widths("x").forall(_ < 255L) && widths("y").forall(_ < 255L),
       s"some file spans a full dimension: x=${widths("x")} y=${widths("y")}")
-    // guards: exclusive with cluster_by, exactly 2 columns, no small_only
+    // guards: exclusive with cluster_by, 2-4 columns, no small_only
     for ((call, msg) <- Seq(
         ("CALL gp.system.compact('db.zo', cluster_by => 'x', zorder => 'x,y')",
           "exclusive"),
-        ("CALL gp.system.compact('db.zo', zorder => 'x')", "exactly 2"),
+        ("CALL gp.system.compact('db.zo', zorder => 'x')", "2 to 4"),
+        ("CALL gp.system.compact('db.zo', zorder => 'x,y,x,y,x')", "2 to 4"),
         ("CALL gp.system.compact('db.zo', zorder => 'x,y', small_only => true)",
           "small_only"))) {
       val e = intercept[Exception](spark.sql(call).collect())

@@ -556,4 +556,36 @@ class StatsSkippingSpec extends AnyFunSuite {
       "CALL gk.system.collect_stats('db.nodecl')"))
     assert(e2.getMessage.contains("declares no stat columns"))
   }
+
+  test("collect_stats(columns => ...) declares and backfills in one call (the ANALYZE workflow)") {
+    import org.apache.spark.sql.functions._
+    // the `ANALYZE TABLE ... COMPUTE STATISTICS FOR COLUMNS` workflow as
+    // one procedure call (Spark's SQL spelling hard-refuses v2 tables in
+    // ResolveSessionCatalog, so the procedure is the front door)
+    spark.sql("CREATE TABLE gk.db.an (k BIGINT, v STRING) USING manifest")
+    spark.sql("INSERT INTO gk.db.an SELECT id, CAST(id AS STRING) FROM range(150)")
+    val dir = s"$root/db/an"
+    val row = spark.sql("CALL gk.system.collect_stats('db.an', columns => 'k')").head()
+    assert(row.getLong(1) > 0, "pre-declaration files must backfill")
+    // the declaration landed (future writes sketch) AND history carries it
+    def declared(): String = spark.sql("SHOW TBLPROPERTIES gk.db.an").collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+      .getOrElse(GraftCatalog.NdvColsProp, "")
+    assert(declared() == "k")
+    val v = ManifestTable.currentVersion(dir).get
+    val (files, stats) = ManifestTable.manifestEntries(dir, v)
+    assert(files.nonEmpty &&
+      files.forall(f => stats(f).col("k").exists(_.ndvSketch.isDefined)),
+      "every live file serves the sketch after the one-call path")
+    // a later call MERGES new columns into the declaration (k kept)
+    spark.sql("CALL gk.system.collect_stats('db.an', columns => 'v')")
+    assert(declared().split(",").toSet == Set("k", "v"))
+    // unknown columns refuse through the same validation the ALTER runs
+    val e3 = intercept[Exception](spark.sql(
+      "CALL gk.system.collect_stats('db.an', columns => 'nope')"))
+    assert(e3.getMessage.contains("nope"))
+    // contents untouched by any of it
+    assert(spark.table("gk.db.an").agg(sum("k")).head.getLong(0) ==
+      (0L until 150L).sum)
+  }
 }
