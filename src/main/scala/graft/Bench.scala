@@ -114,8 +114,15 @@ object Bench {
     // "queries" = the selected estimator (driver contract); both
     // estimators ride alongside so rounds compare min-to-min AND
     // median-to-median regardless of which was selected
+    // "env" records the harness shape: cpus sets BOTH parallelism and
+    // shuffle.partitions, and a 32-cpu run doubles tiny sf0.1 stage counts
+    // (~1.28× uniformly slower, measured round 10) — cross-round
+    // comparisons must match env.cpus or compare the default-cpu
+    // self-bench artifacts (BENCH_SELF_r*.json)
+    val env = s"""{"cpus":"$cpus","shuffle_partitions":"$cpus","stat":"$stat",""" +
+      s""""cache":"${sys.env.getOrElse("SPARK_GRAFT_CACHE", "1")}"}"""
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${obj(times)},""" +
-      s""""queries_min":${obj(mins)},"queries_median":${obj(medians)},"sf":"$sfDir"}""")
+      s""""queries_min":${obj(mins)},"queries_median":${obj(medians)},"sf":"$sfDir","env":$env}""")
     spark.stop()
   }
 }

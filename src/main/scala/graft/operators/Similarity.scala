@@ -444,14 +444,14 @@ object Similarity {
     * A PURE MAP over the corpus (bounds ride one broadcast row; zero
     * corpus Exchange), mirroring [[pqEncode]]. */
   def sqEncode(vecs: DataFrame, idCol: String, vecCol: String,
-               bounds: DataFrame): DataFrame =
+               bounds: DataFrame, keep: Seq[String] = Nil): DataFrame =
     vecs.crossJoin(broadcast(bounds))
-      .select(col(idCol),
+      .select((col(idCol) +: keep.map(col)) :+
         transform(col(vecCol).cast("array<double>"), (v, j) =>
           when(element_at(col("_steps"), j + 1) === 0.0, lit(0))
             .otherwise(least(lit(255), greatest(lit(0), round(
               (v - element_at(col("_mins"), j + 1)) /
-                element_at(col("_steps"), j + 1)).cast("int"))))).as("codes"))
+                element_at(col("_steps"), j + 1)).cast("int"))))).as("codes"): _*)
 
   /** Top-k over the SQ index by approximate cosine. Each candidate row is
     * dequantized ONCE (`min[j] + step[j] * code[j]`, a projection BELOW
@@ -472,6 +472,50 @@ object Similarity {
       .withColumn("_dnorm", l2Norm(col("_dvec")))
       .select(col("id"), col("_dvec"), col("_dnorm"))
     candidates.crossJoin(broadcast(queries))
+      .withColumn("approx", round(
+        dotProduct(col("q_vec"), col("_dvec")) /
+          (l2Norm(col("q_vec")) * col("_dnorm")), 6))
+      .groupBy(col("q_id"))
+      .agg(topK(col("id"), col("approx")).as("top"))
+      .select(col("q_id"), posexplode(col("top")))
+      .select(col("q_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.id").as("id"), col("col.score").as("approx"))
+  }
+
+  /** IVF + scalar quantization composed — the qv07 pattern with SQ codes
+    * instead of PQ: the stored index is (coarse cluster, id, dim int8
+    * codes) per corpus vector, built in ONE corpus pass of two
+    * broadcast-folded maps (coarse-centroid argmax, then the bounds-row
+    * quantizer — zero corpus Exchange); a query scans ONLY its nprobe
+    * probed clusters' codes, dequantized ONCE per index row BELOW the
+    * probe join, and ranks approximate cosine through the bounded heap.
+    * The compression/recall rung between qv02 (IVF over raw vectors) and
+    * qv07 (IVF over 32× PQ codes): ~4× compression with near-exact
+    * ranks. */
+  def ivfSqTopK(queries: DataFrame, corpus: DataFrame, coarse: DataFrame,
+                bounds: DataFrame, k: Int, nprobe: Int): DataFrame = {
+    val topProbe = udaf(new TopKByScore(nprobe), ExpressionEncoderHelp.scored)
+    val topK = udaf(new TopKByScore(k), ExpressionEncoderHelp.scored)
+    // the stored index: one corpus pass, assignment + quantizer fused
+    val index = sqEncode(assignNearest(corpus, "id", "vec", coarse),
+      "id", "vec", bounds, keep = Seq("cluster"))
+    // per-query probe set (nprobe coarse clusters by cosine), q_vec rides
+    // the fold so the scan side never rejoins the query table
+    val probes = queries.crossJoin(broadcast(coarse))
+      .withColumn("q_cos", cosineSimilarity(col("q_vec"), col("centroid")))
+      .groupBy(col("q_id"))
+      .agg(topProbe(col("cluster").cast("long"), col("q_cos")).as("top"),
+        first(col("q_vec")).as("q_vec"))
+      .select(col("q_id"), col("q_vec"),
+        explode(col("top").getField("id")).as("cluster"))
+    val dequant = transform(col("codes"), (c, j) =>
+      element_at(col("_mins"), j + 1) +
+        element_at(col("_steps"), j + 1) * c.cast("double"))
+    val candidates = index.crossJoin(broadcast(bounds))
+      .withColumn("_dvec", dequant)
+      .withColumn("_dnorm", l2Norm(col("_dvec")))
+      .select(col("cluster"), col("id"), col("_dvec"), col("_dnorm"))
+    candidates.join(broadcast(probes), Seq("cluster"))
       .withColumn("approx", round(
         dotProduct(col("q_vec"), col("_dvec")) /
           (l2Norm(col("q_vec")) * col("_dnorm")), 6))

@@ -467,6 +467,68 @@ object AdvancedQueries extends QueryModule {
         .orderBy("lang")
     },
 
+    // --- keyedlog row-level UPDATE + MERGE (KeyedLogRowLevelOperation):
+    //     group-based copy-on-write at FILE granularity — Spark's runtime
+    //     group filter evaluates the command's condition, hands the
+    //     matched `_klfile` set back to the scan, and ONLY those files
+    //     are rewritten (staged hidden, swapped at job commit, journaled
+    //     as one rewrite entry). Structural booleans: a key-predicate
+    //     UPDATE replaces exactly the matched key's files (bucket-
+    //     declared table ⇒ rewrites stay `-K=`-clustered), every other
+    //     file byte-untouched; the MERGE then upserts through the same
+    //     machinery and the final per-key aggregate replays exactly ---
+    "qk08_keyedlog_update" -> { (s0, d) =>
+      import org.apache.hadoop.fs.Path
+      val s = s0.newSession()
+      import s.implicits._
+      graft.catalog.GraftCatalog.register(s, "graft_ku",
+        graft.core.TempDirs.create("graft_ku_root_"))
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_ku.db")
+      Tables.documents(s, d).createOrReplaceTempView("qk08_documents")
+      s.sql("CREATE TABLE graft_ku.db.activity (key STRING, seq BIGINT, metric BIGINT) " +
+        "USING keyedlog PARTITIONED BY (bucket(4, key))")
+      s.sql("INSERT INTO graft_ku.db.activity " +
+        "SELECT lang, doc_id, n_chars FROM qk08_documents")
+      val dir = s.sql("SHOW TBLPROPERTIES graft_ku.db.activity").collect()
+        .find(_.getString(0) == "graft.location").get.getString(1)
+      val fs = new Path(dir).getFileSystem(s.sessionState.newHadoopConf())
+      def files(): Map[String, Long] = fs.listStatus(new Path(dir))
+        .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+          !st.getPath.getName.startsWith("."))
+        .map(st => st.getPath.getName -> st.getModificationTime).toMap
+      val before = files()
+      s.sql("UPDATE graft_ku.db.activity SET metric = metric + 1000000 " +
+        "WHERE key = 'en'")
+      val after = files()
+      val replaced = before.keySet -- after.keySet
+      val added = after.keySet -- before.keySet
+      // file granularity: only en files rewritten, replacements clustered
+      val updateFileGranular = replaced.nonEmpty &&
+        replaced.forall(_.contains("-K=en")) && added.nonEmpty &&
+        added.forall(_.contains("-K=en"))
+      // survivors byte-untouched (same names, same mtimes)
+      val survivorsUntouched =
+        after.view.filterKeys(!added(_)).toMap ==
+          before.view.filterKeys(!replaced(_)).toMap
+      s.sql("""SELECT lang AS key, doc_id AS seq, CAST(-1 AS BIGINT) AS metric
+               FROM qk08_documents WHERE doc_id % 7 = 0
+               UNION ALL
+               SELECT 'xx' AS key, doc_id + 1000000 AS seq, CAST(5 AS BIGINT) AS metric
+               FROM qk08_documents WHERE doc_id % 50 = 0""")
+        .createOrReplaceTempView("qk08_src")
+      s.sql("""MERGE INTO graft_ku.db.activity t USING qk08_src s
+               ON t.key = s.key AND t.seq = s.seq
+               WHEN MATCHED THEN UPDATE SET metric = s.metric
+               WHEN NOT MATCHED THEN INSERT *""")
+      s.table("graft_ku.db.activity")
+        .groupBy(col("key").as("lang"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum("metric").cast("long").as("total_metric"))
+        .withColumn("update_file_granular", lit(updateFileGranular))
+        .withColumn("survivors_untouched", lit(survivorsUntouched))
+        .orderBy("lang")
+    },
+
     // --- mergeable HLL sketches (Apache DataSketches via Spark 4 built-ins):
     //     build per-(flag, shipdate) PARTIAL sketches, then union-merge to
     //     per-flag distinct estimates — the pre-aggregated sketch-table
@@ -911,6 +973,30 @@ object AdvancedQueries extends QueryModule {
            true AS files_dropped_only_de, true AS survivors_untouched
          FROM documents WHERE lang <> 'de'
          GROUP BY lang ORDER BY lang""",
+
+    // the structural booleans are Spark-side filesystem facts (only the
+    // en-keyed files rewrote under the key-predicate UPDATE; survivors
+    // byte-untouched); the UPDATE+MERGE composition replays over documents
+    "qk08_keyedlog_update" ->
+      """WITH base AS (SELECT lang AS key, doc_id AS seq,
+             n_chars + CASE WHEN lang = 'en' THEN 1000000 ELSE 0 END AS metric
+           FROM documents),
+         src AS (SELECT lang AS key, doc_id AS seq, -1 AS metric
+                 FROM documents WHERE doc_id % 7 = 0
+                 UNION ALL
+                 SELECT 'xx' AS key, doc_id + 1000000 AS seq, 5 AS metric
+                 FROM documents WHERE doc_id % 50 = 0),
+         merged AS (
+           SELECT b.key, b.seq, COALESCE(s.metric, b.metric) AS metric
+           FROM base b LEFT JOIN src s ON b.key = s.key AND b.seq = s.seq
+           UNION ALL
+           SELECT s.key, s.seq, s.metric FROM src s
+           WHERE NOT EXISTS (SELECT 1 FROM base b
+                             WHERE b.key = s.key AND b.seq = s.seq))
+         SELECT key AS lang, count(*) AS n_rows,
+           CAST(sum(metric) AS BIGINT) AS total_metric,
+           true AS update_file_granular, true AS survivors_untouched
+         FROM merged GROUP BY key ORDER BY lang""",
 
     "q45_range_join_rule" ->
       """WITH e AS (SELECT user_id,

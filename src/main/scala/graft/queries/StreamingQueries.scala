@@ -177,6 +177,38 @@ object StreamingQueries extends QueryModule {
         .orderBy("user_id")
     },
 
+    // --- stream-stream FULL OUTER interval join: matches emit eagerly
+    //     like the inner join; EACH side null-pads its unmatched rows
+    //     only when the watermark proves no partner can still arrive.
+    //     The eviction rules are ASYMMETRIC because the interval is:
+    //     a purchase (left) can match clicks in [p_ts-10min, p_ts], so
+    //     it evicts at p_ts < wm; a click (right) can match purchases in
+    //     [c_ts, c_ts+10min], so it evicts only at c_ts + 10min < wm —
+    //     the oracle replays both rules in ms arithmetic ---
+    "qs20_stream_full_outer_join" -> { (s, d) =>
+      val purchases = eventStream(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("ts").as("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+      val clicks = eventStream(s, d)
+        .filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("event_id").as("c_event"),
+          col("ts").as("c_ts"))
+        .withWatermark("c_ts", "1 hour")
+      val joined = purchases.join(clicks,
+        col("user_id") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 10 MINUTES") &&
+        col("c_ts") <= col("p_ts"), "full_outer")
+      runToMemory(s, joined, "qs20_out", "append")
+        .groupBy(coalesce(col("user_id"), col("c_user")).as("user_id"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("user_id").isNotNull && col("c_user").isNotNull, 1L)
+            .otherwise(0L)).as("n_matched"),
+          sum(when(col("c_user").isNull, 1L).otherwise(0L)).as("n_left_padded"),
+          sum(when(col("user_id").isNull, 1L).otherwise(0L)).as("n_right_padded"))
+        .orderBy("user_id")
+    },
+
     // --- arbitrary stateful processing: flatMapGroupsWithState keeps a
     //     running (n_events, n_purchases) per user and emits the totals as
     //     each micro-batch updates them. The state survives across batches
@@ -856,6 +888,37 @@ object StreamingQueries extends QueryModule {
          SELECT user_id, count(*) AS n_rows,
            count(*) FILTER (WHERE matched = 1) AS n_matched,
            CAST(count(*) FILTER (WHERE matched = 0) AS BIGINT) AS n_null_padded
+         FROM rows_out GROUP BY user_id ORDER BY user_id""",
+
+    // both eviction rules replayed: left (purchase) evicts at
+    // p_ts < wm; right (click) evicts at c_ts + 600_000 < wm (its match
+    // window extends 10 min ABOVE c_ts, so it lives 10 min longer)
+    "qs20_stream_full_outer_join" ->
+      """WITH p AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS p_ts
+             FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS c_ts
+             FROM events WHERE event_type = 'click'),
+         w AS (SELECT least(
+                 (SELECT epoch_us(max(p_ts)) // 1000 FROM p),
+                 (SELECT epoch_us(max(c_ts)) // 1000 FROM c)) - 3600000
+                 AS wm_ms),
+         m AS (SELECT p.user_id, p.event_id, c.event_id AS c_event
+               FROM p JOIN c ON p.user_id = c.user_id
+                 AND c.c_ts >= p.p_ts - INTERVAL '10 minutes'
+                 AND c.c_ts <= p.p_ts),
+         lpad AS (SELECT p.user_id FROM p CROSS JOIN w
+               WHERE epoch_us(p.p_ts) // 1000 < w.wm_ms
+                 AND NOT EXISTS (SELECT 1 FROM m WHERE m.event_id = p.event_id)),
+         rpad AS (SELECT c.user_id FROM c CROSS JOIN w
+               WHERE epoch_us(c.c_ts) // 1000 + 600000 < w.wm_ms
+                 AND NOT EXISTS (SELECT 1 FROM m WHERE m.c_event = c.event_id)),
+         rows_out AS (SELECT user_id, 1 AS kind FROM m
+                      UNION ALL SELECT user_id, 2 FROM lpad
+                      UNION ALL SELECT user_id, 3 FROM rpad)
+         SELECT user_id, count(*) AS n_rows,
+           count(*) FILTER (WHERE kind = 1) AS n_matched,
+           count(*) FILTER (WHERE kind = 2) AS n_left_padded,
+           count(*) FILTER (WHERE kind = 3) AS n_right_padded
          FROM rows_out GROUP BY user_id ORDER BY user_id""",
 
     "qs07_flat_map_groups_state" ->

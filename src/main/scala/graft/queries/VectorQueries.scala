@@ -179,6 +179,25 @@ object VectorQueries extends QueryModule {
         .orderBy("q_id", "rank")
     },
 
+    // --- IVF + scalar quantization composed (the qv07 shape with SQ
+    //     codes): stored index = (coarse cluster, id, int8 codes) in ONE
+    //     corpus pass of two broadcast maps; a query scans only its
+    //     nprobe probed clusters' codes, dequantized once per index row
+    //     below the probe join — cluster pruning × ~4× compression, the
+    //     recall rung between raw-vector IVF and 32× IVFPQ ---
+    "qv10_ivfsq_ann" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val cents = Similarity.centroids(
+        emb.select(col("label"), col("embedding")), "label", "embedding", dim)
+      val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val bounds = Similarity.sqBounds(corpus, "vec").localCheckpoint()
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      Similarity.ivfSqTopK(queries, corpus, cents, bounds,
+          k = pqK, nprobe = nprobe)
+        .orderBy("q_id", "rank")
+    },
+
     // --- per-cluster vector stats (centroid norms via the Aggregator) ---
     "qv03_centroid_norms" -> { (s, d) =>
       val emb = Tables.embeddings(s, d)
@@ -190,6 +209,31 @@ object VectorQueries extends QueryModule {
         .orderBy("label")
     }
   )
+
+  /** The SQ calibration + encode + dequantize model as a DuckDB CTE
+    * fragment — ONE definition shared by qv09 and qv10 (`e` = the
+    * double-cast corpus, `b` = per-dim mins/steps, `enc` = clamped int8
+    * codes, `dq` = dequantized vectors). */
+  private def sqModelCte: String = {
+    val mins = (1 to dim).map(j => s"min(CAST(embedding[$j] AS DOUBLE))")
+      .mkString("[", ", ", "]")
+    val steps = (1 to dim).map(j =>
+      s"(max(CAST(embedding[$j] AS DOUBLE)) - min(CAST(embedding[$j] AS DOUBLE))) / 255.0")
+      .mkString("[", ", ", "]")
+    s"""b AS (SELECT $mins AS mins, $steps AS steps FROM embeddings),
+          e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          enc AS (SELECT e.vec_id,
+                    list_transform(generate_series(1, $dim), j ->
+                      CASE WHEN b.steps[j] = 0 THEN 0
+                           ELSE least(255, greatest(0,
+                             CAST(round((e.v[j] - b.mins[j]) / b.steps[j])
+                                  AS INTEGER))) END) AS codes
+                  FROM e CROSS JOIN b),
+          dq AS (SELECT enc.vec_id,
+                   list_transform(generate_series(1, $dim), j ->
+                     b.mins[j] + b.steps[j] * codes[j]) AS dv
+                 FROM enc CROSS JOIN b)"""
+  }
 
   /** qv08's threshold, shared by the Spark call and the oracle SQL. */
   private val rangeTau = 0.6
@@ -365,25 +409,8 @@ object VectorQueries extends QueryModule {
           WHERE rank <= $pqK ORDER BY q_id, rank""",
 
     // replays calibration/codes/dequantization/ranks dimension by dimension
-    "qv09_sq_ann" -> {
-      val mins = (1 to dim).map(j => s"min(CAST(embedding[$j] AS DOUBLE))")
-        .mkString("[", ", ", "]")
-      val steps = (1 to dim).map(j =>
-        s"(max(CAST(embedding[$j] AS DOUBLE)) - min(CAST(embedding[$j] AS DOUBLE))) / 255.0")
-        .mkString("[", ", ", "]")
-      s"""WITH b AS (SELECT $mins AS mins, $steps AS steps FROM embeddings),
-          e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-          enc AS (SELECT e.vec_id,
-                    list_transform(generate_series(1, $dim), j ->
-                      CASE WHEN b.steps[j] = 0 THEN 0
-                           ELSE least(255, greatest(0,
-                             CAST(round((e.v[j] - b.mins[j]) / b.steps[j])
-                                  AS INTEGER))) END) AS codes
-                  FROM e CROSS JOIN b),
-          dq AS (SELECT enc.vec_id,
-                   list_transform(generate_series(1, $dim), j ->
-                     b.mins[j] + b.steps[j] * codes[j]) AS dv
-                 FROM enc CROSS JOIN b)
+    "qv09_sq_ann" ->
+      s"""WITH $sqModelCte
           SELECT q_id, CAST(rank AS INTEGER) AS rank, id, approx FROM (
             SELECT q.vec_id AS q_id, c.vec_id AS id,
               round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), c.dv), 6) AS approx,
@@ -391,8 +418,41 @@ object VectorQueries extends QueryModule {
                 ORDER BY round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), c.dv), 6) DESC,
                          c.vec_id) AS rank
             FROM embeddings q CROSS JOIN dq c WHERE q.vec_id < 5)
-          WHERE rank <= $pqK ORDER BY q_id, rank"""
-    },
+          WHERE rank <= $pqK ORDER BY q_id, rank""",
+
+    // composes qv02's assignment/probes with qv09's quantization model:
+    // candidates restricted to probed clusters, dequantized ranks
+    "qv10_ivfsq_ann" ->
+      s"""WITH $centroidCte, $sqModelCte,
+          assigned AS (
+            SELECT vec_id, cluster FROM (
+              SELECT e.vec_id, ct.cluster,
+                row_number() OVER (PARTITION BY e.vec_id
+                  ORDER BY list_cosine_similarity(e.v, ct.centroid) DESC,
+                           ct.cluster) AS rn
+              FROM e CROSS JOIN cent ct)
+            WHERE rn = 1),
+          probes AS (
+            SELECT q_id, cluster FROM (
+              SELECT q.vec_id AS q_id, ct.cluster,
+                row_number() OVER (PARTITION BY q.vec_id
+                  ORDER BY list_cosine_similarity(q.v, ct.centroid) DESC,
+                           ct.cluster) AS rn
+              FROM e q CROSS JOIN cent ct
+              WHERE q.vec_id < 5)
+            WHERE rn <= $nprobe),
+          cand AS (SELECT p.q_id, a.vec_id AS id
+                   FROM probes p JOIN assigned a ON p.cluster = a.cluster)
+          SELECT q_id, CAST(rank AS INTEGER) AS rank, id, approx FROM (
+            SELECT c.q_id, c.id,
+              round(list_cosine_similarity(q.v, d.dv), 6) AS approx,
+              row_number() OVER (PARTITION BY c.q_id
+                ORDER BY round(list_cosine_similarity(q.v, d.dv), 6) DESC,
+                         c.id) AS rank
+            FROM cand c
+            JOIN e q ON q.vec_id = c.q_id
+            JOIN dq d ON d.vec_id = c.id)
+          WHERE rank <= $pqK ORDER BY q_id, rank""",
 
     // brute force IS the oracle: sound pruning must not change the result
     "qv08_range_search" ->

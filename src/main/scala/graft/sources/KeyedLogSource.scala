@@ -126,11 +126,38 @@ object KeyedLogSource {
   }
 }
 
+object KeyedLogTable {
+  object FileMetadataColumn extends org.apache.spark.sql.connector.catalog.MetadataColumn {
+    override def name(): String = KeyedLogRowLevelOperation.FileCol
+    override def dataType(): org.apache.spark.sql.types.DataType = StringType
+    override def isNullable: Boolean = false
+    override def comment(): String = "source file name of the row"
+  }
+}
+
 class KeyedLogTable(path: String, bucketN: Option[Int] = None)
     extends Table with SupportsRead with SupportsWrite
-    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
   override def name(): String = s"keyed_log($path)"
   override def schema(): StructType = KeyedLogSource.schema
+
+  /** `_klfile` — each row's source file name, the group identity the
+    * row-level (UPDATE/MERGE/CoW DELETE) rewrite replaces at; also
+    * user-selectable like the built-in `_metadata.file_path`. */
+  override def metadataColumns(): Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(KeyedLogTable.FileMetadataColumn)
+
+  /** Row-level UPDATE/MERGE (and arbitrary-predicate DELETE) via
+    * group-based copy-on-write: see [[KeyedLogRowLevelOperation]]. Key
+    * DELETEs still take the metadata fast path ([[deleteWhere]]) —
+    * Spark's OptimizeMetadataOnlyDeleteFromTable picks it when
+    * [[canDeleteWhere]] accepts. */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+    () => new KeyedLogRowLevelOperation(path, bucketN, info.command)
 
   private def hadoopConf() = new org.apache.spark.util.SerializableConfiguration(
     org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
@@ -581,11 +608,14 @@ case class KeyedLogStreamingWriterFactory(path: String, queryId: String,
 }
 
 case class KeyedLogWriterFactory(path: String, queryId: String,
-    conf: org.apache.spark.util.SerializableConfiguration) extends DataWriterFactory {
+    conf: org.apache.spark.util.SerializableConfiguration,
+    stagePrefix: String = "") extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new KeyedLogWriter(path,
       tmpName = s".tmp-$queryId-$partitionId-$taskId",
-      finalName = s"part-$queryId-$partitionId.log",
+      // a dot-prefixed stage name keeps row-level rewrite output INVISIBLE
+      // to readers until the job-level swap reveals it
+      finalName = s"${stagePrefix}part-$queryId-$partitionId.log",
       conf = conf)
 }
 
@@ -625,9 +655,10 @@ class KeyedLogWriter(dir: String, tmpName: String, finalName: String,
 }
 
 case class KeyedLogClusteredWriterFactory(path: String, queryId: String,
-    conf: org.apache.spark.util.SerializableConfiguration) extends DataWriterFactory {
+    conf: org.apache.spark.util.SerializableConfiguration,
+    stagePrefix: String = "") extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new KeyedLogClusteredWriter(path, queryId, partitionId, taskId, conf)
+    new KeyedLogClusteredWriter(path, queryId, partitionId, taskId, conf, stagePrefix)
 }
 
 /** Clustered-write task: rows arrive clustered by key and sorted
@@ -647,7 +678,8 @@ case class KeyedLogClusteredWriterFactory(path: String, queryId: String,
   * replaces its predecessor's files and a mid-commit crash re-renames the
   * same names — no duplicates, nothing partial visible. */
 class KeyedLogClusteredWriter(dir: String, queryId: String, partitionId: Int,
-    taskId: Long, conf: org.apache.spark.util.SerializableConfiguration)
+    taskId: Long, conf: org.apache.spark.util.SerializableConfiguration,
+    stagePrefix: String = "")
     extends DataWriter[InternalRow] {
 
   private val fs = new Path(dir).getFileSystem(conf.value)
@@ -664,7 +696,7 @@ class KeyedLogClusteredWriter(dir: String, queryId: String, partitionId: Int,
       "keyed_log clustered write saw a key run twice — input not sorted by key " +
         "(the declared ordering was not honored)")
     val tmp = s".tmp-$queryId-$partitionId-t$taskId-K=$enc"
-    staged += ((tmp, s"part-$queryId-$partitionId-K=$enc.log"))
+    staged += ((tmp, s"${stagePrefix}part-$queryId-$partitionId-K=$enc.log"))
     out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
       fs.create(new Path(dir, tmp), true), "UTF-8"))
     currentKey = key
@@ -1329,6 +1361,9 @@ class KeyedLogColumnarReader(files: Seq[String], required: StructType,
             if (lines.seqIsNull) v.putNull(n) else v.putLong(n, lines.seq)
           case "metric" =>
             if (lines.metricIsNull) v.putNull(n) else v.putLong(n, lines.metric)
+          case KeyedLogRowLevelOperation.FileCol =>
+            val b = lines.fileName.getBytes("UTF-8")
+            v.putByteArray(n, b, 0, b.length)
         }
         c += 1
       }
@@ -1355,6 +1390,9 @@ private[sources] class KeyedLogLines(files: Seq[String], pushed: Array[Filter],
   var seqIsNull: Boolean = true
   var metric: Long = _
   var metricIsNull: Boolean = true
+  /** Name of the file the current row came from — the `_klfile` metadata
+    * column (row-level rewrites regroup rows by it). */
+  var fileName: String = _
 
   private def keyPasses(k: String): Boolean = pushed.forall {
     case EqualTo("key", v: String) => k != null && k == v
@@ -1368,6 +1406,7 @@ private[sources] class KeyedLogLines(files: Seq[String], pushed: Array[Filter],
       if (in == null) {
         if (!fileIt.hasNext) return false
         val f = fileIt.next()
+        fileName = new Path(f).getName
         in = new java.io.BufferedReader(new java.io.InputStreamReader(
           new Path(f).getFileSystem(conf.value).open(new Path(f)), "UTF-8"))
       }
@@ -1485,6 +1524,7 @@ class KeyedLogReader(files: Seq[String], required: StructType, pushed: Array[Fil
       case "key"    => if (lines.key == null) null else UTF8String.fromString(lines.key)
       case "seq"    => if (lines.seqIsNull) null else lines.seq
       case "metric" => if (lines.metricIsNull) null else lines.metric
+      case KeyedLogRowLevelOperation.FileCol => UTF8String.fromString(lines.fileName)
     }
     row = InternalRow.fromSeq(values.toIndexedSeq)
     true

@@ -397,6 +397,18 @@ class PlanShapeSpec extends AnyFunSuite {
         emb.select(col("embedding").as("vec")), "vec"))
     assert(corpusSideShuffles(sqIndex).isEmpty,
       s"SQ encoding shuffles the corpus:\n${sqIndex.queryExecution.sparkPlan}")
+    // the composed IVF+SQ index (coarse assignment THEN quantization) is
+    // still one corpus pass, two broadcast maps deep — zero corpus Exchange
+    val ivfSqIndex = Similarity.sqEncode(
+      Similarity.assignNearest(
+        emb.select(col("vec_id").as("id"), col("embedding").as("vec")),
+        "id", "vec", cents),
+      "id", "vec",
+      Similarity.sqBounds(
+        emb.select(col("embedding").as("vec")), "vec"),
+      keep = Seq("cluster"))
+    assert(corpusSideShuffles(ivfSqIndex).isEmpty,
+      s"IVF+SQ index build shuffles the corpus:\n${ivfSqIndex.queryExecution.sparkPlan}")
   }
 
   test("qv08 range search: probes broadcast to the corpus scan; no corpus-side shuffle before the probe join") {

@@ -588,6 +588,33 @@ class OperatorsSpec extends AnyFunSuite {
     assert(run(2) === Array((1, 1L, 0.0), (2, 3L, 0.0), (3, 2L, 4.0)))
   }
 
+  test("ivfSqTopK: unprobed clusters never surface; probing re-admits at dequantized rank") {
+    import spark.implicits._
+    // same crafted geometry as the IVFPQ case — two well-separated
+    // clusters; SQ codes reconstruct the corners of the bounds box
+    // exactly (min/max values quantize losslessly), so the dequantized
+    // cosines are the exact ones
+    val cents = Seq(
+      (0L, Array(1f, 0f, 0f, 1f)),
+      (1L, Array(0f, 1f, 1f, 0f))).toDF("cluster", "centroid")
+    val corpus = Seq(
+      (1L, Array(1f, 0f, 0f, 1f)),   // cluster 0
+      (2L, Array(0f, 1f, 1f, 0f)),   // cluster 1
+      (3L, Array(1f, 0f, 0f, 1f)))   // cluster 0, dup of 1
+      .toDF("id", "vec")
+    val bounds = Similarity.sqBounds(corpus.select(col("vec")), "vec")
+      .localCheckpoint()
+    val queries = Seq((9L, Array(1f, 0f, 0f, 1f))).toDF("q_id", "q_vec")
+    def run(nprobe: Int) =
+      Similarity.ivfSqTopK(queries, corpus, cents, bounds, k = 3, nprobe = nprobe)
+        .collect().map(r => (r.getInt(1), r.getLong(2), r.getDouble(3)))
+        .sortBy(_._1)
+    // nprobe=1 probes only cluster 0: id2 is EXCLUDED even with room at k
+    assert(run(1) === Array((1, 1L, 1.0), (2, 3L, 1.0)))
+    // nprobe=2 re-admits cluster 1 at its dequantized cosine (orthogonal)
+    assert(run(2) === Array((1, 1L, 1.0), (2, 3L, 1.0), (3, 2L, 0.0)))
+  }
+
   test("real image codec: PNG encode/decode round trip, resize re-decodes to planned dims") {
     // encode → decode recovers the generative parameters exactly (lossless)
     val bytes = Multimodal.ImageCodec.encodePng(40, 20, 10, 200, 77)

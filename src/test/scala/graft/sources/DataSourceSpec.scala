@@ -547,6 +547,64 @@ class DataSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("row-level UPDATE/MERGE: file-granular CoW, hidden staging, one rewrite journal entry") {
+    val s = spark.newSession()
+    graft.catalog.GraftCatalog.register(s, "gklrl",
+      Files.createTempDirectory("graft_klrl_root_").toString)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS gklrl.db")
+    s.sql("CREATE TABLE gklrl.db.t (key STRING, seq BIGINT, metric BIGINT) " +
+      "USING keyedlog PARTITIONED BY (bucket(2, key))")
+    s.sql("INSERT INTO gklrl.db.t VALUES " +
+      "('a', 1, 10), ('a', 2, 20), ('b', 3, 30), ('c', 4, 40)")
+    val dir = s.sql("SHOW TBLPROPERTIES gklrl.db.t").collect()
+      .find(_.getString(0) == "graft.location").get.getString(1)
+    val local = new java.io.File(new java.net.URI(
+      if (dir.startsWith("file:")) dir else s"file://$dir"))
+    def names(): Map[String, Long] = local.listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      .map(f => f.getName -> f.lastModified()).toMap
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      s.sessionState.newHadoopConf())
+    val v0 = KeyedLogVersionLog.head(dir, conf).get
+    val before = names()
+    s.sql("UPDATE gklrl.db.t SET metric = 0 WHERE key = 'a'")
+    val after = names()
+    val replaced = before.keySet -- after.keySet
+    val added = after.keySet -- before.keySet
+    // runtime group filtering proved: only the matched key's file rewrote,
+    // and the replacement kept its cluster tag (bucket-declared table)
+    assert(replaced.nonEmpty && replaced.forall(_.contains("-K=a")),
+      s"replaced: $replaced")
+    assert(added.nonEmpty && added.forall(_.contains("-K=a")), s"added: $added")
+    assert(after.view.filterKeys(!added(_)).toMap ==
+      before.view.filterKeys(!replaced(_)).toMap,
+      "survivor files must be byte-untouched (names + mtimes)")
+    // no hidden staged garbage after commit
+    assert(local.listFiles().forall(f => !f.getName.startsWith(".rl-")))
+    // journal: exactly one new version, tagged as a rewrite (cursors from
+    // before it fail loudly rather than resurrect replaced rows)
+    val v1 = KeyedLogVersionLog.head(dir, conf).get
+    assert(v1 == v0 + 1 && KeyedLogVersionLog.isRewrite(dir, conf, v1))
+    // the _klfile metadata column serves on plain reads too
+    val kb = s.sql("SELECT DISTINCT _klfile FROM gklrl.db.t WHERE key = 'b'")
+      .collect().map(_.getString(0))
+    assert(kb.length == 1 && kb.head.contains("-K=b"), kb.toSeq.toString)
+    // MERGE upserts through the same machinery
+    s.sql("SELECT * FROM (VALUES ('b', 3L, 333L), ('d', 9L, 90L)) " +
+      "AS t(key, seq, metric)").createOrReplaceTempView("klrl_src")
+    s.sql("""MERGE INTO gklrl.db.t t USING klrl_src s
+             ON t.key = s.key AND t.seq = s.seq
+             WHEN MATCHED THEN UPDATE SET metric = s.metric
+             WHEN NOT MATCHED THEN INSERT *""")
+    assert(s.sql("SELECT key, seq, metric FROM gklrl.db.t ORDER BY seq, key")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq(("a", 1L, 0L), ("a", 2L, 0L), ("b", 3L, 333L), ("c", 4L, 40L),
+        ("d", 9L, 90L)))
+    // merged files are still all key-clustered: another key UPDATE stays
+    // file-granular (the rewrite did not demote the layout)
+    assert(names().keySet.forall(_.contains("-K=")))
+  }
+
   test("scan reports size statistics: a small keyed-log table broadcasts") {
     import spark.implicits._
     val dir = fixture() // a few hundred bytes
