@@ -68,29 +68,43 @@ object Constraints {
     require(check.name.nonEmpty && check.name.forall(c =>
       c.isLetterOrDigit || c == '_' || c == '-'),
       s"constraint name '${check.name}' must be [A-Za-z0-9_-]+")
-    val parsed = try spark.sessionState.sqlParser.parseExpression(check.sql)
+    val what = s"CHECK constraint ${check.name}"
+    val (raw, out) = resolveRowPredicate(spark, schema, what, check.sql)
+    // NULL PASSES (SQL CHECK semantics): wrap the resolved predicate in
+    // coalesce(<sql>, true) before binding to the write schema's ordinals
+    BindReferences.bindReference(
+      org.apache.spark.sql.catalyst.expressions.Coalesce(
+        Seq(raw, org.apache.spark.sql.catalyst.expressions.Literal.TrueLiteral)),
+      out)
+  }
+
+  /** Parse + resolve a row-level BOOLEAN expression against `schema`,
+    * returning (the analyzed expression over NAMED attribute refs, the
+    * leaf relation's output to bind against). Rejects unresolvable,
+    * non-boolean, non-deterministic, aggregate/window/generator and
+    * subquery expressions, all loudly with `what` in the message. Shared
+    * by CHECK declaration ([[bind]], which then binds ordinals) and the
+    * scoped-compaction `where` (which evaluates the NAMED form against
+    * per-file stats). */
+  private[graft] def resolveRowPredicate(spark: SparkSession, schema: StructType,
+      what: String, sql: String): (Expression, Seq[org.apache.spark.sql.catalyst.expressions.Attribute]) = {
+    val parsed = try spark.sessionState.sqlParser.parseExpression(sql)
     catch {
       case e: Exception => throw new IllegalArgumentException(
-        s"CHECK constraint ${check.name}: cannot parse '${check.sql}': ${e.getMessage}")
+        s"$what: cannot parse '$sql': ${e.getMessage}")
     }
     val empty = spark.createDataFrame(
       java.util.Collections.emptyList[Row](), clean(schema))
-    // resolve the RAW expression first: a precise BOOLEAN check beats the
-    // type-coercion error coalesce(bigint, true) would produce
-    val rawType = try {
-      empty.select(ColumnBridge.column(parsed).as("_c"))
-        .queryExecution.analyzed.output.head.dataType
+    val analyzed = try {
+      empty.select(ColumnBridge.column(parsed).as("_c")).queryExecution.analyzed
     } catch {
       case e: AnalysisException => throw new IllegalArgumentException(
-        s"CHECK constraint ${check.name} ('${check.sql}') does not resolve " +
+        s"$what ('$sql') does not resolve " +
           s"against the table schema ${schema.simpleString}: ${e.getMessage}")
     }
-    require(rawType == BooleanType,
-      s"CHECK constraint ${check.name} ('${check.sql}') must be BOOLEAN, " +
-        s"got ${rawType.simpleString}")
-    val analyzed =
-      empty.select(coalesce(ColumnBridge.column(parsed), lit(true)).as("_ok"))
-        .queryExecution.analyzed
+    require(analyzed.output.head.dataType == BooleanType,
+      s"$what ('$sql') must be BOOLEAN, " +
+        s"got ${analyzed.output.head.dataType.simpleString}")
     val proj = analyzed match {
       // the child must be the LEAF relation itself: aggregates, windows,
       // and generators all interpose a node whose synthesized attributes
@@ -99,22 +113,19 @@ object Constraints {
       case p: Project
           if p.child.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LeafNode] => p
       case other => throw new IllegalArgumentException(
-        s"CHECK constraint ${check.name} ('${check.sql}') must be a row-level " +
+        s"$what ('$sql') must be a row-level " +
           "boolean expression — aggregates/windows/generators are not " +
           s"allowed (planned ${other.nodeName} over ${other.children.map(_.nodeName).mkString(",")})")
     }
-    val bound = proj.projectList.head match {
+    val raw = proj.projectList.head match {
       case a: Alias => a.child
       case e        => e
     }
-    require(bound.dataType == BooleanType,
-      s"CHECK constraint ${check.name} ('${check.sql}') must be BOOLEAN, " +
-        s"got ${bound.dataType.simpleString}")
-    require(bound.deterministic,
-      s"CHECK constraint ${check.name} ('${check.sql}') must be deterministic")
-    require(!bound.exists(_.isInstanceOf[SubqueryExpression]),
-      s"CHECK constraint ${check.name} ('${check.sql}') cannot contain a subquery")
-    BindReferences.bindReference(bound, proj.child.output)
+    require(raw.deterministic,
+      s"$what ('$sql') must be deterministic")
+    require(!raw.exists(_.isInstanceOf[SubqueryExpression]),
+      s"$what ('$sql') cannot contain a subquery")
+    (raw, proj.child.output)
   }
 
   /** Field-id metadata stripped — the check resolves against logical

@@ -120,7 +120,8 @@ private[catalog] object GraftProcedures {
       ProcedureParameter.in("target_mb", IntegerType).defaultValue("128").build(),
       ProcedureParameter.in("cluster_by", StringType).defaultValue("''").build(),
       ProcedureParameter.in("small_only", BooleanType).defaultValue("false").build(),
-      ProcedureParameter.in("zorder", StringType).defaultValue("''").build())
+      ProcedureParameter.in("zorder", StringType).defaultValue("''").build(),
+      ProcedureParameter.in("where", StringType).defaultValue("''").build())
     override def call(input: InternalRow): JIterator[Scan] = {
       val parts = input.getString(0).split("\\.")
       require(parts.length <= 2 && parts.forall(_.nonEmpty),
@@ -161,12 +162,28 @@ private[catalog] object GraftProcedures {
       require(!smallOnly || zorderBy.isEmpty,
         "zorder is a full-layout rewrite — it cannot compose with " +
           "small_only's touch-nothing-healthy contract")
+      // OPTIMIZE ... WHERE: rewrite only the files whose stats may hold
+      // matching rows (file-granular, never row-splitting)
+      val whereSql = input.getString(5).trim
+      require(whereSql.isEmpty || (provider == "manifest" && bucket.isEmpty),
+        "where applies to plain/transform-partitioned manifest tables " +
+          "(a scoped rewrite would demote a bucketed layout)")
+      require(whereSql.isEmpty || !smallOnly,
+        "where and small_only are different file selectors — pick one")
       val blooms = GraftCatalog.bloomWriteOptions(meta.bloomCols)
       val (before, after) = (provider, bucket) match {
         case ("keyedlog", _) => graft.core.LakeCompaction.compactKeyedLog(spark, dir)
         case (_, Some(b))    =>
           ManifestTable.compactBucketed(spark, dir, b.n, b.col, declared, blooms,
             meta.ndvCols)
+        case _ if whereSql.nonEmpty =>
+          // resolve against the DECLARED schema (named attribute refs —
+          // FileStats.mayMatch evaluates them against per-file stats)
+          val (pred, _) = Constraints.resolveRowPredicate(
+            spark, meta.schema, "compact where", whereSql)
+          ManifestTable.compactScoped(spark, dir, pred,
+            input.getInt(1).toLong * 1024 * 1024, clusterBy, zorderBy,
+            declared, blooms, meta.ndvCols)
         case _ if smallOnly =>
           // OPTIMIZE bin-pack: merge only undersized files; well-sized
           // data is never rewritten (cost ∝ small-file bytes, not table)

@@ -497,6 +497,12 @@ object FileStats {
     case E.And(l, r) => mayMatch(l, stats) && mayMatch(r, stats)
     case E.Or(l, r)  => mayMatch(l, stats) || mayMatch(r, stats)
 
+    // a folded boolean literal: FALSE/NULL can match no row anywhere
+    // (without this arm, `where => 'false'` would fall through to the
+    // conservative `true` and rewrite/scan EVERY file)
+    case E.Literal(v, org.apache.spark.sql.types.BooleanType) =>
+      v != null && v.asInstanceOf[Boolean]
+
     case E.EqualTo(a: E.Attribute, E.Literal(v, dt)) =>
       if (v == null) false // `a = NULL` is never TRUE
       else cmpMayMatch(stats, a.name, Eq, litVal(v, dt))

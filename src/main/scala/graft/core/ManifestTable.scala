@@ -954,30 +954,8 @@ object ManifestTable {
     // live rows only, and the compacted snapshot carries no vectors
     val snapshot = applyDvs(spark, dir,
       readSnapshot(spark, dir, snapFiles, readSchema), snap.dvs)
-    val rewritten =
-      if (zorderBy.nonEmpty) {
-        // multi-dimension clustering: range-partition and sort on the
-        // materialized Morton key, then drop it — every output file gets
-        // a narrow min/max box in BOTH dimensions at once. The key column
-        // name must not collide with a REAL column (withColumn REPLACES,
-        // drop would then silently destroy the user's data in the rewrite)
-        import org.apache.spark.sql.functions.col
-        val zname = Iterator.from(0)
-          .map(i => if (i == 0) "_zkey" else s"_zkey$i")
-          .find(n => !snapshot.columns.exists(_.equalsIgnoreCase(n))).get
-        snapshot
-          .withColumn(zname, graft.functions.ZOrder.zorderKey(snapshot, zorderBy))
-          .repartitionByRange(nOut, col(zname))
-          .sortWithinPartitions(col(zname))
-          .drop(zname)
-      }
-      else if (clusterBy.isEmpty) snapshot.coalesce(nOut)
-      else {
-        import org.apache.spark.sql.functions.col
-        snapshot.repartitionByRange(nOut, clusterBy.map(col): _*)
-          .sortWithinPartitions(clusterBy.map(col): _*)
-      }
-    val compacted = writePool(rewritten, dir, writeOptions = writeOptions)
+    val compacted = writePool(layoutRewrite(snapshot, nOut, clusterBy, zorderBy),
+      dir, writeOptions = writeOptions)
     val compactedStats = collectStats(dir, compacted, ndvCols)
     val snapSet = snapFiles.toSet
     commitLoop(dir) { base =>
@@ -1002,6 +980,88 @@ object ManifestTable {
       }
     }
     (snapFiles.length.toLong, compacted.length.toLong)
+  }
+
+  /** Layout of a compaction rewrite — ONE definition shared by
+    * [[compact]], [[compactSmall]] and [[compactScoped]]: z-order
+    * (range-partition + sort on the materialized Morton key, then drop
+    * it; the key column name must not collide with a REAL column —
+    * withColumn REPLACES, drop would then silently destroy the user's
+    * data), linear range-clustering, or a plain coalesce. */
+  private def layoutRewrite(rows: DataFrame, nOut: Int,
+      clusterBy: Seq[String], zorderBy: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    if (zorderBy.nonEmpty) {
+      val zname = Iterator.from(0)
+        .map(i => if (i == 0) "_zkey" else s"_zkey$i")
+        .find(n => !rows.columns.exists(_.equalsIgnoreCase(n))).get
+      rows
+        .withColumn(zname, graft.functions.ZOrder.zorderKey(rows, zorderBy))
+        .repartitionByRange(nOut, col(zname))
+        .sortWithinPartitions(col(zname))
+        .drop(zname)
+    }
+    else if (clusterBy.isEmpty) rows.coalesce(nOut)
+    else rows.repartitionByRange(nOut, clusterBy.map(col): _*)
+      .sortWithinPartitions(clusterBy.map(col): _*)
+  }
+
+  /** SCOPED compaction — `OPTIMIZE ... WHERE`: rewrite ONLY the files
+    * whose log stats say they MAY hold rows matching `pred` (a resolved
+    * row-level boolean over NAMED attribute refs —
+    * [[FileStats.mayMatch]] evaluates it conservatively per file), so a
+    * maintenance pass over one partition/tenant/day of a 100 TB table
+    * costs that slice's bytes, never the table. File-granular, never
+    * row-splitting: a selected file is rewritten WHOLE (compaction
+    * preserves contents — a stats-overlapping file that holds no
+    * matching rows is rewritten harmlessly, same as Delta's
+    * partition-predicate OPTIMIZE generalized to stats granularity);
+    * files the stats EXCLUDE are byte-untouched. Stat-less files
+    * (legacy/adopted) are conservatively included. Vectors on rewritten
+    * files are materialized; vectors elsewhere stay. Same optimistic
+    * rebase as every rewrite. Returns (filesRewritten, filesProduced). */
+  def compactScoped(spark: SparkSession, dir: String,
+      pred: org.apache.spark.sql.catalyst.expressions.Expression,
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      clusterBy: Seq[String] = Nil,
+      zorderBy: Seq[String] = Nil,
+      readSchema: Option[org.apache.spark.sql.types.StructType] = None,
+      writeOptions: Map[String, String] = Map.empty,
+      ndvCols: Seq[String] = Nil): (Long, Long) = {
+    require(clusterBy.isEmpty || zorderBy.isEmpty,
+      "cluster_by (linear) and zorder (interleaved) are exclusive layouts")
+    val fs = LakeStorage.openFor(dir)
+    val snapVersion = currentVersion(dir).getOrElse(
+      throw new IllegalStateException(s"no committed version under $dir"))
+    val snap = state(dir, snapVersion)
+    // fold constants first: the ANALYZED predicate still carries coercion
+    // casts around literals (`doc_id < 250` arrives as `< cast(250)`),
+    // which mayMatch would conservatively treat as unprunable — the
+    // optimizer normally folds these, but this predicate never passes
+    // through a plan
+    val folded = pred.transformUp {
+      case e: org.apache.spark.sql.catalyst.expressions.Expression
+          if e.foldable && !e.isInstanceOf[org.apache.spark.sql.catalyst.expressions.Literal] =>
+        org.apache.spark.sql.catalyst.expressions.Literal.create(e.eval(), e.dataType)
+    }
+    val candidates = snap.files.filter(f =>
+      snap.stats.get(f).forall(st => FileStats.mayMatch(folded, st)))
+    // one matching file has nothing to merge with — a whole-file rewrite
+    // of it would be pure churn unless it carries a vector
+    if (candidates.length < 2 && candidates.forall(!snap.dvs.contains(_)))
+      return (0L, 0L)
+    def sizeOf(f: String): Long = snap.stats.get(f).flatMap(_.sizeBytes)
+      .getOrElse(fs.getFileStatus(new Path(dir, f)).getLen)
+    val bytes = candidates.map(sizeOf).sum
+    val nOut = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+    val rows = applyDvs(spark, dir,
+      readSnapshot(spark, dir, candidates, readSchema),
+      snap.dvs.view.filterKeys(candidates.toSet).toMap)
+    val added = writePool(layoutRewrite(rows, nOut, clusterBy, zorderBy),
+      dir, writeOptions = writeOptions)
+    commitRewrite(dir, removed = candidates, added = added,
+      expectedDvs = Some(snap.dvs), ndvCols = ndvCols)
+    (candidates.length.toLong, added.length.toLong)
   }
 
   /** BIN-PACK compaction: rewrite ONLY the undersized files (smaller
@@ -1036,14 +1096,8 @@ object ManifestTable {
     val smallDvs = snap.dvs.view.filterKeys(small.toSet).toMap
     val rows = applyDvs(spark, dir,
       readSnapshot(spark, dir, small, readSchema), smallDvs)
-    val rewritten =
-      if (clusterBy.isEmpty) rows.coalesce(nOut)
-      else {
-        import org.apache.spark.sql.functions.col
-        rows.repartitionByRange(nOut, clusterBy.map(col): _*)
-          .sortWithinPartitions(clusterBy.map(col): _*)
-      }
-    val added = writePool(rewritten, dir, writeOptions = writeOptions)
+    val added = writePool(layoutRewrite(rows, nOut, clusterBy, zorderBy = Nil),
+      dir, writeOptions = writeOptions)
     commitRewrite(dir, removed = small, added = added,
       expectedDvs = Some(snap.dvs), ndvCols = ndvCols)
     (small.length.toLong, added.length.toLong)

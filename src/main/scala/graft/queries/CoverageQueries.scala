@@ -1136,6 +1136,63 @@ object CoverageQueries extends QueryModule {
           "n_x", "sum_x", "n_y", "sum_y", "n_z", "sum_z")
     },
 
+    // --- SCOPED compaction (CALL compact(where => ...) /
+    //     ManifestTable.compactScoped): OPTIMIZE ... WHERE — rewrite
+    //     ONLY the files whose log stats may hold matching rows, so a
+    //     maintenance pass over one partition/tenant of a 100 TB table
+    //     costs that slice's bytes. File-granular, never row-splitting;
+    //     stats-excluded files stay byte-untouched. Structural booleans:
+    //     exactly the en-stat files were selected, they merged, every
+    //     other file entry survived verbatim; contents replay unchanged ---
+    "qc48_scoped_compact" -> { (s, d) =>
+      import s.implicits._
+      if (s.conf.getOption("spark.sql.catalog.graft_cat").isEmpty)
+        graft.catalog.GraftCatalog.register(s, "graft_cat",
+          graft.core.TempDirs.create("graft_cat_root_"))
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.db")
+      s.sql("DROP TABLE IF EXISTS graft_cat.db.sc48")
+      Tables.documents(s, d).createOrReplaceTempView("qc48_documents")
+      s.sql("CREATE TABLE graft_cat.db.sc48 " +
+        "(doc_id BIGINT, lang STRING, n_chars BIGINT) USING manifest")
+      // 4 fragmented inserts of CONTIGUOUS doc_id ranges -> 4 files whose
+      // doc_id stats boxes are disjoint (the pruning substrate)
+      (0 until 4).foreach { k =>
+        s.sql("INSERT INTO graft_cat.db.sc48 " +
+          "SELECT doc_id, lang, n_chars FROM qc48_documents " +
+          s"WHERE doc_id >= ${k * 125} AND doc_id < ${(k + 1) * 125}")
+      }
+      val dir = s.sql("SHOW TBLPROPERTIES graft_cat.db.sc48").collect()
+        .find(_.getString(0) == "graft.location").get.getString(1)
+      def snap() = graft.core.ManifestTable.state(dir,
+        graft.core.ManifestTable.currentVersion(dir).get)
+      def loMatches(st: graft.core.ManifestTable.TableState, f: String): Boolean =
+        st.stats.get(f).flatMap(_.col("doc_id")).flatMap(_.min).exists {
+          case graft.core.FileStats.LongVal(mn) => mn < 250L
+          case _ => false
+        }
+      val st0 = snap()
+      val lo0 = st0.files.filter(f => loMatches(st0, f))
+      val hi0 = st0.files.toSet -- lo0
+      val row = s.sql("CALL graft_cat.system.compact('db.sc48', " +
+        "where => 'doc_id < 250')").head()
+      val st1 = snap()
+      val lo1 = st1.files.filter(f => loMatches(st1, f))
+      val hi1 = st1.files.toSet -- lo1
+      // exactly the low-range files were selected and merged; every
+      // high-range file entry survived verbatim
+      val scopeExact = row.getLong(0) == lo0.length.toLong &&
+        lo0.length >= 2 && hi0.nonEmpty
+      val scopedMerged = lo1.length < lo0.length && lo1.nonEmpty
+      val othersUntouched = hi1 == hi0 && hi0.nonEmpty
+      s.table("graft_cat.db.sc48")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").cast("long").as("total_chars"))
+        .withColumn("scope_exact", lit(scopeExact))
+        .withColumn("scoped_merged", lit(scopedMerged))
+        .withColumn("others_untouched", lit(othersUntouched))
+        .orderBy("lang")
+    },
+
     // --- grouped metadata aggregation (ManifestScanBuilder
     //     servableMetadataAgg, GROUP BY arm): when every file is
     //     CONSTANT in the group columns (the per-source/per-partition
@@ -2034,6 +2091,15 @@ object CoverageQueries extends QueryModule {
            (SELECT CAST(sum(id) AS BIGINT) FROM rows WHERE y < 64) AS sum_y,
            (SELECT count(*) FROM rows WHERE z < 64) AS n_z,
            (SELECT CAST(sum(id) AS BIGINT) FROM rows WHERE z < 64) AS sum_z""",
+
+    // the structural booleans are log facts (only en-stat files selected
+    // and merged, every other file entry survived verbatim); compaction
+    // must never change contents, so the aggregate replays documents
+    "qc48_scoped_compact" ->
+      """SELECT lang, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           true AS scope_exact, true AS scoped_merged, true AS others_untouched
+         FROM documents GROUP BY lang ORDER BY lang""",
 
     // the structural boolean is a log fact (the clone's fork snapshot
     // lists the source's physical files verbatim — zero copy); both

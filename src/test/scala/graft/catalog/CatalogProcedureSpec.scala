@@ -369,6 +369,56 @@ class CatalogProcedureSpec extends AnyFunSuite {
         (0L until 20000L).map(_ % 256).sum, (0L until 20000L).map(i => i * 37 % 256).sum))
   }
 
+  test("CALL compact where: scoped rewrite, churn guard, loud guards") {
+    ensureDb()
+    spark.sql("CREATE TABLE gp.db.sc (id BIGINT, v STRING) USING manifest")
+    (0 until 3).foreach { k =>
+      spark.sql("INSERT INTO gp.db.sc SELECT id, CAST(id AS STRING) " +
+        s"FROM range(${k * 100}, ${(k + 1) * 100})")
+    }
+    val dir = dataDir("sc")
+    def files() = ManifestTable.state(dir,
+      ManifestTable.currentVersion(dir).get).files.toSet
+    val before = files()
+    // scoped: only the two low-range file sets rewrite; the rest survive
+    val row = spark.sql(
+      "CALL gp.system.compact('db.sc', where => 'id < 200')").head()
+    assert(row.getLong(0) >= 2, s"expected >= 2 files selected, got $row")
+    val after = files()
+    val survivors = before intersect after
+    assert(survivors.nonEmpty, "high-range files must survive the scoped rewrite")
+    assert((before -- after).nonEmpty && (after -- before).nonEmpty)
+    // contents unchanged
+    assert(spark.sql("SELECT count(*), sum(id) FROM gp.db.sc").head().toSeq ===
+      Seq(300L, (0L until 300L).sum))
+    // churn guard: a predicate matching at most ONE file is a no-op
+    val noop = spark.sql(
+      "CALL gp.system.compact('db.sc', where => 'id > 10000')").head()
+    assert(noop.getLong(0) === 0L && files() == after)
+    // a constant-false/null predicate matches NOTHING — it must be a
+    // no-op, never a full-table rewrite (the mayMatch Literal arm)
+    assert(spark.sql("CALL gp.system.compact('db.sc', where => 'false')")
+      .head().getLong(0) === 0L && files() == after)
+    assert(spark.sql(
+      "CALL gp.system.compact('db.sc', where => 'cast(null as boolean)')")
+      .head().getLong(0) === 0L && files() == after)
+    // guards are loud: small_only exclusive, bucketed refused, bad SQL
+    val e1 = intercept[Exception](spark.sql(
+      "CALL gp.system.compact('db.sc', where => 'id < 10', small_only => true)").collect())
+    assert(e1.getMessage.contains("different file selectors"))
+    val e2 = intercept[Exception](spark.sql(
+      "CALL gp.system.compact('db.sc', where => 'no_such < 10')").collect())
+    assert(e2.getMessage.contains("does not resolve"))
+    val e3 = intercept[Exception](spark.sql(
+      "CALL gp.system.compact('db.sc', where => 'id')").collect())
+    assert(e3.getMessage.contains("must be BOOLEAN"))
+    spark.sql("""CREATE TABLE gp.db.scb (k BIGINT, v STRING) USING manifest
+                 PARTITIONED BY (bucket(4, k))""")
+    val e4 = intercept[Exception](spark.sql(
+      "CALL gp.system.compact('db.scb', where => 'k < 10')").collect())
+    assert(e4.getMessage.contains("bucketed"))
+  }
+
   test("procedures are discoverable and argument errors are loud") {
     ensureDb()
     val procs = spark.sql("SHOW PROCEDURES IN gp.system").collect().map(_.getString(3))
