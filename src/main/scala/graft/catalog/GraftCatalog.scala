@@ -65,6 +65,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   }
   override def name(): String = catalogName
 
+  /** Column DEFAULT values: declaring the capability arms Spark 4's
+    * analyzer end to end — CREATE/ALTER store the default expression in
+    * the column metadata (CURRENT_DEFAULT/EXISTS_DEFAULT keys, which
+    * ride the descriptor's schema JSON round-trip like field ids), and
+    * INSERTs that omit the column (or say DEFAULT) get it substituted
+    * at analysis time. The connector never evaluates anything. */
+  override def capabilities(): java.util.Set[org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
+    java.util.EnumSet.of(
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
+
   private def fs = LakeStorage.openFor(root)
 
   private def nsDir(namespace: Array[String]): String = {
@@ -689,6 +699,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           s"${ident.name()}: nested column adds are not supported")
         require(add.isNullable,
           s"${ident.name()}: added columns must be nullable — existing data files do not have them")
+        // Delta's rule, for Delta's reason: a default on a NEW column
+        // would need every EXISTING row to read it (an existence default
+        // served from metadata or a rewrite) — add the column first, then
+        // ALTER COLUMN ... SET DEFAULT for future inserts
+        require(add.defaultValue() == null,
+          s"${ident.name()}: cannot add column ${add.fieldNames.head} WITH a " +
+            "DEFAULT — existing rows would not carry it; add the column, " +
+            "then ALTER TABLE ... ALTER COLUMN ... SET DEFAULT (applies to " +
+            "future inserts)")
         require(!schema.fieldNames.contains(add.fieldNames.head),
           s"${ident.name()}: column ${add.fieldNames.head} already exists")
         val metadata = maxId match {
@@ -778,9 +797,33 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             "reshape would need a full table rewrite (CTAS)")
         schema = StructType(schema.map(f =>
           if (f.name == name) f.copy(dataType = upd.newDataType) else f))
+      case upd: TableChange.UpdateColumnDefaultValue =>
+        // ALTER COLUMN ... SET DEFAULT / DROP DEFAULT — metadata-only:
+        // the default substitutes into FUTURE inserts at analysis time
+        // (CURRENT_DEFAULT key; Spark's analyzer does the substitution,
+        // the connector never evaluates anything). Existing rows are
+        // untouched by contract.
+        require(upd.fieldNames.length == 1,
+          s"${ident.name()}: nested column defaults are not supported")
+        val name = upd.fieldNames.head
+        require(schema.fieldNames.contains(name),
+          s"${ident.name()}: no such column $name")
+        val sql = Option(upd.newDefaultValue()).getOrElse("").trim
+        val key = org.apache.spark.sql.catalyst.util.ResolveDefaultColumns
+          .CURRENT_DEFAULT_COLUMN_METADATA_KEY
+        schema = StructType(schema.map { f =>
+          if (f.name != name) f
+          else {
+            val mb = new org.apache.spark.sql.types.MetadataBuilder()
+              .withMetadata(f.metadata)
+            if (sql.isEmpty) mb.remove(key) else mb.putString(key, sql)
+            f.copy(metadata = mb.build())
+          }
+        })
       case other => throw new UnsupportedOperationException(
         s"catalog $catalogName supports ALTER TABLE ADD COLUMNS / DROP COLUMN " +
-          "/ RENAME COLUMN / ALTER COLUMN TYPE (widening) / SET|UNSET " +
+          "/ RENAME COLUMN / ALTER COLUMN TYPE (widening) / ALTER COLUMN " +
+          "SET|DROP DEFAULT / SET|UNSET " +
           s"TBLPROPERTIES ('${Constraints.Prefix}<name>'); got $other")
     }
     replaceMeta(dir, meta.copy(schema = schema, bucket = bucket,

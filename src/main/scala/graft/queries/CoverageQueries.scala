@@ -1154,12 +1154,15 @@ object CoverageQueries extends QueryModule {
       Tables.documents(s, d).createOrReplaceTempView("qc48_documents")
       s.sql("CREATE TABLE graft_cat.db.sc48 " +
         "(doc_id BIGINT, lang STRING, n_chars BIGINT) USING manifest")
-      // 4 fragmented inserts of CONTIGUOUS doc_id ranges -> 4 files whose
-      // doc_id stats boxes are disjoint (the pruning substrate)
+      // 4 fragmented inserts of CONTIGUOUS doc_id ranges -> 4+ files whose
+      // doc_id stats boxes are disjoint (the pruning substrate); the last
+      // range is OPEN-ENDED so the table covers every document at any
+      // scale factor (the oracle replays ALL of documents)
       (0 until 4).foreach { k =>
+        val hi = if (k == 3) "" else s" AND doc_id < ${(k + 1) * 125}"
         s.sql("INSERT INTO graft_cat.db.sc48 " +
           "SELECT doc_id, lang, n_chars FROM qc48_documents " +
-          s"WHERE doc_id >= ${k * 125} AND doc_id < ${(k + 1) * 125}")
+          s"WHERE doc_id >= ${k * 125}$hi")
       }
       val dir = s.sql("SHOW TBLPROPERTIES graft_cat.db.sc48").collect()
         .find(_.getString(0) == "graft.location").get.getString(1)
@@ -1190,6 +1193,46 @@ object CoverageQueries extends QueryModule {
         .withColumn("scope_exact", lit(scopeExact))
         .withColumn("scoped_merged", lit(scopedMerged))
         .withColumn("others_untouched", lit(othersUntouched))
+        .orderBy("lang")
+    },
+
+    // --- COLUMN DEFAULT values (TableCatalogCapability
+    //     .SUPPORT_COLUMN_DEFAULT_VALUE): the capability arms Spark's
+    //     analyzer end to end — CREATE stores the default expression in
+    //     the column metadata (rides the descriptor schema JSON like
+    //     field ids), INSERTs that omit the column (or say DEFAULT) get
+    //     it substituted at ANALYSIS time (the connector never evaluates
+    //     anything), ALTER COLUMN SET/DROP DEFAULT changes future
+    //     inserts only. Spark itself validates defaults at ALTER
+    //     (constant, resolvable); ADD COLUMN with a default is refused
+    //     (existing rows would not carry it — Delta's rule) ---
+    "qc49_column_defaults" -> { (s, d) =>
+      import s.implicits._
+      if (s.conf.getOption("spark.sql.catalog.graft_cat").isEmpty)
+        graft.catalog.GraftCatalog.register(s, "graft_cat",
+          graft.core.TempDirs.create("graft_cat_root_"))
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.db")
+      s.sql("DROP TABLE IF EXISTS graft_cat.db.cd49")
+      Tables.documents(s, d).createOrReplaceTempView("qc49_documents")
+      s.sql("CREATE TABLE graft_cat.db.cd49 " +
+        "(doc_id BIGINT, lang STRING DEFAULT 'en', n_chars BIGINT DEFAULT 0) " +
+        "USING manifest")
+      // omitted columns take the CREATE-time defaults
+      s.sql("INSERT INTO graft_cat.db.cd49 (doc_id) " +
+        "SELECT doc_id FROM qc49_documents WHERE lang = 'en'")
+      s.sql("INSERT INTO graft_cat.db.cd49 " +
+        "SELECT doc_id, lang, n_chars FROM qc49_documents WHERE lang <> 'en'")
+      // SET DEFAULT affects future inserts only
+      s.sql("ALTER TABLE graft_cat.db.cd49 ALTER COLUMN lang SET DEFAULT 'xx'")
+      s.sql("INSERT INTO graft_cat.db.cd49 (doc_id, n_chars) " +
+        "SELECT doc_id + 1000000, n_chars FROM qc49_documents WHERE doc_id % 10 = 0")
+      // DROP DEFAULT: omitted column reverts to NULL
+      s.sql("ALTER TABLE graft_cat.db.cd49 ALTER COLUMN lang DROP DEFAULT")
+      s.sql("INSERT INTO graft_cat.db.cd49 (doc_id) " +
+        "SELECT doc_id + 2000000 FROM qc49_documents WHERE doc_id % 25 = 0")
+      s.table("graft_cat.db.cd49")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").cast("long").as("total_chars"))
         .orderBy("lang")
     },
 
@@ -2100,6 +2143,18 @@ object CoverageQueries extends QueryModule {
            CAST(sum(n_chars) AS BIGINT) AS total_chars,
            true AS scope_exact, true AS scoped_merged, true AS others_untouched
          FROM documents GROUP BY lang ORDER BY lang""",
+
+    // replays the default lifecycle: CREATE-time defaults on the omitted
+    // columns, SET DEFAULT for the later batch, DROP DEFAULT -> NULL
+    "qc49_column_defaults" ->
+      """WITH rows AS (
+           SELECT 'en' AS lang, 0 AS n_chars FROM documents WHERE lang = 'en'
+           UNION ALL SELECT lang, n_chars FROM documents WHERE lang <> 'en'
+           UNION ALL SELECT 'xx', n_chars FROM documents WHERE doc_id % 10 = 0
+           UNION ALL SELECT NULL, 0 FROM documents WHERE doc_id % 25 = 0)
+         SELECT lang, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+         FROM rows GROUP BY lang ORDER BY lang""",
 
     // the structural boolean is a log fact (the clone's fork snapshot
     // lists the source's physical files verbatim — zero copy); both

@@ -631,4 +631,37 @@ class CatalogSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getString(1))).toMap
     assert(!props2.contains(GraftCatalog.NdvColsProp))
   }
+
+  test("column defaults: descriptor round-trip, refusals, analysis-time substitution") {
+    spark.sql("CREATE TABLE g.db.dflt (id BIGINT, lang STRING DEFAULT 'en') USING manifest")
+    spark.sql("INSERT INTO g.db.dflt (id) VALUES (1)")
+    // the default survives the descriptor round-trip in a FRESH session
+    // (new catalog instance, re-read descriptor)
+    val s2 = spark.newSession()
+    GraftCatalog.register(s2, "g2", root)
+    s2.sql("INSERT INTO g2.db.dflt (id) VALUES (2)")
+    assert(s2.sql("SELECT id, lang FROM g2.db.dflt ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "en"), (2L, "en")))
+    // Spark validates bad defaults at ALTER time (capability-armed)
+    val e1 = intercept[Exception](spark.sql(
+      "ALTER TABLE g.db.dflt ALTER COLUMN lang SET DEFAULT no_such + 1"))
+    assert(e1.getMessage.contains("DEFAULT"))
+    // ADD COLUMN with a default is refused — existing rows would not
+    // carry it; the two-step (add, then SET DEFAULT) is the supported path
+    val e2 = intercept[Exception](spark.sql(
+      "ALTER TABLE g.db.dflt ADD COLUMN tag STRING DEFAULT 'x'"))
+    assert(e2.getMessage.contains("SET DEFAULT"))
+    spark.sql("ALTER TABLE g.db.dflt ADD COLUMN tag STRING")
+    spark.sql("ALTER TABLE g.db.dflt ALTER COLUMN tag SET DEFAULT 'x'")
+    spark.sql("INSERT INTO g.db.dflt (id) VALUES (3)")
+    // pre-existing rows read NULL in tag; the new one gets the default
+    assert(spark.sql("SELECT id, tag FROM g.db.dflt ORDER BY id").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)))).toSeq ==
+      Seq((1L, None), (2L, None), (3L, Some("x"))))
+    // DROP DEFAULT reverts omitted inserts to NULL
+    spark.sql("ALTER TABLE g.db.dflt ALTER COLUMN tag DROP DEFAULT")
+    spark.sql("INSERT INTO g.db.dflt (id) VALUES (4)")
+    assert(spark.sql("SELECT tag FROM g.db.dflt WHERE id = 4").head().isNullAt(0))
+  }
 }
