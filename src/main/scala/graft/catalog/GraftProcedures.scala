@@ -260,11 +260,18 @@ private[catalog] object GraftProcedures {
         else { fresh =>
           val df = SparkSession.active.read
             .parquet(fresh.map(f => s"$dir/$f"): _*)
-          checks.foreach { c =>
-            val bad = df.where(Constraints.violated(c)).limit(1).collect()
-            require(bad.isEmpty,
+          // ONE detection pass over the adoptees whatever the constraint
+          // count (the any-check-violated disjunction, limit-1); the
+          // per-check attribution scan runs only on the rare failure path
+          val bad = df.where(checks.map(Constraints.violated).reduce(_ || _))
+            .limit(1).collect()
+          if (bad.nonEmpty) {
+            val c = checks.find(c =>
+              df.where(Constraints.violated(c)).limit(1).collect().nonEmpty)
+              .getOrElse(checks.head)
+            throw new IllegalArgumentException(
               s"register_files: adopted rows violate CHECK constraint " +
-                s"${c.name} (${c.sql}), e.g. ${bad.headOption.getOrElse("")} — " +
+                s"${c.name} (${c.sql}), e.g. ${bad.head} — " +
                 "nothing was committed")
           }
         }
@@ -448,6 +455,12 @@ private[catalog] object GraftProcedures {
       require(meta.provider == "manifest",
         s"collect_stats applies to manifest tables only; " +
           s"'${input.getString(0)}' is a ${meta.provider} table")
+      // validate EVERY argument before the columns block below mutates
+      // the table's declaration — a call rejected for a bad mode must
+      // not leave an alterTable side effect behind
+      val mode = input.getString(1)
+      require(mode == "missing" || mode == "all",
+        s"collect_stats mode must be 'missing' or 'all', got '$mode'")
       val requested = input.getString(2).split(",").map(_.trim)
         .filter(_.nonEmpty).toSeq
       val ndvCols =
@@ -467,9 +480,6 @@ private[catalog] object GraftProcedures {
         s"'${input.getString(0)}' declares no stat columns — pass " +
           s"columns => 'c1,c2' (or ALTER TABLE ... SET TBLPROPERTIES " +
           s"('${GraftCatalog.NdvColsProp}'='c1,c2') first)")
-      val mode = input.getString(1)
-      require(mode == "missing" || mode == "all",
-        s"collect_stats mode must be 'missing' or 'all', got '$mode'")
       val (version, restatted) = ManifestTable.restatFiles(
         dir, ndvCols, onlyMissing = mode == "missing")
       result(

@@ -767,17 +767,24 @@ object ManifestTable {
         val head = currentVersion(dir).getOrElse(cur)
         val now = state(dir, head)
         val liveNow = now.files.toSet
-        val stillUnstatted = targets.filter { f =>
-          liveNow.contains(f) && (now.stats.get(f) match {
-            case None    => true
-            case Some(s) => ndvCols.exists(c => s.col(c).flatMap(_.ndvSketch).isEmpty)
-          })
-        }
-        if (stillUnstatted.nonEmpty)
+        // 'missing' mode: the swallow is safe exactly when no live target
+        // still lacks a declared sketch. 'all' mode RECOMPUTES (sketches,
+        // histograms, bounds) — sketch presence proves nothing about
+        // whether the refresh landed, so any surviving original target
+        // means it did not: rethrow.
+        val unresolved =
+          if (!onlyMissing) targets.filter(liveNow.contains)
+          else targets.filter { f =>
+            liveNow.contains(f) && (now.stats.get(f) match {
+              case None    => true
+              case Some(s) => ndvCols.exists(c => s.col(c).flatMap(_.ndvSketch).isEmpty)
+            })
+          }
+        if (unresolved.nonEmpty)
           throw new java.util.ConcurrentModificationException(
             s"stats backfill to $dir did not commit (writer contention): " +
-              s"${stillUnstatted.size} of ${targets.size} targets still lack " +
-              s"stats — rerun collect_stats; cause: ${e.getMessage}")
+              s"${unresolved.size} of ${targets.size} targets unresolved — " +
+              s"rerun collect_stats; cause: ${e.getMessage}")
         (head, 0)
     }
   }

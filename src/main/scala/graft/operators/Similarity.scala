@@ -29,17 +29,27 @@ object Similarity {
     * rows per query). At 100 TB corpus scale that is the difference between
     * shuffling k rows per query per partition and shuffling the corpus.
     */
-  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
-    val scored = corpus.crossJoin(broadcast(queries))
-      .withColumn("cosine", round(cosineSimilarity(col("q_vec"), col("vec")), 6))
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame =
+    rankTopK(
+      corpus.crossJoin(broadcast(queries))
+        .withColumn("cosine", round(cosineSimilarity(col("q_vec"), col("vec")), 6)),
+      k, col("cosine"), "cosine")
+
+  /** The shared selection tail of every top-k operator: bounded-heap
+    * [[TopKByScore]] per query (score desc, id asc), ranks exploded to
+    * (q_id, rank, id, `scoreName`). Distance metrics pass negate=true —
+    * the heap keeps the k SMALLEST by ranking the negation and the
+    * output un-negates. ONE definition: the round-at-6 / tie-break
+    * contract the oracles replay must not fork across operators. */
+  private def rankTopK(pairs: DataFrame, k: Int, scoreCol: Column,
+                       scoreName: String, negate: Boolean = false): DataFrame = {
     val topk = udaf(new TopKByScore(k), ExpressionEncoderHelp.scored)
-    scored.groupBy(col("q_id"))
-      .agg(topk(col("id"), col("cosine")).as("top"))
+    pairs.groupBy(col("q_id"))
+      .agg(topk(col("id"), if (negate) -scoreCol else scoreCol).as("top"))
       .select(col("q_id"), posexplode(col("top")))
       .select(col("q_id"), (col("pos") + 1).cast("int").as("rank"),
-        col("col.id").as("id"), col("col.score").as("cosine"))
+        col("col.id").as("id"),
+        (if (negate) -col("col.score") else col("col.score")).as(scoreName))
   }
 
   /** One scored candidate: (id, score). */
@@ -242,7 +252,6 @@ object Similarity {
   def ivfTopK(queries: DataFrame, corpus: DataFrame, cents: DataFrame,
               k: Int, nprobe: Int): DataFrame = {
     val topProbe = udaf(new TopKByScore(nprobe), ExpressionEncoderHelp.scored)
-    val topK = udaf(new TopKByScore(k), ExpressionEncoderHelp.scored)
     // corpus -> nearest centroid: broadcast-array argmax, map-only over the
     // corpus (zero corpus Exchange; the index build's only shuffle is the
     // probe join itself)
@@ -255,13 +264,10 @@ object Similarity {
         first(col("q_vec")).as("q_vec"))
       .select(col("q_id"), col("q_vec"), explode(col("top").getField("id")).as("cluster"))
     // exact search within probed clusters only
-    assigned.join(broadcast(probes), Seq("cluster"))
-      .withColumn("cosine", round(cosineSimilarity(col("q_vec"), col("vec")), 6))
-      .groupBy(col("q_id"))
-      .agg(topK(col("id"), col("cosine")).as("top"))
-      .select(col("q_id"), posexplode(col("top")))
-      .select(col("q_id"), (col("pos") + 1).cast("int").as("rank"),
-        col("col.id").as("id"), col("col.score").as("cosine"))
+    rankTopK(
+      assigned.join(broadcast(probes), Seq("cluster"))
+        .withColumn("cosine", round(cosineSimilarity(col("q_vec"), col("vec")), 6)),
+      k, col("cosine"), "cosine")
   }
 
   // ------------------------------------------------ product quantization --
@@ -351,17 +357,13 @@ object Similarity {
             mi * lit(sub) + 1, lit(sub))
           transform(bm, cw => l2sq(qSub, cw))
         }).as("_lut"))
-    val topk = udaf(new TopKByScore(k), ExpressionEncoderHelp.scored)
-    encoded.crossJoin(broadcast(luts))
-      .withColumn("approx", round(
-        aggregate(zip_with(col("codes"), col("_lut"),
-            (c, lutm) => element_at(lutm, c + 1)),
-          lit(0.0), (acc, v) => acc + v), 6))
-      .groupBy(col("q_id"))
-      .agg(topk(col("id"), -col("approx")).as("top"))
-      .select(col("q_id"), posexplode(col("top")))
-      .select(col("q_id"), (col("pos") + 1).cast("int").as("rank"),
-        col("col.id").as("id"), (-col("col.score")).as("approx"))
+    rankTopK(
+      encoded.crossJoin(broadcast(luts))
+        .withColumn("approx", round(
+          aggregate(zip_with(col("codes"), col("_lut"),
+              (c, lutm) => element_at(lutm, c + 1)),
+            lit(0.0), (acc, v) => acc + v), 6)),
+      k, col("approx"), "approx", negate = true)
   }
 
   /** IVF+PQ ANN — the two scale levers composed (the FAISS IVFPQ shape,
@@ -385,7 +387,6 @@ object Similarity {
                 nprobe: Int): DataFrame = {
     val sub = dim / m
     val topProbe = udaf(new TopKByScore(nprobe), ExpressionEncoderHelp.scored)
-    val topK = udaf(new TopKByScore(k), ExpressionEncoderHelp.scored)
     // the stored index: one corpus pass, two broadcast-folded maps deep
     val books = pqBooks(pqCents, m, dim) // folded ONCE, shared by both sides
     val index = pqEncodeWith(books,
@@ -406,16 +407,13 @@ object Similarity {
           transform(bm, cw => l2sq(qSub, cw))
         }).as("_lut"))
     val probeLut = probes.join(luts, col("q_id") === col("_lq")).drop("_lq")
-    index.join(broadcast(probeLut), Seq("cluster"))
-      .withColumn("approx", round(
-        aggregate(zip_with(col("codes"), col("_lut"),
-            (c, lutm) => element_at(lutm, c + 1)),
-          lit(0.0), (acc, v) => acc + v), 6))
-      .groupBy(col("q_id"))
-      .agg(topK(col("id"), -col("approx")).as("top"))
-      .select(col("q_id"), posexplode(col("top")))
-      .select(col("q_id"), (col("pos") + 1).cast("int").as("rank"),
-        col("col.id").as("id"), (-col("col.score")).as("approx"))
+    rankTopK(
+      index.join(broadcast(probeLut), Seq("cluster"))
+        .withColumn("approx", round(
+          aggregate(zip_with(col("codes"), col("_lut"),
+              (c, lutm) => element_at(lutm, c + 1)),
+            lit(0.0), (acc, v) => acc + v), 6)),
+      k, col("approx"), "approx", negate = true)
   }
 
   // ------------------------------------------- scalar (int8) quantization --
@@ -462,24 +460,28 @@ object Similarity {
     * 6 (same dot/|a||b| association as [[cosineSimilarity]], so the
     * oracle's list_cosine_similarity replays it), ties by id. */
   def sqTopK(queries: DataFrame, index: DataFrame, bounds: DataFrame,
-             k: Int): DataFrame = {
-    val topK = udaf(new TopKByScore(k), ExpressionEncoderHelp.scored)
+             k: Int): DataFrame =
+    rankTopK(
+      sqCandidates(index, bounds).crossJoin(broadcast(queries))
+        .withColumn("approx", round(
+          dotProduct(col("q_vec"), col("_dvec")) /
+            (l2Norm(col("q_vec")) * col("_dnorm")), 6)),
+      k, col("approx"), "approx")
+
+  /** Dequantized SQ candidates — each index row's reconstructed vector
+    * (`min[j] + step[j] * code[j]`) and norm, computed ONCE per row
+    * below the broadcast calibration join (never per query pair). ONE
+    * definition shared by [[sqTopK]] and [[ivfSqTopK]]; `keep` columns
+    * ride through. */
+  private def sqCandidates(index: DataFrame, bounds: DataFrame,
+                           keep: Seq[String] = Nil): DataFrame = {
     val dequant = transform(col("codes"), (c, j) =>
       element_at(col("_mins"), j + 1) +
         element_at(col("_steps"), j + 1) * c.cast("double"))
-    val candidates = index.crossJoin(broadcast(bounds))
+    index.crossJoin(broadcast(bounds))
       .withColumn("_dvec", dequant)
       .withColumn("_dnorm", l2Norm(col("_dvec")))
-      .select(col("id"), col("_dvec"), col("_dnorm"))
-    candidates.crossJoin(broadcast(queries))
-      .withColumn("approx", round(
-        dotProduct(col("q_vec"), col("_dvec")) /
-          (l2Norm(col("q_vec")) * col("_dnorm")), 6))
-      .groupBy(col("q_id"))
-      .agg(topK(col("id"), col("approx")).as("top"))
-      .select(col("q_id"), posexplode(col("top")))
-      .select(col("q_id"), (col("pos") + 1).cast("int").as("rank"),
-        col("col.id").as("id"), col("col.score").as("approx"))
+      .select((keep.map(col) :+ col("id") :+ col("_dvec") :+ col("_dnorm")): _*)
   }
 
   /** IVF + scalar quantization composed — the qv07 pattern with SQ codes
@@ -495,7 +497,6 @@ object Similarity {
   def ivfSqTopK(queries: DataFrame, corpus: DataFrame, coarse: DataFrame,
                 bounds: DataFrame, k: Int, nprobe: Int): DataFrame = {
     val topProbe = udaf(new TopKByScore(nprobe), ExpressionEncoderHelp.scored)
-    val topK = udaf(new TopKByScore(k), ExpressionEncoderHelp.scored)
     // the stored index: one corpus pass, assignment + quantizer fused
     val index = sqEncode(assignNearest(corpus, "id", "vec", coarse),
       "id", "vec", bounds, keep = Seq("cluster"))
@@ -508,22 +509,13 @@ object Similarity {
         first(col("q_vec")).as("q_vec"))
       .select(col("q_id"), col("q_vec"),
         explode(col("top").getField("id")).as("cluster"))
-    val dequant = transform(col("codes"), (c, j) =>
-      element_at(col("_mins"), j + 1) +
-        element_at(col("_steps"), j + 1) * c.cast("double"))
-    val candidates = index.crossJoin(broadcast(bounds))
-      .withColumn("_dvec", dequant)
-      .withColumn("_dnorm", l2Norm(col("_dvec")))
-      .select(col("cluster"), col("id"), col("_dvec"), col("_dnorm"))
-    candidates.join(broadcast(probes), Seq("cluster"))
-      .withColumn("approx", round(
-        dotProduct(col("q_vec"), col("_dvec")) /
-          (l2Norm(col("q_vec")) * col("_dnorm")), 6))
-      .groupBy(col("q_id"))
-      .agg(topK(col("id"), col("approx")).as("top"))
-      .select(col("q_id"), posexplode(col("top")))
-      .select(col("q_id"), (col("pos") + 1).cast("int").as("rank"),
-        col("col.id").as("id"), col("col.score").as("approx"))
+    rankTopK(
+      sqCandidates(index, bounds, keep = Seq("cluster"))
+        .join(broadcast(probes), Seq("cluster"))
+        .withColumn("approx", round(
+          dotProduct(col("q_vec"), col("_dvec")) /
+            (l2Norm(col("q_vec")) * col("_dnorm")), 6)),
+      k, col("approx"), "approx")
   }
 
   // ------------------------------------------------------- range search --

@@ -139,7 +139,11 @@ class KeyedLogRowLevelScan(op: KeyedLogRowLevelOperation, path: String)
 
 /** The replace-data write: tasks stage hidden `.rl-` files through the
   * normal replace-on-retry rename protocol; the job commit swaps them in
-  * (delete replaced → reveal staged → journal one rewrite entry). */
+  * (delete replaced → reveal staged → journal one rewrite entry). A
+  * zero-matched-rows command (nothing scanned, nothing staged) commits
+  * NOTHING — no journal entry, so incremental cursors never see a
+  * phantom full-table rewrite for a no-op; an inserts-only MERGE (rows
+  * staged, no file replaced) journals a PLAIN append entry. */
 class KeyedLogReplaceWrite(op: KeyedLogRowLevelOperation, path: String,
                            queryId: String, clustered: Boolean)
     extends Write with BatchWrite
@@ -147,21 +151,19 @@ class KeyedLogReplaceWrite(op: KeyedLogRowLevelOperation, path: String,
   import KeyedLogRowLevelOperation.stagePrefix
 
   override def requiredDistribution: org.apache.spark.sql.connector.distributions.Distribution =
-    if (clustered)
-      org.apache.spark.sql.connector.distributions.Distributions
-        .clustered(Array(Expressions.identity("key")))
-    else
-      org.apache.spark.sql.connector.distributions.Distributions.unspecified()
+    if (clustered) KeyedLogSource.clusteredDistribution
+    else org.apache.spark.sql.connector.distributions.Distributions.unspecified()
   override def requiredOrdering: Array[org.apache.spark.sql.connector.expressions.SortOrder] =
-    if (clustered) Array(
-      Expressions.sort(Expressions.identity("key"),
-        org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING),
-      Expressions.sort(Expressions.identity("seq"),
-        org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING))
-    else Array.empty
+    if (clustered) KeyedLogSource.clusteredOrdering else Array.empty
 
   override def toBatch: BatchWrite = this
   override def description(): String = s"KeyedLogReplaceWrite($path)"
+
+  /** True once [[commit]] started deleting replaced files: from that
+    * moment the staged `.rl-` files may hold the ONLY copy of surviving
+    * rows, so [[abort]] must leave them on disk as the recovery copy
+    * (they stay reader-invisible either way). */
+  @volatile private var destructivePhase = false
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     if (clustered)
@@ -173,17 +175,27 @@ class KeyedLogReplaceWrite(op: KeyedLogRowLevelOperation, path: String,
     val staged = messages.toSeq
       .collect { case KeyedLogCommit(names) => names }.flatten.sorted
     val prefix = stagePrefix(queryId)
+    // zero matched rows AND zero output: a true no-op — journaling a
+    // rewrite here would make every incremental cursor re-deliver the
+    // whole table for nothing
+    if (op.scannedFiles.isEmpty && staged.isEmpty) return
     // 1. drop the replaced files FIRST (rows gone, never duplicated —
     //    the deleteWhere ordering); 2. reveal the staged replacements;
-    // 3. journal the post-swap surviving set as ONE rewrite entry (a
-    //    fresh listing, so concurrent appends are carried over like
-    //    compaction does)
+    // 3. journal: the post-swap surviving set as ONE rewrite entry when
+    //    files were replaced (fresh listing, so concurrent appends carry
+    //    over like compaction), or a PLAIN append entry of just the new
+    //    files for an inserts-only MERGE
+    destructivePhase = op.scannedFiles.nonEmpty
     op.scannedFiles.foreach { n =>
-      if (!fs.delete(new Path(path, n), false))
+      val p = new Path(path, n)
+      // a false delete on an ABSENT file is not a failure — a concurrent
+      // maintenance pass already removed it (the journal rebase below is
+      // what arbitrates); a false delete on a PRESENT file is
+      if (!fs.delete(p, false) && fs.exists(p))
         throw new java.io.IOException(
           s"keyed_log($path): rewrite could not delete replaced file $n")
     }
-    staged.foreach { sn =>
+    val revealed = staged.map { sn =>
       val dest = new Path(path, sn.stripPrefix(prefix))
       if (fs.exists(dest) && !fs.delete(dest, false))
         throw new java.io.IOException(
@@ -191,14 +203,21 @@ class KeyedLogReplaceWrite(op: KeyedLogRowLevelOperation, path: String,
       if (!fs.rename(new Path(path, sn), dest))
         throw new java.io.IOException(
           s"keyed_log($path): rewrite reveal rename failed for $sn")
+      dest.getName
     }
-    val survivors = KeyedLogSource.listDataFiles(path, op.conf)
-      .map(f => new Path(f).getName)
-    KeyedLogVersionLog.commit(path, op.conf, survivors, rewrite = true)
+    if (op.scannedFiles.nonEmpty) {
+      val survivors = KeyedLogSource.listDataFiles(path, op.conf)
+        .map(f => new Path(f).getName)
+      KeyedLogVersionLog.commit(path, op.conf, survivors, rewrite = true)
+    } else KeyedLogVersionLog.commit(path, op.conf, revealed)
     ()
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    // once the destructive phase began, the staged files may be the only
+    // copy of already-deleted originals' rows — keep them (hidden) for
+    // manual recovery instead of destroying the last copy
+    if (destructivePhase) return
     val fs = new Path(path).getFileSystem(op.conf.value)
     messages.toSeq.collect { case KeyedLogCommit(names) => names }.flatten
       .foreach(n => fs.delete(new Path(path, n), false))

@@ -68,6 +68,21 @@ object KeyedLogSource {
     StructField("seq", LongType),
     StructField("metric", LongType)))
 
+  /** The clustered-write layout contract — ONE definition shared by the
+    * plain clustered Write and the row-level rewrite: rows arrive
+    * clustered by key and sorted (key asc, seq asc), which is exactly
+    * what [[KeyedLogClusteredWriter]]'s one-file-per-key-run protocol
+    * (and its "key run twice" assertion) depends on. */
+  private[sources] def clusteredDistribution: org.apache.spark.sql.connector.distributions.Distribution =
+    org.apache.spark.sql.connector.distributions.Distributions.clustered(
+      Array(org.apache.spark.sql.connector.expressions.Expressions.identity("key")))
+  private[sources] def clusteredOrdering: Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
+    import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection}
+    Array(
+      Expressions.sort(Expressions.identity("key"), SortDirection.ASCENDING),
+      Expressions.sort(Expressions.identity("seq"), SortDirection.ASCENDING))
+  }
+
   /** Visible data files under `path` (hidden/_staging names excluded) —
     * the shared listing for batch split planning, streaming offsets, and
     * the catalog's `t.changes` feed. */
@@ -263,13 +278,12 @@ class KeyedLogTable(path: String, bucketN: Option[Int] = None)
         // of storage-partitioned reads.
         if (info.options.getBoolean("clusterByKey", false) || bucketN.isDefined)
           new Write with RequiresDistributionAndOrdering {
-            import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
-            import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder => V2SortOrder}
+            import org.apache.spark.sql.connector.distributions.Distribution
+            import org.apache.spark.sql.connector.expressions.{SortOrder => V2SortOrder}
             override def requiredDistribution: Distribution =
-              Distributions.clustered(Array(Expressions.identity("key")))
-            override def requiredOrdering: Array[V2SortOrder] = Array(
-              Expressions.sort(Expressions.identity("key"), SortDirection.ASCENDING),
-              Expressions.sort(Expressions.identity("seq"), SortDirection.ASCENDING))
+              KeyedLogSource.clusteredDistribution
+            override def requiredOrdering: Array[V2SortOrder] =
+              KeyedLogSource.clusteredOrdering
             override def toBatch: BatchWrite =
               KeyedLogBatchWrite(dest, info.queryId(), clustered = true)
             override def toStreaming: StreamingWrite =

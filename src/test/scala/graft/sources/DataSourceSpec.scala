@@ -605,6 +605,75 @@ class DataSourceSpec extends AnyFunSuite {
     assert(names().keySet.forall(_.contains("-K=")))
   }
 
+  test("row-level no-op journals nothing; inserts-only MERGE journals a plain append") {
+    val s = spark.newSession()
+    graft.catalog.GraftCatalog.register(s, "gklnz",
+      Files.createTempDirectory("graft_klnz_root_").toString)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS gklnz.db")
+    s.sql("CREATE TABLE gklnz.db.t (key STRING, seq BIGINT, metric BIGINT) " +
+      "USING keyedlog PARTITIONED BY (bucket(2, key))")
+    s.sql("INSERT INTO gklnz.db.t VALUES ('a', 1, 10), ('b', 2, 20)")
+    val dir = s.sql("SHOW TBLPROPERTIES gklnz.db.t").collect()
+      .find(_.getString(0) == "graft.location").get.getString(1)
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      s.sessionState.newHadoopConf())
+    val v0 = KeyedLogVersionLog.head(dir, conf).get
+    // zero matched rows: no file replaced, nothing staged — and NO
+    // journal entry (a phantom rewrite would make every incremental
+    // cursor re-deliver the whole table for a no-op)
+    s.sql("UPDATE gklnz.db.t SET metric = 0 WHERE key = 'zzz'")
+    assert(KeyedLogVersionLog.head(dir, conf).get == v0,
+      "a zero-match UPDATE must not journal")
+    // inserts-only MERGE: new files land, nothing replaced — journaled
+    // as a PLAIN append entry, not a rewrite
+    s.sql("SELECT * FROM (VALUES ('c', 9L, 90L)) AS t(key, seq, metric)")
+      .createOrReplaceTempView("klnz_src")
+    s.sql("""MERGE INTO gklnz.db.t t USING klnz_src s
+             ON t.key = s.key AND t.seq = s.seq
+             WHEN MATCHED THEN UPDATE SET metric = s.metric
+             WHEN NOT MATCHED THEN INSERT *""")
+    val v1 = KeyedLogVersionLog.head(dir, conf).get
+    assert(v1 == v0 + 1 && !KeyedLogVersionLog.isRewrite(dir, conf, v1),
+      "an inserts-only MERGE journals a plain append, not a rewrite")
+    assert(s.table("gklnz.db.t").count() == 3)
+  }
+
+  test("row-level abort after the destructive phase keeps staged files (recovery copy)") {
+    import org.apache.spark.sql.connector.write.RowLevelOperation.Command
+    val dir = Files.createTempDirectory("graft_klab_").toString
+    Files.write(java.nio.file.Paths.get(dir, "a.log"), "k1\t1\t10\n".getBytes("UTF-8"))
+    Files.write(java.nio.file.Paths.get(dir, "b.log"), "k2\t2\t20\n".getBytes("UTF-8"))
+    val op = new KeyedLogRowLevelOperation(dir, None, Command.UPDATE)
+    val write = new KeyedLogReplaceWrite(op, dir, "qx", clustered = false)
+    // stage a replacement by hand (what a task commit would leave)
+    val stagedName = ".rl-qx-part-qx-0.log"
+    Files.write(java.nio.file.Paths.get(dir, stagedName), "k1\t1\t11\n".getBytes("UTF-8"))
+    val messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage] =
+      Array(KeyedLogCommit(Seq(stagedName)))
+    // BEFORE any destructive work, abort cleans staged output
+    val clean = new KeyedLogReplaceWrite(op, dir, "qy", clustered = false)
+    val cleanStaged = ".rl-qy-part-qy-0.log"
+    Files.write(java.nio.file.Paths.get(dir, cleanStaged), "x\t1\t1\n".getBytes("UTF-8"))
+    clean.abort(Array(KeyedLogCommit(Seq(cleanStaged))))
+    assert(!new java.io.File(dir, cleanStaged).exists(),
+      "pre-destructive abort must clean staged files")
+    // force a mid-commit failure AFTER deletes began: replace one scanned
+    // file with a NON-EMPTY DIRECTORY of the same name (delete(p, false)
+    // fails on it while exists() stays true)
+    val bf = new java.io.File(dir, "b.log")
+    assert(bf.delete())
+    assert(new java.io.File(dir, "b.log").mkdir())
+    Files.write(java.nio.file.Paths.get(dir, "b.log", "x"), "z".getBytes("UTF-8"))
+    op.scannedFiles = Seq("a.log", "b.log") // a deletes fine, b cannot
+    intercept[Exception](write.commit(messages))
+    // a.log is gone (destructive phase ran) — abort must now KEEP the
+    // staged file: it may hold the only copy of a.log's surviving rows
+    assert(!new java.io.File(dir, "a.log").exists())
+    write.abort(messages)
+    assert(new java.io.File(dir, stagedName).exists(),
+      "post-destructive abort must keep staged files as the recovery copy")
+  }
+
   test("scan reports size statistics: a small keyed-log table broadcasts") {
     import spark.implicits._
     val dir = fixture() // a few hundred bytes
