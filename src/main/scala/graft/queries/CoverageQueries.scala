@@ -1091,13 +1091,20 @@ object CoverageQueries extends QueryModule {
       // boundary and dim-x pruning vanishes. (A repeat()ed sha pad
       // snappy-compresses ~8× and silently collapsed the file count to
       // 5 — burned here: pad = 16 DISTINCT sha blocks per row.)
+      // the corpus is pinned to the first 500 docs so the gate's staging
+      // cost (50k rows × 16 sha blocks) is CONSTANT across scale factors
+      // — at sf0.1 an unpinned version staged 500k rows / ~260 files and
+      // the gate's cost was all pad hashing, not z-order work. (Needs
+      // ≥500 docs, i.e. sf0.01+; sf0.001 would yield too few files for
+      // the 3-bit split ladder.)
       s.sql("INSERT INTO graft_cat.db.zc42 " +
         "SELECT doc_id * 100 + r AS id, (doc_id * 100 + r) % 1024 AS x, " +
         "((doc_id * 100 + r) * 37) % 1024 AS y, " +
         "((doc_id * 100 + r) * 59) % 1024 AS z, " +
         "array_join(transform(sequence(0, 15), i -> " +
         "sha2(CAST((doc_id * 100 + r) * 16 + i AS STRING), 256)), '') AS pad " +
-        "FROM qc42_documents CROSS JOIN (SELECT id AS r FROM range(100))")
+        "FROM qc42_documents CROSS JOIN (SELECT id AS r FROM range(100)) " +
+        "WHERE doc_id < 500")
       val row = s.sql("CALL graft_cat.system.compact('db.zc42', " +
         "target_mb => 1, zorder => 'x,y,z')").head()
       val filesAfter = row.getLong(1)
@@ -2125,7 +2132,8 @@ object CoverageQueries extends QueryModule {
                   (doc_id * 100 + r) % 1024 AS x,
                   ((doc_id * 100 + r) * 37) % 1024 AS y,
                   ((doc_id * 100 + r) * 59) % 1024 AS z
-           FROM documents CROSS JOIN generate_series(0, 99) t(r))
+           FROM documents CROSS JOIN generate_series(0, 99) t(r)
+           WHERE doc_id < 500)
          SELECT true AS multi_files, true AS pruned_x, true AS pruned_y,
            true AS pruned_z,
            (SELECT count(*) FROM rows WHERE x < 64) AS n_x,
