@@ -211,10 +211,17 @@ private[catalog] object GraftProcedures {
       ProcedureParameter.in("table", StringType).build(),
       ProcedureParameter.in("keep", IntegerType).defaultValue("2").build(),
       ProcedureParameter.in("orphan_retain_ms", LongType)
-        .defaultValue(ManifestTable.OrphanRetainMs.toString).build())
+        .defaultValue(ManifestTable.OrphanRetainMs.toString).build(),
+      // VACUUM ... DRY RUN: report the pool count the same plan would
+      // remove, touching NOTHING (no checkpoint anchoring, no marker
+      // truncation, no deletes) — the look-before-you-leap a retention
+      // change on a 100 TB table deserves
+      ProcedureParameter.in("dry_run", BooleanType).defaultValue("false").build())
     override def call(input: InternalRow): JIterator[Scan] = {
       val (dir, _) = manifestTarget(catalog, input.getString(0), "vacuum")
-      val removed = ManifestTable.vacuum(dir, input.getInt(1), input.getLong(2))
+      val dryRun = !input.isNullAt(3) && input.getBoolean(3)
+      val removed = ManifestTable.vacuum(dir, input.getInt(1), input.getLong(2),
+        dryRun = dryRun)
       result(
         StructType(Seq(StructField("pools_removed", IntegerType, nullable = false))),
         removed)

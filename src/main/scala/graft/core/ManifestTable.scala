@@ -1643,7 +1643,8 @@ object ManifestTable {
     * `keep >= 2` leaves a grace version for readers that resolved the
     * manifest just before a commit. Returns the number of pool
     * directories removed. */
-  def vacuum(dir: String, keep: Int = 2, orphanRetainMs: Long = OrphanRetainMs): Int = {
+  def vacuum(dir: String, keep: Int = 2, orphanRetainMs: Long = OrphanRetainMs,
+             dryRun: Boolean = false): Int = {
     require(keep >= 1, "must keep at least the current version")
     val fs = LakeStorage.openFor(dir)
     val base = new Path(dir)
@@ -1662,9 +1663,13 @@ object ManifestTable {
     val tagged = (tags(dir).values.toSet ++ forks).intersect(committed.toSet)
     val kept = (committed.takeRight(keep).toSet ++ tagged).toSeq.sorted
     val cutoff = committed.takeRight(keep).head
-    // anchor the surviving log BEFORE truncating it
-    writeCheckpoint(dir, cutoff, state(dir, cutoff))
-    tagged.filter(_ < cutoff).foreach(v => writeCheckpoint(dir, v, state(dir, v)))
+    // anchor the surviving log BEFORE truncating it (a DRY RUN is
+    // strictly read-only: it neither anchors nor truncates nor deletes —
+    // it reports the pool count the same plan would remove)
+    if (!dryRun) {
+      writeCheckpoint(dir, cutoff, state(dir, cutoff))
+      tagged.filter(_ < cutoff).foreach(v => writeCheckpoint(dir, v, state(dir, v)))
+    }
     // pool dirs referenced by any kept / any committed manifest (first
     // path segment — data files AND deletion-vector files); committed-
     // but-not-kept pools are dead on expiry, unreferenced-by-any pools
@@ -1690,11 +1695,11 @@ object ManifestTable {
       if (st.isDirectory && name.startsWith(DataDirPrefix) && !referencedKept.contains(name)) {
         val expiredCommitted = referencedAny.contains(name)
         if (expiredCommitted || now - st.getModificationTime > orphanRetainMs) {
-          if (!fs.delete(st.getPath, true))
+          if (!dryRun && !fs.delete(st.getPath, true))
             throw new IllegalStateException(s"vacuum: failed to delete ${st.getPath}")
           removed += 1
         }
-      } else {
+      } else if (!dryRun) {
         parseSuffix(name, MarkerPrefix).foreach { v =>
           if (v < cutoff && !tagged.contains(v)) { fs.delete(st.getPath, false); () }
         }

@@ -95,12 +95,28 @@ class CatalogProcedureSpec extends AnyFunSuite {
     assert(spark.sql("SELECT sum(k) FROM gp.db.cpb").head().getLong(0) === 3L * 64 / 16 * (0 to 15).sum)
   }
 
-  test("CALL vacuum removes expired pools but keeps readable versions") {
+  test("CALL vacuum removes expired pools but keeps readable versions; dry_run touches nothing") {
     ensureDb()
     spark.sql("CREATE TABLE gp.db.vc (id BIGINT) USING manifest")
     spark.sql("INSERT INTO gp.db.vc VALUES (1)")           // v1
     spark.sql("INSERT OVERWRITE gp.db.vc VALUES (2)")      // v2 (v1's pool now unreferenced beyond keep)
     spark.sql("INSERT OVERWRITE gp.db.vc VALUES (3)")      // v3
+    // DRY RUN first: reports the same count the real pass will remove,
+    // and the table directory is byte-for-byte untouched (no checkpoint
+    // anchoring, no marker truncation, no deletes)
+    def listing(): Map[String, Long] = {
+      val d = new java.io.File(new java.net.URI(dataDir("vc")))
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) :+ f else Seq(f)
+      walk(d).map(f => f.getPath -> f.lastModified()).toMap
+    }
+    val before = listing()
+    val wouldRemove = spark.sql(
+      "CALL gp.system.vacuum('db.vc', keep => 2, dry_run => true)").head().getInt(0)
+    assert(wouldRemove === 1, s"dry run must report the plan, got $wouldRemove")
+    assert(listing() == before, "dry run must not touch the table directory")
+    assert(spark.sql("SELECT id FROM gp.db.vc VERSION AS OF 1").head().getLong(0) === 1L,
+      "dry run must leave even expired versions readable")
     val removed = spark.sql("CALL gp.system.vacuum('db.vc', keep => 2)").head().getInt(0)
     assert(removed === 1, s"expected exactly v1's pool removed, got $removed")
     // kept versions still read
