@@ -218,10 +218,25 @@ private[catalog] object GraftProcedures {
       // change on a 100 TB table deserves
       ProcedureParameter.in("dry_run", BooleanType).defaultValue("false").build())
     override def call(input: InternalRow): JIterator[Scan] = {
-      val (dir, _) = manifestTarget(catalog, input.getString(0), "vacuum")
       val dryRun = !input.isNullAt(3) && input.getBoolean(3)
-      val removed = ManifestTable.vacuum(dir, input.getInt(1), input.getLong(2),
-        dryRun = dryRun)
+      val removed = target(catalog, input.getString(0)) match {
+        case ("manifest", dir, _) =>
+          ManifestTable.vacuum(dir, input.getInt(1), input.getLong(2),
+            dryRun = dryRun)
+        case ("keyedlog", dir, _) =>
+          // keyedlog maintenance: sweep the dir's hidden residue — `.tmp-`
+          // task temps and `.rl-` staged files from crashed/aborted
+          // writes, and `.rm-` pre-image tombstones past their
+          // feed-serving retention — older than orphan_retain_ms. Change
+          // feeds whose window needs an aged-out pre-image fail loudly.
+          graft.sources.KeyedLogSource.sweepOrphans(dir,
+            new org.apache.spark.util.SerializableConfiguration(
+              SparkSession.active.sessionState.newHadoopConf()),
+            input.getLong(2), dryRun).length
+        case (other, _, _) => throw new IllegalArgumentException(
+          s"vacuum applies to manifest and keyedlog tables; " +
+            s"'${input.getString(0)}' is a $other table")
+      }
       result(
         StructType(Seq(StructField("pools_removed", IntegerType, nullable = false))),
         removed)
@@ -473,22 +488,32 @@ private[catalog] object GraftProcedures {
       val ndvCols =
         if (requested.isEmpty) meta.ndvCols
         else {
-          // merge into the declaration through the ALTER path — the same
-          // existence/type validation SET TBLPROPERTIES runs; future
-          // writes sketch the merged set from here on
-          val merged = (meta.ndvCols ++ requested).distinct
-          if (merged != meta.ndvCols)
-            catalog.alterTable(ident,
-              org.apache.spark.sql.connector.catalog.TableChange.setProperty(
-                GraftCatalog.NdvColsProp, merged.mkString(",")))
-          merged
+          // validate the requested columns NOW (the same existence/type
+          // checks SET TBLPROPERTIES runs) but DEFER the declaration
+          // mutation until the backfill succeeds below — a failed
+          // procedure must not leave an alterTable side effect behind
+          requested.foreach { c =>
+            val f = meta.schema.find(_.name == c).getOrElse(
+              throw new IllegalArgumentException(
+                s"${ident.name()}: ${GraftCatalog.NdvColsProp} names unknown column '$c'"))
+            require(graft.core.NdvStats.eligible(f.dataType),
+              s"${ident.name()}: ${GraftCatalog.NdvColsProp} column '$c' is " +
+                s"${f.dataType.simpleString} — HLL sketches cover int/bigint/string/binary")
+          }
+          (meta.ndvCols ++ requested).distinct
         }
       require(ndvCols.nonEmpty,
         s"'${input.getString(0)}' declares no stat columns — pass " +
           s"columns => 'c1,c2' (or ALTER TABLE ... SET TBLPROPERTIES " +
           s"('${GraftCatalog.NdvColsProp}'='c1,c2') first)")
+      // backfill against the merged set FIRST; persist the declaration
+      // only after it lands (future writes then sketch the merged set)
       val (version, restatted) = ManifestTable.restatFiles(
         dir, ndvCols, onlyMissing = mode == "missing")
+      if (ndvCols != meta.ndvCols)
+        catalog.alterTable(ident,
+          org.apache.spark.sql.connector.catalog.TableChange.setProperty(
+            GraftCatalog.NdvColsProp, ndvCols.mkString(",")))
       result(
         StructType(Seq(
           StructField("table_version", LongType, nullable = false),

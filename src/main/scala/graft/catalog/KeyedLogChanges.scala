@@ -64,8 +64,21 @@ case class KeyedLogChangesScan(dir: String, startVersion: Long,
   override def description(): String =
     s"KeyedLogChangesScan($dir, $startVersion..${endVersion.getOrElse("head")})"
 
-  /** (version, tag, file names) per served version — the last rewrite in
-    * the window (if any) plus every later insert commit. */
+  /** (version, tag, file names) per served change group.
+    *
+    * Entry kinds in the window:
+    *  - plain commit → its fresh names tagged `insert` (post-images);
+    *  - FULL rewrite (compaction / metadata delete journaled without an
+    *    rm set by an older revision) → the whole post-rewrite set tagged
+    *    `rewrite`, superseding every earlier version in the window;
+    *  - ROW-LEVEL rewrite (rm/ad recorded — UPDATE, MERGE, CoW or
+    *    metadata DELETE) → the replaced files' pre-images tagged
+    *    `delete` (served from their `.rm-v<version>-` tombstones) plus
+    *    the replacement files tagged `insert` — the manifest feed's
+    *    delete/insert pair contract at file granularity (survivor rows
+    *    of a rewritten file appear in both images; applying delete-then-
+    *    insert reproduces the exact post-state). Row-level rewrites do
+    *    NOT supersede earlier entries — they touched only their rm set. */
   private lazy val served: Seq[(Long, String, Seq[String])] = {
     val committed = KeyedLogVersionLog.versions(dir, conf)
     require(startVersion == -1L || committed.contains(startVersion),
@@ -77,9 +90,11 @@ case class KeyedLogChangesScan(dir: String, startVersion: Long,
     require(end >= startVersion,
       s"end_version $end precedes start_version $startVersion")
     val window = committed.filter(v => v > startVersion && v <= end)
-    val tagged = window.map { v =>
-      val rw = KeyedLogVersionLog.isRewrite(dir, conf, v)
-      (v, if (rw) "rewrite" else "insert", KeyedLogVersionLog.read(dir, conf, v))
+    val entries = window.map(v => v -> KeyedLogVersionLog.entry(dir, conf, v))
+    val tagged = entries.flatMap { case (v, e) =>
+      if (!e.rewrite) Seq((v, "insert", e.fresh))
+      else if (e.rm.isEmpty && e.ad.isEmpty) Seq((v, "rewrite", e.fresh))
+      else Seq((v, "delete", e.rm), (v, "insert", e.ad)).filter(_._3.nonEmpty)
     }
     val lastRw = tagged.lastIndexWhere(_._2 == "rewrite")
     if (lastRw < 0) tagged else tagged.drop(lastRw)
@@ -87,18 +102,33 @@ case class KeyedLogChangesScan(dir: String, startVersion: Long,
 
   override def planInputPartitions(): Array[InputPartition] = {
     // journal window resolved first (in `served`), listing second — same
-    // writer-race ordering as the windowed scan; a miss after one re-list
-    // means a compaction passed the cursor and fails loudly
+    // writer-race ordering as the windowed scan. A name missing from the
+    // listing is served from its `.rm-` tombstone when a row-level swap
+    // kept the pre-image (delete groups resolve there by construction);
+    // re-list once (compactor racing the first listing), then fail loudly.
     def listing(): Map[String, String] = KeyedLogSource
       .listDataFiles(dir, conf).map(f => new Path(f).getName -> f).toMap
     var listed = listing()
     var relisted = false
-    served.flatMap { case (_, tag, names) =>
+    served.flatMap { case (v, tag, names) =>
       names.map { n =>
-        if (!listed.contains(n) && !relisted) { listed = listing(); relisted = true }
-        val f = listed.getOrElse(n, throw new IllegalStateException(
-          s"keyed_log t.changes: journaled file $n is gone (compacted past " +
-            "your cursor?) — restart from a full scan"))
+        if (!listed.contains(n) && tag != "delete" && !relisted) {
+          listed = listing(); relisted = true
+        }
+        val f =
+          if (tag == "delete")
+            // the exact tombstone this swap hid the pre-image under; a
+            // reveal-rename leftover (tombstone failed, original still
+            // visible) serves from the visible name
+            KeyedLogSource.resolveTombstone(dir, conf, v, n)
+              .getOrElse(throw new IllegalStateException(
+                s"keyed_log t.changes: pre-image of $n (v$v) is gone — its " +
+                  "tombstone aged out (vacuum); restart from a full scan"))
+          else listed.get(n)
+            .orElse(KeyedLogSource.resolveServed(dir, conf, n))
+            .getOrElse(throw new IllegalStateException(
+              s"keyed_log t.changes: journaled file $n is gone (compacted or " +
+                "vacuumed past your cursor?) — restart from a full scan"))
         ChangeTaggedPartition(KeyedLogPartition(Seq(f)), tag): InputPartition
       }
     }.toArray

@@ -1054,8 +1054,13 @@ object ManifestTable {
     val candidates = snap.files.filter(f =>
       snap.stats.get(f).forall(st => FileStats.mayMatch(folded, st)))
     // one matching file has nothing to merge with — a whole-file rewrite
-    // of it would be pure churn unless it carries a vector
-    if (candidates.length < 2 && candidates.forall(!snap.dvs.contains(_)))
+    // of it would be pure churn unless it carries a vector OR the caller
+    // explicitly asked for a layout (cluster_by/zorder): an explicit
+    // re-layout request justifies rewriting even a single file, and
+    // skipping it would be indistinguishable from "nothing matched"
+    if (candidates.isEmpty ||
+        (candidates.length < 2 && candidates.forall(!snap.dvs.contains(_)) &&
+          clusterBy.isEmpty && zorderBy.isEmpty))
       return (0L, 0L)
     def sizeOf(f: String): Long = snap.stats.get(f).flatMap(_.sizeBytes)
       .getOrElse(fs.getFileStatus(new Path(dir, f)).getLen)

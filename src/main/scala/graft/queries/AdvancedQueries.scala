@@ -373,15 +373,22 @@ object AdvancedQueries extends QueryModule {
     //     tagged CDC feed over the commit journal — normal commits emit
     //     'insert' post-images; a compaction journals the whole rewritten
     //     set as ONE 'rewrite' (refresh/upsert) event superseding every
-    //     earlier version in the window, and later inserts follow ---
+    //     earlier version in the window; a row-level UPDATE journals an
+    //     rm/ad rewrite served as DELETE pre-images (from the swap's .rm-
+    //     tombstones) + INSERT post-images, the manifest feed's pair
+    //     contract at file granularity — and the replaced v3 insert still
+    //     serves its pre-update image from the tombstone ---
     "qk05_keyedlog_changes" -> { (s0, d) =>
       val s = s0.newSession()
       graft.catalog.GraftCatalog.register(s, "graft_kx",
         graft.core.TempDirs.create("graft_kx_root_"))
       s.sql("CREATE NAMESPACE IF NOT EXISTS graft_kx.db")
       Tables.documents(s, d).createOrReplaceTempView("qk05_documents")
+      // bucket-declared: every write clusters (one file per key), so the
+      // UPDATE's matched-file set is exactly the 'de' files — the feed's
+      // delete/insert pair content is deterministic at any partitioning
       s.sql("CREATE TABLE graft_kx.db.activity (key STRING, seq BIGINT, metric BIGINT) " +
-        "USING keyedlog")
+        "USING keyedlog PARTITIONED BY (bucket(2, key))")
       s.sql("INSERT INTO graft_kx.db.activity " +
         "SELECT lang, doc_id, n_chars FROM qk05_documents WHERE doc_id % 3 = 0") // journal v0
       s.sql("INSERT INTO graft_kx.db.activity " +
@@ -389,8 +396,12 @@ object AdvancedQueries extends QueryModule {
       s.sql("CALL graft_kx.system.compact('db.activity')")                       // journal v2 (rewrite)
       s.sql("INSERT INTO graft_kx.db.activity " +
         "SELECT lang, doc_id, n_chars FROM qk05_documents WHERE doc_id % 3 = 2") // journal v3
+      s.sql("UPDATE graft_kx.db.activity SET metric = metric + 1000000 " +
+        "WHERE key = 'de'")                                     // journal v4 (rm/ad rewrite)
       // window (0, head]: v1's insert is superseded by the v2 rewrite, so
-      // the feed = rewrite rows (all of v0+v1) + v3's insert rows
+      // the feed = rewrite rows (all of v0+v1, pre-update images via the
+      // replaced de file's tombstone) + v3's insert rows (de file likewise
+      // tombstone-served) + v4's delete pre-images and insert post-images
       s.read.option("start_version", "0").table("graft_kx.db.activity.changes")
         .groupBy(col("_change_type").as("change_type"), col("key"))
         .agg(count(lit(1)).as("n_rows"), sum("metric").as("sum_chars"))
@@ -721,12 +732,27 @@ object AdvancedQueries extends QueryModule {
          GROUP BY lang ORDER BY key""",
 
     // the rewrite event replays everything committed before the
-    // compaction (doc_id % 3 in (0, 1)); the later insert is % 3 = 2
+    // compaction (doc_id % 3 in (0, 1)) at its PRE-update image (the
+    // replaced de file serves from its tombstone); the later insert is
+    // % 3 = 2 (de portion likewise pre-update); the row-level UPDATE
+    // adds delete pre-images + insert post-images of ALL de rows
     "qk05_keyedlog_changes" ->
       """SELECT change_type, key, n_rows, sum_chars FROM (
            SELECT 'insert' AS change_type, lang AS key, count(*) AS n_rows,
              CAST(sum(n_chars) AS BIGINT) AS sum_chars
-           FROM documents WHERE doc_id % 3 = 2 GROUP BY lang
+           FROM documents WHERE doc_id % 3 = 2 AND lang <> 'de' GROUP BY lang
+           UNION ALL
+           SELECT 'insert', 'de',
+             (SELECT count(*) FROM documents WHERE doc_id % 3 = 2 AND lang = 'de')
+               + (SELECT count(*) FROM documents WHERE lang = 'de'),
+             CAST((SELECT sum(n_chars) FROM documents
+                   WHERE doc_id % 3 = 2 AND lang = 'de')
+               + (SELECT sum(n_chars) + 1000000 * count(*) FROM documents
+                  WHERE lang = 'de') AS BIGINT)
+           UNION ALL
+           SELECT 'delete', 'de',
+             (SELECT count(*) FROM documents WHERE lang = 'de'),
+             CAST((SELECT sum(n_chars) FROM documents WHERE lang = 'de') AS BIGINT)
            UNION ALL
            SELECT 'rewrite' AS change_type, lang AS key, count(*) AS n_rows,
              CAST(sum(n_chars) AS BIGINT) AS sum_chars

@@ -12,11 +12,12 @@ import org.apache.spark.sql.types.{DataType, StringType, StructField, StructType
   * keyed-log connector — group-based COPY-ON-WRITE at FILE granularity,
   * the same DSv2 contract the manifest format implements
   * ([[graft.catalog.ManifestRowLevelOperation]]), re-expressed for a
-  * listing-visible text format:
+  * journal-backed text format:
   *
-  *  - the SCAN pins the live file set at operation start, plans one
-  *    split per file, and tags every row with its source file name
-  *    (`_klfile`, the group identity). Spark's runtime group filtering
+  *  - the SCAN pins the live file set at operation start (journal-resolved
+  *    — [[KeyedLogSource.readerNames]]), plans one split per file, and
+  *    tags every row with its source file name (`_klfile`, the group
+  *    identity). Spark's runtime group filtering
   *    ([[SupportsRuntimeFiltering]] on `_klfile`) first runs the
   *    command's condition to find MATCHED files, then re-plans the scan
   *    over only those — unmatched files are never read twice and never
@@ -27,19 +28,26 @@ import org.apache.spark.sql.types.{DataType, StringType, StructField, StructType
   *    names via the normal task-commit rename protocol — bucket-declared
   *    tables stage through the CLUSTERED writer so rewritten files keep
   *    their `-K=` tags and storage-partitioned reads survive DML — then
-  *    the job commit swaps: delete the replaced files, reveal the staged
-  *    ones, journal the surviving set as ONE rewrite entry (the same
-  *    version-line contract as compaction and the qk07 metadata DELETE).
+  *    the job commit swaps SNAPSHOT-style: (1) REVEAL the staged files
+  *    under their final names (new, unique — still invisible to
+  *    journal-resolved readers), (2) JOURNAL one rebased rewrite entry
+  *    (live minus replaced plus revealed, rm/ad recorded for the changes
+  *    feed), (3) HIDE the replaced originals as `.rm-v<version>-`
+  *    tombstones — the feed's delete pre-images, aged out by the vacuum
+  *    orphan sweep.
   *
-  * Crash/visibility contract (documented, same family as
-  * [[KeyedLogTable.deleteWhere]]'s): the keyed log is a LISTING-visible
-  * format — there is no manifest to make the swap atomic, so a reader
-  * racing the commit window (or a crash inside it) can observe the
-  * affected files' rows missing; rows are never DUPLICATED and never
-  * resurrected (deletes happen before reveals). Orphaned `.rl-` staged
-  * files from a crashed driver are invisible to readers and harmless.
-  * Snapshot-isolated DML is the manifest format's rung of the ladder.
-  */
+  * Isolation contract: readers resolve their file set from the journal
+  * ([[KeyedLogVersionLog.liveSet]]), so a reader racing the commit sees
+  * either the complete pre-swap snapshot (entry not yet landed; originals
+  * still on disk) or the complete post-swap one — never missing rows,
+  * never duplicates. A crash BEFORE the journal entry lands leaves the
+  * table untouched (originals intact; revealed/staged output is
+  * journal-invisible and [[KeyedLogReplaceWrite.abort]] removes it); a
+  * crash AFTER leaves a committed swap plus tombstone work the next
+  * maintenance pass sweeps. The one residual: a reader that PLANNED
+  * pre-swap and opens a tombstoned file after the swap fails loudly
+  * (the pre-image moved) — the manifest format retains replaced pools
+  * until vacuum and does not share this window. */
 class KeyedLogRowLevelOperation(path: String, bucketN: Option[Int],
                                 cmd: Command) extends RowLevelOperation {
   import KeyedLogRowLevelOperation._
@@ -47,9 +55,10 @@ class KeyedLogRowLevelOperation(path: String, bucketN: Option[Int],
   private[sources] val conf = KeyedLogConf.capture()
 
   /** Live file NAMES pinned when the DML statement starts analysis —
-    * scan and commit agree on this base. */
+    * scan and commit agree on this base (journal-resolved; listing on
+    * pre-journal dirs). */
   private[sources] val snapshot: Seq[String] =
-    KeyedLogSource.listDataFiles(path, conf).map(f => new Path(f).getName).sorted
+    KeyedLogSource.readerFiles(path, conf).map(f => new Path(f).getName).sorted
 
   /** What the commit replaces: narrowed by the scan's runtime group
     * filter, defaulting to the full snapshot (driver-side only). */
@@ -63,8 +72,12 @@ class KeyedLogRowLevelOperation(path: String, bucketN: Option[Int],
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
       override def build(): Write = {
-        require(info.schema().fieldNames.sameElements(KeyedLogSource.schema.fieldNames),
-          s"keyed_log rewrite schema must be (key, seq, metric); got " +
+        val expected = KeyedLogSource.schema
+        // names AND types, not names alone — a type-mismatched plan must
+        // fail here, not corrupt lines in the task writers
+        require(info.schema().fieldNames.sameElements(expected.fieldNames) &&
+            DataType.equalsStructurally(info.schema(), expected, ignoreNullability = true),
+          s"keyed_log rewrite schema must be ${expected.simpleString}; got " +
             info.schema().simpleString)
         // rewrites keep the layout they found: bucket-declared tables and
         // fully key-clustered dirs re-cluster (storage-partitioned reads
@@ -139,11 +152,12 @@ class KeyedLogRowLevelScan(op: KeyedLogRowLevelOperation, path: String)
 
 /** The replace-data write: tasks stage hidden `.rl-` files through the
   * normal replace-on-retry rename protocol; the job commit swaps them in
-  * (delete replaced → reveal staged → journal one rewrite entry). A
-  * zero-matched-rows command (nothing scanned, nothing staged) commits
-  * NOTHING — no journal entry, so incremental cursors never see a
-  * phantom full-table rewrite for a no-op; an inserts-only MERGE (rows
-  * staged, no file replaced) journals a PLAIN append entry. */
+  * (reveal staged → journal one rebased rewrite entry → tombstone the
+  * replaced originals; see [[KeyedLogRowLevelOperation]]'s isolation
+  * contract). A zero-matched-rows command (nothing scanned, nothing
+  * staged) commits NOTHING — no journal entry, so incremental cursors
+  * never see a phantom full-table rewrite for a no-op; an inserts-only
+  * MERGE (rows staged, no file replaced) journals a PLAIN append entry. */
 class KeyedLogReplaceWrite(op: KeyedLogRowLevelOperation, path: String,
                            queryId: String, clustered: Boolean)
     extends Write with BatchWrite
@@ -159,11 +173,15 @@ class KeyedLogReplaceWrite(op: KeyedLogRowLevelOperation, path: String,
   override def toBatch: BatchWrite = this
   override def description(): String = s"KeyedLogReplaceWrite($path)"
 
-  /** True once [[commit]] started deleting replaced files: from that
-    * moment the staged `.rl-` files may hold the ONLY copy of surviving
-    * rows, so [[abort]] must leave them on disk as the recovery copy
-    * (they stay reader-invisible either way). */
-  @volatile private var destructivePhase = false
+  /** True once the swap's journal entry landed: from that moment the
+    * revealed files ARE the table's live data, so [[abort]] must leave
+    * everything in place (the swap is durable; only tombstone cleanup
+    * can still be pending, and the orphan sweep owns that). */
+  @volatile private var journaled = false
+  /** Final names revealed so far — a pre-journal abort removes these
+    * (journal-invisible, but a listing-based consumer such as a fresh
+    * stream would otherwise pick them up). */
+  @volatile private var revealedNames: Seq[String] = Nil
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     if (clustered)
@@ -179,23 +197,11 @@ class KeyedLogReplaceWrite(op: KeyedLogRowLevelOperation, path: String,
     // rewrite here would make every incremental cursor re-deliver the
     // whole table for nothing
     if (op.scannedFiles.isEmpty && staged.isEmpty) return
-    // 1. drop the replaced files FIRST (rows gone, never duplicated —
-    //    the deleteWhere ordering); 2. reveal the staged replacements;
-    // 3. journal: the post-swap surviving set as ONE rewrite entry when
-    //    files were replaced (fresh listing, so concurrent appends carry
-    //    over like compaction), or a PLAIN append entry of just the new
-    //    files for an inserts-only MERGE
-    destructivePhase = op.scannedFiles.nonEmpty
-    op.scannedFiles.foreach { n =>
-      val p = new Path(path, n)
-      // a false delete on an ABSENT file is not a failure — a concurrent
-      // maintenance pass already removed it (the journal rebase below is
-      // what arbitrates); a false delete on a PRESENT file is
-      if (!fs.delete(p, false) && fs.exists(p))
-        throw new java.io.IOException(
-          s"keyed_log($path): rewrite could not delete replaced file $n")
-    }
-    val revealed = staged.map { sn =>
+    // 1. REVEAL the staged replacements under their final (new, unique)
+    //    names — still invisible to journal-resolved readers. Revealed
+    //    names accumulate AS THEY LAND so a mid-reveal failure leaves
+    //    them visible to abort()'s cleanup.
+    staged.foreach { sn =>
       val dest = new Path(path, sn.stripPrefix(prefix))
       if (fs.exists(dest) && !fs.delete(dest, false))
         throw new java.io.IOException(
@@ -203,23 +209,35 @@ class KeyedLogReplaceWrite(op: KeyedLogRowLevelOperation, path: String,
       if (!fs.rename(new Path(path, sn), dest))
         throw new java.io.IOException(
           s"keyed_log($path): rewrite reveal rename failed for $sn")
-      dest.getName
+      revealedNames = revealedNames :+ dest.getName
     }
     if (op.scannedFiles.nonEmpty) {
-      val survivors = KeyedLogSource.listDataFiles(path, op.conf)
-        .map(f => new Path(f).getName)
-      KeyedLogVersionLog.commit(path, op.conf, survivors, rewrite = true)
-    } else KeyedLogVersionLog.commit(path, op.conf, revealed)
-    ()
+      // 2. JOURNAL the swap (rebased inside the commit loop: concurrent
+      //    appends journaled since the scan's snapshot carry over)
+      val v = KeyedLogVersionLog.commitRewrite(path, op.conf,
+        op.scannedFiles.toSet, revealedNames)
+      journaled = true
+      // 3. HIDE the replaced originals as version-tagged tombstones —
+      //    the changes feed's delete pre-images. Best-effort: the swap
+      //    is durable; a failed rename logs the (journal-invisible)
+      //    leftover instead of failing a committed operation.
+      KeyedLogSource.hideReplaced(path, op.conf, v, op.scannedFiles)
+    } else {
+      KeyedLogVersionLog.commit(path, op.conf, revealedNames)
+      journaled = true
+    }
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
-    // once the destructive phase began, the staged files may be the only
-    // copy of already-deleted originals' rows — keep them (hidden) for
-    // manual recovery instead of destroying the last copy
-    if (destructivePhase) return
+    // once the journal entry landed the revealed files are the table's
+    // live data — keep everything (the swap is durable)
+    if (journaled) return
+    // nothing destructive happened yet (originals untouched until after
+    // the journal commit): remove staged AND already-revealed output so
+    // no journal-invisible garbage is left for listing-based consumers
     val fs = new Path(path).getFileSystem(op.conf.value)
     messages.toSeq.collect { case KeyedLogCommit(names) => names }.flatten
       .foreach(n => fs.delete(new Path(path, n), false))
+    revealedNames.foreach(n => fs.delete(new Path(path, n), false))
   }
 }

@@ -96,6 +96,121 @@ object KeyedLogSource {
       .map(_.getPath.toString).sorted
   }
 
+  /** The file set a READER plans over: resolved from the commit JOURNAL
+    * when one exists (the live set at the journal head — snapshot reads:
+    * a row-level swap's staged-then-revealed files stay invisible until
+    * its journal entry lands, and its tombstoned pre-images disappear
+    * with it), directory listing otherwise (pre-journal dirs). On a
+    * journal-carrying dir, files placed by hand (never journaled) are
+    * NOT served — write through the connector. */
+  private[graft] def readerNames(
+      path: String, conf: org.apache.spark.util.SerializableConfiguration): Option[Seq[String]] =
+    KeyedLogVersionLog.liveSet(path, conf)
+
+  private[graft] def readerFiles(
+      path: String, conf: org.apache.spark.util.SerializableConfiguration): Array[String] =
+    readerNames(path, conf) match {
+      case Some(names) => names.map(n => new Path(path, n).toString).toArray
+      case None        => listDataFiles(path, conf)
+    }
+
+  /** Tombstone name a row-level swap (journal version `v`) hides a
+    * replaced file under: dot-prefixed (reader-invisible), version-tagged
+    * so `t.changes` can serve the swap's delete pre-images. */
+  private[graft] def tombstoneName(v: Long, name: String): String = s".rm-v$v-$name"
+
+  /** Hide `names` as version-`v` tombstones. BEST-EFFORT: the swap is
+    * already durable (journal committed), so a failed rename logs the
+    * leftover loudly instead of failing a committed operation — the
+    * leftover is journal-invisible to readers either way. An absent
+    * original is tolerated (concurrent maintenance already moved it). */
+  private[graft] def hideReplaced(
+      path: String, conf: org.apache.spark.util.SerializableConfiguration,
+      v: Long, names: Seq[String]): Unit = {
+    val fs = new Path(path).getFileSystem(conf.value)
+    names.foreach { n =>
+      val src = new Path(path, n)
+      try {
+        if (fs.exists(src) && !fs.rename(src, new Path(path, tombstoneName(v, n))))
+          log.warn(s"keyed_log($path): could not tombstone replaced file $n " +
+            s"(swap v$v is committed; the leftover is invisible to journal readers)")
+      } catch {
+        case e: java.io.IOException =>
+          log.warn(s"keyed_log($path): could not tombstone replaced file $n: $e")
+      }
+    }
+  }
+
+  /** Resolve a journaled name to a readable path: the visible file, or —
+    * when a row-level swap has since tombstoned it — its `.rm-v*-` copy
+    * (same bytes; files are immutable once visible). None = genuinely
+    * gone (compacted/vacuumed past the caller's cursor). */
+  private[graft] def resolveServed(
+      path: String, conf: org.apache.spark.util.SerializableConfiguration,
+      name: String): Option[String] = {
+    val fs = new Path(path).getFileSystem(conf.value)
+    val visible = new Path(path, name)
+    if (fs.exists(visible)) Some(visible.toString)
+    else tombstonesOf(path, conf).get(name).map(t => new Path(path, t).toString)
+  }
+
+  /** The pre-image a version-`v` swap hid `name` under: the exact
+    * `.rm-v<v>-` tombstone, or the still-visible original when the
+    * tombstone rename failed (best-effort leftover). None = aged out. */
+  private[graft] def resolveTombstone(
+      path: String, conf: org.apache.spark.util.SerializableConfiguration,
+      v: Long, name: String): Option[String] = {
+    val fs = new Path(path).getFileSystem(conf.value)
+    val t = new Path(path, tombstoneName(v, name))
+    if (fs.exists(t)) Some(t.toString)
+    else {
+      val visible = new Path(path, name)
+      if (fs.exists(visible)) Some(visible.toString) else None
+    }
+  }
+
+  /** original name -> tombstone name, one listing. */
+  private[graft] def tombstonesOf(
+      path: String, conf: org.apache.spark.util.SerializableConfiguration): Map[String, String] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf.value)
+    if (!fs.exists(p)) Map.empty
+    else fs.listStatus(p).iterator
+      .map(_.getPath.getName).filter(_.startsWith(".rm-v"))
+      .flatMap { t =>
+        val rest = t.stripPrefix(".rm-v")
+        val i = rest.indexOf('-')
+        if (i > 0 && rest.take(i).forall(_.isDigit)) Some(rest.drop(i + 1) -> t)
+        else None
+      }.toMap
+  }
+
+  /** Maintenance sweep of this dir's hidden residue — `.tmp-` task temps
+    * and `.rl-` staged files from crashed/aborted writes, and `.rm-`
+    * pre-image tombstones past their feed-serving retention — older than
+    * `retainMs` (mtime). Dry run reports without touching anything.
+    * Returns the swept (or would-sweep) names. */
+  private[graft] def sweepOrphans(
+      path: String, conf: org.apache.spark.util.SerializableConfiguration,
+      retainMs: Long, dryRun: Boolean): Seq[String] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf.value)
+    if (!fs.exists(p)) return Nil
+    val cutoff = System.currentTimeMillis() - retainMs
+    val targets = fs.listStatus(p).filter { s =>
+      val n = s.getPath.getName
+      s.isFile && s.getModificationTime < cutoff &&
+        (n.startsWith(".tmp-") || n.startsWith(".rl-") || n.startsWith(".rm-v"))
+    }.map(_.getPath.getName).sorted.toSeq
+    if (!dryRun) targets.foreach { n =>
+      if (!fs.delete(new Path(path, n), false) && fs.exists(new Path(path, n)))
+        throw new java.io.IOException(s"keyed_log($path): orphan sweep could not delete $n")
+    }
+    targets
+  }
+
+  private val log = org.slf4j.LoggerFactory.getLogger("graft.sources.KeyedLogSource")
+
   /** Shared job-abort cleanup for the batch and streaming sinks. */
   private[sources] def deleteCommitted(
       path: String, conf: org.apache.spark.util.SerializableConfiguration,
@@ -202,13 +317,15 @@ class KeyedLogTable(path: String, bucketN: Option[Int] = None)
     * count (Delta's delete-by-partition fast path, on the key dimension).
     * Refused (Spark raises) when any predicate reaches beyond `key` or
     * any live file is unclustered (its keys are unknown; `compact` first).
-    * The surviving file set is journaled as a REWRITE entry, the same
-    * version-line contract as compaction: cursors into dropped file names
-    * fail loudly rather than resurrect rows. */
+    * JOURNAL FIRST (a rebased rewrite entry carrying the rm set for the
+    * changes feed), then hide the dropped files as `.rm-` tombstones —
+    * readers that resolve from the journal never see a half-applied
+    * delete, and the feed can serve the delete's pre-images until the
+    * tombstones age out. */
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
     keyPredicate(filters).isDefined && {
       val c = hadoopConf()
-      KeyedLogSource.listDataFiles(path, c).forall(f =>
+      KeyedLogSource.readerFiles(path, c).forall(f =>
         KeyedLogSource.keyOfFile(new Path(f).getName).isDefined)
     }
 
@@ -218,23 +335,15 @@ class KeyedLogTable(path: String, bucketN: Option[Int] = None)
         s"(=, IN, IS NULL, IS NOT NULL) over key-clustered files; got " +
         filters.mkString(", ")))
     val c = hadoopConf()
-    val fs = new Path(path).getFileSystem(c.value)
-    val names = KeyedLogSource.listDataFiles(path, c).map(f => new Path(f).getName)
+    val names = KeyedLogSource.readerFiles(path, c).map(f => new Path(f).getName)
     val keyed = names.map(n => n -> KeyedLogSource.keyOfFile(n))
     require(keyed.forall(_._2.isDefined),
       s"keyed_log($path): unclustered data files present — their keys are " +
         "unknown, so a metadata delete cannot be exact; CALL compact first")
-    val (dead, live) = keyed.partition { case (_, k) => pred(k.get) }
+    val dead = keyed.collect { case (n, k) if pred(k.get) => n }
     if (dead.isEmpty) return
-    // files first, journal second: a crash between leaves correct DATA
-    // (rows gone) and a journal whose stale windows fail loudly — never
-    // resurrected rows
-    dead.foreach { case (n, _) =>
-      if (!fs.delete(new Path(path, n), false))
-        throw new java.io.IOException(s"keyed_log($path): could not delete $n")
-    }
-    KeyedLogVersionLog.commit(path, c, live.map(_._1), rewrite = true)
-    ()
+    val v = KeyedLogVersionLog.commitRewrite(path, c, dead.toSet, Nil)
+    KeyedLogSource.hideReplaced(path, c, v, dead.toSeq)
   }
 
   /** Surfaced by `SHOW TBLPROPERTIES` / `DESCRIBE TABLE EXTENDED`. */
@@ -261,8 +370,11 @@ class KeyedLogTable(path: String, bucketN: Option[Int] = None)
     new KeyedLogScanBuilder(Option(options.get("path")).getOrElse(path), bucketN, window)
   }
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
-    require(info.schema().fieldNames.sameElements(KeyedLogSource.schema.fieldNames),
-      s"keyed_log write schema must be (key, seq, metric); got ${info.schema().simpleString}")
+    require(info.schema().fieldNames.sameElements(KeyedLogSource.schema.fieldNames) &&
+        org.apache.spark.sql.types.DataType.equalsStructurally(
+          info.schema(), KeyedLogSource.schema, ignoreNullability = true),
+      s"keyed_log write schema must be ${KeyedLogSource.schema.simpleString} " +
+        s"(names and types); got ${info.schema().simpleString}")
     new WriteBuilder {
       override def build(): Write = {
         val dest = Option(info.options.get("path")).getOrElse(path)
@@ -430,24 +542,37 @@ private[graft] object KeyedLogVersionLog {
     vs.filter(v => v > startExclusive && v <= end).flatMap(read(path, conf, _))
   }
 
+  /** One parsed journal marker. `fresh` = the names this version first
+    * journaled (for a REWRITE: the whole live set as of the version);
+    * `all` = journaled-ever anchor (compact entries); `live` = live-set
+    * anchor (compact entries written by this revision on); `rm`/`ad` =
+    * a row-level rewrite's replaced / added names (empty on compaction
+    * rewrites and on entries written before the fields existed). */
+  case class Entry(fresh: Seq[String], all: Option[Seq[String]],
+                   rewrite: Boolean, live: Option[Seq[String]],
+                   rm: Seq[String], ad: Seq[String])
+
   /** The names version `v` FIRST journaled. */
   def read(path: String, conf: org.apache.spark.util.SerializableConfiguration,
-           v: Long): Seq[String] = readEntry(path, conf, v)._1
+           v: Long): Seq[String] = readEntry(path, conf, v).fresh
 
-  /** True when version `v` was journaled as a REWRITE (compaction): its
-    * names are the whole post-compaction file set, superseding every
-    * earlier version's files. Entries written before the flag existed
-    * parse as non-rewrites. */
+  /** True when version `v` was journaled as a REWRITE (compaction or
+    * row-level DML): its names are the whole post-rewrite file set,
+    * superseding every earlier version's files. Entries written before
+    * the flag existed parse as non-rewrites. */
   def isRewrite(path: String, conf: org.apache.spark.util.SerializableConfiguration,
-                v: Long): Boolean = readEntry(path, conf, v)._3
+                v: Long): Boolean = readEntry(path, conf, v).rewrite
 
-  /** (new names, full set if a compact entry, rewrite?) of marker `v`.
-    * Delta entries are a bare JSON array; every CompactInterval-th entry
-    * is `{"n":[...],"all":[...]}`; rewrite (compaction) entries carry
-    * `"rw":1`. */
+  /** Full parsed marker `v` — the changes feed reads rm/ad from here. */
+  def entry(path: String, conf: org.apache.spark.util.SerializableConfiguration,
+            v: Long): Entry = readEntry(path, conf, v)
+
+  /** Delta entries are a bare JSON array; every CompactInterval-th entry
+    * is `{"n":[...],"all":[...],"live":[...]}`; rewrite entries carry
+    * `"rw":1` and (row-level DML only) `"rm":[...]`,`"ad":[...]`. */
   private def readEntry(path: String,
       conf: org.apache.spark.util.SerializableConfiguration,
-      v: Long): (Seq[String], Option[Seq[String]], Boolean) = {
+      v: Long): Entry = {
     val fs = new Path(path).getFileSystem(conf.value)
     def strs(j: org.json4s.JValue): Seq[String] = j match {
       case org.json4s.JArray(items) => items.map {
@@ -471,11 +596,14 @@ private[graft] object KeyedLogVersionLog {
         new String(bytes.toByteArray, "UTF-8")
       } finally in.close()
       scala.util.Try(org.json4s.jackson.JsonMethods.parse(text)).toOption match {
-        case Some(arr: org.json4s.JArray) => return (strs(arr), None, false)
+        case Some(arr: org.json4s.JArray) =>
+          return Entry(strs(arr), None, rewrite = false, None, Nil, Nil)
         case Some(o: org.json4s.JObject) =>
           val m = o.obj.toMap
-          return (strs(m.getOrElse("n", org.json4s.JArray(Nil))),
-            m.get("all").map(strs), m.contains("rw"))
+          return Entry(strs(m.getOrElse("n", org.json4s.JArray(Nil))),
+            m.get("all").map(strs), m.contains("rw"), m.get("live").map(strs),
+            m.get("rm").map(strs).getOrElse(Nil),
+            m.get("ad").map(strs).getOrElse(Nil))
         case Some(other) => throw new IllegalStateException(
           s"corrupt keyed_log journal marker v$v: expected array or object, got $other")
         case None => // unparseable: in-flight writer, or real corruption
@@ -496,11 +624,40 @@ private[graft] object KeyedLogVersionLog {
       vs: Seq[Long]): Set[String] = {
     val acc = scala.collection.mutable.HashSet.empty[String]
     vs.reverseIterator.foreach { v =>
-      val (fresh, full, _) = readEntry(path, conf, v)
-      acc ++= fresh
-      full match {
+      val e = readEntry(path, conf, v)
+      acc ++= e.fresh
+      e.all match {
         case Some(all) => acc ++= all; return acc.toSet
         case None      => ()
+      }
+    }
+    acc.toSet
+  }
+
+  /** The LIVE file names at the journal head — what a reader should plan
+    * over; None when no journal exists (pre-journal dirs fall back to a
+    * directory listing). Replay newest-first, union each version's fresh
+    * names, and stop at the first ANCHOR: a REWRITE entry (its names are
+    * the whole set as of that version) or a compact entry carrying a
+    * `live` set. Cost: O(versions since the last anchor) small reads —
+    * compact entries anchor every [[CompactInterval]] commits. */
+  def liveSet(path: String,
+              conf: org.apache.spark.util.SerializableConfiguration): Option[Seq[String]] = {
+    val vs = versions(path, conf)
+    if (vs.isEmpty) None else Some(liveAt(path, conf, vs).toSeq.sorted)
+  }
+
+  private def liveAt(path: String,
+      conf: org.apache.spark.util.SerializableConfiguration,
+      vs: Seq[Long]): Set[String] = {
+    val acc = scala.collection.mutable.HashSet.empty[String]
+    vs.reverseIterator.foreach { v =>
+      val e = readEntry(path, conf, v)
+      acc ++= e.fresh
+      if (e.rewrite) return acc.toSet
+      e.live match {
+        case Some(live) => acc ++= live; return acc.toSet
+        case None       => ()
       }
     }
     acc.toSet
@@ -526,12 +683,29 @@ private[graft] object KeyedLogVersionLog {
              fileNames: Seq[String],
              rewrite: Boolean = false): Option[Long] =
     dirLocks.computeIfAbsent(new Path(path).toString, _ => new Object)
-      .synchronized { commitLocked(path, conf, fileNames, rewrite) }
+      .synchronized { commitLocked(path, conf, fileNames, rewrite, None) }
+
+  /** Journal a row-level swap as a REBASED rewrite: the entry's live set
+    * is computed INSIDE the commit loop (current live minus `removed`
+    * plus `added`), so a concurrent append journaled between the caller's
+    * snapshot and this commit keeps its files — the entry supersedes
+    * older versions and MUST carry them. `rm`/`ad` ride the entry so
+    * `t.changes` can serve the swap as delete-pre-image / insert-post-
+    * image pairs instead of a whole-table refresh. Returns the version. */
+  def commitRewrite(path: String,
+                    conf: org.apache.spark.util.SerializableConfiguration,
+                    removed: Set[String],
+                    added: Seq[String]): Long =
+    dirLocks.computeIfAbsent(new Path(path).toString, _ => new Object)
+      .synchronized {
+        commitLocked(path, conf, Nil, rewrite = true, Some((removed, added))).get
+      }
 
   private def commitLocked(path: String,
              conf: org.apache.spark.util.SerializableConfiguration,
              fileNames: Seq[String],
-             rewrite: Boolean): Option[Long] = {
+             rewrite: Boolean,
+             rebase: Option[(Set[String], Seq[String])]): Option[Long] = {
     val fs = new Path(path).getFileSystem(conf.value)
     var attempt = 0
     while (attempt < 20) {
@@ -541,17 +715,36 @@ private[graft] object KeyedLogVersionLog {
       // set is the new visible whole (a metadata DELETE's surviving files
       // are all previously-journaled names — the entry must still land,
       // possibly empty when everything was deleted)
-      val fresh =
-        if (rewrite) fileNames.distinct.sorted
-        else fileNames.filterNot(seen).distinct.sorted
+      val (fresh, rmAd) = rebase match {
+        case Some((removed, added)) =>
+          // in-loop rebase: live is re-read on every attempt, so losing
+          // the claim race to a concurrent append re-folds its files in
+          val base: Set[String] =
+            if (vs.nonEmpty) liveAt(path, conf, vs)
+            else KeyedLogSource.listDataFiles(path, conf)
+              .map(f => new Path(f).getName).toSet
+          (((base -- removed) ++ added).toSeq.distinct.sorted,
+            Some(((removed & base).toSeq.sorted, added.distinct.sorted)))
+        case None =>
+          (if (rewrite) fileNames.distinct.sorted
+           else fileNames.filterNot(seen).distinct.sorted, None)
+      }
       if (fresh.isEmpty && !rewrite) return None
       val v = vs.lastOption.getOrElse(-1L) + 1L
       val fields = scala.collection.mutable.ListBuffer.empty[(String, org.json4s.JValue)]
-      fields += "n" -> org.json4s.JArray(fresh.map(org.json4s.JString(_)).toList)
-      if (v > 0 && v % CompactInterval == 0)
-        fields += "all" -> org.json4s.JArray(
-          (seen ++ fresh).toList.sorted.map(org.json4s.JString(_)))
+      def arr(ns: Seq[String]) = org.json4s.JArray(ns.map(org.json4s.JString(_)).toList)
+      fields += "n" -> arr(fresh)
+      if (v > 0 && v % CompactInterval == 0) {
+        fields += "all" -> arr((seen ++ fresh).toList.sorted)
+        // live-set anchor: readers replay back to here, never further
+        if (!rewrite)
+          fields += "live" -> arr((liveAt(path, conf, vs) ++ fresh).toList.sorted)
+      }
       if (rewrite) fields += "rw" -> org.json4s.JInt(1)
+      rmAd.foreach { case (rm, ad) =>
+        fields += "rm" -> arr(rm)
+        fields += "ad" -> arr(ad)
+      }
       val body: org.json4s.JValue =
         if (fields.size == 1 && !rewrite)
           org.json4s.JArray(fresh.map(org.json4s.JString(_)).toList)
@@ -826,7 +1019,7 @@ class KeyedLogScanBuilder(path: String, bucketN: Option[Int] = None,
     val enabled = org.apache.spark.sql.internal.SQLConf.get
       .getConfString("spark.sql.sources.v2.bucketing.enabled", "false") == "true"
     enabled && {
-      val files = KeyedLogSource.listDataFiles(path, KeyedLogConf.capture())
+      val files = KeyedLogSource.readerFiles(path, KeyedLogConf.capture())
       files.nonEmpty &&
         files.forall(f => KeyedLogSource.keyOfFile(new Path(f).getName).isDefined)
     }
@@ -858,13 +1051,16 @@ case class KeyedLogScan(path: String, required: StructType,
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
-  // one listing per scan: partition reporting and split planning must
-  // agree on the same file set even if writers race the query. With a
+  // one file-set resolution per scan: partition reporting and split
+  // planning must agree on the same set even if writers race the query.
+  // Plain scans resolve from the commit JOURNAL when one exists (snapshot
+  // reads — a racing row-level swap is invisible until its entry lands),
+  // falling back to a directory listing on pre-journal dirs. With a
   // version window, the set is the journal diff instead — a journaled
   // file no longer present (compacted/vacuumed past the cursor) fails
   // LOUDLY rather than silently dropping its rows from the change feed.
   @transient private lazy val allFiles: Array[String] = window match {
-    case None => KeyedLogSource.listDataFiles(path, conf)
+    case None => KeyedLogSource.readerFiles(path, conf)
     case Some((from, to)) =>
       // Journal FIRST, listing SECOND: a data file becomes visible at its
       // task-commit rename BEFORE its name is journaled, so every name the
@@ -872,9 +1068,13 @@ case class KeyedLogScan(path: String, required: StructType,
       // concurrent writers: a file made visible and journaled between the
       // listing and the journal read — end_version unset resolves to the
       // journal head at read time — looked "gone" and failed the scan.)
-      // After this ordering a miss can only mean compaction/vacuum removed
-      // the file; still re-list once before throwing, to close the window
-      // against a compactor racing this read's first listing.
+      // After this ordering a miss can only mean a rewrite removed the
+      // file; still re-list once before throwing, to close the window
+      // against a compactor racing this read's first listing. Tombstoned
+      // pre-images are deliberately NOT served here: this scan has no
+      // change-type channel, so delivering a replaced file's old rows
+      // would silently resurrect them — `t.changes` (which tags deletes)
+      // is the surface that serves pre-images.
       val names = KeyedLogVersionLog.filesInWindow(path, conf, from, to)
       def listing(): Map[String, String] = KeyedLogSource
         .listDataFiles(path, conf).map(f => new Path(f).getName -> f).toMap
@@ -883,8 +1083,8 @@ case class KeyedLogScan(path: String, required: StructType,
       names.map { n =>
         if (!listed.contains(n) && !relisted) { listed = listing(); relisted = true }
         listed.getOrElse(n, throw new IllegalStateException(
-          s"keyed_log incremental read: journaled file $n is gone (compacted " +
-            "past your cursor?) — restart from a full scan"))
+          s"keyed_log incremental read: journaled file $n is gone (rewritten, " +
+            "compacted or vacuumed past your cursor?) — restart from a full scan"))
       }.sorted.toArray
   }
 

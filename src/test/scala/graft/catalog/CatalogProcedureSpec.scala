@@ -190,9 +190,28 @@ class CatalogProcedureSpec extends AnyFunSuite {
     // rows preserved, now key-clustered (files K=-tagged -> SPJ-eligible)
     assert(spark.sql("SELECT count(*), sum(metric) FROM gp.db.kcp").head().toSeq ===
       Seq(120L, 3L * (0 until 40).sum))
-    // vacuum/rollback stay manifest-only, with a clear error
+    // vacuum on keyedlog = the orphan sweep: hidden residue (.tmp-/.rl-
+    // crash leftovers, .rm- pre-image tombstones) past retention goes,
+    // younger residue and live data stay; dry_run reports without touching
+    val loc = spark.sql("SHOW TBLPROPERTIES gp.db.kcp").collect()
+      .find(_.getString(0) == "graft.location").get.getString(1)
+    val dir = if (loc.startsWith("file:")) new org.apache.hadoop.fs.Path(loc)
+      .toUri.getPath else loc
+    val old = new java.io.File(dir, ".rl-dead-part-x-0.log")
+    java.nio.file.Files.write(old.toPath, "k\t1\t1\n".getBytes("UTF-8"))
+    old.setLastModified(System.currentTimeMillis() - 120000)
+    val young = new java.io.File(dir, ".tmp-live-attempt")
+    java.nio.file.Files.write(young.toPath, "x".getBytes("UTF-8"))
+    val dry = spark.sql(
+      "CALL gp.system.vacuum('db.kcp', orphan_retain_ms => 60000, dry_run => true)").head()
+    assert(dry.getInt(0) === 1 && old.exists(), "dry run must count without deleting")
+    val swept = spark.sql(
+      "CALL gp.system.vacuum('db.kcp', orphan_retain_ms => 60000)").head()
+    assert(swept.getInt(0) === 1 && !old.exists() && young.exists())
+    assert(spark.sql("SELECT count(*) FROM gp.db.kcp").head().getLong(0) === 120L)
+    // rollback stays manifest-only, with a clear error
     val e = intercept[Exception] {
-      spark.sql("CALL gp.system.vacuum('db.kcp')").collect()
+      spark.sql("CALL gp.system.rollback('db.kcp', 0)").collect()
     }
     assert(e.getMessage.contains("manifest tables only"))
   }

@@ -371,8 +371,10 @@ class DataSourceSpec extends AnyFunSuite {
     Files.delete(java.nio.file.Paths.get(dir, KeyedLogVersionLog.read(dir, conf, 1L).head))
     val e = intercept[Exception] { readWindow("start_version" -> "0", "end_version" -> "2") }
     assert(e.getMessage.contains("journaled file"), s"wrong error: ${e.getMessage}")
-    // full scans are unaffected by journal gaps
-    assert(!readWindow().exists(_._1 == "fr"))
+    // full scans resolve from the journal too, so journal/disk divergence
+    // (a live file hand-deleted without a rewrite entry) fails loudly for
+    // them as well — corruption is never a silent row drop
+    intercept[Exception] { readWindow() }
   }
 
   test("journal head pointer: fresh/stale/corrupt/absent states all resolve") {
@@ -538,12 +540,25 @@ class DataSourceSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       t.deleteWhere(Array[org.apache.spark.sql.sources.Filter](EqualTo("metric", 3L)))
     }
-    // an unclustered file makes ANY metadata delete unsound: refused
+    // a hand-placed (never journaled) file is INVISIBLE on a
+    // journal-carrying dir — reads resolve from the journal, so it
+    // neither serves rows nor blocks the metadata delete
     Files.write(java.nio.file.Paths.get(dir, "plain.log"),
       "k0\t1\t1\n".getBytes("UTF-8"))
-    assert(!t.canDeleteWhere(Array[org.apache.spark.sql.sources.Filter](EqualTo("key", "k0"))))
+    assert(read(dir).count() === 40L,
+      "unjournaled files must not serve rows on a journaled dir")
+    assert(t.canDeleteWhere(Array[org.apache.spark.sql.sources.Filter](EqualTo("key", "k0"))))
+    // on a JOURNAL-LESS dir (listing reads), an unclustered file makes
+    // any metadata delete unsound: refused
+    val rawDir = Files.createTempDirectory("graft_klog_raw_").toString
+    Files.write(java.nio.file.Paths.get(rawDir, "part-x-0-K=k0.log"),
+      "k0\t1\t1\n".getBytes("UTF-8"))
+    Files.write(java.nio.file.Paths.get(rawDir, "plain.log"),
+      "k0\t2\t2\n".getBytes("UTF-8"))
+    val tRaw = new KeyedLogTable(rawDir)
+    assert(!tRaw.canDeleteWhere(Array[org.apache.spark.sql.sources.Filter](EqualTo("key", "k0"))))
     intercept[IllegalArgumentException] {
-      t.deleteWhere(Array[org.apache.spark.sql.sources.Filter](EqualTo("key", "k0")))
+      tRaw.deleteWhere(Array[org.apache.spark.sql.sources.Filter](EqualTo("key", "k0")))
     }
   }
 
@@ -638,40 +653,104 @@ class DataSourceSpec extends AnyFunSuite {
     assert(s.table("gklnz.db.t").count() == 3)
   }
 
-  test("row-level abort after the destructive phase keeps staged files (recovery copy)") {
+  test("row-level swap is snapshot-isolated: mid-commit states serve a complete snapshot") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_klsnap_").toString
+    Seq(("k1", 1L, 10L), ("k2", 2L, 20L)).toDF("key", "seq", "metric")
+      .coalesce(1)
+      .write.format("graft.sources.KeyedLogSource").mode("append").save(dir)
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sessionState.newHadoopConf())
+    val preSwap = read(dir).orderBy("seq").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(preSwap == Seq(("k1", 1L, 10L), ("k2", 2L, 20L)))
+    val original = new java.io.File(dir).listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      .map(_.getName).toSeq
+    assert(original.length == 1)
+    // MID-COMMIT STATE 1: a replacement file REVEALED (visible name) but
+    // the swap's journal entry not yet landed — a reader planned now must
+    // see the complete PRE-swap snapshot, not the half-applied state a
+    // directory listing would serve
+    val replacement = "part-qswap-0.log"
+    Files.write(java.nio.file.Paths.get(dir, replacement),
+      "k1\t1\t11\nk2\t2\t20\n".getBytes("UTF-8"))
+    assert(read(dir).orderBy("seq").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq == preSwap,
+      "revealed-but-unjournaled replacement must be invisible")
+    // the swap's journal entry lands (rebased rewrite, rm/ad recorded)
+    val v = KeyedLogVersionLog.commitRewrite(dir, conf,
+      removed = original.toSet, added = Seq(replacement))
+    // MID-COMMIT STATE 2: journal landed, originals not yet tombstoned —
+    // a reader planned now sees exactly the POST-swap snapshot (the
+    // still-present original is journal-dead, so no duplicates)
+    assert(read(dir).orderBy("seq").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq(("k1", 1L, 11L), ("k2", 2L, 20L)),
+      "post-journal read must serve the post-swap snapshot without duplicates")
+    // 3. tombstoning finishes the swap; reads unchanged
+    graft.sources.KeyedLogSource.hideReplaced(dir, conf, v, original)
+    assert(!new java.io.File(dir, original.head).exists())
+    assert(new java.io.File(dir,
+      graft.sources.KeyedLogSource.tombstoneName(v, original.head)).exists())
+    assert(read(dir).count() == 2L)
+  }
+
+  test("row-level abort: pre-journal cleans staged+revealed; post-journal keeps the live copy") {
     import org.apache.spark.sql.connector.write.RowLevelOperation.Command
     val dir = Files.createTempDirectory("graft_klab_").toString
     Files.write(java.nio.file.Paths.get(dir, "a.log"), "k1\t1\t10\n".getBytes("UTF-8"))
     Files.write(java.nio.file.Paths.get(dir, "b.log"), "k2\t2\t20\n".getBytes("UTF-8"))
     val op = new KeyedLogRowLevelOperation(dir, None, Command.UPDATE)
-    val write = new KeyedLogReplaceWrite(op, dir, "qx", clustered = false)
-    // stage a replacement by hand (what a task commit would leave)
-    val stagedName = ".rl-qx-part-qx-0.log"
-    Files.write(java.nio.file.Paths.get(dir, stagedName), "k1\t1\t11\n".getBytes("UTF-8"))
-    val messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage] =
-      Array(KeyedLogCommit(Seq(stagedName)))
-    // BEFORE any destructive work, abort cleans staged output
+    val conf = op.conf
+    // plain pre-journal abort cleans staged output
     val clean = new KeyedLogReplaceWrite(op, dir, "qy", clustered = false)
     val cleanStaged = ".rl-qy-part-qy-0.log"
     Files.write(java.nio.file.Paths.get(dir, cleanStaged), "x\t1\t1\n".getBytes("UTF-8"))
     clean.abort(Array(KeyedLogCommit(Seq(cleanStaged))))
     assert(!new java.io.File(dir, cleanStaged).exists(),
-      "pre-destructive abort must clean staged files")
-    // force a mid-commit failure AFTER deletes began: replace one scanned
-    // file with a NON-EMPTY DIRECTORY of the same name (delete(p, false)
-    // fails on it while exists() stays true)
-    val bf = new java.io.File(dir, "b.log")
-    assert(bf.delete())
-    assert(new java.io.File(dir, "b.log").mkdir())
-    Files.write(java.nio.file.Paths.get(dir, "b.log", "x"), "z".getBytes("UTF-8"))
-    op.scannedFiles = Seq("a.log", "b.log") // a deletes fine, b cannot
+      "pre-journal abort must clean staged files")
+    // force a MID-REVEAL failure: the second staged file's final name is
+    // blocked by a NON-EMPTY DIRECTORY (delete fails, exists stays true).
+    // Nothing destructive has happened — abort must remove the staged AND
+    // the already-revealed output, leaving the table byte-identical.
+    val write = new KeyedLogReplaceWrite(op, dir, "qx", clustered = false)
+    val staged1 = ".rl-qx-part-qx-0.log"
+    val staged2 = ".rl-qx-part-qx-1.log"
+    Files.write(java.nio.file.Paths.get(dir, staged1), "k1\t1\t11\n".getBytes("UTF-8"))
+    Files.write(java.nio.file.Paths.get(dir, staged2), "k2\t2\t22\n".getBytes("UTF-8"))
+    assert(new java.io.File(dir, "part-qx-1.log").mkdir())
+    Files.write(java.nio.file.Paths.get(dir, "part-qx-1.log", "x"), "z".getBytes("UTF-8"))
+    val messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage] =
+      Array(KeyedLogCommit(Seq(staged1, staged2)))
+    op.scannedFiles = Seq("a.log", "b.log")
     intercept[Exception](write.commit(messages))
-    // a.log is gone (destructive phase ran) — abort must now KEEP the
-    // staged file: it may hold the only copy of a.log's surviving rows
-    assert(!new java.io.File(dir, "a.log").exists())
+    assert(new java.io.File(dir, "part-qx-0.log").exists(),
+      "first reveal landed before the failure")
     write.abort(messages)
-    assert(new java.io.File(dir, stagedName).exists(),
-      "post-destructive abort must keep staged files as the recovery copy")
+    assert(!new java.io.File(dir, "part-qx-0.log").exists() &&
+      !new java.io.File(dir, staged1).exists() &&
+      !new java.io.File(dir, staged2).exists(),
+      "pre-journal abort must remove staged and revealed output")
+    assert(new java.io.File(dir, "a.log").exists() &&
+      new java.io.File(dir, "b.log").exists(),
+      "originals are untouched until the journal entry lands")
+    assert(KeyedLogVersionLog.head(dir, conf).isEmpty,
+      "a failed swap must not journal")
+    // POST-JOURNAL abort keeps everything: the revealed files are live
+    new java.io.File(new java.io.File(dir, "part-qx-1.log"), "x").delete()
+    new java.io.File(dir, "part-qx-1.log").delete()
+    val write2 = new KeyedLogReplaceWrite(op, dir, "qz", clustered = false)
+    val staged3 = ".rl-qz-part-qz-0.log"
+    Files.write(java.nio.file.Paths.get(dir, staged3), "k1\t1\t13\nk2\t2\t20\n".getBytes("UTF-8"))
+    val messages2: Array[org.apache.spark.sql.connector.write.WriterCommitMessage] =
+      Array(KeyedLogCommit(Seq(staged3)))
+    op.scannedFiles = Seq("a.log", "b.log")
+    write2.commit(messages2)
+    write2.abort(messages2) // e.g. a post-commit driver hiccup
+    assert(new java.io.File(dir, "part-qz-0.log").exists(),
+      "post-journal abort must keep the revealed (live) files")
+    assert(read(dir).count() == 2L)
   }
 
   test("scan reports size statistics: a small keyed-log table broadcasts") {
