@@ -527,10 +527,15 @@ object AdvancedQueries extends QueryModule {
                SELECT 'xx' AS key, doc_id + 1000000 AS seq, CAST(5 AS BIGINT) AS metric
                FROM qk08_documents WHERE doc_id % 50 = 0""")
         .createOrReplaceTempView("qk08_src")
+      // all THREE arm families: matched update, not-matched insert, and
+      // the BY SOURCE arms a CDC replica needs to age/drop target rows
+      // absent from the source (conditional DELETE + catch-all UPDATE)
       s.sql("""MERGE INTO graft_ku.db.activity t USING qk08_src s
                ON t.key = s.key AND t.seq = s.seq
                WHEN MATCHED THEN UPDATE SET metric = s.metric
-               WHEN NOT MATCHED THEN INSERT *""")
+               WHEN NOT MATCHED THEN INSERT *
+               WHEN NOT MATCHED BY SOURCE AND t.key = 'de' THEN DELETE
+               WHEN NOT MATCHED BY SOURCE AND t.key = 'fr' THEN UPDATE SET metric = 0""")
       s.table("graft_ku.db.activity")
         .groupBy(col("key").as("lang"))
         .agg(count(lit(1)).as("n_rows"),
@@ -1013,8 +1018,12 @@ object AdvancedQueries extends QueryModule {
                  SELECT 'xx' AS key, doc_id + 1000000 AS seq, 5 AS metric
                  FROM documents WHERE doc_id % 50 = 0),
          merged AS (
-           SELECT b.key, b.seq, COALESCE(s.metric, b.metric) AS metric
+           SELECT b.key, b.seq,
+             CASE WHEN s.key IS NOT NULL THEN s.metric
+                  WHEN b.key = 'fr' THEN 0
+                  ELSE b.metric END AS metric
            FROM base b LEFT JOIN src s ON b.key = s.key AND b.seq = s.seq
+           WHERE s.key IS NOT NULL OR b.key <> 'de'
            UNION ALL
            SELECT s.key, s.seq, s.metric FROM src s
            WHERE NOT EXISTS (SELECT 1 FROM base b

@@ -1243,6 +1243,63 @@ object CoverageQueries extends QueryModule {
         .orderBy("lang")
     },
 
+    // --- MERGE ... WHEN NOT MATCHED BY SOURCE (all three arm families
+    //     on BOTH manifest DML paths): the arm a CDC replica needs to
+    //     drop/age target rows absent from the source. Spark 4.1's
+    //     analyzer plans the by-source arms against the same row-level
+    //     contracts — group-based copy-on-write, and merge-on-read
+    //     SupportsDelta (where the structural boolean proves the merge
+    //     never rewrote a pre-merge data file: updates/deletes land as
+    //     new rows + deletion vectors) ---
+    "qc50_merge_by_source" -> { (s, d) =>
+      import s.implicits._
+      if (s.conf.getOption("spark.sql.catalog.graft_cat").isEmpty)
+        graft.catalog.GraftCatalog.register(s, "graft_cat",
+          graft.core.TempDirs.create("graft_cat_root_"))
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.db")
+      Tables.documents(s, d).createOrReplaceTempView("qc50_documents")
+      s.sql("SELECT doc_id, lang, n_chars * 2 AS n_chars FROM qc50_documents " +
+        "WHERE doc_id % 5 = 0 " +
+        "UNION ALL SELECT doc_id + 3000000, 'zz', CAST(7 AS BIGINT) " +
+        "FROM qc50_documents WHERE doc_id % 40 = 0")
+        .createOrReplaceTempView("qc50_src")
+      val results = Seq(
+        "cow" -> "",
+        "mor" -> " TBLPROPERTIES ('graft.dml.mode'='merge-on-read')"
+      ).map { case (mode, props) =>
+        s.sql(s"DROP TABLE IF EXISTS graft_cat.db.mbs_$mode")
+        s.sql(s"CREATE TABLE graft_cat.db.mbs_$mode " +
+          s"(doc_id BIGINT, lang STRING, n_chars BIGINT) USING manifest$props")
+        s.sql(s"INSERT INTO graft_cat.db.mbs_$mode " +
+          "SELECT doc_id, lang, n_chars FROM qc50_documents")
+        val dir = s.sql(s"SHOW TBLPROPERTIES graft_cat.db.mbs_$mode").collect()
+          .find(_.getString(0) == "graft.location").get.getString(1)
+        val before = graft.core.ManifestTable.state(dir,
+          graft.core.ManifestTable.currentVersion(dir).get).files.toSet
+        s.sql(s"""MERGE INTO graft_cat.db.mbs_$mode t USING qc50_src s
+                  ON t.doc_id = s.doc_id
+                  WHEN MATCHED THEN UPDATE SET n_chars = s.n_chars
+                  WHEN NOT MATCHED THEN INSERT *
+                  WHEN NOT MATCHED BY SOURCE AND t.lang = 'de' THEN DELETE
+                  WHEN NOT MATCHED BY SOURCE AND t.lang = 'fr'
+                    THEN UPDATE SET n_chars = 0""")
+        val after = graft.core.ManifestTable.state(dir,
+          graft.core.ManifestTable.currentVersion(dir).get).files.toSet
+        // merge-on-read: by-source arms ride the delta path — no
+        // pre-merge data file is ever rewritten away
+        val morUntouched = mode == "cow" || before.subsetOf(after)
+        s.table(s"graft_cat.db.mbs_$mode")
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_chars").cast("long").as("total_chars"))
+          .withColumn("mode", lit(mode))
+          .withColumn("mor_originals_untouched", lit(morUntouched))
+      }
+      results.reduce(_ unionAll _)
+        .select("mode", "lang", "n_docs", "total_chars", "mor_originals_untouched")
+        .orderBy("mode", "lang")
+    },
+
     // --- grouped metadata aggregation (ManifestScanBuilder
     //     servableMetadataAgg, GROUP BY arm): when every file is
     //     CONSTANT in the group columns (the per-source/per-partition
@@ -2163,6 +2220,33 @@ object CoverageQueries extends QueryModule {
          SELECT lang, count(*) AS n_docs,
            CAST(sum(n_chars) AS BIGINT) AS total_chars
          FROM rows GROUP BY lang ORDER BY lang""",
+
+    // replays all three MERGE arm families (matched update, not-matched
+    // insert, and the by-source conditional delete + catch-all update)
+    // identically for the copy-on-write and merge-on-read tables; the
+    // structural boolean is a log fact
+    "qc50_merge_by_source" ->
+      """WITH src AS (
+           SELECT doc_id, lang, n_chars * 2 AS n_chars FROM documents
+           WHERE doc_id % 5 = 0
+           UNION ALL
+           SELECT doc_id + 3000000, 'zz', 7 FROM documents WHERE doc_id % 40 = 0),
+         merged AS (
+           SELECT t.lang,
+             CASE WHEN s.doc_id IS NOT NULL THEN s.n_chars
+                  WHEN t.lang = 'fr' THEN 0
+                  ELSE t.n_chars END AS n_chars
+           FROM documents t LEFT JOIN src s ON t.doc_id = s.doc_id
+           WHERE s.doc_id IS NOT NULL OR t.lang <> 'de'
+           UNION ALL
+           SELECT s.lang, s.n_chars FROM src s
+           WHERE NOT EXISTS (SELECT 1 FROM documents t WHERE t.doc_id = s.doc_id))
+         SELECT mode, lang, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           true AS mor_originals_untouched
+         FROM (SELECT 'cow' AS mode, * FROM merged
+               UNION ALL SELECT 'mor', * FROM merged)
+         GROUP BY mode, lang ORDER BY mode, lang""",
 
     // the structural boolean is a log fact (the clone's fork snapshot
     // lists the source's physical files verbatim — zero copy); both

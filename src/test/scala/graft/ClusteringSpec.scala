@@ -174,11 +174,69 @@ class ClusteringSpec extends AnyFunSuite {
     val ks = const.select(ZOrder.zorderKey(const, Seq("a", "c")).as("z"))
       .as[Long].collect()
     assert(ks.sorted.toSeq === ks.toSeq && ks.distinct.length === 3)
-    // non-numeric column refuses loudly; arity is exactly 2
-    val bad = Seq((1L, "x")).toDF("a", "s")
+    // non-orderable column refuses loudly; arity is exactly 2
+    val bad = Seq((1L, Seq("x"))).toDF("a", "s")
     val e = intercept[IllegalArgumentException](ZOrder.zorderKey(bad, Seq("a", "s")))
     assert(e.getMessage.contains("must be numeric"))
     intercept[IllegalArgumentException](ZOrder.zorderKey(bad, Seq("a")))
+  }
+
+  test("zorderKey string dimensions: prefix rank preserves order; string filter prunes") {
+    import graft.functions.ZOrder
+    import spark.implicits._
+    // the truncated-prefix encoding must order like Spark's binary string
+    // collation, including the "ab" < "b" case padding exists for, and
+    // strings past the 6-byte prefix share a bucket (graceful degradation)
+    val strs = Seq("", "a", "ab", "abc", "b", "ba", "prefix-same-1",
+      "prefix-same-2", "z", null)
+    val sdf = strs.map(s => (s, 0L)).toDF("s", "i")
+    // constant second dim (collapses to 0) -> key is linear in the
+    // scaled string dim, so full-key comparisons read the string rank
+    val keyOf = sdf.select(col("s"),
+        ZOrder.zorderKey(sdf, Seq("s", "i")).as("z"))
+      .collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    val nonNull = strs.filter(_ != null).sorted
+    nonNull.sliding(2).foreach {
+      case Seq(lo, hi) =>
+        assert(keyOf(Some(lo)) <= keyOf(Some(hi)),
+          s"prefix rank broke order: '$lo' vs '$hi'")
+      case _ => ()
+    }
+    assert(keyOf(Some("ab")) < keyOf(Some("b")), "right-padding contract")
+    assert(keyOf(Some("prefix-same-1")) === keyOf(Some("prefix-same-2")),
+      "identical 6-byte prefixes share a bucket")
+    assert(keyOf(None) === keyOf(Some("")), "null scales to bucket 0 like the min")
+
+    // measured pruning: z-order on (s STRING, n) — a string-range filter
+    // skips row groups an n-linear sort reads in full
+    val base = spark.range(20000).select(
+      concat(chr(lit(65) + pmod(col("id") * 7, lit(26))),
+        lit("-suffix-"), pmod(col("id"), lit(50)).cast("string")).as("s"),
+      pmod(col("id") * 13, lit(1000)).as("n"))
+    val total = base.count()
+    def write(sortCol: org.apache.spark.sql.Column) = {
+      val dir = Files.createTempDirectory("graft_zorder_str_").toString
+      base.sort(sortCol).coalesce(1)
+        .write.option("parquet.block.size", 16 * 1024)
+        .option("parquet.page.size", 8 * 1024)
+        .mode("overwrite").parquet(dir)
+      dir
+    }
+    val linearDir = write(col("n"))
+    val zDir = write(ZOrder.zorderKey(base, Seq("s", "n")))
+    def strScan(dir: String) = spark.read.parquet(dir)
+      .filter(col("s").startsWith("E"))
+    assert(strScan(linearDir).count() === strScan(zDir).count())
+    val (linStr, zStr) = (scanOutputRows(strScan(linearDir)),
+      scanOutputRows(strScan(zDir)))
+    assert(linStr > total / 2 && zStr < linStr / 2,
+      s"string-dim pruning: linear read $linStr, z-order read $zStr of $total")
+    // and the numeric dim still prunes on the same layout
+    def nScan(dir: String) = spark.read.parquet(dir)
+      .filter(col("n") < 60)
+    assert(nScan(linearDir).count() === nScan(zDir).count())
+    assert(scanOutputRows(nScan(zDir)) < total / 2,
+      "numeric dim lost locality under a string co-dimension")
   }
 
   test("zorder3/zorder4 interleave bits correctly and never set the sign bit") {
