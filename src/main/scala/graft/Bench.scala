@@ -121,8 +121,19 @@ object Bench {
     // self-bench artifacts (BENCH_SELF_r*.json)
     val env = s"""{"cpus":"$cpus","shuffle_partitions":"$cpus","stat":"$stat",""" +
       s""""cache":"${sys.env.getOrElse("SPARK_GRAFT_CACHE", "1")}"}"""
+    // per-micro-batch wall times the streaming gates recorded (all rounds,
+    // arrival order; batch -1 = the whole drain): localizes a stream-gate
+    // mover to real batch work vs trigger-wait machinery under contention
+    val streamBatches = graft.queries.BatchTimings.snapshot()
+      .groupBy(_._1).toSeq.sortBy(_._1).map { case (name, entries) =>
+        val items = entries.map { case (_, b, sec) =>
+          s"""{"batch":$b,"sec":${math.rint(sec * 1000) / 1000}}"""
+        }.mkString("[", ",", "]")
+        "\"" + name + "\":" + items
+      }.mkString("{", ",", "}")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${obj(times)},""" +
-      s""""queries_min":${obj(mins)},"queries_median":${obj(medians)},"sf":"$sfDir","env":$env}""")
+      s""""queries_min":${obj(mins)},"queries_median":${obj(medians)},""" +
+      s""""stream_batches":$streamBatches,"sf":"$sfDir","env":$env}""")
     spark.stop()
   }
 }

@@ -303,7 +303,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             s"${ident.name()}: $NdvColsProp names unknown column '$c'"))
           require(graft.core.NdvStats.eligible(f.dataType),
             s"${ident.name()}: $NdvColsProp column '$c' is ${f.dataType.simpleString} — " +
-              "HLL sketches cover int/bigint/string/binary")
+              "HLL sketches cover int/bigint/string/binary/date/timestamp")
         }
         cols
     }
@@ -689,7 +689,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
               s"${ident.name()}: $NdvColsProp names unknown column '$c'"))
           require(graft.core.NdvStats.eligible(f.dataType),
             s"${ident.name()}: $NdvColsProp column '$c' is ${f.dataType.simpleString} — " +
-              "HLL sketches cover int/bigint/string/binary")
+              "HLL sketches cover int/bigint/string/binary/date/timestamp")
         }
         ndv = cols
       case rm: TableChange.RemoveProperty if rm.property == NdvColsProp =>

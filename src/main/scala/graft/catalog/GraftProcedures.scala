@@ -114,14 +114,17 @@ private[catalog] object GraftProcedures {
     override def description(): String =
       "rewrite the table into its compact layout (manifest: ~target_mb files, " +
         "bucketed re-bucket, cluster_by range-sorts, zorder bit-interleaves " +
-        "2-4 dims; keyedlog: one file per key)"
+        "2-4 dims; keyedlog: one file per key); auto => true acts only when " +
+        "small-file debt reaches auto_min_files, then bin-packs just the debt"
     override def parameters(): Array[ProcedureParameter] = Array(
       ProcedureParameter.in("table", StringType).build(),
       ProcedureParameter.in("target_mb", IntegerType).defaultValue("128").build(),
       ProcedureParameter.in("cluster_by", StringType).defaultValue("''").build(),
       ProcedureParameter.in("small_only", BooleanType).defaultValue("false").build(),
       ProcedureParameter.in("zorder", StringType).defaultValue("''").build(),
-      ProcedureParameter.in("where", StringType).defaultValue("''").build())
+      ProcedureParameter.in("where", StringType).defaultValue("''").build(),
+      ProcedureParameter.in("auto", BooleanType).defaultValue("false").build(),
+      ProcedureParameter.in("auto_min_files", IntegerType).defaultValue("4").build())
     override def call(input: InternalRow): JIterator[Scan] = {
       val parts = input.getString(0).split("\\.")
       require(parts.length <= 2 && parts.forall(_.nonEmpty),
@@ -170,8 +173,26 @@ private[catalog] object GraftProcedures {
           "(a scoped rewrite would demote a bucketed layout)")
       require(whereSql.isEmpty || !smallOnly,
         "where and small_only are different file selectors — pick one")
+      // AUTO maintenance: act only when the small-file debt crosses the
+      // threshold, then collect exactly the debt (the bin-pack pass) —
+      // the scheduled entry point an operator cron-runs over every table
+      // without hand-deciding which ones need work
+      val auto = !input.isNullAt(6) && input.getBoolean(6)
+      val autoMinFiles = input.getInt(7)
+      require(!auto || (provider == "manifest" && bucket.isEmpty),
+        "auto applies to plain/transform-partitioned manifest tables " +
+          "(bucketed and keyedlog compaction is already per-group)")
+      require(!auto || (zorderBy.isEmpty && whereSql.isEmpty && !smallOnly &&
+          requested.isEmpty),
+        "auto IS the file selector and layout decision — it composes with " +
+          "nothing (the declared partition clustering is kept)")
       val blooms = GraftCatalog.bloomWriteOptions(meta.bloomCols)
       val (before, after) = (provider, bucket) match {
+        case _ if auto =>
+          val target = input.getInt(1).toLong * 1024 * 1024
+          if (ManifestTable.smallFileDebt(dir, target) < autoMinFiles) (0L, 0L)
+          else ManifestTable.compactSmall(spark, dir, target, clusterBy,
+            declared, blooms, meta.ndvCols)
         case ("keyedlog", _) => graft.core.LakeCompaction.compactKeyedLog(spark, dir)
         case (_, Some(b))    =>
           ManifestTable.compactBucketed(spark, dir, b.n, b.col, declared, blooms,
@@ -498,7 +519,7 @@ private[catalog] object GraftProcedures {
                 s"${ident.name()}: ${GraftCatalog.NdvColsProp} names unknown column '$c'"))
             require(graft.core.NdvStats.eligible(f.dataType),
               s"${ident.name()}: ${GraftCatalog.NdvColsProp} column '$c' is " +
-                s"${f.dataType.simpleString} — HLL sketches cover int/bigint/string/binary")
+                s"${f.dataType.simpleString} — HLL sketches cover int/bigint/string/binary/date/timestamp")
           }
           (meta.ndvCols ++ requested).distinct
         }

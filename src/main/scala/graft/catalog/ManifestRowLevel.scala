@@ -618,8 +618,12 @@ class ManifestScanBuilder(mkBuilder: (Seq[String], Boolean) => org.apache.spark.
         else None
       f.name -> ManifestScanBuilder.ServedColStat(
         distinct, nulls,
-        if (minL.forall(_.isDefined)) Some(minL.flatten.min) else None,
-        if (maxL.forall(_.isDefined)) Some(maxL.flatten.max) else None,
+        if (minL.forall(_.isDefined))
+          ManifestScanBuilder.boxBound(minL.flatten.min, f.dataType)
+        else None,
+        if (maxL.forall(_.isDefined))
+          ManifestScanBuilder.boxBound(maxL.flatten.max, f.dataType)
+        else None,
         hist)
     }.filter(_._2.distinct.isDefined).toMap // NDV is the payload; serve only sketched cols
   }
@@ -714,8 +718,25 @@ object ManifestScanBuilder {
     * `hist` = (rows per bin, (lo, hi, ndv) equi-height bins) merged from
     * the planned files' per-file grids ([[graft.core.HistStats]]). */
   case class ServedColStat(distinct: Option[Long], nulls: Option[Long],
-                           minLong: Option[Long], maxLong: Option[Long],
+                           minVal: Option[AnyRef], maxVal: Option[AnyRef],
                            hist: Option[(Double, Seq[(Double, Double, Long)])] = None)
+
+  /** Box a footer long bound in the column's CATALYST-INTERNAL shape —
+    * transformV2Stats passes v2 min/max objects into `ColumnStat`
+    * verbatim, and `FilterEstimation` then casts by the attribute type
+    * (Int for int/date, Long for bigint/timestamp, ...): a mis-boxed
+    * bound is a planner ClassCastException, not a worse estimate. */
+  def boxBound(v: Long, dt: org.apache.spark.sql.types.DataType): Option[AnyRef] = dt match {
+    case org.apache.spark.sql.types.ByteType    => Some(java.lang.Byte.valueOf(v.toByte))
+    case org.apache.spark.sql.types.ShortType   => Some(java.lang.Short.valueOf(v.toShort))
+    case org.apache.spark.sql.types.IntegerType |
+         org.apache.spark.sql.types.DateType    => Some(java.lang.Integer.valueOf(v.toInt))
+    case org.apache.spark.sql.types.LongType |
+         org.apache.spark.sql.types.TimestampType |
+         org.apache.spark.sql.types.TimestampNTZType =>
+      Some(java.lang.Long.valueOf(v))
+    case _ => None // strings/floats: no long-bound channel to serve
+  }
 }
 
 /** Storage-partitioned scan of a fully bucketed manifest table: parquet

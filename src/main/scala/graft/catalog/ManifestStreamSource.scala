@@ -77,10 +77,10 @@ case class ManifestStreamScan(inner: ParquetScan, dir: String,
             override def nullCount(): java.util.OptionalLong =
               s.nulls.map(java.util.OptionalLong.of).getOrElse(java.util.OptionalLong.empty())
             override def min(): java.util.Optional[Object] =
-              s.minLong.map(v => java.util.Optional.of(java.lang.Long.valueOf(v): Object))
+              s.minVal.map(v => java.util.Optional.of(v: Object))
                 .getOrElse(java.util.Optional.empty[Object]())
             override def max(): java.util.Optional[Object] =
-              s.maxLong.map(v => java.util.Optional.of(java.lang.Long.valueOf(v): Object))
+              s.maxVal.map(v => java.util.Optional.of(v: Object))
                 .getOrElse(java.util.Optional.empty[Object]())
             override def histogram(): java.util.Optional[
                 org.apache.spark.sql.connector.read.colstats.Histogram] =

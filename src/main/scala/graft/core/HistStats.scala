@@ -32,13 +32,41 @@ object HistStats {
     * ~128 B — two orders below the HLL sketch riding next to it. */
   val Buckets = 16
 
-  /** Histogram domain: plain numerics. (Strings have no usable interval
-    * arithmetic; date/timestamp would need the catalyst epoch mapping —
-    * deliberately out of scope for the first cut.) */
+  /** Histogram domain: plain numerics plus date/timestamp (gridded on
+    * catalyst's own internal number line — epoch DAYS for dates, epoch
+    * MICROS for timestamps — so the served bins speak the exact units
+    * `FilterEstimation.toDouble` expects for literals of those types).
+    *
+    * STRINGS are deliberately excluded, matching Spark's own contract:
+    * `ANALYZE ... COMPUTE STATISTICS FOR COLUMNS` refuses string
+    * histograms too, because catalyst's `FilterEstimation` cannot place
+    * a string literal on a number line (`EstimationUtils.toDouble`
+    * covers numeric/date/timestamp/boolean only — a served string
+    * histogram would crash the estimator, not improve it). What string
+    * keys DO get from the log: HLL-served distinct counts (equality
+    * predicates estimate as 1/ndv from data), exact null counts, and
+    * FILE-granularity min/max skipping — a string range predicate
+    * prunes whole files through [[FileStats.mayMatch]]'s StringVal
+    * bounds, which on a string-clustered layout is a stronger lever
+    * than any row-level distribution estimate. */
   def eligible(dt: DataType): Boolean = dt match {
     case ByteType | ShortType | IntegerType | LongType |
-         FloatType | DoubleType => true
+         FloatType | DoubleType | DateType | TimestampType => true
     case _ => false
+  }
+
+  /** A histogram-eligible column on its grid number line (catalyst's
+    * internal units; float/double NaNs masked out — a NaN-polluted
+    * bound would make every bucket degenerate). ONE definition shared
+    * by the fused bounds pass and the count pass — drift between the
+    * two would mis-bucket silently. */
+  private[core] def gridView(c: org.apache.spark.sql.Column, dt: DataType)
+      : org.apache.spark.sql.Column = dt match {
+    case FloatType | DoubleType => when(!isnan(c), c.cast("double"))
+    case DateType =>
+      datediff(c, lit("1970-01-01").cast("date")).cast("double")
+    case TimestampType => unix_micros(c).cast("double")
+    case _ => c.cast("double")
   }
 
   /** One equi-width grid per (file, numeric declared column) for the
@@ -61,11 +89,7 @@ object HistStats {
       .filter(f => eligible(f.dataType)).map(_.name)
     if (present.isEmpty) return Map.empty
 
-    def clean(c: String) = byName(c.toLowerCase).dataType match {
-      case FloatType | DoubleType =>
-        when(!isnan(col(c)), col(c).cast("double"))
-      case _ => col(c).cast("double")
-    }
+    def clean(c: String) = gridView(col(c), byName(c.toLowerCase).dataType)
 
     // the fused pass's bounds as a driver-built frame keyed by the abs
     // path `_metadata` spells (null bounds = zero non-null values)

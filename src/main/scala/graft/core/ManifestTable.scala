@@ -1115,6 +1115,21 @@ object ManifestTable {
     (small.length.toLong, added.length.toLong)
   }
 
+  /** Small-file compaction DEBT of the current snapshot: how many live
+    * files are undersized (smaller than half `targetFileBytes` — exactly
+    * [[compactSmall]]'s selection rule). The signal `t.partitions`
+    * surfaces per pool and `compact(auto => true)` acts on. Zero for an
+    * uncommitted dir. */
+  def smallFileDebt(dir: String, targetFileBytes: Long): Int =
+    currentVersion(dir) match {
+      case None => 0
+      case Some(v) =>
+        val snap = state(dir, v)
+        val fs = LakeStorage.openFor(dir)
+        snap.files.count(f => snap.stats.get(f).flatMap(_.sizeBytes)
+          .getOrElse(fs.getFileStatus(new Path(dir, f)).getLen) < targetFileBytes / 2)
+    }
+
   /** Rewrite ONLY the files carrying deletion vectors (live rows kept,
     * vectors dropped) — the targeted debt-collection pass of a
     * merge-on-read table: untouched files stay untouched, so the cost is

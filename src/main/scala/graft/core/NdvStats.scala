@@ -22,11 +22,24 @@ import org.apache.spark.sql.functions._
   * history — soundly disable serving rather than under-count). */
 object NdvStats {
 
-  /** Spark's `hll_sketch_agg` input domain. */
+  /** Sketchable domain: Spark's `hll_sketch_agg` input types, plus
+    * date/timestamp sketched through their catalyst epoch integers
+    * (distinct days/micros = distinct dates/timestamps). */
   def eligible(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
     case org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType |
-         org.apache.spark.sql.types.StringType | org.apache.spark.sql.types.BinaryType => true
+         org.apache.spark.sql.types.StringType | org.apache.spark.sql.types.BinaryType |
+         org.apache.spark.sql.types.DateType | org.apache.spark.sql.types.TimestampType => true
     case _ => false
+  }
+
+  /** The sketch input for a column: raw for hll_sketch_agg's native
+    * domain, the epoch integer for date/timestamp. */
+  private def sketchView(c: org.apache.spark.sql.Column,
+      dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.Column = dt match {
+    case org.apache.spark.sql.types.DateType =>
+      datediff(c, lit("1970-01-01").cast("date"))
+    case org.apache.spark.sql.types.TimestampType => unix_micros(c)
+    case _ => c
   }
 
   /** One HLL sketch per (file, column) for the staged files — a single
@@ -61,13 +74,9 @@ object NdvStats {
     val sketchCols = present.filter(c => eligible(byName(c.toLowerCase).dataType))
     val histCols = present.filter(c =>
       HistStats.eligible(byName(c.toLowerCase).dataType))
-    def clean(c: String) = byName(c.toLowerCase).dataType match {
-      case org.apache.spark.sql.types.FloatType |
-           org.apache.spark.sql.types.DoubleType =>
-        when(!isnan(col(c)), col(c).cast("double"))
-      case _ => col(c).cast("double")
-    }
-    val aggs = sketchCols.map(c => hll_sketch_agg(col(c)).as(s"_sk_$c")) ++
+    def clean(c: String) = HistStats.gridView(col(c), byName(c.toLowerCase).dataType)
+    val aggs = sketchCols.map(c =>
+      hll_sketch_agg(sketchView(col(c), byName(c.toLowerCase).dataType)).as(s"_sk_$c")) ++
       histCols.flatMap(c => Seq(
         min(clean(c)).as(s"_lo_$c"), max(clean(c)).as(s"_hi_$c")))
     if (aggs.isEmpty) return (Map.empty, Map.empty)

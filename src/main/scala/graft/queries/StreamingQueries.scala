@@ -597,6 +597,7 @@ object StreamingQueries extends QueryModule {
           .writeStream.option("checkpointLocation", ckpt)
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .foreachBatch { (batch: DataFrame, id: Long) =>
+            BatchTimings.timed("qp05_stream_dedup_pipeline", id) {
             val sb = batch.sparkSession
             val b = batch.select("doc_id", "lang", "text").persist()
             try {
@@ -621,11 +622,17 @@ object StreamingQueries extends QueryModule {
                 ()
               } finally { accepted.unpersist(); () }
             } finally { b.unpersist(); () }
+            }
           }.start()
-        try {
-          if (!q.awaitTermination(300000))
-            throw new IllegalStateException("qp05 stream did not drain")
-        } finally q.stop()
+        // whole-drain wall rides along as pseudo batch -1: flat batch
+        // times under a slow drain = trigger/offset machinery (box
+        // contention), not a work regression
+        BatchTimings.timed("qp05_stream_dedup_pipeline", BatchTimings.DrainId) {
+          try {
+            if (!q.awaitTermination(300000))
+              throw new IllegalStateException("qp05 stream did not drain")
+          } finally q.stop()
+        }
       }
       s.sql("""SELECT lang, count(*) AS n_docs,
           CAST(sum(length(text)) AS BIGINT) AS total_chars

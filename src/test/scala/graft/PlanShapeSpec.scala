@@ -343,6 +343,61 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("log-served DATE histogram sizes a date-range predicate; string keys serve NDV only") {
+    // date columns grid on catalyst's own number line (epoch days), so
+    // FilterEstimation sizes a skewed date-range predicate from the
+    // distribution; string keys deliberately serve NO histogram (Spark's
+    // ANALYZE contract — the estimator cannot place string literals on a
+    // number line) but their HLL NDV serves equality estimation
+    val root = "file://" + java.nio.file.Files.createTempDirectory("graft_dhist_").toString
+    graft.catalog.GraftCatalog.register(spark, "ghd", root)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS ghd.db")
+    spark.sql("CREATE TABLE ghd.db.ev (d DATE, s STRING, pad STRING) USING manifest " +
+      s"TBLPROPERTIES ('${graft.catalog.GraftCatalog.NdvColsProp}'='d,s')")
+    // 95% of rows in the first 100 days, a 5% tail in days [900, 1000) —
+    // the numeric histogram test's skew, on the date number line
+    def src(a: Int, b: Int) = "SELECT date_add(DATE'2024-01-01', " +
+      "CASE WHEN id % 20 = 0 THEN 900 + CAST(id % 100 AS INT) " +
+      "ELSE CAST(id % 100 AS INT) END) AS d, " +
+      "concat('k', id % 50) AS s, sha2(CAST(id AS STRING), 256) AS pad " +
+      s"FROM range($a, $b)"
+    spark.sql(s"INSERT INTO ghd.db.ev ${src(0, 20000)}")
+    spark.sql(s"INSERT INTO ghd.db.ev ${src(20000, 40000)}") // 2 pools -> merged grids
+    val saved = spark.conf.getOption("spark.sql.cbo.enabled")
+    try {
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      val att = spark.table("ghd.db.ev").queryExecution.optimizedPlan.stats
+        .attributeStats
+      val dStat = att.find(_._1.name == "d").map(_._2)
+      assert(dStat.exists(_.histogram.isDefined),
+        s"no histogram in served date ColumnStat: $att")
+      // min/max boxed in the DATE internal shape (Int epoch days) — a
+      // Long here would be a planner ClassCastException, not an estimate
+      assert(dStat.get.min.exists(_.isInstanceOf[Integer]) &&
+        dStat.get.max.exists(_.isInstanceOf[Integer]),
+        s"date bounds must box as Int days: ${dStat.get.min}, ${dStat.get.max}")
+      val est = spark.table("ghd.db.ev")
+        .where(expr("d >= date_add(DATE'2024-01-01', 900)")) // the 5% tail
+        .queryExecution.optimizedPlan.stats.rowCount
+      assert(est.exists(rc => rc >= BigInt(800) && rc <= BigInt(3200)),
+        s"date tail estimate should land near the true 2000 rows (5%), got $est " +
+          "(uniform interpolation would say ~4000, default selectivity ~10000)")
+      // string key: NDV served (equality sizes as rows/ndv), histogram absent
+      val sStat = att.find(_._1.name == "s").map(_._2)
+      assert(sStat.exists(_.distinctCount.isDefined), s"string NDV not served: $att")
+      assert(sStat.forall(_.histogram.isEmpty),
+        "string columns must never serve a histogram (FilterEstimation " +
+          "would crash casting the literal)")
+      val eqEst = spark.table("ghd.db.ev").where(col("s") === "k7")
+        .queryExecution.optimizedPlan.stats.rowCount
+      assert(eqEst.exists(rc => rc >= BigInt(400) && rc <= BigInt(1600)),
+        s"string equality should estimate ~rows/ndv = 800, got $eqEst")
+    } finally saved match {
+      case Some(v) => spark.conf.set("spark.sql.cbo.enabled", v)
+      case None    => spark.conf.unset("spark.sql.cbo.enabled")
+    }
+  }
+
   test("vector assignment is map-only: zero Exchange on the corpus side") {
     // The kmeans/IVF nearest-centroid and sign-LSH bucket assignments must
     // be pure maps over the corpus: the streamed (corpus) side of the

@@ -79,6 +79,59 @@ class CatalogProcedureSpec extends AnyFunSuite {
     assert(again.getLong(0) <= 1L)
   }
 
+  test("CALL compact auto: acts only past the debt threshold, then converges to a no-op") {
+    ensureDb()
+    spark.sql("CREATE TABLE gp.db.au (id BIGINT, v STRING) USING manifest")
+    // one healthy ~2.5 MB file + two tiny ones: debt (2) below the
+    // default threshold (4) — the scheduled pass must touch NOTHING
+    spark.sql("INSERT INTO gp.db.au SELECT /*+ REPARTITION(1) */ id, " +
+      "sha1(CAST(id AS STRING)) FROM range(50000)")
+    (1 to 2).foreach { i =>
+      spark.sql("INSERT INTO gp.db.au SELECT /*+ REPARTITION(1) */ " +
+        s"id + ${i * 1000000}, 'x' FROM range(100)")
+    }
+    val dir = dataDir("au")
+    def files() = ManifestTable.manifest(dir, ManifestTable.currentVersion(dir).get)
+    val v0 = ManifestTable.currentVersion(dir).get
+    val below = spark.sql(
+      "CALL gp.system.compact('db.au', target_mb => 1, auto => true)").head()
+    assert(below.getLong(0) === 0L && below.getLong(1) === 0L)
+    assert(ManifestTable.currentVersion(dir).get === v0,
+      "a below-threshold auto pass must not commit anything")
+    // three more tiny inserts push the debt to 5 >= 4: auto bin-packs
+    // exactly the indebted files, the healthy one survives untouched
+    (3 to 5).foreach { i =>
+      spark.sql("INSERT INTO gp.db.au SELECT /*+ REPARTITION(1) */ " +
+        s"id + ${i * 1000000}, 'x' FROM range(100)")
+    }
+    val healthy = {
+      val st = ManifestTable.state(dir, ManifestTable.currentVersion(dir).get)
+      files().filter(f => st.stats(f).sizeBytes.get > 512 * 1024).toSet
+    }
+    assert(healthy.size === 1)
+    val acted = spark.sql(
+      "CALL gp.system.compact('db.au', target_mb => 1, auto => true)").head()
+    assert(acted.getLong(0) === 5L, "auto must rewrite exactly the indebted files")
+    assert(healthy.subsetOf(files().toSet), "healthy file untouched by auto")
+    assert(spark.sql("SELECT count(*) FROM gp.db.au").head().getLong(0) === 50500L)
+    // converged: the merged output is below the threshold count
+    val v1 = ManifestTable.currentVersion(dir).get
+    val noop = spark.sql(
+      "CALL gp.system.compact('db.au', target_mb => 1, auto => true)").head()
+    assert(noop.getLong(0) === 0L &&
+      ManifestTable.currentVersion(dir).get === v1,
+      "auto must no-op once the debt is collected")
+    // auto is the whole decision: composing selectors is refused
+    Seq("small_only => true", "where => 'id < 5'", "zorder => 'id,id'",
+        "cluster_by => 'id'").foreach { arg =>
+      val e = intercept[Exception] {
+        spark.sql(s"CALL gp.system.compact('db.au', auto => true, $arg)").collect()
+      }
+      assert(e.getMessage.contains("auto") || e.getMessage.contains("zorder"),
+        s"composition '$arg' must refuse: ${e.getMessage}")
+    }
+  }
+
   test("CALL compact on a bucketed table re-buckets (SPJ survives)") {
     ensureDb()
     spark.sql("""CREATE TABLE gp.db.cpb (k BIGINT, v STRING) USING manifest

@@ -54,6 +54,32 @@ class HistStatsSpec extends AnyFunSuite {
     assert(fb("d") === FileStats.Hist(0.0, 0.0, Vector.empty))
   }
 
+  test("collectHists grids date/timestamp on catalyst's number line (days / micros)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_hist_dt_").toString
+    // 4 consecutive days, 4 timestamps one second apart
+    (0 until 4).map(i => (java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1 + i)),
+        java.sql.Timestamp.from(java.time.Instant.parse("2024-01-01T00:00:00Z")
+          .plusSeconds(i))))
+      .toDF("d", "ts").coalesce(1).write.parquet(s"$dir/fa")
+    val f = new java.io.File(s"$dir/fa").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val files = Seq(s"fa/${f.getName}")
+    val (sketches, bounds) =
+      NdvStats.collectSketchesAndBounds(spark, dir, files, Seq("d", "ts"))
+    // both columns sketch (distinct days/micros = distinct values)
+    assert(sketches(files.head).keySet === Set("d", "ts"))
+    val hists = HistStats.collectHists(spark, dir, files, Seq("d", "ts"), bounds)
+    val day0 = java.time.LocalDate.of(2024, 1, 1).toEpochDay.toDouble
+    val hd = hists(files.head)("d")
+    assert(hd.lo === day0 && hd.hi === day0 + 3 && hd.total === 4L,
+      s"date grid must be in epoch days: $hd")
+    val us0 = java.time.Instant.parse("2024-01-01T00:00:00Z").toEpochMilli * 1000.0
+    val ht = hists(files.head)("ts")
+    assert(ht.lo === us0 && ht.hi === us0 + 3e6 && ht.total === 4L,
+      s"timestamp grid must be in epoch micros: $ht")
+  }
+
   test("marker JSON round-trips the histogram next to sketch and bounds") {
     val st = FileStats.Stats(10L, Map(
       "k" -> FileStats.ColStats(
