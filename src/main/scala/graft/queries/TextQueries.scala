@@ -88,6 +88,34 @@ object TextQueries extends QueryModule {
         .orderBy("doc_id")
     },
 
+    // --- LEARNED byte-pair-encoding tokenizer (functions/Bpe): real
+    //     merge-table BPE replacing qt06's regex approximation. The gate
+    //     trains on the classic crafted corpus (low*5 lower*2 newest*6
+    //     widest*3) through the PRODUCTION paths — the distributed word
+    //     count feeds the driver-side learner, encoding goes through the
+    //     distinct-word mapPartitions + join-back — and emits the learned
+    //     merge table plus sample encodings, all hand-derivable, so the
+    //     oracle replays merges AND encode exactly ---
+    "qt17_bpe_learned" -> { (s, d) =>
+      import s.implicits._
+      val crafted = Seq("low" -> 5, "lower" -> 2, "newest" -> 6, "widest" -> 3)
+        .flatMap { case (w, n) => Seq.fill(n)(w) }
+      val corpus = crafted.zipWithIndex
+        .map { case (w, i) => (i.toLong, w) }.toDF("id", "text")
+      val merges = graft.functions.Bpe.train(corpus, "text",
+        vocabWords = 64, numMerges = 6)
+      val mergeRows = merges.zipWithIndex.map { case ((a, b), r) =>
+        ("merge", f"$r%02d", s"$a $b")
+      }
+      val samples = Seq("lowest", "newer", "wider", "low")
+      val sampleDf = samples.zipWithIndex
+        .map { case (w, i) => (i.toLong, w) }.toDF("id", "text")
+      val encRows = graft.functions.Bpe.encode(sampleDf, "text", merges, "toks")
+        .select(col("text"), concat_ws(" ", col("toks")).as("enc"))
+        .collect().map(r => ("encode", r.getString(0), r.getString(1))).toSeq
+      (mergeRows ++ encRows).toDF("kind", "k", "v").orderBy("kind", "k")
+    },
+
     // --- document fingerprinting: md5 / sha256 / winnowing-min ---
     "qt05_fingerprints" -> { (s, d) =>
       Tables.documents(s, d)
@@ -921,6 +949,17 @@ object TextQueries extends QueryModule {
                  regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]') AS t
                FROM documents)
          ORDER BY doc_id""",
+
+    // the crafted corpus's merges and encodings are hand-derived (count
+    // desc, pair-lexicographic tie-break; lowest-rank-first encode), so
+    // the oracle IS the expected table
+    "qt17_bpe_learned" ->
+      """SELECT kind, k, v FROM (VALUES
+           ('merge','00','e s'), ('merge','01','es t'), ('merge','02','l o'),
+           ('merge','03','lo w'), ('merge','04','e w'), ('merge','05','ew est'),
+           ('encode','low','low'), ('encode','lowest','low est'),
+           ('encode','newer','n ew e r'), ('encode','wider','w i d e r')
+         ) AS t(kind, k, v) ORDER BY kind, k""",
 
     "qt05_fingerprints" ->
       """SELECT doc_id, md5(text) AS md5_fp, sha256(text) AS sha256_fp,
