@@ -298,13 +298,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         require(provider == "manifest",
           s"${ident.name()}: $NdvColsProp needs USING manifest")
         val cols = spec.split(",").map(_.trim).filter(_.nonEmpty).toSeq
-        cols.foreach { c =>
-          val f = schema.find(_.name == c).getOrElse(throw new IllegalArgumentException(
-            s"${ident.name()}: $NdvColsProp names unknown column '$c'"))
-          require(graft.core.NdvStats.eligible(f.dataType),
-            s"${ident.name()}: $NdvColsProp column '$c' is ${f.dataType.simpleString} — " +
-              "HLL sketches cover int/bigint/string/binary/date/timestamp")
-        }
+        cols.foreach(GraftCatalog.validateNdvColumn(ident.name(), schema, _))
         cols
     }
 
@@ -683,14 +677,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         // declare NDV/histogram columns on a LIVE table: future writes
         // sketch them; `CALL g.system.collect_stats` backfills history
         val cols = set.value.split(",").map(_.trim).filter(_.nonEmpty).toSeq
-        cols.foreach { c =>
-          val f = schema.find(_.name == c).getOrElse(
-            throw new IllegalArgumentException(
-              s"${ident.name()}: $NdvColsProp names unknown column '$c'"))
-          require(graft.core.NdvStats.eligible(f.dataType),
-            s"${ident.name()}: $NdvColsProp column '$c' is ${f.dataType.simpleString} — " +
-              "HLL sketches cover int/bigint/string/binary/date/timestamp")
-        }
+        cols.foreach(GraftCatalog.validateNdvColumn(ident.name(), schema, _))
         ndv = cols
       case rm: TableChange.RemoveProperty if rm.property == NdvColsProp =>
         ndv = Nil
@@ -1176,9 +1163,23 @@ object GraftCatalog {
     * the commit marker next to min/max — see [[graft.core.NdvStats]]) and
     * scans serve the merged distinct count to the optimizer through DSv2
     * column statistics. CBO join/filter estimation then works from the
-    * log alone — no ANALYZE TABLE pass. int/bigint/string/binary columns
-    * only (the HLL aggregate's input domain). */
+    * log alone — no ANALYZE TABLE pass. int/bigint/string/binary plus
+    * date/timestamp (sketched via their epoch integers). */
   val NdvColsProp = "graft.ndv.columns"
+
+  /** ONE definition of the NDV-column declaration check (existence +
+    * sketchable domain) — used by CREATE-time parsing, ALTER validation,
+    * and collect_stats(columns => ...); a drifted copy would let one
+    * front door accept a type another refuses. */
+  private[catalog] def validateNdvColumn(owner: String,
+      schema: StructType, c: String): Unit = {
+    val f = schema.find(_.name == c).getOrElse(
+      throw new IllegalArgumentException(
+        s"$owner: $NdvColsProp names unknown column '$c'"))
+    require(graft.core.NdvStats.eligible(f.dataType),
+      s"$owner: $NdvColsProp column '$c' is ${f.dataType.simpleString} — " +
+        "HLL sketches cover int/bigint/string/binary/date/timestamp")
+  }
 
   /** The CREATE TABLE property selecting the row-level DML strategy. */
   val DmlModeProp = "graft.dml.mode"

@@ -227,7 +227,10 @@ private[catalog] object GraftProcedures {
   private final class VacuumProcedure(catalog: GraftCatalog) extends ManifestProcedure {
     override def name(): String = "vacuum"
     override def description(): String =
-      "drop commit markers older than the keep most recent and unreferenced data pools"
+      "manifest: drop commit markers older than the keep most recent and " +
+        "unreferenced data pools; keyedlog: sweep hidden residue " +
+        "(.tmp-/.rl-/.rm-) older than orphan_retain_ms (journal markers " +
+        "are permanent — keep does not apply)"
     override def parameters(): Array[ProcedureParameter] = Array(
       ProcedureParameter.in("table", StringType).build(),
       ProcedureParameter.in("keep", IntegerType).defaultValue("2").build(),
@@ -240,27 +243,37 @@ private[catalog] object GraftProcedures {
       ProcedureParameter.in("dry_run", BooleanType).defaultValue("false").build())
     override def call(input: InternalRow): JIterator[Scan] = {
       val dryRun = !input.isNullAt(3) && input.getBoolean(3)
-      val removed = target(catalog, input.getString(0)) match {
+      target(catalog, input.getString(0)) match {
         case ("manifest", dir, _) =>
-          ManifestTable.vacuum(dir, input.getInt(1), input.getLong(2),
-            dryRun = dryRun)
+          result(
+            StructType(Seq(
+              StructField("pools_removed", IntegerType, nullable = false))),
+            ManifestTable.vacuum(dir, input.getInt(1), input.getLong(2),
+              dryRun = dryRun))
         case ("keyedlog", dir, _) =>
           // keyedlog maintenance: sweep the dir's hidden residue — `.tmp-`
           // task temps and `.rl-` staged files from crashed/aborted
           // writes, and `.rm-` pre-image tombstones past their
           // feed-serving retention — older than orphan_retain_ms. Change
           // feeds whose window needs an aged-out pre-image fail loudly.
-          graft.sources.KeyedLogSource.sweepOrphans(dir,
-            new org.apache.spark.util.SerializableConfiguration(
-              SparkSession.active.sessionState.newHadoopConf()),
-            input.getLong(2), dryRun).length
+          // `keep` is a manifest concept: keyedlog journal markers are
+          // permanent (liveSet resolution depends on the consecutive
+          // version line), so a non-default value is refused, not ignored
+          require(input.getInt(1) == 2,
+            s"vacuum(keep) does not apply to keyedlog tables — journal " +
+              "markers are permanent; this vacuum sweeps only aged hidden " +
+              "residue (orphan_retain_ms governs it)")
+          result(
+            StructType(Seq(
+              StructField("orphans_removed", IntegerType, nullable = false))),
+            graft.sources.KeyedLogSource.sweepOrphans(dir,
+              new org.apache.spark.util.SerializableConfiguration(
+                SparkSession.active.sessionState.newHadoopConf()),
+              input.getLong(2), dryRun).length)
         case (other, _, _) => throw new IllegalArgumentException(
           s"vacuum applies to manifest and keyedlog tables; " +
             s"'${input.getString(0)}' is a $other table")
       }
-      result(
-        StructType(Seq(StructField("pools_removed", IntegerType, nullable = false))),
-        removed)
     }
   }
 
@@ -509,18 +522,12 @@ private[catalog] object GraftProcedures {
       val ndvCols =
         if (requested.isEmpty) meta.ndvCols
         else {
-          // validate the requested columns NOW (the same existence/type
-          // checks SET TBLPROPERTIES runs) but DEFER the declaration
-          // mutation until the backfill succeeds below — a failed
-          // procedure must not leave an alterTable side effect behind
-          requested.foreach { c =>
-            val f = meta.schema.find(_.name == c).getOrElse(
-              throw new IllegalArgumentException(
-                s"${ident.name()}: ${GraftCatalog.NdvColsProp} names unknown column '$c'"))
-            require(graft.core.NdvStats.eligible(f.dataType),
-              s"${ident.name()}: ${GraftCatalog.NdvColsProp} column '$c' is " +
-                s"${f.dataType.simpleString} — HLL sketches cover int/bigint/string/binary/date/timestamp")
-          }
+          // validate the requested columns NOW (the ONE shared check SET
+          // TBLPROPERTIES runs) but DEFER the declaration mutation until
+          // the backfill succeeds below — a failed procedure must not
+          // leave an alterTable side effect behind
+          requested.foreach(
+            GraftCatalog.validateNdvColumn(ident.name(), meta.schema, _))
           (meta.ndvCols ++ requested).distinct
         }
       require(ndvCols.nonEmpty,

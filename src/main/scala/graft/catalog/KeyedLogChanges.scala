@@ -93,8 +93,12 @@ case class KeyedLogChangesScan(dir: String, startVersion: Long,
     val entries = window.map(v => v -> KeyedLogVersionLog.entry(dir, conf, v))
     val tagged = entries.flatMap { case (v, e) =>
       if (!e.rewrite) Seq((v, "insert", e.fresh))
+      // rm/ad key PRESENCE marks a row-level rewrite — a rebased no-op
+      // (rm=[] ad=[]) serves nothing rather than a phantom whole-table
+      // refresh; compaction/pre-field entries (keys absent) supersede
       else if (e.rm.isEmpty && e.ad.isEmpty) Seq((v, "rewrite", e.fresh))
-      else Seq((v, "delete", e.rm), (v, "insert", e.ad)).filter(_._3.nonEmpty)
+      else Seq((v, "delete", e.rm.getOrElse(Nil)),
+        (v, "insert", e.ad.getOrElse(Nil))).filter(_._3.nonEmpty)
     }
     val lastRw = tagged.lastIndexWhere(_._2 == "rewrite")
     if (lastRw < 0) tagged else tagged.drop(lastRw)
@@ -110,6 +114,11 @@ case class KeyedLogChangesScan(dir: String, startVersion: Long,
       .listDataFiles(dir, conf).map(f => new Path(f).getName -> f).toMap
     var listed = listing()
     var relisted = false
+    // ONE tombstone listing for the whole plan, taken lazily on the
+    // first miss — per-missing-name listings would make feed planning
+    // O(names × LIST) on an object store
+    lazy val tombstones: Map[String, String] =
+      KeyedLogSource.tombstonesOf(dir, conf)
     served.flatMap { case (v, tag, names) =>
       names.map { n =>
         if (!listed.contains(n) && tag != "delete" && !relisted) {
@@ -120,12 +129,14 @@ case class KeyedLogChangesScan(dir: String, startVersion: Long,
             // the exact tombstone this swap hid the pre-image under; a
             // reveal-rename leftover (tombstone failed, original still
             // visible) serves from the visible name
-            KeyedLogSource.resolveTombstone(dir, conf, v, n)
+            tombstones.get(n).filter(_ == KeyedLogSource.tombstoneName(v, n))
+              .orElse(listed.get(n).map(f => new Path(f).getName))
+              .map(t => new Path(dir, t).toString)
               .getOrElse(throw new IllegalStateException(
                 s"keyed_log t.changes: pre-image of $n (v$v) is gone — its " +
                   "tombstone aged out (vacuum); restart from a full scan"))
           else listed.get(n)
-            .orElse(KeyedLogSource.resolveServed(dir, conf, n))
+            .orElse(tombstones.get(n).map(t => new Path(dir, t).toString))
             .getOrElse(throw new IllegalStateException(
               s"keyed_log t.changes: journaled file $n is gone (compacted or " +
                 "vacuumed past your cursor?) — restart from a full scan"))

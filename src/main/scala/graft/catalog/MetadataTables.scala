@@ -216,7 +216,10 @@ object MetadataTables {
         StructField("clustered", org.apache.spark.sql.types.BooleanType, nullable = false)), () => {
       val conf = graft.sources.KeyedLogConf.capture()
       val fs = LakeStorage.openFor(dir)
-      graft.sources.KeyedLogSource.listDataFiles(dir, conf).toSeq.sorted.map { f =>
+      // journal-resolved like the scans — the ops view must describe the
+      // files the table SERVES, not listing leftovers a failed tombstone
+      // rename or crashed write left behind
+      graft.sources.KeyedLogSource.readerFiles(dir, conf).toSeq.sorted.map { f =>
         val name = new Path(f).getName
         val tag = graft.sources.KeyedLogSource.keyOfFile(name)
         Array[Any](name, fs.getFileStatus(new Path(f)).getLen,
@@ -233,7 +236,7 @@ object MetadataTables {
     new VirtualRowsTable(s"partitions($dir)", PartitionsSchema, () => {
       val conf = graft.sources.KeyedLogConf.capture()
       val fs = LakeStorage.openFor(dir)
-      val files = graft.sources.KeyedLogSource.listDataFiles(dir, conf).toSeq
+      val files = graft.sources.KeyedLogSource.readerFiles(dir, conf).toSeq
       def keyOf(f: String): String = {
         val tag = graft.sources.KeyedLogSource.keyOfFile(new Path(f).getName)
         (bucket, tag) match {

@@ -95,30 +95,26 @@ object Bpe {
   }
 
   /** Corpus encode: adds `out` = the row's BPE tokens (array<string>, in
-    * word order). Distinct words encode ONCE via mapPartitions with the
-    * broadcast rank table; the corpus rejoins on the word — cost ∝
-    * vocabulary + one join, never per-row re-encoding. */
+    * word order) as a pure MAP over the rows — no shuffle, no join, no
+    * row-identity column (a self-join keyed on a generated row id would
+    * be silently non-deterministic under re-evaluation). The broadcast
+    * O(merges) rank table rides a scalar function whose closure memoizes
+    * word→tokens per deserialized task, so each task encodes its
+    * distinct words once — corpus cost stays word-lookup-shaped without
+    * any corpus-wide exchange. */
   def encode(df: DataFrame, textCol: String, merges: Seq[(String, String)],
              out: String): DataFrame = {
     val spark = df.sparkSession
-    import spark.implicits._
     val ranks = merges.zipWithIndex.toMap
     val bc = spark.sparkContext.broadcast(ranks)
-    val withWords = df.withColumn("_bpe_words", wordsOf(col(textCol)))
-    val encoded = withWords.select(explode(col("_bpe_words")).as("_bpe_w"))
-      .distinct().as[String]
-      .mapPartitions(it => it.map(w => (w, encodeWord(w, bc.value))))
-      .toDF("_bpe_w", "_bpe_toks")
-    val keyed = withWords.withColumn("_bpe_row_id", monotonically_increasing_id())
-    val exploded = keyed
-      .select(col("_bpe_row_id"), posexplode_outer(col("_bpe_words"))
-        .as(Seq("_bpe_pos", "_bpe_w")))
-      .join(encoded, Seq("_bpe_w"), "left")
-      .groupBy("_bpe_row_id")
-      .agg(flatten(array_sort(collect_list(struct(col("_bpe_pos"), col("_bpe_toks"))))
-        .getField("_bpe_toks")).as(out))
-    keyed.join(exploded, "_bpe_row_id")
-      .drop("_bpe_row_id", "_bpe_words")
-      .withColumn(out, coalesce(col(out), array()))
+    // captured in the closure: each task deserializes its own (empty)
+    // copy, so the memo is per-task AND per-rank-table — a shared
+    // object-level cache would leak encodings across different models
+    val memo = scala.collection.mutable.HashMap.empty[String, Vector[String]]
+    val encodeWords = udf { words: Seq[String] =>
+      if (words == null) Seq.empty[String]
+      else words.flatMap(w => memo.getOrElseUpdate(w, encodeWord(w, bc.value)))
+    }
+    df.withColumn(out, encodeWords(wordsOf(col(textCol))))
   }
 }

@@ -197,6 +197,18 @@ class KeyedLogReplaceWrite(op: KeyedLogRowLevelOperation, path: String,
     // rewrite here would make every incremental cursor re-deliver the
     // whole table for nothing
     if (op.scannedFiles.isEmpty && staged.isEmpty) return
+    // 0. a destructive swap on a journal-LESS dir first journals a
+    //    GENESIS anchor (the current listed live set, as a rewrite):
+    //    from here every consumer resolves from the journal, so the
+    //    reveal below is invisible until the swap's entry lands — on a
+    //    listing-read dir a crash between reveal and journal would
+    //    otherwise leave originals AND replacements both visible
+    //    (duplicate rows, unsweepable: the leftovers aren't dot-files)
+    if (op.scannedFiles.nonEmpty &&
+        KeyedLogVersionLog.head(path, op.conf).isEmpty)
+      KeyedLogVersionLog.commit(path, op.conf,
+        KeyedLogSource.listDataFiles(path, op.conf)
+          .map(f => new Path(f).getName).toSeq, rewrite = true)
     // 1. REVEAL the staged replacements under their final (new, unique)
     //    names — still invisible to journal-resolved readers. Revealed
     //    names accumulate AS THEY LAND so a mid-reveal failure leaves

@@ -110,8 +110,15 @@ object KeyedLogSource {
   private[graft] def readerFiles(
       path: String, conf: org.apache.spark.util.SerializableConfiguration): Array[String] =
     readerNames(path, conf) match {
-      case Some(names) => names.map(n => new Path(path, n).toString).toArray
-      case None        => listDataFiles(path, conf)
+      case Some(names) =>
+        // qualified exactly like listStatus's getPath.toString — the
+        // streaming seen-log compares these strings across BOTH
+        // resolution modes, so an unqualified spelling here would make
+        // every already-seen file look fresh after a dir gains a journal
+        val base = new Path(path)
+        val fs = base.getFileSystem(conf.value)
+        names.map(n => fs.makeQualified(new Path(base, n)).toString).toArray
+      case None => listDataFiles(path, conf)
     }
 
   /** Tombstone name a row-level swap (journal version `v`) hides a
@@ -138,34 +145,6 @@ object KeyedLogSource {
         case e: java.io.IOException =>
           log.warn(s"keyed_log($path): could not tombstone replaced file $n: $e")
       }
-    }
-  }
-
-  /** Resolve a journaled name to a readable path: the visible file, or —
-    * when a row-level swap has since tombstoned it — its `.rm-v*-` copy
-    * (same bytes; files are immutable once visible). None = genuinely
-    * gone (compacted/vacuumed past the caller's cursor). */
-  private[graft] def resolveServed(
-      path: String, conf: org.apache.spark.util.SerializableConfiguration,
-      name: String): Option[String] = {
-    val fs = new Path(path).getFileSystem(conf.value)
-    val visible = new Path(path, name)
-    if (fs.exists(visible)) Some(visible.toString)
-    else tombstonesOf(path, conf).get(name).map(t => new Path(path, t).toString)
-  }
-
-  /** The pre-image a version-`v` swap hid `name` under: the exact
-    * `.rm-v<v>-` tombstone, or the still-visible original when the
-    * tombstone rename failed (best-effort leftover). None = aged out. */
-  private[graft] def resolveTombstone(
-      path: String, conf: org.apache.spark.util.SerializableConfiguration,
-      v: Long, name: String): Option[String] = {
-    val fs = new Path(path).getFileSystem(conf.value)
-    val t = new Path(path, tombstoneName(v, name))
-    if (fs.exists(t)) Some(t.toString)
-    else {
-      val visible = new Path(path, name)
-      if (fs.exists(visible)) Some(visible.toString) else None
     }
   }
 
@@ -546,11 +525,14 @@ private[graft] object KeyedLogVersionLog {
     * journaled (for a REWRITE: the whole live set as of the version);
     * `all` = journaled-ever anchor (compact entries); `live` = live-set
     * anchor (compact entries written by this revision on); `rm`/`ad` =
-    * a row-level rewrite's replaced / added names (empty on compaction
-    * rewrites and on entries written before the fields existed). */
+    * a row-level rewrite's replaced / added names. PRESENCE of the
+    * rm/ad keys (Some, possibly empty) is what marks a rewrite as
+    * row-level — a rebased no-op delete journals `rm=[] ad=[]`, which
+    * must NOT read as a whole-table compaction refresh in the feed;
+    * compaction rewrites and pre-field entries parse as None. */
   case class Entry(fresh: Seq[String], all: Option[Seq[String]],
                    rewrite: Boolean, live: Option[Seq[String]],
-                   rm: Seq[String], ad: Seq[String])
+                   rm: Option[Seq[String]], ad: Option[Seq[String]])
 
   /** The names version `v` FIRST journaled. */
   def read(path: String, conf: org.apache.spark.util.SerializableConfiguration,
@@ -597,13 +579,12 @@ private[graft] object KeyedLogVersionLog {
       } finally in.close()
       scala.util.Try(org.json4s.jackson.JsonMethods.parse(text)).toOption match {
         case Some(arr: org.json4s.JArray) =>
-          return Entry(strs(arr), None, rewrite = false, None, Nil, Nil)
+          return Entry(strs(arr), None, rewrite = false, None, None, None)
         case Some(o: org.json4s.JObject) =>
           val m = o.obj.toMap
           return Entry(strs(m.getOrElse("n", org.json4s.JArray(Nil))),
             m.get("all").map(strs), m.contains("rw"), m.get("live").map(strs),
-            m.get("rm").map(strs).getOrElse(Nil),
-            m.get("ad").map(strs).getOrElse(Nil))
+            m.get("rm").map(strs), m.get("ad").map(strs))
         case Some(other) => throw new IllegalStateException(
           s"corrupt keyed_log journal marker v$v: expected array or object, got $other")
         case None => // unparseable: in-flight writer, or real corruption
@@ -1273,7 +1254,12 @@ class KeyedLogMicroBatchStream(path: String, required: StructType,
 
   override def initialOffset(): Offset = KeyedLogVersionOffset(-1L)
   override def latestOffset(): Offset = {
-    val fresh = KeyedLogSource.listDataFiles(path, conf).filterNot(ledger.seen)
+    // discovery is journal-resolved like every other read surface: a
+    // row-level swap's revealed-but-unjournaled files must never enter
+    // the seen-log (an aborted swap deletes them — a listing-based
+    // ledger would then reference files that no longer exist and brick
+    // the checkpoint); listing remains the pre-journal-dir fallback
+    val fresh = KeyedLogSource.readerFiles(path, conf).filterNot(ledger.seen)
     if (fresh.isEmpty) KeyedLogVersionOffset(ledger.latestVersion)
     else KeyedLogVersionOffset(ledger.advance(fresh.toSeq))
   }

@@ -261,6 +261,12 @@ class CatalogProcedureSpec extends AnyFunSuite {
     val swept = spark.sql(
       "CALL gp.system.vacuum('db.kcp', orphan_retain_ms => 60000)").head()
     assert(swept.getInt(0) === 1 && !old.exists() && young.exists())
+    // `keep` is a manifest concept — keyedlog journal markers are
+    // permanent, so a non-default value refuses loudly, never ignores
+    val eKeep = intercept[Exception] {
+      spark.sql("CALL gp.system.vacuum('db.kcp', keep => 3)").collect()
+    }
+    assert(eKeep.getMessage.contains("does not apply to keyedlog"))
     assert(spark.sql("SELECT count(*) FROM gp.db.kcp").head().getLong(0) === 120L)
     // rollback stays manifest-only, with a clear error
     val e = intercept[Exception] {

@@ -42,7 +42,11 @@ class BpeSpec extends AnyFunSuite {
   }
 
   test("corpus-scale train + encode over documents: lossless, bounded, deterministic") {
+    // repartition = an upstream exchange: encode is a pure per-row map,
+    // so shuffled input must still pair every row with ITS OWN tokens
+    // (the per-row lossless check below is what would catch mispairing)
     val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+      .repartition(7)
     val merges = Bpe.train(docs, "text", vocabWords = 512, numMerges = 64)
     assert(merges.length === 64, "enough pair mass for the full merge budget")
     // training twice on the same corpus is bit-identical (deterministic

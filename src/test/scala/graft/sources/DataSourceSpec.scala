@@ -681,6 +681,18 @@ class DataSourceSpec extends AnyFunSuite {
     // the swap's journal entry lands (rebased rewrite, rm/ad recorded)
     val v = KeyedLogVersionLog.commitRewrite(dir, conf,
       removed = original.toSet, added = Seq(replacement))
+    val e = KeyedLogVersionLog.entry(dir, conf, v)
+    assert(e.rewrite && e.rm === Some(original.sorted) &&
+      e.ad === Some(Seq(replacement)),
+      s"swap entry must record rm/ad for the changes feed: $e")
+    // a rebased NO-OP (removed set no longer live) still writes PRESENT
+    // rm/ad keys, empty — the feed must read it as a row-level no-op,
+    // never as a whole-table compaction refresh
+    val vNoop = KeyedLogVersionLog.commitRewrite(dir, conf,
+      removed = Set("ghost-file.log"), added = Nil)
+    val eNoop = KeyedLogVersionLog.entry(dir, conf, vNoop)
+    assert(eNoop.rewrite && eNoop.rm === Some(Nil) && eNoop.ad === Some(Nil),
+      s"no-op rebase must keep rm/ad PRESENT and empty: $eNoop")
     // MID-COMMIT STATE 2: journal landed, originals not yet tombstoned —
     // a reader planned now sees exactly the POST-swap snapshot (the
     // still-present original is journal-dead, so no duplicates)
@@ -735,8 +747,15 @@ class DataSourceSpec extends AnyFunSuite {
     assert(new java.io.File(dir, "a.log").exists() &&
       new java.io.File(dir, "b.log").exists(),
       "originals are untouched until the journal entry lands")
-    assert(KeyedLogVersionLog.head(dir, conf).isEmpty,
-      "a failed swap must not journal")
+    // the failed swap left at most the GENESIS anchor (the pre-swap live
+    // set, seeded before the reveal so journal-less dirs never expose a
+    // reveal window to listing readers) — same rows, no swap entry
+    assert(KeyedLogVersionLog.head(dir, conf) === Some(0L),
+      "a failed swap journals only the genesis anchor")
+    assert(KeyedLogVersionLog.liveSet(dir, conf)
+      === Some(Seq("a.log", "b.log")),
+      "the genesis anchor is the pre-swap live set")
+    assert(read(dir).count() == 2L)
     // POST-JOURNAL abort keeps everything: the revealed files are live
     new java.io.File(new java.io.File(dir, "part-qx-1.log"), "x").delete()
     new java.io.File(dir, "part-qx-1.log").delete()
