@@ -162,8 +162,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def loadTable(ident: Identifier, version: String): Table = {
     val dir = tableDir(ident)
     val meta = readMeta(dir).getOrElse(throw new NoSuchTableException(ident))
+    if (meta.provider == "keyedlog") {
+      // keyedlog time travel: numeric journal versions only (tags and
+      // branches are manifest refs); the scan serves version-`v` files
+      // from visible data or the row-level swaps' `.rm-` tombstones —
+      // retention = the orphan sweep, compaction swaps fail loudly
+      val v = scala.util.Try(version.toLong).toOption.getOrElse(
+        throw new UnsupportedOperationException(
+          s"${ident.name()}: keyedlog VERSION AS OF takes a numeric " +
+            "journal version (tags/branches are manifest refs)"))
+      return new graft.sources.KeyedLogTable(meta.location.getOrElse(dir),
+        meta.bucket.map(_.n), asOf = Some(v))
+    }
     if (meta.provider != "manifest") throw new UnsupportedOperationException(
-      s"${ident.name()}: only manifest tables support VERSION AS OF")
+      s"${ident.name()}: only manifest and keyedlog tables support VERSION AS OF")
     val dataDir = meta.location.getOrElse(dir)
     scala.util.Try(version.toLong).toOption match {
       case Some(v) =>
@@ -198,6 +210,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val dir = tableDir(ident)
     val meta = readMeta(dir).getOrElse(throw new NoSuchTableException(ident))
     val dataDir = meta.location.getOrElse(dir)
+    if (meta.provider == "keyedlog") {
+      val conf = new org.apache.spark.util.SerializableConfiguration(
+        org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
+      val v = graft.sources.KeyedLogVersionLog
+        .versionAsOfTimestamp(dataDir, conf, timestampMicros / 1000L)
+        .getOrElse(throw new IllegalStateException(
+          s"${ident.name()}: no journal version committed at or before " +
+            "the requested timestamp"))
+      return new graft.sources.KeyedLogTable(dataDir, meta.bucket.map(_.n),
+        asOf = Some(v))
+    }
     if (meta.provider != "manifest") throw new UnsupportedOperationException(
       s"${ident.name()}: only manifest tables support TIMESTAMP AS OF")
     // clones resolve the timestamp in their OWN branch log (commit clocks

@@ -545,6 +545,40 @@ object AdvancedQueries extends QueryModule {
         .orderBy("lang")
     },
 
+    // --- keyedlog VERSION AS OF time travel (KeyedLogScan asOf arm):
+    //     the journal's live set at v, each name served from visible
+    //     data or — when a later row-level swap / metadata DELETE
+    //     replaced it — its `.rm-` tombstone copy (files are immutable
+    //     once visible, so the tombstone IS the pre-image; retention =
+    //     the vacuum orphan sweep). Four snapshots of one table replay
+    //     exactly: pre-second-insert, pre-UPDATE (both entirely
+    //     tombstone-backed for the later-touched keys), post-UPDATE
+    //     pre-DELETE, and the live head ---
+    "qk09_keyedlog_time_travel" -> { (s0, d) =>
+      val s = s0.newSession()
+      graft.catalog.GraftCatalog.register(s, "graft_kt",
+        graft.core.TempDirs.create("graft_kt_root_"))
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_kt.db")
+      Tables.documents(s, d).createOrReplaceTempView("qk09_documents")
+      s.sql("CREATE TABLE graft_kt.db.activity (key STRING, seq BIGINT, metric BIGINT) " +
+        "USING keyedlog PARTITIONED BY (bucket(2, key))")
+      s.sql("INSERT INTO graft_kt.db.activity " +
+        "SELECT lang, doc_id, n_chars FROM qk09_documents WHERE doc_id % 2 = 0") // v0
+      s.sql("INSERT INTO graft_kt.db.activity " +
+        "SELECT lang, doc_id, n_chars FROM qk09_documents WHERE doc_id % 2 = 1") // v1
+      s.sql("UPDATE graft_kt.db.activity SET metric = metric + 1000000 " +
+        "WHERE key = 'de'")                                                      // v2 (swap)
+      s.sql("DELETE FROM graft_kt.db.activity WHERE key = 'fr'")                 // v3 (metadata)
+      def snap(label: String, from: String) =
+        s.sql(s"SELECT '$label' AS snap, key AS lang, count(*) AS n_docs, " +
+          s"CAST(sum(metric) AS BIGINT) AS total_metric FROM $from GROUP BY key")
+      snap("v0", "graft_kt.db.activity VERSION AS OF 0")
+        .unionAll(snap("v1", "graft_kt.db.activity VERSION AS OF 1"))
+        .unionAll(snap("v2", "graft_kt.db.activity VERSION AS OF 2"))
+        .unionAll(snap("v9_live", "graft_kt.db.activity"))
+        .orderBy("snap", "lang")
+    },
+
     // --- mergeable HLL sketches (Apache DataSketches via Spark 4 built-ins):
     //     build per-(flag, shipdate) PARTIAL sketches, then union-merge to
     //     per-flag distinct estimates — the pre-aggregated sketch-table
@@ -799,6 +833,29 @@ object AdvancedQueries extends QueryModule {
          GROUP BY token
          HAVING count(*) >= ceil(0.001 * (SELECT count(*) FROM toks))
          ORDER BY cnt DESC, token""",
+
+    // each snapshot replays as plain filters/arithmetic over documents:
+    // v0 = first insert only, v1 = both inserts pre-update, v2 = de
+    // updated, live = de updated and fr dropped
+    "qk09_keyedlog_time_travel" ->
+      """SELECT snap, lang, n_docs, total_metric FROM (
+           SELECT 'v0' AS snap, lang, count(*) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS total_metric
+           FROM documents WHERE doc_id % 2 = 0 GROUP BY lang
+           UNION ALL
+           SELECT 'v1', lang, count(*), CAST(sum(n_chars) AS BIGINT)
+           FROM documents GROUP BY lang
+           UNION ALL
+           SELECT 'v2', lang, count(*),
+             CAST(sum(n_chars)
+               + CASE WHEN lang = 'de' THEN 1000000 * count(*) ELSE 0 END AS BIGINT)
+           FROM documents GROUP BY lang
+           UNION ALL
+           SELECT 'v9_live', lang, count(*),
+             CAST(sum(n_chars)
+               + CASE WHEN lang = 'de' THEN 1000000 * count(*) ELSE 0 END AS BIGINT)
+           FROM documents WHERE lang <> 'fr' GROUP BY lang
+         ) ORDER BY snap, lang""",
 
     // both engines truncate weeks to ISO Monday; day diff / 7 in integer
     "qa02_retention" ->

@@ -244,12 +244,14 @@ object KeyedLogTable {
   }
 }
 
-class KeyedLogTable(path: String, bucketN: Option[Int] = None)
+class KeyedLogTable(path: String, bucketN: Option[Int] = None,
+                    asOf: Option[Long] = None)
     extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
     with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
-  override def name(): String = s"keyed_log($path)"
+  override def name(): String =
+    s"keyed_log($path${asOf.map(v => s" asOf=v$v").getOrElse("")})"
   override def schema(): StructType = KeyedLogSource.schema
 
   /** `_klfile` — each row's source file name, the group identity the
@@ -265,8 +267,11 @@ class KeyedLogTable(path: String, bucketN: Option[Int] = None)
     * [[canDeleteWhere]] accepts. */
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
-      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    require(asOf.isEmpty,
+      s"${name()}: a VERSION AS OF read is immutable — DML targets the live table")
     () => new KeyedLogRowLevelOperation(path, bucketN, info.command)
+  }
 
   private def hadoopConf() = new org.apache.spark.util.SerializableConfiguration(
     org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
@@ -302,13 +307,15 @@ class KeyedLogTable(path: String, bucketN: Option[Int] = None)
     * delete, and the feed can serve the delete's pre-images until the
     * tombstones age out. */
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
-    keyPredicate(filters).isDefined && {
+    asOf.isEmpty && keyPredicate(filters).isDefined && {
       val c = hadoopConf()
       KeyedLogSource.readerFiles(path, c).forall(f =>
         KeyedLogSource.keyOfFile(new Path(f).getName).isDefined)
     }
 
   override def deleteWhere(filters: Array[Filter]): Unit = {
+    require(asOf.isEmpty,
+      s"${name()}: a VERSION AS OF read is immutable — DML targets the live table")
     val pred = keyPredicate(filters).getOrElse(throw new IllegalArgumentException(
       s"keyed_log($path): DELETE supports conjunctions of key predicates " +
         s"(=, IN, IS NULL, IS NOT NULL) over key-clustered files; got " +
@@ -346,9 +353,15 @@ class KeyedLogTable(path: String, bucketN: Option[Int] = None)
     }
     require(window.isDefined || !options.containsKey("end_version"),
       "keyed_log: end_version without start_version — pass both (or neither)")
-    new KeyedLogScanBuilder(Option(options.get("path")).getOrElse(path), bucketN, window)
+    require(window.isEmpty || asOf.isEmpty,
+      "keyed_log: incremental windows and VERSION AS OF are different time " +
+        "axes — pick one")
+    new KeyedLogScanBuilder(Option(options.get("path")).getOrElse(path), bucketN,
+      window, asOf)
   }
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(asOf.isEmpty,
+      s"${name()}: a VERSION AS OF read is immutable — writes target the live table")
     require(info.schema().fieldNames.sameElements(KeyedLogSource.schema.fieldNames) &&
         org.apache.spark.sql.types.DataType.equalsStructurally(
           info.schema(), KeyedLogSource.schema, ignoreNullability = true),
@@ -626,6 +639,34 @@ private[graft] object KeyedLogVersionLog {
               conf: org.apache.spark.util.SerializableConfiguration): Option[Seq[String]] = {
     val vs = versions(path, conf)
     if (vs.isEmpty) None else Some(liveAt(path, conf, vs).toSeq.sorted)
+  }
+
+  /** The live names AS OF journal version `v` — the time-travel
+    * resolution: replay entries `0..v` exactly like [[liveSet]] replays
+    * the head (rewrite / compact-`live` anchors bound the walk). None
+    * when `v` was never journaled. Whether the names still RESOLVE is
+    * the caller's (retention) problem: a replaced file serves from its
+    * `.rm-` tombstone until the orphan sweep ages it out; compaction
+    * swaps the data away entirely and fails loudly — the same windows
+    * the incremental cursors document. */
+  def liveSetAt(path: String,
+                conf: org.apache.spark.util.SerializableConfiguration,
+                v: Long): Option[Seq[String]] = {
+    val vs = versions(path, conf)
+    if (!vs.contains(v)) None
+    else Some(liveAt(path, conf, vs.filter(_ <= v)).toSeq.sorted)
+  }
+
+  /** TIMESTAMP AS OF resolution: the newest version whose journal marker
+    * mtime is at or before `ms` (the manifest contract, on the journal's
+    * clock). */
+  def versionAsOfTimestamp(path: String,
+      conf: org.apache.spark.util.SerializableConfiguration,
+      ms: Long): Option[Long] = {
+    val fs = new Path(path).getFileSystem(conf.value)
+    versions(path, conf).filter(v =>
+      fs.getFileStatus(new Path(path, name(v))).getModificationTime <= ms)
+      .lastOption
   }
 
   private def liveAt(path: String,
@@ -924,7 +965,8 @@ class KeyedLogClusteredWriter(dir: String, queryId: String, partitionId: Int,
 }
 
 class KeyedLogScanBuilder(path: String, bucketN: Option[Int] = None,
-    window: Option[(Long, Option[Long])] = None) extends ScanBuilder
+    window: Option[(Long, Option[Long])] = None,
+    asOf: Option[Long] = None) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates {
   private var required: StructType = KeyedLogSource.schema
@@ -1007,7 +1049,7 @@ class KeyedLogScanBuilder(path: String, bucketN: Option[Int] = None,
   }
 
   override def build(): Scan =
-    KeyedLogScan(path, agg.map(_.schema).getOrElse(required), pushed, agg, bucketN, window)
+    KeyedLogScan(path, agg.map(_.schema).getOrElse(required), pushed, agg, bucketN, window, asOf)
 }
 
 /** Pushed-aggregation spec shipped to the per-file readers. */
@@ -1026,7 +1068,8 @@ case class KeyedLogScan(path: String, required: StructType,
                         pushed: Array[Filter],
                         agg: Option[KeyedLogAgg] = None,
                         bucketN: Option[Int] = None,
-                        window: Option[(Long, Option[Long])] = None) extends Scan with Batch
+                        window: Option[(Long, Option[Long])] = None,
+                        asOf: Option[Long] = None) extends Scan with Batch
     with SupportsRuntimeFiltering with SupportsReportStatistics
     with SupportsReportPartitioning {
   override def readSchema(): StructType = required
@@ -1041,7 +1084,31 @@ case class KeyedLogScan(path: String, required: StructType,
   // file no longer present (compacted/vacuumed past the cursor) fails
   // LOUDLY rather than silently dropping its rows from the change feed.
   @transient private lazy val allFiles: Array[String] = window match {
-    case None => KeyedLogSource.readerFiles(path, conf)
+    case None => asOf match {
+      case None => KeyedLogSource.readerFiles(path, conf)
+      case Some(v) =>
+        // VERSION AS OF: the journal's live set at v, each name served
+        // from its visible file or — when a later swap replaced it — its
+        // `.rm-` tombstone copy (same bytes; files are immutable once
+        // visible). A name neither visible nor tombstoned is past
+        // retention (vacuumed tombstone, or a compaction swapped the
+        // data plane) and fails LOUDLY, the cursor contract.
+        val names = KeyedLogVersionLog.liveSetAt(path, conf, v).getOrElse(
+          throw new IllegalArgumentException(
+            s"keyed_log($path): version $v is not journaled — " +
+              s"journaled: ${KeyedLogVersionLog.versions(path, conf).mkString(",")}"))
+        val listed = KeyedLogSource.listDataFiles(path, conf)
+          .map(f => new Path(f).getName -> f).toMap
+        lazy val tombs = KeyedLogSource.tombstonesOf(path, conf)
+        names.map { n =>
+          listed.get(n)
+            .orElse(tombs.get(n).map(t => new Path(path, t).toString))
+            .getOrElse(throw new IllegalStateException(
+              s"keyed_log($path): file $n of version $v is gone — its " +
+                "tombstone aged out (vacuum) or a compaction replaced the " +
+                "data plane; time travel is bounded by tombstone retention"))
+        }.sorted.toArray
+    }
     case Some((from, to)) =>
       // Journal FIRST, listing SECOND: a data file becomes visible at its
       // task-commit rename BEFORE its name is journaled, so every name the
@@ -1226,8 +1293,12 @@ case class KeyedLogScan(path: String, required: StructType,
   override def createReaderFactory(): PartitionReaderFactory =
     KeyedLogReaderFactory(required, pushed ++ runtimeFilters, conf, agg)
 
-  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
+    require(asOf.isEmpty,
+      "keyed_log: streaming reads follow the live journal — VERSION AS OF " +
+        "is a batch snapshot")
     new KeyedLogMicroBatchStream(path, required, pushed, conf, checkpointLocation)
+  }
 }
 
 /** Streaming (micro-batch) SOURCE with BOUNDED offsets: the checkpointed

@@ -708,6 +708,57 @@ class DataSourceSpec extends AnyFunSuite {
     assert(read(dir).count() == 2L)
   }
 
+  test("keyedlog VERSION AS OF: tombstone-backed snapshots, retention bound, immutability") {
+    val s = spark.newSession()
+    graft.catalog.GraftCatalog.register(s, "gktt",
+      Files.createTempDirectory("graft_ktt_root_").toString)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS gktt.db")
+    s.sql("CREATE TABLE gktt.db.t (key STRING, seq BIGINT, metric BIGINT) " +
+      "USING keyedlog PARTITIONED BY (bucket(2, key))")
+    s.sql("INSERT INTO gktt.db.t VALUES ('a', 1, 10), ('b', 2, 20)")   // v0
+    s.sql("INSERT INTO gktt.db.t VALUES ('c', 3, 30)")                 // v1
+    s.sql("UPDATE gktt.db.t SET metric = 99 WHERE key = 'a'")          // v2 (swap)
+    s.sql("DELETE FROM gktt.db.t WHERE key = 'b'")                     // v3 (metadata)
+    def rows(q: String) = s.sql(q).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    // v0/v1 serve the REPLACED a-file and DROPPED b-file from tombstones
+    assert(rows("SELECT * FROM gktt.db.t VERSION AS OF 0") ==
+      Seq(("a", 1L, 10L), ("b", 2L, 20L)))
+    assert(rows("SELECT * FROM gktt.db.t VERSION AS OF 1") ==
+      Seq(("a", 1L, 10L), ("b", 2L, 20L), ("c", 3L, 30L)))
+    assert(rows("SELECT * FROM gktt.db.t VERSION AS OF 2") ==
+      Seq(("a", 1L, 99L), ("b", 2L, 20L), ("c", 3L, 30L)))
+    assert(rows("SELECT * FROM gktt.db.t") == Seq(("a", 1L, 99L), ("c", 3L, 30L)))
+    // TIMESTAMP AS OF resolves on the journal clock (head = now)
+    assert(rows("SELECT * FROM gktt.db.t TIMESTAMP AS OF " +
+      "(current_timestamp() + INTERVAL 1 HOUR)") ==
+      Seq(("a", 1L, 99L), ("c", 3L, 30L)))
+    // an AS OF snapshot table is immutable at the connector level
+    val asOfTable = new KeyedLogTable(
+      s.sql("SHOW TBLPROPERTIES gktt.db.t").collect()
+        .find(_.getString(0) == "graft.location").get.getString(1),
+      Some(2), asOf = Some(1L))
+    intercept[IllegalArgumentException] {
+      asOfTable.deleteWhere(Array[org.apache.spark.sql.sources.Filter](EqualTo("key", "a")))
+    }
+    assert(!asOfTable.canDeleteWhere(
+      Array[org.apache.spark.sql.sources.Filter](EqualTo("key", "a"))))
+    // unknown version fails loudly
+    val eV = intercept[Exception] {
+      s.sql("SELECT * FROM gktt.db.t VERSION AS OF 99").collect()
+    }
+    assert(eV.getMessage.contains("not journaled"), eV.getMessage)
+    // retention: sweep the tombstones, the old snapshots fail LOUDLY
+    // while the live head is untouched
+    s.sql("CALL gktt.system.vacuum('db.t', orphan_retain_ms => 0)")
+    val eGone = intercept[Exception] {
+      s.sql("SELECT * FROM gktt.db.t VERSION AS OF 0").collect()
+    }
+    assert(eGone.getMessage.contains("tombstone aged out") ||
+      eGone.getMessage.contains("is gone"), eGone.getMessage)
+    assert(rows("SELECT * FROM gktt.db.t") == Seq(("a", 1L, 99L), ("c", 3L, 30L)))
+  }
+
   test("row-level abort: pre-journal cleans staged+revealed; post-journal keeps the live copy") {
     import org.apache.spark.sql.connector.write.RowLevelOperation.Command
     val dir = Files.createTempDirectory("graft_klab_").toString
