@@ -179,15 +179,28 @@ private[catalog] object GraftProcedures {
       // without hand-deciding which ones need work
       val auto = !input.isNullAt(6) && input.getBoolean(6)
       val autoMinFiles = input.getInt(7)
-      require(!auto || (provider == "manifest" && bucket.isEmpty),
-        "auto applies to plain/transform-partitioned manifest tables " +
-          "(bucketed and keyedlog compaction is already per-group)")
+      require(!auto || bucket.isEmpty || provider == "keyedlog",
+        "auto applies to plain/transform-partitioned manifest tables and " +
+          "keyedlog tables (bucketed manifest compaction is already per-group)")
       require(!auto || (zorderBy.isEmpty && whereSql.isEmpty && !smallOnly &&
           requested.isEmpty),
         "auto IS the file selector and layout decision — it composes with " +
           "nothing (the declared partition clustering is kept)")
       val blooms = GraftCatalog.bloomWriteOptions(meta.bloomCols)
       val (before, after) = (provider, bucket) match {
+        case ("keyedlog", _) if auto =>
+          // keyedlog debt = files a per-key compaction would consolidate:
+          // every unclustered file + each clustered key's excess beyond
+          // one file (the signal t.partitions reports per key)
+          val conf = new org.apache.spark.util.SerializableConfiguration(
+            spark.sessionState.newHadoopConf())
+          val keys = graft.sources.KeyedLogSource.readerFiles(dir, conf).toSeq
+            .map(f => graft.sources.KeyedLogSource.keyOfFile(
+              new org.apache.hadoop.fs.Path(f).getName))
+          val debt = keys.count(_.isEmpty) +
+            keys.flatten.groupBy(identity).valuesIterator.map(_.size - 1).sum
+          if (debt < autoMinFiles) (0L, 0L)
+          else graft.core.LakeCompaction.compactKeyedLog(spark, dir)
         case _ if auto =>
           val target = input.getInt(1).toLong * 1024 * 1024
           if (ManifestTable.smallFileDebt(dir, target) < autoMinFiles) (0L, 0L)
@@ -666,14 +679,24 @@ private[catalog] object GraftProcedures {
   private final class RollbackProcedure(catalog: GraftCatalog) extends ManifestProcedure {
     override def name(): String = "rollback"
     override def description(): String =
-      "commit a new version holding an older version's manifest (RESTORE)"
+      "commit a new version restoring an older version's contents " +
+        "(manifest: re-commit its manifest; keyedlog: resurrect replaced " +
+        "files from their .rm- tombstones — bounded by tombstone retention)"
     override def parameters(): Array[ProcedureParameter] = Array(
       ProcedureParameter.in("table", StringType).build(),
       ProcedureParameter.in("version", LongType).build())
     override def call(input: InternalRow): JIterator[Scan] = {
-      val (dir, _) = manifestTarget(catalog, input.getString(0), "rollback")
       val restored = input.getLong(1)
-      val committed = ManifestTable.rollback(dir, restored)
+      val committed = target(catalog, input.getString(0)) match {
+        case ("manifest", dir, _) => ManifestTable.rollback(dir, restored)
+        case ("keyedlog", dir, _) =>
+          graft.sources.KeyedLogSource.restoreVersion(dir,
+            new org.apache.spark.util.SerializableConfiguration(
+              SparkSession.active.sessionState.newHadoopConf()), restored)
+        case (other, _, _) => throw new IllegalArgumentException(
+          s"rollback applies to manifest and keyedlog tables; " +
+            s"'${input.getString(0)}' is a $other table")
+      }
       result(
         StructType(Seq(
           StructField("restored_version", LongType, nullable = false),

@@ -164,6 +164,54 @@ object KeyedLogSource {
       }.toMap
   }
 
+  /** RESTORE (rollback) to journal version `v`: make the live set equal
+    * [[KeyedLogVersionLog.liveSetAt]]`(v)` again, committing the change
+    * as a NEW version (history is never rewritten — the manifest
+    * rollback contract). Mechanics compose the swap machinery:
+    * files to resurrect are validated against their `.rm-` tombstones
+    * FIRST (a vacuumed tombstone fails loudly before anything mutates),
+    * then revealed by rename (journal-invisible until the entry lands),
+    * then ONE rebased rm/ad rewrite entry commits (concurrent appends
+    * carry over; the changes feed serves the restore as delete
+    * pre-images + insert post-images), then the files the restore
+    * removes are tombstoned under the new version. A crash between
+    * reveal and journal leaves journal-invisible leftovers a re-run
+    * adopts (already-visible names skip their reveal). Returns the new
+    * journal version. */
+  private[graft] def restoreVersion(
+      path: String, conf: org.apache.spark.util.SerializableConfiguration,
+      v: Long): Long = {
+    val fs = new Path(path).getFileSystem(conf.value)
+    val target = KeyedLogVersionLog.liveSetAt(path, conf, v).getOrElse(
+      throw new IllegalArgumentException(
+        s"keyed_log($path): version $v is not journaled — journaled: " +
+          KeyedLogVersionLog.versions(path, conf).mkString(",")))
+    val current = KeyedLogVersionLog.liveSet(path, conf)
+      .getOrElse(Seq.empty).toSet
+    val toReveal = target.filterNot(current)
+    val toHide = (current -- target.toSet).toSeq.sorted
+    // validate EVERY resurrection source before any mutation
+    val tombs = tombstonesOf(path, conf)
+    val sources = toReveal.map { n =>
+      if (fs.exists(new Path(path, n))) n -> None // leftover from a prior crash
+      else n -> Some(tombs.getOrElse(n, throw new IllegalStateException(
+        s"keyed_log($path): cannot restore version $v — $n's tombstone " +
+          "aged out (vacuum) or a compaction replaced the data plane; " +
+          "restores are bounded by tombstone retention")))
+    }
+    sources.foreach {
+      case (n, Some(t)) =>
+        if (!fs.rename(new Path(path, t), new Path(path, n)))
+          throw new java.io.IOException(
+            s"keyed_log($path): restore could not reveal $t as $n")
+      case _ => ()
+    }
+    val nv = KeyedLogVersionLog.commitRewrite(path, conf,
+      removed = toHide.toSet, added = toReveal)
+    hideReplaced(path, conf, nv, toHide)
+    nv
+  }
+
   /** Maintenance sweep of this dir's hidden residue — `.tmp-` task temps
     * and `.rl-` staged files from crashed/aborted writes, and `.rm-`
     * pre-image tombstones past their feed-serving retention — older than

@@ -268,11 +268,60 @@ class CatalogProcedureSpec extends AnyFunSuite {
     }
     assert(eKeep.getMessage.contains("does not apply to keyedlog"))
     assert(spark.sql("SELECT count(*) FROM gp.db.kcp").head().getLong(0) === 120L)
-    // rollback stays manifest-only, with a clear error
+    // purge_deletes stays manifest-only, with a clear error
     val e = intercept[Exception] {
-      spark.sql("CALL gp.system.rollback('db.kcp', 0)").collect()
+      spark.sql("CALL gp.system.purge_deletes('db.kcp')").collect()
     }
     assert(e.getMessage.contains("manifest tables only"))
+    // AUTO on keyedlog: the per-key debt signal gates the full per-key
+    // rewrite — freshly compacted (one file per key, zero debt) no-ops...
+    val noop = spark.sql("CALL gp.system.compact('db.kcp', auto => true)").head()
+    assert(noop.getLong(0) === 0L && noop.getLong(1) === 0L)
+    // ...four fragmented appends push the debt to the threshold and the
+    // auto pass consolidates back to one file per key
+    (1 to 4).foreach { i =>
+      spark.sql(s"INSERT INTO gp.db.kcp SELECT concat('k', id % 4), id + ${i * 10000}, id FROM range(8)")
+    }
+    val acted = spark.sql("CALL gp.system.compact('db.kcp', auto => true)").head()
+    assert(acted.getLong(1) === 4L, s"auto must consolidate to one file per key: $acted")
+    assert(spark.sql("SELECT count(*) FROM gp.db.kcp").head().getLong(0) === 152L)
+    val again = spark.sql("CALL gp.system.compact('db.kcp', auto => true)").head()
+    assert(again.getLong(0) === 0L && again.getLong(1) === 0L,
+      "auto must no-op once per-key debt is collected")
+  }
+
+  test("CALL rollback on keyedlog restores an old version from tombstones") {
+    ensureDb()
+    spark.sql("CREATE TABLE gp.db.krb (key STRING, seq BIGINT, metric BIGINT) " +
+      "USING keyedlog PARTITIONED BY (bucket(2, key))")
+    spark.sql("INSERT INTO gp.db.krb VALUES ('a', 1, 10), ('b', 2, 20)")  // v0
+    spark.sql("UPDATE gp.db.krb SET metric = 99 WHERE key = 'a'")         // v1 (swap)
+    spark.sql("DELETE FROM gp.db.krb WHERE key = 'b'")                    // v2 (metadata)
+    def rows() = spark.sql("SELECT key, seq, metric FROM gp.db.krb ORDER BY seq")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(rows() == Seq(("a", 1L, 99L)))
+    // restore v0: the replaced a-file and dropped b-file resurrect from
+    // their tombstones; history is never rewritten (a NEW version lands)
+    val r = spark.sql("CALL gp.system.rollback('db.krb', 0)").head()
+    assert(r.getLong(0) === 0L && r.getLong(1) === 3L)
+    assert(rows() == Seq(("a", 1L, 10L), ("b", 2L, 20L)))
+    // the pre-restore state is itself still time-travelable
+    assert(spark.sql("SELECT metric FROM gp.db.krb VERSION AS OF 1 WHERE key='a'")
+      .head().getLong(0) === 99L)
+    // unknown version is loud; nothing mutates
+    val eV = intercept[Exception] {
+      spark.sql("CALL gp.system.rollback('db.krb', 77)").collect()
+    }
+    assert(eV.getMessage.contains("not journaled"))
+    assert(rows() == Seq(("a", 1L, 10L), ("b", 2L, 20L)))
+    // past retention: sweep the tombstones, restore to the swapped
+    // version refuses loudly BEFORE mutating anything
+    spark.sql("CALL gp.system.vacuum('db.krb', orphan_retain_ms => 0)")
+    val eGone = intercept[Exception] {
+      spark.sql("CALL gp.system.rollback('db.krb', 1)").collect()
+    }
+    assert(eGone.getMessage.contains("tombstone aged out"), eGone.getMessage)
+    assert(rows() == Seq(("a", 1L, 10L), ("b", 2L, 20L)))
   }
 
   test("t.detail summarizes provider, snapshot, and bucket spec") {
