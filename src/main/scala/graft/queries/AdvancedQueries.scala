@@ -86,6 +86,23 @@ object AdvancedQueries extends QueryModule {
         .orderBy("p_partkey", "metric")
     },
 
+    // --- PIVOT (long -> wide, the unpivot inverse): explicit value list,
+    //     so the output schema is static and the plan is ONE partial-agg
+    //     pass (RelationalGroupedDataset.pivot lowers to conditional
+    //     aggregates — no per-value scans, no transpose shuffle beyond
+    //     the group-by's own exchange) ---
+    "q62_pivot" -> { (s, d) =>
+      Tables.documents(s, d)
+        .groupBy("source")
+        .pivot("lang", Seq("en", "de", "fr"))
+        .agg(count(lit(1)))
+        .select(col("source"),
+          coalesce(col("en"), lit(0L)).as("en_docs"),
+          coalesce(col("de"), lit(0L)).as("de_docs"),
+          coalesce(col("fr"), lit(0L)).as("fr_docs"))
+        .orderBy("source")
+    },
+
     // --- bucketed-table co-located join: both facts bucketed+sorted by the
     //     join key at write time; the merge join then needs no exchange
     //     (plan asserted in BucketingSpec) ---
@@ -579,6 +596,37 @@ object AdvancedQueries extends QueryModule {
         .orderBy("snap", "lang")
     },
 
+    // --- keyedlog RESTORE (CALL rollback keyedlog arm): the live set is
+    //     made equal to an old version's again as a NEW journal version,
+    //     resurrecting replaced/dropped files from their .rm- tombstones.
+    //     The gate restores across BOTH swap kinds (row-level UPDATE and
+    //     metadata DELETE), proves the restored content bit-exact, and
+    //     shows the pre-restore state stays time-travelable (history is
+    //     never rewritten) ---
+    "qk10_keyedlog_restore" -> { (s0, d) =>
+      val s = s0.newSession()
+      graft.catalog.GraftCatalog.register(s, "graft_kr",
+        graft.core.TempDirs.create("graft_kr_root_"))
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_kr.db")
+      Tables.documents(s, d).createOrReplaceTempView("qk10_documents")
+      s.sql("CREATE TABLE graft_kr.db.activity (key STRING, seq BIGINT, metric BIGINT) " +
+        "USING keyedlog PARTITIONED BY (bucket(2, key))")
+      s.sql("INSERT INTO graft_kr.db.activity " +
+        "SELECT lang, doc_id, n_chars FROM qk10_documents")                      // v0
+      s.sql("UPDATE graft_kr.db.activity SET metric = metric + 1000000 " +
+        "WHERE key = 'de'")                                                      // v1 (swap)
+      s.sql("DELETE FROM graft_kr.db.activity WHERE key = 'fr'")                 // v2 (metadata)
+      s.sql("CALL graft_kr.system.rollback('db.activity', 0)")                   // v3 = restore
+      def snap(label: String, from: String) =
+        s.sql(s"SELECT '$label' AS snap, key AS lang, count(*) AS n_docs, " +
+          s"CAST(sum(metric) AS BIGINT) AS total_metric FROM $from GROUP BY key")
+      // restored head = the v0 image; the damaged (v2) state remains
+      // readable AS OF — a restore adds history, never rewrites it
+      snap("restored", "graft_kr.db.activity")
+        .unionAll(snap("pre_restore", "graft_kr.db.activity VERSION AS OF 2"))
+        .orderBy("snap", "lang")
+    },
+
     // --- mergeable HLL sketches (Apache DataSketches via Spark 4 built-ins):
     //     build per-(flag, shipdate) PARTIAL sketches, then union-merge to
     //     per-flag distinct estimates — the pre-aggregated sketch-table
@@ -857,6 +905,20 @@ object AdvancedQueries extends QueryModule {
            FROM documents WHERE lang <> 'fr' GROUP BY lang
          ) ORDER BY snap, lang""",
 
+    // restored head = the original insert; the pre-restore snapshot is
+    // the updated-de / dropped-fr state
+    "qk10_keyedlog_restore" ->
+      """SELECT snap, lang, n_docs, total_metric FROM (
+           SELECT 'restored' AS snap, lang, count(*) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS total_metric
+           FROM documents GROUP BY lang
+           UNION ALL
+           SELECT 'pre_restore', lang, count(*),
+             CAST(sum(n_chars)
+               + CASE WHEN lang = 'de' THEN 1000000 * count(*) ELSE 0 END AS BIGINT)
+           FROM documents WHERE lang <> 'fr' GROUP BY lang
+         ) ORDER BY snap, lang""",
+
     // both engines truncate weeks to ISO Monday; day diff / 7 in integer
     "qa02_retention" ->
       """WITH weekly AS (SELECT DISTINCT user_id,
@@ -907,6 +969,14 @@ object AdvancedQueries extends QueryModule {
          SELECT p_partkey, 'retailprice', round(p_retailprice, 2)
          FROM part WHERE p_partkey <= 200
          ORDER BY p_partkey, metric""",
+
+    // pivot with an explicit value list = conditional aggregation
+    "q62_pivot" ->
+      """SELECT source,
+           CAST(count(*) FILTER (WHERE lang = 'en') AS BIGINT) AS en_docs,
+           CAST(count(*) FILTER (WHERE lang = 'de') AS BIGINT) AS de_docs,
+           CAST(count(*) FILTER (WHERE lang = 'fr') AS BIGINT) AS fr_docs
+         FROM documents GROUP BY source ORDER BY source""",
 
     "q44_bucketed_join" ->
       """SELECT o_orderpriority, count(*) AS n_lines,
