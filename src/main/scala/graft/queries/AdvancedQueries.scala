@@ -726,6 +726,39 @@ object AdvancedQueries extends QueryModule {
         .orderBy("cohort_week", "week_n")
     },
 
+    // --- link-graph rank scoring (PageRank-shaped document importance —
+    //     the quality/weighting signal web-scale training pipelines
+    //     derive from a link graph): a deterministic 3-out-regular graph
+    //     over documents, damping 0.85, THREE power iterations in EXACT
+    //     integer micro-rank arithmetic (contribution = rank DIV
+    //     outdegree per edge, new rank = 150000 + (850·Σ) DIV 1000 —
+    //     integer division per edge then sum, associative, so the fold
+    //     order can't drift between engines). Scale shape = the CC
+    //     pattern: per iteration one equi-join rank⋈edges + one keyed
+    //     aggregation, edges derived by expression (never materialized),
+    //     top-k = TakeOrderedAndProject ---
+    "qa03_link_rank" -> { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      val n = docs.count()
+      val edges = docs.select(col("doc_id").as("src"),
+        explode(array(
+          (col("doc_id") * 7 + 1) % n,
+          (col("doc_id") * 13 + 3) % n,
+          (col("doc_id") * 29 + 7) % n)).as("dst"))
+      var rank = docs.select(col("doc_id").as("v"), lit(1000000L).as("r"))
+      (1 to 3).foreach { _ =>
+        val contrib = edges.join(rank, col("src") === col("v"))
+          .groupBy(col("dst").as("v2"))
+          .agg(sum(expr("r div 3")).as("s"))
+        rank = docs.select(col("doc_id").as("v"))
+          .join(contrib, col("v") === col("v2"), "left")
+          .select(col("v"),
+            (lit(150000L) + expr("(850 * coalesce(s, 0L)) div 1000")).as("r"))
+      }
+      rank.select(col("v").as("doc_id"), col("r").as("rank_micro"))
+        .orderBy(col("rank_micro").desc, col("doc_id")).limit(20)
+    },
+
     // --- theta sketches: approximate DISTINCT SET OPERATIONS (union /
     //     intersection across segments — the audience-overlap pattern; HLL
     //     can only union). lgNomEntries=16 ON BOTH the per-group sketches
@@ -918,6 +951,28 @@ object AdvancedQueries extends QueryModule {
                + CASE WHEN lang = 'de' THEN 1000000 * count(*) ELSE 0 END AS BIGINT)
            FROM documents WHERE lang <> 'fr' GROUP BY lang
          ) ORDER BY snap, lang""",
+
+    // exact integer micro-rank replay: per-edge integer division then
+    // sum (associative), so three unrolled iterations match bit-exactly
+    "qa03_link_rank" ->
+      """WITH nn AS (SELECT count(*) AS n FROM documents),
+         e AS (SELECT doc_id AS src,
+                 unnest([(doc_id * 7 + 1) % nn.n,
+                         (doc_id * 13 + 3) % nn.n,
+                         (doc_id * 29 + 7) % nn.n]) AS dst
+               FROM documents, nn),
+         r0 AS (SELECT doc_id AS v, CAST(1000000 AS BIGINT) AS r FROM documents),
+         s1 AS (SELECT dst AS v, sum(r // 3) AS s FROM e JOIN r0 ON e.src = r0.v GROUP BY dst),
+         r1 AS (SELECT d.doc_id AS v, 150000 + (850 * coalesce(s.s, 0)) // 1000 AS r
+                FROM documents d LEFT JOIN s1 s ON d.doc_id = s.v),
+         s2 AS (SELECT dst AS v, sum(r // 3) AS s FROM e JOIN r1 ON e.src = r1.v GROUP BY dst),
+         r2 AS (SELECT d.doc_id AS v, 150000 + (850 * coalesce(s.s, 0)) // 1000 AS r
+                FROM documents d LEFT JOIN s2 s ON d.doc_id = s.v),
+         s3 AS (SELECT dst AS v, sum(r // 3) AS s FROM e JOIN r2 ON e.src = r2.v GROUP BY dst),
+         r3 AS (SELECT d.doc_id AS v, 150000 + (850 * coalesce(s.s, 0)) // 1000 AS r
+                FROM documents d LEFT JOIN s3 s ON d.doc_id = s.v)
+         SELECT v AS doc_id, CAST(r AS BIGINT) AS rank_micro
+         FROM r3 ORDER BY rank_micro DESC, doc_id LIMIT 20""",
 
     // both engines truncate weeks to ISO Monday; day diff / 7 in integer
     "qa02_retention" ->
