@@ -726,6 +726,32 @@ object AdvancedQueries extends QueryModule {
         .orderBy("cohort_week", "week_n")
     },
 
+    // --- time-series RESAMPLE onto a continuous day spine + LOCF fill
+    //     (the densify/gap-fill pass a metrics or feature pipeline runs
+    //     before windowed training): per-user day spine derived by
+    //     sequence() from the user's own [min, max] span (one keyed agg —
+    //     never a global calendar cross join), left-joined back to the
+    //     daily aggregate, gaps carried forward by last(ignoreNulls).
+    //     Spine size ∝ Σ user spans, the join stays co-partitioned on
+    //     user_id ---
+    "qa04_resample_locf" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, d).filter(col("user_id") < 20)
+      val daily = ev
+        .groupBy(col("user_id"), date_trunc("day", col("ts")).cast("date").as("day"))
+        .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("day_value"))
+      val span = daily.groupBy("user_id").agg(min("day").as("lo"), max("day").as("hi"))
+      val spine = span.select(col("user_id"),
+        explode(sequence(col("lo"), col("hi"))).as("day"))
+      spine.join(daily, Seq("user_id", "day"), "left")
+        .select(col("user_id"), col("day"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"),
+          last(col("day_value"), ignoreNulls = true)
+            .over(Window.partitionBy("user_id").orderBy("day"))
+            .as("filled_value"))
+        .orderBy("user_id", "day")
+    },
+
     // --- link-graph rank scoring (PageRank-shaped document importance —
     //     the quality/weighting signal web-scale training pipelines
     //     derive from a link graph): a deterministic 3-out-regular graph
@@ -951,6 +977,30 @@ object AdvancedQueries extends QueryModule {
                + CASE WHEN lang = 'de' THEN 1000000 * count(*) ELSE 0 END AS BIGINT)
            FROM documents WHERE lang <> 'fr' GROUP BY lang
          ) ORDER BY snap, lang""",
+
+    // per-user day spine via generate_series; LOCF = last_value IGNORE
+    // NULLS over the spine (day is unique per user, so the default RANGE
+    // frame equals ROWS)
+    "qa04_resample_locf" ->
+      """WITH ev AS (SELECT user_id,
+             CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day, value
+           FROM events WHERE user_id < 20),
+         daily AS (SELECT user_id, day, count(*) AS n_events,
+             round(sum(value), 2) AS day_value
+           FROM ev GROUP BY user_id, day),
+         span AS (SELECT user_id, min(day) AS lo, max(day) AS hi
+                  FROM daily GROUP BY user_id),
+         spine AS (SELECT user_id,
+             CAST(unnest(generate_series(CAST(lo AS TIMESTAMP),
+               CAST(hi AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+           FROM span)
+         SELECT s.user_id, s.day,
+           CAST(coalesce(d.n_events, 0) AS BIGINT) AS n_events,
+           last_value(d.day_value IGNORE NULLS)
+             OVER (PARTITION BY s.user_id ORDER BY s.day) AS filled_value
+         FROM spine s LEFT JOIN daily d
+           ON s.user_id = d.user_id AND s.day = d.day
+         ORDER BY s.user_id, s.day""",
 
     // exact integer micro-rank replay: per-edge integer division then
     // sum (associative), so three unrolled iterations match bit-exactly
