@@ -249,23 +249,60 @@ object Similarity {
     * state per group with map-side partial aggregation. Ordering semantics
     * are identical everywhere (score desc, id asc; see TopKByScore), so the
     * output matches the window formulation bit-for-bit. */
+  /** Query → its `nprobe` nearest centroids, one output row per
+    * (query, probed cluster); `carry` threads extra query columns
+    * through the probe fold (via first()) — ONE definition shared by
+    * the plain and the filtered IVF search. */
+  private def probeClusters(queries: DataFrame, cents: DataFrame, nprobe: Int,
+                            carry: Seq[String] = Nil): DataFrame = {
+    val topProbe = udaf(new TopKByScore(nprobe), ExpressionEncoderHelp.scored)
+    val aggs = first(col("q_vec")).as("q_vec") +: carry.map(c => first(col(c)).as(c))
+    queries.crossJoin(broadcast(cents))
+      .withColumn("q_cos", cosineSimilarity(col("q_vec"), col("centroid")))
+      .groupBy(col("q_id"))
+      .agg(topProbe(col("cluster").cast("long"), col("q_cos")).as("top"),
+        aggs: _*)
+      .select((col("q_id") +: col("q_vec") +: carry.map(col)) :+
+        explode(col("top").getField("id")).as("cluster"): _*)
+  }
+
   def ivfTopK(queries: DataFrame, corpus: DataFrame, cents: DataFrame,
               k: Int, nprobe: Int): DataFrame = {
-    val topProbe = udaf(new TopKByScore(nprobe), ExpressionEncoderHelp.scored)
     // corpus -> nearest centroid: broadcast-array argmax, map-only over the
     // corpus (zero corpus Exchange; the index build's only shuffle is the
     // probe join itself)
     val assigned = assignNearest(corpus, "id", "vec", cents)
-    // query -> nprobe nearest centroids
-    val probes = queries.crossJoin(broadcast(cents))
-      .withColumn("q_cos", cosineSimilarity(col("q_vec"), col("centroid")))
-      .groupBy(col("q_id"))
-      .agg(topProbe(col("cluster").cast("long"), col("q_cos")).as("top"),
-        first(col("q_vec")).as("q_vec"))
-      .select(col("q_id"), col("q_vec"), explode(col("top").getField("id")).as("cluster"))
     // exact search within probed clusters only
     rankTopK(
-      assigned.join(broadcast(probes), Seq("cluster"))
+      assigned.join(broadcast(probeClusters(queries, cents, nprobe)), Seq("cluster"))
+        .withColumn("cosine", round(cosineSimilarity(col("q_vec"), col("vec")), 6)),
+      k, col("cosine"), "cosine")
+  }
+
+  /** FILTERED (hybrid) ANN: exact top-k among the probed clusters' rows
+    * that SATISFY a metadata predicate — tenant-/language-scoped vector
+    * search over ONE shared index. The assignment carries the corpus
+    * metadata columns and the probe fold carries the query's, so `keep`
+    * (any boolean Column over both sides) prunes candidate rows AFTER
+    * the probe join and BEFORE the bounded heap: differently-filtered
+    * query batches reuse the same index build — the pre-filter
+    * alternative re-assigns the corpus once per predicate, a full
+    * corpus pass each time. Recall contract matches [[ivfTopK]]:
+    * candidates outside the probed clusters are not seen (and a filter
+    * can empty a probed cluster — fewer than k results is the honest
+    * answer, exactly what the brute-force-filtered oracle returns for
+    * the same probes). */
+  def ivfTopKFiltered(queries: DataFrame, corpus: DataFrame, cents: DataFrame,
+                      k: Int, nprobe: Int, corpusMeta: Seq[String],
+                      queryMeta: Seq[String], keep: Column): DataFrame = {
+    val assigned = corpus.crossJoin(broadcast(centroidArray(cents)))
+      .select((Seq(col("id"), col("vec")) ++ corpusMeta.map(col)) :+
+        nearestCluster(col("vec"), col("_cents")).as("cluster"): _*)
+    rankTopK(
+      assigned
+        .join(broadcast(probeClusters(queries, cents, nprobe, queryMeta)),
+          Seq("cluster"))
+        .where(keep)
         .withColumn("cosine", round(cosineSimilarity(col("q_vec"), col("vec")), 6)),
       k, col("cosine"), "cosine")
   }

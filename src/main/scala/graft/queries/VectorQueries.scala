@@ -63,6 +63,27 @@ object VectorQueries extends QueryModule {
         .orderBy("q_id", "rank")
     },
 
+    // --- FILTERED (hybrid) ANN (Similarity.ivfTopKFiltered): tenant-/
+    //     label-scoped vector search over the SAME shared IVF index —
+    //     the assignment carries the corpus metadata, the probe fold
+    //     carries the query's, and the predicate (candidate label =
+    //     query label) prunes AFTER the probe join, BEFORE the bounded
+    //     heap; differently-filtered batches never rebuild the index ---
+    "qv11_filtered_ann" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val cents = Similarity.centroids(
+        emb.select(col("label"), col("embedding")), "label", "embedding", dim)
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+          col("label").as("q_label"))
+      val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"),
+        col("label"))
+      Similarity.ivfTopKFiltered(queries, corpus, cents, k = 5, nprobe = nprobe,
+          corpusMeta = Seq("label"), queryMeta = Seq("q_label"),
+          keep = col("label") === col("q_label"))
+        .orderBy("q_id", "rank")
+    },
+
     // --- sign-LSH bucketed ANN: 8 seeded pseudo-Gaussian hyperplanes ->
     //     256 buckets (data-independent cuts, replayed by the oracle from
     //     the same integer-LCG formula); probe = equi-join on bucket,
@@ -308,6 +329,38 @@ object VectorQueries extends QueryModule {
               row_number() OVER (PARTITION BY p.q_id
                 ORDER BY round(list_cosine_similarity(p.qv, a.v), 6) DESC, a.id) AS rank
             FROM probes p JOIN assigned a ON p.cluster = a.cluster)
+          WHERE rank <= 5 ORDER BY q_id, rank""",
+
+    // qv02's probe composition + the label equality on candidates —
+    // same recall contract, filter applied inside the probed clusters
+    "qv11_filtered_ann" ->
+      s"""WITH $centroidCte,
+          assigned AS (
+            SELECT id, v, label, cluster FROM (
+              SELECT c.vec_id AS id, CAST(c.embedding AS DOUBLE[]) AS v,
+                c.label, ct.cluster,
+                row_number() OVER (PARTITION BY c.vec_id
+                  ORDER BY list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), ct.centroid) DESC,
+                           ct.cluster) AS rn
+              FROM embeddings c CROSS JOIN cent ct)
+            WHERE rn = 1),
+          probes AS (
+            SELECT q_id, qv, q_label, cluster FROM (
+              SELECT q.vec_id AS q_id, CAST(q.embedding AS DOUBLE[]) AS qv,
+                q.label AS q_label, ct.cluster,
+                row_number() OVER (PARTITION BY q.vec_id
+                  ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), ct.centroid) DESC,
+                           ct.cluster) AS rn
+              FROM embeddings q CROSS JOIN cent ct
+              WHERE q.vec_id < 5)
+            WHERE rn <= $nprobe)
+          SELECT q_id, CAST(rank AS INTEGER) AS rank, id, cosine FROM (
+            SELECT p.q_id, a.id,
+              round(list_cosine_similarity(p.qv, a.v), 6) AS cosine,
+              row_number() OVER (PARTITION BY p.q_id
+                ORDER BY round(list_cosine_similarity(p.qv, a.v), 6) DESC, a.id) AS rank
+            FROM probes p JOIN assigned a ON p.cluster = a.cluster
+            WHERE a.label = p.q_label)
           WHERE rank <= 5 ORDER BY q_id, rank""",
 
     "qv04_lsh_ann" ->
