@@ -116,6 +116,27 @@ object TextQueries extends QueryModule {
       (mergeRows ++ encRows).toDF("kind", "k", "v").orderBy("kind", "k")
     },
 
+    // --- Unicode accent folding + casefold (native codegen expression
+    //     graft.functions.AccentFold — NFD, strip Mn marks, NFC, root-locale
+    //     lowercase): the normalization pass multilingual dedup runs before
+    //     shingling so "Café"/"cafe" collide. Crafted accented rows exercise
+    //     the Unicode path against hand-derived expectations; real document
+    //     rows exercise the all-ASCII fast path (where fold == lower) ---
+    "qt18_accent_fold" -> { (s, d) =>
+      import s.implicits._
+      val crafted = Seq(
+        1L -> "Café au Lait",
+        2L -> "Zürich RÉSUMÉ naïve",
+        3L -> "El Niño — São Paulo",
+        4L -> "ŒUVRE straße",
+        5L -> "Ångström Å").toDF("id", "text")
+        .select(col("id"), graft.functions.TextNorm.foldAccents(col("text")).as("folded"))
+      val docs = Tables.documents(s, d).filter(col("doc_id") < 5)
+        .select((col("doc_id") + 100).as("id"),
+          graft.functions.TextNorm.foldAccents(col("text")).as("folded"))
+      crafted.unionAll(docs).orderBy("id")
+    },
+
     // --- document fingerprinting: md5 / sha256 / winnowing-min ---
     "qt05_fingerprints" -> { (s, d) =>
       Tables.documents(s, d)
@@ -953,6 +974,22 @@ object TextQueries extends QueryModule {
     // the crafted corpus's merges and encodings are hand-derived (count
     // desc, pair-lexicographic tie-break; lowest-rank-first encode), so
     // the oracle IS the expected table
+    // crafted rows replay hand-derived folds; ASCII document rows reduce
+    // to lower() (no decomposable characters — verified on the dataset)
+    "qt18_accent_fold" ->
+      """SELECT id, folded FROM (
+           SELECT CAST(id AS BIGINT) AS id, folded FROM (VALUES
+             (1, 'cafe au lait'),
+             (2, 'zurich resume naive'),
+             (3, 'el nino — sao paulo'),
+             (4, 'œuvre straße'),
+             (5, 'angstrom a')
+           ) AS t(id, folded)
+           UNION ALL
+           SELECT doc_id + 100 AS id, lower(text) AS folded
+           FROM documents WHERE doc_id < 5
+         ) ORDER BY id""",
+
     "qt17_bpe_learned" ->
       """SELECT kind, k, v FROM (VALUES
            ('merge','00','e s'), ('merge','01','es t'), ('merge','02','l o'),
