@@ -3,7 +3,7 @@ package graft.catalog
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.connector.catalog.{MetadataColumn, SupportsDelete, SupportsMetadataColumns, SupportsRead, SupportsRowLevelOperations, SupportsWrite, Table, TableCapability}
 import org.apache.spark.sql.connector.read.ScanBuilder
-import org.apache.spark.sql.connector.write.{LogicalWriteInfo, RowLevelOperationBuilder, RowLevelOperationInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, RowLevelOperationBuilder, RowLevelOperationInfo, SupportsOverwrite, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
 import org.apache.spark.sql.functions.{coalesce, col, lit, not}
@@ -119,6 +119,9 @@ class ManifestSparkTable(dir: String, declared: StructType,
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
+      // REPLACE WHERE (OverwriteByExpression with a non-trivial filter):
+      // one atomic version swaps the predicate's rows for the new batch
+      TableCapability.OVERWRITE_BY_FILTER,
       TableCapability.STREAMING_WRITE,
       // `MERGE ... WITH SCHEMA EVOLUTION`: the analyzer diffs source vs
       // target and routes new columns through catalog.alterTable
@@ -268,19 +271,37 @@ class ManifestSparkTable(dir: String, declared: StructType,
       ManifestTable.commitStagedSnapshot(logDir, Seq.empty, dataDir = Some(dir))
       return
     }
-    val spark = SparkSession.active
     val cond = filters.map(f => ManifestSparkTable.filterToColumn(f).getOrElse(
       throw new IllegalStateException(s"canDeleteWhere admitted untranslatable $f")))
       .reduce(_ && _)
+    stageRewriteMatching(snap, filters, cond) match {
+      case None => ()
+      case Some((affected, added, dvs)) =>
+        branch.foreach(ManifestTable.requireBranchIntact(dir, _))
+        ManifestTable.commitRewrite(logDir, removed = affected, added = added,
+          expectedDvs = Some(dvs), dataDir = Some(dir), ndvCols = ndvCols)
+        ()
+    }
+  }
+
+  /** Shared by conditioned DELETE and REPLACE WHERE: the files holding rows
+    * matching `cond` (stats-skipped discovery scan) plus STAGED survivor
+    * rewrites of exactly those files with the cond=TRUE rows dropped
+    * (pending deletion vectors applied first — a vector-blind read would
+    * resurrect merge-on-read-deleted rows). None when no file matches. */
+  private def stageRewriteMatching(snap: Seq[String], filters: Array[Filter],
+      cond: org.apache.spark.sql.Column)
+      : Option[(Seq[String], Seq[String], Map[String, graft.core.DeletionVectors.DvRef])] = {
+    val spark = SparkSession.active
     // data skipping on the affected-file DISCOVERY scan too: a file whose
-    // log stats prove the DELETE condition can never be TRUE holds no
-    // affected rows, so it needn't even be read to find them
+    // log stats prove the condition can never be TRUE holds no affected
+    // rows, so it needn't even be read to find them
     val (_, stats, dvs) = snapshotState
     val candidates = snap.filter { p =>
       stats.get(p).forall(s =>
         filters.forall(graft.core.FileStats.mayMatchFilter(_, s, declared)))
     }
-    if (candidates.isEmpty) return
+    if (candidates.isEmpty) return None
     // read with the DECLARED schema (not inferred): on a mapped table the
     // files' physical column names may predate renames — id resolution
     // serves them under the current logical names the condition uses
@@ -289,13 +310,11 @@ class ManifestSparkTable(dir: String, declared: StructType,
       .filter(cond).select(col("_metadata.file_path")).distinct()
       .collect().map(r => ManifestRowLevelOperation.relNameIn(dir)(r.getString(0)))
       .toSeq.sorted
-    if (affected.isEmpty) return
-    // pending deletion vectors must be applied to the survivor rewrite —
-    // a vector-blind read would resurrect merge-on-read-deleted rows
+    if (affected.isEmpty) return None
     val survivors = ManifestTable.applyDvs(spark, dir,
       spark.read.schema(declared).parquet(affected.map(f => s"$dir/$f"): _*),
       dvs.view.filterKeys(affected.toSet).toMap)
-      .filter(not(coalesce(cond, lit(false)))) // DELETE drops only cond=TRUE rows
+      .filter(not(coalesce(cond, lit(false)))) // drop only cond=TRUE rows
     val added = bucketing match {
       // a bucketed table's rewrite re-buckets the survivors, so DML never
       // demotes the table out of storage-partitioned scanning; a
@@ -307,18 +326,37 @@ class ManifestSparkTable(dir: String, declared: StructType,
           bloomOptions)
       case None => ManifestTable.stagePool(survivors, dir, bloomOptions)
     }
-    branch.foreach(ManifestTable.requireBranchIntact(dir, _))
-    ManifestTable.commitRewrite(logDir, removed = affected, added = added,
-      expectedDvs = Some(dvs), dataDir = Some(dir), ndvCols = ndvCols)
-    ()
+    Some((affected, added, dvs))
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(asOf.isEmpty, s"cannot write to the time-travel view ${name()}")
     requireWapResolved("write")
-    new WriteBuilder with SupportsTruncate {
+    new WriteBuilder with SupportsTruncate with SupportsOverwrite {
       private var overwrite = false
+      private var replaceFilters: Option[Array[Filter]] = None
       override def truncate(): WriteBuilder = { overwrite = true; this }
+      /** REPLACE WHERE (`df.writeTo(t).overwrite(cond)` /
+        * OverwriteByExpression): atomically swap the predicate's rows for
+        * the incoming batch — ONE commit removes the files holding
+        * matching rows (survivor rows rewritten, deletion vectors
+        * applied) and adds the new data's files. Incoming rows must
+        * themselves satisfy the predicate (Delta's replaceWhere
+        * constraint) — a violating row fails the write before any
+        * version commits. */
+      override def canOverwrite(filters: Array[Filter]): Boolean =
+        filters.forall(f => f == sources.AlwaysTrue ||
+          (ManifestSparkTable.filterToColumn(f).isDefined &&
+            ManifestSparkTable.filterToSql(f).isDefined))
+      override def overwrite(filters: Array[Filter]): WriteBuilder = {
+        if (filters.forall(_ == sources.AlwaysTrue)) overwrite = true
+        else replaceFilters = Some(filters.map(f => {
+          require(ManifestSparkTable.filterToColumn(f).isDefined,
+            s"REPLACE WHERE predicate not translatable to a source filter: $f")
+          f
+        }))
+        this
+      }
       override def build(): Write = new V1Write {
         override def toInsertableRelation: InsertableRelation =
           new InsertableRelation {
@@ -326,8 +364,23 @@ class ManifestSparkTable(dir: String, declared: StructType,
               branch.foreach(ManifestTable.requireBranchIntact(dir, _))
               // CHECK constraints ride the write itself (lazy raise_error
               // branches on the first column — zero extra passes); a
-              // violation fails the job before any version commits
-              val checked = Constraints.guard(data, checks)
+              // violation fails the job before any version commits —
+              // REPLACE WHERE additionally constrains incoming rows to
+              // the replaced region (out-of-region rows would silently
+              // survive the next same-predicate replace)
+              val replaceCond = replaceFilters.map(_.map(f =>
+                ManifestSparkTable.filterToColumn(f).get).reduce(_ && _))
+              // NULL predicate results count as violations (an unmatched
+              // row would silently survive the next same-predicate
+              // replace), hence the coalesce(_, false)
+              val replaceCheck = replaceFilters.map(fs =>
+                Constraints.Check("replace_where",
+                  "coalesce(" + fs.map(f =>
+                    ManifestSparkTable.filterToSql(f).getOrElse(
+                      throw new IllegalStateException(
+                        s"canOverwrite admitted unrenderable $f")))
+                    .mkString("(", " AND ", ")") + ", false)"))
+              val checked = Constraints.guard(data, checks ++ replaceCheck)
               // attach the declared field ids so the files resolve by id
               // ever after (column mapping; no-op on unmapped tables)
               val stamped = GraftCatalog.stampFieldIds(checked, declared)
@@ -346,14 +399,35 @@ class ManifestSparkTable(dir: String, declared: StructType,
               // declared NDV columns: sketch the staged files (one extra
               // aggregation over the DELTA) and commit the sketches in
               // the marker next to the footer-harvested min/max
-              val stats =
-                if (ndvCols.isEmpty) None
-                else Some(ManifestTable.collectStats(dir, files, ndvCols))
-              if (overwrite || overwriteFlag)
-                ManifestTable.commitStagedSnapshot(logDir, files, stats,
-                  dataDir = Some(dir))
-              else ManifestTable.commitStagedAppend(logDir, files,
-                dataDir = Some(dir), stats = stats)
+              replaceCond match {
+                case Some(cond) =>
+                  // REPLACE WHERE: one atomic version = (files holding
+                  // matching rows removed, their survivor rewrites + the
+                  // new batch added). No match / empty table degrades to
+                  // a plain append of the batch.
+                  stageRewriteMatching(snapshotPaths, replaceFilters.get,
+                      cond) match {
+                    case Some((removed, survivors, dvs)) =>
+                      ManifestTable.commitRewrite(logDir, removed = removed,
+                        added = survivors ++ files,
+                        expectedDvs = Some(dvs), dataDir = Some(dir),
+                        ndvCols = ndvCols)
+                    case None =>
+                      ManifestTable.commitStagedAppend(logDir, files,
+                        dataDir = Some(dir),
+                        stats = if (ndvCols.isEmpty) None
+                          else Some(ManifestTable.collectStats(dir, files, ndvCols)))
+                  }
+                case None =>
+                  val stats =
+                    if (ndvCols.isEmpty) None
+                    else Some(ManifestTable.collectStats(dir, files, ndvCols))
+                  if (overwrite || overwriteFlag)
+                    ManifestTable.commitStagedSnapshot(logDir, files, stats,
+                      dataDir = Some(dir))
+                  else ManifestTable.commitStagedAppend(logDir, files,
+                    dataDir = Some(dir), stats = stats)
+              }
               ()
             }
           }
@@ -364,10 +438,13 @@ class ManifestSparkTable(dir: String, declared: StructType,
           * commit to the branch log (continuous staging; `fast_forward`
           * publishes the audited stream output, main untouched until
           * then). */
-        override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+        override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+          require(replaceFilters.isEmpty,
+            s"REPLACE WHERE is a batch-write operation (${name()})")
           new ManifestStreamingWrite(dir,
             GraftCatalog.stampFieldIds(info.schema(), declared),
             info.queryId(), overwrite, bloomCols, branch, ndvCols, checks)
+        }
       }
     }
   }
@@ -449,6 +526,61 @@ object ManifestSparkTable {
       // level in deleteWhere (affected = cond IS TRUE; survivors =
       // NOT coalesce(cond, false)), so the translation itself must be pure.
       filterToColumn(c).map(cc => not(cc))
+    case _ => None
+  }
+
+  private def attrSql(a: String): String =
+    a.split('.').map(p => s"`${p.replace("`", "``")}`").mkString(".")
+
+  private def litSqlOf(v: Any): Option[String] = v match {
+    case null => Some("NULL")
+    case s: String => Some("'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'")
+    case u: org.apache.spark.unsafe.types.UTF8String => litSqlOf(u.toString)
+    case d: java.sql.Date => Some(s"DATE'$d'")
+    case d: java.time.LocalDate => Some(s"DATE'$d'")
+    case t: java.sql.Timestamp => Some(s"TIMESTAMP'${t.toInstant}'")
+    case t: java.time.Instant => Some(s"TIMESTAMP'$t'")
+    case b: Boolean => Some(b.toString)
+    case f: Float => Some(s"CAST('$f' AS FLOAT)")
+    case d: Double => Some(s"CAST('$d' AS DOUBLE)")
+    case n @ (_: Byte | _: Short | _: Int | _: Long) => Some(n.toString)
+    case d: java.math.BigDecimal => Some(s"CAST('$d' AS DECIMAL(${d.precision}, ${d.scale}))")
+    case d: BigDecimal => litSqlOf(d.underlying)
+    case _ => None // binary/struct/etc: no SQL rendering — caller degrades
+  }
+
+  /** Parser-compatible SQL for a v1 Filter tree — [[filterToColumn]]'s
+    * textual twin, used to hand a REPLACE WHERE predicate to the CHECK
+    * constraint machinery (whose checks are stored/parsed as SQL).
+    * Semantically aligned with filterToColumn case by case; None for any
+    * shape (or literal type) without a faithful rendering. */
+  private[catalog] def filterToSql(f: Filter): Option[String] = f match {
+    case sources.EqualTo(a, v)            => litSqlOf(v).map(l => s"(${attrSql(a)} = $l)")
+    case sources.EqualNullSafe(a, v)      => litSqlOf(v).map(l => s"(${attrSql(a)} <=> $l)")
+    case sources.GreaterThan(a, v)        => litSqlOf(v).map(l => s"(${attrSql(a)} > $l)")
+    case sources.GreaterThanOrEqual(a, v) => litSqlOf(v).map(l => s"(${attrSql(a)} >= $l)")
+    case sources.LessThan(a, v)           => litSqlOf(v).map(l => s"(${attrSql(a)} < $l)")
+    case sources.LessThanOrEqual(a, v)    => litSqlOf(v).map(l => s"(${attrSql(a)} <= $l)")
+    case sources.In(a, vs) =>
+      if (vs.isEmpty) Some("FALSE")
+      else {
+        val ls = vs.toSeq.map(litSqlOf)
+        if (ls.forall(_.isDefined))
+          Some(s"(${attrSql(a)} IN (${ls.flatten.mkString(", ")}))")
+        else None
+      }
+    case sources.IsNull(a)                => Some(s"(${attrSql(a)} IS NULL)")
+    case sources.IsNotNull(a)             => Some(s"(${attrSql(a)} IS NOT NULL)")
+    case sources.StringStartsWith(a, v)   => litSqlOf(v).map(l => s"startswith(${attrSql(a)}, $l)")
+    case sources.StringEndsWith(a, v)     => litSqlOf(v).map(l => s"endswith(${attrSql(a)}, $l)")
+    case sources.StringContains(a, v)     => litSqlOf(v).map(l => s"contains(${attrSql(a)}, $l)")
+    case sources.AlwaysTrue()             => Some("TRUE")
+    case sources.AlwaysFalse()            => Some("FALSE")
+    case sources.And(l, r) =>
+      for (ls <- filterToSql(l); rs <- filterToSql(r)) yield s"($ls AND $rs)"
+    case sources.Or(l, r) =>
+      for (ls <- filterToSql(l); rs <- filterToSql(r)) yield s"($ls OR $rs)"
+    case sources.Not(c) => filterToSql(c).map(cs => s"(NOT $cs)")
     case _ => None
   }
 }

@@ -1243,6 +1243,48 @@ object CoverageQueries extends QueryModule {
         .orderBy("lang")
     },
 
+    // --- REPLACE WHERE (OverwriteByExpression / df.writeTo(t).overwrite):
+    //     ONE atomic manifest version swaps the predicate's rows for the
+    //     incoming batch — files holding matching rows are removed, their
+    //     survivor rows rewritten, the new batch appended; files the
+    //     predicate can't touch are never read (stats-skipped discovery)
+    //     or rewritten. Incoming rows must satisfy the predicate (Delta's
+    //     replaceWhere constraint): the violating batch below must fail
+    //     BEFORE any version commits ---
+    "qc51_replace_where" -> { (s, d) =>
+      if (s.conf.getOption("spark.sql.catalog.graft_cat").isEmpty)
+        graft.catalog.GraftCatalog.register(s, "graft_cat",
+          graft.core.TempDirs.create("graft_cat_root_"))
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.db")
+      s.sql("DROP TABLE IF EXISTS graft_cat.db.rw51")
+      Tables.documents(s, d).createOrReplaceTempView("qc51_documents")
+      s.sql("CREATE TABLE graft_cat.db.rw51 " +
+        "(doc_id BIGINT, lang STRING, n_chars BIGINT) USING manifest")
+      s.sql("INSERT INTO graft_cat.db.rw51 " +
+        "SELECT doc_id, lang, n_chars FROM qc51_documents")
+      // the "corrected re-extraction" of one language partition
+      s.table("qc51_documents").filter(col("lang") === "en")
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("lang"),
+          (col("n_chars") * 2).as("n_chars"))
+        .writeTo("graft_cat.db.rw51").overwrite(col("lang") === "en")
+      // constraint enforcement: a batch outside the replaced region fails
+      // loudly with the table untouched
+      val rejected =
+        try {
+          s.range(1).select(lit(99L).as("doc_id"), lit("de").as("lang"),
+              lit(1L).as("n_chars"))
+            .writeTo("graft_cat.db.rw51").overwrite(col("lang") === "en")
+          false
+        } catch { case _: Exception => true }
+      s.table("graft_cat.db.rw51")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").cast("long").as("total_chars"),
+          max("doc_id").as("max_id"))
+        .withColumn("violation_rejected", lit(rejected))
+        .orderBy("lang")
+    },
+
     // --- MERGE ... WHEN NOT MATCHED BY SOURCE (all three arm families
     //     on BOTH manifest DML paths): the arm a CDC replica needs to
     //     drop/age target rows absent from the source. Spark 4.1's
@@ -2220,6 +2262,20 @@ object CoverageQueries extends QueryModule {
          SELECT lang, count(*) AS n_docs,
            CAST(sum(n_chars) AS BIGINT) AS total_chars
          FROM rows GROUP BY lang ORDER BY lang""",
+
+    // replace-where replayed as set difference + the replacement batch;
+    // the out-of-region batch never lands (violation_rejected = TRUE)
+    "qc51_replace_where" ->
+      """WITH finals AS (
+           SELECT doc_id, lang, n_chars FROM documents WHERE lang <> 'en'
+           UNION ALL
+           SELECT doc_id + 1000000, lang, n_chars * 2
+           FROM documents WHERE lang = 'en')
+         SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(max(doc_id) AS BIGINT) AS max_id,
+           TRUE AS violation_rejected
+         FROM finals GROUP BY lang ORDER BY lang""",
 
     // replays all three MERGE arm families (matched update, not-matched
     // insert, and the by-source conditional delete + catch-all update)

@@ -1,0 +1,149 @@
+package graft.catalog
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.ManifestTable
+
+/** REPLACE WHERE (qc51): `df.writeTo(t).overwrite(cond)` swaps the
+  * predicate's rows for the incoming batch in ONE atomic manifest version.
+  * Structural invariants: untouched files are re-listed never rewritten,
+  * partially-matching files keep their survivor rows, out-of-region rows
+  * are rejected before any commit, a no-match replace degrades to append,
+  * AlwaysTrue routes to the truncate (snapshot) path, and a bucketed
+  * table's rewrite stays bucketed. */
+class ReplaceWhereSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    GraftCatalog.register(s, "rw", root)
+    s
+  }
+  private lazy val root =
+    "file://" + Files.createTempDirectory("graft_replace_where_").toString
+
+  private def ensureDb(): Unit =
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS rw.db")
+
+  private def tableDir(t: String): String = s"$root/db/$t"
+
+  private def currentFiles(t: String): Set[String] = {
+    val dir = tableDir(t)
+    ManifestTable.manifest(dir, ManifestTable.currentVersion(dir).get).toSet
+  }
+
+  private def versionCount(t: String): Int =
+    ManifestTable.allVersions(tableDir(t)).size
+
+  test("replace-where swaps only matching files; untouched pools re-listed") {
+    ensureDb()
+    spark.sql("CREATE TABLE rw.db.t1 (id BIGINT, v STRING) USING manifest")
+    spark.sql("INSERT INTO rw.db.t1 SELECT id, concat('a', id) FROM range(0, 10)")
+    spark.sql("INSERT INTO rw.db.t1 SELECT id, concat('b', id) FROM range(10, 20)")
+    val before = currentFiles("t1")
+    val vBefore = versionCount("t1")
+    // whole second pool matches; first pool's stats prove it can't
+    spark.range(100, 103)
+      .select(col("id"), concat(lit("n"), col("id")).as("v"))
+      .writeTo("rw.db.t1").overwrite(col("id") >= 10)
+    val after = currentFiles("t1")
+    assert(versionCount("t1") == vBefore + 1, "replace = ONE atomic version")
+    // the a-pool files survive by name (re-listed, not rewritten)
+    val aPool = before.filter(after.contains)
+    assert(aPool.nonEmpty, "non-matching pool must be re-listed untouched")
+    val rows = spark.table("rw.db.t1").orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(rows.toSeq ==
+      (0L until 10L).map(i => (i, s"a$i")) ++
+        Seq((100L, "n100"), (101L, "n101"), (102L, "n102")))
+  }
+
+  test("partially-matching file keeps its survivor rows exactly once") {
+    ensureDb()
+    spark.sql("CREATE TABLE rw.db.t2 (id BIGINT, v STRING) USING manifest")
+    spark.sql("INSERT INTO rw.db.t2 SELECT id, concat('x', id) FROM range(0, 10)")
+    spark.range(200, 202)
+      .select(col("id"), lit("new").as("v"))
+      .writeTo("rw.db.t2").overwrite(col("id") >= 5)
+    val got = spark.table("rw.db.t2").orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == (0L until 5L).map(i => (i, s"x$i")) ++
+      Seq((200L, "new"), (201L, "new")))
+  }
+
+  test("out-of-region batch rejected before any version commits") {
+    ensureDb()
+    spark.sql("CREATE TABLE rw.db.t3 (id BIGINT, v STRING) USING manifest")
+    spark.sql("INSERT INTO rw.db.t3 SELECT id, 'k' FROM range(0, 5)")
+    val vBefore = versionCount("t3")
+    val filesBefore = currentFiles("t3")
+    val e = intercept[Exception] {
+      spark.range(50, 52).select(col("id"), lit("bad").as("v"))
+        .writeTo("rw.db.t3").overwrite(col("id") < 3) // 50,51 violate id<3
+    }
+    assert(e.getMessage.contains("replace_where") ||
+      Option(e.getCause).exists(_.getMessage.contains("replace_where")),
+      s"expected the replace_where constraint in: ${e.getMessage}")
+    assert(versionCount("t3") == vBefore, "no version may land")
+    assert(currentFiles("t3") == filesBefore, "snapshot untouched")
+  }
+
+  test("no-match replace degrades to a plain append") {
+    ensureDb()
+    spark.sql("CREATE TABLE rw.db.t4 (id BIGINT, v STRING) USING manifest")
+    spark.sql("INSERT INTO rw.db.t4 SELECT id, 'k' FROM range(0, 5)")
+    val before = currentFiles("t4")
+    spark.range(900, 902).select(col("id"), lit("n").as("v"))
+      .writeTo("rw.db.t4").overwrite(col("id") >= 900)
+    val after = currentFiles("t4")
+    assert(before.subsetOf(after), "existing files all survive")
+    assert(spark.table("rw.db.t4").count() == 7)
+  }
+
+  test("AlwaysTrue overwrite = snapshot replace (truncate path)") {
+    ensureDb()
+    spark.sql("CREATE TABLE rw.db.t5 (id BIGINT, v STRING) USING manifest")
+    spark.sql("INSERT INTO rw.db.t5 SELECT id, 'old' FROM range(0, 5)")
+    spark.range(0, 2).select(col("id"), lit("new").as("v"))
+      .writeTo("rw.db.t5").overwrite(lit(true))
+    val got = spark.table("rw.db.t5").orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((0L, "new"), (1L, "new")))
+  }
+
+  test("SQL front door: INSERT OVERWRITE with a static PARTITION spec routes to replace-where") {
+    ensureDb()
+    spark.sql("CREATE TABLE rw.db.t7 (id BIGINT, lang STRING) USING manifest " +
+      "PARTITIONED BY (lang)")
+    spark.sql("INSERT INTO rw.db.t7 VALUES (1, 'en'), (2, 'de'), (3, 'en')")
+    val before = currentFiles("t7")
+    spark.sql("INSERT OVERWRITE rw.db.t7 PARTITION (lang = 'en') VALUES (10)")
+    val got = spark.table("rw.db.t7").orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((2L, "de"), (10L, "en")),
+      s"static-partition overwrite must replace only lang='en': $got")
+    assert(currentFiles("t7") != before)
+  }
+
+  test("bucketed table: survivors and the new batch stay bucketed") {
+    ensureDb()
+    spark.sql("CREATE TABLE rw.db.t6 (id BIGINT, v STRING) USING manifest " +
+      "PARTITIONED BY (bucket(4, id))")
+    spark.sql("INSERT INTO rw.db.t6 SELECT id, concat('o', id) FROM range(0, 20)")
+    spark.range(1000, 1004).select(col("id"), lit("n").as("v"))
+      .writeTo("rw.db.t6").overwrite(col("id") >= 10)
+    assert(currentFiles("t6").forall(_.contains("bucketed")),
+      "rewrite must not demote the table out of bucketed pools")
+    val got = spark.table("rw.db.t6").orderBy("id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == (0L until 10L) ++ (1000L until 1004L))
+  }
+}
