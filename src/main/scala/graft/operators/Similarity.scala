@@ -273,11 +273,22 @@ object Similarity {
     // probe join itself)
     val assigned = assignNearest(corpus, "id", "vec", cents)
     // exact search within probed clusters only
+    ivfTopKIndexed(queries, assigned, cents, k, nprobe)
+  }
+
+  /** Search a STORED IVF assignment — the steady-state serving shape: the
+    * index table (cluster, id, vec) is persisted once (by [[ivfTopK]]'s
+    * fused build, or grown incrementally by [[assignNearest]]-ing each new
+    * batch against the FROZEN centroids and appending), and a query batch
+    * pays only the probe join — never a corpus re-assignment. Because the
+    * assignment is a pure function of the centroids, an incrementally
+    * grown index is bit-identical to a full rebuild (qv14's gate). */
+  def ivfTopKIndexed(queries: DataFrame, assigned: DataFrame, cents: DataFrame,
+                     k: Int, nprobe: Int): DataFrame =
     rankTopK(
       assigned.join(broadcast(probeClusters(queries, cents, nprobe)), Seq("cluster"))
         .withColumn("cosine", round(cosineSimilarity(col("q_vec"), col("vec")), 6)),
       k, col("cosine"), "cosine")
-  }
 
   /** FILTERED (hybrid) ANN: exact top-k among the probed clusters' rows
     * that SATISFY a metadata predicate — tenant-/language-scoped vector
@@ -533,27 +544,30 @@ object Similarity {
     * ranks. */
   def ivfSqTopK(queries: DataFrame, corpus: DataFrame, coarse: DataFrame,
                 bounds: DataFrame, k: Int, nprobe: Int): DataFrame = {
-    val topProbe = udaf(new TopKByScore(nprobe), ExpressionEncoderHelp.scored)
     // the stored index: one corpus pass, assignment + quantizer fused
     val index = sqEncode(assignNearest(corpus, "id", "vec", coarse),
       "id", "vec", bounds, keep = Seq("cluster"))
+    ivfSqTopKIndexed(queries, index, coarse, bounds, k, nprobe)
+  }
+
+  /** Search a STORED (cluster, id, codes) SQ index — the serving half of
+    * [[ivfSqTopK]], split out so the index can live in a catalog table
+    * (built once, grown by [[assignNearest]]+[[sqEncode]] per batch
+    * against the FROZEN coarse/bounds model) while query batches pay only
+    * the probe fold + dequantized rank — the corpus is never re-encoded
+    * per query batch (qp07's pipeline gate). */
+  def ivfSqTopKIndexed(queries: DataFrame, index: DataFrame,
+                       coarse: DataFrame, bounds: DataFrame,
+                       k: Int, nprobe: Int): DataFrame =
     // per-query probe set (nprobe coarse clusters by cosine), q_vec rides
     // the fold so the scan side never rejoins the query table
-    val probes = queries.crossJoin(broadcast(coarse))
-      .withColumn("q_cos", cosineSimilarity(col("q_vec"), col("centroid")))
-      .groupBy(col("q_id"))
-      .agg(topProbe(col("cluster").cast("long"), col("q_cos")).as("top"),
-        first(col("q_vec")).as("q_vec"))
-      .select(col("q_id"), col("q_vec"),
-        explode(col("top").getField("id")).as("cluster"))
     rankTopK(
       sqCandidates(index, bounds, keep = Seq("cluster"))
-        .join(broadcast(probes), Seq("cluster"))
+        .join(broadcast(probeClusters(queries, coarse, nprobe)), Seq("cluster"))
         .withColumn("approx", round(
           dotProduct(col("q_vec"), col("_dvec")) /
             (l2Norm(col("q_vec")) * col("_dnorm")), 6)),
       k, col("approx"), "approx")
-  }
 
   // ------------------------------------------------------- range search --
 

@@ -84,6 +84,85 @@ object VectorQueries extends QueryModule {
         .orderBy("q_id", "rank")
     },
 
+    // --- ANN recall@k evaluation (the index-quality measurement every
+    //     approximate search deployment runs before trusting an index):
+    //     exact top-10 (bounded-heap brute force) vs IVF top-10 over the
+    //     SAME corpus scan lineage, per-query hit count via a left semi-
+    //     shaped join on (q_id, id), recall = hits/k. Deterministic
+    //     because both rankings tie-break (round(cos,6) desc, id) ---
+    "qv12_ann_recall" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val cents = Similarity.centroids(
+        emb.select(col("label"), col("embedding")), "label", "embedding", dim)
+      val queries = emb.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val exact = Similarity.bruteForceTopK(queries, corpus, k)
+        .select(col("q_id"), col("id"))
+      val approx = Similarity.ivfTopK(queries, corpus, cents, k = k, nprobe = nprobe)
+        .select(col("q_id").as("aq"), col("id").as("aid"))
+      exact.join(approx,
+          exact("q_id") === approx("aq") && exact("id") === approx("aid"), "left")
+        .groupBy("q_id")
+        .agg(sum(col("aid").isNotNull.cast("long")).as("n_hits"))
+        .select(col("q_id"), col("n_hits"),
+          round(col("n_hits") / k.toDouble, 2).as("recall"))
+        .orderBy("q_id")
+    },
+
+    // --- INCREMENTAL index maintenance (the 100 TB steady state: the
+    //     IVF index is built ONCE — centroids frozen — and each day's
+    //     arrivals are assignNearest-ed map-only and APPENDED; nothing is
+    //     rebuilt. Assignment is a pure function of the frozen centroids,
+    //     so the grown index is bit-identical to a full rebuild — which
+    //     is exactly what the oracle replays. Search via ivfTopKIndexed
+    //     pays only the probe join against the stored assignment ---
+    "qv14_incremental_index" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val base = emb.filter(col("vec_id") % 10 =!= 0) // day-0 corpus
+      val batch = emb.filter(col("vec_id") % 10 === 0) // the new arrivals
+      val cents = Similarity.centroids(
+        base.select(col("label"), col("embedding")), "label", "embedding", dim)
+        .localCheckpoint() // the FROZEN stored model
+      val baseIdx = Similarity.assignNearest(
+        base.select(col("vec_id").as("id"), col("embedding").as("vec")),
+        "id", "vec", cents)
+      val delta = Similarity.assignNearest(
+        batch.select(col("vec_id").as("id"), col("embedding").as("vec")),
+        "id", "vec", cents)
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      Similarity.ivfTopKIndexed(queries, baseIdx.unionAll(delta), cents,
+          k = 5, nprobe = nprobe)
+        .orderBy("q_id", "rank")
+    },
+
+    // --- TWO-STAGE retrieval (the production serving shape: a compressed
+    //     first stage shortlists k'=30 by approximate distance over the
+    //     int8 SQ index — 4× less I/O than raw vectors — then an EXACT
+    //     rerank touches only the |Q|×k' shortlisted raw vectors and
+    //     keeps top-5. At 100 TB the corpus is only ever scanned as
+    //     codes; full-precision reads are bounded by the shortlist) ---
+    "qv13_two_stage" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val bounds = Similarity.sqBounds(corpus, "vec").localCheckpoint()
+      val index = Similarity.sqEncode(corpus, "id", "vec", bounds)
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val shortlist = Similarity.sqTopK(queries, index, bounds, k = 30)
+        .select(col("q_id"), col("id"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("q_id").orderBy(col("cosine").desc, col("id"))
+      shortlist.join(corpus, "id").join(broadcast(queries), Seq("q_id"))
+        .withColumn("cosine",
+          round(graft.functions.VectorFunctions.cosineSimilarity(col("q_vec"), col("vec")), 6))
+        .withColumn("rank", row_number().over(w).cast("int"))
+        .filter(col("rank") <= 5)
+        .select("q_id", "rank", "id", "cosine")
+        .orderBy("q_id", "rank")
+    },
+
     // --- sign-LSH bucketed ANN: 8 seeded pseudo-Gaussian hyperplanes ->
     //     256 buckets (data-independent cuts, replayed by the oracle from
     //     the same integer-LCG formula); probe = equi-join on bucket,
@@ -219,6 +298,60 @@ object VectorQueries extends QueryModule {
         .orderBy("q_id", "rank")
     },
 
+    // --- END-TO-END vector serving pipeline (the retrieval capstone:
+    //     day-0 the frozen model — coarse centroids + SQ calibration — is
+    //     learned on the base slice and the (cluster, id, codes) index is
+    //     stored as a CATALOG TABLE via atomic CTAS; day-1 arrivals are
+    //     assigned+encoded map-only against the FROZEN model and appended
+    //     (INSERT, a manifest version — never a rebuild); serving reads
+    //     the STORED codes, shortlists k'=30 through the probe fold, and
+    //     exact-reranks only the shortlist to top-3. Compresses storage
+    //     4×, bounds full-precision reads by |Q|×k', and survives
+    //     batch-at-a-time growth with zero index downtime ---
+    "qp07_vector_serving" -> { (s, d) =>
+      if (s.conf.getOption("spark.sql.catalog.graft_cat").isEmpty)
+        graft.catalog.GraftCatalog.register(s, "graft_cat",
+          graft.core.TempDirs.create("graft_cat_root_"))
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.db")
+      s.sql("DROP TABLE IF EXISTS graft_cat.db.vec_index")
+      val emb = Tables.embeddings(s, d)
+      val base = emb.filter(col("vec_id") % 10 =!= 0)
+      val batch = emb.filter(col("vec_id") % 10 === 0)
+      val baseCorpus = base.select(col("vec_id").as("id"), col("embedding").as("vec"))
+      // the frozen model: both halves derive from day 0 ONLY
+      val cents = Similarity.centroids(
+        base.select(col("label"), col("embedding")), "label", "embedding", dim)
+        .localCheckpoint()
+      val bounds = Similarity.sqBounds(baseCorpus, "vec").localCheckpoint()
+      Similarity.sqEncode(
+          Similarity.assignNearest(baseCorpus, "id", "vec", cents),
+          "id", "vec", bounds, keep = Seq("cluster"))
+        .writeTo("graft_cat.db.vec_index").create() // day-0 index (CTAS)
+      Similarity.sqEncode(
+          Similarity.assignNearest(
+            batch.select(col("vec_id").as("id"), col("embedding").as("vec")),
+            "id", "vec", cents),
+          "id", "vec", bounds, keep = Seq("cluster"))
+        .writeTo("graft_cat.db.vec_index").append() // day-1 increment
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val shortlist = Similarity.ivfSqTopKIndexed(queries,
+          s.table("graft_cat.db.vec_index"), cents, bounds, k = 30,
+          nprobe = nprobe)
+        .select(col("q_id"), col("id"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("q_id").orderBy(col("cosine").desc, col("id"))
+      shortlist
+        .join(emb.select(col("vec_id").as("id"), col("embedding").as("vec")), "id")
+        .join(broadcast(queries), Seq("q_id"))
+        .withColumn("cosine",
+          round(graft.functions.VectorFunctions.cosineSimilarity(col("q_vec"), col("vec")), 6))
+        .withColumn("rank", row_number().over(w).cast("int"))
+        .filter(col("rank") <= 3)
+        .select("q_id", "rank", "id", "cosine")
+        .orderBy("q_id", "rank")
+    },
+
     // --- per-cluster vector stats (centroid norms via the Aggregator) ---
     "qv03_centroid_norms" -> { (s, d) =>
       val emb = Tables.embeddings(s, d)
@@ -235,13 +368,18 @@ object VectorQueries extends QueryModule {
     * fragment — ONE definition shared by qv09 and qv10 (`e` = the
     * double-cast corpus, `b` = per-dim mins/steps, `enc` = clamped int8
     * codes, `dq` = dequantized vectors). */
-  private def sqModelCte: String = {
+  private def sqModelCte: String = sqModelCteOn("")
+
+  /** Same model, calibration restricted by `boundsWhere` (qp07's frozen
+    * day-0 bounds) — codes CLAMP, so out-of-calibration values from later
+    * batches saturate identically in both engines. */
+  private def sqModelCteOn(boundsWhere: String): String = {
     val mins = (1 to dim).map(j => s"min(CAST(embedding[$j] AS DOUBLE))")
       .mkString("[", ", ", "]")
     val steps = (1 to dim).map(j =>
       s"(max(CAST(embedding[$j] AS DOUBLE)) - min(CAST(embedding[$j] AS DOUBLE))) / 255.0")
       .mkString("[", ", ", "]")
-    s"""b AS (SELECT $mins AS mins, $steps AS steps FROM embeddings),
+    s"""b AS (SELECT $mins AS mins, $steps AS steps FROM embeddings $boundsWhere),
           e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
           enc AS (SELECT e.vec_id,
                     list_transform(generate_series(1, $dim), j ->
@@ -363,6 +501,51 @@ object VectorQueries extends QueryModule {
             WHERE a.label = p.q_label)
           WHERE rank <= 5 ORDER BY q_id, rank""",
 
+    // exact (qv01-shaped) and IVF (qv02-shaped) top-10 composed; recall =
+    // per-query overlap / k — both rankings share the deterministic
+    // (round(cos,6) DESC, id) tie-break, so the overlap is engine-stable
+    "qv12_ann_recall" ->
+      s"""WITH $centroidCte,
+          qs AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+                 FROM embeddings WHERE vec_id < 20),
+          corpus AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+                     FROM embeddings),
+          exact AS (
+            SELECT q_id, id FROM (
+              SELECT q.q_id, c.id,
+                row_number() OVER (PARTITION BY q.q_id
+                  ORDER BY round(list_cosine_similarity(q.qv, c.v), 6) DESC, c.id) AS rank
+              FROM qs q CROSS JOIN corpus c)
+            WHERE rank <= $k),
+          assigned AS (
+            SELECT id, v, cluster FROM (
+              SELECT c.id, c.v, ct.cluster,
+                row_number() OVER (PARTITION BY c.id
+                  ORDER BY list_cosine_similarity(c.v, ct.centroid) DESC,
+                           ct.cluster) AS rn
+              FROM corpus c CROSS JOIN cent ct)
+            WHERE rn = 1),
+          probes AS (
+            SELECT q_id, qv, cluster FROM (
+              SELECT q.q_id, q.qv, ct.cluster,
+                row_number() OVER (PARTITION BY q.q_id
+                  ORDER BY list_cosine_similarity(q.qv, ct.centroid) DESC,
+                           ct.cluster) AS rn
+              FROM qs q CROSS JOIN cent ct)
+            WHERE rn <= $nprobe),
+          approx AS (
+            SELECT q_id, id FROM (
+              SELECT p.q_id, a.id,
+                row_number() OVER (PARTITION BY p.q_id
+                  ORDER BY round(list_cosine_similarity(p.qv, a.v), 6) DESC, a.id) AS rank
+              FROM probes p JOIN assigned a ON p.cluster = a.cluster)
+            WHERE rank <= $k)
+          SELECT e.q_id,
+            CAST(sum(CASE WHEN a.id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+            round(sum(CASE WHEN a.id IS NOT NULL THEN 1 ELSE 0 END) / ($k * 1.0), 2) AS recall
+          FROM exact e LEFT JOIN approx a ON e.q_id = a.q_id AND e.id = a.id
+          GROUP BY e.q_id ORDER BY e.q_id""",
+
     "qv04_lsh_ann" ->
       s"""WITH ${seededPlanesCte(numPlanes = 8, dim = 64)},
           b AS (SELECT e.vec_id,
@@ -460,6 +643,102 @@ object VectorQueries extends QueryModule {
               row_number() OVER (PARTITION BY q_id
                 ORDER BY approx ASC, id) AS rank FROM d)
           WHERE rank <= $pqK ORDER BY q_id, rank""",
+
+    // day-0 model (centroids + bounds from the 90% slice), whole corpus
+    // encoded against it, shortlist 30 by dequantized cosine, exact
+    // rerank top-3 — the stored-table detour changes nothing the replay
+    // can see
+    "qp07_vector_serving" ->
+      s"""WITH ${sqModelCteOn("WHERE vec_id % 10 <> 0")},
+          cent AS (
+            SELECT label AS cluster, $centroidList AS centroid
+            FROM embeddings WHERE vec_id % 10 <> 0 GROUP BY label),
+          assigned AS (
+            SELECT vec_id, cluster FROM (
+              SELECT e2.vec_id, ct.cluster,
+                row_number() OVER (PARTITION BY e2.vec_id
+                  ORDER BY list_cosine_similarity(e2.v, ct.centroid) DESC,
+                           ct.cluster) AS rn
+              FROM e e2 CROSS JOIN cent ct)
+            WHERE rn = 1),
+          probes AS (
+            SELECT q_id, qv, cluster FROM (
+              SELECT q.vec_id AS q_id, q.v AS qv, ct.cluster,
+                row_number() OVER (PARTITION BY q.vec_id
+                  ORDER BY list_cosine_similarity(q.v, ct.centroid) DESC,
+                           ct.cluster) AS rn
+              FROM e q CROSS JOIN cent ct
+              WHERE q.vec_id < 5)
+            WHERE rn <= $nprobe),
+          shortlist AS (
+            SELECT q_id, id FROM (
+              SELECT p.q_id, a.vec_id AS id,
+                row_number() OVER (PARTITION BY p.q_id
+                  ORDER BY round(list_cosine_similarity(p.qv, d.dv), 6) DESC,
+                           a.vec_id) AS rk
+              FROM probes p JOIN assigned a ON p.cluster = a.cluster
+                            JOIN dq d ON d.vec_id = a.vec_id)
+            WHERE rk <= 30)
+          SELECT q_id, CAST(rank AS INTEGER) AS rank, id, cosine FROM (
+            SELECT s.q_id, s.id,
+              round(list_cosine_similarity(qe.v, ce.v), 6) AS cosine,
+              row_number() OVER (PARTITION BY s.q_id
+                ORDER BY round(list_cosine_similarity(qe.v, ce.v), 6) DESC, s.id) AS rank
+            FROM shortlist s JOIN e qe ON qe.vec_id = s.q_id
+                             JOIN e ce ON ce.vec_id = s.id)
+          WHERE rank <= 3 ORDER BY q_id, rank""",
+
+    // the full-rebuild replay IS the incremental result: centroids from
+    // the base slice only, the WHOLE corpus assigned against them
+    "qv14_incremental_index" ->
+      s"""WITH cent AS (
+            SELECT label AS cluster, $centroidList AS centroid
+            FROM embeddings WHERE vec_id % 10 <> 0 GROUP BY label),
+          assigned AS (
+            SELECT id, v, cluster FROM (
+              SELECT c.vec_id AS id, CAST(c.embedding AS DOUBLE[]) AS v, ct.cluster,
+                row_number() OVER (PARTITION BY c.vec_id
+                  ORDER BY list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), ct.centroid) DESC,
+                           ct.cluster) AS rn
+              FROM embeddings c CROSS JOIN cent ct)
+            WHERE rn = 1),
+          probes AS (
+            SELECT q_id, qv, cluster FROM (
+              SELECT q.vec_id AS q_id, CAST(q.embedding AS DOUBLE[]) AS qv, ct.cluster,
+                row_number() OVER (PARTITION BY q.vec_id
+                  ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), ct.centroid) DESC,
+                           ct.cluster) AS rn
+              FROM embeddings q CROSS JOIN cent ct
+              WHERE q.vec_id < 5)
+            WHERE rn <= $nprobe)
+          SELECT q_id, CAST(rank AS INTEGER) AS rank, id, cosine FROM (
+            SELECT p.q_id, a.id,
+              round(list_cosine_similarity(p.qv, a.v), 6) AS cosine,
+              row_number() OVER (PARTITION BY p.q_id
+                ORDER BY round(list_cosine_similarity(p.qv, a.v), 6) DESC, a.id) AS rank
+            FROM probes p JOIN assigned a ON p.cluster = a.cluster)
+          WHERE rank <= 5 ORDER BY q_id, rank""",
+
+    // stage 1 = qv09's dequantized ranking widened to k'=30; stage 2 =
+    // exact cosine over only the shortlisted (q_id, id) pairs, top-5
+    "qv13_two_stage" ->
+      s"""WITH $sqModelCte,
+          shortlist AS (
+            SELECT q_id, id FROM (
+              SELECT q.vec_id AS q_id, c.vec_id AS id,
+                row_number() OVER (PARTITION BY q.vec_id
+                  ORDER BY round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), c.dv), 6) DESC,
+                           c.vec_id) AS rk
+              FROM embeddings q CROSS JOIN dq c WHERE q.vec_id < 5)
+            WHERE rk <= 30)
+          SELECT q_id, CAST(rank AS INTEGER) AS rank, id, cosine FROM (
+            SELECT s.q_id, s.id,
+              round(list_cosine_similarity(qe.v, ce.v), 6) AS cosine,
+              row_number() OVER (PARTITION BY s.q_id
+                ORDER BY round(list_cosine_similarity(qe.v, ce.v), 6) DESC, s.id) AS rank
+            FROM shortlist s JOIN e qe ON qe.vec_id = s.q_id
+                             JOIN e ce ON ce.vec_id = s.id)
+          WHERE rank <= 5 ORDER BY q_id, rank""",
 
     // replays calibration/codes/dequantization/ranks dimension by dimension
     "qv09_sq_ann" ->
