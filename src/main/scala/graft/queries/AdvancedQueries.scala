@@ -103,6 +103,86 @@ object AdvancedQueries extends QueryModule {
         .orderBy("source")
     },
 
+    // --- RECURSIVE CTE (Spark 4's UnionLoop): iterate-to-fixpoint through
+    //     the SQL front door — per level ONE equi-join of the frontier
+    //     against the child relation + dedupless UNION ALL accumulation,
+    //     the same per-iteration shape as the hand-rolled CC/PageRank
+    //     loops but driven by the engine. Hierarchy = the implicit binary
+    //     tree over contiguous customer keys (parent = k div 2), so depth
+    //     counts are fully deterministic and engine-independent ---
+    "q63_recursive_cte" -> { (s, d) =>
+      Tables.customer(s, d).createOrReplaceTempView("q63_customer")
+      s.sql("""
+        WITH RECURSIVE tree(k, depth) AS (
+          SELECT CAST(1 AS BIGINT) AS k, 0 AS depth
+          UNION ALL
+          SELECT c.c_custkey, t.depth + 1
+          FROM q63_customer c JOIN tree t
+            ON (c.c_custkey div 2) = t.k
+          WHERE t.depth < 30
+        )
+        SELECT depth, count(*) AS n_nodes, min(k) AS min_key, max(k) AS max_key
+        FROM tree GROUP BY depth ORDER BY depth""")
+    },
+
+    // --- one-pass column profiling (the data-QA summary a training
+    //     pipeline runs on every ingest batch): per column null count,
+    //     exact NDV, min/max — ONE scan, one aggregate node (the multi-
+    //     distinct lowers to Catalyst's Expand plan: rows × #distinct-aggs,
+    //     each partial-aggregated map-side). At 100 TB swap countDistinct
+    //     for approx_count_distinct (the q28 HLL family) — the plan shape
+    //     (single scan, single agg) is unchanged; exact NDV here keeps the
+    //     gate DuckDB-replayable. Long output via stack() so adding a
+    //     column adds a row, not a schema migration ---
+    "qa05_column_profile" -> { (s, d) =>
+      Tables.documents(s, d)
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(col("doc_id").isNull.cast("long")).as("nn_doc_id"),
+          countDistinct(col("doc_id")).as("nd_doc_id"),
+          min(col("doc_id")).cast("string").as("mn_doc_id"),
+          max(col("doc_id")).cast("string").as("mx_doc_id"),
+          sum(col("lang").isNull.cast("long")).as("nn_lang"),
+          countDistinct(col("lang")).as("nd_lang"),
+          min(col("lang")).as("mn_lang"),
+          max(col("lang")).as("mx_lang"),
+          sum(col("source").isNull.cast("long")).as("nn_source"),
+          countDistinct(col("source")).as("nd_source"),
+          min(col("source")).as("mn_source"),
+          max(col("source")).as("mx_source"),
+          sum(col("n_chars").isNull.cast("long")).as("nn_n_chars"),
+          countDistinct(col("n_chars")).as("nd_n_chars"),
+          min(col("n_chars")).cast("string").as("mn_n_chars"),
+          max(col("n_chars")).cast("string").as("mx_n_chars"))
+        .select(col("n_rows"), expr(
+          """stack(4,
+               'doc_id',  nn_doc_id,  nd_doc_id,  mn_doc_id,  mx_doc_id,
+               'lang',    nn_lang,    nd_lang,    mn_lang,    mx_lang,
+               'source',  nn_source,  nd_source,  mn_source,  mx_source,
+               'n_chars', nn_n_chars, nd_n_chars, mn_n_chars, mx_n_chars)
+             AS (column_name, n_nulls, n_distinct, min_val, max_val)"""))
+        .select("column_name", "n_rows", "n_nulls", "n_distinct", "min_val", "max_val")
+        .orderBy("column_name")
+    },
+
+    // --- event-transition matrix (the clickstream/markov summary behind
+    //     next-action models and funnel diagnostics): per user, adjacent
+    //     event pairs via ONE lag window (partitioned on the user key —
+    //     scales horizontally, state is one row), then a keyed count.
+    //     Deterministic: the window orders by (ts, event_id) so same-
+    //     timestamp events tie-break identically in both engines ---
+    "qa06_event_transitions" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("next_type", lead("event_type", 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("from_type", "to_type")
+    },
+
     // --- bucketed-table co-located join: both facts bucketed+sorted by the
     //     join key at write time; the merge join then needs no exchange
     //     (plan asserted in BucketingSpec) ---
@@ -1074,6 +1154,57 @@ object AdvancedQueries extends QueryModule {
          SELECT p_partkey, 'retailprice', round(p_retailprice, 2)
          FROM part WHERE p_partkey <= 200
          ORDER BY p_partkey, metric""",
+
+    // same lag window, same (ts, event_id) tie-break
+    "qa06_event_transitions" ->
+      """SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+         FROM (SELECT event_type AS from_type,
+                 lead(event_type, 1) OVER (PARTITION BY user_id
+                   ORDER BY CAST(ts AS TIMESTAMP), event_id) AS to_type
+               FROM events)
+         WHERE to_type IS NOT NULL
+         GROUP BY from_type, to_type
+         ORDER BY from_type, to_type""",
+
+    // recursion replayed verbatim: DuckDB's WITH RECURSIVE iterates the
+    // same frontier join to the same fixpoint (integer div both sides)
+    "q63_recursive_cte" ->
+      """WITH RECURSIVE tree(k, depth) AS (
+           SELECT CAST(1 AS BIGINT) AS k, 0 AS depth
+           UNION ALL
+           SELECT c.c_custkey, t.depth + 1
+           FROM customer c JOIN tree t ON (c.c_custkey // 2) = t.k
+           WHERE t.depth < 30
+         )
+         SELECT depth, CAST(count(*) AS BIGINT) AS n_nodes,
+           min(k) AS min_key, max(k) AS max_key
+         FROM tree GROUP BY depth ORDER BY depth""",
+
+    // per-column metrics replayed as one grouped-ALL aggregate per column
+    "qa05_column_profile" ->
+      """SELECT * FROM (
+           SELECT 'doc_id' AS column_name, CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+             CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct,
+             CAST(min(doc_id) AS VARCHAR) AS min_val, CAST(max(doc_id) AS VARCHAR) AS max_val
+           FROM documents
+           UNION ALL
+           SELECT 'lang', CAST(count(*) AS BIGINT),
+             CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(count(DISTINCT lang) AS BIGINT), min(lang), max(lang)
+           FROM documents
+           UNION ALL
+           SELECT 'source', CAST(count(*) AS BIGINT),
+             CAST(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(count(DISTINCT source) AS BIGINT), min(source), max(source)
+           FROM documents
+           UNION ALL
+           SELECT 'n_chars', CAST(count(*) AS BIGINT),
+             CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(count(DISTINCT n_chars) AS BIGINT),
+             CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR)
+           FROM documents
+         ) ORDER BY column_name""",
 
     // pivot with an explicit value list = conditional aggregation
     "q62_pivot" ->

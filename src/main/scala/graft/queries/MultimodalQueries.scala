@@ -29,6 +29,29 @@ object MultimodalQueries extends QueryModule {
         .orderBy("doc_id")
     },
 
+    // --- LATE MATERIALIZATION (the I/O shape that matters when the
+    //     payload column dwarfs the metadata: rank/select on metadata
+    //     columns ONLY — that scan never reads the payload — then join
+    //     the selected ids back to fetch payloads for just the winners.
+    //     At 100 TB the heavy column is read for k rows per group, not
+    //     the corpus; PlanShapeSpec asserts the ranking scan's
+    //     ReadSchema excludes the payload) ---
+    "qm06_late_materialization" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      val w = Window.partitionBy("lang")
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      val picked = docs.select(col("doc_id"), col("lang"), col("n_chars"))
+        .withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+      val payloads = docs
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      picked.join(payloads, "doc_id")
+        .select(col("lang"), col("rk"), col("doc_id"), col("n_chars"),
+          length(col("payload")).as("n_bytes"),
+          sha2(col("payload"), 256).as("sha256_hex"))
+        .orderBy("lang", "rk")
+    },
+
     // --- REAL distributed image decode (javax.imageio in mapPartitions):
     //     a deterministic PNG corpus is generated executor-side — dims and
     //     fill color derive from doc_id — then container-parsed and
@@ -118,6 +141,18 @@ object MultimodalQueries extends QueryModule {
            base64(encode(text)) AS b64, sha256(text) AS sha256_hex,
            true AS roundtrip_ok
          FROM documents WHERE doc_id < 100 ORDER BY doc_id""",
+
+    // the ranking and the payload fetch replay as one query — late
+    // materialization changes I/O order, never results
+    "qm06_late_materialization" ->
+      """SELECT lang, CAST(rk AS INTEGER) AS rk, doc_id, n_chars,
+           CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+           sha256(text) AS sha256_hex
+         FROM (SELECT *,
+                 row_number() OVER (PARTITION BY lang
+                   ORDER BY n_chars DESC, doc_id) AS rk
+               FROM documents)
+         WHERE rk <= 3 ORDER BY lang, rk""",
 
     // the oracle predicts the REAL decode's output from the generative
     // parameters (solid-fill lossless PNG: means == fill color exactly)

@@ -531,4 +531,45 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!"SortMergeJoin \\[(bigram|w1)".r.findFirstIn(p).isDefined,
       s"exploded bigrams shuffled by model key in qt16:\n$p")
   }
+
+  test("q63 recursive CTE plans as UnionLoop (engine-driven fixpoint, not an unrolled scan stack)") {
+    val df = SparkEntry.queries("q63_recursive_cte")(spark, sf)
+    val p = plan(df)
+    assert(p.contains("UnionLoop"), s"no UnionLoopExec in the recursive plan:\n$p")
+    assert(df.collect().nonEmpty)
+  }
+
+  test("qa05 profiling: ONE file scan feeds all per-column metrics (single-pass profile)") {
+    val df = SparkEntry.queries("qa05_column_profile")(spark, sf)
+    val p = plan(df)
+    // one parquet scan node — the profile must not rescan per column;
+    // the multi-distinct lowers to Expand above that single scan
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans == 1, s"expected 1 scan, got $scans:\n$p")
+    assert(p.contains("Expand"), s"multi-distinct should lower to Expand:\n$p")
+  }
+
+  test("qm06 late materialization: the ranking scan never reads the payload column") {
+    val p = plan(SparkEntry.queries("qm06_late_materialization")(spark, sf))
+    // two scans of documents: the ranking side must read only metadata
+    // columns — its ReadSchema excludes text; the payload side reads
+    // (doc_id, text) only
+    val schemas = "ReadSchema: struct<([^>]*)>".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(schemas.size == 2, s"expected 2 scans:\n$p")
+    assert(schemas.exists(s => !s.contains("text")),
+      s"no metadata-only scan — payload read during ranking:\n$p")
+    assert(schemas.forall(s => !s.contains("text") ||
+        s.split(",").length <= 2),
+      s"payload scan reads more than (doc_id, text):\n$p")
+  }
+
+  test("qt18 accent fold stays inside whole-stage codegen (native expression, no ScalaUDF)") {
+    val df = Tables.documents(spark, sf)
+      .select(graft.functions.TextNorm.foldAccents(col("text")).as("f"))
+    val p = plan(df)
+    assert(!p.contains("ScalaUDF"), s"fold_accents fell out to a UDF:\n$p")
+    // codegen spans print as `*(n)` in executedPlan.toString
+    assert(p.contains("*("), s"no whole-stage-codegen span:\n$p")
+  }
 }
