@@ -399,6 +399,11 @@ class ManifestSparkTable(dir: String, declared: StructType,
               // declared NDV columns: sketch the staged files (one extra
               // aggregation over the DELTA) and commit the sketches in
               // the marker next to the footer-harvested min/max
+              def appendStaged(): Unit =
+                ManifestTable.commitStagedAppend(logDir, files,
+                  dataDir = Some(dir),
+                  stats = if (ndvCols.isEmpty) None
+                    else Some(ManifestTable.collectStats(dir, files, ndvCols)))
               replaceCond match {
                 case Some(cond) =>
                   // REPLACE WHERE: one atomic version = (files holding
@@ -412,21 +417,16 @@ class ManifestSparkTable(dir: String, declared: StructType,
                         added = survivors ++ files,
                         expectedDvs = Some(dvs), dataDir = Some(dir),
                         ndvCols = ndvCols)
-                    case None =>
-                      ManifestTable.commitStagedAppend(logDir, files,
-                        dataDir = Some(dir),
-                        stats = if (ndvCols.isEmpty) None
-                          else Some(ManifestTable.collectStats(dir, files, ndvCols)))
+                      ()
+                    case None => appendStaged()
                   }
-                case None =>
-                  val stats =
-                    if (ndvCols.isEmpty) None
-                    else Some(ManifestTable.collectStats(dir, files, ndvCols))
-                  if (overwrite || overwriteFlag)
-                    ManifestTable.commitStagedSnapshot(logDir, files, stats,
-                      dataDir = Some(dir))
-                  else ManifestTable.commitStagedAppend(logDir, files,
-                    dataDir = Some(dir), stats = stats)
+                case None if overwrite || overwriteFlag =>
+                  ManifestTable.commitStagedSnapshot(logDir, files,
+                    stats = if (ndvCols.isEmpty) None
+                      else Some(ManifestTable.collectStats(dir, files, ndvCols)),
+                    dataDir = Some(dir))
+                  ()
+                case None => appendStaged()
               }
               ()
             }
@@ -534,7 +534,19 @@ object ManifestSparkTable {
 
   private def litSqlOf(v: Any): Option[String] = v match {
     case null => Some("NULL")
-    case s: String => Some("'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'")
+    case s: String =>
+      // Quote/backslash escaping is PARSER-MODE-DEPENDENT
+      // (spark.sql.parser.escapedStringLiterals flips backslash
+      // semantics), so only trivially-safe strings render as plain
+      // literals; anything else rides base64 — the alphabet is quote- and
+      // backslash-free, so the rendering parses identically in both modes
+      if (s.forall(c => c >= 0x20 && c < 0x7f && c != '\'' && c != '\\'))
+        Some("'" + s + "'")
+      else {
+        val b64 = java.util.Base64.getEncoder
+          .encodeToString(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        Some(s"CAST(unbase64('$b64') AS STRING)")
+      }
     case u: org.apache.spark.unsafe.types.UTF8String => litSqlOf(u.toString)
     case d: java.sql.Date => Some(s"DATE'$d'")
     case d: java.time.LocalDate => Some(s"DATE'$d'")

@@ -68,11 +68,15 @@ object TextNorm {
     if (ascii) return s.toLowerCase
     val nfd = Normalizer.normalize(s.toString, Normalizer.Form.NFD)
     val sb = new java.lang.StringBuilder(nfd.length)
+    // iterate CODE POINTS, not UTF-16 chars: supplementary-plane combining
+    // marks (Adlam, Bassa Vah tones, …) are surrogate pairs, and
+    // Character.getType on a lone surrogate half would misreport them as
+    // SURROGATE — the mark would survive the fold
     var j = 0
     while (j < nfd.length) {
-      val ch = nfd.charAt(j)
-      if (Character.getType(ch) != Character.NON_SPACING_MARK) sb.append(ch)
-      j += 1
+      val cp = nfd.codePointAt(j)
+      if (Character.getType(cp) != Character.NON_SPACING_MARK) sb.appendCodePoint(cp)
+      j += Character.charCount(cp)
     }
     val recomposed = Normalizer.normalize(sb.toString, Normalizer.Form.NFC)
     UTF8String.fromString(recomposed.toLowerCase(java.util.Locale.ROOT))

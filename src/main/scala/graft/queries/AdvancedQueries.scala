@@ -167,7 +167,7 @@ object AdvancedQueries extends QueryModule {
 
     // --- event-transition matrix (the clickstream/markov summary behind
     //     next-action models and funnel diagnostics): per user, adjacent
-    //     event pairs via ONE lag window (partitioned on the user key —
+    //     event pairs via ONE lead window (partitioned on the user key —
     //     scales horizontally, state is one row), then a keyed count.
     //     Deterministic: the window orders by (ts, event_id) so same-
     //     timestamp events tie-break identically in both engines ---
@@ -1155,7 +1155,7 @@ object AdvancedQueries extends QueryModule {
          FROM part WHERE p_partkey <= 200
          ORDER BY p_partkey, metric""",
 
-    // same lag window, same (ts, event_id) tie-break
+    // same lead window, same (ts, event_id) tie-break
     "qa06_event_transitions" ->
       """SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
          FROM (SELECT event_type AS from_type,

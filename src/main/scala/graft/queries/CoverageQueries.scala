@@ -1269,13 +1269,19 @@ object CoverageQueries extends QueryModule {
         .writeTo("graft_cat.db.rw51").overwrite(col("lang") === "en")
       // constraint enforcement: a batch outside the replaced region fails
       // loudly with the table untouched
+      // the boolean is TRUE only for the replace_where constraint itself —
+      // any other failure mode (untranslatable predicate, broken commit)
+      // must fail the gate, not masquerade as a rejection
       val rejected =
         try {
           s.range(1).select(lit(99L).as("doc_id"), lit("de").as("lang"),
               lit(1L).as("n_chars"))
             .writeTo("graft_cat.db.rw51").overwrite(col("lang") === "en")
           false
-        } catch { case _: Exception => true }
+        } catch {
+          case e: Exception =>
+            graft.catalog.Constraints.violationIn(e, "replace_where")
+        }
       s.table("graft_cat.db.rw51")
         .groupBy("lang")
         .agg(count(lit(1)).as("n_docs"),

@@ -119,6 +119,31 @@ class ReplaceWhereSpec extends AnyFunSuite {
     assert(got == Seq((0L, "new"), (1L, "new")))
   }
 
+  test("predicate values with quotes/backslashes survive both parser escape modes") {
+    ensureDb()
+    spark.sql("CREATE TABLE rw.db.t8 (id BIGINT, v STRING) USING manifest")
+    spark.sql("INSERT INTO rw.db.t8 VALUES (1, \"O'Brien\"), (2, 'plain')")
+    Seq("false", "true").foreach { mode =>
+      val prev = spark.conf.get("spark.sql.parser.escapedStringLiterals")
+      try {
+        spark.conf.set("spark.sql.parser.escapedStringLiterals", mode)
+        // in-region batch must pass the rendered replace_where constraint
+        // regardless of how the session parser treats backslashes
+        spark.range(10, 11).select(col("id"), lit("O'Brien").as("v"))
+          .writeTo("rw.db.t8").overwrite(col("v") === "O'Brien")
+        assert(spark.table("rw.db.t8").where("v = \"O'Brien\"")
+          .collect().map(_.getLong(0)).toSeq == Seq(10L))
+        // and an out-of-region batch still rejects FOR the constraint
+        val e = intercept[Exception] {
+          spark.range(20, 21).select(col("id"), lit("plain").as("v"))
+            .writeTo("rw.db.t8").overwrite(col("v") === "O'Brien")
+        }
+        assert(Constraints.violationIn(e, "replace_where"),
+          s"mode=$mode: ${e.getMessage}")
+      } finally spark.conf.set("spark.sql.parser.escapedStringLiterals", prev)
+    }
+  }
+
   test("SQL front door: INSERT OVERWRITE with a static PARTITION spec routes to replace-where") {
     ensureDb()
     spark.sql("CREATE TABLE rw.db.t7 (id BIGINT, lang STRING) USING manifest " +

@@ -34,6 +34,17 @@ class TextNormSpec extends AnyFunSuite {
     assert(fold("café") == fold("café"))
   }
 
+  test("supplementary-plane Mn marks strip (code-point iteration, not chars)") {
+    // U+1E944 (ADLAM ALIF LENGTHENER) is a plane-1 non-spacing mark riding
+    // a surrogate pair — char-wise iteration would misclassify the halves
+    // as SURROGATE and keep the accent
+    val adlamMark = new String(Character.toChars(0x1E944))
+    val adlamHa = new String(Character.toChars(0x1E922)) // ADLAM CAPITAL HA
+    assert(fold("a" + adlamMark + "b") == "ab")
+    assert(fold(adlamHa + adlamMark) == fold(adlamHa),
+      "plane-1 base char must survive, its combining mark must not")
+  }
+
   test("idempotent and null/empty preserving") {
     val samples = Seq("Café", "Ångström", "plain ascii", "", "à́e")
     samples.foreach { s => assert(fold(fold(s)) == fold(s), s"not idempotent: $s") }
