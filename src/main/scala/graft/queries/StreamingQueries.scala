@@ -209,6 +209,34 @@ object StreamingQueries extends QueryModule {
         .orderBy("user_id")
     },
 
+    // --- stream-stream RIGHT OUTER interval join (completes the outer
+    //     family with qs19/qs20): matches emit eagerly; an unmatched
+    //     click (right) null-pads only when the watermark proves no
+    //     purchase can still arrive — its interval extends delta ABOVE
+    //     c_ts, so eviction is c_ts + 10min < wm (qs20's right arm);
+    //     purchases never pad ---
+    "qs21_stream_right_outer_join" -> { (s, d) =>
+      val purchases = eventStream(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("ts").as("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+      val clicks = eventStream(s, d)
+        .filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("event_id").as("c_event"),
+          col("ts").as("c_ts"))
+        .withWatermark("c_ts", "1 hour")
+      val joined = purchases.join(clicks,
+        col("user_id") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 10 MINUTES") &&
+        col("c_ts") <= col("p_ts"), "right_outer")
+      runToMemory(s, joined, "qs21_out", "append")
+        .groupBy(col("c_user").as("user_id"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("user_id").isNotNull, 1L).otherwise(0L)).as("n_matched"),
+          sum(when(col("user_id").isNull, 1L).otherwise(0L)).as("n_right_padded"))
+        .orderBy("user_id")
+    },
+
     // --- arbitrary stateful processing: flatMapGroupsWithState keeps a
     //     running (n_events, n_purchases) per user and emits the totals as
     //     each micro-batch updates them. The state survives across batches
@@ -926,6 +954,31 @@ object StreamingQueries extends QueryModule {
            count(*) FILTER (WHERE kind = 1) AS n_matched,
            count(*) FILTER (WHERE kind = 2) AS n_left_padded,
            count(*) FILTER (WHERE kind = 3) AS n_right_padded
+         FROM rows_out GROUP BY user_id ORDER BY user_id""",
+
+    // qs20's right arm alone: matches + clicks evicted unmatched
+    // (c_ts + 10min below the final watermark); purchases never pad
+    "qs21_stream_right_outer_join" ->
+      """WITH p AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS p_ts
+             FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS c_ts
+             FROM events WHERE event_type = 'click'),
+         w AS (SELECT least(
+                 (SELECT epoch_us(max(p_ts)) // 1000 FROM p),
+                 (SELECT epoch_us(max(c_ts)) // 1000 FROM c)) - 3600000
+                 AS wm_ms),
+         m AS (SELECT c.user_id, c.event_id AS c_event
+               FROM p JOIN c ON p.user_id = c.user_id
+                 AND c.c_ts >= p.p_ts - INTERVAL '10 minutes'
+                 AND c.c_ts <= p.p_ts),
+         rpad AS (SELECT c.user_id FROM c CROSS JOIN w
+               WHERE epoch_us(c.c_ts) // 1000 + 600000 < w.wm_ms
+                 AND NOT EXISTS (SELECT 1 FROM m WHERE m.c_event = c.event_id)),
+         rows_out AS (SELECT user_id, 1 AS kind FROM m
+                      UNION ALL SELECT user_id, 2 FROM rpad)
+         SELECT user_id, count(*) AS n_rows,
+           count(*) FILTER (WHERE kind = 1) AS n_matched,
+           count(*) FILTER (WHERE kind = 2) AS n_right_padded
          FROM rows_out GROUP BY user_id ORDER BY user_id""",
 
     "qs07_flat_map_groups_state" ->
