@@ -158,6 +158,56 @@ class ReplaceWhereSpec extends AnyFunSuite {
     assert(currentFiles("t7") != before)
   }
 
+  test("merge-on-read table: pending deletion vectors never resurrect through the survivor rewrite") {
+    ensureDb()
+    spark.sql("CREATE TABLE rw.db.t9 (id BIGINT, v STRING) USING manifest " +
+      "TBLPROPERTIES ('graft.dml.mode' = 'merge-on-read')")
+    spark.sql("INSERT INTO rw.db.t9 SELECT id, 'k' FROM range(0, 10)")
+    // conditioned DELETE on a MoR table writes deletion vectors —
+    // rows 2,3 are dead but still physically present in the data file
+    spark.sql("DELETE FROM rw.db.t9 WHERE id IN (2, 3)")
+    assert(spark.table("rw.db.t9").count() == 8)
+    // replace id>=5: the survivor rewrite of the vectored file must
+    // apply the pending vectors, or 2,3 come back from the dead
+    spark.range(100, 102).select(col("id"), lit("n").as("v"))
+      .writeTo("rw.db.t9").overwrite(col("id") >= 5)
+    val got = spark.table("rw.db.t9").orderBy("id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(0L, 1L, 4L, 100L, 101L),
+      s"deletion-vector rows resurrected or survivors lost: $got")
+  }
+
+  test("WAP branch: replace-where commits to the branch log; main untouched until publish") {
+    ensureDb()
+    spark.sql("CREATE TABLE rw.db.t10 (id BIGINT, v STRING) USING manifest")
+    spark.sql("INSERT INTO rw.db.t10 SELECT id, 'old' FROM range(0, 10)")
+    spark.sql("CALL rw.system.branch('db.t10', 'stage')")
+    spark.conf.set(GraftCatalog.WapBranchConf, "stage")
+    try {
+      spark.range(0, 2).select(col("id"), lit("new").as("v"))
+        .writeTo("rw.db.t10").overwrite(col("id") < 5)
+      assert(spark.table("rw.db.t10").count() == 7,
+        "branch view must see 5 survivors + 2 replacements")
+    } finally spark.conf.unset(GraftCatalog.WapBranchConf)
+    assert(spark.table("rw.db.t10").count() == 10, "main must be untouched")
+    spark.sql("CALL rw.system.fast_forward('db.t10', 'stage')")
+    assert(spark.table("rw.db.t10").count() == 7, "publish carries the replace")
+  }
+
+  test("incremental read after a whole-pool replace serves only the new batch") {
+    ensureDb()
+    spark.sql("CREATE TABLE rw.db.t11 (id BIGINT, v STRING) USING manifest")
+    spark.sql("INSERT INTO rw.db.t11 SELECT id, 'a' FROM range(0, 10)")
+    spark.sql("INSERT INTO rw.db.t11 SELECT id, 'b' FROM range(10, 20)")
+    spark.range(100, 103).select(col("id"), lit("n").as("v"))
+      .writeTo("rw.db.t11").overwrite(col("id") >= 10)
+    // the whole b-pool matched (no survivor files), so the incremental
+    // window since v2 is exactly the replacement batch
+    val delta = spark.read.option("start_version", "2").table("rw.db.t11")
+      .orderBy("id").collect().map(_.getLong(0)).toSeq
+    assert(delta == Seq(100L, 101L, 102L), s"incremental window: $delta")
+  }
+
   test("bucketed table: survivors and the new batch stay bucketed") {
     ensureDb()
     spark.sql("CREATE TABLE rw.db.t6 (id BIGINT, v STRING) USING manifest " +
