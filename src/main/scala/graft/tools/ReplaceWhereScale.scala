@@ -63,8 +63,10 @@ object ReplaceWhereScale {
       require(n == slices * rowsPerSlice,
         s"row count drifted after scoped replace: $n")
       // the contrast: a whole-table overwrite rewrites everything
+      // (the staging copy builds OUTSIDE the timed block — only the
+      // snapshot overwrite itself is measured)
+      spark.table(s"grw.db.$t").writeTo(s"grw.db.${t}_copy").create()
       val tFull = time {
-        spark.table(s"grw.db.$t").writeTo(s"grw.db.${t}_copy").create()
         spark.table(s"grw.db.${t}_copy").writeTo(s"grw.db.$t").overwrite(lit(true))
       }
       (slices, tScoped, tFull)

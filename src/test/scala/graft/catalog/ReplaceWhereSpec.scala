@@ -167,13 +167,15 @@ class ReplaceWhereSpec extends AnyFunSuite {
     // rows 2,3 are dead but still physically present in the data file
     spark.sql("DELETE FROM rw.db.t9 WHERE id IN (2, 3)")
     assert(spark.table("rw.db.t9").count() == 8)
-    // replace id>=5: the survivor rewrite of the vectored file must
-    // apply the pending vectors, or 2,3 come back from the dead
+    // replace id>=4: the predicate OVERLAPS the file holding the
+    // vectored rows (local[4] splits range(0,10) so 2,3,4 share a file),
+    // forcing that file through the survivor rewrite — if the rewrite
+    // didn't apply the pending vectors, 2,3 would come back from the dead
     spark.range(100, 102).select(col("id"), lit("n").as("v"))
-      .writeTo("rw.db.t9").overwrite(col("id") >= 5)
+      .writeTo("rw.db.t9").overwrite(col("id") >= 4)
     val got = spark.table("rw.db.t9").orderBy("id")
       .collect().map(_.getLong(0)).toSeq
-    assert(got == Seq(0L, 1L, 4L, 100L, 101L),
+    assert(got == Seq(0L, 1L, 100L, 101L),
       s"deletion-vector rows resurrected or survivors lost: $got")
   }
 
