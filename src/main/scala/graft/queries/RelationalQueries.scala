@@ -205,6 +205,19 @@ object RelationalQueries extends QueryModule {
         .limit(25)
     },
 
+    // --- LIMIT ... OFFSET pagination through the SQL front door: Spark 4
+    //     folds the offset into TakeOrderedAndProject (top-(k+offset)
+    //     per partition, one driver-side trim — no global Sort, no
+    //     second pass), the plan shape PlanShapeSpec asserts ---
+    "q64_offset_pagination" -> { (s, d) =>
+      Tables.orders(s, d).createOrReplaceTempView("q64_orders")
+      s.sql("""
+        SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
+        FROM q64_orders
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 10 OFFSET 20""")
+    },
+
     // --- string function family (A6/A14/A23 decomposed) ---
     "q15_string_funcs" -> { (s, d) =>
       Tables.part(s, d)
@@ -312,6 +325,12 @@ object RelationalQueries extends QueryModule {
   )
 
   override val oracle: Map[String, String] = Map(
+    "q64_offset_pagination" ->
+      """SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
+         FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey
+         LIMIT 10 OFFSET 20""",
+
     "q01_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
          round(sum(l_quantity),2) AS sum_qty,

@@ -500,6 +500,31 @@ object TextQueries extends QueryModule {
         .orderBy("lang", "source")
     },
 
+    // --- NORMALIZED exact dedup (qd01's fingerprint hardened for a
+    //     multilingual corpus: accent-fold + casefold via the native
+    //     AccentFold expression, whitespace collapsed, THEN md5 —
+    //     "Café  au  lait" / "cafe au LAIT" / "CAFÉ AU LAIT" collide.
+    //     Same one-groupBy scale shape as qd01; the normalization is
+    //     pure codegen'd row work before the fingerprint ---
+    "qd15_normalized_dedup" -> { (s, d) =>
+      import s.implicits._
+      val crafted = Seq(
+        (1000000L, "Café  au  lait"),
+        (1000001L, "cafe au LAIT"),
+        (1000002L, "CAFÉ AU LAIT"),
+        (1000003L, "something else entirely")).toDF("doc_id", "text")
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        .unionAll(crafted)
+      docs
+        .withColumn("fp", md5(regexp_replace(
+          trim(graft.functions.TextNorm.foldAccents(col("text"))), "\\s+", " ")))
+        .groupBy("fp")
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+        .filter(col("n_copies") > 1)
+        .select("keep_id", "n_copies")
+        .orderBy("keep_id")
+    },
+
     // --- exact n-gram Jaccard near-dup pairs ---
     "qd02_dedup_jaccard" -> { (s, d) =>
       Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",
@@ -1010,6 +1035,23 @@ object TextQueries extends QueryModule {
     "qd01_dedup_exact" ->
       """SELECT lang, source, min(doc_id) AS keep_id, count(*) AS n_dups
          FROM documents GROUP BY lang, source ORDER BY lang, source""",
+
+    // ASCII document rows normalize to lower(text) (verified dataset
+    // property); the crafted accent rows are replayed pre-folded
+    "qd15_normalized_dedup" ->
+      """WITH docs AS (
+           SELECT doc_id, lower(text) AS norm FROM documents
+           UNION ALL
+           SELECT CAST(doc_id AS BIGINT), norm FROM (VALUES
+             (1000000, 'cafe  au  lait'),
+             (1000001, 'cafe au lait'),
+             (1000002, 'cafe au lait'),
+             (1000003, 'something else entirely')) AS t(doc_id, norm)),
+         n AS (SELECT doc_id,
+                 md5(regexp_replace(trim(norm), '\s+', ' ', 'g')) AS fp
+               FROM docs)
+         SELECT min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_copies
+         FROM n GROUP BY fp HAVING count(*) > 1 ORDER BY keep_id""",
 
     "qt07_hash_split" ->
       """SELECT split, count(*) AS n_docs,

@@ -549,6 +549,12 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("Expand"), s"multi-distinct should lower to Expand:\n$p")
   }
 
+  test("q64 LIMIT+OFFSET folds into TakeOrderedAndProject (no global sort, no second pass)") {
+    val p = plan(SparkEntry.queries("q64_offset_pagination")(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), s"no top-k operator:\n$p")
+    assert(!p.contains("Sort ["), s"offset pagination fell back to a global sort:\n$p")
+  }
+
   test("qm06 late materialization: the ranking scan never reads the payload column") {
     val p = plan(SparkEntry.queries("qm06_late_materialization")(spark, sf))
     // two scans of documents: the ranking side must read only metadata
