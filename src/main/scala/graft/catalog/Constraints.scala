@@ -41,6 +41,12 @@ object Constraints {
   /** TBLPROPERTIES key prefix: `graft.constraint.<name>`. */
   val Prefix = "graft.constraint."
 
+  /** RESERVED name of the constraint REPLACE WHERE synthesizes around the
+    * incoming batch. User CHECKs may not claim it (DDL rejects), so
+    * [[violationIn]] attribution is unambiguous: a violation under this
+    * name is always the replace-region check, never a user invariant. */
+  val ReplaceWhereName = "__replace_where__"
+
   /** One named CHECK constraint over the table schema. */
   case class Check(name: String, sql: String)
 
@@ -148,14 +154,17 @@ object Constraints {
   def guard(df: DataFrame, checks: Seq[Check]): DataFrame = {
     if (checks.isEmpty) return df
     val names = df.schema.fieldNames.toSeq
+    // quoted references: a bare col(n) would parse a column NAMED "a.b"
+    // as a nested-field path
+    def q(n: String) = col("`" + n.replace("`", "``") + "`")
     val headName = names.head
     val headType = df.schema.head.dataType
     def wrapped(renderRow: Boolean): DataFrame = {
-      val guarded = checks.foldLeft(col(headName)) { (acc, c) =>
+      val guarded = checks.foldLeft(q(headName)) { (acc, c) =>
         val msg =
           if (renderRow)
             concat(lit(s"CHECK constraint ${c.name} (${c.sql}) violated by row: "),
-              to_json(struct(names.map(col): _*)))
+              to_json(struct(names.map(q): _*)))
           else lit(s"CHECK constraint ${c.name} (${c.sql}) violated by a written row")
         when(violated(c), raise_error(msg).cast(headType)).otherwise(acc)
       }

@@ -356,7 +356,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     require(provider == "manifest",
       s"${ident.name()}: CHECK constraints (${Constraints.Prefix}*) need USING manifest")
     val spark = org.apache.spark.sql.SparkSession.active
-    checks.foreach(c => Constraints.bind(spark, schema, c))
+    checks.foreach { c =>
+      require(c.name != Constraints.ReplaceWhereName,
+        s"${ident.name()}: CHECK constraint name '${c.name}' is reserved " +
+          "for REPLACE WHERE's synthesized region check")
+      Constraints.bind(spark, schema, c)
+    }
     checks.map(c => (c.name, c.sql))
   }
 
@@ -669,6 +674,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           if set.property.startsWith(Constraints.Prefix) =>
         val check = Constraints.Check(
           set.property.stripPrefix(Constraints.Prefix), set.value)
+        require(check.name != Constraints.ReplaceWhereName,
+          s"${ident.name()}: CHECK constraint name '${check.name}' is " +
+            "reserved for REPLACE WHERE's synthesized region check")
         val spark = org.apache.spark.sql.SparkSession.active
         Constraints.bind(spark, schema, check) // loud: parse/resolve/type
         // Delta's ADD CONSTRAINT contract: existing rows must already
@@ -1299,10 +1307,13 @@ object GraftCatalog {
   private[catalog] def stampFieldIds(df: DataFrame, declared: StructType): DataFrame = {
     if (!isMapped(declared)) return df
     import org.apache.spark.sql.functions.col
+    // quote every reference: a bare col(n) would parse a column NAMED
+    // "a.b" as a nested-field path
+    def q(n: String) = col("`" + n.replace("`", "``") + "`")
     df.select(df.schema.fieldNames.toIndexedSeq.map { n =>
       declared.find(_.name == n) match {
-        case Some(d) if d.metadata.contains(FieldIdKey) => col(n).as(n, d.metadata)
-        case _                                          => col(n)
+        case Some(d) if d.metadata.contains(FieldIdKey) => q(n).as(n, d.metadata)
+        case _                                          => q(n)
       }
     }: _*)
   }

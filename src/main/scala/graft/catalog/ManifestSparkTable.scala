@@ -373,8 +373,11 @@ class ManifestSparkTable(dir: String, declared: StructType,
               // NULL predicate results count as violations (an unmatched
               // row would silently survive the next same-predicate
               // replace), hence the coalesce(_, false)
+              // reserved name (user CHECKs may not claim it — enforced at
+              // DDL time) so violationIn attribution can never confuse a
+              // user constraint's failure with the replace-region check
               val replaceCheck = replaceFilters.map(fs =>
-                Constraints.Check("replace_where",
+                Constraints.Check(Constraints.ReplaceWhereName,
                   "coalesce(" + fs.map(f =>
                     ManifestSparkTable.filterToSql(f).getOrElse(
                       throw new IllegalStateException(
@@ -409,16 +412,35 @@ class ManifestSparkTable(dir: String, declared: StructType,
                   // REPLACE WHERE: one atomic version = (files holding
                   // matching rows removed, their survivor rewrites + the
                   // new batch added). No match / empty table degrades to
-                  // a plain append of the batch.
-                  stageRewriteMatching(snapshotPaths, replaceFilters.get,
+                  // an append of the batch — but BOTH arms commit under a
+                  // conflict guard: a file appended concurrently between
+                  // this discovery snapshot and the commit whose stats
+                  // may-match the predicate ABORTS the commit (its rows
+                  // would silently survive the replace — the implicit
+                  // carry-over rebase rule is wrong for a scoped
+                  // overwrite); stats-disjoint appends still carry over.
+                  val snap = snapshotPaths
+                  // snapshotPaths are built as s"$dir/$f" — strip that
+                  // exact prefix back off (relNameIn expects the scan's
+                  // QUALIFIED rendering, which these are not)
+                  val snapRel = snap.map(_.stripPrefix(dir + "/")).toSet
+                  val guard = Some((snapRel,
+                    (_: String, st: Option[graft.core.FileStats.Stats]) =>
+                      st.forall(s => replaceFilters.get.forall(
+                        graft.core.FileStats.mayMatchFilter(_, s, declared)))))
+                  stageRewriteMatching(snap, replaceFilters.get,
                       cond) match {
                     case Some((removed, survivors, dvs)) =>
                       ManifestTable.commitRewrite(logDir, removed = removed,
                         added = survivors ++ files,
                         expectedDvs = Some(dvs), dataDir = Some(dir),
-                        ndvCols = ndvCols)
+                        ndvCols = ndvCols, conflictGuard = guard)
                       ()
-                    case None => appendStaged()
+                    case None =>
+                      ManifestTable.commitRewrite(logDir, removed = Nil,
+                        added = files, dataDir = Some(dir),
+                        ndvCols = ndvCols, conflictGuard = guard)
+                      ()
                   }
                 case None if overwrite || overwriteFlag =>
                   ManifestTable.commitStagedSnapshot(logDir, files,
@@ -529,8 +551,17 @@ object ManifestSparkTable {
     case _ => None
   }
 
-  private def attrSql(a: String): String =
-    a.split('.').map(p => s"`${p.replace("`", "``")}`").mkString(".")
+  /** SQL identifier for a v1 Filter attribute. Filter attributes arrive
+    * as DOT-JOINED nested paths — but a top-level column whose NAME
+    * contains a dot arrives already backtick-quoted
+    * (`FieldReference.toString` quotes such parts), and splitting that on
+    * '.' would mangle it into a different identifier. No faithful
+    * re-parse is worth the ambiguity, so quoted attributes render as None
+    * — canOverwrite then refuses the predicate loudly instead of
+    * enforcing a misresolved constraint. */
+  private def attrSql(a: String): Option[String] =
+    if (a.contains('`')) None
+    else Some(a.split('.').map(p => s"`$p`").mkString("."))
 
   private def litSqlOf(v: Any): Option[String] = v match {
     case null => Some("NULL")
@@ -567,25 +598,25 @@ object ManifestSparkTable {
     * Semantically aligned with filterToColumn case by case; None for any
     * shape (or literal type) without a faithful rendering. */
   private[catalog] def filterToSql(f: Filter): Option[String] = f match {
-    case sources.EqualTo(a, v)            => litSqlOf(v).map(l => s"(${attrSql(a)} = $l)")
-    case sources.EqualNullSafe(a, v)      => litSqlOf(v).map(l => s"(${attrSql(a)} <=> $l)")
-    case sources.GreaterThan(a, v)        => litSqlOf(v).map(l => s"(${attrSql(a)} > $l)")
-    case sources.GreaterThanOrEqual(a, v) => litSqlOf(v).map(l => s"(${attrSql(a)} >= $l)")
-    case sources.LessThan(a, v)           => litSqlOf(v).map(l => s"(${attrSql(a)} < $l)")
-    case sources.LessThanOrEqual(a, v)    => litSqlOf(v).map(l => s"(${attrSql(a)} <= $l)")
+    case sources.EqualTo(a, v)            => for (at <- attrSql(a); l <- litSqlOf(v)) yield s"($at = $l)"
+    case sources.EqualNullSafe(a, v)      => for (at <- attrSql(a); l <- litSqlOf(v)) yield s"($at <=> $l)"
+    case sources.GreaterThan(a, v)        => for (at <- attrSql(a); l <- litSqlOf(v)) yield s"($at > $l)"
+    case sources.GreaterThanOrEqual(a, v) => for (at <- attrSql(a); l <- litSqlOf(v)) yield s"($at >= $l)"
+    case sources.LessThan(a, v)           => for (at <- attrSql(a); l <- litSqlOf(v)) yield s"($at < $l)"
+    case sources.LessThanOrEqual(a, v)    => for (at <- attrSql(a); l <- litSqlOf(v)) yield s"($at <= $l)"
     case sources.In(a, vs) =>
       if (vs.isEmpty) Some("FALSE")
       else {
         val ls = vs.toSeq.map(litSqlOf)
         if (ls.forall(_.isDefined))
-          Some(s"(${attrSql(a)} IN (${ls.flatten.mkString(", ")}))")
+          attrSql(a).map(at => s"($at IN (${ls.flatten.mkString(", ")}))")
         else None
       }
-    case sources.IsNull(a)                => Some(s"(${attrSql(a)} IS NULL)")
-    case sources.IsNotNull(a)             => Some(s"(${attrSql(a)} IS NOT NULL)")
-    case sources.StringStartsWith(a, v)   => litSqlOf(v).map(l => s"startswith(${attrSql(a)}, $l)")
-    case sources.StringEndsWith(a, v)     => litSqlOf(v).map(l => s"endswith(${attrSql(a)}, $l)")
-    case sources.StringContains(a, v)     => litSqlOf(v).map(l => s"contains(${attrSql(a)}, $l)")
+    case sources.IsNull(a)                => attrSql(a).map(at => s"($at IS NULL)")
+    case sources.IsNotNull(a)             => attrSql(a).map(at => s"($at IS NOT NULL)")
+    case sources.StringStartsWith(a, v)   => for (at <- attrSql(a); l <- litSqlOf(v)) yield s"startswith($at, $l)"
+    case sources.StringEndsWith(a, v)     => for (at <- attrSql(a); l <- litSqlOf(v)) yield s"endswith($at, $l)"
+    case sources.StringContains(a, v)     => for (at <- attrSql(a); l <- litSqlOf(v)) yield s"contains($at, $l)"
     case sources.AlwaysTrue()             => Some("TRUE")
     case sources.AlwaysFalse()            => Some("FALSE")
     case sources.And(l, r) =>

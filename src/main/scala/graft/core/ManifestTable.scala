@@ -798,16 +798,40 @@ object ManifestTable {
     * rewrite never read, so write-serializable isolation allows them); if
     * a concurrent writer replaced or removed any file in `removed`, this
     * rewrite read stale data and the commit ABORTS with
-    * `ConcurrentModificationException` — rerun the DML. */
+    * `ConcurrentModificationException` — rerun the DML.
+    *
+    * `conflictGuard` (REPLACE WHERE): `(discoverySnapshot, mayConflict)`.
+    * The implicit carry-over rule above is WRONG for a predicate-scoped
+    * overwrite — its contract is "after this version, every row matching
+    * the predicate came from this batch", so a file appended concurrently
+    * (present in the base state, absent from the snapshot discovery ran
+    * against) whose stats MAY hold a matching row would silently survive
+    * the replace. When the guard reports such a file, the commit ABORTS
+    * (Delta raises the same concurrent-append conflict on the read
+    * predicate) instead of committing a contract-violating version; a
+    * concurrent file that provably cannot match still carries over. */
   def commitRewrite(dir: String, removed: Seq[String], added: Seq[String],
                     expectedDvs: Option[Map[String, DeletionVectors.DvRef]] = None,
                     dataDir: Option[String] = None,
-                    ndvCols: Seq[String] = Nil): Long = {
+                    ndvCols: Seq[String] = Nil,
+                    conflictGuard: Option[(Set[String],
+                      (String, Option[FileStats.Stats]) => Boolean)] = None): Long = {
     val rm = removed.toSet
     val st = collectStats(dataDir.getOrElse(dir), added, ndvCols)
     commitLoop(dir) { base =>
       val baseState = base.map(state(dir, _))
         .getOrElse(TableState(Seq.empty, Map.empty, Map.empty))
+      conflictGuard.foreach { case (snapshot, mayConflict) =>
+        val conflicting = baseState.files
+          .filterNot(snapshot).filter(f => mayConflict(f, baseState.stats.get(f)))
+        if (conflicting.nonEmpty)
+          throw new java.util.ConcurrentModificationException(
+            s"REPLACE WHERE on $dir aborted: files appended concurrently " +
+              s"since the replace scanned the table may hold rows matching " +
+              s"its predicate (${conflicting.take(3).mkString(", ")}${
+                if (conflicting.size > 3) ", …" else ""}) — committing " +
+              "would silently keep them; rerun the replace")
+      }
       val filesLive = rm.subsetOf(baseState.files.toSet)
       // a rewrite that READ its input (DML, purge) applied the deletion
       // vectors it saw at scan time; a DIFFERENT vector on any rewritten

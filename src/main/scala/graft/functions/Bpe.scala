@@ -12,10 +12,10 @@ import org.apache.spark.sql.functions._
   * counts words, the top-`vocabWords` rows (count desc, word asc — the
   * deterministic bounded-model pattern) come to the driver, and merge
   * learning iterates over that bounded table in memory. Encoding is
-  * likewise word-granular: DISTINCT words are encoded once (mapPartitions
-  * with the broadcast O(numMerges) rank table — cost ∝ vocabulary, not
-  * corpus rows) and joined back, so a 100 TB corpus pays one word count,
-  * one distinct-word encode, and one join.
+  * likewise word-granular: a pure per-row map whose closure memoizes
+  * word→tokens per task over the broadcast O(numMerges) rank table (see
+  * [[encode]]) — each task encodes its distinct words once, so a 100 TB
+  * corpus pays one word count plus map-only, exchange-free row work.
   *
   * Determinism (oracle-replayable): pair counts are adjacent-position
   * (zip-tail) counts weighted by word frequency; the merge chosen each

@@ -1280,7 +1280,8 @@ object CoverageQueries extends QueryModule {
           false
         } catch {
           case e: Exception =>
-            graft.catalog.Constraints.violationIn(e, "replace_where")
+            graft.catalog.Constraints.violationIn(e,
+              graft.catalog.Constraints.ReplaceWhereName)
         }
       s.table("graft_cat.db.rw51")
         .groupBy("lang")

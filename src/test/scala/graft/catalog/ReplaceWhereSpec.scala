@@ -89,9 +89,8 @@ class ReplaceWhereSpec extends AnyFunSuite {
       spark.range(50, 52).select(col("id"), lit("bad").as("v"))
         .writeTo("rw.db.t3").overwrite(col("id") < 3) // 50,51 violate id<3
     }
-    assert(e.getMessage.contains("replace_where") ||
-      Option(e.getCause).exists(_.getMessage.contains("replace_where")),
-      s"expected the replace_where constraint in: ${e.getMessage}")
+    assert(Constraints.violationIn(e, Constraints.ReplaceWhereName),
+      s"expected the replace-where constraint in: ${e.getMessage}")
     assert(versionCount("t3") == vBefore, "no version may land")
     assert(currentFiles("t3") == filesBefore, "snapshot untouched")
   }
@@ -138,7 +137,7 @@ class ReplaceWhereSpec extends AnyFunSuite {
           spark.range(20, 21).select(col("id"), lit("plain").as("v"))
             .writeTo("rw.db.t8").overwrite(col("v") === "O'Brien")
         }
-        assert(Constraints.violationIn(e, "replace_where"),
+        assert(Constraints.violationIn(e, Constraints.ReplaceWhereName),
           s"mode=$mode: ${e.getMessage}")
       } finally spark.conf.set("spark.sql.parser.escapedStringLiterals", prev)
     }
@@ -162,15 +161,20 @@ class ReplaceWhereSpec extends AnyFunSuite {
     ensureDb()
     spark.sql("CREATE TABLE rw.db.t9 (id BIGINT, v STRING) USING manifest " +
       "TBLPROPERTIES ('graft.dml.mode' = 'merge-on-read')")
-    spark.sql("INSERT INTO rw.db.t9 SELECT id, 'k' FROM range(0, 10)")
+    // ONE file holds ids 0-9 (explicit coalesce — the overlap this test
+    // exists to exercise must not depend on default parallelism's split)
+    spark.range(0, 10).coalesce(1)
+      .select(col("id"), lit("k").as("v")).writeTo("rw.db.t9").append()
+    assert(currentFiles("t9").size == 1,
+      "fixture precondition: vectored rows and replaced rows share a file")
     // conditioned DELETE on a MoR table writes deletion vectors —
     // rows 2,3 are dead but still physically present in the data file
     spark.sql("DELETE FROM rw.db.t9 WHERE id IN (2, 3)")
     assert(spark.table("rw.db.t9").count() == 8)
-    // replace id>=4: the predicate OVERLAPS the file holding the
-    // vectored rows (local[4] splits range(0,10) so 2,3,4 share a file),
-    // forcing that file through the survivor rewrite — if the rewrite
-    // didn't apply the pending vectors, 2,3 would come back from the dead
+    // replace id>=4: the predicate OVERLAPS the single file holding the
+    // vectored rows, forcing that file through the survivor rewrite — if
+    // the rewrite didn't apply the pending vectors, 2,3 would come back
+    // from the dead
     spark.range(100, 102).select(col("id"), lit("n").as("v"))
       .writeTo("rw.db.t9").overwrite(col("id") >= 4)
     val got = spark.table("rw.db.t9").orderBy("id")
@@ -208,6 +212,86 @@ class ReplaceWhereSpec extends AnyFunSuite {
     val delta = spark.read.option("start_version", "2").table("rw.db.t11")
       .orderBy("id").collect().map(_.getLong(0)).toSeq
     assert(delta == Seq(100L, 101L, 102L), s"incremental window: $delta")
+  }
+
+  test("conflict guard: concurrent may-matching append aborts; disjoint append carries over") {
+    import org.apache.spark.sql.{sources, types => T}
+    import graft.core.FileStats
+    val dir = "file://" + Files.createTempDirectory("graft_rw_guard_").toString
+    val schema = T.StructType(Seq(
+      T.StructField("id", T.LongType), T.StructField("v", T.StringType)))
+    def pool(lo: Long, hi: Long) = ManifestTable.stagePool(
+      spark.range(lo, hi).select(col("id"), lit("k").as("v")).coalesce(1), dir)
+    ManifestTable.commitStagedAppend(dir, pool(0, 5)) // v1
+    // the replace's discovery snapshot = v1's files; predicate id >= 3
+    val snap = ManifestTable.manifest(dir, 1L).toSet
+    val filters = Array[sources.Filter](sources.GreaterThanOrEqual("id", 3L))
+    def guard = Some((snap,
+      (_: String, st: Option[FileStats.Stats]) =>
+        st.forall(s => filters.forall(FileStats.mayMatchFilter(_, s, schema)))))
+    // a writer lands ids 3-9 AFTER discovery, BEFORE the replace commits:
+    // its stats may-match id >= 3, so the rebase must ABORT — an implicit
+    // carry-over would keep predicate-matching rows the replace never saw
+    ManifestTable.commitStagedAppend(dir, pool(3, 10)) // v2, the racer
+    val e = intercept[java.util.ConcurrentModificationException] {
+      ManifestTable.commitRewrite(dir, removed = snap.toSeq.sorted,
+        added = pool(100, 102), conflictGuard = guard)
+    }
+    assert(e.getMessage.contains("REPLACE WHERE"), e.getMessage)
+    assert(ManifestTable.currentVersion(dir) === Some(2L), "no version lands")
+    // same race with a PROVABLY-DISJOINT concurrent file (ids 0-2, all
+    // below the id >= 3 predicate): its min/max stats prove no row can
+    // match, so the rewrite rebases over it like any DML carry-over
+    val dir2 = "file://" + Files.createTempDirectory("graft_rw_guard2_").toString
+    def pool2(lo: Long, hi: Long) = ManifestTable.stagePool(
+      spark.range(lo, hi).select(col("id"), lit("k").as("v")).coalesce(1), dir2)
+    ManifestTable.commitStagedAppend(dir2, pool2(3, 8)) // v1: all match id>=3
+    val snap2 = ManifestTable.manifest(dir2, 1L).toSet
+    val disjoint = pool2(0, 3) // ids 0-2: stats-disjoint from id >= 3
+    ManifestTable.commitStagedAppend(dir2, disjoint)    // v2, the racer
+    val guard2 = Some((snap2,
+      (_: String, st: Option[FileStats.Stats]) =>
+        st.forall(s => filters.forall(FileStats.mayMatchFilter(_, s, schema)))))
+    val v = ManifestTable.commitRewrite(dir2, removed = snap2.toSeq.sorted,
+      added = pool2(100, 102), conflictGuard = guard2)
+    assert(v === 3L)
+    val live = ManifestTable.read(spark, dir2).select("id")
+      .collect().map(_.getLong(0)).toSeq.sorted
+    assert(live == Seq(0L, 1L, 2L, 100L, 101L), s"carry-over broken: $live")
+  }
+
+  test("a top-level column named with a dot refuses replace-where loudly (no mangled constraint)") {
+    ensureDb()
+    spark.sql("CREATE TABLE rw.db.t13 (`a.b` BIGINT, v STRING) USING manifest")
+    spark.sql("INSERT INTO rw.db.t13 SELECT id, 'k' FROM range(0, 5)")
+    val vBefore = versionCount("t13")
+    // FieldReference quotes the dotted name, so the v1 Filter attribute
+    // arrives backticked; filterToSql must refuse (None) rather than
+    // split-and-requote it into a different identifier — canOverwrite
+    // then rejects the predicate before any write
+    val e = intercept[Exception] {
+      spark.range(10, 12).select(col("id").as("a.b"), lit("n").as("v"))
+        .writeTo("rw.db.t13").overwrite(col("`a.b`") >= 0)
+    }
+    assert(!Constraints.violationIn(e, Constraints.ReplaceWhereName),
+      s"must refuse the predicate, not misenforce it: ${e.getMessage}")
+    assert(versionCount("t13") == vBefore, "no version may land")
+    assert(spark.table("rw.db.t13").count() == 5)
+  }
+
+  test("user CHECK constraints may not claim the reserved replace-where name") {
+    ensureDb()
+    val e1 = intercept[Exception] {
+      spark.sql("CREATE TABLE rw.db.t14 (id BIGINT) USING manifest " +
+        s"TBLPROPERTIES ('${Constraints.Prefix}${Constraints.ReplaceWhereName}' = 'id > 0')")
+    }
+    assert(e1.getMessage.contains("reserved"), e1.getMessage)
+    spark.sql("CREATE TABLE rw.db.t15 (id BIGINT) USING manifest")
+    val e2 = intercept[Exception] {
+      spark.sql("ALTER TABLE rw.db.t15 SET TBLPROPERTIES " +
+        s"('${Constraints.Prefix}${Constraints.ReplaceWhereName}' = 'id > 0')")
+    }
+    assert(e2.getMessage.contains("reserved"), e2.getMessage)
   }
 
   test("bucketed table: survivors and the new batch stay bucketed") {
