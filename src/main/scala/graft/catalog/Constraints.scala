@@ -50,6 +50,12 @@ object Constraints {
   /** One named CHECK constraint over the table schema. */
   case class Check(name: String, sql: String)
 
+  /** Backtick-quoted column reference: THE way any catalog write path
+    * must reference a column by name — a bare col(n) would parse a
+    * column NAMED "a.b" as a nested-field path. */
+  private[catalog] def qcol(n: String): org.apache.spark.sql.Column =
+    col("`" + n.replace("`", "``") + "`")
+
   /** The declared checks among table properties, name-sorted (stable
     * enforcement and display order). */
   def fromProperties(props: scala.collection.Map[String, String]): Seq[Check] =
@@ -154,9 +160,7 @@ object Constraints {
   def guard(df: DataFrame, checks: Seq[Check]): DataFrame = {
     if (checks.isEmpty) return df
     val names = df.schema.fieldNames.toSeq
-    // quoted references: a bare col(n) would parse a column NAMED "a.b"
-    // as a nested-field path
-    def q(n: String) = col("`" + n.replace("`", "``") + "`")
+    val q = qcol _
     val headName = names.head
     val headType = df.schema.head.dataType
     def wrapped(renderRow: Boolean): DataFrame = {

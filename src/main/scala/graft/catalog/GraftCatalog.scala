@@ -73,7 +73,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * at analysis time. The connector never evaluates anything. */
   override def capabilities(): java.util.Set[org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
     java.util.EnumSet.of(
-      org.apache.spark.sql.connector.catalog.TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE,
+      // GENERATED ALWAYS AS IDENTITY: the spec rides the schema JSON as
+      // catalyst's identity.* metadata keys; value allocation and the
+      // explicit-insert contract live in the write path
+      // (graft.catalog.IdentityColumns)
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_IDENTITY_COLUMNS)
 
   private def fs = LakeStorage.openFor(root)
 
@@ -265,6 +270,35 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case other => throw new IllegalStateException(
         s"table ${ident.name()}: unknown provider '$other' in $dir/$MetaFile")
     }
+  }
+
+  /** The v2-Column overload is the ONLY path that sees identity specs —
+    * the default interface method's `v2ColumnsToStructType` conversion
+    * DROPS `identityColumnSpec()` (unlike defaults, which ride the
+    * metadata), so re-attach each spec as catalyst's own `identity.*`
+    * metadata keys before the schema-based path persists the descriptor.
+    * Round-trip is then free: `structFieldToV2Column` reads exactly
+    * these keys back into `Column.identityColumnSpec()`. */
+  override def createTable(ident: Identifier,
+                           columns: Array[org.apache.spark.sql.connector.catalog.Column],
+                           partitions: Array[Transform],
+                           properties: JMap[String, String]): Table = {
+    val schema = org.apache.spark.sql.graftbridge.CatalogV2UtilBridge
+      .v2ColumnsToStructType(columns)
+    val withIdentity = StructType(schema.fields.zip(columns).map {
+      case (f, c) =>
+        Option(c.identityColumnSpec()) match {
+          case Some(spec) => f.copy(metadata =
+            new org.apache.spark.sql.types.MetadataBuilder()
+              .withMetadata(f.metadata)
+              .putLong(IdentityColumns.StartKey, spec.getStart)
+              .putLong(IdentityColumns.StepKey, spec.getStep)
+              .putBoolean(IdentityColumns.ExplicitKey, spec.isAllowExplicitInsert)
+              .build())
+          case None => f
+        }
+    })
+    createTable(ident, withIdentity, partitions, properties)
   }
 
   override def createTable(ident: Identifier, schema: StructType,
@@ -1013,6 +1047,104 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     (forkV, pin)
   }
 
+  /** DEEP clone — the DR / storage-tier migration primitive the zero-copy
+    * clone deliberately is not: physically copy the source's referenced
+    * pools (data files AND deletion-vector files) of ONE consistent
+    * snapshot to the target's own root, rebuild a one-version log over
+    * them (stats carried VERBATIM from the source log — no re-harvest,
+    * bit-identical skipping bounds), and verify every copy by md5 content
+    * hash before the target commits. The target owns its data plane
+    * outright: vacuuming or dropping the source afterwards cannot touch
+    * it. A temporary clone pin protects the source snapshot from vacuum
+    * FOR THE DURATION of the copy and is dropped on every exit path.
+    * Returns (clonedVersion, filesCopied, bytesCopied). */
+  private[catalog] def createDeepCloneTable(srcIdent: Identifier,
+      dstIdent: Identifier, version: Option[Long]): (Long, Long, Long) = {
+    val srcDir = tableDir(srcIdent)
+    val meta = readMeta(srcDir).getOrElse(throw new NoSuchTableException(srcIdent))
+    require(meta.provider == "manifest",
+      s"clone applies to manifest tables only; '${srcIdent.name()}' is a " +
+        s"${meta.provider} table")
+    require(meta.cloneBranch.isEmpty,
+      s"'${srcIdent.name()}' is a zero-copy clone — deep-clone the original " +
+        "table (a shallow clone's private lineage lives in a branch log, " +
+        "not a version of the shared data plane)")
+    val ns = dstIdent.namespace()
+    if (ns.nonEmpty && !fs.exists(new Path(nsDir(ns))))
+      throw new NoSuchNamespaceException(ns)
+    val dstDir = tableDir(dstIdent)
+    if (fs.exists(new Path(dstDir, MetaFile)))
+      throw new TableAlreadyExistsException((ns :+ dstIdent.name()).toSeq)
+    val dataDir = meta.location.getOrElse(srcDir)
+    val pin = graft.core.ManifestTable.CloneBranchPrefix +
+      "deep." + (ns :+ dstIdent.name()).mkString(".")
+    val v = graft.core.ManifestTable.createBranch(dataDir, pin, version)
+    try {
+      val st = graft.core.ManifestTable.state(dataDir, v)
+      val srcFs = graft.core.LakeStorage.openFor(dataDir)
+      val dstFs = graft.core.LakeStorage.openFor(dstDir)
+      dstFs.mkdirs(new Path(dstDir))
+      val toCopy = (st.files ++ st.dvs.valuesIterator.map(_.path).toSeq).sorted
+      // bounded parallel copy+verify: the migration is I/O-bound, and a
+      // single-stream driver loop would make the DR move it exists for
+      // crawl (each file is still read twice BY CONTRACT — once copying,
+      // once re-hashing the written target)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(16, math.max(1, toCopy.length)))
+      val bytes = try {
+        val futures = toCopy.map { rel =>
+          pool.submit(new java.util.concurrent.Callable[Long] {
+            override def call(): Long = copyVerified(srcFs,
+              new Path(dataDir, rel), dstFs, new Path(dstDir, rel))
+          })
+        }
+        futures.map(_.get()).sum
+      } finally pool.shutdown()
+      graft.core.ManifestTable.commitStagedSnapshot(dstDir, st.files,
+        stats = Some(st.stats), dvs = st.dvs)
+      if (!writeMeta(dstDir, meta.copy(location = None, cloneBranch = None)))
+        throw new TableAlreadyExistsException((ns :+ dstIdent.name()).toSeq)
+      (v, toCopy.length.toLong, bytes)
+    } finally {
+      graft.core.ManifestTable.dropBranch(dataDir, pin); ()
+    }
+  }
+
+  /** Copy one file and prove the copy: md5 is computed over the source
+    * stream WHILE copying, then the written target is re-read and hashed
+    * — a torn or bit-flipped copy fails here, before the migrated table
+    * can commit over it. Returns the byte count. */
+  private def copyVerified(srcFs: org.apache.hadoop.fs.FileSystem, src: Path,
+                           dstFs: org.apache.hadoop.fs.FileSystem, dst: Path): Long = {
+    def digest(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+    val srcMd5 = digest()
+    var bytes = 0L
+    val in = srcFs.open(src)
+    val out = dstFs.create(dst, false)
+    try {
+      val buf = new Array[Byte](1 << 20)
+      var n = in.read(buf)
+      while (n >= 0) {
+        if (n > 0) { srcMd5.update(buf, 0, n); out.write(buf, 0, n); bytes += n }
+        n = in.read(buf)
+      }
+    } finally { in.close(); out.close() }
+    val dstMd5 = digest()
+    val back = dstFs.open(dst)
+    try {
+      val buf = new Array[Byte](1 << 20)
+      var n = back.read(buf)
+      while (n >= 0) {
+        if (n > 0) dstMd5.update(buf, 0, n)
+        n = back.read(buf)
+      }
+    } finally back.close()
+    require(java.util.Arrays.equals(srcMd5.digest(), dstMd5.digest()),
+      s"deep clone copy verification failed: $src -> $dst content hash mismatch")
+    bytes
+  }
+
   // ---- namespaces ----
 
   override def listNamespaces(): Array[Array[String]] = {
@@ -1306,10 +1438,7 @@ object GraftCatalog {
     * later read resolves by id). No-op for unmapped tables. */
   private[catalog] def stampFieldIds(df: DataFrame, declared: StructType): DataFrame = {
     if (!isMapped(declared)) return df
-    import org.apache.spark.sql.functions.col
-    // quote every reference: a bare col(n) would parse a column NAMED
-    // "a.b" as a nested-field path
-    def q(n: String) = col("`" + n.replace("`", "``") + "`")
+    val q = Constraints.qcol _
     df.select(df.schema.fieldNames.toIndexedSeq.map { n =>
       declared.find(_.name == n) match {
         case Some(d) if d.metadata.contains(FieldIdKey) => q(n).as(n, d.metadata)

@@ -581,7 +581,12 @@ private[catalog] object GraftProcedures {
     override def parameters(): Array[ProcedureParameter] = Array(
       ProcedureParameter.in("table", StringType).build(),
       ProcedureParameter.in("target", StringType).build(),
-      ProcedureParameter.in("version", LongType).defaultValue("-1").build())
+      ProcedureParameter.in("version", LongType).defaultValue("-1").build(),
+      // deep => true: PHYSICAL migration — copy the snapshot's pools (and
+      // vector files) to the target's own root, rebuild a one-version
+      // log, verify every file by content hash; the target then owes the
+      // source nothing (DR / storage-tier move). Default stays zero-copy.
+      ProcedureParameter.in("deep", BooleanType).defaultValue("false").build())
     override def call(input: InternalRow): JIterator[Scan] = {
       def ident(arg: String): Identifier = {
         val parts = arg.split("\\.")
@@ -593,13 +598,24 @@ private[catalog] object GraftProcedures {
         case -1L => None
         case v   => require(v >= 0, s"clone: version must be >= 0, got $v"); Some(v)
       }
-      val (forkV, pin) = catalog.createCloneTable(
-        ident(input.getString(0)), ident(input.getString(1)), version)
-      result(
-        StructType(Seq(
-          StructField("cloned_version", LongType, nullable = false),
-          StructField("pin", StringType, nullable = false))),
-        forkV, UTF8String.fromString(pin))
+      if (input.getBoolean(3)) {
+        val (forkV, files, bytes) = catalog.createDeepCloneTable(
+          ident(input.getString(0)), ident(input.getString(1)), version)
+        result(
+          StructType(Seq(
+            StructField("cloned_version", LongType, nullable = false),
+            StructField("pin", StringType, nullable = false))),
+          forkV, UTF8String.fromString(
+            s"deep(files=$files, bytes=$bytes, verified=md5)"))
+      } else {
+        val (forkV, pin) = catalog.createCloneTable(
+          ident(input.getString(0)), ident(input.getString(1)), version)
+        result(
+          StructType(Seq(
+            StructField("cloned_version", LongType, nullable = false),
+            StructField("pin", StringType, nullable = false))),
+          forkV, UTF8String.fromString(pin))
+      }
     }
   }
 

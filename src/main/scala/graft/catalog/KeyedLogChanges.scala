@@ -16,6 +16,12 @@ import graft.sources.{KeyedLogConf, KeyedLogPartition, KeyedLogReaderFactory, Ke
   *   spark.read.option("start_version", 0)          -- required; -1 = from the beginning
   *        .option("end_version", 5)                 -- default: journal head
   *        .table("cat.db.t.changes")
+  *
+  *   spark.readStream                               -- STREAMING: offset = journal version
+  *        .option("start_version", 3)               -- optional seed; default -1 (everything)
+  *        .option("maxVersionsPerTrigger", 2)       -- admission control
+  *        .option("maxFilesPerTrigger", 16)
+  *        .table("cat.db.t.changes")
   * }}}
   *
   * The journal is insert-only except compaction, so the feed has two row
@@ -28,7 +34,10 @@ import graft.sources.{KeyedLogConf, KeyedLogPartition, KeyedLogReaderFactory, Ke
   * last rewrite in the window are superseded by it — their content is a
   * subset of the rewrite rows — so the feed serves the last rewrite plus
   * every later insert, applying the same upsert semantics incremental
-  * consumers already get from the windowed scan.
+  * consumers already get from the windowed scan. A STREAM applies this
+  * rule per micro-batch window: versions already emitted by earlier
+  * batches stay emitted, and the batch carrying a rewrite emits it as
+  * the refresh event the consumer applies.
   *
   * Reading ships each served file as one [[KeyedLogPartition]] through the
   * connector's own reader, wrapped with the same literal-append
@@ -41,19 +50,27 @@ class KeyedLogChangesTable(dir: String) extends Table with SupportsRead {
     StructType(KeyedLogSource.schema.fields :+
       StructField(ManifestChangesTable.ChangeCol, StringType, nullable = false))
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
 
+  /** Batch reads want an explicit window (`start_version` required,
+    * enforced at plan time); a STREAM seeds its cursor from
+    * `start_version` when given, else -1 (the full journal arrives as
+    * the first batches) — the same split the manifest feed makes. */
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
-    val start = Option(options.get("start_version")).map(_.toLong).getOrElse(
-      throw new IllegalArgumentException(
-        s"${name()}: t.changes needs .option(\"start_version\", v)"))
+    val start = Option(options.get("start_version")).map(_.toLong)
     val end = Option(options.get("end_version")).map(_.toLong)
-    () => KeyedLogChangesScan(dir, start, end)
+    val maxV = Option(options.get("maxVersionsPerTrigger")).map(_.toLong)
+    val maxF = Option(options.get("maxFilesPerTrigger")).map(_.toLong)
+    () => KeyedLogChangesScan(dir, start, end, maxV, maxF)
   }
 }
 
-case class KeyedLogChangesScan(dir: String, startVersion: Long,
-                               endVersion: Option[Long]) extends Scan with Batch {
+case class KeyedLogChangesScan(dir: String, startVersion: Option[Long],
+                               endVersion: Option[Long],
+                               maxVersionsPerTrigger: Option[Long] = None,
+                               maxFilesPerTrigger: Option[Long] = None)
+    extends Scan with Batch {
 
   private val conf = KeyedLogConf.capture()
 
@@ -62,15 +79,48 @@ case class KeyedLogChangesScan(dir: String, startVersion: Long,
       StructField(ManifestChangesTable.ChangeCol, StringType, nullable = false))
   override def toBatch: Batch = this
   override def description(): String =
-    s"KeyedLogChangesScan($dir, $startVersion..${endVersion.getOrElse("head")})"
+    s"KeyedLogChangesScan($dir, ${startVersion.getOrElse("?")}.." +
+      s"${endVersion.getOrElse("head")})"
 
-  /** (version, tag, file names) per served change group.
+  override def planInputPartitions(): Array[InputPartition] = {
+    val start = startVersion.getOrElse(throw new IllegalArgumentException(
+      s"changes($dir): t.changes needs .option(\"start_version\", v)"))
+    val committed = KeyedLogVersionLog.versions(dir, conf)
+    require(start == -1L || committed.contains(start),
+      s"start_version $start is not journaled under $dir " +
+        s"(journaled: ${committed.mkString(",")}) — compacted past the cursor?")
+    val end = endVersion.getOrElse(committed.lastOption.getOrElse(-1L))
+    require(end == -1L || committed.contains(end),
+      s"end_version $end is not journaled under $dir")
+    require(end >= start,
+      s"end_version $end precedes start_version $start")
+    KeyedLogChanges.windowPartitions(dir, conf, start, end)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    KeyedLogChanges.readerFactory(conf)
+
+  /** The journal feed as a STREAM: offset = journal version, each
+    * micro-batch = that window's change rows — the keyedlog arm of the
+    * manifest change stream (qs16), sharing its offset/AvailableNow/
+    * throttle contract. A CDC replica over the document store follows
+    * the journal without polling version windows by hand. */
+  override def toMicroBatchStream(checkpointLocation: String):
+      org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new KeyedLogChangesMicroBatchStream(dir, startVersion.getOrElse(-1L),
+      maxVersionsPerTrigger, maxFilesPerTrigger)
+}
+
+private[catalog] object KeyedLogChanges {
+
+  /** (version, tag, file names) per served change group of the window
+    * (from, to].
     *
     * Entry kinds in the window:
     *  - plain commit → its fresh names tagged `insert` (post-images);
     *  - FULL rewrite (compaction / metadata delete journaled without an
     *    rm set by an older revision) → the whole post-rewrite set tagged
-    *    `rewrite`, superseding every earlier version in the window;
+    *    `rewrite`, superseding every earlier version IN THE WINDOW;
     *  - ROW-LEVEL rewrite (rm/ad recorded — UPDATE, MERGE, CoW or
     *    metadata DELETE) → the replaced files' pre-images tagged
     *    `delete` (served from their `.rm-v<version>-` tombstones) plus
@@ -79,17 +129,11 @@ case class KeyedLogChangesScan(dir: String, startVersion: Long,
     *    of a rewritten file appear in both images; applying delete-then-
     *    insert reproduces the exact post-state). Row-level rewrites do
     *    NOT supersede earlier entries — they touched only their rm set. */
-  private lazy val served: Seq[(Long, String, Seq[String])] = {
+  def served(dir: String,
+             conf: org.apache.spark.util.SerializableConfiguration,
+             from: Long, to: Long): Seq[(Long, String, Seq[String])] = {
     val committed = KeyedLogVersionLog.versions(dir, conf)
-    require(startVersion == -1L || committed.contains(startVersion),
-      s"start_version $startVersion is not journaled under $dir " +
-        s"(journaled: ${committed.mkString(",")}) — compacted past the cursor?")
-    val end = endVersion.getOrElse(committed.lastOption.getOrElse(-1L))
-    require(end == -1L || committed.contains(end),
-      s"end_version $end is not journaled under $dir")
-    require(end >= startVersion,
-      s"end_version $end precedes start_version $startVersion")
-    val window = committed.filter(v => v > startVersion && v <= end)
+    val window = committed.filter(v => v > from && v <= to)
     val entries = window.map(v => v -> KeyedLogVersionLog.entry(dir, conf, v))
     val tagged = entries.flatMap { case (v, e) =>
       if (!e.rewrite) Seq((v, "insert", e.fresh))
@@ -104,7 +148,11 @@ case class KeyedLogChangesScan(dir: String, startVersion: Long,
     if (lastRw < 0) tagged else tagged.drop(lastRw)
   }
 
-  override def planInputPartitions(): Array[InputPartition] = {
+  /** The window's change groups resolved to readable files, one
+    * [[KeyedLogPartition]] per file, change-tagged. */
+  def windowPartitions(dir: String,
+                       conf: org.apache.spark.util.SerializableConfiguration,
+                       from: Long, to: Long): Array[InputPartition] = {
     // journal window resolved first (in `served`), listing second — same
     // writer-race ordering as the windowed scan. A name missing from the
     // listing is served from its `.rm-` tombstone when a row-level swap
@@ -119,7 +167,7 @@ case class KeyedLogChangesScan(dir: String, startVersion: Long,
     // O(names × LIST) on an object store
     lazy val tombstones: Map[String, String] =
       KeyedLogSource.tombstonesOf(dir, conf)
-    served.flatMap { case (v, tag, names) =>
+    served(dir, conf, from, to).flatMap { case (v, tag, names) =>
       names.map { n =>
         if (!listed.contains(n) && tag != "delete" && !relisted) {
           listed = listing(); relisted = true
@@ -145,7 +193,85 @@ case class KeyedLogChangesScan(dir: String, startVersion: Long,
     }.toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
+  def readerFactory(conf: org.apache.spark.util.SerializableConfiguration)
+      : PartitionReaderFactory =
     ChangeTagReaderFactory(
       KeyedLogReaderFactory(KeyedLogSource.schema, Array.empty, conf))
+}
+
+/** Micro-batch stream over the keyedlog journal feed: offset = journal
+  * version (the exactly-once unit the journal already provides — an
+  * entry is visible atomically or not at all, and a replayed window's
+  * groups are deterministic), each batch = [[KeyedLogChanges.served]] of
+  * its window. The keyedlog twin of [[ManifestChangesMicroBatchStream]]:
+  * same AvailableNow pinning, same version-granular admission control. */
+class KeyedLogChangesMicroBatchStream(dir: String, startVersion: Long,
+                                      maxVersionsPerTrigger: Option[Long] = None,
+                                      maxFilesPerTrigger: Option[Long] = None)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private val conf = KeyedLogConf.capture()
+
+  private def headVersion: Long =
+    KeyedLogVersionLog.versions(dir, conf).lastOption.getOrElse(-1L)
+
+  override def initialOffset(): Offset = ManifestVersionOffset(startVersion)
+  override def latestOffset(): Offset = ManifestVersionOffset(headVersion)
+  override def deserializeOffset(json: String): Offset =
+    ManifestVersionOffset(json.toLong)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  // ---- Trigger.AvailableNow: pin the journal head visible when the
+  // trigger fires; commits racing the drain land in the NEXT run. ----
+  @volatile private var availableNowCap: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(headVersion)
+
+  /** Version-granular admission control (`maxVersionsPerTrigger` /
+    * `maxFilesPerTrigger`): a from-the-beginning CDC backfill of a large
+    * document store drains in bounded, checkpointed batches. The file
+    * budget counts each version's SERVED groups (fresh names; rm+ad for
+    * row-level rewrites — both sides are read). At least one pending
+    * version is always admitted (progress guarantee). */
+  override def latestOffset(start: Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset = {
+    val target = availableNowCap.getOrElse(headVersion)
+    val from = start.asInstanceOf[ManifestVersionOffset].v
+    if (target <= from ||
+        (maxVersionsPerTrigger.isEmpty && maxFilesPerTrigger.isEmpty))
+      return ManifestVersionOffset(target)
+    ManifestVersionOffset(StreamAdmission.admitVersions(
+      KeyedLogVersionLog.versions(dir, conf).filter(v => v > from && v <= target),
+      from, maxVersionsPerTrigger, maxFilesPerTrigger, maxBytes = None,
+      cost = { v =>
+        val e = KeyedLogVersionLog.entry(dir, conf, v)
+        // row-level rewrites serve BOTH sides (pre-images + post-images)
+        val files =
+          if (e.rm.isDefined || e.ad.isDefined)
+            e.rm.map(_.length).getOrElse(0) + e.ad.map(_.length).getOrElse(0)
+          else e.fresh.length
+        (files.toLong, 0L)
+      }))
+  }
+  override def reportLatestOffset(): Offset = latestOffset()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val from = start.asInstanceOf[ManifestVersionOffset].v
+    val to = end.asInstanceOf[ManifestVersionOffset].v
+    if (to <= from) return Array.empty
+    val committed = KeyedLogVersionLog.versions(dir, conf)
+    require(from <= -1L || committed.contains(from),
+      s"keyed_log change-stream offset $from is not journaled under $dir — " +
+        "compacted past the checkpoint? restart from a full scan")
+    require(committed.contains(to),
+      s"keyed_log change-stream end offset $to is not journaled under $dir")
+    KeyedLogChanges.windowPartitions(dir, conf, from, to)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    KeyedLogChanges.readerFactory(conf)
 }

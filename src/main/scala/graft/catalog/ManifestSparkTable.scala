@@ -240,6 +240,21 @@ class ManifestSparkTable(dir: String, declared: StructType,
   override def newRowLevelOperationBuilder(info: RowLevelOperationInfo): RowLevelOperationBuilder = {
     require(asOf.isEmpty, s"cannot run DML against the time-travel view ${name()}")
     requireWapResolved("DML")
+    // GENERATED ALWAYS identity: UPDATE/MERGE rows flow through the
+    // row-level writers, which cannot tell a PRESERVED key from a forged
+    // or NULL one (and forged keys never advance the mark — a later
+    // insert could then collide). Refuse loudly rather than mis-number;
+    // DELETE writes no new values and stays allowed. BY DEFAULT columns
+    // accept explicit values by contract, so they pass through.
+    if (info.command != org.apache.spark.sql.connector.write.RowLevelOperation
+          .Command.DELETE &&
+        IdentityColumns.specs(declared).exists(!_.allowExplicit))
+      throw new UnsupportedOperationException(
+        s"${name()}: ${info.command} on a table with a GENERATED ALWAYS " +
+          "identity column is not supported — the row-level write cannot " +
+          "distinguish preserved keys from forged ones (DELETE and batch " +
+          "INSERT remain available; use GENERATED BY DEFAULT to allow " +
+          "explicit keys through DML)")
     if (mergeOnRead) () => new ManifestDeltaOperation(dir, declared, info.command,
       branch, bloomCols, ndvCols, checks)
     else () => new ManifestRowLevelOperation(dir, declared, info.command,
@@ -362,6 +377,18 @@ class ManifestSparkTable(dir: String, declared: StructType,
           new InsertableRelation {
             override def insert(data: DataFrame, overwriteFlag: Boolean): Unit = {
               branch.foreach(ManifestTable.requireBranchIntact(dir, _))
+              // identity columns: fill GENERATED values / reject explicit
+              // ones BEFORE the checks see the rows (a CHECK may
+              // reference the identity column). Markers live in the DATA
+              // root so a WAP branch allocates from the same sequence as
+              // main — fast-forward can never collide keys.
+              val (data1, releaseIdentity) =
+                IdentityColumns.fill(data, declared, dir)
+              try insertFilled(data1, overwriteFlag)
+              finally releaseIdentity()
+            }
+
+            private def insertFilled(data: DataFrame, overwriteFlag: Boolean): Unit = {
               // CHECK constraints ride the write itself (lazy raise_error
               // branches on the first column — zero extra passes); a
               // violation fails the job before any version commits —
@@ -463,6 +490,10 @@ class ManifestSparkTable(dir: String, declared: StructType,
         override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
           require(replaceFilters.isEmpty,
             s"REPLACE WHERE is a batch-write operation (${name()})")
+          require(!IdentityColumns.specs(declared).exists(!_.allowExplicit),
+            s"${name()}: streaming writes cannot allocate GENERATED ALWAYS " +
+              "identity values (epoch retries would re-reserve) — use " +
+              "GENERATED BY DEFAULT with explicit values, or batch inserts")
           new ManifestStreamingWrite(dir,
             GraftCatalog.stampFieldIds(info.schema(), declared),
             info.queryId(), overwrite, bloomCols, branch, ndvCols, checks)

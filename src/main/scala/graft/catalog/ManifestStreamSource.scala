@@ -285,18 +285,34 @@ class ManifestMicroBatchStream(dir: String, declared: StructType,
 }
 
 
-/** Version-granular admission control shared by the table stream and the
-  * change stream: walk committed versions past `from` up to `target`,
-  * admitting whole versions until the version/file budget is spent.
-  * Always admits at least one pending version (progress guarantee). */
+/** Version-granular admission control shared by every version-offset
+  * stream (the manifest table stream, the manifest change stream, and
+  * the keyedlog change stream): walk committed versions past `from` up
+  * to `target`, admitting whole versions until the version/file/byte
+  * budget is spent. Always admits at least one pending version
+  * (progress guarantee). The per-version cost is a callback so each log
+  * supplies its own accounting (manifest: added files + bytes; keyedlog:
+  * served group sizes) without duplicating the admission invariants. */
 private[catalog] object StreamAdmission {
+  /** Manifest arm: cost = the version's ADDED files and bytes. */
   def admit(dir: String, from: Long, target: Long,
             maxVersions: Option[Long], maxFiles: Option[Long],
             maxBytes: Option[Long] = None): Long = {
     if (target <= from ||
         (maxVersions.isEmpty && maxFiles.isEmpty && maxBytes.isEmpty))
       return target
-    val pending = ManifestTable.allVersions(dir).filter(v => v > from && v <= target)
+    admitVersions(
+      ManifestTable.allVersions(dir).filter(v => v > from && v <= target),
+      from, maxVersions, maxFiles, maxBytes,
+      v => { val (added, b) = ManifestTable.addsAt(dir, v)
+             (added.length.toLong, b) })
+  }
+
+  /** The shared budget walk over `pending` (ascending, all > `from`). */
+  def admitVersions(pending: Seq[Long], from: Long,
+                    maxVersions: Option[Long], maxFiles: Option[Long],
+                    maxBytes: Option[Long],
+                    cost: Long => (Long, Long)): Long = {
     var end = from
     var versions = 0L
     var files = 0L
@@ -305,12 +321,12 @@ private[catalog] object StreamAdmission {
     var stop = false
     while (it.hasNext && !stop) {
       val v = it.next()
-      val (added, addedBytes) = ManifestTable.addsAt(dir, v)
+      val (addedFiles, addedBytes) = cost(v)
       val overVersions = maxVersions.exists(versions + 1 > _)
-      val overFiles = maxFiles.exists(files + added.length > _)
+      val overFiles = maxFiles.exists(files + addedFiles > _)
       val overBytes = maxBytes.exists(bytes + addedBytes > _)
       if (end > from && (overVersions || overFiles || overBytes)) stop = true
-      else { end = v; versions += 1; files += added.length; bytes += addedBytes }
+      else { end = v; versions += 1; files += addedFiles; bytes += addedBytes }
     }
     end
   }

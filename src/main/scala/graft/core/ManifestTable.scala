@@ -670,9 +670,10 @@ object ManifestTable {
     * files are old and whose stats the log already holds). */
   def commitStagedSnapshot(dir: String, files: Seq[String],
       stats: Option[Map[String, FileStats.Stats]] = None,
-      dataDir: Option[String] = None): Long = {
+      dataDir: Option[String] = None,
+      dvs: Map[String, DeletionVectors.DvRef] = Map.empty): Long = {
     val st = stats.getOrElse(FileStats.collect(dataDir.getOrElse(dir), files))
-    commitLoop(dir) { _ => Some(Snapshot(files, st)) }
+    commitLoop(dir) { _ => Some(Snapshot(files, st, dvs)) }
   }
 
   /** Commit previously staged files as an append. A pure delta: no base

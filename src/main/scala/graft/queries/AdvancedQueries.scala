@@ -24,6 +24,21 @@ object AdvancedQueries extends QueryModule {
   private val bucketedFor =
     scala.collection.mutable.Set.empty[(org.apache.spark.sql.SparkSession, String)]
 
+  /** qa05's 100 TB mode, isolated so PlanShapeSpec can gate ITS plan:
+    * the same one-pass profile with every exact countDistinct swapped
+    * for approx_count_distinct. Swapping doesn't just keep the plan — it
+    * DROPS the Expand (no distinct aggs remain to expand), leaving one
+    * scan feeding one partial/final aggregate pair. */
+  def approxProfile(s: org.apache.spark.sql.SparkSession,
+                    d: String): org.apache.spark.sql.DataFrame =
+    Tables.documents(s, d)
+      .agg(
+        count(lit(1)).as("n_rows"),
+        approx_count_distinct(col("doc_id"), 0.01).as("ad_doc_id"),
+        approx_count_distinct(col("lang"), 0.01).as("ad_lang"),
+        approx_count_distinct(col("source"), 0.01).as("ad_source"),
+        approx_count_distinct(col("n_chars"), 0.01).as("ad_n_chars"))
+
   override val queries: Map[String, Q] = Map(
     // --- uncorrelated scalar subquery (exact max: portable across engines) ---
     "q39_scalar_subquery" -> { (s, d) =>
@@ -153,15 +168,58 @@ object AdvancedQueries extends QueryModule {
           sum(col("n_chars").isNull.cast("long")).as("nn_n_chars"),
           countDistinct(col("n_chars")).as("nd_n_chars"),
           min(col("n_chars")).cast("string").as("mn_n_chars"),
-          max(col("n_chars")).cast("string").as("mx_n_chars"))
+          max(col("n_chars")).cast("string").as("mx_n_chars"),
+          // the quantile row of the profile: exact p50 for the numeric
+          // columns (same single agg node — percentile is one more
+          // buffer, not another scan); strings carry NULL. DECIMAL(20,1)
+          // rendering because an exact-median of integers is x.0 or x.5
+          // and decimal strings render identically across engines
+          expr("percentile(doc_id, 0.5D)").cast("decimal(20,1)")
+            .cast("string").as("p50_doc_id"),
+          expr("percentile(n_chars, 0.5D)").cast("decimal(20,1)")
+            .cast("string").as("p50_n_chars"))
         .select(col("n_rows"), expr(
           """stack(4,
-               'doc_id',  nn_doc_id,  nd_doc_id,  mn_doc_id,  mx_doc_id,
-               'lang',    nn_lang,    nd_lang,    mn_lang,    mx_lang,
-               'source',  nn_source,  nd_source,  mn_source,  mx_source,
-               'n_chars', nn_n_chars, nd_n_chars, mn_n_chars, mx_n_chars)
-             AS (column_name, n_nulls, n_distinct, min_val, max_val)"""))
-        .select("column_name", "n_rows", "n_nulls", "n_distinct", "min_val", "max_val")
+               'doc_id',  nn_doc_id,  nd_doc_id,  mn_doc_id,  mx_doc_id,  p50_doc_id,
+               'lang',    nn_lang,    nd_lang,    mn_lang,    mx_lang,    CAST(NULL AS STRING),
+               'source',  nn_source,  nd_source,  mn_source,  mx_source,  CAST(NULL AS STRING),
+               'n_chars', nn_n_chars, nd_n_chars, mn_n_chars, mx_n_chars, p50_n_chars)
+             AS (column_name, n_nulls, n_distinct, min_val, max_val, p50_val)"""))
+        .select("column_name", "n_rows", "n_nulls", "n_distinct",
+          "min_val", "max_val", "p50_val")
+        .orderBy("column_name")
+    },
+
+    // --- the 100 TB mode of qa05, gated not asserted: every exact
+    //     countDistinct swapped for approx_count_distinct (the q28 HLL
+    //     family) — the plan LOSES the Expand entirely (no distinct
+    //     aggs left to expand), leaving ONE scan and ONE partial/final
+    //     aggregate pair; PlanShapeSpec proves both shapes. The gate
+    //     carries exact counts bit-exactly plus in-query booleans
+    //     holding each estimate to 5% (oracle replays TRUE, so estimate
+    //     drift FAILS the hash gate — the q57 sketch-evidence pattern) ---
+    "qa07_column_profile_approx" -> { (s, d) =>
+      // approxProfile IS the production path (one scan — PlanShapeSpec
+      // gates its plan); the exact-NDV side here is gate evidence only
+      val approx = approxProfile(s, d)
+      val exact = Tables.documents(s, d)
+        .agg(
+          countDistinct(col("doc_id")).as("ed_doc_id"),
+          countDistinct(col("lang")).as("ed_lang"),
+          countDistinct(col("source")).as("ed_source"),
+          countDistinct(col("n_chars")).as("ed_n_chars"))
+      approx.crossJoin(exact)
+        .select(expr(
+          """stack(4,
+               'doc_id',  ed_doc_id,  ad_doc_id,
+               'lang',    ed_lang,    ad_lang,
+               'source',  ed_source,  ad_source,
+               'n_chars', ed_n_chars, ad_n_chars)
+             AS (column_name, n_distinct_exact, est)"""), col("n_rows"))
+        .select(col("column_name"), col("n_rows"), col("n_distinct_exact"),
+          (abs(col("est") - col("n_distinct_exact")) <=
+            greatest(lit(2L), (col("n_distinct_exact") * lit(0.05))
+              .cast("long"))).as("est_within_5pct"))
         .orderBy("column_name")
     },
 
@@ -773,6 +831,58 @@ object AdvancedQueries extends QueryModule {
     //     output is users surviving each stage. Three keyed aggregations
     //     co-partitioned on user_id (no window over the full event stream,
     //     no per-user collect) — the scalable funnel shape ---
+    // --- mergeable QUANTILE sketches (operators/QuantileSketch —
+    //     completes the sketch family next to HLL/theta/CMS/MG): partial
+    //     fixed-grid counter sketches per (flag, shipdate) segment,
+    //     union-merged per flag by exact integer addition, quantiles
+    //     answered from the merged counters — the stored-sketch-table
+    //     pattern that answers percentile queries without rescanning raw
+    //     data. Grid width 128 = 2^17/1024 is an exact double, so every
+    //     arithmetic step replays bit-identically in the oracle; the
+    //     in-query boolean holds the sketch's error contract (quantile
+    //     within one cell of the exact interpolated percentile) ---
+    "q65_quantile_sketch" -> { (s, d) =>
+      import graft.operators.QuantileSketch
+      val lo = 0.0; val hi = 131072.0; val nb = 1024
+      val li = Tables.lineitem(s, d)
+      // ONE corpus pass builds the partial sketch table, pinned with
+      // localCheckpoint — everything downstream (partial counts, merge,
+      // cumulative rank walk, BOTH uses inside the quantile query) reads
+      // the tiny sketch, never lineitem again (PlanShapeSpec proves the
+      // query side plans zero parquet scans). The production shape
+      // stores this table per ingest batch.
+      val parts = QuantileSketch.partials(li, "l_extendedprice",
+        Seq("l_returnflag", "l_shipdate"), lo, hi, nb).localCheckpoint()
+      val nPartials = parts.groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_partial_sketches"))
+      val merged = QuantileSketch.merge(parts, Seq("l_returnflag"))
+      val qs = Seq(0.25, 0.5, 0.75, 0.95, 0.99)
+      val picked = QuantileSketch.quantiles(merged, Seq("l_returnflag"),
+        qs, lo, hi, nb)
+      val exact = li.groupBy("l_returnflag").agg(
+        expr("percentile(l_extendedprice, 0.25D)").as("e25"),
+        expr("percentile(l_extendedprice, 0.50D)").as("e50"),
+        expr("percentile(l_extendedprice, 0.75D)").as("e75"),
+        expr("percentile(l_extendedprice, 0.95D)").as("e95"),
+        expr("percentile(l_extendedprice, 0.99D)").as("e99"))
+        .select(col("l_returnflag"), expr(
+          """stack(5, 0.25D, e25, 0.50D, e50, 0.75D, e75,
+                      0.95D, e95, 0.99D, e99) AS (q, exact_val)"""))
+      picked.join(exact, Seq("l_returnflag", "q"))
+        .join(nPartials, "l_returnflag")
+        // envelope: the sketch is within one cell of the rank-ceil(qN)
+        // ORDER STATISTIC (the precise contract, asserted in
+        // FunctionsSpec); vs the INTERPOLATED percentile used here —
+        // whose definition the two engines share bit-for-bit — an
+        // inter-rank gap rides on top, so the gate's tripwire is the
+        // two-cell envelope (1e-6 absorbs ulp drift)
+        .withColumn("within_envelope",
+          abs(col("sketch_val") - col("exact_val")) <= lit(256.0 + 1e-6))
+        .select(col("l_returnflag"), col("q"), col("bucket"),
+          col("sketch_val"), col("within_envelope"), col("n_partial_sketches"))
+        .orderBy("l_returnflag", "q")
+    },
+
     "qa01_funnel" -> { (s, d) =>
       val ev = Tables.events(s, d).select(col("user_id"), col("event_type"), col("ts"))
       val v = ev.filter(col("event_type") === "view")
@@ -932,6 +1042,49 @@ object AdvancedQueries extends QueryModule {
                  GROUP BY 1, 2)
          SELECT t AS token, true_cnt, est_cnt, est_cnt - true_cnt AS overcount
          FROM est ORDER BY true_cnt DESC, token""",
+
+    // the whole sketch pipeline (bucket assignment, counter merge, rank
+    // pick) replays in exact grid arithmetic; the envelope boolean is
+    // TRUE in both engines (each computes its own exact percentile)
+    "q65_quantile_sketch" ->
+      """WITH p AS (
+           SELECT l_returnflag AS flag, l_shipdate AS seg,
+             CAST(least(greatest(floor(CAST(l_extendedprice AS DOUBLE) / 128.0), 0), 1023) AS BIGINT) AS bucket,
+             count(*) AS cnt
+           FROM lineitem GROUP BY 1, 2, 3),
+         np AS (SELECT flag, count(*) AS n_partial_sketches FROM p GROUP BY 1),
+         m AS (SELECT flag, bucket, CAST(sum(cnt) AS BIGINT) AS cnt FROM p GROUP BY 1, 2),
+         tot AS (SELECT flag, CAST(sum(cnt) AS DOUBLE) AS n FROM m GROUP BY 1),
+         cum AS (SELECT flag, bucket,
+                   CAST(sum(cnt) OVER (PARTITION BY flag ORDER BY bucket) AS DOUBLE) AS cum
+                 FROM m),
+         qs AS (SELECT CAST(q AS DOUBLE) AS q
+                FROM (VALUES (0.25),(0.50),(0.75),(0.95),(0.99)) t(q)),
+         pick AS (SELECT c.flag, q.q, min(c.bucket) AS bucket
+                  FROM cum c JOIN tot t ON c.flag = t.flag
+                  CROSS JOIN qs q
+                  WHERE c.cum >= ceil(q.q * t.n)
+                  GROUP BY 1, 2),
+         ex AS (SELECT l_returnflag AS flag,
+                  quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.25) AS e25,
+                  quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.50) AS e50,
+                  quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.75) AS e75,
+                  quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.95) AS e95,
+                  quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.99) AS e99
+                FROM lineitem GROUP BY 1),
+         exl AS (SELECT flag, q.q,
+                   CASE q.q WHEN 0.25 THEN e25 WHEN 0.50 THEN e50
+                            WHEN 0.75 THEN e75 WHEN 0.95 THEN e95
+                            ELSE e99 END AS exact_val
+                 FROM ex CROSS JOIN qs q)
+         SELECT pick.flag AS l_returnflag, pick.q AS q, pick.bucket,
+           CAST((pick.bucket + 1) * 128.0 AS DOUBLE) AS sketch_val,
+           abs((pick.bucket + 1) * 128.0 - exl.exact_val) <= 256.000001 AS within_envelope,
+           np.n_partial_sketches
+         FROM pick
+         JOIN exl ON pick.flag = exl.flag AND pick.q = exl.q
+         JOIN np ON pick.flag = np.flag
+         ORDER BY l_returnflag, pick.q""",
 
     "qa01_funnel" ->
       """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
@@ -1186,24 +1339,48 @@ object AdvancedQueries extends QueryModule {
            SELECT 'doc_id' AS column_name, CAST(count(*) AS BIGINT) AS n_rows,
              CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
              CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct,
-             CAST(min(doc_id) AS VARCHAR) AS min_val, CAST(max(doc_id) AS VARCHAR) AS max_val
+             CAST(min(doc_id) AS VARCHAR) AS min_val, CAST(max(doc_id) AS VARCHAR) AS max_val,
+             CAST(CAST(quantile_cont(CAST(doc_id AS DOUBLE), 0.5) AS DECIMAL(20,1)) AS VARCHAR) AS p50_val
            FROM documents
            UNION ALL
            SELECT 'lang', CAST(count(*) AS BIGINT),
              CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT),
-             CAST(count(DISTINCT lang) AS BIGINT), min(lang), max(lang)
+             CAST(count(DISTINCT lang) AS BIGINT), min(lang), max(lang),
+             CAST(NULL AS VARCHAR)
            FROM documents
            UNION ALL
            SELECT 'source', CAST(count(*) AS BIGINT),
              CAST(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT),
-             CAST(count(DISTINCT source) AS BIGINT), min(source), max(source)
+             CAST(count(DISTINCT source) AS BIGINT), min(source), max(source),
+             CAST(NULL AS VARCHAR)
            FROM documents
            UNION ALL
            SELECT 'n_chars', CAST(count(*) AS BIGINT),
              CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT),
              CAST(count(DISTINCT n_chars) AS BIGINT),
-             CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR)
+             CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR),
+             CAST(CAST(quantile_cont(CAST(n_chars AS DOUBLE), 0.5) AS DECIMAL(20,1)) AS VARCHAR)
            FROM documents
+         ) ORDER BY column_name""",
+
+    // exact NDVs replay bit-exactly; the HLL estimates are engine-seeded,
+    // so their 5% bound rides the in-query boolean (TRUE here — drift
+    // fails the hash gate), the q57 pattern
+    "qa07_column_profile_approx" ->
+      """SELECT column_name, n_rows, n_distinct_exact, TRUE AS est_within_5pct
+         FROM (
+           SELECT 'doc_id' AS column_name, CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct_exact
+           FROM documents
+           UNION ALL
+           SELECT 'lang', CAST(count(*) AS BIGINT),
+             CAST(count(DISTINCT lang) AS BIGINT) FROM documents
+           UNION ALL
+           SELECT 'source', CAST(count(*) AS BIGINT),
+             CAST(count(DISTINCT source) AS BIGINT) FROM documents
+           UNION ALL
+           SELECT 'n_chars', CAST(count(*) AS BIGINT),
+             CAST(count(DISTINCT n_chars) AS BIGINT) FROM documents
          ) ORDER BY column_name""",
 
     // pivot with an explicit value list = conditional aggregation

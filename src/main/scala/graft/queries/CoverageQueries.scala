@@ -1292,6 +1292,96 @@ object CoverageQueries extends QueryModule {
         .orderBy("lang")
     },
 
+    // --- DEEP clone (CALL clone(deep => true) — the DR / storage-tier
+    //     MIGRATION primitive qc41's zero-copy clone deliberately is
+    //     not): the snapshot's pools (incl. deletion-vector files) are
+    //     physically copied to the target's own root, each file verified
+    //     by md5 content hash, and a one-version log rebuilt with the
+    //     source's stats carried verbatim. Structural booleans: the
+    //     migration leaves NO pin behind, and the migrated table still
+    //     replays bit-exact after the source table is DROPPED and its
+    //     root dir deleted wholesale — the copy owes the source nothing ---
+    "qc52_deep_clone" -> { (s, d) =>
+      if (s.conf.getOption("spark.sql.catalog.graft_cat").isEmpty)
+        graft.catalog.GraftCatalog.register(s, "graft_cat",
+          graft.core.TempDirs.create("graft_cat_root_"))
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.db")
+      s.sql("DROP TABLE IF EXISTS graft_cat.db.mig52")
+      s.sql("DROP TABLE IF EXISTS graft_cat.db.src52")
+      Tables.documents(s, d).createOrReplaceTempView("qc52_documents")
+      s.sql("CREATE TABLE graft_cat.db.src52 " +
+        "(doc_id BIGINT, lang STRING, n_chars BIGINT) USING manifest " +
+        "TBLPROPERTIES ('graft.dml.mode' = 'merge-on-read')")
+      s.sql("INSERT INTO graft_cat.db.src52 " +
+        "SELECT doc_id, lang, n_chars FROM qc52_documents")
+      // a pending deletion vector: the copy must carry vectors, not just
+      // data pools (a vector-blind migration would resurrect these rows)
+      s.sql("DELETE FROM graft_cat.db.src52 WHERE doc_id % 10 = 3")
+      val res = s.sql(
+        "CALL graft_cat.system.clone('db.src52', 'db.mig52', deep => true)")
+        .head().getString(1)
+      val verified = res.startsWith("deep(") && res.contains("verified=md5")
+      // self-sufficiency: drop the source TABLE and delete its directory
+      // outright; the migrated table must read on
+      val dir52 = s.sql("SHOW TBLPROPERTIES graft_cat.db.src52").collect()
+        .find(_.getString(0) == "graft.location").get.getString(1)
+      val pinFree = !graft.core.ManifestTable.branches(dir52)
+        .keysIterator.exists(_.contains("mig52"))
+      s.sql("DROP TABLE graft_cat.db.src52")
+      val p52 = new org.apache.hadoop.fs.Path(dir52)
+      val fs52 = graft.core.LakeStorage.openFor(dir52)
+      if (fs52.exists(p52)) { fs52.delete(p52, true); () }
+      s.table("graft_cat.db.mig52")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").cast("long").as("total_chars"))
+        .withColumn("copy_verified", lit(verified))
+        .withColumn("pin_free", lit(pinFree))
+        .orderBy("lang")
+    },
+
+    // --- GENERATED ALWAYS AS IDENTITY (surrogate keys next to column
+    //     DEFAULTs): the spec rides the descriptor as catalyst's own
+    //     identity.* metadata; the connector allocates DENSE monotone
+    //     values per batch (per-partition prefix offsets + in-partition
+    //     row index — pure codegen row work over one reservation CAS)
+    //     and rejects explicit values. The gate inserts two tagged
+    //     batches and aggregates the generated keys: dense 1..n1 then
+    //     n1+1..n1+n2 whatever the partition layout, so min/max/count/
+    //     distinct replay exactly; the rejection boolean rides in-query ---
+    "qc53_identity_keys" -> { (s, d) =>
+      if (s.conf.getOption("spark.sql.catalog.graft_cat").isEmpty)
+        graft.catalog.GraftCatalog.register(s, "graft_cat",
+          graft.core.TempDirs.create("graft_cat_root_"))
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.db")
+      s.sql("DROP TABLE IF EXISTS graft_cat.db.id53")
+      Tables.documents(s, d).createOrReplaceTempView("qc53_documents")
+      s.sql("CREATE TABLE graft_cat.db.id53 " +
+        "(sk BIGINT GENERATED ALWAYS AS IDENTITY, doc_id BIGINT, " +
+        "batch STRING) USING manifest")
+      s.sql("INSERT INTO graft_cat.db.id53 " +
+        "SELECT NULL, doc_id, 'a' FROM qc53_documents WHERE doc_id % 2 = 0")
+      s.sql("INSERT INTO graft_cat.db.id53 " +
+        "SELECT NULL, doc_id, 'b' FROM qc53_documents WHERE doc_id % 2 = 1")
+      val rejected =
+        try {
+          s.sql("INSERT INTO graft_cat.db.id53 VALUES (7, 7, 'smuggled')")
+          false
+        } catch {
+          case e: Exception =>
+            Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+              .take(10).exists(c =>
+                Option(c.getMessage).exists(_.contains("GENERATED ALWAYS")))
+        }
+      s.table("graft_cat.db.id53")
+        .groupBy("batch")
+        .agg(count(lit(1)).as("n_rows"),
+          min("sk").as("min_key"), max("sk").as("max_key"),
+          countDistinct(col("sk")).as("n_distinct_keys"))
+        .withColumn("explicit_rejected", lit(rejected))
+        .orderBy("batch")
+    },
+
     // --- MERGE ... WHEN NOT MATCHED BY SOURCE (all three arm families
     //     on BOTH manifest DML paths): the arm a CDC replica needs to
     //     drop/age target rows absent from the source. Spark 4.1's
@@ -2283,6 +2373,34 @@ object CoverageQueries extends QueryModule {
            CAST(max(doc_id) AS BIGINT) AS max_id,
            TRUE AS violation_rejected
          FROM finals GROUP BY lang ORDER BY lang""",
+
+    // the migrated table's content replays as plain filters over
+    // documents (insert minus the vectored deletes); the hash-verified
+    // copy and pin-freedom are structural booleans
+    "qc52_deep_clone" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           TRUE AS copy_verified, TRUE AS pin_free
+         FROM documents WHERE doc_id % 10 <> 3
+         GROUP BY lang ORDER BY lang""",
+
+    // generated keys are dense 1..n1 (batch a) then n1+1..n1+n2 (batch b)
+    // whatever the partition layout, so the aggregates replay from the
+    // batch row counts alone; the ALWAYS rejection rides the boolean
+    "qc53_identity_keys" ->
+      """WITH a AS (SELECT count(*) AS n FROM documents WHERE doc_id % 2 = 0),
+            b AS (SELECT count(*) AS n FROM documents WHERE doc_id % 2 = 1)
+         SELECT * FROM (
+           SELECT 'a' AS batch, CAST(a.n AS BIGINT) AS n_rows,
+             CAST(1 AS BIGINT) AS min_key, CAST(a.n AS BIGINT) AS max_key,
+             CAST(a.n AS BIGINT) AS n_distinct_keys,
+             TRUE AS explicit_rejected
+           FROM a
+           UNION ALL
+           SELECT 'b', CAST(b.n AS BIGINT), CAST(a.n + 1 AS BIGINT),
+             CAST(a.n + b.n AS BIGINT), CAST(b.n AS BIGINT), TRUE
+           FROM a, b
+         ) ORDER BY batch""",
 
     // replays all three MERGE arm families (matched update, not-matched
     // insert, and the by-source conditional delete + catch-all update)

@@ -61,7 +61,19 @@ object StreamingQueries extends QueryModule {
     withStreamShuffle(s) {
       val q = stream.writeStream.outputMode(mode)
         .format("memory").queryName(name).start()
-      try q.processAllAvailable() finally q.stop()
+      // per-micro-batch wall times ride BatchTimings into Bench's
+      // stream_batches field (the qp05 pattern): a bench-to-bench mover
+      // with flat batches is trigger-wait/box contention, not a work
+      // regression — diagnosable without touching oracle-checked columns
+      try BatchTimings.timed(name, BatchTimings.DrainId) {
+        q.processAllAvailable()
+      } finally {
+        q.recentProgress.foreach { p =>
+          Option(p.durationMs.get("triggerExecution")).foreach(ms =>
+            BatchTimings.record(name, p.batchId, ms.toDouble / 1e3))
+        }
+        q.stop()
+      }
     }
     s.table(name)
   }
@@ -446,6 +458,60 @@ object StreamingQueries extends QueryModule {
           CAST(sum(n_chars) AS BIGINT) AS total_chars
         FROM qs16_sink GROUP BY _change_type, lang
         ORDER BY _change_type, lang""")
+    },
+
+    // --- STREAMING change feed over the KEYEDLOG document store
+    //     (catalog/KeyedLogChangesMicroBatchStream — qs16's keyedlog
+    //     arm): offset = journal version; appends arrive as inserts, a
+    //     compaction as rewrite refresh rows (superseding in-window
+    //     pre-compaction inserts), and a row-level UPDATE as tombstone-
+    //     served delete pre-images plus insert post-images. Drains are
+    //     checkpoint-separated (AvailableNow-style stop/start), so the
+    //     second window is exactly (v0, v4] and the supersede rule is
+    //     deterministic; batchId-keyed parquet output = exactly-once
+    //     under retries. Per-batch wall times ride BatchTimings ---
+    "qs22_keyedlog_change_stream" -> { (s0, d) =>
+      val s = s0.newSession()
+      graft.catalog.GraftCatalog.register(s, "graft_ks",
+        graft.core.TempDirs.create("graft_ks_root_"))
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_ks.db")
+      graft.core.Tables.documents(s, d).createOrReplaceTempView("qs22_documents")
+      // bucket-declared: every write clusters one file per key per
+      // bucket, so the UPDATE's matched-file set (and the feed's
+      // delete/insert pair content) is deterministic at any parallelism
+      s.sql("CREATE TABLE graft_ks.db.feed (key STRING, seq BIGINT, metric BIGINT) " +
+        "USING keyedlog PARTITIONED BY (bucket(2, key))")
+      val outDir = graft.core.TempDirs.create("graft_qs22_out_")
+      val ckpt = graft.core.TempDirs.create("graft_qs22_ck_")
+      def drain(): Unit = withStreamShuffle(s) {
+        val q = s.readStream.table("graft_ks.db.feed.changes")
+          .writeStream.option("checkpointLocation", ckpt)
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+            BatchTimings.timed("qs22_keyedlog_change_stream", id) {
+              b.write.mode("overwrite").parquet(s"$outDir/batch_$id")
+            }
+          }.start()
+        try BatchTimings.timed("qs22_keyedlog_change_stream",
+          BatchTimings.DrainId) { q.processAllAvailable() }
+        finally q.stop()
+      }
+      s.sql("INSERT INTO graft_ks.db.feed SELECT lang, doc_id, n_chars " +
+        "FROM qs22_documents WHERE doc_id % 3 = 0")                  // journal v0
+      drain() // batch: v0 as inserts; checkpoint offset = 0
+      s.sql("INSERT INTO graft_ks.db.feed SELECT lang, doc_id, n_chars " +
+        "FROM qs22_documents WHERE doc_id % 3 = 1")                  // v1
+      s.sql("CALL graft_ks.system.compact('db.feed')")               // v2 (rewrite)
+      s.sql("INSERT INTO graft_ks.db.feed SELECT lang, doc_id, n_chars " +
+        "FROM qs22_documents WHERE doc_id % 3 = 2")                  // v3
+      s.sql("UPDATE graft_ks.db.feed SET metric = metric + 1000000 " +
+        "WHERE key = 'de'")                                          // v4 (rm/ad)
+      drain() // window (0, 4]: v1 superseded by the v2 rewrite; v4's
+              // pre-images served from the replaced files' tombstones
+      s.read.parquet(s"$outDir/batch_*")
+        .groupBy(col("_change_type").as("change_type"), col("key"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum("metric").cast("long").as("sum_metric"))
+        .orderBy("change_type", "key")
     },
 
     // --- CONTINUOUS write-audit-publish: a stream's epochs stage onto a
@@ -864,6 +930,33 @@ object StreamingQueries extends QueryModule {
            UNION ALL
            SELECT 'delete', lang, n_chars FROM documents WHERE doc_id % 10 = 4)
          GROUP BY _change_type, lang ORDER BY _change_type, lang""",
+
+    // batch 1 = v0 (doc_id%3=0) as inserts; window (0,4] = the compaction
+    // rewrite (all %3<2 rows — v1's insert superseded in-window), v3's
+    // inserts, and the de UPDATE's delete pre-images (every de row,
+    // original metric) + insert post-images (+1e6 each)
+    "qs22_keyedlog_change_stream" ->
+      """SELECT change_type, key, n_rows, sum_metric FROM (
+           SELECT 'insert' AS change_type, lang AS key, count(*) AS n_rows,
+             CAST(sum(n_chars) AS BIGINT) AS sum_metric
+           FROM documents WHERE doc_id % 3 <> 1 AND lang <> 'de' GROUP BY lang
+           UNION ALL
+           SELECT 'insert', 'de',
+             (SELECT count(*) FROM documents
+              WHERE doc_id % 3 <> 1 AND lang = 'de')
+               + (SELECT count(*) FROM documents WHERE lang = 'de'),
+             CAST((SELECT sum(n_chars) FROM documents
+                   WHERE doc_id % 3 <> 1 AND lang = 'de')
+               + (SELECT sum(n_chars) + 1000000 * count(*) FROM documents
+                  WHERE lang = 'de') AS BIGINT)
+           UNION ALL
+           SELECT 'delete', 'de',
+             (SELECT count(*) FROM documents WHERE lang = 'de'),
+             CAST((SELECT sum(n_chars) FROM documents WHERE lang = 'de') AS BIGINT)
+           UNION ALL
+           SELECT 'rewrite', lang, count(*), CAST(sum(n_chars) AS BIGINT)
+           FROM documents WHERE doc_id % 3 < 2 GROUP BY lang
+         ) ORDER BY change_type, key""",
 
     // published = released (doc_id%3=0) plus the streamed slices that
     // survive the branch audit gate (n_chars >= 100)

@@ -549,6 +549,31 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("Expand"), s"multi-distinct should lower to Expand:\n$p")
   }
 
+  test("qa07 approx profiling (qa05's 100 TB mode): one scan, and the Expand is GONE") {
+    val p = plan(graft.queries.AdvancedQueries.approxProfile(spark, sf))
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans == 1, s"expected 1 scan, got $scans:\n$p")
+    // approx_count_distinct is a plain (non-distinct) aggregate: swapping
+    // it in doesn't just preserve qa05's single-scan shape, it removes
+    // the Expand row-multiplication entirely — partial/final agg only
+    assert(!p.contains("Expand"), s"approx profile should not Expand:\n$p")
+    assert(p.contains("HashAggregate"), s"expected hash aggregation:\n$p")
+  }
+
+  test("q65 quantile QUERY reads only the sketch: zero corpus scans after the one build pass") {
+    import graft.operators.QuantileSketch
+    val lo = 0.0; val hi = 131072.0; val nb = 1024
+    val parts = QuantileSketch.partials(Tables.lineitem(spark, sf),
+      "l_extendedprice", Seq("l_returnflag", "l_shipdate"), lo, hi, nb)
+      .localCheckpoint() // the ONE corpus pass — the stored sketch table
+    val merged = QuantileSketch.merge(parts, Seq("l_returnflag"))
+    val p = plan(QuantileSketch.quantiles(merged, Seq("l_returnflag"),
+      Seq(0.5, 0.95), lo, hi, nb))
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans == 0,
+      s"quantile query must answer from the sketch, got $scans corpus scans:\n$p")
+  }
+
   test("q64 LIMIT+OFFSET folds into TakeOrderedAndProject (no global sort, no second pass)") {
     val p = plan(SparkEntry.queries("q64_offset_pagination")(spark, sf))
     assert(p.contains("TakeOrderedAndProject"), s"no top-k operator:\n$p")

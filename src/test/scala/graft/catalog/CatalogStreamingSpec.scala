@@ -461,4 +461,87 @@ class CatalogStreamingSpec extends AnyFunSuite {
       assert(got === Map("new" -> 2L), "only the post-cursor window streams")
     } finally q.stop()
   }
+
+  test("keyedlog t.changes streams the journal: appends, compaction, row-level UPDATE; restart exactly-once") {
+    ensureDb()
+    // bucket-declared so every write clusters one file per key — the
+    // UPDATE's matched set (and so the feed's delete/insert pairs) is
+    // deterministic at any parallelism
+    spark.sql("CREATE TABLE gs.db.klog (key STRING, seq BIGINT, metric BIGINT) " +
+      "USING keyedlog PARTITIONED BY (bucket(2, key))")
+    spark.sql("INSERT INTO gs.db.klog VALUES ('a', 1, 10), ('b', 2, 20)")    // journal v0
+    val ckpt = Files.createTempDirectory("graft_cstream_kl_").toString
+    val outDir = Files.createTempDirectory("graft_cstream_klout_").toString
+    var lastOffset: String = ""
+    def drain(): Unit = {
+      val q = spark.readStream.table("gs.db.klog.changes")
+        .writeStream.option("checkpointLocation", ckpt)
+        .format("parquet").option("path", outDir).outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        Option(q.lastProgress).foreach(p => lastOffset = p.sources.head.endOffset)
+      } finally q.stop()
+    }
+    def byType: Map[String, Long] =
+      spark.read.parquet(outDir).groupBy("_change_type").count()
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    drain()
+    assert(byType === Map("insert" -> 2L), "v0 arrives as plain inserts")
+    spark.sql("INSERT INTO gs.db.klog VALUES ('a', 3, 30)")                  // v1
+    drain()
+    assert(byType === Map("insert" -> 3L))
+    // WHILE THE STREAM IS DOWN: a compaction rewrite, an append, and a
+    // row-level UPDATE land; the restarted stream must deliver exactly
+    // the checkpointed window (1, 4] — rewrite refresh rows, the new
+    // insert, and the UPDATE as tombstone-served delete pre-images plus
+    // insert post-images
+    spark.sql("CALL gs.system.compact('db.klog')")                           // v2 (rewrite)
+    spark.sql("INSERT INTO gs.db.klog VALUES ('c', 4, 40)")                  // v3
+    spark.sql("UPDATE gs.db.klog SET metric = metric + 1000 WHERE key = 'a'")// v4 (rm/ad)
+    drain()
+    assert(byType === Map("insert" -> 6L, "rewrite" -> 3L, "delete" -> 2L),
+      s"got $byType")
+    assert(lastOffset === "4", "the stream offset must be the journal version")
+    // the UPDATE's images: pre-images carry the old metrics, post-images
+    // the bumped ones
+    val del = spark.read.parquet(outDir)
+      .where("_change_type = 'delete'").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(del === Set(("a", 1L, 10L), ("a", 3L, 30L)), s"pre-images: $del")
+    val bumped = spark.read.parquet(outDir)
+      .where("_change_type = 'insert' AND metric > 1000").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(bumped === Set(("a", 1L, 1010L), ("a", 3L, 1030L)),
+      s"post-images: $bumped")
+    // exactly-once: an idle restart re-delivers nothing
+    drain()
+    assert(byType === Map("insert" -> 6L, "rewrite" -> 3L, "delete" -> 2L))
+  }
+
+  test("keyedlog change stream: start_version seeding + AvailableNow + version throttle") {
+    ensureDb()
+    spark.sql("CREATE TABLE gs.db.klog2 (key STRING, seq BIGINT, metric BIGINT) " +
+      "USING keyedlog")
+    spark.sql("INSERT INTO gs.db.klog2 VALUES ('a', 1, 1)")   // v0
+    spark.sql("INSERT INTO gs.db.klog2 VALUES ('b', 2, 2)")   // v1
+    spark.sql("INSERT INTO gs.db.klog2 VALUES ('c', 3, 3)")   // v2
+    val ckpt = Files.createTempDirectory("graft_cstream_kl2_").toString
+    val q = spark.readStream
+      .option("start_version", "0")            // skip v0
+      .option("maxVersionsPerTrigger", "1")    // one journal version per batch
+      .table("gs.db.klog2.changes")
+      .writeStream.option("checkpointLocation", ckpt)
+      .format("memory").queryName("klog2_out").outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      q.awaitTermination(60000)
+      val keys = spark.sql("SELECT key FROM klog2_out ORDER BY key")
+        .collect().map(_.getString(0)).toSeq
+      assert(keys === Seq("b", "c"), "window (0, head] only")
+      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+      assert(dataBatches === 2,
+        s"throttle must split the drain into 2 one-version batches, got $dataBatches")
+    } finally q.stop()
+  }
 }

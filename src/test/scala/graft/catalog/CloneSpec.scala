@@ -237,4 +237,49 @@ class CloneSpec extends AnyFunSuite {
         "the staging branch must not receive the clone's insert")
     } finally spark.conf.unset(GraftCatalog.WapBranchConf)
   }
+
+  test("deep clone: physical migration survives source vacuum, drop, and dir removal") {
+    ensureDb()
+    spark.sql("CREATE TABLE gc.db.dsrc (id BIGINT, v STRING) USING manifest " +
+      "TBLPROPERTIES ('graft.dml.mode' = 'merge-on-read')")
+    spark.sql("INSERT INTO gc.db.dsrc SELECT id, CAST(id AS STRING) FROM range(10)")
+    // a pending deletion vector: the deep copy must carry the vector
+    // files and refs, not just the data pools
+    spark.sql("DELETE FROM gc.db.dsrc WHERE id IN (2, 3)")
+    val row = spark.sql(
+      "CALL gc.system.clone('db.dsrc', 'db.ddst', deep => true)").collect().head
+    assert(row.getString(1).startsWith("deep("), row.getString(1))
+    def idsOf(t: String): Seq[Long] =
+      spark.sql(s"SELECT id FROM gc.db.$t ORDER BY id")
+        .collect().map(_.getLong(0)).toSeq
+    val expect = Seq(0L, 1L) ++ (4L to 9L)
+    assert(idsOf("ddst") == expect)
+    // no pin left behind: the copy is self-sufficient, so the source
+    // keeps no clone branch for it
+    assert(!spark.sql("SELECT name FROM gc.db.dsrc.refs").collect()
+      .exists(_.getString(0).contains("ddst")))
+    // the target owns its data plane outright: drop the source TABLE and
+    // remove its directory wholesale — the deep clone still reads
+    spark.sql("DROP TABLE gc.db.dsrc")
+    val srcPath = java.nio.file.Paths.get(dataDir("dsrc").stripPrefix("file://"))
+    if (java.nio.file.Files.exists(srcPath)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(srcPath).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+    assert(idsOf("ddst") == expect, "deep clone must not reference the source")
+    // and it is a full table of its own: DML works
+    spark.sql("DELETE FROM gc.db.ddst WHERE id >= 8")
+    assert(idsOf("ddst") == Seq(0L, 1L) ++ (4L to 7L))
+  }
+
+  test("deep clone at a past version copies that snapshot") {
+    ensureDb()
+    spark.sql("CREATE TABLE gc.db.vsrc (id BIGINT, v STRING) USING manifest")
+    spark.sql("INSERT INTO gc.db.vsrc SELECT id, 'a' FROM range(5)")     // v1
+    spark.sql("INSERT INTO gc.db.vsrc SELECT id + 5, 'b' FROM range(5)") // v2
+    spark.sql("CALL gc.system.clone('db.vsrc', 'db.vdst', version => 1, deep => true)")
+    assert(spark.table("gc.db.vdst").count() == 5)
+    assert(spark.table("gc.db.vsrc").count() == 10, "source untouched")
+  }
 }

@@ -157,4 +157,43 @@ class FunctionsSpec extends AnyFunSuite {
       .collect()
     assert(one.forall(r => math.abs(r.getDouble(0) - 1.0) < 1e-9))
   }
+
+  test("quantile sketch: one-cell error envelope and exact merge associativity (q65 backing)") {
+    import graft.operators.QuantileSketch
+    val lo = 0.0; val hi = 131072.0; val nb = 1024; val w = (hi - lo) / nb
+    val li = Tables.lineitem(spark, sf)
+    val parts = QuantileSketch.partials(li, "l_extendedprice",
+      Seq("l_returnflag", "l_shipdate"), lo, hi, nb)
+    val merged = QuantileSketch.merge(parts, Seq("l_returnflag"))
+    val qs = Seq(0.1, 0.25, 0.5, 0.75, 0.9, 0.95, 0.99)
+    val got = QuantileSketch.quantiles(merged, Seq("l_returnflag"), qs, lo, hi, nb)
+      .collect().map(r => ((r.getString(0), r.getDouble(1)), r.getDouble(3))).toMap
+    // the PRECISE contract: the sketch returns the upper edge of the
+    // bucket holding the rank-ceil(q*N) ORDER STATISTIC, so that order
+    // statistic lies in (sketch - w, sketch]. (An INTERPOLATED percentile
+    // adds an inter-rank gap on top, which no grid bounds.)
+    val byFlag = li.select(col("l_returnflag").as("flag"),
+        col("l_extendedprice").cast("double").as("v"))
+    val ns = byFlag.groupBy("flag").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val ordered = byFlag.collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getDouble(1)).sorted).toMap
+    assert(got.nonEmpty && ns.nonEmpty)
+    got.foreach { case ((flag, q), sk) =>
+      val os = ordered(flag)(math.ceil(q * ns(flag)).toLong.toInt - 1)
+      assert(os > sk - w - 1e-9 && os <= sk + 1e-9,
+        s"($flag,$q): order statistic $os outside the sketch cell ($sk - $w, $sk]")
+    }
+    // merge associativity: per-segment partials union-merged == sketch
+    // built with no segmentation at all, counter for counter
+    val direct = QuantileSketch.partials(li, "l_extendedprice",
+      Seq("l_returnflag"), lo, hi, nb)
+      .withColumnRenamed("cnt", "cnt_direct")
+    val viaMerge = merged.withColumnRenamed("cnt", "cnt_merged")
+    val diff = direct.join(viaMerge, Seq("l_returnflag", "bucket"), "full_outer")
+      .filter(coalesce(col("cnt_direct"), lit(-1L)) =!=
+        coalesce(col("cnt_merged"), lit(-1L)))
+      .count()
+    assert(diff == 0, "union-merge must equal the unsegmented build exactly")
+  }
 }
