@@ -883,6 +883,55 @@ object AdvancedQueries extends QueryModule {
         .orderBy("l_returnflag", "q")
     },
 
+    // --- STORED sketch table + incremental maintenance (q65's production
+    //     posture, the qv14 pattern for quantiles): day-0 partials CTAS'd
+    //     into a catalog manifest table, day-1 partials APPENDED (each
+    //     ingest batch pays one pass over ITS rows — the corpus is never
+    //     re-binned), quantiles answered from the STORED counters. The
+    //     soundness invariant rides in-query: exact counter addition is
+    //     associative, so the incrementally-grown table answers every
+    //     quantile IDENTICALLY to a from-scratch rebuild over the whole
+    //     corpus — the oracle replays the rebuild ---
+    "q66_stored_sketch_table" -> { (s, d) =>
+      import graft.operators.QuantileSketch
+      if (s.conf.getOption("spark.sql.catalog.graft_cat").isEmpty)
+        graft.catalog.GraftCatalog.register(s, "graft_cat",
+          graft.core.TempDirs.create("graft_cat_root_"))
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.db")
+      s.sql("DROP TABLE IF EXISTS graft_cat.db.sk66")
+      val lo = 0.0; val hi = 131072.0; val nb = 1024
+      val li = Tables.lineitem(s, d)
+      val day0 = li.filter(col("l_orderkey") % 2 === 0)
+      val day1 = li.filter(col("l_orderkey") % 2 === 1)
+      QuantileSketch.partials(day0, "l_extendedprice",
+          Seq("l_returnflag", "l_shipdate"), lo, hi, nb)
+        .writeTo("graft_cat.db.sk66").create()         // day 0: CTAS
+      QuantileSketch.partials(day1, "l_extendedprice",
+          Seq("l_returnflag", "l_shipdate"), lo, hi, nb)
+        .writeTo("graft_cat.db.sk66").append()          // day 1: append
+      val stored = s.table("graft_cat.db.sk66")
+      val merged = QuantileSketch.merge(stored, Seq("l_returnflag"))
+      val qs = Seq(0.5, 0.95)
+      val picked = QuantileSketch.quantiles(merged, Seq("l_returnflag"),
+        qs, lo, hi, nb)
+      // the invariant: stored-incremental ≡ one-shot rebuild, bucket for
+      // bucket (associative exact addition — qv14's frozen-model rule)
+      val rebuilt = QuantileSketch.quantiles(
+        QuantileSketch.merge(QuantileSketch.partials(li, "l_extendedprice",
+          Seq("l_returnflag", "l_shipdate"), lo, hi, nb),
+          Seq("l_returnflag")),
+        Seq("l_returnflag"), qs, lo, hi, nb)
+        .select(col("l_returnflag"), col("q"), col("bucket").as("rb"))
+      val nStored = stored.groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_stored_partials"))
+      picked.join(rebuilt, Seq("l_returnflag", "q"))
+        .join(nStored, "l_returnflag")
+        .select(col("l_returnflag"), col("q"), col("bucket"), col("sketch_val"),
+          (col("bucket") === col("rb")).as("incremental_equals_rebuild"),
+          col("n_stored_partials"))
+        .orderBy("l_returnflag", "q")
+    },
+
     "qa01_funnel" -> { (s, d) =>
       val ev = Tables.events(s, d).select(col("user_id"), col("event_type"), col("ts"))
       val v = ev.filter(col("event_type") === "view")
@@ -1084,6 +1133,38 @@ object AdvancedQueries extends QueryModule {
          FROM pick
          JOIN exl ON pick.flag = exl.flag AND pick.q = exl.q
          JOIN np ON pick.flag = np.flag
+         ORDER BY l_returnflag, pick.q""",
+
+    // stored table = day-0 partial cells + day-1 partial cells (a grid
+    // cell present in both halves is two stored rows; merge sums them);
+    // quantile answers replay from the WHOLE corpus binned once — the
+    // associativity invariant the equality boolean carries
+    "q66_stored_sketch_table" ->
+      """WITH p AS (
+           SELECT l_returnflag AS flag,
+             CAST(least(greatest(floor(CAST(l_extendedprice AS DOUBLE) / 128.0), 0), 1023) AS BIGINT) AS bucket,
+             count(*) AS cnt
+           FROM lineitem GROUP BY 1, 2),
+         halves AS (
+           SELECT l_returnflag AS flag, l_shipdate AS seg, l_orderkey % 2 AS half,
+             CAST(least(greatest(floor(CAST(l_extendedprice AS DOUBLE) / 128.0), 0), 1023) AS BIGINT) AS bucket
+           FROM lineitem GROUP BY 1, 2, 3, 4),
+         np AS (SELECT flag, count(*) AS n_stored_partials FROM halves GROUP BY 1),
+         tot AS (SELECT flag, CAST(sum(cnt) AS DOUBLE) AS n FROM p GROUP BY 1),
+         cum AS (SELECT flag, bucket,
+                   CAST(sum(cnt) OVER (PARTITION BY flag ORDER BY bucket) AS DOUBLE) AS cum
+                 FROM p),
+         qs AS (SELECT CAST(q AS DOUBLE) AS q FROM (VALUES (0.50),(0.95)) t(q)),
+         pick AS (SELECT c.flag, q.q, min(c.bucket) AS bucket
+                  FROM cum c JOIN tot t ON c.flag = t.flag
+                  CROSS JOIN qs q
+                  WHERE c.cum >= ceil(q.q * t.n)
+                  GROUP BY 1, 2)
+         SELECT pick.flag AS l_returnflag, pick.q AS q, pick.bucket,
+           CAST((pick.bucket + 1) * 128.0 AS DOUBLE) AS sketch_val,
+           TRUE AS incremental_equals_rebuild,
+           np.n_stored_partials
+         FROM pick JOIN np ON pick.flag = np.flag
          ORDER BY l_returnflag, pick.q""",
 
     "qa01_funnel" ->

@@ -514,6 +514,97 @@ object StreamingQueries extends QueryModule {
         .orderBy("change_type", "key")
     },
 
+    // --- END-TO-END CDC REPLICA (the pipeline qs22's feed exists for):
+    //     a manifest replica of the keyedlog document store kept in sync
+    //     by the change STREAM. `maxVersionsPerTrigger = 1` makes each
+    //     micro-batch exactly ONE journal version, so the apply loop is
+    //     version-ordered by construction: a rewrite batch refreshes the
+    //     replica wholesale (INSERT OVERWRITE), a row-level batch deletes
+    //     the pre-images by key+seq (MERGE ... WHEN MATCHED DELETE) then
+    //     appends the post-images, a plain batch appends. Checkpointed
+    //     offsets make the whole replication resumable/exactly-once. The
+    //     gate mutates the source (appends, a compaction, a row-level
+    //     UPDATE), lets the stream catch up, and replays the final
+    //     replica against the oracle; the in-query boolean proves
+    //     replica ≡ source row-for-row ---
+    "qp08_cdc_replica" -> { (s0, d) =>
+      val s = s0.newSession()
+      graft.catalog.GraftCatalog.register(s, "graft_kp8",
+        graft.core.TempDirs.create("graft_kp8_root_"))
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_kp8.db")
+      graft.core.Tables.documents(s, d).createOrReplaceTempView("qp08_documents")
+      s.sql("CREATE TABLE graft_kp8.db.src (key STRING, seq BIGINT, metric BIGINT) " +
+        "USING keyedlog PARTITIONED BY (bucket(2, key))")
+      s.sql("CREATE TABLE graft_kp8.db.rep (key STRING, seq BIGINT, metric BIGINT) " +
+        "USING manifest")
+      val ckpt = graft.core.TempDirs.create("graft_qp08_ck_")
+      def sync(): Unit = withStreamShuffle(s) {
+        val q = s.readStream
+          .option("maxVersionsPerTrigger", "1") // one journal version per batch
+          .table("graft_kp8.db.src.changes")
+          .writeStream.option("checkpointLocation", ckpt)
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+            BatchTimings.timed("qp08_cdc_replica", id) {
+              val batch = b.persist()
+              try {
+                val bs = batch.sparkSession
+                batch.createOrReplaceTempView("qp08_batch")
+                if (batch.where("_change_type = 'rewrite'").limit(1).count() > 0)
+                  // whole-table refresh event: replace the replica
+                  bs.sql("INSERT OVERWRITE graft_kp8.db.rep " +
+                    "SELECT key, seq, metric FROM qp08_batch " +
+                    "WHERE _change_type = 'rewrite'")
+                else {
+                  // row-level: delete pre-images by (key, seq), then
+                  // append post-images — idempotent order within the
+                  // single version this batch carries
+                  if (batch.where("_change_type = 'delete'").limit(1).count() > 0)
+                    bs.sql("""MERGE INTO graft_kp8.db.rep r
+                      USING (SELECT key, seq FROM qp08_batch
+                             WHERE _change_type = 'delete') d
+                      ON r.key = d.key AND r.seq = d.seq
+                      WHEN MATCHED THEN DELETE""")
+                  bs.sql("INSERT INTO graft_kp8.db.rep " +
+                    "SELECT key, seq, metric FROM qp08_batch " +
+                    "WHERE _change_type = 'insert'")
+                }
+                ()
+              } finally { batch.unpersist(); () }
+            }
+          }.start()
+        try BatchTimings.timed("qp08_cdc_replica", BatchTimings.DrainId) {
+          q.processAllAvailable()
+        } finally q.stop()
+      }
+      s.sql("INSERT INTO graft_kp8.db.src SELECT lang, doc_id, n_chars " +
+        "FROM qp08_documents WHERE doc_id % 3 = 0")                 // journal v0
+      sync()
+      s.sql("INSERT INTO graft_kp8.db.src SELECT lang, doc_id, n_chars " +
+        "FROM qp08_documents WHERE doc_id % 3 = 1")                 // v1
+      sync() // a LIVE replica consumes appends before compaction swaps
+             // their files away; a replica that falls BEHIND a compaction
+             // takes the superseding rewrite in one window instead (the
+             // qs22 one-batch path) or restarts from a full scan — the
+             // feed fails loudly rather than serving a partial version
+      s.sql("CALL graft_kp8.system.compact('db.src')")              // v2 (rewrite)
+      s.sql("INSERT INTO graft_kp8.db.src SELECT lang, doc_id, n_chars " +
+        "FROM qp08_documents WHERE doc_id % 3 = 2")                 // v3
+      s.sql("UPDATE graft_kp8.db.src SET metric = metric + 1000000 " +
+        "WHERE key = 'de'")                                         // v4 (rm/ad)
+      sync() // catches up version by version: the rewrite refresh, v3's
+             // insert (de file tombstone-served past the v4 swap), then
+             // the UPDATE's delete/insert pair
+      val rep = s.table("graft_kp8.db.rep").select("key", "seq", "metric")
+      val src = s.table("graft_kp8.db.src").select("key", "seq", "metric")
+      val drift = rep.exceptAll(src).count() + src.exceptAll(rep).count()
+      s.table("graft_kp8.db.rep")
+        .groupBy("key")
+        .agg(count(lit(1)).as("n_rows"),
+          sum("metric").cast("long").as("sum_metric"))
+        .withColumn("replica_matches_source", lit(drift == 0L))
+        .orderBy("key")
+    },
+
     // --- CONTINUOUS write-audit-publish: a stream's epochs stage onto a
     //     BRANCH (each micro-batch = one branch-log version; main is
     //     untouched while the stream runs), the audit gate DMLs the
@@ -957,6 +1048,15 @@ object StreamingQueries extends QueryModule {
            SELECT 'rewrite', lang, count(*), CAST(sum(n_chars) AS BIGINT)
            FROM documents WHERE doc_id % 3 < 2 GROUP BY lang
          ) ORDER BY change_type, key""",
+
+    // the replica's final state = every document, de rows carrying the
+    // +1e6 update; row-for-row equality with the source is the boolean
+    "qp08_cdc_replica" ->
+      """SELECT lang AS key, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(n_chars) + CASE WHEN lang = 'de'
+             THEN 1000000 * count(*) ELSE 0 END AS BIGINT) AS sum_metric,
+           TRUE AS replica_matches_source
+         FROM documents GROUP BY lang ORDER BY key""",
 
     // published = released (doc_id%3=0) plus the streamed slices that
     // survive the branch audit gate (n_chars >= 100)
