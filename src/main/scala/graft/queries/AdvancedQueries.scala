@@ -918,7 +918,11 @@ object AdvancedQueries extends QueryModule {
       // bucket (associative exact addition — qv14's frozen-model rule)
       val rebuilt = QuantileSketch.quantiles(
         QuantileSketch.merge(QuantileSketch.partials(li, "l_extendedprice",
-          Seq("l_returnflag", "l_shipdate"), lo, hi, nb),
+          Seq("l_returnflag", "l_shipdate"), lo, hi, nb)
+          .localCheckpoint(), // quantiles() consumes its input in two
+                              // plan branches — pin the rebuild like
+                              // q65 pins its partials, or each branch
+                              // re-scans lineitem
           Seq("l_returnflag")),
         Seq("l_returnflag"), qs, lo, hi, nb)
         .select(col("l_returnflag"), col("q"), col("bucket").as("rb"))

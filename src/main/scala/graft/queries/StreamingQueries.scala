@@ -556,17 +556,25 @@ object StreamingQueries extends QueryModule {
                     "WHERE _change_type = 'rewrite'")
                 else {
                   // row-level: delete pre-images by (key, seq), then
-                  // append post-images — idempotent order within the
-                  // single version this batch carries
+                  // UPSERT post-images. foreachBatch is at-least-once, so
+                  // every arm must be replay-idempotent: OVERWRITE is,
+                  // MERGE-delete is, and the insert arm must be a keyed
+                  // MERGE too — a blind append replayed after a crash
+                  // between the sink commit and the stream checkpoint
+                  // would duplicate the whole version in the replica
                   if (batch.where("_change_type = 'delete'").limit(1).count() > 0)
                     bs.sql("""MERGE INTO graft_kp8.db.rep r
                       USING (SELECT key, seq FROM qp08_batch
                              WHERE _change_type = 'delete') d
                       ON r.key = d.key AND r.seq = d.seq
                       WHEN MATCHED THEN DELETE""")
-                  bs.sql("INSERT INTO graft_kp8.db.rep " +
-                    "SELECT key, seq, metric FROM qp08_batch " +
-                    "WHERE _change_type = 'insert'")
+                  bs.sql("""MERGE INTO graft_kp8.db.rep r
+                    USING (SELECT key, seq, metric FROM qp08_batch
+                           WHERE _change_type = 'insert') i
+                    ON r.key = i.key AND r.seq = i.seq
+                    WHEN MATCHED THEN UPDATE SET metric = i.metric
+                    WHEN NOT MATCHED THEN INSERT (key, seq, metric)
+                      VALUES (i.key, i.seq, i.metric)""")
                 }
                 ()
               } finally { batch.unpersist(); () }
