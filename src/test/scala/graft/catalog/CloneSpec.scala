@@ -282,4 +282,32 @@ class CloneSpec extends AnyFunSuite {
     assert(spark.table("gc.db.vdst").count() == 5)
     assert(spark.table("gc.db.vsrc").count() == 10, "source untouched")
   }
+
+  test("deep clone preserves bucketing and column-mapping renames") {
+    ensureDb()
+    spark.sql("CREATE TABLE gc.db.bsrc (id BIGINT, val BIGINT) USING manifest " +
+      "PARTITIONED BY (bucket(4, id))")
+    spark.sql("INSERT INTO gc.db.bsrc SELECT id, id * 10 FROM range(20)")
+    // a metadata-only rename (column mapping): files keep the OLD physical
+    // name and resolve by field id — the deep copy must carry the files
+    // verbatim AND the renamed descriptor, so reads still resolve
+    spark.sql("ALTER TABLE gc.db.bsrc RENAME COLUMN val TO amount")
+    spark.sql("CALL gc.system.clone('db.bsrc', 'db.bdst', deep => true)")
+    // renamed column serves under its NEW name from the OLD physical files
+    val got = spark.sql("SELECT sum(amount) FROM gc.db.bdst").head().getLong(0)
+    assert(got == (0L until 20L).map(_ * 10).sum)
+    // bucketing metadata survives: the migrated table keeps declaring the
+    // bucket transform (and its files keep their bucketed pool names)
+    val parts = spark.sql("DESCRIBE TABLE EXTENDED gc.db.bdst").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(parts.exists { case (k, v) =>
+      k.startsWith("Part 0") && v.contains("bucket") }, parts.mkString("; "))
+    // and the copied pools are physically bucketed ones
+    val dir = spark.sql("SHOW TBLPROPERTIES gc.db.bdst").collect()
+      .find(_.getString(0) == "graft.location").map(_.getString(1))
+      .getOrElse(dataDir("bdst"))
+    val files = ManifestTable.manifest(dir, ManifestTable.currentVersion(dir).get)
+    assert(files.nonEmpty && files.forall(_.contains("bucketed")),
+      s"bucket layout lost in migration: $files")
+  }
 }
