@@ -6,9 +6,22 @@ import org.apache.spark.sql.SparkSession
   * SPARK_GRAFT_SF_DIR, one JSON line on stdout.
   *
   * Each query gets one warmup execution (JIT + codegen compile + file-index
-  * warm) and the reported time is the best of two measured runs —
+  * warm) and the reported time is the best of the recorded runs —
   * steady-state throughput, which is what matters at cluster scale where
   * per-query JVM warmup amortizes to zero.
+  *
+  * CRASH-PROOF ARTIFACT (round-15 hardening; round 14's run was
+  * SIGTERM-killed by the driver's wall-clock budget and — because the JSON
+  * line printed only after ALL rounds — the whole round shipped no numbers):
+  *  - the final JSON line is emitted by a JVM shutdown hook if the process
+  *    dies before finishing (GNU timeout sends SIGTERM, which runs hooks),
+  *    marked "partial":true with every completed measurement intact;
+  *  - each measurement is also flushed to stderr as JSONL the moment it
+  *    lands ([bench-progress] lines), so even a SIGKILL leaves a per-query
+  *    forensic trail;
+  *  - recorded rounds dropped 3 -> 2 (SPARK_GRAFT_ROUNDS overrides): with
+  *    222+ gates the 4-pass suite no longer fits the driver budget
+  *    (r13 green at 3098 s / 213 gates; r14 killed mid final pass).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -63,77 +76,128 @@ object Bench {
     val nameFilter = sys.env.getOrElse("SPARK_GRAFT_FILTER", "")
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(_._1.contains(nameFilter))
-    // Best-of-3 with INTERLEAVED rounds: run the whole suite once as warmup
-    // (JIT + codegen + file-index warm, unrecorded), then three full
+    // Recorded rounds are INTERLEAVED: the whole suite runs once as warmup
+    // (JIT + codegen + file-index warm, unrecorded), then `rounds` full
     // recorded passes, keeping each query's minimum. Interleaving separates
-    // a query's three measurements by the length of a full pass, so a
+    // a query's measurements by the length of a full pass, so a
     // minutes-long interference window on a shared box (observed: a
     // co-tenant burst turning a 5 s stream query into 61 s) can no longer
     // cover every measurement of the same query — back-to-back repeats
     // have no such protection. min is the steady-state estimator.
-    val times = scala.collection.mutable.Map.empty[String, Double]
-    val failed = scala.collection.mutable.Set.empty[String]
-    // SPARK_GRAFT_STAT: per-query estimator over the 3 recorded rounds —
+    val rounds = sys.env.getOrElse("SPARK_GRAFT_ROUNDS", "2").toInt
+    // SPARK_GRAFT_STAT: per-query estimator over the recorded rounds —
     // "min" (default; the steady-state estimator the driver compares) or
     // "median" (robust to one-shot co-tenant interference in BOTH
-    // directions: a single lucky round can no longer mask a regression,
-    // so round-over-round deltas are less noisy — the self-artifact's
-    // estimator)
+    // directions — the self-artifact's estimator)
     val stat = sys.env.getOrElse("SPARK_GRAFT_STAT", "min")
+
+    // All mutable state the shutdown hook reads is guarded by `lock`: the
+    // hook fires on SIGTERM concurrently with the measurement loop.
+    val lock = new Object
+    val failed = scala.collection.mutable.Set.empty[String]
     val samples = scala.collection.mutable.Map.empty[String, List[Double]]
-    for (round <- 0 to 3; (name, fn) <- selected if !failed(name)) {
-      try {
-        val t = once(fn)
-        if (round > 0) samples(name) = t :: samples.getOrElse(name, Nil)
-      } catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed (round $round): ${e.getMessage}")
-        failed += name
-        times(name) = -1.0
+    val warmups = scala.collection.mutable.Map.empty[String, Double]
+    @volatile var roundsDone = -1
+
+    def emitJson(partial: Boolean): String = lock.synchronized {
+      val times = scala.collection.mutable.Map.empty[String, Double]
+      val mins = scala.collection.mutable.Map.empty[String, Double]
+      val medians = scala.collection.mutable.Map.empty[String, Double]
+      selected.foreach { case (name, _) =>
+        if (failed(name)) {
+          // a query that failed in ANY round reports -1 everywhere, even if
+          // an earlier recorded round produced a sample — a partial result
+          // must never masquerade as a healthy timing
+          mins(name) = -1.0; medians(name) = -1.0; times(name) = -1.0
+        } else samples.get(name) match {
+          case Some(ts) =>
+            val sorted = ts.sorted
+            mins(name) = sorted.head
+            medians(name) = sorted(sorted.length / 2)
+            times(name) = if (stat == "median") medians(name) else mins(name)
+          case None =>
+            // no recorded sample yet: in a partial (killed-early) emit the
+            // warmup time is the honest fallback — a cold-ish measurement
+            // beats reporting nothing for a query that DID run green
+            val w = warmups.getOrElse(name, -1.0)
+            mins(name) = w; medians(name) = w; times(name) = w
+        }
       }
+      def obj(m: scala.collection.Map[String, Double]) =
+        selected.map { case (k, _) => "\"" + k + "\":" + m(k) }
+          .mkString("{", ",", "}")
+      val total = selected.collect {
+        case (k, _) if times(k) >= 0 => times(k)
+      }.sum
+      // "queries" = the selected estimator (driver contract); both
+      // estimators ride alongside so rounds compare min-to-min AND
+      // median-to-median regardless of which was selected
+      // "env" records the harness shape: cpus sets BOTH parallelism and
+      // shuffle.partitions, and a 32-cpu run doubles tiny sf0.1 stage counts
+      // (~1.28× uniformly slower, measured round 10) — cross-round
+      // comparisons must match env.cpus or compare the default-cpu
+      // self-bench artifacts (BENCH_SELF_r*.json)
+      val env = s"""{"cpus":"$cpus","shuffle_partitions":"$cpus","stat":"$stat",""" +
+        s""""rounds":$rounds,"cache":"${sys.env.getOrElse("SPARK_GRAFT_CACHE", "1")}",""" +
+        s""""partial":$partial,"rounds_done":$roundsDone}"""
+      // per-micro-batch wall times the streaming gates recorded (all rounds,
+      // arrival order; batch -1 = the whole drain): localizes a stream-gate
+      // mover to real batch work vs trigger-wait machinery under contention
+      val streamBatches = graft.queries.BatchTimings.snapshot()
+        .groupBy(_._1).toSeq.sortBy(_._1).map { case (name, entries) =>
+          val items = entries.map { case (_, b, sec) =>
+            s"""{"batch":$b,"sec":${math.rint(sec * 1000) / 1000}}"""
+          }.mkString("[", ",", "]")
+          "\"" + name + "\":" + items
+        }.mkString("{", ",", "}")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${obj(times)},""" +
+        s""""queries_min":${obj(mins)},"queries_median":${obj(medians)},""" +
+        s""""stream_batches":$streamBatches,"sf":"$sfDir","env":$env}"""
     }
-    val mins = scala.collection.mutable.Map.empty[String, Double]
-    val medians = scala.collection.mutable.Map.empty[String, Double]
-    // a query that failed in ANY round reports -1 everywhere, even if an
-    // earlier recorded round produced a sample — a partial result must
-    // never masquerade as a healthy timing
-    samples.foreach { case (name, ts) if !failed(name) =>
-      val sorted = ts.sorted
-      mins(name) = sorted.head
-      medians(name) = sorted(sorted.length / 2)
-      times(name) = if (stat == "median") medians(name) else mins(name)
-    case _ => ()
+
+    // Exactly ONE final JSON line ever reaches stdout: the normal path and
+    // the shutdown hook race through this CAS. The hook never touches Spark
+    // (the concurrently-running SparkShutdownHook may already have stopped
+    // the session — r14's killed run logged "No active or default Spark
+    // session found" from exactly that teardown collateral); it only
+    // formats in-memory maps.
+    val emitted = new java.util.concurrent.atomic.AtomicBoolean(false)
+    def emit(partial: Boolean): Unit =
+      if (emitted.compareAndSet(false, true)) {
+        println(emitJson(partial))
+        System.out.flush()
+      }
+    Runtime.getRuntime.addShutdownHook(new Thread(() => emit(partial = true)))
+
+    for (round <- 0 to rounds) {
+      for ((name, fn) <- selected if !failed(name)) {
+        try {
+          val t = once(fn)
+          lock.synchronized {
+            if (round > 0) samples(name) = t :: samples.getOrElse(name, Nil)
+            else warmups(name) = t
+          }
+          // per-measurement forensic trail: survives even SIGKILL
+          System.err.println(
+            s"""[bench-progress] {"name":"$name","round":$round,"sec":${math.rint(t * 1000) / 1000}}""")
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed (round $round): ${e.getMessage}")
+          lock.synchronized { failed += name }
+        }
+        // post-condition: no gate may leave a streaming query running — a
+        // leaked stream would burn budget under every later measurement and
+        // tear down noisily at exit (the r14 forensics alternative this
+        // guard permanently rules out)
+        if (spark.streams.active.nonEmpty) {
+          spark.streams.active.foreach { q =>
+            System.err.println(s"[bench] WARNING: $name leaked active stream ${q.name}; stopping it")
+            try q.stop() catch { case _: Throwable => () }
+          }
+        }
+      }
+      roundsDone = round
     }
-    failed.foreach { name =>
-      mins(name) = -1.0; medians(name) = -1.0; times(name) = -1.0
-    }
-    val results = selected.map { case (name, _) => name -> times(name) }
-    def obj(m: scala.collection.Map[String, Double]) =
-      selected.map { case (k, _) => "\"" + k + "\":" + m(k) }
-        .mkString("{", ",", "}")
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    // "queries" = the selected estimator (driver contract); both
-    // estimators ride alongside so rounds compare min-to-min AND
-    // median-to-median regardless of which was selected
-    // "env" records the harness shape: cpus sets BOTH parallelism and
-    // shuffle.partitions, and a 32-cpu run doubles tiny sf0.1 stage counts
-    // (~1.28× uniformly slower, measured round 10) — cross-round
-    // comparisons must match env.cpus or compare the default-cpu
-    // self-bench artifacts (BENCH_SELF_r*.json)
-    val env = s"""{"cpus":"$cpus","shuffle_partitions":"$cpus","stat":"$stat",""" +
-      s""""cache":"${sys.env.getOrElse("SPARK_GRAFT_CACHE", "1")}"}"""
-    // per-micro-batch wall times the streaming gates recorded (all rounds,
-    // arrival order; batch -1 = the whole drain): localizes a stream-gate
-    // mover to real batch work vs trigger-wait machinery under contention
-    val streamBatches = graft.queries.BatchTimings.snapshot()
-      .groupBy(_._1).toSeq.sortBy(_._1).map { case (name, entries) =>
-        val items = entries.map { case (_, b, sec) =>
-          s"""{"batch":$b,"sec":${math.rint(sec * 1000) / 1000}}"""
-        }.mkString("[", ",", "]")
-        "\"" + name + "\":" + items
-      }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${obj(times)},""" +
-      s""""queries_min":${obj(mins)},"queries_median":${obj(medians)},""" +
-      s""""stream_batches":$streamBatches,"sf":"$sfDir","env":$env}""")
+    emit(partial = false)
     spark.stop()
   }
 }
