@@ -100,6 +100,24 @@ object Constraints {
     * per-file stats). */
   private[graft] def resolveRowPredicate(spark: SparkSession, schema: StructType,
       what: String, sql: String): (Expression, Seq[org.apache.spark.sql.catalyst.expressions.Attribute]) = {
+    val (raw, out) = resolveRowExpression(spark, schema, what, sql)
+    require(raw.dataType == BooleanType,
+      s"$what ('$sql') must be BOOLEAN, got ${raw.dataType.simpleString}")
+    (raw, out)
+  }
+
+  /** The resolved Catalyst TYPE of a row-level expression against a
+    * schema (generated-column DDL validation) — same loudness contract
+    * as [[resolveRowPredicate]] minus the boolean requirement. */
+  private[catalog] def resolvedType(spark: SparkSession, schema: StructType,
+      what: String, sql: String): org.apache.spark.sql.types.DataType =
+    resolveRowExpression(spark, schema, what, sql)._1.dataType
+
+  /** Parse + resolve a row-level expression of ANY type against
+    * `schema`; rejects unresolvable, non-deterministic,
+    * aggregate/window/generator and subquery expressions. */
+  private def resolveRowExpression(spark: SparkSession, schema: StructType,
+      what: String, sql: String): (Expression, Seq[org.apache.spark.sql.catalyst.expressions.Attribute]) = {
     val parsed = try spark.sessionState.sqlParser.parseExpression(sql)
     catch {
       case e: Exception => throw new IllegalArgumentException(
@@ -114,9 +132,6 @@ object Constraints {
         s"$what ('$sql') does not resolve " +
           s"against the table schema ${schema.simpleString}: ${e.getMessage}")
     }
-    require(analyzed.output.head.dataType == BooleanType,
-      s"$what ('$sql') must be BOOLEAN, " +
-        s"got ${analyzed.output.head.dataType.simpleString}")
     val proj = analyzed match {
       // the child must be the LEAF relation itself: aggregates, windows,
       // and generators all interpose a node whose synthesized attributes

@@ -78,7 +78,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       // catalyst's identity.* metadata keys; value allocation and the
       // explicit-insert contract live in the write path
       // (graft.catalog.IdentityColumns)
-      org.apache.spark.sql.connector.catalog.TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_IDENTITY_COLUMNS)
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_IDENTITY_COLUMNS,
+      // GENERATED ALWAYS AS (expr): the expression SQL rides the schema
+      // JSON as catalyst's GENERATION_EXPRESSION metadata key;
+      // compute-or-validate lives in the write path
+      // (graft.catalog.GeneratedColumns)
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS)
 
   private def fs = LakeStorage.openFor(root)
 
@@ -287,16 +292,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       .v2ColumnsToStructType(columns)
     val withIdentity = StructType(schema.fields.zip(columns).map {
       case (f, c) =>
-        Option(c.identityColumnSpec()) match {
-          case Some(spec) => f.copy(metadata =
-            new org.apache.spark.sql.types.MetadataBuilder()
-              .withMetadata(f.metadata)
-              .putLong(IdentityColumns.StartKey, spec.getStart)
-              .putLong(IdentityColumns.StepKey, spec.getStep)
-              .putBoolean(IdentityColumns.ExplicitKey, spec.isAllowExplicitInsert)
-              .build())
-          case None => f
+        val mb = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata)
+        Option(c.identityColumnSpec()).foreach { spec =>
+          mb.putLong(IdentityColumns.StartKey, spec.getStart)
+          mb.putLong(IdentityColumns.StepKey, spec.getStep)
+          mb.putBoolean(IdentityColumns.ExplicitKey, spec.isAllowExplicitInsert)
         }
+        // GENERATED ALWAYS AS (expr) is Column-carried too — re-attach as
+        // catalyst's own metadata key (same conversion gap as identity)
+        Option(c.generationExpression()).foreach(
+          mb.putString(GeneratedColumns.ExprKey, _))
+        f.copy(metadata = mb.build())
     })
     createTable(ident, withIdentity, partitions, properties)
   }
@@ -337,6 +344,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val blooms = parseBloomCols(ident, provider, schema, properties)
     val ndv = parseNdvCols(ident, provider, schema, properties)
     val checks = parseChecks(ident, provider, schema, properties)
+    // generated columns: expressions validated AT DECLARATION (parse,
+    // resolve, determinism, exact type) — manifest tables only
+    if (GeneratedColumns.hasGenerated(schema)) {
+      require(provider == "manifest",
+        s"${ident.name()}: generated columns need USING manifest")
+      GeneratedColumns.validate(org.apache.spark.sql.SparkSession.active,
+        schema, ident.name())
+    }
     if (!writeMeta(dir,
         TableMeta(provider, declared, location, bucket, maxId, dml, cluster,
           blooms, ndv, checks = checks)))
@@ -394,6 +409,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       require(c.name != Constraints.ReplaceWhereName,
         s"${ident.name()}: CHECK constraint name '${c.name}' is reserved " +
           "for REPLACE WHERE's synthesized region check")
+      require(!c.name.startsWith(GeneratedColumns.CheckPrefix),
+        s"${ident.name()}: CHECK constraint names starting with " +
+          s"'${GeneratedColumns.CheckPrefix}' are reserved for the " +
+          "generated-column invariants")
       Constraints.bind(spark, schema, c)
     }
     checks.map(c => (c.name, c.sql))
@@ -703,6 +722,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         .referencedColumns(spark, sql)
         .contains(col.toLowerCase(java.util.Locale.ROOT)) => n }
     }
+    /** Generated columns whose expression references `col` (same guards:
+      * expression SQL is stored verbatim, a drop/rename would unbind it). */
+    def generatedOn(col: String): Seq[String] = {
+      val spark = org.apache.spark.sql.SparkSession.active
+      GeneratedColumns.specs(schema).collect {
+        case sp if Constraints.referencedColumns(spark, sp.sql)
+          .contains(col.toLowerCase(java.util.Locale.ROOT)) => sp.col
+      }
+    }
     changes.foreach {
       case set: TableChange.SetProperty
           if set.property.startsWith(Constraints.Prefix) =>
@@ -711,6 +739,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         require(check.name != Constraints.ReplaceWhereName,
           s"${ident.name()}: CHECK constraint name '${check.name}' is " +
             "reserved for REPLACE WHERE's synthesized region check")
+        require(!check.name.startsWith(GeneratedColumns.CheckPrefix),
+          s"${ident.name()}: CHECK constraint names starting with " +
+            s"'${GeneratedColumns.CheckPrefix}' are reserved for the " +
+            "generated-column invariants")
         val spark = org.apache.spark.sql.SparkSession.active
         Constraints.bind(spark, schema, check) // loud: parse/resolve/type
         // Delta's ADD CONSTRAINT contract: existing rows must already
@@ -792,6 +824,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           s"${ident.name()}: cannot drop column $name — CHECK constraint(s) " +
             s"${checksOn(name).mkString(", ")} reference it; drop them first " +
             s"(ALTER TABLE ... UNSET TBLPROPERTIES ('${Constraints.Prefix}<name>'))")
+        require(generatedOn(name).isEmpty,
+          s"${ident.name()}: cannot drop column $name — generated column(s) " +
+            s"${generatedOn(name).mkString(", ")} compute from it; drop the " +
+            "generated column(s) first")
         schema = StructType(schema.filterNot(_.name == name))
         blooms = blooms.filterNot(_ == name) // advisory index: drop follows
         ndv = ndv.filterNot(_ == name)       // NDV declaration too
@@ -809,6 +845,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           s"${ident.name()}: cannot rename column $from — CHECK constraint(s) " +
             s"${checksOn(from).mkString(", ")} reference it; drop them, rename, " +
             "and re-add against the new name")
+        require(generatedOn(from).isEmpty,
+          s"${ident.name()}: cannot rename column $from — generated column(s) " +
+            s"${generatedOn(from).mkString(", ")} compute from it (the " +
+            "expression SQL is stored verbatim and would silently unbind)")
         require(isMapped(schema) &&
             schema.find(_.name == from).exists(_.metadata.contains(FieldIdKey)),
           s"${ident.name()}: RENAME COLUMN needs column mapping (parquet field " +
@@ -1085,64 +1125,80 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       val dstFs = graft.core.LakeStorage.openFor(dstDir)
       dstFs.mkdirs(new Path(dstDir))
       val toCopy = (st.files ++ st.dvs.valuesIterator.map(_.path).toSeq).sorted
-      // bounded parallel copy+verify: the migration is I/O-bound, and a
-      // single-stream driver loop would make the DR move it exists for
-      // crawl (each file is still read twice BY CONTRACT — once copying,
-      // once re-hashing the written target)
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(
-        math.min(16, math.max(1, toCopy.length)))
-      val bytes = try {
-        val futures = toCopy.map { rel =>
-          pool.submit(new java.util.concurrent.Callable[Long] {
-            override def call(): Long = copyVerified(srcFs,
-              new Path(dataDir, rel), dstFs, new Path(dstDir, rel))
-          })
+      try {
+        // DISTRIBUTED copy (the distcp shape): above a size threshold the
+        // copy+verify runs as ONE SPARK JOB over the file list — one task
+        // per file — so migration throughput scales with the cluster, not
+        // with one driver NIC (a 100 TB table through a 16-thread driver
+        // pool is an hours-to-days funnel). Below the threshold the
+        // bounded driver pool wins: no job-scheduling latency on the
+        // metadata-sized tables DDL tests and small DR moves touch.
+        val thresholdBytes = org.apache.spark.sql.SparkSession.getActiveSession
+          .flatMap(s => scala.util.Try(s.conf.get(
+            "spark.graft.clone.distributedThresholdBytes").toLong).toOption)
+          .getOrElse(256L * 1024 * 1024)
+        // planning pass: file sizes from the source listing (also a
+        // fail-fast existence check before any bytes move); bail out of
+        // the sum early once the threshold is crossed
+        var planned = 0L
+        val itFiles = toCopy.iterator
+        while (planned < thresholdBytes && itFiles.hasNext)
+          planned += srcFs.getFileStatus(new Path(dataDir, itFiles.next())).getLen
+        val bytes =
+          if (toCopy.nonEmpty && planned >= thresholdBytes &&
+              org.apache.spark.sql.SparkSession.getActiveSession.isDefined) {
+            val sc = org.apache.spark.sql.SparkSession.active.sparkContext
+            val (srcRoot, dstRoot) = (dataDir, dstDir)
+            sc.parallelize(toCopy, toCopy.length)
+              .map(rel => DeepCopy.copyVerified(srcRoot, dstRoot, rel))
+              .fold(0L)(_ + _)
+          } else {
+            // bounded parallel copy+verify on the driver (each file is
+            // still read twice BY CONTRACT — once copying, once re-hashing
+            // the written target)
+            val pool = java.util.concurrent.Executors.newFixedThreadPool(
+              math.min(16, math.max(1, toCopy.length)))
+            try {
+              val futures = toCopy.map { rel =>
+                pool.submit(new java.util.concurrent.Callable[Long] {
+                  override def call(): Long =
+                    DeepCopy.copyVerified(dataDir, dstDir, rel)
+                })
+              }
+              futures.map(_.get()).sum
+            } finally
+              // shutdownNow, not shutdown: if any copy failed, in-flight
+              // rivals must stop writing into a tree about to be deleted
+              pool.shutdownNow()
+          }
+        // identity high-water carry-over: the clone's rows KEEP their
+        // surrogate keys, so the target's reservation sequence must start
+        // at the source's current mark — a fresh marker dir would restart
+        // at 0 and the first INSERT would silently re-issue keys already
+        // present in the copied rows. (Zero-copy clones share the data
+        // root and therefore the marker sequence; only the deep path
+        // needs the seed.)
+        IdentityColumns.specs(meta.schema).foreach { spec =>
+          val hw = IdentityColumns.highWater(dataDir, spec.col)
+          if (hw > 0) IdentityColumns.seed(dstDir, spec.col, hw)
         }
-        futures.map(_.get()).sum
-      } finally pool.shutdown()
-      graft.core.ManifestTable.commitStagedSnapshot(dstDir, st.files,
-        stats = Some(st.stats), dvs = st.dvs)
-      if (!writeMeta(dstDir, meta.copy(location = None, cloneBranch = None)))
-        throw new TableAlreadyExistsException((ns :+ dstIdent.name()).toSeq)
-      (v, toCopy.length.toLong, bytes)
+        graft.core.ManifestTable.commitStagedSnapshot(dstDir, st.files,
+          stats = Some(st.stats), dvs = st.dvs)
+        if (!writeMeta(dstDir, meta.copy(location = None, cloneBranch = None)))
+          throw new TableAlreadyExistsException((ns :+ dstIdent.name()).toSeq)
+        (v, toCopy.length.toLong, bytes)
+      } catch { case e: Throwable =>
+        // nothing references dstDir until writeMeta lands (the MetaFile IS
+        // table existence), so a failed clone's partial tree is garbage:
+        // delete it best-effort so a retry starts clean instead of
+        // stumbling over half-copied files
+        try { dstFs.delete(new Path(dstDir), true); () }
+        catch { case _: java.io.IOException => () }
+        throw e
+      }
     } finally {
       graft.core.ManifestTable.dropBranch(dataDir, pin); ()
     }
-  }
-
-  /** Copy one file and prove the copy: md5 is computed over the source
-    * stream WHILE copying, then the written target is re-read and hashed
-    * — a torn or bit-flipped copy fails here, before the migrated table
-    * can commit over it. Returns the byte count. */
-  private def copyVerified(srcFs: org.apache.hadoop.fs.FileSystem, src: Path,
-                           dstFs: org.apache.hadoop.fs.FileSystem, dst: Path): Long = {
-    def digest(): java.security.MessageDigest =
-      java.security.MessageDigest.getInstance("MD5")
-    val srcMd5 = digest()
-    var bytes = 0L
-    val in = srcFs.open(src)
-    val out = dstFs.create(dst, false)
-    try {
-      val buf = new Array[Byte](1 << 20)
-      var n = in.read(buf)
-      while (n >= 0) {
-        if (n > 0) { srcMd5.update(buf, 0, n); out.write(buf, 0, n); bytes += n }
-        n = in.read(buf)
-      }
-    } finally { in.close(); out.close() }
-    val dstMd5 = digest()
-    val back = dstFs.open(dst)
-    try {
-      val buf = new Array[Byte](1 << 20)
-      var n = back.read(buf)
-      while (n >= 0) {
-        if (n > 0) dstMd5.update(buf, 0, n)
-        n = back.read(buf)
-      }
-    } finally back.close()
-    require(java.util.Arrays.equals(srcMd5.digest(), dstMd5.digest()),
-      s"deep clone copy verification failed: $src -> $dst content hash mismatch")
-    bytes
   }
 
   // ---- namespaces ----

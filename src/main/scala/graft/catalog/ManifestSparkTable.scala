@@ -255,10 +255,17 @@ class ManifestSparkTable(dir: String, declared: StructType,
           "distinguish preserved keys from forged ones (DELETE and batch " +
           "INSERT remain available; use GENERATED BY DEFAULT to allow " +
           "explicit keys through DML)")
+    // generated columns ride the row-level writers as implicit CHECKs
+    // (`col <=> (expr)`): an UPDATE/MERGE that changes a source column
+    // without re-supplying the matching generated value fails loudly
+    // (validate-not-recompute — full-width rows give the writer no way to
+    // tell a stale generated value from an intended one); DELETE writes
+    // survivors unchanged, which satisfy the invariant by construction.
+    val dmlChecks = checks ++ GeneratedColumns.implicitChecks(declared)
     if (mergeOnRead) () => new ManifestDeltaOperation(dir, declared, info.command,
-      branch, bloomCols, ndvCols, checks)
+      branch, bloomCols, ndvCols, dmlChecks)
     else () => new ManifestRowLevelOperation(dir, declared, info.command,
-      bucketing, cluster, branch, bloomCols, ndvCols, checks)
+      bucketing, cluster, branch, bloomCols, ndvCols, dmlChecks)
   }
 
   /** DELETE fast path (Spark's metadata-only delete, also TRUNCATE TABLE):
@@ -384,7 +391,13 @@ class ManifestSparkTable(dir: String, declared: StructType,
               // main — fast-forward can never collide keys.
               val (data1, releaseIdentity) =
                 IdentityColumns.fill(data, declared, dir)
-              try insertFilled(data1, overwriteFlag)
+              // generated columns: compute omitted values / validate
+              // explicit ones — AFTER identity (an expression may
+              // reference the identity column), BEFORE the checks (a
+              // CHECK may reference the generated column). Pure map-side
+              // row work.
+              val data2 = GeneratedColumns.fill(data1, declared)
+              try insertFilled(data2, overwriteFlag)
               finally releaseIdentity()
             }
 
@@ -490,13 +503,25 @@ class ManifestSparkTable(dir: String, declared: StructType,
         override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
           require(replaceFilters.isEmpty,
             s"REPLACE WHERE is a batch-write operation (${name()})")
-          require(!IdentityColumns.specs(declared).exists(!_.allowExplicit),
-            s"${name()}: streaming writes cannot allocate GENERATED ALWAYS " +
-              "identity values (epoch retries would re-reserve) — use " +
-              "GENERATED BY DEFAULT with explicit values, or batch inserts")
+          // identity columns stream through per-(epoch, partition) slab
+          // reservations (IdentityColumns.reserveEpochSlab): a replayed
+          // epoch re-reads its slab bases and regenerates identical keys,
+          // so the epoch-pool exactly-once protocol holds for generated
+          // keys too. Slab size (max rows per partition per epoch) is
+          // spark.graft.identity.epochSlab.
+          val identitySlab = SparkSession.active.conf
+            .getOption("spark.graft.identity.epochSlab")
+            .map(_.toLong).getOrElse(1L << 20)
+          // streaming epochs VALIDATE generated columns rather than
+          // compute them (the epoch writers are InternalRow-based): the
+          // stream must supply the computed value explicitly, and the
+          // implicit `col <=> (expr)` check fails the epoch loudly on a
+          // mismatch or a NULL — deterministic row work, safe on retries
           new ManifestStreamingWrite(dir,
             GraftCatalog.stampFieldIds(info.schema(), declared),
-            info.queryId(), overwrite, bloomCols, branch, ndvCols, checks)
+            info.queryId(), overwrite, bloomCols, branch, ndvCols,
+            checks ++ GeneratedColumns.implicitChecks(declared),
+            IdentityColumns.specs(declared), identitySlab)
         }
       }
     }

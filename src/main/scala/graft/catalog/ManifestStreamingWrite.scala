@@ -50,7 +50,9 @@ class ManifestStreamingWrite(dir: String, schema: StructType, queryId: String,
                              bloomCols: Seq[String] = Nil,
                              branch: Option[String] = None,
                              ndvCols: Seq[String] = Nil,
-                             checks: Seq[Constraints.Check] = Nil)
+                             checks: Seq[Constraints.Check] = Nil,
+                             identity: Seq[IdentityColumns.Spec] = Nil,
+                             identitySlab: Long = 1L << 20)
     extends StreamingWrite {
 
   import ManifestStreamingWrite.poolName
@@ -73,7 +75,8 @@ class ManifestStreamingWrite(dir: String, schema: StructType, queryId: String,
     // writers — a violating micro-batch fails BEFORE its epoch commits
     ManifestStreamingWriterFactory(owf, dir, queryId, schema,
       new SerializableConfiguration(job.getConfiguration),
-      Constraints.rowChecker(spark, schema, checks))
+      Constraints.rowChecker(spark, schema, checks),
+      identity, identitySlab)
   }
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
@@ -122,16 +125,93 @@ object ManifestStreamingWrite {
 
 case class ManifestStreamingWriterFactory(owf: OutputWriterFactory, dir: String,
     queryId: String, schema: StructType, conf: SerializableConfiguration,
-    checker: Option[Constraints.RowChecker] = None)
+    checker: Option[Constraints.RowChecker] = None,
+    identity: Seq[IdentityColumns.Spec] = Nil,
+    identitySlab: Long = 1L << 20)
     extends StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
                             epochId: Long): DataWriter[InternalRow] = {
     val inner = new ManifestStreamingPoolWriter(owf,
       s"$dir/${ManifestStreamingWrite.poolName(queryId, epochId)}",
       schema, conf, partitionId, taskId)
-    checker.fold(inner: DataWriter[InternalRow])(
+    val checked = checker.fold(inner: DataWriter[InternalRow])(
       new Constraints.CheckedWriter(inner, _))
+    // identity fill wraps OUTSIDE the checks: a CHECK may reference the
+    // identity column, so it must see the filled value
+    if (identity.isEmpty) checked
+    else new IdentityEpochFillWriter(checked, schema, identity, dir,
+      queryId, epochId, partitionId, identitySlab)
   }
+}
+
+/** Streaming identity fill: per-row key assignment from the task's
+  * per-(epoch, partition) slab ([[IdentityColumns.reserveEpochSlab]] — a
+  * replayed epoch re-reads the same slab base, so regenerated pool files
+  * carry byte-identical keys). GENERATED ALWAYS rejects explicit values
+  * loudly; BY DEFAULT keeps them (and they burn their ordinal, the batch
+  * path's documented quirk). The row rewrite is one codegen'd
+  * UnsafeProjection over (input ++ keys) — no copies beyond the
+  * projection every writer already implies. */
+class IdentityEpochFillWriter(inner: DataWriter[InternalRow],
+    schema: StructType, specs: Seq[IdentityColumns.Spec], dir: String,
+    queryId: String, epochId: Long, partitionId: Int, slab: Long)
+    extends DataWriter[InternalRow] {
+  import org.apache.spark.sql.catalyst.expressions.{BoundReference, GenericInternalRow, JoinedRow, UnsafeProjection}
+  import org.apache.spark.sql.types._
+
+  private val ordinals = specs.map(sp => schema.fieldIndex(sp.col))
+  private val dts = ordinals.map(schema(_).dataType)
+  dts.zip(specs).foreach { case (dt, sp) =>
+    require(dt == LongType || dt == IntegerType || dt == ShortType || dt == ByteType,
+      s"identity column ${sp.col}: streaming fill supports integral types, got ${dt.simpleString}")
+  }
+  // reserved on FIRST row: empty partitions claim no slab
+  private lazy val bases = specs.map(sp => IdentityColumns.reserveEpochSlab(
+    dir, sp.col, queryId, epochId, partitionId, slab))
+  private var n = 0L
+  private val keyRow = new GenericInternalRow(specs.length)
+  private val joined = new JoinedRow
+  private val proj = {
+    val exprs = schema.fields.zipWithIndex.map { case (f, i) =>
+      ordinals.indexOf(i) match {
+        case -1 => BoundReference(i, f.dataType, f.nullable)
+        case k  => BoundReference(schema.length + k, f.dataType, f.nullable)
+      }
+    }
+    UnsafeProjection.create(exprs.toIndexedSeq)
+  }
+
+  private def asType(dt: DataType, v: Long): Any = dt match {
+    case LongType    => v
+    case IntegerType => v.toInt
+    case ShortType   => v.toShort
+    case ByteType    => v.toByte
+    case other => throw new IllegalStateException(s"unreachable: $other")
+  }
+
+  override def write(row: InternalRow): Unit = {
+    if (n >= slab)
+      throw new IllegalStateException(
+        s"streaming epoch $epochId partition $partitionId exceeded its " +
+          s"identity slab of $slab rows — raise spark.graft.identity.epochSlab")
+    specs.indices.foreach { k =>
+      val sp = specs(k); val i = ordinals(k); val dt = dts(k)
+      if (!row.isNullAt(i)) {
+        if (!sp.allowExplicit)
+          throw new IllegalArgumentException(
+            s"identity column ${sp.col} is GENERATED ALWAYS — explicit values " +
+              "are rejected on streaming writes too")
+        keyRow.update(k, row.get(i, dt))
+      } else
+        keyRow.update(k, asType(dt, sp.start + sp.step * (bases(k) + n)))
+    }
+    n += 1
+    inner.write(proj(joined(row, keyRow)))
+  }
+
+  override def commit(): WriterCommitMessage = inner.commit()
+  override def abort(): Unit = inner.abort()
+  override def close(): Unit = inner.close()
 }
 
 /** Parquet task writer with the staged-rename epoch protocol: stage to an

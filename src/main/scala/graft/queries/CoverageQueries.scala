@@ -1382,6 +1382,86 @@ object CoverageQueries extends QueryModule {
         .orderBy("batch")
     },
 
+    // --- GENERATED ALWAYS AS (expr) — expression-generated columns
+    //     (catalog/GeneratedColumns; TableCatalogCapability
+    //     .SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS), completing the
+    //     generated DDL family next to DEFAULTs (qc49) and identity
+    //     (qc53): omitted values are COMPUTED map-side at write, explicit
+    //     values are VALIDATED against the expression (a divergent value
+    //     fails before any version commits — the boolean), and because
+    //     the table is PARTITIONED BY the generated column, every write
+    //     range-clusters by the MATERIALIZED value and a filter on it
+    //     prunes files from the log's stats at plan time (the second
+    //     boolean) — Delta's generated-column-partitioning trick ---
+    "qc54_generated_columns" -> { (s, d) =>
+      if (s.conf.getOption("spark.sql.catalog.graft_cat").isEmpty)
+        graft.catalog.GraftCatalog.register(s, "graft_cat",
+          graft.core.TempDirs.create("graft_cat_root_"))
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.db")
+      s.sql("DROP TABLE IF EXISTS graft_cat.db.gen54")
+      Tables.orders(s, d).createOrReplaceTempView("qc54_orders")
+      s.sql("""CREATE TABLE graft_cat.db.gen54 (
+          o_orderkey BIGINT, o_totalprice DOUBLE, o_orderdate TIMESTAMP,
+          o_year BIGINT GENERATED ALWAYS AS (CAST(year(o_orderdate) AS BIGINT)),
+          price_band STRING GENERATED ALWAYS AS
+            (CASE WHEN o_totalprice >= 200000.0D THEN 'high' ELSE 'low' END))
+        USING manifest PARTITIONED BY (o_year)""")
+      // three year-windowed ingest batches (an append stream's natural
+      // arrival order — and the reason per-file o_year bounds end up
+      // disjoint, so the pruning boolean measures real file skipping):
+      // batches 1 and 3 OMIT the generated columns (computed), batch 2
+      // supplies MATCHING explicit values (validated)
+      s.sql("INSERT INTO graft_cat.db.gen54 (o_orderkey, o_totalprice, o_orderdate) " +
+        "SELECT o_orderkey, o_totalprice, o_orderdate FROM qc54_orders " +
+        "WHERE year(o_orderdate) < 1995")
+      s.sql("INSERT INTO graft_cat.db.gen54 " +
+        "SELECT o_orderkey, o_totalprice, o_orderdate, " +
+        "CAST(year(o_orderdate) AS BIGINT), " +
+        "CASE WHEN o_totalprice >= 200000.0D THEN 'high' ELSE 'low' END " +
+        "FROM qc54_orders WHERE year(o_orderdate) IN (1995, 1996)")
+      s.sql("INSERT INTO graft_cat.db.gen54 (o_orderkey, o_totalprice, o_orderdate) " +
+        "SELECT o_orderkey, o_totalprice, o_orderdate FROM qc54_orders " +
+        "WHERE year(o_orderdate) > 1996")
+      // a DIVERGENT explicit value must fail before any version commits
+      val rejected =
+        try {
+          s.sql("INSERT INTO graft_cat.db.gen54 VALUES " +
+            "(9999999, 1.0D, TIMESTAMP'1995-06-01 00:00:00', 1994, 'low')")
+          false
+        } catch {
+          case e: Exception =>
+            Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+              .take(10).exists(c =>
+                Option(c.getMessage).exists(_.contains("generated column")))
+        }
+      def planned(df: org.apache.spark.sql.DataFrame): Long = {
+        val p0 = df.queryExecution.executedPlan
+        val p = p0 match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            a.executedPlan
+          case other => other
+        }
+        p.collect {
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan
+        }.map {
+          case ms: graft.catalog.ManifestStreamScan =>
+            ms.inner.fileIndex.inputFiles.length.toLong
+          case ps: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan =>
+            ps.fileIndex.inputFiles.length.toLong
+          case _ => 0L
+        }.sum
+      }
+      val t = s.table("graft_cat.db.gen54")
+      val prunedSome =
+        planned(t.filter(col("o_year") === lit(1995L))) < planned(t)
+      t.groupBy("o_year", "price_band")
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum("o_totalprice"), 2).as("revenue"))
+        .withColumn("rejected_divergent", lit(rejected))
+        .withColumn("pruned_some", lit(prunedSome))
+        .orderBy("o_year", "price_band")
+    },
+
     // --- MERGE ... WHEN NOT MATCHED BY SOURCE (all three arm families
     //     on BOTH manifest DML paths): the arm a CDC replica needs to
     //     drop/age target rows absent from the source. Spark 4.1's
@@ -2401,6 +2481,19 @@ object CoverageQueries extends QueryModule {
              CAST(a.n + b.n AS BIGINT), CAST(b.n AS BIGINT), TRUE
            FROM a, b
          ) ORDER BY batch""",
+
+    // both inserts' generated values equal the expressions over the same
+    // rows (computed and validated arms are identical by contract), so
+    // the whole table replays as one derivation over orders; the
+    // rejection and pruning facts ride the booleans
+    "qc54_generated_columns" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           CASE WHEN o_totalprice >= 200000.0 THEN 'high' ELSE 'low' END AS price_band,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS revenue,
+           TRUE AS rejected_divergent, TRUE AS pruned_some
+         FROM orders
+         GROUP BY 1, 2 ORDER BY o_year, price_band""",
 
     // replays all three MERGE arm families (matched update, not-matched
     // insert, and the by-source conditional delete + catch-all update)

@@ -514,6 +514,71 @@ object StreamingQueries extends QueryModule {
         .orderBy("change_type", "key")
     },
 
+    // --- STREAMING IDENTITY (GENERATED ALWAYS AS IDENTITY through
+    //     writeStream.toTable — catalog/IdentityColumns.reserveEpochSlab
+    //     + IdentityEpochFillWriter): each (epoch, partition) claims a
+    //     SLAB of ordinals by the same O_EXCL CAS as batch reservations,
+    //     recorded under an epoch-keyed marker, so a REPLAYED epoch (the
+    //     gate manufactures one by deleting the checkpoint's last commit
+    //     record and restarting — the crash window between sink commit
+    //     and offset write) re-reads the same bases and regenerates
+    //     byte-identical keys, preserving the epoch-pool exactly-once
+    //     protocol for generated keys. Keys are unique and monotone per
+    //     partition, gapped between slabs (the identity contract — and
+    //     Delta's streaming identity shape); the gate carries uniqueness
+    //     and replay-idempotence as oracle-replayed booleans ---
+    "qs23_stream_identity" -> { (s0, d) =>
+      val s = s0.newSession()
+      graft.catalog.GraftCatalog.register(s, "graft_si",
+        graft.core.TempDirs.create("graft_si_root_"))
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_si.db")
+      graft.core.Tables.documents(s, d).createOrReplaceTempView("qs23_documents")
+      s.sql("CREATE TABLE graft_si.db.id_feed (doc_id BIGINT, lang STRING) " +
+        "USING manifest")
+      s.sql("INSERT INTO graft_si.db.id_feed SELECT doc_id, lang " +
+        "FROM qs23_documents WHERE doc_id % 2 = 0")                  // v1
+      s.sql("INSERT INTO graft_si.db.id_feed SELECT doc_id, lang " +
+        "FROM qs23_documents WHERE doc_id % 2 = 1")                  // v2
+      s.sql("CREATE TABLE graft_si.db.id23 " +
+        "(sk BIGINT GENERATED ALWAYS AS IDENTITY, doc_id BIGINT, lang STRING) " +
+        "USING manifest")
+      val ckpt = graft.core.TempDirs.create("graft_qs23_ck_")
+      def drain(): Unit = withStreamShuffle(s) {
+        val q = s.readStream.option("maxVersionsPerTrigger", "1")
+          .table("graft_si.db.id_feed")
+          .select(lit(null).cast("bigint").as("sk"), col("doc_id"), col("lang"))
+          .writeStream.option("checkpointLocation", ckpt)
+          .toTable("graft_si.db.id23")
+        try BatchTimings.timed("qs23_stream_identity",
+          BatchTimings.DrainId) { q.processAllAvailable() }
+        finally q.stop()
+      }
+      drain() // two feed versions -> two epochs, each filling a slab
+      def fingerprint(): (Long, Long, Long) = {
+        val r = s.table("graft_si.db.id23")
+          .agg(count(lit(1)), countDistinct(col("sk")), sum("sk")).head()
+        (r.getLong(0), r.getLong(1), r.getLong(2))
+      }
+      val before = fingerprint()
+      // manufacture the replay: drop the last commit record (crash between
+      // sink commit and offset-log write) and restart the stream
+      val commits = new java.io.File(s"$ckpt/commits").listFiles()
+        .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toLong)
+      commits.lastOption.foreach { last =>
+        // the Hadoop local FS checksum sidecar must go too, or the
+        // replayed commit record's rename fails as "already exists"
+        new java.io.File(last.getParent, s".${last.getName}.crc").delete()
+        last.delete()
+      }
+      drain() // the final epoch re-executes; slab markers make it identical
+      val after = fingerprint()
+      s.table("graft_si.db.id23")
+        .groupBy("lang").agg(count(lit(1)).as("n_rows"))
+        .withColumn("keys_unique", lit(before._1 == before._2))
+        .withColumn("replay_idempotent", lit(before == after))
+        .orderBy("lang")
+    },
+
     // --- END-TO-END CDC REPLICA (the pipeline qs22's feed exists for):
     //     a manifest replica of the keyedlog document store kept in sync
     //     by the change STREAM. `maxVersionsPerTrigger = 1` makes each
@@ -1056,6 +1121,15 @@ object StreamingQueries extends QueryModule {
            SELECT 'rewrite', lang, count(*), CAST(sum(n_chars) AS BIGINT)
            FROM documents WHERE doc_id % 3 < 2 GROUP BY lang
          ) ORDER BY change_type, key""",
+
+    // every document lands exactly once with a unique generated key; the
+    // replayed-epoch arm and slab uniqueness ride the booleans (key
+    // VALUES are slab-layout-dependent — uniqueness and idempotence are
+    // the portable facts)
+    "qs23_stream_identity" ->
+      """SELECT lang, count(*) AS n_rows,
+           TRUE AS keys_unique, TRUE AS replay_idempotent
+         FROM documents GROUP BY lang ORDER BY lang""",
 
     // the replica's final state = every document, de rows carrying the
     // +1e6 update; row-for-row equality with the source is the boolean

@@ -273,6 +273,56 @@ class CloneSpec extends AnyFunSuite {
     assert(idsOf("ddst") == Seq(0L, 1L) ++ (4L to 7L))
   }
 
+  test("deep clone of an identity table carries the high-water mark") {
+    ensureDb()
+    spark.sql("CREATE TABLE gc.db.isrc (id BIGINT GENERATED ALWAYS AS IDENTITY, " +
+      "v STRING) USING manifest")
+    spark.sql("INSERT INTO gc.db.isrc VALUES (NULL, 'a'), (NULL, 'b'), (NULL, 'c')")
+    spark.sql("CALL gc.system.clone('db.isrc', 'db.idst', deep => true)")
+    // the clone's first insert must continue ABOVE the copied keys, not
+    // restart the sequence at the identity START and silently collide
+    spark.sql("INSERT INTO gc.db.idst VALUES (NULL, 'd'), (NULL, 'e')")
+    val ids = spark.sql("SELECT id FROM gc.db.idst ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(ids.distinct.size == 5,
+      s"deep clone re-issued surrogate keys already present in copied rows: $ids")
+    assert(ids.take(3) == Seq(1L, 2L, 3L) && ids.drop(3).forall(_ > 3L),
+      s"clone's new keys must extend the source's mark: $ids")
+  }
+
+  test("deep clone copies distributed (Spark-job path) bit-exactly") {
+    ensureDb()
+    spark.sql("CREATE TABLE gc.db.xsrc (id BIGINT, v STRING) USING manifest")
+    spark.sql("INSERT INTO gc.db.xsrc SELECT id, CAST(id * 7 AS STRING) FROM range(50)")
+    spark.sql("INSERT INTO gc.db.xsrc SELECT id + 50, 'x' FROM range(10)")
+    // threshold 0 forces every file through the distcp-shaped Spark job
+    spark.conf.set("spark.graft.clone.distributedThresholdBytes", "0")
+    try spark.sql("CALL gc.system.clone('db.xsrc', 'db.xdst', deep => true)")
+    finally spark.conf.unset("spark.graft.clone.distributedThresholdBytes")
+    val src = spark.sql("SELECT * FROM gc.db.xsrc")
+    val dst = spark.sql("SELECT * FROM gc.db.xdst")
+    assert(src.exceptAll(dst).isEmpty && dst.exceptAll(src).isEmpty,
+      "distributed deep clone must be row-for-row identical")
+  }
+
+  test("deep clone retries over a crashed attempt's partial leftovers") {
+    ensureDb()
+    spark.sql("CREATE TABLE gc.db.rsrc (id BIGINT) USING manifest")
+    spark.sql("INSERT INTO gc.db.rsrc SELECT id FROM range(12)")
+    // simulate a crashed prior clone: a TORN partial copy sits at one of
+    // the pool paths the retry must write (no MetaFile — the crash died
+    // before publish, so nothing references the tree)
+    val rel = ManifestTable.state(dataDir("rsrc"),
+      ManifestTable.currentVersion(dataDir("rsrc")).get).files.head
+    val leftover = java.nio.file.Paths.get(
+      s"${dataDir("rdst")}/$rel".stripPrefix("file://"))
+    java.nio.file.Files.createDirectories(leftover.getParent)
+    java.nio.file.Files.write(leftover, "torn partial copy".getBytes("UTF-8"))
+    spark.sql("CALL gc.system.clone('db.rsrc', 'db.rdst', deep => true)")
+    assert(nums("gc.db.rdst") === (0L until 12L),
+      "retry must overwrite the torn leftover and verify the FINAL bytes")
+  }
+
   test("deep clone at a past version copies that snapshot") {
     ensureDb()
     spark.sql("CREATE TABLE gc.db.vsrc (id BIGINT, v STRING) USING manifest")
