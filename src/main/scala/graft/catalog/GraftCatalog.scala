@@ -151,7 +151,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         case "refs" if meta.provider == "manifest" =>
           Some(MetadataTables.refs(dataDir))
         case "changes" if meta.provider == "keyedlog" =>
-          Some(new KeyedLogChangesTable(dataDir))
+          Some(new KeyedLogChangesTable(dataDir, meta.schema))
         case "partitions" if meta.provider == "manifest" =>
           Some(MetadataTables.partitions(dataDir, meta.bucket.map(_.n),
             meta.cluster.map(k => (k.fn, k.col, k.width,
@@ -229,7 +229,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           s"${ident.name()}: no journal version committed at or before " +
             "the requested timestamp"))
       return new graft.sources.KeyedLogTable(dataDir, meta.bucket.map(_.n),
-        asOf = Some(v))
+        asOf = Some(v), declared = meta.schema)
     }
     if (meta.provider != "manifest") throw new UnsupportedOperationException(
       s"${ident.name()}: only manifest tables support TIMESTAMP AS OF")
@@ -251,7 +251,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val meta = readMeta(dir).getOrElse(throw new NoSuchTableException(ident))
     val dataDir = meta.location.getOrElse(dir)
     meta.provider match {
-      case "keyedlog" => new KeyedLogTable(dataDir, meta.bucket.map(_.n))
+      case "keyedlog" =>
+        new KeyedLogTable(dataDir, meta.bucket.map(_.n), declared = meta.schema)
       case "manifest" =>
         // a zero-copy CLONE's lineage lives in its pinned branch log —
         // always; the WAP session conf must NOT re-route a clone (the
@@ -320,9 +321,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       s"catalog $catalogName supports USING manifest | keyedlog, got '$provider'")
     val (bucket, cluster) = parsePartitioning(ident, provider, partitions, schema)
     if (provider == "keyedlog" && schema.nonEmpty)
-      require(schema.map(f => (f.name, f.dataType)) ==
-          KeyedLogSource.schema.map(f => (f.name, f.dataType)),
-        s"keyedlog tables have the fixed schema ${KeyedLogSource.schema.simpleString}")
+      KeyedLogSource.validateDeclared(schema) // core prefix + String/Long extras
     if (provider == "manifest")
       require(schema.nonEmpty, "manifest tables need a declared schema (or use CTAS)")
     val location = Option(properties.get(TableCatalog.PROP_LOCATION))
@@ -336,7 +335,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // fixed 3-column schema never alters; it stays unmapped too.
     val mapped = provider == "manifest" && location.isEmpty
     val declared =
-      if (provider == "keyedlog") KeyedLogSource.schema
+      if (provider == "keyedlog")
+        // extras carry their 0-based line position as klog.field metadata
+        // (load-bearing: pruning hands readers arbitrary subsets and they
+        // still parse the right raw field)
+        if (schema.isEmpty) KeyedLogSource.schema
+        else StructType(schema.fields.zipWithIndex.map { case (f, i) =>
+          if (i < KeyedLogSource.schema.length) f
+          else f.copy(nullable = true, metadata =
+            new org.apache.spark.sql.types.MetadataBuilder()
+              .withMetadata(f.metadata)
+              .putLong(KeyedLogSource.ExtraFieldKey,
+                (i - KeyedLogSource.schema.length).toLong)
+              .build())
+        })
       else if (mapped) assignFieldIds(schema)
       else schema
     val maxId = if (mapped) Some(schema.length) else None
@@ -706,6 +718,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val dir = tableDir(ident)
     val meta = readMeta(dir).getOrElse(throw new NoSuchTableException(ident))
+    if (meta.provider == "keyedlog") return alterKeyedLog(ident, dir, meta, changes)
     require(meta.provider == "manifest",
       s"${ident.name()}: only manifest tables support ALTER TABLE")
     var schema = meta.schema
@@ -921,6 +934,48 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     replaceMeta(dir, meta.copy(schema = schema, bucket = bucket,
       maxFieldId = maxId, cluster = cluster, bloomCols = blooms,
       ndvCols = ndv, checks = checks))
+    tableFor(ident, asOf = None)
+  }
+
+  /** Keyedlog DDL evolution — the document store's schema-drift story:
+    * `ALTER TABLE ... ADD COLUMNS` ONLY, appending nullable STRING/BIGINT
+    * columns to the fixed core. Extras ride the line format positionally
+    * (fields 4..n in declared order, pinned by `klog.field` metadata), so
+    * old files read NULL for them (the manifest null-fill rule, expressed
+    * by the TSV format itself) and new writes carry them. Everything
+    * positional stays immutable: no drops, renames, type changes, or
+    * defaults (a default would need every existing row to read it —
+    * the same rule manifest's ADD COLUMN enforces). */
+  private def alterKeyedLog(ident: Identifier, dir: String, meta: TableMeta,
+                            changes: Seq[TableChange]): Table = {
+    var schema = meta.schema
+    changes.foreach {
+      case add: TableChange.AddColumn =>
+        require(add.fieldNames.length == 1,
+          s"${ident.name()}: nested column adds are not supported")
+        val name = add.fieldNames.head
+        require(!schema.fieldNames.exists(_.equalsIgnoreCase(name)),
+          s"${ident.name()}: column $name already exists")
+        require(add.isNullable,
+          s"${ident.name()}: keyedlog added columns must be nullable — " +
+            "existing log lines do not have them")
+        require(add.defaultValue() == null,
+          s"${ident.name()}: cannot add column $name WITH a DEFAULT — " +
+            "existing rows would not carry it (the manifest rule)")
+        require(graft.sources.KeyedLogSource.extraTypeOk(add.dataType),
+          s"${ident.name()}: keyedlog extra columns must be STRING or " +
+            s"BIGINT, got ${add.dataType.simpleString}")
+        val extraIdx = schema.length - graft.sources.KeyedLogSource.schema.length
+        schema = schema.add(StructField(name, add.dataType, nullable = true,
+          new org.apache.spark.sql.types.MetadataBuilder()
+            .putLong(graft.sources.KeyedLogSource.ExtraFieldKey, extraIdx.toLong)
+            .build()))
+      case other => throw new UnsupportedOperationException(
+        s"${ident.name()}: keyedlog tables support ALTER TABLE ADD COLUMNS " +
+          s"only (line fields are positional — drops/renames/type changes " +
+          s"would re-map history); got $other")
+    }
+    replaceMeta(dir, meta.copy(schema = schema))
     tableFor(ident, asOf = None)
   }
 

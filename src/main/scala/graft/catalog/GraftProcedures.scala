@@ -200,13 +200,15 @@ private[catalog] object GraftProcedures {
           val debt = keys.count(_.isEmpty) +
             keys.flatten.groupBy(identity).valuesIterator.map(_.size - 1).sum
           if (debt < autoMinFiles) (0L, 0L)
-          else graft.core.LakeCompaction.compactKeyedLog(spark, dir)
+          else graft.core.LakeCompaction.compactKeyedLog(spark, dir,
+            Some(meta.schema))
         case _ if auto =>
           val target = input.getInt(1).toLong * 1024 * 1024
           if (ManifestTable.smallFileDebt(dir, target) < autoMinFiles) (0L, 0L)
           else ManifestTable.compactSmall(spark, dir, target, clusterBy,
             declared, blooms, meta.ndvCols)
-        case ("keyedlog", _) => graft.core.LakeCompaction.compactKeyedLog(spark, dir)
+        case ("keyedlog", _) =>
+          graft.core.LakeCompaction.compactKeyedLog(spark, dir, Some(meta.schema))
         case (_, Some(b))    =>
           ManifestTable.compactBucketed(spark, dir, b.n, b.col, declared, blooms,
             meta.ndvCols)

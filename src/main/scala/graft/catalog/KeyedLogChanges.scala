@@ -43,11 +43,13 @@ import graft.sources.{KeyedLogConf, KeyedLogPartition, KeyedLogReaderFactory, Ke
   * connector's own reader, wrapped with the same literal-append
   * [[ChangeTagReaderFactory]] the manifest feed uses — no data is copied
   * or shuffled to produce the feed. */
-class KeyedLogChangesTable(dir: String) extends Table with SupportsRead {
+class KeyedLogChangesTable(dir: String,
+    declared: StructType = KeyedLogSource.schema)
+    extends Table with SupportsRead {
 
   override def name(): String = s"changes($dir)"
   override def schema(): StructType =
-    StructType(KeyedLogSource.schema.fields :+
+    StructType(declared.fields :+
       StructField(ManifestChangesTable.ChangeCol, StringType, nullable = false))
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
@@ -62,20 +64,21 @@ class KeyedLogChangesTable(dir: String) extends Table with SupportsRead {
     val end = Option(options.get("end_version")).map(_.toLong)
     val maxV = Option(options.get("maxVersionsPerTrigger")).map(_.toLong)
     val maxF = Option(options.get("maxFilesPerTrigger")).map(_.toLong)
-    () => KeyedLogChangesScan(dir, start, end, maxV, maxF)
+    () => KeyedLogChangesScan(dir, start, end, maxV, maxF, declared)
   }
 }
 
 case class KeyedLogChangesScan(dir: String, startVersion: Option[Long],
                                endVersion: Option[Long],
                                maxVersionsPerTrigger: Option[Long] = None,
-                               maxFilesPerTrigger: Option[Long] = None)
+                               maxFilesPerTrigger: Option[Long] = None,
+                               declared: StructType = KeyedLogSource.schema)
     extends Scan with Batch {
 
   private val conf = KeyedLogConf.capture()
 
   override def readSchema(): StructType =
-    StructType(KeyedLogSource.schema.fields :+
+    StructType(declared.fields :+
       StructField(ManifestChangesTable.ChangeCol, StringType, nullable = false))
   override def toBatch: Batch = this
   override def description(): String =
@@ -98,7 +101,7 @@ case class KeyedLogChangesScan(dir: String, startVersion: Option[Long],
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    KeyedLogChanges.readerFactory(conf)
+    KeyedLogChanges.readerFactory(conf, declared)
 
   /** The journal feed as a STREAM: offset = journal version, each
     * micro-batch = that window's change rows — the keyedlog arm of the
@@ -108,7 +111,7 @@ case class KeyedLogChangesScan(dir: String, startVersion: Option[Long],
   override def toMicroBatchStream(checkpointLocation: String):
       org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new KeyedLogChangesMicroBatchStream(dir, startVersion.getOrElse(-1L),
-      maxVersionsPerTrigger, maxFilesPerTrigger)
+      maxVersionsPerTrigger, maxFilesPerTrigger, declared)
 }
 
 private[catalog] object KeyedLogChanges {
@@ -193,10 +196,10 @@ private[catalog] object KeyedLogChanges {
     }.toArray
   }
 
-  def readerFactory(conf: org.apache.spark.util.SerializableConfiguration)
-      : PartitionReaderFactory =
+  def readerFactory(conf: org.apache.spark.util.SerializableConfiguration,
+      declared: StructType = KeyedLogSource.schema): PartitionReaderFactory =
     ChangeTagReaderFactory(
-      KeyedLogReaderFactory(KeyedLogSource.schema, Array.empty, conf))
+      KeyedLogReaderFactory(declared, Array.empty, conf))
 }
 
 /** Micro-batch stream over the keyedlog journal feed: offset = journal
@@ -207,7 +210,8 @@ private[catalog] object KeyedLogChanges {
   * same AvailableNow pinning, same version-granular admission control. */
 class KeyedLogChangesMicroBatchStream(dir: String, startVersion: Long,
                                       maxVersionsPerTrigger: Option[Long] = None,
-                                      maxFilesPerTrigger: Option[Long] = None)
+                                      maxFilesPerTrigger: Option[Long] = None,
+                                      declared: StructType = KeyedLogSource.schema)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
@@ -273,5 +277,5 @@ class KeyedLogChangesMicroBatchStream(dir: String, startVersion: Long,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    KeyedLogChanges.readerFactory(conf)
+    KeyedLogChanges.readerFactory(conf, declared)
 }

@@ -94,7 +94,8 @@ object LakeCompaction {
     * a reader can catch the instant between the two renames; keyed-log
     * dirs are directory formats, not manifest tables. Returns
     * (filesBefore, filesAfter). */
-  def compactKeyedLog(spark: SparkSession, dir: String): (Long, Long) = {
+  def compactKeyedLog(spark: SparkSession, dir: String,
+      declared: Option[org.apache.spark.sql.types.StructType] = None): (Long, Long) = {
     val fs = LakeStorage.openFor(dir)
     val path = new org.apache.hadoop.fs.Path(dir)
     val dataFile = (s: org.apache.hadoop.fs.FileStatus) =>
@@ -103,7 +104,12 @@ object LakeCompaction {
     val tmp = new org.apache.hadoop.fs.Path(dir + "__compacting")
     if (fs.exists(tmp) && !fs.delete(tmp, true))
       throw new IllegalStateException(s"compaction: failed to clear stale $tmp")
-    spark.read.format("graft.sources.KeyedLogSource").load(dir)
+    // a drifted table (catalog-added extra columns) must compact at its
+    // DECLARED width, or the rewrite would silently truncate every row
+    // back to the 3-column core
+    val reader = spark.read.format("graft.sources.KeyedLogSource")
+    declared.foreach(reader.schema)
+    reader.load(dir)
       .write.format("graft.sources.KeyedLogSource")
       .option("clusterByKey", "true").mode(SaveMode.Append).save(tmp.toString)
     // the rewrite's own commit journaled the compacted files as the tmp

@@ -769,6 +769,47 @@ object AdvancedQueries extends QueryModule {
         .orderBy("snap", "lang")
     },
 
+    // --- keyedlog SCHEMA EVOLUTION (ALTER TABLE ... ADD COLUMNS on the
+    //     keyed document store — GraftCatalog.alterKeyedLog): appended
+    //     nullable STRING/BIGINT columns ride the line format as
+    //     positional fields 4..n, so files written BEFORE the column
+    //     existed read NULL for it (the manifest null-fill rule,
+    //     expressed by the TSV format itself) and later writes carry the
+    //     full width. The gate drifts the schema mid-table, then proves
+    //     the extras survive BOTH rewrite paths — a row-level UPDATE and
+    //     a full compaction — and that a tab inside a STRING extra cannot
+    //     corrupt the framing (values are URL-encoded on the line) ---
+    "qk11_keyedlog_add_columns" -> { (s0, d) =>
+      val s = s0.newSession()
+      graft.catalog.GraftCatalog.register(s, "graft_ka",
+        graft.core.TempDirs.create("graft_ka_root_"))
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_ka.db")
+      Tables.documents(s, d).createOrReplaceTempView("qk11_documents")
+      s.sql("CREATE TABLE graft_ka.db.docs (key STRING, seq BIGINT, " +
+        "metric BIGINT) USING keyedlog")
+      // pre-drift half: 3-column lines
+      s.sql("INSERT INTO graft_ka.db.docs SELECT lang, doc_id, n_chars " +
+        "FROM qk11_documents WHERE doc_id % 2 = 0")
+      s.sql("ALTER TABLE graft_ka.db.docs ADD COLUMNS (src STRING, n_tokens BIGINT)")
+      // post-drift half: full width, with an embedded TAB in the string
+      // extra (the framing-hostile character the codec must survive)
+      s.sql("INSERT INTO graft_ka.db.docs SELECT lang, doc_id, n_chars, " +
+        "concat(source, chr(9), lang), n_chars div 5 " +
+        "FROM qk11_documents WHERE doc_id % 2 = 1")
+      // both rewrite paths must carry the extras through
+      s.sql("UPDATE graft_ka.db.docs SET metric = metric + 1000000 " +
+        "WHERE key = 'de'")
+      s.sql("CALL graft_ka.system.compact('db.docs')")
+      s.table("graft_ka.db.docs")
+        .groupBy(col("key").as("lang"))
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("src")).as("n_with_src"),
+          sum("n_tokens").cast("long").as("sum_tokens"),
+          max("src").as("max_src"),
+          sum("metric").cast("long").as("sum_metric"))
+        .orderBy("lang")
+    },
+
     // --- mergeable HLL sketches (Apache DataSketches via Spark 4 built-ins):
     //     build per-(flag, shipdate) PARTIAL sketches, then union-merge to
     //     per-flag distinct estimates — the pre-aggregated sketch-table
@@ -1310,6 +1351,20 @@ object AdvancedQueries extends QueryModule {
                + CASE WHEN lang = 'de' THEN 1000000 * count(*) ELSE 0 END AS BIGINT)
            FROM documents WHERE lang <> 'fr' GROUP BY lang
          ) ORDER BY snap, lang""",
+
+    // pre-drift rows read NULL for the added columns (count/sum skip
+    // them); post-drift rows carry the full width through the UPDATE and
+    // the compaction; the embedded chr(9) tab replays byte-identically
+    "qk11_keyedlog_add_columns" ->
+      """SELECT lang, count(*) AS n_rows,
+           count(CASE WHEN doc_id % 2 = 1 THEN 1 END) AS n_with_src,
+           CAST(sum(CASE WHEN doc_id % 2 = 1 THEN n_chars // 5 END) AS BIGINT)
+             AS sum_tokens,
+           max(CASE WHEN doc_id % 2 = 1
+                 THEN concat(source, chr(9), lang) END) AS max_src,
+           CAST(sum(n_chars) + CASE WHEN lang = 'de'
+             THEN 1000000 * count(*) ELSE 0 END AS BIGINT) AS sum_metric
+         FROM documents GROUP BY lang ORDER BY lang""",
 
     // per-user day spine via generate_series; LOCF = last_value IGNORE
     // NULLS over the spine (day is unique per user, so the default RANGE

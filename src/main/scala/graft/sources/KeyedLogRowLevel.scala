@@ -49,7 +49,9 @@ import org.apache.spark.sql.types.{DataType, StringType, StructField, StructType
   * (the pre-image moved) — the manifest format retains replaced pools
   * until vacuum and does not share this window. */
 class KeyedLogRowLevelOperation(path: String, bucketN: Option[Int],
-                                cmd: Command) extends RowLevelOperation {
+                                cmd: Command,
+                                declared: org.apache.spark.sql.types.StructType =
+                                  KeyedLogSource.schema) extends RowLevelOperation {
   import KeyedLogRowLevelOperation._
 
   private[sources] val conf = KeyedLogConf.capture()
@@ -67,12 +69,12 @@ class KeyedLogRowLevelOperation(path: String, bucketN: Option[Int],
   override def command(): Command = cmd
 
   override def newScanBuilder(options: org.apache.spark.sql.util.CaseInsensitiveStringMap): ScanBuilder =
-    new KeyedLogRowLevelScan(this, path)
+    new KeyedLogRowLevelScan(this, path, declared)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
       override def build(): Write = {
-        val expected = KeyedLogSource.schema
+        val expected = declared
         // names AND types, not names alone — a type-mismatched plan must
         // fail here, not corrupt lines in the task writers
         require(info.schema().fieldNames.sameElements(expected.fieldNames) &&
@@ -85,7 +87,8 @@ class KeyedLogRowLevelOperation(path: String, bucketN: Option[Int],
         val clustered = bucketN.isDefined || (snapshot.nonEmpty &&
           snapshot.forall(n => KeyedLogSource.keyOfFile(n).isDefined))
         new KeyedLogReplaceWrite(KeyedLogRowLevelOperation.this, path,
-          info.queryId(), clustered)
+          info.queryId(), clustered,
+          declared.fields.drop(KeyedLogSource.schema.length).map(_.dataType).toSeq)
       }
     }
 
@@ -108,12 +111,13 @@ object KeyedLogRowLevelOperation {
   * with `_klfile`. No data-filter pushdown BY DESIGN (see the class doc
   * above); runtime group filtering narrows both the planned splits and
   * the operation's replace set. */
-class KeyedLogRowLevelScan(op: KeyedLogRowLevelOperation, path: String)
+class KeyedLogRowLevelScan(op: KeyedLogRowLevelOperation, path: String,
+    declared: StructType = KeyedLogSource.schema)
     extends ScanBuilder with Scan with Batch
     with SupportsPushDownRequiredColumns with SupportsRuntimeFiltering {
   import KeyedLogRowLevelOperation._
 
-  private val fullSchema = StructType(KeyedLogSource.schema.fields :+
+  private val fullSchema = StructType(declared.fields :+
     StructField(FileCol, StringType, nullable = false))
   private var required: StructType = fullSchema
 
@@ -159,7 +163,8 @@ class KeyedLogRowLevelScan(op: KeyedLogRowLevelOperation, path: String)
   * never see a phantom full-table rewrite for a no-op; an inserts-only
   * MERGE (rows staged, no file replaced) journals a PLAIN append entry. */
 class KeyedLogReplaceWrite(op: KeyedLogRowLevelOperation, path: String,
-                           queryId: String, clustered: Boolean)
+                           queryId: String, clustered: Boolean,
+                           extras: Seq[org.apache.spark.sql.types.DataType] = Nil)
     extends Write with BatchWrite
     with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
   import KeyedLogRowLevelOperation.stagePrefix
@@ -185,8 +190,9 @@ class KeyedLogReplaceWrite(op: KeyedLogRowLevelOperation, path: String,
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     if (clustered)
-      KeyedLogClusteredWriterFactory(path, queryId, op.conf, stagePrefix(queryId))
-    else KeyedLogWriterFactory(path, queryId, op.conf, stagePrefix(queryId))
+      KeyedLogClusteredWriterFactory(path, queryId, op.conf, stagePrefix(queryId),
+        extras)
+    else KeyedLogWriterFactory(path, queryId, op.conf, stagePrefix(queryId), extras)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val fs = new Path(path).getFileSystem(op.conf.value)

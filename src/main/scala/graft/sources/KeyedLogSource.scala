@@ -58,8 +58,13 @@ class KeyedLogSource extends TableProvider {
     KeyedLogSource.schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: JMap[String, String]): Table =
-    new KeyedLogTable(properties.get("path"))
-  override def supportsExternalMetadata(): Boolean = false
+    new KeyedLogTable(properties.get("path"),
+      declared = if (schema == null || schema.isEmpty) KeyedLogSource.schema
+                 else { KeyedLogSource.validateDeclared(schema); schema })
+  // external schemas admit EXTRA columns (the catalog/compaction path
+  // re-reading a drifted dir with the descriptor's declared schema); the
+  // core prefix is validated above
+  override def supportsExternalMetadata(): Boolean = true
 }
 
 object KeyedLogSource {
@@ -267,6 +272,79 @@ object KeyedLogSource {
   private[sources] def encKey(key: String): String =
     if (key == null) "" else java.net.URLEncoder.encode(key, "UTF-8")
 
+  // ---- EXTRA COLUMNS (schema drift for the keyed document store) ----
+  //
+  // A keyedlog table's schema is the fixed 3-column core plus optional
+  // APPENDED nullable columns (`ALTER TABLE ... ADD COLUMNS` through the
+  // catalog). Extras ride the line format as tab-separated fields 4..n in
+  // DECLARED ORDER: a line from before the column existed simply has
+  // fewer fields and reads NULL (the manifest null-fill rule, expressed
+  // by the TSV format itself); new writes emit the full width. Values:
+  // BIGINT renders as digits, STRING URL-encoded (tabs/newlines in
+  // documents can never corrupt the framing), NULL as the classic TSV
+  // sentinel `\N` (a literal backslash-N string URL-encodes to %5CN, so
+  // there is no collision — and unlike the core's legacy ""-null, an
+  // empty STRING stays representable).
+  //
+  // Each extra field's position in the line is pinned by `klog.field`
+  // metadata on its StructField (attached by the catalog at ADD COLUMNS
+  // time and persisted in the descriptor), so column pruning can hand
+  // readers any subset in any order and they still parse the right raw
+  // field. Positions are load-bearing: extras can be added, never
+  // dropped or reordered.
+
+  /** Metadata key pinning an extra column's 0-based position AMONG the
+    * extras (line field = 3 + this). */
+  val ExtraFieldKey = "klog.field"
+
+  /** TSV null sentinel for extra fields. */
+  private[graft] val ExtraNull = "\\N"
+
+  /** The permissible extra-column types (what the line codec renders). */
+  private[graft] def extraTypeOk(dt: org.apache.spark.sql.types.DataType): Boolean =
+    dt == StringType || dt == LongType
+
+  /** Validate a declared keyedlog schema: the 3-column core prefix
+    * verbatim, then nullable String/Long extras. Returns the extras. */
+  private[graft] def validateDeclared(declared: StructType): Seq[StructField] = {
+    val core = schema
+    require(declared.length >= core.length &&
+        declared.fields.take(core.length).map(f => (f.name, f.dataType)).toSeq ==
+          core.fields.map(f => (f.name, f.dataType)).toSeq,
+      s"keyedlog tables start with the fixed core ${core.simpleString}; " +
+        s"got ${declared.simpleString}")
+    val extras = declared.fields.drop(core.length).toSeq
+    extras.foreach { f =>
+      require(extraTypeOk(f.dataType),
+        s"keyedlog extra column ${f.name} must be STRING or BIGINT, " +
+          s"got ${f.dataType.simpleString}")
+    }
+    extras
+  }
+
+  /** Line index (0-based among extras) of a required extra field: from
+    * its `klog.field` metadata. Loud when absent — a schema that did not
+    * come from the catalog descriptor cannot place extras on the line. */
+  private[sources] def extraIndexOf(f: StructField): Int = {
+    require(f.metadata.contains(ExtraFieldKey),
+      s"keyed_log: column '${f.name}' is not a core column and carries no " +
+        s"$ExtraFieldKey metadata — read extra columns through the catalog " +
+        "table (or a schema taken from its descriptor)")
+    f.metadata.getLong(ExtraFieldKey).toInt
+  }
+
+  /** Render one extra value for the line (null-safe). */
+  private[sources] def renderExtra(dt: org.apache.spark.sql.types.DataType,
+      row: org.apache.spark.sql.catalyst.InternalRow, ordinal: Int): String =
+    if (row.isNullAt(ordinal)) ExtraNull
+    else dt match {
+      case LongType   => row.getLong(ordinal).toString
+      case StringType =>
+        java.net.URLEncoder.encode(row.getUTF8String(ordinal).toString, "UTF-8")
+      case other => throw new IllegalStateException(
+        s"keyed_log: unwritable extra type ${other.simpleString}")
+    }
+
   /** The bucket a key lands in under a `bucket(n, key)` table declaration:
     * `pmod(murmur3(key, 42), n)` — EXACTLY Spark's HashPartitioning
     * placement and the catalog `bucket` function
@@ -293,14 +371,18 @@ object KeyedLogTable {
 }
 
 class KeyedLogTable(path: String, bucketN: Option[Int] = None,
-                    asOf: Option[Long] = None)
+                    asOf: Option[Long] = None,
+                    declared: StructType = KeyedLogSource.schema)
     extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
     with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
   override def name(): String =
     s"keyed_log($path${asOf.map(v => s" asOf=v$v").getOrElse("")})"
-  override def schema(): StructType = KeyedLogSource.schema
+  override def schema(): StructType = declared
+
+  private def extraTypes: Seq[org.apache.spark.sql.types.DataType] =
+    declared.fields.drop(KeyedLogSource.schema.length).map(_.dataType).toSeq
 
   /** `_klfile` — each row's source file name, the group identity the
     * row-level (UPDATE/MERGE/CoW DELETE) rewrite replaces at; also
@@ -318,7 +400,7 @@ class KeyedLogTable(path: String, bucketN: Option[Int] = None,
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
     require(asOf.isEmpty,
       s"${name()}: a VERSION AS OF read is immutable — DML targets the live table")
-    () => new KeyedLogRowLevelOperation(path, bucketN, info.command)
+    () => new KeyedLogRowLevelOperation(path, bucketN, info.command, declared)
   }
 
   private def hadoopConf() = new org.apache.spark.util.SerializableConfiguration(
@@ -405,15 +487,15 @@ class KeyedLogTable(path: String, bucketN: Option[Int] = None,
       "keyed_log: incremental windows and VERSION AS OF are different time " +
         "axes — pick one")
     new KeyedLogScanBuilder(Option(options.get("path")).getOrElse(path), bucketN,
-      window, asOf)
+      window, asOf, declared)
   }
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(asOf.isEmpty,
       s"${name()}: a VERSION AS OF read is immutable — writes target the live table")
-    require(info.schema().fieldNames.sameElements(KeyedLogSource.schema.fieldNames) &&
+    require(info.schema().fieldNames.sameElements(declared.fieldNames) &&
         org.apache.spark.sql.types.DataType.equalsStructurally(
-          info.schema(), KeyedLogSource.schema, ignoreNullability = true),
-      s"keyed_log write schema must be ${KeyedLogSource.schema.simpleString} " +
+          info.schema(), declared, ignoreNullability = true),
+      s"keyed_log write schema must be ${declared.simpleString} " +
         s"(names and types); got ${info.schema().simpleString}")
     new WriteBuilder {
       override def build(): Write = {
@@ -437,14 +519,16 @@ class KeyedLogTable(path: String, bucketN: Option[Int] = None,
             override def requiredOrdering: Array[V2SortOrder] =
               KeyedLogSource.clusteredOrdering
             override def toBatch: BatchWrite =
-              KeyedLogBatchWrite(dest, info.queryId(), clustered = true)
+              KeyedLogBatchWrite(dest, info.queryId(), clustered = true,
+                extras = extraTypes)
             override def toStreaming: StreamingWrite =
-              KeyedLogStreamingWrite(dest, info.queryId())
+              KeyedLogStreamingWrite(dest, info.queryId(), extraTypes)
           }
         else new Write {
-          override def toBatch: BatchWrite = KeyedLogBatchWrite(dest, info.queryId())
+          override def toBatch: BatchWrite =
+            KeyedLogBatchWrite(dest, info.queryId(), extras = extraTypes)
           override def toStreaming: StreamingWrite =
-            KeyedLogStreamingWrite(dest, info.queryId())
+            KeyedLogStreamingWrite(dest, info.queryId(), extraTypes)
         }
       }
     }
@@ -464,11 +548,13 @@ class KeyedLogTable(path: String, bucketN: Option[Int] = None,
   * no-op (files became visible at task commit; fine for an append-only log
   * sink), job abort removes committed files by name. */
 case class KeyedLogBatchWrite(path: String, queryId: String,
-                              clustered: Boolean = false) extends BatchWrite {
+                              clustered: Boolean = false,
+                              extras: Seq[org.apache.spark.sql.types.DataType] = Nil)
+    extends BatchWrite {
   private val conf = KeyedLogConf.capture()
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    if (clustered) KeyedLogClusteredWriterFactory(path, queryId, conf)
-    else KeyedLogWriterFactory(path, queryId, conf)
+    if (clustered) KeyedLogClusteredWriterFactory(path, queryId, conf, extras = extras)
+    else KeyedLogWriterFactory(path, queryId, conf, extras = extras)
   override def commit(messages: Array[WriterCommitMessage]): Unit =
     KeyedLogVersionLog.commit(path, conf,
       messages.toSeq.collect { case KeyedLogCommit(names) => names }.flatten)
@@ -860,10 +946,11 @@ private[graft] object KeyedLogConf {
   * still carries the task id, so two live attempts of one (epoch,
   * partition) — speculation, zombie tasks — never write the same temp
   * file; last-committer-wins on the shared final name. */
-case class KeyedLogStreamingWrite(path: String, queryId: String) extends StreamingWrite {
+case class KeyedLogStreamingWrite(path: String, queryId: String,
+    extras: Seq[org.apache.spark.sql.types.DataType] = Nil) extends StreamingWrite {
   private val conf = KeyedLogConf.capture()
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
-    KeyedLogStreamingWriterFactory(path, queryId, conf)
+    KeyedLogStreamingWriterFactory(path, queryId, conf, extras)
   // a REPLAYED epoch re-commits the same file names -> journal dedup
   // makes this a no-op, keeping the journal exactly-once like the files
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
@@ -874,30 +961,33 @@ case class KeyedLogStreamingWrite(path: String, queryId: String) extends Streami
 }
 
 case class KeyedLogStreamingWriterFactory(path: String, queryId: String,
-    conf: org.apache.spark.util.SerializableConfiguration)
+    conf: org.apache.spark.util.SerializableConfiguration,
+    extras: Seq[org.apache.spark.sql.types.DataType] = Nil)
     extends StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
                             epochId: Long): DataWriter[InternalRow] =
     new KeyedLogWriter(path,
       tmpName = s".tmp-$queryId-e$epochId-$partitionId-t$taskId",
       finalName = s"part-$queryId-e$epochId-$partitionId.log",
-      conf = conf)
+      conf = conf, extras = extras)
 }
 
 case class KeyedLogWriterFactory(path: String, queryId: String,
     conf: org.apache.spark.util.SerializableConfiguration,
-    stagePrefix: String = "") extends DataWriterFactory {
+    stagePrefix: String = "",
+    extras: Seq[org.apache.spark.sql.types.DataType] = Nil) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new KeyedLogWriter(path,
       tmpName = s".tmp-$queryId-$partitionId-$taskId",
       // a dot-prefixed stage name keeps row-level rewrite output INVISIBLE
       // to readers until the job-level swap reveals it
       finalName = s"${stagePrefix}part-$queryId-$partitionId.log",
-      conf = conf)
+      conf = conf, extras = extras)
 }
 
 class KeyedLogWriter(dir: String, tmpName: String, finalName: String,
-    conf: org.apache.spark.util.SerializableConfiguration) extends DataWriter[InternalRow] {
+    conf: org.apache.spark.util.SerializableConfiguration,
+    extras: Seq[org.apache.spark.sql.types.DataType] = Nil) extends DataWriter[InternalRow] {
   private val fs = new Path(dir).getFileSystem(conf.value)
   private val out = new java.io.BufferedWriter(
     new java.io.OutputStreamWriter(fs.create(new Path(dir, tmpName), true), "UTF-8"))
@@ -912,7 +1002,13 @@ class KeyedLogWriter(dir: String, tmpName: String, finalName: String,
     val seq = if (row.isNullAt(1)) "" else row.getLong(1).toString
     val metric = if (row.isNullAt(2)) "" else row.getLong(2).toString
     out.write(key); out.write('\t'); out.write(seq); out.write('\t')
-    out.write(metric); out.write('\n')
+    out.write(metric)
+    var j = 0
+    while (j < extras.length) {
+      out.write('\t'); out.write(KeyedLogSource.renderExtra(extras(j), row, 3 + j))
+      j += 1
+    }
+    out.write('\n')
   }
   override def commit(): WriterCommitMessage = {
     out.close()
@@ -933,9 +1029,11 @@ class KeyedLogWriter(dir: String, tmpName: String, finalName: String,
 
 case class KeyedLogClusteredWriterFactory(path: String, queryId: String,
     conf: org.apache.spark.util.SerializableConfiguration,
-    stagePrefix: String = "") extends DataWriterFactory {
+    stagePrefix: String = "",
+    extras: Seq[org.apache.spark.sql.types.DataType] = Nil) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new KeyedLogClusteredWriter(path, queryId, partitionId, taskId, conf, stagePrefix)
+    new KeyedLogClusteredWriter(path, queryId, partitionId, taskId, conf,
+      stagePrefix, extras)
 }
 
 /** Clustered-write task: rows arrive clustered by key and sorted
@@ -956,7 +1054,8 @@ case class KeyedLogClusteredWriterFactory(path: String, queryId: String,
   * same names — no duplicates, nothing partial visible. */
 class KeyedLogClusteredWriter(dir: String, queryId: String, partitionId: Int,
     taskId: Long, conf: org.apache.spark.util.SerializableConfiguration,
-    stagePrefix: String = "")
+    stagePrefix: String = "",
+    extras: Seq[org.apache.spark.sql.types.DataType] = Nil)
     extends DataWriter[InternalRow] {
 
   private val fs = new Path(dir).getFileSystem(conf.value)
@@ -989,6 +1088,11 @@ class KeyedLogClusteredWriter(dir: String, queryId: String, partitionId: Int,
     val metric = if (row.isNullAt(2)) "" else row.getLong(2).toString
     out.write(if (key == null) "" else key)
     out.write('\t'); out.write(seq); out.write('\t'); out.write(metric)
+    var j = 0
+    while (j < extras.length) {
+      out.write('\t'); out.write(KeyedLogSource.renderExtra(extras(j), row, 3 + j))
+      j += 1
+    }
     out.write('\n')
   }
 
@@ -1014,10 +1118,11 @@ class KeyedLogClusteredWriter(dir: String, queryId: String, partitionId: Int,
 
 class KeyedLogScanBuilder(path: String, bucketN: Option[Int] = None,
     window: Option[(Long, Option[Long])] = None,
-    asOf: Option[Long] = None) extends ScanBuilder
+    asOf: Option[Long] = None,
+    declared: StructType = KeyedLogSource.schema) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates {
-  private var required: StructType = KeyedLogSource.schema
+  private var required: StructType = declared
   private var pushed: Array[Filter] = Array.empty
   private var agg: Option[KeyedLogAgg] = None
 
@@ -1068,7 +1173,10 @@ class KeyedLogScanBuilder(path: String, bucketN: Option[Int] = None,
     val ops = aggregation.aggregateExpressions.toSeq.map {
       case _: CountStar => KeyedLogAgg.CountStarOp
       case c: Count if !c.isDistinct =>
-        fieldOf(c.column).map(KeyedLogAgg.CountOp).getOrElse(return false)
+        // core fields only: the per-file agg reader parses exactly these
+        // (an extra-column COUNT stays a plain scan + Spark aggregate)
+        fieldOf(c.column).filter(Set("key", "seq", "metric"))
+          .map(KeyedLogAgg.CountOp).getOrElse(return false)
       case s: Sum if !s.isDistinct =>
         fieldOf(s.column).filter(longCols).map(KeyedLogAgg.SumOp).getOrElse(return false)
       case m: Min =>
@@ -1660,6 +1768,14 @@ class KeyedLogColumnarReader(files: Seq[String], required: StructType,
 
   private val lines = new KeyedLogLines(files, pushed, conf)
   private val fieldNames = required.fields.map(_.name)
+  // -1 for core/metadata fields, the klog.field line position for extras
+  private val extraIdx: Array[Int] = required.fields.map {
+    case f if f.name == "key" || f.name == "seq" || f.name == "metric" ||
+        f.name == KeyedLogRowLevelOperation.FileCol => -1
+    case f => KeyedLogSource.extraIndexOf(f)
+  }
+  private val extraIsLong: Array[Boolean] = required.fields.map(
+    _.dataType == org.apache.spark.sql.types.LongType)
   private val vectors = OnHeapColumnVector.allocateColumns(batchSize, required)
   private val batch = new ColumnarBatch(vectors.asInstanceOf[Array[org.apache.spark.sql.vectorized.ColumnVector]])
 
@@ -1671,7 +1787,17 @@ class KeyedLogColumnarReader(files: Seq[String], required: StructType,
       var c = 0
       while (c < fieldNames.length) {
         val v = vectors(c)
-        fieldNames(c) match {
+        if (extraIdx(c) >= 0) {
+          val raw = lines.extraRaw(extraIdx(c))
+          if (raw == null) v.putNull(n)
+          else if (extraIsLong(c)) {
+            try v.putLong(n, java.lang.Long.parseLong(raw.trim))
+            catch { case _: NumberFormatException => v.putNull(n) }
+          } else {
+            val b = java.net.URLDecoder.decode(raw, "UTF-8").getBytes("UTF-8")
+            v.putByteArray(n, b, 0, b.length)
+          }
+        } else fieldNames(c) match {
           case "key" =>
             val k = lines.key
             if (k == null) v.putNull(n)
@@ -1712,6 +1838,20 @@ private[sources] class KeyedLogLines(files: Seq[String], pushed: Array[Filter],
   /** Name of the file the current row came from — the `_klfile` metadata
     * column (row-level rewrites regroup rows by it). */
   var fileName: String = _
+  /** Raw line fields of the current row (for extra columns — fields 3+;
+    * a pre-drift line is simply shorter and its extras read null). */
+  private var parts: Array[String] = _
+
+  /** RAW extra field `i` (0-based among extras): null when the line
+    * predates the column or carries the `\N` sentinel. */
+  def extraRaw(i: Int): String = {
+    val idx = 3 + i
+    if (parts == null || idx >= parts.length) null
+    else {
+      val v = parts(idx)
+      if (v == KeyedLogSource.ExtraNull) null else v
+    }
+  }
 
   private def keyPasses(k: String): Boolean = pushed.forall {
     case EqualTo("key", v: String) => k != null && k == v
@@ -1732,7 +1872,7 @@ private[sources] class KeyedLogLines(files: Seq[String], pushed: Array[Filter],
       val line = in.readLine()
       if (line == null) { in.close(); in = null }
       else {
-        val parts = line.split("\t", -1)
+        parts = line.split("\t", -1)
         val k = if (parts.nonEmpty && parts(0).nonEmpty) parts(0) else null
         if (keyPasses(k)) {
           key = k
@@ -1833,19 +1973,41 @@ class KeyedLogAggReader(files: Seq[String], agg: KeyedLogAgg, pushed: Array[Filt
 class KeyedLogReader(files: Seq[String], required: StructType, pushed: Array[Filter],
     conf: org.apache.spark.util.SerializableConfiguration) extends PartitionReader[InternalRow] {
   private val lines = new KeyedLogLines(files, pushed, conf)
-  private val fieldNames = required.fields.map(_.name) // hoisted off the per-row path
+  // per-field extractors hoisted off the per-row path: core fields by
+  // name, extras by their klog.field line position
+  private val getters: Array[() => Any] = required.fields.map {
+    case f if f.name == "key" =>
+      () => if (lines.key == null) null else UTF8String.fromString(lines.key)
+    case f if f.name == "seq" =>
+      () => if (lines.seqIsNull) null else lines.seq: Any
+    case f if f.name == "metric" =>
+      () => if (lines.metricIsNull) null else lines.metric: Any
+    case f if f.name == KeyedLogRowLevelOperation.FileCol =>
+      () => UTF8String.fromString(lines.fileName)
+    case f =>
+      val i = KeyedLogSource.extraIndexOf(f)
+      f.dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          () => {
+            val raw = lines.extraRaw(i)
+            if (raw == null) null
+            else try java.lang.Long.parseLong(raw.trim): Any
+            catch { case _: NumberFormatException => null }
+          }
+        case _ =>
+          () => {
+            val raw = lines.extraRaw(i)
+            if (raw == null) null
+            else UTF8String.fromString(java.net.URLDecoder.decode(raw, "UTF-8"))
+          }
+      }
+  }
   private var row: InternalRow = _
 
   override def next(): Boolean = {
     if (!lines.advance()) return false
     // build ONLY the pruned columns, in the order Spark asked for
-    val values = fieldNames.map {
-      case "key"    => if (lines.key == null) null else UTF8String.fromString(lines.key)
-      case "seq"    => if (lines.seqIsNull) null else lines.seq
-      case "metric" => if (lines.metricIsNull) null else lines.metric
-      case KeyedLogRowLevelOperation.FileCol => UTF8String.fromString(lines.fileName)
-    }
-    row = InternalRow.fromSeq(values.toIndexedSeq)
+    row = InternalRow.fromSeq(getters.toIndexedSeq.map(_.apply()))
     true
   }
   override def get(): InternalRow = row
