@@ -113,7 +113,12 @@ object Bench {
           case Some(ts) =>
             val sorted = ts.sorted
             mins(name) = sorted.head
-            medians(name) = sorted(sorted.length / 2)
+            // true median: middle element (odd n) or mean of the middle
+            // pair (even n) — sorted(n/2) alone would report the WORSE of
+            // 2 samples, a systematic pessimist under the 2-round default
+            medians(name) =
+              if (sorted.length % 2 == 1) sorted(sorted.length / 2)
+              else (sorted(sorted.length / 2 - 1) + sorted(sorted.length / 2)) / 2
             times(name) = if (stat == "median") medians(name) else mins(name)
           case None =>
             // no recorded sample yet: in a partial (killed-early) emit the
@@ -187,9 +192,10 @@ object Bench {
         // post-condition: no gate may leave a streaming query running — a
         // leaked stream would burn budget under every later measurement and
         // tear down noisily at exit (the r14 forensics alternative this
-        // guard permanently rules out)
-        if (spark.streams.active.nonEmpty) {
-          spark.streams.active.foreach { q =>
+        // guard permanently rules out). StreamingQueryManager is
+        // per-session, so the tracked isolated sessions are swept too.
+        (spark +: graft.queries.QueryModule.trackedSessions).foreach { sess =>
+          sess.streams.active.foreach { q =>
             System.err.println(s"[bench] WARNING: $name leaked active stream ${q.name}; stopping it")
             try q.stop() catch { case _: Throwable => () }
           }

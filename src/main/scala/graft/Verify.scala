@@ -27,9 +27,11 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // post-condition: no gate may leave a streaming query running (the
-      // Bench loop carries the same guard — see r14 forensics in STATE.md)
-      if (spark.streams.active.nonEmpty) {
-        spark.streams.active.foreach { q =>
+      // Bench loop carries the same guard — see r14 forensics in STATE.md);
+      // isolated gate sessions have their own StreamingQueryManager, so
+      // sweep the tracked ones too
+      (spark +: graft.queries.QueryModule.trackedSessions).foreach { sess =>
+        sess.streams.active.foreach { q =>
           System.err.println(s"[verify] WARNING: $name leaked active stream ${q.name}; stopping it")
           try q.stop() catch { case _: Throwable => () }
         }

@@ -11,48 +11,64 @@ import org.apache.hadoop.fs.Path
   * per scheme+authority, so this is one lookup, not one connection, per
   * task).
   *
-  * The target is created with overwrite=true: a file left behind by a
-  * crashed earlier clone attempt is simply rewritten, making retries
-  * idempotent — the post-write re-read hash still proves the FINAL bytes,
-  * so a torn or stale leftover can never survive verification.
+  * Writes are STAGED: each attempt streams to an attempt-unique `.tmp-`
+  * name, verifies THAT file's md5 against the source, and only then
+  * renames it over the final path (replacing any leftover from a crashed
+  * earlier clone or a killed rival attempt). A speculative/zombie twin of
+  * the same task therefore can never tear the final file after its
+  * sibling verified it — only complete, verified bytes are ever renamed
+  * into place (the same staged-rename protocol every writer in this
+  * engine uses).
   */
 private[catalog] object DeepCopy extends Serializable {
 
   /** Copy one file and prove the copy: md5 is computed over the source
-    * stream WHILE copying, then the written target is re-read and hashed
-    * — a torn or bit-flipped copy fails here, before the migrated table
-    * can commit over it. Returns the byte count. */
+    * stream WHILE copying into an attempt-unique temp, the written temp
+    * is re-read and hashed — a torn or bit-flipped copy fails here,
+    * before anything reaches the final name — and the verified temp is
+    * renamed over the destination. Returns the byte count. */
   def copyVerified(srcRoot: String, dstRoot: String, rel: String): Long = {
     val srcFs = graft.core.LakeStorage.openFor(srcRoot)
     val dstFs = graft.core.LakeStorage.openFor(dstRoot)
     val src = new Path(srcRoot, rel)
     val dst = new Path(dstRoot, rel)
+    val tmp = new Path(dst.getParent,
+      s".tmp-clone-${java.util.UUID.randomUUID()}-${dst.getName}")
     def digest(): java.security.MessageDigest =
       java.security.MessageDigest.getInstance("MD5")
-    val srcMd5 = digest()
-    var bytes = 0L
-    val in = srcFs.open(src)
-    val out = dstFs.create(dst, true)
     try {
-      val buf = new Array[Byte](1 << 20)
-      var n = in.read(buf)
-      while (n >= 0) {
-        if (n > 0) { srcMd5.update(buf, 0, n); out.write(buf, 0, n); bytes += n }
-        n = in.read(buf)
-      }
-    } finally { in.close(); out.close() }
-    val dstMd5 = digest()
-    val back = dstFs.open(dst)
-    try {
-      val buf = new Array[Byte](1 << 20)
-      var n = back.read(buf)
-      while (n >= 0) {
-        if (n > 0) dstMd5.update(buf, 0, n)
-        n = back.read(buf)
-      }
-    } finally back.close()
-    require(java.util.Arrays.equals(srcMd5.digest(), dstMd5.digest()),
-      s"deep clone copy verification failed: $src -> $dst content hash mismatch")
-    bytes
+      val srcMd5 = digest()
+      var bytes = 0L
+      val in = srcFs.open(src)
+      val out = dstFs.create(tmp, true)
+      try {
+        val buf = new Array[Byte](1 << 20)
+        var n = in.read(buf)
+        while (n >= 0) {
+          if (n > 0) { srcMd5.update(buf, 0, n); out.write(buf, 0, n); bytes += n }
+          n = in.read(buf)
+        }
+      } finally { in.close(); out.close() }
+      val dstMd5 = digest()
+      val back = dstFs.open(tmp)
+      try {
+        val buf = new Array[Byte](1 << 20)
+        var n = back.read(buf)
+        while (n >= 0) {
+          if (n > 0) dstMd5.update(buf, 0, n)
+          n = back.read(buf)
+        }
+      } finally back.close()
+      require(java.util.Arrays.equals(srcMd5.digest(), dstMd5.digest()),
+        s"deep clone copy verification failed: $src -> $tmp content hash mismatch")
+      if (dstFs.exists(dst) && !dstFs.delete(dst, false))
+        throw new java.io.IOException(s"deep clone: could not replace $dst")
+      if (!dstFs.rename(tmp, dst))
+        throw new java.io.IOException(s"deep clone: rename failed for $tmp -> $dst")
+      bytes
+    } catch { case e: Throwable =>
+      try { dstFs.delete(tmp, false); () } catch { case _: java.io.IOException => () }
+      throw e
+    }
   }
 }

@@ -338,10 +338,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       if (provider == "keyedlog")
         // extras carry their 0-based line position as klog.field metadata
         // (load-bearing: pruning hands readers arbitrary subsets and they
-        // still parse the right raw field)
+        // still parse the right raw field). The core prefix is stored
+        // CANONICALLY (nullable, no user metadata): the format writes
+        // null keys/seqs/metrics regardless, so a declared NOT NULL would
+        // be a lie the optimizer could fold wrong answers from.
         if (schema.isEmpty) KeyedLogSource.schema
         else StructType(schema.fields.zipWithIndex.map { case (f, i) =>
-          if (i < KeyedLogSource.schema.length) f
+          if (i < KeyedLogSource.schema.length) KeyedLogSource.schema.fields(i)
           else f.copy(nullable = true, metadata =
             new org.apache.spark.sql.types.MetadataBuilder()
               .withMetadata(f.metadata)
@@ -965,6 +968,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         require(graft.sources.KeyedLogSource.extraTypeOk(add.dataType),
           s"${ident.name()}: keyedlog extra columns must be STRING or " +
             s"BIGINT, got ${add.dataType.simpleString}")
+        require(!name.startsWith("_"),
+          s"${ident.name()}: keyedlog column names starting with '_' are " +
+            "reserved for metadata columns (_klfile, _change_type)")
         val extraIdx = schema.length - graft.sources.KeyedLogSource.schema.length
         schema = schema.add(StructField(name, add.dataType, nullable = true,
           new org.apache.spark.sql.types.MetadataBuilder()
@@ -1237,18 +1243,33 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           val hw = IdentityColumns.highWater(dataDir, spec.col)
           if (hw > 0) IdentityColumns.seed(dstDir, spec.col, hw)
         }
+        // a rival CREATE/clone may have published its own MetaFile at
+        // dstDir while we copied: re-check before committing a log
+        // version into what is now THEIR directory. (The residual
+        // check-to-commit window is the same non-transactional DDL
+        // window replaceMeta documents — quiesce DDL racing a clone.)
+        if (fs.exists(new Path(dstDir, MetaFile)))
+          throw new TableAlreadyExistsException((ns :+ dstIdent.name()).toSeq)
         graft.core.ManifestTable.commitStagedSnapshot(dstDir, st.files,
           stats = Some(st.stats), dvs = st.dvs)
         if (!writeMeta(dstDir, meta.copy(location = None, cloneBranch = None)))
           throw new TableAlreadyExistsException((ns :+ dstIdent.name()).toSeq)
         (v, toCopy.length.toLong, bytes)
       } catch { case e: Throwable =>
-        // nothing references dstDir until writeMeta lands (the MetaFile IS
-        // table existence), so a failed clone's partial tree is garbage:
-        // delete it best-effort so a retry starts clean instead of
-        // stumbling over half-copied files
-        try { dstFs.delete(new Path(dstDir), true); () }
-        catch { case _: java.io.IOException => () }
+        // cleanup must respect ownership: while no MetaFile exists the
+        // dir is unpublished clone scratch — delete it wholesale so a
+        // retry starts clean. If a rival's MetaFile appeared mid-copy,
+        // the dir is THEIRS: deleting it would destroy a live table
+        // (the review-caught race), so remove only the uuid-pool files
+        // THIS clone staged and leave everything else untouched.
+        try {
+          if (!fs.exists(new Path(dstDir, MetaFile))) {
+            dstFs.delete(new Path(dstDir), true); ()
+          } else toCopy.foreach { rel =>
+            try { dstFs.delete(new Path(dstDir, rel), false); () }
+            catch { case _: java.io.IOException => () }
+          }
+        } catch { case _: java.io.IOException => () }
         throw e
       }
     } finally {

@@ -446,7 +446,7 @@ object AdvancedQueries extends QueryModule {
     //     oracle). Child session: key-grouped reads are opt-in via
     //     spark.sql.sources.v2.bucketing.enabled ---
     "qk02_storage_partitioned" -> { (s0, d) =>
-      val s = s0.newSession()
+      val s = isolatedSession(s0)
       s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
       s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       val facts = graft.core.TempDirs.create("graft_spj_f_")
@@ -478,7 +478,7 @@ object AdvancedQueries extends QueryModule {
     //     storage formats (plan pinned in BucketedTableSpec; the result
     //     goes through the oracle). Child session: SPJ confs are opt-in ---
     "qk03_cross_format_spj" -> { (s0, d) =>
-      val s = s0.newSession()
+      val s = isolatedSession(s0)
       graft.catalog.GraftCatalog.register(s, "graft_xf",
         graft.core.TempDirs.create("graft_xf_root_"))
       s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
@@ -508,7 +508,7 @@ object AdvancedQueries extends QueryModule {
     //     epoch) journals one version; start_version serves exactly the
     //     files later commits added; t.history lists the journal ---
     "qk04_keyedlog_cdc" -> { (s0, d) =>
-      val s = s0.newSession()
+      val s = isolatedSession(s0)
       graft.catalog.GraftCatalog.register(s, "graft_kc",
         graft.core.TempDirs.create("graft_kc_root_"))
       s.sql("CREATE NAMESPACE IF NOT EXISTS graft_kc.db")
@@ -538,7 +538,7 @@ object AdvancedQueries extends QueryModule {
     //     contract at file granularity — and the replaced v3 insert still
     //     serves its pre-update image from the tombstone ---
     "qk05_keyedlog_changes" -> { (s0, d) =>
-      val s = s0.newSession()
+      val s = isolatedSession(s0)
       graft.catalog.GraftCatalog.register(s, "graft_kx",
         graft.core.TempDirs.create("graft_kx_root_"))
       s.sql("CREATE NAMESPACE IF NOT EXISTS graft_kx.db")
@@ -604,7 +604,7 @@ object AdvancedQueries extends QueryModule {
     //     the remaining per-key aggregate replays exactly ---
     "qk07_keyedlog_delete" -> { (s0, d) =>
       import org.apache.hadoop.fs.Path
-      val s = s0.newSession()
+      val s = isolatedSession(s0)
       import s.implicits._
       graft.catalog.GraftCatalog.register(s, "graft_kd",
         graft.core.TempDirs.create("graft_kd_root_"))
@@ -649,7 +649,7 @@ object AdvancedQueries extends QueryModule {
     //     machinery and the final per-key aggregate replays exactly ---
     "qk08_keyedlog_update" -> { (s0, d) =>
       import org.apache.hadoop.fs.Path
-      val s = s0.newSession()
+      val s = isolatedSession(s0)
       import s.implicits._
       graft.catalog.GraftCatalog.register(s, "graft_ku",
         graft.core.TempDirs.create("graft_ku_root_"))
@@ -714,7 +714,7 @@ object AdvancedQueries extends QueryModule {
     //     tombstone-backed for the later-touched keys), post-UPDATE
     //     pre-DELETE, and the live head ---
     "qk09_keyedlog_time_travel" -> { (s0, d) =>
-      val s = s0.newSession()
+      val s = isolatedSession(s0)
       graft.catalog.GraftCatalog.register(s, "graft_kt",
         graft.core.TempDirs.create("graft_kt_root_"))
       s.sql("CREATE NAMESPACE IF NOT EXISTS graft_kt.db")
@@ -746,7 +746,7 @@ object AdvancedQueries extends QueryModule {
     //     shows the pre-restore state stays time-travelable (history is
     //     never rewritten) ---
     "qk10_keyedlog_restore" -> { (s0, d) =>
-      val s = s0.newSession()
+      val s = isolatedSession(s0)
       graft.catalog.GraftCatalog.register(s, "graft_kr",
         graft.core.TempDirs.create("graft_kr_root_"))
       s.sql("CREATE NAMESPACE IF NOT EXISTS graft_kr.db")
@@ -780,7 +780,7 @@ object AdvancedQueries extends QueryModule {
     //     a full compaction — and that a tab inside a STRING extra cannot
     //     corrupt the framing (values are URL-encoded on the line) ---
     "qk11_keyedlog_add_columns" -> { (s0, d) =>
-      val s = s0.newSession()
+      val s = isolatedSession(s0)
       graft.catalog.GraftCatalog.register(s, "graft_ka",
         graft.core.TempDirs.create("graft_ka_root_"))
       s.sql("CREATE NAMESPACE IF NOT EXISTS graft_ka.db")

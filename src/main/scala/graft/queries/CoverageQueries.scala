@@ -265,7 +265,7 @@ object CoverageQueries extends QueryModule {
     //     exchanges (plan shapes pinned in BucketedTableSpec; the result
     //     goes through the oracle). Child session: opt-in confs ---
     "qc24_bucketed_tables" -> { (s0, d) =>
-      val s = s0.newSession()
+      val s = isolatedSession(s0)
       graft.catalog.GraftCatalog.register(s, "graft_bk",
         graft.core.TempDirs.create("graft_bk_root_"))
       s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")

@@ -19,4 +19,36 @@ trait QueryModule {
   type Q = (SparkSession, String) => DataFrame
   def queries: Map[String, Q]
   def oracle: Map[String, String]
+
+  /** An isolated child session for gates that register their own catalog —
+    * TRACKED so the Bench/Verify leaked-stream guard can see it:
+    * `StreamingQueryManager` is per-session state, so a stream started on
+    * a bare `newSession()` would be invisible to `rootSession.streams`
+    * and a gate that failed before `q.stop()` would silently burn budget
+    * under every later measurement (the r14 bench forensics scenario). */
+  protected def isolatedSession(s0: SparkSession): SparkSession =
+    QueryModule.isolatedSession(s0)
+}
+
+object QueryModule {
+  private val tracked =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.lang.ref.WeakReference[SparkSession]]
+
+  def isolatedSession(s0: SparkSession): SparkSession = {
+    val s = s0.newSession()
+    tracked.add(new java.lang.ref.WeakReference(s))
+    s
+  }
+
+  /** Every live isolated session (for the harness guards). */
+  def trackedSessions: Seq[SparkSession] = {
+    val it = tracked.iterator()
+    val out = scala.collection.mutable.ArrayBuffer.empty[SparkSession]
+    while (it.hasNext) {
+      val ref = it.next()
+      val s = ref.get()
+      if (s == null) it.remove() else out += s
+    }
+    out.toSeq
+  }
 }

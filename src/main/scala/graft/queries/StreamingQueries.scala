@@ -471,7 +471,7 @@ object StreamingQueries extends QueryModule {
     //     deterministic; batchId-keyed parquet output = exactly-once
     //     under retries. Per-batch wall times ride BatchTimings ---
     "qs22_keyedlog_change_stream" -> { (s0, d) =>
-      val s = s0.newSession()
+      val s = isolatedSession(s0)
       graft.catalog.GraftCatalog.register(s, "graft_ks",
         graft.core.TempDirs.create("graft_ks_root_"))
       s.sql("CREATE NAMESPACE IF NOT EXISTS graft_ks.db")
@@ -528,7 +528,7 @@ object StreamingQueries extends QueryModule {
     //     Delta's streaming identity shape); the gate carries uniqueness
     //     and replay-idempotence as oracle-replayed booleans ---
     "qs23_stream_identity" -> { (s0, d) =>
-      val s = s0.newSession()
+      val s = isolatedSession(s0)
       graft.catalog.GraftCatalog.register(s, "graft_si",
         graft.core.TempDirs.create("graft_si_root_"))
       s.sql("CREATE NAMESPACE IF NOT EXISTS graft_si.db")
@@ -593,7 +593,7 @@ object StreamingQueries extends QueryModule {
     //     replica against the oracle; the in-query boolean proves
     //     replica ≡ source row-for-row ---
     "qp08_cdc_replica" -> { (s0, d) =>
-      val s = s0.newSession()
+      val s = isolatedSession(s0)
       graft.catalog.GraftCatalog.register(s, "graft_kp8",
         graft.core.TempDirs.create("graft_kp8_root_"))
       s.sql("CREATE NAMESPACE IF NOT EXISTS graft_kp8.db")

@@ -314,10 +314,20 @@ object KeyedLogSource {
       s"keyedlog tables start with the fixed core ${core.simpleString}; " +
         s"got ${declared.simpleString}")
     val extras = declared.fields.drop(core.length).toSeq
+    val lower = declared.fieldNames.map(_.toLowerCase(java.util.Locale.ROOT))
+    require(lower.distinct.length == lower.length,
+      s"keyedlog schema has duplicate column names: ${declared.simpleString}")
     extras.foreach { f =>
       require(extraTypeOk(f.dataType),
         s"keyedlog extra column ${f.name} must be STRING or BIGINT, " +
           s"got ${f.dataType.simpleString}")
+      // underscore names are the reserved metadata namespace: an extra
+      // named _klfile would shadow the row-level group column (rewrites
+      // would regroup by the wrong values) and _change_type would
+      // duplicate the feed column
+      require(!f.name.startsWith("_"),
+        s"keyedlog extra column ${f.name}: names starting with '_' are " +
+          "reserved for metadata columns (_klfile, _change_type)")
     }
     extras
   }

@@ -305,6 +305,21 @@ class CloneSpec extends AnyFunSuite {
       "distributed deep clone must be row-for-row identical")
   }
 
+  test("deep clone onto an existing table refuses and leaves it untouched") {
+    ensureDb()
+    spark.sql("CREATE TABLE gc.db.esrc (id BIGINT) USING manifest")
+    spark.sql("INSERT INTO gc.db.esrc SELECT id FROM range(3)")
+    spark.sql("CREATE TABLE gc.db.edst (id BIGINT) USING manifest")
+    spark.sql("INSERT INTO gc.db.edst SELECT id + 100 FROM range(2)")
+    intercept[Exception] {
+      spark.sql("CALL gc.system.clone('db.esrc', 'db.edst', deep => true)")
+    }
+    // the failed clone's cleanup must respect ownership: the existing
+    // table (MetaFile present) survives with its data intact
+    assert(nums("gc.db.edst") === Seq(100L, 101L),
+      "a refused deep clone must never touch the existing table")
+  }
+
   test("deep clone retries over a crashed attempt's partial leftovers") {
     ensureDb()
     spark.sql("CREATE TABLE gc.db.rsrc (id BIGINT) USING manifest")

@@ -109,6 +109,28 @@ class KeyedLogEvolutionSpec extends AnyFunSuite {
     rejects("ALTER TABLE gk.db.t5 DROP COLUMN tag", "ADD COLUMNS only")
     rejects("ALTER TABLE gk.db.t5 RENAME COLUMN tag TO tag2", "ADD COLUMNS only")
     rejects("ALTER TABLE gk.db.t5 ADD COLUMNS (tag STRING)", "already exists")
+    // underscore names are the reserved metadata namespace — an extra
+    // named _klfile would shadow the row-level group column
+    rejects("ALTER TABLE gk.db.t5 ADD COLUMNS (_klfile STRING)", "reserved")
+  }
+
+  test("the core prefix is stored canonically nullable (a NOT NULL lie " +
+      "would let the optimizer fold wrong answers)") {
+    ensureDb()
+    spark.sql("CREATE TABLE gk.db.t8 (key STRING NOT NULL, seq BIGINT, " +
+      "metric BIGINT, tag STRING) USING keyedlog")
+    assert(spark.table("gk.db.t8").schema.fields.forall(_.nullable),
+      spark.table("gk.db.t8").schema.treeString)
+    // the format really does write null keys — the declared schema must
+    // admit what reads can produce
+    spark.sql("INSERT INTO gk.db.t8 VALUES (NULL, 1, 1, 'x')")
+    assert(spark.sql("SELECT count(*) FROM gk.db.t8 WHERE key IS NULL")
+      .head().getLong(0) == 1L)
+    val e = intercept[Exception] {
+      spark.sql("CREATE TABLE gk.db.t9 (key STRING, seq BIGINT, " +
+        "metric BIGINT, _change_type STRING) USING keyedlog")
+    }
+    assert(messageChain(e).contains("reserved"), messageChain(e))
   }
 
   test("CREATE TABLE with extras up front; core prefix enforced") {
