@@ -27,11 +27,17 @@ private[catalog] object DeepCopy extends Serializable {
     * is re-read and hashed — a torn or bit-flipped copy fails here,
     * before anything reaches the final name — and the verified temp is
     * renamed over the destination. Returns the byte count. */
-  def copyVerified(srcRoot: String, dstRoot: String, rel: String): Long = {
+  def copyVerified(srcRoot: String, dstRoot: String, rel: String): Long =
+    copyVerified(srcRoot, rel, dstRoot, rel)
+
+  /** [[copyVerified]] with independent source and destination relative
+    * paths (the external-import shape: source layout is not ours). */
+  def copyVerified(srcRoot: String, srcRel: String,
+                   dstRoot: String, dstRel: String): Long = {
     val srcFs = graft.core.LakeStorage.openFor(srcRoot)
     val dstFs = graft.core.LakeStorage.openFor(dstRoot)
-    val src = new Path(srcRoot, rel)
-    val dst = new Path(dstRoot, rel)
+    val src = new Path(srcRoot, srcRel)
+    val dst = new Path(dstRoot, dstRel)
     val tmp = new Path(dst.getParent,
       s".tmp-clone-${java.util.UUID.randomUUID()}-${dst.getName}")
     def digest(): java.security.MessageDigest =
@@ -69,6 +75,47 @@ private[catalog] object DeepCopy extends Serializable {
     } catch { case e: Throwable =>
       try { dstFs.delete(tmp, false); () } catch { case _: java.io.IOException => () }
       throw e
+    }
+  }
+
+  /** Copy+verify a whole (srcRel → dstRel) file list, choosing HOW by
+    * size (shared by deep clone and the register_files import arm):
+    * above `thresholdBytes` the copy runs as ONE Spark job over the list
+    * — one task per file doing copy + md5, the distcp shape — so
+    * throughput scales with the cluster, not one driver NIC; below it a
+    * bounded driver pool wins (no job-scheduling latency on
+    * metadata-sized moves). The planning pass reads file sizes from the
+    * source listing (also a fail-fast existence check before any bytes
+    * move) and bails out of the sum early once the threshold is crossed.
+    * Returns total bytes copied. On failure the driver pool is
+    * `shutdownNow`-stopped so in-flight rivals cannot keep writing into
+    * a tree the caller is about to clean up. */
+  def copyList(srcRoot: String, dstRoot: String,
+               pairs: Seq[(String, String)], thresholdBytes: Long): Long = {
+    if (pairs.isEmpty) return 0L
+    val srcFs = graft.core.LakeStorage.openFor(srcRoot)
+    var planned = 0L
+    val it = pairs.iterator
+    while (planned < thresholdBytes && it.hasNext)
+      planned += srcFs.getFileStatus(new Path(srcRoot, it.next()._1)).getLen
+    val active = org.apache.spark.sql.SparkSession.getActiveSession
+    if (planned >= thresholdBytes && active.isDefined) {
+      val sc = active.get.sparkContext
+      val (sr, dr) = (srcRoot, dstRoot)
+      sc.parallelize(pairs, pairs.length)
+        .map { case (s, d) => copyVerified(sr, s, dr, d) }
+        .fold(0L)(_ + _)
+    } else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(16, math.max(1, pairs.length)))
+      try {
+        val futures = pairs.map { case (s, d) =>
+          pool.submit(new java.util.concurrent.Callable[Long] {
+            override def call(): Long = copyVerified(srcRoot, s, dstRoot, d)
+          })
+        }
+        futures.map(_.get()).sum
+      } finally pool.shutdownNow()
     }
   }
 }

@@ -67,16 +67,27 @@ object GeneratedColumns {
     * contract). */
   val CheckPrefix = "__generated_"
 
+  /** Reserved TBLPROPERTIES namespace for the ALTER surface:
+    * `SET TBLPROPERTIES ('graft.generated.<col>' = '<expr sql>')` ADOPTS
+    * the expression onto an existing column (existing rows are validated
+    * against it first — the ADD CONSTRAINT contract), `UNSET` drops it
+    * and the column becomes plain (its values are already materialized,
+    * so nothing else changes). See [[GraftCatalog.alterTable]]. */
+  val PropPrefix = "graft.generated."
+
   private def checkName(col: String) = s"$CheckPrefix${col}__"
 
-  /** The invariant as a CHECK for the row-level DML and streaming write
-    * paths: `col <=> (expr)` (never NULL, so SQL CHECK null-passing
-    * cannot soften it). Zero cost on tables without generated columns. */
+  /** The stored invariant of one generated column as a CHECK:
+    * `col <=> (expr)` (never NULL, so SQL CHECK null-passing cannot
+    * soften it). */
+  def invariant(sp: Spec): Constraints.Check =
+    Constraints.Check(checkName(sp.col),
+      s"`${sp.col.replace("`", "``")}` <=> (${sp.sql})")
+
+  /** The invariants as CHECKs for the row-level DML and streaming write
+    * paths. Zero cost on tables without generated columns. */
   def implicitChecks(schema: StructType): Seq[Constraints.Check] =
-    specs(schema).map { sp =>
-      Constraints.Check(checkName(sp.col),
-        s"`${sp.col.replace("`", "``")}` <=> (${sp.sql})")
-    }
+    specs(schema).map(invariant)
 
   /** DDL-time validation (CREATE TABLE): each expression must parse,
     * resolve against the OTHER columns, be deterministic and

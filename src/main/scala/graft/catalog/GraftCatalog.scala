@@ -749,6 +749,72 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     }
     changes.foreach {
       case set: TableChange.SetProperty
+          if set.property.startsWith(GeneratedColumns.PropPrefix) =>
+        // ADOPT a generation expression onto an EXISTING column (the
+        // ALTER half of the generated-column surface; Delta has no
+        // equivalent — its generated columns are CREATE-time-only). The
+        // column's materialized values must already satisfy the
+        // expression — validated with one limit-1 scan, the ADD
+        // CONSTRAINT contract — so adoption is metadata-only and every
+        // future write inherits the compute-or-validate contract.
+        val colName = set.property.stripPrefix(GeneratedColumns.PropPrefix)
+        val sql = set.value.trim
+        require(sql.nonEmpty,
+          s"${ident.name()}: empty generation expression for column $colName")
+        val field = schema.find(_.name.equalsIgnoreCase(colName)).getOrElse(
+          throw new IllegalArgumentException(
+            s"${ident.name()}: no such column $colName to attach a " +
+              "generation expression to"))
+        require(!IdentityColumns.specs(schema).exists(
+            _.col.equalsIgnoreCase(field.name)),
+          s"${ident.name()}: $colName is an identity column — identity and " +
+            "expression generation are mutually exclusive")
+        val cand = StructType(schema.map { f =>
+          if (!f.name.equalsIgnoreCase(colName)) f
+          else f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata)
+            .putString(GeneratedColumns.ExprKey, sql).build())
+        })
+        val spark = org.apache.spark.sql.SparkSession.active
+        // same DDL-time rules as CREATE: parse/resolve/deterministic/
+        // exact-type, no self/generated/identity refs — and it also
+        // catches an EXISTING generated column referencing the newly
+        // generated one (evaluation order would become ambiguous)
+        GeneratedColumns.validate(spark, cand, ident.name())
+        val chk = GeneratedColumns
+          .invariant(GeneratedColumns.Spec(field.name, sql))
+        // existing rows must already equal the expression (one
+        // distributed scan, stops at the first violation) — same KNOWN
+        // non-transactional ALTER window as ADD CONSTRAINT: quiesce
+        // writers around DDL
+        val full = (catalogName +: ident.namespace() :+ ident.name())
+          .map(p => s"`$p`").mkString(".")
+        val bad = spark.table(full)
+          .where(Constraints.violated(chk)).limit(1).collect()
+        require(bad.isEmpty,
+          s"cannot make ${ident.name()}.$colName GENERATED ALWAYS AS " +
+            s"(${sql}): existing rows diverge from the expression, e.g. " +
+            s"${bad.headOption.getOrElse("")} — backfill first " +
+            s"(UPDATE ... SET $colName = ${sql}) or use " +
+            "g.system.add_generated_column to add-and-materialize in one call")
+        schema = cand
+      case rm: TableChange.RemoveProperty
+          if rm.property.startsWith(GeneratedColumns.PropPrefix) =>
+        // DROP the generation expression: the column becomes plain. Its
+        // values are already materialized in every file, so this is
+        // metadata-only — reads are untouched, future writes just stop
+        // computing/validating it.
+        val colName = rm.property.stripPrefix(GeneratedColumns.PropPrefix)
+        require(GeneratedColumns.specs(schema).exists(
+            _.col.equalsIgnoreCase(colName)),
+          s"${ident.name()}: $colName is not a generated column")
+        schema = StructType(schema.map { f =>
+          if (!f.name.equalsIgnoreCase(colName)) f
+          else f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata)
+            .remove(GeneratedColumns.ExprKey).build())
+        })
+      case set: TableChange.SetProperty
           if set.property.startsWith(Constraints.Prefix) =>
         val check = Constraints.Check(
           set.property.stripPrefix(Constraints.Prefix), set.value)
@@ -932,7 +998,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         s"catalog $catalogName supports ALTER TABLE ADD COLUMNS / DROP COLUMN " +
           "/ RENAME COLUMN / ALTER COLUMN TYPE (widening) / ALTER COLUMN " +
           "SET|DROP DEFAULT / SET|UNSET " +
-          s"TBLPROPERTIES ('${Constraints.Prefix}<name>'); got $other")
+          s"TBLPROPERTIES ('${Constraints.Prefix}<name>' | " +
+          s"'${GeneratedColumns.PropPrefix}<col>'); got $other")
     }
     replaceMeta(dir, meta.copy(schema = schema, bucket = bucket,
       maxFieldId = maxId, cluster = cluster, bloomCols = blooms,
@@ -1182,7 +1249,6 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val v = graft.core.ManifestTable.createBranch(dataDir, pin, version)
     try {
       val st = graft.core.ManifestTable.state(dataDir, v)
-      val srcFs = graft.core.LakeStorage.openFor(dataDir)
       val dstFs = graft.core.LakeStorage.openFor(dstDir)
       dstFs.mkdirs(new Path(dstDir))
       val toCopy = (st.files ++ st.dvs.valuesIterator.map(_.path).toSeq).sorted
@@ -1194,44 +1260,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         // pool is an hours-to-days funnel). Below the threshold the
         // bounded driver pool wins: no job-scheduling latency on the
         // metadata-sized tables DDL tests and small DR moves touch.
-        val thresholdBytes = org.apache.spark.sql.SparkSession.getActiveSession
-          .flatMap(s => scala.util.Try(s.conf.get(
-            "spark.graft.clone.distributedThresholdBytes").toLong).toOption)
-          .getOrElse(256L * 1024 * 1024)
-        // planning pass: file sizes from the source listing (also a
-        // fail-fast existence check before any bytes move); bail out of
-        // the sum early once the threshold is crossed
-        var planned = 0L
-        val itFiles = toCopy.iterator
-        while (planned < thresholdBytes && itFiles.hasNext)
-          planned += srcFs.getFileStatus(new Path(dataDir, itFiles.next())).getLen
-        val bytes =
-          if (toCopy.nonEmpty && planned >= thresholdBytes &&
-              org.apache.spark.sql.SparkSession.getActiveSession.isDefined) {
-            val sc = org.apache.spark.sql.SparkSession.active.sparkContext
-            val (srcRoot, dstRoot) = (dataDir, dstDir)
-            sc.parallelize(toCopy, toCopy.length)
-              .map(rel => DeepCopy.copyVerified(srcRoot, dstRoot, rel))
-              .fold(0L)(_ + _)
-          } else {
-            // bounded parallel copy+verify on the driver (each file is
-            // still read twice BY CONTRACT — once copying, once re-hashing
-            // the written target)
-            val pool = java.util.concurrent.Executors.newFixedThreadPool(
-              math.min(16, math.max(1, toCopy.length)))
-            try {
-              val futures = toCopy.map { rel =>
-                pool.submit(new java.util.concurrent.Callable[Long] {
-                  override def call(): Long =
-                    DeepCopy.copyVerified(dataDir, dstDir, rel)
-                })
-              }
-              futures.map(_.get()).sum
-            } finally
-              // shutdownNow, not shutdown: if any copy failed, in-flight
-              // rivals must stop writing into a tree about to be deleted
-              pool.shutdownNow()
-          }
+        val bytes = DeepCopy.copyList(dataDir, dstDir,
+          toCopy.map(r => (r, r)), GraftCatalog.copyThresholdBytes)
         // identity high-water carry-over: the clone's rows KEEP their
         // surrogate keys, so the target's reservation sequence must start
         // at the source's current mark — a fresh marker dir would restart
@@ -1413,6 +1443,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
 object GraftCatalog {
   private[catalog] val MetaFile = "_graft_table.json"
+
+  /** Size threshold above which bulk file copies (deep clone,
+    * register_files import) run as ONE Spark job over the file list
+    * instead of a bounded driver pool — see [[DeepCopy.copyList]]. */
+  private[catalog] def copyThresholdBytes: Long =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .flatMap(s => scala.util.Try(s.conf.get(
+        "spark.graft.clone.distributedThresholdBytes").toLong).toOption)
+      .getOrElse(256L * 1024 * 1024)
   /** Hash-bucket clustering of a manifest table: `PARTITIONED BY
     * (bucket(n, col))` at CREATE time. */
   private[catalog] case class Bucketing(n: Int, col: String)

@@ -59,6 +59,7 @@ private[catalog] object GraftProcedures {
       case "expire_refs"    => Some(new ExpireRefsProcedure(catalog))
       case "clone"          => Some(new CloneProcedure(catalog))
       case "collect_stats"  => Some(new CollectStatsProcedure(catalog))
+      case "add_generated_column" => Some(new AddGeneratedColumnProcedure(catalog))
       case _                => None
     }
   }
@@ -66,7 +67,8 @@ private[catalog] object GraftProcedures {
   val names: Seq[String] =
     Seq("compact", "vacuum", "rollback", "register_files", "purge_deletes",
       "tag", "drop_tag", "branch", "fast_forward", "drop_branch",
-      "set_partitioning", "expire_refs", "clone", "collect_stats")
+      "set_partitioning", "expire_refs", "clone", "collect_stats",
+      "add_generated_column")
 
   /** The [[ManifestTable.CloneBranchPrefix]] namespace is reserved: a
     * clone's pin must never be user-creatable (branch) or
@@ -292,21 +294,33 @@ private[catalog] object GraftProcedures {
     }
   }
 
-  /** `CALL g.system.register_files('db.t' [, pattern => '*.parquet'])` —
-    * bulk-import: adopt parquet files placed under the table directory by
-    * external means into the manifest as ONE append commit, no rewrite
-    * (the CONVERT-TO-DELTA migration path; see
-    * [[ManifestTable.registerFiles]] for scope/safety rules). Rejected on
-    * bucketed tables: adopted files carry no bucket tag and would silently
-    * demote every storage-partitioned plan — rewrite through INSERT (or
-    * register into a plain table and compact into a bucketed one). */
+  /** `CALL g.system.register_files('db.t' [, pattern => '*.parquet']
+    * [, source_dir => '/ext/landing'])` — bulk-import: adopt parquet
+    * files into the manifest as ONE append commit, no rewrite (the
+    * CONVERT-TO-DELTA migration path; see [[ManifestTable.registerFiles]]
+    * for scope/safety rules). Two arms:
+    *  - no `source_dir`: adopt files already PLACED under the table
+    *    directory by external means, in place;
+    *  - `source_dir => dir`: COPY matching files from an EXTERNAL
+    *    directory into a fresh `import-<uuid>/` subdir first —
+    *    md5-verified, distributed as ONE Spark job above the
+    *    [[DeepCopy.copyList]] size threshold (the distcp shape: a 100 TB
+    *    landing zone imports at cluster speed, not one driver NIC) —
+    *    then adopt EXACTLY the copied list. The source files are never
+    *    touched; a failed import cleans its own `import-*` scratch.
+    * Rejected on bucketed tables: adopted files carry no bucket tag and
+    * would silently demote every storage-partitioned plan — rewrite
+    * through INSERT (or register into a plain table and compact into a
+    * bucketed one). */
   private final class RegisterFilesProcedure(catalog: GraftCatalog) extends ManifestProcedure {
     override def name(): String = "register_files"
     override def description(): String =
-      "adopt pre-existing parquet files under the table directory into the manifest without rewrite"
+      "adopt parquet files into the manifest without rewrite — in place from " +
+        "under the table directory, or copy-verified from source_dir"
     override def parameters(): Array[ProcedureParameter] = Array(
       ProcedureParameter.in("table", StringType).build(),
-      ProcedureParameter.in("pattern", StringType).defaultValue("'*.parquet'").build())
+      ProcedureParameter.in("pattern", StringType).defaultValue("'*.parquet'").build(),
+      ProcedureParameter.in("source_dir", StringType).defaultValue("''").build())
     override def call(input: InternalRow): JIterator[Scan] = {
       val (dir, bucket) = manifestTarget(catalog, input.getString(0), "register_files")
       require(bucket.isEmpty,
@@ -346,13 +360,169 @@ private[catalog] object GraftProcedures {
                 "nothing was committed")
           }
         }
-      val (version, added) = ManifestTable.registerFiles(
-        SparkSession.active, dir, input.getString(1), validate = validate)
+      val sourceDir = input.getString(2)
+      val (version, added) =
+        if (sourceDir.isEmpty)
+          ManifestTable.registerFiles(
+            SparkSession.active, dir, input.getString(1), validate = validate)
+        else {
+          // COPY arm: stage verified copies into a fresh import scratch
+          // dir under the table root, then adopt EXACTLY that list (a
+          // stray unreferenced file someone else dropped under the table
+          // dir is NOT swept in — that is the in-place arm's contract)
+          val srcFs = graft.core.LakeStorage.openFor(sourceDir)
+          val base = new org.apache.hadoop.fs.Path(sourceDir)
+          require(srcFs.exists(base),
+            s"register_files: no such source directory $sourceDir")
+          val matcher = java.nio.file.FileSystems.getDefault
+            .getPathMatcher("glob:" + input.getString(1))
+          val found = scala.collection.mutable.Buffer.empty[String]
+          def walk(p: org.apache.hadoop.fs.Path, rel: String): Unit =
+            srcFs.listStatus(p).foreach { st =>
+              val name = st.getPath.getName
+              if (!name.startsWith("_") && !name.startsWith(".")) {
+                if (st.isDirectory) walk(st.getPath, s"$rel$name/")
+                else if (name.endsWith(".parquet") &&
+                    matcher.matches(java.nio.file.Paths.get(name)))
+                  found += s"$rel$name"
+              }
+            }
+          walk(base, "")
+          require(found.nonEmpty,
+            s"register_files: no files matching '${input.getString(1)}' " +
+              s"under $sourceDir")
+          // DETERMINISTIC destinations — pool dir keyed by the source
+          // directory, file names by each source-relative path — so
+          // re-importing the same landing zone maps every file to the
+          // SAME destination: already-adopted names drop out BEFORE any
+          // bytes move (a re-CALL is a metadata-only no-op), and a
+          // referenced file can never be overwritten by a second copy.
+          // Semantics are append-only BY NAME: a source file whose BYTES
+          // changed in place after adoption is skipped, not re-imported
+          // (rename it, or land changed data as new files).
+          def hex(sIn: String): String = java.security.MessageDigest
+            .getInstance("MD5").digest(sIn.getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString
+          val pool = s"import-${hex(sourceDir).take(12)}"
+          val referenced = ManifestTable.allReferencedFiles(dir)
+          val pairs = found.toSeq.sorted.map { r =>
+            (r, s"$pool/f${hex(r).take(16)}-${new org.apache.hadoop.fs.Path(r).getName}")
+          }.filterNot(p => referenced(p._2))
+          try {
+            DeepCopy.copyList(sourceDir, dir, pairs,
+              GraftCatalog.copyThresholdBytes)
+            ManifestTable.adoptFiles(
+              SparkSession.active, dir, pairs.map(_._2), validate)
+          } catch { case e: Throwable =>
+            // nothing references THIS call's staged copies until the
+            // adopt commit lands, so they are garbage on failure: clean
+            // exactly them (never the pool dir wholesale — an earlier
+            // import of the same source dir may own referenced files
+            // there) so a later IN-PLACE register cannot silently sweep
+            // up a half-verified import
+            val dstFs = graft.core.LakeStorage.openFor(dir)
+            pairs.foreach { case (_, rel) =>
+              try { dstFs.delete(new org.apache.hadoop.fs.Path(dir, rel), false); () }
+              catch { case _: java.io.IOException => () }
+            }
+            throw e
+          }
+        }
       result(
         StructType(Seq(
           StructField("table_version", LongType, nullable = false),
           StructField("files_added", LongType, nullable = false))),
         version, added.length.toLong)
+    }
+  }
+
+  /** `CALL g.system.add_generated_column('db.t', 'o_year', 'INT',
+    * 'year(o_odate)')` — the ALTER half Delta never shipped: add a
+    * `GENERATED ALWAYS AS (expr)` column to an EXISTING table. Three
+    * individually-atomic steps, each through existing machinery:
+    * ADD COLUMNS (metadata-only), `UPDATE ... SET col = CAST((expr) AS
+    * type) WHERE col IS NULL` (ONE distributed copy-on-write rewrite —
+    * materializing for history is the honest 100 TB cost, there is no
+    * metadata trick that backfills an expression), then
+    * `SET TBLPROPERTIES ('graft.generated.<col>' = expr)` (validates
+    * every row against the expression before adopting it). RESUMABLE: a
+    * crash between steps leaves the column either absent, all-NULL, or
+    * fully materialized (the rewrite is one atomic commit), and a re-CALL
+    * picks up where it stopped; a pre-existing column with values that
+    * DIVERGE from the expression is refused before anything is rewritten
+    * (this procedure must never silently overwrite user data — backfill
+    * explicitly and use ALTER TABLE ... SET TBLPROPERTIES instead). */
+  private final class AddGeneratedColumnProcedure(catalog: GraftCatalog) extends ManifestProcedure {
+    override def name(): String = "add_generated_column"
+    override def description(): String =
+      "add a GENERATED ALWAYS AS (expr) column to an existing manifest table: " +
+        "add + materialize (one distributed rewrite) + adopt; resumable"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("column", StringType).build(),
+      ProcedureParameter.in("type", StringType).build(),
+      ProcedureParameter.in("expr", StringType).build())
+    override def call(input: InternalRow): JIterator[Scan] = {
+      val table = input.getString(0)
+      val col = input.getString(1)
+      val typ = input.getString(2)
+      val exprSql = input.getString(3)
+      val parts = table.split("\\.")
+      require(parts.length <= 2 && parts.forall(_.nonEmpty),
+        s"procedure wants a table name like 'db.t' or 't', got '$table'")
+      val ident = Identifier.of(parts.dropRight(1), parts.last)
+      val (meta, dir) = catalog.procedureMeta(ident)
+      require(meta.provider == "manifest",
+        s"add_generated_column applies to manifest tables only; " +
+          s"'$table' is a ${meta.provider} table")
+      val spark = SparkSession.active
+      val full = ((catalog.name() +: parts.dropRight(1)) :+ parts.last)
+        .map(p => s"`$p`").mkString(".")
+      val qcol = s"`${col.replace("`", "``")}`"
+      val existing = meta.schema.find(_.name.equalsIgnoreCase(col))
+      val stored = existing.filter(_.metadata.contains(GeneratedColumns.ExprKey))
+        .map(_.metadata.getString(GeneratedColumns.ExprKey))
+      stored.foreach { s =>
+        require(s == exprSql,
+          s"add_generated_column: $table.$col is already GENERATED ALWAYS " +
+            s"AS ($s) — call UNSET TBLPROPERTIES first to change the expression")
+      }
+      val materialized = stored.isEmpty
+      if (materialized) {
+        if (existing.isEmpty)
+          spark.sql(s"ALTER TABLE $full ADD COLUMNS ($qcol $typ)")
+        else {
+          // pre-existing column (user data, or a resume after a crash):
+          // by the rewrite's atomicity its rows are all-NULL or already
+          // computed — anything else is user data this procedure refuses
+          // to overwrite. One limit-1 scan, stops at the first divergence.
+          val bad = spark.table(full)
+            .where(org.apache.spark.sql.functions.expr(
+              s"$qcol IS NOT NULL AND NOT ($qcol <=> CAST(($exprSql) AS $typ))"))
+            .limit(1).collect()
+          require(bad.isEmpty,
+            s"add_generated_column: $table.$col already holds values that " +
+              s"diverge from ($exprSql), e.g. ${bad.headOption.getOrElse("")} — " +
+              "refusing to overwrite them; backfill explicitly (UPDATE) and " +
+              s"adopt via ALTER TABLE ... SET TBLPROPERTIES " +
+              s"('${GeneratedColumns.PropPrefix}$col' = '...')")
+        }
+        // materialize: ONE distributed copy-on-write rewrite, scoped to
+        // the files that still carry NULLs (on resume only the
+        // not-yet-rewritten tail pays)
+        spark.sql(s"UPDATE $full SET $qcol = CAST(($exprSql) AS $typ) " +
+          s"WHERE $qcol IS NULL")
+        val esc = exprSql.replace("'", "''")
+        spark.sql(s"ALTER TABLE $full SET TBLPROPERTIES " +
+          s"('${GeneratedColumns.PropPrefix}$col' = '$esc')")
+      }
+      val version = ManifestTable
+        .currentVersion(meta.location.getOrElse(dir)).getOrElse(-1L)
+      result(
+        StructType(Seq(
+          StructField("table_version", LongType, nullable = false),
+          StructField("materialized", BooleanType, nullable = false))),
+        version, java.lang.Boolean.valueOf(materialized))
     }
   }
 

@@ -1234,7 +1234,18 @@ object ManifestTable {
       }
     }
     walk(base, "")
-    val fresh = found.toSeq.filterNot(allReferencedFiles(dir)).sorted
+    adoptFiles(spark, dir, found.toSeq, validate)
+  }
+
+  /** Adopt an EXACT dir-relative file list into the manifest as one
+    * append commit (the precise-scope arm [[registerFiles]]'s directory
+    * walk and the external-import procedure both commit through):
+    * already-referenced names are dropped, the adoptees' merged parquet
+    * shape must match the live table's, and the caller-supplied content
+    * gate (CHECK-constraint scan) runs before anything commits. */
+  def adoptFiles(spark: SparkSession, dir: String, rels: Seq[String],
+                 validate: Seq[String] => Unit = _ => ()): (Long, Seq[String]) = {
+    val fresh = rels.filterNot(allReferencedFiles(dir)).sorted
     if (fresh.isEmpty) return (currentVersion(dir).getOrElse(-1L), Seq.empty)
     currentVersion(dir).map(manifest(dir, _)).filter(_.nonEmpty).foreach { live =>
       // full (name → dataType) comparison, order-insensitive — a name-only

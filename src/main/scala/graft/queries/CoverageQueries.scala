@@ -1462,6 +1462,126 @@ object CoverageQueries extends QueryModule {
         .orderBy("o_year", "price_band")
     },
 
+    // --- generated-column EVOLUTION (the ALTER half Delta never
+    //     shipped): `CALL g.system.add_generated_column` adds a
+    //     GENERATED ALWAYS AS (expr) column to an EXISTING table — add +
+    //     materialize (ONE distributed copy-on-write rewrite; the honest
+    //     100 TB cost of backfilling an expression into history) + adopt
+    //     (every row validated). After it: inserts that omit the column
+    //     COMPUTE it, divergent explicit values are REJECTED, adopting
+    //     an expression existing rows diverge from is REFUSED (one
+    //     limit-1 scan), and UNSET TBLPROPERTIES demotes the column to
+    //     plain (values stay materialized; divergent values then land) ---
+    "qc55_generated_evolution" -> { (s, d) =>
+      if (s.conf.getOption("spark.sql.catalog.graft_cat").isEmpty)
+        graft.catalog.GraftCatalog.register(s, "graft_cat",
+          graft.core.TempDirs.create("graft_cat_root_"))
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.db")
+      s.sql("DROP TABLE IF EXISTS graft_cat.db.gen55")
+      Tables.orders(s, d).createOrReplaceTempView("qc55_orders")
+      s.sql("CREATE TABLE graft_cat.db.gen55 (o_orderkey BIGINT, " +
+        "o_totalprice DOUBLE, o_orderdate TIMESTAMP) USING manifest")
+      s.sql("INSERT INTO graft_cat.db.gen55 SELECT o_orderkey, " +
+        "o_totalprice, o_orderdate FROM qc55_orders WHERE o_orderkey % 2 = 0")
+      // add-and-materialize over the existing rows in one call
+      s.sql("CALL graft_cat.system.add_generated_column('db.gen55', " +
+        "'o_year', 'BIGINT', 'CAST(year(o_orderdate) AS BIGINT)')")
+      // new inserts omit the column -> computed map-side at write
+      s.sql("INSERT INTO graft_cat.db.gen55 (o_orderkey, o_totalprice, " +
+        "o_orderdate) SELECT o_orderkey, o_totalprice, o_orderdate " +
+        "FROM qc55_orders WHERE o_orderkey % 2 = 1")
+      def refused(sql: String, needle: String): Boolean =
+        try { s.sql(sql); false }
+        catch {
+          case e: Exception =>
+            Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+              .take(10).exists(c =>
+                Option(c.getMessage).exists(_.contains(needle)))
+        }
+      // a divergent explicit value fails before any version commits
+      val rejectedDivergent = refused(
+        "INSERT INTO graft_cat.db.gen55 VALUES " +
+          "(-7, 1.0D, TIMESTAMP'1995-06-01 00:00:00', 1994)",
+        "generated column")
+      // re-pointing the expression at one the rows DIVERGE from is
+      // refused by the adoption scan (the ADD CONSTRAINT contract)
+      val adoptRefused = refused(
+        "ALTER TABLE graft_cat.db.gen55 SET TBLPROPERTIES " +
+          "('graft.generated.o_year' = 'CAST(year(o_orderdate) + 1 AS BIGINT)')",
+        "existing rows diverge")
+      // UNSET demotes to plain: the same divergent row now lands
+      s.sql("ALTER TABLE graft_cat.db.gen55 UNSET TBLPROPERTIES " +
+        "('graft.generated.o_year')")
+      val acceptedAfterUnset =
+        try {
+          s.sql("INSERT INTO graft_cat.db.gen55 VALUES " +
+            "(-1, 0.0D, TIMESTAMP'1990-01-01 00:00:00', 9999)")
+          true
+        } catch { case _: Exception => false }
+      s.table("graft_cat.db.gen55")
+        .groupBy("o_year")
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum("o_totalprice"), 2).as("revenue"))
+        .withColumn("rejected_divergent", lit(rejectedDivergent))
+        .withColumn("adopt_divergent_refused", lit(adoptRefused))
+        .withColumn("accepted_after_unset", lit(acceptedAfterUnset))
+        .orderBy("o_year")
+    },
+
+    // --- register_files EXTERNAL IMPORT (the copy arm): parquet files
+    //     in a landing zone OUTSIDE the table root are copy-verified
+    //     (md5, staged-rename) into a fresh import-* scratch dir — as
+    //     ONE Spark job above the size threshold, the distcp shape (the
+    //     gate pins the threshold to 1 byte so the distributed path is
+    //     what actually ran) — then EXACTLY that list is adopted as one
+    //     append commit. Source files are never touched; a re-CALL
+    //     adopts nothing (already-referenced names drop out) ---
+    "qc56_register_import" -> { (s, d) =>
+      if (s.conf.getOption("spark.sql.catalog.graft_cat").isEmpty)
+        graft.catalog.GraftCatalog.register(s, "graft_cat",
+          graft.core.TempDirs.create("graft_cat_root_"))
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.db")
+      s.sql("DROP TABLE IF EXISTS graft_cat.db.imp56")
+      val ext = graft.core.TempDirs.create("graft_ext56_")
+      Tables.documents(s, d)
+        .select(col("doc_id").cast("long").as("doc_id"), col("lang"),
+          col("n_chars").cast("long").as("n_chars"))
+        .repartition(4)
+        .write.mode("overwrite").parquet(ext)
+      def extParquet(): Seq[String] = {
+        val fs = graft.core.LakeStorage.openFor(ext)
+        fs.listStatus(new org.apache.hadoop.fs.Path(ext)).toSeq
+          .map(_.getPath.getName).filter(_.endsWith(".parquet")).sorted
+      }
+      val before = extParquet()
+      // adoption targets tables over externally-produced files -> a
+      // LOCATION table (catalog-born tables are column-mapped and refuse
+      // id-less imports, the loud guard the spec pins)
+      val loc56 = graft.core.TempDirs.create("graft_imp56_")
+      s.sql("CREATE TABLE graft_cat.db.imp56 (doc_id BIGINT, lang STRING, " +
+        s"n_chars BIGINT) USING manifest LOCATION '$loc56'")
+      val prev = s.conf.getOption("spark.graft.clone.distributedThresholdBytes")
+      val added =
+        try {
+          s.conf.set("spark.graft.clone.distributedThresholdBytes", "1")
+          s.sql("CALL graft_cat.system.register_files('db.imp56', " +
+            s"source_dir => '$ext')").collect()(0).getLong(1)
+        } finally prev match {
+          case Some(v) => s.conf.set("spark.graft.clone.distributedThresholdBytes", v)
+          case None => s.conf.unset("spark.graft.clone.distributedThresholdBytes")
+        }
+      val again = s.sql("CALL graft_cat.system.register_files('db.imp56', " +
+        s"source_dir => '$ext')").collect()(0).getLong(1)
+      s.table("graft_cat.db.imp56")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").cast("long").as("total_chars"))
+        .withColumn("adopted_all", lit(added == before.length.toLong))
+        .withColumn("source_intact", lit(extParquet() == before))
+        .withColumn("reimport_noop", lit(again == 0L))
+        .orderBy("lang")
+    },
+
     // --- MERGE ... WHEN NOT MATCHED BY SOURCE (all three arm families
     //     on BOTH manifest DML paths): the arm a CDC replica needs to
     //     drop/age target rows absent from the source. Spark 4.1's
@@ -2494,6 +2614,30 @@ object CoverageQueries extends QueryModule {
            TRUE AS rejected_divergent, TRUE AS pruned_some
          FROM orders
          GROUP BY 1, 2 ORDER BY o_year, price_band""",
+
+    // the materialized (rewrite) and computed (insert) arms both equal
+    // the expression over orders by contract, and the post-UNSET marker
+    // row replays as a literal; the three refusal/acceptance facts ride
+    // the booleans
+    "qc55_generated_evolution" ->
+      """SELECT o_year, count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS revenue,
+           TRUE AS rejected_divergent, TRUE AS adopt_divergent_refused,
+           TRUE AS accepted_after_unset
+         FROM (
+           SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, o_totalprice
+           FROM orders
+           UNION ALL SELECT 9999, 0.0
+         ) GROUP BY o_year ORDER BY o_year""",
+
+    // the import is a verified byte-copy of the landing zone, so the
+    // table replays as documents itself; adoption-count, source-intact
+    // and reimport-no-op facts ride the booleans
+    "qc56_register_import" ->
+      """SELECT lang, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           TRUE AS adopted_all, TRUE AS source_intact, TRUE AS reimport_noop
+         FROM documents GROUP BY lang ORDER BY lang""",
 
     // replays all three MERGE arm families (matched update, not-matched
     // insert, and the by-source conditional delete + catch-all update)

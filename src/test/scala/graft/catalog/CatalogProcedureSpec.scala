@@ -433,6 +433,61 @@ class CatalogProcedureSpec extends AnyFunSuite {
     assert(em.getMessage.contains("column mapping"), s"wrong error: ${em.getMessage}")
   }
 
+  test("CALL register_files source_dir: verified copy-import, source " +
+      "untouched, re-import no-op, failure cleans its scratch") {
+    ensureDb()
+    val dir = "file://" + Files.createTempDirectory("graft_imp_loc_").toString
+    spark.sql(s"CREATE TABLE gp.db.imp (id BIGINT, v STRING) USING manifest LOCATION '$dir'")
+    spark.sql("INSERT INTO gp.db.imp SELECT id, CAST(id AS STRING) FROM range(10)")
+    val land = Files.createTempDirectory("graft_landing_").toString
+    spark.range(5).selectExpr("id + 100 AS id", "CAST(id AS STRING) AS v")
+      .repartition(2).write.mode("overwrite").parquet(land)
+    def landing(): Seq[(String, Long)] = new java.io.File(land).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => (f.getName, f.length())).toSeq.sorted
+    val before = landing()
+    val reg = spark.sql(
+      s"CALL gp.system.register_files('db.imp', source_dir => '$land')").head()
+    assert(reg.getLong(1) === before.length.toLong,
+      s"expected ${before.length} adopted files, got $reg")
+    assert(spark.sql("SELECT count(*) FROM gp.db.imp").head().getLong(0) === 15L)
+    assert(landing() === before, "import must never touch the source files")
+    // deterministic destinations: a re-CALL maps to the same names,
+    // which are already referenced -> nothing copies, nothing commits
+    assert(spark.sql(
+      s"CALL gp.system.register_files('db.imp', source_dir => '$land')")
+      .head().getLong(1) === 0L)
+    // an incremental landing: only the NEW file is adopted
+    spark.range(1).selectExpr("id + 500 AS id", "CAST(id AS STRING) AS v")
+      .coalesce(1).write.mode("overwrite").parquet(s"$land/batch2")
+    assert(spark.sql(
+      s"CALL gp.system.register_files('db.imp', source_dir => '$land')")
+      .head().getLong(1) === 1L)
+    assert(spark.sql("SELECT count(*) FROM gp.db.imp").head().getLong(0) === 16L)
+    // a schema-drifted landing fails LOUDLY, commits nothing, and cleans
+    // its own scratch: the next IN-PLACE register finds nothing to sweep
+    val bad = Files.createTempDirectory("graft_landing_bad_").toString
+    spark.range(3).selectExpr("id AS wrong_col")
+      .coalesce(1).write.mode("overwrite").parquet(bad)
+    val drift = intercept[Exception] {
+      spark.sql(
+        s"CALL gp.system.register_files('db.imp', source_dir => '$bad')").collect()
+    }
+    assert(drift.getMessage.contains("register_files"), drift.getMessage)
+    assert(spark.sql("SELECT count(*) FROM gp.db.imp").head().getLong(0) === 16L,
+      "failed import must commit nothing")
+    assert(spark.sql("CALL gp.system.register_files('db.imp')").head()
+      .getLong(1) === 0L,
+      "a failed import must not leave adoptable files under the table dir")
+    // missing source dir and empty matches are loud
+    val missing = intercept[Exception] {
+      spark.sql("CALL gp.system.register_files('db.imp', " +
+        "source_dir => '/no/such/dir_xyz')").collect()
+    }
+    assert(missing.getMessage.contains("no such source directory"),
+      missing.getMessage)
+  }
+
   test("snapshot tags: VERSION AS OF name, t.refs, vacuum retention") {
     ensureDb()
     spark.sql("CREATE TABLE gp.db.tags (id BIGINT, v STRING) USING manifest")
@@ -568,7 +623,8 @@ class CatalogProcedureSpec extends AnyFunSuite {
     assert(procs.toSet ===
       Set("compact", "vacuum", "rollback", "register_files", "purge_deletes",
         "tag", "drop_tag", "branch", "fast_forward", "drop_branch",
-        "set_partitioning", "expire_refs", "clone", "collect_stats"))
+        "set_partitioning", "expire_refs", "clone", "collect_stats",
+        "add_generated_column"))
     val e = intercept[Exception] {
       spark.sql("CALL gp.system.nope('db.t')").collect()
     }

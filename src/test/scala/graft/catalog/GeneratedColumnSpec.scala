@@ -153,4 +153,102 @@ class GeneratedColumnSpec extends AnyFunSuite {
     assert(messageChain(e).contains("generated column") ||
       messageChain(e).contains(GeneratedColumns.CheckPrefix), messageChain(e))
   }
+
+  test("SET TBLPROPERTIES adopts an expression onto a matching column; " +
+      "future writes inherit the contract") {
+    ensureDb()
+    spark.sql("CREATE TABLE gg.db.a1 (v BIGINT, dbl BIGINT) USING manifest")
+    spark.sql("INSERT INTO gg.db.a1 VALUES (1, 2), (2, 4)")
+    spark.sql("ALTER TABLE gg.db.a1 SET TBLPROPERTIES " +
+      "('graft.generated.dbl' = 'v * 2')")
+    spark.sql("INSERT INTO gg.db.a1 (v) VALUES (3)") // computed now
+    val e = intercept[Exception] {
+      spark.sql("INSERT INTO gg.db.a1 VALUES (5, 11)") // divergent: rejected
+    }
+    assert(messageChain(e).contains("generated column"), messageChain(e))
+    val got = spark.sql("SELECT v, dbl FROM gg.db.a1 ORDER BY v")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 2L), (2L, 4L), (3L, 6L)))
+  }
+
+  test("SET adoption is refused when rows diverge, on identity columns, " +
+      "and on missing columns; UNSET demotes to plain") {
+    ensureDb()
+    spark.sql("CREATE TABLE gg.db.a2 (v BIGINT, w BIGINT, " +
+      "sk BIGINT GENERATED ALWAYS AS IDENTITY) USING manifest")
+    spark.sql("INSERT INTO gg.db.a2 VALUES (1, 2, NULL), (2, 5, NULL)")
+    val e1 = intercept[Exception] {
+      spark.sql("ALTER TABLE gg.db.a2 SET TBLPROPERTIES " +
+        "('graft.generated.w' = 'v * 2')") // (2, 5) diverges
+    }
+    assert(messageChain(e1).contains("existing rows diverge"), messageChain(e1))
+    val e2 = intercept[Exception] {
+      spark.sql("ALTER TABLE gg.db.a2 SET TBLPROPERTIES " +
+        "('graft.generated.sk' = 'v')")
+    }
+    assert(messageChain(e2).contains("identity"), messageChain(e2))
+    val e3 = intercept[Exception] {
+      spark.sql("ALTER TABLE gg.db.a2 SET TBLPROPERTIES " +
+        "('graft.generated.nope' = 'v')")
+    }
+    assert(messageChain(e3).contains("no such column"), messageChain(e3))
+    val e4 = intercept[Exception] {
+      spark.sql("ALTER TABLE gg.db.a2 UNSET TBLPROPERTIES " +
+        "('graft.generated.w')") // not generated
+    }
+    assert(messageChain(e4).contains("not a generated column"), messageChain(e4))
+    // a real adopt-then-unset round trip
+    spark.sql("CREATE TABLE gg.db.a3 (v BIGINT, dbl BIGINT GENERATED ALWAYS " +
+      "AS (v * 2)) USING manifest")
+    spark.sql("INSERT INTO gg.db.a3 (v) VALUES (1)")
+    spark.sql("ALTER TABLE gg.db.a3 UNSET TBLPROPERTIES ('graft.generated.dbl')")
+    spark.sql("INSERT INTO gg.db.a3 VALUES (5, 11)") // plain now: accepted
+    assert(spark.table("gg.db.a3").count() == 2)
+  }
+
+  test("add_generated_column materializes over existing rows in one " +
+      "rewrite; a re-CALL with the same expression is a no-op") {
+    ensureDb()
+    spark.sql("CREATE TABLE gg.db.a4 (v BIGINT) USING manifest")
+    spark.sql("INSERT INTO gg.db.a4 SELECT id FROM range(100)")
+    val r1 = spark.sql("CALL gg.system.add_generated_column(" +
+      "'db.a4', 'trip', 'BIGINT', 'v * 3')").head()
+    assert(r1.getBoolean(1), "first call must materialize")
+    assert(spark.sql("SELECT count(*) FROM gg.db.a4 WHERE trip = v * 3")
+      .head().getLong(0) == 100L)
+    spark.sql("INSERT INTO gg.db.a4 (v) VALUES (1000)") // computed from now on
+    assert(spark.sql("SELECT trip FROM gg.db.a4 WHERE v = 1000")
+      .head().getLong(0) == 3000L)
+    val r2 = spark.sql("CALL gg.system.add_generated_column(" +
+      "'db.a4', 'trip', 'BIGINT', 'v * 3')").head()
+    assert(!r2.getBoolean(1), "re-CALL with the same expression is a no-op")
+    val e = intercept[Exception] {
+      spark.sql("CALL gg.system.add_generated_column(" +
+        "'db.a4', 'trip', 'BIGINT', 'v * 4')")
+    }
+    assert(messageChain(e).contains("already GENERATED"), messageChain(e))
+  }
+
+  test("add_generated_column refuses a pre-existing column with divergent " +
+      "values but resumes over an all-NULL one") {
+    ensureDb()
+    spark.sql("CREATE TABLE gg.db.a5 (v BIGINT, d BIGINT) USING manifest")
+    spark.sql("INSERT INTO gg.db.a5 VALUES (1, 99)")
+    val e = intercept[Exception] {
+      spark.sql("CALL gg.system.add_generated_column(" +
+        "'db.a5', 'd', 'BIGINT', 'v * 2')")
+    }
+    assert(messageChain(e).contains("diverge"), messageChain(e))
+    assert(spark.sql("SELECT d FROM gg.db.a5").head().getLong(0) == 99L,
+      "a refused call must not overwrite user data")
+    // the resume shape: column exists, values all NULL (a crash between
+    // the ADD and the UPDATE steps leaves exactly this)
+    spark.sql("CREATE TABLE gg.db.a6 (v BIGINT, d BIGINT) USING manifest")
+    spark.sql("INSERT INTO gg.db.a6 VALUES (1, NULL), (2, NULL)")
+    spark.sql("CALL gg.system.add_generated_column(" +
+      "'db.a6', 'd', 'BIGINT', 'v * 2')")
+    val got = spark.sql("SELECT v, d FROM gg.db.a6 ORDER BY v")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 2L), (2L, 4L)))
+  }
 }
