@@ -117,6 +117,14 @@ object LakeCompaction {
     // TABLE's version line, which is carried over next
     val conf = graft.sources.KeyedLogConf.capture()
     val compactedNames = fs.listStatus(tmp).filter(dataFile).map(_.getPath.getName).toSeq
+    // the rewrite's writers journaled fresh column stats into the tmp
+    // dir's own v0 entry — harvest them before dropping that journal so
+    // the table's rewrite entry keeps every file skippable
+    val compactedStats = {
+      val vs = graft.sources.KeyedLogVersionLog.versions(tmp.toString, conf)
+      if (vs.isEmpty) Map.empty[String, Map[String, (Long, Long)]]
+      else graft.sources.KeyedLogVersionLog.statsJournaled(tmp.toString, conf, vs)
+    }
     fs.listStatus(tmp).filter(s => s.isFile && s.getPath.getName.startsWith("_klogv_"))
       .foreach(s => fs.delete(s.getPath, false))
     // carry metadata (e.g. the catalog's _graft_table.json descriptor and
@@ -133,7 +141,7 @@ object LakeCompaction {
     // rows again (upsert semantics) and t.changes tags them 'rewrite';
     // cursors into the pre-compaction file names fail loudly
     graft.sources.KeyedLogVersionLog.commit(tmp.toString, conf, compactedNames,
-      rewrite = true)
+      rewrite = true, stats = compactedStats)
     swapDirs(fs, path, tmp)
     val after = fs.listStatus(path).count(dataFile)
     (before.toLong, after.toLong)

@@ -810,6 +810,55 @@ object AdvancedQueries extends QueryModule {
         .orderBy("lang")
     },
 
+    // --- keyedlog STATS-SKIPPING (journal-carried file bounds): every
+    //     write commit journals per-file [min,max] of the long-typed
+    //     columns ("st" entries, accumulated at anchors so resolution
+    //     stays O(CompactInterval) reads), and the scan prunes files
+    //     whose bounds cannot satisfy the pushed comparisons BEFORE
+    //     split planning — the log-carried stats-skipping of the lake
+    //     formats on the TSV document log, which has no footers to put
+    //     bounds in. The first boolean proves real file skipping on a
+    //     metric band; the second proves PRE-DRIFT files (written before
+    //     an ADD COLUMNS) are pruned for comparisons on the new column —
+    //     their stats entry simply has no key for it, and all-null
+    //     matches no comparison ---
+    "qk12_keyedlog_stats_pruning" -> { (s0, d) =>
+      val s = isolatedSession(s0)
+      graft.catalog.GraftCatalog.register(s, "graft_kst",
+        graft.core.TempDirs.create("graft_kst_root_"))
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_kst.db")
+      Tables.documents(s, d).createOrReplaceTempView("qk12_documents")
+      s.sql("CREATE TABLE graft_kst.db.docs (key STRING, seq BIGINT, " +
+        "metric BIGINT) USING keyedlog")
+      // three ingest batches with DISJOINT metric bands — an append
+      // stream's natural arrival order, and why per-file bounds end up
+      // tight enough to skip on
+      s.sql("INSERT INTO graft_kst.db.docs SELECT lang, doc_id, n_chars " +
+        "FROM qk12_documents WHERE n_chars < 200")
+      s.sql("INSERT INTO graft_kst.db.docs SELECT lang, doc_id, n_chars " +
+        "FROM qk12_documents WHERE n_chars >= 200 AND n_chars < 400")
+      s.sql("INSERT INTO graft_kst.db.docs SELECT lang, doc_id, n_chars " +
+        "FROM qk12_documents WHERE n_chars >= 400")
+      s.sql("ALTER TABLE graft_kst.db.docs ADD COLUMNS (n_tokens BIGINT)")
+      s.sql("INSERT INTO graft_kst.db.docs SELECT lang, doc_id, n_chars, " +
+        "n_chars div 5 FROM qk12_documents WHERE doc_id % 7 = 0")
+      // a plain filter scan plans one split per surviving file, so the
+      // partition count IS the planned-file count
+      def planned(df: org.apache.spark.sql.DataFrame): Int = df.rdd.getNumPartitions
+      val t = s.table("graft_kst.db.docs")
+      val total = planned(t)
+      val prunedBand = planned(t.filter(col("metric") >= 400L)) < total
+      val prunedDrift = planned(t.filter(col("n_tokens") >= 0L)) < total
+      t.filter(col("metric") >= 400L)
+        .groupBy(col("key").as("lang"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum("metric").cast("long").as("sum_metric"),
+          sum("n_tokens").cast("long").as("sum_tokens"))
+        .withColumn("pruned_band", lit(prunedBand))
+        .withColumn("pruned_drift", lit(prunedDrift))
+        .orderBy("lang")
+    },
+
     // --- mergeable HLL sketches (Apache DataSketches via Spark 4 built-ins):
     //     build per-(flag, shipdate) PARTIAL sketches, then union-merge to
     //     per-flag distinct estimates — the pre-aggregated sketch-table
@@ -1365,6 +1414,21 @@ object AdvancedQueries extends QueryModule {
            CAST(sum(n_chars) + CASE WHEN lang = 'de'
              THEN 1000000 * count(*) ELSE 0 END AS BIGINT) AS sum_metric
          FROM documents GROUP BY lang ORDER BY lang""",
+
+    // the table holds all documents (three disjoint metric bands) plus a
+    // doc_id%7 slice re-inserted post-drift with n_tokens; the filtered
+    // aggregate replays over the same union, and the two file-skipping
+    // facts ride the booleans
+    "qk12_keyedlog_stats_pruning" ->
+      """SELECT lang, count(*) AS n_rows,
+           CAST(sum(n_chars) AS BIGINT) AS sum_metric,
+           CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+           TRUE AS pruned_band, TRUE AS pruned_drift
+         FROM (
+           SELECT lang, n_chars, NULL AS n_tokens FROM documents
+           UNION ALL
+           SELECT lang, n_chars, n_chars // 5 FROM documents WHERE doc_id % 7 = 0
+         ) WHERE n_chars >= 400 GROUP BY lang ORDER BY lang""",
 
     // per-user day spine via generate_series; LOCF = last_value IGNORE
     // NULLS over the spine (day is unique per user, so the default RANGE

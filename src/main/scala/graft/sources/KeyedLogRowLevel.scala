@@ -196,9 +196,13 @@ class KeyedLogReplaceWrite(op: KeyedLogRowLevelOperation, path: String,
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val fs = new Path(path).getFileSystem(op.conf.value)
-    val staged = messages.toSeq
-      .collect { case KeyedLogCommit(names) => names }.flatten.sorted
+    val cms = messages.toSeq.collect { case c: KeyedLogCommit => c }
+    val staged = cms.flatMap(_.fileNames).sorted
     val prefix = stagePrefix(queryId)
+    // writer stats arrive keyed by STAGED name; the journal must carry
+    // them under the revealed (final) names
+    val revealedStats = cms.iterator.flatMap(_.stats)
+      .map { case (n, st) => n.stripPrefix(prefix) -> st }.toMap
     // zero matched rows AND zero output: a true no-op — journaling a
     // rewrite here would make every incremental cursor re-deliver the
     // whole table for nothing
@@ -233,7 +237,7 @@ class KeyedLogReplaceWrite(op: KeyedLogRowLevelOperation, path: String,
       // 2. JOURNAL the swap (rebased inside the commit loop: concurrent
       //    appends journaled since the scan's snapshot carry over)
       val v = KeyedLogVersionLog.commitRewrite(path, op.conf,
-        op.scannedFiles.toSet, revealedNames)
+        op.scannedFiles.toSet, revealedNames, stats = revealedStats)
       journaled = true
       // 3. HIDE the replaced originals as version-tagged tombstones —
       //    the changes feed's delete pre-images. Best-effort: the swap
@@ -241,7 +245,8 @@ class KeyedLogReplaceWrite(op: KeyedLogRowLevelOperation, path: String,
       //    leftover instead of failing a committed operation.
       KeyedLogSource.hideReplaced(path, op.conf, v, op.scannedFiles)
     } else {
-      KeyedLogVersionLog.commit(path, op.conf, revealedNames)
+      KeyedLogVersionLog.commit(path, op.conf, revealedNames,
+        stats = revealedStats)
       journaled = true
     }
   }
@@ -254,7 +259,7 @@ class KeyedLogReplaceWrite(op: KeyedLogRowLevelOperation, path: String,
     // the journal commit): remove staged AND already-revealed output so
     // no journal-invisible garbage is left for listing-based consumers
     val fs = new Path(path).getFileSystem(op.conf.value)
-    messages.toSeq.collect { case KeyedLogCommit(names) => names }.flatten
+    messages.toSeq.collect { case KeyedLogCommit(names, _) => names }.flatten
       .foreach(n => fs.delete(new Path(path, n), false))
     revealedNames.foreach(n => fs.delete(new Path(path, n), false))
   }

@@ -14,7 +14,7 @@ import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
-import org.apache.spark.sql.sources.{EqualTo, Filter, In, IsNotNull}
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -249,7 +249,7 @@ object KeyedLogSource {
       messages: Array[WriterCommitMessage]): Unit = {
     val fs = new Path(path).getFileSystem(conf.value)
     messages.foreach {
-      case KeyedLogCommit(names) =>
+      case KeyedLogCommit(names, _) =>
         names.foreach(n => fs.delete(new Path(path, n), false))
       case _ => ()
     }
@@ -565,14 +565,81 @@ case class KeyedLogBatchWrite(path: String, queryId: String,
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     if (clustered) KeyedLogClusteredWriterFactory(path, queryId, conf, extras = extras)
     else KeyedLogWriterFactory(path, queryId, conf, extras = extras)
-  override def commit(messages: Array[WriterCommitMessage]): Unit =
-    KeyedLogVersionLog.commit(path, conf,
-      messages.toSeq.collect { case KeyedLogCommit(names) => names }.flatten)
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val cms = messages.toSeq.collect { case c: KeyedLogCommit => c }
+    KeyedLogVersionLog.commit(path, conf, cms.flatMap(_.fileNames),
+      stats = cms.iterator.flatMap(_.stats).toMap)
+    ()
+  }
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     KeyedLogSource.deleteCommitted(path, conf, messages)
 }
 
-case class KeyedLogCommit(fileNames: Seq[String]) extends WriterCommitMessage
+/** Task-commit message: the file names this task made visible, plus each
+  * file's column STATS ([[KeyedLogFileStats]]) for journal-carried file
+  * skipping. Stats are advisory — an empty map (row-level rewrite
+  * writers, pre-stats files) just means the file is never pruned. */
+case class KeyedLogCommit(fileNames: Seq[String],
+    stats: Map[String, Map[String, (Long, Long)]] = Map.empty)
+    extends WriterCommitMessage
+
+/** Per-FILE min/max over the long-typed columns of a keyedlog write —
+  * computed inline while rendering rows (pure comparisons, no extra
+  * pass), shipped on the task commit message, journaled with the commit,
+  * and served back to [[KeyedLogScan]] for PLANNING-TIME file skipping
+  * (the log-carried-stats pattern of the lake formats, re-expressed for
+  * the TSV document log: the format has no footers, so the journal is
+  * where bounds can live).
+  *
+  * Keys are POSITIONAL — `"seq"`, `"metric"`, `"e<j>"` for the j-th
+  * declared extra — so executors need no column-name plumbing and the
+  * encoding is stable under catalog metadata evolution (keyedlog extras
+  * are positional by design; renames are refused). A column with zero
+  * non-null values in the file gets NO entry: within a stats-carrying
+  * file, a missing key therefore MEANS all-null — including columns
+  * ADDED after the file was written (pre-drift lines read NULL), which
+  * is exactly what lets the scan prune old files for any comparison
+  * predicate on a new column. */
+private[sources] final class KeyedLogFileStats(
+    extras: Seq[org.apache.spark.sql.types.DataType]) {
+  private val keys: Array[String] =
+    Array("seq", "metric") ++ extras.zipWithIndex.collect {
+      case (org.apache.spark.sql.types.LongType, j) => s"e$j"
+    }
+  private val ords: Array[Int] =
+    Array(1, 2) ++ extras.zipWithIndex.collect {
+      case (org.apache.spark.sql.types.LongType, j) => 3 + j
+    }
+  private val mins = Array.fill(keys.length)(Long.MaxValue)
+  private val maxs = Array.fill(keys.length)(Long.MinValue)
+  private val any = Array.fill(keys.length)(false)
+
+  def observe(row: InternalRow): Unit = {
+    var i = 0
+    while (i < ords.length) {
+      if (!row.isNullAt(ords(i))) {
+        val v = row.getLong(ords(i))
+        if (v < mins(i)) mins(i) = v
+        if (v > maxs(i)) maxs(i) = v
+        any(i) = true
+      }
+      i += 1
+    }
+  }
+
+  /** Bounds of the columns that had ≥1 non-null value, then reset for
+    * the next file (the clustered writer rolls per key run). */
+  def harvest(): Map[String, (Long, Long)] = {
+    val out = Map.newBuilder[String, (Long, Long)]
+    var i = 0
+    while (i < keys.length) {
+      if (any(i)) out += keys(i) -> ((mins(i), maxs(i)))
+      mins(i) = Long.MaxValue; maxs(i) = Long.MinValue; any(i) = false
+      i += 1
+    }
+    out.result()
+  }
+}
 
 /** Commit JOURNAL for keyed-log dirs: one hidden marker (`_klogv_<v>`,
   * single-line JSON) per successful write commit — batch job, or
@@ -689,7 +756,8 @@ private[graft] object KeyedLogVersionLog {
     * compaction rewrites and pre-field entries parse as None. */
   case class Entry(fresh: Seq[String], all: Option[Seq[String]],
                    rewrite: Boolean, live: Option[Seq[String]],
-                   rm: Option[Seq[String]], ad: Option[Seq[String]])
+                   rm: Option[Seq[String]], ad: Option[Seq[String]],
+                   stats: Map[String, Map[String, (Long, Long)]] = Map.empty)
 
   /** The names version `v` FIRST journaled. */
   def read(path: String, conf: org.apache.spark.util.SerializableConfiguration,
@@ -739,9 +807,20 @@ private[graft] object KeyedLogVersionLog {
           return Entry(strs(arr), None, rewrite = false, None, None, None)
         case Some(o: org.json4s.JObject) =>
           val m = o.obj.toMap
+          val st: Map[String, Map[String, (Long, Long)]] = m.get("st") match {
+            case Some(org.json4s.JObject(files)) => files.toMap.map {
+              case (f, org.json4s.JObject(cols)) => f -> cols.toMap.collect {
+                case (c, org.json4s.JArray(List(
+                    org.json4s.JInt(lo), org.json4s.JInt(hi)))) =>
+                  c -> ((lo.toLong, hi.toLong))
+              }
+              case (f, _) => f -> Map.empty[String, (Long, Long)]
+            }
+            case _ => Map.empty
+          }
           return Entry(strs(m.getOrElse("n", org.json4s.JArray(Nil))),
             m.get("all").map(strs), m.contains("rw"), m.get("live").map(strs),
-            m.get("rm").map(strs), m.get("ad").map(strs))
+            m.get("rm").map(strs), m.get("ad").map(strs), st)
         case Some(other) => throw new IllegalStateException(
           s"corrupt keyed_log journal marker v$v: expected array or object, got $other")
         case None => // unparseable: in-flight writer, or real corruption
@@ -770,6 +849,27 @@ private[graft] object KeyedLogVersionLog {
       }
     }
     acc.toSet
+  }
+
+  /** The journaled column stats by FILE NAME — replay newest-first,
+    * merging each entry's `st` (names are write-once, so first-seen
+    * wins), stopping at the first ANCHOR (rewrite, or a compact entry
+    * carrying `all`): anchors accumulate the carried-forward stats at
+    * commit time, so this walk is O(CompactInterval) reads like the name
+    * walks. Files absent from the result simply have no journaled stats
+    * (pre-stats writers, genesis anchors) and are never pruned. */
+  def statsJournaled(path: String,
+      conf: org.apache.spark.util.SerializableConfiguration,
+      vs: Seq[Long]): Map[String, Map[String, (Long, Long)]] = {
+    val acc = scala.collection.mutable.HashMap.empty[String, Map[String, (Long, Long)]]
+    vs.reverseIterator.foreach { v =>
+      val e = readEntry(path, conf, v)
+      e.stats.foreach { case (f, st) =>
+        if (!acc.contains(f)) acc += f -> st
+      }
+      if (e.rewrite || e.all.isDefined) return acc.toMap
+    }
+    acc.toMap
   }
 
   /** The LIVE file names at the journal head — what a reader should plan
@@ -847,9 +947,10 @@ private[graft] object KeyedLogVersionLog {
   def commit(path: String,
              conf: org.apache.spark.util.SerializableConfiguration,
              fileNames: Seq[String],
-             rewrite: Boolean = false): Option[Long] =
+             rewrite: Boolean = false,
+             stats: Map[String, Map[String, (Long, Long)]] = Map.empty): Option[Long] =
     dirLocks.computeIfAbsent(new Path(path).toString, _ => new Object)
-      .synchronized { commitLocked(path, conf, fileNames, rewrite, None) }
+      .synchronized { commitLocked(path, conf, fileNames, rewrite, None, stats) }
 
   /** Journal a row-level swap as a REBASED rewrite: the entry's live set
     * is computed INSIDE the commit loop (current live minus `removed`
@@ -861,17 +962,20 @@ private[graft] object KeyedLogVersionLog {
   def commitRewrite(path: String,
                     conf: org.apache.spark.util.SerializableConfiguration,
                     removed: Set[String],
-                    added: Seq[String]): Long =
+                    added: Seq[String],
+                    stats: Map[String, Map[String, (Long, Long)]] = Map.empty): Long =
     dirLocks.computeIfAbsent(new Path(path).toString, _ => new Object)
       .synchronized {
-        commitLocked(path, conf, Nil, rewrite = true, Some((removed, added))).get
+        commitLocked(path, conf, Nil, rewrite = true, Some((removed, added)),
+          stats).get
       }
 
   private def commitLocked(path: String,
              conf: org.apache.spark.util.SerializableConfiguration,
              fileNames: Seq[String],
              rewrite: Boolean,
-             rebase: Option[(Set[String], Seq[String])]): Option[Long] = {
+             rebase: Option[(Set[String], Seq[String])],
+             stats: Map[String, Map[String, (Long, Long)]] = Map.empty): Option[Long] = {
     val fs = new Path(path).getFileSystem(conf.value)
     var attempt = 0
     while (attempt < 20) {
@@ -900,6 +1004,7 @@ private[graft] object KeyedLogVersionLog {
       val fields = scala.collection.mutable.ListBuffer.empty[(String, org.json4s.JValue)]
       def arr(ns: Seq[String]) = org.json4s.JArray(ns.map(org.json4s.JString(_)).toList)
       fields += "n" -> arr(fresh)
+      val anchor = rewrite || (v > 0 && v % CompactInterval == 0)
       if (v > 0 && v % CompactInterval == 0) {
         fields += "all" -> arr((seen ++ fresh).toList.sorted)
         // live-set anchor: readers replay back to here, never further
@@ -911,6 +1016,28 @@ private[graft] object KeyedLogVersionLog {
         fields += "rm" -> arr(rm)
         fields += "ad" -> arr(ad)
       }
+      // column stats ("st": {file: {col: [min,max]}}) ride the entry for
+      // journal-carried file skipping. ANCHOR entries (rewrites, compact
+      // markers) ACCUMULATE the prior entries' stats for the names they
+      // carry forward — the stats walk then stops where the name walk
+      // stops, keeping both O(CompactInterval) reads per resolution.
+      val entryStats: Map[String, Map[String, (Long, Long)]] = {
+        val scoped = stats.view.filterKeys(fresh.toSet).toMap
+        if (!anchor) scoped
+        else {
+          val carried = (seen ++ fresh) -- scoped.keySet
+          statsJournaled(path, conf, vs).view
+            .filterKeys(carried).toMap ++ scoped
+        }
+      }
+      if (entryStats.nonEmpty)
+        fields += "st" -> org.json4s.JObject(
+          entryStats.toList.sortBy(_._1).map { case (f, cols) =>
+            f -> (org.json4s.JObject(cols.toList.sortBy(_._1).map {
+              case (c, (lo, hi)) => c -> (org.json4s.JArray(List(
+                org.json4s.JInt(lo), org.json4s.JInt(hi))): org.json4s.JValue)
+            }): org.json4s.JValue)
+          })
       val body: org.json4s.JValue =
         if (fields.size == 1 && !rewrite)
           org.json4s.JArray(fresh.map(org.json4s.JString(_)).toList)
@@ -963,9 +1090,12 @@ case class KeyedLogStreamingWrite(path: String, queryId: String,
     KeyedLogStreamingWriterFactory(path, queryId, conf, extras)
   // a REPLAYED epoch re-commits the same file names -> journal dedup
   // makes this a no-op, keeping the journal exactly-once like the files
-  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
-    KeyedLogVersionLog.commit(path, conf,
-      messages.toSeq.collect { case KeyedLogCommit(names) => names }.flatten)
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val cms = messages.toSeq.collect { case c: KeyedLogCommit => c }
+    KeyedLogVersionLog.commit(path, conf, cms.flatMap(_.fileNames),
+      stats = cms.iterator.flatMap(_.stats).toMap)
+    ()
+  }
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
     KeyedLogSource.deleteCommitted(path, conf, messages)
 }
@@ -1001,6 +1131,7 @@ class KeyedLogWriter(dir: String, tmpName: String, finalName: String,
   private val fs = new Path(dir).getFileSystem(conf.value)
   private val out = new java.io.BufferedWriter(
     new java.io.OutputStreamWriter(fs.create(new Path(dir, tmpName), true), "UTF-8"))
+  private val stats = new KeyedLogFileStats(extras)
 
   override def write(row: InternalRow): Unit = {
     val key = if (row.isNullAt(0)) "" else row.getUTF8String(0).toString
@@ -1019,6 +1150,7 @@ class KeyedLogWriter(dir: String, tmpName: String, finalName: String,
       j += 1
     }
     out.write('\n')
+    stats.observe(row)
   }
   override def commit(): WriterCommitMessage = {
     out.close()
@@ -1028,7 +1160,10 @@ class KeyedLogWriter(dir: String, tmpName: String, finalName: String,
       throw new java.io.IOException(s"keyed_log: could not replace $finalName")
     if (!fs.rename(new Path(dir, tmpName), dest))
       throw new java.io.IOException(s"keyed_log: task commit rename failed for $tmpName")
-    KeyedLogCommit(Seq(finalName))
+    // an EMPTY stats map still rides the message: it records "stats were
+    // computed and every tracked column was all-null", which is prunable
+    // — absence of the file from the map is what means "unknown"
+    KeyedLogCommit(Seq(finalName), Map(finalName -> stats.harvest()))
   }
   override def abort(): Unit = {
     try out.close() catch { case _: java.io.IOException => () }
@@ -1074,9 +1209,14 @@ class KeyedLogClusteredWriter(dir: String, queryId: String, partitionId: Int,
   private var started = false
   private val seen = scala.collection.mutable.HashSet.empty[String]
   private val staged = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+  private val stats = new KeyedLogFileStats(extras)
+  private val statsByFile = Map.newBuilder[String, Map[String, (Long, Long)]]
 
   private def roll(key: String): Unit = {
-    if (out != null) out.close()
+    if (out != null) {
+      out.close()
+      statsByFile += staged.last._2 -> stats.harvest() // flush the closed run
+    }
     val enc = KeyedLogSource.encKey(key)
     require(seen.add(enc),
       "keyed_log clustered write saw a key run twice — input not sorted by key " +
@@ -1104,10 +1244,14 @@ class KeyedLogClusteredWriter(dir: String, queryId: String, partitionId: Int,
       j += 1
     }
     out.write('\n')
+    stats.observe(row)
   }
 
   override def commit(): WriterCommitMessage = {
-    if (out != null) out.close()
+    if (out != null) {
+      out.close()
+      statsByFile += staged.last._2 -> stats.harvest()
+    }
     staged.foreach { case (tmp, fin) =>
       val dest = new Path(dir, fin)
       if (fs.exists(dest) && !fs.delete(dest, false))
@@ -1115,7 +1259,7 @@ class KeyedLogClusteredWriter(dir: String, queryId: String, partitionId: Int,
       if (!fs.rename(new Path(dir, tmp), dest))
         throw new java.io.IOException(s"keyed_log: task commit rename failed for $tmp")
     }
-    KeyedLogCommit(staged.map(_._2).toSeq)
+    KeyedLogCommit(staged.map(_._2).toSeq, statsByFile.result())
   }
 
   override def abort(): Unit = {
@@ -1139,13 +1283,35 @@ class KeyedLogScanBuilder(path: String, bucketN: Option[Int] = None,
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  /** Accept key-column predicates; return EVERYTHING as residual (Spark
+  /** Stats key per long-typed column (lowercased name -> "seq" /
+    * "metric" / "e<j>") — the read-side half of [[KeyedLogFileStats]]'
+    * positional encoding, resolved here where the declared schema is
+    * known so the scan needs no schema plumbing. */
+  private lazy val statsKeys: Map[String, String] = {
+    val core = Map("seq" -> "seq", "metric" -> "metric")
+    val ext = declared.fields.drop(KeyedLogSource.schema.length).collect {
+      case f if f.dataType == org.apache.spark.sql.types.LongType =>
+        f.name.toLowerCase(java.util.Locale.ROOT) ->
+          s"e${KeyedLogSource.extraIndexOf(f)}"
+    }
+    core ++ ext
+  }
+
+  /** Accept key-column predicates (file-group + reader-level pruning) and
+    * comparison predicates over long-typed columns (journal-carried stats
+    * pruning at plan time); return EVERYTHING as residual (Spark
     * re-applies, keeping pushdown purely an optimization). */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    def statsCol(c: String) = statsKeys.contains(c.toLowerCase(java.util.Locale.ROOT))
     pushed = filters.filter {
       case EqualTo("key", _: String) => true
       case In("key", _)              => true
       case IsNotNull("key")          => true
+      case EqualTo(c, _: Long)             => statsCol(c)
+      case GreaterThan(c, _: Long)         => statsCol(c)
+      case GreaterThanOrEqual(c, _: Long)  => statsCol(c)
+      case LessThan(c, _: Long)            => statsCol(c)
+      case LessThanOrEqual(c, _: Long)     => statsCol(c)
       case _                         => false
     }
     filters
@@ -1215,7 +1381,8 @@ class KeyedLogScanBuilder(path: String, bucketN: Option[Int] = None,
   }
 
   override def build(): Scan =
-    KeyedLogScan(path, agg.map(_.schema).getOrElse(required), pushed, agg, bucketN, window, asOf)
+    KeyedLogScan(path, agg.map(_.schema).getOrElse(required), pushed, agg,
+      bucketN, window, asOf, statsKeys)
 }
 
 /** Pushed-aggregation spec shipped to the per-file readers. */
@@ -1235,7 +1402,9 @@ case class KeyedLogScan(path: String, required: StructType,
                         agg: Option[KeyedLogAgg] = None,
                         bucketN: Option[Int] = None,
                         window: Option[(Long, Option[Long])] = None,
-                        asOf: Option[Long] = None) extends Scan with Batch
+                        asOf: Option[Long] = None,
+                        statsKeys: Map[String, String] = Map.empty)
+    extends Scan with Batch
     with SupportsRuntimeFiltering with SupportsReportStatistics
     with SupportsReportPartitioning {
   override def readSchema(): StructType = required
@@ -1326,13 +1495,69 @@ case class KeyedLogScan(path: String, required: StructType,
     allowedKeys.isDefined ||
       pushed.exists { case IsNotNull("key") => true; case _ => false }
 
-  /** May this file hold rows matching the pushed key filters? */
-  private def fileMayMatch(f: String): Boolean =
-    KeyedLogSource.keyOfFile(new Path(f).getName) match {
-      case None          => true                    // untagged: never prune
-      case Some(None)    => !dropNullKeyGroup       // null-key group
-      case Some(Some(k)) => allowedKeys.forall(_.contains(k))
+  // ---- planning-time file pruning from journal-carried COLUMN STATS:
+  // each comparison predicate Spark pushed over a long-typed column
+  // (seq/metric/BIGINT extras) is evaluated against the per-file
+  // [min,max] bounds the write commits journaled ("st" entries). A file
+  // whose bounds cannot satisfy every conjunct is dropped before split
+  // planning — the log-carried stats-skipping of the lake formats on the
+  // TSV document log. Files without journaled stats (pre-stats writers)
+  // are never pruned; a stats-carrying file MISSING a column's entry had
+  // only NULLs there (including pre-drift files vs later-added columns),
+  // which no comparison matches — prunable. Applies to the plain-scan
+  // branch (and size estimation); clustered key-grouped reads keep their
+  // group shape untouched. ----
+
+  /** (stats key, bounds predicate) per pushed comparison conjunct. */
+  @transient private lazy val boundsPreds: Seq[(String, (Long, Long) => Boolean)] = {
+    def k(c: String): Option[String] =
+      statsKeys.get(c.toLowerCase(java.util.Locale.ROOT))
+    pushed.toSeq.flatMap {
+      case EqualTo(c, v: Long) =>
+        k(c).map(key => key -> ((lo: Long, hi: Long) => lo <= v && v <= hi))
+      case GreaterThan(c, v: Long) =>
+        k(c).map(key => key -> ((_: Long, hi: Long) => hi > v))
+      case GreaterThanOrEqual(c, v: Long) =>
+        k(c).map(key => key -> ((_: Long, hi: Long) => hi >= v))
+      case LessThan(c, v: Long) =>
+        k(c).map(key => key -> ((lo: Long, _: Long) => lo < v))
+      case LessThanOrEqual(c, v: Long) =>
+        k(c).map(key => key -> ((lo: Long, _: Long) => lo <= v))
+      case _ => None
     }
+  }
+
+  /** Journal stats by file name — read ONLY when a prunable predicate
+    * was pushed (zero planning cost otherwise); O(CompactInterval)
+    * marker reads, the same anchor walk every journal resolution uses. */
+  @transient private lazy val statsByFile: Map[String, Map[String, (Long, Long)]] =
+    if (boundsPreds.isEmpty) Map.empty
+    else {
+      val vs = KeyedLogVersionLog.versions(path, conf)
+      if (vs.isEmpty) Map.empty
+      else KeyedLogVersionLog.statsJournaled(path, conf, vs)
+    }
+
+  private def statsAllow(name: String): Boolean =
+    statsByFile.get(name) match {
+      case None => true // no journaled stats: never prune
+      case Some(cols) => boundsPreds.forall { case (key, p) =>
+        cols.get(key) match {
+          case Some((lo, hi)) => p(lo, hi)
+          case None           => false // all-null column: no row matches
+        }
+      }
+    }
+
+  /** May this file hold rows matching the pushed key filters and the
+    * journal-carried column bounds? */
+  private def fileMayMatch(f: String): Boolean =
+    statsAllow(new Path(f).getName) &&
+      (KeyedLogSource.keyOfFile(new Path(f).getName) match {
+        case None          => true                    // untagged: never prune
+        case Some(None)    => !dropNullKeyGroup       // null-key group
+        case Some(Some(k)) => allowedKeys.forall(_.contains(k))
+      })
 
   /** Per-key file groups of a FULLY CLUSTERED dir (every data file named
     * by the clustered writer), key-filter-pruned, sorted null-key-first —

@@ -1,0 +1,145 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.catalog.GraftCatalog
+
+/** Journal-carried column stats on keyedlog dirs: per-file [min,max]
+  * bounds of the long-typed columns ride every write commit ("st"
+  * entries), anchors accumulate them, and the scan prunes files whose
+  * bounds cannot satisfy pushed comparison predicates — with NULL
+  * semantics (a missing column key means all-null, prunable), pre-drift
+  * interaction (files written before ADD COLUMNS prune on the new
+  * column), and stats survival through compaction and row-level
+  * rewrites. */
+class KeyedLogStatsSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    GraftCatalog.register(s, "gs", root)
+    s
+  }
+  private lazy val root =
+    "file://" + Files.createTempDirectory("graft_klstats_").toString
+
+  private def ensureDb(): Unit =
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gs.db")
+
+  /** A plain keyedlog scan plans one split per surviving file. */
+  private def planned(df: org.apache.spark.sql.DataFrame): Int =
+    df.rdd.getNumPartitions
+
+  test("disjoint-band appends prune on metric bounds; results stay exact") {
+    ensureDb()
+    spark.sql("CREATE TABLE gs.db.t1 (key STRING, seq BIGINT, metric BIGINT) " +
+      "USING keyedlog")
+    // one file per insert (coalesced input), three disjoint metric bands
+    spark.range(10).selectExpr("'a' AS key", "id AS seq", "id AS metric")
+      .coalesce(1).writeTo("gs.db.t1").append()
+    spark.range(10).selectExpr("'b' AS key", "id + 10 AS seq", "id + 100 AS metric")
+      .coalesce(1).writeTo("gs.db.t1").append()
+    spark.range(10).selectExpr("'c' AS key", "id + 20 AS seq", "id + 200 AS metric")
+      .coalesce(1).writeTo("gs.db.t1").append()
+    val t = spark.table("gs.db.t1")
+    assert(planned(t) == 3)
+    assert(planned(t.filter(col("metric") >= 200L)) == 1,
+      "only the third band's file may survive metric >= 200")
+    assert(planned(t.filter(col("metric") < 100L)) == 1)
+    assert(planned(t.filter(col("metric") === 105L)) == 1)
+    assert(planned(t.filter(col("metric") > 500L)) == 0)
+    // pruning must never change answers
+    assert(t.filter(col("metric") >= 200L).count() == 10)
+    assert(t.filter(col("metric") === 105L).count() == 1)
+    assert(t.filter(col("metric") > 500L).count() == 0)
+  }
+
+  test("all-null columns prune for comparisons but never lose rows") {
+    ensureDb()
+    spark.sql("CREATE TABLE gs.db.t2 (key STRING, seq BIGINT, metric BIGINT) " +
+      "USING keyedlog")
+    spark.sql("INSERT INTO gs.db.t2 VALUES ('a', 1, NULL), ('a', 2, NULL)")
+    spark.sql("INSERT INTO gs.db.t2 VALUES ('b', 3, 30)")
+    val t = spark.table("gs.db.t2")
+    // the all-null-metric file has no 'metric' stats key -> prunable for
+    // any comparison (no NULL satisfies one)
+    assert(planned(t.filter(col("metric") > 0L)) == 1)
+    assert(t.filter(col("metric") > 0L).count() == 1)
+    // but a non-comparison read still sees every row
+    assert(t.count() == 3)
+    assert(t.filter(col("metric").isNull).count() == 2)
+  }
+
+  test("pre-drift files prune on a column added later") {
+    ensureDb()
+    spark.sql("CREATE TABLE gs.db.t3 (key STRING, seq BIGINT, metric BIGINT) " +
+      "USING keyedlog")
+    spark.sql("INSERT INTO gs.db.t3 VALUES ('a', 1, 10), ('b', 2, 20)")
+    spark.sql("ALTER TABLE gs.db.t3 ADD COLUMNS (tag STRING, n BIGINT)")
+    spark.sql("INSERT INTO gs.db.t3 VALUES ('c', 3, 30, 'x', 7)")
+    val t = spark.table("gs.db.t3")
+    assert(planned(t) >= 2) // pre-drift rows may span multiple task files
+    // the pre-drift file's stats entry has no key for the BIGINT extra:
+    // all-null there, so a comparison on it skips the file entirely
+    assert(planned(t.filter(col("n") >= 0L)) == 1)
+    assert(t.filter(col("n") >= 0L).count() == 1)
+    // STRING extras carry no bounds (positional key only covers longs):
+    // never pruned, still correct
+    assert(t.filter(col("tag") === "x").count() == 1)
+  }
+
+  test("stats survive compaction and row-level rewrites") {
+    ensureDb()
+    spark.sql("CREATE TABLE gs.db.t4 (key STRING, seq BIGINT, metric BIGINT) " +
+      "USING keyedlog")
+    spark.range(5).selectExpr("'lo' AS key", "id AS seq", "id AS metric")
+      .coalesce(1).writeTo("gs.db.t4").append()
+    spark.range(5).selectExpr("'hi' AS key", "id + 5 AS seq", "id + 1000 AS metric")
+      .coalesce(1).writeTo("gs.db.t4").append()
+    spark.sql("CALL gs.system.compact('db.t4')")
+    val t = spark.table("gs.db.t4")
+    // compaction rewrote to one clustered file per key; the rewrite entry
+    // carries the freshly computed bounds, so band pruning still works
+    assert(planned(t) == 2)
+    assert(planned(t.filter(col("metric") >= 1000L)) == 1,
+      "compacted files must keep journal-carried stats")
+    assert(t.filter(col("metric") >= 1000L).count() == 5)
+    // a row-level UPDATE journals its replacement file's stats too
+    spark.sql("UPDATE gs.db.t4 SET metric = metric + 10000 WHERE key = 'lo'")
+    val t2 = spark.table("gs.db.t4")
+    assert(planned(t2.filter(col("metric") >= 10000L)) == 1,
+      "the un-updated key's file must prune on the new bounds")
+    assert(t2.filter(col("metric") >= 10000L).count() == 5)
+    assert(t2.filter(col("metric") >= 1000L).count() == 10)
+  }
+
+  test("pre-stats journal entries leave files unpruned (never wrong)") {
+    ensureDb()
+    spark.sql("CREATE TABLE gs.db.t5 (key STRING, seq BIGINT, metric BIGINT) " +
+      "USING keyedlog")
+    spark.range(3).selectExpr("'a' AS key", "id AS seq", "id AS metric")
+      .coalesce(1).writeTo("gs.db.t5").append()
+    // simulate a pre-stats writer: strip "st" from the journal entry
+    val dir = root.stripPrefix("file://") + "/db/t5"
+    val marker = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("_klogv_")).minBy(_.getName)
+    val txt = new String(Files.readAllBytes(marker.toPath), "UTF-8")
+    val stripped = org.json4s.jackson.JsonMethods.compact(
+      org.json4s.jackson.JsonMethods.render(
+        org.json4s.jackson.JsonMethods.parse(txt).removeField(_._1 == "st")))
+    Files.write(marker.toPath, stripped.getBytes("UTF-8"))
+    val t = spark.table("gs.db.t5")
+    assert(planned(t.filter(col("metric") > 100L)) == 1,
+      "a file without journaled stats must never be pruned")
+    assert(t.filter(col("metric") > 100L).count() == 0)
+    assert(t.filter(col("metric") <= 2L).count() == 3)
+  }
+}
