@@ -693,8 +693,10 @@ private[catalog] object GraftProcedures {
         s"procedure wants a table name like 'db.t' or 't', got '${input.getString(0)}'")
       val ident = Identifier.of(parts.dropRight(1), parts.last)
       val (meta, dir) = catalog.procedureMeta(ident)
+      if (meta.provider == "keyedlog")
+        return keyedLogBounds(meta, dir, input.getString(1), input.getString(2))
       require(meta.provider == "manifest",
-        s"collect_stats applies to manifest tables only; " +
+        s"collect_stats applies to manifest and keyedlog tables only; " +
           s"'${input.getString(0)}' is a ${meta.provider} table")
       // validate EVERY argument before the columns block below mutates
       // the table's declaration — a call rejected for a bad mode must
@@ -732,6 +734,81 @@ private[catalog] object GraftProcedures {
           StructField("table_version", LongType, nullable = false),
           StructField("files_restatted", LongType, nullable = false))),
         version, restatted.toLong)
+    }
+
+    /** The KEYEDLOG arm: backfill journal-carried [min,max] bounds
+      * ([[graft.sources.KeyedLogFileStats]] semantics) for live files
+      * that lack them — tables written by pre-stats versions of this
+      * engine become stats-skippable without rewriting a byte. One
+      * distributed text scan over EXACTLY the missing files (fields are
+      * positional, so the raw lines parse without the format), one
+      * stats-only journal entry. `mode => 'all'` recomputes every live
+      * file; NDV `columns` are a manifest concept and refused here. On a
+      * PRE-JOURNAL dir the backfill commit doubles as the journal
+      * genesis: the listed files are journaled WITH their bounds (a
+      * stats-only entry could not reference unjournaled names — anchors
+      * would drop them). */
+    private def keyedLogBounds(meta: GraftCatalog.TableMeta, dir: String,
+                               statMode: String, columns: String): JIterator[Scan] = {
+      import graft.sources.{KeyedLogConf, KeyedLogSource, KeyedLogVersionLog}
+      import org.apache.spark.sql.functions._
+      require(statMode == "missing" || statMode == "all",
+        s"collect_stats mode must be 'missing' or 'all', got '$statMode'")
+      require(columns.isEmpty,
+        "collect_stats columns => applies to manifest NDV stats; keyedlog " +
+          "bounds always cover every long-typed column")
+      val conf = KeyedLogConf.capture()
+      val vs = KeyedLogVersionLog.versions(dir, conf)
+      val live: Seq[String] = KeyedLogVersionLog.liveSet(dir, conf).getOrElse(
+        KeyedLogSource.listDataFiles(dir, conf)
+          .map(f => new org.apache.hadoop.fs.Path(f).getName).toSeq.sorted)
+      val have: Set[String] =
+        if (statMode == "all" || vs.isEmpty) Set.empty
+        else KeyedLogVersionLog.statsJournaled(dir, conf, vs).keySet
+      val missing = live.filterNot(have)
+      def done(v: Long, n: Long) = result(
+        StructType(Seq(
+          StructField("table_version", LongType, nullable = false),
+          StructField("files_restatted", LongType, nullable = false))),
+        v, n)
+      if (missing.isEmpty) return done(vs.lastOption.getOrElse(-1L), 0L)
+      // raw line positions of the long-typed columns, by stats key
+      val extras = meta.schema.fields.drop(KeyedLogSource.schema.length)
+      val tracked: Seq[(String, Int)] = Seq("seq" -> 1, "metric" -> 2) ++
+        extras.collect {
+          case f if f.dataType == org.apache.spark.sql.types.LongType =>
+            val j = KeyedLogSource.extraIndexOf(f)
+            s"e$j" -> (3 + j)
+        }
+      val spark = SparkSession.active
+      val df = spark.read.textFile(missing.map(n => s"$dir/$n"): _*)
+        .select(input_file_name().as("f"),
+          split(col("value"), "\t").as("p"))
+      val aggs = tracked.flatMap { case (k, pos) =>
+        val raw = try_element_at(col("p"), lit(pos + 1))
+        val v = when(raw.isNull || raw === "" || raw === "\\N", lit(null))
+          .otherwise(raw.cast("long"))
+        Seq(min(v).as(s"lo_$k"), max(v).as(s"hi_$k"))
+      }
+      val rows = df.groupBy("f").agg(aggs.head, aggs.tail: _*).collect()
+      val byName = rows.map { r =>
+        val name = new org.apache.hadoop.fs.Path(r.getString(0)).getName
+        name -> tracked.flatMap { case (k, _) =>
+          if (r.isNullAt(r.fieldIndex(s"lo_$k"))) None
+          else Some(k -> ((r.getAs[Long](s"lo_$k"), r.getAs[Long](s"hi_$k"))))
+        }.toMap
+      }.toMap
+      // files that vanished between the listing and the scan (empty
+      // groupBy output) still get their all-null marker entry
+      val stats = missing.map(n => n -> byName.getOrElse(n,
+        Map.empty[String, (Long, Long)])).toMap
+      val v =
+        if (vs.isEmpty)
+          // journal genesis: names and bounds land together
+          KeyedLogVersionLog.commit(dir, conf, missing, stats = stats)
+            .getOrElse(-1L)
+        else KeyedLogVersionLog.commitStats(dir, conf, stats).getOrElse(-1L)
+      done(v, missing.length.toLong)
     }
   }
 

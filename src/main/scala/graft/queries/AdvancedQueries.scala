@@ -859,6 +859,59 @@ object AdvancedQueries extends QueryModule {
         .orderBy("lang")
     },
 
+    // --- keyedlog stats BACKFILL (`CALL g.system.collect_stats` on a
+    //     keyedlog table): tables written before stats existed become
+    //     skippable WITHOUT rewriting a byte — one distributed text scan
+    //     over exactly the stats-less files (positional fields parse
+    //     without the format), one stats-only journal entry. The gate
+    //     manufactures the pre-stats state by stripping the journal's
+    //     "st" fields, proves nothing prunes, backfills, and proves the
+    //     same filter now skips files — with the aggregate bit-exact
+    //     throughout ---
+    "qk13_keyedlog_stats_backfill" -> { (s0, d) =>
+      val s = isolatedSession(s0)
+      val rootDir = graft.core.TempDirs.create("graft_kbf_root_")
+      graft.catalog.GraftCatalog.register(s, "graft_kbf", rootDir)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_kbf.db")
+      Tables.documents(s, d).createOrReplaceTempView("qk13_documents")
+      s.sql("CREATE TABLE graft_kbf.db.docs (key STRING, seq BIGINT, " +
+        "metric BIGINT) USING keyedlog")
+      s.sql("INSERT INTO graft_kbf.db.docs SELECT lang, doc_id, n_chars " +
+        "FROM qk13_documents WHERE n_chars < 200")
+      s.sql("INSERT INTO graft_kbf.db.docs SELECT lang, doc_id, n_chars " +
+        "FROM qk13_documents WHERE n_chars >= 200 AND n_chars < 400")
+      s.sql("INSERT INTO graft_kbf.db.docs SELECT lang, doc_id, n_chars " +
+        "FROM qk13_documents WHERE n_chars >= 400")
+      // manufacture the pre-stats state: strip every journal "st" field
+      val tdir = new java.io.File(s"$rootDir/db/docs")
+      tdir.listFiles().filter(_.getName.startsWith("_klogv_")).foreach { m =>
+        val txt = new String(
+          java.nio.file.Files.readAllBytes(m.toPath), "UTF-8")
+        val j = org.json4s.jackson.JsonMethods.parse(txt)
+          .removeField(_._1 == "st")
+        java.nio.file.Files.write(m.toPath,
+          org.json4s.jackson.JsonMethods.compact(
+            org.json4s.jackson.JsonMethods.render(j)).getBytes("UTF-8"))
+        ()
+      }
+      def planned(df: org.apache.spark.sql.DataFrame): Int = df.rdd.getNumPartitions
+      val t0 = s.table("graft_kbf.db.docs")
+      val total = planned(t0)
+      val noPruneBefore = planned(t0.filter(col("metric") >= 400L)) == total
+      val backfilled = s.sql(
+        "CALL graft_kbf.system.collect_stats('db.docs')").head().getLong(1)
+      val t = s.table("graft_kbf.db.docs")
+      val prunedAfter = planned(t.filter(col("metric") >= 400L)) < total
+      t.filter(col("metric") >= 400L)
+        .groupBy(col("key").as("lang"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum("metric").cast("long").as("sum_metric"))
+        .withColumn("no_prune_before", lit(noPruneBefore))
+        .withColumn("pruned_after", lit(prunedAfter))
+        .withColumn("backfilled_some", lit(backfilled > 0L))
+        .orderBy("lang")
+    },
+
     // --- mergeable HLL sketches (Apache DataSketches via Spark 4 built-ins):
     //     build per-(flag, shipdate) PARTIAL sketches, then union-merge to
     //     per-flag distinct estimates — the pre-aggregated sketch-table
@@ -1429,6 +1482,16 @@ object AdvancedQueries extends QueryModule {
            UNION ALL
            SELECT lang, n_chars, n_chars // 5 FROM documents WHERE doc_id % 7 = 0
          ) WHERE n_chars >= 400 GROUP BY lang ORDER BY lang""",
+
+    // the backfill never changes data, so the filtered aggregate replays
+    // directly over documents; the before/after skipping facts and the
+    // backfill count ride the booleans
+    "qk13_keyedlog_stats_backfill" ->
+      """SELECT lang, count(*) AS n_rows,
+           CAST(sum(n_chars) AS BIGINT) AS sum_metric,
+           TRUE AS no_prune_before, TRUE AS pruned_after,
+           TRUE AS backfilled_some
+         FROM documents WHERE n_chars >= 400 GROUP BY lang ORDER BY lang""",
 
     // per-user day spine via generate_series; LOCF = last_value IGNORE
     // NULLS over the spine (day is unique per user, so the default RANGE

@@ -335,7 +335,7 @@ object KeyedLogSource {
   /** Line index (0-based among extras) of a required extra field: from
     * its `klog.field` metadata. Loud when absent — a schema that did not
     * come from the catalog descriptor cannot place extras on the line. */
-  private[sources] def extraIndexOf(f: StructField): Int = {
+  private[graft] def extraIndexOf(f: StructField): Int = {
     require(f.metadata.contains(ExtraFieldKey),
       s"keyed_log: column '${f.name}' is not a core column and carries no " +
         s"$ExtraFieldKey metadata — read extra columns through the catalog " +
@@ -970,12 +970,31 @@ private[graft] object KeyedLogVersionLog {
           stats).get
       }
 
+  /** Journal a STATS-ONLY entry (`{"n":[],"st":{...}}`) — the backfill
+    * path for files journaled by pre-stats writers: no files change, the
+    * entry just attaches bounds to already-journaled names. Name walks
+    * are unaffected (the entry adds no names); stats walks merge it like
+    * any other entry, and later anchors carry the backfilled bounds
+    * forward. Only JOURNALED names survive anchor accumulation, so the
+    * caller scopes the map to them. */
+  def commitStats(path: String,
+                  conf: org.apache.spark.util.SerializableConfiguration,
+                  stats: Map[String, Map[String, (Long, Long)]]): Option[Long] = {
+    require(stats.nonEmpty, "keyed_log: a stats-only commit needs stats")
+    dirLocks.computeIfAbsent(new Path(path).toString, _ => new Object)
+      .synchronized {
+        commitLocked(path, conf, Nil, rewrite = false, None, stats,
+          statsOnly = true)
+      }
+  }
+
   private def commitLocked(path: String,
              conf: org.apache.spark.util.SerializableConfiguration,
              fileNames: Seq[String],
              rewrite: Boolean,
              rebase: Option[(Set[String], Seq[String])],
-             stats: Map[String, Map[String, (Long, Long)]] = Map.empty): Option[Long] = {
+             stats: Map[String, Map[String, (Long, Long)]] = Map.empty,
+             statsOnly: Boolean = false): Option[Long] = {
     val fs = new Path(path).getFileSystem(conf.value)
     var attempt = 0
     while (attempt < 20) {
@@ -999,7 +1018,7 @@ private[graft] object KeyedLogVersionLog {
           (if (rewrite) fileNames.distinct.sorted
            else fileNames.filterNot(seen).distinct.sorted, None)
       }
-      if (fresh.isEmpty && !rewrite) return None
+      if (fresh.isEmpty && !rewrite && !statsOnly) return None
       val v = vs.lastOption.getOrElse(-1L) + 1L
       val fields = scala.collection.mutable.ListBuffer.empty[(String, org.json4s.JValue)]
       def arr(ns: Seq[String]) = org.json4s.JArray(ns.map(org.json4s.JString(_)).toList)
@@ -1022,7 +1041,11 @@ private[graft] object KeyedLogVersionLog {
       // carry forward — the stats walk then stops where the name walk
       // stops, keeping both O(CompactInterval) reads per resolution.
       val entryStats: Map[String, Map[String, (Long, Long)]] = {
-        val scoped = stats.view.filterKeys(fresh.toSet).toMap
+        // a stats-only entry attaches bounds to ALREADY-journaled names;
+        // ordinary entries carry stats for exactly the names they journal
+        val scoped =
+          if (statsOnly) stats.view.filterKeys(seen).toMap
+          else stats.view.filterKeys(fresh.toSet).toMap
         if (!anchor) scoped
         else {
           val carried = (seen ++ fresh) -- scoped.keySet

@@ -290,6 +290,30 @@ class CloneSpec extends AnyFunSuite {
       s"clone's new keys must extend the source's mark: $ids")
   }
 
+  test("clones carry generated-column expressions (zero-copy and deep)") {
+    ensureDb()
+    spark.sql("CREATE TABLE gc.db.gsrc (v BIGINT, dbl BIGINT GENERATED ALWAYS " +
+      "AS (v * 2)) USING manifest")
+    spark.sql("INSERT INTO gc.db.gsrc (v) VALUES (1), (2)")
+    spark.sql("CALL gc.system.clone('db.gsrc', 'db.gz')")              // zero-copy
+    spark.sql("CALL gc.system.clone('db.gsrc', 'db.gd', deep => true)") // deep
+    Seq("gc.db.gz", "gc.db.gd").foreach { t =>
+      // the expression rides the descriptor's schema metadata: the
+      // clone computes omitted values and rejects divergent ones
+      spark.sql(s"INSERT INTO $t (v) VALUES (10)")
+      val e = intercept[Exception] {
+        spark.sql(s"INSERT INTO $t VALUES (5, 11)")
+      }
+      assert(
+        Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null).take(10)
+          .exists(c => Option(c.getMessage).exists(_.contains("generated column"))),
+        s"$t must keep validating: ${e.getMessage}")
+      val got = spark.sql(s"SELECT v, dbl FROM $t ORDER BY v")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(got == Seq((1L, 2L), (2L, 4L), (10L, 20L)), s"$t: $got")
+    }
+  }
+
   test("deep clone copies distributed (Spark-job path) bit-exactly") {
     ensureDb()
     spark.sql("CREATE TABLE gc.db.xsrc (id BIGINT, v STRING) USING manifest")

@@ -229,6 +229,23 @@ class GeneratedColumnSpec extends AnyFunSuite {
     assert(messageChain(e).contains("already GENERATED"), messageChain(e))
   }
 
+  test("renaming the generated column itself carries the expression and " +
+      "the invariant to the new name") {
+    ensureDb()
+    spark.sql("CREATE TABLE gg.db.a7 (v BIGINT, dbl BIGINT GENERATED ALWAYS " +
+      "AS (v * 2)) USING manifest")
+    spark.sql("INSERT INTO gg.db.a7 (v) VALUES (1)")
+    spark.sql("ALTER TABLE gg.db.a7 RENAME COLUMN dbl TO twice")
+    spark.sql("INSERT INTO gg.db.a7 (v) VALUES (2)") // still computed
+    val e = intercept[Exception] {
+      spark.sql("INSERT INTO gg.db.a7 VALUES (5, 11)") // still validated
+    }
+    assert(messageChain(e).contains("generated column"), messageChain(e))
+    val got = spark.sql("SELECT v, twice FROM gg.db.a7 ORDER BY v")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 2L), (2L, 4L)))
+  }
+
   test("add_generated_column refuses a pre-existing column with divergent " +
       "values but resumes over an all-NULL one") {
     ensureDb()

@@ -121,6 +121,81 @@ class KeyedLogStatsSpec extends AnyFunSuite {
     assert(t2.filter(col("metric") >= 1000L).count() == 10)
   }
 
+  /** Strip every "st" field from a dir's journal markers — simulating a
+    * table written by a pre-stats version of the engine. */
+  private def stripStats(dir: String): Unit =
+    new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("_klogv_")).foreach { m =>
+        val txt = new String(Files.readAllBytes(m.toPath), "UTF-8")
+        val j = org.json4s.jackson.JsonMethods.parse(txt)
+          .removeField(_._1 == "st")
+        Files.write(m.toPath, org.json4s.jackson.JsonMethods.compact(
+          org.json4s.jackson.JsonMethods.render(j)).getBytes("UTF-8"))
+      }
+
+  test("collect_stats backfills bounds for pre-stats files without a rewrite") {
+    ensureDb()
+    spark.sql("CREATE TABLE gs.db.t6 (key STRING, seq BIGINT, metric BIGINT) " +
+      "USING keyedlog")
+    spark.range(5).selectExpr("'a' AS key", "id AS seq", "id AS metric")
+      .coalesce(1).writeTo("gs.db.t6").append()
+    spark.range(5).selectExpr("'b' AS key", "id + 5 AS seq", "id + 1000 AS metric")
+      .coalesce(1).writeTo("gs.db.t6").append()
+    spark.sql("ALTER TABLE gs.db.t6 ADD COLUMNS (n BIGINT)")
+    spark.range(5).selectExpr("'c' AS key", "id + 10 AS seq",
+        "id + 2000 AS metric", "id AS n")
+      .coalesce(1).writeTo("gs.db.t6").append()
+    val dir = root.stripPrefix("file://") + "/db/t6"
+    stripStats(dir)
+    val t0 = spark.table("gs.db.t6")
+    assert(planned(t0.filter(col("metric") >= 2000L)) == 3,
+      "stripped stats: nothing prunes")
+    val dataBefore = new java.io.File(dir).listFiles()
+      .filter(f => !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      .map(f => (f.getName, f.lastModified())).sorted.toSeq
+    val row = spark.sql("CALL gs.system.collect_stats('db.t6')").head()
+    assert(row.getLong(1) == 3L, s"expected 3 backfilled files, got $row")
+    val t = spark.table("gs.db.t6")
+    assert(planned(t.filter(col("metric") >= 2000L)) == 1,
+      "backfilled bounds must prune")
+    assert(planned(t.filter(col("n") >= 0L)) == 1,
+      "backfill marks pre-drift files all-null for the added column")
+    assert(t.filter(col("metric") >= 2000L).count() == 5)
+    // no data file was rewritten — the backfill is one journal entry
+    val dataAfter = new java.io.File(dir).listFiles()
+      .filter(f => !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      .map(f => (f.getName, f.lastModified())).sorted.toSeq
+    assert(dataAfter == dataBefore, "backfill must not touch data files")
+    // idempotent: a second call finds nothing missing
+    assert(spark.sql("CALL gs.system.collect_stats('db.t6')").head()
+      .getLong(1) == 0L)
+    // mode => 'all' recomputes everything
+    assert(spark.sql("CALL gs.system.collect_stats('db.t6', mode => 'all')")
+      .head().getLong(1) == 3L)
+  }
+
+  test("collect_stats on a pre-journal dir journals genesis names WITH bounds") {
+    ensureDb()
+    spark.sql("CREATE TABLE gs.db.t7 (key STRING, seq BIGINT, metric BIGINT) " +
+      "USING keyedlog")
+    spark.range(4).selectExpr("'a' AS key", "id AS seq", "id AS metric")
+      .coalesce(1).writeTo("gs.db.t7").append()
+    spark.range(4).selectExpr("'b' AS key", "id + 4 AS seq", "id + 100 AS metric")
+      .coalesce(1).writeTo("gs.db.t7").append()
+    // simulate a pre-journal dir (hand-managed files): drop the journal
+    val dir = root.stripPrefix("file://") + "/db/t7"
+    new java.io.File(dir).listFiles()
+      .filter(f => f.getName.startsWith("_klogv_"))
+      .foreach(f => assert(f.delete()))
+    val row = spark.sql("CALL gs.system.collect_stats('db.t7')").head()
+    assert(row.getLong(1) == 2L, s"expected 2 genesis files, got $row")
+    val t = spark.table("gs.db.t7")
+    assert(planned(t.filter(col("metric") >= 100L)) == 1,
+      "genesis-journaled bounds must prune")
+    assert(t.filter(col("metric") >= 100L).count() == 4)
+    assert(t.count() == 8)
+  }
+
   test("pre-stats journal entries leave files unpruned (never wrong)") {
     ensureDb()
     spark.sql("CREATE TABLE gs.db.t5 (key STRING, seq BIGINT, metric BIGINT) " +
