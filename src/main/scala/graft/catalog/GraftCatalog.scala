@@ -1192,8 +1192,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val srcDir = tableDir(srcIdent)
     val meta = readMeta(srcDir).getOrElse(throw new NoSuchTableException(srcIdent))
     require(meta.provider == "manifest",
-      s"clone applies to manifest tables only; '${srcIdent.name()}' is a " +
-        s"${meta.provider} table")
+      s"zero-copy clone applies to manifest tables only; " +
+        s"'${srcIdent.name()}' is a ${meta.provider} table" +
+        (if (meta.provider == "keyedlog")
+          " — keyedlog tables migrate via CALL clone(..., deep => true)"
+        else ""))
     require(meta.cloneBranch.isEmpty,
       s"'${srcIdent.name()}' is itself a clone — clone the original table " +
         "(a clone-of-clone would chain pins across drops)")
@@ -1230,9 +1233,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       dstIdent: Identifier, version: Option[Long]): (Long, Long, Long) = {
     val srcDir = tableDir(srcIdent)
     val meta = readMeta(srcDir).getOrElse(throw new NoSuchTableException(srcIdent))
+    if (meta.provider == "keyedlog")
+      return createDeepCloneKeyedLog(srcIdent, dstIdent, meta, srcDir, version)
     require(meta.provider == "manifest",
-      s"clone applies to manifest tables only; '${srcIdent.name()}' is a " +
-        s"${meta.provider} table")
+      s"clone applies to manifest and (deep-only) keyedlog tables; " +
+        s"'${srcIdent.name()}' is a ${meta.provider} table")
     require(meta.cloneBranch.isEmpty,
       s"'${srcIdent.name()}' is a zero-copy clone — deep-clone the original " +
         "table (a shallow clone's private lineage lives in a branch log, " +
@@ -1304,6 +1309,90 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       }
     } finally {
       graft.core.ManifestTable.dropBranch(dataDir, pin); ()
+    }
+  }
+
+  /** Deep clone for KEYEDLOG tables — the document store's DR /
+    * storage-tier migration: copy ONE consistent snapshot's live files
+    * (journal-resolved; `version` time-travels via the tombstone rule
+    * the asOf scan uses) to the target's own root — md5-verified,
+    * distributed above the [[DeepCopy.copyList]] threshold — journal
+    * them as the target's GENESIS entry with the source's column stats
+    * carried verbatim (copied bytes keep their skipping bounds), and
+    * publish the descriptor. The target owes the source nothing.
+    * Zero-copy keyedlog clones stay unsupported: the zero-copy pin
+    * machinery is a manifest branch-log concept. History/tombstones are
+    * deliberately NOT copied — a deep clone is a snapshot migration, and
+    * its version line starts fresh (same contract as the manifest deep
+    * clone's one-version log). A compaction racing the copy swaps the
+    * source dir and fails the copy LOUDLY (md5/open errors) — quiesce
+    * maintenance around migrations, then retry. */
+  private def createDeepCloneKeyedLog(srcIdent: Identifier,
+      dstIdent: Identifier, meta: TableMeta, srcDir: String,
+      version: Option[Long]): (Long, Long, Long) = {
+    import graft.sources.{KeyedLogConf, KeyedLogSource, KeyedLogVersionLog}
+    val ns = dstIdent.namespace()
+    if (ns.nonEmpty && !fs.exists(new Path(nsDir(ns))))
+      throw new NoSuchNamespaceException(ns)
+    val dstDir = tableDir(dstIdent)
+    if (fs.exists(new Path(dstDir, MetaFile)))
+      throw new TableAlreadyExistsException((ns :+ dstIdent.name()).toSeq)
+    val conf = KeyedLogConf.capture()
+    val dataDir = meta.location.getOrElse(srcDir)
+    // resolve the snapshot's NAMES and each name's physical source file
+    // (a later rewrite may have tombstoned it — same rule as VERSION AS OF
+    // scans: serve the `.rm-` copy, fail loudly past tombstone retention)
+    val (names, srcRelOf): (Seq[String], String => String) = version match {
+      case None =>
+        (KeyedLogVersionLog.liveSet(dataDir, conf).getOrElse(
+          KeyedLogSource.listDataFiles(dataDir, conf)
+            .map(f => new Path(f).getName).toSeq.sorted), identity[String] _)
+      case Some(v) =>
+        val nm = KeyedLogVersionLog.liveSetAt(dataDir, conf, v).getOrElse(
+          throw new IllegalArgumentException(
+            s"deep clone: version $v of '${srcIdent.name()}' is not journaled"))
+        val listed = KeyedLogSource.listDataFiles(dataDir, conf)
+          .map(f => new Path(f).getName).toSet
+        lazy val tombs = KeyedLogSource.tombstonesOf(dataDir, conf)
+        (nm.toSeq.sorted, (n: String) =>
+          if (listed.contains(n)) n
+          else tombs.getOrElse(n, throw new IllegalStateException(
+            s"deep clone: file $n of version $v is gone — its tombstone " +
+              "aged out (vacuum) or a compaction replaced the data plane")))
+    }
+    val dstFs = graft.core.LakeStorage.openFor(dstDir)
+    dstFs.mkdirs(new Path(dstDir))
+    val pairs = names.map(n => (srcRelOf(n), n))
+    try {
+      val bytes = DeepCopy.copyList(dataDir, dstDir, pairs,
+        GraftCatalog.copyThresholdBytes)
+      // carry the source's journaled bounds for the copied names — the
+      // bytes are identical, so the skipping bounds are too
+      val vs = KeyedLogVersionLog.versions(dataDir, conf)
+      val stats =
+        if (vs.isEmpty) Map.empty[String, Map[String, (Long, Long)]]
+        else KeyedLogVersionLog.statsJournaled(dataDir, conf, vs).view
+          .filterKeys(names.toSet).toMap
+      // rival-publish re-check, same window as the manifest deep clone
+      if (fs.exists(new Path(dstDir, MetaFile)))
+        throw new TableAlreadyExistsException((ns :+ dstIdent.name()).toSeq)
+      val v = KeyedLogVersionLog.commit(dstDir, conf, names, stats = stats)
+        .getOrElse(-1L)
+      if (!writeMeta(dstDir, meta.copy(location = None, cloneBranch = None)))
+        throw new TableAlreadyExistsException((ns :+ dstIdent.name()).toSeq)
+      (v, names.length.toLong, bytes)
+    } catch { case e: Throwable =>
+      // ownership-aware cleanup (see the manifest path): unpublished dir
+      // goes wholesale; a rival's live table loses only OUR staged names
+      try {
+        if (!fs.exists(new Path(dstDir, MetaFile))) {
+          dstFs.delete(new Path(dstDir), true); ()
+        } else names.foreach { n =>
+          try { dstFs.delete(new Path(dstDir, n), false); () }
+          catch { case _: java.io.IOException => () }
+        }
+      } catch { case _: java.io.IOException => () }
+      throw e
     }
   }
 

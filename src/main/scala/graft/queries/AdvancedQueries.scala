@@ -912,6 +912,51 @@ object AdvancedQueries extends QueryModule {
         .orderBy("lang")
     },
 
+    // --- keyedlog DEEP CLONE (the document store's DR / storage-tier
+    //     migration): one consistent journal-resolved snapshot — taken
+    //     AFTER a row-level rewrite, so the clone carries the live swap,
+    //     never resurrected pre-images — is copy-verified (md5, staged
+    //     renames, distributed above the size threshold) into the
+    //     target's own root, journaled as its genesis WITH the source's
+    //     column stats (copied bytes keep their skipping bounds), and
+    //     published. The source's table AND directory are then removed
+    //     outright; the clone keeps serving — full independence, the
+    //     contract the booleans pin ---
+    "qk14_keyedlog_deep_clone" -> { (s0, d) =>
+      val s = isolatedSession(s0)
+      val rootDir = graft.core.TempDirs.create("graft_kdc_root_")
+      graft.catalog.GraftCatalog.register(s, "graft_kdc", rootDir)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_kdc.db")
+      Tables.documents(s, d).createOrReplaceTempView("qk14_documents")
+      s.sql("CREATE TABLE graft_kdc.db.src (key STRING, seq BIGINT, " +
+        "metric BIGINT) USING keyedlog")
+      s.sql("INSERT INTO graft_kdc.db.src SELECT lang, doc_id, n_chars " +
+        "FROM qk14_documents WHERE n_chars < 400")
+      s.sql("INSERT INTO graft_kdc.db.src SELECT lang, doc_id, n_chars " +
+        "FROM qk14_documents WHERE n_chars >= 400")
+      s.sql("UPDATE graft_kdc.db.src SET metric = metric + 1000000 " +
+        "WHERE key = 'de'")
+      s.sql("CALL graft_kdc.system.clone('db.src', 'db.dst', deep => true)")
+      // remove the source table AND its directory — the clone owes it nothing
+      s.sql("DROP TABLE graft_kdc.db.src")
+      val srcPath = new org.apache.hadoop.fs.Path(s"$rootDir/db/src")
+      val fsRoot = graft.core.LakeStorage.openFor(rootDir)
+      if (fsRoot.exists(srcPath)) { fsRoot.delete(srcPath, true); () }
+      def planned(df: org.apache.spark.sql.DataFrame): Int = df.rdd.getNumPartitions
+      val t = s.table("graft_kdc.db.dst")
+      // carried stats: the UPDATE raised band-2 files' UPPER bounds (de
+      // rows now carry +1M) but their LOWER bounds stay >= 400, so a
+      // low-band filter still skips every band-2 file on the clone
+      val statsCarried =
+        planned(t.filter(col("metric") < 200L)) < planned(t)
+      t.groupBy(col("key").as("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum("metric").cast("long").as("total_chars"))
+        .withColumn("stats_carried", lit(statsCarried))
+        .withColumn("source_gone", lit(!fsRoot.exists(srcPath)))
+        .orderBy("lang")
+    },
+
     // --- mergeable HLL sketches (Apache DataSketches via Spark 4 built-ins):
     //     build per-(flag, shipdate) PARTIAL sketches, then union-merge to
     //     per-flag distinct estimates — the pre-aggregated sketch-table
@@ -1492,6 +1537,16 @@ object AdvancedQueries extends QueryModule {
            TRUE AS no_prune_before, TRUE AS pruned_after,
            TRUE AS backfilled_some
          FROM documents WHERE n_chars >= 400 GROUP BY lang ORDER BY lang""",
+
+    // the clone is a verified byte-copy of the post-UPDATE live set, so
+    // it replays as documents with the 'de' bump folded in; the
+    // stats-carry and independence facts ride the booleans
+    "qk14_keyedlog_deep_clone" ->
+      """SELECT lang, count(*) AS n_docs,
+           CAST(sum(n_chars) + CASE WHEN lang = 'de'
+             THEN 1000000 * count(*) ELSE 0 END AS BIGINT) AS total_chars,
+           TRUE AS stats_carried, TRUE AS source_gone
+         FROM documents GROUP BY lang ORDER BY lang""",
 
     // per-user day spine via generate_series; LOCF = last_value IGNORE
     // NULLS over the spine (day is unique per user, so the default RANGE

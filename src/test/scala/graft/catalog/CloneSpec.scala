@@ -290,6 +290,43 @@ class CloneSpec extends AnyFunSuite {
       s"clone's new keys must extend the source's mark: $ids")
   }
 
+  test("deep clone migrates a keyedlog table with stats; zero-copy refuses") {
+    ensureDb()
+    spark.sql("CREATE TABLE gc.db.ksrc (key STRING, seq BIGINT, metric BIGINT) " +
+      "USING keyedlog")
+    spark.range(5).selectExpr("'lo' AS key", "id AS seq", "id AS metric")
+      .coalesce(1).writeTo("gc.db.ksrc").append()
+    spark.range(5).selectExpr("'hi' AS key", "id + 5 AS seq", "id + 1000 AS metric")
+      .coalesce(1).writeTo("gc.db.ksrc").append()
+    // a row-level rewrite before the clone: the clone must take the LIVE
+    // set (post-swap files), not resurrect replaced pre-images
+    spark.sql("UPDATE gc.db.ksrc SET metric = metric + 10 WHERE key = 'lo'")
+    spark.sql("CALL gc.system.clone('db.ksrc', 'db.kdst', deep => true)")
+    def rows(t: String) = spark.sql(
+      s"SELECT key, seq, metric FROM $t ORDER BY seq")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(rows("gc.db.kdst") === rows("gc.db.ksrc"),
+      "keyedlog deep clone must be row-for-row identical")
+    // journal-carried stats migrate with the bytes: band pruning works
+    // on the clone without any backfill
+    val planned = spark.table("gc.db.kdst")
+      .filter(org.apache.spark.sql.functions.col("metric") >= 1000L)
+      .rdd.getNumPartitions
+    assert(planned == 1, s"clone must keep skipping bounds, planned=$planned")
+    // full independence: drop the source and remove its dir outright
+    val expected = rows("gc.db.kdst")
+    spark.sql("DROP TABLE gc.db.ksrc")
+    assert(rows("gc.db.kdst") === expected,
+      "deep clone must survive the source's removal")
+    // the zero-copy pin machinery is a manifest branch-log concept
+    spark.sql("CREATE TABLE gc.db.ksrc2 (key STRING, seq BIGINT, metric BIGINT) " +
+      "USING keyedlog")
+    val e = intercept[Exception] {
+      spark.sql("CALL gc.system.clone('db.ksrc2', 'db.kz')")
+    }
+    assert(e.getMessage.contains("deep => true"), e.getMessage)
+  }
+
   test("clones carry generated-column expressions (zero-copy and deep)") {
     ensureDb()
     spark.sql("CREATE TABLE gc.db.gsrc (v BIGINT, dbl BIGINT GENERATED ALWAYS " +
