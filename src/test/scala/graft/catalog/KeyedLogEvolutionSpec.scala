@@ -18,14 +18,14 @@ class KeyedLogEvolutionSpec extends AnyFunSuite {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
-    GraftCatalog.register(s, "gk", root)
+    GraftCatalog.register(s, "gkev", root)
     s
   }
   private lazy val root =
     "file://" + Files.createTempDirectory("graft_klev_").toString
 
   private def ensureDb(): Unit =
-    spark.sql("CREATE NAMESPACE IF NOT EXISTS gk.db")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gkev.db")
 
   private def messageChain(e: Throwable): String =
     Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(10)
@@ -33,13 +33,13 @@ class KeyedLogEvolutionSpec extends AnyFunSuite {
 
   test("pre-drift lines read NULL for added columns; new writes carry them") {
     ensureDb()
-    spark.sql("CREATE TABLE gk.db.t1 (key STRING, seq BIGINT, metric BIGINT) " +
+    spark.sql("CREATE TABLE gkev.db.t1 (key STRING, seq BIGINT, metric BIGINT) " +
       "USING keyedlog")
-    spark.sql("INSERT INTO gk.db.t1 VALUES ('a', 1, 10), ('b', 2, 20)")
-    spark.sql("ALTER TABLE gk.db.t1 ADD COLUMNS (tag STRING, n BIGINT)")
-    spark.sql("INSERT INTO gk.db.t1 VALUES ('c', 3, 30, 'x', 7)")
+    spark.sql("INSERT INTO gkev.db.t1 VALUES ('a', 1, 10), ('b', 2, 20)")
+    spark.sql("ALTER TABLE gkev.db.t1 ADD COLUMNS (tag STRING, n BIGINT)")
+    spark.sql("INSERT INTO gkev.db.t1 VALUES ('c', 3, 30, 'x', 7)")
     val rows = spark.sql(
-      "SELECT key, tag, n FROM gk.db.t1 ORDER BY key").collect()
+      "SELECT key, tag, n FROM gkev.db.t1 ORDER BY key").collect()
     assert(rows.map(r => (r.getString(0), r.isNullAt(1), r.isNullAt(2))).toSeq ==
       Seq(("a", true, true), ("b", true, true), ("c", false, false)))
     assert(rows.last.getString(1) == "x" && rows.last.getLong(2) == 7L)
@@ -47,16 +47,16 @@ class KeyedLogEvolutionSpec extends AnyFunSuite {
 
   test("the extra codec round-trips tabs, newlines, empty strings, and nulls") {
     ensureDb()
-    spark.sql("CREATE TABLE gk.db.t2 (key STRING, seq BIGINT, metric BIGINT) " +
+    spark.sql("CREATE TABLE gkev.db.t2 (key STRING, seq BIGINT, metric BIGINT) " +
       "USING keyedlog")
-    spark.sql("ALTER TABLE gk.db.t2 ADD COLUMNS (tag STRING)")
-    spark.sql("INSERT INTO gk.db.t2 VALUES " +
+    spark.sql("ALTER TABLE gkev.db.t2 ADD COLUMNS (tag STRING)")
+    spark.sql("INSERT INTO gkev.db.t2 VALUES " +
       "('a', 1, 1, concat('x', chr(9), 'y')), " +  // embedded tab
       "('b', 2, 2, concat('p', chr(10), 'q')), " + // embedded newline
       "('c', 3, 3, ''), " +                        // empty string stays empty
       "('d', 4, 4, NULL), " +                      // real null
       "('e', 5, 5, '\\\\N')")                      // a literal backslash-N STRING
-    val got = spark.sql("SELECT key, tag FROM gk.db.t2 ORDER BY key")
+    val got = spark.sql("SELECT key, tag FROM gkev.db.t2 ORDER BY key")
       .collect().map(r => (r.getString(0), if (r.isNullAt(1)) null else r.getString(1)))
     assert(got.toSeq == Seq(("a", "x\ty"), ("b", "p\nq"), ("c", ""),
       ("d", null), ("e", "\\N")))
@@ -64,14 +64,14 @@ class KeyedLogEvolutionSpec extends AnyFunSuite {
 
   test("UPDATE and compaction rewrite the full declared width") {
     ensureDb()
-    spark.sql("CREATE TABLE gk.db.t3 (key STRING, seq BIGINT, metric BIGINT) " +
+    spark.sql("CREATE TABLE gkev.db.t3 (key STRING, seq BIGINT, metric BIGINT) " +
       "USING keyedlog")
-    spark.sql("INSERT INTO gk.db.t3 VALUES ('a', 1, 10)")
-    spark.sql("ALTER TABLE gk.db.t3 ADD COLUMNS (tag STRING)")
-    spark.sql("INSERT INTO gk.db.t3 VALUES ('a', 2, 20, 'keep')")
-    spark.sql("UPDATE gk.db.t3 SET metric = metric + 100 WHERE seq = 2")
-    spark.sql("CALL gk.system.compact('db.t3')")
-    val got = spark.sql("SELECT seq, metric, tag FROM gk.db.t3 ORDER BY seq")
+    spark.sql("INSERT INTO gkev.db.t3 VALUES ('a', 1, 10)")
+    spark.sql("ALTER TABLE gkev.db.t3 ADD COLUMNS (tag STRING)")
+    spark.sql("INSERT INTO gkev.db.t3 VALUES ('a', 2, 20, 'keep')")
+    spark.sql("UPDATE gkev.db.t3 SET metric = metric + 100 WHERE seq = 2")
+    spark.sql("CALL gkev.system.compact('db.t3')")
+    val got = spark.sql("SELECT seq, metric, tag FROM gkev.db.t3 ORDER BY seq")
       .collect().map(r => (r.getLong(0), r.getLong(1),
         if (r.isNullAt(2)) null else r.getString(2)))
     assert(got.toSeq == Seq((1L, 10L, null), (2L, 120L, "keep")),
@@ -80,13 +80,13 @@ class KeyedLogEvolutionSpec extends AnyFunSuite {
 
   test("the change feed serves the drifted width") {
     ensureDb()
-    spark.sql("CREATE TABLE gk.db.t4 (key STRING, seq BIGINT, metric BIGINT) " +
+    spark.sql("CREATE TABLE gkev.db.t4 (key STRING, seq BIGINT, metric BIGINT) " +
       "USING keyedlog")
-    spark.sql("INSERT INTO gk.db.t4 VALUES ('a', 1, 10)")       // v0
-    spark.sql("ALTER TABLE gk.db.t4 ADD COLUMNS (tag STRING)")
-    spark.sql("INSERT INTO gk.db.t4 VALUES ('b', 2, 20, 'x')")  // v1
+    spark.sql("INSERT INTO gkev.db.t4 VALUES ('a', 1, 10)")       // v0
+    spark.sql("ALTER TABLE gkev.db.t4 ADD COLUMNS (tag STRING)")
+    spark.sql("INSERT INTO gkev.db.t4 VALUES ('b', 2, 20, 'x')")  // v1
     val got = spark.read.option("start_version", "-1")
-      .table("gk.db.t4.changes")
+      .table("gkev.db.t4.changes")
       .selectExpr("key", "tag", "_change_type")
       .collect().map(r => (r.getString(0),
         if (r.isNullAt(1)) null else r.getString(1), r.getString(2))).toSet
@@ -95,39 +95,39 @@ class KeyedLogEvolutionSpec extends AnyFunSuite {
 
   test("DDL guards: non-nullable, defaults, bad types, drops, renames") {
     ensureDb()
-    spark.sql("CREATE TABLE gk.db.t5 (key STRING, seq BIGINT, metric BIGINT) " +
+    spark.sql("CREATE TABLE gkev.db.t5 (key STRING, seq BIGINT, metric BIGINT) " +
       "USING keyedlog")
-    spark.sql("ALTER TABLE gk.db.t5 ADD COLUMNS (tag STRING)")
+    spark.sql("ALTER TABLE gkev.db.t5 ADD COLUMNS (tag STRING)")
     def rejects(ddl: String, needle: String): Unit = {
       val e = intercept[Exception] { spark.sql(ddl) }
       assert(messageChain(e).toLowerCase.contains(needle.toLowerCase),
         s"expected '$needle' in: ${messageChain(e)}")
     }
-    rejects("ALTER TABLE gk.db.t5 ADD COLUMNS (bad BIGINT NOT NULL)", "nullable")
-    rejects("ALTER TABLE gk.db.t5 ADD COLUMNS (bad BIGINT DEFAULT 7)", "DEFAULT")
-    rejects("ALTER TABLE gk.db.t5 ADD COLUMNS (bad DOUBLE)", "STRING or BIGINT")
-    rejects("ALTER TABLE gk.db.t5 DROP COLUMN tag", "ADD COLUMNS only")
-    rejects("ALTER TABLE gk.db.t5 RENAME COLUMN tag TO tag2", "ADD COLUMNS only")
-    rejects("ALTER TABLE gk.db.t5 ADD COLUMNS (tag STRING)", "already exists")
+    rejects("ALTER TABLE gkev.db.t5 ADD COLUMNS (bad BIGINT NOT NULL)", "nullable")
+    rejects("ALTER TABLE gkev.db.t5 ADD COLUMNS (bad BIGINT DEFAULT 7)", "DEFAULT")
+    rejects("ALTER TABLE gkev.db.t5 ADD COLUMNS (bad DOUBLE)", "STRING or BIGINT")
+    rejects("ALTER TABLE gkev.db.t5 DROP COLUMN tag", "ADD COLUMNS only")
+    rejects("ALTER TABLE gkev.db.t5 RENAME COLUMN tag TO tag2", "ADD COLUMNS only")
+    rejects("ALTER TABLE gkev.db.t5 ADD COLUMNS (tag STRING)", "already exists")
     // underscore names are the reserved metadata namespace — an extra
     // named _klfile would shadow the row-level group column
-    rejects("ALTER TABLE gk.db.t5 ADD COLUMNS (_klfile STRING)", "reserved")
+    rejects("ALTER TABLE gkev.db.t5 ADD COLUMNS (_klfile STRING)", "reserved")
   }
 
   test("the core prefix is stored canonically nullable (a NOT NULL lie " +
       "would let the optimizer fold wrong answers)") {
     ensureDb()
-    spark.sql("CREATE TABLE gk.db.t8 (key STRING NOT NULL, seq BIGINT, " +
+    spark.sql("CREATE TABLE gkev.db.t8 (key STRING NOT NULL, seq BIGINT, " +
       "metric BIGINT, tag STRING) USING keyedlog")
-    assert(spark.table("gk.db.t8").schema.fields.forall(_.nullable),
-      spark.table("gk.db.t8").schema.treeString)
+    assert(spark.table("gkev.db.t8").schema.fields.forall(_.nullable),
+      spark.table("gkev.db.t8").schema.treeString)
     // the format really does write null keys — the declared schema must
     // admit what reads can produce
-    spark.sql("INSERT INTO gk.db.t8 VALUES (NULL, 1, 1, 'x')")
-    assert(spark.sql("SELECT count(*) FROM gk.db.t8 WHERE key IS NULL")
+    spark.sql("INSERT INTO gkev.db.t8 VALUES (NULL, 1, 1, 'x')")
+    assert(spark.sql("SELECT count(*) FROM gkev.db.t8 WHERE key IS NULL")
       .head().getLong(0) == 1L)
     val e = intercept[Exception] {
-      spark.sql("CREATE TABLE gk.db.t9 (key STRING, seq BIGINT, " +
+      spark.sql("CREATE TABLE gkev.db.t9 (key STRING, seq BIGINT, " +
         "metric BIGINT, _change_type STRING) USING keyedlog")
     }
     assert(messageChain(e).contains("reserved"), messageChain(e))
@@ -135,12 +135,12 @@ class KeyedLogEvolutionSpec extends AnyFunSuite {
 
   test("CREATE TABLE with extras up front; core prefix enforced") {
     ensureDb()
-    spark.sql("CREATE TABLE gk.db.t6 (key STRING, seq BIGINT, metric BIGINT, " +
+    spark.sql("CREATE TABLE gkev.db.t6 (key STRING, seq BIGINT, metric BIGINT, " +
       "tag STRING, n BIGINT) USING keyedlog")
-    spark.sql("INSERT INTO gk.db.t6 VALUES ('a', 1, 1, 'x', 5)")
-    assert(spark.sql("SELECT tag FROM gk.db.t6").head().getString(0) == "x")
+    spark.sql("INSERT INTO gkev.db.t6 VALUES ('a', 1, 1, 'x', 5)")
+    assert(spark.sql("SELECT tag FROM gkev.db.t6").head().getString(0) == "x")
     val e = intercept[Exception] {
-      spark.sql("CREATE TABLE gk.db.t7 (wrong STRING, seq BIGINT) USING keyedlog")
+      spark.sql("CREATE TABLE gkev.db.t7 (wrong STRING, seq BIGINT) USING keyedlog")
     }
     assert(messageChain(e).contains("fixed core"), messageChain(e))
   }

@@ -25,14 +25,14 @@ class KeyedLogStatsSpec extends AnyFunSuite {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
-    GraftCatalog.register(s, "gs", root)
+    GraftCatalog.register(s, "gkls", root)
     s
   }
   private lazy val root =
     "file://" + Files.createTempDirectory("graft_klstats_").toString
 
   private def ensureDb(): Unit =
-    spark.sql("CREATE NAMESPACE IF NOT EXISTS gs.db")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gkls.db")
 
   /** A plain keyedlog scan plans one split per surviving file. */
   private def planned(df: org.apache.spark.sql.DataFrame): Int =
@@ -40,16 +40,16 @@ class KeyedLogStatsSpec extends AnyFunSuite {
 
   test("disjoint-band appends prune on metric bounds; results stay exact") {
     ensureDb()
-    spark.sql("CREATE TABLE gs.db.t1 (key STRING, seq BIGINT, metric BIGINT) " +
+    spark.sql("CREATE TABLE gkls.db.t1 (key STRING, seq BIGINT, metric BIGINT) " +
       "USING keyedlog")
     // one file per insert (coalesced input), three disjoint metric bands
     spark.range(10).selectExpr("'a' AS key", "id AS seq", "id AS metric")
-      .coalesce(1).writeTo("gs.db.t1").append()
+      .coalesce(1).writeTo("gkls.db.t1").append()
     spark.range(10).selectExpr("'b' AS key", "id + 10 AS seq", "id + 100 AS metric")
-      .coalesce(1).writeTo("gs.db.t1").append()
+      .coalesce(1).writeTo("gkls.db.t1").append()
     spark.range(10).selectExpr("'c' AS key", "id + 20 AS seq", "id + 200 AS metric")
-      .coalesce(1).writeTo("gs.db.t1").append()
-    val t = spark.table("gs.db.t1")
+      .coalesce(1).writeTo("gkls.db.t1").append()
+    val t = spark.table("gkls.db.t1")
     assert(planned(t) == 3)
     assert(planned(t.filter(col("metric") >= 200L)) == 1,
       "only the third band's file may survive metric >= 200")
@@ -64,11 +64,11 @@ class KeyedLogStatsSpec extends AnyFunSuite {
 
   test("all-null columns prune for comparisons but never lose rows") {
     ensureDb()
-    spark.sql("CREATE TABLE gs.db.t2 (key STRING, seq BIGINT, metric BIGINT) " +
+    spark.sql("CREATE TABLE gkls.db.t2 (key STRING, seq BIGINT, metric BIGINT) " +
       "USING keyedlog")
-    spark.sql("INSERT INTO gs.db.t2 VALUES ('a', 1, NULL), ('a', 2, NULL)")
-    spark.sql("INSERT INTO gs.db.t2 VALUES ('b', 3, 30)")
-    val t = spark.table("gs.db.t2")
+    spark.sql("INSERT INTO gkls.db.t2 VALUES ('a', 1, NULL), ('a', 2, NULL)")
+    spark.sql("INSERT INTO gkls.db.t2 VALUES ('b', 3, 30)")
+    val t = spark.table("gkls.db.t2")
     // the all-null-metric file has no 'metric' stats key -> prunable for
     // any comparison (no NULL satisfies one)
     assert(planned(t.filter(col("metric") > 0L)) == 1)
@@ -80,12 +80,12 @@ class KeyedLogStatsSpec extends AnyFunSuite {
 
   test("pre-drift files prune on a column added later") {
     ensureDb()
-    spark.sql("CREATE TABLE gs.db.t3 (key STRING, seq BIGINT, metric BIGINT) " +
+    spark.sql("CREATE TABLE gkls.db.t3 (key STRING, seq BIGINT, metric BIGINT) " +
       "USING keyedlog")
-    spark.sql("INSERT INTO gs.db.t3 VALUES ('a', 1, 10), ('b', 2, 20)")
-    spark.sql("ALTER TABLE gs.db.t3 ADD COLUMNS (tag STRING, n BIGINT)")
-    spark.sql("INSERT INTO gs.db.t3 VALUES ('c', 3, 30, 'x', 7)")
-    val t = spark.table("gs.db.t3")
+    spark.sql("INSERT INTO gkls.db.t3 VALUES ('a', 1, 10), ('b', 2, 20)")
+    spark.sql("ALTER TABLE gkls.db.t3 ADD COLUMNS (tag STRING, n BIGINT)")
+    spark.sql("INSERT INTO gkls.db.t3 VALUES ('c', 3, 30, 'x', 7)")
+    val t = spark.table("gkls.db.t3")
     assert(planned(t) >= 2) // pre-drift rows may span multiple task files
     // the pre-drift file's stats entry has no key for the BIGINT extra:
     // all-null there, so a comparison on it skips the file entirely
@@ -98,14 +98,14 @@ class KeyedLogStatsSpec extends AnyFunSuite {
 
   test("stats survive compaction and row-level rewrites") {
     ensureDb()
-    spark.sql("CREATE TABLE gs.db.t4 (key STRING, seq BIGINT, metric BIGINT) " +
+    spark.sql("CREATE TABLE gkls.db.t4 (key STRING, seq BIGINT, metric BIGINT) " +
       "USING keyedlog")
     spark.range(5).selectExpr("'lo' AS key", "id AS seq", "id AS metric")
-      .coalesce(1).writeTo("gs.db.t4").append()
+      .coalesce(1).writeTo("gkls.db.t4").append()
     spark.range(5).selectExpr("'hi' AS key", "id + 5 AS seq", "id + 1000 AS metric")
-      .coalesce(1).writeTo("gs.db.t4").append()
-    spark.sql("CALL gs.system.compact('db.t4')")
-    val t = spark.table("gs.db.t4")
+      .coalesce(1).writeTo("gkls.db.t4").append()
+    spark.sql("CALL gkls.system.compact('db.t4')")
+    val t = spark.table("gkls.db.t4")
     // compaction rewrote to one clustered file per key; the rewrite entry
     // carries the freshly computed bounds, so band pruning still works
     assert(planned(t) == 2)
@@ -113,8 +113,8 @@ class KeyedLogStatsSpec extends AnyFunSuite {
       "compacted files must keep journal-carried stats")
     assert(t.filter(col("metric") >= 1000L).count() == 5)
     // a row-level UPDATE journals its replacement file's stats too
-    spark.sql("UPDATE gs.db.t4 SET metric = metric + 10000 WHERE key = 'lo'")
-    val t2 = spark.table("gs.db.t4")
+    spark.sql("UPDATE gkls.db.t4 SET metric = metric + 10000 WHERE key = 'lo'")
+    val t2 = spark.table("gkls.db.t4")
     assert(planned(t2.filter(col("metric") >= 10000L)) == 1,
       "the un-updated key's file must prune on the new bounds")
     assert(t2.filter(col("metric") >= 10000L).count() == 5)
@@ -135,27 +135,27 @@ class KeyedLogStatsSpec extends AnyFunSuite {
 
   test("collect_stats backfills bounds for pre-stats files without a rewrite") {
     ensureDb()
-    spark.sql("CREATE TABLE gs.db.t6 (key STRING, seq BIGINT, metric BIGINT) " +
+    spark.sql("CREATE TABLE gkls.db.t6 (key STRING, seq BIGINT, metric BIGINT) " +
       "USING keyedlog")
     spark.range(5).selectExpr("'a' AS key", "id AS seq", "id AS metric")
-      .coalesce(1).writeTo("gs.db.t6").append()
+      .coalesce(1).writeTo("gkls.db.t6").append()
     spark.range(5).selectExpr("'b' AS key", "id + 5 AS seq", "id + 1000 AS metric")
-      .coalesce(1).writeTo("gs.db.t6").append()
-    spark.sql("ALTER TABLE gs.db.t6 ADD COLUMNS (n BIGINT)")
+      .coalesce(1).writeTo("gkls.db.t6").append()
+    spark.sql("ALTER TABLE gkls.db.t6 ADD COLUMNS (n BIGINT)")
     spark.range(5).selectExpr("'c' AS key", "id + 10 AS seq",
         "id + 2000 AS metric", "id AS n")
-      .coalesce(1).writeTo("gs.db.t6").append()
+      .coalesce(1).writeTo("gkls.db.t6").append()
     val dir = root.stripPrefix("file://") + "/db/t6"
     stripStats(dir)
-    val t0 = spark.table("gs.db.t6")
+    val t0 = spark.table("gkls.db.t6")
     assert(planned(t0.filter(col("metric") >= 2000L)) == 3,
       "stripped stats: nothing prunes")
     val dataBefore = new java.io.File(dir).listFiles()
       .filter(f => !f.getName.startsWith("_") && !f.getName.startsWith("."))
       .map(f => (f.getName, f.lastModified())).sorted.toSeq
-    val row = spark.sql("CALL gs.system.collect_stats('db.t6')").head()
+    val row = spark.sql("CALL gkls.system.collect_stats('db.t6')").head()
     assert(row.getLong(1) == 3L, s"expected 3 backfilled files, got $row")
-    val t = spark.table("gs.db.t6")
+    val t = spark.table("gkls.db.t6")
     assert(planned(t.filter(col("metric") >= 2000L)) == 1,
       "backfilled bounds must prune")
     assert(planned(t.filter(col("n") >= 0L)) == 1,
@@ -167,29 +167,29 @@ class KeyedLogStatsSpec extends AnyFunSuite {
       .map(f => (f.getName, f.lastModified())).sorted.toSeq
     assert(dataAfter == dataBefore, "backfill must not touch data files")
     // idempotent: a second call finds nothing missing
-    assert(spark.sql("CALL gs.system.collect_stats('db.t6')").head()
+    assert(spark.sql("CALL gkls.system.collect_stats('db.t6')").head()
       .getLong(1) == 0L)
     // mode => 'all' recomputes everything
-    assert(spark.sql("CALL gs.system.collect_stats('db.t6', mode => 'all')")
+    assert(spark.sql("CALL gkls.system.collect_stats('db.t6', mode => 'all')")
       .head().getLong(1) == 3L)
   }
 
   test("collect_stats on a pre-journal dir journals genesis names WITH bounds") {
     ensureDb()
-    spark.sql("CREATE TABLE gs.db.t7 (key STRING, seq BIGINT, metric BIGINT) " +
+    spark.sql("CREATE TABLE gkls.db.t7 (key STRING, seq BIGINT, metric BIGINT) " +
       "USING keyedlog")
     spark.range(4).selectExpr("'a' AS key", "id AS seq", "id AS metric")
-      .coalesce(1).writeTo("gs.db.t7").append()
+      .coalesce(1).writeTo("gkls.db.t7").append()
     spark.range(4).selectExpr("'b' AS key", "id + 4 AS seq", "id + 100 AS metric")
-      .coalesce(1).writeTo("gs.db.t7").append()
+      .coalesce(1).writeTo("gkls.db.t7").append()
     // simulate a pre-journal dir (hand-managed files): drop the journal
     val dir = root.stripPrefix("file://") + "/db/t7"
     new java.io.File(dir).listFiles()
       .filter(f => f.getName.startsWith("_klogv_"))
       .foreach(f => assert(f.delete()))
-    val row = spark.sql("CALL gs.system.collect_stats('db.t7')").head()
+    val row = spark.sql("CALL gkls.system.collect_stats('db.t7')").head()
     assert(row.getLong(1) == 2L, s"expected 2 genesis files, got $row")
-    val t = spark.table("gs.db.t7")
+    val t = spark.table("gkls.db.t7")
     assert(planned(t.filter(col("metric") >= 100L)) == 1,
       "genesis-journaled bounds must prune")
     assert(t.filter(col("metric") >= 100L).count() == 4)
@@ -198,10 +198,10 @@ class KeyedLogStatsSpec extends AnyFunSuite {
 
   test("pre-stats journal entries leave files unpruned (never wrong)") {
     ensureDb()
-    spark.sql("CREATE TABLE gs.db.t5 (key STRING, seq BIGINT, metric BIGINT) " +
+    spark.sql("CREATE TABLE gkls.db.t5 (key STRING, seq BIGINT, metric BIGINT) " +
       "USING keyedlog")
     spark.range(3).selectExpr("'a' AS key", "id AS seq", "id AS metric")
-      .coalesce(1).writeTo("gs.db.t5").append()
+      .coalesce(1).writeTo("gkls.db.t5").append()
     // simulate a pre-stats writer: strip "st" from the journal entry
     val dir = root.stripPrefix("file://") + "/db/t5"
     val marker = new java.io.File(dir).listFiles()
@@ -211,7 +211,7 @@ class KeyedLogStatsSpec extends AnyFunSuite {
       org.json4s.jackson.JsonMethods.render(
         org.json4s.jackson.JsonMethods.parse(txt).removeField(_._1 == "st")))
     Files.write(marker.toPath, stripped.getBytes("UTF-8"))
-    val t = spark.table("gs.db.t5")
+    val t = spark.table("gkls.db.t5")
     assert(planned(t.filter(col("metric") > 100L)) == 1,
       "a file without journaled stats must never be pruned")
     assert(t.filter(col("metric") > 100L).count() == 0)
