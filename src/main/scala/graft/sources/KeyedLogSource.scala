@@ -807,16 +807,29 @@ private[graft] object KeyedLogVersionLog {
           return Entry(strs(arr), None, rewrite = false, None, None, None)
         case Some(o: org.json4s.JObject) =>
           val m = o.obj.toMap
+          // stats parse is STRICT: an empty col map means "all tracked
+          // columns were all-null" and a missing col key means "all-null
+          // there" — both PRUNE files, so silently defaulting a malformed
+          // entry to either would turn marker corruption into missing
+          // rows. Corruption fails loudly, like every other field.
           val st: Map[String, Map[String, (Long, Long)]] = m.get("st") match {
             case Some(org.json4s.JObject(files)) => files.toMap.map {
-              case (f, org.json4s.JObject(cols)) => f -> cols.toMap.collect {
+              case (f, org.json4s.JObject(cols)) => f -> cols.toMap.map {
                 case (c, org.json4s.JArray(List(
                     org.json4s.JInt(lo), org.json4s.JInt(hi)))) =>
                   c -> ((lo.toLong, hi.toLong))
+                case (c, other) => throw new IllegalStateException(
+                  s"corrupt keyed_log journal marker v$v: stats for $f.$c " +
+                    s"should be [min,max], got $other")
               }
-              case (f, _) => f -> Map.empty[String, (Long, Long)]
+              case (f, other) => throw new IllegalStateException(
+                s"corrupt keyed_log journal marker v$v: stats for $f should " +
+                  s"be an object, got $other")
             }
-            case _ => Map.empty
+            case None => Map.empty
+            case Some(other) => throw new IllegalStateException(
+              s"corrupt keyed_log journal marker v$v: 'st' should be an " +
+                s"object, got $other")
           }
           return Entry(strs(m.getOrElse("n", org.json4s.JArray(Nil))),
             m.get("all").map(strs), m.contains("rw"), m.get("live").map(strs),
