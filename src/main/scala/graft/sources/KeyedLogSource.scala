@@ -1348,6 +1348,7 @@ class KeyedLogScanBuilder(path: String, bucketN: Option[Int] = None,
       case GreaterThanOrEqual(c, _: Long)  => statsCol(c)
       case LessThan(c, _: Long)            => statsCol(c)
       case LessThanOrEqual(c, _: Long)     => statsCol(c)
+      case IsNotNull(c)                    => statsCol(c)
       case _                         => false
     }
     filters
@@ -1541,8 +1542,11 @@ case class KeyedLogScan(path: String, required: StructType,
   // are never pruned; a stats-carrying file MISSING a column's entry had
   // only NULLs there (including pre-drift files vs later-added columns),
   // which no comparison matches — prunable. Applies to the plain-scan
-  // branch (and size estimation); clustered key-grouped reads keep their
-  // group shape untouched. ----
+  // branch, size estimation, AND inside key-grouped reads (groups prune
+  // files and empty groups drop — see keyGroups). IS NOT NULL prunes for
+  // free (a bounds entry exists iff the column had a non-null value);
+  // IS NULL pruning would need a null-count in the entry — a format rev,
+  // deliberately not taken. ----
 
   /** (stats key, bounds predicate) per pushed comparison conjunct. */
   @transient private lazy val boundsPreds: Seq[(String, (Long, Long) => Boolean)] = {
@@ -1559,6 +1563,11 @@ case class KeyedLogScan(path: String, required: StructType,
         k(c).map(key => key -> ((lo: Long, _: Long) => lo < v))
       case LessThanOrEqual(c, v: Long) =>
         k(c).map(key => key -> ((lo: Long, _: Long) => lo <= v))
+      // IS NOT NULL needs no bounds at all: any bounds entry means the
+      // column had a non-null value, and a stats-carrying file MISSING
+      // the key was all-null — exactly the files this predicate drops
+      case IsNotNull(c) =>
+        k(c).map(key => key -> ((_: Long, _: Long) => true))
       case _ => None
     }
   }
@@ -1621,6 +1630,19 @@ case class KeyedLogScan(path: String, required: StructType,
         .filter { case (k, _) =>
           if (k == null) !dropNullKeyGroup else allowedKeys.forall(_.contains(k))
         }
+        // journal-carried bounds prune WITHIN groups too (computed here,
+        // inside the one lazy resolution both outputPartitioning and
+        // planInputPartitions share, so the reported grouping and the
+        // planned splits can never desync — the reason RUNTIME filters
+        // must stay reader-level does not apply to static pushdown).
+        // A key whose every file is outside the bounds drops its whole
+        // group, same as key pruning; a partially pruned group still
+        // holds all SURVIVING rows of its key in one partition, which is
+        // all KeyGroupedPartitioning promises.
+        .map { case (k, fs) =>
+          (k, fs.filter(f => statsAllow(new Path(f).getName)))
+        }
+        .filter(_._2.nonEmpty)
         .toSeq
         .sortWith((a, b) => a._1 == null || (b._1 != null && a._1 < b._1)))
         .filter(_.nonEmpty)

@@ -196,6 +196,62 @@ class KeyedLogStatsSpec extends AnyFunSuite {
     assert(t.count() == 8)
   }
 
+  test("IS NOT NULL prunes all-null files, including pre-drift ones") {
+    ensureDb()
+    spark.sql("CREATE TABLE gkls.db.t8 (key STRING, seq BIGINT, metric BIGINT) " +
+      "USING keyedlog")
+    spark.sql("INSERT INTO gkls.db.t8 VALUES ('a', 1, NULL), ('a', 2, NULL)")
+    spark.sql("ALTER TABLE gkls.db.t8 ADD COLUMNS (n BIGINT)")
+    spark.sql("INSERT INTO gkls.db.t8 VALUES ('b', 3, 30, 7)")
+    val t = spark.table("gkls.db.t8")
+    assert(planned(t.filter(col("metric").isNotNull)) == 1,
+      "the all-null-metric file must prune under IS NOT NULL")
+    assert(t.filter(col("metric").isNotNull).count() == 1)
+    assert(planned(t.filter(col("n").isNotNull)) == 1,
+      "pre-drift files are all-null for the added column")
+    assert(t.filter(col("n").isNotNull).count() == 1)
+    // IS NULL is NOT pruned (would need null counts) but stays correct
+    assert(t.filter(col("metric").isNull).count() == 2)
+  }
+
+  test("key-grouped (clustered) reads prune files inside groups by bounds") {
+    ensureDb()
+    spark.sql("CREATE TABLE gkls.db.t9 (key STRING, seq BIGINT, metric BIGINT) " +
+      "USING keyedlog")
+    // two clustered writes -> per key, one file per band
+    spark.range(4).selectExpr(
+        "CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END AS key",
+        "id AS seq", "id AS metric")
+      .writeTo("gkls.db.t9").option("clusterByKey", "true").append()
+    spark.range(4).selectExpr(
+        "CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END AS key",
+        "id + 4 AS seq", "id + 1000 AS metric")
+      .writeTo("gkls.db.t9").option("clusterByKey", "true").append()
+    val prev = spark.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
+    try {
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      val t = spark.table("gkls.db.t9")
+      // key-grouped: one partition per key (2), whatever the file count
+      assert(planned(t) == 2, s"expected 2 key groups, got ${planned(t)}")
+      // a band filter keeps the grouping but halves each group's files;
+      // group count is unchanged (all keys still have matching files)
+      assert(planned(t.filter(col("metric") >= 1000L)) == 2)
+      assert(t.filter(col("metric") >= 1000L).count() == 4)
+      // group-level pruning: a filter only the null-key group could miss
+      // drops nothing here, but a band NO file satisfies drops ALL groups
+      assert(planned(t.filter(col("metric") > 100000L)) == 0)
+      // the shuffle-free key aggregation still answers exactly under a
+      // band filter (partitioning and splits come from the same lazy
+      // resolution, so they cannot desync)
+      val agg = t.filter(col("metric") >= 1000L).groupBy("key").count()
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      assert(agg == Map("a" -> 2L, "b" -> 2L), agg.toString)
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.v2.bucketing.enabled", v)
+      case None => spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+    }
+  }
+
   test("pre-stats journal entries leave files unpruned (never wrong)") {
     ensureDb()
     spark.sql("CREATE TABLE gkls.db.t5 (key STRING, seq BIGINT, metric BIGINT) " +
