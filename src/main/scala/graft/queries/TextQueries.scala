@@ -805,9 +805,14 @@ object TextQueries extends QueryModule {
     * exists to prevent. Top-N selection is a distributed
     * TakeOrderedAndProject, never a single-partition sort. */
   private def lmScores(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    // Project the token array into its own column BEFORE the ngram HOF
+    // (the shingleSet pattern): inlined, every element_at(tokens(text), i)
+    // in the transform lambda re-runs the split — O(tokens²) splitting per
+    // document, measured ~6× slower on this gate (optimization round 15).
     def bigrams(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_id"), col("lang"), tokens(col("text")).as("_toks"))
       .select(col("doc_id"), col("lang"),
-        explode(ngrams(tokens(col("text")), 2)).as("bigram"))
+        explode(ngrams(col("_toks"), 2)).as("bigram"))
       .withColumn("w1", split(col("bigram"), " ").getItem(0))
     val refBi = bigrams(docs.filter(col("lang") === lmRefLang))
     val c2 = refBi.groupBy("bigram").agg(count(lit(1)).as("c2"))
