@@ -41,11 +41,17 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // Hot-tier condition (default on; SPARK_GRAFT_CACHE=0 for cold scans):
-    // cache the input tables once — Spark's CacheManager matches canonical
-    // plans, so every query's spark.read.parquet of the same path serves
-    // from memory, the serving condition of a warmed cluster cache tier.
-    if (sys.env.getOrElse("SPARK_GRAFT_CACHE", "1") == "1") {
+    // COLD scans by default (optimization round 15 — a measurement-
+    // methodology fix, called out in OPTIMIZATION_r15.md): rounds <= 14
+    // cached every base table BEFORE the timed region ("hot-tier"
+    // condition, SPARK_GRAFT_CACHE default 1), so recorded rounds read
+    // from memory instead of the parquet inputs — which hides the scan
+    // path (pushdown, pruning, split planning) from every measurement
+    // and amounts to pre-computing input outside the timed region.
+    // Every bench invocation now computes from the parquet inputs; the
+    // knob remains (SPARK_GRAFT_CACHE=1) to reproduce the old artifacts'
+    // hot-tier condition for cross-round comparisons.
+    if (sys.env.getOrElse("SPARK_GRAFT_CACHE", "0") == "1") {
       // events needs its nanos conversion path (plain load rejects ns parquet)
       graft.core.Tables.names.filterNot(_ == "events").foreach { t =>
         try graft.core.Tables.load(spark, sfDir, t).cache().count()
@@ -143,7 +149,7 @@ object Bench {
       // comparisons must match env.cpus or compare the default-cpu
       // self-bench artifacts (BENCH_SELF_r*.json)
       val env = s"""{"cpus":"$cpus","shuffle_partitions":"$cpus","stat":"$stat",""" +
-        s""""rounds":$rounds,"cache":"${sys.env.getOrElse("SPARK_GRAFT_CACHE", "1")}",""" +
+        s""""rounds":$rounds,"cache":"${sys.env.getOrElse("SPARK_GRAFT_CACHE", "0")}",""" +
         s""""partial":$partial,"rounds_done":$roundsDone}"""
       // per-micro-batch wall times the streaming gates recorded (all rounds,
       // arrival order; batch -1 = the whole drain): localizes a stream-gate

@@ -33,7 +33,10 @@ object Dedup {
     // Project the token array into its own column first: inlining
     // `tokens()` into the shingle HOF makes Catalyst re-evaluate the regex
     // split at every reference (when/size/transform) — ~10x slower.
-    val sh = docs
+    // fanOut: tokenization + shingle explosion is the heavy map stage of
+    // every dedup operator — spread a narrow input (single-file scan,
+    // micro-batch) across the session's cores; no-op on wide inputs.
+    val sh = graft.core.Parallelism.fanOut(docs)
       .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("_toks"))
       .select(col("doc_id"), explode(shingles(col("_toks"), n)).as("s"))
     maxShingleDocFreq.fold(sh) { cap =>
@@ -67,7 +70,7 @@ object Dedup {
     * them. */
   def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
                       n: Int, minDocs: Int = 2): DataFrame =
-    docs
+    graft.core.Parallelism.fanOut(docs) // heavy n-gram explosion below
       .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("_toks"))
       .where(size(col("_toks")) >= n)
       .select(col("doc_id"), explode(ngrams(col("_toks"), n)).as("span"))
@@ -93,7 +96,7 @@ object Dedup {
   def duplicatedSpanOffsets(docs: DataFrame, idCol: String, textCol: String,
                             n: Int, minDocs: Int = 2,
                             materialize: Boolean = true): DataFrame = {
-    val occ0 = docs
+    val occ0 = graft.core.Parallelism.fanOut(docs) // heavy n-gram explosion
       .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("_toks"))
       .where(size(col("_toks")) >= n)
       .select(col("doc_id"),
@@ -132,7 +135,8 @@ object Dedup {
         col("start_token") === col("c.start_token")))
       .groupBy("doc_id")
       .agg(collect_set(col("start_token")).as("mask_starts"))
-    docs
+    graft.core.Parallelism.fanOut(docs) // per-doc HOF rebuild below; the
+      // broadcast join keeps the docs side's own (possibly 1-partition) width
       .select(col(idCol).as("doc_id"), col(textCol).as("_text"),
         tokens(col(textCol)).as("_toks"))
       .join(maskStarts, Seq("doc_id"), "left")

@@ -26,18 +26,29 @@ object AdvancedQueries extends QueryModule {
 
   /** qa05's 100 TB mode, isolated so PlanShapeSpec can gate ITS plan:
     * the same one-pass profile with every exact countDistinct swapped
-    * for approx_count_distinct. Swapping doesn't just keep the plan — it
-    * DROPS the Expand (no distinct aggs remain to expand), leaving one
-    * scan feeding one partial/final aggregate pair. */
+    * for an approximate-NDV sketch. Swapping doesn't just keep the plan —
+    * it DROPS the Expand (no distinct aggs remain to expand), leaving one
+    * scan feeding one partial/final aggregate pair.
+    *
+    * Estimator (optimization round 15): Datasketches HLL
+    * (hll_sketch_agg, lgConfigK=14 — the same ~1% error class as
+    * approx_count_distinct rsd=0.01) instead of Spark's HLL++. The HLL++
+    * buffer at rsd=0.01 is ~1.6k flat LONG columns PER AGG, and
+    * HashAggregate's codegen unrolls over every buffer column — one
+    * rsd=0.01 agg measured ~0.9 s on a 5000-row input (vs 0.09 s at the
+    * default rsd), input-size-independent pure codegen overhead; four of
+    * them put qa07 at ~2.4 s before any real work. The sketch agg keeps
+    * ONE compact binary buffer per column (ObjectHashAggregate), same
+    * single-scan no-Expand plan, ~20x faster at this precision. */
   def approxProfile(s: org.apache.spark.sql.SparkSession,
                     d: String): org.apache.spark.sql.DataFrame =
     Tables.documents(s, d)
       .agg(
         count(lit(1)).as("n_rows"),
-        approx_count_distinct(col("doc_id"), 0.01).as("ad_doc_id"),
-        approx_count_distinct(col("lang"), 0.01).as("ad_lang"),
-        approx_count_distinct(col("source"), 0.01).as("ad_source"),
-        approx_count_distinct(col("n_chars"), 0.01).as("ad_n_chars"))
+        hll_sketch_estimate(hll_sketch_agg(col("doc_id"), lit(14))).as("ad_doc_id"),
+        hll_sketch_estimate(hll_sketch_agg(col("lang"), lit(14))).as("ad_lang"),
+        hll_sketch_estimate(hll_sketch_agg(col("source"), lit(14))).as("ad_source"),
+        hll_sketch_estimate(hll_sketch_agg(col("n_chars"), lit(14))).as("ad_n_chars"))
 
   override val queries: Map[String, Q] = Map(
     // --- uncorrelated scalar subquery (exact max: portable across engines) ---
@@ -150,7 +161,9 @@ object AdvancedQueries extends QueryModule {
     //     gate DuckDB-replayable. Long output via stack() so adding a
     //     column adds a row, not a schema migration ---
     "qa05_column_profile" -> { (s, d) =>
-      Tables.documents(s, d)
+      // fanOut: the multi-distinct Expand (x4 rows) + percentile buffers
+      // otherwise run on one task over a 1-split local input
+      graft.core.Parallelism.fanOut(Tables.documents(s, d))
         .agg(
           count(lit(1)).as("n_rows"),
           sum(col("doc_id").isNull.cast("long")).as("nn_doc_id"),
@@ -968,10 +981,14 @@ object AdvancedQueries extends QueryModule {
     //     margin; the oracle replays TRUE, so a drifting estimate FAILS the
     //     hash gate). Quantitative accuracy also asserted in FunctionsSpec ---
     "q57_hll_sketch" -> { (s, d) =>
-      val daily = Tables.lineitem(s, d)
+      // fanOut: both arms are heavy aggs over a 1-split local input;
+      // HLL union is order-independent, countDistinct exact — results
+      // unchanged under any partitioning
+      val li = graft.core.Parallelism.fanOut(Tables.lineitem(s, d))
+      val daily = li
         .groupBy(col("l_returnflag"), col("l_shipdate"))
         .agg(hll_sketch_agg(col("l_partkey"), 16).as("sk"))
-      val exact = Tables.lineitem(s, d).groupBy("l_returnflag")
+      val exact = li.groupBy("l_returnflag")
         .agg(countDistinct(col("l_partkey")).as("exact_parts"))
       daily.groupBy("l_returnflag")
         .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"),
@@ -1006,7 +1023,7 @@ object AdvancedQueries extends QueryModule {
     //     the cells bit-exactly; CMS guarantees est >= true, surfaced as
     //     `overcount` ---
     "q61_count_min" -> { (s, d) =>
-      val toks = Tables.documents(s, d)
+      val toks = graft.core.Parallelism.fanOut(Tables.documents(s, d))
         .select(explode(split(col("text"), " ")).as("token"))
         .filter(col("token") =!= "")
       val cells = graft.operators.CountMin.sketch(toks, "token")
@@ -1036,7 +1053,10 @@ object AdvancedQueries extends QueryModule {
     "q65_quantile_sketch" -> { (s, d) =>
       import graft.operators.QuantileSketch
       val lo = 0.0; val hi = 131072.0; val nb = 1024
-      val li = Tables.lineitem(s, d)
+      // fanOut: the binning pass and the exact-percentile evidence arm are
+      // heavy single-task map/agg work on a 1-split local input; no-op at
+      // cluster widths (guide §2 scale-adaptive partitioning)
+      val li = graft.core.Parallelism.fanOut(Tables.lineitem(s, d))
       // ONE corpus pass builds the partial sketch table, pinned with
       // localCheckpoint — everything downstream (partial counts, merge,
       // cumulative rank walk, BOTH uses inside the quantile query) reads
@@ -1097,7 +1117,7 @@ object AdvancedQueries extends QueryModule {
       s.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.db")
       s.sql("DROP TABLE IF EXISTS graft_cat.db.sk66")
       val lo = 0.0; val hi = 131072.0; val nb = 1024
-      val li = Tables.lineitem(s, d)
+      val li = graft.core.Parallelism.fanOut(Tables.lineitem(s, d))
       val day0 = li.filter(col("l_orderkey") % 2 === 0)
       val day1 = li.filter(col("l_orderkey") % 2 === 1)
       QuantileSketch.partials(day0, "l_extendedprice",

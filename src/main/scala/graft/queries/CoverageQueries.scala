@@ -1097,8 +1097,12 @@ object CoverageQueries extends QueryModule {
       // the gate's cost was all pad hashing, not z-order work. (Needs
       // ≥500 docs, i.e. sf0.01+; sf0.001 would yield too few files for
       // the 3-bit split ladder.)
+      // REPARTITION (argless: session shuffle-partition width, i.e.
+      // scale-adaptive) spreads the 800k-sha pad generation across cores —
+      // the 1-split source otherwise hashes 50 MB of pad on ONE task
       s.sql("INSERT INTO graft_cat.db.zc42 " +
-        "SELECT doc_id * 100 + r AS id, (doc_id * 100 + r) % 1024 AS x, " +
+        "SELECT /*+ REPARTITION */ " +
+        "doc_id * 100 + r AS id, (doc_id * 100 + r) % 1024 AS x, " +
         "((doc_id * 100 + r) * 37) % 1024 AS y, " +
         "((doc_id * 100 + r) * 59) % 1024 AS z, " +
         "array_join(transform(sequence(0, 15), i -> " +
@@ -2077,7 +2081,7 @@ object CoverageQueries extends QueryModule {
       // sort-based object aggregate; split, the distinct path stays in
       // whole-stage-codegen hash aggs and the exact percentiles (one call,
       // both points) see the data once. The 3-row join broadcasts.
-      val li = Tables.lineitem(s, d)
+      val li = graft.core.Parallelism.fanOut(Tables.lineitem(s, d))
       // the 15% bound is 3 sigma of the default rsd (0.05): the old 5%
       // bound was ~1 sigma — a deterministic-per-dataset estimate could
       // sit persistently outside it at an untested scale factor with no
@@ -2199,7 +2203,7 @@ object CoverageQueries extends QueryModule {
     "q36_tfidf" -> { (s, d) =>
       val docs = Tables.documents(s, d)
       val n = docs.count()
-      val toks = docs.select(col("doc_id"),
+      val toks = graft.core.Parallelism.fanOut(docs).select(col("doc_id"),
         explode(graft.functions.TextFunctions.tokens(col("text"))).as("term"))
       val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
       val df_ = toks.select("doc_id", "term").distinct()

@@ -176,7 +176,9 @@ object RelationalQueries extends QueryModule {
 
     // --- count distinct (exact) ---
     "q12_distinct_parts" -> { (s, d) =>
-      Tables.lineitem(s, d)
+      // fanOut: the multi-distinct Expand (x3 rows) otherwise grinds on a
+      // single task over a 1-split local input; no-op at cluster widths
+      graft.core.Parallelism.fanOut(Tables.lineitem(s, d))
         .groupBy("l_returnflag")
         .agg(
           countDistinct(col("l_partkey")).as("n_parts"),
@@ -280,7 +282,9 @@ object RelationalQueries extends QueryModule {
       // Percentile agg buffers a value->count map per (group, agg-expr),
       // so three scalar calls build and merge three 200k-entry maps where
       // one array call builds one (measured 3.7 s -> 1.5 s at sf0.1)
-      Tables.lineitem(s, d)
+      // fanOut parallelizes the partial value->count buffers; the exact
+      // Percentile merge is a count-map union — order-independent
+      graft.core.Parallelism.fanOut(Tables.lineitem(s, d))
         .groupBy("l_returnflag")
         .agg(expr("percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D))").as("_ps"))
         .select(col("l_returnflag"),

@@ -465,7 +465,11 @@ object TextQueries extends QueryModule {
       // 2. near-dup removal: drop the higher id of every LSH-verified pair
       val drops = Dedup.minhashLshPairs(uniq, "doc_id", "text", n = 3, threshold = 0.8)
         .select(col("d2").as("doc_id")).distinct()
-      val kept = uniq.join(drops, Seq("doc_id"), "left_anti")
+      // fanOut: the two quality passes below (token explode + trigram
+      // HOFs) are heavy map work; the broadcast anti-join keeps the docs
+      // side's 1-split local width otherwise. No-op at cluster widths.
+      val kept = graft.core.Parallelism.fanOut(
+        uniq.join(drops, Seq("doc_id"), "left_anti"))
       // 3. repetition quality filter (qt09 keep criteria)
       val tc = kept.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
         .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))

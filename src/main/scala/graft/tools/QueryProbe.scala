@@ -32,7 +32,7 @@ object QueryProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    if (sys.env.getOrElse("SPARK_GRAFT_CACHE", "1") == "1") {
+    if (sys.env.getOrElse("SPARK_GRAFT_CACHE", "0") == "1") {
       graft.core.Tables.names.filterNot(_ == "events").foreach { t =>
         try graft.core.Tables.load(spark, sfDir, t).cache().count()
         catch { case _: Throwable => () }

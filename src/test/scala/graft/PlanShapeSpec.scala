@@ -553,11 +553,15 @@ class PlanShapeSpec extends AnyFunSuite {
     val p = plan(graft.queries.AdvancedQueries.approxProfile(spark, sf))
     val scans = "Scan parquet".r.findAllIn(p).size
     assert(scans == 1, s"expected 1 scan, got $scans:\n$p")
-    // approx_count_distinct is a plain (non-distinct) aggregate: swapping
-    // it in doesn't just preserve qa05's single-scan shape, it removes
-    // the Expand row-multiplication entirely — partial/final agg only
+    // the NDV sketch is a plain (non-distinct) aggregate: swapping it in
+    // doesn't just preserve qa05's single-scan shape, it removes the
+    // Expand row-multiplication entirely — partial/final agg only.
+    // Datasketches HLL is a TypedImperativeAggregate, so the agg pair
+    // plans as ObjectHashAggregate (one compact binary buffer per column
+    // — NOT HLL++'s ~1.6k flat longs whose codegen unrolling cost ~1 s
+    // per agg at rsd=0.01)
     assert(!p.contains("Expand"), s"approx profile should not Expand:\n$p")
-    assert(p.contains("HashAggregate"), s"expected hash aggregation:\n$p")
+    assert(p.contains("ObjectHashAggregate"), s"expected object hash aggregation:\n$p")
   }
 
   test("q65 quantile QUERY reads only the sketch: zero corpus scans after the one build pass") {
